@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions._` column
+  * expressions (whole-stage-codegen'd) — no Scala UDF in the hot path.
+  * Each function is a scalar projection: zero shuffles, and Catalyst
+  * prunes the scan down to the `text` column.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. Empty/blank text → 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: splits on word/non-word boundaries so
+    * punctuation and numbers count as their own tokens — a cheap,
+    * deterministic stand-in for a real BPE vocab, good for length
+    * filtering at corpus scale.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
+
+  /** Ratio of alphabetic chars to total chars (0 for empty). */
+  def alphaRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / total)
+  }
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, 0.0)
+      .otherwise(
+        length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double") / total
+      )
+  }
+
+  /** English stopword hit ratio over whitespace tokens. */
+  val stopwords: Seq[String] = Seq(
+    "the", "of", "and", "a", "to", "in", "is", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    when(length(trim(text)) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0, 100]: rewards mid-length docs, alpha
+    * content, and stopword presence; penalizes punctuation soup. A
+    * Gopher/C4-style heuristic (see PAPERS.md) expressed as one codegen'd
+    * projection.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val lengthScore = least(toks / 50.0, lit(1.0)) // saturates at 50 tokens
+    val score =
+      lengthScore * 30.0 + alphaRatio(text) * 30.0 +
+        least(stopwordRatio(text) * 4.0, lit(1.0)) * 25.0 +
+        (lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))) * 15.0
+    round(score, 2)
+  }
+
+  /** N-gram-heuristic language ID over a small marker-word table. Scores
+    * each language by marker-token hits; argmax wins, ties break by
+    * language order; no hits → "und". Column-only (no UDF) so it runs
+    * inside whole-stage codegen across a 100 TB corpus scan.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "you", "with", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "con", "para", "como", "del"),
+    "pt" -> Seq("o", "os", "um", "uma", "não", "mais", "como", "mas", "foi", "ele"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = langMarkers.map { case (langCode, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
+        lit(langMarkers.indexWhere(_._1 == langCode)).as("ord"),
+        lit(langCode).as("lang"))
+    }
+    // argmax by hits, ties to the earlier language (negate ord inside the
+    // struct-max so array_max's lexicographic compare prefers lower ord)
+    val best = array_max(array(scored.map(s =>
+      struct(s.getField("hits").as("hits"), (-s.getField("ord")).as("nord"), s.getField("lang").as("lang"))): _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 of the lowercased,
+    * whitespace-normalized text. Collision-safe enough for corpus-scale
+    * exact dedup keys (64-bit over ~1e10 docs ⇒ ~1% birthday collision;
+    * pair with length as a secondary key).
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character shingles (n-grams) of the normalized text, as an array. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val len = length(norm)
+    when(len < n, array(norm))
+      .otherwise(transform(sequence(lit(1), len - n + 1), i => norm.substr(i, lit(n))))
+  }
+
+  /** Word shingles (n-gram strings over whitespace tokens). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val cnt = size(toks)
+    when(cnt < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), cnt - n), i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+}

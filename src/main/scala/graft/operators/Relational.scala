@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operators re-expressed Spark-first from the reference's
+  * hand-wired JS dataflows (SURVEY.md §2.2–2.7).
+  *
+  * Everything here stays inside Catalyst: filters/projections push down to
+  * the parquet scan, aggregations get map-side partial combine, and the
+  * normalization "global max" patterns broadcast a 1-row subplan instead of
+  * collecting to the driver.
+  */
+object Relational {
+
+  /** A1 — scale-to-100 score (reference: `scripts/utils/utils.js:132-137`,
+    * `indicator-from-prop.js:56-63`). `score = round(value / max * 100)`
+    * where the max ignores NaN/null, matching the JS NaN-filtered max.
+    *
+    * Implemented as an aggregate-then-broadcast-join of the 1-row max —
+    * no driver collect, no window over a single partition. At 100 TB the
+    * max side is 1 row, so Catalyst plans a BroadcastNestedLoopJoin with a
+    * trivial build side.
+    */
+  def scaleScore(df: DataFrame, valueCol: String, scoreCol: String = "score"): DataFrame = {
+    val mx = df
+      .filter(!isnan(col(valueCol)) && col(valueCol).isNotNull)
+      .agg(max(col(valueCol)).as("__max"))
+    df.crossJoin(broadcast(mx))
+      .withColumn(scoreCol, round(col(valueCol) / col("__max") * 100))
+      .drop("__max")
+  }
+
+  /** W1 — nearest-rank percentile threshold (reference:
+    * `scripts/filter-percentile/filter-percentile.js:60-73`): sort ascending,
+    * `ordinalRank = Math.round(p/100 * (n-1))`, threshold = value at that
+    * rank, keep rows with `value >= threshold`. NOT linear interpolation —
+    * the oracle depends on exact nearest-rank-on-(n-1) semantics.
+    *
+    * Scale path: a global sort + row_number would serialize on one
+    * partition, so the k-th element is found by range-partitioned
+    * selection: shuffle values into sorted ranges, count per range (tiny
+    * collect of P longs), then sort only the one range holding rank k.
+    * O(n/P) memory per task — survives 1000 executors reading 100 TB.
+    */
+  def kthSmallest(df: DataFrame, valueCol: String, k: Long, numRanges: Int = 32): Double = {
+    import org.apache.spark.sql.Row
+    val vals = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .repartitionByRange(numRanges, col("v"))
+    val counts: Array[(Int, Long)] = vals.rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect()
+      .sortBy(_._1)
+    var remaining = k
+    var target = -1
+    for ((idx, c) <- counts if target < 0) {
+      if (remaining < c) target = idx else remaining -= c
+    }
+    require(target >= 0, s"rank $k out of bounds (n=${counts.map(_._2).sum})")
+    val offset = remaining
+    val tgt = target
+    vals.rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        if (i == tgt) {
+          val arr = it.map(_.getDouble(0)).toArray
+          java.util.Arrays.sort(arr)
+          Iterator(arr(offset.toInt))
+        } else Iterator.empty
+      }
+      .first()
+  }
+
+  /** W1 filter form: keep rows whose `valueCol >= percentile threshold`. */
+  def percentileFilter(df: DataFrame, valueCol: String, percentile: Double): DataFrame = {
+    val n = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol))).count()
+    val rank = math.round(percentile / 100.0 * (n - 1))
+    val threshold = kthSmallest(df, valueCol, rank)
+    df.filter(col(valueCol) >= lit(threshold))
+  }
+
+  /** P3 — conditional overwrite (reference `preparation.sh:142-146`, the
+    * ogr2ogr `UPDATE … SET x='b' WHERE x='a'`). Pure projection — no shuffle.
+    */
+  def conditionalUpdate(df: DataFrame, colName: String, from: String, to: String): DataFrame =
+    df.withColumn(colName, when(col(colName) === from, to).otherwise(col(colName)))
+
+  /** F6 — categorical defaults (reference `scripts/utils/utils.js:140-162`):
+    * lowercase, then out-of-vocabulary values collapse to a default.
+    */
+  def categoricalDefault(c: Column, vocab: Seq[String], default: String): Column = {
+    val lowered = lower(c)
+    when(lowered.isin(vocab: _*), lowered).otherwise(default)
+  }
+
+  /** F16 — severity bucketing (reference `vulnerability.js:213-218`):
+    * depth < 0.2 → none; ≤ 0.5 → low; ≤ 1.5 → medium; else high.
+    */
+  def severityBucket(depth: Column): Column =
+    when(depth < 0.2, "none")
+      .when(depth <= 0.5, "low")
+      .when(depth <= 1.5, "medium")
+      .otherwise("high")
+
+  /** A10 — trapezoidal integration (reference `vulnerability.js:140-146`,
+    * `script-eaul/eaul.js:634-657`): `½·Σ (x_{i+1}−x_i)·(y_i + y_{i+1})`
+    * over parallel arrays already sorted by x. Pure higher-order column
+    * expression — codegen-friendly, no UDF, no shuffle.
+    */
+  def trapezoid(xs: Column, ys: Column): Column = {
+    // slice both sides to exactly n-1 elements — zip_with null-pads the
+    // shorter side, and one padded null would poison the whole sum
+    val m = greatest(size(xs) - 1, lit(0))
+    val dx = zip_with(slice(xs, lit(2), m), slice(xs, lit(1), m), (a, b) => a - b)
+    val sy = zip_with(slice(ys, lit(2), m), slice(ys, lit(1), m), (a, b) => a + b)
+    aggregate(zip_with(dx, sy, (a, b) => a * b), lit(0.0), (acc, v) => acc + v) * 0.5
+  }
+
+  /** J2 — indicator merge (reference `merge-indicators.js:94-121`): left
+    * join indicator tables onto the base table by key; rows missing from an
+    * indicator get null (the JS fills `null` explicitly — Spark's left join
+    * does it natively). Dimension tables broadcast.
+    */
+  def mergeIndicators(base: DataFrame, baseKey: String, indicators: Seq[(String, DataFrame)]): DataFrame =
+    indicators.foldLeft(base) { case (acc, (name, ind)) =>
+      val renamed = ind.columns.foldLeft(ind) { (d, c) =>
+        if (c == "way_id") d else d.withColumnRenamed(c, s"${name}_$c")
+      }
+      acc.join(
+        broadcast(renamed),
+        acc(baseKey) === renamed("way_id"),
+        "left"
+      ).drop(renamed("way_id"))
+    }
+
+  /** J2 unmatched report (reference `merge-indicators.js:123-126`): indicator
+    * rows whose key has no base row — an anti-join.
+    */
+  def unmatchedIndicators(base: DataFrame, baseKey: String, ind: DataFrame, indKey: String): DataFrame =
+    ind.join(base, ind(indKey) === base(baseKey), "left_anti")
+
+  /** F24 + J10 — unpivot a wide matrix into long form (reference
+    * `process-traffic.js:70-94`): wide OD columns → `(origin, destination,
+    * count)` rows, then self-join reverse pairs keeping `origin <
+    * destination` with a `reverseCount`.
+    */
+  def unpivotMatrix(df: DataFrame, idCol: String, valueCols: Seq[String], keyName: String, valueName: String): DataFrame = {
+    val stackExpr = valueCols.map(c => s"'$c', `$c`").mkString(", ")
+    df.selectExpr(idCol, s"stack(${valueCols.size}, $stackExpr) as (`$keyName`, `$valueName`)")
+  }
+
+  /** J10 — merge reverse pairs: rows keyed (o, d); keep o < d, attach the
+    * (d, o) value as `reverse_<valueName>`. One shuffle on the pair key.
+    */
+  def mergeReversePairs(df: DataFrame, oCol: String, dCol: String, valueName: String): DataFrame = {
+    val a = df.as("a")
+    val b = df.select(col(oCol).as("__ro"), col(dCol).as("__rd"), col(valueName).as(s"reverse_$valueName")).as("b")
+    a.join(b, col(s"a.$oCol") === col("__rd") && col(s"a.$dCol") === col("__ro"), "left")
+      .filter(col(s"a.$oCol") < col(s"a.$dCol"))
+      .drop("__ro", "__rd")
+  }
+}
