@@ -300,6 +300,31 @@ object SparkEntry {
     Similarity.bruteForceTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
   }
 
+  // ------------------------------------------------- routing (G6/G7/G8-10)
+  /** G6 — distributed many-to-many route matrix on the demo grid network
+    * (rows-only oracle: routing isn't SQL-expressible).
+    */
+  private def qg1RouteMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val (g, od) = graph.DemoNetwork.grid(8)
+    graph.Routing.routeMatrix(spark, spark.sparkContext.broadcast(g), od)
+  }
+
+  /** G7 — leave-one-out criticality scores over all grid ways. */
+  private def qg2Criticality(spark: SparkSession, dir: String): DataFrame = {
+    val (g, od) = graph.DemoNetwork.grid(8)
+    graph.Criticality.scores(spark, g, od)
+  }
+
+  /** G8–G10 — EAUL upgrade sweep: (way × upgrade) fan-out with flood
+    * scenarios and the trapezoid over return periods.
+    */
+  private def qg3Eaul(spark: SparkSession, dir: String): DataFrame = {
+    val (g, od) = graph.DemoNetwork.grid(6)
+    graph.Eaul.sweep(
+      spark, g, graph.DemoNetwork.floodStats(g), od,
+      graph.DemoNetwork.yearlyTraffic(od.length), Set.empty)
+  }
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -327,7 +352,10 @@ object SparkEntry {
     "qt1_token_count" -> (qt1TokenCount _),
     "qt2_langid" -> (qt2LangId _),
     "qt3_quality" -> (qt3Quality _),
-    "qs1_cosine_topk" -> (qs1CosineTopK _)
+    "qs1_cosine_topk" -> (qs1CosineTopK _),
+    "qg1_route_matrix" -> (qg1RouteMatrix _),
+    "qg2_criticality" -> (qg2Criticality _),
+    "qg3_eaul" -> (qg3Eaul _)
   )
 
   def oracleSql: Map[String, String] = Map(

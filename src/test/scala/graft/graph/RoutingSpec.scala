@@ -1,0 +1,90 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Routing/criticality/EAUL against the golden network's documented
+  * expectations (`/root/reference/tests/README.md:23-61`).
+  */
+class RoutingSpec extends AnyFunSuite {
+  private val g = GoldenNetwork.graph
+  private val od = GoldenNetwork.odNodes
+  private val stats = GoldenNetwork.floodStats
+
+  private def pair(m: Array[PairCost], o: Int, d: Int): PairCost =
+    m.find(p => p.oIdx == o && p.dIdx == d).get
+
+  test("baseline A-B route cost is ~3.75 via segments 1-2-3") {
+    val m = Routing.routeMatrixLocal(g, od)
+    val ab = pair(m, 0, 1)
+    assert(ab.routable)
+    // haversine length of a 0.008983158° step is ~0.99888 km, so the
+    // documented 3.75 carries that factor
+    assert(math.abs(ab.ruc.get - 3.75) < 0.01)
+  }
+
+  test("removing segments 2+3 (RP 500 flood) forces route 2: ~4.25") {
+    val imp = Eaul.impassableWays(g, stats, 500, None)
+    assert(imp == Set(1, 2)) // way indexes of NAME "2","3"
+    val m = Routing.routeMatrixLocal(g, od, i => if (imp(i)) Double.PositiveInfinity else 1.0)
+    assert(math.abs(pair(m, 0, 1).ruc.get - 4.25) < 0.01)
+    assert(!pair(m, 0, 2).routable) // A-C severed
+    assert(!pair(m, 1, 2).routable) // B-C severed
+  }
+
+  test("RP 1000 flood also drops way 5: A-B on route 3: ~4.45") {
+    val imp = Eaul.impassableWays(g, stats, 1000, None)
+    assert(imp == Set(1, 2, 4))
+    val m = Routing.routeMatrixLocal(g, od, i => if (imp(i)) Double.PositiveInfinity else 1.0)
+    assert(math.abs(pair(m, 0, 1).ruc.get - 4.45) < 0.01)
+  }
+
+  test("global unroutable pairs are exactly A-C and B-C") {
+    assert(Eaul.globalUnroutablePairs(g, stats, od) == Set((0, 2), (1, 2)))
+  }
+
+  test("segment 10 is C's only link: removal severs exactly the C pairs") {
+    val without10 = Routing.routeMatrixLocal(g, od, i => if (i == 9) Double.PositiveInfinity else 1.0)
+    val base = Routing.routeMatrixLocal(g, od)
+    assert(pair(without10, 0, 1).ruc == pair(base, 0, 1).ruc) // A-B untouched
+    assert(!pair(without10, 0, 2).routable)
+    assert(!pair(without10, 1, 2).routable)
+  }
+
+  test("removing segment 1 severs A from everything") {
+    val m = Routing.routeMatrixLocal(g, od, i => if (i == 0) Double.PositiveInfinity else 1.0)
+    assert(!pair(m, 0, 1).routable)
+    assert(!pair(m, 0, 2).routable)
+    assert(pair(m, 1, 2).routable) // B-C unaffected
+  }
+
+  test("EAUL invariants from the reference prose spec") {
+    val unroutable = Eaul.globalUnroutablePairs(g, stats, od)
+    def eaulFor(upgraded: Option[(Int, Eaul.Upgrade)]): Double =
+      Eaul.calcEaulLocal(
+        g, stats, od, GoldenNetwork.yearlyTraffic, unroutable,
+        GoldenNetwork.noTraffic, upgraded)
+    val baseline = eaulFor(None)
+    val asphalt = Eaul.RoadUpgrades.head
+
+    // "no impact of an upgrade on segment 1 on EAUL" — RUC drop cancels in
+    // (RUC_flood − RUC_base)
+    assert(math.abs(eaulFor(Some((0, asphalt))) - baseline) < 1e-6)
+
+    // "no impact of an upgrade on segment 10, as it's never routable"
+    assert(math.abs(eaulFor(Some((9, asphalt))) - baseline) < 1e-6)
+
+    // "segment 2 & 3 have an EAUL that is higher than the baseline"
+    assert(eaulFor(Some((1, asphalt))) > baseline)
+    assert(eaulFor(Some((2, asphalt))) > baseline)
+
+    // upgrades on the never-flooded route 3 (segments 7-9) reduce EAUL:
+    // with a lower base RUC on the alternative, the detour penalty shrinks
+    assert(eaulFor(Some((7, asphalt))) < baseline)
+  }
+
+  test("snap finds the OD nodes from raw coordinates") {
+    assert(g.snap(0.0, 0.0) == 0)
+    assert(g.snap(0.026949474, 0.0) == 3)
+    assert(g.snap(0.017966316, 0.004491579) == 8)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.graph
+
+import graft.GraftSession
+import graft.sources.OsmXml
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-side graph ops: G1 build (coord dedup → nodes/edges), distributed
+  * route matrix, criticality scoring, EAUL sweep — on the golden network.
+  */
+class SparkGraphSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "graph-spec")
+
+  private def featuresDf = {
+    import spark.implicits._
+    GoldenNetwork.wayDefs.map { case (name, (s, d), _, ruc) =>
+      val (lon1, lat1) = GoldenNetwork.nodeCoords(s)
+      val (lon2, lat2) = GoldenNetwork.nodeCoords(d)
+      (name, name, ruc, Seq(Seq(lon1, lat1), Seq(lon2, lat2)))
+    }.toDF("way_id", "name", "ruc", "coords")
+  }
+
+  test("G1: coordinate-rounding dedup builds 9 nodes / 10 edges") {
+    val (nodes, edges) = RoadGraph.buildTables(featuresDf)
+    assert(nodes.count() == 9)
+    assert(edges.count() == 10)
+  }
+
+  test("G1 + G6: graph from features routes A-B at ~3.75") {
+    val g = RoadGraph.fromFeatures(spark, featuresDf)
+    val od = Array(g.snap(0.0, 0.0), g.snap(0.026949474, 0.0), g.snap(0.017966316, 0.004491579))
+    val m = Routing.routeMatrixLocal(g, od)
+    val ab = m.find(p => p.oIdx == 0 && p.dIdx == 1).get
+    assert(math.abs(ab.ruc.get - 3.75) < 0.01)
+  }
+
+  test("G6 distributed route matrix matches the local kernel") {
+    val g = GoldenNetwork.graph
+    val bg = spark.sparkContext.broadcast(g)
+    val dist = Routing.routeMatrix(spark, bg, GoldenNetwork.odNodes).collect()
+    val local = Routing.routeMatrixLocal(g, GoldenNetwork.odNodes)
+    assert(dist.length == local.length)
+    local.foreach { p =>
+      val row = dist.find(r => r.getInt(0) == p.oIdx && r.getInt(1) == p.dIdx).get
+      assert(row.getBoolean(2) == p.routable)
+      if (p.routable) assert(math.abs(row.getDouble(3) - p.ruc.get) < 1e-12)
+    }
+  }
+
+  test("G7: criticality scores — segment 1 maximal, segment 10 severs C pairs") {
+    val scores = Criticality
+      .scores(spark, GoldenNetwork.graph, GoldenNetwork.odNodes)
+      .collect()
+      .map(r => r.getAs[String]("way_id") -> r.getAs[Double]("score"))
+      .toMap
+    // segment 1 severs A from everything: 2 unroutable pairs (A-B, A-C) +
+    // B-C unaffected → highest unroutable count ties with segment 10
+    assert(scores("1") == 100.0 || scores("1") > scores("4"))
+    assert(scores.values.forall(s => s >= 0 && s <= 100))
+    // segments on parallel alternates (4,7) have no unroutable pairs
+    assert(scores("4") < scores("1"))
+  }
+
+  test("G8-G10: distributed EAUL sweep returns 10 ways × 3 upgrades + baseline") {
+    val df = Eaul.sweep(
+      spark,
+      GoldenNetwork.graph,
+      GoldenNetwork.floodStats,
+      GoldenNetwork.odNodes,
+      GoldenNetwork.yearlyTraffic,
+      GoldenNetwork.noTraffic)
+    val rows = df.collect()
+    assert(rows.length == 31)
+    val baseline = rows.find(_.getAs[String]("way_id") == "baseline").get.getAs[Double]("eaul")
+    val up23 = rows.filter(r => Seq("2", "3").contains(r.getAs[String]("way_id")) && r.getAs[String]("upgrade") == "upgrade-rehab-asphalt")
+    up23.foreach(r => assert(r.getAs[Double]("eaul") > baseline))
+  }
+
+  test("S9: OSM XML parse round-trip on a synthetic snippet") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<osm version="0.6">
+        |<node id="1" lat="0.0" lon="0.0"/>
+        |<node id="2" lat="0.0" lon="1.0"/>
+        |<way id="10"><nd ref="1"/><nd ref="2"/><tag k="NAME" v="seg-a"/><tag k="RUC" v="1.5"/></way>
+        |</osm>""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("osm").toFile
+    val fw = new java.io.FileWriter(new java.io.File(dir, "net.osm"))
+    fw.write(xml); fw.close()
+    val (nodes, ways) = OsmXml.read(spark, dir.getAbsolutePath)
+    assert(nodes.count() == 2)
+    val w = ways.collect().head
+    assert(w.getAs[Long]("way_id") == 10L)
+    assert(w.getAs[Map[String, String]]("tags")("NAME") == "seg-a")
+    assert(w.getAs[scala.collection.Seq[Long]]("nodes").toSeq == Seq(1L, 2L))
+  }
+}
