@@ -300,6 +300,73 @@ object SparkEntry {
     Similarity.bruteForceTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
   }
 
+  // --------------------------------------------------- spatial (J8/J9/A4)
+  /** Synthetic geometry derived deterministically from table keys so the
+    * spatial operators get REAL DuckDB oracles: axis-aligned rectangles
+    * make point-in-polygon and line-clipping SQL-expressible.
+    */
+  private def syntheticWays(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier").select(
+      col("s_suppkey").as("way_id"),
+      ((col("s_suppkey") % 13) + 0.25).as("y"),
+      (col("s_suppkey") % 17).cast("double").as("x1"),
+      ((col("s_suppkey") % 17) + 1 + (col("s_suppkey") % 4)).cast("double").as("x2"))
+
+  private def syntheticAreas(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation").select(
+      col("n_nationkey").as("area_id"),
+      (col("n_nationkey") % 10).cast("double").as("rx1"),
+      ((col("n_nationkey") % 10) + 2 + (col("n_nationkey") % 3)).cast("double").as("rx2"),
+      ((col("n_nationkey") % 11) - 0.2).as("ry1"),
+      ((col("n_nationkey") % 11) + 1.2 + (col("n_nationkey") % 2)).as("ry2"),
+      ((col("n_nationkey") % 7) + 1).cast("double").as("value"))
+
+  /** J9 + A4 + F8/F11/F12 — the §3.2 representative query: bbox spatial
+    * join → line split by polygon → midpoint-in-polygon weighting →
+    * per-way sum → scale-score. Oracle reproduces the geometry with
+    * interval clipping + the identical haversine length ratio.
+    */
+  private def qsp1Overlay(spark: SparkSession, dir: String): DataFrame = {
+    val ways = syntheticWays(spark, dir).select(
+      col("way_id"),
+      array(array(col("x1"), col("y")), array(col("x2"), col("y"))).as("coords"))
+    val areas = syntheticAreas(spark, dir).select(
+      col("area_id"),
+      array(
+        array(
+          array(col("rx1"), col("ry1")),
+          array(col("rx2"), col("ry1")),
+          array(col("rx2"), col("ry2")),
+          array(col("rx1"), col("ry2")),
+          array(col("rx1"), col("ry1")))).as("rings"),
+      col("value"))
+    operators.Spatial
+      .indicatorFromAreas(ways, areas)
+      .select(col("way_id"), round(col("value"), 4).as("value"), col("score"))
+  }
+
+  /** J8 — nearest-neighbour argmin join: nearest supplier per customer by
+    * haversine, deterministic tie-break (round to 1 mm, then key).
+    */
+  private def qsp2Nearest(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(
+      col("c_custkey"),
+      ((col("c_custkey") % 180) - 90 + 0.25).as("clon"),
+      ((col("c_custkey") % 160) - 80 + 0.25).as("clat"))
+    val supp = t(spark, dir, "supplier").select(
+      col("s_suppkey"),
+      ((col("s_suppkey") * 3 % 180) - 90).cast("double").as("slon"),
+      ((col("s_suppkey") * 5 % 160) - 80).cast("double").as("slat"))
+    val pairs = cust
+      .join(broadcast(supp))
+      .withColumn(
+        "dist_km",
+        round(GeoFunctions.haversineColKm(col("clon"), col("clat"), col("slon"), col("slat")), 6))
+    operators.Spatial
+      .nearestJoin(pairs, "c_custkey", col("dist_km"), col("s_suppkey"))
+      .select(col("c_custkey"), col("s_suppkey"), col("dist_km"))
+  }
+
   // ------------------------------------------------- routing (G6/G7/G8-10)
   /** G6 — distributed many-to-many route matrix on the demo grid network
     * (rows-only oracle: routing isn't SQL-expressible).
@@ -353,6 +420,8 @@ object SparkEntry {
     "qt2_langid" -> (qt2LangId _),
     "qt3_quality" -> (qt3Quality _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
+    "qsp1_overlay" -> (qsp1Overlay _),
+    "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
     "qg2_criticality" -> (qg2Criticality _),
     "qg3_eaul" -> (qg3Eaul _)
@@ -479,6 +548,55 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "qsp1_overlay" ->
+      """WITH ways AS (
+        |  SELECT s_suppkey AS way_id,
+        |    (s_suppkey % 13) + 0.25 AS y,
+        |    CAST(s_suppkey % 17 AS DOUBLE) AS x1,
+        |    CAST((s_suppkey % 17) + 1 + (s_suppkey % 4) AS DOUBLE) AS x2
+        |  FROM supplier),
+        |areas AS (
+        |  SELECT n_nationkey AS area_id,
+        |    CAST(n_nationkey % 10 AS DOUBLE) AS rx1,
+        |    CAST((n_nationkey % 10) + 2 + (n_nationkey % 3) AS DOUBLE) AS rx2,
+        |    (n_nationkey % 11) - 0.2 AS ry1,
+        |    (n_nationkey % 11) + 1.2 + (n_nationkey % 2) AS ry2,
+        |    CAST((n_nationkey % 7) + 1 AS DOUBLE) AS value
+        |  FROM nation),
+        |contrib AS (
+        |  SELECT way_id, sum(
+        |    (2*6371.0088*asin(least(1.0, sqrt(cos(radians(y))*cos(radians(y))*
+        |       pow(sin(radians(least(x2,rx2)-greatest(x1,rx1))/2),2))))) /
+        |    (2*6371.0088*asin(least(1.0, sqrt(cos(radians(y))*cos(radians(y))*
+        |       pow(sin(radians(x2-x1)/2),2))))) * value) AS value
+        |  FROM ways JOIN areas
+        |    ON greatest(x1,rx1) < least(x2,rx2) AND y > ry1 AND y < ry2
+        |  GROUP BY way_id)
+        |SELECT way_id, round(value, 4) AS value,
+        |  round(value / (SELECT max(value) FROM contrib) * 100, 2) AS score
+        |FROM contrib""".stripMargin,
+    "qsp2_nearest" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 180) - 90 + 0.25 AS clon,
+        |    (c_custkey % 160) - 80 + 0.25 AS clat
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey,
+        |    CAST((s_suppkey * 3 % 180) - 90 AS DOUBLE) AS slon,
+        |    CAST((s_suppkey * 5 % 160) - 80 AS DOUBLE) AS slat
+        |  FROM supplier),
+        |pairs AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    round(2 * 6371.0088 * asin(least(1.0, sqrt(
+        |      pow(sin(radians(slat - clat) / 2), 2) +
+        |      cos(radians(clat)) * cos(radians(slat)) *
+        |      pow(sin(radians(slon - clon) / 2), 2)))), 6) AS dist_km
+        |  FROM cust CROSS JOIN supp)
+        |SELECT c_custkey, s_suppkey, dist_km FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rn
+        |  FROM pairs) WHERE rn = 1""".stripMargin,
     "qd1_exact_dedup" ->
       """SELECT d.doc_id, d.n_chars FROM documents d
         |JOIN (SELECT min(doc_id) AS doc_id FROM documents

@@ -31,6 +31,18 @@ object Relational {
       .drop("__max")
   }
 
+  /** A1 exact reference form (`utils.js:132-137` addScaledScore):
+    * `score = round(value / max · 100, 2)` — 2-decimal variant.
+    */
+  def scaleScore2(df: DataFrame, valueCol: String, scoreCol: String = "score"): DataFrame = {
+    val mx = df
+      .filter(!isnan(col(valueCol)) && col(valueCol).isNotNull)
+      .agg(max(col(valueCol)).as("__max"))
+    df.crossJoin(broadcast(mx))
+      .withColumn(scoreCol, round(col(valueCol) / col("__max") * 100, 2))
+      .drop("__max")
+  }
+
   /** W1 — nearest-rank percentile threshold (reference:
     * `scripts/filter-percentile/filter-percentile.js:60-73`): sort ascending,
     * `ordinalRank = Math.round(p/100 * (n-1))`, threshold = value at that

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spatial operators (SURVEY.md §2.3 J8/J9, §2.4 A4).
+  *
+  * Physical strategy: the reference builds an in-memory rbush R-tree over
+  * areas and probes per way (`utils.js:83-98`,
+  * `indicator-from-areas.js:74-84`). The Spark-native equivalent broadcasts
+  * the (small) area side and evaluates the cheap bbox-overlap predicate as
+  * the join condition — a BroadcastNestedLoopJoin where the bbox test
+  * prunes before the exact geometry UDF runs. At 100 TB of ways the stream
+  * side never shuffles; if the AREA side ever outgrew broadcast, the
+  * upgrade path is grid-cell bucketing (explode both sides by cell id →
+  * equi-join on cell), which keeps the same operator contract.
+  */
+object Spatial {
+
+  /** J9 — bbox-prefiltered spatial join: `ways ⋈ areas` on bbox overlap,
+    * exact predicate applied afterwards. `waysBbox`/`areasBbox` are
+    * [minX, minY, maxX, maxY] array columns.
+    */
+  def bboxJoin(ways: DataFrame, areas: DataFrame, waysBbox: Column, areasBbox: Column): DataFrame =
+    ways.join(broadcast(areas), GeoFunctions.bboxOverlap(waysBbox, areasBbox))
+
+  /** J8 — nearest-neighbour (argmin) join: for each left row the single
+    * closest right row by `distCol`, deterministic tie-break on `tieCol`.
+    * One shuffle on the left key (the window), right side broadcast by the
+    * preceding join.
+    */
+  def nearestJoin(pairs: DataFrame, leftKey: String, distCol: Column, tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(leftKey)).orderBy(distCol, tieCol)
+    pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A4 + J9 + F11/F12 — weighted overlay (reference
+    * `indicator-from-areas.js:68-134`, the §3.2 representative query):
+    * for each (way, area) candidate pair from the bbox join, split the way
+    * by the area boundary (F11), keep pieces whose first-segment midpoint
+    * (F9) lies strictly inside (F12), weight `len(piece)/len(way) · value`
+    * (geodesic lengths, F8), then sum per way and scale-score (A1).
+    *
+    * `ways`: (way_id, coords array<array<double>>);
+    * `areas`: (area_id, rings array<array<array<double>>>, value).
+    */
+  def indicatorFromAreas(ways: DataFrame, areas: DataFrame): DataFrame = {
+    val contribUdf = udf {
+      (coords: Seq[Seq[Double]], rings: Seq[Seq[Seq[Double]]], value: Double) =>
+        val wayLen = GeoFunctions.lineLengthKm(coords)
+        if (wayLen == 0.0) 0.0
+        else {
+          val pieces = GeoFunctions.lineSplit(coords, rings)
+          pieces.iterator.map { piece =>
+            val mid = GeoFunctions.firstSegmentMidpoint(piece)
+            if (GeoFunctions.pointInPolygon(mid(0), mid(1), rings))
+              GeoFunctions.lineLengthKm(piece) / wayLen * value
+            else 0.0
+          }.sum
+        }
+    }
+    val waysB = ways.withColumn("__wbox", GeoFunctions.bboxUdf(col("coords")))
+    val areasB = areas.withColumn("__abox", GeoFunctions.bboxUdf(flatten(col("rings"))))
+    val pairs = bboxJoin(waysB, areasB, col("__wbox"), col("__abox"))
+      .withColumn("__contrib", contribUdf(col("coords"), col("rings"), col("value")))
+      .filter(col("__contrib") > 0.0)
+    val summed = pairs
+      .groupBy(col("way_id"))
+      .agg(sum(col("__contrib")).as("value"))
+    Relational.scaleScore2(summed, "value")
+  }
+}
