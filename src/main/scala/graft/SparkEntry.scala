@@ -300,6 +300,68 @@ object SparkEntry {
     Similarity.bruteForceTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
   }
 
+  /** §2.10 — sessionization (gap > 30 min), batch window-function form;
+    * the streaming-stateful twin (`EventStreams.sessionizeStateful`) is
+    * equivalence-tested in StreamingSpec.
+    */
+  private def qe1Sessionize(spark: SparkSession, dir: String): DataFrame =
+    streaming.EventStreams.sessionizeBatch(events(spark, dir))
+
+  /** J4 — case-insensitive lookup join against a literal dim (the
+    * province-name join of `additional-props.js:62-66`) + F20 weight map.
+    */
+  private def qj4CiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(("1-urgent", 1.0), ("2-high", 0.8), ("3-medium", 0.5)).toDF("prio", "weight")
+    t(spark, dir, "orders")
+      .join(broadcast(dim), lower(col("o_orderpriority")) === col("prio"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(coalesce(col("weight"), lit(0.0)) * col("o_totalprice")), 2).as("weighted_value"))
+  }
+
+  /** J5 — group-collecting join (`additional-props.js:68-76` bridges per
+    * way): suppliers collected per nation, left-joined onto the base.
+    */
+  private def qj5CollectJoin(spark: SparkSession, dir: String): DataFrame = {
+    val agg = t(spark, dir, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("s_name")))).as("supplier_list"),
+        count(lit(1)).as("cnt"))
+    t(spark, dir, "nation")
+      .join(broadcast(agg), col("n_nationkey") === col("s_nationkey"), "left")
+      .select(
+        col("n_name"),
+        col("supplier_list"),
+        coalesce(col("cnt"), lit(0L)).as("n_suppliers"))
+  }
+
+  /** Multimodal — binary media columns with typed metadata; n_bytes/kind
+    * are oracle-checkable, the decode stub's features ride in qm2.
+    */
+  private def qm1MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.mediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .extractFeatures(media)
+      .select(col("media_id"), col("kind"), col("n_bytes"))
+  }
+
+  /** Multimodal feature extraction (stub decode, real partition/batch
+    * shape) — rows-only oracle.
+    */
+  private def qm2MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.mediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .extractFeatures(media)
+      .select(
+        col("media_id"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        round(col("byte_entropy"), 4).as("byte_entropy"),
+        col("feature"))
+  }
+
   // --------------------------------------------------- spatial (J8/J9/A4)
   /** Synthetic geometry derived deterministically from table keys so the
     * spatial operators get REAL DuckDB oracles: axis-aligned rectangles
@@ -420,6 +482,11 @@ object SparkEntry {
     "qt2_langid" -> (qt2LangId _),
     "qt3_quality" -> (qt3Quality _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
+    "qe1_sessionize" -> (qe1Sessionize _),
+    "qj4_ci_join" -> (qj4CiJoin _),
+    "qj5_collect_join" -> (qj5CollectJoin _),
+    "qm1_media_meta" -> (qm1MediaMeta _),
+    "qm2_media_features" -> (qm2MediaFeatures _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -548,6 +615,43 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "qe1_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL OR epoch - prev > 1800 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM (
+        |    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+        |      lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "qj4_ci_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(coalesce(w.weight, 0) * o_totalprice), 2)
+        |    AS weighted_value
+        |FROM orders LEFT JOIN (VALUES
+        |  ('1-urgent', 1.0), ('2-high', 0.8), ('3-medium', 0.5)
+        |) AS w(prio, weight) ON lower(o_orderpriority) = w.prio
+        |GROUP BY o_orderpriority""".stripMargin,
+    "qj5_collect_join" ->
+      """SELECT n_name, agg.supplier_list,
+        |  CAST(coalesce(agg.cnt, 0) AS BIGINT) AS n_suppliers
+        |FROM nation LEFT JOIN (
+        |  SELECT s_nationkey,
+        |    string_agg(s_name, ',' ORDER BY s_name) AS supplier_list,
+        |    count(*) AS cnt
+        |  FROM supplier GROUP BY s_nationkey
+        |) agg ON n_nationkey = agg.s_nationkey""".stripMargin,
+    "qm1_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents""".stripMargin,
     "qsp1_overlay" ->
       """WITH ways AS (
         |  SELECT s_suppkey AS way_id,

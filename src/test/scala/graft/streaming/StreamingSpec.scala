@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "streaming-spec")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def events = {
+    val raw = Tables.events(spark, sfDir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  test("stateful sessionization matches the batch window-function form") {
+    import spark.implicits._
+    val batch = EventStreams
+      .sessionizeBatch(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val stateful = EventStreams
+      .sessionizeStateful(
+        events
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[EventStreams.Event])
+      .collect()
+      .map(s => (s.user_id, s.n_sessions, s.n_events))
+      .toSet
+    assert(stateful == batch)
+  }
+
+  test("streaming windowed aggregation equals the batch q17 aggregation") {
+    val raw = Tables.events(spark, sfDir)
+    // file stream sources need a directory, not a single file
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStreams
+      .runWindowedStream(spark, dir.toString, raw.schema)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventStreams
+      .windowedCounts(events)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+
+  test("multimodal: decode stub features are deterministic and shaped") {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
+    val feats = graft.multimodal.Multimodal.extractFeatures(media).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.feature.length == 16))
+    assert(feats.forall(f => f.byte_entropy >= 0 && f.byte_entropy <= 8))
+    val again = graft.multimodal.Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.mean_byte).sorted.sameElements(again.map(_.mean_byte).sorted))
+  }
+
+  test("multimodal: frame sampling multiplies rows by payload size") {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
+    val frames = graft.multimodal.Multimodal.sampleFrames(media, everyK = 2, frameBytes = 64)
+    assert(frames.count() >= media.count())
+  }
+}
