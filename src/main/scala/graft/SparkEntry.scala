@@ -425,8 +425,8 @@ object SparkEntry {
         "dist_km",
         round(GeoFunctions.haversineColKm(col("clon"), col("clat"), col("slon"), col("slat")), 6))
     operators.Spatial
-      .nearestJoin(pairs, "c_custkey", col("dist_km"), col("s_suppkey"))
-      .select(col("c_custkey"), col("s_suppkey"), col("dist_km"))
+      .nearestJoinAgg(pairs, "c_custkey", col("dist_km"), col("s_suppkey"), Seq("s_suppkey"))
+      .withColumnRenamed("dist", "dist_km")
   }
 
   // ------------------------------------------------- routing (G6/G7/G8-10)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Corpus-scale deduplication operators for training-data pipelines:
@@ -14,16 +14,109 @@ import org.apache.spark.sql.functions._
   *    band-bucket equi-join — only docs sharing a band hash ever meet,
   *    so the shuffle volume is O(n·bands), not O(n²);
   *  - candidate verification (exact Jaccard / hamming / cosine) runs only
-  *    inside buckets.
+  *    inside buckets, and shingle sets are joined by doc id AFTER pair
+  *    dedup so the heavy arrays shuffle once per doc, not once per pair.
+  *
+  * Signature computation is compiled Scala behind `udf` — NOT higher-order
+  * column functions: Spark's array HOFs (`transform`/`aggregate`) are
+  * `CodegenFallback`, i.e. interpreted per element, and a 16-hash MinHash
+  * over shingle arrays costs ~50 interpreted expression-node evals per
+  * shingle per hash. The one-pass compiled loop is ~100× cheaper and stays
+  * fully distributed. (A custom codegen `Expression` is the next rung if
+  * even UDF row overhead ever matters.)
   *
   * All signatures are deterministic (seeded), so results are stable across
   * runs and cluster sizes.
   */
 object Dedup {
 
+  private val Prime = 2147483647L // 2^31 - 1
+
+  private def tokenize(text: String): Array[String] = {
+    val t = text.trim.toLowerCase
+    if (t.isEmpty) Array("") else t.split("\\s+")
+  }
+
+  private def wordShingleSet(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out += sb.result()
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** Stable 64-bit string hash (MurmurHash3 128-bit truncated via two
+    * 32-bit mixes — deterministic across JVMs, unlike String.hashCode
+    * alone it has full 64-bit spread).
+    */
+  private def hash64(s: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  private def minHashCoefs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((rnd.nextInt(Prime.toInt - 1) + 1L, rnd.nextInt(Prime.toInt).toLong))
+  }
+
+  /** MinHash signature: one compiled pass over the shingle set. */
+  def minHashSignatureUdf(shingleSize: Int, numHashes: Int, seed: Long = 42L): UserDefinedFunction = {
+    val coefs = minHashCoefs(numHashes, seed)
+    udf { (text: String) =>
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      wordShingleSet(text, shingleSize).foreach { sh =>
+        val h = java.lang.Math.floorMod(hash64(sh), Prime)
+        var k = 0
+        while (k < numHashes) {
+          val v = java.lang.Math.floorMod(coefs(k)._1 * h + coefs(k)._2, Prime)
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      mins
+    }
+  }
+
+  /** Distinct word shingles (for exact Jaccard verification). */
+  def shingleSetUdf(shingleSize: Int): UserDefinedFunction =
+    udf { (text: String) => wordShingleSet(text, shingleSize) }
+
+  /** SimHash: 64-bit signature, bit i = sign of the per-bit vote over
+    * token hashes — one compiled pass.
+    */
+  val simHashUdf: UserDefinedFunction = udf { (text: String) =>
+    val votes = new Array[Int](64)
+    tokenize(text).foreach { t =>
+      val h = hash64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
   /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
-    * One shuffle on the 64-bit fingerprint. `min_by` semantics via min(id)
-    * + semi-join-free aggregation keeps it a single pass.
+    * One shuffle on the 64-bit fingerprint (xxhash64 — codegen'd builtin,
+    * no UDF needed on this path).
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = docs.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
@@ -31,29 +124,17 @@ object Dedup {
     fp.join(keep, Seq("__fp", idCol)).drop("__fp")
   }
 
-  /** MinHash signature: `numHashes` permutations approximated by
-    * `min((a_i * xxhash64(shingle) + b_i) mod p)` over word shingles.
-    * Column-only: shingles → per-hash min via `transform` + `array_min`.
-    */
-  def minHashSignature(text: Column, shingleSize: Int, numHashes: Int, seed: Long = 42L): Column = {
-    // 31-bit Mersenne prime field: shingle hash is reduced mod p BEFORE the
-    // affine mix, so a·h + b < 2^62 never overflows Long under ANSI mode.
-    val prime = 2147483647L // 2^31 - 1
-    val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(numHashes)((rnd.nextInt(prime.toInt - 1) + 1L, rnd.nextInt(prime.toInt).toLong))
-    val shingleHashes = transform(TextFunctions.wordShingles(text, shingleSize), s => pmod(xxhash64(s), lit(prime)))
-    array(coefs.map { case (a, b) =>
-      array_min(transform(shingleHashes, h => pmod(h * a + b, lit(prime))))
-    }: _*)
-  }
+  /** Band the signature: one row per (id, band) with the band's hash. */
+  private def banded(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn(
+        "__bandhash",
+        xxhash64(slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand)), col("__band")))
+      .select(col(idCol), col("__bandhash"))
 
-  /** MinHash + LSH near-dup clustering:
-    * signature → split into `bands` bands of `rowsPerBand` → explode one row
-    * per band → groupBy (band index, band-hash) → bucket ids. Docs sharing
-    * any bucket are candidate dups; we keep the min doc id per bucket and
-    * return docs dropped as near-duplicates of an earlier doc.
-    *
-    * Returns the deduplicated DataFrame (survivors).
+  /** MinHash + LSH near-dup: docs sharing any band bucket cluster to the
+    * bucket's min id; survivors returned.
     */
   def minHashDedup(
       docs: DataFrame,
@@ -62,50 +143,29 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val withSig = docs.withColumn("__sig", minHashSignature(col(textCol), shingleSize, numHashes))
-    val banded = withSig
-      .select(col(idCol), col("__sig"))
-      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
-      .withColumn("__bandhash", xxhash64(slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand)), col("__band")))
-    // min doc id within each band bucket; a doc is a duplicate if ANY of
-    // its buckets contains a smaller id
-    val w = Window.partitionBy("__bandhash")
-    val earliest = banded
-      .withColumn("__bucketmin", min(col(idCol)).over(w))
+    val sigs = docs.select(col(idCol), minHashSignatureUdf(shingleSize, numHashes)(col(textCol)).as("__sig"))
+    val b = banded(sigs, idCol, bands, numHashes / bands)
+    val keep = b
+      .groupBy("__bandhash")
+      .agg(min(col(idCol)).as("__bucketmin"))
+      .join(b, Seq("__bandhash"))
       .groupBy(col(idCol))
       .agg(min(col("__bucketmin")).as("__keepid"))
-    val survivors = earliest.filter(col(idCol) === col("__keepid")).select(col(idCol))
-    docs.join(survivors, Seq(idCol), "left_semi")
-  }
-
-  /** SimHash: 64-bit signature where bit i = sign of the weighted sum of
-    * token-hash bit i across tokens. Near-dups have small hamming distance.
-    */
-  def simHash(text: Column): Column = {
-    val tokenHashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
-    val bitCols = (0 until 64).map { i =>
-      // per-bit vote: +1 if bit set, -1 otherwise, summed over tokens
-      val vote = aggregate(
-        tokenHashes,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_.bitwiseOR(_))
+      .filter(col(idCol) === col("__keepid"))
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup dedup: docs whose signatures agree on any of 4
-    * 16-bit blocks are candidates (guarantees recall for hamming ≤ 3);
-    * verify with full hamming ≤ `maxHamming`; keep the lowest id of each
-    * verified pair's cluster.
+  /** SimHash near-dup: 4×16-bit block banding (guaranteed recall for
+    * hamming ≤ 3), verify full hamming, drop the higher id of each pair.
     */
   def simHashDedup(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simHash(col(textCol)).as("__sig"))
-    val blocked = sigs.withColumn("__blk", explode(array((0 until 4).map(lit): _*)))
+    val sigs = docs.select(col(idCol), simHashUdf(col(textCol)).as("__sig"))
+    val blocked = sigs
+      .withColumn("__blk", explode(array((0 until 4).map(lit): _*)))
       .withColumn("__blkval", expr("(__sig >> (__blk * 16)) & 65535"))
     val a = blocked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("__blk"), col("__blkval"))
     val b = blocked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("__blk"), col("__blkval"))
@@ -116,17 +176,16 @@ object Dedup {
     docs.join(dupPairs, Seq(idCol), "left_anti")
   }
 
-  /** N-gram Jaccard near-dup: MinHash-LSH candidates verified by exact
-    * shingle-set Jaccard ≥ `threshold`. The exact verify only touches
-    * LSH-candidate pairs, so the expensive set intersection never runs on
-    * the full cross product.
-    */
+  /** Exact shingle-set Jaccard (codegen'd set builtins). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0.0, 0.0).otherwise(inter / union)
   }
 
+  /** N-gram Jaccard near-dup: LSH candidates → pair dedup on ids ONLY →
+    * shingle sets joined back by id → exact Jaccard ≥ threshold.
+    */
   def ngramJaccardDedup(
       docs: DataFrame,
       idCol: String,
@@ -135,27 +194,28 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 16,
       bands: Int = 8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val prepared = docs.select(
+    val sigs = docs.select(
       col(idCol),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("__sh"),
-      minHashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
-    val banded = prepared
-      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
-      .withColumn("__bandhash", xxhash64(slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand)), col("__band")))
-      .select(col(idCol), col("__sh"), col("__bandhash"))
-    val a = banded.select(col(idCol).as("a_id"), col("__sh").as("a_sh"), col("__bandhash"))
-    val b = banded.select(col(idCol).as("b_id"), col("__sh").as("b_sh"), col("__bandhash"))
-    val dups = a.join(b, Seq("__bandhash"))
+      minHashSignatureUdf(shingleSize, numHashes)(col(textCol)).as("__sig"),
+      shingleSetUdf(shingleSize)(col(textCol)).as("__sh"))
+    val b = banded(sigs, idCol, bands, numHashes / bands)
+    val candidates = b.select(col(idCol).as("a_id"), col("__bandhash"))
+      .join(b.select(col(idCol).as("b_id"), col("__bandhash")), Seq("__bandhash"))
       .filter(col("a_id") > col("b_id"))
-      .select(col("a_id"), col("a_sh"), col("b_sh")).distinct()
+      .select("a_id", "b_id")
+      .distinct()
+    val shingles = sigs.select(col(idCol), col("__sh"))
+    val dups = candidates
+      .join(shingles.select(col(idCol).as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
+      .join(shingles.select(col(idCol).as("b_id"), col("__sh").as("b_sh")), Seq("b_id"))
       .filter(jaccard(col("a_sh"), col("b_sh")) >= threshold)
-      .select(col("a_id").as(idCol)).distinct()
+      .select(col("a_id").as(idCol))
+      .distinct()
     docs.join(dups, Seq(idCol), "left_anti")
   }
 
-  /** Embedding-cosine near-dup: hyperplane-LSH candidates verified by exact
-    * cosine ≥ `threshold`; drop the higher id of each verified pair.
+  /** Embedding-cosine near-dup: hyperplane-LSH candidates verified by
+    * exact cosine ≥ threshold; higher id of each verified pair dropped.
     */
   def embeddingNearDup(
       embs: DataFrame,

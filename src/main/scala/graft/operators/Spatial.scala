@@ -26,14 +26,36 @@ object Spatial {
   def bboxJoin(ways: DataFrame, areas: DataFrame, waysBbox: Column, areasBbox: Column): DataFrame =
     ways.join(broadcast(areas), GeoFunctions.bboxOverlap(waysBbox, areasBbox))
 
-  /** J8 — nearest-neighbour (argmin) join: for each left row the single
-    * closest right row by `distCol`, deterministic tie-break on `tieCol`.
-    * One shuffle on the left key (the window), right side broadcast by the
-    * preceding join.
+  /** J8 — nearest-neighbour (argmin) join, window form: for each left row
+    * the single closest right row by `distCol`, deterministic tie-break on
+    * `tieCol`. The window sorts every candidate row — prefer
+    * `nearestJoinAgg` on big pair sets.
     */
-  def nearestJoin(pairs: DataFrame, leftKey: String, distCol: Column, tieCol: Column): DataFrame = {
+  def nearestJoinWindow(pairs: DataFrame, leftKey: String, distCol: Column, tieCol: Column): DataFrame = {
     val w = Window.partitionBy(col(leftKey)).orderBy(distCol, tieCol)
     pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J8 scale form — argmin via `min_by` hash aggregation: partial (map-
+    * side) combine collapses each key to ONE candidate before the shuffle,
+    * so a billions-row candidate set shuffles only |left keys| rows — vs
+    * the window form shuffling and sorting every candidate. Ordering is
+    * the lexicographic struct (dist, tie), same determinism contract.
+    * `payload` columns are carried through on the winning row.
+    */
+  def nearestJoinAgg(
+      pairs: DataFrame,
+      leftKey: String,
+      distCol: Column,
+      tieCol: Column,
+      payload: Seq[String]): DataFrame = {
+    val winner = min_by(
+      struct((payload.map(col) :+ distCol.as("__dist")): _*),
+      struct(distCol, tieCol))
+    pairs
+      .groupBy(col(leftKey))
+      .agg(winner.as("__nn"))
+      .select(col(leftKey) +: payload.map(p => col(s"__nn.$p")) :+ col("__nn.__dist").as("dist"): _*)
   }
 
   /** A4 + J9 + F11/F12 — weighted overlay (reference
