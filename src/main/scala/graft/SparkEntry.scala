@@ -362,6 +362,54 @@ object SparkEntry {
         col("feature"))
   }
 
+  /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
+    * reference data model: 10-element RP arrays + bridges struct array);
+    * full closed-form oracle.
+    */
+  private def qv1Ead(spark: SparkSession, dir: String): DataFrame = {
+    val s = col("s_suppkey")
+    val ways = t(spark, dir, "supplier").select(
+      s.as("way_id"),
+      transform(sequence(lit(0), lit(9)), i => ((s * 7 + i * 13) % 40) / 10.0).as("flood_depths"),
+      transform(sequence(lit(0), lit(9)), i => ((s * 3 + i * 5) % 100) / 10.0).as("flood_lengths"),
+      when(s % 2 === 0, "paved").otherwise("unpaved").as("surface"),
+      when(s % 3 === 0, "poor").when(s % 3 === 1, "fair").otherwise("good").as("condition"),
+      when(
+        s % 4 < 3,
+        array(
+          struct(
+            when(s % 2 === 0, "bridge").otherwise("culvert").as("type"),
+            (lit(5) + s % 25).cast("double").as("length"))))
+        .otherwise(array().cast("array<struct<type:string,length:double>>"))
+        .as("bridges"))
+    operators.Vulnerability.wayEad(ways)
+  }
+
+  /** §3.1 — the composed indicator pipeline (indicators.sh): base road
+    * network ← spatial-overlay indicator (J9/A4) ← EAD indicator (A3/A10)
+    * ← scale-score-from-property indicator (A1), merged with J2 left joins
+    * (merge-indicators.js) in ONE lazy Catalyst plan — the reference's five
+    * file-exchanging processes become one lineage.
+    */
+  private def qp1Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val fish = qsp1Overlay(spark, dir).select(col("way_id"), col("score"))
+    val ead = Relational
+      .scaleScore2(qv1Ead(spark, dir), "value")
+      .select(col("way_id"), col("value"), col("score"))
+    val aadt = Relational
+      .scaleScore(t(spark, dir, "supplier"), "s_acctbal")
+      .select(col("s_suppkey").as("way_id"), col("score"))
+    val rn = t(spark, dir, "supplier").select(col("s_suppkey").as("way_id"))
+    Relational
+      .mergeIndicators(rn, "way_id", Seq("fish" -> fish, "ead" -> ead, "aadt" -> aadt))
+      .select(
+        col("way_id"),
+        col("fish_score"),
+        col("ead_value"),
+        col("ead_score"),
+        col("aadt_score"))
+  }
+
   // --------------------------------------------------- spatial (J8/J9/A4)
   /** Synthetic geometry derived deterministically from table keys so the
     * spatial operators get REAL DuckDB oracles: axis-aligned rectangles
@@ -483,6 +531,8 @@ object SparkEntry {
     "qt3_quality" -> (qt3Quality _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
     "qe1_sessionize" -> (qe1Sessionize _),
+    "qv1_ead" -> (qv1Ead _),
+    "qp1_pipeline" -> (qp1Pipeline _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -615,6 +665,117 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "qp1_pipeline" ->
+      """WITH ways AS (
+        |  SELECT s_suppkey AS way_id,
+        |    (s_suppkey % 13) + 0.25 AS y,
+        |    CAST(s_suppkey % 17 AS DOUBLE) AS x1,
+        |    CAST((s_suppkey % 17) + 1 + (s_suppkey % 4) AS DOUBLE) AS x2
+        |  FROM supplier),
+        |areas AS (
+        |  SELECT n_nationkey AS area_id,
+        |    CAST(n_nationkey % 10 AS DOUBLE) AS rx1,
+        |    CAST((n_nationkey % 10) + 2 + (n_nationkey % 3) AS DOUBLE) AS rx2,
+        |    (n_nationkey % 11) - 0.2 AS ry1,
+        |    (n_nationkey % 11) + 1.2 + (n_nationkey % 2) AS ry2,
+        |    CAST((n_nationkey % 7) + 1 AS DOUBLE) AS value
+        |  FROM nation),
+        |contrib AS (
+        |  SELECT way_id, sum(
+        |    (2*6371.0088*asin(least(1.0, sqrt(cos(radians(y))*cos(radians(y))*
+        |       pow(sin(radians(least(x2,rx2)-greatest(x1,rx1))/2),2))))) /
+        |    (2*6371.0088*asin(least(1.0, sqrt(cos(radians(y))*cos(radians(y))*
+        |       pow(sin(radians(x2-x1)/2),2))))) * value) AS value
+        |  FROM ways JOIN areas
+        |    ON greatest(x1,rx1) < least(x2,rx2) AND y > ry1 AND y < ry2
+        |  GROUP BY way_id),
+        |fish AS (
+        |  SELECT way_id,
+        |    round(value / (SELECT max(value) FROM contrib) * 100, 2) AS score
+        |  FROM contrib),
+        |rp(i, t) AS (VALUES (0,5),(1,10),(2,20),(3,50),(4,75),
+        |  (5,100),(6,200),(7,250),(8,500),(9,1000)),
+        |w AS (SELECT s_suppkey AS s,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN 'paved' ELSE 'unpaved' END AS surface,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN 0.3
+        |         WHEN s_suppkey % 3 = 1 THEN 0.5 ELSE 0.7 END AS condrate,
+        |    s_suppkey % 4 < 3 AS has_bridge,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN 'bridge' ELSE 'culvert' END AS btype,
+        |    5 + s_suppkey % 25 AS blen
+        |  FROM supplier),
+        |d AS (SELECT s, i, t, surface, condrate, has_bridge, btype, blen,
+        |    ((s*7 + i*13) % 40)/10.0 AS depth,
+        |    ((s*3 + i*5) % 100)/10.0 AS len,
+        |    ((s*7 + (CASE WHEN btype = 'bridge' THEN 5 ELSE 2 END)*13) % 40)/10.0 AS wld
+        |  FROM w CROSS JOIN rp),
+        |dmg AS (SELECT s, i, t,
+        |    CASE WHEN depth < 0.2 THEN 0
+        |         WHEN depth > 1.5 THEN len * (CASE WHEN surface = 'paved' THEN 20000 ELSE 55000 END)
+        |         WHEN depth > 0.5 THEN len * (CASE WHEN surface = 'paved' THEN 4000 ELSE 27000 END)
+        |         ELSE len * (CASE WHEN surface = 'paved' THEN 2000 ELSE 15000 END) END AS road_dmg,
+        |    CASE WHEN has_bridge THEN greatest(0, (depth - wld*0.7) / condrate *
+        |         (CASE WHEN btype = 'bridge' THEN blen*44000 ELSE 10000 END)) ELSE 0 END AS bridge_dmg
+        |  FROM d),
+        |tz AS (SELECT s,
+        |    sum((1.0/prev_t - 1.0/t) * (prev_rd + road_dmg)) / 2 AS road_ead,
+        |    sum((1.0/prev_t - 1.0/t) * (prev_bd + bridge_dmg)) / 2 AS bridge_ead
+        |  FROM (SELECT *,
+        |      lag(t) OVER (PARTITION BY s ORDER BY i) AS prev_t,
+        |      lag(road_dmg) OVER (PARTITION BY s ORDER BY i) AS prev_rd,
+        |      lag(bridge_dmg) OVER (PARTITION BY s ORDER BY i) AS prev_bd
+        |    FROM dmg)
+        |  GROUP BY s),
+        |ead AS (SELECT s AS way_id,
+        |    CAST(floor(bridge_ead + road_ead) AS BIGINT) AS value
+        |  FROM tz),
+        |eads AS (SELECT way_id, value,
+        |    round(value / (SELECT max(value) FROM ead) * 100, 2) AS score
+        |  FROM ead),
+        |aadt AS (SELECT s_suppkey AS way_id,
+        |    round(s_acctbal / (SELECT max(s_acctbal) FROM supplier
+        |                       WHERE NOT isnan(s_acctbal)) * 100) AS score
+        |  FROM supplier)
+        |SELECT s_suppkey AS way_id, f.score AS fish_score,
+        |  e.value AS ead_value, e.score AS ead_score, a.score AS aadt_score
+        |FROM supplier
+        |LEFT JOIN fish f ON s_suppkey = f.way_id
+        |LEFT JOIN eads e ON s_suppkey = e.way_id
+        |LEFT JOIN aadt a ON s_suppkey = a.way_id""".stripMargin,
+    "qv1_ead" ->
+      """WITH rp(i, t) AS (VALUES (0,5),(1,10),(2,20),(3,50),(4,75),
+        |  (5,100),(6,200),(7,250),(8,500),(9,1000)),
+        |w AS (SELECT s_suppkey AS s,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN 'paved' ELSE 'unpaved' END AS surface,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN 0.3
+        |         WHEN s_suppkey % 3 = 1 THEN 0.5 ELSE 0.7 END AS condrate,
+        |    s_suppkey % 4 < 3 AS has_bridge,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN 'bridge' ELSE 'culvert' END AS btype,
+        |    5 + s_suppkey % 25 AS blen
+        |  FROM supplier),
+        |d AS (SELECT s, i, t, surface, condrate, has_bridge, btype, blen,
+        |    ((s*7 + i*13) % 40)/10.0 AS depth,
+        |    ((s*3 + i*5) % 100)/10.0 AS len,
+        |    ((s*7 + (CASE WHEN btype = 'bridge' THEN 5 ELSE 2 END)*13) % 40)/10.0 AS wld
+        |  FROM w CROSS JOIN rp),
+        |dmg AS (SELECT s, i, t,
+        |    CASE WHEN depth < 0.2 THEN 0
+        |         WHEN depth > 1.5 THEN len * (CASE WHEN surface = 'paved' THEN 20000 ELSE 55000 END)
+        |         WHEN depth > 0.5 THEN len * (CASE WHEN surface = 'paved' THEN 4000 ELSE 27000 END)
+        |         ELSE len * (CASE WHEN surface = 'paved' THEN 2000 ELSE 15000 END) END AS road_dmg,
+        |    CASE WHEN has_bridge THEN greatest(0, (depth - wld*0.7) / condrate *
+        |         (CASE WHEN btype = 'bridge' THEN blen*44000 ELSE 10000 END)) ELSE 0 END AS bridge_dmg
+        |  FROM d),
+        |tz AS (SELECT s,
+        |    sum((1.0/prev_t - 1.0/t) * (prev_rd + road_dmg)) / 2 AS road_ead,
+        |    sum((1.0/prev_t - 1.0/t) * (prev_bd + bridge_dmg)) / 2 AS bridge_ead
+        |  FROM (SELECT *,
+        |      lag(t) OVER (PARTITION BY s ORDER BY i) AS prev_t,
+        |      lag(road_dmg) OVER (PARTITION BY s ORDER BY i) AS prev_rd,
+        |      lag(bridge_dmg) OVER (PARTITION BY s ORDER BY i) AS prev_bd
+        |    FROM dmg)
+        |  GROUP BY s)
+        |SELECT s AS way_id, CAST(floor(bridge_ead + road_ead) AS BIGINT) AS value
+        |FROM tz""".stripMargin,
     "qe1_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
