@@ -1,0 +1,22 @@
+package graft
+
+/** Plan inspector: prints `explain("formatted")` for selected queries so
+  * pushdown (`PushedFilters`/`ReadSchema`), join strategies, and
+  * whole-stage-codegen spans can be audited per change.
+  *
+  * Usage: `sbt "runMain graft.Explain q1_agg q3_join_agg"` (no args = a
+  * representative default set).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(4, "explain")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q1_agg", "q2_filter_project", "q3_join_agg", "q5_anti_join", "qsp2_nearest", "qd2_minhash_dedup")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}

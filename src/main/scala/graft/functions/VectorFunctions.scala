@@ -3,25 +3,27 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>`/`array<double>` embedding columns,
-  * written as higher-order column expressions (`zip_with`/`aggregate`) so
-  * the arithmetic stays inside Catalyst codegen — no UDF serialization on
-  * the 100 TB scan path.
+/** Dense-vector math over `array<float>`/`array<double>` embedding
+  * columns. The hot kernels (dot, cosine) are custom codegen Catalyst
+  * expressions ([[graft.functions.expressions.DotProduct]] /
+  * [[graft.functions.expressions.CosineSimilarity]]) — Spark's array
+  * higher-order functions are CodegenFallback (interpreted), which is the
+  * wrong tool on a 100 TB ANN scan. The rarely-hot pieces stay declarative.
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ — null if either side is null. */
+  /** Σ aᵢ·bᵢ — fused codegen loop; null if either side is null. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.VectorExpressions.dotProduct(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine similarity in [-1, 1]; 0 when either vector is all-zero —
+    * single fused pass (dot + both norms in one loop).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.cosineSimilarity(a, b)
 
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column =

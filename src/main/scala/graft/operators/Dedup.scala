@@ -224,16 +224,12 @@ object Dedup {
       dim: Int,
       threshold: Double = 0.95,
       bits: Int = 16): DataFrame = {
-    val vecD = transform(col(vecCol), v => v.cast("double"))
-    val sigs = embs.withColumn("__sig", VectorFunctions.hyperplaneSignature(vecD, dim, bits))
+    val sigs = embs.withColumn("__sig", VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits))
     val a = sigs.select(col(idCol).as("a_id"), col(vecCol).as("a_v"), col("__sig"))
     val b = sigs.select(col(idCol).as("b_id"), col(vecCol).as("b_v"), col("__sig"))
     val dups = a.join(b, Seq("__sig"))
       .filter(col("a_id") > col("b_id"))
-      .filter(
-        VectorFunctions.cosine(
-          transform(col("a_v"), v => v.cast("double")),
-          transform(col("b_v"), v => v.cast("double"))) >= threshold)
+      .filter(VectorFunctions.cosine(col("a_v"), col("b_v")) >= threshold)
       .select(col("a_id").as(idCol)).distinct()
     embs.join(dups, Seq(idCol), "left_anti")
   }

@@ -28,7 +28,7 @@ object Similarity {
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String, query: Array[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     embs
-      .withColumn("sim", round(VectorFunctions.cosine(asDouble(col(vecCol)), q), 6))
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
@@ -42,7 +42,7 @@ object Similarity {
     */
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", VectorFunctions.cosine(asDouble(col(vecCol)), asDouble(col(qVecCol))))
+      .withColumn("sim", VectorFunctions.cosine(col(vecCol), col(qVecCol)))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("sim"), col(idCol))
     joined
       .withColumn("rank", row_number().over(w))
@@ -66,12 +66,12 @@ object Similarity {
       nProbe: Int = 1): DataFrame = {
     val dim = query.length
     val q = array(query.map(lit): _*)
-    val cells = embs.withColumn("__cell", VectorFunctions.hyperplaneSignature(asDouble(col(vecCol)), dim, bits))
+    val cells = embs.withColumn("__cell", VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits))
     // query cell computed the same deterministic way, driver-side constants
     val qCell = VectorFunctions.hyperplaneSignature(q, dim, bits)
     cells
       .filter(bit_count(col("__cell").bitwiseXOR(qCell)) <= nProbe)
-      .withColumn("sim", round(VectorFunctions.cosine(asDouble(col(vecCol)), q), 6))
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
       .select(col(idCol), col("sim"))
       .orderBy(desc("sim"), col(idCol))
       .limit(k)

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression conversions
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) so graft's custom
+  * Catalyst expressions can surface as user-facing `Column`s. Spark 4
+  * made `new Column(expr)` internal; this is the supported-shape access
+  * point, isolated to one file.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
