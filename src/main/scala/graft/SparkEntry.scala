@@ -410,6 +410,25 @@ object SparkEntry {
         col("aadt_score"))
   }
 
+  /** A2 — grouped geometry dissolve via the custom typed Aggregator
+    * (rows-only oracle; geometry union isn't SQL-expressible).
+    */
+  private def qa2Dissolve(spark: SparkSession, dir: String): DataFrame = {
+    val areas = syntheticAreas(spark, dir).select(
+      (col("area_id") % 5).as("group_id"),
+      array(
+        array(
+          array(col("rx1"), col("ry1")),
+          array(col("rx2"), col("ry1")),
+          array(col("rx2"), col("ry2")),
+          array(col("rx1"), col("ry2")),
+          array(col("rx1"), col("ry1")))).as("rings"))
+    areas
+      .groupBy(col("group_id"))
+      .agg(functions.GeomAggregates.geomUnion(col("rings")).as("dissolved"))
+      .select(col("group_id"), size(col("dissolved")).as("n_rings"))
+  }
+
   // --------------------------------------------------- spatial (J8/J9/A4)
   /** Synthetic geometry derived deterministically from table keys so the
     * spatial operators get REAL DuckDB oracles: axis-aligned rectangles
@@ -533,6 +552,7 @@ object SparkEntry {
     "qe1_sessionize" -> (qe1Sessionize _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
+    "qa2_dissolve" -> (qa2Dissolve _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),

@@ -81,19 +81,26 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "es", "una", "por", "con", "para", "como", "del"),
     "pt" -> Seq("o", "os", "um", "uma", "não", "mais", "como", "mas", "foi", "ele"))
 
-  def langId(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val scored = langMarkers.map { case (langCode, markers) =>
-      struct(
-        size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
-        lit(langMarkers.indexWhere(_._1 == langCode)).as("ord"),
-        lit(langCode).as("lang"))
+  def langId(text: Column): Column = langIdUdf(text)
+
+  /** Compiled one-pass scorer (a token-set lookup per token per language
+    * beats 5 interpreted HOF filter passes — see Dedup's scaladoc on HOF
+    * CodegenFallback): argmax of marker hits, ties to the earlier
+    * language, zero hits → "und".
+    */
+  private lazy val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val markerSets: Seq[(String, Set[String])] = langMarkers.map { case (l, m) => (l, m.toSet) }
+    udf { (text: String) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      var bestLang = "und"
+      var bestHits = 0
+      markerSets.foreach { case (lang, markers) =>
+        var hits = 0
+        toks.foreach(t => if (markers.contains(t)) hits += 1)
+        if (hits > bestHits) { bestHits = hits; bestLang = lang }
+      }
+      bestLang
     }
-    // argmax by hits, ties to the earlier language (negate ord inside the
-    // struct-max so array_max's lexicographic compare prefers lower ord)
-    val best = array_max(array(scored.map(s =>
-      struct(s.getField("hits").as("hits"), (-s.getField("ord")).as("nord"), s.getField("lang").as("lang"))): _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
   /** Rolling-hash document fingerprint: xxhash64 of the lowercased,

@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1 — ESRI Shapefile scan (reference ingests .shp via ogr2ogr,
+  * `scripts/base-network.sh:98-99`; here a native reader so the engine has
+  * no GDAL process dependency).
+  *
+  * Implements the public shapefile spec (ESRI whitepaper): 100-byte header
+  * (file code 9994 big-endian, shape type little-endian at offset 32),
+  * records of [BE record header][LE content]. Shape types: 1 Point,
+  * 3 PolyLine, 5 Polygon (incl. multi-part). Attributes come from the
+  * sibling dBase III `.dbf` (field descriptors + fixed-width records).
+  *
+  * Spark shape: `binaryFile` source lands each file whole in an executor
+  * task; parsing is per-file `flatMap` — a directory of shapefiles
+  * parallelizes per file, and attribute/geometry zip happens in-task (no
+  * shuffle). Reprojection (the `-t_srs EPSG:4326` step) is a downstream
+  * scalar expression on coords, not a reader concern.
+  */
+object Shapefile {
+
+  case class ShpFeature(
+      record_no: Int,
+      geom_type: String,
+      parts: Seq[Seq[Seq[Double]]], // part → point → [x, y]
+      attrs: Map[String, String])
+
+  /** Parse .shp geometry records. */
+  def parseShp(bytes: Array[Byte]): Seq[(Int, String, Seq[Seq[Seq[Double]]])] = {
+    val buf = ByteBuffer.wrap(bytes)
+    buf.order(ByteOrder.BIG_ENDIAN)
+    require(buf.getInt(0) == 9994, "not a shapefile (bad file code)")
+    val fileLenBytes = buf.getInt(24) * 2
+    var off = 100
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Seq[Seq[Seq[Double]]])]()
+    while (off + 8 <= fileLenBytes) {
+      val recNo = buf.getInt(off)
+      val contentLen = buf.getInt(off + 4) * 2
+      val c = ByteBuffer.wrap(bytes, off + 8, contentLen).order(ByteOrder.LITTLE_ENDIAN)
+      val shapeType = c.getInt
+      shapeType match {
+        case 0 => // null shape
+        case 1 =>
+          out += ((recNo, "Point", Seq(Seq(Seq(c.getDouble, c.getDouble)))))
+        case 3 | 5 =>
+          c.position(c.position() + 32) // skip bbox
+          val numParts = c.getInt
+          val numPoints = c.getInt
+          val partIdx = Array.fill(numParts)(c.getInt)
+          val pts = Array.fill(numPoints)(Seq(c.getDouble, c.getDouble))
+          val bounds = partIdx :+ numPoints
+          val parts = (0 until numParts).map(p => pts.slice(bounds(p), bounds(p + 1)).toSeq)
+          out += ((recNo, if (shapeType == 3) "PolyLine" else "Polygon", parts))
+        case t => throw new IllegalArgumentException(s"unsupported shape type $t")
+      }
+      off += 8 + contentLen
+    }
+    out.toSeq
+  }
+
+  /** Parse dBase III .dbf attribute records (returns one Map per record,
+    * in record order — aligned 1:1 with .shp record order per the spec).
+    */
+  def parseDbf(bytes: Array[Byte]): Seq[Map[String, String]] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val numRecords = buf.getInt(4)
+    val headerSize = buf.getShort(8) & 0xffff
+    val recordSize = buf.getShort(10) & 0xffff
+    // field descriptors: 32 bytes each, from offset 32 until 0x0D terminator
+    val fields = scala.collection.mutable.ArrayBuffer[(String, Char, Int)]()
+    var off = 32
+    while (off < headerSize - 1 && bytes(off) != 0x0d) {
+      val name = new String(bytes, off, 11, "ASCII").takeWhile(_ != 0).trim
+      val ftype = bytes(off + 11).toChar
+      val flen = bytes(off + 16) & 0xff
+      fields += ((name, ftype, flen))
+      off += 32
+    }
+    (0 until numRecords).map { r =>
+      val base = headerSize + r * recordSize
+      var pos = base + 1 // skip deletion flag
+      fields.map { case (name, _, flen) =>
+        val raw = new String(bytes, pos, flen, "ASCII").trim
+        pos += flen
+        name -> raw
+      }.toMap
+    }
+  }
+
+  /** Read a shapefile (+ optional sibling .dbf) into a DataFrame. `path`
+    * may be a glob/directory understood by the binaryFile source; .dbf
+    * files are matched to .shp by basename.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+    files.rdd
+      .groupBy { case (p, _) => p.replaceAll("\\.(shp|dbf)$", "") }
+      .flatMap { case (_, fs) =>
+        val byExt = fs.map { case (p, b) => (p.split('.').last.toLowerCase, b) }.toMap
+        val geoms = byExt.get("shp").map(parseShp).getOrElse(Seq.empty)
+        val attrs = byExt.get("dbf").map(parseDbf).getOrElse(Seq.empty)
+        geoms.zipWithIndex.map { case ((recNo, gt, parts), i) =>
+          ShpFeature(recNo, gt, parts, if (i < attrs.size) attrs(i) else Map.empty)
+        }
+      }
+      .toDF()
+  }
+}

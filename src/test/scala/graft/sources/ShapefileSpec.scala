@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip: write a minimal spec-conformant .shp/.dbf pair, read it
+  * back through the distributed reader.
+  */
+class ShapefileSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, "shp-spec")
+
+  private def writeShp(path: java.nio.file.Path): Unit = {
+    // one PolyLine (2 points) + one Point record
+    val line = {
+      val c = ByteBuffer.allocate(4 + 32 + 8 + 4 + 32).order(ByteOrder.LITTLE_ENDIAN)
+      c.putInt(3) // PolyLine
+      c.putDouble(0).putDouble(0).putDouble(1).putDouble(1) // box
+      c.putInt(1).putInt(2) // 1 part, 2 points
+      c.putInt(0) // part offset
+      c.putDouble(10.5).putDouble(-2.5).putDouble(11.5).putDouble(-3.5)
+      c.array()
+    }
+    val point = {
+      val c = ByteBuffer.allocate(4 + 16).order(ByteOrder.LITTLE_ENDIAN)
+      c.putInt(1).putDouble(32.25).putDouble(-25.75)
+      c.array()
+    }
+    val total = 100 + (8 + line.length) + (8 + point.length)
+    val b = ByteBuffer.allocate(total)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994)
+    b.putInt(24, total / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000)
+    b.putInt(32, 3)
+    b.position(100)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(1).putInt(line.length / 2).put(line)
+    b.putInt(2).putInt(point.length / 2).put(point)
+    java.nio.file.Files.write(path, b.array())
+  }
+
+  private def writeDbf(path: java.nio.file.Path): Unit = {
+    val fields = Seq(("NAME", 'C', 8), ("RUC", 'N', 6))
+    val headerSize = 32 + fields.size * 32 + 1
+    val recordSize = 1 + fields.map(_._3).sum
+    val records = Seq(Seq("R850", "  1.25"), Seq("N1", "  0.80"))
+    val b = ByteBuffer.allocate(headerSize + records.size * recordSize + 1).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0, 0x03.toByte)
+    b.putInt(4, records.size)
+    b.putShort(8, headerSize.toShort)
+    b.putShort(10, recordSize.toShort)
+    var off = 32
+    fields.foreach { case (name, t, len) =>
+      val nb = name.getBytes("ASCII")
+      var i = 0
+      while (i < nb.length) { b.put(off + i, nb(i)); i += 1 }
+      b.put(off + 11, t.toByte)
+      b.put(off + 16, len.toByte)
+      off += 32
+    }
+    b.put(off, 0x0d.toByte)
+    var pos = headerSize
+    records.foreach { r =>
+      b.put(pos, ' '.toByte)
+      var p = pos + 1
+      r.zip(fields).foreach { case (v, (_, _, len)) =>
+        val padded = v.padTo(len, ' ').getBytes("ASCII")
+        var i = 0
+        while (i < len) { b.put(p + i, padded(i)); i += 1 }
+        p += len
+      }
+      pos += recordSize
+    }
+    java.nio.file.Files.write(path, b.array())
+  }
+
+  test("S1: shapefile + dbf round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("shp")
+    writeShp(dir.resolve("roads.shp"))
+    writeDbf(dir.resolve("roads.dbf"))
+    val df = Shapefile.read(spark, dir.toString + "/*")
+    val rows = df.orderBy("record_no").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("geom_type") == "PolyLine")
+    val parts = r0.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("parts")
+    assert(parts.size == 1 && parts.head.size == 2)
+    assert(parts.head.head.toSeq == Seq(10.5, -2.5))
+    assert(r0.getAs[Map[String, String]]("attrs") == Map("NAME" -> "R850", "RUC" -> "1.25"))
+    val r1 = rows(1)
+    assert(r1.getAs[String]("geom_type") == "Point")
+    assert(r1.getAs[Map[String, String]]("attrs")("NAME") == "N1")
+  }
+}
