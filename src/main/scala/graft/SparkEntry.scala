@@ -882,6 +882,56 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rn
         |  FROM pairs) WHERE rn = 1""".stripMargin,
+    "qt2_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN t IN ('the','and','of','to','is','in','that','you','with','for') THEN 1 ELSE 0 END) AS en,
+        |    sum(CASE WHEN t IN ('der','die','und','das','ist','nicht','ein','mit','sich','auf') THEN 1 ELSE 0 END) AS de,
+        |    sum(CASE WHEN t IN ('le','la','les','et','est','une','dans','que','pour','pas') THEN 1 ELSE 0 END) AS fr,
+        |    sum(CASE WHEN t IN ('el','los','las','es','una','por','con','para','como','del') THEN 1 ELSE 0 END) AS es,
+        |    sum(CASE WHEN t IN ('o','os','um','uma','não','mais','como','mas','foi','ele') THEN 1 ELSE 0 END) AS pt
+        |  FROM tok GROUP BY doc_id),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN en > 0 AND en >= de AND en >= fr AND en >= es AND en >= pt THEN 'en'
+        |      WHEN de > 0 AND de > en AND de >= fr AND de >= es AND de >= pt THEN 'de'
+        |      WHEN fr > 0 AND fr > en AND fr > de AND fr >= es AND fr >= pt THEN 'fr'
+        |      WHEN es > 0 AND es > en AND es > de AND es > fr AND es >= pt THEN 'es'
+        |      WHEN pt > 0 AND pt > en AND pt > de AND pt > fr AND pt > es THEN 'pt'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM hits)
+        |SELECT pred_lang, count(*) AS n FROM pred GROUP BY pred_lang""".stripMargin,
+    "qt3_quality" ->
+      """WITH sw AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN t IN ('the','of','and','a','to','in','is','that','it','for',
+        |                             'on','with','as','was','at','by','an','be','this','are')
+        |             THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS swr_raw
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |        FROM documents)
+        |  GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    length(text) AS len,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE sw.swr_raw END AS swr
+        |  FROM documents d JOIN sw ON d.doc_id = sw.doc_id)
+        |SELECT doc_id,
+        |  round(least(CAST(ntok AS DOUBLE) / 50.0, 1.0) * 30.0 + alpha * 30.0 +
+        |        least(swr * 4.0, 1.0) * 25.0 +
+        |        (1.0 - least(punct * 4.0, 1.0)) * 15.0, 2) AS quality
+        |FROM base""".stripMargin,
     "qd1_exact_dedup" ->
       """SELECT d.doc_id, d.n_chars FROM documents d
         |JOIN (SELECT min(doc_id) AS doc_id FROM documents

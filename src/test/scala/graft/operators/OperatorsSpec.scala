@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.GraftSession
+import graft.graph.ScenarioWeights
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Micro-coverage for the SURVEY §2 scalar/relational operators that have
+  * no dedicated oracle query: exercised through the public API with
+  * reference-documented expectations.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, "operators-spec")
+
+  test("F3/F4/F5/S6: bridge prep (prep-bridge.js semantics)") {
+    import spark.implicits._
+    val bridges = Seq(
+      ("B1", "N000201XYZ", "CULV", "1,250", "32.5", "-25.9"),
+      ("B2", "R085077777", "BRID", "0", "33.0", "-24.0")
+    ).toDF("Str_ID", "Link_ID", "Des_Type", "Over_Length", "GPS_E", "GPS_S")
+    val out = BridgePrep.prepare(bridges).orderBy("bridge_id").collect()
+    assert(out(0).getAs[String]("road_id") == "N2") // N000201 head N0002 → N2
+    assert(out(0).getAs[String]("type") == "culvert")
+    assert(out(0).getAs[Double]("length") == 1250.0)
+    assert(out(1).getAs[String]("road_id") == "R850") // R0850 → R850
+    assert(out(1).getAs[String]("type") == "bridge")
+    assert(out(1).getAs[Double]("length") == 7.0) // unknown 0 → 7 m default
+  }
+
+  test("G4: scenario weight overrides (speed 0 removes, last wins)") {
+    import spark.implicits._
+    val edges = Seq(("w1", 0, 1, 2.0), ("w2", 1, 2, 3.0), ("w3", 2, 3, 4.0))
+      .toDF("way_id", "src", "dst", "weight")
+    val overrides = Seq(("w1", 2.0), ("w2", 0.0), ("w1", 4.0)).toDF("way_id", "speed")
+    val out = ScenarioWeights
+      .applyOverrides(edges, overrides)
+      .collect()
+      .map(r => r.getAs[String]("way_id") -> r.getAs[Double]("weight"))
+      .toMap
+    assert(out("w1") == 0.5) // 2.0 / 4.0 (last override wins)
+    assert(out("w2").isPosInfinity) // removed
+    assert(out("w3") == 4.0) // untouched
+  }
+
+  test("W1: nearest-rank percentile threshold (filter-percentile.js)") {
+    import spark.implicits._
+    // 11 values 0..100: p80 rank = round(0.8*10) = 8 → threshold 80
+    val df = (0 to 100 by 10).map(_.toDouble).toDF("v")
+    val kept = Relational.percentileFilter(df, "v", 80.0).collect().map(_.getDouble(0)).sorted
+    assert(kept.toSeq == Seq(80.0, 90.0, 100.0))
+  }
+
+  test("kthSmallest is exact across range partitions") {
+    import spark.implicits._
+    val df = spark.sparkContext.parallelize(Seq.tabulate(1000)(i => (i * 7919) % 1000), 8).toDF("v")
+    assert(Relational.kthSmallest(df, "v", 0) == 0.0)
+    assert(Relational.kthSmallest(df, "v", 500) == 500.0)
+    assert(Relational.kthSmallest(df, "v", 999) == 999.0)
+  }
+
+  test("A1: scale-score NaN-filtered max (utils.js addScaledScore)") {
+    import spark.implicits._
+    val df = Seq(20.0, 50.0, Double.NaN).toDF("value")
+    val out = Relational.scaleScore2(df, "value").collect()
+    val scores = out.map(r => r.getDouble(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(scores(20.0) == 40.0)
+    assert(scores(50.0) == 100.0)
+  }
+
+  test("F24+J10: unpivot + reverse-pair merge (process-traffic.js)") {
+    import spark.implicits._
+    val wide = Seq((1, 10.0, 20.0), (2, 30.0, 40.0)).toDF("origin", "1", "2")
+    val long = Relational.unpivotMatrix(wide, "origin", Seq("1", "2"), "destination", "count")
+      .withColumn("destination", col("destination").cast("int"))
+    assert(long.count() == 4)
+    val merged = Relational.mergeReversePairs(long, "origin", "destination", "count").collect()
+    assert(merged.length == 1) // only (1,2) kept (origin < destination)
+    assert(merged.head.getAs[Double]("count") == 20.0)
+    assert(merged.head.getAs[Double]("reverse_count") == 30.0)
+  }
+
+  test("J2: indicator merge + unmatched report (merge-indicators.js)") {
+    import spark.implicits._
+    val rn = Seq("a", "b", "c").toDF("NAME")
+    val ind = Seq(("a", 10.0), ("x", 99.0)).toDF("way_id", "score")
+    val merged = Relational.mergeIndicators(rn, "NAME", Seq("pov" -> ind)).collect()
+    val byName = merged.map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(byName("a") == 10.0)
+    assert(byName("b") == null) // missing → null fill
+    val unmatched = Relational.unmatchedIndicators(rn, "NAME", ind, "way_id").collect()
+    assert(unmatched.map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  test("dedup operators drop planted near-duplicates but keep originals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today") // near dup
+    ).toDF("doc_id", "text")
+    val exact = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 3L, 4L))
+    val near = Dedup.minHashDedup(docs, "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(near.contains(3L) && near.contains(1L) && !near.contains(2L))
+    val jac = Dedup.ngramJaccardDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(jac == Set(1L, 3L)) // 4 is a near-dup of 1 at 0.5 threshold
+  }
+
+  test("similarity: IVF probe is a subset of brute-force ranking space") {
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10).collect()
+    assert(brute.length == 10)
+    // descending similarity, tie-broken by id
+    val sims = brute.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10, bits = 6, nProbe = 2).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    val knn = Similarity.knnJoin(
+      embs, embs.limit(3).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      "vec_id", "embedding", "q_id", "q_vec", 5).collect()
+    assert(knn.length == 15) // 3 queries × 5
+  }
+}
