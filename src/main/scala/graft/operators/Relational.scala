@@ -56,32 +56,38 @@ object Relational {
     * O(n/P) memory per task — survives 1000 executors reading 100 TB.
     */
   def kthSmallest(df: DataFrame, valueCol: String, k: Long, numRanges: Int = 32): Double = {
-    import org.apache.spark.sql.Row
     val vals = df
       .select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
       .repartitionByRange(numRanges, col("v"))
-    val counts: Array[(Int, Long)] = vals.rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
-      .collect()
-      .sortBy(_._1)
-    var remaining = k
-    var target = -1
-    for ((idx, c) <- counts if target < 0) {
-      if (remaining < c) target = idx else remaining -= c
-    }
-    require(target >= 0, s"rank $k out of bounds (n=${counts.map(_._2).sum})")
-    val offset = remaining
-    val tgt = target
-    vals.rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        if (i == tgt) {
-          val arr = it.map(_.getDouble(0)).toArray
-          java.util.Arrays.sort(arr)
-          Iterator(arr(offset.toInt))
-        } else Iterator.empty
+      .rdd
+      .map(_.getDouble(0))
+    // two jobs hit the ranged RDD (count pass + select pass): cache it so
+    // the range shuffle runs once
+    vals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts: Array[(Int, Long)] = vals
+        .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+        .collect()
+        .sortBy(_._1)
+      var remaining = k
+      var target = -1
+      for ((idx, c) <- counts if target < 0) {
+        if (remaining < c) target = idx else remaining -= c
       }
-      .first()
+      require(target >= 0, s"rank $k out of bounds (n=${counts.map(_._2).sum})")
+      val offset = remaining
+      val tgt = target
+      vals
+        .mapPartitionsWithIndex { case (i, it) =>
+          if (i == tgt) {
+            val arr = it.toArray
+            java.util.Arrays.sort(arr)
+            Iterator(arr(offset.toInt))
+          } else Iterator.empty
+        }
+        .first()
+    } finally vals.unpersist(blocking = false)
   }
 
   /** W1 filter form: keep rows whose `valueCol >= percentile threshold`. */

@@ -26,6 +26,35 @@ object Spatial {
   def bboxJoin(ways: DataFrame, areas: DataFrame, waysBbox: Column, areasBbox: Column): DataFrame =
     ways.join(broadcast(areas), GeoFunctions.bboxOverlap(waysBbox, areasBbox))
 
+  /** J9 scale path — grid-cell bucketed spatial join for when the area
+    * side outgrows broadcast: both sides explode to the grid cells their
+    * bbox covers, equi-join on cell id (a plain shuffle hash join — no
+    * cross product anywhere), refine with the exact bbox test.
+    *
+    * Pair dedup (a pair shares many cells) uses the reference-cell trick:
+    * a pair is emitted ONLY from the cell containing the top-left corner
+    * of the bbox intersection — exactly one cell qualifies, so no
+    * `distinct()` shuffle is needed. Skew: pick `cellSize` near the median
+    * bbox diagonal; pathological hot cells fall to AQE skew-join handling.
+    */
+  def bboxJoinGrid(left: DataFrame, right: DataFrame, leftBbox: Column, rightBbox: Column, cellSize: Double): DataFrame = {
+    def cells(b: Column): Column = {
+      val x0 = floor(b.getItem(0) / cellSize).cast("long")
+      val x1 = floor(b.getItem(2) / cellSize).cast("long")
+      val y0 = floor(b.getItem(1) / cellSize).cast("long")
+      val y1 = floor(b.getItem(3) / cellSize).cast("long")
+      flatten(transform(sequence(x0, x1), cx => transform(sequence(y0, y1), cy => struct(cx.as("cx"), cy.as("cy")))))
+    }
+    val l = left.withColumn("__lbox", leftBbox).withColumn("__cell", explode(cells(col("__lbox"))))
+    val r = right.withColumn("__rbox", rightBbox).withColumn("__cell", explode(cells(col("__rbox"))))
+    val ownerX = floor(greatest(col("__lbox").getItem(0), col("__rbox").getItem(0)) / cellSize).cast("long")
+    val ownerY = floor(greatest(col("__lbox").getItem(1), col("__rbox").getItem(1)) / cellSize).cast("long")
+    l.join(r, Seq("__cell"))
+      .filter(GeoFunctions.bboxOverlap(col("__lbox"), col("__rbox")))
+      .filter(col("__cell.cx") === ownerX && col("__cell.cy") === ownerY)
+      .drop("__cell", "__lbox", "__rbox")
+  }
+
   /** J8 — nearest-neighbour (argmin) join, window form: for each left row
     * the single closest right row by `distCol`, deterministic tie-break on
     * `tieCol`. The window sorts every candidate row — prefer

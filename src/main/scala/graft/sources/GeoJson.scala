@@ -1,5 +1,6 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,27 +8,54 @@ import org.apache.spark.sql.functions._
   * collections into memory, `indicator-from-areas.js:55-57`; writes with a
   * single serialize, `filter-percentile.js:73`).
   *
-  * Scan: `multiLine` JSON → one row per FeatureCollection → `explode` the
-  * features array → one row per feature with `geom_type`, `coordinates`
-  * (kept as raw JSON string — ring nesting varies by geometry type) and the
-  * dynamic `properties` struct (schema inferred, SURVEY §1.3).
+  * Scan: files land whole per task (`wholetext`), Jackson (already on
+  * Spark's classpath) parses executor-side — schema inference can't be
+  * trusted across mixed geometry types (Point `[x,y]` vs LineString
+  * `[[x,y],…]` unify to junk), so coordinates stay a raw JSON string until
+  * `lineCoords`/`polygonRings` decode them to typed arrays, and the
+  * dynamic `properties` bag lands as `map<string,string>` (SURVEY §1.3's
+  * escape hatch; values keep their JSON form).
   *
-  * Sink: single-file FeatureCollection (tiles/API consumers need one file,
-  * so the final egress is a deliberate single-partition write — the ONLY
-  * place a collect-like pattern is legitimate; everything upstream stays
-  * distributed).
+  * Sink: single-file FeatureCollection (tiles/API consumers need one
+  * file) — a deliberate single-partition final egress; everything upstream
+  * stays distributed.
   */
 object GeoJson {
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("multiLine", "true").json(path)
-    raw
-      .select(explode(col("features")).as("f"))
-      .select(
-        col("f.geometry.type").as("geom_type"),
-        to_json(col("f.geometry.coordinates")).as("coordinates_json"),
-        col("f.properties.*"))
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      .text(path)
+      .as[String]
+      .flatMap { content =>
+        val mapper = new ObjectMapper()
+        val root = mapper.readTree(content)
+        val feats = root.get("features")
+        (0 until feats.size()).map { i =>
+          val f = feats.get(i)
+          val geom = f.get("geometry")
+          val props = f.get("properties")
+          val propMap: Map[String, String] =
+            if (props == null || props.isNull) Map.empty
+            else {
+              val it = props.fields()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) {
+                val e = it.next()
+                val v: JsonNode = e.getValue
+                b += e.getKey -> (if (v.isTextual) v.asText() else v.toString)
+              }
+              b.result()
+            }
+          (geom.get("type").asText(), geom.get("coordinates").toString, propMap)
+        }
+      }
+      .toDF("geom_type", "coordinates_json", "properties")
   }
+
+  private val lineType = org.apache.spark.sql.types.DataTypes.createArrayType(
+    org.apache.spark.sql.types.DataTypes.createArrayType(org.apache.spark.sql.types.DataTypes.DoubleType))
 
   /** Line/point coordinates as array<array<double>> for the geo kernel
     * (Point is wrapped to a 1-element line).
@@ -38,10 +66,13 @@ object GeoJson {
       when(
         col("geom_type") === "Point",
         array(from_json(col("coordinates_json"), org.apache.spark.sql.types.DataTypes.createArrayType(org.apache.spark.sql.types.DataTypes.DoubleType))))
-        .otherwise(from_json(
-          col("coordinates_json"),
-          org.apache.spark.sql.types.DataTypes.createArrayType(
-            org.apache.spark.sql.types.DataTypes.createArrayType(org.apache.spark.sql.types.DataTypes.DoubleType)))))
+        .otherwise(from_json(col("coordinates_json"), lineType)))
+
+  /** Polygon rings as array<array<array<double>>>. */
+  def polygonRings(df: DataFrame): DataFrame =
+    df.withColumn(
+      "rings",
+      from_json(col("coordinates_json"), org.apache.spark.sql.types.DataTypes.createArrayType(lineType)))
 
   /** Write a DataFrame as one GeoJSON FeatureCollection file. `geomJson`
     * must hold the feature's geometry as a JSON string; all other columns

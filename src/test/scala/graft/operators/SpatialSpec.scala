@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.GraftSession
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "spatial-spec")
+
+  private def randBoxes(n: Int, seed: Int, prefix: String) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val x = rnd.nextDouble() * 100
+      val y = rnd.nextDouble() * 100
+      val w = rnd.nextDouble() * 5
+      val h = rnd.nextDouble() * 5
+      (s"$prefix$i", Seq(x, y, x + w, y + h))
+    }.toDF(s"${prefix}id", s"${prefix}box")
+  }
+
+  test("grid-bucketed bbox join matches broadcast bbox join exactly") {
+    val l = randBoxes(200, 1, "l")
+    val r = randBoxes(100, 2, "r")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val broadcasted = pairs(Spatial.bboxJoin(l, r, col("lbox"), col("rbox")))
+    val grid = pairs(Spatial.bboxJoinGrid(l, r, col("lbox"), col("rbox"), cellSize = 7.0))
+    assert(grid == broadcasted)
+    assert(broadcasted.nonEmpty)
+    // no duplicate pairs from multi-cell overlap
+    val gridRows = Spatial.bboxJoinGrid(l, r, col("lbox"), col("rbox"), 7.0).count()
+    assert(gridRows == grid.size)
+  }
+
+  test("weighted overlay matches a hand-computed clip fraction") {
+    import spark.implicits._
+    // horizontal way [0,10] at y=1; area = rect x[2,6] y[0,2] value 10
+    val ways = Seq(("w1", Seq(Seq(0.0, 1.0), Seq(10.0, 1.0)))).toDF("way_id", "coords")
+    val areas = Seq(
+      ("a1",
+        Seq(Seq(Seq(2.0, 0.0), Seq(6.0, 0.0), Seq(6.0, 2.0), Seq(2.0, 2.0), Seq(2.0, 0.0))),
+        10.0)).toDF("area_id", "rings", "value")
+    val out = Spatial.indicatorFromAreas(ways, areas).collect()
+    assert(out.length == 1)
+    // clip covers 4/10 of the way (haversine ratio ≈ planar at same lat)
+    assert(math.abs(out.head.getAs[Double]("value") - 4.0) < 1e-4)
+    assert(out.head.getAs[Double]("score") == 100.0)
+  }
+
+  test("GeoJSON source round-trip (S2/S3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("geojson")
+    val fc =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0,0],[1,1]]},
+        | "properties":{"NAME":"R1","RUC":1.5}},
+        |{"type":"Feature","geometry":{"type":"Point","coordinates":[5,6]},
+        | "properties":{"NAME":"P1","RUC":0.5}}]}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("net.geojson"), fc)
+    val df = graft.sources.GeoJson.read(spark, dir.resolve("net.geojson").toString)
+    assert(df.count() == 2)
+    val line = graft.sources.GeoJson
+      .lineCoords(df)
+      .filter(col("properties")("NAME") === "R1")
+      .collect()
+      .head
+    val coords = line.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("coords")
+    assert(coords.map(_.toSeq).toSeq == Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    // sink: write back and re-read
+    val outDir = dir.resolve("out").toString
+    graft.sources.GeoJson.write(
+      df.select(to_json(struct(lit("x").as("t"))).as("geom"), col("properties")("NAME").as("NAME")), "geom", outDir)
+    val again = spark.read.option("multiLine", "true").json(outDir)
+    assert(again.select(explode(col("features"))).count() == 2)
+  }
+
+  test("SQL surface: registered functions work from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.registerTables(spark, "/root/testdata/sf0.001")
+    val r = spark
+      .sql("""SELECT round(haversine_km(0.0, 0.0, 1.0, 0.0), 2) AS d,
+              |  cosine_similarity(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+              |                    array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS c,
+              |  graft_lang_id('the quick brown fox is here with the others') AS l""".stripMargin)
+      .collect()
+      .head
+    assert(math.abs(r.getDouble(0) - 111.19) < 0.02)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getString(2) == "en")
+    assert(spark.sql("SELECT count(*) FROM lineitem").collect().head.getLong(0) > 0)
+  }
+}
