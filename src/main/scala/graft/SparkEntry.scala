@@ -292,6 +292,32 @@ object SparkEntry {
     t(spark, dir, "documents")
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
 
+  /** PII redaction over synthesized contact strings (emails/phones/IPs
+    * planted deterministically so the scrub is observable).
+    */
+  private def qt4Redact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      lit(" contact: user"),
+      col("doc_id").cast("string"),
+      lit("@example.com call +12345678901 ip 192.168.1.1"))
+    t(spark, dir, "documents")
+      .withColumn("red", TextFunctions.redactPii(planted))
+      .select(
+        col("doc_id"),
+        length(col("red")).as("len"),
+        (regexp_count(col("red"), lit("<EMAIL>")) +
+          regexp_count(col("red"), lit("<PHONE>")) +
+          regexp_count(col("red"), lit("<IP>"))).as("n_redacted"))
+  }
+
+  /** Repetition-ratio quality signal (Gopher-style). */
+  private def qt5Repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        round(TextFunctions.repetitionRatioUdf(col("text")), 4).as("rep_ratio"))
+
   /** Brute-force cosine top-k ANN baseline (rows-only oracle; ties broken
     * by id, sims rounded so ordering is stable).
     */
@@ -548,6 +574,8 @@ object SparkEntry {
     "qt1_token_count" -> (qt1TokenCount _),
     "qt2_langid" -> (qt2LangId _),
     "qt3_quality" -> (qt3Quality _),
+    "qt4_redact" -> (qt4Redact _),
+    "qt5_repetition" -> (qt5Repetition _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
     "qe1_sessionize" -> (qe1Sessionize _),
     "qv1_ead" -> (qv1Ead _),
@@ -932,6 +960,29 @@ object SparkEntry {
         |        least(swr * 4.0, 1.0) * 25.0 +
         |        (1.0 - least(punct * 4.0, 1.0)) * 15.0, 2) AS quality
         |FROM base""".stripMargin,
+    "qt4_redact" ->
+      """WITH red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    concat(text, ' contact: user', CAST(doc_id AS VARCHAR),
+        |           '@example.com call +12345678901 ip 192.168.1.1'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS red
+        |  FROM documents)
+        |SELECT doc_id, length(red) AS len,
+        |  CAST(length(regexp_extract_all(red, '<EMAIL>')) +
+        |       length(regexp_extract_all(red, '<PHONE>')) +
+        |       length(regexp_extract_all(red, '<IP>')) AS INTEGER) AS n_redacted
+        |FROM red""".stripMargin,
+    "qt5_repetition" ->
+      """SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_ratio
+        |FROM (
+        |  SELECT doc_id, t, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |    FROM documents)
+        |  GROUP BY doc_id, t)
+        |GROUP BY doc_id""".stripMargin,
     "qd1_exact_dedup" ->
       """SELECT d.doc_id, d.n_chars FROM documents d
         |JOIN (SELECT min(doc_id) AS doc_id FROM documents

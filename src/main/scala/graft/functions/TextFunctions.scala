@@ -103,6 +103,31 @@ object TextFunctions {
     }
   }
 
+  /** PII scrub for corpus cleaning: emails, E.164-ish phone numbers, and
+    * IPv4 addresses replaced by typed placeholder tokens. Pure codegen'd
+    * `regexp_replace` chain — no UDF on the full-corpus scan.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email, "\\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>")
+    regexp_replace(phone, "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+  }
+
+  /** Repetition ratio (Gopher-style quality signal): fraction of
+    * whitespace tokens belonging to the single most frequent token.
+    * High values flag boilerplate/spam. Compiled one-pass kernel.
+    */
+  val repetitionRatioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      if (toks.isEmpty || (toks.length == 1 && toks(0).isEmpty)) 0.0
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+        counts.values.max.toDouble / toks.length
+      }
+    }
+
   /** Rolling-hash document fingerprint: xxhash64 of the lowercased,
     * whitespace-normalized text. Collision-safe enough for corpus-scale
     * exact dedup keys (64-bit over ~1e10 docs ⇒ ~1% birthday collision;
