@@ -277,8 +277,9 @@ object SparkEntry {
     t(spark, dir, "documents")
       .select(
         col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).as("len"))
+        // cast to long: DuckDB's length/len return BIGINT, Spark's INT
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len"))
 
   /** Language-ID distribution (rows-only oracle; heuristic argmax). */
   private def qt2LangId(spark: SparkSession, dir: String): DataFrame =
@@ -305,10 +306,10 @@ object SparkEntry {
       .withColumn("red", TextFunctions.redactPii(planted))
       .select(
         col("doc_id"),
-        length(col("red")).as("len"),
+        length(col("red")).cast("long").as("len"),
         (regexp_count(col("red"), lit("<EMAIL>")) +
           regexp_count(col("red"), lit("<PHONE>")) +
-          regexp_count(col("red"), lit("<IP>"))).as("n_redacted"))
+          regexp_count(col("red"), lit("<IP>"))).cast("long").as("n_redacted"))
   }
 
   /** Repetition-ratio quality signal (Gopher-style). */
@@ -972,7 +973,7 @@ object SparkEntry {
         |SELECT doc_id, length(red) AS len,
         |  CAST(length(regexp_extract_all(red, '<EMAIL>')) +
         |       length(regexp_extract_all(red, '<PHONE>')) +
-        |       length(regexp_extract_all(red, '<IP>')) AS INTEGER) AS n_redacted
+        |       length(regexp_extract_all(red, '<IP>')) AS BIGINT) AS n_redacted
         |FROM red""".stripMargin,
     "qt5_repetition" ->
       """SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_ratio

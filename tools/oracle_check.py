@@ -49,6 +49,12 @@ def main() -> None:
                       f"{list(expect.columns)}")
                 n_fail += 1
                 continue
+            dt_e = [str(t) for t in expect.dtypes]
+            dt_g = [str(t) for t in got.dtypes]
+            if dt_e != dt_g:
+                print(f"FAIL {name}: dtypes {dt_g} != {dt_e}")
+                n_fail += 1
+                continue
             if len(expect) != len(got):
                 print(f"FAIL {name}: rows {len(got)} != {len(expect)}")
                 n_fail += 1
