@@ -168,6 +168,19 @@ object Relational {
     df.selectExpr(idCol, s"stack(${valueCols.size}, $stackExpr) as (`$keyName`, `$valueName`)")
   }
 
+  /** Skew-salted join: when a handful of hot keys dominate a shuffle join
+    * (the 100 TB failure mode AQE's skew handling doesn't always catch,
+    * e.g. a null-like sentinel key), salt the skewed LEFT side into
+    * `saltFactor` subkeys and explode the RIGHT side across all salts.
+    * Right-side replication is `saltFactor`× — use for small-to-medium
+    * right sides; for big-big skew prefer AQE's skew-join split.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = right.withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** J10 — merge reverse pairs: rows keyed (o, d); keep o < d, attach the
     * (d, o) value as `reverse_<valueName>`. One shuffle on the pair key.
     */

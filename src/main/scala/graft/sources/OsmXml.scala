@@ -55,6 +55,28 @@ object OsmXml {
     (nodes.toSeq, ways.toSeq)
   }
 
+  /** S10 — OSM-XML sink for external-tool interop (reference produced OSM
+    * only to feed OSRM, `libs/ogr2osm/ogr2osm.py:645-761`; in-engine the
+    * graph stays as DataFrames, so this is an optional egress). Collects to
+    * the driver deliberately — the road network is driver-small (SURVEY
+    * §2.8) and OSM-XML is a single-document format.
+    */
+  def write(nodes: Seq[OsmNode], ways: Seq[OsmWay], path: String): Unit = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\"?>\n<osm version=\"0.6\" upload=\"false\" generator=\"graft\">\n"
+    nodes.foreach(n => sb ++= s"""<node id="${n.node_id}" lat="${n.lat}" lon="${n.lon}" visible="true"/>\n""")
+    ways.foreach { w =>
+      sb ++= s"""<way id="${w.way_id}" visible="true">"""
+      w.nodes.foreach(r => sb ++= s"""<nd ref="$r"/>""")
+      w.tags.toSeq.sortBy(_._1).foreach { case (k, v) => sb ++= s"""<tag k="${esc(k)}" v="${esc(v)}"/>""" }
+      sb ++= "</way>\n"
+    }
+    sb ++= "</osm>\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.result())
+  }
+
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val files = spark.read.option("wholetext", "true").text(path).as[String]

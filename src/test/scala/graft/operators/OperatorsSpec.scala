@@ -108,6 +108,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jac == Set(1L, 3L)) // 4 is a near-dup of 1 at 0.5 threshold
   }
 
+  test("salted join equals plain join (skew mitigation is transparent)") {
+    import spark.implicits._
+    // heavy skew: 90% of left rows share one key
+    val left = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i)).toDF("k", "v")
+    val right = Seq(("hot", 1.0), ("k950", 2.0), ("miss", 3.0)).toDF("k", "w")
+    val plain = left.join(right, Seq("k")).agg(sum($"v" * $"w")).collect().head.getDouble(0)
+    val salted = Relational.saltedJoin(left, right, "k", saltFactor = 8)
+      .agg(sum($"v" * $"w")).collect().head.getDouble(0)
+    assert(salted == plain)
+  }
+
+  test("S10: OSM-XML write → read round-trip") {
+    import graft.sources.OsmXml
+    val dir = java.nio.file.Files.createTempDirectory("osmw")
+    val nodes = Seq(OsmXml.OsmNode(1, 0.5, -0.5), OsmXml.OsmNode(2, 1.5, -1.5))
+    val ways = Seq(OsmXml.OsmWay(10, Seq(1L, 2L), Map("NAME" -> "seg<a>", "RUC" -> "1.2")))
+    OsmXml.write(nodes, ways, dir.resolve("g.osm").toString)
+    val (n2, w2) = OsmXml.read(spark, dir.toString)
+    assert(n2.count() == 2)
+    val w = w2.collect().head
+    assert(w.getAs[Map[String, String]]("tags")("NAME") == "seg<a>") // escaping survives
+  }
+
+  test("J3: per-key result-file join (merge-eaul shape)") {
+    import spark.implicits._
+    // one JSON file per way, read as one DataFrame, left-join onto RN
+    val dir = java.nio.file.Files.createTempDirectory("eaulres")
+    java.nio.file.Files.writeString(dir.resolve("result--w1.json"), """{"name":"w1","eaul_baseline":10.5}""")
+    java.nio.file.Files.writeString(dir.resolve("result--w2.json"), """{"name":"w2","eaul_baseline":20.5}""")
+    val results = spark.read.json(dir.toString + "/*.json")
+    val rn = Seq("w1", "w2", "w3").toDF("NAME")
+    val merged = rn.join(results, rn("NAME") === results("name"), "left")
+      .select(rn("NAME"), col("eaul_baseline")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(merged("w1") == 10.5 && merged("w2") == 20.5 && merged("w3") == null)
+  }
+
   test("similarity: IVF probe is a subset of brute-force ranking space") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Array.tabulate(64)(i => math.sin(i + 1.0))
