@@ -524,12 +524,13 @@ object SparkEntry {
   }
 
   // ------------------------------------------------- routing (G6/G7/G8-10)
-  /** G6 — distributed many-to-many route matrix on the demo grid network
-    * (rows-only oracle: routing isn't SQL-expressible).
+  /** G6 — many-to-many route matrix via the custom Catalyst operator
+    * (RouteMatrixRelation → RouteMatrixExec; rows-only oracle: routing
+    * isn't SQL-expressible).
     */
   private def qg1RouteMatrix(spark: SparkSession, dir: String): DataFrame = {
     val (g, od) = graph.DemoNetwork.grid(8)
-    graph.Routing.routeMatrix(spark, spark.sparkContext.broadcast(g), od)
+    plans.RouteMatrixPlan.routeMatrix(spark, g, od)
   }
 
   /** G7 — leave-one-out criticality scores over all grid ways. */

@@ -76,6 +76,29 @@ class SparkGraphSpec extends AnyFunSuite {
     up23.foreach(r => assert(r.getAs[Double]("eaul") > baseline))
   }
 
+  test("custom Catalyst operator: RouteMatrixExec plans, composes, and matches the kernel") {
+    val g = GoldenNetwork.graph
+    val df = graft.plans.RouteMatrixPlan.routeMatrix(spark, g, GoldenNetwork.odNodes)
+    // the custom physical operator is what actually plans
+    // nodeName strips the Exec suffix in plan strings
+    assert(df.queryExecution.executedPlan.toString.contains("RouteMatrix"))
+    assert(df.queryExecution.executedPlan.exists(_.isInstanceOf[graft.plans.RouteMatrixExec]))
+    val rows = df.collect()
+    val local = Routing.routeMatrixLocal(g, GoldenNetwork.odNodes)
+    assert(rows.length == local.length)
+    local.foreach { p =>
+      val r = rows.find(r => r.getInt(0) == p.oIdx && r.getInt(1) == p.dIdx).get
+      assert(r.getBoolean(2) == p.routable)
+      if (p.routable) assert(math.abs(r.getDouble(3) - p.ruc.get) < 1e-12)
+    }
+    // Catalyst composes on top: filter + aggregate over the custom leaf
+    val unroutable = graft.plans.RouteMatrixPlan
+      .routeMatrix(spark, g, GoldenNetwork.odNodes, removedWay = 0) // drop segment 1
+      .filter(!col("routable"))
+      .count()
+    assert(unroutable == 2) // A-B and A-C severed
+  }
+
   test("S9: OSM XML parse round-trip on a synthetic snippet") {
     val xml =
       """<?xml version="1.0"?>
