@@ -523,6 +523,28 @@ object SparkEntry {
       .withColumnRenamed("dist", "dist_km")
   }
 
+  /** A11/S11 equivalent — zonal statistics: raster-as-cell-table (x, y,
+    * value synthesized from part keys, offset 0.5 so cells never sit on
+    * rectangle boundaries) under the synthetic rectangle zones.
+    */
+  private def qz1Zonal(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "part").select(
+      ((col("p_partkey") % 17) + 0.5).as("x"),
+      ((col("p_partkey") % 11) + 0.5).as("y"),
+      col("p_retailprice").as("value"))
+    val total = cells.count()
+    val polys = syntheticAreas(spark, dir).select(
+      col("area_id").as("zone_id"),
+      array(
+        array(
+          array(col("rx1"), col("ry1")),
+          array(col("rx2"), col("ry1")),
+          array(col("rx2"), col("ry2")),
+          array(col("rx1"), col("ry2")),
+          array(col("rx1"), col("ry1")))).as("rings"))
+    operators.Spatial.zonalStats(cells, polys, total)
+  }
+
   // ------------------------------------------------- routing (G6/G7/G8-10)
   /** G6 — many-to-many route matrix via the custom Catalyst operator
     * (RouteMatrixRelation → RouteMatrixExec; rows-only oracle: routing
@@ -583,6 +605,7 @@ object SparkEntry {
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
     "qa2_dissolve" -> (qa2Dissolve _),
+    "qz1_zonal" -> (qz1Zonal _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -863,6 +886,25 @@ object SparkEntry {
         |       ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents""".stripMargin,
+    "qz1_zonal" ->
+      """WITH cells AS (
+        |  SELECT (p_partkey % 17) + 0.5 AS x, (p_partkey % 11) + 0.5 AS y,
+        |    p_retailprice AS value
+        |  FROM part),
+        |zones AS (
+        |  SELECT n_nationkey AS zone_id,
+        |    CAST(n_nationkey % 10 AS DOUBLE) AS rx1,
+        |    CAST((n_nationkey % 10) + 2 + (n_nationkey % 3) AS DOUBLE) AS rx2,
+        |    (n_nationkey % 11) - 0.2 AS ry1,
+        |    (n_nationkey % 11) + 1.2 + (n_nationkey % 2) AS ry2
+        |  FROM nation)
+        |SELECT zone_id, count(*) AS n_cells,
+        |  round(avg(value), 4) AS mean_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(count(*) * 100.0 / (SELECT count(*) FROM part), 4) AS percent
+        |FROM cells JOIN zones
+        |  ON x > rx1 AND x < rx2 AND y > ry1 AND y < ry2
+        |GROUP BY zone_id""".stripMargin,
     "qsp1_overlay" ->
       """WITH ways AS (
         |  SELECT s_suppkey AS way_id,

@@ -166,6 +166,45 @@ object RoadGraph {
     new CsrGraph(numNodes, indptr, nbr, cost, wayOf, ways, nodeLon, nodeLat)
   }
 
+  /** The reference's actual ingestion path (G2→G1): OSM-style nodes/ways
+    * DataFrames (as produced by `sources.OsmXml.read`) → CSR graph. Way
+    * tags follow the fixture contract: NAME, RUC, length (meters),
+    * SURF_TYPE, ROAD_CLASS — normalized per `utils.js:140-162` (class
+    * n/a → secondary, surface ∉ {paved,unpaved} → unpaved). Edge cost =
+    * RUC · haversine(consecutive nodes).
+    */
+  def fromOsm(spark: SparkSession, nodesDf: DataFrame, waysDf: DataFrame): CsrGraph = {
+    val nodeRows = nodesDf.collect()
+    val nodeIdx = nodeRows.map(_.getAs[Long]("node_id")).zipWithIndex.toMap
+    val lon = nodeRows.map(_.getAs[Double]("lon"))
+    val lat = nodeRows.map(_.getAs[Double]("lat"))
+    val wayRows = waysDf.collect()
+    val ways = wayRows.zipWithIndex.map { case (r, i) =>
+      val tags = r.getAs[Map[String, String]]("tags")
+      val surface = tags.get("SURF_TYPE").map(_.toLowerCase).filter(Set("paved", "unpaved")).getOrElse("unpaved")
+      val cls = tags.get("ROAD_CLASS").map(_.toLowerCase).filter(_ != "n/a").getOrElse("secondary")
+      Way(
+        i,
+        r.getAs[Long]("way_id"),
+        tags.getOrElse("NAME", r.getAs[Long]("way_id").toString),
+        tags.get("RUC").map(_.toDouble).getOrElse(1.0),
+        tags.get("length").map(_.toDouble).getOrElse(0.0),
+        surface,
+        cls)
+    }
+    val edges = wayRows.zipWithIndex.flatMap { case (r, i) =>
+      val refs = r.getAs[scala.collection.Seq[Long]]("nodes")
+      refs.sliding(2).collect {
+        case scala.collection.Seq(a, b) if a != b =>
+          val ia = nodeIdx(a)
+          val ib = nodeIdx(b)
+          val len = graft.functions.GeoFunctions.haversineKm(lon(ia), lat(ia), lon(ib), lat(ib))
+          (ia, ib, i, ways(i).ruc * len)
+      }.toSeq
+    }.toSeq
+    compile(nodeRows.length, edges, ways, lon, lat)
+  }
+
   /** End-to-end: features DataFrame → CSR graph (collects only the road
     * network itself — small by construction; see class doc).
     */

@@ -214,6 +214,55 @@ object Dedup {
     docs.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Connected-components clustering over a candidate-pair edge list
+    * (large-small label propagation, the scalable dedup-cluster closer:
+    * each doc converges to the min id reachable through candidate edges).
+    * Iterative joins with an early-exit fixpoint check — iteration count
+    * is O(log(diameter)) because labels hop across the current best, not
+    * just direct neighbors.
+    *
+    * Use after any LSH candidate generator when cluster-level dedup
+    * (keep ONE doc per transitive near-dup cluster) is wanted instead of
+    * the pairwise policy.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("plabel"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .limit(1)
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Embedding-cosine near-dup: hyperplane-LSH candidates verified by
     * exact cosine ≥ threshold; higher id of each verified pair dropped.
     */

@@ -87,6 +87,26 @@ object Spatial {
       .select(col(leftKey) +: payload.map(p => col(s"__nn.$p")) :+ col("__nn.__dist").as("dist"): _*)
   }
 
+  /** A11 equivalent — zonal statistics over a cell table (reference
+    * `scripts/imgstats/img-stats.py:98-104` computes count/mean/min/max of
+    * raster cells under each polygon + `percent = count/total·100`; the
+    * raster decode itself is upstream, its cell table is the input here):
+    * point-in-polygon join (bbox-prefiltered) → groupBy polygon.
+    */
+  def zonalStats(cells: DataFrame, polys: DataFrame, totalCells: Long): DataFrame = {
+    val cellsB = cells.withColumn("__pbox", array(col("x"), col("y"), col("x"), col("y")))
+    val polysB = polys.withColumn("__abox", GeoFunctions.bboxUdf(flatten(col("rings"))))
+    bboxJoin(cellsB, polysB, col("__pbox"), col("__abox"))
+      .filter(GeoFunctions.pointInPolygonUdf(col("x"), col("y"), col("rings")))
+      .groupBy(col("zone_id"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        round(avg(col("value")), 4).as("mean_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("percent", round(col("n_cells") * 100.0 / totalCells, 4))
+  }
+
   /** A4 + J9 + F11/F12 — weighted overlay (reference
     * `indicator-from-areas.js:68-134`, the §3.2 representative query):
     * for each (way, area) candidate pair from the bbox join, split the way

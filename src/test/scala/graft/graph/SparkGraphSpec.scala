@@ -99,6 +99,28 @@ class SparkGraphSpec extends AnyFunSuite {
     assert(unroutable == 2) // A-B and A-C severed
   }
 
+  test("G2→G1: OSM-shaped ingestion routes the golden network at 3.75") {
+    val dir = java.nio.file.Files.createTempDirectory("osm-golden")
+    val nodes = GoldenNetwork.nodeCoords.zipWithIndex.map { case ((lon, lat), i) =>
+      OsmXml.OsmNode(100 + i, lon, lat)
+    }
+    val ways = GoldenNetwork.wayDefs.zipWithIndex.map { case ((name, (s, d), lenM, ruc), i) =>
+      OsmXml.OsmWay(
+        200 + i,
+        Seq(100L + s, 100L + d),
+        Map("NAME" -> name, "RUC" -> ruc.toString, "length" -> lenM.toString,
+          "SURF_TYPE" -> "Unpaved", "ROAD_CLASS" -> "Tertiary"))
+    }
+    OsmXml.write(nodes, ways, dir.resolve("golden.osm").toString)
+    val (nDf, wDf) = OsmXml.read(spark, dir.toString)
+    val g = RoadGraph.fromOsm(spark, nDf, wDf)
+    val od = Array(g.snap(0.0, 0.0), g.snap(0.026949474, 0.0), g.snap(0.017966316, 0.004491579))
+    val ab = Routing.routeMatrixLocal(g, od).find(p => p.oIdx == 0 && p.dIdx == 1).get
+    assert(math.abs(ab.ruc.get - 3.75) < 0.01)
+    // tag normalization followed utils.js defaults
+    assert(g.ways.forall(w => w.surface == "unpaved" && w.roadClass == "tertiary"))
+  }
+
   test("S9: OSM XML parse round-trip on a synthetic snippet") {
     val xml =
       """<?xml version="1.0"?>

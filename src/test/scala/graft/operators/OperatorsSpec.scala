@@ -145,6 +145,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged("w1") == 10.5 && merged("w2") == 20.5 && merged("w3") == null)
   }
 
+  test("connected components: chains collapse to one cluster label") {
+    import spark.implicits._
+    // two chains: 1-2-3-4 (via pairwise links) and 10-11; singleton 99 absent
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
   test("similarity: IVF probe is a subset of brute-force ranking space") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Array.tabulate(64)(i => math.sin(i + 1.0))
