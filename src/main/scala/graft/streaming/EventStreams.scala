@@ -63,6 +63,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming dedup: exactly-once event ids within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state expires with the watermark,
+    * so unbounded streams don't accumulate unbounded dedup state).
+    */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Run the windowed aggregation as a real streaming query over a parquet
     * directory (memory sink) — used by the streaming spec; returns the
     * final in-memory table.

@@ -55,6 +55,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val raw = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("events-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("a.parquet"))
+    // duplicate the whole file: every event id appears twice in the stream
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
+    val withTs = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams
+      .dedupStream(withTs, "event_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_events").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_events").count()
+    assert(got == events.count()) // each id exactly once despite 2× input
+  }
+
   test("multimodal: decode stub features are deterministic and shaped") {
     import spark.implicits._
     val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
