@@ -319,6 +319,36 @@ object SparkEntry {
         col("doc_id"),
         round(TextFunctions.repetitionRatioUdf(col("text")), 4).as("rep_ratio"))
 
+  /** BPE-ish subword count (rows-only: lookaround regex isn't RE2). */
+  private def qt6Subword(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
+
+  /** Cluster-closure dedup: MinHash-LSH candidate pairs → connected
+    * components → keep the min doc per transitive cluster (rows-only).
+    */
+  private def qd6ClusterDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sigs = docs.select(
+      col("doc_id"),
+      Dedup.minHashSignatureUdf(3, 16)(col("text")).as("__sig"))
+    val b = sigs
+      .withColumn("__band", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("__bandhash", xxhash64(slice(col("__sig"), col("__band") * 4 + 1, lit(4)), col("__band")))
+      .select(col("doc_id"), col("__bandhash"))
+    val pairs = b.select(col("doc_id").as("a"), col("__bandhash"))
+      .join(b.select(col("doc_id").as("b"), col("__bandhash")), Seq("__bandhash"))
+      .filter(col("a") > col("b"))
+      .select("a", "b")
+      .distinct()
+    val labels = Dedup.connectedComponents(pairs, "a", "b")
+    val survivors = docs
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select("doc_id")
+    survivors
+  }
+
   /** Brute-force cosine top-k ANN baseline (rows-only oracle; ties broken
     * by id, sims rounded so ordering is stable).
     */
@@ -571,6 +601,15 @@ object SparkEntry {
       graph.DemoNetwork.yearlyTraffic(od.length), Set.empty)
   }
 
+  /** Vector aggregation — per-label mean embedding (posexplode → grouped
+    * avg per dimension), the centroid builder IVF/k-means rests on.
+    */
+  private def qs2LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "elem")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("elem")), 6).as("centroid_val"))
+
   // ------------------------------------------------------------ registry
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -600,7 +639,10 @@ object SparkEntry {
     "qt3_quality" -> (qt3Quality _),
     "qt4_redact" -> (qt4Redact _),
     "qt5_repetition" -> (qt5Repetition _),
+    "qt6_subword" -> (qt6Subword _),
+    "qd6_cluster_dedup" -> (qd6ClusterDedup _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
+    "qs2_label_centroids" -> (qs2LabelCentroids _),
     "qe1_sessionize" -> (qe1Sessionize _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
@@ -849,6 +891,11 @@ object SparkEntry {
         |  GROUP BY s)
         |SELECT s AS way_id, CAST(floor(bridge_ead + road_ead) AS BIGINT) AS value
         |FROM tz""".stripMargin,
+    "qs2_label_centroids" ->
+      """SELECT label, CAST(t.i - 1 AS INTEGER) AS pos,
+        |  round(avg(embedding[t.i]), 6) AS centroid_val
+        |FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |GROUP BY label, pos""".stripMargin,
     "qe1_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events

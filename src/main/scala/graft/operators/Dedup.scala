@@ -119,9 +119,13 @@ object Dedup {
     * no UDF needed on this path).
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = docs.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-    val keep = fp.groupBy("__fp").agg(min(col(idCol)).as(idCol))
-    fp.join(keep, Seq("__fp", idCol)).drop("__fp")
+    // min_by over the whole row: ONE shuffle with map-side partial combine
+    // (vs groupBy-min + join-back = two shuffles + a rescan)
+    val cols = docs.columns
+    docs
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
   /** Band the signature: one row per (id, band) with the band's hash. */
