@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.GeoFunctions
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the numeric semantics SURVEY §7.4 flags as
+  * oracle-deciding: nearest-rank percentile, trapezoid integration,
+  * scale-score normalization, and the geo kernel invariants.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, "property-spec")
+
+  /** Deterministic draws from a ScalaCheck generator (no scalatest bridge
+    * in the offline cache — raw Gen + fixed seeds).
+    */
+  private def forAll[A](g: Gen[A], n: Int = 30)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 30)(body: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(
+        ga.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        gb.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    }
+
+  private val values = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+
+  test("percentile threshold equals the reference nearest-rank definition") {
+    import spark.implicits._
+    forAll2(values, Gen.chooseNum(0.0, 100.0), n = 10) { (vs: List[Double], p: Double) =>
+      if (vs.nonEmpty) {
+        // reference (filter-percentile.js:60-73): sort asc, take value at
+        // round(p/100 * (n-1))
+        val sorted = vs.sorted
+        val expected = sorted(math.round(p / 100.0 * (vs.size - 1)).toInt)
+        val kth = Relational.kthSmallest(
+          vs.toDF("v"), "v", math.round(p / 100.0 * (vs.size - 1)), numRanges = 4)
+        assert(kth == expected)
+      }
+    }
+  }
+
+  test("trapezoid column matches a direct scala implementation") {
+    import spark.implicits._
+    val series = Gen.listOfN(6, Gen.chooseNum(-100.0, 100.0))
+    forAll2(series, series, n = 15) { (xsRaw: List[Double], ys: List[Double]) =>
+      val xs = xsRaw.sorted
+      val expected = 0.5 * xs.zip(ys).sliding(2).collect {
+        case Seq((x1, y1), (x2, y2)) => (x2 - x1) * (y1 + y2)
+      }.sum
+      val got = Seq((xs, ys)).toDF("xs", "ys")
+        .select(Relational.trapezoid(col("xs"), col("ys")).as("t"))
+        .collect().head.getDouble(0)
+      assert(math.abs(got - expected) < 1e-6 * math.max(1.0, math.abs(expected)))
+    }
+  }
+
+  test("scale-score: max maps to 100, order is preserved") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0.001, 1e6)), n = 10) { vs: List[Double] =>
+      if (vs.nonEmpty && vs.max > 0) {
+        val out = Relational.scaleScore2(vs.toDF("value"), "value")
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+        assert(out.exists(_._2 == 100.0))
+        assert(out.forall { case (_, s) => s >= 0 && s <= 100.0 })
+        val byValue = out.sortBy(_._1).map(_._2)
+        assert(byValue.zip(byValue.tail).forall { case (a, b) => a <= b })
+      }
+    }
+  }
+
+  test("haversine: symmetric, non-negative, zero iff same point") {
+    val coord = for {
+      lon <- Gen.chooseNum(-180.0, 180.0)
+      lat <- Gen.chooseNum(-89.0, 89.0)
+    } yield (lon, lat)
+    forAll2(coord, coord, n = 50) { (a: (Double, Double), b: (Double, Double)) =>
+      val d1 = GeoFunctions.haversineKm(a._1, a._2, b._1, b._2)
+      val d2 = GeoFunctions.haversineKm(b._1, b._2, a._1, a._2)
+      assert(math.abs(d1 - d2) < 1e-9)
+      assert(d1 >= 0)
+      assert(GeoFunctions.haversineKm(a._1, a._2, a._1, a._2) == 0.0)
+    }
+  }
+
+  test("bbox contains every input point; bboxOverlap is reflexive") {
+    val pts = Gen.nonEmptyListOf(for {
+      x <- Gen.chooseNum(-180.0, 180.0)
+      y <- Gen.chooseNum(-90.0, 90.0)
+    } yield Seq(x, y))
+    forAll(pts, n = 50) { coords: List[Seq[Double]] =>
+      val b = GeoFunctions.bbox(coords)
+      assert(coords.forall(c => c(0) >= b(0) && c(0) <= b(2) && c(1) >= b(1) && c(1) <= b(3)))
+    }
+  }
+
+  test("lineSplit pieces reassemble the original line's length") {
+    // random rectangle + random horizontal line crossing it
+    val gen = for {
+      x0 <- Gen.chooseNum(-50.0, 0.0)
+      x1 <- Gen.chooseNum(1.0, 50.0)
+      y <- Gen.chooseNum(-10.0, 10.0)
+      rx0 <- Gen.chooseNum(-40.0, -1.0)
+      rx1 <- Gen.chooseNum(0.5, 40.0)
+      ry0 <- Gen.chooseNum(-20.0, -11.0)
+      ry1 <- Gen.chooseNum(11.0, 20.0)
+    } yield (Seq(Seq(x0, y), Seq(x1, y)), Seq(Seq(Seq(rx0, ry0), Seq(rx1, ry0), Seq(rx1, ry1), Seq(rx0, ry1), Seq(rx0, ry0))))
+    forAll(gen, n = 50) { case (line, rings) =>
+      val pieces = GeoFunctions.lineSplit(line, rings)
+      // exact chaining: pieces start at the line start, end at its end,
+      // and consecutive pieces share endpoints (no gaps, no overlaps).
+      // (Σ haversine lengths is NOT compared: great-circle distance isn't
+      // additive along a parallel, so that's not a true property.)
+      assert(pieces.head.head == line.head)
+      assert(pieces.last.last == line.last)
+      pieces.sliding(2).foreach {
+        case Seq(a, b) => assert(a.last == b.head)
+        case _ =>
+      }
+      // x-extents partition the planar span
+      val spans = pieces.map(p => (p.head(0), p.last(0)))
+      assert(spans.forall { case (a, b) => a <= b })
+    }
+  }
+}
