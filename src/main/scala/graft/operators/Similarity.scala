@@ -50,6 +50,91 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
   }
 
+  /** Distributed Lloyd's k-means over an embedding column: centroids stay
+    * a driver-side k×dim array (tiny) broadcast into a compiled assignment
+    * UDF; the update step is a distributed posexplode + per-(cluster, dim)
+    * average. Deterministic: init = the k lowest-id vectors.
+    *
+    * Returns (centroids, assignments(id, cluster)).
+    */
+  def kmeans(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5): (Array[Array[Double]], DataFrame) = {
+    val spark = embs.sparkSession
+    var centroids: Array[Array[Double]] = embs
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def assignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0
+        var i = 0
+        val cent = cents(c)
+        val n = math.min(cent.length, v.length)
+        while (i < n) { val diff = v(i) - cent(i); d += diff * diff; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var assigned: DataFrame = null
+    (0 until iters).foreach { _ =>
+      assigned = embs.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
+      val updated = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "elem")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("elem")).as("m"))
+        .collect()
+      val dim = centroids.head.length
+      val next = centroids.map(_.clone())
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    (centroids, assigned.select(col(idCol), col("cluster")))
+  }
+
+  /** IVF search with real k-means centroids: probe the `nProbe` cells whose
+    * centroids are closest to the query, brute-force only inside them. The
+    * pre-assigned corpus can be written partitioned by `cluster` so probes
+    * become partition pruning at scan time.
+    */
+  def ivfKmeansTopK(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int,
+      nClusters: Int = 8,
+      nProbe: Int = 2,
+      iters: Int = 5): DataFrame = {
+    val (centroids, assigned) = kmeans(embs, idCol, vecCol, nClusters, iters)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2)
+      .take(nProbe)
+      .map(_._1)
+    val subset = embs.join(
+      assigned.filter(col("cluster").isin(probes.map(Integer.valueOf): _*)),
+      Seq(idCol),
+      "left_semi")
+    bruteForceTopK(subset, idCol, vecCol, query, k)
+  }
+
   /** IVF/LSH-bucketed approximate top-k for one literal query: corpus rows
     * hash to a `bits`-bit hyperplane cell; only rows whose cell is within
     * hamming `nProbe` of the query's cell are scored. The cell projection

@@ -145,6 +145,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged("w1") == 10.5 && merged("w2") == 20.5 && merged("w3") == null)
   }
 
+  test("k-means IVF: partitions the corpus, probe search recalls brute-force hits") {
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (centroids, assigned) = Similarity.kmeans(embs, "vec_id", "embedding", k = 8, iters = 4)
+    assert(centroids.length == 8 && centroids.head.length == 64)
+    val counts = assigned.groupBy("cluster").count().collect()
+    assert(counts.map(_.getLong(1)).sum == embs.count())
+    val q = Array.tabulate(64)(i => math.cos(i * 0.7))
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q, 10, nClusters = 8, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(ivf.size == 10)
+    assert(recall >= 0.3, s"ivf recall $recall too low")
+  }
+
   test("connected components: chains collapse to one cluster label") {
     import spark.implicits._
     // two chains: 1-2-3-4 (via pairwise links) and 10-11; singleton 99 absent
