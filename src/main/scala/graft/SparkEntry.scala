@@ -241,6 +241,37 @@ object SparkEntry {
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** TPC-H Q3 shape — shipping priority: 3-way join with date filters
+    * both pushed to scans, group + top-10 by revenue.
+    */
+  private def q18ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5 shape — local supplier volume: 6-way join where supplier
+    * and customer share a nation, grouped revenue per nation.
+    */
+  private def q19LocalVolume(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("AMERICA", "ASIA"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+
   // ----------------------------------------- training-data pipeline ops
   /** Exact dedup on normalized text fingerprint. */
   private def qd1ExactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -629,6 +660,8 @@ object SparkEntry {
     "q15_regex" -> (q15Regex _),
     "q16_haversine" -> (q16Haversine _),
     "q17_time_window" -> (q17TimeWindow _),
+    "q18_shipping_priority" -> (q18ShippingPriority _),
+    "q19_local_volume" -> (q19LocalVolume _),
     "qd1_exact_dedup" -> (qd1ExactDedup _),
     "qd2_minhash_dedup" -> (qd2MinHashDedup _),
     "qd3_simhash_dedup" -> (qd3SimHashDedup _),
@@ -891,6 +924,30 @@ object SparkEntry {
         |  GROUP BY s)
         |SELECT s AS way_id, CAST(floor(bridge_ead + road_ead) AS BIGINT) AS value
         |FROM tz""".stripMargin,
+    "q18_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q19_local_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('AMERICA', 'ASIA')
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "qs2_label_centroids" ->
       """SELECT label, CAST(t.i - 1 AS INTEGER) AS pos,
         |  round(avg(embedding[t.i]), 6) AS centroid_val
