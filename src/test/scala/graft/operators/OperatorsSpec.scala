@@ -145,6 +145,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged("w1") == 10.5 && merged("w2") == 20.5 && merged("w3") == null)
   }
 
+  test("sketches: approx_count_distinct within 5% of exact at sf0.01") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect().head
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
   test("k-means IVF: partitions the corpus, probe search recalls brute-force hits") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val (centroids, assigned) = Similarity.kmeans(embs, "vec_id", "embedding", k = 8, iters = 4)
