@@ -12,7 +12,10 @@ object Explain {
     val spark = GraftSession.local(4, "explain")
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "q2_filter_project", "q3_join_agg", "q5_anti_join", "qsp2_nearest", "qd2_minhash_dedup")
+      else Seq(
+        "q1_agg", "q2_filter_project", "q3_join_agg", "q5_anti_join",
+        "q18_shipping_priority", "q19_local_volume", "qsp2_nearest",
+        "qd2_minhash_dedup", "qg1_route_matrix")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")

@@ -249,17 +249,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("plabel"))
+      // new label + changed flag in one pass — convergence check costs one
+      // filter over the cached frame, not an extra join
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
+          (coalesce(col("plabel"), col("label")) < col("label")).as("__changed"))
         .cache()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .limit(1)
-        .count()
+      val changed = next.filter(col("__changed")).limit(1).count()
       labels.unpersist(blocking = false)
-      labels = next
+      labels = next.drop("__changed")
       converged = changed == 0
       iter += 1
     }
