@@ -166,6 +166,29 @@ object RoadGraph {
     new CsrGraph(numNodes, indptr, nbr, cost, wayOf, ways, nodeLon, nodeLat)
   }
 
+  /** Compile a declarative edges DataFrame — e.g. the output of
+    * `ScenarioWeights.applyOverrides` — into the broadcastable CSR kernel
+    * form. Columns: (way_id string, src int, dst int, weight double);
+    * +∞ weights (removed ways) are dropped at compile time so Dijkstra
+    * never visits them.
+    */
+  def fromEdges(edgesDf: DataFrame): CsrGraph = {
+    val rows = edgesDf
+      .filter(col("weight") =!= Double.PositiveInfinity)
+      .select("way_id", "src", "dst", "weight")
+      .collect()
+    val wayIds = rows.map(_.getAs[String]("way_id")).distinct.sorted
+    val wayIdx = wayIds.zipWithIndex.toMap
+    val ways = wayIds.zipWithIndex.map { case (id, i) =>
+      Way(i, i.toLong, id, 1.0, 0.0, "unpaved", "secondary")
+    }
+    val numNodes = rows.flatMap(r => Seq(r.getAs[Int]("src"), r.getAs[Int]("dst"))).max + 1
+    val edges = rows.map { r =>
+      (r.getAs[Int]("src"), r.getAs[Int]("dst"), wayIdx(r.getAs[String]("way_id")), r.getAs[Double]("weight"))
+    }.toSeq
+    compile(numNodes, edges, ways, new Array[Double](numNodes), new Array[Double](numNodes))
+  }
+
   /** The reference's actual ingestion path (G2→G1): OSM-style nodes/ways
     * DataFrames (as produced by `sources.OsmXml.read`) → CSR graph. Way
     * tags follow the fixture contract: NAME, RUC, length (meters),

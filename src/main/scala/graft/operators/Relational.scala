@@ -78,6 +78,9 @@ object Relational {
       require(target >= 0, s"rank $k out of bounds (n=${counts.map(_._2).sum})")
       val offset = remaining
       val tgt = target
+      require(
+        offset <= Int.MaxValue,
+        s"range partition holds > 2^31 values ($offset); raise numRanges")
       vals
         .mapPartitionsWithIndex { case (i, it) =>
           if (i == tgt) {

@@ -27,6 +27,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("length") == 7.0) // unknown 0 → 7 m default
   }
 
+  test("G4→G6: declarative overrides compile into a routable kernel") {
+    import spark.implicits._
+    // line graph 0-1-2-3; remove the middle way via an override
+    val edges = Seq(("w1", 0, 1, 1.0), ("w2", 1, 2, 1.0), ("w3", 2, 3, 1.0))
+      .toDF("way_id", "src", "dst", "weight")
+    val overridden = graft.graph.ScenarioWeights
+      .applyOverrides(edges, Seq(("w2", 0.0)).toDF("way_id", "speed"))
+    val g = graft.graph.RoadGraph.fromEdges(overridden)
+    val dist = g.dijkstra(0)
+    assert(dist(1) == 1.0)
+    assert(dist(3).isPosInfinity) // severed by the override
+  }
+
   test("G4: scenario weight overrides (speed 0 removes, last wins)") {
     import spark.implicits._
     val edges = Seq(("w1", 0, 1, 2.0), ("w2", 1, 2, 3.0), ("w3", 2, 3, 4.0))
