@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.graph.{CsrGraph, Routing}
+import graft.graph.CsrGraph
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.GraftSession
-import graft.functions.GeoFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
