@@ -241,6 +241,30 @@ object SparkEntry {
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** As-of join — for each click, the user's latest purchase at-or-before
+    * it (µs-integer event times; right side pre-deduped per instant).
+    * Cross-validated against DuckDB's native ASOF JOIN.
+    */
+  private def qe2AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("tus", unix_micros(col("ts")))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tus"))
+      .agg(
+        max(col("event_id")).as("pid"),
+        max_by(col("value"), col("event_id")).as("pvalue"))
+    operators.Temporal
+      .asofJoin(clicks, purchases, "user_id", "tus", Seq("pid", "pvalue"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("pid").as("prior_purchase_id"),
+        round(col("pvalue"), 2).as("prior_value"))
+  }
+
   /** TPC-H Q3 shape — shipping priority: 3-way join with date filters
     * both pushed to scans, group + top-10 by revenue.
     */
@@ -677,6 +701,7 @@ object SparkEntry {
     "qs1_cosine_topk" -> (qs1CosineTopK _),
     "qs2_label_centroids" -> (qs2LabelCentroids _),
     "qe1_sessionize" -> (qe1Sessionize _),
+    "qe2_asof" -> (qe2AsofJoin _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
     "qa2_dissolve" -> (qa2Dissolve _),
@@ -889,6 +914,19 @@ object SparkEntry {
         |LEFT JOIN fish f ON s_suppkey = f.way_id
         |LEFT JOIN eads e ON s_suppkey = e.way_id
         |LEFT JOIN aadt a ON s_suppkey = a.way_id""".stripMargin,
+    "qe2_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    max(event_id) AS pid, max_by(value, event_id) AS pvalue
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, p.pid AS prior_purchase_id,
+        |  round(p.pvalue, 2) AS prior_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.tus >= p.tus""".stripMargin,
     "qv1_ead" ->
       """WITH rp(i, t) AS (VALUES (0,5),(1,10),(2,20),(3,50),(4,75),
         |  (5,100),(6,200),(7,250),(8,500),(9,1000)),
