@@ -265,6 +265,21 @@ object SparkEntry {
         round(col("pvalue"), 2).as("prior_value"))
   }
 
+  /** Binned range join — lineitem prices against synthetic price bands
+    * (shuffle equi-join on bins, not a nested-loop over every pair).
+    */
+  private def qr1RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val points = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+    val bands = t(spark, dir, "nation").select(
+      col("n_nationkey").as("band_id"),
+      (col("n_nationkey") * 2000).cast("double").as("lo"),
+      (col("n_nationkey") * 2000 + 1500 + (col("n_nationkey") % 3) * 300).cast("double").as("hi"))
+    Relational
+      .rangeJoin(points, bands, "l_extendedprice", "lo", "hi", binSize = 1000.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("price_sum"))
+  }
+
   /** TPC-H Q3 shape — shipping priority: 3-way join with date filters
     * both pushed to scans, group + top-10 by revenue.
     */
@@ -702,6 +717,7 @@ object SparkEntry {
     "qs2_label_centroids" -> (qs2LabelCentroids _),
     "qe1_sessionize" -> (qe1Sessionize _),
     "qe2_asof" -> (qe2AsofJoin _),
+    "qr1_range_join" -> (qr1RangeJoin _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
     "qa2_dissolve" -> (qa2Dissolve _),
@@ -914,6 +930,13 @@ object SparkEntry {
         |LEFT JOIN fish f ON s_suppkey = f.way_id
         |LEFT JOIN eads e ON s_suppkey = e.way_id
         |LEFT JOIN aadt a ON s_suppkey = a.way_id""".stripMargin,
+    "qr1_range_join" ->
+      """SELECT n_nationkey AS band_id, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS price_sum
+        |FROM lineitem JOIN nation
+        |  ON l_extendedprice >= CAST(n_nationkey * 2000 AS DOUBLE)
+        | AND l_extendedprice <= CAST(n_nationkey * 2000 + 1500 + (n_nationkey % 3) * 300 AS DOUBLE)
+        |GROUP BY n_nationkey""".stripMargin,
     "qe2_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus

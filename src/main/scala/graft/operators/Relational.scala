@@ -171,6 +171,30 @@ object Relational {
     df.selectExpr(idCol, s"stack(${valueCols.size}, $stackExpr) as (`$keyName`, `$valueName`)")
   }
 
+  /** Binned range join (point-in-interval): Spark plans a raw
+    * `v BETWEEN lo AND hi` join as BroadcastNestedLoop/cartesian — at
+    * scale the answer is binning: each point lands in one bin, each
+    * interval explodes over the bins it covers, the join becomes a plain
+    * shuffle equi-join on bin id + residual predicate. No pair dedup
+    * needed (a point meets an interval only in the point's own bin). Pick
+    * `binSize` near the median interval width; skew → AQE.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      valueCol: String,
+      loCol: String,
+      hiCol: String,
+      binSize: Double): DataFrame = {
+    val p = points.withColumn("__bin", floor(col(valueCol) / binSize).cast("long"))
+    val iv = intervals.withColumn(
+      "__bin",
+      explode(sequence(floor(col(loCol) / binSize).cast("long"), floor(col(hiCol) / binSize).cast("long"))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Skew-salted join: when a handful of hot keys dominate a shuffle join
     * (the 100 TB failure mode AQE's skew handling doesn't always catch,
     * e.g. a null-like sentinel key), salt the skewed LEFT side into
