@@ -93,10 +93,12 @@ object Spatial {
     * raster decode itself is upstream, its cell table is the input here):
     * point-in-polygon join (bbox-prefiltered) → groupBy polygon.
     */
-  def zonalStats(cells: DataFrame, polys: DataFrame, totalCells: Long): DataFrame = {
+  def zonalStats(cells: DataFrame, polys: DataFrame, totalCells: Long, gridCell: Double = 2.0): DataFrame = {
     val cellsB = cells.withColumn("__pbox", array(col("x"), col("y"), col("x"), col("y")))
     val polysB = polys.withColumn("__abox", GeoFunctions.bboxUdf(flatten(col("rings"))))
-    bboxJoin(cellsB, polysB, col("__pbox"), col("__abox"))
+    // grid equi-join, not nested-loop: points explode to exactly one grid
+    // cell, zones to the cells they cover
+    bboxJoinGrid(cellsB, polysB, col("__pbox"), col("__abox"), gridCell)
       .filter(GeoFunctions.pointInPolygonUdf(col("x"), col("y"), col("rings")))
       .groupBy(col("zone_id"))
       .agg(
