@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, "temporal-spec")
+
+  test("as-of join: latest at-or-before, nulls before first right row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L), (4L, 20L, 100L))
+      .toDF("event_id", "user_id", "tus")
+    val right = Seq((10L, 200L, 5.0), (10L, 205L, 7.0), (10L, 250L, 9.0))
+      .toDF("user_id", "tus", "pvalue")
+    val out = Temporal.asofJoin(left, right, "user_id", "tus", Seq("pvalue"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toMap
+    assert(out(1L) == null) // before any purchase
+    assert(out(2L) == 7.0) // equal timestamp counts (<= semantics)
+    assert(out(3L) == 9.0) // latest prior wins
+    assert(out(4L) == null) // other user, no right rows
+  }
+
+  test("range join: plans as equi-join on bins, no nested loop") {
+    import spark.implicits._
+    val points = (1 to 1000).map(i => (i.toLong, i * 3.7)).toDF("id", "v")
+    val intervals = Seq((1, 100.0, 250.0), (2, 2000.0, 2100.0)).toDF("ik", "lo", "hi")
+    val joined = Relational.rangeJoin(points, intervals, "v", "lo", "hi", binSize = 100.0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val got = joined.groupBy("ik").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // brute-force check
+    val expect = Map(
+      1 -> (1 to 1000).count(i => i * 3.7 >= 100.0 && i * 3.7 <= 250.0).toLong,
+      2 -> (1 to 1000).count(i => i * 3.7 >= 2000.0 && i * 3.7 <= 2100.0).toLong)
+    assert(got == expect)
+  }
+
+  test("GeoJSON polygonRings decodes nested ring arrays") {
+    import spark.implicits._
+    val df = Seq(("Polygon", "[[[0,0],[4,0],[4,4],[0,4],[0,0]]]", Map.empty[String, String]))
+      .toDF("geom_type", "coordinates_json", "properties")
+    val rings = graft.sources.GeoJson.polygonRings(df).collect().head
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("rings")
+    assert(rings.size == 1 && rings.head.size == 5)
+    assert(graft.functions.GeoFunctions.pointInPolygon(2, 2, rings.map(_.map(_.toSeq).toSeq).toSeq))
+  }
+}
