@@ -72,6 +72,29 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: deterministic byte subsampling standing in for a real
+    * image resize — halving width/height keeps every 4th byte (the 2×2
+    * pixel-block shape a real resizer would average). Metadata is updated
+    * in lockstep with the payload, which is the part pipelines get wrong.
+    */
+  def resizeStub(media: Dataset[Media], factor: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1)
+    media.mapPartitions { it =>
+      // real impl: codec init once per partition
+      it.map { m =>
+        val step = factor * factor
+        val out = new Array[Byte]((m.bytes.length + step - 1) / step)
+        var i = 0
+        while (i < out.length) { out(i) = m.bytes(i * step); i += 1 }
+        Media(
+          m.media_id,
+          m.meta.copy(width = m.meta.width / factor, height = m.meta.height / factor),
+          out)
+      }
+    }
+  }
+
   /** Frame sampling stub: every k-th chunk of the payload as a "frame" —
     * the generator (explode) shape of video → frames, with real row
     * multiplication and partition rebalance after the explode.

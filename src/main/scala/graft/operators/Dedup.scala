@@ -229,7 +229,49 @@ object Dedup {
     * (keep ONE doc per transitive near-dup cluster) is wanted instead of
     * the pairwise policy.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20,
+      localThreshold: Long = 2000000): DataFrame = {
+    val spark = pairs.sparkSession
+    // Near-dup candidate graphs are tiny relative to the corpus (they only
+    // contain docs that LSH-collided). Below the threshold, a driver-side
+    // union-find beats 5+ distributed iterations' scheduling overhead by
+    // an order of magnitude; above it, fall through to the label-
+    // propagation loop. Both paths produce identical min-label output.
+    val nPairs = pairs.count()
+    if (nPairs <= localThreshold) {
+      val edgeList = pairs
+        .select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeList.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-label per component: roots are already component minima only if
+      // union always attached the larger root — enforced above
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "label")
+    }
+    distributedComponents(pairs, aCol, bCol, maxIter)
+  }
+
+  private def distributedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
     // undirected edge list, both directions
     val edges = pairs

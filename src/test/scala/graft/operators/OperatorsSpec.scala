@@ -158,6 +158,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged("w1") == 10.5 && merged("w2") == 20.5 && merged("w3") == null)
   }
 
+  test("IVF scale path: cluster-partitioned write gives scan-time partition pruning") {
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (_, assigned) = Similarity.kmeans(embs, "vec_id", "embedding", k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-part").toString
+    embs.join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    val probed = spark.read.parquet(dir).filter(col("cluster").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    // the probe filter becomes a partition filter — non-probed cells are
+    // never read (the 100 TB IVF payoff)
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"))
+    assert(probed.count() > 0)
+  }
+
   test("sketches: approx_count_distinct within 5% of exact at sf0.01") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val row = li.agg(
@@ -184,14 +198,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ivf recall $recall too low")
   }
 
-  test("connected components: chains collapse to one cluster label") {
+  test("connected components: chains collapse to one cluster label (both paths)") {
     import spark.implicits._
     // two chains: 1-2-3-4 (via pairwise links) and 10-11; singleton 99 absent
     val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(pairs, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
-    assert(labels(10L) == 10L && labels(11L) == 10L)
+    Seq(0L, 100L).foreach { threshold => // 0 forces distributed, 100 local
+      val labels = Dedup.connectedComponents(pairs, "a", "b", localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"threshold=$threshold")
+      assert(labels(10L) == 10L && labels(11L) == 10L, s"threshold=$threshold")
+    }
   }
 
   test("similarity: IVF probe is a subset of brute-force ranking space") {

@@ -86,6 +86,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(feats.map(_.mean_byte).sorted.sameElements(again.map(_.mean_byte).sorted))
   }
 
+  test("multimodal: resize halves metadata and payload in lockstep") {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
+    val resized = graft.multimodal.Multimodal.resizeStub(media, factor = 2).collect()
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    resized.foreach { m =>
+      val o = orig(m.media_id)
+      assert(m.meta.width == o.meta.width / 2 && m.meta.height == o.meta.height / 2)
+      assert(m.bytes.length == (o.bytes.length + 3) / 4)
+      if (o.bytes.nonEmpty) assert(m.bytes(0) == o.bytes(0)) // deterministic subsample
+    }
+  }
+
   test("multimodal: frame sampling multiplies rows by payload size") {
     import spark.implicits._
     val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
