@@ -23,6 +23,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(4L) == null) // other user, no right rows
   }
 
+  test("as-of join matches a brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i => (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(1000).toLong))
+    val rightRaw = (1 to 150).map(i => ((rnd.nextInt(5) + 1).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    // unique (key, time) on the right, as the operator contract requires
+    val right = rightRaw.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val got = Temporal
+      .asofJoin(
+        left.toDF("event_id", "user_id", "tus"),
+        right.toDF("user_id", "tus", "pvalue"),
+        "user_id", "tus", Seq("pvalue"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    left.foreach { case (id, key, t) =>
+      val expected = right.filter(r => r._1 == key && r._2 <= t).sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == expected, s"event $id key $key t $t")
+    }
+  }
+
   test("range join: plans as equi-join on bins, no nested loop") {
     import spark.implicits._
     val points = (1 to 1000).map(i => (i.toLong, i * 3.7)).toDF("id", "v")
