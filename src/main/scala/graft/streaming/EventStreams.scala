@@ -72,6 +72,29 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: clicks matched to purchases by the same
+    * user within `windowSec` AFTER the click. Both sides watermarked so
+    * join state expires; the time-range condition bounds the buffer — the
+    * stream-stream join shape Structured Streaming requires for unbounded
+    * inputs.
+    */
+  def clickToPurchaseJoin(events: DataFrame, windowSec: Long = 3600): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(
+      purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"), col("value"))
+  }
+
   /** Run the windowed aggregation as a real streaming query over a parquet
     * directory (memory sink) — used by the streaming spec; returns the
     * final in-memory table.

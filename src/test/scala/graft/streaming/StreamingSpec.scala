@@ -86,6 +86,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(feats.map(_.mean_byte).sorted.sameElements(again.map(_.mean_byte).sorted))
   }
 
+  test("stream-stream interval join equals the batch equivalent") {
+    val raw = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("events-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("e.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.clickToPurchaseJoin(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val batch = EventStreams.clickToPurchaseJoin(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("multimodal: resize halves metadata and payload in lockstep") {
     import spark.implicits._
     val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
