@@ -82,6 +82,40 @@ class RoutingSpec extends AnyFunSuite {
     assert(eaulFor(Some((7, asphalt))) < baseline)
   }
 
+  test("Dijkstra matrix matches an independent Floyd-Warshall oracle") {
+    // different algorithm, independently derived from the same edge list —
+    // catches kernel bugs a same-algorithm refactor would preserve
+    def floydWarshall(graph: CsrGraph): Array[Array[Double]] = {
+      val n = graph.numNodes
+      val d = Array.fill(n, n)(Double.PositiveInfinity)
+      (0 until n).foreach(i => d(i)(i) = 0.0)
+      (0 until n).foreach { u =>
+        (graph.indptr(u) until graph.indptr(u + 1)).foreach { e =>
+          val v = graph.nbr(e)
+          if (graph.cost(e) < d(u)(v)) { d(u)(v) = graph.cost(e); d(v)(u) = graph.cost(e) }
+        }
+      }
+      (0 until n).foreach { k =>
+        (0 until n).foreach { i =>
+          (0 until n).foreach { j =>
+            if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+          }
+        }
+      }
+      d
+    }
+    Seq(GoldenNetwork.graph, DemoNetwork.grid(7)._1).foreach { graph =>
+      val fw = floydWarshall(graph)
+      (0 until graph.numNodes by math.max(1, graph.numNodes / 10)).foreach { src =>
+        val dist = graph.dijkstra(src)
+        (0 until graph.numNodes).foreach { dst =>
+          if (fw(src)(dst).isInfinity) assert(dist(dst).isInfinity)
+          else assert(math.abs(dist(dst) - fw(src)(dst)) < 1e-9, s"src=$src dst=$dst")
+        }
+      }
+    }
+  }
+
   test("snap finds the OD nodes from raw coordinates") {
     assert(g.snap(0.0, 0.0) == 0)
     assert(g.snap(0.026949474, 0.0) == 3)
