@@ -158,6 +158,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged("w1") == 10.5 && merged("w2") == 20.5 && merged("w3") == null)
   }
 
+  test("embedding near-dup drops planted near-identical vectors") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 1e-4f
+    val other = Array.tabulate(64)(i => math.cos(i * 3 + 1).toFloat)
+    val embs = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.embeddingNearDup(embs, "vec_id", "embedding", dim = 64, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // 2 is a near-dup of 1; lower id wins
+  }
+
   test("IVF scale path: cluster-partitioned write gives scan-time partition pruning") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val (_, assigned) = Similarity.kmeans(embs, "vec_id", "embedding", k = 4, iters = 2)
