@@ -130,6 +130,28 @@ object GeoFunctions {
 
   val centroidUdf: UserDefinedFunction = udf(centroid _)
 
+  /** F15 — CRS transform: EPSG:4326 lon/lat ↔ EPSG:3857 Web Mercator
+    * (the projection pair the tiling egress needs; reference used pyproj
+    * for raster CRS only, `img-stats.py:60-73`). Spherical Mercator per
+    * the published EPSG:3857 definition.
+    */
+  val WebMercatorR = 6378137.0
+
+  def toWebMercator(lon: Double, lat: Double): Seq[Double] = {
+    val clamped = math.max(-85.06, math.min(85.06, lat))
+    Seq(
+      WebMercatorR * math.toRadians(lon),
+      WebMercatorR * math.log(math.tan(math.Pi / 4 + math.toRadians(clamped) / 2)))
+  }
+
+  def fromWebMercator(x: Double, y: Double): Seq[Double] =
+    Seq(
+      math.toDegrees(x / WebMercatorR),
+      math.toDegrees(2 * math.atan(math.exp(y / WebMercatorR)) - math.Pi / 2))
+
+  val toWebMercatorUdf: UserDefinedFunction = udf(toWebMercator _)
+  val fromWebMercatorUdf: UserDefinedFunction = udf(fromWebMercator _)
+
   /** F9 — midpoint of the first segment of a line piece (reference
     * `indicator-from-areas.js:112-116`).
     */
