@@ -661,6 +661,15 @@ object SparkEntry {
     graph.Criticality.scores(spark, g, od)
   }
 
+  /** G7 at scale — leave-one-out criticality over a 16×16 grid (480 ways,
+    * 481 full OD matrices): the workload class the reference distributed
+    * over machines with per-way OSRM rebuilds, here one query.
+    */
+  private def qg4CriticalityLarge(spark: SparkSession, dir: String): DataFrame = {
+    val (g, od) = graph.DemoNetwork.grid(16)
+    graph.Criticality.scores(spark, g, od)
+  }
+
   /** G8–G10 — EAUL upgrade sweep: (way × upgrade) fan-out with flood
     * scenarios and the trapezoid over return periods.
     */
@@ -730,7 +739,8 @@ object SparkEntry {
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
     "qg2_criticality" -> (qg2Criticality _),
-    "qg3_eaul" -> (qg3Eaul _)
+    "qg3_eaul" -> (qg3Eaul _),
+    "qg4_criticality_large" -> (qg4CriticalityLarge _)
   )
 
   def oracleSql: Map[String, String] = Map(
