@@ -22,7 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def asDouble(c: Column): Column = transform(c, v => v.cast("double"))
 
   /** Exact top-k by cosine against one literal query vector. */
   def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String, query: Array[Double], k: Int): DataFrame = {

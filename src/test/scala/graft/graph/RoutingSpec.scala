@@ -82,6 +82,17 @@ class RoutingSpec extends AnyFunSuite {
     assert(eaulFor(Some((7, asphalt))) < baseline)
   }
 
+  test("EAUL invariants: zero floods => zero EAUL; zero traffic => zero EAUL") {
+    val noFloods = Eaul.FloodStats(
+      Map.empty.withDefaultValue(Map.empty),
+      Map.empty.withDefaultValue(Map.empty))
+    assert(
+      Eaul.calcEaulLocal(g, noFloods, od, GoldenNetwork.yearlyTraffic, Set.empty, Set.empty, None) == 0.0)
+    val noTraffic = Array.fill(3, 3)(0.0)
+    assert(
+      Eaul.calcEaulLocal(g, stats, od, noTraffic, Set.empty, Set.empty, None) == 0.0)
+  }
+
   test("Dijkstra matrix matches an independent Floyd-Warshall oracle") {
     // different algorithm, independently derived from the same edge list —
     // catches kernel bugs a same-algorithm refactor would preserve
