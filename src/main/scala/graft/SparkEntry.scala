@@ -619,8 +619,8 @@ object SparkEntry {
         "dist_km",
         round(GeoFunctions.haversineColKm(col("clon"), col("clat"), col("slon"), col("slat")), 6))
     operators.Spatial
-      .nearestJoinAgg(pairs, "c_custkey", col("dist_km"), col("s_suppkey"), Seq("s_suppkey"))
-      .withColumnRenamed("dist", "dist_km")
+      .nearestJoinAggPacked(pairs, "c_custkey", col("dist_km"), col("s_suppkey"))
+      .select(col("c_custkey"), col("__tie").as("s_suppkey"), col("dist").as("dist_km"))
   }
 
   /** A11/S11 equivalent — zonal statistics: raster-as-cell-table (x, y,

@@ -109,6 +109,33 @@ object Spatial {
       .withColumn("percent", round(col("n_cells") * 100.0 / totalCells, 4))
   }
 
+  /** J8 fastest form — argmin via a packed-Long `min()`: (dist rounded to
+    * 1e-6, tie key) packs into one comparable Long, so the aggregate is a
+    * plain `min` — fully hash-aggregable (HashAggregate + map-side
+    * partials), unlike `min_by(struct)` which falls back to SortAggregate
+    * and locally sorts every candidate row.
+    *
+    * Bounds (documented, asserted): dist < 2^43/1e6 ≈ 8.8e6 km and
+    * 0 ≤ tie key < 2^20. Unpacked dist is bit-identical to
+    * `round(dist, 6)` (both resolve to the double nearest n/1e6).
+    */
+  def nearestJoinAggPacked(
+      pairs: DataFrame,
+      leftKey: String,
+      distCol: Column,
+      tieKeyCol: Column): DataFrame = {
+    val packed = round(distCol * 1e6).cast("long") * lit(1048576L) + tieKeyCol
+    pairs
+      .groupBy(col(leftKey))
+      .agg(min(packed).as("__packed"))
+      .select(
+        col(leftKey),
+        pmod(col("__packed"), lit(1048576L)).as("__tie"),
+        // integer div BEFORE the double conversion: packed itself exceeds
+        // double's 2^53 exact range, the quotient does not
+        (expr("__packed div 1048576") / 1e6).as("dist"))
+  }
+
   /** A4 + J9 + F11/F12 — weighted overlay (reference
     * `indicator-from-areas.js:68-134`, the §3.2 representative query):
     * for each (way, area) candidate pair from the bbox join, split the way
