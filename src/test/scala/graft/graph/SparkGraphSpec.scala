@@ -61,6 +61,44 @@ class SparkGraphSpec extends AnyFunSuite {
     assert(scores("4") < scores("1"))
   }
 
+  test("G7 scoring matches an independent naive reimplementation") {
+    // naive scorer derived directly from criticality.js:93-110 + 232-303,
+    // written without reference to the production code path
+    val (g, od) = DemoNetwork.grid(5)
+    val bench = Routing.routeMatrixLocal(g, od)
+    case class S(name: String, unroutable: Int, impacted: Int, avgNonZero: Double)
+    val stats = g.ways.indices.map { w =>
+      val res = Routing.routeMatrixLocal(g, od, i => if (i == w) Double.PositiveInfinity else 1.0)
+      var unroutable = 0
+      var impacted = 0
+      var deltas = List.empty[Double]
+      res.zip(bench).foreach { case (o, b) =>
+        if (!o.routable) unroutable += 1
+        else {
+          val dT = o.ruc.get - b.ruc.getOrElse(0.0)
+          if (dT >= 0) deltas ::= dT
+          if (dT > 0) impacted += 1
+          if (dT < 0) unroutable += 1
+        }
+      }
+      val nz = deltas.count(_ != 0.0)
+      S(g.ways(w).name, unroutable, impacted, if (nz == 0) 0.0 else deltas.sum / nz)
+    }
+    val avgMaxTime = stats.map(s => (s.unroutable + s.impacted) * s.avgNonZero).max
+    val maxUnroutable = stats.map(_.unroutable).max
+    val expected = stats.map { s =>
+      val t = if (avgMaxTime == 0) 0.0 else (s.unroutable + s.impacted) * s.avgNonZero / avgMaxTime
+      val u = if (maxUnroutable == 0) 0.0 else s.unroutable.toDouble / maxUnroutable
+      s.name -> (t * 0.4 + u * 0.6) * 100
+    }.toMap
+    val got = Criticality.scores(spark, g, od)
+      .collect().map(r => r.getAs[String]("way_id") -> r.getAs[Double]("score")).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (name, score) =>
+      assert(math.abs(score - expected(name)) < 1e-9, s"way $name: $score vs ${expected(name)}")
+    }
+  }
+
   test("G8-G10: distributed EAUL sweep returns 10 ways × 3 upgrades + baseline") {
     val df = Eaul.sweep(
       spark,
