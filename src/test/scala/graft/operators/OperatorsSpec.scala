@@ -40,6 +40,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dist(3).isPosInfinity) // severed by the override
   }
 
+  test("S4+F3-F5: bridges.csv header contract end-to-end through the CSV scan") {
+    // header shape per the reference source table (SURVEY §1.1:
+    // Str_ID,Link_ID,...,GPS_E,GPS_S,...,Over_Length,...,Des_Type,Mat_Type)
+    val dir = java.nio.file.Files.createTempDirectory("bridges")
+    java.nio.file.Files.writeString(
+      dir.resolve("bridges.csv"),
+      """Str_ID,Link_ID,District,GPS_E,GPS_S,Over_Length,Des_Type,Mat_Type
+        |BR001,N000201AB,Maputo,32.57,-25.96,"1,234",BRID,Concrete
+        |BR002,R085099ZZ,Gaza,33.10,-24.50,0,CULV,Steel""".stripMargin)
+    val raw = spark.read.option("header", "true").csv(dir.toString)
+    val out = BridgePrep.prepare(raw).orderBy("bridge_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("road_id") == "N2")
+    assert(out(0).getAs[Double]("length") == 1234.0) // comma stripped
+    assert(out(1).getAs[String]("type") == "culvert")
+    assert(out(1).getAs[Double]("length") == 7.0)
+    val geom = out(0).getAs[scala.collection.Seq[Double]]("geometry")
+    assert(geom.toSeq == Seq(32.57, -25.96))
+  }
+
+  test("G4/S5: speed-profile CSV sink writes both directions") {
+    import spark.implicits._
+    val edges = Seq(("w1", 0, 1, 2.0), ("w2", 1, 2, 3.0)).toDF("way_id", "src", "dst", "weight")
+    val overrides = Seq(("w1", 5.0)).toDF("way_id", "speed")
+    val dir = java.nio.file.Files.createTempDirectory("speed").toString + "/profile"
+    graft.graph.ScenarioWeights.writeSpeedProfile(edges, overrides, dir)
+    val back = spark.read.csv(dir).collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == Set(("0", "1", "5.0"), ("1", "0", "5.0"))) // fwd + reverse, only w1
+  }
+
   test("G4: scenario weight overrides (speed 0 removes, last wins)") {
     import spark.implicits._
     val edges = Seq(("w1", 0, 1, 2.0), ("w2", 1, 2, 3.0), ("w3", 2, 3, 4.0))
