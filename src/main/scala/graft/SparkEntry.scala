@@ -1202,6 +1202,12 @@ object SparkEntry {
         |    FROM documents)
         |  GROUP BY doc_id, t)
         |GROUP BY doc_id""".stripMargin,
+    "qt6_subword" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+        |       length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        |       AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
     "qd1_exact_dedup" ->
       """SELECT d.doc_id, d.n_chars FROM documents d
         |JOIN (SELECT min(doc_id) AS doc_id FROM documents
