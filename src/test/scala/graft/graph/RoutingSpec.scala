@@ -82,6 +82,29 @@ class RoutingSpec extends AnyFunSuite {
     assert(eaulFor(Some((7, asphalt))) < baseline)
   }
 
+  test("EAUL preserves the reference's upgrade asymmetry (eaul.js:391 vs :519)") {
+    // depth where (wlcc − wld·0.7) > 0.5 but (wlcc − wld·1.0) ≤ 0.5:
+    // wlcc = 2.0 at the probed RP AND at the design RP (20) → dc=0.7 gives
+    // 0.6 > 0.5 (impassable), dc=1.0 gives 0.0 (passable when upgraded)
+    val rps = Eaul.FloodReturnPeriods
+    val statsAsym = Eaul.FloodStats(
+      depth = Map("1" -> rps.map(rp => rp -> (if (rp == 500 || rp == 20) 2.0 else 0.0)).toMap)
+        .withDefaultValue(rps.map(_ -> 0.0).toMap),
+      lengthPct = Map("1" -> rps.map(rp => rp -> (if (rp == 500) 50.0 else 0.0)).toMap)
+        .withDefaultValue(rps.map(_ -> 0.0).toMap))
+    val upgrade = Eaul.RoadUpgrades.head // drainageCapacity = 1.0
+    // graph side: the upgraded way is NOT impassable in its own scenario
+    assert(!Eaul.impassableWays(g, statsAsym, 500, Some((0, upgrade))).contains(0))
+    assert(Eaul.impassableWays(g, statsAsym, 500, None).contains(0))
+    // repair-time side: the way still counts (reference calls
+    // getImpassableWays WITHOUT upgrade args inside calcFloodRepairTime)
+    assert(Eaul.floodRepairTime(g, statsAsym, 500, Some((0, upgrade))) > 0.0)
+    // ...but its surface DOES honor the upgrade (paved tables ≠ unpaved)
+    val rPaved = Eaul.floodRepairTime(g, statsAsym, 500, Some((0, upgrade)))
+    val rBase = Eaul.floodRepairTime(g, statsAsym, 500, None)
+    assert(rPaved < rBase) // paved repair table is cheaper than unpaved
+  }
+
   test("EAUL invariants: zero floods => zero EAUL; zero traffic => zero EAUL") {
     val noFloods = Eaul.FloodStats(
       Map.empty.withDefaultValue(Map.empty),

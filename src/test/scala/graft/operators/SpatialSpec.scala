@@ -75,6 +75,31 @@ class SpatialSpec extends AnyFunSuite {
     assert(again.select(explode(col("features"))).count() == 2)
   }
 
+  test("§3.2 end-to-end: GeoJSON files → typed coords → weighted overlay") {
+    val dir = java.nio.file.Files.createTempDirectory("overlay-e2e")
+    java.nio.file.Files.writeString(
+      dir.resolve("ways.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0,1],[10,1]]},
+        | "properties":{"NAME":"W1"}}]}""".stripMargin)
+    java.nio.file.Files.writeString(
+      dir.resolve("areas.geojson"),
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Polygon",
+        |  "coordinates":[[[2,0],[6,0],[6,2],[2,2],[2,0]]]},
+        | "properties":{"VALUE":"10"}}]}""".stripMargin)
+    val ways = graft.sources.GeoJson
+      .lineCoords(graft.sources.GeoJson.read(spark, dir.resolve("ways.geojson").toString))
+      .select(col("properties")("NAME").as("way_id"), col("coords"))
+    val areas = graft.sources.GeoJson
+      .polygonRings(graft.sources.GeoJson.read(spark, dir.resolve("areas.geojson").toString))
+      .select(col("properties")("VALUE").cast("double").as("value"), col("rings"))
+      .withColumn("area_id", lit("A1"))
+    val out = Spatial.indicatorFromAreas(ways, areas).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("value") - 4.0) < 1e-4)
+  }
+
   test("SQL surface: registered functions work from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     graft.functions.GraftFunctions.registerTables(spark, "/root/testdata/sf0.001")
