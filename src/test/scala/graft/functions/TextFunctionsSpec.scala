@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, "text-spec")
+
+  test("shingles: char and word forms") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox").toDF("text")
+    val row = df.select(
+      TextFunctions.charShingles(col("text"), 5).as("cs"),
+      TextFunctions.wordShingles(col("text"), 2).as("ws")).collect().head
+    val cs = row.getAs[scala.collection.Seq[String]]("cs")
+    assert(cs.head == "the q" && cs.size == "the quick brown fox".length - 4)
+    val ws = row.getAs[scala.collection.Seq[String]]("ws")
+    assert(ws.toSeq == Seq("the quick", "quick brown", "brown fox"))
+    // short text degenerates to one whole-text shingle
+    val short = Seq("hi").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3)).collect().head.getSeq[String](0)
+    assert(short == Seq("hi"))
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    import spark.implicits._
+    val df = Seq(("a", "The  Quick\tFox"), ("b", "the quick fox")).toDF("id", "text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("quality score: boilerplate scores below clean prose") {
+    import spark.implicits._
+    val df = Seq(
+      ("clean", "The quick brown fox jumps over the lazy dog and runs across the wide field to rest in the shade of an old tree for a while."),
+      ("spam", "!!! $$$ ??? ### @@@ %%% ^^^ &&& *** ((()))")).toDF("id", "text")
+    val scores = df
+      .select(col("id"), TextFunctions.qualityScore(col("text")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("clean") > scores("spam"))
+    assert(scores.values.forall(s => s >= 0 && s <= 100))
+  }
+
+  test("langId picks marker languages and falls back to und") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat is in the house with you"),
+      ("de", "der hund ist nicht mit der katze"),
+      ("und", "zzz qqq xxx www")).toDF("expect", "text")
+    df.select(col("expect"), TextFunctions.langId(col("text")).as("got"))
+      .collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("vector l2 and hyperplane signature determinism") {
+    import spark.implicits._
+    val df = Seq((Array(3.0, 4.0), Array(0.0, 0.0))).toDF("a", "b")
+    val row = df.select(
+      VectorFunctions.l2Norm(col("a")).as("n"),
+      VectorFunctions.l2Sq(col("a"), col("b")).as("d2")).collect().head
+    assert(row.getDouble(0) == 5.0)
+    assert(row.getDouble(1) == 25.0)
+    val sigs = Seq(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)).toDF("v")
+      .select(VectorFunctions.hyperplaneSignature(col("v"), dim = 3, bits = 8))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1)) // same vector → same cell
+  }
+
+  test("redactPii handles all three classes in one text") {
+    import spark.implicits._
+    val df = Seq("mail a@b.co or call +258 21 123456 at 10.0.0.1 ok").toDF("text")
+    val red = df.select(TextFunctions.redactPii(col("text"))).collect().head.getString(0)
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    assert(!red.contains("a@b.co"))
+  }
+}
