@@ -146,7 +146,18 @@ object Spatial {
     * `ways`: (way_id, coords array<array<double>>);
     * `areas`: (area_id, rings array<array<array<double>>>, value).
     */
-  def indicatorFromAreas(ways: DataFrame, areas: DataFrame): DataFrame = {
+  def indicatorFromAreas(ways: DataFrame, areas: DataFrame): DataFrame =
+    indicatorFromAreasImpl(ways, areas, gridCell = None)
+
+  /** Scale form: identical semantics, but candidate pairs come from the
+    * grid-cell equi-join instead of broadcasting the area side — use when
+    * areas outgrow broadcast. Equality with the broadcast form is spec-
+    * tested.
+    */
+  def indicatorFromAreasGrid(ways: DataFrame, areas: DataFrame, gridCell: Double): DataFrame =
+    indicatorFromAreasImpl(ways, areas, Some(gridCell))
+
+  private def indicatorFromAreasImpl(ways: DataFrame, areas: DataFrame, gridCell: Option[Double]): DataFrame = {
     val contribUdf = udf {
       (coords: Seq[Seq[Double]], rings: Seq[Seq[Seq[Double]]], value: Double) =>
         val wayLen = GeoFunctions.lineLengthKm(coords)
@@ -163,7 +174,11 @@ object Spatial {
     }
     val waysB = ways.withColumn("__wbox", GeoFunctions.bboxUdf(col("coords")))
     val areasB = areas.withColumn("__abox", GeoFunctions.bboxUdf(flatten(col("rings"))))
-    val pairs = bboxJoin(waysB, areasB, col("__wbox"), col("__abox"))
+    val candidates = gridCell match {
+      case Some(cell) => bboxJoinGrid(waysB, areasB, col("__wbox"), col("__abox"), cell)
+      case None => bboxJoin(waysB, areasB, col("__wbox"), col("__abox"))
+    }
+    val pairs = candidates
       .withColumn("__contrib", contribUdf(col("coords"), col("rings"), col("value")))
       .filter(col("__contrib") > 0.0)
     val summed = pairs
