@@ -241,6 +241,15 @@ object SparkEntry {
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** Sliding event-time windows (2h window, 1h slide — each event lands in
+    * two windows); oracle enumerates the two hour-aligned starts per event.
+    */
+  private def q20SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"), col("n"))
+
   /** As-of join — for each click, the user's latest purchase at-or-before
     * it (µs-integer event times; right side pre-deduped per instant).
     * Cross-validated against DuckDB's native ASOF JOIN.
@@ -709,6 +718,7 @@ object SparkEntry {
     "q16_haversine" -> (q16Haversine _),
     "q17_time_window" -> (q17TimeWindow _),
     "q18_shipping_priority" -> (q18ShippingPriority _),
+    "q20_sliding_window" -> (q20SlidingWindow _),
     "q19_local_volume" -> (q19LocalVolume _),
     "qd1_exact_dedup" -> (qd1ExactDedup _),
     "qd2_minhash_dedup" -> (qd2MinHashDedup _),
@@ -995,6 +1005,13 @@ object SparkEntry {
         |  GROUP BY s)
         |SELECT s AS way_id, CAST(floor(bridge_ead + road_ead) AS BIGINT) AS value
         |FROM tz""".stripMargin,
+    "q20_sliding_window" ->
+      """SELECT ws AS window_start, event_type, count(*) AS n
+        |FROM (
+        |  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600) - off AS ws,
+        |    event_type
+        |  FROM events CROSS JOIN (VALUES (0), (3600)) AS o(off))
+        |GROUP BY ws, event_type""".stripMargin,
     "q18_shipping_priority" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
