@@ -250,6 +250,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"), col("n"))
 
+  /** Native session windows (30-min gap): Spark's session_window operator;
+    * oracle rebuilds sessions on µs epochs (gap semantics are >= gap at µs
+    * precision — second-floored gaps would diverge in [1800, 1801)).
+    */
+  private def qe3SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("user_id"),
+        col("n_events"))
+
   /** As-of join — for each click, the user's latest purchase at-or-before
     * it (µs-integer event times; right side pre-deduped per instant).
     * Cross-validated against DuckDB's native ASOF JOIN.
@@ -736,6 +749,7 @@ object SparkEntry {
     "qs2_label_centroids" -> (qs2LabelCentroids _),
     "qe1_sessionize" -> (qe1Sessionize _),
     "qe2_asof" -> (qe2AsofJoin _),
+    "qe3_session_window" -> (qe3SessionWindow _),
     "qr1_range_join" -> (qr1RangeJoin _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
@@ -957,6 +971,23 @@ object SparkEntry {
         |  ON l_extendedprice >= CAST(n_nationkey * 2000 AS DOUBLE)
         | AND l_extendedprice <= CAST(n_nationkey * 2000 + 1500 + (n_nationkey % 3) * 300 AS DOUBLE)
         |GROUP BY n_nationkey""".stripMargin,
+    "qe3_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+        |                 THEN 1 ELSE 0 END AS ns
+        |  FROM (SELECT *, lag(tus) OVER (
+        |          PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |        FROM e)),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "qe2_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus
