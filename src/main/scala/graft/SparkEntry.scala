@@ -1227,6 +1227,23 @@ object SparkEntry {
         |        least(swr * 4.0, 1.0) * 25.0 +
         |        (1.0 - least(punct * 4.0, 1.0)) * 15.0, 2) AS quality
         |FROM base""".stripMargin,
+    "qs1_cosine_topk" -> {
+      val qv = Array.tabulate(64)(i => math.sin(i + 1.0)) // same probe as qs1
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * qv[t.i]) AS dot,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * CAST(embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(qv[t.i] * qv[t.i]) AS nb
+         |  FROM (SELECT vec_id, embedding, $qv::DOUBLE[] AS qv FROM embeddings)
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY vec_id)
+         |SELECT vec_id,
+         |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
+    },
     "qt4_redact" ->
       """WITH red AS (
         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
