@@ -497,7 +497,9 @@ object SparkEntry {
   }
 
   /** Multimodal feature extraction (stub decode, real partition/batch
-    * shape) — rows-only oracle.
+    * shape). Output is all-scalar (the 16-dim feature rides as its l2
+    * norm) so the hash compare applies, and the deterministic byte-stats
+    * decode gets a full DuckDB oracle (docs are ASCII ⇒ codepoint==byte).
     */
   private def qm2MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -508,7 +510,9 @@ object SparkEntry {
         col("media_id"),
         round(col("mean_byte"), 4).as("mean_byte"),
         round(col("byte_entropy"), 4).as("byte_entropy"),
-        col("feature"))
+        round(
+          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
+          4).as("feature_norm"))
   }
 
   /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
@@ -1109,6 +1113,44 @@ object SparkEntry {
         |       ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents""".stripMargin,
+    // decodeStub reimplemented in SQL: per-byte stats over the UTF-8 payload
+    // (documents are ASCII, so unicode(char)==byte); entropy term keeps the
+    // exact -p*ln(p)/ln(2) op shape; 16 chunk means use the same integer-
+    // division boundaries and the same double->float32 truncation
+    "qm2_media_features" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |), pos AS (
+        |  SELECT doc_id, n, text, unnest(generate_series(1, n)) AS p FROM docs
+        |), bv AS (
+        |  SELECT doc_id, n, p - 1 AS idx, unicode(substr(text, p, 1)) AS v FROM pos
+        |), stats AS (
+        |  SELECT doc_id, sum(v) / count(*) AS mean_byte FROM bv GROUP BY doc_id
+        |), counts AS (
+        |  SELECT doc_id, v, count(*)::DOUBLE AS c FROM bv GROUP BY doc_id, v
+        |), tot AS (
+        |  SELECT doc_id, sum(c) AS nn FROM counts GROUP BY doc_id
+        |), ent AS (
+        |  SELECT c.doc_id, sum(-(c.c / t.nn) * ln(c.c / t.nn) / ln(2)) AS entropy
+        |  FROM counts c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+        |), chunkdef AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, 15)) AS i FROM docs
+        |), chunkf AS (
+        |  SELECT cd.doc_id, cd.i,
+        |    CAST(sum(bv.v) / count(*) / 255.0 AS FLOAT) AS f
+        |  FROM chunkdef cd JOIN bv ON bv.doc_id = cd.doc_id
+        |    AND bv.idx >= (cd.i * cd.n) // 16
+        |    AND bv.idx < ((cd.i + 1) * cd.n) // 16
+        |  GROUP BY cd.doc_id, cd.i
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(sum(CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS fn
+        |  FROM chunkf GROUP BY doc_id
+        |)
+        |SELECT s.doc_id AS media_id,
+        |  round(s.mean_byte, 4) AS mean_byte,
+        |  round(e.entropy, 4) AS byte_entropy,
+        |  round(nrm.fn, 4) AS feature_norm
+        |FROM stats s JOIN ent e USING (doc_id) JOIN nrm USING (doc_id)""".stripMargin,
     "qz1_zonal" ->
       """WITH cells AS (
         |  SELECT (p_partkey % 17) + 0.5 AS x, (p_partkey % 11) + 0.5 AS y,

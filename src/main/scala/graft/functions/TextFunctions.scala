@@ -91,7 +91,8 @@ object TextFunctions {
   private lazy val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
     val markerSets: Seq[(String, Set[String])] = langMarkers.map { case (l, m) => (l, m.toSet) }
     udf { (text: String) =>
-      val toks = text.trim.toLowerCase.split("\\s+")
+      // null-safe: NULL text → "und", not an executor-killing NPE
+      val toks = if (text == null) Array.empty[String] else text.trim.toLowerCase.split("\\s+")
       var bestLang = "und"
       var bestHits = 0
       markerSets.foreach { case (lang, markers) =>
@@ -119,7 +120,8 @@ object TextFunctions {
     */
   val repetitionRatioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { (text: String) =>
-      val toks = text.trim.toLowerCase.split("\\s+")
+      // null-safe: NULL text → 0.0 repetition, matching the Column paths
+      val toks = if (text == null) Array("") else text.trim.toLowerCase.split("\\s+")
       if (toks.isEmpty || (toks.length == 1 && toks(0).isEmpty)) 0.0
       else {
         val counts = scala.collection.mutable.HashMap.empty[String, Int]

@@ -32,7 +32,12 @@ object Dedup {
 
   private val Prime = 2147483647L // 2^31 - 1
 
+  /** Null-safe: a NULL document yields the empty token, matching the
+    * null-propagating behavior of the pure-Column paths instead of killing
+    * the job with an NPE from inside a UDF.
+    */
   private def tokenize(text: String): Array[String] = {
+    if (text == null) return Array("")
     val t = text.trim.toLowerCase
     if (t.isEmpty) Array("") else t.split("\\s+")
   }
@@ -218,12 +223,14 @@ object Dedup {
     docs.join(dups, Seq(idCol), "left_anti")
   }
 
-  /** Connected-components clustering over a candidate-pair edge list
-    * (large-small label propagation, the scalable dedup-cluster closer:
-    * each doc converges to the min id reachable through candidate edges).
-    * Iterative joins with an early-exit fixpoint check — iteration count
-    * is O(log(diameter)) because labels hop across the current best, not
-    * just direct neighbors.
+  /** Connected-components clustering over a candidate-pair edge list:
+    * each doc converges to the min id reachable through candidate edges.
+    * The distributed path is the alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log²) rounds in the worst case, ~2-4 rounds in practice
+    * because every round rewires nodes straight at the current component
+    * minimum, not one hop at a time. Throws if the fixpoint is not reached
+    * within `maxIter` rounds rather than silently returning partial labels.
     *
     * Use after any LSH candidate generator when cluster-level dedup
     * (keep ONE doc per transitive near-dup cluster) is wanted instead of
@@ -271,42 +278,79 @@ object Dedup {
     distributedComponents(pairs, aCol, bCol, maxIter)
   }
 
+  /** Large-star/small-star contraction. Edge set is kept canonically
+    * oriented (u > v); one round = large-star then small-star:
+    *
+    *  - large-star(u): over the SYMMETRIC neighborhood, every neighbor
+    *    v > u is rewired to m = min(N(u) ∪ {u});
+    *  - small-star(u): over the canonical (u > its neighbors) orientation,
+    *    u and all its smaller neighbors are rewired to the minimum m.
+    *
+    * At the fixpoint the canonical edges ARE (node → component-min) star
+    * edges. Convergence is detected by (count, xor-of-hashes) signature
+    * equality of the canonical edge set across rounds — an order-free
+    * set signature, no except() anti-join needed.
+    */
   private def distributedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected edge list, both directions
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val a = col(aCol)
+    val b = col(bCol)
+    val allNodes = pairs.select(a.as("id")).union(pairs.select(b.as("id"))).distinct().cache()
+    var edges = pairs
+      .select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .cache()
-    var labels = edges
-      .groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("label"))
-      .cache()
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-free over a distinct set AND overflow-free
+      // under ANSI mode (sum of 64-bit hashes throws on long overflow)
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // propagate: my new label = min(my label, labels of my neighbors)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("plabel"))
-      // new label + changed flag in one pass — convergence check costs one
-      // filter over the cached frame, not an extra join
-      val next = labels
-        .join(viaNeighbors, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
-          (coalesce(col("plabel"), col("label")) < col("label")).as("__changed"))
+      // large-star over the symmetric neighborhood
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      val afterLarge = sym
+        .join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ already canonical
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the canonical orientation: u and every smaller
+      // neighbor attach to the neighborhood minimum
+      val smallMins = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val next = afterLarge
+        .join(smallMins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")) // (v, m) per smaller neighbor; v==m self-loops filtered below
+        .union(smallMins.select(col("u"), col("m").as("v"))) // (u, m)
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .cache()
-      val changed = next.filter(col("__changed")).limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next.drop("__changed")
-      converged = changed == 0
+      val nextSig = signature(next)
+      edges.unpersist(blocking = false)
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"distributedComponents did not converge within $maxIter large/small-star rounds " +
+          s"(edge-set signature still changing); raise maxIter")
+    // star edges: u → component min. Nodes never appearing as u are roots.
+    val labels = allNodes
+      .join(edges.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
+    allNodes.unpersist(blocking = false)
     labels
   }
 

@@ -101,6 +101,11 @@ object Similarity {
       }
       centroids = next
     }
+    // re-assign once against the FINAL centroids: `assigned` inside the loop
+    // was computed from the pre-update centroids, so without this the
+    // returned (centroids, assignments) would be mutually inconsistent and
+    // IVF probing against final centroids would hit stale cells
+    assigned = embs.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
     (centroids, assigned.select(col(idCol), col("cluster")))
   }
 

@@ -115,8 +115,10 @@ object Spatial {
     * partials), unlike `min_by(struct)` which falls back to SortAggregate
     * and locally sorts every candidate row.
     *
-    * Bounds (documented, asserted): dist < 2^43/1e6 ≈ 8.8e6 km and
-    * 0 ≤ tie key < 2^20. Unpacked dist is bit-identical to
+    * Bounds (documented AND runtime-enforced): dist in [0, 2^43/1e6 ≈
+    * 8.8e6 km) and 0 ≤ tie key < 2^20. Out-of-range input raises an error
+    * instead of silently corrupting the argmin (a tie key ≥ 2^20 would
+    * bleed into the distance bits). Unpacked dist is bit-identical to
     * `round(dist, 6)` (both resolve to the double nearest n/1e6).
     */
   def nearestJoinAggPacked(
@@ -124,7 +126,13 @@ object Spatial {
       leftKey: String,
       distCol: Column,
       tieKeyCol: Column): DataFrame = {
-    val packed = round(distCol * 1e6).cast("long") * lit(1048576L) + tieKeyCol
+    val distL = round(distCol * 1e6).cast("long")
+    val packed = when(
+      tieKeyCol < 0 || tieKeyCol >= lit(1048576L) || distCol < 0 || distL >= lit(8796093022208L),
+      raise_error(concat(
+        lit("nearestJoinAggPacked bounds exceeded (need 0<=dist<8.8e6, 0<=tieKey<2^20): dist="),
+        distCol.cast("string"), lit(" tieKey="), tieKeyCol.cast("string"))).cast("long")
+    ).otherwise(distL * lit(1048576L) + tieKeyCol)
     pairs
       .groupBy(col(leftKey))
       .agg(min(packed).as("__packed"))

@@ -44,6 +44,16 @@ object EventStreams {
   /** Streaming-stateful sessionization via mapGroupsWithState — the custom
     * per-key state operator (KeyValueGroupedDataset) the §2.10 mandate asks
     * for. Batch-callable too (state then spans the whole group at once).
+    *
+    * ORDERING CONTRACT: events are sorted within each micro-batch, but the
+    * compact state keeps only `lastEpoch` — an event arriving in a LATER
+    * batch with an EARLIER timestamp (out-of-order across batches) cannot
+    * retroactively re-split earlier sessions. Such a late event is folded
+    * into the current session and never rewinds `lastEpoch` (so it cannot
+    * fabricate a new session for the next on-time event either). For
+    * exact event-time semantics under disorder, use the native
+    * `session_window` path (qe3 in SparkEntry) with a watermark, which
+    * buffers per-window state until the watermark closes it.
     */
   def sessionizeStateful(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
@@ -56,7 +66,9 @@ object EventStreams {
           sorted.foreach { e =>
             val epoch = e.ts.getTime / 1000
             val isNew = st.lastEpoch == Long.MinValue || epoch - st.lastEpoch > gapSec
-            st = SessionState(epoch, st.sessions + (if (isNew) 1 else 0), st.events + 1)
+            // math.max: a cross-batch late event joins the current session
+            // but must not rewind the gap anchor (see ordering contract)
+            st = SessionState(math.max(st.lastEpoch, epoch), st.sessions + (if (isNew) 1 else 0), st.events + 1)
           }
           state.update(st)
           SessionSummary(userId, st.sessions, st.events)
