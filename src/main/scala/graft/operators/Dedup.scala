@@ -246,14 +246,19 @@ object Dedup {
     // Near-dup candidate graphs are tiny relative to the corpus (they only
     // contain docs that LSH-collided). Below the threshold, a driver-side
     // union-find beats 5+ distributed iterations' scheduling overhead by
-    // an order of magnitude; above it, fall through to the label-
-    // propagation loop. Both paths produce identical min-label output.
-    val nPairs = pairs.count()
+    // an order of magnitude; above it, fall through to the large/small-star
+    // loop. Both paths produce identical min-label output.
+    // Cache: the count action and the collect (or first star round) both
+    // consume `pairs`, which usually sits on top of an LSH candidate join —
+    // without the cache that join runs twice end-to-end.
+    val cached = pairs.select(col(aCol), col(bCol)).cache()
+    val nPairs = cached.count()
     if (nPairs <= localThreshold) {
-      val edgeList = pairs
+      val edgeList = cached
         .select(col(aCol).cast("long"), col(bCol).cast("long"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
+      cached.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -275,7 +280,9 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("id", "label")
     }
-    distributedComponents(pairs, aCol, bCol, maxIter)
+    val out = distributedComponents(cached, aCol, bCol, maxIter)
+    cached.unpersist(blocking = false)
+    out
   }
 
   /** Large-star/small-star contraction. Edge set is kept canonically
