@@ -250,6 +250,73 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"), col("n"))
 
+  /** Grouping-set hierarchy (beyond-reference relational completeness —
+    * SURVEY §2.4 notes the reference has none, "Spark gives these free"):
+    * ROLLUP computes detail + subtotals + grand total in ONE shuffle via
+    * the Expand operator, not one pass per level. NULL group markers are
+    * folded to 'ALL' so the output is null-free for the hash compare.
+    */
+  private def q21Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"),
+        col("n"))
+
+  /** Pivot (wide-form counterpart of F24's unpivot): order counts by
+    * priority × status. Explicit value list ⇒ stable output schema (no
+    * value-discovery scan) and a single hash aggregation.
+    */
+  private def q22Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_fulfilled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+
+  /** Set operations (SURVEY §2.7 — the reference has only union-by-glob;
+    * INTERSECT/EXCEPT round out the family): customers with both
+    * fulfilled AND open orders, minus any with an urgent order. Spark
+    * plans these as aggregate/anti-join under the hood — no sort.
+    */
+  private def q23SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val fulfilled = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    fulfilled.intersect(open).except(urgent).select(col("o_custkey").as("custkey"))
+  }
+
+  /** Window frames (beyond W1/W2 — ranking, lag, and a sliding ROWS
+    * frame): 4-row moving average + previous-row delta per supplier.
+    * Order key (shipdate, orderkey, linenumber) is unique ⇒ deterministic.
+    */
+  private def q24MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 10)
+      .select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_shipdate"),
+        col("l_extendedprice"))
+      .withColumn("mov_avg", round(avg(col("l_extendedprice")).over(w.rowsBetween(-3, 0)), 4))
+      .withColumn(
+        "delta",
+        round(col("l_extendedprice") - coalesce(lag(col("l_extendedprice"), 1).over(w), col("l_extendedprice")), 4))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mov_avg"), col("delta"))
+  }
+
   /** Native session windows (30-min gap): Spark's session_window operator;
     * oracle rebuilds sessions on µs epochs (gap semantics are >= gap at µs
     * precision — second-floored gaps would diverge in [1800, 1801)).
@@ -448,6 +515,20 @@ object SparkEntry {
     val query = Array.tabulate(64)(i => math.sin(i + 1.0)) // deterministic probe
     Similarity.bruteForceTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
   }
+
+  /** Maximum-inner-product top-k (codegen DotProduct expression; the
+    * second metric of the ANN family, SQL-oracled like qs1).
+    */
+  private def qs3DotTopK(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.cos(i * 0.5 + 1.0)) // deterministic probe
+    Similarity.bruteForceTopKDot(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
+  }
+
+  /** Corpus-level TF-IDF: top-3 terms per document (TextAnalysis operator;
+    * scores rounded before ranking for a deterministic k-cut).
+    */
+  private def qt7Tfidf(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", 3)
 
   /** §2.10 — sessionization (gap > 30 min), batch window-function form;
     * the streaming-stateful twin (`EventStreams.sessionizeStateful`) is
@@ -737,6 +818,10 @@ object SparkEntry {
     "q18_shipping_priority" -> (q18ShippingPriority _),
     "q20_sliding_window" -> (q20SlidingWindow _),
     "q19_local_volume" -> (q19LocalVolume _),
+    "q21_rollup" -> (q21Rollup _),
+    "q22_pivot" -> (q22Pivot _),
+    "q23_set_ops" -> (q23SetOps _),
+    "q24_moving_avg" -> (q24MovingAvg _),
     "qd1_exact_dedup" -> (qd1ExactDedup _),
     "qd2_minhash_dedup" -> (qd2MinHashDedup _),
     "qd3_simhash_dedup" -> (qd3SimHashDedup _),
@@ -748,8 +833,10 @@ object SparkEntry {
     "qt4_redact" -> (qt4Redact _),
     "qt5_repetition" -> (qt5Repetition _),
     "qt6_subword" -> (qt6Subword _),
+    "qt7_tfidf" -> (qt7Tfidf _),
     "qd6_cluster_dedup" -> (qd6ClusterDedup _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
+    "qs3_dot_topk" -> (qs3DotTopK _),
     "qs2_label_centroids" -> (qs2LabelCentroids _),
     "qe1_sessionize" -> (qe1Sessionize _),
     "qe2_asof" -> (qe2AsofJoin _),
@@ -1047,6 +1134,57 @@ object SparkEntry {
         |    event_type
         |  FROM events CROSS JOIN (VALUES (0), (3600)) AS o(off))
         |GROUP BY ws, event_type""".stripMargin,
+    "q21_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q22_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q23_set_ops" ->
+      """SELECT custkey FROM (
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |   INTERSECT
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q24_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(avg(l_extendedprice) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+        |  round(l_extendedprice - coalesce(lag(l_extendedprice, 1) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        |    l_extendedprice), 4) AS delta
+        |FROM lineitem WHERE l_suppkey <= 10""".stripMargin,
+    "qt7_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE length(term) > 0
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term
+        |), n AS (
+        |  SELECT count(*)::DOUBLE AS nn FROM documents
+        |), ranked AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(n.nn / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |FROM ranked
+        |QUALIFY rk <= 3""".stripMargin,
     "q18_shipping_priority" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1285,6 +1423,19 @@ object SparkEntry {
          |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
          |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
          |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
+    },
+    "qs3_dot_topk" -> {
+      val qv = Array.tabulate(64)(i => math.cos(i * 0.5 + 1.0)) // same probe as qs3
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * qv[t.i]) AS d
+         |  FROM (SELECT vec_id, embedding, $qv::DOUBLE[] AS qv FROM embeddings)
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY vec_id)
+         |SELECT vec_id, round(d, 6) AS dot
+         |FROM s ORDER BY dot DESC, vec_id LIMIT 100""".stripMargin
     },
     "qt4_redact" ->
       """WITH red AS (

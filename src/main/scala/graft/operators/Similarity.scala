@@ -33,6 +33,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k by raw dot product (maximum inner-product search — the
+    * right metric when embeddings are pre-normalized or magnitude carries
+    * signal). Same scan + TakeOrderedAndProject shape as the cosine form;
+    * scoring runs through the codegen DotProduct expression.
+    */
+  def bruteForceTopKDot(embs: DataFrame, idCol: String, vecCol: String, query: Array[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    embs
+      .withColumn("dot", round(VectorFunctions.dot(col(vecCol), q), 6))
+      .select(col(idCol), col("dot"))
+      .orderBy(desc("dot"), col(idCol))
+      .limit(k)
+  }
+
   /** Exact k-NN join: for each row in `queries` (small side), the top-k
     * corpus rows by cosine. Queries are broadcast; corpus is never
     * shuffled — the window partitions by query id AFTER the similarity
