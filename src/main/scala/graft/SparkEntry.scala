@@ -754,18 +754,30 @@ object SparkEntry {
 
   // ------------------------------------------------- routing (G6/G7/G8-10)
   /** G6 — many-to-many route matrix via the custom Catalyst operator
-    * (RouteMatrixRelation → RouteMatrixExec; rows-only oracle: routing
-    * isn't SQL-expressible).
+    * (RouteMatrixRelation → RouteMatrixExec). DuckDB oracle: hop-bounded
+    * Bellman-Ford in a recursive CTE over the same SQL-generated grid —
+    * bit-identical costs, because both engines compute the minimal
+    * fixpoint of dist(v) = min(dist(u) + w) with identical left-to-right
+    * accumulation along the winning path.
     */
   private def qg1RouteMatrix(spark: SparkSession, dir: String): DataFrame = {
     val (g, od) = graph.DemoNetwork.grid(8)
     plans.RouteMatrixPlan.routeMatrix(spark, g, od)
   }
 
-  /** G7 — leave-one-out criticality scores over all grid ways. */
+  /** G7 — leave-one-out criticality scores over all grid ways. Doubles
+    * rounded to 6 dp: delta sums accumulate in pair order here but in
+    * arbitrary order in the set-based oracle (1e-13 divergence).
+    */
   private def qg2Criticality(spark: SparkSession, dir: String): DataFrame = {
     val (g, od) = graph.DemoNetwork.grid(8)
     graph.Criticality.scores(spark, g, od)
+      .select(
+        col("way_id"),
+        round(col("score"), 6).as("score"),
+        col("unroutablePairs"),
+        col("impactedPairs"),
+        round(col("avgTimeNonZero"), 6).as("avgTimeNonZero"))
   }
 
   /** G7 at scale — leave-one-out criticality over a 16×16 grid (480 ways,
@@ -1437,6 +1449,109 @@ object SparkEntry {
          |SELECT vec_id, round(d, 6) AS dot
          |FROM s ORDER BY dot DESC, vec_id LIMIT 100""".stripMargin
     },
+    // DemoNetwork.grid(8) rebuilt in SQL (same ruc formula, same 0.99888 km
+    // factor, same append-order way indexing via row_number over (i,j,kind)),
+    // then hop-bounded Bellman-Ford as a recursive CTE: each iteration
+    // carries the full per-(source,node) min table forward and relaxes one
+    // edge hop; min over iterations = Dijkstra's fixpoint, bit-identical
+    // (identical left-to-right accumulation along the winning path, min
+    // over the same candidate set). Hop bound 70 > any useful path length
+    // (cheapest edge 0.4994, costliest shortest path ~11.3 ⇒ ≤23 hops).
+    "qg1_route_matrix" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT i*8+j AS src, i*8+j+1 AS dst,
+        |         (0.5 + ((i*31 + j*17) % 100)/100.0) * 0.99888 AS w
+        |  FROM generate_series(0,7) s(i), generate_series(0,6) t(j)
+        |), v AS (
+        |  SELECT i*8+j AS src, (i+1)*8+j AS dst,
+        |         (0.5 + ((j*31 + i*17) % 100)/100.0) * 0.99888 AS w
+        |  FROM generate_series(0,6) s(i), generate_series(0,7) t(j)
+        |), e0 AS (SELECT * FROM h UNION ALL SELECT * FROM v),
+        |edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+        |od(idx, node) AS (SELECT * FROM (VALUES (0,0),(1,7),(2,56),(3,63),(4,36))),
+        |r(it, s, node, cost) AS (
+        |    SELECT 0, idx, node, CAST(0.0 AS DOUBLE) FROM od
+        |    UNION ALL
+        |    SELECT it + 1, s, node, min(cost) FROM (
+        |      SELECT it, s, node, cost FROM r
+        |      UNION ALL
+        |      SELECT r.it, r.s, e.dst, r.cost + e.w FROM r JOIN edges e ON e.src = r.node
+        |    ) t(it, s, node, cost)
+        |    WHERE it < 70
+        |    GROUP BY it, s, node
+        |), sp AS (SELECT s, node, min(cost) AS cost FROM r GROUP BY s, node)
+        |SELECT a.idx AS o_idx, b.idx AS d_idx, TRUE AS routable, sp.cost AS ruc
+        |FROM od a JOIN od b ON a.idx < b.idx
+        |JOIN sp ON sp.s = a.idx AND sp.node = b.node""".stripMargin,
+    // leave-one-out criticality: scenario dimension sw = way removed (-1 =
+    // benchmark), edges filtered per scenario inside the relaxation; then
+    // the reference's exact scoring (criticality.js:93-110) in SQL
+    "qg2_criticality" ->
+      """WITH RECURSIVE wayedges AS (
+        |  SELECT row_number() OVER (ORDER BY i, j, kind) - 1 AS way, src, dst, w
+        |  FROM (
+        |    SELECT i, j, 0 AS kind, i*8+j AS src, i*8+j+1 AS dst,
+        |           (0.5 + ((i*31 + j*17) % 100)/100.0) * 0.99888 AS w
+        |    FROM generate_series(0,7) s(i), generate_series(0,6) t(j)
+        |    UNION ALL
+        |    SELECT i, j, 1, i*8+j, (i+1)*8+j,
+        |           (0.5 + ((j*31 + i*17) % 100)/100.0) * 0.99888
+        |    FROM generate_series(0,6) s(i), generate_series(0,7) t(j)
+        |  ) raw(i, j, kind, src, dst, w)
+        |),
+        |edges AS (
+        |  SELECT way, src, dst, w FROM wayedges
+        |  UNION ALL
+        |  SELECT way, dst, src, w FROM wayedges
+        |),
+        |od(idx, node) AS (SELECT * FROM (VALUES (0,0),(1,7),(2,56),(3,63),(4,36))),
+        |scen(sw) AS (SELECT -1 UNION ALL SELECT DISTINCT way FROM wayedges),
+        |r(sw, it, s, node, cost) AS (
+        |    SELECT scen.sw, 0, idx, node, CAST(0.0 AS DOUBLE) FROM od CROSS JOIN scen
+        |    UNION ALL
+        |    SELECT sw, it + 1, s, node, min(cost) FROM (
+        |      SELECT sw, it, s, node, cost FROM r
+        |      UNION ALL
+        |      SELECT r.sw, r.it, r.s, e.dst, r.cost + e.w
+        |      FROM r JOIN edges e ON e.src = r.node AND e.way != r.sw
+        |    ) t(sw, it, s, node, cost)
+        |    WHERE it < 50
+        |    GROUP BY sw, it, s, node
+        |),
+        |sp AS (SELECT sw, s, node, min(cost) AS cost FROM r GROUP BY sw, s, node),
+        |pairs AS (
+        |  SELECT sp.sw, a.idx AS o, b.idx AS d, sp.cost
+        |  FROM od a JOIN od b ON a.idx < b.idx
+        |  JOIN sp ON sp.s = a.idx AND sp.node = b.node
+        |),
+        |delta AS (
+        |  SELECT s.sw AS way, s.cost - b.cost AS dt
+        |  FROM pairs s JOIN pairs b ON b.sw = -1 AND s.o = b.o AND s.d = b.d
+        |  WHERE s.sw >= 0
+        |),
+        |stats AS (
+        |  SELECT way,
+        |    0 AS unroutablePairs,
+        |    sum(CASE WHEN dt > 0 THEN 1 ELSE 0 END)::INTEGER AS impactedPairs,
+        |    CASE WHEN sum(CASE WHEN dt != 0 THEN 1 ELSE 0 END) = 0 THEN 0.0
+        |         ELSE sum(CASE WHEN dt >= 0 THEN dt ELSE 0 END) / sum(CASE WHEN dt != 0 THEN 1 ELSE 0 END) END AS avgTimeNonZero
+        |  FROM delta GROUP BY way
+        |),
+        |norms AS (
+        |  SELECT max((unroutablePairs + impactedPairs) * avgTimeNonZero) AS avgMaxTime,
+        |         max(unroutablePairs) AS maxUnroutable
+        |  FROM stats
+        |),
+        |scored AS (
+        |  SELECT 'w' || way AS way_id,
+        |    round((CASE WHEN n.avgMaxTime = 0 THEN 0.0
+        |          ELSE (s.unroutablePairs + s.impactedPairs) * s.avgTimeNonZero / n.avgMaxTime END * 0.4 +
+        |     CASE WHEN n.maxUnroutable = 0 THEN 0.0
+        |          ELSE CAST(s.unroutablePairs AS DOUBLE) / n.maxUnroutable END * 0.6) * 100, 6) AS score,
+        |    s.unroutablePairs, s.impactedPairs, round(s.avgTimeNonZero, 6) AS avgTimeNonZero
+        |  FROM stats s CROSS JOIN norms n
+        |)
+        |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin,
     "qt4_redact" ->
       """WITH red AS (
         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(

@@ -32,9 +32,10 @@ object TextAnalysis {
     val tf = toks
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = toks
-      .select(col(idCol), col("term"))
-      .distinct()
+    // document frequency derives from tf, whose keys ARE the distinct
+    // (doc, term) pairs — one tokenization scan feeds both aggregates
+    // instead of re-exploding the corpus for a distinct()
+    val dfreq = tf
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("__n"))
