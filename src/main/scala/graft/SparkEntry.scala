@@ -790,13 +790,20 @@ object SparkEntry {
   }
 
   /** G8–G10 — EAUL upgrade sweep: (way × upgrade) fan-out with flood
-    * scenarios and the trapezoid over return periods.
+    * scenarios and the trapezoid over return periods. DuckDB-oracled: the
+    * demo flood stats only sever ways at RP 500/1000 (identical impassable
+    * sets), so the 11-matrix sweep per scenario collapses exactly to two
+    * matrices (upgrade baseline + flooded), the RP≤250 trapezoid terms are
+    * literal zeros, and the whole chain — impassability, repair-time max,
+    * user-cost sum, trapezoid, neglect threshold — replays in SQL. Rounded
+    * to 6 dp (pair sums accumulate in different orders across engines).
     */
   private def qg3Eaul(spark: SparkSession, dir: String): DataFrame = {
     val (g, od) = graph.DemoNetwork.grid(6)
     graph.Eaul.sweep(
       spark, g, graph.DemoNetwork.floodStats(g), od,
       graph.DemoNetwork.yearlyTraffic(od.length), Set.empty)
+      .select(col("way_id"), col("upgrade"), round(col("eaul"), 6).as("eaul"))
   }
 
   /** Vector aggregation — per-label mean embedding (posexplode → grouped
@@ -1552,6 +1559,109 @@ object SparkEntry {
         |  FROM stats s CROSS JOIN norms n
         |)
         |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin,
+    // EAUL sweep on grid(6): scenario = (way sw, upgrade uidx, flooded fl).
+    // Demo flood stats sever ways only at RP 500/1000 with the same
+    // impassable set, so per scenario exactly two route matrices exist
+    // (fl=0 upgrade baseline, fl=1 flooded); RP≤250 user costs are exactly
+    // 0 (identical graphs ⇒ identical costs ⇒ fr−br ≡ 0, and empty
+    // impassable set ⇒ repair time 0), so their trapezoid terms vanish
+    // bit-exactly and only the 250→500→1000 terms survive. Repair times,
+    // the JS null-coercion user-cost sum, the monotone-flood global
+    // unroutable exclusion, and the |eaul|<1 neglect threshold all replay
+    // with the reference's exact arithmetic shape.
+    "qg3_eaul" ->
+      """WITH RECURSIVE wayedges AS (
+        |  SELECT row_number() OVER (ORDER BY i, j, kind) - 1 AS way, src, dst, ruc, ruc * 0.99888 AS w
+        |  FROM (
+        |    SELECT i, j, 0 AS kind, i*6+j AS src, i*6+j+1 AS dst,
+        |           0.5 + ((i*31 + j*17) % 100)/100.0 AS ruc
+        |    FROM generate_series(0,5) s(i), generate_series(0,4) t(j)
+        |    UNION ALL
+        |    SELECT i, j, 1, i*6+j, (i+1)*6+j,
+        |           0.5 + ((j*31 + i*17) % 100)/100.0
+        |    FROM generate_series(0,4) s(i), generate_series(0,5) t(j)
+        |  ) raw(i, j, kind, src, dst, ruc)
+        |),
+        |ways AS (
+        |  SELECT way, min(ruc) AS ruc,
+        |         CASE WHEN way % 3 = 0 THEN 'paved' ELSE 'unpaved' END AS surface,
+        |         (way % 7 = 0) AS flooded
+        |  FROM wayedges GROUP BY way
+        |),
+        |edges AS (
+        |  SELECT we.way, we.src, we.dst, we.ruc, we.w, wy.flooded
+        |  FROM wayedges we JOIN ways wy USING (way)
+        |  UNION ALL
+        |  SELECT we.way, we.dst, we.src, we.ruc, we.w, wy.flooded
+        |  FROM wayedges we JOIN ways wy USING (way)
+        |),
+        |ups(uidx, uid, uruc, usurface) AS (
+        |  SELECT * FROM (VALUES (0,'upgrade-rehab-asphalt',0.23,'paved'),
+        |                        (1,'upgrade-rehab-gravel',0.27,'unpaved'),
+        |                        (2,'rehab-earth',0.30,'unpaved'))),
+        |scen AS (
+        |  SELECT -1 AS sw, -1 AS uidx, fl FROM (VALUES (0),(1)) f(fl)
+        |  UNION ALL
+        |  SELECT w.way, u.uidx, f.fl FROM ways w CROSS JOIN ups u CROSS JOIN (VALUES (0),(1)) f(fl)
+        |),
+        |od(idx, node) AS (SELECT * FROM (VALUES (0,0),(1,5),(2,30),(3,35),(4,21))),
+        |r(sw, uidx, fl, it, s, node, cost) AS (
+        |  SELECT sw, uidx, fl, 0, idx, node, CAST(0.0 AS DOUBLE) FROM scen CROSS JOIN od
+        |  UNION ALL
+        |  SELECT sw, uidx, fl, it + 1, s, node, min(cost) FROM (
+        |    SELECT sw, uidx, fl, it, s, node, cost FROM r
+        |    UNION ALL
+        |    SELECT r.sw, r.uidx, r.fl, r.it, r.s, e.dst,
+        |      r.cost + CASE WHEN e.way = r.sw THEN e.w * (u.uruc / e.ruc) ELSE e.w END
+        |    FROM r JOIN edges e ON e.src = r.node AND NOT (r.fl = 1 AND e.flooded)
+        |    LEFT JOIN ups u ON u.uidx = r.uidx
+        |  ) t(sw, uidx, fl, it, s, node, cost)
+        |  WHERE it < 40
+        |  GROUP BY sw, uidx, fl, it, s, node
+        |),
+        |sp AS (SELECT sw, uidx, fl, s, node, min(cost) AS cost FROM r GROUP BY sw, uidx, fl, s, node),
+        |tri AS (SELECT a.idx AS o, b.idx AS d, b.node AS dnode FROM od a JOIN od b ON a.idx < b.idx),
+        |mat AS (
+        |  SELECT sc.sw, sc.uidx, sc.fl, t.o, t.d, sp.cost
+        |  FROM scen sc CROSS JOIN tri t
+        |  LEFT JOIN sp ON sp.sw = sc.sw AND sp.uidx = sc.uidx AND sp.fl = sc.fl
+        |              AND sp.s = t.o AND sp.node = t.dnode
+        |),
+        |gu AS (SELECT o, d FROM mat WHERE sw = -1 AND uidx = -1 AND fl = 1 AND cost IS NULL),
+        |fsum AS (
+        |  SELECT f.sw, f.uidx,
+        |    sum((coalesce(f.cost, 0) - coalesce(b.cost, 0)) * 36500.0) AS s
+        |  FROM mat f
+        |  JOIN mat b ON b.sw = f.sw AND b.uidx = f.uidx AND b.fl = 0 AND b.o = f.o AND b.d = f.d
+        |  WHERE f.fl = 1 AND NOT EXISTS (SELECT 1 FROM gu WHERE gu.o = f.o AND gu.d = f.d)
+        |  GROUP BY f.sw, f.uidx
+        |),
+        |rep AS (
+        |  SELECT q.sw, q.uidx,
+        |    max(1000.0 * 50.0 / 100.0 / 1000.0 * q.rt / 24.0) AS r500,
+        |    max(1000.0 * 100.0 / 100.0 / 1000.0 * q.rt / 24.0) AS r1000
+        |  FROM (
+        |    SELECT sc.sw, sc.uidx,
+        |      CASE WHEN (CASE WHEN w.way = sc.sw THEN u.usurface ELSE w.surface END) = 'paved'
+        |           THEN 1056.0 ELSE 4320.0 END AS rt
+        |    FROM (SELECT DISTINCT sw, uidx FROM scen) sc
+        |    CROSS JOIN ways w
+        |    LEFT JOIN ups u ON u.uidx = sc.uidx
+        |    WHERE w.flooded
+        |  ) q
+        |  GROUP BY q.sw, q.uidx
+        |),
+        |eauls AS (
+        |  SELECT f.sw, f.uidx,
+        |    0.5 * ((1.0/250 - 1.0/500) * (0.0 + rep.r500 * f.s)
+        |         + (1.0/500 - 1.0/1000) * (rep.r500 * f.s + rep.r1000 * f.s)) AS raw
+        |  FROM fsum f JOIN rep ON rep.sw = f.sw AND rep.uidx = f.uidx
+        |)
+        |SELECT 'w' || sw AS way_id, u.uid AS upgrade,
+        |  round(CASE WHEN abs(raw) < 1 THEN 0.0 ELSE raw END, 6) AS eaul
+        |FROM eauls JOIN ups u USING (uidx) WHERE sw >= 0
+        |UNION ALL
+        |SELECT 'baseline', 'baseline', round(raw, 6) FROM eauls WHERE sw = -1""".stripMargin,
     "qt4_redact" ->
       """WITH red AS (
         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
