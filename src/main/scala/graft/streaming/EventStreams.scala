@@ -75,6 +75,45 @@ object EventStreams {
       }
   }
 
+  /** Event-time-correct stateful sessionization: events buffer in per-key
+    * state and sessions finalize only when the EVENT-TIME timeout fires
+    * (watermark passes last-seen + gap), so cross-batch disorder within
+    * the watermark horizon cannot mis-split sessions — the exactness
+    * `sessionizeStateful`'s compact state gives up (see its ordering
+    * contract). Cost: state holds the key's in-flight events, bounded by
+    * the watermark horizon; emission is deferred until quiescence.
+    */
+  def sessionizeBuffered(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], SessionSummary](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(Nil)
+            state.remove()
+            val sorted = buf.sortBy(e => (e.ts.getTime, e.event_id))
+            var sessions = 0L
+            var last = Long.MinValue
+            sorted.foreach { e =>
+              val epoch = e.ts.getTime / 1000
+              if (last == Long.MinValue || epoch - last > gapSec) sessions += 1
+              last = epoch
+            }
+            Iterator.single(SessionSummary(userId, sessions, sorted.length.toLong))
+          } else {
+            val buf = state.getOption.getOrElse(Nil) ++ it
+            state.update(buf)
+            // finalize once the watermark clears the last buffered event by
+            // a full gap — no on-time event can extend the final session
+            val lastMs = buf.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(lastMs + gapSec * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming dedup: exactly-once event ids within the watermark horizon
     * (`dropDuplicatesWithinWatermark` — state expires with the watermark,
     * so unbounded streams don't accumulate unbounded dedup state).

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the scale-design claims in ENGINE.md
+  * ("filters reach the scan", "dims broadcast", "partial aggregation
+  * before the exchange") verified against the actual executed plans, so a
+  * regression that silently de-optimizes a plan (a lost pushdown, a
+  * broadcast that falls back to shuffle) fails the suite rather than only
+  * showing up at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, "plan-spec")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Plan AFTER execution — AQE finalizes stages (and codegen markers)
+    * only once the query has actually run.
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: filter and projection are pushed into the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(p_size,30)"), p.take(800))
+    // pruned read schema: only the 4 selected columns are read
+    assert(!p.contains("p_retailprice"), "unselected column leaked into ReadSchema")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan("q1_agg")
+    // two HashAggregates around one exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
+  test("q3: dimension joins broadcast — the fact side is never shuffled for the join") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to sort-merge")
+  }
+
+  test("q5: anti join survives as a join, not a cartesian") {
+    val p = plan("q5_anti_join")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "anti join planned as cartesian")
+  }
+
+  test("qs1: cosine top-k is TakeOrdered, not a global sort") {
+    val p = plan("qs1_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Sort ["), "global sort materialized for a top-k")
+  }
+
+  test("qsp2: packed argmin aggregates with hash aggregation, not sort aggregation") {
+    val p = plan("qsp2_nearest")
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("SortAggregate"), "argmin fell off hash aggregation")
+  }
+
+  test("whole-stage codegen covers the q1 hot path") {
+    // codegen'd operators carry the "*(n)" stage marker in the plan string
+    val p = finalPlan("q1_agg")
+    assert(p.contains("*("), p.take(800))
+  }
+}

@@ -35,6 +35,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == batch)
   }
 
+  test("buffered sessionization is exact under cross-batch event-time disorder") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // three single-file micro-batches; batch B's event is EARLIER than
+    // batch A's (cross-batch disorder): true sessions for user 1 are
+    // {09:00} and {10:00, 10:10} — the compact lastEpoch state cannot
+    // recover this, the buffered variant must
+    def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val dir = java.nio.file.Files.createTempDirectory("buffered-sessions").toString
+    def writeBatch(name: String, rows: Seq[EventStreams.Event], mtime: Long): Unit = {
+      val sub = s"$dir/$name"
+      rows.toDS().repartition(1).write.parquet(sub)
+      // deterministic file-source pickup order via modification times
+      new java.io.File(sub).listFiles().foreach(f => f.setLastModified(mtime))
+    }
+    writeBatch("a", Seq(
+      EventStreams.Event(1L, ts("10:00"), 1L, "click", 1.0),
+      EventStreams.Event(2L, ts("10:10"), 1L, "click", 1.0)), 1000000L)
+    writeBatch("b", Seq(
+      EventStreams.Event(3L, ts("09:00"), 1L, "click", 1.0)), 2000000L)
+    writeBatch("c", Seq( // watermark pusher: 14:00 − 1h ≫ 10:10 + gap
+      EventStreams.Event(9L, ts("14:00"), 99L, "click", 1.0)), 3000000L)
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]].schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeBuffered(stream, gapSec = 1800).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("buffered_sessions")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("buffered_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 3L)), s"got $out") // 2 sessions, 3 events — exact despite disorder
+  }
+
   test("streaming windowed aggregation equals the batch q17 aggregation") {
     val raw = Tables.events(spark, sfDir)
     // file stream sources need a directory, not a single file
