@@ -530,6 +530,78 @@ object SparkEntry {
   private def qt7Tfidf(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.tfIdfTopTerms(t(spark, dir, "documents"), "doc_id", "text", 3)
 
+  /** Vocabulary building: corpus top-20 bigrams. Consecutive-token pairs
+    * come from zipping the token array against its own tail (slice +
+    * arrays_zip + explode — native collection expressions, no per-element
+    * lambda HOF on the hot path), then one hash-count shuffle.
+    */
+  private def qt8Bigrams(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("h", expr("slice(toks, 1, size(toks) - 1)"))
+      .withColumn("tl", expr("slice(toks, 2, size(toks) - 1)"))
+      .select(explode(arrays_zip(col("h"), col("tl"))).as("p"))
+      .select(concat(col("p.h"), lit(" "), col("p.tl")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram"))
+      .limit(20)
+
+  /** Stratified deterministic sampling + class-balance reweighting: a
+    * hash-gate keeps ~20% of docs reproducibly (no RNG — same rows on any
+    * cluster/partitioning), then each kept row carries the inverse-
+    * frequency weight N/(k·n_class) a balanced training loss would use.
+    */
+  private def qt9Sample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sampled = docs.filter(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 200)
+    val n = sampled.agg(count(lit(1)).cast("double").as("__n"))
+    val byLang = sampled.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("__nl"))
+    sampled
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        round(col("__n") / (lit(2.0) * col("__nl")), 6).as("weight"))
+  }
+
+  /** Sequence packing for training batches: docs pack into ≤4096-token
+    * sequences by running cumsum within each lang shard (contiguous
+    * cumsum-division packing — deterministic, one window; per-shard
+    * windows keep the sort distributed, no global single-partition order).
+    */
+  private def qt10Packing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / 4096.0).cast("long").as("seq_id"))
+  }
+
+  /** Exact word-set Jaccard on adjacent-id doc pairs — the verification
+    * kernel of the LSH dedup family, isolated on a fixed pair set so it
+    * IS SQL-expressible (the LSH candidate generation itself is not).
+    */
+  private def qd7WordJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val w = t(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ws"))
+    val a = w.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
+    val b = w.select((col("doc_id") - 1).as("a_id"), col("ws").as("b_ws"))
+    a.join(b, Seq("a_id"))
+      .select(
+        col("a_id").as("doc_id"),
+        round(
+          size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
+            size(array_union(col("a_ws"), col("b_ws"))).cast("double"),
+          6).as("jaccard"))
+  }
+
   /** §2.10 — sessionization (gap > 30 min), batch window-function form;
     * the streaming-stateful twin (`EventStreams.sessionizeStateful`) is
     * equivalence-tested in StreamingSpec.
@@ -859,6 +931,10 @@ object SparkEntry {
     "qt5_repetition" -> (qt5Repetition _),
     "qt6_subword" -> (qt6Subword _),
     "qt7_tfidf" -> (qt7Tfidf _),
+    "qt8_bigrams" -> (qt8Bigrams _),
+    "qt9_sample" -> (qt9Sample _),
+    "qt10_packing" -> (qt10Packing _),
+    "qd7_word_jaccard" -> (qd7WordJaccard _),
     "qd6_cluster_dedup" -> (qd6ClusterDedup _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
     "qs3_dot_topk" -> (qs3DotTopK _),
@@ -1210,6 +1286,43 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
         |FROM ranked
         |QUALIFY rk <= 3""".stripMargin,
+    "qt8_bigrams" ->
+      """WITH d AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        |), p AS (
+        |  SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM d
+        |)
+        |SELECT toks[i] || ' ' || toks[i+1] AS bigram, count(*) AS n
+        |FROM p GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "qt9_sample" ->
+      """WITH sampled AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE (doc_id * 2654435761) % 1000 < 200
+        |), n AS (SELECT count(*)::DOUBLE AS nn FROM sampled),
+        |bylang AS (SELECT lang, count(*)::DOUBLE AS nl FROM sampled GROUP BY lang)
+        |SELECT s.doc_id, s.lang, round(n.nn / (2.0 * b.nl), 6) AS weight
+        |FROM sampled s JOIN bylang b USING (lang) CROSS JOIN n""".stripMargin,
+    "qt10_packing" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS seq_id
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      (CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE length(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+        |    FROM documents))""".stripMargin,
+    "qd7_word_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+        |  FROM documents
+        |)
+        |SELECT a.doc_id,
+        |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
+        |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q18_shipping_priority" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
