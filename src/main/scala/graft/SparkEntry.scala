@@ -867,6 +867,15 @@ object SparkEntry {
         round(col("avgTimeNonZero"), 6).as("avgTimeNonZero"))
   }
 
+  /** The reference's own golden fixture (tests/README.md:23-61) as a gate
+    * query: route matrix over the reconstructed 10-segment network. The
+    * documented A-B cost (3.75 via ways 1-2-3) is asserted in RoutingSpec;
+    * here the whole matrix is DuckDB-validated (Bellman-Ford over the
+    * same VALUES edge list, identical ruc·len/1000 cost arithmetic).
+    */
+  private def qg5GoldenRoutes(spark: SparkSession, dir: String): DataFrame =
+    plans.RouteMatrixPlan.routeMatrix(spark, graph.GoldenNetwork.graph, graph.GoldenNetwork.odNodes)
+
   /** G8–G10 — EAUL upgrade sweep: (way × upgrade) fan-out with flood
     * scenarios and the trapezoid over return periods. DuckDB-oracled: the
     * demo flood stats only sever ways at RP 500/1000 (identical impassable
@@ -956,7 +965,8 @@ object SparkEntry {
     "qg1_route_matrix" -> (qg1RouteMatrix _),
     "qg2_criticality" -> (qg2Criticality _),
     "qg3_eaul" -> (qg3Eaul _),
-    "qg4_criticality_large" -> (qg4CriticalityLarge _)
+    "qg4_criticality_large" -> (qg4CriticalityLarge _),
+    "qg5_golden_routes" -> (qg5GoldenRoutes _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1747,6 +1757,35 @@ object SparkEntry {
         |  FROM stats s CROSS JOIN norms n
         |)
         |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin,
+    // the reference's golden 10-segment network: edge list as VALUES with
+    // the identical ruc·lenM/1000.0 cost expression (literal simplification
+    // like 0.8·1000/1000 → 0.8 would NOT be ulp-identical), BF as in qg1
+    "qg5_golden_routes" ->
+      """WITH RECURSIVE e0(src, dst, ruc, lenm) AS (
+        |  SELECT * FROM (VALUES
+        |    (0,1,1.25,1000),(1,2,1.25,1000),(2,3,1.25,1000),
+        |    (1,4,0.75,1000),(4,5,0.75,2000),(5,3,0.75,1000),
+        |    (1,6,0.8,1000),(6,7,0.8,2000),(7,3,0.8,1000),(8,2,0.8,500))),
+        |edges AS (
+        |  SELECT src, dst, CAST(ruc AS DOUBLE) * lenm / 1000.0 AS w FROM e0
+        |  UNION ALL
+        |  SELECT dst, src, CAST(ruc AS DOUBLE) * lenm / 1000.0 AS w FROM e0
+        |),
+        |od(idx, node) AS (SELECT * FROM (VALUES (0,0),(1,3),(2,8))),
+        |r(it, s, node, cost) AS (
+        |    SELECT 0, idx, node, CAST(0.0 AS DOUBLE) FROM od
+        |    UNION ALL
+        |    SELECT it + 1, s, node, min(cost) FROM (
+        |      SELECT it, s, node, cost FROM r
+        |      UNION ALL
+        |      SELECT r.it, r.s, e.dst, r.cost + e.w FROM r JOIN edges e ON e.src = r.node
+        |    ) t(it, s, node, cost)
+        |    WHERE it < 20
+        |    GROUP BY it, s, node
+        |), sp AS (SELECT s, node, min(cost) AS cost FROM r GROUP BY s, node)
+        |SELECT a.idx AS o_idx, b.idx AS d_idx, TRUE AS routable, sp.cost AS ruc
+        |FROM od a JOIN od b ON a.idx < b.idx
+        |JOIN sp ON sp.s = a.idx AND sp.node = b.node""".stripMargin,
     // EAUL sweep on grid(6): scenario = (way sw, upgrade uidx, flooded fl).
     // Demo flood stats sever ways only at RP 500/1000 with the same
     // impassable set, so per scenario exactly two route matrices exist
