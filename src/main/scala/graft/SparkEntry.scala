@@ -876,6 +876,19 @@ object SparkEntry {
   private def qg5GoldenRoutes(spark: SparkSession, dir: String): DataFrame =
     plans.RouteMatrixPlan.routeMatrix(spark, graph.GoldenNetwork.graph, graph.GoldenNetwork.odNodes)
 
+  /** Golden-fixture EAUL sweep: unlike qg3's grid, the golden floods give
+    * DIFFERENT impassable sets per return period (ways 2,3 at RP500;
+    * 2,3,5 at RP1000) AND disconnect OD pairs (A-C, B-C) — so this gate
+    * exercises the global unroutable-pair exclusion and per-period repair
+    * times through the SQL oracle, which qg3 structurally cannot.
+    */
+  private def qg6GoldenEaul(spark: SparkSession, dir: String): DataFrame =
+    graph.Eaul.sweep(
+      spark, graph.GoldenNetwork.graph, graph.GoldenNetwork.floodStats,
+      graph.GoldenNetwork.odNodes, graph.GoldenNetwork.yearlyTraffic,
+      graph.GoldenNetwork.noTraffic)
+      .select(col("way_id"), col("upgrade"), round(col("eaul"), 6).as("eaul"))
+
   /** G8–G10 — EAUL upgrade sweep: (way × upgrade) fan-out with flood
     * scenarios and the trapezoid over return periods. DuckDB-oracled: the
     * demo flood stats only sever ways at RP 500/1000 (identical impassable
@@ -966,7 +979,8 @@ object SparkEntry {
     "qg2_criticality" -> (qg2Criticality _),
     "qg3_eaul" -> (qg3Eaul _),
     "qg4_criticality_large" -> (qg4CriticalityLarge _),
-    "qg5_golden_routes" -> (qg5GoldenRoutes _)
+    "qg5_golden_routes" -> (qg5GoldenRoutes _),
+    "qg6_golden_eaul" -> (qg6GoldenEaul _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1786,6 +1800,98 @@ object SparkEntry {
         |SELECT a.idx AS o_idx, b.idx AS d_idx, TRUE AS routable, sp.cost AS ruc
         |FROM od a JOIN od b ON a.idx < b.idx
         |JOIN sp ON sp.s = a.idx AND sp.node = b.node""".stripMargin,
+    // golden-fixture EAUL: two DISTINCT impassable sets (RP500: ways 2,3;
+    // RP1000: 2,3,5 — fl dimension 0/1/2), A-C and B-C disconnect under
+    // flood and are globally excluded (gu), per-period repair times from
+    // the documented way lengths/percents. Same bit-exact BF core.
+    "qg6_golden_eaul" ->
+      """WITH RECURSIVE ways(way, name, src, dst, ruc, lenm) AS (
+        |  SELECT * FROM (VALUES
+        |    (0,'1',0,1,1.25,1000),(1,'2',1,2,1.25,1000),(2,'3',2,3,1.25,1000),
+        |    (3,'4',1,4,0.75,1000),(4,'5',4,5,0.75,2000),(5,'6',5,3,0.75,1000),
+        |    (6,'7',1,6,0.8,1000),(7,'8',6,7,0.8,2000),(8,'9',7,3,0.8,1000),
+        |    (9,'10',8,2,0.8,500))),
+        |edges AS (
+        |  SELECT way, src, dst, CAST(ruc AS DOUBLE) AS ruc, CAST(ruc AS DOUBLE) * lenm / 1000.0 AS w FROM ways
+        |  UNION ALL
+        |  SELECT way, dst, src, CAST(ruc AS DOUBLE), CAST(ruc AS DOUBLE) * lenm / 1000.0 FROM ways
+        |),
+        |imp(fl, way) AS (SELECT * FROM (VALUES (1,1),(1,2),(2,1),(2,2),(2,4))),
+        |pct(fl, way, p) AS (SELECT * FROM (VALUES (1,1,50.0),(1,2,50.0),(2,1,100.0),(2,2,100.0),(2,4,100.0))),
+        |ups(uidx, uid, uruc, usurface) AS (
+        |  SELECT * FROM (VALUES (0,'upgrade-rehab-asphalt',0.23,'paved'),
+        |                        (1,'upgrade-rehab-gravel',0.27,'unpaved'),
+        |                        (2,'rehab-earth',0.30,'unpaved'))),
+        |scen AS (
+        |  SELECT -1 AS sw, -1 AS uidx, fl FROM (VALUES (0),(1),(2)) f(fl)
+        |  UNION ALL
+        |  SELECT w.way, u.uidx, f.fl FROM (SELECT DISTINCT way FROM ways) w(way)
+        |  CROSS JOIN ups u CROSS JOIN (VALUES (0),(1),(2)) f(fl)
+        |),
+        |od(idx, node) AS (SELECT * FROM (VALUES (0,0),(1,3),(2,8))),
+        |r(sw, uidx, fl, it, s, node, cost) AS (
+        |  SELECT sw, uidx, fl, 0, idx, node, CAST(0.0 AS DOUBLE) FROM scen CROSS JOIN od
+        |  UNION ALL
+        |  SELECT sw, uidx, fl, it + 1, s, node, min(cost) FROM (
+        |    SELECT sw, uidx, fl, it, s, node, cost FROM r
+        |    UNION ALL
+        |    SELECT r.sw, r.uidx, r.fl, r.it, r.s, e.dst,
+        |      r.cost + CASE WHEN e.way = r.sw THEN e.w * (u.uruc / e.ruc) ELSE e.w END
+        |    FROM r JOIN edges e ON e.src = r.node
+        |      AND NOT EXISTS (SELECT 1 FROM imp WHERE imp.fl = r.fl AND imp.way = e.way)
+        |    LEFT JOIN ups u ON u.uidx = r.uidx
+        |  ) t(sw, uidx, fl, it, s, node, cost)
+        |  WHERE it < 15
+        |  GROUP BY sw, uidx, fl, it, s, node
+        |),
+        |sp AS (SELECT sw, uidx, fl, s, node, min(cost) AS cost FROM r GROUP BY sw, uidx, fl, s, node),
+        |tri AS (SELECT a.idx AS o, b.idx AS d, b.node AS dnode FROM od a JOIN od b ON a.idx < b.idx),
+        |mat AS (
+        |  SELECT sc.sw, sc.uidx, sc.fl, t.o, t.d, sp.cost
+        |  FROM scen sc CROSS JOIN tri t
+        |  LEFT JOIN sp ON sp.sw = sc.sw AND sp.uidx = sc.uidx AND sp.fl = sc.fl
+        |              AND sp.s = t.o AND sp.node = t.dnode
+        |),
+        |gu AS (SELECT DISTINCT o, d FROM mat WHERE sw = -1 AND uidx = -1 AND fl IN (1,2) AND cost IS NULL),
+        |fsum AS (
+        |  SELECT f.sw, f.uidx, f.fl,
+        |    sum((coalesce(f.cost, 0) - coalesce(b.cost, 0)) * 73000.0) AS s
+        |  FROM mat f
+        |  JOIN mat b ON b.sw = f.sw AND b.uidx = f.uidx AND b.fl = 0 AND b.o = f.o AND b.d = f.d
+        |  WHERE f.fl IN (1,2) AND NOT EXISTS (SELECT 1 FROM gu WHERE gu.o = f.o AND gu.d = f.d)
+        |  GROUP BY f.sw, f.uidx, f.fl
+        |),
+        |rep AS (
+        |  SELECT q.sw, q.uidx, q.fl,
+        |    max(CAST(q.lenm AS DOUBLE) * q.p / 100.0 / 1000.0 * q.rt / 24.0) AS r
+        |  FROM (
+        |    SELECT sc.sw, sc.uidx, i.fl, w.lenm, pct.p,
+        |      CASE WHEN (CASE WHEN w.way = sc.sw THEN u.usurface ELSE 'unpaved' END) = 'paved'
+        |           THEN 1056.0 ELSE 4320.0 END AS rt
+        |    FROM (SELECT DISTINCT sw, uidx FROM scen) sc
+        |    CROSS JOIN imp i
+        |    JOIN ways w ON w.way = i.way
+        |    JOIN pct ON pct.fl = i.fl AND pct.way = i.way
+        |    LEFT JOIN ups u ON u.uidx = sc.uidx
+        |  ) q
+        |  GROUP BY q.sw, q.uidx, q.fl
+        |),
+        |eauls AS (
+        |  SELECT f5.sw, f5.uidx,
+        |    0.5 * ((1.0/250 - 1.0/500) * (0.0 + r5.r * f5.s)
+        |         + (1.0/500 - 1.0/1000) * (r5.r * f5.s + r10.r * f10.s)) AS raw
+        |  FROM fsum f5
+        |  JOIN fsum f10 ON f10.sw = f5.sw AND f10.uidx = f5.uidx AND f10.fl = 2
+        |  JOIN rep r5 ON r5.sw = f5.sw AND r5.uidx = f5.uidx AND r5.fl = 1
+        |  JOIN rep r10 ON r10.sw = f5.sw AND r10.uidx = f5.uidx AND r10.fl = 2
+        |  WHERE f5.fl = 1
+        |)
+        |SELECT w.name AS way_id, u.uid AS upgrade,
+        |  round(CASE WHEN abs(raw) < 1 THEN 0.0 ELSE raw END, 6) AS eaul
+        |FROM eauls JOIN ups u USING (uidx) JOIN (SELECT DISTINCT way, name FROM ways) w ON w.way = eauls.sw
+        |WHERE sw >= 0
+        |UNION ALL
+        |SELECT 'baseline', 'baseline', round(raw, 6) FROM eauls WHERE sw = -1""".stripMargin,
     // EAUL sweep on grid(6): scenario = (way sw, upgrade uidx, flooded fl).
     // Demo flood stats sever ways only at RP 500/1000 with the same
     // impassable set, so per scenario exactly two route matrices exist
