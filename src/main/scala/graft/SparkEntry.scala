@@ -983,6 +983,55 @@ object SparkEntry {
     "qg6_golden_eaul" -> (qg6GoldenEaul _)
   )
 
+  /** Shared oracle CTE prefix for the MinHash family (qd2/qd4/qd6):
+    * 3-word shingles → engine FNV-1a hash emulated in HUGEINT wrap
+    * arithmetic → floorMod to 2^31-1 → the 16 seeded permutations (exact
+    * coefficients from `Dedup.minHashCoefs`) → per-(doc, k) signature
+    * minima. MATERIALIZED so multi-consumer plans don't re-run the hash
+    * recursion per reference.
+    */
+  private lazy val minhashOracleCtes: String = {
+    val coefValues = Dedup.minHashCoefs(16, 42L).zipWithIndex
+      .map { case ((a, b), k) => s"($k,$a,$b)" }
+      .mkString(",")
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents
+       |), sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(tk) < 3 THEN array_to_string(tk, ' ')
+       |           ELSE tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] END AS sh
+       |    FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i FROM toks))
+       |), strs(s, ln) AS (
+       |  SELECT DISTINCT sh, length(sh) FROM sh
+       |), f(s, ln, i, u) AS (
+       |  SELECT s, ln, 0, CAST('14695981039346656037' AS HUGEINT) FROM strs
+       |  UNION ALL
+       |  SELECT s, ln, i + 1,
+       |    ((CASE WHEN xr < 0 THEN CAST(xr AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+       |           ELSE CAST(xr AS HUGEINT) END) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM (
+       |    SELECT s, ln, i,
+       |      xor(CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |               THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT),
+       |          unicode(substr(s, i + 1, 1))::BIGINT) AS xr
+       |    FROM f WHERE i < ln
+       |  )
+       |), hx AS (
+       |  SELECT s,
+       |    CAST(((CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END % 2147483647)
+       |      + 2147483647) % 2147483647 AS BIGINT) AS x
+       |  FROM f WHERE i = ln
+       |), coef(k, a, b) AS (
+       |  SELECT * FROM (VALUES $coefValues)
+       |), sig AS MATERIALIZED (
+       |  SELECT sh.doc_id, coef.k, min((coef.a * hx.x + coef.b) % 2147483647) AS v
+       |  FROM sh JOIN hx ON hx.s = sh.sh CROSS JOIN coef
+       |  GROUP BY sh.doc_id, coef.k
+       |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1771,6 +1820,170 @@ object SparkEntry {
         |  FROM stats s CROSS JOIN norms n
         |)
         |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin,
+    // MinHash-LSH dedup family (qd2/qd4/qd6): fully replayed in SQL.
+    // The engine's FNV-1a string hash is emulated bit-exactly with HUGEINT
+    // wrap arithmetic (xor in signed BIGINT, multiply mod 2^64 unsigned),
+    // the seeded permutation coefficients are inlined from the SAME
+    // Random(42) sequence the engine uses, and band buckets group on the
+    // raw (band, signature-slice) tuple — grouping by the tuple is
+    // equivalent to grouping by the engine's xxhash64 of it.
+    "qd2_minhash_dedup" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, buckets AS (
+          |  SELECT doc_id, k // 4 AS band, string_agg(v::VARCHAR, ',' ORDER BY k) AS bkey
+          |  FROM sig GROUP BY doc_id, k // 4
+          |), bmin AS (
+          |  SELECT band, bkey, min(doc_id) AS bucketmin FROM buckets GROUP BY band, bkey
+          |), keep AS (
+          |  SELECT b.doc_id, min(m.bucketmin) AS keepid
+          |  FROM buckets b JOIN bmin m ON m.band = b.band AND m.bkey = b.bkey
+          |  GROUP BY b.doc_id
+          |)
+          |SELECT doc_id FROM keep WHERE doc_id = keepid""".stripMargin),
+    "qd4_ngram_jaccard" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, buckets AS (
+          |  SELECT doc_id, k // 2 AS band, string_agg(v::VARCHAR, ',' ORDER BY k) AS bkey
+          |  FROM sig GROUP BY doc_id, k // 2
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id > b.doc_id
+          |), shcount AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          |), inter AS (
+          |  SELECT c.a_id, c.b_id, count(*) AS ni
+          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+          |  GROUP BY c.a_id, c.b_id
+          |), dups AS (
+          |  SELECT DISTINCT c.a_id
+          |  FROM cand c
+          |  JOIN shcount na ON na.doc_id = c.a_id
+          |  JOIN shcount nb ON nb.doc_id = c.b_id
+          |  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+          |  WHERE CASE WHEN (na.n + nb.n - coalesce(i.ni, 0)) = 0 THEN 0.0
+          |        ELSE CAST(coalesce(i.ni, 0) AS DOUBLE) / CAST(na.n + nb.n - coalesce(i.ni, 0) AS DOUBLE) END >= 0.9
+          |)
+          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT a_id FROM dups)""".stripMargin),
+    "qd6_cluster_dedup" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, buckets AS (
+          |  SELECT doc_id, k // 4 AS band, string_agg(v::VARCHAR, ',' ORDER BY k) AS bkey
+          |  FROM sig GROUP BY doc_id, k // 4
+          |), pairs AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id > b.doc_id
+          |), nodes AS (SELECT DISTINCT id FROM (SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)
+          |), sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+          |), lab(it, id, lb) AS (
+          |  SELECT 0, id, id FROM nodes
+          |  UNION ALL
+          |  SELECT it + 1, id, min(lb) FROM (
+          |    SELECT l.it, l.id, l.lb FROM lab l
+          |    UNION ALL
+          |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+          |  ) t(it, id, lb)
+          |  WHERE it < 20
+          |  GROUP BY it, id
+          |), final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id)
+          |SELECT d.doc_id FROM documents d
+          |LEFT JOIN final ON final.id = d.doc_id
+          |WHERE final.id IS NULL OR final.lb = d.doc_id""".stripMargin),
+    // SimHash dedup: per-token multiplicity votes over the 64 bits of the
+    // FNV hash, sign votes pack back into an unsigned HUGEINT signature,
+    // 16-bit block LSH, hamming <= 3 verify via bit_count(xor) on the
+    // signed reinterpretation — all integer-exact.
+    "qd3_simhash_dedup" -> {
+      val bitsValues = (0 until 64).map(i => s"($i,'${BigInt(1) << i}')").mkString(",")
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text FROM documents WHERE n_chars < 2000
+         |), toksm AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM docs
+         |), tc AS MATERIALIZED (
+         |  SELECT doc_id, tok, count(*) AS cnt FROM toksm GROUP BY doc_id, tok
+         |), strs(s, ln) AS (
+         |  SELECT DISTINCT tok, length(tok) FROM tc
+         |), f(s, ln, i, u) AS (
+         |  SELECT s, ln, 0, CAST('14695981039346656037' AS HUGEINT) FROM strs
+         |  UNION ALL
+         |  SELECT s, ln, i + 1,
+         |    ((CASE WHEN xr < 0 THEN CAST(xr AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+         |           ELSE CAST(xr AS HUGEINT) END) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+         |  FROM (
+         |    SELECT s, ln, i,
+         |      xor(CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+         |               THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT),
+         |          unicode(substr(s, i + 1, 1))::BIGINT) AS xr
+         |    FROM f WHERE i < ln
+         |  )
+         |), th AS MATERIALIZED (
+         |  SELECT s, u FROM f WHERE i = ln
+         |), bits(i, p) AS (
+         |  SELECT i, CAST(p AS HUGEINT) FROM (VALUES $bitsValues) t(i, p)
+         |), votes AS (
+         |  SELECT tc.doc_id, b.i,
+         |    sum(CASE WHEN (th.u // b.p) % 2 = 1 THEN tc.cnt ELSE -tc.cnt END) AS v
+         |  FROM tc JOIN th ON th.s = tc.tok CROSS JOIN bits b
+         |  GROUP BY tc.doc_id, b.i
+         |), sigs AS MATERIALIZED (
+         |  SELECT v.doc_id, sum(CASE WHEN v.v > 0 THEN b.p ELSE CAST(0 AS HUGEINT) END) AS usig
+         |  FROM votes v JOIN bits b ON b.i = v.i
+         |  GROUP BY v.doc_id
+         |), blocked AS MATERIALIZED (
+         |  SELECT doc_id, usig, blk, (usig // (CASE blk WHEN 0 THEN CAST(1 AS HUGEINT)
+         |    WHEN 1 THEN CAST(65536 AS HUGEINT) WHEN 2 THEN CAST(4294967296 AS HUGEINT)
+         |    ELSE CAST('281474976710656' AS HUGEINT) END)) % 65536 AS blkval
+         |  FROM sigs CROSS JOIN (VALUES (0),(1),(2),(3)) t(blk)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, a.usig AS ua, b.usig AS ub
+         |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.blkval = b.blkval AND a.doc_id > b.doc_id
+         |), dups AS (
+         |  SELECT DISTINCT a_id FROM cand
+         |  WHERE bit_count(xor(
+         |    CAST(CASE WHEN ua >= CAST('9223372036854775808' AS HUGEINT)
+         |         THEN ua - CAST('18446744073709551616' AS HUGEINT) ELSE ua END AS BIGINT),
+         |    CAST(CASE WHEN ub >= CAST('9223372036854775808' AS HUGEINT)
+         |         THEN ub - CAST('18446744073709551616' AS HUGEINT) ELSE ub END AS BIGINT))) <= 3
+         |)
+         |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT a_id FROM dups)""".stripMargin
+    },
+    // hyperplane-LSH embedding dedup: the 16 seeded gaussian hyperplanes
+    // are generated by the SAME scala.util.Random(42) sequence the engine
+    // inlines into its projection, then shipped to DuckDB as literals —
+    // the "non-SQL-expressible" part of LSH was only the RNG, and the
+    // oracle builder runs in Scala where the RNG lives
+    "qd5_embed_dedup" -> {
+      val rnd = new scala.util.Random(42L)
+      val planes = Seq.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+      val planeValues = planes.zipWithIndex.flatMap { case (p, b) =>
+        p.zipWithIndex.map { case (c, i) => s"($b,${i + 1},$c)" }
+      }.mkString(",")
+      s"""WITH planes(b, i, c) AS (
+         |  SELECT * FROM (VALUES $planeValues)),
+         |dots AS (
+         |  SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.i] AS DOUBLE) * p.c) AS d
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, p.b),
+         |sigs AS (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0.0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |cand AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id > b.vec_id),
+         |cosim AS (
+         |  SELECT c.a_id,
+         |    sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)) AS dt,
+         |    sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(ea.embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(CAST(eb.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)) AS nb
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.a_id
+         |  JOIN embeddings eb ON eb.vec_id = c.b_id
+         |  CROSS JOIN generate_series(1, 64) t(i)
+         |  GROUP BY c.a_id, c.b_id),
+         |dups AS (
+         |  SELECT DISTINCT a_id FROM cosim
+         |  WHERE (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) >= 0.98)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT a_id FROM dups)""".stripMargin
+    },
     // the reference's golden 10-segment network: edge list as VALUES with
     // the identical ruc·lenM/1000.0 cost expression (literal simplification
     // like 0.8·1000/1000 → 0.8 would NOT be ulp-identical), BF as in qg1

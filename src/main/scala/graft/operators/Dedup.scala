@@ -63,17 +63,27 @@ object Dedup {
     }
   }
 
-  /** Stable 64-bit string hash (MurmurHash3 128-bit truncated via two
-    * 32-bit mixes — deterministic across JVMs, unlike String.hashCode
-    * alone it has full 64-bit spread).
+  /** Stable 64-bit string hash: FNV-1a over UTF-16 code units (offset
+    * basis 14695981039346656037, prime 1099511628211 — the published
+    * 64-bit FNV constants). Deterministic across JVMs, fast (two ops per
+    * char), and the whole state transition is plain xor+wrap-multiply, so
+    * external systems (including the DuckDB oracle) can replay it exactly.
+    * Spread is ample for LSH bucketing and simhash bit votes.
     */
   private def hash64(s: String): Long = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    var h = -3750763034362895579L // 14695981039346656037 as signed 64-bit
+    var i = 0
+    while (i < s.length) {
+      h = (h ^ s.charAt(i).toLong) * 1099511628211L
+      i += 1
+    }
+    h
   }
 
-  private def minHashCoefs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  /** Exposed within the package so the oracle builder can inline the
+    * exact seeded permutation coefficients into its SQL.
+    */
+  private[graft] def minHashCoefs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numHashes)((rnd.nextInt(Prime.toInt - 1) + 1L, rnd.nextInt(Prime.toInt).toLong))
   }
