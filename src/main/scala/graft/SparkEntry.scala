@@ -732,7 +732,11 @@ object SparkEntry {
     areas
       .groupBy(col("group_id"))
       .agg(functions.GeomAggregates.geomUnion(col("rings")).as("dissolved"))
-      .select(col("group_id"), size(col("dissolved")).as("n_rings"))
+      .select(
+        col("group_id"),
+        size(col("dissolved")).cast("long").as("n_rings"),
+        round(GeoFunctions.multiRingAreaUdf(col("dissolved")), 6).as("area"),
+        round(GeoFunctions.multiRingPerimeterUdf(col("dissolved")), 6).as("perimeter"))
   }
 
   // --------------------------------------------------- spatial (J8/J9/A4)
@@ -1820,6 +1824,31 @@ object SparkEntry {
         |  FROM stats s CROSS JOIN norms n
         |)
         |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin,
+    // geometry dissolve: the aggregator's containment prune tests every
+    // shell vertex with boundary-exclusive ray casting, which for these
+    // axis-aligned rings reduces EXACTLY to the half-open box
+    // [qx1,qx2)×[qy1,qy2) — so "all vertices inside" is four comparisons.
+    // Survivor stats (count / shoelace area / perimeter) replay the same
+    // ring arithmetic on the surviving rectangles.
+    "qa2_dissolve" ->
+      """WITH rects AS (
+        |  SELECT n_nationkey % 5 AS group_id, n_nationkey AS id,
+        |    CAST(n_nationkey % 10 AS DOUBLE) AS x1,
+        |    CAST((n_nationkey % 10) + 2 + (n_nationkey % 3) AS DOUBLE) AS x2,
+        |    (n_nationkey % 11) - 0.2 AS y1,
+        |    (n_nationkey % 11) + 1.2 + (n_nationkey % 2) AS y2
+        |  FROM nation
+        |), surv AS (
+        |  SELECT * FROM rects p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM rects q
+        |    WHERE q.group_id = p.group_id AND q.id != p.id
+        |      AND p.x1 >= q.x1 AND p.x2 < q.x2 AND p.y1 >= q.y1 AND p.y2 < q.y2)
+        |)
+        |SELECT group_id, count(*) AS n_rings,
+        |  round(sum(abs((x1*y1 - x2*y1) + (x2*y2 - x2*y1) + (x2*y2 - x1*y2) + (x1*y1 - x1*y2)) / 2.0), 6) AS area,
+        |  round(sum(sqrt((x2-x1)*(x2-x1)) + sqrt((y2-y1)*(y2-y1)) + sqrt((x1-x2)*(x1-x2)) + sqrt((y1-y2)*(y1-y2))), 6) AS perimeter
+        |FROM surv GROUP BY group_id""".stripMargin,
     // MinHash-LSH dedup family (qd2/qd4/qd6): fully replayed in SQL.
     // The engine's FNV-1a string hash is emulated bit-exactly with HUGEINT
     // wrap arithmetic (xor in signed BIGINT, multiply mod 2^64 unsigned),

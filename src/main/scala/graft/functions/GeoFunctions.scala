@@ -130,6 +130,41 @@ object GeoFunctions {
 
   val centroidUdf: UserDefinedFunction = udf(centroid _)
 
+  /** Planar shoelace area of one closed ring (last point repeats the
+    * first). Abstract-coordinate geometry (no geodesy) — used for
+    * dissolve-output statistics.
+    */
+  def shoelaceArea(ring: Seq[Seq[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      s += ring(i)(0) * ring(i + 1)(1) - ring(i + 1)(0) * ring(i)(1)
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  /** Planar perimeter of one closed ring. */
+  def ringPerimeter(ring: Seq[Seq[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      val dx = ring(i + 1)(0) - ring(i)(0)
+      val dy = ring(i + 1)(1) - ring(i)(1)
+      s += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    s
+  }
+
+  /** Sum of shoelace areas over a multi-ring list (dissolve output). */
+  val multiRingAreaUdf: UserDefinedFunction =
+    udf((rings: Seq[Seq[Seq[Double]]]) => rings.map(shoelaceArea).sum)
+
+  /** Sum of perimeters over a multi-ring list. */
+  val multiRingPerimeterUdf: UserDefinedFunction =
+    udf((rings: Seq[Seq[Seq[Double]]]) => rings.map(ringPerimeter).sum)
+
   /** F15 — CRS transform: EPSG:4326 lon/lat ↔ EPSG:3857 Web Mercator
     * (the projection pair the tiling egress needs; reference used pyproj
     * for raster CRS only, `img-stats.py:60-73`). Spherical Mercator per
