@@ -555,7 +555,11 @@ object SparkEntry {
   private def qt9Sample(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val sampled = docs.filter(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 200)
-    val n = sampled.agg(count(lit(1)).cast("double").as("__n"))
+    // k (number of classes) is derived, not hardcoded: N/(k·n_class)
+    // weights then average to 1 over the sample for any label cardinality
+    val n = sampled.agg(
+      count(lit(1)).cast("double").as("__n"),
+      countDistinct(col("lang")).cast("double").as("__k"))
     val byLang = sampled.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("__nl"))
     sampled
       .join(broadcast(byLang), Seq("lang"))
@@ -563,7 +567,7 @@ object SparkEntry {
       .select(
         col("doc_id"),
         col("lang"),
-        round(col("__n") / (lit(2.0) * col("__nl")), 6).as("weight"))
+        round(col("__n") / (col("__k") * col("__nl")), 6).as("weight"))
   }
 
   /** Sequence packing for training batches: docs pack into ≤4096-token
@@ -1375,9 +1379,9 @@ object SparkEntry {
       """WITH sampled AS (
         |  SELECT doc_id, lang FROM documents
         |  WHERE (doc_id * 2654435761) % 1000 < 200
-        |), n AS (SELECT count(*)::DOUBLE AS nn FROM sampled),
+        |), n AS (SELECT count(*)::DOUBLE AS nn, count(DISTINCT lang)::DOUBLE AS kk FROM sampled),
         |bylang AS (SELECT lang, count(*)::DOUBLE AS nl FROM sampled GROUP BY lang)
-        |SELECT s.doc_id, s.lang, round(n.nn / (2.0 * b.nl), 6) AS weight
+        |SELECT s.doc_id, s.lang, round(n.nn / (n.kk * b.nl), 6) AS weight
         |FROM sampled s JOIN bylang b USING (lang) CROSS JOIN n""".stripMargin,
     "qt10_packing" ->
       """SELECT doc_id, lang, n_tokens,
@@ -1493,7 +1497,10 @@ object SparkEntry {
         |    CAST(sum(bv.v) / count(*) / 255.0 AS FLOAT) AS f
         |  FROM chunkdef cd JOIN bv ON bv.doc_id = cd.doc_id
         |    AND bv.idx >= (cd.i * cd.n) // 16
-        |    AND bv.idx < ((cd.i + 1) * cd.n) // 16
+        |    -- greatest mirrors decodeStub's end = max(start+1, ...): a doc
+        |    -- shorter than 16 bytes re-reads one byte per empty chunk
+        |    -- instead of dropping the chunk
+        |    AND bv.idx < greatest((cd.i * cd.n) // 16 + 1, ((cd.i + 1) * cd.n) // 16)
         |  GROUP BY cd.doc_id, cd.i
         |), nrm AS (
         |  SELECT doc_id, sqrt(sum(CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS fn

@@ -69,6 +69,12 @@ object Dedup {
     * char), and the whole state transition is plain xor+wrap-multiply, so
     * external systems (including the DuckDB oracle) can replay it exactly.
     * Spread is ample for LSH bucketing and simhash bit votes.
+    *
+    * Replay contract: iteration is over UTF-16 CODE UNITS. A replayer that
+    * walks Unicode codepoints (as the SQL oracle does via unicode()) only
+    * matches for BMP text — identical on ASCII corpora, divergent on
+    * supplementary-plane characters (emoji), where Java feeds two
+    * surrogates per codepoint.
     */
   private def hash64(s: String): Long = {
     var h = -3750763034362895579L // 14695981039346656037 as signed 64-bit
@@ -312,11 +318,16 @@ object Dedup {
     val a = col(aCol)
     val b = col(bCol)
     val allNodes = pairs.select(a.as("id")).union(pairs.select(b.as("id"))).distinct().cache()
+    // localCheckpoint (not cache): each round's edge set feeds the next
+    // round's plan 6-ways (sym twice, afterLarge three times), so without
+    // lineage TRUNCATION the logical plan grows ~6× per round and AQE's
+    // plan-string rendering alone OOMs after a few rounds. Checkpointing
+    // materializes the rows and cuts the plan back to a leaf each round.
     var edges = pairs
       .select(greatest(a, b).as("u"), least(a, b).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
 
     def signature(e: DataFrame): (Long, Long) = {
       // bit_xor, not sum: order-free over a distinct set AND overflow-free
@@ -336,12 +347,14 @@ object Dedup {
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      // cached: consumed twice below (smallMins + the rewire join)
       val afterLarge = sym
         .join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ already canonical
         .filter(col("u") =!= col("v"))
         .distinct()
+        .cache()
       // small-star over the canonical orientation: u and every smaller
       // neighbor attach to the neighborhood minimum
       val smallMins = afterLarge.groupBy("u").agg(min("v").as("m"))
@@ -351,10 +364,10 @@ object Dedup {
         .union(smallMins.select(col("u"), col("m").as("v"))) // (u, m)
         .filter(col("u") =!= col("v"))
         .distinct()
-        .cache()
+        .localCheckpoint(true) // materializes AND truncates lineage
       val nextSig = signature(next)
-      edges.unpersist(blocking = false)
-      edges = next
+      afterLarge.unpersist(blocking = false)
+      edges = next // previous checkpoint blocks are GC'd by the ContextCleaner
       converged = nextSig == sig
       sig = nextSig
       iter += 1
@@ -364,9 +377,15 @@ object Dedup {
         s"distributedComponents did not converge within $maxIter large/small-star rounds " +
           s"(edge-set signature still changing); raise maxIter")
     // star edges: u → component min. Nodes never appearing as u are roots.
+    // Materialize the (small) label table BEFORE dropping the upstream
+    // caches — unpersisting first would force the caller's first action to
+    // recompute the whole candidate-pair lineage from scratch. The labels
+    // cache (one row per candidate-graph node) is left for the caller.
     val labels = allNodes
       .join(edges.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
+      .cache()
+    labels.count()
     allNodes.unpersist(blocking = false)
     labels
   }

@@ -83,32 +83,59 @@ object EventStreams {
     * contract). Cost: state holds the key's in-flight events, bounded by
     * the watermark horizon; emission is deferred until quiescence.
     */
+  /** State for `sessionizeBuffered`: running summary of watermark-closed
+    * sessions + the still-open tail buffer. Public: the streaming state
+    * encoder generates accessor code for it.
+    */
+  case class BufferedSessions(sessions: Long, events: Long, lastEpoch: Long, buf: List[Event])
+
   def sessionizeBuffered(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+
+    def fold(st: BufferedSessions, sorted: Seq[Event]): BufferedSessions =
+      sorted.foldLeft(st) { (s, e) =>
+        val epoch = e.ts.getTime / 1000
+        val isNew = s.lastEpoch == Long.MinValue || epoch - s.lastEpoch > gapSec
+        BufferedSessions(
+          s.sessions + (if (isNew) 1 else 0),
+          s.events + 1,
+          math.max(s.lastEpoch, epoch),
+          s.buf)
+      }
+
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], SessionSummary](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+      .flatMapGroupsWithState[BufferedSessions, SessionSummary](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[BufferedSessions]) =>
+          val zero = BufferedSessions(0L, 0L, Long.MinValue, Nil)
           if (state.hasTimedOut) {
-            val buf = state.getOption.getOrElse(Nil)
+            val st0 = state.getOption.getOrElse(zero)
             state.remove()
-            val sorted = buf.sortBy(e => (e.ts.getTime, e.event_id))
-            var sessions = 0L
-            var last = Long.MinValue
-            sorted.foreach { e =>
-              val epoch = e.ts.getTime / 1000
-              if (last == Long.MinValue || epoch - last > gapSec) sessions += 1
-              last = epoch
-            }
-            Iterator.single(SessionSummary(userId, sessions, sorted.length.toLong))
+            val done = fold(st0, st0.buf.sortBy(e => (e.ts.getTime, e.event_id)))
+            Iterator.single(SessionSummary(userId, done.sessions, done.events))
           } else {
-            val buf = state.getOption.getOrElse(Nil) ++ it
-            state.update(buf)
-            // finalize once the watermark clears the last buffered event by
-            // a full gap — no on-time event can extend the final session
-            val lastMs = buf.iterator.map(_.ts.getTime).max
-            state.setTimeoutTimestamp(lastMs + gapSec * 1000)
+            val st0 = state.getOption.getOrElse(zero)
+            val merged = (st0.buf ++ it).sortBy(e => (e.ts.getTime, e.event_id))
+            // Compaction keeps state bounded by the watermark horizon even
+            // for a continuously-active key: events at least one full gap
+            // older than the watermark can neither be re-split nor re-joined
+            // by any in-watermark arrival, so their prefix folds into the
+            // running (sessions, events, lastEpoch) summary and only the
+            // open tail stays buffered.
+            val foldBoundary = state.getCurrentWatermarkMs() / 1000 - gapSec
+            val (closed, open) = merged.partition(_.ts.getTime / 1000 <= foldBoundary)
+            val st = fold(st0, closed).copy(buf = open)
+            state.update(st)
+            // finalize once the watermark clears the last event by a full
+            // gap. Clamp above the current watermark: a LATE event
+            // (admitted by Spark — flatMapGroupsWithState does not
+            // pre-filter) can put lastMs+gap below the watermark, and
+            // setTimeoutTimestamp throws on a sub-watermark target.
+            val foldedMs = if (st.lastEpoch == Long.MinValue) Long.MinValue else st.lastEpoch * 1000
+            val openMs = if (open.isEmpty) Long.MinValue else open.iterator.map(_.ts.getTime).max
+            val lastMs = math.max(foldedMs, openMs)
+            state.setTimeoutTimestamp(math.max(lastMs + gapSec * 1000, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
