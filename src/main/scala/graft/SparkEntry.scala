@@ -1040,6 +1040,83 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Leave-one-out criticality oracle over `DemoNetwork.grid(n)`: grid
+    * rebuild (same ruc formula and append-order way indexing), hop-bounded
+    * Bellman-Ford with per-scenario way removal, then the reference's
+    * scoring formula (criticality.js:93-110). One generated body serves
+    * qg2 (n=8) and qg4 (n=16).
+    */
+  private def criticalityOracleSql(n: Int, hopBound: Int): String = {
+    val odValues = Seq((0, 0), (1, n - 1), (2, (n - 1) * n), (3, n * n - 1), (4, (n / 2) * n + n / 2))
+      .map { case (i, node) => s"($i,$node)" }
+      .mkString(",")
+    s"""WITH RECURSIVE wayedges AS (
+       |  SELECT row_number() OVER (ORDER BY i, j, kind) - 1 AS way, src, dst, w
+       |  FROM (
+       |    SELECT i, j, 0 AS kind, i*$n+j AS src, i*$n+j+1 AS dst,
+       |           (0.5 + ((i*31 + j*17) % 100)/100.0) * 0.99888 AS w
+       |    FROM generate_series(0,${n - 1}) s(i), generate_series(0,${n - 2}) t(j)
+       |    UNION ALL
+       |    SELECT i, j, 1, i*$n+j, (i+1)*$n+j,
+       |           (0.5 + ((j*31 + i*17) % 100)/100.0) * 0.99888
+       |    FROM generate_series(0,${n - 2}) s(i), generate_series(0,${n - 1}) t(j)
+       |  ) raw(i, j, kind, src, dst, w)
+       |),
+       |edges AS (
+       |  SELECT way, src, dst, w FROM wayedges
+       |  UNION ALL
+       |  SELECT way, dst, src, w FROM wayedges
+       |),
+       |od(idx, node) AS (SELECT * FROM (VALUES $odValues)),
+       |scen(sw) AS (SELECT -1 UNION ALL SELECT DISTINCT way FROM wayedges),
+       |r(sw, it, s, node, cost) AS (
+       |    SELECT scen.sw, 0, idx, node, CAST(0.0 AS DOUBLE) FROM od CROSS JOIN scen
+       |    UNION ALL
+       |    SELECT sw, it + 1, s, node, min(cost) FROM (
+       |      SELECT sw, it, s, node, cost FROM r
+       |      UNION ALL
+       |      SELECT r.sw, r.it, r.s, e.dst, r.cost + e.w
+       |      FROM r JOIN edges e ON e.src = r.node AND e.way != r.sw
+       |    ) t(sw, it, s, node, cost)
+       |    WHERE it < $hopBound
+       |    GROUP BY sw, it, s, node
+       |),
+       |sp AS (SELECT sw, s, node, min(cost) AS cost FROM r GROUP BY sw, s, node),
+       |pairs AS (
+       |  SELECT sp.sw, a.idx AS o, b.idx AS d, sp.cost
+       |  FROM od a JOIN od b ON a.idx < b.idx
+       |  JOIN sp ON sp.s = a.idx AND sp.node = b.node
+       |),
+       |delta AS (
+       |  SELECT s.sw AS way, s.cost - b.cost AS dt
+       |  FROM pairs s JOIN pairs b ON b.sw = -1 AND s.o = b.o AND s.d = b.d
+       |  WHERE s.sw >= 0
+       |),
+       |stats AS (
+       |  SELECT way,
+       |    0 AS unroutablePairs,
+       |    sum(CASE WHEN dt > 0 THEN 1 ELSE 0 END)::INTEGER AS impactedPairs,
+       |    CASE WHEN sum(CASE WHEN dt != 0 THEN 1 ELSE 0 END) = 0 THEN 0.0
+       |         ELSE sum(CASE WHEN dt >= 0 THEN dt ELSE 0 END) / sum(CASE WHEN dt != 0 THEN 1 ELSE 0 END) END AS avgTimeNonZero
+       |  FROM delta GROUP BY way
+       |),
+       |norms AS (
+       |  SELECT max((unroutablePairs + impactedPairs) * avgTimeNonZero) AS avgMaxTime,
+       |         max(unroutablePairs) AS maxUnroutable
+       |  FROM stats
+       |),
+       |scored AS (
+       |  SELECT 'w' || way AS way_id,
+       |    round((CASE WHEN n.avgMaxTime = 0 THEN 0.0
+       |          ELSE (s.unroutablePairs + s.impactedPairs) * s.avgTimeNonZero / n.avgMaxTime END * 0.4 +
+       |     CASE WHEN n.maxUnroutable = 0 THEN 0.0
+       |          ELSE CAST(s.unroutablePairs AS DOUBLE) / n.maxUnroutable END * 0.6) * 100, 6) AS score,
+       |    s.unroutablePairs, s.impactedPairs, round(s.avgTimeNonZero, 6) AS avgTimeNonZero
+       |  FROM stats s CROSS JOIN norms n
+       |)
+       |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1695,142 +1772,12 @@ object SparkEntry {
         |JOIN sp ON sp.s = a.idx AND sp.node = b.node""".stripMargin,
     // leave-one-out criticality: scenario dimension sw = way removed (-1 =
     // benchmark), edges filtered per scenario inside the relaxation; then
-    // the reference's exact scoring (criticality.js:93-110) in SQL
-    "qg2_criticality" ->
-      """WITH RECURSIVE wayedges AS (
-        |  SELECT row_number() OVER (ORDER BY i, j, kind) - 1 AS way, src, dst, w
-        |  FROM (
-        |    SELECT i, j, 0 AS kind, i*8+j AS src, i*8+j+1 AS dst,
-        |           (0.5 + ((i*31 + j*17) % 100)/100.0) * 0.99888 AS w
-        |    FROM generate_series(0,7) s(i), generate_series(0,6) t(j)
-        |    UNION ALL
-        |    SELECT i, j, 1, i*8+j, (i+1)*8+j,
-        |           (0.5 + ((j*31 + i*17) % 100)/100.0) * 0.99888
-        |    FROM generate_series(0,6) s(i), generate_series(0,7) t(j)
-        |  ) raw(i, j, kind, src, dst, w)
-        |),
-        |edges AS (
-        |  SELECT way, src, dst, w FROM wayedges
-        |  UNION ALL
-        |  SELECT way, dst, src, w FROM wayedges
-        |),
-        |od(idx, node) AS (SELECT * FROM (VALUES (0,0),(1,7),(2,56),(3,63),(4,36))),
-        |scen(sw) AS (SELECT -1 UNION ALL SELECT DISTINCT way FROM wayedges),
-        |r(sw, it, s, node, cost) AS (
-        |    SELECT scen.sw, 0, idx, node, CAST(0.0 AS DOUBLE) FROM od CROSS JOIN scen
-        |    UNION ALL
-        |    SELECT sw, it + 1, s, node, min(cost) FROM (
-        |      SELECT sw, it, s, node, cost FROM r
-        |      UNION ALL
-        |      SELECT r.sw, r.it, r.s, e.dst, r.cost + e.w
-        |      FROM r JOIN edges e ON e.src = r.node AND e.way != r.sw
-        |    ) t(sw, it, s, node, cost)
-        |    WHERE it < 50
-        |    GROUP BY sw, it, s, node
-        |),
-        |sp AS (SELECT sw, s, node, min(cost) AS cost FROM r GROUP BY sw, s, node),
-        |pairs AS (
-        |  SELECT sp.sw, a.idx AS o, b.idx AS d, sp.cost
-        |  FROM od a JOIN od b ON a.idx < b.idx
-        |  JOIN sp ON sp.s = a.idx AND sp.node = b.node
-        |),
-        |delta AS (
-        |  SELECT s.sw AS way, s.cost - b.cost AS dt
-        |  FROM pairs s JOIN pairs b ON b.sw = -1 AND s.o = b.o AND s.d = b.d
-        |  WHERE s.sw >= 0
-        |),
-        |stats AS (
-        |  SELECT way,
-        |    0 AS unroutablePairs,
-        |    sum(CASE WHEN dt > 0 THEN 1 ELSE 0 END)::INTEGER AS impactedPairs,
-        |    CASE WHEN sum(CASE WHEN dt != 0 THEN 1 ELSE 0 END) = 0 THEN 0.0
-        |         ELSE sum(CASE WHEN dt >= 0 THEN dt ELSE 0 END) / sum(CASE WHEN dt != 0 THEN 1 ELSE 0 END) END AS avgTimeNonZero
-        |  FROM delta GROUP BY way
-        |),
-        |norms AS (
-        |  SELECT max((unroutablePairs + impactedPairs) * avgTimeNonZero) AS avgMaxTime,
-        |         max(unroutablePairs) AS maxUnroutable
-        |  FROM stats
-        |),
-        |scored AS (
-        |  SELECT 'w' || way AS way_id,
-        |    round((CASE WHEN n.avgMaxTime = 0 THEN 0.0
-        |          ELSE (s.unroutablePairs + s.impactedPairs) * s.avgTimeNonZero / n.avgMaxTime END * 0.4 +
-        |     CASE WHEN n.maxUnroutable = 0 THEN 0.0
-        |          ELSE CAST(s.unroutablePairs AS DOUBLE) / n.maxUnroutable END * 0.6) * 100, 6) AS score,
-        |    s.unroutablePairs, s.impactedPairs, round(s.avgTimeNonZero, 6) AS avgTimeNonZero
-        |  FROM stats s CROSS JOIN norms n
-        |)
-        |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin,
-    // same leave-one-out criticality oracle at 16×16 (480 ways, 481
-    // scenarios; hop bound 60 — convergence verified: bounds 60 and 70
-    // produce identical output). ~25 s in DuckDB.
-    "qg4_criticality_large" ->
-      """WITH RECURSIVE wayedges AS (
-        |  SELECT row_number() OVER (ORDER BY i, j, kind) - 1 AS way, src, dst, w
-        |  FROM (
-        |    SELECT i, j, 0 AS kind, i*16+j AS src, i*16+j+1 AS dst,
-        |           (0.5 + ((i*31 + j*17) % 100)/100.0) * 0.99888 AS w
-        |    FROM generate_series(0,15) s(i), generate_series(0,14) t(j)
-        |    UNION ALL
-        |    SELECT i, j, 1, i*16+j, (i+1)*16+j,
-        |           (0.5 + ((j*31 + i*17) % 100)/100.0) * 0.99888
-        |    FROM generate_series(0,14) s(i), generate_series(0,15) t(j)
-        |  ) raw(i, j, kind, src, dst, w)
-        |),
-        |edges AS (
-        |  SELECT way, src, dst, w FROM wayedges
-        |  UNION ALL
-        |  SELECT way, dst, src, w FROM wayedges
-        |),
-        |od(idx, node) AS (SELECT * FROM (VALUES (0,0),(1,15),(2,240),(3,255),(4,136))),
-        |scen(sw) AS (SELECT -1 UNION ALL SELECT DISTINCT way FROM wayedges),
-        |r(sw, it, s, node, cost) AS (
-        |    SELECT scen.sw, 0, idx, node, CAST(0.0 AS DOUBLE) FROM od CROSS JOIN scen
-        |    UNION ALL
-        |    SELECT sw, it + 1, s, node, min(cost) FROM (
-        |      SELECT sw, it, s, node, cost FROM r
-        |      UNION ALL
-        |      SELECT r.sw, r.it, r.s, e.dst, r.cost + e.w
-        |      FROM r JOIN edges e ON e.src = r.node AND e.way != r.sw
-        |    ) t(sw, it, s, node, cost)
-        |    WHERE it < 60
-        |    GROUP BY sw, it, s, node
-        |),
-        |sp AS (SELECT sw, s, node, min(cost) AS cost FROM r GROUP BY sw, s, node),
-        |pairs AS (
-        |  SELECT sp.sw, a.idx AS o, b.idx AS d, sp.cost
-        |  FROM od a JOIN od b ON a.idx < b.idx
-        |  JOIN sp ON sp.s = a.idx AND sp.node = b.node
-        |),
-        |delta AS (
-        |  SELECT s.sw AS way, s.cost - b.cost AS dt
-        |  FROM pairs s JOIN pairs b ON b.sw = -1 AND s.o = b.o AND s.d = b.d
-        |  WHERE s.sw >= 0
-        |),
-        |stats AS (
-        |  SELECT way,
-        |    0 AS unroutablePairs,
-        |    sum(CASE WHEN dt > 0 THEN 1 ELSE 0 END)::INTEGER AS impactedPairs,
-        |    CASE WHEN sum(CASE WHEN dt != 0 THEN 1 ELSE 0 END) = 0 THEN 0.0
-        |         ELSE sum(CASE WHEN dt >= 0 THEN dt ELSE 0 END) / sum(CASE WHEN dt != 0 THEN 1 ELSE 0 END) END AS avgTimeNonZero
-        |  FROM delta GROUP BY way
-        |),
-        |norms AS (
-        |  SELECT max((unroutablePairs + impactedPairs) * avgTimeNonZero) AS avgMaxTime,
-        |         max(unroutablePairs) AS maxUnroutable
-        |  FROM stats
-        |),
-        |scored AS (
-        |  SELECT 'w' || way AS way_id,
-        |    round((CASE WHEN n.avgMaxTime = 0 THEN 0.0
-        |          ELSE (s.unroutablePairs + s.impactedPairs) * s.avgTimeNonZero / n.avgMaxTime END * 0.4 +
-        |     CASE WHEN n.maxUnroutable = 0 THEN 0.0
-        |          ELSE CAST(s.unroutablePairs AS DOUBLE) / n.maxUnroutable END * 0.6) * 100, 6) AS score,
-        |    s.unroutablePairs, s.impactedPairs, round(s.avgTimeNonZero, 6) AS avgTimeNonZero
-        |  FROM stats s CROSS JOIN norms n
-        |)
-        |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin,
+    // the reference's exact scoring (criticality.js:93-110) in SQL. One
+    // generated body serves both grid sizes so the cost formula cannot
+    // silently diverge between them. Hop bounds verified converged
+    // (identical output at bound and bound+10); qg4 runs ~25 s in DuckDB.
+    "qg2_criticality" -> criticalityOracleSql(n = 8, hopBound = 50),
+    "qg4_criticality_large" -> criticalityOracleSql(n = 16, hopBound = 60),
     // geometry dissolve: the aggregator's containment prune tests every
     // shell vertex with boundary-exclusive ray casting, which for these
     // axis-aligned rings reduces EXACTLY to the half-open box
