@@ -75,6 +75,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 3L)), s"got $out") // 2 sessions, 3 events — exact despite disorder
   }
 
+  test("buffered sessionization compacts closed sessions mid-stream and still counts exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val dir = java.nio.file.Files.createTempDirectory("buffered-compact").toString
+    def writeBatch(name: String, rows: Seq[EventStreams.Event], mtime: Long): Unit = {
+      val sub = s"$dir/$name"
+      rows.toDS().repartition(1).write.parquet(sub)
+      new java.io.File(sub).listFiles().foreach(f => f.setLastModified(mtime))
+    }
+    // batch A closes user 1's first session and pushes the watermark to
+    // 10:00 (user 99 at 11:00, 1h delay); batch B's 10:30 event arrives
+    // with fold boundary 09:30, so the 09:00/09:10 prefix compacts into
+    // the summary while 10:30 stays buffered; batch C pushes the
+    // watermark past 11:00 and times user 1 out.
+    writeBatch("a", Seq(
+      EventStreams.Event(1L, ts("09:00"), 1L, "click", 1.0),
+      EventStreams.Event(2L, ts("09:10"), 1L, "click", 1.0),
+      EventStreams.Event(8L, ts("11:00"), 99L, "click", 1.0)), 1000000L)
+    writeBatch("b", Seq(
+      EventStreams.Event(3L, ts("10:30"), 1L, "click", 1.0)), 2000000L)
+    writeBatch("c", Seq(
+      EventStreams.Event(9L, ts("14:00"), 99L, "click", 1.0)), 3000000L)
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStreams.Event]].schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeBuffered(stream, gapSec = 1800).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("buffered_compact")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("buffered_compact")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 3L)), s"got $out") // sessions {09:00,09:10} and {10:30}
+  }
+
   test("streaming windowed aggregation equals the batch q17 aggregation") {
     val raw = Tables.events(spark, sfDir)
     // file stream sources need a directory, not a single file
