@@ -32,15 +32,15 @@ object TextAnalysis {
     val tf = toks
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    // document frequency derives from tf, whose keys ARE the distinct
-    // (doc, term) pairs — one tokenization scan feeds both aggregates
-    // instead of re-exploding the corpus for a distinct()
-    val dfreq = tf
-      .groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
+    // document frequency as a WINDOW over tf, not a groupBy+self-join:
+    // tf's keys ARE the distinct (doc, term) pairs, and the window keeps
+    // the plan one linear chain — a tf-vs-dfreq join canonicalizes to two
+    // separate scan+explode subtrees that ReuseExchange does NOT dedupe
+    // (verified via explain), i.e. the corpus would be tokenized twice
+    val wTerm = Window.partitionBy(col("term"))
     val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), col("term"))
-    tf.join(dfreq, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(wTerm).cast("double"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
