@@ -15,7 +15,8 @@ object Explain {
       else Seq(
         "q1_agg", "q2_filter_project", "q3_join_agg", "q5_anti_join",
         "q18_shipping_priority", "q19_local_volume", "qsp2_nearest",
-        "qd2_minhash_dedup", "qg1_route_matrix")
+        "qd2_minhash_dedup", "qg1_route_matrix", "qt7_tfidf",
+        "q21_rollup", "qs3_dot_topk")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
