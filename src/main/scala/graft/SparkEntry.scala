@@ -554,7 +554,12 @@ object SparkEntry {
     */
   private def qt9Sample(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val sampled = docs.filter(pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < 200)
+    // Gate (doc_id·2654435761) mod 1000 < 200, computed in the residue
+    // ring: (a·K) mod 1000 ≡ ((a mod 1000)·(K mod 1000)) mod 1000, and
+    // 2654435761 mod 1000 = 761 — identical selection, but the product is
+    // bounded by 999·761 so it can never overflow Long (the direct form
+    // throws under ANSI once doc_id ≥ ~3.5e9 at 100 TB scale).
+    val sampled = docs.filter(pmod(pmod(col("doc_id"), lit(1000L)) * lit(761L), lit(1000L)) < 200)
     // k (number of classes) is derived, not hardcoded: N/(k·n_class)
     // weights then average to 1 over the sample for any label cardinality
     val n = sampled.agg(
@@ -1026,11 +1031,15 @@ object SparkEntry {
        |    FROM f WHERE i < ln
        |  )
        |), hx AS (
-       |  SELECT s,
-       |    CAST(((CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
-       |       THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END % 2147483647)
-       |      + 2147483647) % 2147483647 AS BIGINT) AS x
-       |  FROM f WHERE i = ln
+       |  -- engine finalizer replay: h ^ (h >>> 32) == xor(signed(u), u // 2^32)
+       |  SELECT s, CAST(((hf % 2147483647) + 2147483647) % 2147483647 AS BIGINT) AS x
+       |  FROM (
+       |    SELECT s,
+       |      xor(CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |               THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT),
+       |          CAST(u // 4294967296 AS BIGINT)) AS hf
+       |    FROM f WHERE i = ln
+       |  )
        |), coef(k, a, b) AS (
        |  SELECT * FROM (VALUES $coefValues)
        |), sig AS MATERIALIZED (
@@ -1455,7 +1464,7 @@ object SparkEntry {
     "qt9_sample" ->
       """WITH sampled AS (
         |  SELECT doc_id, lang FROM documents
-        |  WHERE (doc_id * 2654435761) % 1000 < 200
+        |  WHERE ((doc_id % 1000) * 761) % 1000 < 200
         |), n AS (SELECT count(*)::DOUBLE AS nn, count(DISTINCT lang)::DOUBLE AS kk FROM sampled),
         |bylang AS (SELECT lang, count(*)::DOUBLE AS nl FROM sampled GROUP BY lang)
         |SELECT s.doc_id, s.lang, round(n.nn / (n.kk * b.nl), 6) AS weight
@@ -1898,7 +1907,16 @@ object SparkEntry {
          |    FROM f WHERE i < ln
          |  )
          |), th AS MATERIALIZED (
-         |  SELECT s, u FROM f WHERE i = ln
+         |  -- engine finalizer replay: h ^ (h >>> 32), re-expressed unsigned
+         |  SELECT s, CASE WHEN hf < 0 THEN CAST(hf AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+         |            ELSE CAST(hf AS HUGEINT) END AS u
+         |  FROM (
+         |    SELECT s,
+         |      xor(CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+         |               THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END AS BIGINT),
+         |          CAST(u // 4294967296 AS BIGINT)) AS hf
+         |    FROM f WHERE i = ln
+         |  )
          |), bits(i, p) AS (
          |  SELECT i, CAST(p AS HUGEINT) FROM (VALUES $bitsValues) t(i, p)
          |), votes AS (

@@ -75,6 +75,15 @@ object Dedup {
     * matches for BMP text — identical on ASCII corpora, divergent on
     * supplementary-plane characters (emoji), where Java feeds two
     * surrogates per codepoint.
+    *
+    * Finalizer: raw FNV-1a's low bits are weakly mixed (bit 0 is a linear
+    * parity of the input bytes — the multiply only diffuses upward), and
+    * both consumers read low bits directly (MinHash permutes the value mod
+    * 2^31-1; SimHash votes on every bit). One xor-fold of the well-mixed
+    * high half onto the low half fixes that at the cost of a single
+    * shift+xor, and stays exactly replayable in integer SQL
+    * (`xor(h, h >>> 32)` = `xor(signed(u), u // 2^32)` on the unsigned
+    * representation).
     */
   private def hash64(s: String): Long = {
     var h = -3750763034362895579L // 14695981039346656037 as signed 64-bit
@@ -83,7 +92,7 @@ object Dedup {
       h = (h ^ s.charAt(i).toLong) * 1099511628211L
       i += 1
     }
-    h
+    h ^ (h >>> 32)
   }
 
   /** Exposed within the package so the oracle builder can inline the
@@ -379,13 +388,16 @@ object Dedup {
     // star edges: u → component min. Nodes never appearing as u are roots.
     // Materialize the (small) label table BEFORE dropping the upstream
     // caches — unpersisting first would force the caller's first action to
-    // recompute the whole candidate-pair lineage from scratch. The labels
-    // cache (one row per candidate-graph node) is left for the caller.
+    // recompute the whole candidate-pair lineage from scratch.
+    // localCheckpoint, NOT cache: a cache would pin executor storage until
+    // some caller unpersists, and no caller holds that contract (a 64-query
+    // bench loop would accumulate one pinned label table per invocation).
+    // Checkpoint blocks are reclaimed by the ContextCleaner as soon as the
+    // returned frame is unreferenced — same materialization, no leak.
     val labels = allNodes
       .join(edges.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("label"))
-      .cache()
-    labels.count()
+      .localCheckpoint(true)
     allNodes.unpersist(blocking = false)
     labels
   }

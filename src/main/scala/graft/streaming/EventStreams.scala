@@ -82,6 +82,16 @@ object EventStreams {
     * `sessionizeStateful`'s compact state gives up (see its ordering
     * contract). Cost: state holds the key's in-flight events, bounded by
     * the watermark horizon; emission is deferred until quiescence.
+    *
+    * Output contract (inherent to Append mode): one `SessionSummary` per
+    * QUIESCENCE EPOCH, not per key. State is removed when the event-time
+    * timeout fires, so a key that becomes active again after a summary was
+    * emitted starts from zero and eventually emits a SECOND independent
+    * row. Downstream consumers wanting per-key lifetime totals must
+    * aggregate (`groupBy(user_id).agg(sum(sessions), sum(events))`) —
+    * summaries are disjoint (each event counted in exactly one row), so
+    * the sums are exact. The batch twin (`sessionize`) emits exactly one
+    * row per key because it sees the whole input at once.
     */
   /** State for `sessionizeBuffered`: running summary of watermark-closed
     * sessions + the still-open tail buffer. Public: the streaming state
