@@ -611,6 +611,85 @@ object SparkEntry {
           6).as("jaccard"))
   }
 
+  /** IVF ANN — the scale path of the similarity family (qs1/qs3 are the
+    * brute-force baselines): corpus rows land in 8-bit hyperplane cells,
+    * and only cells within hamming 1 of the query's cell are scored
+    * (9 of 256 cells ⇒ ~28× scan cut at uniform fill; written bucketed by
+    * cell this becomes partition pruning). Deterministic end to end:
+    * seeded hyperplanes, exact codegen cosine inside the probed cells.
+    */
+  private def qs4IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.sin(i + 1.0)) // same probe as qs1
+    Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100, bits = 8, nProbe = 1)
+  }
+
+  /** Real WordPiece inference (greedy longest-prefix-match over the fixed
+    * `TextFunctions.wordpieceVocab`) — upgrades the qt6 regex stand-in to
+    * the actual subword algorithm; per-doc piece count.
+    */
+  private def qt11Wordpiece(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.wordpieceCount(col("text")).as("n_pieces"))
+
+  /** CUBE grouping sets over (returnflag, linestatus): all four grouping
+    * combinations in ONE Expand + hash aggregate (single shuffle), vs
+    * four separate scans.
+    */
+  private def q25Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Bloom-filter-accelerated semi join: the build side's keys compact
+    * into a broadcast bloom filter that prunes the probe scan BEFORE the
+    * shuffle (the 100 TB win: only ~fpp of non-matching rows reach the
+    * exchange), then the exact semi join removes the false positives —
+    * output is bit-identical to the plain semi join, which is exactly
+    * what the oracle runs. Sizing is fixed here; at scale derive
+    * expectedNumItems from table stats.
+    */
+  private def q26BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    t(spark, dir, "lineitem")
+      .filter(mightContain(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Column profiling (training-data QA): null count, exact distinct,
+    * min/max/avg per numeric column — one scan, wide multi-agg, then a
+    * stack() unpivot to long form. n_null via count(*)−count(col) so both
+    * engines stay in BIGINT.
+    */
+  private def qp2Profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nnull"),
+        countDistinct(col(c)).as(s"${c}__ndist"),
+        round(min(col(c)), 6).as(s"${c}__min"),
+        round(max(col(c)), 6).as(s"${c}__max"),
+        // 4 dp, not 6: avg divides a 600k-term FP sum whose engine-order
+        // divergence (~1e-8 absolute here) sits too close to a 6-dp
+        // rounding boundary to gamble the gate on
+        round(avg(col(c)), 4).as(s"${c}__avg"))
+    }
+    val wide = t(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__nnull, ${c}__ndist, ${c}__min, ${c}__max, ${c}__avg")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stackArgs) as (col_name, n_null, n_distinct, minv, maxv, avgv)")
+  }
+
   /** §2.10 — sessionization (gap > 30 min), batch window-function form;
     * the streaming-stateful twin (`EventStreams.sessionizeStateful`) is
     * equivalence-tested in StreamingSpec.
@@ -993,7 +1072,12 @@ object SparkEntry {
     "qg3_eaul" -> (qg3Eaul _),
     "qg4_criticality_large" -> (qg4CriticalityLarge _),
     "qg5_golden_routes" -> (qg5GoldenRoutes _),
-    "qg6_golden_eaul" -> (qg6GoldenEaul _)
+    "qg6_golden_eaul" -> (qg6GoldenEaul _),
+    "qs4_ivf" -> (qs4IvfTopK _),
+    "qt11_wordpiece" -> (qt11Wordpiece _),
+    "q25_cube" -> (q25Cube _),
+    "q26_bloom_semi" -> (q26BloomSemi _),
+    "qp2_profile" -> (qp2Profile _)
   )
 
   /** Shared oracle CTE prefix for the MinHash family (qd2/qd4/qd6):
@@ -2249,6 +2333,103 @@ object SparkEntry {
         |       ELSE length(regexp_split_to_array(trim(text), '\s+')) END
         |    AS n_tokens,
         |  length(text) AS len
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // IVF ANN: the 8 seeded hyperplanes AND the query's own cell are
+    // generated/computed in the oracle builder with the same Random(42)
+    // sequence and the same sequential double arithmetic as the engine's
+    // hyperplaneSignature, then inlined as literals; candidate cells =
+    // hamming <= 1 from the query cell, then qs1's exact-cosine oracle
+    // shape over the candidates only.
+    "qs4_ivf" -> {
+      val rnd = new scala.util.Random(42L)
+      val planes = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      val query = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val qCell = planes.zipWithIndex.map { case (p, b) =>
+        var d = 0.0
+        var i = 0
+        while (i < 64) { d += query(i) * p(i); i += 1 }
+        if (d >= 0.0) 1L << b else 0L
+      }.sum
+      val planeValues = planes.zipWithIndex.flatMap { case (p, b) =>
+        p.zipWithIndex.map { case (c, i) => s"($b,${i + 1},$c)" }
+      }.mkString(",")
+      val qv = query.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH planes(b, i, c) AS (SELECT * FROM (VALUES $planeValues)),
+         |dots AS (
+         |  SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.i] AS DOUBLE) * p.c) AS d
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b),
+         |sigs AS (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0.0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |cand AS (SELECT vec_id FROM sigs WHERE bit_count(xor(sig, $qCell)) <= 1),
+         |s AS (
+         |  SELECT q.vec_id,
+         |    sum(CAST(q.embedding[t.i] AS DOUBLE) * q.qv[t.i]) AS dot,
+         |    sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(q.qv[t.i] * q.qv[t.i]) AS nb
+         |  FROM (SELECT e.vec_id, e.embedding, $qv::DOUBLE[] AS qv
+         |        FROM embeddings e JOIN cand USING (vec_id)) q
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY q.vec_id)
+         |SELECT vec_id,
+         |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
+    },
+    // WordPiece greedy longest-prefix-match replay: tokenize each DISTINCT
+    // word once via a recursive CTE whose step advances by the LONGEST
+    // vocab entry prefixing the remainder (LEFT JOIN + max(length), 1-char
+    // fallback), then weight by per-doc word multiplicity. Each word walks
+    // exactly one deterministic path, so the terminal row (pos > length)
+    // is unique per word.
+    "qt11_wordpiece" -> {
+      val vocabValues = functions.TextFunctions.wordpieceVocab.map(v => s"('$v')").mkString(",")
+      s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vocabValues)),
+         |words AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |wcount AS MATERIALIZED (
+         |  SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+         |strs AS (SELECT DISTINCT w FROM wcount),
+         |f(w, pos, cnt) AS (
+         |  SELECT w, 1, 0 FROM strs
+         |  UNION ALL
+         |  SELECT f.w, f.pos + coalesce(max(length(v.v)), 1), f.cnt + 1
+         |  FROM f LEFT JOIN vocab v ON substr(f.w, f.pos, length(v.v)) = v.v
+         |  WHERE f.pos <= length(f.w)
+         |  GROUP BY f.w, f.pos, f.cnt),
+         |pieces AS (SELECT w, cnt AS n FROM f WHERE pos > length(w)),
+         |perdoc AS (
+         |  SELECT wc.doc_id, sum(wc.cnt * p.n) AS n_pieces
+         |  FROM wcount wc JOIN pieces p USING (w) GROUP BY wc.doc_id)
+         |SELECT d.doc_id, coalesce(s.n_pieces, 0)::BIGINT AS n_pieces
+         |FROM documents d LEFT JOIN perdoc s USING (doc_id)""".stripMargin
+    },
+    "q25_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // bloom is a pure pre-shuffle pruning layer on the engine side — the
+    // exact semi join after it makes the output identical to this plain
+    // semi join
+    "q26_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+    "qp2_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(min($c), 6) AS minv, round(max($c), 6) AS maxv,
+           |  round(avg($c), 4) AS avgv
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }
   )
 }

@@ -26,6 +26,67 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
 
+  /** Greedy longest-prefix-match subword vocabulary (WordPiece-style
+    * inference over a FIXED vocab — the real algorithm, unlike the regex
+    * stand-in above; the vocab itself is hand-fixed, not learned, so the
+    * whole tokenization is deterministic and SQL-replayable). Multi-char
+    * merges cover frequent English fragments; all 26 letters + 10 digits
+    * guarantee progress on alphanumerics, and any other char falls back to
+    * one subword per char.
+    */
+  val wordpieceVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tion", "ent", "ati", "for", "her", "ter",
+    "tha", "ere", "ate", "est", "ver", "all", "ith", "out",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti", "es",
+    "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to", "nt", "ng",
+    "se", "ha", "as", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri",
+    "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch", "ll", "be", "ma", "si",
+    "om", "ur") ++
+    ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** Subword count under greedy longest-prefix-match against
+    * [[wordpieceVocab]]: per whitespace token (lowercased), repeatedly
+    * take the LONGEST vocab entry prefixing the remainder (fallback: one
+    * char) — the standard WordPiece inference loop, compiled (one UDF
+    * call per row; the vocab lives in a length-bucketed Array so each
+    * step probes at most 4 prefix lengths, no per-row regex).
+    */
+  def wordpieceCount: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val vocab = wordpieceVocab
+    val maxLen = vocab.map(_.length).max
+    // byLen(l) = entries of length l, as a set for O(1) probe
+    val byLen: Array[Set[String]] =
+      Array.tabulate(maxLen + 1)(l => vocab.filter(_.length == l).toSet)
+    udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val t = text.trim.toLowerCase
+        if (t.isEmpty) 0L
+        else {
+          var count = 0L
+          t.split("\\s+").foreach { w =>
+            var pos = 0
+            while (pos < w.length) {
+              var l = math.min(maxLen, w.length - pos)
+              var matched = 1 // fallback: single (possibly OOV) char
+              var found = false
+              while (l >= 1 && !found) {
+                if (byLen(l).contains(w.substring(pos, pos + l))) {
+                  matched = l
+                  found = true
+                }
+                l -= 1
+              }
+              pos += matched
+              count += 1
+            }
+          }
+          count
+        }
+      }
+    }
+  }
+
   /** Ratio of alphabetic chars to total chars (0 for empty). */
   def alphaRatio(text: Column): Column = {
     val total = length(text)

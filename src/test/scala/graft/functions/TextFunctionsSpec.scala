@@ -67,6 +67,38 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sigs(0) == sigs(1)) // same vector → same cell
   }
 
+  test("wordpieceCount: greedy longest-prefix-match semantics") {
+    import spark.implicits._
+    // hand-traced against the vocab: "theory" = the|or|y, "ing" is a
+    // single 3-char entry (NOT i|n|g), OOV punctuation falls back to one
+    // piece per char, multi-word sums per word, blank/null → 0
+    val df = Seq(
+      ("a", "theory"),
+      ("b", "ing"),
+      ("c", "a!?b"),
+      ("d", "theory ing"),
+      ("e", "   "),
+      ("f", null.asInstanceOf[String])).toDF("id", "text")
+    val out = df
+      .select(col("id"), TextFunctions.wordpieceCount(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 3L)
+    assert(out("b") == 1L)
+    assert(out("c") == 4L) // a | ! | ? | b
+    assert(out("d") == 4L)
+    assert(out("e") == 0L)
+    assert(out("f") == 0L)
+  }
+
+  test("wordpieceCount: longest match wins over greedy-short prefixes") {
+    import spark.implicits._
+    // "tion" (4) must beat "ti" (2) + "on" (2) even though both cover it:
+    // 1 piece, not 2; and case-insensitivity via lowercasing
+    val out = Seq("TION").toDF("text")
+      .select(TextFunctions.wordpieceCount(col("text"))).collect().head.getLong(0)
+    assert(out == 1L)
+  }
+
   test("redactPii handles all three classes in one text") {
     import spark.implicits._
     val df = Seq("mail a@b.co or call +258 21 123456 at 10.0.0.1 ok").toDF("text")

@@ -252,6 +252,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-semi: bloom prefilter + exact semi join ≡ plain semi join") {
+    import spark.implicits._
+    val facts = (1L to 2000L).map(k => (k, k % 97)).toDF("fk", "v")
+    val dim = (1L to 2000L by 7).toDF("pk") // ~286 build keys
+    val plain = facts.join(dim, col("fk") === col("pk"), "left_semi")
+    // engine path: bloom prunes the probe side before the join; fpp only
+    // lets EXTRA rows through, which the exact join then removes
+    val bf = dim.stat.bloomFilter("pk", 1000L, 0.05)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mc = udf((k: Long) => bfB.value.mightContain(k))
+    val bloomed = facts.filter(mc(col("fk"))).join(dim, col("fk") === col("pk"), "left_semi")
+    assert(bloomed.collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.collect().map(_.getLong(0)).sorted.toSeq)
+    // and the prefilter really prunes: kept rows between match count and total
+    val kept = facts.filter(mc(col("fk"))).count()
+    val matches = plain.count()
+    assert(kept >= matches && kept < 2000)
+  }
+
+  test("cube ≡ union of the four explicit group-bys") {
+    import spark.implicits._
+    val df = Seq(("A", "X", 1.0), ("A", "Y", 2.0), ("B", "X", 4.0)).toDF("f", "s", "q")
+    val cube = df.cube(col("f"), col("s")).agg(sum(col("q")).as("t"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getDouble(2)).toMap
+    assert(cube((Some("A"), Some("Y"))) == 2.0)
+    assert(cube((Some("A"), None)) == 3.0) // per-f subtotal
+    assert(cube((None, Some("X"))) == 5.0) // per-s subtotal
+    assert(cube((None, None)) == 7.0) // grand total
+    assert(cube.size == 3 + 2 + 2 + 1)
+  }
+
   test("similarity: IVF probe is a subset of brute-force ranking space") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Array.tabulate(64)(i => math.sin(i + 1.0))
