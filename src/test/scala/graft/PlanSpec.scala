@@ -68,4 +68,30 @@ class PlanSpec extends AnyFunSuite {
     val p = finalPlan("q1_agg")
     assert(p.contains("*("), p.take(800))
   }
+
+  test("q26: bloom prefilter sits on the probe scan, semi join stays a join") {
+    val p = plan("q26_bloom_semi")
+    // the UDF filter must apply BEFORE the semi join (scan-side pruning),
+    // and the exactness layer must remain a real semi join
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "semi join planned as cartesian")
+    val joinIdx = p.indexOf("LeftSemi")
+    val filterIdx = p.indexOf("Filter")
+    assert(filterIdx > joinIdx, "bloom filter not below the join in the plan tree")
+  }
+
+  test("q25: cube is one Expand + hash aggregate, not four scans") {
+    val p = plan("q25_cube")
+    assert(p.contains("Expand"), p.take(800))
+    assert("FileScan".r.findAllIn(p).size <= 1, "cube re-scanned the fact table")
+  }
+
+  test("qs4: IVF probes filter the corpus BEFORE cosine scoring/top-k") {
+    val p = plan("qs4_ivf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // the hamming cell filter must be below the top-k, next to the scan
+    val topkIdx = p.indexOf("TakeOrderedAndProject")
+    val filterIdx = p.indexOf("Filter")
+    assert(filterIdx > topkIdx, "cell filter not below the top-k")
+  }
 }

@@ -50,4 +50,30 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS orders_b")
     }
   }
+
+  test("partitioned write + predicate ⇒ partition pruning at the scan") {
+    // the other write-side layout lever: hive-style partition dirs make an
+    // equality/IN predicate skip whole directories at planning time — at
+    // 100 TB a lang='en' filter reads only the en/ partition, zero I/O on
+    // the rest. Verified via the scan's reported partition count.
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "no file scan found")
+    // partitionFilters prove pruning happens at planning, not per-row
+    assert(scan.get.partitionFilters.nonEmpty, "lang predicate did not become a partition filter")
+    val langs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("lang").distinct().count()
+    assert(langs > 1, "fixture has one lang; pruning test is vacuous")
+    assert(scan.get.selectedPartitions.partitionCount == 1,
+      "scan read more than the matching partition")
+    // row-level equivalence with the unpartitioned path
+    val expected = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("lang") === "en").count()
+    assert(read.count() == expected)
+  }
 }
