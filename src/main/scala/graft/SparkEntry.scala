@@ -611,6 +611,22 @@ object SparkEntry {
           6).as("jaccard"))
   }
 
+  /** Cross-corpus decontamination: even doc_ids play the training set,
+    * odd ones the eval set; an eval doc is flagged when it shares any
+    * word 5-gram with training text (canonical n is 13 — these synthetic
+    * docs are short, so the gate uses 5 to keep the collision set
+    * non-trivial). Output = flagged ids + distinct colliding-gram count.
+    */
+  private def qd8Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id",
+      "text",
+      n = 5)
+  }
+
   /** IVF ANN — the scale path of the similarity family (qs1/qs3 are the
     * brute-force baselines): corpus rows land in 8-bit hyperplane cells,
     * and only cells within hamming 1 of the query's cell are scored
@@ -1073,6 +1089,7 @@ object SparkEntry {
     "qg4_criticality_large" -> (qg4CriticalityLarge _),
     "qg5_golden_routes" -> (qg5GoldenRoutes _),
     "qg6_golden_eaul" -> (qg6GoldenEaul _),
+    "qd8_decontaminate" -> (qd8Decontaminate _),
     "qs4_ivf" -> (qs4IvfTopK _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "q25_cube" -> (q25Cube _),
@@ -2334,6 +2351,22 @@ object SparkEntry {
         |    AS n_tokens,
         |  length(text) AS len
         |FROM documents""".stripMargin,
+    // decontamination: 5-gram build mirrors wordShingleSet (lower+trim,
+    // \s+ split, <n tokens → one whole-text shingle, DISTINCT per doc)
+    "qd8_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(tk) < 5 THEN array_to_string(tk, ' ')
+        |           ELSE tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] END AS g
+        |    FROM (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS i FROM toks))
+        |), train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 0),
+        |evalg AS (SELECT doc_id, g FROM sh WHERE doc_id % 2 = 1)
+        |SELECT e.doc_id, count(*) AS n_hits
+        |FROM evalg e JOIN train t USING (g)
+        |GROUP BY e.doc_id""".stripMargin,
     // IVF ANN: the 8 seeded hyperplanes AND the query's own cell are
     // generated/computed in the oracle builder with the same Random(42)
     // sequence and the same sequential double arithmetic as the engine's

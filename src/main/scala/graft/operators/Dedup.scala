@@ -402,6 +402,39 @@ object Dedup {
     labels
   }
 
+  /** Cross-corpus n-gram decontamination (the GPT-3 / Gopher method): an
+    * eval document is contaminated if it shares ANY word n-gram with the
+    * training corpus. Returns `(idCol, n_hits)` for flagged eval docs,
+    * n_hits = number of DISTINCT colliding n-grams.
+    *
+    * Scale shape: train grams reduce to a DISTINCT set before the join
+    * (shuffle |distinct grams|, not |corpus|·|doc len|); the inner
+    * equi-join on the gram string is exact — no hash false positives can
+    * flag a clean eval doc. At 100 TB, pre-hash the gram to 64 bits to
+    * shrink shuffle width (collision odds ~2⁻⁶⁴ per pair) and broadcast
+    * the train side when the distinct-gram set fits; both are pure
+    * optimizations layered on this exact plan.
+    *
+    * The canonical n is 13 (GPT-3 appendix C); pass smaller n for short
+    * documents.
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13): DataFrame = {
+    val grams = shingleSetUdf(n)
+    val trainGrams = train.select(explode(grams(col(textCol))).as("__g")).distinct()
+    // shingle sets are already distinct per doc, so count(*) after the
+    // join counts distinct colliding grams without a distinct shuffle
+    eval
+      .select(col(idCol), explode(grams(col(textCol))).as("__g"))
+      .join(trainGrams, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Embedding-cosine near-dup: hyperplane-LSH candidates verified by
     * exact cosine ≥ threshold; higher id of each verified pair dropped.
     */

@@ -252,6 +252,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: flags eval docs sharing an n-gram, counts distinct hits") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "x alpha beta gamma y one two three z"), // 3-grams hit both train docs
+      (11L, "alpha beta gamma delta"), // identical doc
+      (12L, "entirely different words here")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) == 2L) // "alpha beta gamma" + "one two three"
+    assert(out(11L) == 2L) // "alpha beta gamma" + "beta gamma delta"
+    assert(!out.contains(12L)) // clean doc not flagged
+  }
+
   test("bloom-semi: bloom prefilter + exact semi join ≡ plain semi join") {
     import spark.implicits._
     val facts = (1L to 2000L).map(k => (k, k % 97)).toDF("fk", "v")
