@@ -611,6 +611,27 @@ object SparkEntry {
           6).as("jaccard"))
   }
 
+  /** Event interval join — the batch twin of a watermarked stream-stream
+    * join (same plan semantics Structured Streaming gives
+    * `clicks.join(purchases, expr("... BETWEEN ..."))`): each click pairs
+    * with the same user's purchases in the following 10 minutes. The
+    * user_id equality makes this a plain hash join with a residual time
+    * predicate — no nested-loop, no binning needed; per-user event counts
+    * bound the match fan-out. Epoch-second arithmetic keeps both engines
+    * integer-exact.
+    */
+  private def qe4IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").cast("long").as("cep"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long").as("pep"), col("value"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("pep") >= col("cep") && col("pep") <= col("cep") + 600)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purch"), round(sum(col("value")), 6).as("purch_value"))
+  }
+
   /** Cross-corpus decontamination: even doc_ids play the training set,
     * odd ones the eval set; an eval doc is flagged when it shares any
     * word 5-gram with training text (canonical n is 13 — these synthetic
@@ -1090,6 +1111,7 @@ object SparkEntry {
     "qg5_golden_routes" -> (qg5GoldenRoutes _),
     "qg6_golden_eaul" -> (qg6GoldenEaul _),
     "qd8_decontaminate" -> (qd8Decontaminate _),
+    "qe4_interval_join" -> (qe4IntervalJoin _),
     "qs4_ivf" -> (qs4IvfTopK _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "q25_cube" -> (q25Cube _),
@@ -2351,6 +2373,19 @@ object SparkEntry {
         |    AS n_tokens,
         |  length(text) AS len
         |FROM documents""".stripMargin,
+    "qe4_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ep AS cep FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ep AS pep, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.click_id, count(*) AS n_purch, round(sum(p.value), 6) AS purch_value
+        |FROM c JOIN p USING (user_id)
+        |WHERE p.pep >= c.cep AND p.pep <= c.cep + 600
+        |GROUP BY c.click_id""".stripMargin,
     // decontamination: 5-gram build mirrors wordShingleSet (lower+trim,
     // \s+ split, <n tokens → one whole-text shingle, DISTINCT per doc)
     "qd8_decontaminate" ->

@@ -78,8 +78,15 @@ object Criticality {
   }
 
   /** Full scored indicator: way_id, score ∈ [0,100]. */
-  def scores(spark: SparkSession, g: CsrGraph, odNodes: Array[Int]): DataFrame = {
-    val stats = waysStats(spark, g, odNodes)
+  def scores(spark: SparkSession, g: CsrGraph, odNodes: Array[Int]): DataFrame =
+    scoreStats(waysStats(spark, g, odNodes))
+
+  /** Scoring stage alone (criticality.js:93-110) over a stats frame with
+    * columns (name, unroutablePairs, impactedPairs, avgTimeNonZero) —
+    * split out so the normalization formula is property-testable without
+    * running the routing sweep.
+    */
+  def scoreStats(stats: DataFrame): DataFrame = {
     val norms = stats.agg(
       max((col("unroutablePairs") + col("impactedPairs")) * col("avgTimeNonZero")).as("avgMaxTime"),
       max(col("unroutablePairs")).as("maxUnroutable"))

@@ -100,6 +100,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordpieceCount matches an independently-written greedy reference") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    // independent reference: recursive longest-prefix scan via
+    // vocab.filter(startsWith).maxBy(length) — different code path from
+    // the length-bucketed set probe in the UDF
+    val vocab = TextFunctions.wordpieceVocab
+    def refWord(w: String): Long =
+      if (w.isEmpty) 0L
+      else {
+        val hits = vocab.filter(w.startsWith)
+        val step = if (hits.isEmpty) 1 else hits.map(_.length).max
+        1L + refWord(w.substring(step))
+      }
+    def ref(text: String): Long = {
+      val t = text.trim.toLowerCase
+      if (t.isEmpty) 0L else t.split("\\s+").map(refWord).sum
+    }
+    val word = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar,
+      1 -> Gen.numChar,
+      1 -> Gen.oneOf('!', '?', '.', '#'))).map(_.mkString)
+    val textGen = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    forAll(textGen, n = 60) { text =>
+      val got = Seq(text).toDF("text")
+        .select(TextFunctions.wordpieceCount(col("text"))).collect().head.getLong(0)
+      assert(got == ref(text), s"text=$text")
+    }
+  }
+
+  test("criticality score normalization matches the reference formula on random stats") {
+    // criticality.js:93-110: score = round(100 * (0.4·timeNorm + 0.6·unroutNorm))
+    // where timeNorm = ((unroutable+impacted)·avgNonZero) / max over ways,
+    // unroutNorm = unroutable / maxUnroutable, with || 0 null-coercion on
+    // 0/0. Property: scores from graft.graph.Criticality.scores lie in
+    // [0,100], the way attaining both maxima scores exactly 100·(0.4·1+0.6·1),
+    // and doubling every way's stats uniformly leaves scores unchanged
+    // (scale invariance of the normalization).
+    import spark.implicits._
+    val statGen = for {
+      n <- Gen.chooseNum(2, 8)
+      rows <- Gen.listOfN(n, for {
+        unr <- Gen.chooseNum(0, 5)
+        imp <- Gen.chooseNum(0, 10)
+        avg <- Gen.chooseNum(0.0, 100.0)
+      } yield (unr, imp, avg))
+    } yield rows
+    forAll(statGen, n = 25) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((u, i, a), w) => (s"w$w", u, i, a) }
+        .toDF("name", "unroutablePairs", "impactedPairs", "avgTimeNonZero")
+      val scores = graft.graph.Criticality.scoreStats(df)
+        .collect().map(r => r.getAs[String]("way_id") -> r.getAs[Double]("score")).toMap
+      assert(scores.values.forall(s => s >= 0 && s <= 100))
+      // scale invariance: double avgTimeNonZero everywhere → same scores
+      val doubled = rows.zipWithIndex
+        .map { case ((u, i, a), w) => (s"w$w", u, i, a * 2) }
+        .toDF("name", "unroutablePairs", "impactedPairs", "avgTimeNonZero")
+      val scores2 = graft.graph.Criticality.scoreStats(doubled)
+        .collect().map(r => r.getAs[String]("way_id") -> r.getAs[Double]("score")).toMap
+      scores.foreach { case (w, s) => assert(math.abs(scores2(w) - s) < 1e-9, s"way $w") }
+    }
+  }
+
   test("lineSplit pieces reassemble the original line's length") {
     // random rectangle + random horizontal line crossing it
     val gen = for {
