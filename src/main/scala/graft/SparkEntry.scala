@@ -611,6 +611,19 @@ object SparkEntry {
           6).as("jaccard"))
   }
 
+  /** Bigram-LM quality scoring: model trained on even doc_ids, odd ones
+    * scored by mean smoothed log-probability (TextAnalysis.bigramLmScore —
+    * the trained-model quality filter, vs qt3's closed-form heuristic).
+    */
+  private def qt12LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.TextAnalysis.bigramLmScore(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id",
+      "text")
+  }
+
   /** Event interval join — the batch twin of a watermarked stream-stream
     * join (same plan semantics Structured Streaming gives
     * `clicks.join(purchases, expr("... BETWEEN ..."))`): each click pairs
@@ -1111,6 +1124,7 @@ object SparkEntry {
     "qg5_golden_routes" -> (qg5GoldenRoutes _),
     "qg6_golden_eaul" -> (qg6GoldenEaul _),
     "qd8_decontaminate" -> (qd8Decontaminate _),
+    "qt12_lm_score" -> (qt12LmScore _),
     "qe4_interval_join" -> (qe4IntervalJoin _),
     "qs4_ivf" -> (qs4IvfTopK _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
@@ -2373,6 +2387,35 @@ object SparkEntry {
         |    AS n_tokens,
         |  length(text) AS len
         |FROM documents""".stripMargin,
+    // bigram LM: c1 = w1's count as bigram HISTORY (sum over tb), V =
+    // distinct unigrams over ALL positions — both conventions mirrored in
+    // the engine; avg-of-logs rounded 6 dp (order divergence ~1e-15 rel)
+    "qt12_lm_score" ->
+      """WITH tr AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ev AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |tb AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c12
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM tr)
+        |  GROUP BY 1, 2),
+        |tu AS (SELECT w1, sum(c12) AS c1 FROM tb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w)::DOUBLE AS vv
+        |      FROM (SELECT unnest(tk) AS w FROM tr)),
+        |eb AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM ev))
+        |SELECT e.doc_id,
+        |  round(avg(ln((coalesce(tb.c12, 0) + 1.0) / (coalesce(tu.c1, 0) + v.vv))), 6)
+        |    AS lm_score,
+        |  count(*) AS n_bigrams
+        |FROM eb e
+        |LEFT JOIN tb USING (w1, w2)
+        |LEFT JOIN tu USING (w1)
+        |CROSS JOIN v
+        |GROUP BY e.doc_id""".stripMargin,
     "qe4_interval_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -19,6 +19,44 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Bigram language-model scoring (the KenLM-perplexity quality filter of
+    * CCNet/Gopher pipelines, reduced to a bigram model so it is exactly
+    * replayable): train add-1-smoothed bigram probabilities on `train`,
+    * score each `eval` doc by its mean log-probability
+    * `avg(ln((c(w1,w2)+1) / (c(w1)+V)))`, where `c(w1)` is w1's count as
+    * a bigram history (Σ_w2 c(w1,w2)) and V the distinct-unigram vocab
+    * size. Low (very negative) scores = text unlike the training corpus.
+    * Docs with < 2 tokens have no bigrams and are not scored.
+    *
+    * Scale shape: bigram extraction is the codegen-friendly
+    * slice+arrays_zip+explode (no CodegenFallback HOF); model counts are
+    * two hash aggregations with map-side combine; scoring is two
+    * equi-joins on (w1,w2)/(w1) — shuffle-bound by distinct bigrams, not
+    * corpus size. V rides as a broadcast 1-row frame.
+    */
+  def bigramLmScore(train: DataFrame, eval: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = df
+      .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("__h", expr("slice(__toks, 1, size(__toks) - 1)"))
+      .withColumn("__t", expr("slice(__toks, 2, size(__toks) - 1)"))
+      .select(col(idCol), explode(arrays_zip(col("__h"), col("__t"))).as("__p"))
+      .select(col(idCol), col("__p.__h").as("w1"), col("__p.__t").as("w2"))
+    val tb = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tu = tb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = train
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("__v"))
+    bigrams(eval)
+      .join(tb, Seq("w1", "w2"), "left")
+      .join(tu, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn(
+        "__lp",
+        log((coalesce(col("c12"), lit(0L)) + 1.0) / (coalesce(col("c1"), lit(0L)) + col("__v"))))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("__lp")), 6).as("lm_score"), count(lit(1)).as("n_bigrams"))
+  }
+
   /** TF-IDF: top-`k` terms per document, `tfidf = tf · ln(N / df)`.
     * Whitespace tokenization on the lowercased, trimmed text (matching
     * `TextFunctions.tokenCount` semantics). Scores are rounded to 6

@@ -22,6 +22,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "a", 0.0, 2L)))
   }
 
+  test("bigram LM score: hand-computed smoothed log-probs, in-domain > OOV") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // train bigrams: (a,b)×2, (b,a)×1 ⇒ c1(a)=2, c1(b)=1; V=2 (a,b)
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b"), // seen bigram: ln((2+1)/(2+2)) = ln(3/4)
+      (3L, "q z")) // fully OOV: ln((0+1)/(0+2)) = ln(1/2)
+    .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == (r6(math.log(0.75)), 1L))
+    assert(out(3L) == (r6(math.log(0.5)), 1L))
+    assert(out(1L)._1 > out(3L)._1) // in-domain text scores higher
+    // a 1-token doc has no bigrams and is absent
+    val single = TextAnalysis.bigramLmScore(
+      train, Seq((5L, "a")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(single.filter(col("doc_id") === 5L).count() == 0)
+  }
+
   test("tf-idf: k-cut keeps exactly k terms per doc with deterministic ties") {
     import spark.implicits._
     // all terms unique within the doc and globally -> identical tfidf;
