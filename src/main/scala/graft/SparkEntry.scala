@@ -611,6 +611,34 @@ object SparkEntry {
           6).as("jaccard"))
   }
 
+  /** RANGE window frame (q24 covers ROWS): 7-day trailing revenue per
+    * customer — value-based frame on epoch seconds, so peers with equal
+    * timestamps are all included and the result is tie-order-independent
+    * by construction (no ROWS-frame tie-break needed).
+    */
+  private def q27RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ep")).rangeBetween(-604800, 0)
+    t(spark, dir, "orders")
+      // NTZ → LTZ is identity under the session's UTC timezone; direct
+      // NTZ→long cast is disallowed
+      .withColumn("ep", col("o_orderdate").cast("timestamp").cast("long"))
+      .withColumn("trailing_7d", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_orderkey"), col("o_custkey"), col("trailing_7d"))
+  }
+
+  /** Multimodal frame sampling gated: every-2nd 100-byte "frame" of each
+    * payload (the video→frames generator shape, real row multiplication +
+    * rebalance). Output is scalar (frame lengths) — binary columns break
+    * the driver compare.
+    */
+  private def qm3FrameSample(spark: SparkSession, dir: String): DataFrame =
+    multimodal.Multimodal
+      .sampleFrames(
+        multimodal.Multimodal.mediaFromDocuments(spark, t(spark, dir, "documents")),
+        everyK = 2,
+        frameBytes = 100)
+      .select(col("media_id"), col("frame_no"), length(col("frame_bytes")).as("frame_len"))
+
   /** Bigram-LM quality scoring: model trained on even doc_ids, odd ones
     * scored by mean smoothed log-probability (TextAnalysis.bigramLmScore —
     * the trained-model quality filter, vs qt3's closed-form heuristic).
@@ -1125,6 +1153,8 @@ object SparkEntry {
     "qg6_golden_eaul" -> (qg6GoldenEaul _),
     "qd8_decontaminate" -> (qd8Decontaminate _),
     "qt12_lm_score" -> (qt12LmScore _),
+    "q27_range_frame" -> (q27RangeFrame _),
+    "qm3_frame_sample" -> (qm3FrameSample _),
     "qe4_interval_join" -> (qe4IntervalJoin _),
     "qs4_ivf" -> (qs4IvfTopK _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
@@ -2387,6 +2417,28 @@ object SparkEntry {
         |    AS n_tokens,
         |  length(text) AS len
         |FROM documents""".stripMargin,
+    "q27_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+        |FROM orders""".stripMargin,
+    // frame sampling: nFrames = max(len // 100, 1), frames 0,2,4,…; the
+    // last (floor) frame is always full 100 bytes unless the whole payload
+    // is shorter than one frame
+    "qm3_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, len,
+        |    unnest(generate_series(0, greatest(len // 100, 1) - 1, 2)) AS frame_no
+        |  FROM m)
+        |SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+        |  CAST(least(len, frame_no * 100 + 100) - frame_no * 100 AS INTEGER)
+        |    AS frame_len
+        |FROM f""".stripMargin,
     // bigram LM: c1 = w1's count as bigram HISTORY (sum over tb), V =
     // distinct unigrams over ALL positions — both conventions mirrored in
     // the engine; avg-of-logs rounded 6 dp (order divergence ~1e-15 rel)
