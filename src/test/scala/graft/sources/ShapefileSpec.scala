@@ -93,4 +93,35 @@ class ShapefileSpec extends AnyFunSuite {
     assert(r1.getAs[String]("geom_type") == "Point")
     assert(r1.getAs[Map[String, String]]("attrs")("NAME") == "N1")
   }
+
+  test("S8 robustness: corrupt JSON lines quarantine, clean rows survive") {
+    // at 100 TB some records are always malformed — the ingest contract is
+    // PERMISSIVE + _corrupt_record: bad lines are quarantined as data (for
+    // a dead-letter sink), never fail the job, never poison good rows
+    val dir = java.nio.file.Files.createTempDirectory("jsonl")
+    java.nio.file.Files.write(
+      dir.resolve("part.json"),
+      java.util.Arrays.asList(
+        """{"way_id":"N1","score":10.0}""",
+        """{"way_id":"N2","score":""", // truncated mid-record
+        """{"way_id":"N3","score":30.0}""",
+        """not json at all"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("way_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val df = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record column requires a materialized referenced frame
+    import org.apache.spark.sql.functions.col
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(good.collect().map(_.getAs[String]("way_id")).sorted.toSeq == Seq("N1", "N3"))
+    assert(bad.count() == 2) // both malformed lines preserved verbatim
+    df.unpersist(blocking = false)
+  }
 }
