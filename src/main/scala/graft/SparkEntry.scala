@@ -611,6 +611,14 @@ object SparkEntry {
           6).as("jaccard"))
   }
 
+  /** Grouped nearest-rank percentile (W1 per group): top-20%-by-price
+    * lineitems WITHIN each returnflag, summarized per group. */
+  private def q28GroupPercentile(spark: SparkSession, dir: String): DataFrame =
+    Relational
+      .groupedPercentileFilter(t(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice", 80.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_kept"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
   /** RANGE window frame (q24 covers ROWS): 7-day trailing revenue per
     * customer — value-based frame on epoch seconds, so peers with equal
     * timestamps are all included and the result is tie-order-independent
@@ -1154,6 +1162,7 @@ object SparkEntry {
     "qd8_decontaminate" -> (qd8Decontaminate _),
     "qt12_lm_score" -> (qt12LmScore _),
     "q27_range_frame" -> (q27RangeFrame _),
+    "q28_group_percentile" -> (q28GroupPercentile _),
     "qm3_frame_sample" -> (qm3FrameSample _),
     "qe4_interval_join" -> (qe4IntervalJoin _),
     "qs4_ivf" -> (qs4IvfTopK _),
@@ -2417,6 +2426,24 @@ object SparkEntry {
         |    AS n_tokens,
         |  length(text) AS len
         |FROM documents""".stripMargin,
+    // grouped W1: the value at rank round(0.8·(n−1)) is a multiset
+    // property — row_number tie order can't change it. 0.8·(n−1) has
+    // fractional part in {0,.2,.4,.6,.8}, never .5, so rounding-mode
+    // differences can't bite either.
+    "q28_group_percentile" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS r,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |thr AS (
+        |  SELECT l_returnflag, l_extendedprice AS t FROM ranked
+        |  WHERE r = round(0.8 * (c - 1)))
+        |SELECT b.l_returnflag, count(*) AS n_kept,
+        |  round(sum(b.l_quantity), 2) AS sum_qty
+        |FROM lineitem b JOIN thr USING (l_returnflag)
+        |WHERE b.l_extendedprice >= thr.t
+        |GROUP BY b.l_returnflag""".stripMargin,
     "q27_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |  round(sum(o_totalprice) OVER (

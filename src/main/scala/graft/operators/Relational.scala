@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operators re-expressed Spark-first from the reference's
@@ -99,6 +100,40 @@ object Relational {
     val rank = math.round(percentile / 100.0 * (n - 1))
     val threshold = kthSmallest(df, valueCol, rank)
     df.filter(col(valueCol) >= lit(threshold))
+  }
+
+  /** W1 generalized per group: nearest-rank percentile threshold computed
+    * WITHIN each key, survivors = rows with `valueCol >=` their group's
+    * threshold. Same reference semantics as `percentileFilter`
+    * (round(p/100·(n−1)) on the ascending sort, NaN ignored for the
+    * threshold), vectorized over groups.
+    *
+    * The value at a rank is a property of the group's value MULTISET, so
+    * the row_number tie order among equal values cannot change the
+    * threshold — deterministic without a tie-break key.
+    *
+    * Scale shape: one window shuffle on the group key (inherent to any
+    * per-group order statistic), then a broadcast-friendly |groups|-row
+    * threshold join. Skewed groups: the sort is per-group, bounded by the
+    * largest group — for pathological single-group skew fall back to
+    * `percentileFilter`'s range-partitioned selection per group.
+    */
+  def groupedPercentileFilter(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      percentile: Double): DataFrame = {
+    val wSort = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val thr = df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .withColumn("__rn", row_number().over(wSort) - 1)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === round(lit(percentile / 100.0) * (col("__n") - 1)))
+      .select(col(keyCol), col(valueCol).as("__thr"))
+    df.join(broadcast(thr), Seq(keyCol))
+      .filter(col(valueCol) >= col("__thr"))
+      .drop("__thr")
   }
 
   /** P3 — conditional overwrite (reference `preparation.sh:142-146`, the

@@ -252,6 +252,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped percentile filter matches per-group reference nearest-rank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 0 until (10 + rnd.nextInt(40))
+    } yield (g, rnd.nextDouble() * 1000, i)
+    val df = rows.toDF("g", "v", "i")
+    val got = Relational.groupedPercentileFilter(df, "g", "v", 80.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    // reference: per group, sort asc, threshold = value at round(.8·(n−1))
+    // .toSeq first: flatMap on a Map returning pairs would rebuild a Map
+    // and silently dedup by group key
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val thr = sorted(math.round(0.8 * (sorted.length - 1)).toInt)
+      rs.filter(_._2 >= thr).map(r => (g, r._2))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("decontaminate: flags eval docs sharing an n-gram, counts distinct hits") {
     import spark.implicits._
     val train = Seq(
