@@ -611,6 +611,29 @@ object SparkEntry {
           6).as("jaccard"))
   }
 
+  /** MinHash estimator audit: per adjacent-id doc pair, the signature
+    * agreement fraction (the unbiased Jaccard estimate LSH banding rests
+    * on) NEXT TO the exact 3-word-shingle Jaccard — the measured-recall
+    * counterpart to the qd2 banding gate. n/16 is exactly representable,
+    * so both engines agree bit-for-bit.
+    */
+  private def qd9MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sigs = docs.select(
+      col("doc_id"),
+      Dedup.minHashSignatureUdf(3, 16)(col("text")).as("sig"),
+      Dedup.shingleSetUdf(3)(col("text")).as("sh"))
+    val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"), col("sh").as("a_sh"))
+    val b = sigs.select((col("doc_id") - 1).as("a_id"), col("sig").as("b_sig"), col("sh").as("b_sh"))
+    a.join(b, Seq("a_id"))
+      .select(
+        col("a_id").as("doc_id"),
+        round(
+          expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)") / 16.0,
+          6).as("mh_est"),
+        round(Dedup.jaccard(col("a_sh"), col("b_sh")), 6).as("exact_j"))
+  }
+
   /** Grouped nearest-rank percentile (W1 per group): top-20%-by-price
     * lineitems WITHIN each returnflag, summarized per group. */
   private def q28GroupPercentile(spark: SparkSession, dir: String): DataFrame =
@@ -1163,6 +1186,7 @@ object SparkEntry {
     "qt12_lm_score" -> (qt12LmScore _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_group_percentile" -> (q28GroupPercentile _),
+    "qd9_minhash_estimate" -> (qd9MinhashEstimate _),
     "qm3_frame_sample" -> (qm3FrameSample _),
     "qe4_interval_join" -> (qe4IntervalJoin _),
     "qs4_ivf" -> (qs4IvfTopK _),
@@ -2426,6 +2450,34 @@ object SparkEntry {
         |    AS n_tokens,
         |  length(text) AS len
         |FROM documents""".stripMargin,
+    // MinHash estimate (shared sig/sh CTEs): agreement-count/16 is a
+    // dyadic rational — exact in both engines
+    "qd9_minhash_estimate" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, pair AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |), est AS (
+          |  SELECT p.a_id, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 16.0 AS e
+          |  FROM pair p
+          |  JOIN sig sa ON sa.doc_id = p.a_id
+          |  JOIN sig sb ON sb.doc_id = p.b_id AND sb.k = sa.k
+          |  GROUP BY p.a_id
+          |), shc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          |), inter AS (
+          |  SELECT p.a_id, count(*) AS ni
+          |  FROM pair p
+          |  JOIN sh sa ON sa.doc_id = p.a_id
+          |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+          |  GROUP BY p.a_id
+          |)
+          |SELECT e.a_id AS doc_id, round(e.e, 6) AS mh_est,
+          |  round(coalesce(i.ni, 0)::DOUBLE /
+          |        (na.n + nb.n - coalesce(i.ni, 0)), 6) AS exact_j
+          |FROM est e
+          |JOIN shc na ON na.doc_id = e.a_id
+          |JOIN shc nb ON nb.doc_id = e.a_id + 1
+          |LEFT JOIN inter i ON i.a_id = e.a_id""".stripMargin),
     // grouped W1: the value at rank round(0.8·(n−1)) is a multiset
     // property — row_number tie order can't change it. 0.8·(n−1) has
     // fractional part in {0,.2,.4,.6,.8}, never .5, so rounding-mode
