@@ -29,14 +29,19 @@ object Bench {
     // disk cache, JIT re-profiling); the min of two back-to-back runs
     // reports steady-state throughput, which is what a long-running
     // cluster job sees. `runs` is recorded in the JSON for transparency.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(2))
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      // min over SUCCESSFUL runs only — a thrown run's (fast) failure
+      // duration must not masquerade as a timing. All runs failed → -1
+      // sentinel, visible in the JSON instead of a silent near-zero.
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -619,10 +619,13 @@ object SparkEntry {
     */
   private def qd9MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // localCheckpoint: the a/b self-join branches would otherwise each
+    // re-run the signature + shingle UDFs over the whole corpus
     val sigs = docs.select(
       col("doc_id"),
       Dedup.minHashSignatureUdf(3, 16)(col("text")).as("sig"),
       Dedup.shingleSetUdf(3)(col("text")).as("sh"))
+      .localCheckpoint(true)
     val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"), col("sh").as("a_sh"))
     val b = sigs.select((col("doc_id") - 1).as("a_id"), col("sig").as("b_sig"), col("sh").as("b_sh"))
     a.join(b, Seq("a_id"))

@@ -60,7 +60,8 @@ object TextFunctions {
     udf { (text: String) =>
       if (text == null) 0L
       else {
-        val t = text.trim.toLowerCase
+        // Locale.ROOT: keep parity with SQL lower() under any JVM locale
+        val t = text.trim.toLowerCase(java.util.Locale.ROOT)
         if (t.isEmpty) 0L
         else {
           var count = 0L

@@ -61,13 +61,21 @@ object Multimodal {
     * decoder initializes once per partition (the reference's per-process
     * model, `img-stats.py:88-102`, maps to per-partition here).
     */
+  /** Null payloads (e.g. a NULL source column cast to binary) are treated
+    * as empty media rather than NPE-ing the job — mirrors the null-safety
+    * contract of the text kernels.
+    */
+  private def safeBytes(b: Array[Byte]): Array[Byte] =
+    if (b == null) Array.emptyByteArray else b
+
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real impl: val codec = Codec.open() — once per partition
       it.map { m =>
-        val (mean, entropy, feature) = decodeStub(m.bytes)
-        MediaFeatures(m.media_id, m.meta.kind, m.bytes.length.toLong, mean, entropy, feature)
+        val bytes = safeBytes(m.bytes)
+        val (mean, entropy, feature) = decodeStub(bytes)
+        MediaFeatures(m.media_id, m.meta.kind, bytes.length.toLong, mean, entropy, feature)
       }
     }
   }
@@ -83,10 +91,11 @@ object Multimodal {
     media.mapPartitions { it =>
       // real impl: codec init once per partition
       it.map { m =>
+        val bytes = safeBytes(m.bytes)
         val step = factor * factor
-        val out = new Array[Byte]((m.bytes.length + step - 1) / step)
+        val out = new Array[Byte]((bytes.length + step - 1) / step)
         var i = 0
-        while (i < out.length) { out(i) = m.bytes(i * step); i += 1 }
+        while (i < out.length) { out(i) = bytes(i * step); i += 1 }
         Media(
           m.media_id,
           m.meta.copy(width = m.meta.width / factor, height = m.meta.height / factor),
@@ -103,11 +112,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media
       .flatMap { m =>
-        val nFrames = math.max(1, m.bytes.length / math.max(1, frameBytes))
+        val bytes = safeBytes(m.bytes)
+        val nFrames = math.max(1, bytes.length / math.max(1, frameBytes))
         (0 until nFrames by everyK).map { f =>
           val start = f * frameBytes
-          val end = math.min(m.bytes.length, start + frameBytes)
-          (m.media_id, f, java.util.Arrays.copyOfRange(m.bytes, start, math.max(start, end)))
+          val end = math.min(bytes.length, start + frameBytes)
+          (m.media_id, f, java.util.Arrays.copyOfRange(bytes, start, math.max(start, end)))
         }
       }
       .toDF("media_id", "frame_no", "frame_bytes")

@@ -38,7 +38,10 @@ object Dedup {
     */
   private def tokenize(text: String): Array[String] = {
     if (text == null) return Array("")
-    val t = text.trim.toLowerCase
+    // Locale.ROOT: default-locale toLowerCase diverges from SQL lower()
+    // under tr/az JVM locales ('I' → dotless ı), silently breaking oracle
+    // parity on any text containing 'I'
+    val t = text.trim.toLowerCase(java.util.Locale.ROOT)
     if (t.isEmpty) Array("") else t.split("\\s+")
   }
 

@@ -167,6 +167,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(feats.map(_.mean_byte).sorted.sameElements(again.map(_.mean_byte).sorted))
   }
 
+  test("multimodal: null payloads are empty media, not NPEs") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Media, MediaMeta}
+    val media = Seq(
+      Media(1L, MediaMeta("image", 64, 64, 16000), null),
+      Media(2L, MediaMeta("image", 64, 64, 16000), Array[Byte](1, 2, 3))).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f.n_bytes).toMap
+    assert(feats(1L) == 0L && feats(2L) == 3L)
+    val frames = Multimodal.sampleFrames(media, everyK = 1, frameBytes = 2).collect()
+    assert(frames.count(_.getLong(0) == 1L) == 1) // one empty frame
+    val resized = Multimodal.resizeStub(media, 2).collect().map(m => m.media_id -> m.bytes.length).toMap
+    assert(resized(1L) == 0 && resized(2L) == 1)
+  }
+
   test("stream-stream interval join equals the batch equivalent") {
     val raw = Tables.events(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("events-ssj")
