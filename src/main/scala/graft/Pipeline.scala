@@ -53,28 +53,34 @@ object Pipeline {
       s"criticality_rows=${criticality.count()} eaul_rows=${eaul.count()} -> $outDir")
   }
 
+  /** Serialize the grid(6) demo network to OSM XML in a temp dir —
+    * the self-contained input for demo runs and the end-to-end spec.
+    */
+  def demoOsmDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("pipeline-osm")
+    val nodes = graft.graph.DemoNetwork.grid(6)._1
+    val osmNodes = (0 until nodes.numNodes).map(i => OsmXml.OsmNode(i.toLong, nodes.nodeLon(i), nodes.nodeLat(i)))
+    val osmWays = nodes.ways.map { w =>
+      // recover endpoints from the CSR for serialization
+      val e = (0 until nodes.numNodes).flatMap { s =>
+        (nodes.indptr(s) until nodes.indptr(s + 1))
+          .filter(ei => nodes.wayOfEdge(ei) == w.idx)
+          .map(ei => (s.toLong, nodes.nbr(ei).toLong))
+      }.head
+      OsmXml.OsmWay(w.osmId, Seq(e._1, e._2),
+        Map("NAME" -> w.name, "RUC" -> w.ruc.toString, "length" -> w.lengthM.toString,
+          "SURF_TYPE" -> w.surface, "ROAD_CLASS" -> w.roadClass))
+    }
+    OsmXml.write(osmNodes, osmWays.toSeq, dir.resolve("net.osm").toString)
+    dir.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-pipeline")
     val (osmDir, outDir) = args match {
       case Array(i, o) => (i, o)
       case _ =>
-        // self-contained demo: serialize the golden network first
-        val dir = java.nio.file.Files.createTempDirectory("pipeline-osm")
-        val nodes = graft.graph.DemoNetwork.grid(6)._1
-        val osmNodes = (0 until nodes.numNodes).map(i => OsmXml.OsmNode(i.toLong, nodes.nodeLon(i), nodes.nodeLat(i)))
-        val osmWays = nodes.ways.map { w =>
-          // recover endpoints from the CSR for serialization
-          val e = (0 until nodes.numNodes).flatMap { s =>
-            (nodes.indptr(s) until nodes.indptr(s + 1))
-              .filter(ei => nodes.wayOfEdge(ei) == w.idx)
-              .map(ei => (s.toLong, nodes.nbr(ei).toLong))
-          }.head
-          OsmXml.OsmWay(w.osmId, Seq(e._1, e._2),
-            Map("NAME" -> w.name, "RUC" -> w.ruc.toString, "length" -> w.lengthM.toString,
-              "SURF_TYPE" -> w.surface, "ROAD_CLASS" -> w.roadClass))
-        }
-        OsmXml.write(osmNodes, osmWays.toSeq, dir.resolve("net.osm").toString)
-        (dir.toString, java.nio.file.Files.createTempDirectory("pipeline-out").toString)
+        (demoOsmDir(), java.nio.file.Files.createTempDirectory("pipeline-out").toString)
     }
     run(spark, osmDir, outDir)
     spark.stop()
