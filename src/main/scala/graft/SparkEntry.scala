@@ -673,6 +673,22 @@ object SparkEntry {
         frameBytes = 100)
       .select(col("media_id"), col("frame_no"), length(col("frame_bytes")).as("frame_len"))
 
+  /** Semi-structured props: schema-on-read JSON extraction (`from_json`
+    * with an explicit schema — the Spark-idiomatic path; a permissive
+    * parse yields null for malformed rows, never a job failure) +
+    * aggregation over the extracted field.
+    */
+  private def qe5JsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn(
+        "k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+
   /** Bigram-LM quality scoring: model trained on even doc_ids, odd ones
     * scored by mean smoothed log-probability (TextAnalysis.bigramLmScore —
     * the trained-model quality filter, vs qt3's closed-form heuristic).
@@ -1192,6 +1208,7 @@ object SparkEntry {
     "qd9_minhash_estimate" -> (qd9MinhashEstimate _),
     "qm3_frame_sample" -> (qm3FrameSample _),
     "qe4_interval_join" -> (qe4IntervalJoin _),
+    "qe5_json_props" -> (qe5JsonProps _),
     "qs4_ivf" -> (qs4IvfTopK _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "q25_cube" -> (q25Cube _),
@@ -2550,6 +2567,15 @@ object SparkEntry {
         |LEFT JOIN tu USING (w1)
         |CROSS JOIN v
         |GROUP BY e.doc_id""".stripMargin,
+    // integer sums are exact and avg divides the same exact operands in
+    // both engines, so 4-dp rounding is deterministic
+    "qe5_json_props" ->
+      """SELECT event_type, count(k) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
     "qe4_interval_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,
