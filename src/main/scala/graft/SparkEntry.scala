@@ -1534,8 +1534,11 @@ object SparkEntry {
         |    round(value / (SELECT max(value) FROM ead) * 100, 2) AS score
         |  FROM ead),
         |aadt AS (SELECT s_suppkey AS way_id,
+        |    -- + 0.0 normalizes IEEE -0.0 (negative acctbal rounding to
+        |    -- zero) to +0.0: Spark's round goes through BigDecimal, which
+        |    -- has no signed zero
         |    round(s_acctbal / (SELECT max(s_acctbal) FROM supplier
-        |                       WHERE NOT isnan(s_acctbal)) * 100) AS score
+        |                       WHERE NOT isnan(s_acctbal)) * 100) + 0.0 AS score
         |  FROM supplier)
         |SELECT s_suppkey AS way_id, f.score AS fish_score,
         |  e.value AS ead_value, e.score AS ead_score, a.score AS aadt_score
@@ -1931,9 +1934,18 @@ object SparkEntry {
         |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE sw.swr_raw END AS swr
         |  FROM documents d JOIN sw ON d.doc_id = sw.doc_id)
         |SELECT doc_id,
-        |  round(least(CAST(ntok AS DOUBLE) / 50.0, 1.0) * 30.0 + alpha * 30.0 +
-        |        least(swr * 4.0, 1.0) * 25.0 +
-        |        (1.0 - least(punct * 4.0, 1.0)) * 15.0, 2) AS quality
+        |  -- two-step round via DECIMAL(28,12): Spark's round(double, 2)
+        |  -- rounds the SHORTEST decimal repr (BigDecimal.valueOf), DuckDB
+        |  -- rounds the true binary value — a score whose shortest repr
+        |  -- ends in …5 at the 3rd decimal (e.g. 73.975, stored as
+        |  -- 73.97499999…) flips between them. Rounding to 12 decimals
+        |  -- first reproduces the shortest-repr behavior for these
+        |  -- magnitudes, then the 2-dp half-up round agrees.
+        |  CAST(round(CAST(
+        |    least(CAST(ntok AS DOUBLE) / 50.0, 1.0) * 30.0 + alpha * 30.0 +
+        |    least(swr * 4.0, 1.0) * 25.0 +
+        |    (1.0 - least(punct * 4.0, 1.0)) * 15.0
+        |  AS DECIMAL(28,12)), 2) AS DOUBLE) AS quality
         |FROM base""".stripMargin,
     "qs1_cosine_topk" -> {
       val qv = Array.tabulate(64)(i => math.sin(i + 1.0)) // same probe as qs1
