@@ -490,7 +490,7 @@ object SparkEntry {
     val docs = t(spark, dir, "documents")
     val sigs = docs.select(
       col("doc_id"),
-      Dedup.minHashSignatureUdf(3, 16)(col("text")).as("__sig"))
+      graft.functions.expressions.TextHashExpressions.minHashSignature(col("text"), 3, 16).as("__sig"))
     val b = sigs
       .withColumn("__band", explode(array((0 until 4).map(lit): _*)))
       .withColumn("__bandhash", xxhash64(slice(col("__sig"), col("__band") * 4 + 1, lit(4)), col("__band")))
@@ -623,7 +623,7 @@ object SparkEntry {
     // re-run the signature + shingle UDFs over the whole corpus
     val sigs = docs.select(
       col("doc_id"),
-      Dedup.minHashSignatureUdf(3, 16)(col("text")).as("sig"),
+      graft.functions.expressions.TextHashExpressions.minHashSignature(col("text"), 3, 16).as("sig"),
       Dedup.shingleSetUdf(3)(col("text")).as("sh"))
       .localCheckpoint(true)
     val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"), col("sh").as("a_sh"))

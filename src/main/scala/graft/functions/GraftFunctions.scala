@@ -24,6 +24,21 @@ object GraftFunctions {
       "dot_product",
       exprs => graft.functions.expressions.DotProduct(exprs(0), exprs(1)),
       "scala_udf")
+    // minhash_signature(text, shingleSize, numHashes[, seed]) — the int
+    // parameters must be foldable literals (they fix the seeded permutation
+    // set at plan time)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => graft.functions.expressions.MinHashSignatureExpr(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue,
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Number].longValue else 42L),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => graft.functions.expressions.SimHash64Expr(exprs(0)),
+      "scala_udf")
 
     // geo kernel
     spark.udf.register("haversine_km", (lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>

@@ -1,0 +1,219 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled text-hashing kernel shared by the UDF tier (`operators.Dedup`)
+  * and the native codegen expressions below. One implementation — the
+  * Expression path and the UDF path are bit-identical by construction, so
+  * the DuckDB oracle replay contracts (FNV-1a over UTF-16 code units,
+  * xor-fold finalizer, seeded mod-(2^31-1) permutations) hold for both.
+  *
+  * Static-forwarder friendly: a top-level Scala object with no companion
+  * class compiles to static methods on `TextHashKernel`, so generated
+  * whole-stage-codegen Java calls `TextHashKernel.minHashSignature(...)`
+  * directly — no MODULE$ indirection in the hot loop's call site.
+  */
+object TextHashKernel {
+
+  val Prime = 2147483647L // 2^31 - 1
+
+  /** Null-safe tokenizer: null/empty text yields the single empty token
+    * (matches the historical UDF behavior — a null doc gets a real
+    * signature rather than a null, so LSH still buckets it).
+    */
+  def tokenize(text: String): Array[String] = {
+    if (text == null) return Array("")
+    // Locale.ROOT: default-locale toLowerCase diverges from SQL lower()
+    // under tr/az JVM locales ('I' → dotless ı)
+    val t = text.trim.toLowerCase(java.util.Locale.ROOT)
+    if (t.isEmpty) Array("") else t.split("\\s+")
+  }
+
+  /** Distinct word n-gram shingles in first-occurrence order. */
+  def wordShingleSet(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out += sb.result()
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** 64-bit FNV-1a over UTF-16 code units + one xor-fold finalizer.
+    * See `operators.Dedup.hash64` scaladoc for the full replay contract
+    * (this is the same function; Dedup delegates here).
+    */
+  def hash64(s: String): Long = {
+    var h = -3750763034362895579L // 14695981039346656037 as signed 64-bit
+    var i = 0
+    while (i < s.length) {
+      h = (h ^ s.charAt(i).toLong) * 1099511628211L
+      i += 1
+    }
+    h ^ (h >>> 32)
+  }
+
+  /** Seeded universal-hash permutation coefficients (a ∈ [1, P-1], b ∈ [0, P-1]). */
+  def minHashCoefs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((rnd.nextInt(Prime.toInt - 1) + 1L, rnd.nextInt(Prime.toInt).toLong))
+  }
+
+  /** MinHash signature: one pass over the shingle set. `coefA`/`coefB` are
+    * the split halves of [[minHashCoefs]] (primitive arrays so generated
+    * code passes them without boxing).
+    */
+  def minHashSignature(text: String, shingleSize: Int, coefA: Array[Long], coefB: Array[Long]): Array[Long] = {
+    val numHashes = coefA.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val shingles = wordShingleSet(text, shingleSize)
+    var s = 0
+    while (s < shingles.length) {
+      val h = java.lang.Math.floorMod(hash64(shingles(s)), Prime)
+      var k = 0
+      while (k < numHashes) {
+        val v = java.lang.Math.floorMod(coefA(k) * h + coefB(k), Prime)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      s += 1
+    }
+    mins
+  }
+
+  /** SimHash: 64-bit signature, bit i = sign of the per-bit vote over
+    * token hashes.
+    */
+  def simHash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val toks = tokenize(text)
+    var t = 0
+    while (t < toks.length) {
+      val h = hash64(toks(t))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}
+
+/** Native codegen `Expression` for MinHash signatures — the "next rung"
+  * the Dedup scaladoc promised above the compiled UDF: same kernel, but
+  * the call site lives INSIDE whole-stage codegen, so there is no ScalaUDF
+  * wrapper (no InternalRow→external-Row conversion, no encoder round-trip,
+  * no per-row closure dispatch) between the parquet scan and the signature
+  * loop. The signature lands directly in an `UnsafeArrayData` (one
+  * primitive-array copy, zero element boxing).
+  *
+  * Null contract (deliberate, matches the UDF tier): null text hashes like
+  * the empty document — output is NEVER null (`nullable = false`), so LSH
+  * banding still buckets null docs instead of dropping them.
+  */
+case class MinHashSignatureExpr(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"minhash_signature expects string, got ${child.dataType}")
+
+  @transient private lazy val (coefA, coefB) = {
+    val cs = TextHashKernel.minHashCoefs(numHashes, seed)
+    (cs.map(_._1), cs.map(_._2))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val s = if (v == null) null else v.asInstanceOf[UTF8String].toString
+    UnsafeArrayData.fromPrimitiveArray(TextHashKernel.minHashSignature(s, shingleSize, coefA, coefB))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val aRef = ctx.addReferenceObj("minhashCoefA", coefA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashCoefB", coefB, "long[]")
+    val javaType = CodeGenerator.javaType(dataType)
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |$javaType ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  graft.functions.expressions.TextHashKernel.minHashSignature(
+         |    ${childGen.isNull} ? null : ${childGen.value}.toString(), $shingleSize, $aRef, $bRef));
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Native codegen SimHash — same rationale and null contract as
+  * [[MinHashSignatureExpr]]; emits a primitive long, so the downstream
+  * 16-bit block-banding arithmetic stays in the same codegen stage.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash64 expects string, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    TextHashKernel.simHash64(if (v == null) null else v.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+         |${childGen.code}
+         |long ${ev.value} = graft.functions.expressions.TextHashKernel.simHash64(
+         |  ${childGen.isNull} ? null : ${childGen.value}.toString());
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object TextHashExpressions {
+  /** Column-facing constructors. */
+  def minHashSignature(text: Column, shingleSize: Int, numHashes: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(text), shingleSize, numHashes, seed))
+
+  def simHash64(text: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+}

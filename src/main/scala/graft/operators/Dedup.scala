@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   *    inside buckets, and shingle sets are joined by doc id AFTER pair
   *    dedup so the heavy arrays shuffle once per doc, not once per pair.
   *
-  * Signature computation is compiled Scala behind `udf` — NOT higher-order
-  * column functions: Spark's array HOFs (`transform`/`aggregate`) are
+  * Signature computation is a compiled Scala kernel
+  * (`functions.expressions.TextHashKernel`) — NOT higher-order column
+  * functions: Spark's array HOFs (`transform`/`aggregate`) are
   * `CodegenFallback`, i.e. interpreted per element, and a 16-hash MinHash
   * over shingle arrays costs ~50 interpreted expression-node evals per
-  * shingle per hash. The one-pass compiled loop is ~100× cheaper and stays
-  * fully distributed. (A custom codegen `Expression` is the next rung if
-  * even UDF row overhead ever matters.)
+  * shingle per hash. The operators invoke the kernel through native
+  * codegen `Expression`s (`MinHashSignatureExpr`/`SimHash64Expr`) so the
+  * call site stays inside whole-stage codegen — no ScalaUDF row
+  * conversion per document; the UDF forms below remain as the equivalence
+  * baseline and for users composing with UDF-style APIs.
   *
   * All signatures are deterministic (seeded), so results are stable across
   * runs and cluster sizes.
@@ -36,35 +39,11 @@ object Dedup {
     * null-propagating behavior of the pure-Column paths instead of killing
     * the job with an NPE from inside a UDF.
     */
-  private def tokenize(text: String): Array[String] = {
-    if (text == null) return Array("")
-    // Locale.ROOT: default-locale toLowerCase diverges from SQL lower()
-    // under tr/az JVM locales ('I' → dotless ı), silently breaking oracle
-    // parity on any text containing 'I'
-    val t = text.trim.toLowerCase(java.util.Locale.ROOT)
-    if (t.isEmpty) Array("") else t.split("\\s+")
-  }
+  private def tokenize(text: String): Array[String] =
+    graft.functions.expressions.TextHashKernel.tokenize(text)
 
-  private def wordShingleSet(text: String, n: Int): Array[String] = {
-    val toks = tokenize(text)
-    if (toks.length < n) Array(toks.mkString(" "))
-    else {
-      val out = new scala.collection.mutable.LinkedHashSet[String]
-      var i = 0
-      while (i + n <= toks.length) {
-        val sb = new StringBuilder
-        var j = i
-        while (j < i + n) {
-          if (j > i) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        out += sb.result()
-        i += 1
-      }
-      out.toArray
-    }
-  }
+  private def wordShingleSet(text: String, n: Int): Array[String] =
+    graft.functions.expressions.TextHashKernel.wordShingleSet(text, n)
 
   /** Stable 64-bit string hash: FNV-1a over UTF-16 code units (offset
     * basis 14695981039346656037, prime 1099511628211 — the published
@@ -88,39 +67,26 @@ object Dedup {
     * (`xor(h, h >>> 32)` = `xor(signed(u), u // 2^32)` on the unsigned
     * representation).
     */
-  private def hash64(s: String): Long = {
-    var h = -3750763034362895579L // 14695981039346656037 as signed 64-bit
-    var i = 0
-    while (i < s.length) {
-      h = (h ^ s.charAt(i).toLong) * 1099511628211L
-      i += 1
-    }
-    h ^ (h >>> 32)
-  }
+  private def hash64(s: String): Long =
+    graft.functions.expressions.TextHashKernel.hash64(s)
 
   /** Exposed within the package so the oracle builder can inline the
     * exact seeded permutation coefficients into its SQL.
     */
-  private[graft] def minHashCoefs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numHashes)((rnd.nextInt(Prime.toInt - 1) + 1L, rnd.nextInt(Prime.toInt).toLong))
-  }
+  private[graft] def minHashCoefs(numHashes: Int, seed: Long): Array[(Long, Long)] =
+    graft.functions.expressions.TextHashKernel.minHashCoefs(numHashes, seed)
 
-  /** MinHash signature: one compiled pass over the shingle set. */
+  /** MinHash signature, UDF tier (kept as the kernel's second entry point
+    * and the equivalence baseline for the codegen Expression; operators
+    * below use [[graft.functions.expressions.TextHashExpressions.minHashSignature]],
+    * which runs the SAME kernel inside whole-stage codegen — no ScalaUDF
+    * row conversion per document).
+    */
   def minHashSignatureUdf(shingleSize: Int, numHashes: Int, seed: Long = 42L): UserDefinedFunction = {
-    val coefs = minHashCoefs(numHashes, seed)
+    val cs = minHashCoefs(numHashes, seed)
+    val (coefA, coefB) = (cs.map(_._1), cs.map(_._2))
     udf { (text: String) =>
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      wordShingleSet(text, shingleSize).foreach { sh =>
-        val h = java.lang.Math.floorMod(hash64(sh), Prime)
-        var k = 0
-        while (k < numHashes) {
-          val v = java.lang.Math.floorMod(coefs(k)._1 * h + coefs(k)._2, Prime)
-          if (v < mins(k)) mins(k) = v
-          k += 1
-        }
-      }
-      mins
+      graft.functions.expressions.TextHashKernel.minHashSignature(text, shingleSize, coefA, coefB)
     }
   }
 
@@ -128,24 +94,11 @@ object Dedup {
   def shingleSetUdf(shingleSize: Int): UserDefinedFunction =
     udf { (text: String) => wordShingleSet(text, shingleSize) }
 
-  /** SimHash: 64-bit signature, bit i = sign of the per-bit vote over
-    * token hashes — one compiled pass.
+  /** SimHash UDF tier — see [[minHashSignatureUdf]] for why both tiers
+    * exist; operators use the codegen Expression form.
     */
-  val simHashUdf: UserDefinedFunction = udf { (text: String) =>
-    val votes = new Array[Int](64)
-    tokenize(text).foreach { t =>
-      val h = hash64(t)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
-      }
-    }
-    var sig = 0L
-    var i = 0
-    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
-    sig
-  }
+  val simHashUdf: UserDefinedFunction =
+    udf { (text: String) => graft.functions.expressions.TextHashKernel.simHash64(text) }
 
   /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
     * One shuffle on the 64-bit fingerprint (xxhash64 — codegen'd builtin,
@@ -180,7 +133,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val sigs = docs.select(col(idCol), minHashSignatureUdf(shingleSize, numHashes)(col(textCol)).as("__sig"))
+    val sigs = docs.select(
+      col(idCol),
+      graft.functions.expressions.TextHashExpressions
+        .minHashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
     val b = banded(sigs, idCol, bands, numHashes / bands)
     val keep = b
       .groupBy("__bandhash")
@@ -200,7 +156,8 @@ object Dedup {
     * hamming ≤ 3), verify full hamming, drop the higher id of each pair.
     */
   def simHashDedup(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simHashUdf(col(textCol)).as("__sig"))
+    val sigs = docs.select(
+      col(idCol), graft.functions.expressions.TextHashExpressions.simHash64(col(textCol)).as("__sig"))
     val blocked = sigs
       .withColumn("__blk", explode(array((0 until 4).map(lit): _*)))
       .withColumn("__blkval", expr("(__sig >> (__blk * 16)) & 65535"))
@@ -233,7 +190,8 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     val sigs = docs.select(
       col(idCol),
-      minHashSignatureUdf(shingleSize, numHashes)(col(textCol)).as("__sig"),
+      graft.functions.expressions.TextHashExpressions
+        .minHashSignature(col(textCol), shingleSize, numHashes).as("__sig"),
       shingleSetUdf(shingleSize)(col(textCol)).as("__sh"))
     val b = banded(sigs, idCol, bands, numHashes / bands)
     val candidates = b.select(col(idCol).as("a_id"), col("__bandhash"))
