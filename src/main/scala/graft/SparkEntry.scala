@@ -759,6 +759,15 @@ object SparkEntry {
     t(spark, dir, "documents")
       .select(col("doc_id"), TextFunctions.wordpieceCount(col("text")).as("n_pieces"))
 
+  /** Learned BPE merges (Sennrich): train the first 10 merge rules on the
+    * corpus — the TRAINED-tokenizer counterpart to qt11's fixed-vocab
+    * WordPiece inference. The corpus collapses to a distinct-word
+    * dictionary once; each merge is then one dictionary-sized pair-count
+    * shuffle + a 1-row argmax.
+    */
+  private def qt13BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", 10)
+
   /** CUBE grouping sets over (returnflag, linestatus): all four grouping
     * combinations in ONE Expand + hash aggregate (single shuffle), vs
     * four separate scans.
@@ -1211,6 +1220,7 @@ object SparkEntry {
     "qe5_json_props" -> (qe5JsonProps _),
     "qs4_ivf" -> (qs4IvfTopK _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
+    "qt13_bpe_train" -> (qt13BpeTrain _),
     "q25_cube" -> (q25Cube _),
     "q26_bloom_semi" -> (q26BloomSemi _),
     "qp2_profile" -> (qp2Profile _)
@@ -2665,6 +2675,41 @@ object SparkEntry {
     // fallback), then weight by per-doc word multiplicity. Each word walks
     // exactly one deterministic path, so the terminal row (pos > length)
     // is unique per word.
+    // Learned-BPE replay: the per-iteration merge state is a wrapped-token
+    // string '<t1><t2>...' (normalization to [a-z0-9] guarantees '<'/'>'
+    // never occur inside a token), so the left-to-right non-overlapping
+    // merge is EXACTLY SQL replace() of '<l><r>' with '<lr>'; pair counts
+    // come from re-splitting the state and zipping it against its own
+    // tail (every adjacent position, overlaps included — classic
+    // get_stats); the winner is (count desc, l, r). 10 unrolled
+    // iterations, chained CTEs.
+    "qt13_bpe_train" -> {
+      val iterations = (1 to 10).map { i =>
+        s"""t$i AS (SELECT freq, string_split(st[2:len(st)-1], '><') AS t, st FROM s${i - 1}),
+           |p$i AS (
+           |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT pr[1] AS l, pr[2] AS r, freq FROM (
+           |      SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr, freq
+           |      FROM t$i WHERE len(t) > 1))
+           |  GROUP BY l, r),
+           |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |s$i AS (
+           |  SELECT freq, replace(st, '<' || b.l || '><' || b.r || '>', '<' || b.l || b.r || '>') AS st
+           |  FROM t$i, b$i AS b)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 10)
+        .map(i => s"  SELECT CAST($i AS BIGINT) AS merge_rank, l, r, l || r AS merged, cnt FROM b$i")
+        .mkString(" UNION ALL\n")
+      s"""WITH w AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |s0 AS (SELECT freq, regexp_replace(word, '(.)', '<\\1>', 'g') AS st FROM w),
+         |$iterations
+         |SELECT * FROM (
+         |$union) ORDER BY merge_rank""".stripMargin
+    },
     "qt11_wordpiece" -> {
       val vocabValues = functions.TextFunctions.wordpieceVocab.map(v => s"('$v')").mkString(",")
       s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vocabValues)),

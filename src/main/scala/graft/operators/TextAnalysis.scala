@@ -57,6 +57,112 @@ object TextAnalysis {
       .agg(round(avg(col("__lp")), 6).as("lm_score"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** Left-to-right non-overlapping merge of the adjacent pair (a, b):
+    * the canonical BPE merge step (overlapping occurrences resolve
+    * greedily leftward: "aaa" + merge(a,a) → ["aa", "a"]).
+    */
+  private[graft] def mergePair(tokens: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < tokens.length) {
+      if (i + 1 < tokens.length && tokens(i) == a && tokens(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += tokens(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Learned byte-pair-encoding merges (Sennrich et al. 2016): train the
+    * first `numMerges` merge rules on the corpus and return them as
+    * `(rank, l, r, merged, cnt)` — the trainable-tokenizer counterpart to
+    * the fixed-vocab WordPiece inference in `TextFunctions.wordpieceCount`.
+    *
+    * Semantics (each choice is part of the oracle replay contract):
+    *  - text normalizes to lowercase alphanumeric words
+    *    (`[^a-z0-9 ]` → space, then whitespace split) — standard BPE
+    *    pre-tokenization, and it guarantees the byte-level wrap characters
+    *    used by the SQL replay can never occur inside a token;
+    *  - word frequency = total occurrences across the corpus;
+    *  - pair counts weight EVERY adjacent position (overlaps included:
+    *    "aaa" counts (a,a) twice), the classic `get_stats`;
+    *  - the winning pair is (count desc, left asc, right asc) — a total
+    *    order, so training is deterministic on any cluster;
+    *  - the merge applies left-to-right non-overlapping ([[mergePair]]).
+    *
+    * Scale shape: the corpus collapses to a DISTINCT-WORD dictionary in
+    * one hash shuffle (vocabulary-sized — millions of rows at 100 TB, not
+    * corpus-sized), exactly the dictionary trick of the reference BPE
+    * implementations; each iteration is then one pair-count shuffle over
+    * the dictionary with map-side combine (distinct pairs, not positions),
+    * a 1-row argmax collect, and a compiled merge map. Lineage is
+    * truncated per iteration (`localCheckpoint`) so K iterations never
+    * stack K UDF plans. Driver traffic is 1 row per merge.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val charsUdf = udf { (w: String) => w.map(_.toString).toArray }
+    var words = docs
+      .select(explode(split(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9 ]", " "), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("t", charsUdf(col("word")))
+      .select(col("freq"), col("t"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val best = words
+        .filter(size(col("t")) > 1)
+        .withColumn("__l", expr("slice(t, 1, size(t) - 1)"))
+        .withColumn("__r", expr("slice(t, 2, size(t) - 1)"))
+        .select(col("freq"), explode(arrays_zip(col("__l"), col("__r"))).as("p"))
+        .groupBy(col("p.__l").as("l"), col("p.__r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k + 1L, a, b, a + b, cnt))
+        val mergeUdf = udf { (tokens: Seq[String]) => mergePair(tokens.toArray, a, b) }
+        words = words.withColumn("t", mergeUdf(col("t"))).localCheckpoint(true)
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "l", "r", "merged", "cnt")
+  }
+
+  /** Apply learned merges: segment each word of `text` with the ranked
+    * merge list (sequential application in rank order — equivalent to the
+    * usual lowest-rank-first priority encode, since training itself
+    * produced the rules by sequential application). Returns the subword
+    * token count per row, the trained-tokenizer analogue of
+    * `TextFunctions.wordpieceCount`.
+    */
+  def bpeSubwordCountUdf(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val words = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]", " ").split("\\s+").filter(_.nonEmpty)
+        var total = 0L
+        words.foreach { w =>
+          var toks = w.map(_.toString).toArray
+          merges.foreach { case (a, b) => toks = mergePair(toks, a, b) }
+          total += toks.length
+        }
+        total
+      }
+    }
+
   /** TF-IDF: top-`k` terms per document, `tfidf = tf · ln(N / df)`.
     * Whitespace tokenization on the lowercased, trimmed text (matching
     * `TextFunctions.tokenCount` semantics). Scores are rounded to 6

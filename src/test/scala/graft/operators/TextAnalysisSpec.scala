@@ -65,4 +65,78 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(top.toSeq == Seq((2L, 2.0), (1L, 1.0), (4L, 1.0)))
   }
+
+  /** Independent single-threaded BPE trainer (textbook get_stats/merge
+    * over a word-frequency dictionary) — deliberately shares NO code with
+    * the operator.
+    */
+  private def naiveBpe(texts: Seq[String], k: Int): Seq[(Long, String, String, String, Long)] = {
+    val words = scala.collection.mutable.HashMap.empty[List[String], Long]
+    texts.foreach { t =>
+      t.trim.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split("\\s+").filter(_.nonEmpty)
+        .foreach { w => val key = w.map(_.toString).toList; words(key) = words.getOrElse(key, 0L) + 1L }
+    }
+    (1 to k).flatMap { rank =>
+      val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (toks, f) =>
+        toks.zip(toks.tail).foreach(p => stats(p) = stats.getOrElse(p, 0L) + f)
+      }
+      if (stats.isEmpty) None
+      else {
+        val ((a, b), cnt) = stats.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        val updated = words.toSeq.map { case (toks, f) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = toks
+          while (rest.nonEmpty) rest match {
+            case x :: y :: tl if x == a && y == b => out += a + b; rest = tl
+            case x :: tl => out += x; rest = tl
+            case Nil => ()
+          }
+          (out.toList, f)
+        }
+        words.clear()
+        updated.foreach { case (t, f) => words(t) = words.getOrElse(t, 0L) + f }
+        Some((rank.toLong, a, b, a + b, cnt))
+      }
+    }
+  }
+
+  test("bpeTrain matches an independent naive trainer, incl. overlap and tie-break cases") {
+    import spark.implicits._
+    // "aaaa" exercises overlapping pair counts (3 positions) vs
+    // non-overlapping merge (-> [aa, aa]); "low/lower/lowest" is the
+    // textbook fixture; punctuation/case exercise normalization; the
+    // mixed corpus forces count ties resolved lexicographically.
+    val texts = Seq(
+      "low low low lower lowest",
+      "aaaa aaaa baaa",
+      "The QUICK, quick brown-fox; fox!",
+      "ab ab ba ba") // tie: (a,b) vs (b,a) both 2 within this line
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq === naiveBpe(texts, 8))
+  }
+
+  test("bpeTrain merge step: 'aaaa' merges left-to-right non-overlapping") {
+    assert(TextAnalysis.mergePair(Array("a", "a", "a", "a"), "a", "a").toSeq === Seq("aa", "aa"))
+    assert(TextAnalysis.mergePair(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
+    assert(TextAnalysis.mergePair(Array("b", "a", "a"), "a", "a").toSeq === Seq("b", "aa"))
+  }
+
+  test("bpeSubwordCount applies learned merges and lower-bounds at word count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = docs
+      .select(col("doc_id"), TextAnalysis.bpeSubwordCountUdf(merges)(col("text")).as("n"))
+      .collect().map(_.getLong(1))
+    // 6 merges on this tiny corpus fully merge "low" and reach "lower":
+    // low=1 piece ×2, lower ≤ 2 pieces
+    assert(counts(0) >= 3L && counts(0) <= 4L)
+  }
 }
