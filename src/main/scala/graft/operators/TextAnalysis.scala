@@ -140,6 +140,70 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "l", "r", "merged", "cnt")
   }
 
+  /** Per-partition Misra–Gries summary: the classic k-counter streaming
+    * sketch. Guarantee: any item whose count in this partition exceeds
+    * (partition size)/(k+1) is present in the returned summary.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val x = it.next()
+      counters.get(x) match {
+        case Some(c) => counters(x) = c + 1
+        case None =>
+          if (counters.size < k) counters(x) = 1L
+          else {
+            // decrement-all; drop zeros (amortized O(1) per input item)
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.foreach { case (key, c) => if (c == 1L) dead += key else counters(key) = c - 1 }
+            dead.foreach(counters.remove)
+          }
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** EXACT heavy hitters via the two-pass sketch-then-recount pattern:
+    * all terms with total frequency ≥ `support`·N (N = total token
+    * count), with exact counts — output is IDENTICAL to the naive
+    * `GROUP BY term HAVING count ≥ ceil(support·N)`, which is exactly
+    * what the oracle runs.
+    *
+    * Pass 1 runs [[misraGries]] per partition with k = ⌈1/support⌉
+    * counters (or `sketchK` if larger): if a term has global count
+    * ≥ support·N, then by pigeonhole some partition holds it with local
+    * count ≥ support·|partition|, and MG's 1/(k+1) < support bound keeps
+    * it in that partition's summary — so the candidate union is a
+    * guaranteed superset of the true heavy hitters, with ≤ k·partitions
+    * rows total. Pass 2 recounts ONLY candidate tokens exactly.
+    *
+    * Scale shape: the naive plan shuffles every token (corpus-sized
+    * exchange). Here pass 1 is shuffle-free (map-side sketches, k rows
+    * per partition collected into a distinct), and pass 2's exchange
+    * carries only tokens matching a candidate — at 100 TB with
+    * support=0.001 that is ≤1000 distinct terms' occurrences instead of
+    * the whole corpus. Costs one extra scan of the (single, pruned) text
+    * column, the standard trade.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, support: Double, sketchK: Int = 0): DataFrame = {
+    require(support > 0.0 && support <= 1.0, s"support must be in (0, 1], got $support")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = math.max(sketchK, math.ceil(1.0 / support).toInt)
+    val toks = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val candidates = toks.as[String].mapPartitions(it => misraGries(it, k)).distinct().toDF("term")
+    val n = toks.agg(count(lit(1)).as("__n"))
+    toks
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") >= ceil(col("__n").cast("double") * lit(support)))
+      .select(col("term"), col("cnt"))
+  }
+
   /** Apply learned merges: segment each word of `text` with the ranked
     * merge list (sequential application in rank order — equivalent to the
     * usual lowest-rank-first priority encode, since training itself
