@@ -768,6 +768,16 @@ object SparkEntry {
   private def qt13BpeTrain(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", 10)
 
+  /** EXACT heavy hitters via the two-pass Misra–Gries sketch-then-recount
+    * ([[operators.TextAnalysis.heavyHitters]]): all terms with corpus
+    * frequency ≥ support·N, exact counts. Output is identical to the
+    * naive `GROUP BY term HAVING count ≥ ceil(support·N)` the oracle
+    * runs — the sketch only changes the PLAN (shuffle-free candidate
+    * pass, recount exchange bounded by candidate tokens, not the corpus).
+    */
+  private def qt14HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.heavyHitters(t(spark, dir, "documents"), "text", 0.0335)
+
   /** CUBE grouping sets over (returnflag, linestatus): all four grouping
     * combinations in ONE Expand + hash aggregate (single shuffle), vs
     * four separate scans.
@@ -1040,7 +1050,6 @@ object SparkEntry {
       ((col("p_partkey") % 17) + 0.5).as("x"),
       ((col("p_partkey") % 11) + 0.5).as("y"),
       col("p_retailprice").as("value"))
-    val total = cells.count()
     val polys = syntheticAreas(spark, dir).select(
       col("area_id").as("zone_id"),
       array(
@@ -1050,7 +1059,7 @@ object SparkEntry {
           array(col("rx2"), col("ry2")),
           array(col("rx1"), col("ry2")),
           array(col("rx1"), col("ry1")))).as("rings"))
-    operators.Spatial.zonalStats(cells, polys, total)
+    operators.Spatial.zonalStats(cells, polys)
   }
 
   // ------------------------------------------------- routing (G6/G7/G8-10)
@@ -1221,6 +1230,7 @@ object SparkEntry {
     "qs4_ivf" -> (qs4IvfTopK _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "qt13_bpe_train" -> (qt13BpeTrain _),
+    "qt14_heavy_hitters" -> (qt14HeavyHitters _),
     "q25_cube" -> (q25Cube _),
     "q26_bloom_semi" -> (q26BloomSemi _),
     "qp2_profile" -> (qp2Profile _)
@@ -2733,6 +2743,18 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(s.n_pieces, 0)::BIGINT AS n_pieces
          |FROM documents d LEFT JOIN perdoc s USING (doc_id)""".stripMargin
     },
+    // the sketch is exact-output by the Misra–Gries guarantee, so the
+    // oracle is the naive one-pass GROUP BY ... HAVING
+    "qt14_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents
+        |), tt AS (SELECT term FROM toks WHERE term <> ''),
+        |n AS (SELECT count(*) AS total FROM tt)
+        |SELECT term, count(*) AS cnt
+        |FROM tt, n
+        |GROUP BY term, total
+        |HAVING count(*) >= ceil(CAST(total AS DOUBLE) * 0.0335)""".stripMargin,
     "q25_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

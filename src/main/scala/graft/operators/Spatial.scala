@@ -93,7 +93,12 @@ object Spatial {
     * raster decode itself is upstream, its cell table is the input here):
     * point-in-polygon join (bbox-prefiltered) → groupBy polygon.
     */
-  def zonalStats(cells: DataFrame, polys: DataFrame, totalCells: Long, gridCell: Double = 2.0): DataFrame = {
+  def zonalStats(cells: DataFrame, polys: DataFrame, gridCell: Double = 2.0): DataFrame = {
+    // total cell count as an in-plan broadcast 1-row aggregate (the
+    // `Relational.scaleScore` pattern) — NOT a driver-side count(): the
+    // whole query stays ONE lazy plan / one job, no extra scan of `cells`
+    // before the query's own job runs.
+    val total = cells.agg(count(lit(1)).as("__total"))
     val cellsB = cells.withColumn("__pbox", array(col("x"), col("y"), col("x"), col("y")))
     val polysB = polys.withColumn("__abox", GeoFunctions.bboxUdf(flatten(col("rings"))))
     // grid equi-join, not nested-loop: points explode to exactly one grid
@@ -106,7 +111,9 @@ object Spatial {
         round(avg(col("value")), 4).as("mean_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
-      .withColumn("percent", round(col("n_cells") * 100.0 / totalCells, 4))
+      .crossJoin(broadcast(total))
+      .withColumn("percent", round(col("n_cells") * 100.0 / col("__total"), 4))
+      .drop("__total")
   }
 
   /** J8 fastest form — argmin via a packed-Long `min()`: (dist rounded to

@@ -89,23 +89,44 @@ object Shapefile {
     }
   }
 
-  /** Read a shapefile (+ optional sibling .dbf) into a DataFrame. `path`
-    * may be a glob/directory understood by the binaryFile source; .dbf
-    * files are matched to .shp by basename.
+  /** Read a shapefile (+ optional sibling .dbf/.prj) into a DataFrame.
+    * `path` may be a glob/directory understood by the binaryFile source;
+    * sidecars are matched to .shp by basename.
+    *
+    * CRS normalization (the reference's `ogr2ogr -t_srs EPSG:4326` step,
+    * `scripts/base-network.sh:98-99`): when a `.prj` sidecar declares a
+    * `Transverse_Mercator` PROJCS (e.g. the UTM 36S/37S zones Mozambique
+    * data ships in), every coordinate is reprojected to lon/lat on ingest
+    * via [[graft.functions.Crs.tmInverse]]. A GEOGCS-only or absent `.prj`
+    * passes coordinates through unchanged; an unsupported projection
+    * THROWS — a loud ingest failure beats silently treating metres as
+    * degrees.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.Crs
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
     files.rdd
-      .groupBy { case (p, _) => p.replaceAll("\\.(shp|dbf)$", "") }
+      .groupBy { case (p, _) => p.replaceAll("\\.(shp|dbf|prj)$", "") }
       .flatMap { case (_, fs) =>
         val byExt = fs.map { case (p, b) => (p.split('.').last.toLowerCase, b) }.toMap
         val geoms = byExt.get("shp").map(parseShp).getOrElse(Seq.empty)
         val attrs = byExt.get("dbf").map(parseDbf).getOrElse(Seq.empty)
+        val crs = byExt.get("prj")
+          .map(b => Crs.parsePrj(new String(b, "ASCII")))
+          .getOrElse(Crs.Geographic)
+        val reproject: Seq[Seq[Seq[Double]]] => Seq[Seq[Seq[Double]]] = crs match {
+          case Crs.Geographic => identity
+          case Crs.ProjectedTm(p) =>
+            parts => parts.map(_.map { pt =>
+              val (lon, lat) = Crs.tmInverse(pt(0), pt(1), p)
+              Seq(lon, lat)
+            })
+        }
         geoms.zipWithIndex.map { case ((recNo, gt, parts), i) =>
-          ShpFeature(recNo, gt, parts, if (i < attrs.size) attrs(i) else Map.empty)
+          ShpFeature(recNo, gt, reproject(parts), if (i < attrs.size) attrs(i) else Map.empty)
         }
       }
       .toDF()

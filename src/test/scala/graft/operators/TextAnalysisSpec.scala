@@ -126,6 +126,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.mergePair(Array("b", "a", "a"), "a", "a").toSeq === Seq("b", "aa"))
   }
 
+  test("misraGries summary keeps every item with count > n/(k+1), any order") {
+    // adversarial order: the heavy item first, then 15 distinct one-offs
+    // that trigger repeated decrement-all rounds against its counter
+    val stream = Seq.fill(5)("hot") ++ (1 to 15).map(i => s"f$i")
+    val kept = TextAnalysis.misraGries(stream.iterator, 4).toSet
+    assert(kept.contains("hot")) // 5 > 20/(4+1)
+    assert(kept.size <= 4)
+    // and the reverse interleave (filler pressure before each hot)
+    val interleaved = (1 to 15).map(i => s"f$i").grouped(3).toSeq
+      .zipAll(Seq.fill(5)(Seq("hot")), Seq.empty, Seq("hot")).flatMap { case (a, b) => a ++ b }
+    assert(TextAnalysis.misraGries(interleaved.iterator, 4).toSet.contains("hot"))
+  }
+
+  test("heavyHitters output is identical to the naive GROUP BY ... HAVING") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 50).map { i =>
+      (i.toLong, if (i % 2 == 0) "Alpha beta  alpha" else s"gamma delta unique$i")
+    }.toDF("doc_id", "text")
+    val support = 0.1
+    val got = TextAnalysis.heavyHitters(docs, "text", support)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val toks = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val n = toks.count()
+    val want = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= math.ceil(n * support).toLong)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(want.nonEmpty && want.length < 5) // the HAVING cut actually discriminates
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("heavyHitters finds a term heavy globally but light within every partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 8 partitions, each dominated by its OWN filler vocabulary: "hot" is
+    // exactly at the support threshold in every partition (5 of 20
+    // tokens, support 0.25 ⇒ k=4 counters) while 15 distinct one-off
+    // fillers per partition pressure the sketch's decrement-all rounds.
+    // No partition has "hot" as its plain top-k=1 term by margin — the
+    // MG 1/(k+1) bound is what keeps it, and pass 2's exact recount must
+    // then report the exact global count (40 = ceil(0.25·160), the ≥
+    // boundary case).
+    val docs = (0 until 8).map { p =>
+      val fillers = (1 to 15).map(i => s"p${p}f$i").mkString(" ")
+      (p.toLong, s"hot hot hot hot hot $fillers")
+    }.toDF("doc_id", "text").repartition(8, col("doc_id"))
+    val out = TextAnalysis.heavyHitters(docs, "text", 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("hot", 40L)))
+  }
+
   test("bpeSubwordCount applies learned merges and lower-bounds at word count") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -94,6 +94,73 @@ class ShapefileSpec extends AnyFunSuite {
     assert(r1.getAs[Map[String, String]]("attrs")("NAME") == "N1")
   }
 
+  /** Write a one-PolyLine .shp whose coordinates are the given points. */
+  private def writeShpPoints(path: java.nio.file.Path, pts: Seq[(Double, Double)]): Unit = {
+    val line = {
+      val c = ByteBuffer.allocate(4 + 32 + 8 + 4 + pts.size * 16).order(ByteOrder.LITTLE_ENDIAN)
+      c.putInt(3)
+      c.putDouble(0).putDouble(0).putDouble(1).putDouble(1)
+      c.putInt(1).putInt(pts.size)
+      c.putInt(0)
+      pts.foreach { case (x, y) => c.putDouble(x).putDouble(y) }
+      c.array()
+    }
+    val total = 100 + 8 + line.length
+    val b = ByteBuffer.allocate(total)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994)
+    b.putInt(24, total / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000)
+    b.putInt(32, 3)
+    b.position(100)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(1).putInt(line.length / 2).put(line)
+    java.nio.file.Files.write(path, b.array())
+  }
+
+  test("F15/S1: UTM-36S shapefile with .prj auto-reprojects to EPSG:4326 within 1e-6°") {
+    import graft.functions.Crs
+    // Mozambique-ish lon/lat waypoints, forward-projected into UTM 36S
+    // metres exactly as ogr2ogr would receive them; the reader must hand
+    // back degrees (`-t_srs EPSG:4326` semantics, base-network.sh:98-99)
+    val lonLat = Seq((32.57, -25.97), (33.0, -15.0), (34.7, -11.2))
+    val p36s = Crs.utmZone(36, south = true)
+    val projected = lonLat.map { case (lon, lat) => Crs.tmForward(lon, lat, p36s) }
+    val dir = java.nio.file.Files.createTempDirectory("shp-utm")
+    writeShpPoints(dir.resolve("roads.shp"), projected)
+    java.nio.file.Files.writeString(
+      dir.resolve("roads.prj"),
+      """PROJCS["WGS 84 / UTM zone 36S",GEOGCS["WGS 84",DATUM["WGS_1984",""" +
+        """SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],""" +
+        """UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",33],""" +
+        """PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],""" +
+        """PARAMETER["false_northing",10000000],UNIT["metre",1]]""")
+    val rows = Shapefile.read(spark, dir.toString + "/*").collect()
+    assert(rows.length == 1)
+    val got = rows(0)
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("parts")
+      .head.map(p => (p(0), p(1)))
+    lonLat.zip(got).foreach { case ((lon, lat), (glon, glat)) =>
+      assert(math.abs(glon - lon) < 1e-6 && math.abs(glat - lat) < 1e-6,
+        s"reprojection of ($lon, $lat) gave ($glon, $glat)")
+    }
+  }
+
+  test("F15/S1: unsupported .prj projection fails the read loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("shp-badprj")
+    writeShpPoints(dir.resolve("roads.shp"), Seq((1.0, 2.0), (3.0, 4.0)))
+    java.nio.file.Files.writeString(
+      dir.resolve("roads.prj"),
+      """PROJCS["x",GEOGCS["WGS 84"],PROJECTION["Albers_Conic_Equal_Area"]]""")
+    val err = intercept[org.apache.spark.SparkException] {
+      Shapefile.read(spark, dir.toString + "/*").collect()
+    }
+    assert(err.getMessage.contains("Albers") ||
+      Option(err.getCause).exists(_.getMessage.contains("Albers")))
+  }
+
   test("S8 robustness: corrupt JSON lines quarantine, clean rows survive") {
     // at 100 TB some records are always malformed — the ingest contract is
     // PERMISSIVE + _corrupt_record: bad lines are quarantined as data (for
