@@ -974,6 +974,34 @@ object SparkEntry {
         round(GeoFunctions.multiRingPerimeterUdf(col("dissolved")), 6).as("perimeter"))
   }
 
+  /** A2 exact path — dissolve with the slab-sweep boolean union
+    * ([[functions.PolygonUnion]]): partially-overlapping rectangles come
+    * out as ONE traced boundary per connected component (`ST_union`
+    * semantics, preparation.sh:149-151), so the union AREA — not the
+    * overlap-double-counting multi-part sum of qa2's documented
+    * approximation — is what the oracle independently recomputes via
+    * coordinate-compression strips, and ring count equals the overlap
+    * graph's component count (this data dissolves to hole-free shapes).
+    */
+  private def qa3DissolveExact(spark: SparkSession, dir: String): DataFrame = {
+    val areas = syntheticAreas(spark, dir).select(
+      (col("area_id") % 5).as("group_id"),
+      array(
+        array(
+          array(col("rx1"), col("ry1")),
+          array(col("rx2"), col("ry1")),
+          array(col("rx2"), col("ry2")),
+          array(col("rx1"), col("ry2")),
+          array(col("rx1"), col("ry1")))).as("rings"))
+    areas
+      .groupBy(col("group_id"))
+      .agg(functions.GeomAggregates.geomUnionExact(col("rings")).as("dissolved"))
+      .select(
+        col("group_id"),
+        size(col("dissolved")).cast("long").as("n_rings"),
+        round(functions.GeomAggregates.signedAreaUdf(col("dissolved")), 6).as("area"))
+  }
+
   // --------------------------------------------------- spatial (J8/J9/A4)
   /** Synthetic geometry derived deterministically from table keys so the
     * spatial operators get REAL DuckDB oracles: axis-aligned rectangles
@@ -1206,6 +1234,7 @@ object SparkEntry {
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
     "qa2_dissolve" -> (qa2Dissolve _),
+    "qa3_dissolve_exact" -> (qa3DissolveExact _),
     "qz1_zonal" -> (qz1Zonal _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
@@ -2064,6 +2093,51 @@ object SparkEntry {
         |  round(sum(abs((x1*y1 - x2*y1) + (x2*y2 - x2*y1) + (x2*y2 - x1*y2) + (x1*y1 - x1*y2)) / 2.0), 6) AS area,
         |  round(sum(sqrt((x2-x1)*(x2-x1)) + sqrt((y2-y1)*(y2-y1)) + sqrt((x1-x2)*(x1-x2)) + sqrt((y1-y2)*(y1-y2))), 6) AS perimeter
         |FROM surv GROUP BY group_id""".stripMargin,
+    // exact-union area recomputed INDEPENDENTLY by coordinate-compression
+    // strips (x-cuts -> per-strip y-interval union); ring count via
+    // min-label propagation over the rect overlap graph (nation is a
+    // fixed 25-row dim at every SF, and this data dissolves hole-free,
+    // so boundary components == connectivity components)
+    "qa3_dissolve_exact" ->
+      """WITH RECURSIVE rects AS (
+        |  SELECT n_nationkey % 5 AS g, n_nationkey AS id,
+        |    CAST(n_nationkey % 10 AS DOUBLE) AS x1,
+        |    CAST((n_nationkey % 10) + 2 + (n_nationkey % 3) AS DOUBLE) AS x2,
+        |    (n_nationkey % 11) - 0.2 AS y1,
+        |    (n_nationkey % 11) + 1.2 + (n_nationkey % 2) AS y2
+        |  FROM nation
+        |),
+        |xs AS (SELECT DISTINCT g, x FROM (SELECT g, x1 AS x FROM rects UNION SELECT g, x2 FROM rects)),
+        |strips AS (
+        |  SELECT g, x AS xa, lead(x) OVER (PARTITION BY g ORDER BY x) AS xb FROM xs
+        |  QUALIFY xb IS NOT NULL),
+        |cover AS (
+        |  SELECT s.g, s.xa, s.xb, r.y1, r.y2
+        |  FROM strips s JOIN rects r ON r.g = s.g AND r.x1 <= s.xa AND r.x2 >= s.xb),
+        |marked AS (
+        |  SELECT g, xa, xb, y1, y2,
+        |    CASE WHEN y1 > coalesce(max(y2) OVER (PARTITION BY g, xa ORDER BY y1, y2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), y1 - 1) THEN 1 ELSE 0 END AS brk
+        |  FROM cover),
+        |isl AS (
+        |  SELECT g, xa, xb, y1, y2,
+        |    sum(brk) OVER (PARTITION BY g, xa ORDER BY y1, y2 ROWS UNBOUNDED PRECEDING) AS isl_id
+        |  FROM marked),
+        |islands AS (SELECT g, xa, xb, isl_id, min(y1) AS ya, max(y2) AS yb FROM isl GROUP BY g, xa, xb, isl_id),
+        |area AS (SELECT g, sum((xb - xa) * (yb - ya)) AS area FROM islands GROUP BY g),
+        |edges AS (
+        |  SELECT a.g, a.id AS u, b.id AS v FROM rects a JOIN rects b
+        |  ON a.g = b.g AND a.x1 <= b.x2 AND b.x1 <= a.x2 AND a.y1 <= b.y2 AND b.y1 <= a.y2),
+        |lbl AS (
+        |  SELECT g, id, id AS l, 0 AS it FROM rects
+        |  UNION ALL
+        |  SELECT e.g, e.u AS id, min(p.l) AS l, p.it + 1 AS it
+        |  FROM lbl p JOIN edges e ON e.g = p.g AND e.v = p.id
+        |  WHERE p.it < 5
+        |  GROUP BY e.g, e.u, p.it),
+        |ncomp AS (SELECT g, count(DISTINCT l) AS n_comp FROM lbl WHERE it = 5 GROUP BY g)
+        |SELECT a.g AS group_id, CAST(n.n_comp AS BIGINT) AS n_rings, round(a.area, 6) AS area
+        |FROM area a JOIN ncomp n ON n.g = a.g""".stripMargin,
     // MinHash-LSH dedup family (qd2/qd4/qd6): fully replayed in SQL.
     // The engine's FNV-1a string hash is emulated bit-exactly with HUGEINT
     // wrap arithmetic (xor in signed BIGINT, multiply mod 2^64 unsigned),

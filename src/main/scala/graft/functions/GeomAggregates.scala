@@ -28,7 +28,7 @@ class GeomUnionAggregator extends Aggregator[Seq[Seq[Seq[Double]]], List[Seq[Seq
   private def shellContained(a: Seq[Seq[Double]], bPoly: Seq[Seq[Seq[Double]]]): Boolean =
     a.forall(p => GeoFunctions.pointInPolygon(p(0), p(1), bPoly))
 
-  private def prune(polys: List[Seq[Seq[Seq[Double]]]]): List[Seq[Seq[Seq[Double]]]] =
+  protected def prune(polys: List[Seq[Seq[Seq[Double]]]]): List[Seq[Seq[Seq[Double]]]] =
     polys.filterNot { p =>
       polys.exists(q => (q ne p) && shellContained(p.head, q))
     }
@@ -52,8 +52,32 @@ class GeomUnionAggregator extends Aggregator[Seq[Seq[Seq[Double]]], List[Seq[Seq
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Seq[Double]]]]()
 }
 
+/** A2 exact path — same Aggregator shape (containment prune stays the
+  * map-side fast path: contained shells can never contribute boundary),
+  * but finish() runs the [[PolygonUnion]] slab-sweep boolean union, so
+  * partially-OVERLAPPING shells come out as the traced merged boundary
+  * (`ST_union` semantics, `preparation.sh:149-151`) instead of the base
+  * aggregator's documented multi-part approximation. Output rings are
+  * oriented outer-CCW / hole-CW; [[PolygonUnion.signedArea]] over them
+  * is the exact covered area.
+  */
+class GeomUnionExactAggregator extends GeomUnionAggregator {
+  override def finish(buf: List[Seq[Seq[Seq[Double]]]]): Seq[Seq[Seq[Double]]] =
+    PolygonUnion.union(buf.reverse)
+}
+
 object GeomAggregates {
   /** DataFrame-facing dissolve: `df.groupBy(k).agg(geomUnion(col("rings")))`. */
   val geomUnion: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new GeomUnionAggregator)
+
+  /** Exact-boundary dissolve (overlapping shells traced, not stacked). */
+  val geomUnionExact: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new GeomUnionExactAggregator)
+
+  /** Signed shoelace (outer-CCW positive, hole-CW negative) for
+    * [[geomUnionExact]] output — the exact covered area.
+    */
+  val signedAreaUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((rings: Seq[Seq[Seq[Double]]]) => PolygonUnion.signedArea(rings))
 }

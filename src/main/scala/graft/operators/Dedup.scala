@@ -154,16 +154,51 @@ object Dedup {
 
   /** SimHash near-dup: 4×16-bit block banding (guaranteed recall for
     * hamming ≤ 3), verify full hamming, drop the higher id of each pair.
+    *
+    * Skew guard (`maxBucket`): a degenerate block value — 65,536 buckets
+    * per block cap out around 10⁹ docs, or any near-identical corpus —
+    * would otherwise concentrate one bucket's O(m²) comparisons in a
+    * single task. Buckets larger than `maxBucket` are salted into
+    * G = ⌈m/maxBucket⌉ hash groups and self-joined triangle-partitioned:
+    * every row replicates to the G tasks whose group pair contains its
+    * group, each unordered pair of rows meets in EXACTLY one of the
+    * G(G+1)/2 tasks (same-group pairs only in the diagonal task,
+    * cross-group pairs only in their (i,j) task), so the output is
+    * bit-identical to the unsplit join while the per-task candidate set
+    * stays ≤ ~2·maxBucket. The bucket-size frame is bounded by the
+    * 4·65,536 distinct (block, value) pairs — a broadcast, never an
+    * exchange on the corpus side; normal-sized buckets degenerate to
+    * G = 1 (one replica, one task), i.e. the exact pre-guard plan.
     */
-  def simHashDedup(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simHashDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
     val sigs = docs.select(
       col(idCol), graft.functions.expressions.TextHashExpressions.simHash64(col(textCol)).as("__sig"))
     val blocked = sigs
       .withColumn("__blk", explode(array((0 until 4).map(lit): _*)))
       .withColumn("__blkval", expr("(__sig >> (__blk * 16)) & 65535"))
-    val a = blocked.select(col(idCol).as("a_id"), col("__sig").as("a_sig"), col("__blk"), col("__blkval"))
-    val b = blocked.select(col(idCol).as("b_id"), col("__sig").as("b_sig"), col("__blk"), col("__blkval"))
-    val dupPairs = a.join(b, Seq("__blk", "__blkval"))
+    val sizes = blocked.groupBy(col("__blk"), col("__blkval")).agg(count(lit(1)).as("__bsz"))
+    val repl = blocked
+      .join(broadcast(sizes), Seq("__blk", "__blkval"))
+      .withColumn("__ng", greatest(lit(1L), ceil(col("__bsz") / lit(maxBucket.toDouble))))
+      .withColumn("__grp", pmod(xxhash64(col(idCol)), col("__ng")))
+      .withColumn("__oth", explode(sequence(lit(0L), col("__ng") - 1)))
+      .withColumn("__ti", least(col("__grp"), col("__oth")))
+      .withColumn("__tj", greatest(col("__grp"), col("__oth")))
+    val a = repl.select(
+      col(idCol).as("a_id"), col("__sig").as("a_sig"), col("__grp").as("a_grp"),
+      col("__blk"), col("__blkval"), col("__ti"), col("__tj"))
+    val b = repl.select(
+      col(idCol).as("b_id"), col("__sig").as("b_sig"), col("__grp").as("b_grp"),
+      col("__blk"), col("__blkval"), col("__ti"), col("__tj"))
+    val dupPairs = a.join(b, Seq("__blk", "__blkval", "__ti", "__tj"))
+      // exactly-once per pair: same-group pairs meet only in the diagonal
+      // task, cross-group pairs only in their one shared off-diagonal task
+      .filter(col("__ti") === col("__tj") || col("a_grp") =!= col("b_grp"))
       .filter(col("a_id") > col("b_id"))
       .filter(hamming(col("a_sig"), col("b_sig")) <= maxHamming)
       .select(col("a_id").as(idCol)).distinct()

@@ -151,6 +151,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jac == Set(1L, 3L)) // 4 is a near-dup of 1 at 0.5 threshold
   }
 
+  test("simHash bucket-size guard: split output identical to unsplit on a degenerate corpus") {
+    import spark.implicits._
+    // 120 near-identical docs (hamming ≤ 3 of each other) all land in the
+    // SAME 16-bit buckets of every block — the degenerate case the guard
+    // exists for — plus distinct outliers that must survive. maxBucket=16
+    // forces G = ⌈480/16⌉-way triangle salting on every bucket; the
+    // unsplit run (maxBucket huge) is the semantics reference.
+    val base = "spark engines shuffle partition codegen catalyst tungsten adaptive"
+    val docs = ((1 to 120).map(i => (i.toLong, if (i % 7 == 0) base + "!" else base)) ++
+      Seq((200L, "totally unrelated content about road networks in mozambique"),
+          (201L, "another unique document concerning flood scenario modelling")))
+      .toDF("doc_id", "text").repartition(8)
+    val unsplit = Dedup.simHashDedup(docs, "doc_id", "text", maxBucket = Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val split = Dedup.simHashDedup(docs, "doc_id", "text", maxBucket = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(split === unsplit)
+    assert(split.contains(1L) && split.contains(200L) && split.contains(201L))
+    assert(!split.contains(120L)) // the near-identical block collapsed
+  }
+
   test("salted join equals plain join (skew mitigation is transparent)") {
     import spark.implicits._
     // heavy skew: 90% of left rows share one key
