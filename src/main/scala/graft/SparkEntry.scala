@@ -816,26 +816,13 @@ object SparkEntry {
     * stack() unpivot to long form. n_null via count(*)−count(col) so both
     * engines stay in BIGINT.
     */
-  private def qp2Profile(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        (count(lit(1)) - count(col(c))).as(s"${c}__nnull"),
-        countDistinct(col(c)).as(s"${c}__ndist"),
-        round(min(col(c)), 6).as(s"${c}__min"),
-        round(max(col(c)), 6).as(s"${c}__max"),
-        // 4 dp, not 6: avg divides a 600k-term FP sum whose engine-order
-        // divergence (~1e-8 absolute here) sits too close to a 6-dp
-        // rounding boundary to gamble the gate on
-        round(avg(col(c)), 4).as(s"${c}__avg"))
-    }
-    val wide = t(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', ${c}__nnull, ${c}__ndist, ${c}__min, ${c}__max, ${c}__avg")
-      .mkString(", ")
-    wide.selectExpr(
-      s"stack(${cols.length}, $stackArgs) as (col_name, n_null, n_distinct, minv, maxv, avgv)")
-  }
+  private def qp2Profile(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.profile(
+      t(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      exact = true) // the oracle gate needs exact distincts; the 100 TB
+  // routine tier is profile(exact = false) — HLL++ sketches, no Expand
+  // (accuracy spec-asserted vs this exact tier in OperatorsSpec)
 
   /** §2.10 — sessionization (gap > 30 min), batch window-function form;
     * the streaming-stateful twin (`EventStreams.sessionizeStateful`) is
@@ -907,9 +894,12 @@ object SparkEntry {
     * reference data model: 10-element RP arrays + bridges struct array);
     * full closed-form oracle.
     */
-  private def qv1Ead(spark: SparkSession, dir: String): DataFrame = {
+  private def qv1Ead(spark: SparkSession, dir: String): DataFrame =
+    qv1EadFrom(t(spark, dir, "supplier"))
+
+  private def qv1EadFrom(supp: DataFrame): DataFrame = {
     val s = col("s_suppkey")
-    val ways = t(spark, dir, "supplier").select(
+    val ways = supp.select(
       s.as("way_id"),
       transform(sequence(lit(0), lit(9)), i => ((s * 7 + i * 13) % 40) / 10.0).as("flood_depths"),
       transform(sequence(lit(0), lit(9)), i => ((s * 3 + i * 5) % 100) / 10.0).as("flood_lengths"),
@@ -933,14 +923,21 @@ object SparkEntry {
     * file-exchanging processes become one lineage.
     */
   private def qp1Pipeline(spark: SparkSession, dir: String): DataFrame = {
-    val fish = qsp1Overlay(spark, dir).select(col("way_id"), col("score"))
+    // the supplier base is consumed by FOUR subplans (overlay ways, EAD,
+    // aadt score, road-network spine); ReuseExchange cannot dedupe the
+    // differently-shaped scan subtrees, so share ONE scan via a LAZY
+    // localCheckpoint: no eager job at construction (the qz1 lesson),
+    // first action materializes the dim once, ContextCleaner reclaims it
+    // when the frame is unreferenced (no caller unpersist contract)
+    val supp = t(spark, dir, "supplier").localCheckpoint(false)
+    val fish = qsp1OverlayFrom(supp, spark, dir).select(col("way_id"), col("score"))
     val ead = Relational
-      .scaleScore2(qv1Ead(spark, dir), "value")
+      .scaleScore2(qv1EadFrom(supp), "value")
       .select(col("way_id"), col("value"), col("score"))
     val aadt = Relational
-      .scaleScore(t(spark, dir, "supplier"), "s_acctbal")
+      .scaleScore(supp, "s_acctbal")
       .select(col("s_suppkey").as("way_id"), col("score"))
-    val rn = t(spark, dir, "supplier").select(col("s_suppkey").as("way_id"))
+    val rn = supp.select(col("s_suppkey").as("way_id"))
     Relational
       .mergeIndicators(rn, "way_id", Seq("fish" -> fish, "ead" -> ead, "aadt" -> aadt))
       .select(
@@ -1008,7 +1005,10 @@ object SparkEntry {
     * make point-in-polygon and line-clipping SQL-expressible.
     */
   private def syntheticWays(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "supplier").select(
+    syntheticWaysFrom(t(spark, dir, "supplier"))
+
+  private def syntheticWaysFrom(supp: DataFrame): DataFrame =
+    supp.select(
       col("s_suppkey").as("way_id"),
       ((col("s_suppkey") % 13) + 0.25).as("y"),
       (col("s_suppkey") % 17).cast("double").as("x1"),
@@ -1028,8 +1028,11 @@ object SparkEntry {
     * per-way sum → scale-score. Oracle reproduces the geometry with
     * interval clipping + the identical haversine length ratio.
     */
-  private def qsp1Overlay(spark: SparkSession, dir: String): DataFrame = {
-    val ways = syntheticWays(spark, dir).select(
+  private def qsp1Overlay(spark: SparkSession, dir: String): DataFrame =
+    qsp1OverlayFrom(t(spark, dir, "supplier"), spark, dir)
+
+  private def qsp1OverlayFrom(supp: DataFrame, spark: SparkSession, dir: String): DataFrame = {
+    val ways = syntheticWaysFrom(supp).select(
       col("way_id"),
       array(array(col("x1"), col("y")), array(col("x2"), col("y"))).as("coords"))
     val areas = syntheticAreas(spark, dir).select(
@@ -1078,6 +1081,39 @@ object SparkEntry {
       ((col("p_partkey") % 17) + 0.5).as("x"),
       ((col("p_partkey") % 11) + 0.5).as("y"),
       col("p_retailprice").as("value"))
+    val polys = syntheticAreas(spark, dir).select(
+      col("area_id").as("zone_id"),
+      array(
+        array(
+          array(col("rx1"), col("ry1")),
+          array(col("rx2"), col("ry1")),
+          array(col("rx2"), col("ry2")),
+          array(col("rx1"), col("ry2")),
+          array(col("rx1"), col("ry1")))).as("rings"))
+    operators.Spatial.zonalStats(cells, polys)
+  }
+
+  /** S11 end-to-end — raster zonal stats with the raster decode
+    * IN-ENGINE: a deterministic float32 GeoTIFF is materialized through
+    * [[sources.GeoTiff.write]], scanned back by [[sources.GeoTiff.read]]
+    * (binaryFile → per-file generator decode), and aggregated under the
+    * synthetic zones. The oracle regenerates the identical cell grid in
+    * SQL (value replayed through REAL to match float32 quantization), so
+    * this gates the writer, the reader, the pixel-center georeferencing
+    * AND the zonal aggregation in one pass — closing the reference's
+    * img-stats stage (`img-stats.py:60-102`) fully in-engine.
+    */
+  private def qz2RasterZonal(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64; val h = 48
+    val vals = Array.tabulate(w * h) { i =>
+      val c = i % w; val r = i / w
+      (((c * 7 + r * 13) % 40) / 10.0).toFloat
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qz2")
+    sources.GeoTiff.write(
+      tmp.resolve("raster.tif").toString, w, h, vals, 1.0, 1.0, 0.0, h.toDouble)
+    val cells = sources.GeoTiff.read(spark, tmp.toString, globFilter = Some("*.tif"))
+      .select("x", "y", "value")
     val polys = syntheticAreas(spark, dir).select(
       col("area_id").as("zone_id"),
       array(
@@ -1236,6 +1272,7 @@ object SparkEntry {
     "qa2_dissolve" -> (qa2Dissolve _),
     "qa3_dissolve_exact" -> (qa3DissolveExact _),
     "qz1_zonal" -> (qz1Zonal _),
+    "qz2_raster_zonal" -> (qz2RasterZonal _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -1885,6 +1922,30 @@ object SparkEntry {
         |  round(avg(value), 4) AS mean_value,
         |  min(value) AS min_value, max(value) AS max_value,
         |  round(count(*) * 100.0 / (SELECT count(*) FROM part), 4) AS percent
+        |FROM cells JOIN zones
+        |  ON x > rx1 AND x < rx2 AND y > ry1 AND y < ry2
+        |GROUP BY zone_id""".stripMargin,
+    // regenerates the engine's deterministic raster grid in SQL; value
+    // passes through REAL so the float32 quantization of the GeoTIFF
+    // payload is replayed bit-exactly
+    "qz2_raster_zonal" ->
+      """WITH cols AS (SELECT unnest(generate_series(0, 63)) AS c),
+        |rows_ AS (SELECT unnest(generate_series(0, 47)) AS r),
+        |cells AS (
+        |  SELECT c + 0.5 AS x, 48 - (r + 0.5) AS y,
+        |    CAST(CAST(CAST((c*7 + r*13) % 40 AS DOUBLE) / 10.0 AS REAL) AS DOUBLE) AS value
+        |  FROM cols, rows_),
+        |zones AS (
+        |  SELECT n_nationkey AS zone_id,
+        |    CAST(n_nationkey % 10 AS DOUBLE) AS rx1,
+        |    CAST((n_nationkey % 10) + 2 + (n_nationkey % 3) AS DOUBLE) AS rx2,
+        |    (n_nationkey % 11) - 0.2 AS ry1,
+        |    (n_nationkey % 11) + 1.2 + (n_nationkey % 2) AS ry2
+        |  FROM nation)
+        |SELECT zone_id, count(*) AS n_cells,
+        |  round(avg(value), 4) AS mean_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(count(*) * 100.0 / (SELECT count(*) FROM cells), 4) AS percent
         |FROM cells JOIN zones
         |  ON x > rx1 AND x < rx2 AND y > ry1 AND y < ry2
         |GROUP BY zone_id""".stripMargin,

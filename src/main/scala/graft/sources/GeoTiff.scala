@@ -1,0 +1,300 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S11 — native GeoTIFF scan (reference reads flood-depth rasters with
+  * rasterio, `scripts/imgstats/img-stats.py:60-102`; its per-polygon
+  * stats output is the cell-table input of `Spatial.zonalStats` — this
+  * reader closes the remaining upstream step so the whole flood-stats
+  * stage runs in-engine).
+  *
+  * Implements the public TIFF 6.0 + GeoTIFF specs: II/MM byte order,
+  * IFD tag walk, UNCOMPRESSED (Compression=1) strip (273/278/279) and
+  * tile (322–325) layouts, single-band samples of uint8/16/32,
+  * int8/16/32, float32/64 (SampleFormat 1/2/3), georeferencing via
+  * ModelPixelScale (33550) + ModelTiepoint (33922), nodata via the
+  * GDAL_NODATA ASCII tag (42113). Compressed rasters throw — decode
+  * upstream or extend; silent garbage is worse than a loud ingest error.
+  *
+  * Spark shape: `binaryFile` lands each raster whole in one task;
+  * decode is a per-file flatMap GENERATOR (one row per non-nodata cell,
+  * never a materialized per-file array), so a directory of tiles
+  * parallelizes per file and feeds `Spatial.zonalStats` with no shuffle
+  * before the zonal aggregation itself. World files partition the fleet;
+  * a single 100 GB mega-raster should be retiled upstream (the
+  * reference's rasters are already per-scenario tiles).
+  */
+object GeoTiff {
+
+  final case class Header(
+      width: Int,
+      height: Int,
+      bits: Int,
+      sampleFormat: Int,
+      // (offsets, byteCounts, tileW, tileH); tileW == 0 → strip layout
+      offsets: Array[Long],
+      byteCounts: Array[Long],
+      tileW: Int,
+      tileH: Int,
+      rowsPerStrip: Int,
+      // x = ox + col·sx ; y = oy − row·sy (GeoTIFF raster-space north-up)
+      sx: Double,
+      sy: Double,
+      ox: Double,
+      oy: Double,
+      nodata: Option[Double])
+
+  private def typeSize(t: Int): Int = t match {
+    case 1 | 2 | 6 | 7 => 1
+    case 3 | 8 => 2
+    case 4 | 9 | 11 => 4
+    case 5 | 10 | 12 => 8
+    case _ => 1
+  }
+
+  /** Read IFD entry values as longs (SHORT/LONG/BYTE) or doubles. */
+  private def entryValues(buf: ByteBuffer, entryOff: Int): (Int, Array[Double]) = {
+    val tag = buf.getShort(entryOff) & 0xffff
+    val typ = buf.getShort(entryOff + 2) & 0xffff
+    val count = buf.getInt(entryOff + 4)
+    val valSize = typeSize(typ) * count
+    val valOff = if (valSize <= 4) entryOff + 8 else buf.getInt(entryOff + 8)
+    val out = new Array[Double](count)
+    var i = 0
+    while (i < count) {
+      out(i) = typ match {
+        case 1 | 2 | 7 => (buf.get(valOff + i) & 0xff).toDouble
+        case 3 => (buf.getShort(valOff + i * 2) & 0xffff).toDouble
+        case 4 => (buf.getInt(valOff + i * 4) & 0xffffffffL).toDouble
+        case 8 => buf.getShort(valOff + i * 2).toDouble
+        case 9 => buf.getInt(valOff + i * 4).toDouble
+        case 11 => buf.getFloat(valOff + i * 4).toDouble
+        case 12 => buf.getDouble(valOff + i * 8)
+        case 5 => // RATIONAL
+          (buf.getInt(valOff + i * 8) & 0xffffffffL).toDouble /
+            (buf.getInt(valOff + i * 8 + 4) & 0xffffffffL).toDouble
+        case _ => 0.0
+      }
+      i += 1
+    }
+    (tag, out)
+  }
+
+  private def entryAscii(buf: ByteBuffer, bytes: Array[Byte], entryOff: Int): String = {
+    val typ = buf.getShort(entryOff + 2) & 0xffff
+    require(typ == 2, "expected ASCII tag")
+    val count = buf.getInt(entryOff + 4)
+    val valOff = if (count <= 4) entryOff + 8 else buf.getInt(entryOff + 8)
+    new String(bytes, valOff, count, "ASCII").takeWhile(_ != 0).trim
+  }
+
+  def parseHeader(bytes: Array[Byte]): Header = {
+    val order0 = new String(bytes, 0, 2, "ASCII")
+    val order = order0 match {
+      case "II" => ByteOrder.LITTLE_ENDIAN
+      case "MM" => ByteOrder.BIG_ENDIAN
+      case o => throw new IllegalArgumentException(s"not a TIFF (byte order '$o')")
+    }
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    require((buf.getShort(2) & 0xffff) == 42, "not a TIFF (bad magic)")
+    val ifdOff = buf.getInt(4)
+    val n = buf.getShort(ifdOff) & 0xffff
+    val tags = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+    var nodata: Option[Double] = None
+    var e = 0
+    while (e < n) {
+      val off = ifdOff + 2 + e * 12
+      val tag = buf.getShort(off) & 0xffff
+      if (tag == 42113)
+        nodata = scala.util.Try(entryAscii(buf, bytes, off).toDouble).toOption
+      else {
+        val (t, vs) = entryValues(buf, off)
+        tags(t) = vs
+      }
+      e += 1
+    }
+    def one(tag: Int, default: => Double): Double = tags.get(tag).map(_.head).getOrElse(default)
+    val compression = one(259, 1.0).toInt
+    require(compression == 1,
+      s"unsupported TIFF compression $compression (only 1 = none; decompress upstream)")
+    val spp = one(277, 1.0).toInt
+    require(spp == 1, s"only single-band rasters supported, got SamplesPerPixel=$spp")
+    val width = one(256, 0.0).toInt
+    val height = one(257, 0.0).toInt
+    require(width > 0 && height > 0, "missing ImageWidth/ImageLength")
+    val bits = one(258, 8.0).toInt
+    val fmt = one(339, 1.0).toInt
+    val tiled = tags.contains(324)
+    val offsetsD: Array[Double] = tags.get(if (tiled) 324 else 273) match {
+      case Some(vs) => vs
+      case None => throw new IllegalArgumentException("no strip/tile offsets")
+    }
+    val offsets: Array[Long] = offsetsD.map(_.toLong)
+    val counts: Array[Long] = tags.get(if (tiled) 325 else 279) match {
+      case Some(vs) => vs.map(_.toLong)
+      case None => offsets.map(_ => 0L)
+    }
+    val scale = tags.getOrElse(33550, Array(1.0, 1.0, 0.0))
+    val tie = tags.getOrElse(33922, Array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    // tiepoint: raster (i, j) ↦ model (x, y): ox = x − i·sx, oy = y + j·sy
+    val ox = tie(3) - tie(0) * scale(0)
+    val oy = tie(4) + tie(1) * scale(1)
+    Header(
+      width, height, bits, fmt, offsets, counts,
+      if (tiled) one(322, 0.0).toInt else 0,
+      if (tiled) one(323, 0.0).toInt else 0,
+      one(278, height.toDouble).toInt,
+      scale(0), scale(1), ox, oy, nodata)
+  }
+
+  /** Decode to a cell iterator (col, row, value) — a generator, one cell
+    * at a time, nodata skipped.
+    */
+  def cells(bytes: Array[Byte]): Iterator[(Int, Int, Double)] =
+    cells(bytes, parseHeader(bytes))
+
+  /** As [[cells]] with a pre-parsed header (callers that also need the
+    * georeferencing parse once, not twice). */
+  def cells(bytes: Array[Byte], h: Header): Iterator[(Int, Int, Double)] = {
+    val order = if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    val bytesPerSample = h.bits / 8
+    def sample(at: Long): Double = {
+      val o = at.toInt
+      (h.bits, h.sampleFormat) match {
+        case (8, 2) => buf.get(o).toDouble
+        case (8, _) => (buf.get(o) & 0xff).toDouble
+        case (16, 2) => buf.getShort(o).toDouble
+        case (16, _) => (buf.getShort(o) & 0xffff).toDouble
+        case (32, 2) => buf.getInt(o).toDouble
+        case (32, 3) => buf.getFloat(o).toDouble
+        case (32, _) => (buf.getInt(o) & 0xffffffffL).toDouble
+        case (64, 3) => buf.getDouble(o)
+        case (b, f) => throw new IllegalArgumentException(
+          s"unsupported sample: $b bits, format $f")
+      }
+    }
+    val raw: Iterator[(Int, Int, Double)] =
+      if (h.tileW > 0) {
+        val across = (h.width + h.tileW - 1) / h.tileW
+        h.offsets.iterator.zipWithIndex.flatMap { case (tileOff, t) =>
+          val tCol = (t % across) * h.tileW
+          val tRow = (t / across) * h.tileH
+          Iterator.range(0, h.tileH).flatMap { j =>
+            Iterator.range(0, h.tileW).flatMap { i =>
+              val col = tCol + i; val row = tRow + j
+              if (col < h.width && row < h.height)
+                Iterator.single((col, row,
+                  sample(tileOff + (j.toLong * h.tileW + i) * bytesPerSample)))
+              else Iterator.empty // edge-tile padding
+            }
+          }
+        }
+      } else {
+        h.offsets.iterator.zipWithIndex.flatMap { case (stripOff, s) =>
+          val row0 = s * h.rowsPerStrip
+          val rows = math.min(h.rowsPerStrip, h.height - row0)
+          Iterator.range(0, rows).flatMap { j =>
+            Iterator.range(0, h.width).map { i =>
+              (i, row0 + j, sample(stripOff + (j.toLong * h.width + i) * bytesPerSample))
+            }
+          }
+        }
+      }
+    h.nodata match {
+      case Some(nd) => raw.filter { case (_, _, v) => v != nd && !(v.isNaN && nd.isNaN) }
+      case None => raw
+    }
+  }
+
+  /** S11 sink — write a single-band float32 UNCOMPRESSED strip GeoTIFF
+    * (the exact layout [[parseHeader]] reads back; spec round-trips it).
+    * `values` is row-major (row·width + col); georeferencing is the
+    * north-up ModelPixelScale/Tiepoint pair: x = ox + col·sx,
+    * y = oy − row·sy.
+    */
+  def write(
+      path: String,
+      width: Int,
+      height: Int,
+      values: Array[Float],
+      sx: Double,
+      sy: Double,
+      ox: Double,
+      oy: Double,
+      nodata: Option[Float] = None): Unit = {
+    require(values.length == width * height, "values must be width*height row-major")
+    // tags: 256 W, 257 H, 258 bits, 259 comp, 273 strip off, 277 spp,
+    // 278 rows/strip, 279 strip bytes, 339 fmt, 33550 scale, 33922 tiepoint
+    val ndAscii = nodata.map(v => (if (v == v.toLong) v.toLong.toString else v.toString) + " ")
+    val n = 11 + (if (ndAscii.isDefined) 1 else 0)
+    val ifdOff = 8
+    var cursor = ifdOff + 2 + n * 12 + 4
+    val scaleOff = cursor; cursor += 24
+    val tieOff = cursor; cursor += 48
+    val ndOff = ndAscii.map { s => val o = cursor; cursor += s.length; o }
+    val payloadOff = cursor
+    val out = ByteBuffer.allocate(payloadOff + values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
+    var e = 0
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      val off = ifdOff + 2 + e * 12
+      out.putShort(off, tag.toShort)
+      out.putShort(off + 2, typ.toShort)
+      out.putInt(off + 4, count)
+      out.putInt(off + 8, value)
+      e += 1
+    }
+    out.putShort(ifdOff, n.toShort)
+    entry(256, 3, 1, width)
+    entry(257, 3, 1, height)
+    entry(258, 3, 1, 32)
+    entry(259, 3, 1, 1)
+    entry(273, 4, 1, payloadOff)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, height)
+    entry(279, 4, 1, values.length * 4)
+    entry(339, 3, 1, 3)
+    entry(33550, 12, 3, scaleOff)
+    entry(33922, 12, 6, tieOff)
+    ndAscii.foreach(s => entry(42113, 2, s.length, ndOff.get))
+    out.putInt(ifdOff + 2 + n * 12, 0)
+    out.putDouble(scaleOff, sx).putDouble(scaleOff + 8, sy).putDouble(scaleOff + 16, 0.0)
+    out.putDouble(tieOff, 0.0).putDouble(tieOff + 8, 0.0).putDouble(tieOff + 16, 0.0)
+    out.putDouble(tieOff + 24, ox).putDouble(tieOff + 32, oy).putDouble(tieOff + 40, 0.0)
+    ndAscii.foreach { s =>
+      val b = s.getBytes("ASCII")
+      var i = 0
+      while (i < b.length) { out.put(ndOff.get + i, b(i)); i += 1 }
+    }
+    out.position(payloadOff)
+    values.foreach(out.putFloat)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+  }
+
+  /** Read raster(s) into a cell table (path, x, y, value) — the
+    * `Spatial.zonalStats` input. Cell center coordinates
+    * (x = ox + (col+0.5)·sx, y = oy − (row+0.5)·sy), matching
+    * rasterio/GDAL's pixel-center convention for point sampling.
+    */
+  def read(spark: SparkSession, path: String, globFilter: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    // pass a DIRECTORY + globFilter rather than a literal "dir/*.tif"
+    // glob: Spark's DataSource probes the literal path first and logs a
+    // spurious FileNotFoundException stack before falling back to glob
+    // expansion (works, but poisons the driver log)
+    val reader = spark.read.format("binaryFile")
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val h = parseHeader(bytes) // once per file, not per cell
+        cells(bytes, h).map { case (col, row, v) =>
+          (p, h.ox + (col + 0.5) * h.sx, h.oy - (row + 0.5) * h.sy, v)
+        }
+      }
+      .toDF("path", "x", "y", "value")
+  }
+}

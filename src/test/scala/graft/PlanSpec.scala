@@ -94,4 +94,23 @@ class PlanSpec extends AnyFunSuite {
     val filterIdx = p.indexOf("Filter")
     assert(filterIdx > topkIdx, "cell filter not below the top-k")
   }
+
+  test("qp1: the supplier base is scanned ONCE (shared leaf), not once per subplan") {
+    val p = plan("qp1_pipeline")
+    // four subplans consume supplier; the shared lazy localCheckpoint
+    // must collapse them onto one materialized leaf — any parquet scan of
+    // supplier in the final plan means the sharing regressed
+    assert(!p.contains("supplier.parquet"), "supplier re-scanned from parquet:\n" + p.take(800))
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4, "shared leaf not reused by all subplans")
+  }
+
+  test("qz1: zonal total rides in-plan (no eager count) and the spatial join is an equi-join") {
+    val df = SparkEntry.queries("qz1_zonal")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the grid-cell join must be a real equi-join on the cell key, never
+    // a nested-loop over the cross product
+    assert(!p.contains("CartesianProduct"), "grid spatial join planned as cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p.take(600))
+  }
 }

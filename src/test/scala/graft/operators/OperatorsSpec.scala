@@ -151,6 +151,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jac == Set(1L, 3L)) // 4 is a near-dup of 1 at 0.5 threshold
   }
 
+  test("profile approx tier: HLL++ distincts within ±2% of exact, same everything else") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def byName(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val exact = byName(Profiling.profile(li, cols, exact = true))
+    val approx = byName(Profiling.profile(li, cols, exact = false, rsd = 0.02))
+    cols.foreach { c =>
+      val e = exact(c); val a = approx(c)
+      val ed = e.getLong(2).toDouble; val ad = a.getLong(2).toDouble
+      assert(math.abs(ad - ed) / ed <= 0.02, s"$c distinct: exact=$ed approx=$ad")
+      // the non-sketch columns are identical — same single-scan plan
+      assert(a.getLong(1) == e.getLong(1) && a.getDouble(3) == e.getDouble(3) &&
+        a.getDouble(4) == e.getDouble(4) && a.getDouble(5) == e.getDouble(5))
+    }
+    // the approx plan must NOT contain the Expand the exact plan needs
+    val approxPlan = Profiling.profile(li, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    val exactPlan = Profiling.profile(li, cols, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand") && exactPlan.contains("Expand"))
+  }
+
   test("simHash bucket-size guard: split output identical to unsplit on a degenerate corpus") {
     import spark.implicits._
     // 120 near-identical docs (hamming ≤ 3 of each other) all land in the

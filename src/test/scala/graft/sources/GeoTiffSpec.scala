@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S11: synthetic spec-conformant GeoTIFFs (built byte-by-byte from the
+  * public TIFF 6.0 layout — strip AND tile variants) round-trip through
+  * the distributed reader and feed zonal statistics end-to-end.
+  */
+class GeoTiffSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, "geotiff-spec")
+
+  private case class E(tag: Int, typ: Int, values: Seq[Double], ascii: Option[String] = None)
+
+  /** Assemble a little-endian single-band TIFF from IFD entries + raw
+    * pixel payload (contiguous chunks of the given byte counts; the
+    * per-chunk offset array is computed and written as the payload tag).
+    */
+  private def buildTiff(
+      entries0: Seq[E],
+      payload: Array[Byte],
+      payloadTag: Int,
+      countsTag: Int,
+      counts: Seq[Long]): Array[Byte] = {
+    def typeSize(t: Int) = t match {
+      case 2 => 1; case 3 => 2; case 4 => 4; case 12 => 8; case _ => 1
+    }
+    def extBytes(e: E): Array[Byte] = e.ascii match {
+      case Some(s) => (s + " ").getBytes("ASCII")
+      case None =>
+        val b = ByteBuffer.allocate(typeSize(e.typ) * e.values.size).order(ByteOrder.LITTLE_ENDIAN)
+        e.values.foreach { v =>
+          e.typ match {
+            case 3 => b.putShort(v.toInt.toShort)
+            case 4 => b.putInt(v.toLong.toInt)
+            case 12 => b.putDouble(v)
+            case _ => b.put(v.toInt.toByte)
+          }
+        }
+        b.array()
+    }
+    // pass 1: layout -- the payload-offset entry is one LONG per chunk
+    val all = E(payloadTag, 4, counts.map(_ => 0.0)) ::
+      E(countsTag, 4, counts.map(_.toDouble)) :: entries0.toList
+    val n = all.size
+    val ifdOff = 8
+    var cursor = ifdOff + 2 + n * 12 + 4
+    val sorted0 = all.sortBy(_.tag)
+    val extPos = scala.collection.mutable.HashMap.empty[Int, Int]
+    sorted0.foreach { e =>
+      val nb = e.ascii.map(_.length + 1).getOrElse(typeSize(e.typ) * e.values.size)
+      if (nb > 4) { extPos(e.tag) = cursor; cursor += nb }
+    }
+    val payloadOff = cursor
+    // pass 2: chunk offsets now known -> write header, IFD, values, payload
+    val chunkOffs = counts.scanLeft(payloadOff.toLong)(_ + _).init
+    val sorted = sorted0.map(e =>
+      if (e.tag == payloadTag) e.copy(values = chunkOffs.map(_.toDouble)) else e)
+    val out = ByteBuffer.allocate(payloadOff + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
+    out.putShort(ifdOff, n.toShort)
+    sorted.zipWithIndex.foreach { case (e, i) =>
+      val off = ifdOff + 2 + i * 12
+      val count = e.ascii.map(_.length + 1).getOrElse(e.values.size)
+      out.putShort(off, e.tag.toShort)
+      out.putShort(off + 2, e.typ.toShort)
+      out.putInt(off + 4, count)
+      val bytes = extBytes(e)
+      val pos = extPos.get(e.tag) match {
+        case Some(p) => out.putInt(off + 8, p); p
+        case None => off + 8
+      }
+      var i2 = 0
+      while (i2 < bytes.length) { out.put(pos + i2, bytes(i2)); i2 += 1 }
+    }
+    out.putInt(ifdOff + 2 + n * 12, 0) // next-IFD terminator
+    out.position(payloadOff)
+    out.put(payload)
+    out.array()
+  }
+
+  /** 4×3 float32 strip raster, origin (100, 50), pixel 0.5°, nodata −1. */
+  private def stripTiff(): Array[Byte] = {
+    val px = Array.tabulate(12)(i => if (i == 5) -1.0f else i.toFloat)
+    val payload = ByteBuffer.allocate(px.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    px.foreach(payload.putFloat)
+    buildTiff(
+      Seq(
+        E(256, 3, Seq(4)), E(257, 3, Seq(3)), E(258, 3, Seq(32)), E(259, 3, Seq(1)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(3)), E(339, 3, Seq(3)),
+        E(33550, 12, Seq(0.5, 0.5, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 100.0, 50.0, 0.0)),
+        E(42113, 2, Seq.empty, ascii = Some("-1"))),
+      payload.array(), payloadTag = 273, countsTag = 279, counts = Seq(px.length * 4L))
+  }
+
+  /** 20×10 uint16 TILED raster (16×16 tiles ⇒ 2 edge-padded tiles). */
+  private def tiledTiff(): Array[Byte] = {
+    val tw = 16; val th = 16; val w = 20; val h = 10
+    val tiles = Seq((0, 0), (16, 0)) // (col0, row0), row-major
+    val payload = ByteBuffer.allocate(tiles.size * tw * th * 2).order(ByteOrder.LITTLE_ENDIAN)
+    tiles.foreach { case (c0, r0) =>
+      for (j <- 0 until th; i <- 0 until tw) {
+        val col = c0 + i; val row = r0 + j
+        payload.putShort(if (col < w && row < h) (row * 100 + col).toShort else 9999.toShort)
+      }
+    }
+    buildTiff(
+      Seq(
+        E(256, 3, Seq(w)), E(257, 3, Seq(h)), E(258, 3, Seq(16)), E(259, 3, Seq(1)),
+        E(277, 3, Seq(1)), E(322, 3, Seq(tw)), E(323, 3, Seq(th)), E(339, 3, Seq(1)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, 10.0, 0.0))),
+      payload.array(), payloadTag = 324, countsTag = 325,
+      counts = Seq(tw * th * 2L, tw * th * 2L))
+  }
+
+  test("strip float32 raster: values, pixel-center georeferencing, nodata skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("gtiff")
+    java.nio.file.Files.write(dir.resolve("flood.tif"), stripTiff())
+    val df = GeoTiff.read(spark, dir.toString, globFilter = Some("*.tif"))
+    val rows = df.collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 11) // 12 cells − 1 nodata
+    val byVal = rows.map(t => t._3 -> (t._1, t._2)).toMap
+    assert(!byVal.contains(-1.0) && !byVal.contains(5.0))
+    // cell (0,0) center: x = 100 + 0.25, y = 50 − 0.25
+    assert(byVal(0.0) == (100.25, 49.75))
+    // cell (3,2) = value 11: x = 100 + 3.5·0.5, y = 50 − 2.5·0.5
+    assert(byVal(11.0) == (101.75, 48.75))
+  }
+
+  test("tiled uint16 raster: tile indexing and edge-tile padding") {
+    val cells = GeoTiff.cells(tiledTiff()).toSeq
+    assert(cells.length == 200) // 20×10, padding never leaks
+    val m = cells.map { case (c, r, v) => (c, r) -> v }.toMap
+    assert(m((0, 0)) == 0.0 && m((19, 0)) == 19.0 && m((3, 7)) == 703.0 && m((19, 9)) == 919.0)
+    assert(!cells.exists(_._3 == 9999.0))
+  }
+
+  test("raster → zonalStats end-to-end matches a directly-built cell table") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gtiff2")
+    java.nio.file.Files.write(dir.resolve("flood.tif"), stripTiff())
+    val cells = GeoTiff.read(spark, dir.toString, globFilter = Some("*.tif")).select("x", "y", "value")
+    val polys = {
+      import spark.implicits._
+      // one zone covering the left 2×3 cell block
+      Seq((1L, Seq(Seq(Seq(100.0, 48.4), Seq(101.0, 48.4), Seq(101.0, 50.0),
+        Seq(100.0, 50.0), Seq(100.0, 48.4))))).toDF("zone_id", "rings")
+    }
+    val out = graft.operators.Spatial.zonalStats(cells, polys, gridCell = 1.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // zone holds cells 0,1 / 4 / 8,9 (5 is nodata): n=5, mean 4.4, min 0, max 9
+    assert(r.getAs[Long]("n_cells") == 5L)
+    assert(r.getAs[Double]("mean_value") == 4.4)
+    assert(r.getAs[Double]("min_value") == 0.0 && r.getAs[Double]("max_value") == 9.0)
+    assert(r.getAs[Double]("percent") == math.rint(5.0 * 100.0 / 11.0 * 1e4) / 1e4)
+  }
+
+  test("compressed TIFF fails loudly") {
+    val bad = stripTiff()
+    // flip the Compression entry (259) value to 5 (LZW) in place
+    val buf = ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getShort(8) & 0xffff
+    var i = 0
+    while (i < n) {
+      val off = 10 + i * 12
+      if ((buf.getShort(off) & 0xffff) == 259) buf.putShort(off + 8, 5)
+      i += 1
+    }
+    val err = intercept[IllegalArgumentException] { GeoTiff.parseHeader(bad) }
+    assert(err.getMessage.contains("compression"))
+  }
+}
