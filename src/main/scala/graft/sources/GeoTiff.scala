@@ -10,12 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stage runs in-engine).
   *
   * Implements the public TIFF 6.0 + GeoTIFF specs: II/MM byte order,
-  * IFD tag walk, UNCOMPRESSED (Compression=1) strip (273/278/279) and
-  * tile (322–325) layouts, single-band samples of uint8/16/32,
-  * int8/16/32, float32/64 (SampleFormat 1/2/3), georeferencing via
-  * ModelPixelScale (33550) + ModelTiepoint (33922), nodata via the
-  * GDAL_NODATA ASCII tag (42113). Compressed rasters throw — decode
-  * upstream or extend; silent garbage is worse than a loud ingest error.
+  * IFD tag walk, strip (273/278/279) and tile (322–325) layouts,
+  * Compression 1 (none), 5 (TIFF LZW incl. the early-change rule),
+  * 8/32946 (zlib Deflate) and 32773 (PackBits), horizontal-differencing
+  * predictor (317=2, integer samples), single-band samples of
+  * uint8/16/32, int8/16/32, float32/64 (SampleFormat 1/2/3),
+  * georeferencing via ModelPixelScale (33550) + ModelTiepoint (33922),
+  * nodata via the GDAL_NODATA ASCII tag (42113). Anything else throws —
+  * silent garbage is worse than a loud ingest error.
   *
   * Spark shape: `binaryFile` lands each raster whole in one task;
   * decode is a per-file flatMap GENERATOR (one row per non-nodata cell,
@@ -43,7 +45,11 @@ object GeoTiff {
       sy: Double,
       ox: Double,
       oy: Double,
-      nodata: Option[Double])
+      nodata: Option[Double],
+      // 1 none, 5 LZW, 8/32946 zlib, 32773 PackBits
+      compression: Int = 1,
+      // TIFF tag 317: 1 none, 2 horizontal differencing (integer samples)
+      predictor: Int = 1)
 
   private def typeSize(t: Int): Int = t match {
     case 1 | 2 | 6 | 7 => 1
@@ -116,8 +122,16 @@ object GeoTiff {
     }
     def one(tag: Int, default: => Double): Double = tags.get(tag).map(_.head).getOrElse(default)
     val compression = one(259, 1.0).toInt
-    require(compression == 1,
-      s"unsupported TIFF compression $compression (only 1 = none; decompress upstream)")
+    require(
+      compression == 1 || compression == 5 || compression == 8 ||
+        compression == 32773 || compression == 32946,
+      s"unsupported TIFF compression $compression " +
+        "(supported: 1 none, 5 LZW, 8/32946 Deflate, 32773 PackBits)")
+    val predictor = one(317, 1.0).toInt
+    require(predictor == 1 || predictor == 2,
+      s"unsupported TIFF predictor $predictor (supported: 1 none, 2 horizontal)")
+    require(predictor == 1 || one(339, 1.0).toInt != 3,
+      "predictor 2 (horizontal differencing) is integer-only; float rasters use predictor 3")
     val spp = one(277, 1.0).toInt
     require(spp == 1, s"only single-band rasters supported, got SamplesPerPixel=$spp")
     val width = one(256, 0.0).toInt
@@ -145,7 +159,136 @@ object GeoTiff {
       if (tiled) one(322, 0.0).toInt else 0,
       if (tiled) one(323, 0.0).toInt else 0,
       one(278, height.toDouble).toInt,
-      scale(0), scale(1), ox, oy, nodata)
+      scale(0), scale(1), ox, oy, nodata, compression, predictor)
+  }
+
+  /** Inflate a zlib (Compression=8/32946) segment to exactly `outLen`. */
+  private def inflateSegment(bytes: Array[Byte], off: Int, len: Int, outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(bytes, off, len)
+    val out = new Array[Byte](outLen)
+    var done = 0
+    while (done < outLen && !inf.finished()) done += inf.inflate(out, done, outLen - done)
+    inf.end()
+    require(done == outLen, s"deflate segment short: $done of $outLen bytes")
+    out
+  }
+
+  /** PackBits (Compression=32773) decode. */
+  private def packBitsSegment(bytes: Array[Byte], off: Int, len: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = off; var o = 0
+    while (o < outLen && i < off + len) {
+      val n = bytes(i); i += 1
+      if (n >= 0) { // n+1 literal bytes
+        System.arraycopy(bytes, i, out, o, n + 1); i += n + 1; o += n + 1
+      } else if (n != -128) { // next byte repeated 1-n times
+        val v = bytes(i); i += 1
+        var k = 0; while (k < 1 - n) { out(o) = v; o += 1; k += 1 }
+      } // -128 = noop
+    }
+    require(o == outLen, s"packbits segment short: $o of $outLen bytes")
+    out
+  }
+
+  /** TIFF LZW (Compression=5) decode: MSB-first variable-width codes,
+    * Clear=256, EOI=257, code width 9→12 with TIFF's early-change
+    * increment (grow when the NEXT entry would need the wider code).
+    */
+  private def lzwSegment(bytes: Array[Byte], off: Int, len: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var o = 0
+    // dictionary as (prefixCode, suffixByte); 0-255 literals implicit
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var bitPos = 0L
+    val totalBits = len.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return 257 // ran off the end → EOI
+      var v = 0
+      var k = 0
+      while (k < width) {
+        val b = bytes(off + ((bitPos + k) >>> 3).toInt) & 0xff
+        v = (v << 1) | ((b >>> (7 - ((bitPos + k) & 7).toInt)) & 1)
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    def emit(code: Int): Int = { // writes the string for `code`, returns its first byte
+      if (code < 256) { out(o) = code.toByte; o += 1; code }
+      else {
+        // resolve the chain backwards into a scratch buffer
+        var c = code; var n = 0
+        val scratch = new Array[Byte](4096)
+        while (c >= 256) { scratch(n) = suffix(c); n += 1; c = prefix(c) }
+        out(o) = c.toByte; o += 1
+        var k = n - 1
+        while (k >= 0) { out(o) = scratch(k); o += 1; k -= 1 }
+        c
+      }
+    }
+    var prev = -1
+    var code = readCode()
+    while (code != 257 && o < outLen) {
+      if (code == 256) { // Clear
+        next = 258; width = 9; prev = -1
+      } else {
+        if (prev < 0) emit(code)
+        else {
+          if (code < next) {
+            val first = emit(code)
+            prefix(next) = prev; suffix(next) = first.toByte; next += 1
+          } else { // KwKwK case: code == next
+            // first byte of prev's string
+            var c = prev; while (c >= 256) c = prefix(c)
+            prefix(next) = prev; suffix(next) = c.toByte; next += 1
+            emit(code)
+          }
+        }
+        prev = code
+        // TIFF early change: widen when the next code to be ASSIGNED
+        // is one below the current width's capacity
+        if (next == (1 << width) - 1 && width < 12) width += 1
+      }
+      if (o < outLen) code = readCode()
+    }
+    require(o == outLen, s"lzw segment short: $o of $outLen bytes")
+    out
+  }
+
+  /** Undo TIFF predictor 2 (horizontal differencing) in place: integer
+    * samples accumulate along each row of the segment.
+    */
+  private def undoPredictor(
+      data: Array[Byte], order: ByteOrder, rowSamples: Int, rows: Int, bits: Int): Unit = {
+    val buf = ByteBuffer.wrap(data).order(order)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowSamples
+      var c = 1
+      bits match {
+        case 8 =>
+          while (c < rowSamples) {
+            data(base + c) = (data(base + c) + data(base + c - 1)).toByte; c += 1
+          }
+        case 16 =>
+          while (c < rowSamples) {
+            val o = (base + c) * 2
+            buf.putShort(o, (buf.getShort(o) + buf.getShort(o - 2)).toShort); c += 1
+          }
+        case 32 =>
+          while (c < rowSamples) {
+            val o = (base + c) * 4
+            buf.putInt(o, buf.getInt(o) + buf.getInt(o - 4)); c += 1
+          }
+        case b => throw new IllegalArgumentException(
+          s"predictor 2 unsupported for $b-bit samples (float predictor is TIFF predictor 3)")
+      }
+      r += 1
+    }
   }
 
   /** Decode to a cell iterator (col, row, value) — a generator, one cell
@@ -158,10 +301,8 @@ object GeoTiff {
     * georeferencing parse once, not twice). */
   def cells(bytes: Array[Byte], h: Header): Iterator[(Int, Int, Double)] = {
     val order = if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
-    val buf = ByteBuffer.wrap(bytes).order(order)
     val bytesPerSample = h.bits / 8
-    def sample(at: Long): Double = {
-      val o = at.toInt
+    def sample(buf: ByteBuffer, o: Int): Double =
       (h.bits, h.sampleFormat) match {
         case (8, 2) => buf.get(o).toDouble
         case (8, _) => (buf.get(o) & 0xff).toDouble
@@ -174,30 +315,50 @@ object GeoTiff {
         case (b, f) => throw new IllegalArgumentException(
           s"unsupported sample: $b bits, format $f")
       }
+    // decode one strip/tile to its own buffer with SEGMENT-relative
+    // offsets: rowSamples × rows samples, decompressed + predictor-undone
+    def segment(idx: Int, rowSamples: Int, rows: Int): ByteBuffer = {
+      val off = h.offsets(idx).toInt
+      val outLen = rowSamples * rows * bytesPerSample
+      val len = if (h.byteCounts(idx) > 0) h.byteCounts(idx).toInt else outLen
+      val data: Array[Byte] = h.compression match {
+        case 1 =>
+          if (h.predictor == 1) null // sample straight from the file buffer
+          else java.util.Arrays.copyOfRange(bytes, off, off + outLen)
+        case 8 | 32946 => inflateSegment(bytes, off, len, outLen)
+        case 32773 => packBitsSegment(bytes, off, len, outLen)
+        case 5 => lzwSegment(bytes, off, len, outLen)
+      }
+      if (data == null) ByteBuffer.wrap(bytes, off, outLen).slice().order(order)
+      else {
+        if (h.predictor == 2) undoPredictor(data, order, rowSamples, rows, h.bits)
+        ByteBuffer.wrap(data).order(order)
+      }
     }
     val raw: Iterator[(Int, Int, Double)] =
       if (h.tileW > 0) {
         val across = (h.width + h.tileW - 1) / h.tileW
-        h.offsets.iterator.zipWithIndex.flatMap { case (tileOff, t) =>
+        Iterator.range(0, h.offsets.length).flatMap { t =>
           val tCol = (t % across) * h.tileW
           val tRow = (t / across) * h.tileH
+          val seg = segment(t, h.tileW, h.tileH) // tiles are always full-size (padded)
           Iterator.range(0, h.tileH).flatMap { j =>
             Iterator.range(0, h.tileW).flatMap { i =>
               val col = tCol + i; val row = tRow + j
               if (col < h.width && row < h.height)
-                Iterator.single((col, row,
-                  sample(tileOff + (j.toLong * h.tileW + i) * bytesPerSample)))
+                Iterator.single((col, row, sample(seg, (j * h.tileW + i) * bytesPerSample)))
               else Iterator.empty // edge-tile padding
             }
           }
         }
       } else {
-        h.offsets.iterator.zipWithIndex.flatMap { case (stripOff, s) =>
+        Iterator.range(0, h.offsets.length).flatMap { s =>
           val row0 = s * h.rowsPerStrip
           val rows = math.min(h.rowsPerStrip, h.height - row0)
+          val seg = segment(s, h.width, rows)
           Iterator.range(0, rows).flatMap { j =>
             Iterator.range(0, h.width).map { i =>
-              (i, row0 + j, sample(stripOff + (j.toLong * h.width + i) * bytesPerSample))
+              (i, row0 + j, sample(seg, (j * h.width + i) * bytesPerSample))
             }
           }
         }
@@ -208,8 +369,9 @@ object GeoTiff {
     }
   }
 
-  /** S11 sink — write a single-band float32 UNCOMPRESSED strip GeoTIFF
-    * (the exact layout [[parseHeader]] reads back; spec round-trips it).
+  /** S11 sink — write a single-band float32 single-strip GeoTIFF,
+    * uncompressed or zlib (`deflate = true`, Compression=8) — the exact
+    * layouts [[parseHeader]]/[[cells]] read back; spec round-trips both.
     * `values` is row-major (row·width + col); georeferencing is the
     * north-up ModelPixelScale/Tiepoint pair: x = ox + col·sx,
     * y = oy − row·sy.
@@ -223,11 +385,28 @@ object GeoTiff {
       sy: Double,
       ox: Double,
       oy: Double,
-      nodata: Option[Float] = None): Unit = {
+      nodata: Option[Float] = None,
+      deflate: Boolean = false): Unit = {
     require(values.length == width * height, "values must be width*height row-major")
+    val rawPayload = {
+      val b = ByteBuffer.allocate(values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      values.foreach(b.putFloat)
+      b.array()
+    }
+    val payload =
+      if (!deflate) rawPayload
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(rawPayload); d.finish()
+        val buf = new Array[Byte](rawPayload.length + 64)
+        val m = d.deflate(buf)
+        require(d.finished(), "deflate grew the raster beyond input + 64B; write uncompressed")
+        d.end()
+        java.util.Arrays.copyOf(buf, m)
+      }
     // tags: 256 W, 257 H, 258 bits, 259 comp, 273 strip off, 277 spp,
     // 278 rows/strip, 279 strip bytes, 339 fmt, 33550 scale, 33922 tiepoint
-    val ndAscii = nodata.map(v => (if (v == v.toLong) v.toLong.toString else v.toString) + " ")
+    val ndAscii = nodata.map(v => (if (v == v.toLong) v.toLong.toString else v.toString) + "\u0000")
     val n = 11 + (if (ndAscii.isDefined) 1 else 0)
     val ifdOff = 8
     var cursor = ifdOff + 2 + n * 12 + 4
@@ -235,7 +414,7 @@ object GeoTiff {
     val tieOff = cursor; cursor += 48
     val ndOff = ndAscii.map { s => val o = cursor; cursor += s.length; o }
     val payloadOff = cursor
-    val out = ByteBuffer.allocate(payloadOff + values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    val out = ByteBuffer.allocate(payloadOff + payload.length).order(ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
     var e = 0
     def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
@@ -250,11 +429,11 @@ object GeoTiff {
     entry(256, 3, 1, width)
     entry(257, 3, 1, height)
     entry(258, 3, 1, 32)
-    entry(259, 3, 1, 1)
+    entry(259, 3, 1, if (deflate) 8 else 1)
     entry(273, 4, 1, payloadOff)
     entry(277, 3, 1, 1)
     entry(278, 3, 1, height)
-    entry(279, 4, 1, values.length * 4)
+    entry(279, 4, 1, payload.length)
     entry(339, 3, 1, 3)
     entry(33550, 12, 3, scaleOff)
     entry(33922, 12, 6, tieOff)
@@ -269,7 +448,7 @@ object GeoTiff {
       while (i < b.length) { out.put(ndOff.get + i, b(i)); i += 1 }
     }
     out.position(payloadOff)
-    values.foreach(out.putFloat)
+    out.put(payload)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
   }
 

@@ -159,18 +159,148 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(r.getAs[Double]("percent") == math.rint(5.0 * 100.0 / 11.0 * 1e4) / 1e4)
   }
 
-  test("compressed TIFF fails loudly") {
+  test("unsupported compression fails loudly") {
     val bad = stripTiff()
-    // flip the Compression entry (259) value to 5 (LZW) in place
+    // flip the Compression entry (259) value to 7 (JPEG) in place
     val buf = ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN)
     val n = buf.getShort(8) & 0xffff
     var i = 0
     while (i < n) {
       val off = 10 + i * 12
-      if ((buf.getShort(off) & 0xffff) == 259) buf.putShort(off + 8, 5)
+      if ((buf.getShort(off) & 0xffff) == 259) buf.putShort(off + 8, 7)
       i += 1
     }
     val err = intercept[IllegalArgumentException] { GeoTiff.parseHeader(bad) }
     assert(err.getMessage.contains("compression"))
+  }
+
+  test("deflate-written raster decodes identically to its uncompressed twin") {
+    val w = 16; val h = 9
+    val vals = Array.tabulate(w * h)(i => ((i * 37 % 101) / 7.0).toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("gtiffz")
+    GeoTiff.write(dir.resolve("plain.tif").toString, w, h, vals, 0.5, 0.5, 10.0, 20.0)
+    GeoTiff.write(dir.resolve("zip.tif").toString, w, h, vals, 0.5, 0.5, 10.0, 20.0,
+      deflate = true)
+    val plain = java.nio.file.Files.readAllBytes(dir.resolve("plain.tif"))
+    val zip = java.nio.file.Files.readAllBytes(dir.resolve("zip.tif"))
+    assert(zip.length < plain.length, "deflate produced no size win on a repetitive grid")
+    assert(GeoTiff.parseHeader(zip).compression == 8)
+    assert(GeoTiff.cells(zip).toSeq == GeoTiff.cells(plain).toSeq)
+  }
+
+  /** 6×2 uint8 PackBits strip: literal run, repeat run, literal tail. */
+  test("PackBits strip decodes both literal and repeat packets") {
+    val encoded = Array[Int](
+      0x05, 1, 2, 3, 4, 5, 6, // 6 literals (row 0)
+      0xFD, 7, // 7 repeated 4×
+      0x01, 9, 10 // 2 literals
+    ).map(_.toByte)
+    val tiff = buildTiff(
+      Seq(
+        E(256, 3, Seq(6)), E(257, 3, Seq(2)), E(258, 3, Seq(8)), E(259, 3, Seq(32773)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(2)), E(339, 3, Seq(1)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, 2.0, 0.0))),
+      encoded, payloadTag = 273, countsTag = 279, counts = Seq(encoded.length.toLong))
+    val m = GeoTiff.cells(tiff).map { case (c, r, v) => (c, r) -> v }.toMap
+    assert(m.size == 12)
+    assert(m((0, 0)) == 1.0 && m((5, 0)) == 6.0)
+    assert(m((0, 1)) == 7.0 && m((3, 1)) == 7.0 && m((4, 1)) == 9.0 && m((5, 1)) == 10.0)
+  }
+
+  /** Hand-computed TIFF-LZW vector: Clear,'E',code258,'E',EOI at 9 bits
+    * MSB-first = 80 11 60 44 58 08 → "EEEE" (exercises the KwKwK case).
+    */
+  test("LZW strip decodes the hand-computed KwKwK vector") {
+    val encoded = Array(0x80, 0x11, 0x60, 0x44, 0x58, 0x08).map(_.toByte)
+    val tiff = buildTiff(
+      Seq(
+        E(256, 3, Seq(2)), E(257, 3, Seq(2)), E(258, 3, Seq(8)), E(259, 3, Seq(5)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(2)), E(339, 3, Seq(1)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, 2.0, 0.0))),
+      encoded, payloadTag = 273, countsTag = 279, counts = Seq(encoded.length.toLong))
+    assert(GeoTiff.cells(tiff).toSeq.map(_._3) == Seq(69.0, 69.0, 69.0, 69.0))
+  }
+
+  /** TIFF-LZW encoder mirroring the spec (Clear first, early-change width
+    * growth) — drives the decoder through the 9→10→11→12-bit widths.
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0L; var nbits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) { out += ((acc >> (nbits - 8)) & 0xff).toByte; nbits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Byte), Int]
+    var next = 258
+    put(256) // Clear
+    var w = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val c = data(i)
+      dict.get((w, c)) match {
+        case Some(code) => w = code
+        case None =>
+          put(w)
+          dict((w, c)) = next; next += 1
+          // encoder switches one entry AFTER the decoder (which runs one
+          // table entry behind): spec early change is add-510 → 10 bits
+          // decoder-side, add-511 encoder-side
+          if (next == (1 << width) && width < 12) width += 1
+          w = c & 0xff
+      }
+      i += 1
+    }
+    put(w); put(257) // EOI
+    if (nbits > 0) out += ((acc << (8 - nbits)) & 0xff).toByte
+    out.toArray
+  }
+
+  test("LZW strip round-trips 2200 pseudo-random bytes across width growth") {
+    val w = 55; val h = 40
+    var seed = 12345L
+    val px = Array.fill(w * h) {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue
+      (seed % 251).toByte
+    }
+    val encoded = lzwEncode(px)
+    val tiff = buildTiff(
+      Seq(
+        E(256, 3, Seq(w)), E(257, 3, Seq(h)), E(258, 3, Seq(8)), E(259, 3, Seq(5)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(h)), E(339, 3, Seq(1)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, h.toDouble, 0.0))),
+      encoded, payloadTag = 273, countsTag = 279, counts = Seq(encoded.length.toLong))
+    val got = GeoTiff.cells(tiff).toSeq
+    assert(got.length == w * h)
+    assert(got.map(_._3) == px.toSeq.map(b => (b & 0xff).toDouble))
+  }
+
+  test("horizontal predictor (317=2) undoes row differencing for uint8 and int16") {
+    // uint8 4×2: rows (10,13,12,20) and (5,5,6,4) stored as row diffs
+    val diffs8 = Array[Int](10, 3, 0xFF, 8, 5, 0, 1, 0xFE).map(_.toByte)
+    val t8 = buildTiff(
+      Seq(
+        E(256, 3, Seq(4)), E(257, 3, Seq(2)), E(258, 3, Seq(8)), E(259, 3, Seq(1)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(2)), E(317, 3, Seq(2)), E(339, 3, Seq(1)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, 2.0, 0.0))),
+      diffs8, payloadTag = 273, countsTag = 279, counts = Seq(8L))
+    assert(GeoTiff.cells(t8).toSeq.map(_._3) ==
+      Seq(10.0, 13.0, 12.0, 20.0, 5.0, 5.0, 6.0, 4.0))
+    // int16 3×1: (1000, 1500, 900) stored as (1000, 500, −600)
+    val b16 = ByteBuffer.allocate(6).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(1000, 500, -600).foreach(v => b16.putShort(v.toShort))
+    val t16 = buildTiff(
+      Seq(
+        E(256, 3, Seq(3)), E(257, 3, Seq(1)), E(258, 3, Seq(16)), E(259, 3, Seq(1)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(1)), E(317, 3, Seq(2)), E(339, 3, Seq(2)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, 1.0, 0.0))),
+      b16.array(), payloadTag = 273, countsTag = 279, counts = Seq(6L))
+    assert(GeoTiff.cells(t16).toSeq.map(_._3) == Seq(1000.0, 1500.0, 900.0))
   }
 }
