@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions.udf
   * custom `Transverse_Mercator` PROJCS. Series accuracy inside a UTM
   * zone's ±3° is sub-millimetre, far inside the 1e-6° (~0.1 m) contract.
   *
+  * Also implements the two conic families real administrative data
+  * ships in: Lambert conformal conic (Snyder eqs. 15-1..15-11, 2SP and
+  * 1SP-with-k0) and Albers equal-area conic (Snyder eqs. 14-1..14-21),
+  * both verified in CrsSpec against projection-independent invariants
+  * (unit scale on the standard parallels, conformality/area
+  * preservation, sub-1e-9° round-trips).
+  *
   * The `.prj` sidecar (OGC WKT) is parsed by [[Crs.parsePrj]]:
-  * `GEOGCS`-only means already-geographic (identity), a
-  * `Transverse_Mercator` PROJCS yields its [[TmParams]], and any OTHER
-  * projection throws — a loud failure at ingest beats silently keeping
-  * projected metres as "degrees".
+  * `GEOGCS`-only means already-geographic (identity); a
+  * `Transverse_Mercator`/`Lambert_Conformal_Conic*`/`Albers*` PROJCS
+  * yields its parameters ([[inverseTransform]] turns any of them into
+  * the ingest-side projected→4326 map); any OTHER projection throws —
+  * a loud failure at ingest beats silently keeping projected metres as
+  * "degrees".
   *
   * Scale shape: pure per-row scalar math (no state, no shuffle), applied
   * inside the Shapefile reader's per-file flatMap or as a UDF column.
@@ -115,6 +124,152 @@ object Crs {
     (math.toDegrees(lam), math.toDegrees(phi))
   }
 
+  // ---------------------------------------------------------- conics
+  /** Lambert conformal conic parameters (2SP; 1SP = both standard
+    * parallels at the latitude of origin plus a scale factor).
+    */
+  case class LccParams(
+      centralMeridianDeg: Double,
+      latitudeOfOriginDeg: Double,
+      stdParallel1Deg: Double,
+      stdParallel2Deg: Double,
+      scaleFactor: Double,
+      falseEasting: Double,
+      falseNorthing: Double)
+
+  /** Albers equal-area conic parameters. */
+  case class AlbersParams(
+      centralMeridianDeg: Double,
+      latitudeOfOriginDeg: Double,
+      stdParallel1Deg: Double,
+      stdParallel2Deg: Double,
+      falseEasting: Double,
+      falseNorthing: Double)
+
+  private val E = math.sqrt(E2)
+
+  /** Snyder eq. 14-15: m = cosφ / √(1 − e²sin²φ). */
+  private def mFactor(phi: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1 - E2 * s * s)
+  }
+
+  /** Snyder eq. 15-9: t = tan(π/4 − φ/2) / [(1 − e·sinφ)/(1 + e·sinφ)]^(e/2). */
+  private def tFactor(phi: Double): Double = {
+    val s = math.sin(phi)
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - E * s) / (1 + E * s), E / 2)
+  }
+
+  /** Snyder eq. 3-12: authalic q = (1−e²)[sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e·sinφ)/(1+e·sinφ))]. */
+  def authalicQ(phi: Double): Double = {
+    val s = math.sin(phi)
+    (1 - E2) * (s / (1 - E2 * s * s) -
+      (1 / (2 * E)) * math.log((1 - E * s) / (1 + E * s)))
+  }
+
+  private case class LccDerived(n: Double, f: Double, rho0: Double, lam0: Double, k0: Double)
+
+  private def lccDerive(p: LccParams): LccDerived = {
+    val phi1 = math.toRadians(p.stdParallel1Deg)
+    val phi2 = math.toRadians(p.stdParallel2Deg)
+    val phi0 = math.toRadians(p.latitudeOfOriginDeg)
+    val (m1, t1) = (mFactor(phi1), tFactor(phi1))
+    val (m2, t2) = (mFactor(phi2), tFactor(phi2))
+    // Snyder 15-8 (2SP); the φ1 = φ2 limit is the 1SP cone n = sinφ1
+    val n =
+      if (math.abs(phi1 - phi2) < 1e-10) math.sin(phi1)
+      else (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    require(math.abs(n) > 1e-12,
+      "degenerate Lambert cone: standard parallels symmetric about / on the equator " +
+        "(n = 0 is a cylinder, not a cone — check the .prj parameters)")
+    val f = m1 / (n * math.pow(t1, n)) // 15-10
+    val rho0 = A * f * math.pow(tFactor(phi0), n) * p.scaleFactor // 15-7a
+    LccDerived(n, f, rho0, math.toRadians(p.centralMeridianDeg), p.scaleFactor)
+  }
+
+  /** Forward Lambert conformal conic (Snyder eqs. 15-1..15-10). */
+  def lccForward(lonDeg: Double, latDeg: Double, p: LccParams): (Double, Double) = {
+    val d = lccDerive(p)
+    val rho = A * d.f * math.pow(tFactor(math.toRadians(latDeg)), d.n) * d.k0
+    val theta = d.n * (math.toRadians(lonDeg) - d.lam0)
+    (p.falseEasting + rho * math.sin(theta),
+      p.falseNorthing + d.rho0 - rho * math.cos(theta))
+  }
+
+  /** Inverse Lambert conformal conic (Snyder eqs. 15-1..15-11 inverted;
+    * φ from t by the standard fixed-point iteration, eq. 7-9).
+    */
+  def lccInverse(x: Double, y: Double, p: LccParams): (Double, Double) = {
+    val d = lccDerive(p)
+    val dx = x - p.falseEasting
+    val dy = d.rho0 - (y - p.falseNorthing)
+    val rho = math.signum(d.n) * math.sqrt(dx * dx + dy * dy)
+    val theta = math.atan2(math.signum(d.n) * dx, math.signum(d.n) * dy)
+    val t = math.pow(rho / (A * d.f * d.k0), 1 / d.n)
+    var phi = math.Pi / 2 - 2 * math.atan(t)
+    var i = 0
+    while (i < 8) { // converges to machine precision in ≤5 rounds
+      val s = math.sin(phi)
+      phi = math.Pi / 2 - 2 * math.atan(
+        t * math.pow((1 - E * s) / (1 + E * s), E / 2))
+      i += 1
+    }
+    (math.toDegrees(theta / d.n + d.lam0), math.toDegrees(phi))
+  }
+
+  private case class AlbersDerived(n: Double, c: Double, rho0: Double, lam0: Double)
+
+  private def albersDerive(p: AlbersParams): AlbersDerived = {
+    val phi1 = math.toRadians(p.stdParallel1Deg)
+    val phi2 = math.toRadians(p.stdParallel2Deg)
+    val phi0 = math.toRadians(p.latitudeOfOriginDeg)
+    val (m1, q1) = (mFactor(phi1), authalicQ(phi1))
+    val (m2, q2) = (mFactor(phi2), authalicQ(phi2))
+    val n =
+      if (math.abs(phi1 - phi2) < 1e-10) math.sin(phi1)
+      else (m1 * m1 - m2 * m2) / (q2 - q1) // Snyder 14-14
+    require(math.abs(n) > 1e-12,
+      "degenerate Albers cone: standard parallels symmetric about / on the equator " +
+        "(n = 0 is a cylinder, not a cone — check the .prj parameters)")
+    val c = m1 * m1 + n * q1 // 14-13
+    val rho0 = A * math.sqrt(c - n * authalicQ(phi0)) / n // 14-12a
+    AlbersDerived(n, c, rho0, math.toRadians(p.centralMeridianDeg))
+  }
+
+  /** Forward Albers equal-area conic (Snyder eqs. 14-1..14-14). */
+  def albersForward(lonDeg: Double, latDeg: Double, p: AlbersParams): (Double, Double) = {
+    val d = albersDerive(p)
+    val rho = A * math.sqrt(d.c - d.n * authalicQ(math.toRadians(latDeg))) / d.n
+    val theta = d.n * (math.toRadians(lonDeg) - d.lam0)
+    (p.falseEasting + rho * math.sin(theta),
+      p.falseNorthing + d.rho0 - rho * math.cos(theta))
+  }
+
+  /** Inverse Albers (Snyder eqs. 14-19..14-21; φ from authalic q by the
+    * eq. 3-16 Newton iteration).
+    */
+  def albersInverse(x: Double, y: Double, p: AlbersParams): (Double, Double) = {
+    val d = albersDerive(p)
+    val dx = x - p.falseEasting
+    val dy = d.rho0 - (y - p.falseNorthing)
+    val rho = math.signum(d.n) * math.sqrt(dx * dx + dy * dy)
+    val theta = math.atan2(math.signum(d.n) * dx, math.signum(d.n) * dy)
+    val q = (d.c - (rho * d.n / A) * (rho * d.n / A)) / d.n
+    var phi = math.asin(math.min(1.0, math.max(-1.0, q / 2)))
+    var i = 0
+    while (i < 10) {
+      val s = math.sin(phi)
+      val om = 1 - E2 * s * s
+      val delta = (om * om / (2 * math.cos(phi))) * (
+        q / (1 - E2) - s / om +
+          (1 / (2 * E)) * math.log((1 - E * s) / (1 + E * s)))
+      phi += delta
+      i += 1
+    }
+    (math.toDegrees(theta / d.n + d.lam0), math.toDegrees(phi))
+  }
+
   /** The CRS transform a parsed `.prj` implies for reader-side
     * normalization to EPSG:4326.
     */
@@ -123,6 +278,20 @@ object Crs {
   case object Geographic extends PrjCrs
   /** Projected transverse Mercator — apply [[tmInverse]] on ingest. */
   final case class ProjectedTm(params: TmParams) extends PrjCrs
+  /** Projected Lambert conformal conic — apply [[lccInverse]] on ingest. */
+  final case class ProjectedLcc(params: LccParams) extends PrjCrs
+  /** Projected Albers equal-area conic — apply [[albersInverse]] on ingest. */
+  final case class ProjectedAlbers(params: AlbersParams) extends PrjCrs
+
+  /** The projected→geographic point transform for a parsed CRS; None for
+    * already-geographic data (identity — skip the map entirely).
+    */
+  def inverseTransform(crs: PrjCrs): Option[(Double, Double) => (Double, Double)] = crs match {
+    case Geographic => None
+    case ProjectedTm(p) => Some((x, y) => tmInverse(x, y, p))
+    case ProjectedLcc(p) => Some((x, y) => lccInverse(x, y, p))
+    case ProjectedAlbers(p) => Some((x, y) => albersInverse(x, y, p))
+  }
 
   private val ParamRe =
     """(?i)PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)\s*\]""".r
@@ -139,19 +308,43 @@ object Crs {
     else if (s.regionMatches(true, 0, "PROJCS", 0, 6)) {
       val proj = ProjectionRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException(s"PROJCS without PROJECTION in .prj: ${s.take(80)}"))
-      if (!proj.equalsIgnoreCase("Transverse_Mercator") &&
-          !proj.equalsIgnoreCase("Gauss_Kruger"))
-        throw new IllegalArgumentException(
-          s"unsupported PROJECTION '$proj' in .prj (supported: Transverse_Mercator; " +
-            "reproject externally or extend Crs)")
       val params = ParamRe.findAllMatchIn(s)
         .map(m => m.group(1).toLowerCase -> m.group(2).toDouble).toMap
-      ProjectedTm(TmParams(
-        centralMeridianDeg = params.getOrElse("central_meridian", 0.0),
-        latitudeOfOriginDeg = params.getOrElse("latitude_of_origin", 0.0),
-        scaleFactor = params.getOrElse("scale_factor", 1.0),
-        falseEasting = params.getOrElse("false_easting", 0.0),
-        falseNorthing = params.getOrElse("false_northing", 0.0)))
+      def p(name: String, default: Double) = params.getOrElse(name, default)
+      val lat0 = p("latitude_of_origin", 0.0)
+      proj.toLowerCase match {
+        case "transverse_mercator" | "gauss_kruger" =>
+          ProjectedTm(TmParams(
+            centralMeridianDeg = p("central_meridian", 0.0),
+            latitudeOfOriginDeg = lat0,
+            scaleFactor = p("scale_factor", 1.0),
+            falseEasting = p("false_easting", 0.0),
+            falseNorthing = p("false_northing", 0.0)))
+        case "lambert_conformal_conic" | "lambert_conformal_conic_2sp" |
+            "lambert_conformal_conic_1sp" =>
+          // 1SP WKT carries no standard_parallel: both parallels sit at
+          // the latitude of origin and scale_factor does the work
+          ProjectedLcc(LccParams(
+            centralMeridianDeg = p("central_meridian", 0.0),
+            latitudeOfOriginDeg = lat0,
+            stdParallel1Deg = p("standard_parallel_1", lat0),
+            stdParallel2Deg = p("standard_parallel_2", p("standard_parallel_1", lat0)),
+            scaleFactor = p("scale_factor", 1.0),
+            falseEasting = p("false_easting", 0.0),
+            falseNorthing = p("false_northing", 0.0)))
+        case "albers" | "albers_conic_equal_area" =>
+          ProjectedAlbers(AlbersParams(
+            centralMeridianDeg = p("central_meridian", 0.0),
+            latitudeOfOriginDeg = lat0,
+            stdParallel1Deg = p("standard_parallel_1", lat0),
+            stdParallel2Deg = p("standard_parallel_2", p("standard_parallel_1", lat0)),
+            falseEasting = p("false_easting", 0.0),
+            falseNorthing = p("false_northing", 0.0)))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported PROJECTION '$other' in .prj (supported: Transverse_Mercator, " +
+              "Lambert_Conformal_Conic, Albers; reproject externally or extend Crs)")
+      }
     } else throw new IllegalArgumentException(
       s"unrecognized .prj WKT root (expected GEOGCS or PROJCS): ${s.take(80)}")
   }

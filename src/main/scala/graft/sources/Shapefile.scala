@@ -95,12 +95,13 @@ object Shapefile {
     *
     * CRS normalization (the reference's `ogr2ogr -t_srs EPSG:4326` step,
     * `scripts/base-network.sh:98-99`): when a `.prj` sidecar declares a
-    * `Transverse_Mercator` PROJCS (e.g. the UTM 36S/37S zones Mozambique
-    * data ships in), every coordinate is reprojected to lon/lat on ingest
-    * via [[graft.functions.Crs.tmInverse]]. A GEOGCS-only or absent `.prj`
-    * passes coordinates through unchanged; an unsupported projection
-    * THROWS — a loud ingest failure beats silently treating metres as
-    * degrees.
+    * `Transverse_Mercator` (e.g. the UTM 36S/37S zones Mozambique data
+    * ships in), `Lambert_Conformal_Conic`, or `Albers` PROJCS, every
+    * coordinate is reprojected to lon/lat on ingest via
+    * [[graft.functions.Crs.inverseTransform]]. A GEOGCS-only or absent
+    * `.prj` passes coordinates through unchanged; an unsupported
+    * projection THROWS — a loud ingest failure beats silently treating
+    * metres as degrees.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -117,14 +118,15 @@ object Shapefile {
         val crs = byExt.get("prj")
           .map(b => Crs.parsePrj(new String(b, "ASCII")))
           .getOrElse(Crs.Geographic)
-        val reproject: Seq[Seq[Seq[Double]]] => Seq[Seq[Seq[Double]]] = crs match {
-          case Crs.Geographic => identity
-          case Crs.ProjectedTm(p) =>
-            parts => parts.map(_.map { pt =>
-              val (lon, lat) = Crs.tmInverse(pt(0), pt(1), p)
-              Seq(lon, lat)
-            })
-        }
+        val reproject: Seq[Seq[Seq[Double]]] => Seq[Seq[Seq[Double]]] =
+          Crs.inverseTransform(crs) match {
+            case None => identity
+            case Some(inv) =>
+              parts => parts.map(_.map { pt =>
+                val (lon, lat) = inv(pt(0), pt(1))
+                Seq(lon, lat)
+              })
+          }
         geoms.zipWithIndex.map { case ((recNo, gt, parts), i) =>
           ShpFeature(recNo, gt, reproject(parts), if (i < attrs.size) attrs(i) else Map.empty)
         }

@@ -153,12 +153,12 @@ class ShapefileSpec extends AnyFunSuite {
     writeShpPoints(dir.resolve("roads.shp"), Seq((1.0, 2.0), (3.0, 4.0)))
     java.nio.file.Files.writeString(
       dir.resolve("roads.prj"),
-      """PROJCS["x",GEOGCS["WGS 84"],PROJECTION["Albers_Conic_Equal_Area"]]""")
+      """PROJCS["x",GEOGCS["WGS 84"],PROJECTION["Sinusoidal"]]""")
     val err = intercept[org.apache.spark.SparkException] {
       Shapefile.read(spark, dir.toString + "/*").collect()
     }
-    assert(err.getMessage.contains("Albers") ||
-      Option(err.getCause).exists(_.getMessage.contains("Albers")))
+    assert(err.getMessage.contains("sinusoidal") ||
+      Option(err.getCause).exists(_.getMessage.contains("sinusoidal")))
   }
 
   test("S8 robustness: corrupt JSON lines quarantine, clean rows survive") {
