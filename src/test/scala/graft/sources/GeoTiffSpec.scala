@@ -279,6 +279,51 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(got.map(_._3) == px.toSeq.map(b => (b & 0xff).toDouble))
   }
 
+  test("readParallel: segment-fanned decode ≡ whole-file read on strip, tile and deflate rasters") {
+    val dir = java.nio.file.Files.createTempDirectory("gtiffpar")
+    // multi-strip float32 (3 strips of 1 row), via rowsPerStrip = 1
+    val px = Array.tabulate(12)(i => if (i == 5) -1.0f else i.toFloat)
+    val stripPayload = ByteBuffer.allocate(px.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    px.foreach(stripPayload.putFloat)
+    val multiStrip = buildTiff(
+      Seq(
+        E(256, 3, Seq(4)), E(257, 3, Seq(3)), E(258, 3, Seq(32)), E(259, 3, Seq(1)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(1)), E(339, 3, Seq(3)),
+        E(33550, 12, Seq(0.5, 0.5, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 100.0, 50.0, 0.0)),
+        E(42113, 2, Seq.empty, ascii = Some("-1"))),
+      stripPayload.array(), payloadTag = 273, countsTag = 279,
+      counts = Seq(16L, 16L, 16L))
+    java.nio.file.Files.write(dir.resolve("strips.tif"), multiStrip)
+    java.nio.file.Files.write(dir.resolve("tiled.tif"), tiledTiff())
+    // per-strip deflate (2 strips of 1 row, 6×2 uint8)
+    def zip(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length + 64); val m = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, m)
+    }
+    val r0 = zip(Array[Byte](1, 2, 3, 4, 5, 6))
+    val r1 = zip(Array[Byte](7, 7, 7, 7, 9, 10))
+    val zTiff = buildTiff(
+      Seq(
+        E(256, 3, Seq(6)), E(257, 3, Seq(2)), E(258, 3, Seq(8)), E(259, 3, Seq(8)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(1)), E(339, 3, Seq(1)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, 2.0, 0.0))),
+      r0 ++ r1, payloadTag = 273, countsTag = 279,
+      counts = Seq(r0.length.toLong, r1.length.toLong))
+    java.nio.file.Files.write(dir.resolve("zstrips.tif"), zTiff)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0).replaceAll("^file:/*", "/"),
+        r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val whole = rows(GeoTiff.read(spark, dir.toString, globFilter = Some("*.tif")))
+    val fanned = rows(GeoTiff.readParallel(spark, dir.toString + "/*", globFilter = Some("*.tif")))
+    assert(whole.nonEmpty && fanned == whole)
+    // the mega-raster property: one file fans out to one task PER SEGMENT
+    val segDf = GeoTiff.readParallel(spark, dir.resolve("strips.tif").toString)
+    assert(segDf.rdd.getNumPartitions > 1, "single file did not fan out across tasks")
+  }
+
   test("horizontal predictor (317=2) undoes row differencing for uint8 and int16") {
     // uint8 4×2: rows (10,13,12,20) and (5,5,6,4) stored as row diffs
     val diffs8 = Array[Int](10, 3, 0xFF, 8, 5, 0, 1, 0xFE).map(_.toByte)
