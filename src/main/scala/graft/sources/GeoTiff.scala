@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * IFD tag walk, strip (273/278/279) and tile (322–325) layouts,
   * Compression 1 (none), 5 (TIFF LZW incl. the early-change rule),
   * 8/32946 (zlib Deflate) and 32773 (PackBits), horizontal-differencing
-  * predictor (317=2, integer samples), single-band samples of
+  * predictor (317=2, integer samples) and the TechNote-3 floating-point
+  * predictor (317=3, byte-plane split), single-band samples of
   * uint8/16/32, int8/16/32, float32/64 (SampleFormat 1/2/3),
   * georeferencing via ModelPixelScale (33550) + ModelTiepoint (33922),
   * nodata via the GDAL_NODATA ASCII tag (42113). Anything else throws —
@@ -136,10 +137,13 @@ object GeoTiff {
       s"unsupported TIFF compression $compression " +
         "(supported: 1 none, 5 LZW, 8/32946 Deflate, 32773 PackBits)")
     val predictor = one(317, 1.0).toInt
-    require(predictor == 1 || predictor == 2,
-      s"unsupported TIFF predictor $predictor (supported: 1 none, 2 horizontal)")
-    require(predictor == 1 || one(339, 1.0).toInt != 3,
+    require(predictor == 1 || predictor == 2 || predictor == 3,
+      s"unsupported TIFF predictor $predictor " +
+        "(supported: 1 none, 2 horizontal int, 3 floating point)")
+    require(predictor != 2 || one(339, 1.0).toInt != 3,
       "predictor 2 (horizontal differencing) is integer-only; float rasters use predictor 3")
+    require(predictor != 3 || one(339, 1.0).toInt == 3,
+      "predictor 3 (floating point) requires SampleFormat 3")
     val spp = one(277, 1.0).toInt
     require(spp == 1, s"only single-band rasters supported, got SamplesPerPixel=$spp")
     val width = one(256, 0.0).toInt
@@ -299,6 +303,36 @@ object GeoTiff {
     }
   }
 
+  /** Undo TIFF predictor 3 (TechNote 3 floating-point predictor) in
+    * place: per row, accumulate byte deltas, then re-interleave the
+    * MSB-first byte PLANES back into per-sample bytes in `order`.
+    */
+  private def undoFloatPredictor(
+      data: Array[Byte], order: ByteOrder, rowSamples: Int, rows: Int, bits: Int): Unit = {
+    val bps = bits / 8
+    val rowBytes = rowSamples * bps
+    val tmp = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var k = 1
+      while (k < rowBytes) { data(base + k) = (data(base + k) + data(base + k - 1)).toByte; k += 1 }
+      System.arraycopy(data, base, tmp, 0, rowBytes)
+      var i = 0
+      while (i < rowSamples) {
+        var p = 0
+        while (p < bps) {
+          // plane p holds byte p of the big-endian representation
+          val dst = if (order == ByteOrder.BIG_ENDIAN) p else bps - 1 - p
+          data(base + i * bps + dst) = tmp(p * rowSamples + i)
+          p += 1
+        }
+        i += 1
+      }
+      r += 1
+    }
+  }
+
   /** Decode to a cell iterator (col, row, value) — a generator, one cell
     * at a time, nodata skipped.
     */
@@ -349,6 +383,7 @@ object GeoTiff {
     if (data == null) ByteBuffer.wrap(bytes, off, outLen).slice().order(order)
     else {
       if (predictor == 2) undoPredictor(data, order, rowSamples, rows, bits)
+      else if (predictor == 3) undoFloatPredictor(data, order, rowSamples, rows, bits)
       ByteBuffer.wrap(data).order(order)
     }
   }

@@ -324,6 +324,46 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(segDf.rdd.getNumPartitions > 1, "single file did not fan out across tasks")
   }
 
+  test("floating-point predictor (317=3) reassembles byte planes for float32, deflate-wrapped") {
+    // encode per TechNote 3: big-endian bytes → MSB-first planes per row
+    // → byte-wise forward differencing → deflate (GDAL's default combo
+    // for compressed float rasters)
+    val w = 5; val h = 2
+    val vals = Array(1.5f, -2.25f, 0.0f, 1234.5f, -0.015625f,
+      3.75f, 9.5f, -100.25f, 0.5f, 7.0f)
+    val encodedRows = (0 until h).map { r =>
+      val be = ByteBuffer.allocate(w * 4).order(ByteOrder.BIG_ENDIAN)
+      (0 until w).foreach(i => be.putFloat(vals(r * w + i)))
+      val planes = new Array[Byte](w * 4)
+      for (i <- 0 until w; p <- 0 until 4) planes(p * w + i) = be.array()(i * 4 + p)
+      val diffed = planes.clone()
+      for (k <- (w * 4 - 1) to 1 by -1)
+        diffed(k) = (planes(k) - planes(k - 1)).toByte
+      val d = new java.util.zip.Deflater(); d.setInput(diffed); d.finish()
+      val buf = new Array[Byte](diffed.length + 64); val m = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, m)
+    }
+    val tiff = buildTiff(
+      Seq(
+        E(256, 3, Seq(w)), E(257, 3, Seq(h)), E(258, 3, Seq(32)), E(259, 3, Seq(8)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(1)), E(317, 3, Seq(3)), E(339, 3, Seq(3)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, h.toDouble, 0.0))),
+      encodedRows.reduce(_ ++ _), payloadTag = 273, countsTag = 279,
+      counts = encodedRows.map(_.length.toLong))
+    assert(GeoTiff.cells(tiff).toSeq.map(_._3) == vals.toSeq.map(_.toDouble))
+    // predictor 3 on integer samples is rejected loudly
+    val bad = buildTiff(
+      Seq(
+        E(256, 3, Seq(2)), E(257, 3, Seq(1)), E(258, 3, Seq(8)), E(259, 3, Seq(1)),
+        E(277, 3, Seq(1)), E(278, 3, Seq(1)), E(317, 3, Seq(3)), E(339, 3, Seq(1)),
+        E(33550, 12, Seq(1.0, 1.0, 0.0)),
+        E(33922, 12, Seq(0.0, 0.0, 0.0, 0.0, 1.0, 0.0))),
+      Array[Byte](1, 2), payloadTag = 273, countsTag = 279, counts = Seq(2L))
+    val err = intercept[IllegalArgumentException] { GeoTiff.parseHeader(bad) }
+    assert(err.getMessage.contains("SampleFormat"))
+  }
+
   test("horizontal predictor (317=2) undoes row differencing for uint8 and int16") {
     // uint8 4×2: rows (10,13,12,20) and (5,5,6,4) stored as row diffs
     val diffs8 = Array[Int](10, 3, 0xFF, 8, 5, 0, 1, 0xFE).map(_.toByte)
