@@ -159,6 +159,76 @@ object Similarity {
     * is a pure column expression, so partition pruning applies if the
     * corpus is written bucketed by cell.
     */
+  /** Driver-side twin of [[VectorFunctions.hyperplaneSignature]]: SAME
+    * seed → SAME planes → same cell for the same vector. Used to turn a
+    * query vector into partition-pruning literals.
+    */
+  def hyperplaneCellLocal(v: Array[Double], bits: Int, seed: Long = 42L): Long = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Array[Double]] = Seq.fill(bits)(Array.fill(v.length)(rnd.nextGaussian()))
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      var dot = 0.0; var j = 0
+      while (j < v.length) { dot += v(j) * p(j); j += 1 }
+      if (dot >= 0.0) acc | (1L << i) else acc
+    }
+  }
+
+  /** All cells within hamming `nProbe` of `cell` — the probe set as
+    * LITERALS (Σ C(bits, i) values, i ≤ nProbe; 9 cells at 8/1).
+    */
+  private[operators] def cellsWithinHamming(cell: Long, bits: Int, nProbe: Int): Seq[Long] =
+    (0 to nProbe).flatMap(k =>
+      (0 until bits).combinations(k).map(_.foldLeft(cell)((a, b) => a ^ (1L << b))))
+
+  /** PHYSICAL IVF layout: write the corpus parquet PARTITIONED BY its
+    * hyperplane cell (one directory per cell). This is the layout the
+    * `ivfTopK` scaladoc promises: with it, probing stops being a
+    * post-scan filter and becomes directory-level partition PRUNING —
+    * at 10⁹+ rows a 1-probe query reads (nProbe-ball / 2^bits) of the
+    * data and the rest is never opened.
+    */
+  def writeCellPartitioned(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      bits: Int = 8,
+      seed: Long = 42L): Unit = {
+    val dim = embs.select(size(col(vecCol))).first().getInt(0)
+    embs
+      .withColumn("__cell", VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits, seed))
+      .write
+      .partitionBy("__cell")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Probe a cell-partitioned corpus ([[writeCellPartitioned]]): the
+    * query's hamming-`nProbe` cell ball is enumerated driver-side and
+    * pushed as an IN list on the PARTITION column, so the scan prunes to
+    * those directories (PlanSpec-style assertion in the spec). Output ≡
+    * [[ivfTopK]] on the same corpus/bits/nProbe.
+    */
+  def ivfTopKPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int,
+      bits: Int = 8,
+      nProbe: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val probeCells = cellsWithinHamming(hyperplaneCellLocal(query, bits, seed), bits, nProbe)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("__cell").isin(probeCells: _*))
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   def ivfTopK(
       embs: DataFrame,
       idCol: String,

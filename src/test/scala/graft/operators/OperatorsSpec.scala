@@ -379,4 +379,36 @@ class OperatorsSpec extends AnyFunSuite {
       "vec_id", "embedding", "q_id", "q_vec", 5).collect()
     assert(knn.length == 15) // 3 queries × 5
   }
+
+  test("IVF physical layout: cell-partitioned probe prunes partitions, output ≡ ivfTopK") {
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val (bits, nProbe) = (6, 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpart").toString
+    Similarity.writeCellPartitioned(embs, "vec_id", "embedding", dir, bits)
+    // the driver-side cell twin matches the Column expression exactly
+    val spCell = embs.limit(1)
+      .select(graft.functions.VectorFunctions
+        .hyperplaneSignature(col("embedding"), 64, bits).as("c"), col("embedding"))
+      .first()
+    val localCell = Similarity.hyperplaneCellLocal(
+      spCell.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray, bits)
+    assert(spCell.getLong(0) == localCell)
+    val pruned = Similarity.ivfTopKPruned(spark, dir, "vec_id", "embedding", q, 10, bits, nProbe)
+    val plain = Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10, bits, nProbe)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      plain.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the probe is partition PRUNING, not a post-scan filter: the IN list
+    // lands in PartitionFilters and the scan touches ≤ |probe ball| dirs
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && !scan.contains("PartitionFilters: []"),
+      scan.take(600))
+    val ball = (0 to nProbe).map(k =>
+      (0 until bits).combinations(k).size).sum // C(6,0)+C(6,1)+C(6,2) = 22
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics.get("numPartitions").map(_.value) }
+      .flatten
+    assert(scanned.exists(_ <= ball), s"scanned $scanned partitions, probe ball is $ball")
+  }
 }
