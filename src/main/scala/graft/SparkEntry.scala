@@ -778,6 +778,26 @@ object SparkEntry {
   private def qt14HeavyHitters(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.heavyHitters(t(spark, dir, "documents"), "text", 0.0335)
 
+  /** Stratified sampling: exact ⌈20%·N_lang⌉ docs per language by the
+    * deterministic residue-ring order — the auditable balanced-sample
+    * primitive of a training-data pipeline (qt9 is the flat-rate gate
+    * twin). Full closed-form oracle.
+    */
+  private def qt16Stratified(spark: SparkSession, dir: String): DataFrame =
+    Relational
+      .stratifiedSample(t(spark, dir, "documents"), "lang", "doc_id", 0.2)
+      .select(col("doc_id"), col("lang"))
+
+  /** BM25 retrieval ranking against a fixed query (training-data
+    * quality-filter / targeted-pull scorer); full closed-form oracle —
+    * the per-doc Σ over query terms is summed in ascending term order on
+    * BOTH engines so FP non-associativity cannot flip the 6-dp round.
+    */
+  private def qt15Bm25(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.bm25Rank(
+      t(spark, dir, "documents"), "doc_id", "text",
+      Seq("spark", "query", "join", "window"), 20)
+
   /** CUBE grouping sets over (returnflag, linestatus): all four grouping
     * combinations in ONE Expand + hash aggregate (single shuffle), vs
     * four separate scans.
@@ -1328,6 +1348,8 @@ object SparkEntry {
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "qt13_bpe_train" -> (qt13BpeTrain _),
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
+    "qt15_bm25" -> (qt15Bm25 _),
+    "qt16_stratified" -> (qt16Stratified _),
     "q25_cube" -> (q25Cube _),
     "q26_bloom_semi" -> (q26BloomSemi _),
     "qp2_profile" -> (qp2Profile _)
@@ -2944,6 +2966,48 @@ object SparkEntry {
         |FROM tt, n
         |GROUP BY term, total
         |HAVING count(*) >= ceil(CAST(total AS DOUBLE) * 0.0335)""".stripMargin,
+    // per-doc Σ over ≤4 query terms: engines' FP sum orders agree to
+    // ~1e-15 relative here, and the DECIMAL(28,12) two-step replays
+    // Spark's shortest-repr round at 6 dp (the established contract)
+    "qt15_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE length(term) > 0
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term
+        |), dlen AS (
+        |  SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id
+        |), n AS (SELECT count(*)::DOUBLE AS nn FROM documents),
+        |tot AS (SELECT count(*)::DOUBLE AS tot FROM tok),
+        |qt AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dlen.len,
+        |    CAST(count(*) OVER (PARTITION BY tf.term) AS DOUBLE) AS df
+        |  FROM tf JOIN dlen USING (doc_id)
+        |  WHERE tf.term IN ('spark', 'query', 'join', 'window')
+        |), scored AS (
+        |  SELECT doc_id,
+        |    ln(1 + (n.nn - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * len / (tot.tot / n.nn))) AS tscore
+        |  FROM qt CROSS JOIN n CROSS JOIN tot
+        |), summed AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(sum(tscore) AS DECIMAL(28,12)), 6) AS DOUBLE) AS score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, score FROM summed
+        |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20""".stripMargin,
+    // same residue-ring pseudo-order as the engine: (id mod 99991)·7919
+    // mod 99991 — pure integer arithmetic, identical in any engine
+    "qt16_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id % 99991) * 7919 % 99991, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |WHERE rn <= ceil(0.2 * cnt)""".stripMargin,
     "q25_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

@@ -243,6 +243,30 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Exact proportional stratified sample: ⌈frac·N_g⌉ rows per stratum,
+    * selected by a deterministic keyed pseudo-random order — a
+    * residue-ring multiplicative hash ((key mod P)·A mod P, P = 99991,
+    * A = 7919; the product is ≤ 7.9e8, so Spark 4's ANSI overflow check
+    * can never fire at any key magnitude) with the key as total-order
+    * tie-break. Every engine and every run selects the SAME rows, which
+    * is what makes a training-data sample auditable and the DuckDB gate
+    * replayable. One window shuffle on the stratum key; per-stratum
+    * counts ride the same window, no second scan.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      frac: Double): DataFrame = {
+    val pseudo = pmod(pmod(col(keyCol), lit(99991L)) * lit(7919L), lit(99991L))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(pseudo, col(keyCol))
+    val wAll = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__cnt")))
+      .drop("__rn", "__cnt")
+  }
+
   /** J10 — merge reverse pairs: rows keyed (o, d); keep o < d, attach the
     * (d, o) value as `reverse_<valueName>`. One shuffle on the pair key.
     */

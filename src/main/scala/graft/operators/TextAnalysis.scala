@@ -255,4 +255,72 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col(idCol), col("term"), col("tfidf"), col("rk"))
   }
+
+  /** BM25 ranking of the corpus against a fixed query-term set — the
+    * retrieval scorer a training-data pipeline uses for quality
+    * filtering and targeted corpus pulls (Robertson BM25 with Lucene's
+    * +1 idf smoothing so idf stays positive at df > N/2):
+    *
+    *   score(d) = Σ_t ln(1 + (N − df + ½)/(df + ½)) ·
+    *              tf·(k1+1) / (tf + k1·(1 − b + b·len(d)/avgdl))
+    *
+    * ONE tokenize pass: tf per (doc, term), doc length as a window SUM
+    * over tf (the qt7 window trick — no second scan), avgdl/N as a
+    * broadcast 1-row aggregate, df as a window over the query-filtered
+    * tf (still corpus-complete per term — filtering terms drops no doc
+    * containing them). Shuffles bounded by distinct (doc, term); top-k
+    * is TakeOrdered, never a global sort.
+    *
+    * Sum order inside Σ_t is made engine-independent for the oracle by
+    * summing in ASCENDING TERM ORDER via sort_array on (term, score)
+    * structs — FP addition is not associative and DuckDB's sum order
+    * differs from Spark's hash-agg order.
+    */
+  def bm25Rank(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val wTerm = Window.partitionBy(col("term"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
+    // total token count: map-side count over the token stream (no
+    // groupBy); docs with no tokens contribute 0, matching the replay
+    val totalLen = toks.agg(count(lit(1)).cast("double").as("__tot"))
+    tf
+      .withColumn("len", sum(col("tf")).over(wDoc))
+      .filter(col("term").isin(queryTerms: _*))
+      .withColumn("df", count(lit(1)).over(wTerm).cast("double"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(totalLen))
+      .withColumn("avgdl", col("__tot") / col("__n"))
+      .withColumn(
+        "tscore",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avgdl"))))
+      .groupBy(col(idCol))
+      // deterministic FP sum order: ascending term
+      .agg(collect_list(struct(col("term"), col("tscore"))).as("__parts"))
+      .withColumn(
+        "score",
+        round(
+          aggregate(
+            sort_array(col("__parts")),
+            lit(0.0),
+            (acc, s) => acc + s.getField("tscore")),
+          6))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
 }

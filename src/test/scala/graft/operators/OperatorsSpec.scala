@@ -380,6 +380,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(knn.length == 15) // 3 queries × 5
   }
 
+  test("stratifiedSample: exact ceil(frac·N_g) per stratum, deterministic, a subset") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Relational.stratifiedSample(docs, "lang", "doc_id", 0.3)
+    val got = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, n) =>
+      assert(got(lang) == math.ceil(0.3 * n).toLong, s"stratum $lang: ${got(lang)} of $n")
+    }
+    // deterministic: an independent run selects the same ids
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Relational.stratifiedSample(docs, "lang", "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // nested fractions: the 10% sample is a subset of the 30% sample
+    // (same pseudo-order prefix — what makes sample sizes tunable
+    // without reshuffling data between runs)
+    val ids10 = Relational.stratifiedSample(docs, "lang", "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids1))
+  }
+
   test("IVF physical layout: cell-partitioned probe prunes partitions, output ≡ ivfTopK") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Array.tabulate(64)(i => math.sin(i + 1.0))

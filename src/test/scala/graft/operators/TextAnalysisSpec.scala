@@ -192,4 +192,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     // low=1 piece ×2, lower ≤ 2 pieces
     assert(counts(0) >= 3L && counts(0) <= 4L)
   }
+
+  test("bm25Rank matches a hand-computed score on a 3-doc corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark window"), // tf(spark)=2, len 3
+      (2L, "join window filter scan"), // len 4
+      (3L, "the quick fox") // no query terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25Rank(docs, "doc_id", "text", Seq("spark", "join", "window"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent reference computation (plain Scala, same formula)
+    val n = 3.0; val avgdl = (3 + 4 + 3) / 3.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def ts(tf: Double, len: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avgdl))
+    val d1 = BigDecimal(ts(2, 3, 1) + ts(1, 3, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal(ts(1, 4, 1) + ts(1, 4, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L)) // doc 3 holds no query term
+    assert(math.abs(got(1L) - d1) < 2e-6 && math.abs(got(2L) - d2) < 2e-6)
+    assert(got(1L) > got(2L)) // two hits incl. a rare term outrank one+one
+  }
 }

@@ -159,6 +159,34 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(r.getAs[Double]("percent") == math.rint(5.0 * 100.0 / 11.0 * 1e4) / 1e4)
   }
 
+  test("big-endian (MM) raster decodes: 16-bit samples byte-swapped correctly") {
+    // hand-build a 3×2 uint16 MM-order strip TIFF: every multi-byte field
+    // big-endian, sample 0x0102 must read as 258, never 513
+    val vals = Seq(258, 513, 1, 65535, 0, 256)
+    val n = 8 // entries: 256,257,258,259,273,277,278,279
+    val ifdOff = 8
+    val payloadOff = ifdOff + 2 + n * 12 + 4
+    val out = ByteBuffer.allocate(payloadOff + vals.size * 2).order(ByteOrder.BIG_ENDIAN)
+    out.put('M'.toByte).put('M'.toByte).putShort(42.toShort).putInt(ifdOff)
+    out.putShort(ifdOff, n.toShort)
+    def entry(e: Int, tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      val off = ifdOff + 2 + e * 12
+      out.putShort(off, tag.toShort)
+      out.putShort(off + 2, typ.toShort)
+      out.putInt(off + 4, count)
+      // SHORT inline values live in the FIRST two bytes of the field
+      if (typ == 3) out.putShort(off + 8, value.toShort) else out.putInt(off + 8, value)
+    }
+    entry(0, 256, 3, 1, 3); entry(1, 257, 3, 1, 2); entry(2, 258, 3, 1, 16)
+    entry(3, 259, 3, 1, 1); entry(4, 273, 4, 1, payloadOff); entry(5, 277, 3, 1, 1)
+    entry(6, 278, 3, 1, 2); entry(7, 279, 4, 1, vals.size * 2)
+    out.putInt(ifdOff + 2 + n * 12, 0)
+    out.position(payloadOff)
+    vals.foreach(v => out.putShort(v.toShort))
+    val cells = GeoTiff.cells(out.array()).toSeq
+    assert(cells.map(_._3) == vals.map(_.toDouble))
+  }
+
   test("unsupported compression fails loudly") {
     val bad = stripTiff()
     // flip the Compression entry (259) value to 7 (JPEG) in place
