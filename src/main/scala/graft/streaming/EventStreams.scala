@@ -183,6 +183,87 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("purchase_id"), col("value"))
   }
 
+  // ---------------------------------------------- streaming near-dup LSH
+
+  case class StreamDoc(doc_id: Long, text: String)
+  case class BandVerdict(doc_id: Long, dup: Boolean)
+
+  /** Online MinHash-LSH near-dup detection — the streaming twin of
+    * `operators.Dedup.minHashDedup` for incoming crawl data: each doc's
+    * banded signature (IDENTICAL banding expression to the batch
+    * operator) claims its band buckets; a bucket's first claimant owns
+    * it, and any later doc hitting an owned bucket is flagged dup via
+    * that band. Emits one verdict PER (doc, band); the per-doc
+    * conjunction is [[nearDupSurvivors]], run per micro-batch (all of a
+    * doc's bands land in the same batch, so no second stateful op is
+    * needed — `foreachBatch` the conjunction).
+    *
+    * Within one batch a bucket's claimant is its MIN doc id, so a
+    * single-batch replay equals the batch operator exactly: batch
+    * `minHashDedup` keeps a doc iff it is the min of EVERY bucket it
+    * occupies, which is precisely "no band flags it dup" here
+    * (spec-asserted). Across batches the contract is first-seen-wins —
+    * the online semantics a crawl pipeline wants.
+    *
+    * State: one Long per DISTINCT band bucket ever seen — the LSH
+    * dictionary, the storage lower bound for GLOBAL online dedup. For an
+    * unbounded crawl that cannot hold the dictionary, switch the
+    * timeout to `EventTimeTimeout` with a watermark so idle buckets
+    * expire: dedup then weakens to "within the watermark horizon" — the
+    * same tradeoff `dropDuplicatesWithinWatermark` makes for exact ids.
+    */
+  def nearDupBandVerdicts(
+      docs: Dataset[StreamDoc],
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): Dataset[BandVerdict] = {
+    import docs.sparkSession.implicits._
+    val rpb = numHashes / bands
+    val banded = docs
+      .select(
+        col("doc_id"),
+        graft.functions.expressions.TextHashExpressions
+          .minHashSignature(col("text"), shingleSize, numHashes).as("__sig"))
+      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
+      // the batch operator's exact bucket key (Dedup.banded)
+      .withColumn(
+        "__bandhash",
+        xxhash64(slice(col("__sig"), col("__band") * rpb + 1, lit(rpb)), col("__band")))
+      .select(col("__band"), col("__bandhash"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    banded
+      .groupByKey { case (band, hash, _) => (band, hash) }
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long)], state: GroupState[Long]) =>
+          // a bucket claimed in ANY earlier batch stays claimed
+          // (first-seen-wins, regardless of id); within one batch the
+          // min id claims first → single-batch ≡ the batch operator
+          val ids = rows.map(_._3).toArray.sorted
+          val claimedBefore = state.exists
+          var batchMin = Long.MaxValue
+          val out = ids.iterator.map { id =>
+            val dup = claimedBefore || batchMin < id
+            if (id < batchMin) batchMin = id
+            BandVerdict(id, dup)
+          }.toVector
+          state.update(math.min(state.getOption.getOrElse(Long.MaxValue), batchMin))
+          out.iterator
+      }
+  }
+
+  /** Per-micro-batch conjunction over [[nearDupBandVerdicts]] output:
+    * a doc survives iff NO band flagged it (i.e. it owns every bucket it
+    * touches). Run inside `foreachBatch` — a plain batch aggregation,
+    * keeping the pipeline at ONE stateful operator.
+    */
+  def nearDupSurvivors(bandVerdicts: DataFrame): DataFrame =
+    bandVerdicts
+      .groupBy(col("doc_id"))
+      .agg(max(col("dup").cast("int")).as("__anyDup"))
+      .filter(col("__anyDup") === 0)
+      .select(col("doc_id"))
+
   /** Run the windowed aggregation as a real streaming query over a parquet
     * directory (memory sink) — used by the streaming spec; returns the
     * final in-memory table.

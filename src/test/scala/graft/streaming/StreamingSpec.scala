@@ -136,6 +136,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming near-dup LSH: single batch ≡ batch minHashDedup; cross-batch first-seen-wins") {
+    import spark.implicits._
+    // real corpus slice: 60 docs incl. planted near-dups
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 60)
+    val batchSurvivors = graft.operators.Dedup
+      .minHashDedup(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("neardup-stream").toString
+    val docsDs = corpus.as[(Long, String)]
+      .map { case (id, t) => EventStreams.StreamDoc(id, t) }
+    docsDs.repartition(1).write.parquet(s"$dir/a")
+    new java.io.File(s"$dir/a").listFiles().foreach(_.setLastModified(1000000L))
+    // batch 2: re-send doc 0's text under a NEW smaller-looking id bucket
+    // (id 1000) plus one genuinely novel doc — first-seen-wins must flag
+    // the re-send dup even though batch ids differ
+    val doc0Text = corpus.filter(col("doc_id") === 0).select("text").first().getString(0)
+    Seq(
+      EventStreams.StreamDoc(1000L, doc0Text),
+      EventStreams.StreamDoc(1001L, "utterly novel zebra quantum paragraph nothing shares these words at all " * 3))
+      .toDS().repartition(1).write.parquet(s"$dir/b")
+    new java.io.File(s"$dir/b").listFiles().foreach(_.setLastModified(2000000L))
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStreams.StreamDoc]].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .as[EventStreams.StreamDoc]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = EventStreams.nearDupBandVerdicts(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStreams.BandVerdict], id: Long) =>
+        val s = EventStreams.nearDupSurvivors(df.toDF())
+          .collect().map(_.getLong(0)).toSet
+        if (s.nonEmpty || df.count() > 0) perBatch.synchronized { perBatch(id) = s }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = perBatch.toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    assert(streamed.nonEmpty)
+    // batch 1 survivors ≡ the batch operator on the same corpus
+    assert(streamed.head == batchSurvivors,
+      s"single-batch mismatch: ${streamed.head.diff(batchSurvivors)} / ${batchSurvivors.diff(streamed.head)}")
+    // batch 2: the re-sent text is dup (bucket owned since batch 1), the
+    // novel doc survives
+    assert(streamed.last.contains(1001L) && !streamed.last.contains(1000L),
+      s"cross-batch survivors: ${streamed.last}")
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val raw = Tables.events(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("events-dedup")
