@@ -778,6 +778,27 @@ object SparkEntry {
   private def qt14HeavyHitters(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.heavyHitters(t(spark, dir, "documents"), "text", 0.0335)
 
+  /** URL canonicalization for crawl dedup: deterministic messy URLs are
+    * synthesized from doc fields (mixed-case scheme/host, default port,
+    * www, tracking params in every position, fragments), canonicalized
+    * by the codegen'd regexp chain, and grouped by registrable host.
+    * Oracle re-runs the identical steps in DuckDB RE2.
+    */
+  private def qt17UrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val url = concat(
+      lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM:443/Path/"),
+      col("source"), lit("/D"), id,
+      when(col("doc_id") % 3 === 0, concat(lit("/?utm_source=x&utm_campaign=y&id="), id))
+        .otherwise(concat(lit("?id="), id, lit("&fbclid=abc"))),
+      when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        functions.TextFunctions.urlCanonicalize(url).as("canon"),
+        functions.TextFunctions.urlHost(url).as("host"))
+  }
+
   /** Stratified sampling: exact ⌈20%·N_lang⌉ docs per language by the
     * deterministic residue-ring order — the auditable balanced-sample
     * primitive of a training-data pipeline (qt9 is the flat-rate gate
@@ -1350,6 +1371,7 @@ object SparkEntry {
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
     "qt15_bm25" -> (qt15Bm25 _),
     "qt16_stratified" -> (qt16Stratified _),
+    "qt17_url_canon" -> (qt17UrlCanon _),
     "q25_cube" -> (q25Cube _),
     "q26_bloom_semi" -> (q26BloomSemi _),
     "qp2_profile" -> (qp2Profile _)
@@ -2998,6 +3020,46 @@ object SparkEntry {
         |  FROM scored GROUP BY doc_id)
         |SELECT doc_id, score FROM summed
         |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20""".stripMargin,
+    // identical synthesis + normalization chain under RE2 ('g' flag =
+    // Spark's replace-all default; '\1' = Spark's '$1')
+    "qt17_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/Path/' ||
+        |    source || '/D' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '/?utm_source=x&utm_campaign=y&id=' || CAST(doc_id AS VARCHAR)
+        |      ELSE '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u
+        |), s2 AS (
+        |  SELECT doc_id, nofrag,
+        |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS head
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(lower(head), ':(80|443)$', ''),
+        |      '^(https?://)www\.', '\1') AS headc,
+        |    substr(nofrag, length(head) + 1) AS rest
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, headc,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(rest, '&(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |          '\?(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+        |        '\?(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*$', '', 'g'),
+        |      '/(\?|$)', '\1', 'g') AS restc
+        |  FROM s3)
+        |SELECT doc_id, headc || restc AS canon,
+        |  regexp_replace(
+        |    regexp_extract(lower(headc || restc), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1),
+        |    '^www\.', '') AS host
+        |FROM s4""".stripMargin,
     // same residue-ring pseudo-order as the engine: (id mod 99991)·7919
     // mod 99991 — pure integer arithmetic, identical in any engine
     "qt16_stratified" ->

@@ -215,4 +215,39 @@ object TextFunctions {
     when(cnt < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), cnt - n), i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
+
+  // ------------------------------------------------------ URL curation
+
+  /** Canonical URL for crawl dedup — the standard normalization chain a
+    * crawl pipeline keys page-level dedup on (dupes of the SAME page
+    * differ only in tracking params / fragment / case / default port):
+    * strip fragment; lowercase scheme+host (path stays case-sensitive);
+    * drop default ports :80/:443 and a leading `www.`; remove
+    * `utm_*`/`fbclid`/`gclid` tracking params in any position; drop the
+    * trailing slash. Pure codegen'd regexp chain — no UDF, replayable in
+    * SQL (the qt17 oracle runs the identical steps under RE2).
+    */
+  def urlCanonicalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val head = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = noFrag.substr(length(head) + 1, lit(1000000))
+    val headCanon = regexp_replace(
+      regexp_replace(lower(head), ":(80|443)$", ""),
+      "^(https?://)www\\.", "$1")
+    val track = "(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*"
+    val restCanon = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(rest, s"&$track", ""),
+          s"\\?$track&", "?"),
+        s"\\?$track$$", ""),
+      "/(\\?|$)", "$1")
+    concat(headCanon, restCanon)
+  }
+
+  /** Registrable host for grouping: lowercase, `www.`-stripped, no port. */
+  def urlHost(u: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(u), "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1),
+      "^www\\.", "")
 }

@@ -40,4 +40,30 @@ object Profiling {
     wide.selectExpr(
       s"stack(${cols.length}, $stackArgs) as (col_name, n_null, n_distinct, minv, maxv, avgv)")
   }
+
+  /** Quantile tier: p25/p50/p75/p99 per column in ONE scan via Spark's
+    * `approx_percentile` (Greenwald–Khanna sketch: fixed-size per-column
+    * state, merges map-side — the same plan shape as min/max/avg, no sort,
+    * no Expand). `accuracy` bounds the RANK error at 1/accuracy of N
+    * (10⁻⁴ at the default), so values land within that rank band of the
+    * exact order statistic — spec-asserted against exact `percentile`
+    * on real data. The exact companion (`percentile`) buffers each
+    * group's column and is the audit path, not the routine one.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String], accuracy: Int = 10000): DataFrame = {
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.99 -> "p99")
+    val aggs = cols.flatMap { c =>
+      ps.map { case (p, nm) =>
+        round(
+          expr(s"approx_percentile($c, $p, $accuracy)").cast("double"),
+          6).as(s"${c}__$nm")
+      }
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__p25, ${c}__p50, ${c}__p75, ${c}__p99")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stackArgs) as (col_name, p25, p50, p75, p99)")
+  }
 }

@@ -106,4 +106,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
     assert(!red.contains("a@b.co"))
   }
+
+  test("urlCanonicalize: tracking params, ports, www, fragments, case, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      // same page, four disguises → one canonical form
+      ("HTTPS://WWW.Site.COM:443/Page?utm_source=a&id=1#x", "https://site.com/Page?id=1"),
+      ("https://site.com/Page/?id=1&utm_campaign=b", "https://site.com/Page?id=1"),
+      ("https://site.com/Page?id=1&fbclid=zzz", "https://site.com/Page?id=1"),
+      ("http://www.site.com:80/Page?gclid=q&id=1", "http://site.com/Page?id=1"),
+      // ALL params are tracking → query gone entirely
+      ("https://a.com/x?utm_source=s", "https://a.com/x"),
+      // path case preserved; no query; trailing slash dropped
+      ("HTTP://A.COM/CaseSensitive/", "http://a.com/CaseSensitive"),
+      // schemeless input passes through the rest-chain only
+      ("nota url", "nota url"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.urlCanonicalize(col("u"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"got $g want $want") }
+    val hosts = Seq("HTTPS://WWW.Site.COM:443/p", "http://x.y.z/q?a=1")
+      .toDF("u").select(TextFunctions.urlHost(col("u"))).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("site.com", "x.y.z"))
+  }
 }

@@ -174,6 +174,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!approxPlan.contains("Expand") && exactPlan.contains("Expand"))
   }
 
+  test("profile quantile tier: sketch values within the rank-error band of exact, one scan") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val n = li.count().toDouble
+    val q = Profiling.quantiles(li, cols, accuracy = 10000)
+    val rows = q.collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val sorted = li.select(col(c).cast("double")).na.drop()
+        .collect().map(_.getDouble(0)).sorted
+      Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3, 0.99 -> 4).foreach { case (p, fld) =>
+        val got = rows(c).getDouble(fld)
+        // GK guarantee: the returned value's RANK is within n/accuracy of
+        // the target rank — check via the exact sorted array
+        val band = math.ceil(n / 10000).toInt + 1
+        val lo = sorted(math.max(0, (p * n).toInt - band))
+        val hi = sorted(math.min(sorted.length - 1, (p * n).toInt + band))
+        assert(got >= lo - 1e-6 && got <= hi + 1e-6,
+          s"$c p$p: $got outside rank band [$lo, $hi]")
+      }
+    }
+    // one scan, no Expand, no sort: same shape as the plain agg
+    val plan = Profiling.quantiles(li, cols).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand") && !plan.contains("Sort "), plan.take(400))
+  }
+
   test("simHash bucket-size guard: split output identical to unsplit on a degenerate corpus") {
     import spark.implicits._
     // 120 near-identical docs (hamming ≤ 3 of each other) all land in the
