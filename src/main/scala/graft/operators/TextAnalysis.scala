@@ -287,15 +287,20 @@ object TextAnalysis {
     val toks = docs
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
+    // LAZY localCheckpoint: the doc-length/df chain AND the 1-row total
+    // are separate consumers of tf — without sharing, the corpus would
+    // tokenize + shuffle twice (ReuseExchange does not dedupe the two
+    // differently-shaped subtrees; the qp1 lesson)
     val tf = toks
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(false)
     val wDoc = Window.partitionBy(col(idCol))
     val wTerm = Window.partitionBy(col("term"))
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
-    // total token count: map-side count over the token stream (no
-    // groupBy); docs with no tokens contribute 0, matching the replay
-    val totalLen = toks.agg(count(lit(1)).cast("double").as("__tot"))
+    // total token count = Σ tf off the shared checkpoint (map-side agg);
+    // docs with no tokens contribute 0, matching the replay
+    val totalLen = tf.agg(sum(col("tf")).as("__tot"))
     tf
       .withColumn("len", sum(col("tf")).over(wDoc))
       .filter(col("term").isin(queryTerms: _*))

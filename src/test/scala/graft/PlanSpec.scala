@@ -104,6 +104,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 4, "shared leaf not reused by all subplans")
   }
 
+  test("qt15: BM25 tokenizes the corpus ONCE and cuts top-k via TakeOrdered") {
+    val df = SparkEntry.queries("qt15_bm25")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort:\n" + p.take(400))
+    assert(!p.contains("CartesianProduct"))
+    // the tf frame is shared via a lazy checkpoint: documents.parquet
+    // must appear in at most ONE scan subtree (the corpus-count branch
+    // scans docs, the token branches read the checkpointed tf)
+    val scans = "documents\\.parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"corpus scanned $scans times — tf sharing regressed")
+  }
+
   test("qz1: zonal total rides in-plan (no eager count) and the spatial join is an equi-join") {
     val df = SparkEntry.queries("qz1_zonal")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
