@@ -68,6 +68,44 @@ object Multimodal {
   private def safeBytes(b: Array[Byte]): Array[Byte] =
     if (b == null) Array.emptyByteArray else b
 
+  /** Container-header metadata WITHOUT codecs: PNG (IHDR), GIF (logical
+    * screen descriptor), BMP (BITMAPINFOHEADER) and JPEG (SOFn marker
+    * scan) carry dimensions as plain header fields, so real image ingest
+    * gets true (format, width, height) even though PIXEL decode stays
+    * stubbed in this runtime. None = not a recognized image container.
+    */
+  def imageDims(bytes0: Array[Byte]): Option[(String, Int, Int)] = {
+    val b = safeBytes(bytes0)
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
+      Some(("bmp", le32(18), math.abs(le32(22)))) // negative height = top-down rows
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk JPEG markers to the first SOFn (C0–CF minus C4/C8/CC)
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(i) != 0xff) return None // desynced — not a valid stream
+        val m = u8(i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone marker
+        else i += 2 + be16(i + 2) // segment with length
+      }
+      None
+    } else None
+  }
+
+  /** Column form of [[imageDims]]: (format, width, height) struct or null. */
+  val imageDimsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (bytes: Array[Byte]) => imageDims(bytes) }
+
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>

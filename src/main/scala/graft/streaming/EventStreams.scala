@@ -252,6 +252,68 @@ object EventStreams {
       }
   }
 
+  case class StreamDocTs(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  /** Public: the streaming state encoder generates accessor code for it. */
+  case class BucketTtlState(claimed: Boolean, lastMs: Long)
+
+  /** TTL variant of [[nearDupBandVerdicts]] for unbounded crawls that
+    * cannot hold the full LSH dictionary: the input carries event time,
+    * and a band bucket idle for `ttlSec` past the watermark is REMOVED —
+    * dedup weakens from global to "within the TTL horizon" (a text
+    * re-sent after the horizon survives again), exactly the
+    * `dropDuplicatesWithinWatermark` tradeoff. Same banding, same
+    * first-seen-wins semantics inside the horizon.
+    */
+  def nearDupBandVerdictsTtl(
+      docs: Dataset[StreamDocTs],
+      ttlSec: Long,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): Dataset[BandVerdict] = {
+    import docs.sparkSession.implicits._
+    val rpb = numHashes / bands
+    val banded = docs
+      .withWatermark("ts", s"$ttlSec seconds")
+      .select(
+        col("doc_id"),
+        col("ts"),
+        graft.functions.expressions.TextHashExpressions
+          .minHashSignature(col("text"), shingleSize, numHashes).as("__sig"))
+      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn(
+        "__bandhash",
+        xxhash64(slice(col("__sig"), col("__band") * rpb + 1, lit(rpb)), col("__band")))
+      .select(col("__band"), col("__bandhash"), col("doc_id"), col("ts"))
+      .as[(Int, Long, Long, java.sql.Timestamp)]
+    banded
+      .groupByKey { case (band, hash, _, _) => (band, hash) }
+      .flatMapGroupsWithState[BucketTtlState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, java.sql.Timestamp)],
+         state: GroupState[BucketTtlState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toArray.sortBy(_._3)
+            val claimedBefore = state.getOption.exists(_.claimed)
+            var batchMin = Long.MaxValue
+            val out = batch.iterator.map { case (_, _, id, _) =>
+              val dup = claimedBefore || batchMin < id
+              if (id < batchMin) batchMin = id
+              BandVerdict(id, dup)
+            }.toVector
+            val lastMs = math.max(
+              state.getOption.map(_.lastMs).getOrElse(Long.MinValue),
+              batch.iterator.map(_._4.getTime).max)
+            state.update(BucketTtlState(claimed = true, lastMs))
+            // sub-watermark clamp: a late arrival can put lastMs + ttl
+            // below the watermark, and setTimeoutTimestamp throws there
+            state.setTimeoutTimestamp(
+              math.max(lastMs + ttlSec * 1000, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Per-micro-batch conjunction over [[nearDupBandVerdicts]] output:
     * a doc survives iff NO band flagged it (i.e. it owns every bucket it
     * touches). Run inside `foreachBatch` — a plain batch aggregation,

@@ -186,6 +186,53 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-batch survivors: ${streamed.last}")
   }
 
+  test("streaming near-dup TTL: dup within horizon, forgotten (survives) past it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(t: String) = Timestamp.valueOf(
+      s"2024-01-01 $t" + (if (t.count(_ == ':') == 1) ":00" else ""))
+    val text = "a highly distinctive crawl page body with many stable words " * 3
+    val dir = java.nio.file.Files.createTempDirectory("neardup-ttl").toString
+    def writeBatch(name: String, rows: Seq[EventStreams.StreamDocTs], mtime: Long): Unit = {
+      val sub = s"$dir/$name"
+      rows.toDS().repartition(1).write.parquet(sub)
+      new java.io.File(sub).listFiles().foreach(_.setLastModified(mtime))
+    }
+    // ttl 600 s: batch B re-sends within the horizon (dup), batch C
+    // pushes the watermark far past lastSeen + ttl (bucket expires),
+    // batch D re-sends after expiry (survives)
+    writeBatch("a", Seq(EventStreams.StreamDocTs(1L, text, ts("10:00"))), 1000000L)
+    writeBatch("b", Seq(EventStreams.StreamDocTs(2L, text, ts("10:05"))), 2000000L)
+    writeBatch("c", Seq(EventStreams.StreamDocTs(3L, "completely unrelated watermark pusher content zebra", ts("14:00"))), 3000000L)
+    // watermark computation lags one batch AND a key's timeout only
+    // fires in a batch where that key receives NO data — c2 is the batch
+    // where the 13:50 watermark takes effect and doc-1's idle buckets
+    // (timeout 10:15) actually expire
+    writeBatch("c2", Seq(EventStreams.StreamDocTs(5L, "another unrelated quokka pusher wholly different", ts("14:00:30"))), 4000000L)
+    writeBatch("d", Seq(EventStreams.StreamDocTs(4L, text, ts("14:01"))), 5000000L)
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStreams.StreamDocTs]].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+      .as[EventStreams.StreamDocTs]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = EventStreams.nearDupBandVerdictsTtl(stream, ttlSec = 600).writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStreams.BandVerdict], _: Long) =>
+        val s = EventStreams.nearDupSurvivors(df.toDF()).collect().map(_.getLong(0)).toSet
+        survivors.synchronized { if (s.nonEmpty) survivors += s }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val all = survivors.reduceOption(_ ++ _).getOrElse(Set.empty)
+    assert(all.contains(1L), s"first sighting must survive: $all")
+    assert(!all.contains(2L), s"re-send inside the TTL horizon must be flagged: $all")
+    assert(all.contains(4L), s"re-send AFTER bucket expiry must survive (weakened contract): $all")
+    assert(all.contains(3L))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val raw = Tables.events(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("events-dedup")
@@ -268,5 +315,30 @@ class StreamingSpec extends AnyFunSuite {
     val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
     val frames = graft.multimodal.Multimodal.sampleFrames(media, everyK = 2, frameBytes = 64)
     assert(frames.count() >= media.count())
+  }
+
+  test("multimodal: imageDims reads PNG/GIF/BMP/JPEG headers without a codec") {
+    import graft.multimodal.Multimodal.imageDims
+    // PNG: signature + IHDR length/type + 320×200 big-endian
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 1, 0x40, 0, 0, 0, 0xC8, 8, 6, 0, 0, 0).map(_.toByte)
+    assert(imageDims(png).contains(("png", 320, 200)))
+    // GIF89a 17×9 little-endian
+    val gif = "GIF89a".getBytes("ASCII") ++ Array[Byte](17, 0, 9, 0)
+    assert(imageDims(gif).contains(("gif", 17, 9)))
+    // BMP with negative (top-down) height −33, width 12
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 12
+    bmp(22) = (-33 & 0xff).toByte; bmp(23) = 0xff.toByte; bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte
+    assert(imageDims(bmp).contains(("bmp", 12, 33)))
+    // JPEG: SOI, APP0 (skipped via its length), SOF0 with height 7, width 5
+    val jpg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0, 4, 0, 0, // APP0, length 4 (2 payload bytes)
+      0xff, 0xc0, 0, 11, 8, 0, 7, 0, 5, 3, 0, 0, 0).map(_.toByte)
+    assert(imageDims(jpg).contains(("jpeg", 5, 7)))
+    // non-image bytes and nulls are None, never a throw
+    assert(imageDims("plain text".getBytes).isEmpty && imageDims(null).isEmpty)
   }
 }
