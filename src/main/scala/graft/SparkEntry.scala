@@ -1197,6 +1197,37 @@ object SparkEntry {
     operators.Spatial.zonalStats(cells, polys)
   }
 
+  /** S11 mega-raster path — the SAME contract as qz3 but the raster is
+    * written MULTI-STRIP (8 rows per strip, each strip independently
+    * deflated) and scanned by [[sources.GeoTiff.readParallel]]: ranged
+    * header parse + one task per strip byte range. Gates the fan-out
+    * path the single-huge-raster scenario needs.
+    */
+  private def qz4RasterParallel(spark: SparkSession, dir: String): DataFrame = {
+    val w = 80; val h = 40
+    val vals = Array.tabulate(w * h) { i =>
+      val c = i % w; val r = i / w
+      (((c * 11 + r * 7) % 50) / 10.0).toFloat
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qz4")
+    sources.GeoTiff.write(
+      tmp.resolve("raster.tif").toString, w, h, vals, 1.0, 1.0, 0.0, h.toDouble,
+      deflate = true, rowsPerStrip = 8)
+    val cells = sources.GeoTiff
+      .readParallel(spark, tmp.toString + "/*", globFilter = Some("*.tif"))
+      .select("x", "y", "value")
+    val polys = syntheticAreas(spark, dir).select(
+      col("area_id").as("zone_id"),
+      array(
+        array(
+          array(col("rx1"), col("ry1")),
+          array(col("rx2"), col("ry1")),
+          array(col("rx2"), col("ry2")),
+          array(col("rx1"), col("ry2")),
+          array(col("rx1"), col("ry1")))).as("rings"))
+    operators.Spatial.zonalStats(cells, polys)
+  }
+
   // ------------------------------------------------- routing (G6/G7/G8-10)
   /** G6 — many-to-many route matrix via the custom Catalyst operator
     * (RouteMatrixRelation → RouteMatrixExec). DuckDB oracle: hop-bounded
@@ -1345,6 +1376,7 @@ object SparkEntry {
     "qz1_zonal" -> (qz1Zonal _),
     "qz2_raster_zonal" -> (qz2RasterZonal _),
     "qz3_raster_deflate" -> (qz3RasterDeflate _),
+    "qz4_raster_parallel" -> (qz4RasterParallel _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -1507,7 +1539,34 @@ object SparkEntry {
        |SELECT way_id, score, unroutablePairs, impactedPairs, avgTimeNonZero FROM scored""".stripMargin
   }
 
+  /** Shared by qz3 (binaryFile read) and qz4 (segment-parallel read):
+    * identical raster, identical zones — the SCAN STRATEGY must be
+    * invisible to the result.
+    */
+  private val qzDeflateGridSql: String =
+    """WITH cols AS (SELECT unnest(generate_series(0, 79)) AS c),
+      |rows_ AS (SELECT unnest(generate_series(0, 39)) AS r),
+      |cells AS (
+      |  SELECT c + 0.5 AS x, 40 - (r + 0.5) AS y,
+      |    CAST(CAST(CAST((c*11 + r*7) % 50 AS DOUBLE) / 10.0 AS REAL) AS DOUBLE) AS value
+      |  FROM cols, rows_),
+      |zones AS (
+      |  SELECT n_nationkey AS zone_id,
+      |    CAST(n_nationkey % 10 AS DOUBLE) AS rx1,
+      |    CAST((n_nationkey % 10) + 2 + (n_nationkey % 3) AS DOUBLE) AS rx2,
+      |    (n_nationkey % 11) - 0.2 AS ry1,
+      |    (n_nationkey % 11) + 1.2 + (n_nationkey % 2) AS ry2
+      |  FROM nation)
+      |SELECT zone_id, count(*) AS n_cells,
+      |  round(avg(value), 4) AS mean_value,
+      |  min(value) AS min_value, max(value) AS max_value,
+      |  round(count(*) * 100.0 / (SELECT count(*) FROM cells), 4) AS percent
+      |FROM cells JOIN zones
+      |  ON x > rx1 AND x < rx2 AND y > ry1 AND y < ry2
+      |GROUP BY zone_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "qz4_raster_parallel" -> qzDeflateGridSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -2026,27 +2085,7 @@ object SparkEntry {
         |GROUP BY zone_id""".stripMargin,
     // identical contract to qz2 (value through REAL), different grid +
     // value formula; compression must be invisible to the result
-    "qz3_raster_deflate" ->
-      """WITH cols AS (SELECT unnest(generate_series(0, 79)) AS c),
-        |rows_ AS (SELECT unnest(generate_series(0, 39)) AS r),
-        |cells AS (
-        |  SELECT c + 0.5 AS x, 40 - (r + 0.5) AS y,
-        |    CAST(CAST(CAST((c*11 + r*7) % 50 AS DOUBLE) / 10.0 AS REAL) AS DOUBLE) AS value
-        |  FROM cols, rows_),
-        |zones AS (
-        |  SELECT n_nationkey AS zone_id,
-        |    CAST(n_nationkey % 10 AS DOUBLE) AS rx1,
-        |    CAST((n_nationkey % 10) + 2 + (n_nationkey % 3) AS DOUBLE) AS rx2,
-        |    (n_nationkey % 11) - 0.2 AS ry1,
-        |    (n_nationkey % 11) + 1.2 + (n_nationkey % 2) AS ry2
-        |  FROM nation)
-        |SELECT zone_id, count(*) AS n_cells,
-        |  round(avg(value), 4) AS mean_value,
-        |  min(value) AS min_value, max(value) AS max_value,
-        |  round(count(*) * 100.0 / (SELECT count(*) FROM cells), 4) AS percent
-        |FROM cells JOIN zones
-        |  ON x > rx1 AND x < rx2 AND y > ry1 AND y < ry2
-        |GROUP BY zone_id""".stripMargin,
+    "qz3_raster_deflate" -> qzDeflateGridSql,
     "qsp1_overlay" ->
       """WITH ways AS (
         |  SELECT s_suppkey AS way_id,

@@ -447,25 +447,32 @@ object GeoTiff {
       ox: Double,
       oy: Double,
       nodata: Option[Float] = None,
-      deflate: Boolean = false): Unit = {
+      deflate: Boolean = false,
+      rowsPerStrip: Int = 0): Unit = {
     require(values.length == width * height, "values must be width*height row-major")
-    val rawPayload = {
-      val b = ByteBuffer.allocate(values.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-      values.foreach(b.putFloat)
-      b.array()
+    // rowsPerStrip <= 0 -> one whole-image strip; a positive value splits
+    // the payload into independently-compressed strips, the layout
+    // `readParallel` fans out per segment
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    val nStrips = (height + rps - 1) / rps
+    def zip(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length + 64)
+      val m = d.deflate(buf)
+      require(d.finished(), "deflate grew the strip beyond input + 64B; write uncompressed")
+      d.end()
+      java.util.Arrays.copyOf(buf, m)
     }
-    val payload =
-      if (!deflate) rawPayload
-      else {
-        val d = new java.util.zip.Deflater()
-        d.setInput(rawPayload); d.finish()
-        val buf = new Array[Byte](rawPayload.length + 64)
-        val m = d.deflate(buf)
-        require(d.finished(), "deflate grew the raster beyond input + 64B; write uncompressed")
-        d.end()
-        java.util.Arrays.copyOf(buf, m)
-      }
-    // tags: 256 W, 257 H, 258 bits, 259 comp, 273 strip off, 277 spp,
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val r0 = s * rps
+      val rows = math.min(rps, height - r0)
+      val b = ByteBuffer.allocate(rows * width * 4).order(ByteOrder.LITTLE_ENDIAN)
+      var i = r0 * width
+      while (i < (r0 + rows) * width) { b.putFloat(values(i)); i += 1 }
+      if (deflate) zip(b.array()) else b.array()
+    }
+    // tags: 256 W, 257 H, 258 bits, 259 comp, 273 strip offs, 277 spp,
     // 278 rows/strip, 279 strip bytes, 339 fmt, 33550 scale, 33922 tiepoint
     val ndAscii = nodata.map(v => (if (v == v.toLong) v.toLong.toString else v.toString) + "\u0000")
     val n = 11 + (if (ndAscii.isDefined) 1 else 0)
@@ -474,8 +481,14 @@ object GeoTiff {
     val scaleOff = cursor; cursor += 24
     val tieOff = cursor; cursor += 48
     val ndOff = ndAscii.map { s => val o = cursor; cursor += s.length; o }
+    // multi-strip: the offset/count entries overflow 4 inline bytes and
+    // point to external LONG arrays
+    val offsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 4; o }
+    val cntsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 4; o }
     val payloadOff = cursor
-    val out = ByteBuffer.allocate(payloadOff + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    val stripOffs = strips.scanLeft(payloadOff)(_ + _.length).init
+    val total = strips.iterator.map(_.length).sum
+    val out = ByteBuffer.allocate(payloadOff + total).order(ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
     var e = 0
     def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
@@ -491,10 +504,10 @@ object GeoTiff {
     entry(257, 3, 1, height)
     entry(258, 3, 1, 32)
     entry(259, 3, 1, if (deflate) 8 else 1)
-    entry(273, 4, 1, payloadOff)
+    entry(273, 4, nStrips, if (nStrips == 1) payloadOff else offsArrOff)
     entry(277, 3, 1, 1)
-    entry(278, 3, 1, height)
-    entry(279, 4, 1, payload.length)
+    entry(278, 3, 1, rps)
+    entry(279, 4, nStrips, if (nStrips == 1) strips.head.length else cntsArrOff)
     entry(339, 3, 1, 3)
     entry(33550, 12, 3, scaleOff)
     entry(33922, 12, 6, tieOff)
@@ -508,8 +521,14 @@ object GeoTiff {
       var i = 0
       while (i < b.length) { out.put(ndOff.get + i, b(i)); i += 1 }
     }
+    if (nStrips > 1) {
+      strips.indices.foreach { s =>
+        out.putInt(offsArrOff + s * 4, stripOffs(s))
+        out.putInt(cntsArrOff + s * 4, strips(s).length)
+      }
+    }
     out.position(payloadOff)
-    out.put(payload)
+    strips.foreach(out.put)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
   }
 

@@ -392,6 +392,23 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(err.getMessage.contains("SampleFormat"))
   }
 
+  test("writer multi-strip mode: per-strip deflate round-trips and fans out in readParallel") {
+    val w = 10; val h = 23 // 23 rows / 5 per strip = 5 strips, last ragged
+    val vals = Array.tabulate(w * h)(i => ((i * 13 % 97) / 3.0).toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("gtiffms")
+    GeoTiff.write(dir.resolve("ms.tif").toString, w, h, vals, 1.0, 1.0, 0.0, h.toDouble,
+      deflate = true, rowsPerStrip = 5)
+    val bytes = java.nio.file.Files.readAllBytes(dir.resolve("ms.tif"))
+    val hdr = GeoTiff.parseHeader(bytes)
+    assert(hdr.offsets.length == 5 && hdr.rowsPerStrip == 5 && hdr.compression == 8)
+    val got = GeoTiff.cells(bytes).toSeq
+    assert(got.length == w * h)
+    assert(got.map(_._3) == vals.toSeq.map(_.toDouble))
+    val fanned = GeoTiff.readParallel(spark, dir.resolve("ms.tif").toString)
+    assert(fanned.count() == w * h)
+    assert(fanned.rdd.getNumPartitions > 1, "strips did not fan out")
+  }
+
   test("horizontal predictor (317=2) undoes row differencing for uint8 and int16") {
     // uint8 4×2: rows (10,13,12,20) and (5,5,6,4) stored as row diffs
     val diffs8 = Array[Int](10, 3, 0xFF, 8, 5, 0, 1, 0xFE).map(_.toByte)
