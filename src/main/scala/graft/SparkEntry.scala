@@ -778,6 +778,41 @@ object SparkEntry {
   private def qt14HeavyHitters(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.heavyHitters(t(spark, dir, "documents"), "text", 0.0335)
 
+  /** Dedup AUDIT report — per-source duplicate rate (docs, distinct
+    * normalized texts, dup share): the QA table a curation run publishes
+    * before/after dedup. Gate compares on the normalized text itself so
+    * both engines count identically; the 100 TB path swaps in the 64-bit
+    * [[functions.TextFunctions.fingerprint]] (counts equal modulo 2⁻⁶⁴
+    * collisions) so the distinct state is 8 bytes/doc, not the text.
+    */
+  private def qd10DupReport(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("n_distinct"),
+        round(
+          lit(1.0) - countDistinct(regexp_replace(lower(trim(col("text"))), "\\s+", " ")) /
+            count(lit(1)).cast("double"),
+          6).as("dup_rate"))
+
+  /** Sequence-length histogram (32-token buckets) — the distribution
+    * that drives packing/batching config (qt10's inputs). One tokenize
+    * pass, one hash-agg shuffle bounded by distinct buckets.
+    */
+  private def qt18LenHist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        (floor(functions.TextFunctions.tokenCount(col("text")).cast("long") / 32) * 32)
+          .as("bucket_lo"),
+        functions.TextFunctions.tokenCount(col("text")).cast("long").as("__n"))
+      .groupBy(col("bucket_lo"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"))
+
   /** URL canonicalization for crawl dedup: deterministic messy URLs are
     * synthesized from doc fields (mixed-case scheme/host, default port,
     * www, tracking params in every position, fragments), canonicalized
@@ -1404,6 +1439,8 @@ object SparkEntry {
     "qt15_bm25" -> (qt15Bm25 _),
     "qt16_stratified" -> (qt16Stratified _),
     "qt17_url_canon" -> (qt17UrlCanon _),
+    "qd10_dup_report" -> (qd10DupReport _),
+    "qt18_len_hist" -> (qt18LenHist _),
     "q25_cube" -> (q25Cube _),
     "q26_bloom_semi" -> (q26BloomSemi _),
     "qp2_profile" -> (qp2Profile _)
@@ -3059,6 +3096,20 @@ object SparkEntry {
         |  FROM scored GROUP BY doc_id)
         |SELECT doc_id, score FROM summed
         |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20""".stripMargin,
+    "qd10_dup_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct,
+        |  round(1.0 - count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
+    "qt18_len_hist" ->
+      """WITH n AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents)
+        |SELECT (nt // 32) * 32 AS bucket_lo, count(*) AS n_docs,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens
+        |FROM n GROUP BY 1""".stripMargin,
     // identical synthesis + normalization chain under RE2 ('g' flag =
     // Spark's replace-all default; '\1' = Spark's '$1')
     "qt17_url_canon" ->
