@@ -751,6 +751,22 @@ object SparkEntry {
     Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100, bits = 8, nProbe = 1)
   }
 
+  /** Exact k-NN JOIN (every query row gets its top-10 corpus neighbours by
+    * cosine, ties by ascending id) — the multi-query counterpart of qs1.
+    * The plan is the scale-safe one: queries broadcast, the corpus scans
+    * once, and a BOUNDED k-entry Aggregator reduces candidates map-side so
+    * the only exchange carries ≤ k rows per (query, partition) — never the
+    * full |corpus|×|queries| candidate set (PlanSpec-asserted: no Window,
+    * ObjectHashAggregate partial/final pair).
+    */
+  private def qs5KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val embs = t(spark, dir, "embeddings")
+    val queries = embs
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Similarity.knnJoin(embs, queries, "vec_id", "embedding", "query_id", "qv", 10)
+  }
+
   /** Real WordPiece inference (greedy longest-prefix-match over the fixed
     * `TextFunctions.wordpieceVocab`) — upgrades the qt6 regex stand-in to
     * the actual subword algorithm; per-doc piece count.
@@ -1433,6 +1449,7 @@ object SparkEntry {
     "qe4_interval_join" -> (qe4IntervalJoin _),
     "qe5_json_props" -> (qe5JsonProps _),
     "qs4_ivf" -> (qs4IvfTopK _),
+    "qs5_knn_join" -> (qs5KnnJoin _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "qt13_bpe_train" -> (qt13BpeTrain _),
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
@@ -2261,6 +2278,31 @@ object SparkEntry {
          |SELECT vec_id, round(d, 6) AS dot
          |FROM s ORDER BY dot DESC, vec_id LIMIT 100""".stripMargin
     },
+    // Exact k-NN join replay: same per-element double-cast cosine as the
+    // qs1 oracle, ranked per query with the identical (sim DESC, vec_id)
+    // tie order the bounded aggregator uses.
+    "qs5_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS na,
+        |    sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS nb
+        |  FROM embeddings c
+        |  CROSS JOIN q
+        |  CROSS JOIN generate_series(1, 64) AS t(i)
+        |  GROUP BY q.query_id, c.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+        |               ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+        |  FROM s),
+        |rk AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM r)
+        |SELECT query_id, vec_id, sim, rank FROM rk WHERE rank <= 10""".stripMargin,
     // DemoNetwork.grid(8) rebuilt in SQL (same ruc formula, same 0.99888 km
     // factor, same append-order way indexing via row_number over (i,j,kind)),
     // then hop-bounded Bellman-Ford as a recursive CTE: each iteration

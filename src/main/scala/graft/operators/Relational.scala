@@ -56,7 +56,15 @@ object Relational {
     * collect of P longs), then sort only the one range holding rank k.
     * O(n/P) memory per task — survives 1000 executors reading 100 TB.
     */
-  def kthSmallest(df: DataFrame, valueCol: String, k: Long, numRanges: Int = 32): Double = {
+  def kthSmallest(df: DataFrame, valueCol: String, k: Long, numRanges: Int = 32): Double =
+    kthSmallestByRank(df, valueCol, _ => k, numRanges)
+
+  /** [[kthSmallest]] with the rank given as a FUNCTION of n: the total
+    * count falls out of the per-range count pass for free (n = Σ range
+    * counts), so callers that need a rank derived from n (percentile
+    * thresholds) don't pay a separate count() job over the input.
+    */
+  def kthSmallestByRank(df: DataFrame, valueCol: String, rankOf: Long => Long, numRanges: Int = 32): Double = {
     val vals = df
       .select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
@@ -71,6 +79,7 @@ object Relational {
         .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
         .collect()
         .sortBy(_._1)
+      val k = rankOf(counts.map(_._2).sum)
       var remaining = k
       var target = -1
       for ((idx, c) <- counts if target < 0) {
@@ -82,23 +91,29 @@ object Relational {
       require(
         offset <= Int.MaxValue,
         s"range partition holds > 2^31 values ($offset); raise numRanges")
-      vals
-        .mapPartitionsWithIndex { case (i, it) =>
-          if (i == tgt) {
+      // select pass scheduled on ONLY the target range partition (runJob
+      // with an explicit partition list) — first()/take(1) would probe
+      // empty partitions in escalating batches, costing extra jobs
+      vals.sparkContext
+        .runJob(
+          vals,
+          (it: Iterator[Double]) => {
             val arr = it.toArray
             java.util.Arrays.sort(arr)
-            Iterator(arr(offset.toInt))
-          } else Iterator.empty
-        }
-        .first()
+            arr(offset.toInt)
+          },
+          Seq(tgt))
+        .head
     } finally vals.unpersist(blocking = false)
   }
 
-  /** W1 filter form: keep rows whose `valueCol >= percentile threshold`. */
+  /** W1 filter form: keep rows whose `valueCol >= percentile threshold`.
+    * Two jobs total: the nearest-rank `round(p/100·(n−1))` needs n, which
+    * rides along in [[kthSmallestByRank]]'s per-range count pass instead
+    * of a third count() job over the input.
+    */
   def percentileFilter(df: DataFrame, valueCol: String, percentile: Double): DataFrame = {
-    val n = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol))).count()
-    val rank = math.round(percentile / 100.0 * (n - 1))
-    val threshold = kthSmallest(df, valueCol, rank)
+    val threshold = kthSmallestByRank(df, valueCol, n => math.round(percentile / 100.0 * (n - 1)))
     df.filter(col(valueCol) >= lit(threshold))
   }
 

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *    appears; Spark's TakeOrderedAndProject handles the global k). This is
   *    the correctness baseline.
   *  - `knnJoin`: exact k-NN for EVERY row of a (small, broadcastable) query
-  *    set against the corpus — broadcast-nested-loop + per-query window
-  *    top-k. At 100 TB the corpus side streams; only queries broadcast.
+  *    set against the corpus — broadcast-nested-loop + a BOUNDED per-query
+  *    top-k Aggregator with map-side partials. At 100 TB the corpus side
+  *    streams; only queries broadcast and only k rows per (query,
+  *    partition) ever reach the shuffle.
   *  - `ivfTopK`: IVF-style scale path — corpus pre-clustered by nearest of
   *    `nCentroids` seeded pseudo-centroids (deterministic hyperplane-LSH
   *    cells); the query probes only its own cell ± nProbe neighbors,
@@ -48,19 +50,45 @@ object Similarity {
   }
 
   /** Exact k-NN join: for each row in `queries` (small side), the top-k
-    * corpus rows by cosine. Queries are broadcast; corpus is never
-    * shuffled — the window partitions by query id AFTER the similarity
-    * projection, so the only shuffle is on (query_id, sim) pairs, already
-    * reduced to one row per (query, corpus) candidate.
+    * corpus rows by cosine, tie-broken by ascending corpus id. Queries are
+    * broadcast (nested-loop, never shuffled); the corpus is scanned once
+    * and each partition reduces its candidates into a BOUNDED k-entry
+    * buffer via a typed Aggregator BEFORE any exchange (ObjectHashAggregate
+    * partial → shuffle of ≤ k rows per (query, partition) → final merge).
+    * Exchanged volume is O(|queries| · partitions · k), independent of
+    * corpus size — the window-over-crossJoin alternative would exchange
+    * every |corpus|·|queries| candidate row just to discard all but k.
+    *
+    * Similarities are rounded to 6 dp BEFORE ranking so the k-cut is
+    * FP-stable (same contract as [[bruteForceTopK]]). `idCol` must be an
+    * integral (long-castable) column.
     */
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), col(qVecCol)), 6))
+      .groupBy(col(qIdCol))
+      .agg(topk(col("sim"), col(idCol).cast("long")).as("__topk"))
+      .select(col(qIdCol), posexplode(col("__topk")))
+      .select(
+        col(qIdCol),
+        col("col._2").as(idCol),
+        col("col._1").as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Reference twin of [[knnJoin]] kept for the equivalence spec: the
+    * naive window-over-crossJoin plan. Correct, but exchanges the FULL
+    * candidate set — do not use beyond test scale.
+    */
+  private[operators] def knnJoinWindow(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", VectorFunctions.cosine(col(vecCol), col(qVecCol)))
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), col(qVecCol)), 6))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("sim"), col(idCol))
     joined
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("sim"), col("rank"))
+      .select(col(qIdCol), col(idCol).cast("long").as(idCol), col("sim"), col("rank").cast("long").as("rank"))
   }
 
   /** Distributed Lloyd's k-means over an embedding column: centroids stay
@@ -249,4 +277,37 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+}
+
+/** Bounded top-k by (score desc, id asc) as a typed Aggregator. The buffer
+  * never exceeds k entries, so the partial→final shuffle carries at most
+  * k rows per (group, partition) regardless of input cardinality — this is
+  * what makes [[Similarity.knnJoin]] scale-safe. Buffer is kept sorted
+  * best-first; the common full-buffer-and-worse-than-last case is a single
+  * comparison with no allocation.
+  */
+final class TopKByScore(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.length >= k && !better(in, buf.last)) buf // hot path: no alloc
+    else {
+      val i = buf.indexWhere(e => better(in, e))
+      val grown = if (i < 0) buf :+ in else (buf.take(i) :+ in) ++ buf.drop(i)
+      if (grown.length > k) grown.take(k) else grown
+    }
+  }
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = insert(buf, in)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = b.foldLeft(a)(insert)
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

@@ -57,6 +57,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort ["), "global sort materialized for a top-k")
   }
 
+  test("qs5: knn join pre-reduces candidates map-side — no window over the full candidate set") {
+    val p = plan("qs5_knn_join")
+    // a Window node would mean every |corpus|x|queries| candidate row is
+    // exchanged before the k-cut; the bounded aggregator must plan as an
+    // ObjectHashAggregate partial/final pair instead
+    assert(!p.contains("Window"), "knn join fell back to window-over-crossJoin:\n" + p.take(1200))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    // queries side broadcasts; corpus is never shuffled for the join
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
   test("qsp2: packed argmin aggregates with hash aggregation, not sort aggregation") {
     val p = plan("qsp2_nearest")
     assert(p.contains("HashAggregate"), p.take(800))

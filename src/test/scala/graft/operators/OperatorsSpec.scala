@@ -101,6 +101,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Relational.kthSmallest(df, "v", 999) == 999.0)
   }
 
+  test("percentileFilter adds no job over bare kthSmallest (n folds into the count pass)") {
+    import spark.implicits._
+    val df = (0 to 100 by 10).map(_.toDouble).toDF("v")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        body
+        // listener delivery is async; poll until quiescent
+        val deadline = System.nanoTime() + 5_000_000_000L
+        var last = -1
+        while (System.nanoTime() < deadline && jobs.get() != last) {
+          last = jobs.get(); Thread.sleep(100)
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val bare = countJobs(Relational.kthSmallest(df, "v", 8))
+    // threshold resolution only (the final filter is lazy)
+    val filt = countJobs(Relational.percentileFilter(df, "v", 80.0))
+    assert(filt == bare, s"percentileFilter ran $filt jobs vs kthSmallest's $bare — a separate count() leaked back in")
+    // absolute ceiling: range-bounds sampling (≤2 passes) + per-range count
+    // + single-partition select
+    assert(filt <= 4, s"threshold resolution grew to $filt jobs")
+  }
+
   test("A1: scale-score NaN-filtered max (utils.js addScaledScore)") {
     import spark.implicits._
     val df = Seq(20.0, 50.0, Double.NaN).toDF("value")
@@ -399,10 +430,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10, bits = 6, nProbe = 2).collect()
     assert(ivf.nonEmpty && ivf.length <= 10)
-    val knn = Similarity.knnJoin(
-      embs, embs.limit(3).select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-      "vec_id", "embedding", "q_id", "q_vec", 5).collect()
-    assert(knn.length == 15) // 3 queries × 5
+    val queries = embs.limit(3).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val knn = Similarity.knnJoin(embs, queries, "vec_id", "embedding", "q_id", "q_vec", 5)
+    val got = knn.collect()
+    assert(got.length == 15) // 3 queries × 5
+    // bounded-aggregator plan is row-identical to the naive window twin
+    val naive = Similarity.knnJoinWindow(embs, queries, "vec_id", "embedding", "q_id", "q_vec", 5)
+      .collect()
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    assert(got.map(key).sortBy(t => (t._1, t._4)).toSeq == naive.map(key).sortBy(t => (t._1, t._4)).toSeq)
+  }
+
+  test("knnJoin: buffer stays bounded and ranks are dense per query") {
+    val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.limit(2).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // k larger than any single partition's candidate count still yields exact global top-k
+    val knn = Similarity.knnJoin(embs.repartition(8), queries, "vec_id", "embedding", "q_id", "q_vec", 40)
+    val rows = knn.collect()
+    assert(rows.length == 80)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 40L)) // dense ranks
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }) // monotone by rank
+    }
   }
 
   test("stratifiedSample: exact ceil(frac·N_g) per stratum, deterministic, a subset") {
