@@ -1279,6 +1279,123 @@ object SparkEntry {
     operators.Spatial.zonalStats(cells, polys)
   }
 
+  /** S11 JPEG — Compression=7 ingest through the native baseline-DCT
+    * codec ([[sources.Jpeg]]): a block-constant 8-bit raster is written in
+    * the common libtiff shape (JPEGTables tag + abbreviated per-strip
+    * streams) and read back cell-exact. Block-constant content survives
+    * JPEG exactly (DC-only blocks under the uniform quant table — see
+    * [[sources.Jpeg]]), so the oracle replays every pixel from
+    * generate_series while the full huffman/DCT/marker machinery runs.
+    */
+  private def qz5RasterJpeg(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64; val h = 48
+    val px = Array.tabulate(w * h) { i =>
+      val bc = (i % w) / 8; val br = (i / w) / 8
+      (bc * 5 + br * 11) % 256
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qz5")
+    sources.GeoTiff.writeJpeg(
+      tmp.resolve("raster.tif").toString, w, h, px, 1.0, 1.0, 0.0, h.toDouble,
+      rowsPerStrip = 16)
+    sources.GeoTiff.read(spark, tmp.toString, globFilter = Some("*.tif"))
+      .select(col("x"), col("y"), col("value"))
+  }
+
+  // ------------------------------------------- file codecs (S1/S2/S3/S9/S10)
+  /** S1 end-to-end — native shapefile ingest under the oracle gate: a
+    * deterministic .shp/.dbf/.prj triple is materialized through
+    * [[sources.Shapefile.writePoints]] and scanned back by
+    * [[sources.Shapefile.read]] (binaryFile → per-basename sidecar zip →
+    * dBase attribute parse → GEOGCS .prj passthrough). All fixture values
+    * are binary-exact doubles so DuckDB regenerates them bit-identically
+    * from generate_series. Closes the one §2 row family whose correctness
+    * previously rested on specs alone (`base-network.sh:98-99` semantics).
+    */
+  private def qf1ShapefileScan(spark: SparkSession, dir: String): DataFrame = {
+    val n = 40
+    val pts = Seq.tabulate(n)(i => (i * 1.5 + 0.25, (i % 7) * 2.0 - 3.5))
+    val attrs = Seq.tabulate(n) { i =>
+      Map(
+        "NAME" -> s"F$i",
+        "VAL" -> String.format(java.util.Locale.ROOT, "%6.2f", Double.box((i % 20) * 0.25)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qf1")
+    sources.Shapefile.writePoints(
+      tmp.resolve("pts.shp").toString, pts, attrs, Seq(("NAME", 8), ("VAL", 6)))
+    java.nio.file.Files.writeString(
+      tmp.resolve("pts.prj"),
+      """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]""")
+    sources.Shapefile.read(spark, tmp.toString + "/*")
+      .select(
+        col("record_no"),
+        expr("parts[0][0][0]").as("x"),
+        expr("parts[0][0][1]").as("y"),
+        col("attrs")("NAME").as("name"),
+        col("attrs")("VAL").cast("double").as("val"))
+  }
+
+  /** S2+S3 round-trip — GeoJSON FeatureCollection sink then scan: a
+    * synthetic point layer serializes through [[sources.GeoJson.write]]
+    * (single-file FeatureCollection egress), re-ingests via
+    * [[sources.GeoJson.read]] + `lineCoords` (Jackson executor-side parse,
+    * properties as map<string,string>), and lands as scalars. Geometry
+    * coordinates and property values use binary-exact doubles, so the
+    * JSON text round-trip (shortest-repr format → parse) is lossless and
+    * DuckDB replays the layer from generate_series.
+    */
+  private def qf2GeoJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark
+      .range(30)
+      .select(
+        concat(
+          lit("""{"type":"Point","coordinates":["""),
+          (col("id") * 0.5).cast("string"),
+          lit(","),
+          ((col("id") % 5) * 1.0).cast("string"),
+          lit("]}")).as("geom"),
+        concat(lit("g"), col("id")).as("name"),
+        (col("id") * 0.25).as("score"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qf2")
+    val out = tmp.resolve("layer.geojson").toString
+    sources.GeoJson.write(src, "geom", out)
+    sources.GeoJson
+      .lineCoords(sources.GeoJson.read(spark, out + "/part-*"))
+      .select(
+        col("geom_type"),
+        col("properties")("name").as("name"),
+        col("properties")("score").cast("double").as("score"),
+        expr("coords[0][0]").as("x"),
+        expr("coords[0][1]").as("y"))
+  }
+
+  /** S9+S10 round-trip — OSM-XML sink then scan: a synthetic road network
+    * (24 nodes, 6 four-node ways with tags) serializes through
+    * [[sources.OsmXml.write]] and re-ingests via [[sources.OsmXml.read]]
+    * (StAX executor-side parse). Output = way→node incidence joined with
+    * node coordinates — gating node parse, way `nd` ordering, tag parse
+    * and the join in one pass (`extract-ways.js:56-63` semantics).
+    */
+  private def qf3OsmRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Seq.tabulate(24)(i =>
+      sources.OsmXml.OsmNode(i + 1L, i * 0.25 + 0.125, 0.25 - (i % 9) * 0.5))
+    val ways = Seq.tabulate(6)(j =>
+      sources.OsmXml.OsmWay(
+        100L + j,
+        Seq.tabulate(4)(k => (j * 4 + k) % 24 + 1L),
+        Map("highway" -> (if (j % 2 == 0) "primary" else "secondary"), "name" -> s"W$j")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qf3")
+    val osmPath = tmp.resolve("net.osm").toString
+    sources.OsmXml.write(nodes, ways, osmPath)
+    val (nodesDf, waysDf) = sources.OsmXml.read(spark, osmPath)
+    waysDf
+      .select(
+        col("way_id"),
+        col("tags")("highway").as("highway"),
+        posexplode(col("nodes")).as(Seq("pos", "node_id")))
+      .join(nodesDf, Seq("node_id"))
+      .select(col("way_id"), col("pos"), col("node_id"), col("highway"), col("lon"), col("lat"))
+  }
+
   // ------------------------------------------------- routing (G6/G7/G8-10)
   /** G6 — many-to-many route matrix via the custom Catalyst operator
     * (RouteMatrixRelation → RouteMatrixExec). DuckDB oracle: hop-bounded
@@ -1428,6 +1545,10 @@ object SparkEntry {
     "qz2_raster_zonal" -> (qz2RasterZonal _),
     "qz3_raster_deflate" -> (qz3RasterDeflate _),
     "qz4_raster_parallel" -> (qz4RasterParallel _),
+    "qz5_raster_jpeg" -> (qz5RasterJpeg _),
+    "qf1_shapefile" -> (qf1ShapefileScan _),
+    "qf2_geojson" -> (qf2GeoJsonRoundtrip _),
+    "qf3_osmxml" -> (qf3OsmRoundtrip _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -1621,6 +1742,39 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "qz4_raster_parallel" -> qzDeflateGridSql,
+    // File-codec round-trips: the Spark side materializes a fixture
+    // through the engine's own writer and re-ingests it; every value is a
+    // binary-exact double, so the oracle regenerates the layer from
+    // generate_series with no parse in the loop.
+    // JPEG-in-TIFF: block-constant pixels are exact through the codec
+    // (DC-only under the uniform quant table), so every cell replays.
+    "qz5_raster_jpeg" ->
+      """SELECT i + 0.5 AS x, 48 - (j + 0.5) AS y,
+        |  CAST(((i // 8) * 5 + (j // 8) * 11) % 256 AS DOUBLE) AS value
+        |FROM generate_series(0, 63) a(i) CROSS JOIN generate_series(0, 47) b(j)""".stripMargin,
+    "qf1_shapefile" ->
+      """SELECT CAST(i + 1 AS INTEGER) AS record_no,
+        |  0.25 + 1.5 * i AS x,
+        |  (i % 7) * 2.0 - 3.5 AS y,
+        |  'F' || CAST(i AS VARCHAR) AS name,
+        |  (i % 20) * 0.25 AS val
+        |FROM generate_series(0, 39) t(i)""".stripMargin,
+    "qf2_geojson" ->
+      """SELECT 'Point' AS geom_type,
+        |  'g' || CAST(i AS VARCHAR) AS name,
+        |  i * 0.25 AS score,
+        |  i * 0.5 AS x,
+        |  (i % 5) * 1.0 AS y
+        |FROM generate_series(0, 29) t(i)""".stripMargin,
+    "qf3_osmxml" ->
+      """WITH wn AS (
+        |  SELECT 100 + j AS way_id, k AS pos, (j * 4 + k) % 24 + 1 AS node_id,
+        |    CASE WHEN j % 2 = 0 THEN 'primary' ELSE 'secondary' END AS highway
+        |  FROM generate_series(0, 5) s(j) CROSS JOIN generate_series(0, 3) t(k))
+        |SELECT way_id, CAST(pos AS INTEGER) AS pos, node_id, highway,
+        |  (node_id - 1) * 0.25 + 0.125 AS lon,
+        |  0.25 - ((node_id - 1) % 9) * 0.5 AS lat
+        |FROM wn""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

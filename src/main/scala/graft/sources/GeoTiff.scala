@@ -47,10 +47,12 @@ object GeoTiff {
       ox: Double,
       oy: Double,
       nodata: Option[Double],
-      // 1 none, 5 LZW, 8/32946 zlib, 32773 PackBits
+      // 1 none, 5 LZW, 7 JPEG (baseline), 8/32946 zlib, 32773 PackBits
       compression: Int = 1,
       // TIFF tag 317: 1 none, 2 horizontal differencing (integer samples)
-      predictor: Int = 1)
+      predictor: Int = 1,
+      // TIFF tag 347: shared abbreviated-JPEG table stream (Compression=7)
+      jpegTables: Option[Array[Byte]] = None)
 
   private def typeSize(t: Int): Int = t match {
     case 1 | 2 | 6 | 7 => 1
@@ -108,6 +110,7 @@ object GeoTiff {
     val ifd = wrap(read(ifdOff + 2, n * 12))
     val tags = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
     var nodata: Option[Double] = None
+    var jpegTables: Option[Array[Byte]] = None
     var e = 0
     while (e < n) {
       val off = e * 12
@@ -126,16 +129,22 @@ object GeoTiff {
         require(typ == 2, "GDAL_NODATA must be an ASCII tag")
         val s = new String(vbuf.array(), "ASCII").takeWhile(_ != 0).trim
         nodata = scala.util.Try(s.toDouble).toOption
+      } else if (tag == 347) {
+        jpegTables = Some(java.util.Arrays.copyOf(vbuf.array(), valSize))
       } else tags(tag) = valuesOf(typ, count, vbuf)
       e += 1
     }
     def one(tag: Int, default: => Double): Double = tags.get(tag).map(_.head).getOrElse(default)
     val compression = one(259, 1.0).toInt
     require(
-      compression == 1 || compression == 5 || compression == 8 ||
+      compression == 1 || compression == 5 || compression == 7 || compression == 8 ||
         compression == 32773 || compression == 32946,
       s"unsupported TIFF compression $compression " +
-        "(supported: 1 none, 5 LZW, 8/32946 Deflate, 32773 PackBits)")
+        "(supported: 1 none, 5 LZW, 7 JPEG baseline, 8/32946 Deflate, 32773 PackBits)")
+    require(
+      compression != 7 || (one(258, 8.0).toInt == 8 && one(339, 1.0).toInt == 1 &&
+        one(317, 1.0).toInt == 1),
+      "JPEG compression requires 8-bit unsigned samples and no predictor")
     val predictor = one(317, 1.0).toInt
     require(predictor == 1 || predictor == 2 || predictor == 3,
       s"unsupported TIFF predictor $predictor " +
@@ -171,7 +180,7 @@ object GeoTiff {
       if (tiled) one(322, 0.0).toInt else 0,
       if (tiled) one(323, 0.0).toInt else 0,
       one(278, height.toDouble).toInt,
-      scale(0), scale(1), ox, oy, nodata, compression, predictor)
+      scale(0), scale(1), ox, oy, nodata, compression, predictor, jpegTables)
   }
 
   /** Inflate a zlib (Compression=8/32946) segment to exactly `outLen`. */
@@ -369,7 +378,8 @@ object GeoTiff {
       predictor: Int,
       bits: Int,
       rowSamples: Int,
-      rows: Int): ByteBuffer = {
+      rows: Int,
+      jpegTables: Option[Array[Byte]] = None): ByteBuffer = {
     val outLen = rowSamples * rows * (bits / 8)
     val len = if (len0 > 0) len0 else outLen
     val data: Array[Byte] = compression match {
@@ -379,6 +389,15 @@ object GeoTiff {
       case 8 | 32946 => inflateSegment(bytes, off, len, outLen)
       case 32773 => packBitsSegment(bytes, off, len, outLen)
       case 5 => lzwSegment(bytes, off, len, outLen)
+      case 7 =>
+        // strip/tile is a JPEG stream (TIFF TechNote 2); shared tables may
+        // ride in the JPEGTables tag (abbreviated streams)
+        val pre = jpegTables.map(Jpeg.parseTables).getOrElse(new Jpeg.TableState)
+        val (jw, jh, px) = Jpeg.decodeGray(
+          java.util.Arrays.copyOfRange(bytes, off, off + len), pre)
+        require(jw == rowSamples && jh == rows,
+          s"JPEG segment is ${jw}x$jh, expected ${rowSamples}x$rows")
+        px
     }
     if (data == null) ByteBuffer.wrap(bytes, off, outLen).slice().order(order)
     else {
@@ -395,7 +414,7 @@ object GeoTiff {
     def segment(idx: Int, rowSamples: Int, rows: Int): ByteBuffer =
       segmentBuffer(
         bytes, h.offsets(idx).toInt, h.byteCounts(idx).toInt, order,
-        h.compression, h.predictor, h.bits, rowSamples, rows)
+        h.compression, h.predictor, h.bits, rowSamples, rows, h.jpegTables)
     val raw: Iterator[(Int, Int, Double)] =
       if (h.tileW > 0) {
         val across = (h.width + h.tileW - 1) / h.tileW
@@ -532,6 +551,91 @@ object GeoTiff {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
   }
 
+  /** S11 sink, JPEG layout — write a single-band 8-bit grayscale raster
+    * with Compression=7 in the common libtiff shape: shared huffman/quant
+    * tables in the JPEGTables tag (347), ABBREVIATED baseline-JPEG stream
+    * per strip. `pixels` ∈ 0..255 row-major. JPEG is lossy in general;
+    * block-constant content round-trips exactly (see [[Jpeg]] scaladoc),
+    * which is what the qz5 oracle gate relies on.
+    */
+  def writeJpeg(
+      path: String,
+      width: Int,
+      height: Int,
+      pixels: Array[Int],
+      sx: Double,
+      sy: Double,
+      ox: Double,
+      oy: Double,
+      rowsPerStrip: Int = 0): Unit = {
+    require(pixels.length == width * height, "pixels must be width*height row-major")
+    require(pixels.forall(p => p >= 0 && p <= 255), "JPEG samples must be 0..255")
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    val nStrips = (height + rps - 1) / rps
+    val tables = Jpeg.tablesStream
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val r0 = s * rps
+      val rows = math.min(rps, height - r0)
+      Jpeg.encodeGray(
+        java.util.Arrays.copyOfRange(pixels, r0 * width, (r0 + rows) * width),
+        width, rows, includeTables = false)
+    }
+    // tags: 256 W, 257 H, 258 bits, 259 comp, 262 photometric, 273 strip
+    // offs, 277 spp, 278 rows/strip, 279 strip bytes, 339 fmt, 347 tables,
+    // 33550 scale, 33922 tiepoint
+    val n = 13
+    val ifdOff = 8
+    var cursor = ifdOff + 2 + n * 12 + 4
+    val scaleOff = cursor; cursor += 24
+    val tieOff = cursor; cursor += 48
+    val tablesOff = cursor; cursor += tables.length
+    val offsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 4; o }
+    val cntsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 4; o }
+    val payloadOff = cursor
+    val stripOffs = strips.scanLeft(payloadOff)(_ + _.length).init
+    val total = strips.iterator.map(_.length).sum
+    val out = ByteBuffer.allocate(payloadOff + total).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
+    var e = 0
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      val off = ifdOff + 2 + e * 12
+      out.putShort(off, tag.toShort)
+      out.putShort(off + 2, typ.toShort)
+      out.putInt(off + 4, count)
+      out.putInt(off + 8, value)
+      e += 1
+    }
+    out.putShort(ifdOff, n.toShort)
+    entry(256, 3, 1, width)
+    entry(257, 3, 1, height)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 7)
+    entry(262, 3, 1, 1) // BlackIsZero
+    entry(273, 4, nStrips, if (nStrips == 1) payloadOff else offsArrOff)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, rps)
+    entry(279, 4, nStrips, if (nStrips == 1) strips.head.length else cntsArrOff)
+    entry(339, 3, 1, 1)
+    entry(347, 7, tables.length, tablesOff)
+    entry(33550, 12, 3, scaleOff)
+    entry(33922, 12, 6, tieOff)
+    out.putInt(ifdOff + 2 + n * 12, 0)
+    out.putDouble(scaleOff, sx).putDouble(scaleOff + 8, sy).putDouble(scaleOff + 16, 0.0)
+    out.putDouble(tieOff, 0.0).putDouble(tieOff + 8, 0.0).putDouble(tieOff + 16, 0.0)
+    out.putDouble(tieOff + 24, ox).putDouble(tieOff + 32, oy).putDouble(tieOff + 40, 0.0)
+    var i = 0
+    while (i < tables.length) { out.put(tablesOff + i, tables(i)); i += 1 }
+    if (nStrips > 1) {
+      strips.indices.foreach { s =>
+        out.putInt(offsArrOff + s * 4, stripOffs(s))
+        out.putInt(cntsArrOff + s * 4, strips(s).length)
+      }
+    }
+    out.position(payloadOff)
+    strips.foreach(out.put)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+  }
+
   /** Read raster(s) into a cell table (path, x, y, value) — the
     * `Spatial.zonalStats` input. Cell center coordinates
     * (x = ox + (col+0.5)·sx, y = oy − (row+0.5)·sy), matching
@@ -559,7 +663,8 @@ object GeoTiff {
       sy: Double,
       ox: Double,
       oy: Double,
-      nodata: Option[Double])
+      nodata: Option[Double],
+      jpegTables: Option[Array[Byte]] = None)
 
   /** Split a header into per-strip/per-tile segment tasks. */
   private[sources] def segmentsOf(h: Header, path: String, little: Boolean): Seq[RasterSegment] =
@@ -570,7 +675,7 @@ object GeoTiff {
           path, h.offsets(t), h.byteCounts(t), little, h.compression, h.predictor,
           h.bits, h.sampleFormat, h.tileW, h.tileH,
           (t % across) * h.tileW, (t / across) * h.tileH,
-          h.width, h.height, h.sx, h.sy, h.ox, h.oy, h.nodata)
+          h.width, h.height, h.sx, h.sy, h.ox, h.oy, h.nodata, h.jpegTables)
       }
     } else {
       h.offsets.indices.map { s =>
@@ -578,7 +683,7 @@ object GeoTiff {
         RasterSegment(
           path, h.offsets(s), h.byteCounts(s), little, h.compression, h.predictor,
           h.bits, h.sampleFormat, h.width, math.min(h.rowsPerStrip, h.height - row0),
-          0, row0, h.width, h.height, h.sx, h.sy, h.ox, h.oy, h.nodata)
+          0, row0, h.width, h.height, h.sx, h.sy, h.ox, h.oy, h.nodata, h.jpegTables)
       }
     }
 
@@ -649,7 +754,7 @@ object GeoTiff {
           val order = if (s.little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
           val seg = segmentBuffer(
             raw, 0, raw.length, order, s.compression, s.predictor, s.bits,
-            s.rowSamples, s.rows)
+            s.rowSamples, s.rows, s.jpegTables)
           val bps = s.bits / 8
           Iterator.range(0, s.rows).flatMap { j =>
             Iterator.range(0, s.rowSamples).flatMap { i =>

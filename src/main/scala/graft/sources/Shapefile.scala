@@ -133,4 +133,82 @@ object Shapefile {
       }
       .toDF()
   }
+
+  /** Point-shapefile sink: writes a spec-conformant .shp (+ sibling dBase
+    * III .dbf when attributes are given). Small-vector egress/fixture
+    * counterpart of [[read]] — the reference's shapefile traffic is
+    * driver-small network extracts, so this collects nothing (callers
+    * pass driver-side Seqs). Record numbers are 1-based in input order;
+    * `fieldLens` fixes .dbf column order and width (values are
+    * space-padded ASCII, type 'C').
+    */
+  def writePoints(
+      shpPath: String,
+      pts: Seq[(Double, Double)],
+      attrs: Seq[Map[String, String]] = Seq.empty,
+      fieldLens: Seq[(String, Int)] = Seq.empty): Unit = {
+    val recLen = 8 + 4 + 16 // record header + shape type + x,y
+    val total = 100 + pts.size * recLen
+    val b = ByteBuffer.allocate(total)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994)
+    b.putInt(24, total / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000) // version
+    b.putInt(32, 1) // Point
+    if (pts.nonEmpty) {
+      b.putDouble(36, pts.map(_._1).min)
+      b.putDouble(44, pts.map(_._2).min)
+      b.putDouble(52, pts.map(_._1).max)
+      b.putDouble(60, pts.map(_._2).max)
+    }
+    b.position(100)
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      b.order(ByteOrder.BIG_ENDIAN)
+      b.putInt(i + 1).putInt((4 + 16) / 2)
+      b.order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1).putDouble(x).putDouble(y)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(shpPath), b.array())
+
+    if (fieldLens.nonEmpty) {
+      require(attrs.size == pts.size, "one attribute map per point")
+      val headerSize = 32 + fieldLens.size * 32 + 1
+      val recordSize = 1 + fieldLens.map(_._2).sum
+      val d = ByteBuffer.allocate(headerSize + attrs.size * recordSize + 1)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      d.put(0, 0x03.toByte)
+      d.putInt(4, attrs.size)
+      d.putShort(8, headerSize.toShort)
+      d.putShort(10, recordSize.toShort)
+      var off = 32
+      fieldLens.foreach { case (name, len) =>
+        require(name.length <= 10, s"dbf field name too long: $name")
+        val nb = name.getBytes("ASCII")
+        var i = 0
+        while (i < nb.length) { d.put(off + i, nb(i)); i += 1 }
+        d.put(off + 11, 'C'.toByte)
+        d.put(off + 16, len.toByte)
+        off += 32
+      }
+      d.put(off, 0x0d.toByte)
+      var pos = headerSize
+      attrs.foreach { rec =>
+        d.put(pos, ' '.toByte)
+        var p = pos + 1
+        fieldLens.foreach { case (name, len) =>
+          val v = rec.getOrElse(name, "")
+          require(v.length <= len, s"value '$v' exceeds field width $len")
+          val padded = v.padTo(len, ' ').getBytes("ASCII")
+          var i = 0
+          while (i < len) { d.put(p + i, padded(i)); i += 1 }
+          p += len
+        }
+        pos += recordSize
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(shpPath.replaceAll("\\.shp$", ".dbf")),
+        d.array())
+    }
+  }
 }

@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline-JPEG codec + JPEG-in-TIFF (Compression=7) integration. */
+class JpegSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(2, "jpeg-spec")
+
+  test("block-constant image round-trips exactly (the qz5 oracle contract)") {
+    val w = 32; val h = 24
+    val px = Array.tabulate(w * h) { i =>
+      val bc = (i % w) / 8; val br = (i / w) / 8
+      (bc * 37 + br * 91) % 256
+    }
+    val enc = Jpeg.encodeGray(px, w, h)
+    val (dw, dh, out) = Jpeg.decodeGray(enc)
+    assert(dw == w && dh == h)
+    assert(out.map(_ & 0xff).toSeq == px.toSeq)
+  }
+
+  test("arbitrary image round-trips within the quantization error bound") {
+    val w = 40; val h = 16
+    // deterministic pseudo-random-ish content, full 0..255 range
+    val px = Array.tabulate(w * h)(i => (i * 7919 + (i * i) % 101) % 256)
+    val (dw, dh, out) = Jpeg.decodeGray(Jpeg.encodeGray(px, w, h))
+    assert(dw == w && dh == h)
+    // uniform quant q=8: DCT-domain per-coefficient error <= q/2 = 4;
+    // worst-case spatial error <= (1/4)*sum(cu*cv)*4 ≈ 4*(sum over 64 of
+    // cu*cv)/4... keep a generous but non-vacuous bound
+    val errs = px.indices.map(i => math.abs((out(i) & 0xff) - px(i)))
+    assert(errs.max <= 40, s"max error ${errs.max}")
+    assert(errs.sum.toDouble / errs.size <= 4.0, s"mean error ${errs.sum.toDouble / errs.size}")
+  }
+
+  test("non-multiple-of-8 dims pad by edge replication and crop back") {
+    val w = 13; val h = 9
+    val px = Array.tabulate(w * h)(i => ((i % w) / 8 * 50 + (i / w) / 8 * 100) % 256)
+    val (dw, dh, out) = Jpeg.decodeGray(Jpeg.encodeGray(px, w, h))
+    assert(dw == w && dh == h && out.length == w * h)
+  }
+
+  test("restart markers: DRI/RSTn round-trip, DC predictor resets") {
+    val w = 48; val h = 16 // 6x2 = 12 blocks, interval 5 -> RST after 5, 10
+    val px = Array.tabulate(w * h) { i =>
+      val bc = (i % w) / 8; val br = (i / w) / 8
+      (bc * 31 + br * 67) % 256
+    }
+    val enc = Jpeg.encodeGray(px, w, h, restartInterval = 5)
+    // the stream really contains restart markers
+    val hex = enc.map(_ & 0xff)
+    assert(hex.sliding(2).exists(p => p(0) == 0xff && p(1) >= 0xd0 && p(1) <= 0xd7))
+    val (_, _, out) = Jpeg.decodeGray(enc)
+    assert(out.map(_ & 0xff).toSeq == px.toSeq)
+  }
+
+  test("abbreviated streams: tables ride separately (TIFF JPEGTables shape)") {
+    val w = 16; val h = 8
+    val px = Array.tabulate(w * h)(i => ((i % w) / 8 * 120 + (i / w) / 8 * 40) % 256)
+    val abbreviated = Jpeg.encodeGray(px, w, h, includeTables = false)
+    // without tables the stream must refuse to decode
+    intercept[IllegalArgumentException](Jpeg.decodeGray(abbreviated))
+    val pre = Jpeg.parseTables(Jpeg.tablesStream)
+    val (_, _, out) = Jpeg.decodeGray(abbreviated, pre)
+    assert(out.map(_ & 0xff).toSeq == px.toSeq)
+  }
+
+  test("progressive/multi-component streams fail loudly") {
+    val w = 8; val h = 8
+    val px = Array.fill(w * h)(77)
+    val enc = Jpeg.encodeGray(px, w, h)
+    // corrupt SOF0 -> SOF2 (progressive): find FF C0 and flip
+    val prog = enc.clone()
+    val sof = prog.indices.find(i => (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    val ex = intercept[IllegalArgumentException](Jpeg.decodeGray(prog))
+    assert(ex.getMessage.contains("SOF"))
+  }
+
+  test("JPEG-in-TIFF: writeJpeg multi-strip + read and readParallel agree exactly") {
+    val w = 64; val h = 48
+    val px = Array.tabulate(w * h) { i =>
+      val bc = (i % w) / 8; val br = (i / w) / 8
+      (bc * 5 + br * 11) % 256
+    }
+    val dir = java.nio.file.Files.createTempDirectory("jpegtiff")
+    GeoTiff.writeJpeg(dir.resolve("r.tif").toString, w, h, px, 1.0, 1.0, 0.0, h.toDouble,
+      rowsPerStrip = 16)
+    val a = GeoTiff.read(spark, dir.toString, globFilter = Some("*.tif"))
+      .select("x", "y", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(a.length == w * h)
+    // exact pixel replay
+    a.foreach { case (x, y, v) =>
+      val col = (x - 0.5).toInt; val row = (h - 0.5 - y).toInt
+      assert(v == px(row * w + col).toDouble, s"cell ($col,$row)")
+    }
+    val b = GeoTiff.readParallel(spark, dir.toString + "/*", globFilter = Some("*.tif"))
+      .select("x", "y", "value").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("JPEG TIFF with a predictor or non-8-bit samples is rejected at header parse") {
+    // hand-tweak a valid header: flip compression to 7 on a float32 raster
+    val dir = java.nio.file.Files.createTempDirectory("jpegbad")
+    val p = dir.resolve("f.tif").toString
+    GeoTiff.write(p, 8, 8, Array.fill(64)(1.0f), 1.0, 1.0, 0.0, 8.0)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // IFD entry for tag 259 (compression): find and set value to 7
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getShort(8 + 2 - 2) & 0xffff // ifdOff=8, count at 8
+    var eOff = 10
+    var patched = false
+    (0 until n).foreach { _ =>
+      if ((buf.getShort(eOff) & 0xffff) == 259) { buf.putInt(eOff + 8, 7); patched = true }
+      eOff += 12
+    }
+    assert(patched)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val ex = intercept[IllegalArgumentException](GeoTiff.parseHeader(bytes))
+    assert(ex.getMessage.contains("JPEG"))
+  }
+}
