@@ -767,6 +767,65 @@ object SparkEntry {
     Similarity.knnJoin(embs, queries, "vec_id", "embedding", "query_id", "qv", 10)
   }
 
+  /** Distributed Lloyd k-means under the oracle gate, on an integer-
+    * lattice fixture designed so the 5-round unrolled SQL replay is
+    * FP-stable: three 18-point corner clusters (ids round-robin) plus six
+    * "bridge" points that flip allegiance as centroids move (assignment
+    * at iteration 1 ≠ iteration 0 — real Lloyd dynamics, not a fixpoint),
+    * with every argmin margin ≥ 50 so no tie can depend on float noise.
+    * All coordinates are small integers: cluster means are exact-sum
+    * rationals, identical in Spark and DuckDB regardless of add order.
+    */
+  private def qs6Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Seq.tabulate(60) { i =>
+      val (x, y) =
+        if (i < 54) {
+          val bx = if (i % 3 == 1) 60.0 else 0.0
+          val by = if (i % 3 == 2) 60.0 else 0.0
+          (bx + (i / 3) % 5, by + (i / 3) / 5)
+        } else (22.0 + (i - 54) * 3.0, 1.0 + (i - 54))
+      (i.toLong, Array(x.toFloat, y.toFloat))
+    }
+    val embs = pts.toDF("vec_id", "embedding")
+    val (_, assigned) = Similarity.kmeans(embs, "vec_id", "embedding", 3, 5)
+    assigned
+  }
+
+  /** The qs6 oracle: Lloyd unrolled to 5 rounds of pure SQL (assign by
+    * squared distance, first-wins argmin, re-average), initial centroids =
+    * the 3 lowest-id lattice points, final re-assignment against the
+    * round-5 centroids — the exact contract of [[Similarity.kmeans]].
+    */
+  private def qs6OracleSql: String = {
+    def k(n: Int, src: String) =
+      s"""c$n AS (SELECT cluster, avg(x) AS mx, avg(y) AS my FROM $src GROUP BY cluster),
+         |k$n AS (SELECT
+         |  max(CASE WHEN cluster = 0 THEN mx END) AS c0x, max(CASE WHEN cluster = 0 THEN my END) AS c0y,
+         |  max(CASE WHEN cluster = 1 THEN mx END) AS c1x, max(CASE WHEN cluster = 1 THEN my END) AS c1y,
+         |  max(CASE WHEN cluster = 2 THEN mx END) AS c2x, max(CASE WHEN cluster = 2 THEN my END) AS c2y
+         |  FROM c$n)""".stripMargin
+    def assign(n: Int, kSrc: String) =
+      s"""a$n AS (SELECT id, x, y,
+         |  CASE WHEN (x-c0x)*(x-c0x)+(y-c0y)*(y-c0y) <= (x-c1x)*(x-c1x)+(y-c1y)*(y-c1y)
+         |        AND (x-c0x)*(x-c0x)+(y-c0y)*(y-c0y) <= (x-c2x)*(x-c2x)+(y-c2y)*(y-c2y) THEN 0
+         |       WHEN (x-c1x)*(x-c1x)+(y-c1y)*(y-c1y) <= (x-c2x)*(x-c2x)+(y-c2y)*(y-c2y) THEN 1
+         |       ELSE 2 END AS cluster
+         |FROM p CROSS JOIN $kSrc)""".stripMargin
+    val rounds = (1 to 5).map(n => k(n, s"a${n - 1}") + ",\n" + assign(n, s"k$n")).mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT i AS id,
+       |    CASE WHEN i < 54 THEN (CASE WHEN i % 3 = 1 THEN 60.0 ELSE 0.0 END) + ((i // 3) % 5)
+       |         ELSE 22.0 + (i - 54) * 3.0 END AS x,
+       |    CASE WHEN i < 54 THEN (CASE WHEN i % 3 = 2 THEN 60.0 ELSE 0.0 END) + ((i // 3) // 5)
+       |         ELSE 1.0 + (i - 54) END AS y
+       |  FROM generate_series(0, 59) t(i)),
+       |k0 AS (SELECT 0.0 AS c0x, 0.0 AS c0y, 60.0 AS c1x, 0.0 AS c1y, 0.0 AS c2x, 60.0 AS c2y),
+       |${assign(0, "k0")},
+       |$rounds
+       |SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster FROM a5""".stripMargin
+  }
+
   /** Real WordPiece inference (greedy longest-prefix-match over the fixed
     * `TextFunctions.wordpieceVocab`) — upgrades the qt6 regex stand-in to
     * the actual subword algorithm; per-doc piece count.
@@ -1571,6 +1630,7 @@ object SparkEntry {
     "qe5_json_props" -> (qe5JsonProps _),
     "qs4_ivf" -> (qs4IvfTopK _),
     "qs5_knn_join" -> (qs5KnnJoin _),
+    "qs6_kmeans" -> (qs6Kmeans _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "qt13_bpe_train" -> (qt13BpeTrain _),
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
@@ -2432,6 +2492,7 @@ object SparkEntry {
          |SELECT vec_id, round(d, 6) AS dot
          |FROM s ORDER BY dot DESC, vec_id LIMIT 100""".stripMargin
     },
+    "qs6_kmeans" -> qs6OracleSql,
     // Exact k-NN join replay: same per-element double-cast cosine as the
     // qs1 oracle, ranked per query with the identical (sim DESC, vec_id)
     // tie order the bounded aggregator uses.

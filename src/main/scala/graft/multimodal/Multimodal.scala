@@ -69,10 +69,13 @@ object Multimodal {
     if (b == null) Array.emptyByteArray else b
 
   /** Container-header metadata WITHOUT codecs: PNG (IHDR), GIF (logical
-    * screen descriptor), BMP (BITMAPINFOHEADER) and JPEG (SOFn marker
-    * scan) carry dimensions as plain header fields, so real image ingest
-    * gets true (format, width, height) even though PIXEL decode stays
-    * stubbed in this runtime. None = not a recognized image container.
+    * screen descriptor), BMP (BITMAPINFOHEADER), JPEG (SOFn marker scan),
+    * TIFF (first-IFD tags 256/257, both byte orders) and WebP
+    * (VP8 /VP8L/VP8X chunks) carry dimensions as plain header fields, so
+    * real image ingest gets true (format, width, height) even though
+    * PIXEL decode stays stubbed in this runtime (JPEG grayscale pixel
+    * decode exists separately in [[graft.sources.Jpeg]]). None = not a
+    * recognized image container.
     */
   def imageDims(bytes0: Array[Byte]): Option[(String, Int, Int)] = {
     val b = safeBytes(bytes0)
@@ -99,6 +102,50 @@ object Multimodal {
         else i += 2 + be16(i + 2) // segment with length
       }
       None
+    } else if (b.length >= 16 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') {
+      // WebP: three chunk flavors carry dims differently (public container spec)
+      val fourcc = new String(b, 12, 4, "ASCII")
+      fourcc match {
+        case "VP8 " if b.length >= 30 => // lossy: 14-bit w/h at key-frame offset 26
+          Some(("webp", le16(26) & 0x3fff, le16(28) & 0x3fff))
+        case "VP8L" if b.length >= 25 => // lossless: 14-bit-1 packed after the 0x2F signature
+          val bits = le32(21)
+          Some(("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+        case "VP8X" if b.length >= 30 => // extended: 24-bit-1 canvas dims
+          val w = (u8(24) | (u8(25) << 8) | (u8(26) << 16)) + 1
+          val h = (u8(27) | (u8(28) << 8) | (u8(29) << 16)) + 1
+          Some(("webp", w, h))
+        case _ => None
+      }
+    } else if (b.length >= 8 &&
+      ((u8(0) == 'I' && u8(1) == 'I' && le16(2) == 42) ||
+        (u8(0) == 'M' && u8(1) == 'M' && be16(2) == 42))) {
+      // TIFF: walk the first IFD for ImageWidth (256) / ImageLength (257);
+      // same tag layout GeoTiff.parseHeaderRanged reads, but header-only
+      // (no strip offsets needed) and both byte orders
+      val le = u8(0) == 'I'
+      def v16(i: Int) = if (le) le16(i) else be16(i)
+      def v32(i: Int) = if (le) le32(i) else be32(i)
+      val ifd = v32(4)
+      if (ifd < 0 || ifd + 2 > b.length) None
+      else {
+        val n = v16(ifd)
+        var w = -1
+        var h = -1
+        var e = 0
+        while (e < n && ifd + 2 + (e + 1) * 12 <= b.length) {
+          val off = ifd + 2 + e * 12
+          val tag = v16(off)
+          val typ = v16(off + 2)
+          // SHORT inline values sit in the first 2 bytes of the value field
+          val value = if (typ == 3) v16(off + 8) else v32(off + 8)
+          if (tag == 256) w = value
+          if (tag == 257) h = value
+          e += 1
+        }
+        if (w > 0 && h > 0) Some(("tiff", w, h)) else None
+      }
     } else None
   }
 

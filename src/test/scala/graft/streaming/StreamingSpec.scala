@@ -341,4 +341,36 @@ class StreamingSpec extends AnyFunSuite {
     // non-image bytes and nulls are None, never a throw
     assert(imageDims("plain text".getBytes).isEmpty && imageDims(null).isEmpty)
   }
+
+  test("multimodal: imageDims reads TIFF and WebP headers without a codec") {
+    import graft.multimodal.Multimodal.imageDims
+    // TIFF both byte orders: real header built by the engine's own writer
+    val dir = java.nio.file.Files.createTempDirectory("dims")
+    val p = dir.resolve("t.tif").toString
+    graft.sources.GeoTiff.write(p, 19, 7, Array.fill(19 * 7)(1.0f), 1.0, 1.0, 0.0, 7.0)
+    assert(imageDims(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      .contains(("tiff", 19, 7)))
+    // big-endian TIFF, hand-built: MM, 42, IFD at 8 with tags 256/257
+    val be = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    be.putShort(8, 2.toShort)
+    be.putShort(10, 256.toShort); be.putShort(12, 3.toShort); be.putInt(14, 1); be.putShort(18, 640.toShort)
+    be.putShort(22, 257.toShort); be.putShort(24, 3.toShort); be.putInt(26, 1); be.putShort(30, 480.toShort)
+    assert(imageDims(be.array()).contains(("tiff", 640, 480)))
+    // WebP lossy (VP8 ): RIFF header + key-frame start code + 14-bit dims
+    def riff(fourcc: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("ASCII") ++ Array[Byte](0, 0, 0, 0) ++ "WEBP".getBytes("ASCII") ++
+        fourcc.getBytes("ASCII") ++ Array[Byte](0, 0, 0, 0) ++ payload
+    val vp8 = riff("VP8 ", Array[Int](0, 0, 0, 0x9d, 0x01, 0x2a, 100, 0, 60, 0).map(_.toByte))
+    assert(imageDims(vp8).contains(("webp", 100, 60)))
+    // WebP lossless (VP8L): 0x2F then width-1/height-1 packed 14+14 bits
+    val bits = (99 & 0x3fff) | ((59 & 0x3fff) << 14)
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+      ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte, 0))
+    assert(imageDims(vp8l).contains(("webp", 100, 60)))
+    // WebP extended (VP8X): 24-bit canvas-1 dims after 4 flag bytes
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0, 99, 0, 0, 59, 0, 0))
+    assert(imageDims(vp8x).contains(("webp", 100, 60)))
+  }
 }
