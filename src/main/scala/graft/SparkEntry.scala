@@ -1041,6 +1041,29 @@ object SparkEntry {
           4).as("feature_norm"))
   }
 
+  /** Multimodal with REAL pixel decode: every document gets a 32×32
+    * block-constant grayscale JPEG encoded executor-side by the engine's
+    * own codec, and features are computed over the DECODED pixels
+    * ([[multimodal.Multimodal.extractFeaturesDecoded]] →
+    * [[sources.Jpeg.decodeGray]]) — a distributed encode→decode round
+    * trip, not the byte-stats stub. Block-constant content is exact
+    * through JPEG, so the oracle replays pixel mean / entropy / chunked
+    * feature norm from generate_series.
+    */
+  private def qm4JpegPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.jpegMediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .extractFeaturesDecoded(media)
+      .select(
+        col("media_id"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        round(col("byte_entropy"), 4).as("byte_entropy"),
+        round(
+          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
+          4).as("feature_norm"))
+  }
+
   /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
     * reference data model: 10-element RP arrays + bridges struct array);
     * full closed-form oracle.
@@ -1612,6 +1635,7 @@ object SparkEntry {
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
     "qm2_media_features" -> (qm2MediaFeatures _),
+    "qm4_jpeg_pixels" -> (qm4JpegPixels _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -2308,6 +2332,38 @@ object SparkEntry {
         |  round(e.entropy, 4) AS byte_entropy,
         |  round(nrm.fn, 4) AS feature_norm
         |FROM stats s JOIN ent e USING (doc_id) JOIN nrm USING (doc_id)""".stripMargin,
+    // Real-decode multimodal replay: each doc's 32x32 JPEG is 16
+    // block-constant 8x8 blocks with v = (bc*5 + br*7 + doc_id) % 251 and
+    // survives the codec exactly, so pixel stats reduce to block algebra:
+    // every block weighs 64 px; a 64-byte chunk (2 pixel rows) spans the 4
+    // blocks of its block-row (16 px each), 4 chunks per block-row. All
+    // divisors are powers of two, so mean/p/f hit identical doubles.
+    "qm4_jpeg_pixels" ->
+      """WITH blocks AS (
+        |  SELECT d.doc_id, bc.i AS bc, br.j AS br,
+        |    (bc.i * 5 + br.j * 7 + d.doc_id) % 251 AS v
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 3) bc(i)
+        |  CROSS JOIN generate_series(0, 3) br(j)
+        |), stats AS (
+        |  SELECT doc_id, (sum(v) * 64) / 1024.0 AS mean_byte FROM blocks GROUP BY doc_id
+        |), counts AS (
+        |  SELECT doc_id, v, count(*)::DOUBLE * 64 AS c FROM blocks GROUP BY doc_id, v
+        |), ent AS (
+        |  SELECT doc_id, sum(-(c / 1024.0) * ln(c / 1024.0) / ln(2)) AS entropy
+        |  FROM counts GROUP BY doc_id
+        |), chunkf AS (
+        |  SELECT doc_id, br, CAST((sum(v) * 16) / 64.0 / 255.0 AS FLOAT) AS f
+        |  FROM blocks GROUP BY doc_id, br
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(sum(4.0 * CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS fn
+        |  FROM chunkf GROUP BY doc_id
+        |)
+        |SELECT s.doc_id AS media_id,
+        |  round(s.mean_byte, 4) AS mean_byte,
+        |  round(e.entropy, 4) AS byte_entropy,
+        |  round(n.fn, 4) AS feature_norm
+        |FROM stats s JOIN ent e USING (doc_id) JOIN nrm n USING (doc_id)""".stripMargin,
     "qz1_zonal" ->
       """WITH cells AS (
         |  SELECT (p_partkey % 17) + 0.5 AS x, (p_partkey % 11) + 0.5 AS y,

@@ -229,4 +229,54 @@ object Multimodal {
         col("text").cast("binary").as("bytes"))
       .as[Media]
   }
+
+  /** REAL image decode tier: JPEG payloads decode to actual pixels through
+    * the engine's own baseline codec ([[graft.sources.Jpeg]]). Other
+    * containers return None (no codec in this runtime) — callers fall back
+    * to the byte-stats stub tier. Corrupt/unsupported JPEG streams also
+    * return None rather than failing the partition: one bad file in a
+    * 100 TB media corpus must not kill the job.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Byte]] =
+    imageDims(safeBytes(bytes)) match {
+      case Some(("jpeg", _, _)) =>
+        scala.util.Try(graft.sources.Jpeg.decodeGray(safeBytes(bytes))).toOption.map(_._3)
+      case _ => None
+    }
+
+  /** Feature extraction with REAL pixel decode where a codec exists: the
+    * same deterministic stats as [[extractFeatures]], but computed over
+    * decoded PIXELS for JPEG payloads (payload bytes otherwise). n_bytes
+    * stays the payload (compressed) size — the ingest-cost number.
+    */
+  def extractFeaturesDecoded(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = safeBytes(m.bytes)
+        val px = decodeImage(bytes).getOrElse(bytes)
+        val (mean, entropy, feature) = decodeStub(px)
+        MediaFeatures(m.media_id, m.meta.kind, bytes.length.toLong, mean, entropy, feature)
+      }
+    }
+  }
+
+  /** JPEG media fixture: one 32×32 block-constant grayscale JPEG per
+    * document, encoded EXECUTOR-SIDE by [[graft.sources.Jpeg.encodeGray]]
+    * — a distributed encode→decode round-trip whose pixel statistics stay
+    * SQL-replayable (block-constant content is exact through JPEG).
+    */
+  def jpegMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 32; val h = 32
+        val px = Array.tabulate(w * h) { i =>
+          val bc = (i % w) / 8; val br = (i / w) / 8
+          ((bc * 5 + br * 7 + id) % 251).toInt
+        }
+        Media(id, MediaMeta("image", w, h, 0), graft.sources.Jpeg.encodeGray(px, w, h))
+      }
+    }
+  }
 }

@@ -373,4 +373,58 @@ class StreamingSpec extends AnyFunSuite {
     val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0, 99, 0, 0, 59, 0, 0))
     assert(imageDims(vp8x).contains(("webp", 100, 60)))
   }
+
+  test("multimodal: extractFeaturesDecoded runs stats over REAL decoded JPEG pixels") {
+    import graft.multimodal.Multimodal
+    val w = 16; val h = 16
+    // two constant 8x8 block columns: 10s on the left, 200s on the right
+    val px = Array.tabulate(w * h)(i => if ((i % w) / 8 == 0) 10 else 200)
+    val jpeg = graft.sources.Jpeg.encodeGray(px, w, h)
+    // decodeImage yields the true pixels (block-constant => exact)
+    assert(Multimodal.decodeImage(jpeg).get.map(_ & 0xff).toSeq == px.toSeq)
+    // non-JPEG payloads have no codec here -> None (stub tier handles them)
+    assert(Multimodal.decodeImage("plain bytes".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // Dataset path: stats come from pixels, n_bytes from the payload
+    import spark.implicits._
+    val media = Seq(Multimodal.Media(1L, Multimodal.MediaMeta("image", w, h, 0), jpeg)).toDS()
+    val f = Multimodal.extractFeaturesDecoded(media).collect().head
+    assert(f.mean_byte == 105.0) // (10 + 200) / 2 over pixels, NOT jpeg bytes
+    assert(math.abs(f.byte_entropy - 1.0) < 1e-12) // two equally likely values
+    assert(f.n_bytes == jpeg.length)
+  }
+
+  test("streaming EAUL: per-batch recompute equals the batch sweep on folded stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (g, od) = graft.graph.DemoNetwork.grid(6) // the qg3 network — non-degenerate EAUL
+    val stats0 = graft.graph.DemoNetwork.floodStats(g)
+    val traffic = graft.graph.DemoNetwork.yearlyTraffic(od.length)
+    def table(df: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    val in = MemoryStream[EaulStream.DepthUpdate]
+    val results = scala.collection.mutable.Map.empty[Long, Map[(String, String), Double]]
+    val q = EaulStream.recompute(in.toDS(), g, stats0, od, traffic, Set.empty) {
+      (id, df) => results(id) = table(df)
+    }
+    try {
+      // batch 0: no revisions -> identical to the plain batch sweep
+      in.addData(Seq.empty[EaulStream.DepthUpdate])
+      q.processAllAvailable()
+      assert(results(0) == table(graft.graph.Eaul.sweep(spark, g, stats0, od, traffic, Set.empty)))
+      // batch 1: flood a previously-dry way; streaming result must equal
+      // the batch sweep over the SAME folded stats
+      val revs = Seq(
+        EaulStream.DepthUpdate(g.ways(1).name, 500, 2.0, 50.0),
+        EaulStream.DepthUpdate(g.ways(1).name, 1000, 2.5, 100.0))
+      in.addData(revs)
+      q.processAllAvailable()
+      val folded = EaulStream.fold(stats0, revs)
+      assert(results(1) == table(graft.graph.Eaul.sweep(spark, g, folded, od, traffic, Set.empty)))
+      // the revision actually changed the answer (not a vacuous identity)
+      assert(results(0) != results(1))
+    } finally q.stop()
+  }
 }
