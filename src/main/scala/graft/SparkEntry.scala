@@ -1064,6 +1064,27 @@ object SparkEntry {
           4).as("feature_norm"))
   }
 
+  /** Multimodal PNG tier: same distributed encode→decode round trip as
+    * qm4 but through the PNG codec ([[sources.Png]]) — PNG is LOSSLESS,
+    * so the fixture uses ARBITRARY per-document pixels (i·7919 + doc_id
+    * mod 256), a strictly stronger replay than qm4's block-constant JPEG
+    * constraint: every one of the 1024 pixels per document is an
+    * independent SQL-checked value flowing through zlib + filter framing.
+    */
+  private def qm5PngPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.pngMediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .extractFeaturesDecoded(media)
+      .select(
+        col("media_id"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        round(col("byte_entropy"), 4).as("byte_entropy"),
+        round(
+          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
+          4).as("feature_norm"))
+  }
+
   /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
     * reference data model: 10-element RP arrays + bridges struct array);
     * full closed-form oracle.
@@ -1478,6 +1499,40 @@ object SparkEntry {
       .select(col("way_id"), col("pos"), col("node_id"), col("highway"), col("lon"), col("lat"))
   }
 
+  /** S13 — native Mapbox Vector Tile sink under the oracle gate: the
+    * nation dim (driver-small by contract, like the OSM egress) encodes
+    * to a real .mvt protobuf through [[sources.VectorTile.encodeTile]],
+    * the file re-ingests through [[sources.VectorTile.decodeTile]], and
+    * the decoded features land as scalars. Tile coordinates are pure
+    * integer functions of the key, so the oracle replays the whole
+    * zigzag/varint/command-stream round trip with zero FP. Closes the
+    * last §2 row that stayed external (tippecanoe, `indicators.sh:109`);
+    * the distributed lon/lat tiler (`writeTiles`) is spec-covered.
+    */
+  private def qf4VectorTile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val feats = nations.map { case (k, name) =>
+      sources.VectorTile.Feature(
+        k, 1,
+        Seq(Seq((((k * 163) % 4096).toInt, ((k * 311) % 4096).toInt))),
+        Map("name" -> name))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qf4")
+    val p = tmp.resolve("0.mvt")
+    java.nio.file.Files.write(
+      p, sources.VectorTile.encodeTile(Seq(sources.VectorTile.Layer("nations", 4096, feats.toSeq))))
+    sources.VectorTile
+      .decodeTile(java.nio.file.Files.readAllBytes(p))
+      .flatMap(l => l.features.map(f =>
+        (f.id, f.geometry.head.head._1, f.geometry.head.head._2, f.attrs("name"))))
+      .toDF("id", "px", "py", "name")
+  }
+
   // ------------------------------------------------- routing (G6/G7/G8-10)
   /** G6 — many-to-many route matrix via the custom Catalyst operator
     * (RouteMatrixRelation → RouteMatrixExec). DuckDB oracle: hop-bounded
@@ -1631,11 +1686,13 @@ object SparkEntry {
     "qf1_shapefile" -> (qf1ShapefileScan _),
     "qf2_geojson" -> (qf2GeoJsonRoundtrip _),
     "qf3_osmxml" -> (qf3OsmRoundtrip _),
+    "qf4_vector_tile" -> (qf4VectorTile _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
     "qm2_media_features" -> (qm2MediaFeatures _),
     "qm4_jpeg_pixels" -> (qm4JpegPixels _),
+    "qm5_png_pixels" -> (qm5PngPixels _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -1830,6 +1887,14 @@ object SparkEntry {
     // through the engine's own writer and re-ingests it; every value is a
     // binary-exact double, so the oracle regenerates the layer from
     // generate_series with no parse in the loop.
+    // MVT round trip is integer-exact: tile coords are pure functions of
+    // the key, the protobuf/zigzag machinery must reproduce them.
+    "qf4_vector_tile" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST((n_nationkey * 163) % 4096 AS INTEGER) AS px,
+        |  CAST((n_nationkey * 311) % 4096 AS INTEGER) AS py,
+        |  n_name AS name
+        |FROM nation""".stripMargin,
     // JPEG-in-TIFF: block-constant pixels are exact through the codec
     // (DC-only under the uniform quant table), so every cell replays.
     "qz5_raster_jpeg" ->
@@ -2357,6 +2422,32 @@ object SparkEntry {
         |  FROM blocks GROUP BY doc_id, br
         |), nrm AS (
         |  SELECT doc_id, sqrt(sum(4.0 * CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS fn
+        |  FROM chunkf GROUP BY doc_id
+        |)
+        |SELECT s.doc_id AS media_id,
+        |  round(s.mean_byte, 4) AS mean_byte,
+        |  round(e.entropy, 4) AS byte_entropy,
+        |  round(n.fn, 4) AS feature_norm
+        |FROM stats s JOIN ent e USING (doc_id) JOIN nrm n USING (doc_id)""".stripMargin,
+    // PNG is lossless: all 1024 per-doc pixels replay individually.
+    // Chunk i covers bytes 64i..64i+63 (1024/16); power-of-two divisors
+    // keep every division exact, same as the qm4 contract.
+    "qm5_png_pixels" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.i AS idx, (t.i * 7919 + d.doc_id) % 256 AS v
+        |  FROM documents d CROSS JOIN generate_series(0, 1023) t(i)
+        |), stats AS (
+        |  SELECT doc_id, sum(v) / 1024.0 AS mean_byte FROM px GROUP BY doc_id
+        |), counts AS (
+        |  SELECT doc_id, v, count(*)::DOUBLE AS c FROM px GROUP BY doc_id, v
+        |), ent AS (
+        |  SELECT doc_id, sum(-(c / 1024.0) * ln(c / 1024.0) / ln(2)) AS entropy
+        |  FROM counts GROUP BY doc_id
+        |), chunkf AS (
+        |  SELECT doc_id, idx // 64 AS ch, CAST(sum(v) / 64.0 / 255.0 AS FLOAT) AS f
+        |  FROM px GROUP BY doc_id, idx // 64
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(sum(CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS fn
         |  FROM chunkf GROUP BY doc_id
         |)
         |SELECT s.doc_id AS media_id,

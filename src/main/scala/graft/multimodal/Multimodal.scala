@@ -241,6 +241,8 @@ object Multimodal {
     imageDims(safeBytes(bytes)) match {
       case Some(("jpeg", _, _)) =>
         scala.util.Try(graft.sources.Jpeg.decodeGray(safeBytes(bytes))).toOption.map(_._3)
+      case Some(("png", _, _)) =>
+        scala.util.Try(graft.sources.Png.decodeGray(safeBytes(bytes))).toOption.map(_._3)
       case _ => None
     }
 
@@ -276,6 +278,21 @@ object Multimodal {
           ((bc * 5 + br * 7 + id) % 251).toInt
         }
         Media(id, MediaMeta("image", w, h, 0), graft.sources.Jpeg.encodeGray(px, w, h))
+      }
+    }
+  }
+
+  /** PNG media fixture: PNG is lossless, so the pixels are ARBITRARY
+    * per-document values (no block-constant constraint like the JPEG
+    * fixture) — every pixel still replays in SQL.
+    */
+  def pngMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 32; val h = 32
+        val px = Array.tabulate(w * h)(i => ((i * 7919 + id) % 256).toInt)
+        Media(id, MediaMeta("image", w, h, 0), graft.sources.Png.encodeGray(px, w, h))
       }
     }
   }
