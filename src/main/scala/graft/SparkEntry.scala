@@ -1085,6 +1085,55 @@ object SparkEntry {
           4).as("feature_norm"))
   }
 
+  /** Multimodal audio tier — REAL WAV/PCM decode ([[sources.Wav]]): one
+    * 1024-sample PCM16 clip per document, encoded executor-side and
+    * decoded back to actual samples; mean |amplitude| and RMS are
+    * integer-exact sums over power-of-two counts, so the oracle replays
+    * them from generate_series with no FP slack at all (sqrt is
+    * IEEE-correctly-rounded in both engines).
+    */
+  private def qm6WavAudio(spark: SparkSession, dir: String): DataFrame = {
+    val media = multimodal.Multimodal.wavMediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .extractAudioFeatures(media)
+      .select(
+        col("media_id"),
+        col("sample_rate"),
+        col("n_samples"),
+        round(col("mean_amp"), 6).as("mean_amp"),
+        round(col("rms"), 6).as("rms"))
+  }
+
+  /** Multimodal REAL resize — PNG fixture → decode → 2×2 integer box
+    * average → lossless PNG re-encode → decode again; output is a per-doc
+    * pixel mean plus a position-weighted checksum that pins EVERY resized
+    * pixel. All arithmetic is integer (floor mean) or power-of-two
+    * division — zero FP slack in the oracle replay.
+    */
+  private def qm7Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.pngMediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .resizeDecoded(media, 2)
+      .mapPartitions { it =>
+        it.map { m =>
+          val px = multimodal.Multimodal.decodeImage(m.bytes).get
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = px(i) & 0xff
+            sum += v
+            chk += v.toLong * (i + 1)
+            i += 1
+          }
+          (m.media_id, m.meta.width, m.meta.height, sum / 256.0, chk)
+        }
+      }
+      .toDF("media_id", "width", "height", "mean_px", "checksum")
+      .withColumn("mean_px", round(col("mean_px"), 6))
+  }
+
   /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
     * reference data model: 10-element RP arrays + bridges struct array);
     * full closed-form oracle.
@@ -1693,6 +1742,8 @@ object SparkEntry {
     "qm2_media_features" -> (qm2MediaFeatures _),
     "qm4_jpeg_pixels" -> (qm4JpegPixels _),
     "qm5_png_pixels" -> (qm5PngPixels _),
+    "qm6_wav_audio" -> (qm6WavAudio _),
+    "qm7_resize" -> (qm7Resize _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -2429,6 +2480,36 @@ object SparkEntry {
         |  round(e.entropy, 4) AS byte_entropy,
         |  round(n.fn, 4) AS feature_norm
         |FROM stats s JOIN ent e USING (doc_id) JOIN nrm n USING (doc_id)""".stripMargin,
+    // WAV/PCM replay: integer sample sums over power-of-two counts —
+    // zero FP slack (sqrt is correctly rounded in both engines).
+    "qm6_wav_audio" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, ((t.i * 2731 + d.doc_id * 17) % 65536) - 32768 AS v
+        |  FROM documents d CROSS JOIN generate_series(0, 1023) t(i))
+        |SELECT doc_id AS media_id,
+        |  CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(1024 AS BIGINT) AS n_samples,
+        |  round(CAST(sum(abs(v)) AS DOUBLE) / 1024.0, 6) AS mean_amp,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 1024.0), 6) AS rms
+        |FROM s GROUP BY doc_id""".stripMargin,
+    // Resize replay: out(y,x) = floor-mean of the 2x2 source block of the
+    // PNG fixture p(r,c) = ((r*32+c)*7919 + doc_id) % 256; the weighted
+    // checksum pins every resized pixel individually.
+    "qm7_resize" ->
+      """WITH o AS (
+        |  SELECT d.doc_id, t.i AS idx,
+        |    ( (((t.i // 16) * 2 * 32 + (t.i % 16) * 2) * 7919 + d.doc_id) % 256
+        |    + (((t.i // 16) * 2 * 32 + (t.i % 16) * 2 + 1) * 7919 + d.doc_id) % 256
+        |    + ((((t.i // 16) * 2 + 1) * 32 + (t.i % 16) * 2) * 7919 + d.doc_id) % 256
+        |    + ((((t.i // 16) * 2 + 1) * 32 + (t.i % 16) * 2 + 1) * 7919 + d.doc_id) % 256
+        |    ) // 4 AS v
+        |  FROM documents d CROSS JOIN generate_series(0, 255) t(i))
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height,
+        |  round(sum(v) / 256.0, 6) AS mean_px,
+        |  CAST(sum(v * (idx + 1)) AS BIGINT) AS checksum
+        |FROM o GROUP BY doc_id""".stripMargin,
     // PNG is lossless: all 1024 per-doc pixels replay individually.
     // Chunk i covers bytes 64i..64i+63 (1024/16); power-of-two divisors
     // keep every division exact, same as the qm4 contract.

@@ -282,6 +282,111 @@ object Multimodal {
     }
   }
 
+  case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      mean_amp: Double,
+      rms: Double)
+
+  /** REAL audio decode tier: WAV/PCM payloads decode to actual samples
+    * through [[graft.sources.Wav]] (PCM needs no codec library at all).
+    * Non-WAV or corrupt payloads → None.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    scala.util.Try(graft.sources.Wav.decode(safeBytes(bytes))).toOption
+
+  /** Audio features over REAL decoded samples: mean |amplitude| and RMS —
+    * integer-exact sums (Σ|v| < 2^25, Σv² < 2^40 for 1k samples) divided
+    * by power-of-two counts, so the stats replay bit-identically in SQL.
+    * Undecodable payloads yield a zero-sample row rather than failing the
+    * partition.
+    */
+  def extractAudioFeatures(media: Dataset[Media]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeAudio(m.bytes) match {
+          case Some((rate, _, samples)) =>
+            var sumAbs = 0L
+            var sumSq = 0L
+            samples.foreach { s => sumAbs += math.abs(s.toLong); sumSq += s.toLong * s }
+            val n = samples.length
+            AudioFeatures(
+              m.media_id, rate, n.toLong,
+              if (n == 0) 0.0 else sumAbs.toDouble / n,
+              if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+          case None => AudioFeatures(m.media_id, 0, 0L, 0.0, 0.0)
+        }
+      }
+    }
+  }
+
+  /** REAL resize tier: decodable image payloads decode to pixels,
+    * box-average `factor`×`factor` blocks (integer floor mean —
+    * deterministic, SQL-replayable), and re-encode LOSSLESSLY as PNG;
+    * metadata tracks the payload in lockstep. Payloads without a codec
+    * (or with dims not divisible by the factor) fall back to the stub
+    * byte-subsampling so the pipeline shape never branches.
+    */
+  def resizeDecoded(media: Dataset[Media], factor: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1)
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = safeBytes(m.bytes)
+        (imageDims(bytes), decodeImage(bytes)) match {
+          case (Some((_, w, h)), Some(px)) if w % factor == 0 && h % factor == 0 =>
+            val nw = w / factor
+            val nh = h / factor
+            val out = new Array[Int](nw * nh)
+            var y = 0
+            while (y < nh) {
+              var x = 0
+              while (x < nw) {
+                var s = 0
+                var dy = 0
+                while (dy < factor) {
+                  var dx = 0
+                  while (dx < factor) {
+                    s += px((y * factor + dy) * w + x * factor + dx) & 0xff
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                out(y * nw + x) = s / (factor * factor)
+                x += 1
+              }
+              y += 1
+            }
+            Media(
+              m.media_id,
+              m.meta.copy(width = nw, height = nh),
+              graft.sources.Png.encodeGray(out, nw, nh))
+          case _ =>
+            val step = factor * factor
+            val sub = new Array[Byte]((bytes.length + step - 1) / step)
+            var i = 0
+            while (i < sub.length) { sub(i) = bytes(i * step); i += 1 }
+            Media(m.media_id, m.meta.copy(width = m.meta.width / factor, height = m.meta.height / factor), sub)
+        }
+      }
+    }
+  }
+
+  /** WAV media fixture: 1024 deterministic PCM16 samples per document,
+    * encoded executor-side — the audio twin of [[pngMediaFromDocuments]].
+    */
+  def wavMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val samples = Array.tabulate(1024)(i => (((i * 2731 + id * 17) % 65536) - 32768).toShort)
+        Media(id, MediaMeta("audio", 0, 0, 16000), graft.sources.Wav.encodeMono16(samples, 16000))
+      }
+    }
+  }
+
   /** PNG media fixture: PNG is lossless, so the pixels are ARBITRARY
     * per-document values (no block-constant constraint like the JPEG
     * fixture) — every pixel still replays in SQL.

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** WAV/PCM codec (public RIFF/WAVE layout) — the audio modality needs no
+  * external library at all: PCM samples sit raw behind a chunked header.
+  * Decoder accepts PCM (format 1) 16-bit and 8-bit, any channel count;
+  * encoder emits 16-bit mono. Compressed WAVs (ADPCM, float, MP3-in-WAV)
+  * throw loudly.
+  */
+object Wav {
+
+  /** (sampleRate, channels, interleaved samples as Short — 8-bit input is
+    * centered and scaled to the 16-bit range like any PCM reader).
+    */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(bytes.length >= 44, "not a WAV stream (too short)")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "not a WAV stream (missing RIFF/WAVE)")
+    var pos = 12
+    var fmt = -1
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length && (fmt < 0 || samples == null)) {
+      val id = new String(bytes, pos, 4, "ASCII")
+      val len = b.getInt(pos + 4)
+      val dataOff = pos + 8
+      id match {
+        case "fmt " =>
+          fmt = b.getShort(dataOff) & 0xffff
+          require(fmt == 1, s"only PCM WAV supported (format 1), got $fmt")
+          channels = b.getShort(dataOff + 2) & 0xffff
+          rate = b.getInt(dataOff + 4)
+          bits = b.getShort(dataOff + 14) & 0xffff
+          require(bits == 8 || bits == 16, s"only 8/16-bit PCM supported, got $bits")
+        case "data" =>
+          require(fmt == 1, "data chunk before fmt chunk")
+          val n = len / (bits / 8)
+          samples = new Array[Short](n)
+          var i = 0
+          if (bits == 16) {
+            while (i < n) { samples(i) = b.getShort(dataOff + i * 2); i += 1 }
+          } else {
+            // 8-bit PCM is unsigned, centered at 128; scale to 16-bit
+            while (i < n) { samples(i) = (((bytes(dataOff + i) & 0xff) - 128) << 8).toShort; i += 1 }
+          }
+        case _ => // LIST/INFO/fact/etc — skip
+      }
+      pos = dataOff + len + (len & 1) // chunks are word-aligned
+    }
+    require(samples != null, "no data chunk")
+    (rate, channels, samples)
+  }
+
+  /** Encode 16-bit mono PCM. */
+  def encodeMono16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("ASCII"))
+    out.put("fmt ".getBytes("ASCII")).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(1) // mono
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * 2) // byte rate
+    out.putShort(2) // block align
+    out.putShort(16) // bits
+    out.put("data".getBytes("ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+}

@@ -130,4 +130,29 @@ class PngSpec extends AnyFunSuite {
     assert(graft.multimodal.Multimodal.imageDims(enc).contains(("png", w, h)))
     assert(graft.multimodal.Multimodal.decodeImage(enc).get.map(_ & 0xff).toSeq == px.toSeq)
   }
+
+  test("resizeDecoded: 2x2 box average over real pixels, lossless re-encode") {
+    val spark = graft.GraftSession.local(2, "resize-spec")
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // 4x4 with known values -> 2x2 floor means
+    val src = Array(
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      90, 100, 110, 120,
+      130, 140, 150, 161)
+    val media = Seq(Multimodal.Media(
+      1L, Multimodal.MediaMeta("image", 4, 4, 0), Png.encodeGray(src, 4, 4))).toDS()
+    val out = Multimodal.resizeDecoded(media, 2).collect().head
+    assert(out.meta.width == 2 && out.meta.height == 2)
+    val px = Multimodal.decodeImage(out.bytes).get.map(_ & 0xff)
+    // floor((10+20+50+60)/4)=35, (30+40+70+80)/4=55, (90+100+130+140)/4=115,
+    // (110+120+150+161)/4=135 (floor of 135.25)
+    assert(px.toSeq == Seq(35, 55, 115, 135))
+    // non-decodable payload falls back to byte subsampling, no throw
+    val stub = Seq(Multimodal.Media(2L, Multimodal.MediaMeta("audio", 8, 8, 0),
+      Array.tabulate[Byte](64)(_.toByte))).toDS()
+    val sub = Multimodal.resizeDecoded(stub, 2).collect().head
+    assert(sub.bytes.length == 16 && sub.meta.width == 4)
+  }
 }
