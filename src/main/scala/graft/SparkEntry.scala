@@ -1453,6 +1453,26 @@ object SparkEntry {
       .select(col("x"), col("y"), col("value"))
   }
 
+  /** S11 multi-band — a 3-band (RGB-shaped) float32 chunky-interleaved
+    * GeoTIFF writes through [[sources.GeoTiff.writeBands]] and scans back
+    * per band via [[sources.GeoTiff.readBands]]; values are exact quarter
+    * floats, so every (x, y, band, value) cell replays in SQL. Closes the
+    * single-band-only limitation for the orthophoto/multispectral case.
+    */
+  private def qz6RasterBands(spark: SparkSession, dir: String): DataFrame = {
+    val w = 32; val h = 16
+    val bands = Array.tabulate(3)(b =>
+      Array.tabulate(w * h) { i =>
+        val c = i % w; val r = i / w
+        (((c * 3 + r * 5 + b * 7) % 40) / 4.0).toFloat
+      })
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qz6")
+    sources.GeoTiff.writeBands(
+      tmp.resolve("rgb.tif").toString, w, h, bands, 1.0, 1.0, 0.0, h.toDouble, deflate = true)
+    sources.GeoTiff.readBands(spark, tmp.toString, globFilter = Some("*.tif"))
+      .select(col("x"), col("y"), col("band"), col("value"))
+  }
+
   // ------------------------------------------- file codecs (S1/S2/S3/S9/S10)
   /** S1 end-to-end — native shapefile ingest under the oracle gate: a
     * deterministic .shp/.dbf/.prj triple is materialized through
@@ -1732,6 +1752,7 @@ object SparkEntry {
     "qz3_raster_deflate" -> (qz3RasterDeflate _),
     "qz4_raster_parallel" -> (qz4RasterParallel _),
     "qz5_raster_jpeg" -> (qz5RasterJpeg _),
+    "qz6_raster_bands" -> (qz6RasterBands _),
     "qf1_shapefile" -> (qf1ShapefileScan _),
     "qf2_geojson" -> (qf2GeoJsonRoundtrip _),
     "qf3_osmxml" -> (qf3OsmRoundtrip _),
@@ -1938,6 +1959,15 @@ object SparkEntry {
     // through the engine's own writer and re-ingests it; every value is a
     // binary-exact double, so the oracle regenerates the layer from
     // generate_series with no parse in the loop.
+    // Multi-band raster: quarter-float values are exact in float32, so
+    // each (x, y, band) cell replays directly; band is the interleave
+    // position the decoder must recover from the chunky layout.
+    "qz6_raster_bands" ->
+      """SELECT i + 0.5 AS x, 16 - (j + 0.5) AS y, CAST(b AS INTEGER) AS band,
+        |  ((i * 3 + j * 5 + b * 7) % 40) / 4.0 AS value
+        |FROM generate_series(0, 31) a(i)
+        |CROSS JOIN generate_series(0, 15) c(j)
+        |CROSS JOIN generate_series(0, 2) d(b)""".stripMargin,
     // MVT round trip is integer-exact: tile coords are pure functions of
     // the key, the protobuf/zigzag machinery must reproduce them.
     "qf4_vector_tile" ->

@@ -52,7 +52,9 @@ object GeoTiff {
       // TIFF tag 317: 1 none, 2 horizontal differencing (integer samples)
       predictor: Int = 1,
       // TIFF tag 347: shared abbreviated-JPEG table stream (Compression=7)
-      jpegTables: Option[Array[Byte]] = None)
+      jpegTables: Option[Array[Byte]] = None,
+      // TIFF tag 277: samples per pixel (chunky interleave when > 1)
+      spp: Int = 1)
 
   private def typeSize(t: Int): Int = t match {
     case 1 | 2 | 6 | 7 => 1
@@ -154,12 +156,25 @@ object GeoTiff {
     require(predictor != 3 || one(339, 1.0).toInt == 3,
       "predictor 3 (floating point) requires SampleFormat 3")
     val spp = one(277, 1.0).toInt
-    require(spp == 1, s"only single-band rasters supported, got SamplesPerPixel=$spp")
+    require(spp >= 1, s"bad SamplesPerPixel=$spp")
+    // multi-band: chunky (pixel-interleaved) layout only, and the
+    // predictor/JPEG paths stay single-band — loud requires, not silent
+    // mis-decodes
+    require(spp == 1 || one(284, 1.0).toInt == 1,
+      s"multi-band rasters must be chunky (PlanarConfiguration=1), got ${one(284, 1.0).toInt}")
+    require(spp == 1 || predictor == 1,
+      "multi-band rasters with a predictor are not supported")
+    require(spp == 1 || compression != 7,
+      "JPEG compression is single-band in this reader")
     val width = one(256, 0.0).toInt
     val height = one(257, 0.0).toInt
     require(width > 0 && height > 0, "missing ImageWidth/ImageLength")
     val bits = one(258, 8.0).toInt
     val fmt = one(339, 1.0).toInt
+    require(tags.get(258).forall(a => a.forall(_ == a.head)),
+      "mixed per-band BitsPerSample not supported")
+    require(tags.get(339).forall(a => a.forall(_ == a.head)),
+      "mixed per-band SampleFormat not supported")
     val tiled = tags.contains(324)
     val offsetsD: Array[Double] = tags.get(if (tiled) 324 else 273) match {
       case Some(vs) => vs
@@ -180,7 +195,7 @@ object GeoTiff {
       if (tiled) one(322, 0.0).toInt else 0,
       if (tiled) one(323, 0.0).toInt else 0,
       one(278, height.toDouble).toInt,
-      scale(0), scale(1), ox, oy, nodata, compression, predictor, jpegTables)
+      scale(0), scale(1), ox, oy, nodata, compression, predictor, jpegTables, spp)
   }
 
   /** Inflate a zlib (Compression=8/32946) segment to exactly `outLen`. */
@@ -408,14 +423,24 @@ object GeoTiff {
   }
 
   def cells(bytes: Array[Byte], h: Header): Iterator[(Int, Int, Double)] = {
+    require(h.spp == 1, s"multi-band raster (spp=${h.spp}) — use cellsBands/readBands")
+    cellsBands(bytes, h).map { case (c, r, _, v) => (c, r, v) }
+  }
+
+  /** Per-band cell iterator for chunky (pixel-interleaved) rasters:
+    * (col, row, band, value). Single-band rasters emit band 0 — the
+    * general form [[cells]] specializes.
+    */
+  def cellsBands(bytes: Array[Byte], h: Header): Iterator[(Int, Int, Int, Double)] = {
     val order = if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val bytesPerSample = h.bits / 8
+    val spp = h.spp
     def sample(buf: ByteBuffer, o: Int): Double = sampleAt(buf, o, h.bits, h.sampleFormat)
-    def segment(idx: Int, rowSamples: Int, rows: Int): ByteBuffer =
+    def segment(idx: Int, rowPixels: Int, rows: Int): ByteBuffer =
       segmentBuffer(
         bytes, h.offsets(idx).toInt, h.byteCounts(idx).toInt, order,
-        h.compression, h.predictor, h.bits, rowSamples, rows, h.jpegTables)
-    val raw: Iterator[(Int, Int, Double)] =
+        h.compression, h.predictor, h.bits, rowPixels * spp, rows, h.jpegTables)
+    val raw: Iterator[(Int, Int, Int, Double)] =
       if (h.tileW > 0) {
         val across = (h.width + h.tileW - 1) / h.tileW
         Iterator.range(0, h.offsets.length).flatMap { t =>
@@ -426,7 +451,8 @@ object GeoTiff {
             Iterator.range(0, h.tileW).flatMap { i =>
               val col = tCol + i; val row = tRow + j
               if (col < h.width && row < h.height)
-                Iterator.single((col, row, sample(seg, (j * h.tileW + i) * bytesPerSample)))
+                Iterator.range(0, spp).map(b =>
+                  (col, row, b, sample(seg, ((j * h.tileW + i) * spp + b) * bytesPerSample)))
               else Iterator.empty // edge-tile padding
             }
           }
@@ -437,14 +463,15 @@ object GeoTiff {
           val rows = math.min(h.rowsPerStrip, h.height - row0)
           val seg = segment(s, h.width, rows)
           Iterator.range(0, rows).flatMap { j =>
-            Iterator.range(0, h.width).map { i =>
-              (i, row0 + j, sample(seg, (j * h.width + i) * bytesPerSample))
+            Iterator.range(0, h.width).flatMap { i =>
+              Iterator.range(0, spp).map(b =>
+                (i, row0 + j, b, sample(seg, ((j * h.width + i) * spp + b) * bytesPerSample)))
             }
           }
         }
       }
     h.nodata match {
-      case Some(nd) => raw.filter { case (_, _, v) => v != nd && !(v.isNaN && nd.isNaN) }
+      case Some(nd) => raw.filter { case (_, _, _, v) => v != nd && !(v.isNaN && nd.isNaN) }
       case None => raw
     }
   }
@@ -667,7 +694,13 @@ object GeoTiff {
       jpegTables: Option[Array[Byte]] = None)
 
   /** Split a header into per-strip/per-tile segment tasks. */
-  private[sources] def segmentsOf(h: Header, path: String, little: Boolean): Seq[RasterSegment] =
+  private[sources] def segmentsOf(h: Header, path: String, little: Boolean): Seq[RasterSegment] = {
+    require(h.spp == 1,
+      s"readParallel is single-band (spp=${h.spp}) — use readBands for multi-band rasters")
+    segmentsOfImpl(h, path, little)
+  }
+
+  private def segmentsOfImpl(h: Header, path: String, little: Boolean): Seq[RasterSegment] =
     if (h.tileW > 0) {
       val across = (h.width + h.tileW - 1) / h.tileW
       h.offsets.indices.map { t =>
@@ -795,5 +828,111 @@ object GeoTiff {
         }
       }
       .toDF("path", "x", "y", "value")
+  }
+
+  /** Multi-band scan: (path, x, y, band, value) — the general form of
+    * [[read]] for chunky-interleaved rasters (RGB orthophotos, multi-
+    * spectral stacks). Single-band files come back with band 0.
+    */
+  def readBands(spark: SparkSession, path: String, globFilter: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val reader = spark.read.format("binaryFile")
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val h = parseHeader(bytes)
+        cellsBands(bytes, h).map { case (col, row, b, v) =>
+          (p, h.ox + (col + 0.5) * h.sx, h.oy - (row + 0.5) * h.sy, b, v)
+        }
+      }
+      .toDF("path", "x", "y", "band", "value")
+  }
+
+  /** Multi-band float32 sink (chunky interleave, single strip,
+    * optionally deflate): `bands(b)(row*width+col)` — the writer twin of
+    * [[readBands]].
+    */
+  def writeBands(
+      path: String,
+      width: Int,
+      height: Int,
+      bands: Array[Array[Float]],
+      sx: Double,
+      sy: Double,
+      ox: Double,
+      oy: Double,
+      deflate: Boolean = false): Unit = {
+    val spp = bands.length
+    require(spp >= 1 && bands.forall(_.length == width * height),
+      "each band must be width*height row-major")
+    val interleaved = ByteBuffer.allocate(width * height * spp * 4).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < width * height) {
+      var b = 0
+      while (b < spp) { interleaved.putFloat(bands(b)(i)); b += 1 }
+      i += 1
+    }
+    val payload0 = interleaved.array()
+    val payload = if (!deflate) payload0 else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(payload0); d.finish()
+      val buf = new Array[Byte](payload0.length + 64)
+      val m = d.deflate(buf)
+      require(d.finished(), "deflate grew the payload; write uncompressed")
+      d.end()
+      java.util.Arrays.copyOf(buf, m)
+    }
+    // tags: 256 W, 257 H, 258 bits×spp, 259 comp, 273 strip off, 277 spp,
+    // 278 rows/strip, 279 strip bytes, 284 planar, 339 fmt×spp,
+    // 33550 scale, 33922 tiepoint
+    val n = 12
+    val ifdOff = 8
+    var cursor = ifdOff + 2 + n * 12 + 4
+    val bitsOff = { val o = cursor; if (spp > 2) cursor += spp * 2; o }
+    val fmtOff = { val o = cursor; if (spp > 2) cursor += spp * 2; o }
+    val scaleOff = cursor; cursor += 24
+    val tieOff = cursor; cursor += 48
+    val payloadOff = cursor
+    val out = ByteBuffer.allocate(payloadOff + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
+    var e = 0
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      val off = ifdOff + 2 + e * 12
+      out.putShort(off, tag.toShort)
+      out.putShort(off + 2, typ.toShort)
+      out.putInt(off + 4, count)
+      out.putInt(off + 8, value)
+      e += 1
+    }
+    // SHORT arrays of count<=2 fit inline (little-endian packing)
+    def inlineShorts(v: Int): Int = if (spp == 1) v else v | (v << 16)
+    out.putShort(ifdOff, n.toShort)
+    entry(256, 3, 1, width)
+    entry(257, 3, 1, height)
+    entry(258, 3, spp, if (spp <= 2) inlineShorts(32) else bitsOff)
+    entry(259, 3, 1, if (deflate) 8 else 1)
+    entry(273, 4, 1, payloadOff)
+    entry(277, 3, 1, spp)
+    entry(278, 3, 1, height)
+    entry(279, 4, 1, payload.length)
+    entry(284, 3, 1, 1) // chunky
+    entry(339, 3, spp, if (spp <= 2) inlineShorts(3) else fmtOff)
+    entry(33550, 12, 3, scaleOff)
+    entry(33922, 12, 6, tieOff)
+    out.putInt(ifdOff + 2 + n * 12, 0)
+    if (spp > 2) {
+      (0 until spp).foreach { b =>
+        out.putShort(bitsOff + b * 2, 32.toShort)
+        out.putShort(fmtOff + b * 2, 3.toShort)
+      }
+    }
+    out.putDouble(scaleOff, sx).putDouble(scaleOff + 8, sy).putDouble(scaleOff + 16, 0.0)
+    out.putDouble(tieOff, 0.0).putDouble(tieOff + 8, 0.0).putDouble(tieOff + 16, 0.0)
+    out.putDouble(tieOff + 24, ox).putDouble(tieOff + 32, oy).putDouble(tieOff + 40, 0.0)
+    out.position(payloadOff)
+    out.put(payload)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
   }
 }

@@ -7,10 +7,11 @@ package graft.sources
   * this way, `scripts/imgstats/img-stats.py:88-102` delegates it to
   * rasterio/GDAL — here decoded natively).
   *
-  * Scope: baseline sequential (SOF0), one component, 8-bit precision,
-  * canonical huffman tables from DHT (any, not just Annex K), restart
-  * markers (DRI/RSTn), abbreviated table/image streams. Progressive,
-  * arithmetic coding and multi-component scans throw loudly.
+  * Scope: baseline sequential (SOF0), 8-bit precision, one component
+  * (grayscale) or three (YCbCr, sampling factors ≤ 2 — covers 4:4:4,
+  * 4:2:2 and 4:2:0 interleaved scans), canonical huffman tables from DHT
+  * (any, not just Annex K), restart markers (DRI/RSTn), abbreviated
+  * table/image streams. Progressive and arithmetic coding throw loudly.
   *
   * Both directions are implemented against the spec, self-consistent AND
   * interchange-conformant: the encoder emits its (canonical, explicit)
@@ -303,11 +304,6 @@ object Jpeg {
     val dcCodes = encodeTable(DcSpec)
     val acCodes = encodeTable(AcSpec)
     val bw = new BitWriter(out)
-    def emit(codes: Array[Int], sym: Int): Unit = {
-      val e = codes(sym)
-      require(e >= 0, s"symbol $sym missing from huffman table")
-      bw.put(e & 0xffffff, e >>> 24)
-    }
     val blocksAcross = (w + 7) / 8
     val blocksDown = (h + 7) / 8
     var dcPred = 0
@@ -322,48 +318,143 @@ object Jpeg {
           out.write(0xff); out.write(0xd0 + n)
           dcPred = 0
         }
-        // extract block, replicating edge pixels beyond w/h
-        val s = new Array[Double](64)
-        var y = 0
-        while (y < 8) {
-          val py = math.min(by * 8 + y, h - 1)
-          var x = 0
-          while (x < 8) {
-            val px = math.min(bx * 8 + x, w - 1)
-            s(y * 8 + x) = pixels(py * w + px) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        val coef = fdct(s)
-        val q = new Array[Int](64)
-        var k = 0
-        while (k < 64) { q(k) = math.round(coef(Zigzag(k)) / QuantTable(Zigzag(k))).toInt; k += 1 }
-        // DC
-        val diff = q(0) - dcPred
-        dcPred = q(0)
-        val t = category(diff)
-        emit(dcCodes, t)
-        if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-        // AC run-length
-        var run = 0
-        k = 1
-        while (k < 64) {
-          if (q(k) == 0) run += 1
-          else {
-            while (run >= 16) { emit(acCodes, 0xf0); run -= 16 } // ZRL
-            val sz = category(q(k))
-            emit(acCodes, (run << 4) | sz)
-            bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) emit(acCodes, 0x00) // EOB
+        dcPred = emitBlock(bw, dcCodes, acCodes, pixels, w, h, bx * 8, by * 8, dcPred)
         mcu += 1
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Extract (edge-replicated), FDCT, quantize and huffman-emit one 8×8
+    * block from `plane`; returns the updated DC predictor.
+    */
+  private def emitBlock(
+      bw: BitWriter,
+      dcCodes: Array[Int],
+      acCodes: Array[Int],
+      plane: Array[Int],
+      pw: Int,
+      ph: Int,
+      x0: Int,
+      y0: Int,
+      pred: Int): Int = {
+    def emit(codes: Array[Int], sym: Int): Unit = {
+      val e = codes(sym)
+      require(e >= 0, s"symbol $sym missing from huffman table")
+      bw.put(e & 0xffffff, e >>> 24)
+    }
+    val s = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      val py = math.min(y0 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val px = math.min(x0 + x, pw - 1)
+        s(y * 8 + x) = plane(py * pw + px) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    val coef = fdct(s)
+    val q = new Array[Int](64)
+    var k = 0
+    while (k < 64) { q(k) = math.round(coef(Zigzag(k)) / QuantTable(Zigzag(k))).toInt; k += 1 }
+    val diff = q(0) - pred
+    val t = category(diff)
+    emit(dcCodes, t)
+    if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    var run = 0
+    k = 1
+    while (k < 64) {
+      if (q(k) == 0) run += 1
+      else {
+        while (run >= 16) { emit(acCodes, 0xf0); run -= 16 } // ZRL
+        val sz = category(q(k))
+        emit(acCodes, (run << 4) | sz)
+        bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) emit(acCodes, 0x00) // EOB
+    q(0)
+  }
+
+  /** Encode YCbCr color: `subsample = false` → 4:4:4 (one block per
+    * component per MCU); `true` → 4:2:0 (Y at 2×2, chroma box-averaged to
+    * half resolution, 4+1+1 blocks per 16×16 MCU). All components share
+    * quant/huffman table 0 — legal baseline, and what keeps the
+    * block-constant exactness argument intact for color fixtures too.
+    */
+  def encodeColor(
+      yP: Array[Int],
+      cbP: Array[Int],
+      crP: Array[Int],
+      w: Int,
+      h: Int,
+      subsample: Boolean,
+      includeTables: Boolean = true): Array[Byte] = {
+    require(yP.length == w * h && cbP.length == w * h && crP.length == w * h,
+      "planes must be w*h row-major at full resolution")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    if (includeTables) {
+      writeSeg(out, 0xdb, dqtPayload)
+      writeSeg(out, 0xc4, dhtPayload(0x00, DcSpec))
+      writeSeg(out, 0xc4, dhtPayload(0x10, AcSpec))
+    }
+    val ys = if (subsample) 2 else 1
+    writeSeg(out, 0xc0, Array[Byte](
+      8, ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3,
+      1, ((ys << 4) | ys).toByte, 0,
+      2, 0x11, 0,
+      3, 0x11, 0))
+    writeSeg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    // chroma planes at component resolution
+    val (cw, chh, cb, cr) =
+      if (!subsample) (w, h, cbP, crP)
+      else {
+        val cw = (w + 1) / 2
+        val chh = (h + 1) / 2
+        def down(p: Array[Int]): Array[Int] = Array.tabulate(cw * chh) { i =>
+          val x = (i % cw) * 2; val y = (i / cw) * 2
+          val x1 = math.min(x + 1, w - 1); val y1 = math.min(y + 1, h - 1)
+          (p(y * w + x) + p(y * w + x1) + p(y1 * w + x) + p(y1 * w + x1)) / 4
+        }
+        (cw, chh, down(cbP), down(crP))
+      }
+    val dcCodes = encodeTable(DcSpec)
+    val acCodes = encodeTable(AcSpec)
+    val bw = new BitWriter(out)
+    val mcusX = (w + 8 * ys - 1) / (8 * ys)
+    val mcusY = (h + 8 * ys - 1) / (8 * ys)
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var byy = 0
+        while (byy < ys) {
+          var bxx = 0
+          while (bxx < ys) {
+            predY = emitBlock(bw, dcCodes, acCodes, yP, w, h,
+              (mx * ys + bxx) * 8, (my * ys + byy) * 8, predY)
+            bxx += 1
+          }
+          byy += 1
+        }
+        predCb = emitBlock(bw, dcCodes, acCodes, cb, cw, chh, mx * 8, my * 8, predCb)
+        predCr = emitBlock(bw, dcCodes, acCodes, cr, cw, chh, mx * 8, my * 8, predCr)
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     out.write(0xff); out.write(0xd9) // EOI
@@ -381,6 +472,14 @@ object Jpeg {
     var restartInterval = 0
   }
 
+  /** One decoded component plane at its own (padded-to-MCU) resolution,
+    * with its sampling factors relative to the frame.
+    */
+  final case class Plane(w: Int, h: Int, hs: Int, vs: Int, data: Array[Byte])
+
+  /** Frame dimensions + component planes (1 = grayscale, 3 = YCbCr). */
+  final case class DecodedImage(w: Int, h: Int, planes: Seq[Plane])
+
   /** Populate a [[TableState]] from an abbreviated table stream (the TIFF
     * JPEGTables tag). Returns the state for [[decodeGray]].
     */
@@ -390,21 +489,84 @@ object Jpeg {
     st
   }
 
-  /** Decode one baseline grayscale stream to (w, h, pixels 0..255). */
-  def decodeGray(bytes: Array[Byte], pre: TableState = new TableState): (Int, Int, Array[Byte]) =
+  /** Decode any supported stream collapsed to one gray plane: grayscale
+    * passes through; color returns the LUMA (Y) component — Y carries
+    * full sampling resolution in every supported layout.
+    */
+  def decodeGray(bytes: Array[Byte], pre: TableState = new TableState): (Int, Int, Array[Byte]) = {
+    val img = decodeImage(bytes, pre)
+    val yp = img.planes.head
+    val hMax = img.planes.map(_.hs).max
+    val vMax = img.planes.map(_.vs).max
+    require(yp.hs == hMax && yp.vs == vMax, "luma is subsampled relative to chroma")
+    val out = new Array[Byte](img.w * img.h)
+    var y = 0
+    while (y < img.h) {
+      System.arraycopy(yp.data, y * yp.w, out, y * img.w, img.w)
+      y += 1
+    }
+    (img.w, img.h, out)
+  }
+
+  /** Decode to interleaved RGB (color) or replicated gray: chroma
+    * upsamples nearest-neighbor, YCbCr→RGB uses the JFIF formulas.
+    */
+  def decodeRgb(bytes: Array[Byte], pre: TableState = new TableState): (Int, Int, Array[Byte]) = {
+    val img = decodeImage(bytes, pre)
+    val out = new Array[Byte](img.w * img.h * 3)
+    val hMax = img.planes.map(_.hs).max
+    val vMax = img.planes.map(_.vs).max
+    def sample(p: Plane, x: Int, y: Int): Int =
+      p.data(math.min(y * p.vs / vMax, p.h - 1) * p.w + math.min(x * p.hs / hMax, p.w - 1)) & 0xff
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        val o = (y * img.w + x) * 3
+        if (img.planes.length == 1) {
+          val g = sample(img.planes.head, x, y)
+          out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
+        } else {
+          val yy = sample(img.planes(0), x, y).toDouble
+          val cb = sample(img.planes(1), x, y) - 128.0
+          val cr = sample(img.planes(2), x, y) - 128.0
+          def clamp(v: Double): Byte = {
+            val r = math.round(v).toInt
+            (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          }
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (img.w, img.h, out)
+  }
+
+  /** Decode one baseline stream (grayscale or YCbCr, any sampling with
+    * factors ≤ 2) to per-component planes.
+    */
+  def decodeImage(bytes: Array[Byte], pre: TableState = new TableState): DecodedImage =
     scanMarkers(bytes, pre, decodeScan = true).getOrElse(
       throw new IllegalArgumentException("no SOS scan in JPEG stream"))
+
+  private final class FrameComp(val id: Int, val hs: Int, val vs: Int, val tq: Int) {
+    var td = 0
+    var ta = 0
+  }
 
   private def scanMarkers(
       bytes: Array[Byte],
       st: TableState,
-      decodeScan: Boolean): Option[(Int, Int, Array[Byte])] = {
+      decodeScan: Boolean): Option[DecodedImage] = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "not a JPEG stream (missing SOI)")
     var pos = 2
     var w = 0
     var h = 0
-    var compTq = 0
+    var comps: Array[FrameComp] = null
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
     while (pos < bytes.length) {
       require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos, got ${bytes(pos) & 0xff}%02X")
@@ -451,80 +613,115 @@ object Jpeg {
           h = u16(pos + 3)
           w = u16(pos + 5)
           val ncomp = bytes(pos + 7) & 0xff
-          require(ncomp == 1, s"only single-component (grayscale) JPEG supported, got $ncomp")
-          require((bytes(pos + 9) & 0xff) == 0x11, "subsampling on a 1-component image")
-          compTq = bytes(pos + 10) & 0x0f
+          require(ncomp == 1 || ncomp == 3,
+            s"only 1 (gray) or 3 (YCbCr) components supported, got $ncomp")
+          comps = Array.tabulate(ncomp) { c =>
+            val o = pos + 8 + c * 3
+            val fc = new FrameComp(
+              bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4, bytes(o + 1) & 0x0f, bytes(o + 2) & 0x0f)
+            require(fc.hs >= 1 && fc.hs <= 2 && fc.vs >= 1 && fc.vs <= 2,
+              s"sampling factors ${fc.hs}x${fc.vs} unsupported (1 or 2 only)")
+            fc
+          }
           pos += len
         case sof if sof >= 0xc1 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
           throw new IllegalArgumentException(
             f"unsupported JPEG SOF$sof%02X (only baseline sequential SOF0)")
         case 0xda => // SOS
           val len = u16(pos)
-          require((bytes(pos + 2) & 0xff) == 1, "multi-component scan on grayscale decoder")
-          val td = (bytes(pos + 4) & 0xff) >> 4
-          val ta = bytes(pos + 4) & 0x0f
+          require(comps != null, "SOS before SOF0")
+          val ns = bytes(pos + 2) & 0xff
+          require(ns == comps.length, "partial scans not supported (baseline interleaved only)")
+          (0 until ns).foreach { i =>
+            val cid = bytes(pos + 3 + i * 2) & 0xff
+            val sel = bytes(pos + 4 + i * 2) & 0xff
+            val c = comps.find(_.id == cid).getOrElse(
+              throw new IllegalArgumentException(s"scan references unknown component $cid"))
+            c.td = sel >> 4
+            c.ta = sel & 0x0f
+          }
           pos += len
           if (!decodeScan)
             throw new IllegalArgumentException("image scan inside a tables-only stream")
           require(w > 0 && h > 0, "SOS before SOF0")
-          val quant = st.quant(compTq)
-          val dcDec = st.dc(td)
-          val acDec = st.ac(ta)
-          require(quant != null, s"missing quantization table $compTq")
-          require(dcDec != null && acDec != null, s"missing huffman tables (DC $td / AC $ta)")
-          val px = new Array[Byte](w * h)
+          comps.foreach { c =>
+            require(st.quant(c.tq) != null, s"missing quantization table ${c.tq}")
+            require(st.dc(c.td) != null && st.ac(c.ta) != null,
+              s"missing huffman tables (DC ${c.td} / AC ${c.ta})")
+          }
+          val hMax = comps.map(_.hs).max
+          val vMax = comps.map(_.vs).max
+          val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+          val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+          val planes = comps.map(c =>
+            Plane(mcusX * 8 * c.hs, mcusY * 8 * c.vs, c.hs, c.vs,
+              new Array[Byte](mcusX * 8 * c.hs * mcusY * 8 * c.vs)))
+          val dcPred = new Array[Int](comps.length)
           val br = new BitReader(bytes, pos)
-          val blocksAcross = (w + 7) / 8
-          val blocksDown = (h + 7) / 8
-          var dcPred = 0
           var mcu = 0
-          var by = 0
-          while (by < blocksDown) {
-            var bx = 0
-            while (bx < blocksAcross) {
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
               if (st.restartInterval > 0 && mcu > 0 && mcu % st.restartInterval == 0) {
                 br.expectRestart(mcu / st.restartInterval - 1)
-                dcPred = 0
+                java.util.Arrays.fill(dcPred, 0)
               }
-              val coef = new Array[Double](64)
-              val t = dcDec.decode(br)
-              dcPred += extend(br.receive(t), t)
-              coef(0) = dcPred.toDouble * quant(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = acDec.decode(br)
-                if (rs == 0x00) eob = true // EOB
-                else if (rs == 0xf0) k += 16 // ZRL
-                else {
-                  k += rs >> 4
-                  require(k < 64, "AC run past block end")
-                  val sz = rs & 0x0f
-                  coef(Zigzag(k)) = extend(br.receive(sz), sz).toDouble * quant(Zigzag(k))
-                  k += 1
-                }
-              }
-              val s = idct(coef)
-              var y = 0
-              while (y < 8) {
-                val py = by * 8 + y
-                var x = 0
-                while (x < 8) {
-                  val pxl = bx * 8 + x
-                  if (py < h && pxl < w) {
-                    val v = math.round(s(y * 8 + x) + 128.0).toInt
-                    px(py * w + pxl) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              var ci = 0
+              while (ci < comps.length) {
+                val c = comps(ci)
+                val quant = st.quant(c.tq)
+                val dcDec = st.dc(c.td)
+                val acDec = st.ac(c.ta)
+                val plane = planes(ci)
+                var byy = 0
+                while (byy < c.vs) {
+                  var bxx = 0
+                  while (bxx < c.hs) {
+                    val coef = new Array[Double](64)
+                    val t = dcDec.decode(br)
+                    dcPred(ci) += extend(br.receive(t), t)
+                    coef(0) = dcPred(ci).toDouble * quant(0)
+                    var k = 1
+                    var eob = false
+                    while (k < 64 && !eob) {
+                      val rs = acDec.decode(br)
+                      if (rs == 0x00) eob = true // EOB
+                      else if (rs == 0xf0) k += 16 // ZRL
+                      else {
+                        k += rs >> 4
+                        require(k < 64, "AC run past block end")
+                        val sz = rs & 0x0f
+                        coef(Zigzag(k)) = extend(br.receive(sz), sz).toDouble * quant(Zigzag(k))
+                        k += 1
+                      }
+                    }
+                    val s = idct(coef)
+                    val px0 = mx * 8 * c.hs + bxx * 8
+                    val py0 = my * 8 * c.vs + byy * 8
+                    var y = 0
+                    while (y < 8) {
+                      var x = 0
+                      while (x < 8) {
+                        val v = math.round(s(y * 8 + x) + 128.0).toInt
+                        plane.data((py0 + y) * plane.w + px0 + x) =
+                          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    bxx += 1
                   }
-                  x += 1
+                  byy += 1
                 }
-                y += 1
+                ci += 1
               }
               mcu += 1
-              bx += 1
+              mx += 1
             }
-            by += 1
+            my += 1
           }
-          return Some((w, h, px))
+          return Some(DecodedImage(w, h, planes.toSeq))
         case app if (app >= 0xe0 && app <= 0xef) || app == 0xfe => // APPn / COM
           pos += u16(pos)
         case other =>

@@ -433,4 +433,27 @@ class GeoTiffSpec extends AnyFunSuite {
       b16.array(), payloadTag = 273, countsTag = 279, counts = Seq(6L))
     assert(GeoTiff.cells(t16).toSeq.map(_._3) == Seq(1000.0, 1500.0, 900.0))
   }
+
+  test("multi-band chunky round-trip: writeBands -> cellsBands, per-band values exact") {
+    val w = 8; val h = 4
+    val bands = Array.tabulate(3)(b => Array.tabulate(w * h)(i => (i * 0.25f + b * 100f)))
+    val dir = java.nio.file.Files.createTempDirectory("mbtiff")
+    val p = dir.resolve("rgb.tif").toString
+    GeoTiff.writeBands(p, w, h, bands, 1.0, 1.0, 0.0, h.toDouble, deflate = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val hd = GeoTiff.parseHeader(bytes)
+    assert(hd.spp == 3 && hd.bits == 32 && hd.sampleFormat == 3)
+    val cells = GeoTiff.cellsBands(bytes, hd).toSeq
+    assert(cells.length == w * h * 3)
+    cells.foreach { case (c, r, b, v) => assert(v == bands(b)(r * w + c).toDouble) }
+    // single-band cells() refuses the multi-band layout instead of mis-decoding
+    val ex = intercept[IllegalArgumentException](GeoTiff.cells(bytes, hd))
+    assert(ex.getMessage.contains("multi-band"))
+    // spp=2 exercises the inline SHORT-array packing in the IFD
+    GeoTiff.writeBands(dir.resolve("two.tif").toString, w, h, bands.take(2), 1.0, 1.0, 0.0, h.toDouble)
+    val two = java.nio.file.Files.readAllBytes(dir.resolve("two.tif"))
+    val h2 = GeoTiff.parseHeader(two)
+    assert(h2.spp == 2 && h2.bits == 32)
+    assert(GeoTiff.cellsBands(two, h2).count(_ => true) == w * h * 2)
+  }
 }

@@ -65,7 +65,7 @@ class JpegSpec extends AnyFunSuite {
     assert(out.map(_ & 0xff).toSeq == px.toSeq)
   }
 
-  test("progressive/multi-component streams fail loudly") {
+  test("progressive (SOF2) streams fail loudly") {
     val w = 8; val h = 8
     val px = Array.fill(w * h)(77)
     val enc = Jpeg.encodeGray(px, w, h)
@@ -75,6 +75,55 @@ class JpegSpec extends AnyFunSuite {
     prog(sof + 1) = 0xc2.toByte
     val ex = intercept[IllegalArgumentException](Jpeg.decodeGray(prog))
     assert(ex.getMessage.contains("SOF"))
+  }
+
+  test("color 4:4:4: block-constant YCbCr planes round-trip exactly; RGB conversion matches") {
+    val w = 16; val h = 16 // 2x2 blocks per plane
+    def plane(seed: Int) = Array.tabulate(w * h) { i =>
+      val bc = (i % w) / 8; val br = (i / w) / 8
+      (bc * 60 + br * 30 + seed) % 256
+    }
+    val (yP, cbP, crP) = (plane(40), plane(90), plane(10))
+    val enc = Jpeg.encodeColor(yP, cbP, crP, w, h, subsample = false)
+    val img = Jpeg.decodeImage(enc)
+    assert(img.planes.length == 3)
+    assert(img.planes(0).data.map(_ & 0xff).toSeq == yP.toSeq)
+    assert(img.planes(1).data.map(_ & 0xff).toSeq == cbP.toSeq)
+    assert(img.planes(2).data.map(_ & 0xff).toSeq == crP.toSeq)
+    // decodeGray = the Y plane
+    assert(Jpeg.decodeGray(enc)._3.map(_ & 0xff).toSeq == yP.toSeq)
+    // RGB conversion applies the JFIF formulas to the exact planes
+    val (_, _, rgb) = Jpeg.decodeRgb(enc)
+    val i0 = 0
+    def clamp(v: Double) = math.max(0, math.min(255, math.round(v).toInt))
+    assert((rgb(i0 * 3) & 0xff) == clamp(yP(i0) + 1.402 * (crP(i0) - 128)))
+    assert((rgb(i0 * 3 + 2) & 0xff) == clamp(yP(i0) + 1.772 * (cbP(i0) - 128)))
+  }
+
+  test("color 4:2:0: luma exact at full res, chroma exact at half res (16x16-constant fixture)") {
+    val w = 32; val h = 32
+    // constant per 16x16 region => Y blocks constant AND downsampled
+    // chroma blocks constant => everything survives quantization exactly
+    def plane(seed: Int) = Array.tabulate(w * h) { i =>
+      val rc = (i % w) / 16; val rr = (i / w) / 16
+      (rc * 70 + rr * 50 + seed) % 256
+    }
+    val (yP, cbP, crP) = (plane(20), plane(120), plane(200))
+    val enc = Jpeg.encodeColor(yP, cbP, crP, w, h, subsample = true)
+    val img = Jpeg.decodeImage(enc)
+    assert(img.planes(0).hs == 2 && img.planes(1).hs == 1)
+    assert(img.planes(0).data.map(_ & 0xff).toSeq == yP.toSeq)
+    // chroma plane = 16x16 half-res, each value the region constant
+    val cbHalf = img.planes(1)
+    assert(cbHalf.w == 16 && cbHalf.h == 16)
+    (0 until 16).foreach { y =>
+      (0 until 16).foreach { x =>
+        assert((cbHalf.data(y * 16 + x) & 0xff) == cbP((y * 2) * w + x * 2), s"cb ($x,$y)")
+      }
+    }
+    // decodeGray on color = luma, full resolution
+    val (gw, gh, gray) = Jpeg.decodeGray(enc)
+    assert(gw == w && gh == h && gray.map(_ & 0xff).toSeq == yP.toSeq)
   }
 
   test("JPEG-in-TIFF: writeJpeg multi-strip + read and readParallel agree exactly") {
