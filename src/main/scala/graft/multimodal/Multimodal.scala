@@ -128,7 +128,9 @@ object Multimodal {
       def v16(i: Int) = if (le) le16(i) else be16(i)
       def v32(i: Int) = if (le) le32(i) else be32(i)
       val ifd = v32(4)
-      if (ifd < 0 || ifd + 2 > b.length) None
+      // compare in Long: a near-Int.MaxValue corrupt offset would wrap
+      // `ifd + 2` negative and sail past an Int guard into an AIOOBE
+      if (ifd < 0 || ifd.toLong + 2 > b.length) None
       else {
         val n = v16(ifd)
         var w = -1

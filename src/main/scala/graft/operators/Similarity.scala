@@ -290,8 +290,13 @@ final class TopKByScore(k: Int)
     extends org.apache.spark.sql.expressions.Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // Double.compare, not raw >: Spark's descending sort orders NaN as the
+  // LARGEST double, and the equivalence contract with the window twin
+  // must hold even when a zero/degenerate vector yields a NaN similarity
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
     if (buf.length >= k && !better(in, buf.last)) buf // hot path: no alloc

@@ -616,6 +616,7 @@ object GeoTiff {
     val scaleOff = cursor; cursor += 24
     val tieOff = cursor; cursor += 48
     val tablesOff = cursor; cursor += tables.length
+    cursor += cursor & 1 // TIFF 6.0: value offsets must be word-aligned
     val offsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 4; o }
     val cntsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 4; o }
     val payloadOff = cursor
@@ -876,13 +877,16 @@ object GeoTiff {
     }
     val payload0 = interleaved.array()
     val payload = if (!deflate) payload0 else {
+      // growable sink — incompressible rasters exceed input size via
+      // stored-block overhead, and a single fixed-slack deflate() call
+      // would refuse them outright
       val d = new java.util.zip.Deflater()
       d.setInput(payload0); d.finish()
-      val buf = new Array[Byte](payload0.length + 64)
-      val m = d.deflate(buf)
-      require(d.finished(), "deflate grew the payload; write uncompressed")
+      val sink = new java.io.ByteArrayOutputStream(payload0.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) sink.write(buf, 0, d.deflate(buf))
       d.end()
-      java.util.Arrays.copyOf(buf, m)
+      sink.toByteArray
     }
     // tags: 256 W, 257 H, 258 bits×spp, 259 comp, 273 strip off, 277 spp,
     // 278 rows/strip, 279 strip bytes, 284 planar, 339 fmt×spp,

@@ -288,6 +288,8 @@ object Jpeg {
       includeTables: Boolean = true,
       restartInterval: Int = 0): Array[Byte] = {
     require(pixels.length == w * h, "pixels must be w*h row-major")
+    require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
+      s"JPEG dimensions are 16-bit: ${w}x$h out of range") // SOF0 would truncate silently
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     if (includeTables) {
@@ -400,6 +402,8 @@ object Jpeg {
       includeTables: Boolean = true): Array[Byte] = {
     require(yP.length == w * h && cbP.length == w * h && crP.length == w * h,
       "planes must be w*h row-major at full resolution")
+    require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
+      s"JPEG dimensions are 16-bit: ${w}x$h out of range") // SOF0 would truncate silently
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     if (includeTables) {

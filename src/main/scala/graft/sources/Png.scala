@@ -73,7 +73,10 @@ object Png {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      require(n > 0 || !inf.needsInput(), "truncated IDAT stream")
+      // zero progress = truncated stream OR a preset-dictionary (FDICT)
+      // zlib header — either way corrupt for PNG; throw, never spin
+      require(n > 0, if (inf.needsDictionary()) "IDAT demands a preset dictionary (corrupt PNG)"
+        else "truncated IDAT stream")
       got += n
     }
     inf.end()
@@ -188,11 +191,13 @@ object Png {
     }
     val d = new Deflater()
     d.setInput(raw); d.finish()
-    val buf = new Array[Byte](raw.length + 256)
-    var m = 0
-    while (!d.finished()) m += d.deflate(buf, m, buf.length - m)
+    // growable sink: incompressible input inflates past raw.length via
+    // stored-block overhead, so a fixed buffer could stall the loop
+    val zipped = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zipped.write(buf, 0, d.deflate(buf))
     d.end()
-    chunk(out, "IDAT", java.util.Arrays.copyOf(buf, m))
+    chunk(out, "IDAT", zipped.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

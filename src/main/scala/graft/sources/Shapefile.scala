@@ -147,6 +147,8 @@ object Shapefile {
       pts: Seq[(Double, Double)],
       attrs: Seq[Map[String, String]] = Seq.empty,
       fieldLens: Seq[(String, Int)] = Seq.empty): Unit = {
+    require(shpPath.endsWith(".shp"),
+      s"shapefile path must end in .shp (got $shpPath) — the .dbf sidecar derives from it")
     val recLen = 8 + 4 + 16 // record header + shape type + x,y
     val total = 100 + pts.size * recLen
     val b = ByteBuffer.allocate(total)

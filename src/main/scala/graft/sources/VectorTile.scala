@@ -87,6 +87,7 @@ object VectorTile {
       val keys = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       val values = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       layer.features.foreach(_.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        require(k != null && v != null, "MVT attributes cannot be null — drop the key instead")
         keys.getOrElseUpdate(k, keys.size)
         values.getOrElseUpdate(v, values.size)
       })
@@ -290,7 +291,9 @@ object VectorTile {
       val ty = math.min(n - 1, math.max(0, math.floor(gy / extent).toLong))
       val px = (gx - tx * extent).round.toInt
       val py = (gy - ty * extent).round.toInt
-      (tx * n + ty, id, px, py, attrs)
+      // null attr values (null source columns cast to string) have no MVT
+      // representation — absent key, not an executor NPE in encodeTile
+      (tx * n + ty, id, px, py, attrs.filter(_._2 != null))
     }
     keyed
       .groupByKey(_._1)

@@ -23,16 +23,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object EaulStream {
 
   /** One flood-stats revision: (way, return period) gets a new depth (m)
-    * and flooded-length share (%). Last write per (way, rp) wins within a
-    * batch (source order).
+    * and flooded-length share (%). `seq` totally orders revisions — the
+    * highest `seq` per (way, rp) wins within a batch. An explicit field,
+    * not "source order": a multi-partition micro-batch collects in
+    * partition-major order, so arrival order is NOT event order and
+    * relying on it would silently let stale revisions win.
     */
-  case class DepthUpdate(way_id: String, rp: Int, depth: Double, length_pct: Double)
+  case class DepthUpdate(way_id: String, rp: Int, depth: Double, length_pct: Double, seq: Long)
 
-  /** Apply revisions to the stats maps (pure — the spec replays it to
-    * build the batch-mode reference).
+  /** Apply revisions in ascending `seq` order (pure — the spec replays it
+    * to build the batch-mode reference).
     */
   def fold(stats: Eaul.FloodStats, revs: Seq[DepthUpdate]): Eaul.FloodStats =
-    revs.foldLeft(stats) { (s, r) =>
+    revs.sortBy(_.seq).foldLeft(stats) { (s, r) =>
       Eaul.FloodStats(
         s.depth.updated(r.way_id, s.depth.getOrElse(r.way_id, Map.empty).updated(r.rp, r.depth)),
         s.lengthPct

@@ -417,11 +417,15 @@ class StreamingSpec extends AnyFunSuite {
       // batch 1: flood a previously-dry way; streaming result must equal
       // the batch sweep over the SAME folded stats
       val revs = Seq(
-        EaulStream.DepthUpdate(g.ways(1).name, 500, 2.0, 50.0),
-        EaulStream.DepthUpdate(g.ways(1).name, 1000, 2.5, 100.0))
+        // ARRIVAL order deliberately disagrees with seq order: the stale
+        // depth (seq=1) arrives last and must still lose
+        EaulStream.DepthUpdate(g.ways(1).name, 500, 2.0, 50.0, seq = 2L),
+        EaulStream.DepthUpdate(g.ways(1).name, 1000, 2.5, 100.0, seq = 3L),
+        EaulStream.DepthUpdate(g.ways(1).name, 500, 9.9, 1.0, seq = 1L))
       in.addData(revs)
       q.processAllAvailable()
       val folded = EaulStream.fold(stats0, revs)
+      assert(folded.depth(g.ways(1).name)(500) == 2.0) // seq wins, not arrival
       assert(results(1) == table(graft.graph.Eaul.sweep(spark, g, folded, od, traffic, Set.empty)))
       // the revision actually changed the answer (not a vacuous identity)
       assert(results(0) != results(1))
