@@ -1134,6 +1134,25 @@ object SparkEntry {
       .withColumn("mean_px", round(col("mean_px"), 6))
   }
 
+  /** Multimodal GIF tier: same lossless contract as qm5 but through the
+    * GIF-LZW codec ([[sources.Gif]]) — arbitrary per-document pixels,
+    * encoded executor-side with real dictionary-growth LZW and decoded
+    * back through the palette, every pixel SQL-replayed.
+    */
+  private def qm8GifPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.gifMediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .extractFeaturesDecoded(media)
+      .select(
+        col("media_id"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        round(col("byte_entropy"), 4).as("byte_entropy"),
+        round(
+          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
+          4).as("feature_norm"))
+  }
+
   /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
     * reference data model: 10-element RP arrays + bridges struct array);
     * full closed-form oracle.
@@ -1765,6 +1784,7 @@ object SparkEntry {
     "qm5_png_pixels" -> (qm5PngPixels _),
     "qm6_wav_audio" -> (qm6WavAudio _),
     "qm7_resize" -> (qm7Resize _),
+    "qm8_gif_pixels" -> (qm8GifPixels _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -2540,6 +2560,31 @@ object SparkEntry {
         |  round(sum(v) / 256.0, 6) AS mean_px,
         |  CAST(sum(v * (idx + 1)) AS BIGINT) AS checksum
         |FROM o GROUP BY doc_id""".stripMargin,
+    // GIF-LZW is lossless over palette indices: identical replay shape to
+    // qm5, exercising the LZW dictionary instead of zlib.
+    "qm8_gif_pixels" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.i AS idx, (t.i * 101 + d.doc_id * 3) % 256 AS v
+        |  FROM documents d CROSS JOIN generate_series(0, 1023) t(i)
+        |), stats AS (
+        |  SELECT doc_id, sum(v) / 1024.0 AS mean_byte FROM px GROUP BY doc_id
+        |), counts AS (
+        |  SELECT doc_id, v, count(*)::DOUBLE AS c FROM px GROUP BY doc_id, v
+        |), ent AS (
+        |  SELECT doc_id, sum(-(c / 1024.0) * ln(c / 1024.0) / ln(2)) AS entropy
+        |  FROM counts GROUP BY doc_id
+        |), chunkf AS (
+        |  SELECT doc_id, idx // 64 AS ch, CAST(sum(v) / 64.0 / 255.0 AS FLOAT) AS f
+        |  FROM px GROUP BY doc_id, idx // 64
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(sum(CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS fn
+        |  FROM chunkf GROUP BY doc_id
+        |)
+        |SELECT s.doc_id AS media_id,
+        |  round(s.mean_byte, 4) AS mean_byte,
+        |  round(e.entropy, 4) AS byte_entropy,
+        |  round(n.fn, 4) AS feature_norm
+        |FROM stats s JOIN ent e USING (doc_id) JOIN nrm n USING (doc_id)""".stripMargin,
     // PNG is lossless: all 1024 per-doc pixels replay individually.
     // Chunk i covers bytes 64i..64i+63 (1024/16); power-of-two divisors
     // keep every division exact, same as the qm4 contract.

@@ -245,6 +245,8 @@ object Multimodal {
         scala.util.Try(graft.sources.Jpeg.decodeGray(safeBytes(bytes))).toOption.map(_._3)
       case Some(("png", _, _)) =>
         scala.util.Try(graft.sources.Png.decodeGray(safeBytes(bytes))).toOption.map(_._3)
+      case Some(("gif", _, _)) =>
+        scala.util.Try(graft.sources.Gif.decodeGray(safeBytes(bytes))).toOption.map(_._3)
       case _ => None
     }
 
@@ -385,6 +387,21 @@ object Multimodal {
       it.map { id =>
         val samples = Array.tabulate(1024)(i => (((i * 2731 + id * 17) % 65536) - 32768).toShort)
         Media(id, MediaMeta("audio", 0, 0, 16000), graft.sources.Wav.encodeMono16(samples, 16000))
+      }
+    }
+  }
+
+  /** GIF media fixture: palette GIF is lossless over 8-bit indices, so
+    * arbitrary per-document pixels replay exactly — same contract as
+    * [[pngMediaFromDocuments]] but through the LZW path.
+    */
+  def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 32; val h = 32
+        val px = Array.tabulate(w * h)(i => ((i * 101 + id * 3) % 256).toInt)
+        Media(id, MediaMeta("image", w, h, 0), graft.sources.Gif.encodeGray(px, w, h))
       }
     }
   }
