@@ -1153,6 +1153,25 @@ object SparkEntry {
           4).as("feature_norm"))
   }
 
+  /** Multimodal BMP tier: lossless contract through the raw-row path
+    * (bottom-up rows, 4-byte stride padding, BGRA palette) — with qm5
+    * (zlib) and qm8 (LZW) this oracle-gates every real image decode
+    * route the engine ships.
+    */
+  private def qm9BmpPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.bmpMediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .extractFeaturesDecoded(media)
+      .select(
+        col("media_id"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        round(col("byte_entropy"), 4).as("byte_entropy"),
+        round(
+          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
+          4).as("feature_norm"))
+  }
+
   /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
     * reference data model: 10-element RP arrays + bridges struct array);
     * full closed-form oracle.
@@ -1785,6 +1804,7 @@ object SparkEntry {
     "qm6_wav_audio" -> (qm6WavAudio _),
     "qm7_resize" -> (qm7Resize _),
     "qm8_gif_pixels" -> (qm8GifPixels _),
+    "qm9_bmp_pixels" -> (qm9BmpPixels _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -2560,6 +2580,31 @@ object SparkEntry {
         |  round(sum(v) / 256.0, 6) AS mean_px,
         |  CAST(sum(v * (idx + 1)) AS BIGINT) AS checksum
         |FROM o GROUP BY doc_id""".stripMargin,
+    // BMP raw rows are lossless: same replay shape, exercising stride
+    // padding + bottom-up row order + palette quads.
+    "qm9_bmp_pixels" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, t.i AS idx, (t.i * 59 + d.doc_id * 11) % 256 AS v
+        |  FROM documents d CROSS JOIN generate_series(0, 1023) t(i)
+        |), stats AS (
+        |  SELECT doc_id, sum(v) / 1024.0 AS mean_byte FROM px GROUP BY doc_id
+        |), counts AS (
+        |  SELECT doc_id, v, count(*)::DOUBLE AS c FROM px GROUP BY doc_id, v
+        |), ent AS (
+        |  SELECT doc_id, sum(-(c / 1024.0) * ln(c / 1024.0) / ln(2)) AS entropy
+        |  FROM counts GROUP BY doc_id
+        |), chunkf AS (
+        |  SELECT doc_id, idx // 64 AS ch, CAST(sum(v) / 64.0 / 255.0 AS FLOAT) AS f
+        |  FROM px GROUP BY doc_id, idx // 64
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(sum(CAST(f AS DOUBLE) * CAST(f AS DOUBLE))) AS fn
+        |  FROM chunkf GROUP BY doc_id
+        |)
+        |SELECT s.doc_id AS media_id,
+        |  round(s.mean_byte, 4) AS mean_byte,
+        |  round(e.entropy, 4) AS byte_entropy,
+        |  round(n.fn, 4) AS feature_norm
+        |FROM stats s JOIN ent e USING (doc_id) JOIN nrm n USING (doc_id)""".stripMargin,
     // GIF-LZW is lossless over palette indices: identical replay shape to
     // qm5, exercising the LZW dictionary instead of zlib.
     "qm8_gif_pixels" ->

@@ -247,6 +247,8 @@ object Multimodal {
         scala.util.Try(graft.sources.Png.decodeGray(safeBytes(bytes))).toOption.map(_._3)
       case Some(("gif", _, _)) =>
         scala.util.Try(graft.sources.Gif.decodeGray(safeBytes(bytes))).toOption.map(_._3)
+      case Some(("bmp", _, _)) =>
+        scala.util.Try(graft.sources.Bmp.decodeGray(safeBytes(bytes))).toOption.map(_._3)
       case _ => None
     }
 
@@ -387,6 +389,20 @@ object Multimodal {
       it.map { id =>
         val samples = Array.tabulate(1024)(i => (((i * 2731 + id * 17) % 65536) - 32768).toShort)
         Media(id, MediaMeta("audio", 0, 0, 16000), graft.sources.Wav.encodeMono16(samples, 16000))
+      }
+    }
+  }
+
+  /** BMP media fixture: uncompressed palette BMP — the lossless contract
+    * a third time, through the raw-row/bottom-up/stride-padding path.
+    */
+  def bmpMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 32; val h = 32
+        val px = Array.tabulate(w * h)(i => ((i * 59 + id * 11) % 256).toInt)
+        Media(id, MediaMeta("image", w, h, 0), graft.sources.Bmp.encodeGray(px, w, h))
       }
     }
   }
