@@ -1027,18 +1027,22 @@ object SparkEntry {
     * norm) so the hash compare applies, and the deterministic byte-stats
     * decode gets a full DuckDB oracle (docs are ASCII ⇒ codepoint==byte).
     */
+  /** The shared qm-gate output shape: byte/pixel stats rounded to 4 dp,
+    * the 16-dim feature collapsed to its l2 norm (scalars only — array
+    * columns break the driver compare).
+    */
+  private def mediaStatsSelect(features: org.apache.spark.sql.Dataset[multimodal.Multimodal.MediaFeatures]): DataFrame =
+    features.select(
+      col("media_id"),
+      round(col("mean_byte"), 4).as("mean_byte"),
+      round(col("byte_entropy"), 4).as("byte_entropy"),
+      round(
+        sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
+        4).as("feature_norm"))
+
   private def qm2MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val media = multimodal.Multimodal.mediaFromDocuments(spark, t(spark, dir, "documents"))
-    multimodal.Multimodal
-      .extractFeatures(media)
-      .select(
-        col("media_id"),
-        round(col("mean_byte"), 4).as("mean_byte"),
-        round(col("byte_entropy"), 4).as("byte_entropy"),
-        round(
-          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
-          4).as("feature_norm"))
+    mediaStatsSelect(multimodal.Multimodal.extractFeatures(media))
   }
 
   /** Multimodal with REAL pixel decode: every document gets a 32×32
@@ -1051,17 +1055,8 @@ object SparkEntry {
     * feature norm from generate_series.
     */
   private def qm4JpegPixels(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val media = multimodal.Multimodal.jpegMediaFromDocuments(spark, t(spark, dir, "documents"))
-    multimodal.Multimodal
-      .extractFeaturesDecoded(media)
-      .select(
-        col("media_id"),
-        round(col("mean_byte"), 4).as("mean_byte"),
-        round(col("byte_entropy"), 4).as("byte_entropy"),
-        round(
-          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
-          4).as("feature_norm"))
+    mediaStatsSelect(multimodal.Multimodal.extractFeaturesDecoded(media))
   }
 
   /** Multimodal PNG tier: same distributed encode→decode round trip as
@@ -1072,17 +1067,8 @@ object SparkEntry {
     * independent SQL-checked value flowing through zlib + filter framing.
     */
   private def qm5PngPixels(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val media = multimodal.Multimodal.pngMediaFromDocuments(spark, t(spark, dir, "documents"))
-    multimodal.Multimodal
-      .extractFeaturesDecoded(media)
-      .select(
-        col("media_id"),
-        round(col("mean_byte"), 4).as("mean_byte"),
-        round(col("byte_entropy"), 4).as("byte_entropy"),
-        round(
-          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
-          4).as("feature_norm"))
+    mediaStatsSelect(multimodal.Multimodal.extractFeaturesDecoded(media))
   }
 
   /** Multimodal audio tier — REAL WAV/PCM decode ([[sources.Wav]]): one
@@ -1140,17 +1126,8 @@ object SparkEntry {
     * back through the palette, every pixel SQL-replayed.
     */
   private def qm8GifPixels(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val media = multimodal.Multimodal.gifMediaFromDocuments(spark, t(spark, dir, "documents"))
-    multimodal.Multimodal
-      .extractFeaturesDecoded(media)
-      .select(
-        col("media_id"),
-        round(col("mean_byte"), 4).as("mean_byte"),
-        round(col("byte_entropy"), 4).as("byte_entropy"),
-        round(
-          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
-          4).as("feature_norm"))
+    mediaStatsSelect(multimodal.Multimodal.extractFeaturesDecoded(media))
   }
 
   /** Multimodal BMP tier: lossless contract through the raw-row path
@@ -1159,17 +1136,8 @@ object SparkEntry {
     * route the engine ships.
     */
   private def qm9BmpPixels(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val media = multimodal.Multimodal.bmpMediaFromDocuments(spark, t(spark, dir, "documents"))
-    multimodal.Multimodal
-      .extractFeaturesDecoded(media)
-      .select(
-        col("media_id"),
-        round(col("mean_byte"), 4).as("mean_byte"),
-        round(col("byte_entropy"), 4).as("byte_entropy"),
-        round(
-          sqrt(aggregate(col("feature"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))),
-          4).as("feature_norm"))
+    mediaStatsSelect(multimodal.Multimodal.extractFeaturesDecoded(media))
   }
 
   /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
