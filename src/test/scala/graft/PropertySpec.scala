@@ -192,4 +192,45 @@ class PropertySpec extends AnyFunSuite {
       assert(spans.forall { case (a, b) => a <= b })
     }
   }
+
+  test("lossless codecs round-trip random content at random dims (PNG/GIF/BMP/WAV)") {
+    import graft.sources.{Bmp, Gif, Png, Wav}
+    val dims = for {
+      w <- Gen.chooseNum(1, 70)
+      h <- Gen.chooseNum(1, 70)
+    } yield (w, h)
+    forAll2(dims, Gen.chooseNum(0L, Long.MaxValue / 2), n = 15) { case ((w, h), seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      assert(Png.decodeGray(Png.encodeGray(px, w, h))._3.map(_ & 0xff).toSeq == px.toSeq,
+        s"png ${w}x$h seed=$seed")
+      assert(Gif.decodeGray(Gif.encodeGray(px, w, h))._3.map(_ & 0xff).toSeq == px.toSeq,
+        s"gif ${w}x$h seed=$seed")
+      assert(Bmp.decodeGray(Bmp.encodeGray(px, w, h))._3.map(_ & 0xff).toSeq == px.toSeq,
+        s"bmp ${w}x$h seed=$seed")
+      val samples = Array.fill(w * h)((rnd.nextInt(65536) - 32768).toShort)
+      assert(Wav.decode(Wav.encodeMono16(samples, 16000))._3.toSeq == samples.toSeq,
+        s"wav n=${w * h} seed=$seed")
+    }
+  }
+
+  test("MVT tiles round-trip random point features") {
+    import graft.sources.VectorTile
+    val feat = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      n <- Gen.chooseNum(1, 5)
+      pts <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 4095), Gen.chooseNum(0, 4095)))
+    } yield VectorTile.Feature(id, 1, Seq(pts), Map("k" -> id.toString))
+    forAll(Gen.nonEmptyListOf(feat), n = 15) { feats =>
+      // ids must be unique for the comparison map
+      val uniq = feats.groupBy(_.id).values.map(_.head).toSeq
+      val Seq(layer) = VectorTile.decodeTile(
+        VectorTile.encodeTile(Seq(VectorTile.Layer("l", 4096, uniq))))
+      val got = layer.features.map(f => f.id -> f).toMap
+      uniq.foreach { f =>
+        assert(got(f.id).geometry.flatten == f.geometry.flatten, s"feature ${f.id}")
+        assert(got(f.id).attrs == f.attrs)
+      }
+    }
+  }
 }
