@@ -79,7 +79,11 @@ object Relational {
         .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
         .collect()
         .sortBy(_._1)
-      val k = rankOf(counts.map(_._2).sum)
+      val n = counts.map(_._2).sum
+      val k = rankOf(n)
+      require(0 <= k && k < n,
+        s"rank $k out of bounds for n=$n" +
+          (if (n == 0) " (empty input — no non-null, non-NaN values)" else ""))
       var remaining = k
       var target = -1
       for ((idx, c) <- counts if target < 0) {

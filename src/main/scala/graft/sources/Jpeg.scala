@@ -653,14 +653,25 @@ object Jpeg {
             require(st.dc(c.td) != null && st.ac(c.ta) != null,
               s"missing huffman tables (DC ${c.td} / AC ${c.ta})")
           }
-          val hMax = comps.map(_.hs).max
-          val vMax = comps.map(_.vs).max
+          // T.81 §A.2.2/B.2.3: a single-component scan is NON-interleaved —
+          // one data unit per MCU on the component's own block grid,
+          // regardless of the declared sampling factors (some encoders emit
+          // gray frames with 2x2 factors). Force effective 1x1 for layout.
+          val eff =
+            if (comps.length == 1 && (comps(0).hs != 1 || comps(0).vs != 1)) {
+              val c0 = comps(0)
+              val fc = new FrameComp(c0.id, 1, 1, c0.tq)
+              fc.td = c0.td; fc.ta = c0.ta
+              Array(fc)
+            } else comps
+          val hMax = eff.map(_.hs).max
+          val vMax = eff.map(_.vs).max
           val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
           val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-          val planes = comps.map(c =>
+          val planes = eff.map(c =>
             Plane(mcusX * 8 * c.hs, mcusY * 8 * c.vs, c.hs, c.vs,
               new Array[Byte](mcusX * 8 * c.hs * mcusY * 8 * c.vs)))
-          val dcPred = new Array[Int](comps.length)
+          val dcPred = new Array[Int](eff.length)
           val br = new BitReader(bytes, pos)
           var mcu = 0
           var my = 0
@@ -672,8 +683,8 @@ object Jpeg {
                 java.util.Arrays.fill(dcPred, 0)
               }
               var ci = 0
-              while (ci < comps.length) {
-                val c = comps(ci)
+              while (ci < eff.length) {
+                val c = eff(ci)
                 val quant = st.quant(c.tq)
                 val dcDec = st.dc(c.td)
                 val acDec = st.ac(c.ta)

@@ -39,6 +39,10 @@ object Png {
     while (!sawEnd && pos + 8 <= bytes.length) {
       val len = u32(pos)
       val ctype = new String(bytes, pos + 4, 4, "ASCII")
+      // a crafted negative/oversized length would leave pos stationary or
+      // moving backwards and spin forever
+      require(len >= 0 && pos + 8 + len + 4 <= bytes.length,
+        s"corrupt PNG: chunk '$ctype' declares length $len at offset $pos")
       val dataOff = pos + 8
       ctype match {
         case "IHDR" =>

@@ -208,6 +208,8 @@ object Shapefile {
         }
         pos += recordSize
       }
+      // dBase III EOF marker (strict readers like shapelib/GDAL check it)
+      d.put(headerSize + attrs.size * recordSize, 0x1a.toByte)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(shpPath.replaceAll("\\.shp$", ".dbf")),
         d.array())

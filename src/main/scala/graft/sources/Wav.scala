@@ -29,6 +29,9 @@ object Wav {
     while (pos + 8 <= bytes.length && (fmt < 0 || samples == null)) {
       val id = new String(bytes, pos, 4, "ASCII")
       val len = b.getInt(pos + 4)
+      // a crafted negative u32 length would leave pos stationary and spin forever
+      require(len >= 0 && len <= bytes.length - pos - 8,
+        s"corrupt WAV: chunk '$id' declares length $len at offset $pos")
       val dataOff = pos + 8
       id match {
         case "fmt " =>

@@ -93,6 +93,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(80.0, 90.0, 100.0))
   }
 
+  test("percentileFilter on empty / all-NaN input fails with a clear message") {
+    import spark.implicits._
+    val empty = Seq.empty[Double].toDF("v")
+    val ex = intercept[IllegalArgumentException](
+      Relational.percentileFilter(empty, "v", 80.0).collect())
+    assert(ex.getMessage.contains("empty input"))
+    val allNan = Seq(Double.NaN, Double.NaN).toDF("v")
+    val ex2 = intercept[IllegalArgumentException](
+      Relational.percentileFilter(allNan, "v", 50.0).collect())
+    assert(ex2.getMessage.contains("empty input"))
+  }
+
   test("kthSmallest is exact across range partitions") {
     import spark.implicits._
     val df = spark.sparkContext.parallelize(Seq.tabulate(1000)(i => (i * 7919) % 1000), 8).toDF("v")

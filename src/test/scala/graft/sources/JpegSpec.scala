@@ -65,6 +65,26 @@ class JpegSpec extends AnyFunSuite {
     assert(out.map(_ & 0xff).toSeq == px.toSeq)
   }
 
+  test("gray frame declaring 2x2 sampling decodes non-interleaved (T.81 Ns=1 rule)") {
+    val w = 24; val h = 16
+    val px = Array.tabulate(w * h) { i =>
+      val bc = (i % w) / 8; val br = (i / w) / 8
+      (bc * 43 + br * 77) % 256
+    }
+    val enc = Jpeg.encodeGray(px, w, h)
+    // patch SOF0's single component sampling byte 0x11 -> 0x22: the entropy
+    // stream is unchanged (an Ns=1 scan is non-interleaved, one data unit
+    // per MCU on the component's own grid), so decode must be identical
+    val patched = enc.clone()
+    val sof = patched.indices.find(i =>
+      (patched(i) & 0xff) == 0xff && (patched(i + 1) & 0xff) == 0xc0).get
+    assert((patched(sof + 11) & 0xff) == 0x11)
+    patched(sof + 11) = 0x22.toByte
+    val (dw, dh, out) = Jpeg.decodeGray(patched)
+    assert(dw == w && dh == h)
+    assert(out.map(_ & 0xff).toSeq == px.toSeq)
+  }
+
   test("progressive (SOF2) streams fail loudly") {
     val w = 8; val h = 8
     val px = Array.fill(w * h)(77)

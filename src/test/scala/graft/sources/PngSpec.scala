@@ -131,6 +131,16 @@ class PngSpec extends AnyFunSuite {
     assert(graft.multimodal.Multimodal.decodeImage(enc).get.map(_ & 0xff).toSeq == px.toSeq)
   }
 
+  test("crafted negative chunk length throws instead of spinning forever") {
+    val enc = Png.encodeGray(Array.fill(16)(7), 4, 4)
+    val bad = enc.clone()
+    // the first chunk length field sits at offset 8 (big-endian u32);
+    // 0xFFFFFFF4 = -12 would leave the walk stationary without the guard
+    bad(8) = 0xff.toByte; bad(9) = 0xff.toByte; bad(10) = 0xff.toByte; bad(11) = 0xf4.toByte
+    val ex = intercept[IllegalArgumentException](Png.decode(bad))
+    assert(ex.getMessage.contains("corrupt PNG"))
+  }
+
   test("resizeDecoded: 2x2 box average over real pixels, lossless re-encode") {
     val spark = graft.GraftSession.local(2, "resize-spec")
     import spark.implicits._

@@ -94,6 +94,19 @@ class ShapefileSpec extends AnyFunSuite {
     assert(r1.getAs[Map[String, String]]("attrs")("NAME") == "N1")
   }
 
+  test("S1: writePoints emits the dBase III EOF marker (0x1A) at the dbf tail") {
+    val dir = java.nio.file.Files.createTempDirectory("shpw")
+    val shp = dir.resolve("pts.shp").toString
+    Shapefile.writePoints(shp, Seq((1.0, 2.0), (3.0, 4.0)),
+      attrs = Seq(Map("NAME" -> "a"), Map("NAME" -> "b")), fieldLens = Seq("NAME" -> 4))
+    val dbf = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(shp.replaceAll("\\.shp$", ".dbf")))
+    assert((dbf.last & 0xff) == 0x1a, "strict readers (shapelib/GDAL) expect 0x1A EOF")
+    // and the in-repo reader still round-trips it
+    val rows = Shapefile.read(spark, dir.toString + "/*").orderBy("record_no").collect()
+    assert(rows.length == 2 && rows(0).getAs[Map[String, String]]("attrs")("NAME") == "a")
+  }
+
   /** Write a one-PolyLine .shp whose coordinates are the given points. */
   private def writeShpPoints(path: java.nio.file.Path, pts: Seq[(Double, Double)]): Unit = {
     val line = {

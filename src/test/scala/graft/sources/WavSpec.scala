@@ -29,6 +29,17 @@ class WavSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(-32768, -16384, 0, 16384, 32512).map(_.toShort))
   }
 
+  test("crafted negative chunk length throws instead of spinning forever") {
+    val enc = Wav.encodeMono16(Array[Short](1, 2, 3), 8000)
+    val bad = enc.clone()
+    // patch the fmt chunk length (offset 16, LE u32) to -8: an unguarded
+    // walk would compute pos = dataOff - 8 + 0 = pos and loop forever
+    val b = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(16, -8)
+    val ex = intercept[IllegalArgumentException](Wav.decode(bad))
+    assert(ex.getMessage.contains("corrupt WAV"))
+  }
+
   test("non-PCM formats fail loudly; multimodal tier is null-safe") {
     val enc = Wav.encodeMono16(Array[Short](1, 2, 3), 8000)
     val bad = enc.clone()
