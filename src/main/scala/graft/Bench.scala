@@ -48,6 +48,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    // full machine-readable artifact: the driver's BENCH tail truncates to
+    // the last ~65 queries, so also write every entry, slowest first
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val full = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"""  {"query": "$k", "sec": $v}""" }
+      .mkString(
+        s"""{"sf": "$sfDir", "runs": $runs, "total_sec": $total, "queries": [\n""",
+        ",\n",
+        "\n]}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
     spark.stop()
   }
 }

@@ -1690,6 +1690,36 @@ object SparkEntry {
       .select(col("way_id"), col("upgrade"), round(col("eaul"), 6).as("eaul"))
   }
 
+  /** G1 — the reference's central ingestion transform, gated end-to-end
+    * through the DataFrame build path ([[graph.RoadGraph.buildTables]]):
+    * features with coordinate arrays → explode → round(coord·10⁷) vertex
+    * dedup → dense node ids → consecutive-pair edges with haversine
+    * lengths (`libs/ogr2osm/ogr2osm.py:549-628`,
+    * `scripts/utils/extract-ways.js:56-63`). Ways synthesize
+    * deterministically from supplier keys onto a shared 0.25° lattice so
+    * consecutive ways genuinely share vertices — the rounded-coordinate
+    * dedup is the thing under test (3·|supplier| points collapse to ≤40
+    * nodes); the oracle replays the same rounding + dense-rank in SQL.
+    */
+  private def qg7GraphBuild(spark: SparkSession, dir: String): DataFrame = {
+    val pts = (0 to 2).map { d =>
+      val j = (col("way_id") + lit(d)) % 40
+      array(
+        (j % 8).cast("double") * 0.25 - 1.0,
+        floor(j / lit(8.0)).cast("double") * 0.25 - 0.5)
+    }
+    val features = t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("way_id"))
+      .withColumn("name", concat(lit("W"), col("way_id")))
+      .withColumn("ruc", (col("way_id") % 5).cast("double") / 2.0 + 1.0)
+      .withColumn("coords", array(pts: _*))
+    val (_, edges) = graph.RoadGraph.buildTables(features)
+    edges.select(
+      col("way_id"), col("name"), col("ruc"),
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+      round(col("len_km"), 4).as("len_km"))
+  }
+
   /** Vector aggregation — per-label mean embedding (posexplode → grouped
     * avg per dimension), the centroid builder IVF/k-means rests on.
     */
@@ -1781,6 +1811,7 @@ object SparkEntry {
     "qg4_criticality_large" -> (qg4CriticalityLarge _),
     "qg5_golden_routes" -> (qg5GoldenRoutes _),
     "qg6_golden_eaul" -> (qg6GoldenEaul _),
+    "qg7_graph_build" -> (qg7GraphBuild _),
     "qd8_decontaminate" -> (qd8Decontaminate _),
     "qt12_lm_score" -> (qt12LmScore _),
     "q27_range_frame" -> (q27RangeFrame _),
@@ -2876,6 +2907,48 @@ object SparkEntry {
     // (identical output at bound and bound+10); qg4 runs ~25 s in DuckDB.
     "qg2_criticality" -> criticalityOracleSql(n = 8, hopBound = 50),
     "qg4_criticality_large" -> criticalityOracleSql(n = 16, hopBound = 60),
+    // G1 graph build: replay the explode → round(coord·1e7) dedup →
+    // dense-id → consecutive-pair-edge chain in SQL. Lattice coords are
+    // dyadic (k·0.25±const) so round(x·1e7) is exact in both engines;
+    // haversine replayed with the q16 formula shape, rounded to 4 dp.
+    "qg7_graph_build" ->
+      """WITH pts AS (
+        |  SELECT s_suppkey AS way_id,
+        |    'W' || CAST(s_suppkey AS VARCHAR) AS name,
+        |    (s_suppkey % 5) / 2.0 + 1.0 AS ruc,
+        |    d.pos AS pos,
+        |    ((s_suppkey + d.pos) % 40) AS j
+        |  FROM supplier, (SELECT unnest([0, 1, 2]) AS pos) d
+        |), coords AS (
+        |  SELECT way_id, name, ruc, pos,
+        |    (j % 8) * 0.25 - 1.0 AS x,
+        |    floor(j / 8.0) * 0.25 - 0.5 AS y
+        |  FROM pts
+        |), keyed AS (
+        |  SELECT *, CAST(round(x * 1e7) AS BIGINT) AS kx,
+        |            CAST(round(y * 1e7) AS BIGINT) AS ky
+        |  FROM coords
+        |), nodes AS (
+        |  SELECT kx, ky, row_number() OVER (ORDER BY kx, ky) - 1 AS node_id
+        |  FROM (SELECT DISTINCT kx, ky FROM keyed)
+        |), seq AS (
+        |  SELECT k.way_id, k.name, k.ruc, k.pos, n.node_id, k.x, k.y
+        |  FROM keyed k JOIN nodes n ON k.kx = n.kx AND k.ky = n.ky
+        |), hop AS (
+        |  SELECT way_id, name, ruc, node_id AS src, x AS x1, y AS y1,
+        |    lead(node_id) OVER w AS dst,
+        |    lead(x) OVER w AS x2,
+        |    lead(y) OVER w AS y2
+        |  FROM seq
+        |  WINDOW w AS (PARTITION BY way_id ORDER BY pos)
+        |)
+        |SELECT way_id, name, ruc, src, dst,
+        |  round(2 * 6371.0088 * asin(least(1.0, sqrt(
+        |    pow(sin(radians(y2 - y1) / 2), 2) +
+        |    cos(radians(y1)) * cos(radians(y2)) *
+        |    pow(sin(radians(x2 - x1) / 2), 2)))), 4) AS len_km
+        |FROM hop
+        |WHERE dst IS NOT NULL AND dst <> src""".stripMargin,
     // geometry dissolve: the aggregator's containment prune tests every
     // shell vertex with boundary-exclusive ray casting, which for these
     // axis-aligned rings reduces EXACTLY to the half-open box
