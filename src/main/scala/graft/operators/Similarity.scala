@@ -104,14 +104,6 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 5): (Array[Array[Double]], DataFrame) = {
-    val spark = embs.sparkSession
-    var centroids: Array[Array[Double]] = embs
-      .orderBy(col(idCol))
-      .limit(k)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
     def assignUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
       var best = 0
       var bestD = Double.MaxValue
@@ -128,26 +120,43 @@ object Similarity {
       best
     }
 
-    var assigned: DataFrame = null
-    (0 until iters).foreach { _ =>
-      assigned = embs.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
-      val updated = assigned
-        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "elem")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("elem")).as("m"))
-        .collect()
-      val dim = centroids.head.length
-      val next = centroids.map(_.clone())
-      updated.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      }
-      centroids = next
-    }
-    // re-assign once against the FINAL centroids: `assigned` inside the loop
-    // was computed from the pre-update centroids, so without this the
-    // returned (centroids, assignments) would be mutually inconsistent and
-    // IVF probing against final centroids would hit stale cells
-    assigned = embs.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
+    // Lloyd iterates over the SAME corpus iters+1 times: persist the
+    // projected (id, vec) once so the source is scanned a single time (the
+    // init job below materializes the cache as a side effect) instead of
+    // re-reading 100 TB per iteration. Unpersisted before return; the
+    // returned lazy assignment recomputes from source lineage when the
+    // caller evaluates it (one scan, unavoidable for a lazy result).
+    val proj = embs.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids =
+      try {
+        var cents: Array[Array[Double]] = proj
+          .orderBy(col(idCol))
+          .limit(k)
+          .select(col(vecCol))
+          .collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        (0 until iters).foreach { _ =>
+          val updated = proj
+            .withColumn("cluster", assignUdf(cents)(col(vecCol)))
+            .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "elem")))
+            .groupBy(col("cluster"), col("pos"))
+            .agg(avg(col("elem")).as("m"))
+            .collect()
+          val next = cents.map(_.clone())
+          updated.foreach { r =>
+            next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+          }
+          cents = next
+        }
+        cents
+      } finally proj.unpersist(blocking = false)
+    // assign against the FINAL centroids: assignments computed inside the
+    // loop came from the pre-update centroids, so without this the returned
+    // (centroids, assignments) would be mutually inconsistent and IVF
+    // probing against final centroids would hit stale cells. Built from
+    // `embs` (source lineage), not the cache released above.
+    val assigned = embs.withColumn("cluster", assignUdf(centroids)(col(vecCol)))
     (centroids, assigned.select(col(idCol), col("cluster")))
   }
 

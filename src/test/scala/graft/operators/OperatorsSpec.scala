@@ -352,6 +352,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ivf recall $recall too low")
   }
 
+  test("kmeans scans the corpus once across all Lloyd iterations (cached)") {
+    import spark.implicits._
+    // instrument the source with an accumulator: every recomputation of a
+    // row re-fires the map, so `scans == rows` ⟺ exactly one source pass
+    val n = 200
+    val acc = spark.sparkContext.longAccumulator("kmeans-src-rows")
+    val rows = spark.sparkContext
+      .parallelize(0 until n, 4)
+      .map { i =>
+        acc.add(1)
+        (i.toLong, Seq.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat))
+      }
+    val embs = rows.toDF("vec_id", "embedding")
+    val (centroids, _) = Similarity.kmeans(embs, "vec_id", "embedding", k = 4, iters = 5)
+    assert(centroids.length == 4)
+    assert(acc.value == n,
+      s"source rows computed ${acc.value} times for $n rows — " +
+        "Lloyd iterations are re-scanning the corpus instead of the cache")
+  }
+
   test("connected components: chains collapse to one cluster label (both paths)") {
     import spark.implicits._
     // two chains: 1-2-3-4 (via pairwise links) and 10-11; singleton 99 absent
