@@ -1140,6 +1140,38 @@ object SparkEntry {
     mediaStatsSelect(multimodal.Multimodal.extractFeaturesDecoded(media))
   }
 
+  /** Multimodal VIDEO tier — REAL AVI/MJPEG decode: 4 block-constant
+    * 32×32 JPEG frames per document ride an AVI container built
+    * executor-side ([[sources.Avi]]); decode walks the movi chunks and
+    * runs each frame through the in-repo JPEG codec
+    * ([[multimodal.Multimodal.decodeVideo]]). Per (media, frame): pixel
+    * mean + position-weighted checksum pinning EVERY pixel of every
+    * frame — the qm7 contract extended over the frame axis.
+    */
+  private def qm10MjpegFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.aviMediaFromDocuments(spark, t(spark, dir, "documents"))
+    media
+      .flatMap { m =>
+        multimodal.Multimodal.decodeVideo(m.bytes).toSeq.flatMap { case (w, h, frames) =>
+          frames.zipWithIndex.map { case (px, f) =>
+            var sum = 0L
+            var chk = 0L
+            var i = 0
+            while (i < px.length) {
+              val v = px(i) & 0xff
+              sum += v
+              chk += v.toLong * (i + 1)
+              i += 1
+            }
+            (m.media_id, f, w, h, sum / 1024.0, chk)
+          }
+        }
+      }
+      .toDF("media_id", "frame_no", "width", "height", "mean_px", "checksum")
+      .withColumn("mean_px", round(col("mean_px"), 6))
+  }
+
   /** A3+A10 — EAD vulnerability indicator on synthetic flood arrays (the
     * reference data model: 10-element RP arrays + bridges struct array);
     * full closed-form oracle.
@@ -1803,6 +1835,7 @@ object SparkEntry {
     "qm7_resize" -> (qm7Resize _),
     "qm8_gif_pixels" -> (qm8GifPixels _),
     "qm9_bmp_pixels" -> (qm9BmpPixels _),
+    "qm10_mjpeg_frames" -> (qm10MjpegFrames _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -2579,6 +2612,26 @@ object SparkEntry {
         |  round(sum(v) / 256.0, 6) AS mean_px,
         |  CAST(sum(v * (idx + 1)) AS BIGINT) AS checksum
         |FROM o GROUP BY doc_id""".stripMargin,
+    // MJPEG video replay: frame f of doc d is block-constant
+    // v(bc,br) = (bc*5 + br*7 + d + f*13) % 251 (exact through JPEG, the
+    // qm4 contract). The position-weighted checksum folds per block:
+    // sum over the 8x8 block of (i+1) = 64*(br*256 + bc*8 + 1) + 7392.
+    "qm10_mjpeg_frames" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, f.f AS fno, bc.i AS bc, br.j AS br,
+        |    (bc.i * 5 + br.j * 7 + d.doc_id + f.f * 13) % 251 AS v
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 3) f(f)
+        |  CROSS JOIN generate_series(0, 3) bc(i)
+        |  CROSS JOIN generate_series(0, 3) br(j)
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(fno AS INTEGER) AS frame_no,
+        |  CAST(32 AS INTEGER) AS width,
+        |  CAST(32 AS INTEGER) AS height,
+        |  round(sum(v) * 64 / 1024.0, 6) AS mean_px,
+        |  CAST(sum(v * (64 * (br * 256 + bc * 8 + 1) + 7392)) AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id, fno""".stripMargin,
     // BMP raw rows are lossless: same replay shape, exercising stride
     // padding + bottom-up row order + palette quads.
     "qm9_bmp_pixels" ->

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample run per-partition in
   * batches.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
+  * Decode is REAL for every container the JVM can express in-repo:
+  * JPEG/PNG/GIF/BMP pixels, WAV/PCM samples, AVI/MJPEG video frames.
   * `decodeStub` produces a deterministic fake "decoded frame" from the
-  * bytes, so the Spark-side plumbing — schema, partition sizing, batch
-  * iteration shape, feature schema — is real and tested, and a codec can
-  * drop in behind the same signature.
+  * bytes for the remaining formats (compressed audio, non-MJPEG video),
+  * so the Spark-side plumbing — schema, partition sizing, batch iteration
+  * shape, feature schema — stays identical when a codec drops in.
   *
   * Scale notes: binary payloads make rows heavy — the media path sets
   * `maxPartitionBytes`-friendly row groups by repartitioning on byte
@@ -32,8 +33,10 @@ object Multimodal {
       feature: Array[Float])
 
   /** Deterministic fake decode: byte histogram stats + a 16-dim "embedding"
-    * from chunked byte means. Replace with a real codec behind the same
-    * (Iterator → Iterator) shape.
+    * from chunked byte means. Real decode exists for JPEG/PNG/GIF/BMP
+    * pixels ([[decodeImage]]), WAV/PCM samples ([[decodeAudio]]) and
+    * AVI/MJPEG frames ([[decodeVideo]]); this stub remains only for
+    * compressed audio (MP3/AAC) and non-MJPEG video codecs.
     */
   def decodeStub(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
     if (bytes.isEmpty) return (0.0, 0.0, Array.fill(16)(0f))
@@ -376,6 +379,43 @@ object Multimodal {
             while (i < sub.length) { sub(i) = bytes(i * step); i += 1 }
             Media(m.media_id, m.meta.copy(width = m.meta.width / factor, height = m.meta.height / factor), sub)
         }
+      }
+    }
+  }
+
+  /** REAL video decode tier: AVI/MJPEG payloads split into per-frame JPEG
+    * streams by the [[graft.sources.Avi]] container walk, each frame
+    * decoded to gray pixels by the in-repo baseline JPEG codec. Returns
+    * (width, height, frames); individual undecodable frames are DROPPED
+    * rather than failing the file, and non-AVI / corrupt containers
+    * return None — one bad file in a 100 TB media corpus must not kill
+    * the job.
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+    scala.util.Try(graft.sources.Avi.mjpegFrames(safeBytes(bytes))).toOption.flatMap { raw =>
+      val frames = raw.flatMap(f => scala.util.Try(graft.sources.Jpeg.decodeGray(f)).toOption)
+      frames.headOption.map { case (w, h, _) => (w, h, frames.map(_._3)) }
+    }
+
+  /** AVI/MJPEG media fixture: 4 block-constant 32×32 frames per document
+    * (frame f shifts the block values by f·13), encoded executor-side
+    * through [[graft.sources.Jpeg.encodeGray]] + [[graft.sources.Avi]] —
+    * the video twin of [[jpegMediaFromDocuments]], same exact-through-JPEG
+    * contract per frame.
+    */
+  def aviMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 32; val h = 32
+        val frames = (0 until 4).map { f =>
+          val px = Array.tabulate(w * h) { i =>
+            val bc = (i % w) / 8; val br = (i / w) / 8
+            ((bc * 5 + br * 7 + id + f * 13) % 251).toInt
+          }
+          graft.sources.Jpeg.encodeGray(px, w, h)
+        }
+        Media(id, MediaMeta("video", w, h, 0), graft.sources.Avi.encodeMjpeg(frames, w, h))
       }
     }
   }

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AVI/MJPEG container: encode → frame-walk → per-frame JPEG decode. */
+class AviSpec extends AnyFunSuite {
+
+  private def blockFrame(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val bc = (i % w) / 8; val br = (i / w) / 8
+      (bc * 5 + br * 7 + seed) % 251
+    }
+
+  test("MJPEG frames round-trip exactly through the AVI container") {
+    val w = 32; val h = 24
+    val pxs = (0 until 3).map(f => blockFrame(w, h, f * 13))
+    val avi = Avi.encodeMjpeg(pxs.map(Jpeg.encodeGray(_, w, h)), w, h)
+    val raw = Avi.mjpegFrames(avi)
+    assert(raw.size == 3)
+    raw.zip(pxs).foreach { case (jpeg, expect) =>
+      val (dw, dh, out) = Jpeg.decodeGray(jpeg)
+      assert(dw == w && dh == h)
+      assert(out.map(_ & 0xff).toSeq == expect.toSeq)
+    }
+  }
+
+  test("odd-length frame payloads stay word-aligned in the movi walk") {
+    val w = 8; val h = 8
+    val jpegs = (0 until 2).map(f => Jpeg.encodeGray(blockFrame(w, h, f), w, h))
+    // force odd length by appending a trailing comment-free pad via resize:
+    // encode lengths vary; assert the walk recovers both payloads verbatim
+    val oddJpegs = jpegs.map { j =>
+      if (j.length % 2 == 1) j else j ++ Array(0xff.toByte, 0xd9.toByte, 0x00.toByte)
+    }
+    val avi = Avi.encodeMjpeg(oddJpegs, w, h)
+    val raw = Avi.mjpegFrames(avi)
+    assert(raw.size == 2)
+    raw.zip(oddJpegs).foreach { case (got, sent) => assert(got.toSeq == sent.toSeq) }
+  }
+
+  test("crafted negative chunk length throws instead of spinning forever") {
+    val w = 8; val h = 8
+    val avi = Avi.encodeMjpeg(Seq(Jpeg.encodeGray(blockFrame(w, h, 0), w, h)), w, h)
+    val bad = avi.clone()
+    // hdrl LIST length at offset 16 (after RIFF(4) size(4) 'AVI '(4) 'LIST'(4))
+    val b = java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(16, -8)
+    val ex = intercept[IllegalArgumentException](Avi.mjpegFrames(bad))
+    assert(ex.getMessage.contains("corrupt AVI"))
+    // non-AVI bytes are rejected loudly; multimodal tier is null-safe
+    intercept[IllegalArgumentException](Avi.mjpegFrames("not a container".getBytes))
+    assert(graft.multimodal.Multimodal.decodeVideo(null).isEmpty)
+    assert(graft.multimodal.Multimodal.decodeVideo("junk".getBytes).isEmpty)
+  }
+
+  test("decodeVideo: real pixels per frame; a corrupt frame drops, not kills") {
+    import graft.multimodal.Multimodal
+    val w = 32; val h = 32
+    val pxs = (0 until 4).map(f => blockFrame(w, h, f * 13))
+    val avi = Avi.encodeMjpeg(pxs.map(Jpeg.encodeGray(_, w, h)), w, h)
+    val Some((dw, dh, frames)) = Multimodal.decodeVideo(avi)
+    assert(dw == w && dh == h && frames.size == 4)
+    frames.zip(pxs).foreach { case (got, expect) =>
+      assert(got.map(_ & 0xff).toSeq == expect.toSeq)
+    }
+    // corrupt ONE frame (truncate its JPEG) — others must survive
+    val mixed = Avi.encodeMjpeg(
+      pxs.take(2).map(Jpeg.encodeGray(_, w, h)) :+ Array[Byte](0xff.toByte, 0xd8.toByte, 0x00),
+      w, h)
+    val Some((_, _, kept)) = Multimodal.decodeVideo(mixed)
+    assert(kept.size == 2)
+  }
+}
