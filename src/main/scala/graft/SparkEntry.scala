@@ -1140,6 +1140,37 @@ object SparkEntry {
     mediaStatsSelect(multimodal.Multimodal.extractFeaturesDecoded(media))
   }
 
+  /** Multimodal COMPRESSED-audio tier — REAL G.711 µ-law/A-law decode
+    * ([[sources.Wav.ulawToLinear]]/[[sources.Wav.alawToLinear]]): per
+    * document, 1024 companded codes covering all 256 code points ride a
+    * format-6/7 WAV and expand to 16-bit linear executor-side; the
+    * oracle replays the ITU-T expansion arithmetic (shift/segment
+    * tables) directly in SQL — integer-exact, zero FP slack like qm6.
+    */
+  private def qm11G711Audio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Seq("ulaw", "alaw").map { law =>
+            val codes = Array.tabulate(1024)(i => ((i * 7 + id) % 256).toByte)
+            val wav = sources.Wav.encodeG711(codes, 8000, aLaw = law == "alaw")
+            val (rate, _, samples) = sources.Wav.decode(wav)
+            var sumAbs = 0L
+            var sumSq = 0L
+            samples.foreach { s => sumAbs += math.abs(s.toLong); sumSq += s.toLong * s }
+            val n = samples.length
+            (id, law, rate, n.toLong, sumAbs.toDouble / n, math.sqrt(sumSq.toDouble / n))
+          }
+        }
+      }
+      .toDF("media_id", "law", "sample_rate", "n_samples", "mean_amp", "rms")
+      .withColumn("mean_amp", round(col("mean_amp"), 6))
+      .withColumn("rms", round(col("rms"), 6))
+  }
+
   /** Multimodal VIDEO tier — REAL AVI/MJPEG decode: 4 block-constant
     * 32×32 JPEG frames per document ride an AVI container built
     * executor-side ([[sources.Avi]]); decode walks the movi chunks and
@@ -1836,6 +1867,7 @@ object SparkEntry {
     "qm8_gif_pixels" -> (qm8GifPixels _),
     "qm9_bmp_pixels" -> (qm9BmpPixels _),
     "qm10_mjpeg_frames" -> (qm10MjpegFrames _),
+    "qm11_g711_audio" -> (qm11G711Audio _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -2632,6 +2664,38 @@ object SparkEntry {
         |  round(sum(v) * 64 / 1024.0, 6) AS mean_px,
         |  CAST(sum(v * (64 * (br * 256 + bc * 8 + 1) + 7392)) AS BIGINT) AS checksum
         |FROM px GROUP BY doc_id, fno""".stripMargin,
+    // G.711 replay: the ITU-T expansion is pure integer shift/segment
+    // arithmetic, so SQL computes the exact 16-bit sample per code byte.
+    // µ-law: u = ~e; t = ((u%16)*8+132) << ((u//16)%8); v = ±(t-132).
+    // A-law: a = e^0x55; seg 0 → m*16+8, seg 1 → m*16+264,
+    // seg≥2 → (m*16+264) << (seg-1); sign = a's high bit (positive when set).
+    "qm11_g711_audio" ->
+      """WITH codes AS (
+        |  SELECT d.doc_id, t.i, (t.i * 7 + d.doc_id) % 256 AS e
+        |  FROM documents d CROSS JOIN generate_series(0, 1023) t(i)
+        |), ul AS (
+        |  SELECT doc_id, 'ulaw' AS law,
+        |    CASE WHEN (255 - e) >= 128
+        |      THEN 132 - ((((255 - e) % 16) * 8 + 132) << (((255 - e) // 16) % 8))
+        |      ELSE ((((255 - e) % 16) * 8 + 132) << (((255 - e) // 16) % 8)) - 132
+        |    END AS v
+        |  FROM codes
+        |), al AS (
+        |  SELECT doc_id, 'alaw' AS law,
+        |    (CASE WHEN xor(e, 85) >= 128 THEN 1 ELSE -1 END) *
+        |    (CASE (xor(e, 85) // 16) % 8
+        |       WHEN 0 THEN (xor(e, 85) % 16) * 16 + 8
+        |       WHEN 1 THEN (xor(e, 85) % 16) * 16 + 264
+        |       ELSE ((xor(e, 85) % 16) * 16 + 264) << ((xor(e, 85) // 16) % 8 - 1)
+        |     END) AS v
+        |  FROM codes
+        |), u AS (SELECT * FROM ul UNION ALL SELECT * FROM al)
+        |SELECT doc_id AS media_id, law,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1024 AS BIGINT) AS n_samples,
+        |  round(CAST(sum(abs(v)) AS DOUBLE) / 1024.0, 6) AS mean_amp,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 1024.0), 6) AS rms
+        |FROM u GROUP BY doc_id, law""".stripMargin,
     // BMP raw rows are lossless: same replay shape, exercising stride
     // padding + bottom-up row order + palette quads.
     "qm9_bmp_pixels" ->

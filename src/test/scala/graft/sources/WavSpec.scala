@@ -29,6 +29,31 @@ class WavSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(-32768, -16384, 0, 16384, 32512).map(_.toShort))
   }
 
+  test("G.711 expansion hits the ITU-T landmark values; WAV format 6/7 decode") {
+    // µ-law landmarks (public G.711 tables)
+    assert(Wav.ulawToLinear(0x00) == -32124) // most negative
+    assert(Wav.ulawToLinear(0x80) == 32124) // most positive
+    assert(Wav.ulawToLinear(0xff) == 0) // positive zero
+    assert(Wav.ulawToLinear(0x7f) == 0) // negative zero
+    // A-law landmarks: no zero code — ±8 smallest, ±32256 largest
+    assert(Wav.alawToLinear(0x55) == -8)
+    assert(Wav.alawToLinear(0xd5) == 8)
+    assert(Wav.alawToLinear(0x2a) == -32256)
+    assert(Wav.alawToLinear(0xaa) == 32256)
+    // expansion is odd-symmetric: flipping the sign bit negates (µ-law)
+    (0 until 128).foreach { c =>
+      assert(Wav.ulawToLinear(c) == -Wav.ulawToLinear(c | 0x80), s"ulaw $c")
+      assert(Wav.alawToLinear(c | 0x80) == -Wav.alawToLinear(c), s"alaw $c")
+    }
+    // container round-trip through format 6 and 7
+    val codes = Array.tabulate(300)(i => (i % 256).toByte)
+    val (rU, chU, sU) = Wav.decode(Wav.encodeG711(codes, 8000, aLaw = false))
+    assert(rU == 8000 && chU == 1 && sU.length == 300)
+    assert(sU.toSeq == codes.map(c => Wav.ulawToLinear(c & 0xff)).toSeq)
+    val (_, _, sA) = Wav.decode(Wav.encodeG711(codes, 8000, aLaw = true))
+    assert(sA.toSeq == codes.map(c => Wav.alawToLinear(c & 0xff)).toSeq)
+  }
+
   test("crafted negative chunk length throws instead of spinning forever") {
     val enc = Wav.encodeMono16(Array[Short](1, 2, 3), 8000)
     val bad = enc.clone()
