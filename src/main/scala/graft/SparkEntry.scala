@@ -1753,6 +1753,81 @@ object SparkEntry {
       .select(col("way_id"), col("upgrade"), round(col("eaul"), 6).as("eaul"))
   }
 
+  /** S6+F3+F4+F5 — the bridge-prep projection ([[operators.BridgePrep]],
+    * reference `scripts/prep-bridge/prep-bridge.js:48-64` +
+    * `preparation.sh:113` csv2geojson): road-id regex from Link_ID,
+    * CULV→culvert recode, comma-stripped length with the 7 m default, and
+    * GPS columns → point geometry. Fixture synthesizes the messy CSV
+    * shapes (zero-padded link ids, thousands commas, zero lengths) from
+    * supplier keys; geometry surfaces as scalars (x, y) for the compare.
+    */
+  private def qb1BridgePrep(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey")
+    val bridges = t(spark, dir, "supplier").select(
+      concat(lit("B"), k).as("Str_ID"),
+      concat(
+        element_at(array(lit("N"), lit("R"), lit("M")), (k % 3 + 1).cast("int")),
+        lpad((k % 800 + 1).cast("string"), 6, "0")).as("Link_ID"),
+      when(k % 4 === 0, "CULV").otherwise(concat(lit("T"), k % 3)).as("Des_Type"),
+      when(k % 5 === 0, lit("0"))
+        .when(k % 5 === 1, lit("1,234"))
+        .when(k % 5 === 2, lit("56.5"))
+        .otherwise(k.cast("string")).as("Over_Length"),
+      ((k % 360).cast("double") * 0.1).as("GPS_E"),
+      // subtraction, not negation: -(0·0.1) is IEEE −0.0, which the
+      // engines stringify differently ("-0.0" vs "0.0")
+      ((k % 170).cast("double") * 0.1 - 8.5).as("GPS_S"))
+    operators.BridgePrep.prepare(bridges).select(
+      col("bridge_id"), col("road_id"), col("type"),
+      round(col("length"), 6).as("length"),
+      col("geometry").getItem(0).as("x"),
+      col("geometry").getItem(1).as("y"))
+  }
+
+  /** J10 — reverse-pair merge ([[operators.Relational.mergeReversePairs]]):
+    * keep (o, d) rows with o < d and attach the (d, o) row's value as
+    * `reverse_val`. One shuffle on the pair key; oracle is the literal
+    * self-join replay.
+    */
+  private def qj10ReversePairs(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("n_nationkey")
+    val pairs = t(spark, dir, "nation")
+      .select(
+        (n % 4).as("o"),
+        ((n * 3 + 1) % 4).as("d"),
+        n.cast("double").as("val"))
+      .filter(col("o") =!= col("d"))
+    operators.Relational.mergeReversePairs(pairs, "o", "d", "val")
+  }
+
+  /** G4 — scenario overrides ([[graph.ScenarioWeights.applyOverrides]]):
+    * last-written profile wins per way (the reference's append-mode
+    * profile semantics, `utils.js:196-220`), speed 0 ⇒ way removed
+    * (+∞ weight), otherwise weight = base / speed, non-overridden ways
+    * pass through. Overrides feed as a single sorted partition so the
+    * monotonic-id "last row" is the max nation key — which the oracle
+    * replays as max_by.
+    */
+  private def qg8ScenarioOverrides(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey")
+    val edges = t(spark, dir, "supplier").select(
+      concat(lit("w"), k % 10).as("way_id"),
+      (k % 100).as("src"),
+      ((k * 7 + 1) % 100).as("dst"),
+      ((k % 13).cast("double") * 0.5 + 1.0).as("weight"))
+    val n = col("n_nationkey")
+    val overrides = t(spark, dir, "nation")
+      .select(
+        concat(lit("w"), n % 7).as("way_id"),
+        when(n % 3 === 0, 0.0).otherwise((n % 5).cast("double") * 0.5 + 0.5).as("speed"),
+        n.as("__ord"))
+      .repartition(1)
+      .sortWithinPartitions("__ord")
+      .drop("__ord")
+    graph.ScenarioWeights.applyOverrides(edges, overrides)
+      .select(col("way_id"), col("src"), col("dst"), round(col("weight"), 6).as("weight"))
+  }
+
   /** G1 — the reference's central ingestion transform, gated end-to-end
     * through the DataFrame build path ([[graph.RoadGraph.buildTables]]):
     * features with coordinate arrays → explode → round(coord·10⁷) vertex
@@ -1877,6 +1952,9 @@ object SparkEntry {
     "qg5_golden_routes" -> (qg5GoldenRoutes _),
     "qg6_golden_eaul" -> (qg6GoldenEaul _),
     "qg7_graph_build" -> (qg7GraphBuild _),
+    "qg8_scenario_overrides" -> (qg8ScenarioOverrides _),
+    "qb1_bridge_prep" -> (qb1BridgePrep _),
+    "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qd8_decontaminate" -> (qd8Decontaminate _),
     "qt12_lm_score" -> (qt12LmScore _),
     "q27_range_frame" -> (q27RangeFrame _),
@@ -3024,6 +3102,62 @@ object SparkEntry {
     // (identical output at bound and bound+10); qg4 runs ~25 s in DuckDB.
     "qg2_criticality" -> criticalityOracleSql(n = 8, hopBound = 50),
     "qg4_criticality_large" -> criticalityOracleSql(n = 16, hopBound = 60),
+    // Bridge prep: the road-id regex, CULV recode, comma-strip + 7 m
+    // default, and GPS→point all replay literally (TRY_CAST mirrors the
+    // permissive cast; the fixture keeps every value numeric so Spark's
+    // ANSI cast never throws).
+    "qb1_bridge_prep" ->
+      """WITH b AS (
+        |  SELECT s_suppkey AS k,
+        |    'B' || CAST(s_suppkey AS VARCHAR) AS str_id,
+        |    (CASE s_suppkey % 3 WHEN 0 THEN 'N' WHEN 1 THEN 'R' ELSE 'M' END)
+        |      || lpad(CAST(s_suppkey % 800 + 1 AS VARCHAR), 6, '0') AS link_id,
+        |    CASE WHEN s_suppkey % 4 = 0 THEN 'CULV'
+        |         ELSE 'T' || CAST(s_suppkey % 3 AS VARCHAR) END AS des_type,
+        |    CASE s_suppkey % 5 WHEN 0 THEN '0' WHEN 1 THEN '1,234'
+        |      WHEN 2 THEN '56.5' ELSE CAST(s_suppkey AS VARCHAR) END AS over_length
+        |  FROM supplier
+        |), c AS (
+        |  SELECT *, TRY_CAST(replace(over_length, ',', '') AS DOUBLE) AS len0 FROM b
+        |)
+        |SELECT str_id AS bridge_id,
+        |  regexp_extract(substring(link_id, 1, 5), '([A-Z])0*([1-9][0-9]*)', 1) ||
+        |  regexp_extract(substring(link_id, 1, 5), '([A-Z])0*([1-9][0-9]*)', 2) AS road_id,
+        |  CASE WHEN des_type = 'CULV' THEN 'culvert' ELSE 'bridge' END AS type,
+        |  round(CASE WHEN len0 IS NULL OR len0 = 0.0 THEN 7.0 ELSE len0 END, 6) AS length,
+        |  (k % 360) * 0.1 AS x,
+        |  (k % 170) * 0.1 - 8.5 AS y
+        |FROM c""".stripMargin,
+    // Reverse-pair merge: literal self-join replay.
+    "qj10_reverse_pairs" ->
+      """WITH p AS (
+        |  SELECT n_nationkey % 4 AS o, (n_nationkey * 3 + 1) % 4 AS d,
+        |    CAST(n_nationkey AS DOUBLE) AS val
+        |  FROM nation WHERE n_nationkey % 4 <> (n_nationkey * 3 + 1) % 4
+        |)
+        |SELECT a.o, a.d, a.val, b.val AS reverse_val
+        |FROM p a LEFT JOIN p b ON a.o = b.d AND a.d = b.o
+        |WHERE a.o < a.d""".stripMargin,
+    // Scenario overrides: last-written profile wins per way (max_by over
+    // the feed order = nation key), speed 0 ⇒ +∞ (way removed), else
+    // weight/speed, non-overridden ways pass through the left join.
+    "qg8_scenario_overrides" ->
+      """WITH ov AS (
+        |  SELECT 'w' || CAST(n_nationkey % 7 AS VARCHAR) AS way_id,
+        |    max_by(CASE WHEN n_nationkey % 3 = 0 THEN 0.0
+        |                ELSE (n_nationkey % 5) * 0.5 + 0.5 END, n_nationkey) AS speed
+        |  FROM nation GROUP BY 1
+        |), e AS (
+        |  SELECT 'w' || CAST(s_suppkey % 10 AS VARCHAR) AS way_id,
+        |    s_suppkey % 100 AS src, (s_suppkey * 7 + 1) % 100 AS dst,
+        |    (s_suppkey % 13) * 0.5 + 1.0 AS weight
+        |  FROM supplier
+        |)
+        |SELECT e.way_id, e.src, e.dst,
+        |  round(CASE WHEN ov.speed IS NULL THEN e.weight
+        |             WHEN ov.speed = 0.0 THEN CAST('infinity' AS DOUBLE)
+        |             ELSE e.weight / ov.speed END, 6) AS weight
+        |FROM e LEFT JOIN ov USING (way_id)""".stripMargin,
     // G1 graph build: replay the explode → round(coord·1e7) dedup →
     // dense-id → consecutive-pair-edge chain in SQL. Lattice coords are
     // dyadic (k·0.25±const) so round(x·1e7) is exact in both engines;
