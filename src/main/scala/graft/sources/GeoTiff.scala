@@ -17,8 +17,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predictor (317=3, byte-plane split), single-band samples of
   * uint8/16/32, int8/16/32, float32/64 (SampleFormat 1/2/3),
   * georeferencing via ModelPixelScale (33550) + ModelTiepoint (33922),
-  * nodata via the GDAL_NODATA ASCII tag (42113). Anything else throws —
-  * silent garbage is worse than a loud ingest error.
+  * nodata via the GDAL_NODATA ASCII tag (42113), and BigTIFF (version
+  * 43: 64-bit offsets, 20-byte IFD entries, LONG8/SLONG8/IFD8 types) for
+  * >4 GB rasters. Anything else throws — silent garbage is worse than a
+  * loud ingest error.
   *
   * Spark shape: `binaryFile` lands each raster whole in one task;
   * decode is a per-file flatMap GENERATOR (one row per non-nodata cell,
@@ -61,6 +63,7 @@ object GeoTiff {
     case 3 | 8 => 2
     case 4 | 9 | 11 => 4
     case 5 | 10 | 12 => 8
+    case 16 | 17 | 18 => 8 // BigTIFF LONG8 / SLONG8 / IFD8
     case _ => 1
   }
 
@@ -77,6 +80,13 @@ object GeoTiff {
         case 9 => b.getInt(i * 4).toDouble
         case 11 => b.getFloat(i * 4).toDouble
         case 12 => b.getDouble(i * 8)
+        // BigTIFF 64-bit: lossless as Double up to 2^53 (9 PB offsets) —
+        // far beyond any raster this reader will meet; guarded below
+        case 16 | 18 =>
+          val v = b.getLong(i * 8)
+          require(v >= 0 && v <= (1L << 53), s"BigTIFF LONG8 value $v exceeds 2^53")
+          v.toDouble
+        case 17 => b.getLong(i * 8).toDouble
         case 5 => // RATIONAL
           (b.getInt(i * 8) & 0xffffffffL).toDouble /
             (b.getInt(i * 8 + 4) & 0xffffffffL).toDouble
@@ -106,27 +116,52 @@ object GeoTiff {
     }
     def wrap(b: Array[Byte]) = ByteBuffer.wrap(b).order(order)
     val h0 = wrap(head)
-    require((h0.getShort(2) & 0xffff) == 42, "not a TIFF (bad magic)")
-    val ifdOff = (h0.getInt(4) & 0xffffffffL)
-    val n = wrap(read(ifdOff, 2)).getShort(0) & 0xffff
-    val ifd = wrap(read(ifdOff + 2, n * 12))
+    val magic = h0.getShort(2) & 0xffff
+    require(magic == 42 || magic == 43, "not a TIFF (bad magic)")
+    // BigTIFF (version 43): 8-byte offsets/counts, 20-byte IFD entries,
+    // 8-byte inline value field — same tag vocabulary otherwise
+    val big = magic == 43
+    if (big) {
+      val h1 = wrap(read(4L, 12))
+      require((h1.getShort(0) & 0xffff) == 8 && (h1.getShort(2) & 0xffff) == 0,
+        "malformed BigTIFF header (offset bytesize must be 8, reserved 0)")
+    }
+    val ifdOff =
+      if (big) wrap(read(8L, 8)).getLong(0) else (h0.getInt(4) & 0xffffffffL)
+    val entrySize = if (big) 20 else 12
+    val n =
+      if (big) {
+        val c = wrap(read(ifdOff, 8)).getLong(0)
+        require(c >= 0 && c <= 0xffff, s"unreasonable BigTIFF IFD entry count $c")
+        c.toInt
+      } else wrap(read(ifdOff, 2)).getShort(0) & 0xffff
+    val ifd = wrap(read(ifdOff + (if (big) 8 else 2), n * entrySize))
     val tags = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
     var nodata: Option[Double] = None
     var jpegTables: Option[Array[Byte]] = None
     var e = 0
     while (e < n) {
-      val off = e * 12
+      val off = e * entrySize
       val tag = ifd.getShort(off) & 0xffff
       val typ = ifd.getShort(off + 2) & 0xffff
-      val count = ifd.getInt(off + 4)
+      val count =
+        if (big) {
+          val c = ifd.getLong(off + 4)
+          require(c >= 0 && c <= Int.MaxValue, s"BigTIFF tag $tag count $c out of range")
+          c.toInt
+        } else ifd.getInt(off + 4)
       val valSize = typeSize(typ) * count
+      val valueField = off + (if (big) 12 else 8)
+      val inlineMax = if (big) 8 else 4
       val vbuf =
-        if (valSize <= 4) {
+        if (valSize <= inlineMax) {
           val inline = new Array[Byte](valSize max 0)
           var k = 0
-          while (k < inline.length) { inline(k) = ifd.get(off + 8 + k); k += 1 }
+          while (k < inline.length) { inline(k) = ifd.get(valueField + k); k += 1 }
           wrap(inline)
-        } else wrap(read(ifd.getInt(off + 8) & 0xffffffffL, valSize))
+        } else wrap(read(
+          if (big) ifd.getLong(valueField) else ifd.getInt(valueField) & 0xffffffffL,
+          valSize))
       if (tag == 42113) {
         require(typ == 2, "GDAL_NODATA must be an ASCII tag")
         val s = new String(vbuf.array(), "ASCII").takeWhile(_ != 0).trim
@@ -571,6 +606,81 @@ object GeoTiff {
       strips.indices.foreach { s =>
         out.putInt(offsArrOff + s * 4, stripOffs(s))
         out.putInt(cntsArrOff + s * 4, strips(s).length)
+      }
+    }
+    out.position(payloadOff)
+    strips.foreach(out.put)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+  }
+
+  /** BigTIFF (version 43) sink — the float32 layout of [[write]] under
+    * the 64-bit framing (16-byte header, 20-byte IFD entries with LONG8
+    * counts, 8-byte inline values, LONG8 offset/count arrays), so >4 GB
+    * rasters have an in-repo fixture exercising the 64-bit read path.
+    */
+  def writeBig(
+      path: String,
+      width: Int,
+      height: Int,
+      values: Array[Float],
+      sx: Double,
+      sy: Double,
+      ox: Double,
+      oy: Double,
+      rowsPerStrip: Int = 0): Unit = {
+    require(values.length == width * height, "values must be width*height row-major")
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    val nStrips = (height + rps - 1) / rps
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val r0 = s * rps
+      val rows = math.min(rps, height - r0)
+      val b = ByteBuffer.allocate(rows * width * 4).order(ByteOrder.LITTLE_ENDIAN)
+      var i = r0 * width
+      while (i < (r0 + rows) * width) { b.putFloat(values(i)); i += 1 }
+      b.array()
+    }
+    val n = 11
+    val ifdOff = 16
+    var cursor = ifdOff + 8 + n * 20 + 8
+    val scaleOff = cursor; cursor += 24
+    val tieOff = cursor; cursor += 48
+    val offsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 8; o }
+    val cntsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 8; o }
+    val payloadOff = cursor
+    val stripOffs = strips.scanLeft(payloadOff)(_ + _.length).init
+    val total = strips.iterator.map(_.length).sum
+    val out = ByteBuffer.allocate(payloadOff + total).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(43.toShort)
+      .putShort(8.toShort).putShort(0.toShort).putLong(ifdOff.toLong)
+    var e = 0
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      val off = ifdOff + 8 + e * 20
+      out.putShort(off, tag.toShort)
+      out.putShort(off + 2, typ.toShort)
+      out.putLong(off + 4, count)
+      out.putLong(off + 12, value)
+      e += 1
+    }
+    out.putLong(ifdOff, n.toLong)
+    entry(256, 3, 1, width)
+    entry(257, 3, 1, height)
+    entry(258, 3, 1, 32)
+    entry(259, 3, 1, 1)
+    entry(273, 16, nStrips, if (nStrips == 1) payloadOff else offsArrOff)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, rps)
+    entry(279, 16, nStrips, if (nStrips == 1) strips.head.length.toLong else cntsArrOff)
+    entry(339, 3, 1, 3)
+    entry(33550, 12, 3, scaleOff)
+    entry(33922, 12, 6, tieOff)
+    out.putLong(ifdOff + 8 + n * 20, 0L) // next IFD
+    out.putDouble(scaleOff, sx).putDouble(scaleOff + 8, sy).putDouble(scaleOff + 16, 0.0)
+    out.putDouble(tieOff, 0.0).putDouble(tieOff + 8, 0.0).putDouble(tieOff + 16, 0.0)
+    out.putDouble(tieOff + 24, ox).putDouble(tieOff + 32, oy).putDouble(tieOff + 40, 0.0)
+    if (nStrips > 1) {
+      strips.indices.foreach { s =>
+        out.putLong(offsArrOff + s * 8, stripOffs(s).toLong)
+        out.putLong(cntsArrOff + s * 8, strips(s).length.toLong)
       }
     }
     out.position(payloadOff)

@@ -409,6 +409,33 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(fanned.rdd.getNumPartitions > 1, "strips did not fan out")
   }
 
+  test("BigTIFF (version 43): 64-bit framing round-trips, multi-strip fans out") {
+    val w = 9; val h = 17 // 17 rows / 4 per strip = 5 strips, last ragged
+    val vals = Array.tabulate(w * h)(i => ((i * 31 % 89) / 4.0).toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("gtiffbig")
+    // single strip: LONG8 offset/count inline in the 8-byte value field
+    GeoTiff.writeBig(dir.resolve("one.tif").toString, w, h, vals, 0.5, 0.25, 3.0, 9.0)
+    val one = java.nio.file.Files.readAllBytes(dir.resolve("one.tif"))
+    assert((one(2) & 0xff) == 43 && (one(4) & 0xff) == 8)
+    val h1 = GeoTiff.parseHeader(one)
+    assert(h1.width == w && h1.height == h && h1.offsets.length == 1)
+    assert(h1.sx == 0.5 && h1.sy == 0.25 && h1.ox == 3.0 && h1.oy == 9.0)
+    assert(GeoTiff.cells(one).toSeq.map(_._3) == vals.toSeq.map(_.toDouble))
+    // multi-strip: external LONG8 arrays + readParallel segment fan-out
+    GeoTiff.writeBig(dir.resolve("ms.tif").toString, w, h, vals, 1.0, 1.0, 0.0, h.toDouble,
+      rowsPerStrip = 4)
+    val ms = java.nio.file.Files.readAllBytes(dir.resolve("ms.tif"))
+    val h2 = GeoTiff.parseHeader(ms)
+    assert(h2.offsets.length == 5 && h2.rowsPerStrip == 4)
+    assert(GeoTiff.cells(ms).toSeq.map(_._3) == vals.toSeq.map(_.toDouble))
+    val fanned = GeoTiff.readParallel(spark, dir.resolve("ms.tif").toString)
+    assert(fanned.count() == w * h)
+    // classic and BigTIFF encodings of the same raster decode identically
+    GeoTiff.write(dir.resolve("classic.tif").toString, w, h, vals, 1.0, 1.0, 0.0, h.toDouble)
+    val classic = java.nio.file.Files.readAllBytes(dir.resolve("classic.tif"))
+    assert(GeoTiff.cells(ms).toSeq == GeoTiff.cells(classic).toSeq)
+  }
+
   test("horizontal predictor (317=2) undoes row differencing for uint8 and int16") {
     // uint8 4×2: rows (10,13,12,20) and (5,5,6,4) stored as row diffs
     val diffs8 = Array[Int](10, 3, 0xFF, 8, 5, 0, 1, 0xFE).map(_.toByte)
