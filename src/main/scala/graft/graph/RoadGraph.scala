@@ -109,12 +109,24 @@ object RoadGraph {
       .select(col("way_id"), col("name"), col("ruc"), posexplode(col("coords")).as(Seq("pos", "coord")))
       .withColumn("kx", round(col("coord").getItem(0) * 1e7).cast("long"))
       .withColumn("ky", round(col("coord").getItem(1) * 1e7).cast("long"))
-    // dense node ids: distinct rounded coords, ordered — deterministic
-    val nodes = exploded
+    // dense node ids: distinct rounded coords in global (kx, ky) order.
+    // NOT row_number() over an unpartitioned Window — Spark executes that
+    // in ONE task, a guaranteed bottleneck on a continental graph. Range
+    // partition + in-partition sort + zipWithIndex assigns the identical
+    // ids (range partitions are globally ordered, offsets accumulate in
+    // partition order) with every stage distributed.
+    val distinctKeys = exploded
       .select(col("kx"), col("ky"), col("coord"))
       .groupBy(col("kx"), col("ky"))
       .agg(first(col("coord")).as("coord"))
-      .withColumn("node_id", row_number().over(Window.orderBy(col("kx"), col("ky"))) - 1)
+      .repartitionByRange(col("kx"), col("ky"))
+      .sortWithinPartitions("kx", "ky")
+    val spark = features.sparkSession
+    val nodes = spark.createDataFrame(
+      distinctKeys.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toInt)
+      },
+      distinctKeys.schema.add("node_id", org.apache.spark.sql.types.IntegerType, nullable = false))
     val withIds = exploded.join(nodes.select("kx", "ky", "node_id"), Seq("kx", "ky"))
     val w = Window.partitionBy(col("way_id")).orderBy(col("pos"))
     val edges = withIds
