@@ -1671,6 +1671,41 @@ object SparkEntry {
       .toDF("id", "px", "py", "name")
   }
 
+  /** S13 line/polygon tier — the MVT geometry command stream beyond
+    * points: per nation, one square ring (ClosePath, implied closure) and
+    * one TWO-part linestring (cursor persists across parts — the command
+    * encoding's only stateful rule) encode → decode; every vertex of
+    * every part replays from key arithmetic in SQL. Complements qf4
+    * (points) so all three MVT geometry types are oracle-gated.
+    */
+  private def qf5VectorGeom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+    val feats = nations.flatMap { k =>
+      val ax = ((k * 163) % 3000).toInt; val ay = ((k * 311) % 3000).toInt
+      val w = (100 + (k % 7) * 10).toInt
+      val ring = Seq((ax, ay), (ax + w, ay), (ax + w, ay + w), (ax, ay + w))
+      val bx = ((k * 77) % 3900).toInt; val by = ((k * 53) % 3900).toInt
+      val line1 = Seq((bx, by), (bx + 50, by + 20), (bx + 10, by + 90))
+      val line2 = Seq((bx + 5, by + 5), (bx + 60, by + 70))
+      Seq(
+        sources.VectorTile.Feature(k, 3, Seq(ring), Map("kind" -> "poly")),
+        sources.VectorTile.Feature(k + 1000, 2, Seq(line1, line2), Map("kind" -> "line")))
+    }
+    val bytes = sources.VectorTile.encodeTile(
+      Seq(sources.VectorTile.Layer("geom", 4096, feats.toSeq)))
+    sources.VectorTile
+      .decodeTile(bytes)
+      .flatMap(l => l.features.flatMap(f =>
+        f.geometry.zipWithIndex.flatMap { case (part, pi) =>
+          part.zipWithIndex.map { case ((x, y), vi) =>
+            (f.id, f.geomType, pi, vi, x, y, f.attrs("kind"))
+          }
+        }))
+      .toDF("id", "geom_type", "part", "pos", "x", "y", "kind")
+  }
+
   // ------------------------------------------------- routing (G6/G7/G8-10)
   /** G6 — many-to-many route matrix via the custom Catalyst operator
     * (RouteMatrixRelation → RouteMatrixExec). DuckDB oracle: hop-bounded
@@ -1931,6 +1966,7 @@ object SparkEntry {
     "qf2_geojson" -> (qf2GeoJsonRoundtrip _),
     "qf3_osmxml" -> (qf3OsmRoundtrip _),
     "qf4_vector_tile" -> (qf4VectorTile _),
+    "qf5_vector_geom" -> (qf5VectorGeom _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -2158,6 +2194,40 @@ object SparkEntry {
         |  CAST((n_nationkey * 311) % 4096 AS INTEGER) AS py,
         |  n_name AS name
         |FROM nation""".stripMargin,
+    // MVT lines + polygon rings: the command stream (MoveTo/LineTo/
+    // ClosePath, cursor persisting across parts) must reproduce every
+    // vertex of every part — pure key arithmetic replays them.
+    "qf5_vector_geom" ->
+      """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |a AS (
+        |  SELECT k, CAST((k * 163) % 3000 AS INTEGER) AS ax,
+        |    CAST((k * 311) % 3000 AS INTEGER) AS ay,
+        |    CAST(100 + (k % 7) * 10 AS INTEGER) AS w
+        |  FROM k
+        |), b AS (
+        |  SELECT k, CAST((k * 77) % 3900 AS INTEGER) AS bx,
+        |    CAST((k * 53) % 3900 AS INTEGER) AS b_y
+        |  FROM k
+        |), poly AS (
+        |  SELECT k AS id, 3 AS geom_type, 0 AS part, CAST(v.i AS INTEGER) AS pos,
+        |    CASE v.i WHEN 0 THEN ax WHEN 1 THEN ax + w WHEN 2 THEN ax + w ELSE ax END AS x,
+        |    CASE v.i WHEN 0 THEN ay WHEN 1 THEN ay WHEN 2 THEN ay + w ELSE ay + w END AS y,
+        |    'poly' AS kind
+        |  FROM a CROSS JOIN generate_series(0, 3) v(i)
+        |), line1 AS (
+        |  SELECT k + 1000 AS id, 2 AS geom_type, 0 AS part, CAST(v.i AS INTEGER) AS pos,
+        |    CASE v.i WHEN 0 THEN bx WHEN 1 THEN bx + 50 ELSE bx + 10 END AS x,
+        |    CASE v.i WHEN 0 THEN b_y WHEN 1 THEN b_y + 20 ELSE b_y + 90 END AS y,
+        |    'line' AS kind
+        |  FROM b CROSS JOIN generate_series(0, 2) v(i)
+        |), line2 AS (
+        |  SELECT k + 1000 AS id, 2 AS geom_type, 1 AS part, CAST(v.i AS INTEGER) AS pos,
+        |    CASE v.i WHEN 0 THEN bx + 5 ELSE bx + 60 END AS x,
+        |    CASE v.i WHEN 0 THEN b_y + 5 ELSE b_y + 70 END AS y,
+        |    'line' AS kind
+        |  FROM b CROSS JOIN generate_series(0, 1) v(i)
+        |)
+        |SELECT * FROM poly UNION ALL SELECT * FROM line1 UNION ALL SELECT * FROM line2""".stripMargin,
     // JPEG-in-TIFF: block-constant pixels are exact through the codec
     // (DC-only under the uniform quant table), so every cell replays.
     "qz5_raster_jpeg" ->

@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *  - [[encodeTile]]/[[decodeTile]]: one tile from features already in
   *    tile coordinates (integer 0..extent) — the deterministic kernel the
   *    oracle gate replays.
-  *  - [[writeTiles]]: the DISTRIBUTED sink — features carry lon/lat, the
-  *    plan computes each feature's (z, x, y) tile key, groups by tile,
-  *    and each task encodes + writes its tiles executor-side. One shuffle
-  *    on the tile key, tiles never touch the driver — the tippecanoe
-  *    replacement shape at 100 TB.
+  *  - [[writeTiles]] (points) / [[writeGeomTiles]] (lines + polygon
+  *    rings, bbox-exploded and clipped per tile): the DISTRIBUTED sinks —
+  *    features carry lon/lat, the plan computes each feature's (z, x, y)
+  *    tile key, groups by tile, and each task encodes + writes its tiles
+  *    executor-side. One shuffle on the tile key, tiles never touch the
+  *    driver — the tippecanoe replacement shape at 100 TB.
   */
 object VectorTile {
 
@@ -262,6 +263,100 @@ object VectorTile {
     (wx * extent, wy * extent)
   }
 
+  // ------------------------------------------------------------ clipping
+  /** Liang–Barsky parametric clip of segment (ax,ay)→(bx,by) to the rect
+    * [x0,x1]×[y0,y1]. None if fully outside. Public classic algorithm.
+    */
+  def clipSegment(
+      ax: Double, ay: Double, bx: Double, by: Double,
+      x0: Double, y0: Double, x1: Double, y1: Double)
+    : Option[((Double, Double), (Double, Double))] = {
+    val dx = bx - ax
+    val dy = by - ay
+    var t0 = 0.0
+    var t1 = 1.0
+    def edge(p: Double, q: Double): Boolean = {
+      if (p == 0.0) q >= 0
+      else {
+        val r = q / p
+        if (p < 0) { if (r > t1) return false; if (r > t0) t0 = r }
+        else { if (r < t0) return false; if (r < t1) t1 = r }
+        true
+      }
+    }
+    if (edge(-dx, ax - x0) && edge(dx, x1 - ax) && edge(-dy, ay - y0) && edge(dy, y1 - ay) && t0 <= t1)
+      Some(((ax + t0 * dx, ay + t0 * dy), (ax + t1 * dx, ay + t1 * dy)))
+    else None
+  }
+
+  /** Clip a polyline to a rect: surviving segments stitch into runs (a
+    * line leaving and re-entering the rect becomes multiple parts, the
+    * MVT multi-linestring shape).
+    */
+  def clipPolyline(
+      pts: Seq[(Double, Double)],
+      x0: Double, y0: Double, x1: Double, y1: Double): Seq[Seq[(Double, Double)]] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Double)]]
+    var run = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    pts.sliding(2).foreach {
+      case Seq((ax, ay), (bx, by)) =>
+        clipSegment(ax, ay, bx, by, x0, y0, x1, y1) match {
+          case Some((p, q)) =>
+            if (run.isEmpty) run += p
+            else if (run.last != p) { // segment re-enters: break the run
+              if (run.size >= 2) parts += run.toSeq
+              run = scala.collection.mutable.ArrayBuffer(p)
+            }
+            run += q
+          case None =>
+            if (run.size >= 2) parts += run.toSeq
+            run = scala.collection.mutable.ArrayBuffer.empty
+        }
+      case _ =>
+    }
+    if (run.size >= 2) parts += run.toSeq
+    parts.toSeq
+  }
+
+  /** Sutherland–Hodgman ring clip to a rect (public classic algorithm).
+    * Returns the clipped ring (possibly empty); consecutive duplicates
+    * are collapsed.
+    */
+  def clipRing(
+      ring: Seq[(Double, Double)],
+      x0: Double, y0: Double, x1: Double, y1: Double): Seq[(Double, Double)] = {
+    type P = (Double, Double)
+    def clipEdge(pts: Seq[P], inside: P => Boolean, cross: (P, P) => P): Seq[P] =
+      if (pts.isEmpty) pts
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[P]
+        var prev = pts.last
+        pts.foreach { cur =>
+          val curIn = inside(cur)
+          val prevIn = inside(prev)
+          if (curIn) {
+            if (!prevIn) out += cross(prev, cur)
+            out += cur
+          } else if (prevIn) out += cross(prev, cur)
+          prev = cur
+        }
+        out.toSeq
+      }
+    def atX(x: Double)(a: P, b: P): P = (x, a._2 + (b._2 - a._2) * (x - a._1) / (b._1 - a._1))
+    def atY(y: Double)(a: P, b: P): P = (a._1 + (b._1 - a._1) * (y - a._2) / (b._2 - a._2), y)
+    var r: Seq[P] = ring
+    r = clipEdge(r, _._1 >= x0, atX(x0))
+    r = clipEdge(r, _._1 <= x1, atX(x1))
+    r = clipEdge(r, _._2 >= y0, atY(y0))
+    r = clipEdge(r, _._2 <= y1, atY(y1))
+    // collapse consecutive duplicates (incl. wraparound)
+    val dedup = r.foldLeft(scala.collection.mutable.ArrayBuffer.empty[P]) { (acc, p) =>
+      if (acc.isEmpty || acc.last != p) acc += p else acc
+    }
+    while (dedup.size > 1 && dedup.head == dedup.last) dedup.remove(dedup.size - 1)
+    dedup.toSeq
+  }
+
   /** DISTRIBUTED point-tile sink: `df(idCol, lonCol, latCol, attrCols…)`
     * → one `{z}/{x}/{y}.mvt` per occupied tile under `dir`. One shuffle
     * (groupBy tile key); each task encodes and writes its own tiles —
@@ -300,6 +395,85 @@ object VectorTile {
       .mapGroups { (tileKey, it) =>
         val feats = it.map { case (_, id, px, py, attrs) =>
           Feature(id, 1, Seq(Seq((px, py))), attrs)
+        }.toSeq.sortBy(_.id)
+        (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
+      }
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        it.foreach { case (tileKey, bytes) =>
+          val tx = tileKey / n
+          val ty = tileKey % n
+          val p = java.nio.file.Paths.get(dir, zoom.toString, tx.toString, s"$ty.mvt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, bytes)
+        }
+      }
+  }
+
+  /** DISTRIBUTED line/polygon tile sink — the tippecanoe shape for
+    * non-point layers: each feature's lon/lat part explodes to every
+    * tile its bbox touches, is CLIPPED to that tile's rect (+`buffer`
+    * px, the MVT rendering-margin convention) with Liang–Barsky (lines)
+    * or Sutherland–Hodgman (rings), and lands as tile-relative integer
+    * coordinates. One shuffle on the tile key; encode + write stay
+    * executor-side. `geomType` 2 = linestring, 3 = polygon ring;
+    * `coordsCol` is one part (`array<array<double>>` of [lon, lat]).
+    * Degenerate clips (< 2 line points / < 3 ring points after integer
+    * rounding) drop silently — the tile simply has no fragment of that
+    * feature, matching clipping-tiler semantics.
+    */
+  def writeGeomTiles(
+      df: DataFrame,
+      idCol: String,
+      geomType: Int,
+      coordsCol: String,
+      attrCols: Seq[String],
+      zoom: Int,
+      dir: String,
+      layerName: String = "layer",
+      extent: Int = 4096,
+      buffer: Int = 0): Unit = {
+    require(geomType == 2 || geomType == 3, s"geomType must be 2 (line) or 3 (polygon), got $geomType")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = 1L << zoom
+    val rows = df.select(
+      col(idCol).cast("long").as("id"),
+      col(coordsCol).as("coords"),
+      map(attrCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("attrs"))
+    val keyed = rows
+      .as[(Long, Seq[Seq[Double]], Map[String, String])]
+      .flatMap { case (id, coords, attrs) =>
+        val pix = coords.map(c => mercator(c(0), c(1), zoom, extent))
+        val txs = pix.map(p => math.floor(p._1 / extent).toLong)
+        val tys = pix.map(p => math.floor(p._2 / extent).toLong)
+        val cleanAttrs = attrs.filter(_._2 != null)
+        for {
+          tx <- math.max(0, txs.min) to math.min(n - 1, txs.max)
+          ty <- math.max(0, tys.min) to math.min(n - 1, tys.max)
+          x0 = tx * extent.toDouble - buffer
+          y0 = ty * extent.toDouble - buffer
+          x1 = (tx + 1) * extent.toDouble + buffer
+          y1 = (ty + 1) * extent.toDouble + buffer
+          parts = {
+            val clipped =
+              if (geomType == 3) Seq(clipRing(pix, x0, y0, x1, y1))
+              else clipPolyline(pix, x0, y0, x1, y1)
+            clipped
+              .map(_.map(p =>
+                ((p._1 - tx * extent).round.toInt, (p._2 - ty * extent).round.toInt)))
+              .map(part => part.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+                if (acc.nonEmpty && acc.head == p) acc else p :: acc
+              }.reverse)
+              .filter(part => part.size >= (if (geomType == 3) 3 else 2))
+          }
+          if parts.nonEmpty
+        } yield (tx * n + ty, id, parts, cleanAttrs)
+      }
+    keyed
+      .groupByKey(_._1)
+      .mapGroups { (tileKey, it) =>
+        val feats = it.map { case (_, id, parts, attrs) =>
+          Feature(id, geomType, parts, attrs)
         }.toSeq.sortBy(_.id)
         (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
       }

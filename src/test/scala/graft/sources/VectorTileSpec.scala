@@ -75,4 +75,70 @@ class VectorTileSpec extends AnyFunSuite {
     // pixel coords: lon 90 at z1 → world x = 1.5 tiles → px 2048 in tile 1
     assert(readTile(1, 0).features.head.geometry.head.head._1 == 2048)
   }
+
+  test("clipSegment/clipPolyline: hand-computed crossings, re-entry splits runs") {
+    // diagonal across the unit box [0,10]²: clipped where it crosses
+    assert(VectorTile.clipSegment(-5, 5, 15, 5, 0, 0, 10, 10).contains(((0.0, 5.0), (10.0, 5.0))))
+    assert(VectorTile.clipSegment(-5, -5, -1, 20, 0, 0, 10, 10).isEmpty)
+    assert(VectorTile.clipSegment(2, 2, 8, 8, 0, 0, 10, 10).contains(((2.0, 2.0), (8.0, 8.0))))
+    // polyline leaves and re-enters: two runs
+    val parts = VectorTile.clipPolyline(
+      Seq((1.0, 1.0), (1.0, 9.0), (15.0, 9.0), (15.0, 1.0), (9.0, 1.0)),
+      0, 0, 10, 10)
+    assert(parts.size == 2)
+    assert(parts(0) == Seq((1.0, 1.0), (1.0, 9.0), (10.0, 9.0)))
+    assert(parts(1) == Seq((10.0, 1.0), (9.0, 1.0)))
+  }
+
+  test("clipRing: square overhanging the rect clips to the hand-computed quad") {
+    // square [5,15]² clipped to [0,10]² = [5,10]²
+    val r = VectorTile.clipRing(
+      Seq((5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0)), 0, 0, 10, 10)
+    assert(r.toSet == Set((5.0, 5.0), (10.0, 5.0), (10.0, 10.0), (5.0, 10.0)))
+    assert(r.size == 4)
+    // fully inside: unchanged; fully outside: empty
+    val inside = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0))
+    assert(VectorTile.clipRing(inside, 0, 0, 10, 10) == inside)
+    assert(VectorTile.clipRing(Seq((20.0, 20.0), (30.0, 20.0), (30.0, 30.0)), 0, 0, 10, 10).isEmpty)
+  }
+
+  test("distributed writeGeomTiles: spanning polygon clips into both tiles, line re-entry splits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mvt-geom").toString
+    // at z1, lon 0 is the tile-0/tile-1 boundary; a lon [-45, 45] square
+    // at northern lats spans tiles (0,0) and (1,0)
+    val poly = Seq((7L, Seq(
+      Seq(-45.0, 20.0), Seq(45.0, 20.0), Seq(45.0, 60.0), Seq(-45.0, 60.0)), "big"))
+      .toDF("id", "coords", "name")
+    VectorTile.writeGeomTiles(poly, "id", geomType = 3, "coords", Seq("name"), zoom = 1, dir = dir)
+    def readTile(tx: Int, ty: Int) = {
+      val p = java.nio.file.Paths.get(dir, "1", tx.toString, s"$ty.mvt")
+      assert(java.nio.file.Files.exists(p), s"missing tile $tx/$ty")
+      VectorTile.decodeTile(java.nio.file.Files.readAllBytes(p)).head
+    }
+    Seq((0, 0), (1, 0)).foreach { case (tx, ty) =>
+      val f = readTile(tx, ty).features.head
+      assert(f.id == 7L && f.geomType == 3 && f.attrs("name") == "big")
+      val ring = f.geometry.head
+      assert(ring.size >= 3, s"degenerate clipped ring in $tx/$ty")
+      // every vertex inside the tile extent; the shared lon-0 edge lands
+      // on x=4096 (tile 0) / x=0 (tile 1)
+      assert(ring.forall { case (x, y) => x >= 0 && x <= 4096 && y >= 0 && y <= 4096 })
+      if (tx == 0) assert(ring.exists(_._1 == 4096)) else assert(ring.exists(_._1 == 0))
+    }
+    // a line that exits tile (0,0) east into (1,0) and comes back: the
+    // fragment inside (0,0) is TWO parts, the fragment in (1,0) one part
+    val line = Seq((9L, Seq(
+      Seq(-40.0, 40.0), Seq(30.0, 40.0), Seq(30.0, 55.0), Seq(-40.0, 55.0)), "zig"))
+      .toDF("id", "coords", "name")
+    val dir2 = java.nio.file.Files.createTempDirectory("mvt-line").toString
+    VectorTile.writeGeomTiles(line, "id", geomType = 2, "coords", Seq("name"), zoom = 1, dir = dir2)
+    def readTile2(tx: Int, ty: Int) = VectorTile.decodeTile(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, "1", tx.toString, s"$ty.mvt"))).head
+    val west = readTile2(0, 0).features.head
+    val east = readTile2(1, 0).features.head
+    assert(west.geomType == 2 && west.geometry.size == 2, s"west parts ${west.geometry.size}")
+    assert(east.geometry.size == 1)
+    assert(east.geometry.head.forall { case (x, _) => x >= 0 && x <= 4096 })
+  }
 }
