@@ -1542,6 +1542,27 @@ object SparkEntry {
       .select(col("x"), col("y"), col("band"), col("value"))
   }
 
+  /** qz6's fixture through the MEGA-RASTER path: multi-strip + deflate +
+    * multi-band, read segment-fanned by
+    * [[sources.GeoTiff.readBandsParallel]] (each strip an independent
+    * task carrying all bands of its rows). Same oracle as qz6 — the
+    * physical plan differs, the cells must not.
+    */
+  private def qz7RasterBandsParallel(spark: SparkSession, dir: String): DataFrame = {
+    val w = 32; val h = 16
+    val bands = Array.tabulate(3)(b =>
+      Array.tabulate(w * h) { i =>
+        val c = i % w; val r = i / w
+        (((c * 3 + r * 5 + b * 7) % 40) / 4.0).toFloat
+      })
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qz7")
+    sources.GeoTiff.writeBands(
+      tmp.resolve("rgb.tif").toString, w, h, bands, 1.0, 1.0, 0.0, h.toDouble,
+      deflate = true, rowsPerStrip = 4)
+    sources.GeoTiff.readBandsParallel(spark, tmp.resolve("rgb.tif").toString)
+      .select(col("x"), col("y"), col("band"), col("value"))
+  }
+
   // ------------------------------------------- file codecs (S1/S2/S3/S9/S10)
   /** S1 end-to-end — native shapefile ingest under the oracle gate: a
     * deterministic .shp/.dbf/.prj triple is materialized through
@@ -1962,6 +1983,7 @@ object SparkEntry {
     "qz4_raster_parallel" -> (qz4RasterParallel _),
     "qz5_raster_jpeg" -> (qz5RasterJpeg _),
     "qz6_raster_bands" -> (qz6RasterBands _),
+    "qz7_raster_bands_parallel" -> (qz7RasterBandsParallel _),
     "qf1_shapefile" -> (qf1ShapefileScan _),
     "qf2_geojson" -> (qf2GeoJsonRoundtrip _),
     "qf3_osmxml" -> (qf3OsmRoundtrip _),
@@ -2181,6 +2203,13 @@ object SparkEntry {
     // each (x, y, band) cell replays directly; band is the interleave
     // position the decoder must recover from the chunky layout.
     "qz6_raster_bands" ->
+      """SELECT i + 0.5 AS x, 16 - (j + 0.5) AS y, CAST(b AS INTEGER) AS band,
+        |  ((i * 3 + j * 5 + b * 7) % 40) / 4.0 AS value
+        |FROM generate_series(0, 31) a(i)
+        |CROSS JOIN generate_series(0, 15) c(j)
+        |CROSS JOIN generate_series(0, 2) d(b)""".stripMargin,
+    // qz7: identical cells through the segment-fanned multi-band path.
+    "qz7_raster_bands_parallel" ->
       """SELECT i + 0.5 AS x, 16 - (j + 0.5) AS y, CAST(b AS INTEGER) AS band,
         |  ((i * 3 + j * 5 + b * 7) % 40) / 4.0 AS value
         |FROM generate_series(0, 31) a(i)

@@ -802,12 +802,13 @@ object GeoTiff {
       ox: Double,
       oy: Double,
       nodata: Option[Double],
-      jpegTables: Option[Array[Byte]] = None)
+      jpegTables: Option[Array[Byte]] = None,
+      spp: Int = 1)
 
   /** Split a header into per-strip/per-tile segment tasks. */
   private[sources] def segmentsOf(h: Header, path: String, little: Boolean): Seq[RasterSegment] = {
     require(h.spp == 1,
-      s"readParallel is single-band (spp=${h.spp}) — use readBands for multi-band rasters")
+      s"readParallel is single-band (spp=${h.spp}) — use readBandsParallel for multi-band rasters")
     segmentsOfImpl(h, path, little)
   }
 
@@ -819,7 +820,7 @@ object GeoTiff {
           path, h.offsets(t), h.byteCounts(t), little, h.compression, h.predictor,
           h.bits, h.sampleFormat, h.tileW, h.tileH,
           (t % across) * h.tileW, (t / across) * h.tileH,
-          h.width, h.height, h.sx, h.sy, h.ox, h.oy, h.nodata, h.jpegTables)
+          h.width, h.height, h.sx, h.sy, h.ox, h.oy, h.nodata, h.jpegTables, h.spp)
       }
     } else {
       h.offsets.indices.map { s =>
@@ -827,7 +828,7 @@ object GeoTiff {
         RasterSegment(
           path, h.offsets(s), h.byteCounts(s), little, h.compression, h.predictor,
           h.bits, h.sampleFormat, h.width, math.min(h.rowsPerStrip, h.height - row0),
-          0, row0, h.width, h.height, h.sx, h.sy, h.ox, h.oy, h.nodata, h.jpegTables)
+          0, row0, h.width, h.height, h.sx, h.sy, h.ox, h.oy, h.nodata, h.jpegTables, h.spp)
       }
     }
 
@@ -857,7 +858,25 @@ object GeoTiff {
   def readParallel(
       spark: SparkSession,
       path: String,
-      globFilter: Option[String] = None): DataFrame = {
+      globFilter: Option[String] = None): DataFrame =
+    readParallelImpl(spark, path, globFilter, multiBand = false).drop("band")
+
+  /** Multi-band twin of [[readParallel]]: (path, x, y, band, value) with
+    * the same per-strip/per-tile segment fan-out — chunky interleave
+    * means a segment holds ALL bands of its pixel rows, so band decode
+    * adds no extra reads or shuffles.
+    */
+  def readBandsParallel(
+      spark: SparkSession,
+      path: String,
+      globFilter: Option[String] = None): DataFrame =
+    readParallelImpl(spark, path, globFilter, multiBand = true)
+
+  private def readParallelImpl(
+      spark: SparkSession,
+      path: String,
+      globFilter: Option[String],
+      multiBand: Boolean): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -879,7 +898,8 @@ object GeoTiff {
           if (off == 0L) little = b(0) == 'I'
           b
         }
-        segmentsOf(h, st.getPath.toString, little)
+        if (multiBand) segmentsOfImpl(h, st.getPath.toString, little)
+        else segmentsOf(h, st.getPath.toString, little)
       } finally in.close()
     }
     require(segs.nonEmpty, s"no TIFF segments under $path")
@@ -891,34 +911,38 @@ object GeoTiff {
           val p = new org.apache.hadoop.fs.Path(s.path)
           val sfs = p.getFileSystem(confSer.conf) // Hadoop caches per-scheme instances
           val raw = new Array[Byte](
-            (if (s.len > 0) s.len else s.rowSamples.toLong * s.rows * (s.bits / 8)).toInt)
+            (if (s.len > 0) s.len
+             else s.rowSamples.toLong * s.spp * s.rows * (s.bits / 8)).toInt)
           val in = sfs.open(p)
           try in.readFully(s.off, raw, 0, raw.length)
           finally in.close()
           val order = if (s.little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
           val seg = segmentBuffer(
             raw, 0, raw.length, order, s.compression, s.predictor, s.bits,
-            s.rowSamples, s.rows, s.jpegTables)
+            s.rowSamples * s.spp, s.rows, s.jpegTables)
           val bps = s.bits / 8
           Iterator.range(0, s.rows).flatMap { j =>
             Iterator.range(0, s.rowSamples).flatMap { i =>
               val col = s.col0 + i; val row = s.row0 + j
               if (col < s.width && row < s.height) {
-                val v = sampleAt(seg, (j * s.rowSamples + i) * bps, s.bits, s.fmt)
-                val keep = s.nodata match {
-                  case Some(nd) => v != nd && !(v.isNaN && nd.isNaN)
-                  case None => true
+                Iterator.range(0, s.spp).flatMap { b =>
+                  val v = sampleAt(
+                    seg, ((j * s.rowSamples + i) * s.spp + b) * bps, s.bits, s.fmt)
+                  val keep = s.nodata match {
+                    case Some(nd) => v != nd && !(v.isNaN && nd.isNaN)
+                    case None => true
+                  }
+                  if (keep)
+                    Iterator.single((s.path,
+                      s.ox + (col + 0.5) * s.sx, s.oy - (row + 0.5) * s.sy, b, v))
+                  else Iterator.empty
                 }
-                if (keep)
-                  Iterator.single((s.path,
-                    s.ox + (col + 0.5) * s.sx, s.oy - (row + 0.5) * s.sy, v))
-                else Iterator.empty
               } else Iterator.empty // edge-tile padding
             }
           }
         }
       }
-      .toDF("path", "x", "y", "value")
+      .toDF("path", "x", "y", "band", "value")
   }
 
   def read(spark: SparkSession, path: String, globFilter: Option[String] = None): DataFrame = {
@@ -961,9 +985,9 @@ object GeoTiff {
       .toDF("path", "x", "y", "band", "value")
   }
 
-  /** Multi-band float32 sink (chunky interleave, single strip,
-    * optionally deflate): `bands(b)(row*width+col)` — the writer twin of
-    * [[readBands]].
+  /** Multi-band float32 sink (chunky interleave, optionally deflate,
+    * optionally multi-strip): `bands(b)(row*width+col)` — the writer twin
+    * of [[readBands]]/[[readBandsParallel]].
     */
   def writeBands(
       path: String,
@@ -974,19 +998,12 @@ object GeoTiff {
       sy: Double,
       ox: Double,
       oy: Double,
-      deflate: Boolean = false): Unit = {
+      deflate: Boolean = false,
+      rowsPerStrip: Int = 0): Unit = {
     val spp = bands.length
     require(spp >= 1 && bands.forall(_.length == width * height),
       "each band must be width*height row-major")
-    val interleaved = ByteBuffer.allocate(width * height * spp * 4).order(ByteOrder.LITTLE_ENDIAN)
-    var i = 0
-    while (i < width * height) {
-      var b = 0
-      while (b < spp) { interleaved.putFloat(bands(b)(i)); b += 1 }
-      i += 1
-    }
-    val payload0 = interleaved.array()
-    val payload = if (!deflate) payload0 else {
+    def zip(payload0: Array[Byte]): Array[Byte] = {
       // growable sink — incompressible rasters exceed input size via
       // stored-block overhead, and a single fixed-slack deflate() call
       // would refuse them outright
@@ -998,7 +1015,21 @@ object GeoTiff {
       d.end()
       sink.toByteArray
     }
-    // tags: 256 W, 257 H, 258 bits×spp, 259 comp, 273 strip off, 277 spp,
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    val nStrips = (height + rps - 1) / rps
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val r0 = s * rps
+      val rows = math.min(rps, height - r0)
+      val b = ByteBuffer.allocate(rows * width * spp * 4).order(ByteOrder.LITTLE_ENDIAN)
+      var i = r0 * width
+      while (i < (r0 + rows) * width) {
+        var bd = 0
+        while (bd < spp) { b.putFloat(bands(bd)(i)); bd += 1 }
+        i += 1
+      }
+      if (deflate) zip(b.array()) else b.array()
+    }
+    // tags: 256 W, 257 H, 258 bits×spp, 259 comp, 273 strip offs, 277 spp,
     // 278 rows/strip, 279 strip bytes, 284 planar, 339 fmt×spp,
     // 33550 scale, 33922 tiepoint
     val n = 12
@@ -1008,8 +1039,12 @@ object GeoTiff {
     val fmtOff = { val o = cursor; if (spp > 2) cursor += spp * 2; o }
     val scaleOff = cursor; cursor += 24
     val tieOff = cursor; cursor += 48
+    val offsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 4; o }
+    val cntsArrOff = { val o = cursor; if (nStrips > 1) cursor += nStrips * 4; o }
     val payloadOff = cursor
-    val out = ByteBuffer.allocate(payloadOff + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    val stripOffs = strips.scanLeft(payloadOff)(_ + _.length).init
+    val total = strips.iterator.map(_.length).sum
+    val out = ByteBuffer.allocate(payloadOff + total).order(ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(ifdOff)
     var e = 0
     def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
@@ -1027,10 +1062,10 @@ object GeoTiff {
     entry(257, 3, 1, height)
     entry(258, 3, spp, if (spp <= 2) inlineShorts(32) else bitsOff)
     entry(259, 3, 1, if (deflate) 8 else 1)
-    entry(273, 4, 1, payloadOff)
+    entry(273, 4, nStrips, if (nStrips == 1) payloadOff else offsArrOff)
     entry(277, 3, 1, spp)
-    entry(278, 3, 1, height)
-    entry(279, 4, 1, payload.length)
+    entry(278, 3, 1, rps)
+    entry(279, 4, nStrips, if (nStrips == 1) strips.head.length else cntsArrOff)
     entry(284, 3, 1, 1) // chunky
     entry(339, 3, spp, if (spp <= 2) inlineShorts(3) else fmtOff)
     entry(33550, 12, 3, scaleOff)
@@ -1045,8 +1080,14 @@ object GeoTiff {
     out.putDouble(scaleOff, sx).putDouble(scaleOff + 8, sy).putDouble(scaleOff + 16, 0.0)
     out.putDouble(tieOff, 0.0).putDouble(tieOff + 8, 0.0).putDouble(tieOff + 16, 0.0)
     out.putDouble(tieOff + 24, ox).putDouble(tieOff + 32, oy).putDouble(tieOff + 40, 0.0)
+    if (nStrips > 1) {
+      strips.indices.foreach { s =>
+        out.putInt(offsArrOff + s * 4, stripOffs(s))
+        out.putInt(cntsArrOff + s * 4, strips(s).length)
+      }
+    }
     out.position(payloadOff)
-    out.put(payload)
+    strips.foreach(out.put)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
   }
 }

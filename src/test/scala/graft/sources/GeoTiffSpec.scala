@@ -483,4 +483,29 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(h2.spp == 2 && h2.bits == 32)
     assert(GeoTiff.cellsBands(two, h2).count(_ => true) == w * h * 2)
   }
+
+  test("readBandsParallel: multi-strip multi-band deflate fans out, output ≡ readBands") {
+    val w = 10; val h = 21 // 21 rows / 6 per strip = 4 strips, last ragged
+    val bands = Array.tabulate(3)(b => Array.tabulate(w * h)(i => (i * 0.5f + b * 1000f)))
+    val dir = java.nio.file.Files.createTempDirectory("mbtiffpar")
+    val p = dir.resolve("rgb.tif").toString
+    GeoTiff.writeBands(p, w, h, bands, 1.0, 1.0, 0.0, h.toDouble,
+      deflate = true, rowsPerStrip = 6)
+    val hdr = GeoTiff.parseHeader(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    assert(hdr.offsets.length == 4 && hdr.spp == 3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDouble(1), r.getDouble(2), r.getInt(3), r.getDouble(4))
+    val whole = GeoTiff.readBands(spark, dir.toString).collect().map(key).sorted
+    val fanned = GeoTiff.readBandsParallel(spark, p).collect().map(key).sorted
+    assert(whole.length == w * h * 3)
+    assert(whole.toSeq == fanned.toSeq)
+    // every (band, value) pins to the written payload
+    fanned.foreach { case (x, y, b, v) =>
+      val col = (x - 0.5).toInt; val row = (h - 0.5 - y).toInt
+      assert(v == bands(b)(row * w + col).toDouble, s"cell ($col,$row) band $b")
+    }
+    // single-band readParallel refuses the multi-band layout loudly
+    val ex = intercept[IllegalArgumentException](GeoTiff.readParallel(spark, p).collect())
+    assert(ex.getMessage.contains("readBandsParallel"))
+  }
 }
