@@ -8,8 +8,8 @@ package graft.sources
   * rasterio/GDAL — here decoded natively).
   *
   * Scope: baseline sequential (SOF0), 8-bit precision, one component
-  * (grayscale) or three (YCbCr, sampling factors ≤ 2 — covers 4:4:4,
-  * 4:2:2 and 4:2:0 interleaved scans), canonical huffman tables from DHT
+  * (grayscale) or three (YCbCr, sampling factors 1..4 — the full T.81
+  * range: 4:4:4, 4:2:2, 4:2:0, 4:4:0, 4:1:1), canonical huffman tables from DHT
   * (any, not just Annex K), restart markers (DRI/RSTn), abbreviated
   * table/image streams. Progressive and arithmetic coding throw loudly.
   *
@@ -399,11 +399,30 @@ object Jpeg {
       w: Int,
       h: Int,
       subsample: Boolean,
+      includeTables: Boolean = true): Array[Byte] =
+    if (subsample) encodeColorSampled(yP, cbP, crP, w, h, 2, 2, includeTables)
+    else encodeColorSampled(yP, cbP, crP, w, h, 1, 1, includeTables)
+
+  /** General luma sampling (T.81 factors 1..4): Y at `yh`×`yv`, chroma
+    * box-averaged to (ceil(w/yh), ceil(h/yv)) at 1×1 — 4:4:4 = (1,1),
+    * 4:2:0 = (2,2), 4:2:2 = (2,1), 4:4:0 = (1,2), 4:1:1 = (4,1). MCU =
+    * yh·yv Y blocks + 1 Cb + 1 Cr.
+    */
+  def encodeColorSampled(
+      yP: Array[Int],
+      cbP: Array[Int],
+      crP: Array[Int],
+      w: Int,
+      h: Int,
+      yh: Int,
+      yv: Int,
       includeTables: Boolean = true): Array[Byte] = {
     require(yP.length == w * h && cbP.length == w * h && crP.length == w * h,
       "planes must be w*h row-major at full resolution")
     require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
       s"JPEG dimensions are 16-bit: ${w}x$h out of range") // SOF0 would truncate silently
+    require(yh >= 1 && yh <= 4 && yv >= 1 && yv <= 4,
+      s"sampling factors ${yh}x$yv out of the T.81 range (1..4)")
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     if (includeTables) {
@@ -411,32 +430,40 @@ object Jpeg {
       writeSeg(out, 0xc4, dhtPayload(0x00, DcSpec))
       writeSeg(out, 0xc4, dhtPayload(0x10, AcSpec))
     }
-    val ys = if (subsample) 2 else 1
     writeSeg(out, 0xc0, Array[Byte](
       8, ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
       ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, 3,
-      1, ((ys << 4) | ys).toByte, 0,
+      1, ((yh << 4) | yv).toByte, 0,
       2, 0x11, 0,
       3, 0x11, 0))
     writeSeg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
-    // chroma planes at component resolution
+    // chroma planes at component resolution (yh×yv box average, edge clamp)
     val (cw, chh, cb, cr) =
-      if (!subsample) (w, h, cbP, crP)
+      if (yh == 1 && yv == 1) (w, h, cbP, crP)
       else {
-        val cw = (w + 1) / 2
-        val chh = (h + 1) / 2
+        val cw = (w + yh - 1) / yh
+        val chh = (h + yv - 1) / yv
         def down(p: Array[Int]): Array[Int] = Array.tabulate(cw * chh) { i =>
-          val x = (i % cw) * 2; val y = (i / cw) * 2
-          val x1 = math.min(x + 1, w - 1); val y1 = math.min(y + 1, h - 1)
-          (p(y * w + x) + p(y * w + x1) + p(y1 * w + x) + p(y1 * w + x1)) / 4
+          val x0 = (i % cw) * yh; val y0 = (i / cw) * yv
+          var s = 0
+          var dy = 0
+          while (dy < yv) {
+            var dx = 0
+            while (dx < yh) {
+              s += p(math.min(y0 + dy, h - 1) * w + math.min(x0 + dx, w - 1))
+              dx += 1
+            }
+            dy += 1
+          }
+          s / (yh * yv)
         }
         (cw, chh, down(cbP), down(crP))
       }
     val dcCodes = encodeTable(DcSpec)
     val acCodes = encodeTable(AcSpec)
     val bw = new BitWriter(out)
-    val mcusX = (w + 8 * ys - 1) / (8 * ys)
-    val mcusY = (h + 8 * ys - 1) / (8 * ys)
+    val mcusX = (w + 8 * yh - 1) / (8 * yh)
+    val mcusY = (h + 8 * yv - 1) / (8 * yv)
     var predY = 0
     var predCb = 0
     var predCr = 0
@@ -445,11 +472,11 @@ object Jpeg {
       var mx = 0
       while (mx < mcusX) {
         var byy = 0
-        while (byy < ys) {
+        while (byy < yv) {
           var bxx = 0
-          while (bxx < ys) {
+          while (bxx < yh) {
             predY = emitBlock(bw, dcCodes, acCodes, yP, w, h,
-              (mx * ys + bxx) * 8, (my * ys + byy) * 8, predY)
+              (mx * yh + bxx) * 8, (my * yv + byy) * 8, predY)
             bxx += 1
           }
           byy += 1
@@ -550,7 +577,7 @@ object Jpeg {
   }
 
   /** Decode one baseline stream (grayscale or YCbCr, any sampling with
-    * factors ≤ 2) to per-component planes.
+    * factors 1..4 — the full T.81 range) to per-component planes.
     */
   def decodeImage(bytes: Array[Byte], pre: TableState = new TableState): DecodedImage =
     scanMarkers(bytes, pre, decodeScan = true).getOrElse(
@@ -623,8 +650,8 @@ object Jpeg {
             val o = pos + 8 + c * 3
             val fc = new FrameComp(
               bytes(o) & 0xff, (bytes(o + 1) & 0xff) >> 4, bytes(o + 1) & 0x0f, bytes(o + 2) & 0x0f)
-            require(fc.hs >= 1 && fc.hs <= 2 && fc.vs >= 1 && fc.vs <= 2,
-              s"sampling factors ${fc.hs}x${fc.vs} unsupported (1 or 2 only)")
+            require(fc.hs >= 1 && fc.hs <= 4 && fc.vs >= 1 && fc.vs <= 4,
+              s"sampling factors ${fc.hs}x${fc.vs} out of the T.81 range (1..4)")
             fc
           }
           pos += len

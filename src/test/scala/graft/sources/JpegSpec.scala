@@ -146,6 +146,35 @@ class JpegSpec extends AnyFunSuite {
     assert(gw == w && gh == h && gray.map(_ & 0xff).toSeq == yP.toSeq)
   }
 
+  test("asymmetric sampling 4:2:2 / 4:4:0 / 4:1:1: block-constant planes round-trip exactly") {
+    // constant per (8·yh)×(8·yv) region ⇒ Y blocks constant AND box-
+    // averaged chroma blocks constant ⇒ exact through quantization
+    for ((yh, yv) <- Seq((2, 1), (1, 2), (4, 1))) {
+      val w = 8 * yh * 2; val h = 8 * yv * 2 // 2×2 MCUs
+      def plane(seed: Int) = Array.tabulate(w * h) { i =>
+        val rc = (i % w) / (8 * yh); val rr = (i / w) / (8 * yv)
+        (rc * 70 + rr * 50 + seed) % 256
+      }
+      val (yP, cbP, crP) = (plane(20), plane(120), plane(200))
+      val enc = Jpeg.encodeColorSampled(yP, cbP, crP, w, h, yh, yv)
+      val img = Jpeg.decodeImage(enc)
+      assert(img.planes(0).hs == yh && img.planes(0).vs == yv, s"$yh x $yv")
+      assert(img.planes(0).data.map(_ & 0xff).toSeq == yP.toSeq, s"luma $yh x $yv")
+      // chroma at (ceil(w/yh), ceil(h/yv)): each value = its region constant
+      val cbHalf = img.planes(1)
+      assert(cbHalf.w == w / yh && cbHalf.h == h / yv)
+      (0 until cbHalf.h).foreach { y =>
+        (0 until cbHalf.w).foreach { x =>
+          assert((cbHalf.data(y * cbHalf.w + x) & 0xff) == cbP((y * yv) * w + x * yh),
+            s"cb ($x,$y) at $yh x $yv")
+        }
+      }
+      // decodeGray/decodeRgb dims survive the asymmetric MCU layout
+      val (gw, gh, _) = Jpeg.decodeGray(enc)
+      assert(gw == w && gh == h)
+    }
+  }
+
   test("JPEG-in-TIFF: writeJpeg multi-strip + read and readParallel agree exactly") {
     val w = 64; val h = 48
     val px = Array.tabulate(w * h) { i =>
