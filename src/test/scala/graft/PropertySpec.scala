@@ -214,6 +214,72 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("clip kernels: output confined to the rect, inside geometry preserved verbatim") {
+    import graft.sources.VectorTile
+    val pt = Gen.zip(Gen.chooseNum(-50.0, 150.0), Gen.chooseNum(-50.0, 150.0))
+    val eps = 1e-9 // clip intersections carry 1-ulp float slack
+    forAll(Gen.listOfN(8, pt), n = 40) { pts =>
+      // polyline: every clipped vertex inside [0,100]²; fully-inside input
+      // survives as one identical run
+      val runs = VectorTile.clipPolyline(pts, 0, 0, 100, 100)
+      runs.flatten.foreach { case (x, y) =>
+        assert(x >= -eps && x <= 100 + eps && y >= -eps && y <= 100 + eps, s"($x,$y) escaped")
+      }
+      if (pts.forall { case (x, y) => x >= 0 && x <= 100 && y >= 0 && y <= 100 })
+        assert(runs == Seq(pts))
+      // ring: Sutherland–Hodgman output confined too (needs ≥3 points)
+      val ring = VectorTile.clipRing(pts.take(5), 0, 0, 100, 100)
+      ring.foreach { case (x, y) =>
+        assert(x >= -eps && x <= 100 + eps && y >= -eps && y <= 100 + eps, s"ring ($x,$y)")
+      }
+    }
+  }
+
+  test("AVI/MJPEG containers round-trip random frame counts and paddings") {
+    import graft.sources.{Avi, Jpeg}
+    val gen = for {
+      n <- Gen.chooseNum(1, 6)
+      wBlocks <- Gen.chooseNum(1, 4)
+      hBlocks <- Gen.chooseNum(1, 3)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield (n, wBlocks * 8, hBlocks * 8, seed)
+    forAll(gen, n = 12) { case (n, w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val pxs = Seq.fill(n) {
+        // block-constant from per-frame random coefficients: exact through JPEG
+        val ka = rnd.nextInt(16); val kb = rnd.nextInt(16); val kc = rnd.nextInt(200)
+        Array.tabulate(w * h) { i =>
+          val bc = (i % w) / 8; val br = (i / w) / 8
+          (bc * ka + br * kb + kc) % 251
+        }
+      }
+      val avi = Avi.encodeMjpeg(pxs.map(Jpeg.encodeGray(_, w, h)), w, h)
+      val back = Avi.mjpegFrames(avi).map(f => Jpeg.decodeGray(f))
+      assert(back.size == n, s"frames $n ${w}x$h seed=$seed")
+      back.zip(pxs).foreach { case ((dw, dh, out), expect) =>
+        assert(dw == w && dh == h)
+        assert(out.map(_ & 0xff).toSeq == expect.toSeq, s"pixels $n ${w}x$h seed=$seed")
+      }
+    }
+  }
+
+  test("G.711 expansion: monotone per segment sign, round-trips the container") {
+    import graft.sources.Wav
+    forAll(Gen.chooseNum(0L, Long.MaxValue / 2), n = 10) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val codes = Array.fill(200 + rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val (_, _, u) = Wav.decode(Wav.encodeG711(codes, 8000, aLaw = false))
+      val (_, _, a) = Wav.decode(Wav.encodeG711(codes, 8000, aLaw = true))
+      assert(u.toSeq == codes.map(c => Wav.ulawToLinear(c & 0xff)).toSeq)
+      assert(a.toSeq == codes.map(c => Wav.alawToLinear(c & 0xff)).toSeq)
+    }
+    // positive µ-law codes decode monotonically decreasing as the code
+    // grows (0x80 = max positive … 0xFF = zero): the companding order
+    (0x80 until 0xff).foreach { c =>
+      assert(Wav.ulawToLinear(c) >= Wav.ulawToLinear(c + 1), f"ulaw 0x$c%02x")
+    }
+  }
+
   test("MVT tiles round-trip random point features") {
     import graft.sources.VectorTile
     val feat = for {
