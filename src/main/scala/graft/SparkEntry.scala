@@ -1563,6 +1563,25 @@ object SparkEntry {
       .select(col("x"), col("y"), col("band"), col("value"))
   }
 
+  /** S-family interop — ORC round trip: lineitem projects through an ORC
+    * write → read (Spark's builtin columnar format besides parquet) and
+    * aggregates; the oracle replays the same aggregate over the parquet
+    * source directly, so any value corruption in the ORC path (type
+    * mapping, nulls, decimal/double round trip) breaks the hash.
+    */
+  private def qf6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qf6")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .write.mode("overwrite").orc(tmp.toString)
+    spark.read.orc(tmp.toString)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+  }
+
   // ------------------------------------------- file codecs (S1/S2/S3/S9/S10)
   /** S1 end-to-end — native shapefile ingest under the oracle gate: a
     * deterministic .shp/.dbf/.prj triple is materialized through
@@ -1989,6 +2008,7 @@ object SparkEntry {
     "qf3_osmxml" -> (qf3OsmRoundtrip _),
     "qf4_vector_tile" -> (qf4VectorTile _),
     "qf5_vector_geom" -> (qf5VectorGeom _),
+    "qf6_orc_roundtrip" -> (qf6OrcRoundtrip _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -2208,6 +2228,13 @@ object SparkEntry {
         |FROM generate_series(0, 31) a(i)
         |CROSS JOIN generate_series(0, 15) c(j)
         |CROSS JOIN generate_series(0, 2) d(b)""".stripMargin,
+    // ORC round trip: the oracle reads the parquet source directly — any
+    // value corruption in the ORC write→read path breaks the hash.
+    "qf6_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // qz7: identical cells through the segment-fanned multi-band path.
     "qz7_raster_bands_parallel" ->
       """SELECT i + 0.5 AS x, 16 - (j + 0.5) AS y, CAST(b AS INTEGER) AS band,
