@@ -95,7 +95,11 @@ object Avi {
       "not an AVI stream (missing RIFF/AVI )")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = ArrayBuffer.empty[Array[Byte]]
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+    def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+      // real AVI nests LISTs 2-3 deep; a crafted file with thousands of
+      // nested LISTs would otherwise StackOverflowError (fatal — a Try
+      // around decode can't catch it), stalling the one-bad-file contract
+      require(depth <= 32, s"corrupt AVI: LIST nesting exceeds 32 at offset $start")
       var pos = start
       while (pos + 8 <= end) {
         val id = new String(bytes, pos, 4, "ASCII")
@@ -104,7 +108,7 @@ object Avi {
           s"corrupt AVI: chunk '$id' declares length $len at offset $pos")
         if (id == "LIST" && len >= 4) {
           val listType = new String(bytes, pos + 8, 4, "ASCII")
-          walk(pos + 12, pos + 8 + len, inMovi || listType == "movi")
+          walk(pos + 12, pos + 8 + len, inMovi || listType == "movi", depth + 1)
         } else if (inMovi && (id(2) == 'd' && (id(3) == 'c' || id(3) == 'b'))) {
           // '##dc' compressed / '##db' uncompressed video chunk
           out += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
@@ -113,7 +117,7 @@ object Avi {
       }
     }
     val riffEnd = math.min(bytes.length.toLong, 8L + b.getInt(4)).toInt
-    walk(12, riffEnd, inMovi = false)
+    walk(12, riffEnd, inMovi = false, depth = 0)
     out.toSeq
   }
 }

@@ -443,7 +443,13 @@ object VectorTile {
     val keyed = rows
       .as[(Long, Seq[Seq[Double]], Map[String, String])]
       .flatMap { case (id, coords, attrs) =>
-        val pix = coords.map(c => mercator(c(0), c(1), zoom, extent))
+        // a null/empty/single-point part has no line or ring fragment in
+        // any tile; skip it instead of letting bbox .min throw and kill
+        // the task (one bad row must not fail the job)
+        val safe = if (coords == null) Seq.empty else coords.filter(c => c != null && c.size >= 2)
+        if (safe.size < 2) Iterator.empty
+        else {
+        val pix = safe.map(c => mercator(c(0), c(1), zoom, extent))
         val txs = pix.map(p => math.floor(p._1 / extent).toLong)
         val tys = pix.map(p => math.floor(p._2 / extent).toLong)
         val cleanAttrs = attrs.filter(_._2 != null)
@@ -468,6 +474,7 @@ object VectorTile {
           }
           if parts.nonEmpty
         } yield (tx * n + ty, id, parts, cleanAttrs)
+        }
       }
     keyed
       .groupByKey(_._1)

@@ -47,6 +47,17 @@ class AviSpec extends AnyFunSuite {
     b.putInt(16, -8)
     val ex = intercept[IllegalArgumentException](Avi.mjpegFrames(bad))
     assert(ex.getMessage.contains("corrupt AVI"))
+    // deeply nested LISTs must throw, not StackOverflowError (fatal —
+    // the multimodal Try wrapper cannot catch it)
+    val deep = new java.io.ByteArrayOutputStream()
+    val nest = 2000
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    deep.write("RIFF".getBytes); deep.write(le32(4 + nest * 12)); deep.write("AVI ".getBytes)
+    (0 until nest).foreach { i =>
+      deep.write("LIST".getBytes); deep.write(le32((nest - i) * 12 - 8)); deep.write("hdrl".getBytes)
+    }
+    val ex2 = intercept[IllegalArgumentException](Avi.mjpegFrames(deep.toByteArray))
+    assert(ex2.getMessage.contains("nesting"))
     // non-AVI bytes are rejected loudly; multimodal tier is null-safe
     intercept[IllegalArgumentException](Avi.mjpegFrames("not a container".getBytes))
     assert(graft.multimodal.Multimodal.decodeVideo(null).isEmpty)

@@ -102,6 +102,20 @@ class VectorTileSpec extends AnyFunSuite {
     assert(VectorTile.clipRing(Seq((20.0, 20.0), (30.0, 20.0), (30.0, 30.0)), 0, 0, 10, 10).isEmpty)
   }
 
+  test("writeGeomTiles: null/empty/single-point rows drop instead of failing the job") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mvt-degenerate").toString
+    val df = Seq(
+      (1L, Seq(Seq(10.0, 10.0), Seq(20.0, 20.0)), "ok"),
+      (2L, Seq.empty[Seq[Double]], "empty"),
+      (3L, Seq(Seq(5.0, 5.0)), "single"),
+      (4L, Seq(Seq(1.0), Seq(2.0, 3.0)), "ragged")).toDF("id", "coords", "name")
+    VectorTile.writeGeomTiles(df, "id", geomType = 2, "coords", Seq("name"), zoom = 0, dir = dir)
+    val tile = VectorTile.decodeTile(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "0", "0", "0.mvt"))).head
+    assert(tile.features.map(_.id) == Seq(1L)) // only the valid line survived
+  }
+
   test("distributed writeGeomTiles: spanning polygon clips into both tiles, line re-entry splits") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mvt-geom").toString
