@@ -193,6 +193,14 @@ object Jpeg {
     */
   private def fdct(s: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
+    // constant-block fast path (the forward twin of idct's): all-equal
+    // samples transform to DC = 8·value, every AC exactly zero
+    var k = 1
+    while (k < 64 && s(k) == s(0)) k += 1
+    if (k == 64) {
+      out(0) = 8.0 * s(0)
+      return out
+    }
     var v = 0
     while (v < 8) {
       var u = 0
@@ -218,6 +226,15 @@ object Jpeg {
     */
   private def idct(coef: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
+    // DC-only fast path: flat blocks (ubiquitous in block-constant
+    // fixtures AND real images' smooth regions) need one fill, not the
+    // 4096-multiply basis sum — idct(DC) = coef(0)/8 everywhere
+    var k = 1
+    while (k < 64 && coef(k) == 0.0) k += 1
+    if (k == 64) {
+      java.util.Arrays.fill(out, coef(0) / 8.0)
+      return out
+    }
     var y = 0
     while (y < 8) {
       var x = 0
