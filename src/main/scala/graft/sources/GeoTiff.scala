@@ -98,8 +98,13 @@ object GeoTiff {
   }
 
   def parseHeader(bytes: Array[Byte]): Header =
-    parseHeaderRanged((off, len) =>
-      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len))
+    parseHeaderRanged { (off, len) =>
+      // a corrupt (Big)TIFF 64-bit offset would truncate through toInt
+      // into an opaque AIOOBE — name the problem instead
+      require(off >= 0 && off + len <= bytes.length,
+        s"TIFF value range [$off, +$len) outside the ${bytes.length}-byte buffer (corrupt offsets)")
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    }
 
   /** Parse a header through a ranged-read function — the whole walk
     * touches a few KB (magic + IFD + referenced value arrays), so a

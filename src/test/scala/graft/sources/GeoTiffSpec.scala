@@ -436,6 +436,18 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(GeoTiff.cells(ms).toSeq == GeoTiff.cells(classic).toSeq)
   }
 
+  test("BigTIFF with a corrupt 64-bit IFD offset fails loudly, not with an AIOOBE") {
+    val w = 4; val h = 4
+    val vals = Array.fill(w * h)(1.0f)
+    val dir = java.nio.file.Files.createTempDirectory("gtiffcorrupt")
+    GeoTiff.writeBig(dir.resolve("c.tif").toString, w, h, vals, 1.0, 1.0, 0.0, h.toDouble)
+    val bytes = java.nio.file.Files.readAllBytes(dir.resolve("c.tif"))
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(8, 1L << 40) // first-IFD offset points a TB into nowhere
+    val ex = intercept[IllegalArgumentException](GeoTiff.parseHeader(bytes))
+    assert(ex.getMessage.contains("outside"))
+  }
+
   test("horizontal predictor (317=2) undoes row differencing for uint8 and int16") {
     // uint8 4×2: rows (10,13,12,20) and (5,5,6,4) stored as row diffs
     val diffs8 = Array[Int](10, 3, 0xFF, 8, 5, 0, 1, 0xFE).map(_.toByte)
