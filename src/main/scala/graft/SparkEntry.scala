@@ -739,6 +739,17 @@ object SparkEntry {
       n = 5)
   }
 
+  /** Exact substring-level dedup (Lee et al. 2022, aggressive variant):
+    * every character covered by a 20-gram occurring ≥2 times in the
+    * corpus is cut from every occurrence. The oracle replays the
+    * position-coverage SEMANTICS char by char (obviously correct, O(n·k)
+    * rows in DuckDB); the Spark side computes the same text via merged
+    * spans + a single splice — matching hashes prove the two
+    * formulations equivalent on real data.
+    */
+  private def qd11SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.substringDedup(t(spark, dir, "documents"), "doc_id", "text", k = 20)
+
   /** IVF ANN — the scale path of the similarity family (qs1/qs3 are the
     * brute-force baselines): corpus rows land in 8-bit hyperplane cells,
     * and only cells within hamming 1 of the query's cell are scored
@@ -2034,6 +2045,7 @@ object SparkEntry {
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qd8_decontaminate" -> (qd8Decontaminate _),
+    "qd11_substring_dedup" -> (qd11SubstringDedup _),
     "qt12_lm_score" -> (qt12LmScore _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_group_percentile" -> (q28GroupPercentile _),
@@ -3969,6 +3981,36 @@ object SparkEntry {
         |SELECT e.doc_id, count(*) AS n_hits
         |FROM evalg e JOIN train t USING (g)
         |GROUP BY e.doc_id""".stripMargin,
+    // Substring dedup: the oracle uses the per-character COVERAGE
+    // formulation (a char survives iff no duplicated 20-gram covers it),
+    // the engine the merged-span splice — equal hashes prove equivalence.
+    "qd11_substring_dedup" ->
+      """WITH gp AS (
+        |  SELECT doc_id, text, unnest(generate_series(0, length(text) - 20)) AS pos
+        |  FROM documents WHERE length(text) >= 20
+        |), g AS (
+        |  SELECT doc_id, pos, substr(text, pos + 1, 20) AS gram FROM gp
+        |), dup AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+        |), cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + c.j AS cpos
+        |  FROM g JOIN dup USING (gram)
+        |  CROSS JOIN generate_series(0, 19) c(j)
+        |), chp AS (
+        |  SELECT doc_id, text, unnest(generate_series(0, length(text) - 1)) AS cpos
+        |  FROM documents WHERE length(text) >= 1
+        |), ch AS (
+        |  SELECT doc_id, cpos, substr(text, cpos + 1, 1) AS c FROM chp
+        |), kept AS (
+        |  SELECT ch.doc_id, string_agg(ch.c, '' ORDER BY ch.cpos) AS cleaned
+        |  FROM ch LEFT JOIN cov ON ch.doc_id = cov.doc_id AND ch.cpos = cov.cpos
+        |  WHERE cov.doc_id IS NULL
+        |  GROUP BY ch.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(k.cleaned, '') AS cleaned,
+        |  CAST(length(d.text) - length(coalesce(k.cleaned, '')) AS INTEGER) AS removed_chars
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
     // IVF ANN: the 8 seeded hyperplanes AND the query's own cell are
     // generated/computed in the oracle builder with the same Random(42)
     // sequence and the same sequential double arithmetic as the engine's

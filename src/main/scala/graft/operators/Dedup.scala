@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 
 /** Corpus-scale deduplication operators for training-data pipelines:
@@ -429,6 +429,66 @@ object Dedup {
       .join(trainGrams, Seq("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Exact SUBSTRING-level dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — public paper;
+    * aggressive variant): any character covered by a `k`-gram that
+    * occurs more than once in the corpus is removed from EVERY
+    * occurrence, and the survivors splice back together in order.
+    *
+    * Set-based, no char-level explode on the Spark side: one shuffle on
+    * the gram (duplicate detection), one on the doc (interval merge —
+    * classic gaps-and-islands window), then the ≤ len/1 merged spans per
+    * doc rebuild the text with a single `aggregate` splice. At 100 TB
+    * the gram shuffle ships (hash, gram) — swap in the decontaminate
+    * pattern (hash prefilter + exact verify join) if gram strings ever
+    * dominate the exchange.
+    *
+    * Returns (idCol, cleaned, removed_chars).
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"gram length $k too small")
+    val base = docs.select(col(idCol).as("__did"), col(textCol).as("__text"))
+    val grams = base
+      .filter(col("__text").isNotNull && length(col("__text")) >= k)
+      .select(col("__did"), col("__text"),
+        explode(sequence(lit(0), length(col("__text")) - k)).as("__pos"))
+      .select(col("__did"), col("__pos"),
+        expr(s"substring(__text, __pos + 1, $k)").as("__gram"))
+    val dupPos = grams
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("__gram"))))
+      .filter(col("__cnt") > 1)
+      .select(col("__did"), col("__pos"))
+    // merge covering intervals [pos, pos+k) per doc: island starts where
+    // pos exceeds the running max end of everything before it
+    val w = Window.partitionBy(col("__did")).orderBy(col("__pos"))
+    val spans = dupPos
+      .withColumn("__prevEnd",
+        max(col("__pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__prevEnd").isNull || col("__pos") > col("__prevEnd"), 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(col("__did"), col("__island"))
+      .agg(min(col("__pos")).as("s"), max(col("__pos") + k).as("e"))
+      .groupBy(col("__did"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"))
+    base
+      .join(spans, Seq("__did"), "left")
+      .withColumn("cleaned",
+        when(col("__spans").isNull, col("__text")).otherwise(expr(
+          """aggregate(__spans,
+            |  struct(0 AS prev, CAST('' AS STRING) AS acc),
+            |  (st, sp) -> struct(CAST(sp.e AS INT) AS prev,
+            |    concat(st.acc, substring(__text, st.prev + 1, sp.s - st.prev)) AS acc),
+            |  st -> concat(st.acc, substring(__text, st.prev + 1, length(__text) - st.prev)))
+            |""".stripMargin)))
+      .select(
+        col("__did").as(idCol),
+        col("cleaned"),
+        (coalesce(length(col("__text")), lit(0)) - coalesce(length(col("cleaned")), lit(0)))
+          .as("removed_chars"))
   }
 
   /** Embedding-cosine near-dup: hyperplane-LSH candidates verified by

@@ -300,6 +300,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged("w1") == 10.5 && merged("w2") == 20.5 && merged("w3") == null)
   }
 
+  test("substring dedup cuts a planted duplicated span from every occurrence") {
+    import spark.implicits._
+    val span = "THE-EXACT-DUPLICATED-SPAN-SENTENCE" // 34 chars > k
+    val docs = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"prefix text then $span and a suffix"),
+      (3L, "completely unique content with nothing repeated here"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // the span (plus any overlapping duplicated grams) is gone from BOTH
+    assert(!out(1L)._1.contains("DUPLICATED") && out(1L)._2 >= span.length)
+    assert(!out(2L)._1.contains("DUPLICATED") && out(2L)._2 >= span.length)
+    // unique and sub-k docs untouched
+    assert(out(3L) == ("completely unique content with nothing repeated here", 0))
+    assert(out(4L) == ("tiny", 0))
+    // surviving text keeps its non-covered borders in order
+    assert(out(1L)._1.startsWith("alpha") && out(1L)._1.endsWith("omega"))
+  }
+
   test("embedding near-dup drops planted near-identical vectors") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => math.sin(i).toFloat)
