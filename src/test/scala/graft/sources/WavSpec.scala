@@ -54,6 +54,41 @@ class WavSpec extends AnyFunSuite {
     assert(sA.toSeq == codes.map(c => Wav.alawToLinear(c & 0xff)).toSeq)
   }
 
+  test("IMA ADPCM: hand-computed nibble walk, round-trip SNR, lockstep predictors") {
+    // hand-built one-block stream: pred=0 idx=0, nibbles 4,8,0,0,0,0,0,0
+    // step table walk: 4 → +7 (idx 2), 8 → −1 (idx 1), 0 → +1 (idx 0), 0 → +0 …
+    val b = java.nio.ByteBuffer.allocate(12 + 28 + 8 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(b.capacity - 8).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(20)
+    b.putShort(17).putShort(1).putInt(8000).putInt(8000).putShort(8).putShort(4)
+    b.putShort(2).putShort(9)
+    b.put("data".getBytes).putInt(8)
+    b.putShort(0).put(0.toByte).put(0.toByte) // predictor 0, index 0
+    b.put(0x84.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val (rate, ch, s) = Wav.decode(b.array())
+    assert(rate == 8000 && ch == 1)
+    assert(s.toSeq == Seq[Short](0, 7, 6, 7, 7, 7, 7, 7, 7))
+
+    // encode→decode: a smooth waveform reconstructs with small error
+    val src = Array.tabulate(2000)(i =>
+      (8000 * math.sin(i * 0.05) + 2000 * math.sin(i * 0.013)).toShort)
+    val (_, _, back) = Wav.decode(Wav.encodeImaAdpcm(src, 16000))
+    assert(back.length >= src.length && back.length <= src.length + 505)
+    val err = src.indices.map(i => math.abs(back(i) - src(i)))
+    assert(err.max <= 2000, s"max err ${err.max}") // 4-bit ADPCM tracks a smooth curve
+    assert(err.sum.toDouble / err.size <= 200, s"mean err ${err.sum.toDouble / err.size}")
+    // every block header carries the exact predictor sample
+    assert(back(0) == src(0))
+    // corrupt step index must throw, not walk off the table
+    val enc = Wav.encodeImaAdpcm(src, 16000)
+    val bad = enc.clone()
+    bad(60 + 2) = 120.toByte // first block header's index byte (data at 60)
+    intercept[Exception](Wav.decode(bad))
+    // multimodal tier dispatches ADPCM transparently
+    assert(graft.multimodal.Multimodal.decodeAudio(enc).map(_._3.length).exists(_ >= 2000))
+  }
+
   test("crafted negative chunk length throws instead of spinning forever") {
     val enc = Wav.encodeMono16(Array[Short](1, 2, 3), 8000)
     val bad = enc.clone()
