@@ -35,8 +35,8 @@ object Multimodal {
   /** Deterministic fake decode: byte histogram stats + a 16-dim "embedding"
     * from chunked byte means. Real decode exists for JPEG/PNG/GIF/BMP
     * pixels ([[decodeImage]]), WAV/PCM samples ([[decodeAudio]]) and
-    * AVI/MJPEG frames ([[decodeVideo]]) and G.711 companded audio
-    * ([[graft.sources.Wav.ulawToLinear]]); this stub remains only for
+    * AVI/MJPEG frames ([[decodeVideo]]) and G.711/IMA-ADPCM compressed
+    * audio ([[graft.sources.Wav]]); this stub remains only for
     * perceptual codecs (MP3/AAC, non-MJPEG video).
     */
   def decodeStub(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
