@@ -1182,6 +1182,25 @@ object SparkEntry {
       .withColumn("rms", round(col("rms"), 6))
   }
 
+  /** Multimodal FLAC tier — the qm6 contract through a REAL compressed
+    * container: per-document PCM encodes executor-side with
+    * fixed-prediction + Rice coding ([[sources.Flac]]), decodes back via
+    * the dispatching [[multimodal.Multimodal.decodeAudio]] (magic-based
+    * WAV/FLAC routing is itself under test), and the stats replay with
+    * zero FP slack because FLAC is lossless.
+    */
+  private def qm12FlacAudio(spark: SparkSession, dir: String): DataFrame = {
+    val media = multimodal.Multimodal.flacMediaFromDocuments(spark, t(spark, dir, "documents"))
+    multimodal.Multimodal
+      .extractAudioFeatures(media)
+      .select(
+        col("media_id"),
+        col("sample_rate"),
+        col("n_samples"),
+        round(col("mean_amp"), 6).as("mean_amp"),
+        round(col("rms"), 6).as("rms"))
+  }
+
   /** Multimodal VIDEO tier — REAL AVI/MJPEG decode: 4 block-constant
     * 32×32 JPEG frames per document ride an AVI container built
     * executor-side ([[sources.Avi]]); decode walks the movi chunks and
@@ -2032,6 +2051,7 @@ object SparkEntry {
     "qm9_bmp_pixels" -> (qm9BmpPixels _),
     "qm10_mjpeg_frames" -> (qm10MjpegFrames _),
     "qm11_g711_audio" -> (qm11G711Audio _),
+    "qm12_flac_audio" -> (qm12FlacAudio _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -2880,6 +2900,18 @@ object SparkEntry {
         |  round(sum(v) * 64 / 1024.0, 6) AS mean_px,
         |  CAST(sum(v * (64 * (br * 256 + bc * 8 + 1) + 7392)) AS BIGINT) AS checksum
         |FROM px GROUP BY doc_id, fno""".stripMargin,
+    // FLAC replay: lossless codec ⇒ decoded samples ARE the formula
+    // values; same integer-exact stats contract as qm6.
+    "qm12_flac_audio" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, ((t.i * 2731 + d.doc_id * 29) % 65536) - 32768 AS v
+        |  FROM documents d CROSS JOIN generate_series(0, 1023) t(i))
+        |SELECT doc_id AS media_id,
+        |  CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(1024 AS BIGINT) AS n_samples,
+        |  round(CAST(sum(abs(v)) AS DOUBLE) / 1024.0, 6) AS mean_amp,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 1024.0), 6) AS rms
+        |FROM s GROUP BY doc_id""".stripMargin,
     // G.711 replay: the ITU-T expansion is pure integer shift/segment
     // arithmetic, so SQL computes the exact 16-bit sample per code byte.
     // µ-law: u = ~e; t = ((u%16)*8+132) << ((u//16)%8); v = ±(t-132).

@@ -299,12 +299,20 @@ object Multimodal {
       mean_amp: Double,
       rms: Double)
 
-  /** REAL audio decode tier: WAV/PCM payloads decode to actual samples
-    * through [[graft.sources.Wav]] (PCM needs no codec library at all).
-    * Non-WAV or corrupt payloads → None.
+  /** REAL audio decode tier: WAV payloads (PCM, G.711, IMA ADPCM) decode
+    * through [[graft.sources.Wav]], FLAC payloads through
+    * [[graft.sources.Flac]] — container dispatch on the magic, corrupt
+    * or unknown payloads → None.
     */
-  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
-    scala.util.Try(graft.sources.Wav.decode(safeBytes(bytes))).toOption
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    val b = safeBytes(bytes)
+    if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      scala.util.Try {
+        val (rate, samples) = graft.sources.Flac.decodeMono16(b)
+        (rate, 1, samples)
+      }.toOption
+    else scala.util.Try(graft.sources.Wav.decode(b)).toOption
+  }
 
   /** Audio features over REAL decoded samples: mean |amplitude| and RMS —
     * integer-exact sums (Σ|v| < 2^25, Σv² < 2^40 for 1k samples) divided
@@ -430,6 +438,22 @@ object Multimodal {
       it.map { id =>
         val samples = Array.tabulate(1024)(i => (((i * 2731 + id * 17) % 65536) - 32768).toShort)
         Media(id, MediaMeta("audio", 0, 0, 16000), graft.sources.Wav.encodeMono16(samples, 16000))
+      }
+    }
+  }
+
+  /** FLAC media fixture: the WAV fixture's contract through the FLAC
+    * codec — 1024 deterministic PCM16 samples per document, encoded
+    * executor-side with fixed-prediction + Rice coding. FLAC is
+    * lossless, so the decoded samples ARE the formula values and the
+    * audio stats replay exactly in SQL.
+    */
+  def flacMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val samples = Array.tabulate(1024)(i => (((i * 2731 + id * 29) % 65536) - 32768).toShort)
+        Media(id, MediaMeta("audio", 0, 0, 16000), graft.sources.Flac.encodeMono16(samples, 16000))
       }
     }
   }
