@@ -32,7 +32,6 @@ object Flac {
         i -= 1
       }
     }
-    def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
     def align(): Unit = if (nbits > 0) put(0, 8 - nbits)
     def toArray: Array[Byte] = { align(); out.toByteArray }
   }
@@ -121,6 +120,7 @@ object Flac {
 
   /** UTF-8-style coded number (frame numbering, public spec Annex). */
   private def putUtf8Num(bw: BitWriter, n: Long): Unit = {
+    require(n < 0x10000, s"frame number $n exceeds this encoder's 3-byte range")
     if (n < 0x80) bw.put(n, 8)
     else if (n < 0x800) { bw.put(0xc0 | (n >> 6), 8); bw.put(0x80 | (n & 0x3f), 8) }
     else {
