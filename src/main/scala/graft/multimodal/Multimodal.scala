@@ -280,7 +280,11 @@ object Multimodal {
     */
   def jpegMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id")).as[Long]
+      // a small parquet lands in ONE partition; the per-row codec work
+      // is the expensive part, so spread it across the cluster first
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         val w = 32; val h = 32
         val px = Array.tabulate(w * h) { i =>
@@ -414,7 +418,11 @@ object Multimodal {
     */
   def aviMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id")).as[Long]
+      // a small parquet lands in ONE partition; the per-row codec work
+      // is the expensive part, so spread it across the cluster first
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         val w = 32; val h = 32
         val frames = (0 until 4).map { f =>
@@ -434,7 +442,11 @@ object Multimodal {
     */
   def wavMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id")).as[Long]
+      // a small parquet lands in ONE partition; the per-row codec work
+      // is the expensive part, so spread it across the cluster first
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         val samples = Array.tabulate(1024)(i => (((i * 2731 + id * 17) % 65536) - 32768).toShort)
         Media(id, MediaMeta("audio", 0, 0, 16000), graft.sources.Wav.encodeMono16(samples, 16000))
@@ -450,7 +462,11 @@ object Multimodal {
     */
   def flacMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id")).as[Long]
+      // a small parquet lands in ONE partition; the per-row codec work
+      // is the expensive part, so spread it across the cluster first
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         val samples = Array.tabulate(1024)(i => (((i * 2731 + id * 29) % 65536) - 32768).toShort)
         Media(id, MediaMeta("audio", 0, 0, 16000), graft.sources.Flac.encodeMono16(samples, 16000))
@@ -463,7 +479,11 @@ object Multimodal {
     */
   def bmpMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id")).as[Long]
+      // a small parquet lands in ONE partition; the per-row codec work
+      // is the expensive part, so spread it across the cluster first
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         val w = 32; val h = 32
         val px = Array.tabulate(w * h)(i => ((i * 59 + id * 11) % 256).toInt)
@@ -478,7 +498,11 @@ object Multimodal {
     */
   def gifMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id")).as[Long]
+      // a small parquet lands in ONE partition; the per-row codec work
+      // is the expensive part, so spread it across the cluster first
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         val w = 32; val h = 32
         val px = Array.tabulate(w * h)(i => ((i * 101 + id * 3) % 256).toInt)
@@ -493,7 +517,11 @@ object Multimodal {
     */
   def pngMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+    docs.select(col("doc_id")).as[Long]
+      // a small parquet lands in ONE partition; the per-row codec work
+      // is the expensive part, so spread it across the cluster first
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         val w = 32; val h = 32
         val px = Array.tabulate(w * h)(i => ((i * 7919 + id) % 256).toInt)

@@ -24,12 +24,16 @@ object Flac {
     private var cur = 0
     private var nbits = 0
     def put(v: Long, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) {
-        cur = (cur << 1) | ((v >>> i) & 1L).toInt
-        nbits += 1
+      // batch into the current byte instead of a loop iteration per bit
+      var rem = n
+      while (rem > 0) {
+        val space = 8 - nbits
+        val take = if (space < rem) space else rem
+        val chunk = ((v >>> (rem - take)) & ((1L << take) - 1)).toInt
+        cur = (cur << take) | chunk
+        nbits += take
         if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
-        i -= 1
+        rem -= take
       }
     }
     def align(): Unit = if (nbits > 0) put(0, 8 - nbits)
@@ -47,9 +51,20 @@ object Flac {
       b
     }
     def bits(n: Int): Long = {
+      // consume up to a byte per step, not a function call per bit —
+      // the decoder's hot path (every residual goes through here)
       var v = 0L
-      var i = 0
-      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      var rem = n
+      while (rem > 0) {
+        require(bytePos < bytes.length, "FLAC bitstream truncated")
+        val avail = 8 - bitPos
+        val take = if (avail < rem) avail else rem
+        val chunk = ((bytes(bytePos) & 0xff) >> (avail - take)) & ((1 << take) - 1)
+        v = (v << take) | chunk
+        bitPos += take
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        rem -= take
+      }
       v
     }
     def signedBits(n: Int): Int =
@@ -59,10 +74,23 @@ object Flac {
         (v << (64 - n) >> (64 - n)).toInt // sign extend
       }
     def unary(): Int = {
+      // scan whole bytes for the terminating 1 bit instead of per-bit calls
       var q = 0
-      while (bit() == 0) {
-        q += 1
-        require(q < (1 << 24), "runaway unary code (corrupt FLAC)")
+      while (true) {
+        require(bytePos < bytes.length, "FLAC bitstream truncated")
+        val cur = ((bytes(bytePos) & 0xff) << bitPos) & 0xff // remaining bits, left-aligned
+        if (cur == 0) {
+          q += 8 - bitPos
+          bitPos = 0
+          bytePos += 1
+          require(q < (1 << 24), "runaway unary code (corrupt FLAC)")
+        } else {
+          val lead = Integer.numberOfLeadingZeros(cur) - 24
+          q += lead
+          bitPos += lead + 1
+          if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+          return q
+        }
       }
       q
     }
@@ -170,7 +198,14 @@ object Flac {
     si.put(15, 5) // bits per sample - 1
     si.put(samples.length.toLong, 36)
     val md5 = java.security.MessageDigest.getInstance("MD5")
-    samples.foreach { s => md5.update((s & 0xff).toByte); md5.update(((s >> 8) & 0xff).toByte) }
+    val pcmBytes = new Array[Byte](samples.length * 2)
+    var mi = 0
+    while (mi < samples.length) {
+      pcmBytes(mi * 2) = (samples(mi) & 0xff).toByte
+      pcmBytes(mi * 2 + 1) = ((samples(mi) >> 8) & 0xff).toByte
+      mi += 1
+    }
+    md5.update(pcmBytes)
     val siBytes = si.toArray ++ md5.digest()
     out.write(0x80) // last-metadata-block flag | type 0
     out.write((siBytes.length >> 16) & 0xff)
@@ -225,11 +260,10 @@ object Flac {
         bw2.put(p, 4)
         resid.foreach { r =>
           val z = zigzag(r)
-          bw2.put(0, 0)
           val q = (z >>> p).toInt
-          var k = 0
-          while (k < q) { bw2.put(0, 1); k += 1 }
-          bw2.put(1, 1)
+          var k = q
+          while (k >= 63) { bw2.put(0, 63); k -= 63 } // q zeros + terminating 1
+          bw2.put(1, k + 1)
           if (p > 0) bw2.put(z & ((1L << p) - 1), p)
         }
       }
