@@ -394,6 +394,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(f.n_bytes == jpeg.length)
   }
 
+  test("streaming media: decoded running aggregate equals the batch form over all batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def wavClip(id: Long, rate: Int): Multimodal.Media = {
+      val samples = Array.tabulate(256)(i => (((i * 31 + id * 7) % 4096) - 2048).toShort)
+      Multimodal.Media(id, Multimodal.MediaMeta("audio", 0, 0, rate),
+        graft.sources.Wav.encodeMono16(samples, rate))
+    }
+    def flacClip(id: Long, rate: Int): Multimodal.Media = {
+      val samples = Array.tabulate(300)(i => (1000 * math.sin(i * 0.1 + id)).toShort)
+      Multimodal.Media(id, Multimodal.MediaMeta("audio", 0, 0, rate),
+        graft.sources.Flac.encodeMono16(samples, rate))
+    }
+    val batch1 = Seq(wavClip(1, 8000), wavClip(2, 16000), flacClip(3, 16000))
+    val batch2 = Seq(flacClip(4, 8000), wavClip(5, 16000),
+      Multimodal.Media(6, Multimodal.MediaMeta("audio", 0, 0, 0), "not audio".getBytes))
+    val in = MemoryStream[Multimodal.Media]
+    val q = MediaStream.audioQualityByRate(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("media_agg").start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+      // latest update per rate == the batch aggregate over ALL clips
+      val streamed = spark.sql("SELECT * FROM media_agg").collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2._1)._2 } // latest = most clips
+      val expect = MediaStream.audioQualityByRate((batch1 ++ batch2).toDS())
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == expect)
+      // the corrupt payload landed as the zero-sample row (rate 0), not a crash
+      assert(expect.contains(0) && expect(0)._2 == 0L)
+    } finally q.stop()
+  }
+
   test("streaming EAUL: per-batch recompute equals the batch sweep on folded stats") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
