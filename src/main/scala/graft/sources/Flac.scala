@@ -362,6 +362,8 @@ object Flac {
         val partOrder = br.bits(4).toInt
         val nPart = 1 << partOrder
         require(blockLen % nPart == 0, "partition does not divide block")
+        require((blockLen >> partOrder) >= order,
+          s"first partition smaller than predictor order $order (corrupt FLAC)")
         var part = 0
         var idx = order
         while (part < nPart) {
@@ -383,6 +385,7 @@ object Flac {
           }
           part += 1
         }
+        require(idx == blockLen, s"residual decode filled $idx of $blockLen samples")
         // undo the fixed predictor
         i = order
         while (i < blockLen) {

@@ -45,6 +45,16 @@ class FlacSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Flac.decodeMono16(Array.fill[Byte](100)(7)))
   }
 
+  test("adversarial bytes after a fLaC magic always throw, never hang") {
+    (0 until 50).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val junk = "fLaC".getBytes ++ Array.fill(200 + rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      intercept[Exception](Flac.decodeMono16(junk))
+      // and through the dispatching multimodal tier: None, not a crash
+      assert(graft.multimodal.Multimodal.decodeAudio(junk).isEmpty)
+    }
+  }
+
   test("STREAMINFO carries the real MD5 of the unencoded samples") {
     val src = Array.tabulate(100)(i => (i * 31).toShort)
     val enc = Flac.encodeMono16(src, 8000)
