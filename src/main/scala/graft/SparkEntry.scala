@@ -1612,6 +1612,84 @@ object SparkEntry {
         round(avg(col("l_discount")), 6).as("avg_disc"))
   }
 
+  /** Layout tier — Z-order clustering under the oracle gate: the Morton
+    * code ([[operators.Layout.zorder2]], magic-number bit spreading as
+    * pure builtin shift/and/or expressions) is computed over two key
+    * columns and aggregated; the oracle replays the identical spreading
+    * arithmetic in SQL (`&`, `|`, `<<` — lateral aliases), so one wrong
+    * mask or shift anywhere in the interleave breaks the hash. The
+    * clustering itself (repartitionByRange on z → disjoint per-file Z
+    * intervals → multi-dim min/max pruning at rest) is plan-asserted in
+    * LayoutSpec; this gate pins the code the layout sorts by.
+    */
+  private def qy1Zorder(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag"),
+        operators.Layout.zorder2(col("l_partkey"), col("l_suppkey")).as("z"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("z")).as("z_sum"),
+        min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+
+  /** Layout tier — bucketed co-located join: orders and lineitem are
+    * written as hash-bucketed sorted tables on the join key
+    * ([[operators.Layout.writeBucketed]]), then joined and aggregated
+    * THROUGH the bucketed tables — the read-side join needs no exchange
+    * (LayoutSpec asserts the plan; at 100 TB the write-once shuffle
+    * amortizes across every later fact-fact join). The oracle replays the
+    * plain join over the parquet sources, so bucket routing or per-bucket
+    * sort corruption (a row landing in the wrong bucket would silently
+    * drop join matches under bucketed execution) breaks the values.
+    */
+  private def qy2BucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qy2").toString
+    operators.Layout.writeBucketed(
+      t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey"), col("o_custkey")),
+      "graft_qy2_orders", "o_orderkey", 8, wh)
+    operators.Layout.writeBucketed(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount")),
+      "graft_qy2_lineitem", "l_orderkey", 8, wh)
+    spark.table("graft_qy2_lineitem")
+      .join(
+        spark.table("graft_qy2_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Layout tier — small-file compaction round trip: a 48-shard parquet
+    * directory is compacted ([[operators.Layout.compact]] — `coalesce`,
+    * a narrow dependency, so NO shuffle; LayoutSpec asserts the plan and
+    * the output file count) and aggregated through the compacted copy.
+    * The oracle replays the aggregate over the source table, so any row
+    * lost or duplicated by the rewrite breaks count/sum/hash.
+    */
+  private def qf7Compact(spark: SparkSession, dir: String): DataFrame = {
+    val in = java.nio.file.Files.createTempDirectory("graft-qf7-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-qf7-out").toString
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_extendedprice"), col("l_quantity"))
+      .repartition(48)
+      .write.mode("overwrite").parquet(in)
+    val total = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    operators.Layout.compact(spark, in, out, targetBytes = math.max(1L, total / 6))
+    spark.read.parquet(out)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"))
+  }
+
   // ------------------------------------------- file codecs (S1/S2/S3/S9/S10)
   /** S1 end-to-end — native shapefile ingest under the oracle gate: a
     * deterministic .shp/.dbf/.prj triple is materialized through
@@ -2039,6 +2117,9 @@ object SparkEntry {
     "qf4_vector_tile" -> (qf4VectorTile _),
     "qf5_vector_geom" -> (qf5VectorGeom _),
     "qf6_orc_roundtrip" -> (qf6OrcRoundtrip _),
+    "qf7_compact" -> (qf7Compact _),
+    "qy1_zorder" -> (qy1Zorder _),
+    "qy2_bucket_join" -> (qy2BucketJoin _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -2267,6 +2348,43 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(avg(l_discount), 6) AS avg_disc
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // Compaction round trip: the oracle reads the source table — a row
+    // lost or duplicated by the coalesce-rewrite breaks count/sum/avg.
+    "qf7_compact" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // Z-order: the oracle replays the magic-number bit spreading with
+    // DuckDB's &, |, << and lateral column aliases — the exact interleave
+    // arithmetic of Layout.spread16/zorder2, term for term.
+    "qy1_zorder" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(z) AS BIGINT) AS z_sum, min(z) AS z_min, max(z) AS z_max
+        |FROM (
+        |  SELECT l_returnflag, (x4 | (y4 << 1)) AS z FROM (
+        |    SELECT l_returnflag,
+        |      l_partkey & 65535 AS x0,
+        |      (x0 | (x0 << 8)) & 16711935 AS x1,
+        |      (x1 | (x1 << 4)) & 252645135 AS x2,
+        |      (x2 | (x2 << 2)) & 858993459 AS x3,
+        |      (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |      l_suppkey & 65535 AS y0,
+        |      (y0 | (y0 << 8)) & 16711935 AS y1,
+        |      (y1 | (y1 << 4)) & 252645135 AS y2,
+        |      (y2 | (y2 << 2)) & 858993459 AS y3,
+        |      (y3 | (y3 << 1)) & 1431655765 AS y4
+        |    FROM lineitem))
+        |GROUP BY 1""".stripMargin,
+    // Bucketed join: the oracle replays the plain join over the parquet
+    // sources — wrong bucket routing silently drops matches on the Spark
+    // side and breaks n/revenue.
+    "qy2_bucket_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '2-HIGH'
+        |GROUP BY 1""".stripMargin,
     // qz7: identical cells through the segment-fanned multi-band path.
     "qz7_raster_bands_parallel" ->
       """SELECT i + 0.5 AS x, 16 - (j + 0.5) AS y, CAST(b AS INTEGER) AS band,

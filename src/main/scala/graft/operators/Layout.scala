@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-LAYOUT operators — how bytes are arranged at rest, the lever that
+  * matters most at 100 TB and is invisible at spec scale:
+  *
+  *  - [[zorder2]]/[[zorder3]]: Morton (Z-order) interleave of column bits
+  *    as a pure builtin-column expression (shiftleft/and/or only, so it
+  *    stays inside whole-stage codegen and is replayable as ANSI SQL by
+  *    the oracle). Sorting/range-partitioning by the Z value clusters
+  *    rows that are close in EVERY keyed dimension into the same files,
+  *    so parquet row-group min/max stats prune multi-dimensional
+  *    predicates — the Databricks-Delta/Iceberg `ZORDER BY` shape,
+  *    re-expressed on vanilla Spark.
+  *  - [[clusterByZorder]]: repartitionByRange + sortWithinPartitions on
+  *    the Z value — one range-exchange, then each output file covers a
+  *    disjoint Z interval (asserted in LayoutSpec).
+  *  - [[compact]]: the small-files fix — coalesce a directory of parquet
+  *    shards to ceil(bytes/target) files WITHOUT a shuffle (coalesce, not
+  *    repartition: it only narrows the read tasks). At 100 TB a streaming
+  *    sink or over-parallel job leaves 10⁵ tiny files whose per-file open
+  *    cost dominates the next scan; compaction is routine maintenance.
+  *  - [[writeBucketed]]: hash-bucketed + per-bucket-sorted table write, so
+  *    two tables bucketed on the same join key join with NO exchange on
+  *    either side (LayoutSpec asserts the plan) — pre-shuffled at rest,
+  *    the co-located-join contract from SURVEY §2's scale notes.
+  *
+  * No reference analog (the reference materializes flat GeoJSON/CSV
+  * between stages); this is the beyond-reference mandate's storage tier.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` so that bit i lands at position 2·i
+    * (binary-magic-numbers bit spreading — the public branch-free form).
+    * Input is masked to 16 bits first, so callers may pass any integral
+    * column; output occupies the even bits of a 32-bit value.
+    */
+  def spread16(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0xffffL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00ff00ffL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0f0f0f0fL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton code: interleaves the low 16 bits of `x` and `y`
+    * (x in even bits, y in odd) into a 32-bit Z value. Pure builtin
+    * expressions — codegen'd, pushdown-transparent, oracle-replayable.
+    */
+  def zorder2(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1)).as("z")
+
+  /** Spread the low 10 bits of `c` to every 3rd position (for 3-D Morton;
+    * 3 × 10 bits = 30-bit code). Magic numbers are the public 3-D set.
+    */
+  def spread10x3(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0x3ffL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 16)).bitwiseAND(lit(0x030000ffL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x0300f00fL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x030c30c3L))
+    x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** 3-D Morton code over the low 10 bits of each column. */
+  def zorder3(x: Column, y: Column, z: Column): Column =
+    spread10x3(x)
+      .bitwiseOR(shiftleft(spread10x3(y), 1))
+      .bitwiseOR(shiftleft(spread10x3(z), 2))
+
+  /** Cluster `df` by the Z-order of `keys` into `numFiles` output
+    * partitions: one range exchange on the Z value (AQE-friendly, skew
+    * handled by the range sampler), then an in-partition sort so parquet
+    * row groups inside each file are Z-contiguous too. The result's
+    * partitions cover DISJOINT Z intervals — multi-dim min/max pruning
+    * at file AND row-group granularity. The helper Z column is dropped
+    * from the result; pass the returned frame straight to `.write`.
+    */
+  def clusterByZorder(df: DataFrame, keys: Seq[Column], numFiles: Int): DataFrame = {
+    require(keys.size == 2 || keys.size == 3, s"zorder supports 2 or 3 keys, got ${keys.size}")
+    val zc = if (keys.size == 2) zorder2(keys(0), keys(1)) else zorder3(keys(0), keys(1), keys(2))
+    df.withColumn("__graft_z", zc)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+  }
+
+  /** Compact the parquet directory `inDir` into ceil(totalBytes /
+    * targetBytes) files at `outDir`. Uses `coalesce` — a NARROW
+    * dependency, so no shuffle: each output task just reads several input
+    * shards back-to-back. Path-scheme-generic (the Hadoop FS API resolves
+    * `s3a://` the same as `file://`), which is where the small-files
+    * problem actually lives. Returns the PLANNED file count; the writer
+    * emits `min(planned, scan partitions)` files — coalesce never raises
+    * parallelism, so if the scan already packs the shards into fewer
+    * splits (`spark.sql.files.maxPartitionBytes`) the output is simply
+    * more compact than asked, never less.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+      .sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Write `df` as a hash-bucketed, per-bucket-sorted table: rows land in
+    * bucket `hash(bucketKey) % numBuckets`, sorted by the key inside each
+    * bucket file. Two tables bucketed on their join keys with the same
+    * bucket count join with NO exchange (and no sort, when one file per
+    * bucket) — the shuffle is paid ONCE at write time instead of per
+    * query, which at 100 TB turns every repeated fact-fact join from a
+    * full-network shuffle into a local merge. External table at
+    * `path/name` in the session catalog (in-memory catalog carries the
+    * bucket spec; no Hive needed).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      name: String,
+      bucketKey: String,
+      numBuckets: Int,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write
+      .mode("overwrite")
+      .option("path", s"$path/$name")
+      .bucketBy(numBuckets, bucketKey)
+      .sortBy(bucketKey)
+      .saveAsTable(name)
+  }
+}

@@ -318,6 +318,39 @@ object VectorTile {
     parts.toSeq
   }
 
+  /** Twice the shoelace (surveyor's formula) signed area of a ring in
+    * tile coordinates. MVT 2.1 §4.3.4.4 defines ring roles by exactly
+    * this sign: an EXTERIOR ring has positive area (clockwise on screen,
+    * where the tile Y axis points down), an interior ring negative.
+    * Long arithmetic: extent-scale coords (≤ 2^13) keep each cross term
+    * under 2^27, so even pathological many-vertex rings cannot overflow.
+    */
+  def signedArea2(ring: Seq[(Int, Int)]): Long = {
+    var s = 0L
+    var i = 0
+    val m = ring.size
+    while (i < m) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % m)
+      s += x1.toLong * y2 - x2.toLong * y1
+      i += 1
+    }
+    s
+  }
+
+  /** Normalize a ring's winding to the MVT role contract: `exterior`
+    * rings must have positive signed area, interior negative. A ring on
+    * the wrong side is reversed CYCLICALLY (same start vertex, tail
+    * reversed) so a correctly-wound ring and its reversed twin normalize
+    * to byte-identical command streams. Zero-area (degenerate) rings
+    * pass through unchanged — the encoder's size guard handles them.
+    */
+  def normalizeWinding(ring: Seq[(Int, Int)], exterior: Boolean = true): Seq[(Int, Int)] = {
+    val a = signedArea2(ring)
+    if (a == 0L || (a > 0L) == exterior) ring
+    else ring.head +: ring.tail.reverse
+  }
+
   /** Sutherland–Hodgman ring clip to a rect (public classic algorithm).
     * Returns the clipped ring (possibly empty); consecutive duplicates
     * are collapsed.
@@ -431,7 +464,8 @@ object VectorTile {
       dir: String,
       layerName: String = "layer",
       extent: Int = 4096,
-      buffer: Int = 0): Unit = {
+      buffer: Int = 0,
+      windRings: Boolean = true): Unit = {
     require(geomType == 2 || geomType == 3, s"geomType must be 2 (line) or 3 (polygon), got $geomType")
     val spark = df.sparkSession
     import spark.implicits._
@@ -471,6 +505,12 @@ object VectorTile {
                 if (acc.nonEmpty && acc.head == p) acc else p :: acc
               }.reverse)
               .filter(part => part.size >= (if (geomType == 3) 3 else 2))
+              // MVT §4.3.4.4: every standalone ring here is an exterior
+              // ring and must wind positive (screen-CW); tippecanoe-style
+              // normalization, cyclic so correctly-wound input is a no-op
+              .map(part =>
+                if (geomType == 3 && windRings) VectorTile.normalizeWinding(part)
+                else part)
           }
           if parts.nonEmpty
         } yield (tx * n + ty, id, parts, cleanAttrs)

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Layout-tier contracts: Z-order bit exactness vs a loop reference,
+  * disjoint Z ranges after clustering (the file-pruning precondition),
+  * a measured pruning win vs round-robin layout, shuffle-free compaction,
+  * and the no-Exchange bucketed join.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "layout-spec")
+  import spark.implicits._
+
+  /** Bit-by-bit reference interleave (the definition, no magic). */
+  private def mortonRef(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  private def mortonRef3(x: Long, y: Long, z: Long, bits: Int): Long = {
+    var m = 0L
+    var i = 0
+    while (i < bits) {
+      m |= ((x >> i) & 1L) << (3 * i)
+      m |= ((y >> i) & 1L) << (3 * i + 1)
+      m |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    m
+  }
+
+  test("zorder2 matches the bit-by-bit interleave definition") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(512)(i =>
+      if (i < 8) (Seq(0L, 1L, 65535L, 32768L)(i % 4), Seq(0L, 65535L, 1L, 32767L)(i % 4))
+      else (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.zorder2($"x", $"y").as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == mortonRef(r.getLong(0), r.getLong(1), 16),
+        s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+    // masking contract: only the low 16 bits participate
+    val masked = Seq((0x12345L, 0x10001L)).toDF("x", "y")
+      .select(Layout.zorder2($"x", $"y")).as[Long].head()
+    assert(masked == mortonRef(0x2345L, 0x0001L, 16))
+  }
+
+  test("zorder3 matches the 3-D interleave definition") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(256)(_ =>
+      (rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    val got = pts.toDF("x", "y", "w")
+      .select($"x", $"y", $"w", Layout.zorder3($"x", $"y", $"w").as("m"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == mortonRef3(r.getLong(0), r.getLong(1), r.getLong(2), 10))
+    }
+  }
+
+  test("clusterByZorder yields disjoint per-partition Z ranges and a real pruning win") {
+    // 64×64 grid of points, shuffled input order
+    val rnd = new scala.util.Random(3)
+    val pts = rnd.shuffle(for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+    val df = pts.toDF("x", "y")
+    val parts = 16
+    val clustered = Layout.clusterByZorder(df, Seq($"x", $"y"), parts)
+
+    // per-partition (zmin, zmax, xmin, xmax, ymin, ymax)
+    def stats(d: org.apache.spark.sql.DataFrame) = d
+      .select($"x", $"y", Layout.zorder2($"x", $"y").as("z"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("z").as("zlo"), max("z").as("zhi"),
+        min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi"))
+      .collect()
+
+    val cs = stats(clustered)
+    // disjoint Z intervals (range partitioning on z ⇒ files prune on z)
+    val sorted = cs.sortBy(_.getAs[Long]("zlo"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("zhi") < b.getAs[Long]("zlo"),
+          s"overlapping z ranges: $a vs $b")
+      case _ =>
+    }
+
+    // pruning proxy: how many partitions' (x,y) bounding boxes intersect a
+    // 8×8 query box? Z-clustering keeps it to a corner of the partitions;
+    // a round-robin layout intersects with ALL of them.
+    def hits(rows: Array[org.apache.spark.sql.Row]): Int = rows.count { r =>
+      !(r.getAs[Int]("xhi") < 8 || r.getAs[Int]("xlo") > 15 ||
+        r.getAs[Int]("yhi") < 40 || r.getAs[Int]("ylo") > 47)
+    }
+    val roundRobin = stats(df.repartition(parts))
+    assert(hits(roundRobin) == parts, "round-robin baseline should intersect everywhere")
+    assert(hits(cs) <= parts / 4, s"z-layout should prune ≥75% of partitions, hit ${hits(cs)}/$parts")
+  }
+
+  test("compact coalesces a small-files directory without a shuffle") {
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    spark.range(10000).select($"id", ($"id" % 97).as("k"))
+      .repartition(32).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 32)
+
+    val total = new java.io.File(in).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // pin scan split sizing: the shared test session may carry other
+    // specs' conf, and if the scan packs all 32 shards into < n splits,
+    // coalesce (correctly) emits fewer files than planned
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    val n =
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (total / 16).max(1L).toString)
+        spark.conf.set("spark.sql.files.openCostInBytes", (total / 16).max(1L).toString)
+        Layout.compact(spark, in, out, targetBytes = total / 4)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      }
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(n >= 4 && n <= 5, s"expected ~4 output files, planned $n")
+    assert(outFiles == n, s"planned $n files, wrote $outFiles")
+
+    // content identical
+    val a = spark.read.parquet(in).groupBy("k").count()
+    val b = spark.read.parquet(out).groupBy("k").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+
+    // narrow plan: coalesce, not an exchange
+    val plan = spark.read.parquet(in).coalesce(4).queryExecution.executedPlan.toString
+    assert(plan.contains("Coalesce") && !plan.contains("Exchange"), plan.take(400))
+  }
+
+  test("bucketed tables join with no Exchange on either side") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val facts = spark.range(20000).select($"id".as("k"), ($"id" * 7 % 1000).as("v"))
+    val dims = spark.range(5000).select($"id".as("k"), concat(lit("n"), $"id").as("name"))
+    Layout.writeBucketed(facts, "layoutspec_facts", "k", 8, wh)
+    Layout.writeBucketed(dims, "layoutspec_dims", "k", 8, wh)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("layoutspec_facts")
+        .join(spark.table("layoutspec_dims"), "k")
+        .groupBy()
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // the join itself is exchange-free: the only Exchange permitted is
+      // the single-partition one feeding the global aggregate
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      val single = "Exchange SinglePartition".r.findAllIn(plan).size
+      assert(exchanges == single, s"join introduced a shuffle:\n${plan.take(1200)}")
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      // values: every fact with k < 5000 matches exactly one dim
+      assert(rows.head.getLong(1) == 5000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -155,4 +155,40 @@ class VectorTileSpec extends AnyFunSuite {
     assert(east.geometry.size == 1)
     assert(east.geometry.head.forall { case (x, _) => x >= 0 && x <= 4096 })
   }
+
+  test("signedArea2 sign convention matches MVT §4.3.4.4 (y-down, exterior positive)") {
+    // screen-clockwise unit square (y down): (0,0)→(1,0)→(1,1)→(0,1)
+    val cw = Seq((0, 0), (1, 0), (1, 1), (0, 1))
+    assert(VectorTile.signedArea2(cw) == 2L, "screen-CW exterior must be positive")
+    assert(VectorTile.signedArea2(cw.reverse) == -2L)
+    // collinear degenerate
+    assert(VectorTile.signedArea2(Seq((0, 0), (5, 0), (9, 0))) == 0L)
+    // normalizeWinding: wrong-wound exterior reverses cyclically (same
+    // start vertex), right-wound passes through untouched
+    val ccw = Seq((0, 0), (0, 1), (1, 1), (1, 0))
+    assert(VectorTile.normalizeWinding(ccw) == cw)
+    assert(VectorTile.normalizeWinding(cw) eq cw)
+    assert(VectorTile.normalizeWinding(cw, exterior = false) == ccw)
+  }
+
+  test("writeGeomTiles normalizes ring winding: reversed input yields byte-identical tiles") {
+    import spark.implicits._
+    val ringCcwOnScreen = Seq( // wrong winding for an exterior ring
+      Seq(-45.0, 20.0), Seq(-45.0, 60.0), Seq(45.0, 60.0), Seq(45.0, 20.0))
+    val ringCw = ringCcwOnScreen.head +: ringCcwOnScreen.tail.reverse
+    def render(ring: Seq[Seq[Double]]): Array[Byte] = {
+      val dir = java.nio.file.Files.createTempDirectory("mvt-wind").toString
+      VectorTile.writeGeomTiles(
+        Seq((3L, ring, "w")).toDF("id", "coords", "name"),
+        "id", geomType = 3, "coords", Seq("name"), zoom = 0, dir = dir)
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "0", "0", "0.mvt"))
+    }
+    val a = render(ringCcwOnScreen)
+    val b = render(ringCw)
+    assert(java.util.Arrays.equals(a, b), "winding normalization must make the streams identical")
+    // and the emitted ring really is positive-area
+    val ring = VectorTile.decodeTile(a).head.features.head.geometry.head
+    assert(VectorTile.signedArea2(ring) > 0L)
+  }
 }
