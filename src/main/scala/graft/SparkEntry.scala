@@ -750,6 +750,32 @@ object SparkEntry {
   private def qd11SubstringDedup(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.substringDedup(t(spark, dir, "documents"), "doc_id", "text", k = 20)
 
+  /** Incremental exact dedup — the growing-corpus ingest shape: the
+    * batch (doc_id ≡ 0 mod 3) dedups against the standing corpus (the
+    * rest) via the corpus's DISTINCT fingerprint set only (anti join),
+    * then first-of-fingerprint within the batch. The oracle replays both
+    * steps on the normalized text; collapsing them differently (dedup
+    * before anti join) is provably order-independent because the anti
+    * join removes whole fingerprint groups.
+    */
+  private def qd12IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.Dedup
+      .incrementalExactDedup(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  /** Skew report — the pre-salting diagnosis: heaviest join keys with
+    * their table share and the salt factor that levels each to the mean
+    * key load. One keyed aggregation + a broadcast 1-row totals side;
+    * ties deterministic (count desc, then key).
+    */
+  private def qp3Skew(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.skewReport(t(spark, dir, "lineitem"), "l_partkey", topN = 12)
+
   /** IVF ANN — the scale path of the similarity family (qs1/qs3 are the
     * brute-force baselines): corpus rows land in 8-bit hyperplane cells,
     * and only cells within hamming 1 of the query's cell are scored
@@ -2167,7 +2193,9 @@ object SparkEntry {
     "qt18_len_hist" -> (qt18LenHist _),
     "q25_cube" -> (q25Cube _),
     "q26_bloom_semi" -> (q26BloomSemi _),
-    "qp2_profile" -> (qp2Profile _)
+    "qp2_profile" -> (qp2Profile _),
+    "qd12_incremental_dedup" -> (qd12IncrementalDedup _),
+    "qp3_skew" -> (qp3Skew _)
   )
 
   /** Shared oracle CTE prefix for the MinHash family (qd2/qd4/qd6):
@@ -4400,6 +4428,31 @@ object SparkEntry {
            |  round(avg($c), 4) AS avgv
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
-    }
+    },
+    // Incremental dedup: min-per-fingerprint over the WHOLE batch, then
+    // drop fingerprints the corpus has seen — equivalent to the engine's
+    // anti-join-then-dedup because whole fingerprint groups drop together.
+    "qd12_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT b.doc_id, b.n_chars
+        |FROM batch b
+        |JOIN (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp) k
+        |  ON b.doc_id = k.doc_id
+        |WHERE b.fp NOT IN (SELECT fp FROM corpus)""".stripMargin,
+    // Skew report: identical count/share/salt arithmetic (1.0* keeps the
+    // division double in both engines), identical deterministic ordering.
+    "qp3_skew" ->
+      """SELECT CAST(l_partkey AS VARCHAR) AS key, count(*) AS n,
+        |  round(count(*) * 1.0 / (SELECT count(*) FROM lineitem), 6) AS share,
+        |  CAST(ceil(count(*) * 1.0 * (SELECT count(DISTINCT l_partkey) FROM lineitem)
+        |            / (SELECT count(*) FROM lineitem)) AS BIGINT) AS salt_factor
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n DESC, key LIMIT 12""".stripMargin
   )
 }

@@ -114,6 +114,31 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
+  /** INCREMENTAL exact dedup — the growing-corpus shape: keep the `batch`
+    * rows that are (a) novel w.r.t. the existing `corpus` and (b) first
+    * of their fingerprint WITHIN the batch. The corpus contributes only
+    * its DISTINCT 8-byte fingerprints to the anti join (never re-scanned
+    * rows, never re-deduped), so ingesting a 1 TB batch against a 100 TB
+    * corpus shuffles ~the corpus's fingerprint set + the batch — not the
+    * corpus. At steady state the fingerprint set is the thing to persist
+    * (a bucketed table via [[Layout.writeBucketed]] makes the anti join
+    * exchange-free on the batch side too).
+    */
+  def incrementalExactDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val seen = corpus
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val novel = batch
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    exactDedup(novel, idCol, textCol)
+  }
+
   /** Band the signature: one row per (id, band) with the band's hash. */
   private def banded(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
     sigs

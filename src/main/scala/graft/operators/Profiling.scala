@@ -66,4 +66,31 @@ object Profiling {
     wide.selectExpr(
       s"stack(${cols.length}, $stackArgs) as (col_name, p25, p50, p75, p99)")
   }
+
+  /** Join/agg-key SKEW report — the diagnosis step before every salting
+    * decision at 100 TB: per-key row counts for the `topN` heaviest keys,
+    * each with its share of the table and the SALT FACTOR that would
+    * level it to the mean key load (ceil(count / mean), 1 = no salting
+    * needed). One aggregation (partial map-side combine on the key) + a
+    * tiny two-row side agg for (total, #keys), broadcast back — no second
+    * scan. TakeOrdered keeps the topN selection off the driver until the
+    * final rows. Deterministic: ties on count break by key string.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts
+      .crossJoin(broadcast(totals))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .withColumn(
+        "salt_factor",
+        ceil(col("n") * col("__nkeys") / col("__total")).cast("long"))
+      .select(col("key"), col("n"), col("share"), col("salt_factor"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
 }

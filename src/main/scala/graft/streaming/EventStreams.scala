@@ -160,6 +160,30 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-static INCREMENTAL dedup — the streaming twin of
+    * [[graft.operators.Dedup.incrementalExactDedup]]: incoming docs
+    * anti-join the standing corpus's DISTINCT fingerprints (stream-static
+    * joins re-evaluate the static side per micro-batch, so a corpus
+    * refresh lands without restarting the query), then streaming
+    * `dropDuplicates` state enforces exactly-once per NOVEL fingerprint
+    * across batches. State is bounded by novel volume only — the corpus
+    * never enters the state store; at 100 TB the corpus side stays a
+    * parquet scan of an 8-byte fingerprint column (or a bucketed table,
+    * making the per-batch anti join exchange-light).
+    */
+  def incrementalDedupStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val fp = graft.functions.TextFunctions.fingerprint(col(textCol))
+    val seen = corpus.select(fp.as("__fp")).distinct()
+    docs
+      .withColumn("__fp", fp)
+      .join(seen, Seq("__fp"), "left_anti")
+      .dropDuplicates("__fp")
+      .drop("__fp")
+  }
+
   /** Stream-stream interval join: clicks matched to purchases by the same
     * user within `windowSec` AFTER the click. Both sides watermarked so
     * join state expires; the time-range condition bounds the buffer — the

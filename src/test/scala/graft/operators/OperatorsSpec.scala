@@ -194,6 +194,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jac == Set(1L, 3L)) // 4 is a near-dup of 1 at 0.5 threshold
   }
 
+  test("incremental dedup: novel-and-first batch rows survive, corpus never re-deduped") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "delta epsilon zeta"),
+      (12L, "alpha beta gamma") // corpus-internal dup must NOT affect the batch
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "ALPHA  beta gamma"), // normalizes to a corpus fingerprint → dropped
+      (21L, "eta theta iota"),    // novel
+      (22L, "eta theta iota"),    // batch-internal dup of 21 → dropped
+      (23L, "kappa lambda mu")    // novel
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedup(corpus, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(21L, 23L))
+    // empty corpus degenerates to plain exactDedup of the batch
+    val cold = Dedup.incrementalExactDedup(corpus.limit(0), batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cold == Set(20L, 21L, 23L))
+  }
+
+  test("skewReport: counts, shares and salt factors on a hand-built skewed key set") {
+    import spark.implicits._
+    // key a ×6, b ×2, c ×1 → total 9, 3 keys, mean 3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val rows = Profiling.skewReport(df, "k", topN = 2).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"), "order: count desc")
+    val a = rows(0)
+    assert(a.getLong(1) == 6L)
+    assert(math.abs(a.getDouble(2) - 0.666667) < 1e-9)
+    assert(a.getLong(3) == 2L, "6 rows vs mean 3 → salt factor 2")
+    assert(rows(1).getLong(3) == 1L, "at/below mean → no salting")
+  }
+
   test("profile approx tier: HLL++ distincts within ±2% of exact, same everything else") {
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

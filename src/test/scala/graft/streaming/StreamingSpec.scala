@@ -186,6 +186,44 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-batch survivors: ${streamed.last}")
   }
 
+  test("stream-static incremental dedup: corpus hits drop, novel fingerprints exactly once") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("incdedup-stream").toString
+    Seq(
+      EventStreams.StreamDoc(10L, "ALPHA  beta"), // normalizes into the corpus → drop
+      EventStreams.StreamDoc(11L, "epsilon zeta"), // novel
+      EventStreams.StreamDoc(12L, "epsilon zeta")) // in-batch dup of 11
+      .toDS().repartition(1).write.parquet(s"$dir/a")
+    new java.io.File(s"$dir/a").listFiles().foreach(_.setLastModified(1000000L))
+    Seq(
+      EventStreams.StreamDoc(13L, "epsilon  zeta"), // cross-batch dup → state drops it
+      EventStreams.StreamDoc(14L, "eta theta")) // novel
+      .toDS().repartition(1).write.parquet(s"$dir/b")
+    new java.io.File(s"$dir/b").listFiles().foreach(_.setLastModified(2000000L))
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStreams.StreamDoc]].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = EventStreams.incrementalDedupStream(stream, corpus, "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val s = df.select("doc_id").collect().map(_.getLong(0)).toSet
+        if (s.nonEmpty) perBatch.synchronized { perBatch(id) = s }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val batches = perBatch.toSeq.sortBy(_._1).map(_._2)
+    assert(batches.size == 2, s"expected survivors in both batches: $perBatch")
+    // batch 1: corpus hit (10) gone, exactly ONE of the in-batch twins
+    assert(batches.head.subsetOf(Set(11L, 12L)) && batches.head.size == 1, s"batch 1: ${batches.head}")
+    // batch 2: 13 is a cross-batch dup (state), 14 survives
+    assert(batches.last == Set(14L), s"batch 2: ${batches.last}")
+  }
+
   test("streaming near-dup TTL: dup within horizon, forgotten (survives) past it") {
     import spark.implicits._
     import java.sql.Timestamp
