@@ -262,12 +262,47 @@ object Jpeg {
     out.write(payload, 0, payload.length)
   }
 
-  private def dqtPayload: Array[Byte] = {
+  private def dqtPayload(quant: Array[Int] = QuantTable): Array[Byte] = {
     val p = new Array[Byte](65)
     p(0) = 0x00 // Pq=0 (8-bit), Tq=0
     var k = 0
-    while (k < 64) { p(1 + k) = QuantTable(Zigzag(k)).toByte; k += 1 }
+    while (k < 64) { p(1 + k) = quant(Zigzag(k)).toByte; k += 1 }
     p
+  }
+
+  /** T.81 Annex K Table K.1 — the reference LUMINANCE quantization table
+    * (natural row-major order). Tuned to the contrast-sensitivity of
+    * human vision: fine quantization of low frequencies, coarse of high.
+    */
+  val AnnexKLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** T.81 Annex K Table K.2 — the reference CHROMINANCE table. */
+  val AnnexKChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** The public IJG quality scaling: quality 1..100 maps to a linear
+    * scale of the Annex K base table (50 = unscaled, 100 ≈ all-ones,
+    * 10 = 5× coarser), each entry clamped to the baseline-legal 1..255.
+    */
+  def qualityTable(quality: Int, base: Array[Int] = AnnexKLuma): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"quality must be 1..100, got $quality")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map(v => math.min(255, math.max(1, (v * scale + 50) / 100)))
   }
 
   private def dhtPayload(tcTh: Int, spec: HuffSpec): Array[Byte] = {
@@ -286,7 +321,7 @@ object Jpeg {
   def tablesStream: Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8)
-    writeSeg(out, 0xdb, dqtPayload)
+    writeSeg(out, 0xdb, dqtPayload())
     writeSeg(out, 0xc4, dhtPayload(0x00, DcSpec))
     writeSeg(out, 0xc4, dhtPayload(0x10, AcSpec))
     out.write(0xff); out.write(0xd9)
@@ -303,14 +338,17 @@ object Jpeg {
       w: Int,
       h: Int,
       includeTables: Boolean = true,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0,
+      quant: Array[Int] = QuantTable): Array[Byte] = {
+    require(quant.length == 64 && quant.forall(v => v >= 1 && v <= 255),
+      "quant table must be 64 entries in 1..255 (8-bit baseline)")
     require(pixels.length == w * h, "pixels must be w*h row-major")
     require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
       s"JPEG dimensions are 16-bit: ${w}x$h out of range") // SOF0 would truncate silently
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     if (includeTables) {
-      writeSeg(out, 0xdb, dqtPayload)
+      writeSeg(out, 0xdb, dqtPayload(quant))
       writeSeg(out, 0xc4, dhtPayload(0x00, DcSpec))
       writeSeg(out, 0xc4, dhtPayload(0x10, AcSpec))
     }
@@ -337,7 +375,7 @@ object Jpeg {
           out.write(0xff); out.write(0xd0 + n)
           dcPred = 0
         }
-        dcPred = emitBlock(bw, dcCodes, acCodes, pixels, w, h, bx * 8, by * 8, dcPred)
+        dcPred = emitBlock(bw, dcCodes, acCodes, pixels, w, h, bx * 8, by * 8, dcPred, quant)
         mcu += 1
         bx += 1
       }
@@ -360,7 +398,8 @@ object Jpeg {
       ph: Int,
       x0: Int,
       y0: Int,
-      pred: Int): Int = {
+      pred: Int,
+      quant: Array[Int] = QuantTable): Int = {
     def emit(codes: Array[Int], sym: Int): Unit = {
       val e = codes(sym)
       require(e >= 0, s"symbol $sym missing from huffman table")
@@ -381,7 +420,7 @@ object Jpeg {
     val coef = fdct(s)
     val q = new Array[Int](64)
     var k = 0
-    while (k < 64) { q(k) = math.round(coef(Zigzag(k)) / QuantTable(Zigzag(k))).toInt; k += 1 }
+    while (k < 64) { q(k) = math.round(coef(Zigzag(k)) / quant(Zigzag(k))).toInt; k += 1 }
     val diff = q(0) - pred
     val t = category(diff)
     emit(dcCodes, t)
@@ -443,7 +482,7 @@ object Jpeg {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     if (includeTables) {
-      writeSeg(out, 0xdb, dqtPayload)
+      writeSeg(out, 0xdb, dqtPayload())
       writeSeg(out, 0xc4, dhtPayload(0x00, DcSpec))
       writeSeg(out, 0xc4, dhtPayload(0x10, AcSpec))
     }

@@ -136,4 +136,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin") ||
       p.contains("SortMergeJoin"), p.take(600))
   }
+
+  test("qy1: the z-order interleave is pure builtin expressions inside codegen — no UDF") {
+    val p = finalPlan("qy1_zorder")
+    // codegen'd operators carry the "*(n)" stage marker in the plan string
+    assert(p.contains("*("), p.take(600))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      "z-order fell out of codegen into a UDF:\n" + p.take(800))
+    // one partial+final hash agg pair around one exchange, like q1
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
 }

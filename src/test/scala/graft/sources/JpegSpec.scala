@@ -33,6 +33,31 @@ class JpegSpec extends AnyFunSuite {
     assert(errs.sum.toDouble / errs.size <= 4.0, s"mean error ${errs.sum.toDouble / errs.size}")
   }
 
+  test("Annex K quality tables: 50 = unscaled, fidelity rises and size falls with quality") {
+    assert(Jpeg.qualityTable(50).sameElements(Jpeg.AnnexKLuma), "quality 50 is the base table")
+    assert(Jpeg.qualityTable(100).forall(_ >= 1), "clamped at the legal floor")
+    assert(Jpeg.qualityTable(1).forall(_ <= 255), "clamped at the 8-bit ceiling")
+    // smooth 2-D gradient — natural-image-ish content where the
+    // perceptual tables actually matter
+    val w = 48; val h = 32
+    val px = Array.tabulate(w * h)(i => ((i % w) * 3 + (i / w) * 4) % 256)
+    def roundTrip(q: Int): (Int, Double) = {
+      val bytes = Jpeg.encodeGray(px, w, h, quant = Jpeg.qualityTable(q))
+      val (dw, dh, out) = Jpeg.decodeGray(bytes)
+      assert(dw == w && dh == h)
+      val mae = px.indices.map(i => math.abs((out(i) & 0xff) - px(i))).sum.toDouble / px.length
+      (bytes.length, mae)
+    }
+    val (size90, mae90) = roundTrip(90)
+    val (size10, mae10) = roundTrip(10)
+    assert(mae90 < mae10, s"q90 mae $mae90 must beat q10 mae $mae10")
+    assert(size10 < size90, s"q10 bytes $size10 must undercut q90 bytes $size90")
+    assert(mae90 <= 3.0, s"q90 should be near-faithful on a smooth ramp, mae $mae90")
+    // any conformant decoder reads the scaled table from DQT — ours does
+    val malformed = intercept[IllegalArgumentException](Jpeg.qualityTable(0))
+    assert(malformed.getMessage.contains("quality"))
+  }
+
   test("non-multiple-of-8 dims pad by edge replication and crop back") {
     val w = 13; val h = 9
     val px = Array.tabulate(w * h)(i => ((i % w) / 8 * 50 + (i / w) / 8 * 100) % 256)
