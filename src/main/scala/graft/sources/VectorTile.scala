@@ -534,4 +534,88 @@ object VectorTile {
         }
       }
   }
+
+  /** DISTRIBUTED polygon-with-HOLES tile sink: `ringsCol` is one polygon
+    * per row as `array<array<array<double>>>` — ring 0 the exterior,
+    * rings 1+ interior holes. Same explode→clip→shuffle-on-tile-key shape
+    * as [[writeGeomTiles]]; per tile, every ring clips independently
+    * (a hole is geometrically inside its exterior, so it can only
+    * survive where the exterior does), winding normalizes per MVT
+    * §4.3.4.4 — exterior positive, holes negative — and the surviving
+    * rings emit as ONE multi-ring feature (MoveTo/LineTo/ClosePath per
+    * ring, cursor carrying across). A tile where the exterior clips away
+    * entirely gets no fragment of the feature.
+    */
+  def writePolygonTiles(
+      df: DataFrame,
+      idCol: String,
+      ringsCol: String,
+      attrCols: Seq[String],
+      zoom: Int,
+      dir: String,
+      layerName: String = "layer",
+      extent: Int = 4096,
+      buffer: Int = 0): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = 1L << zoom
+    val rows = df.select(
+      col(idCol).cast("long").as("id"),
+      col(ringsCol).as("rings"),
+      map(attrCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("attrs"))
+    val keyed = rows
+      .as[(Long, Seq[Seq[Seq[Double]]], Map[String, String])]
+      .flatMap { case (id, rings, attrs) =>
+        val safe =
+          if (rings == null) Seq.empty
+          else rings.map(r => if (r == null) Seq.empty else r.filter(c => c != null && c.size >= 2))
+        if (safe.isEmpty || safe.head.size < 3) Iterator.empty // no usable exterior
+        else {
+          val pix = safe.map(_.map(c => mercator(c(0), c(1), zoom, extent)))
+          // tile span from the exterior: holes are contained by contract
+          val txs = pix.head.map(p => math.floor(p._1 / extent).toLong)
+          val tys = pix.head.map(p => math.floor(p._2 / extent).toLong)
+          val cleanAttrs = attrs.filter(_._2 != null)
+          for {
+            tx <- math.max(0, txs.min) to math.min(n - 1, txs.max)
+            ty <- math.max(0, tys.min) to math.min(n - 1, tys.max)
+            x0 = tx * extent.toDouble - buffer
+            y0 = ty * extent.toDouble - buffer
+            x1 = (tx + 1) * extent.toDouble + buffer
+            y1 = (ty + 1) * extent.toDouble + buffer
+            clippedRings = pix.map { ring =>
+              clipRing(ring, x0, y0, x1, y1)
+                .map(p => ((p._1 - tx * extent).round.toInt, (p._2 - ty * extent).round.toInt))
+                .foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+                  if (acc.nonEmpty && acc.head == p) acc else p :: acc
+                }.reverse
+            }
+            // the exterior must survive the clip for the feature to
+            // exist in this tile; holes that clip away just drop
+            if clippedRings.head.size >= 3
+            parts = VectorTile.normalizeWinding(clippedRings.head) +:
+              clippedRings.tail
+                .filter(_.size >= 3)
+                .map(r => VectorTile.normalizeWinding(r, exterior = false))
+          } yield (tx * n + ty, id, parts, cleanAttrs)
+        }
+      }
+    keyed
+      .groupByKey(_._1)
+      .mapGroups { (tileKey, it) =>
+        val feats = it.map { case (_, id, parts, attrs) =>
+          Feature(id, 3, parts, attrs)
+        }.toSeq.sortBy(_.id)
+        (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
+      }
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        it.foreach { case (tileKey, bytes) =>
+          val tx = tileKey / n
+          val ty = tileKey % n
+          val p = java.nio.file.Paths.get(dir, zoom.toString, tx.toString, s"$ty.mvt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, bytes)
+        }
+      }
+  }
 }

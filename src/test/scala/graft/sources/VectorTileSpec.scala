@@ -156,6 +156,47 @@ class VectorTileSpec extends AnyFunSuite {
     assert(east.geometry.head.forall { case (x, _) => x >= 0 && x <= 4096 })
   }
 
+  test("writePolygonTiles: donut keeps its hole, winding roles enforced, exterior gates the tile") {
+    import spark.implicits._
+    // z0: whole world is one tile. Exterior lon/lat box with a hole box.
+    val exterior = Seq(Seq(-60.0, -30.0), Seq(60.0, -30.0), Seq(60.0, 50.0), Seq(-60.0, 50.0))
+    val hole = Seq(Seq(-20.0, 0.0), Seq(20.0, 0.0), Seq(20.0, 30.0), Seq(-20.0, 30.0))
+    val dir = java.nio.file.Files.createTempDirectory("mvt-holes").toString
+    VectorTile.writePolygonTiles(
+      Seq((5L, Seq(exterior, hole), "donut")).toDF("id", "rings", "name"),
+      "id", "rings", Seq("name"), zoom = 0, dir = dir)
+    val tile = VectorTile.decodeTile(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "0", "0", "0.mvt"))).head
+    val f = tile.features.head
+    assert(f.geomType == 3 && f.geometry.size == 2, s"expected exterior+hole, got ${f.geometry.size}")
+    assert(VectorTile.signedArea2(f.geometry(0)) > 0L, "exterior must wind positive")
+    assert(VectorTile.signedArea2(f.geometry(1)) < 0L, "hole must wind negative")
+    assert(f.attrs("name") == "donut")
+
+    // z1: the same donut spans the lon-0 boundary — both tiles keep a
+    // fragment of exterior AND hole (the hole straddles lon 0 too)
+    val dir2 = java.nio.file.Files.createTempDirectory("mvt-holes2").toString
+    VectorTile.writePolygonTiles(
+      Seq((6L, Seq(exterior, hole), "donut")).toDF("id", "rings", "name"),
+      "id", "rings", Seq("name"), zoom = 1, dir = dir2)
+    Seq((0, 0), (1, 0), (0, 1), (1, 1)).foreach { case (tx, ty) =>
+      val p = java.nio.file.Paths.get(dir2, "1", tx.toString, s"$ty.mvt")
+      assert(java.nio.file.Files.exists(p), s"missing tile $tx/$ty")
+      val ft = VectorTile.decodeTile(java.nio.file.Files.readAllBytes(p)).head.features.head
+      assert(ft.geometry.nonEmpty && VectorTile.signedArea2(ft.geometry.head) > 0L)
+      if (ty == 0) // the hole's lat range [0,30] lies in the northern tiles
+        assert(ft.geometry.size == 2 && VectorTile.signedArea2(ft.geometry(1)) < 0L,
+          s"northern tile $tx/$ty lost its hole")
+    }
+
+    // a hole-only row (no usable exterior) writes nothing rather than failing
+    val dir3 = java.nio.file.Files.createTempDirectory("mvt-holes3").toString
+    VectorTile.writePolygonTiles(
+      Seq((7L, Seq(Seq(Seq(0.0, 0.0)), hole), "bad")).toDF("id", "rings", "name"),
+      "id", "rings", Seq("name"), zoom = 0, dir = dir3)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir3, "0", "0", "0.mvt")))
+  }
+
   test("signedArea2 sign convention matches MVT §4.3.4.4 (y-down, exterior positive)") {
     // screen-clockwise unit square (y down): (0,0)→(1,0)→(1,1)→(0,1)
     val cw = Seq((0, 0), (1, 0), (1, 1), (0, 1))
