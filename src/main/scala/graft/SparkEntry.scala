@@ -1880,6 +1880,47 @@ object SparkEntry {
       .toDF("id", "geom_type", "part", "pos", "x", "y", "kind")
   }
 
+  /** S13 polygons-with-holes — [[sources.VectorTile.writePolygonTiles]]
+    * under the oracle gate: per nation, a donut (exterior square + hole)
+    * whose TARGET pixels are integers; lon/lat come from the inverse web-
+    * mercator, so the sink's forward projection rounds back to exactly
+    * those integers (the round trip is within ~1e-9 px, and no target is
+    * near a .5 boundary). The z0 clip is the identity (all rings inside
+    * the world tile), winding normalization keeps the positively-wound
+    * exterior verbatim and reverses the hole cyclically — the oracle
+    * replays both vertex streams, hole in reversed order, from pure key
+    * arithmetic. Any protobuf/zigzag/winding/clip regression breaks the
+    * vertex hash.
+    */
+  private def qf8PolygonHoles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def invLon(gx: Double) = gx / 4096.0 * 360.0 - 180.0
+    def invLat(gy: Double) = math.atan(math.sinh(math.Pi * (1.0 - 2.0 * gy / 4096.0))) * 180.0 / math.Pi
+    val nations = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+    val rows = nations.toSeq.map { k =>
+      val ex = 256.0 + k * 163 % 3000
+      val ey = 256.0 + k * 311 % 3000
+      val w = 200.0 + k % 5 * 16
+      def ring(x0: Double, y0: Double, s: Double) = Seq(
+        Seq(invLon(x0), invLat(y0)), Seq(invLon(x0 + s), invLat(y0)),
+        Seq(invLon(x0 + s), invLat(y0 + s)), Seq(invLon(x0), invLat(y0 + s)))
+      (k, Seq(ring(ex, ey, w), ring(ex + 48, ey + 48, w - 96)), "donut")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qf8").toString
+    sources.VectorTile.writePolygonTiles(
+      rows.toDF("id", "rings", "name"), "id", "rings", Seq("name"), zoom = 0, dir = tmp)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp, "0", "0", "0.mvt"))
+    sources.VectorTile
+      .decodeTile(bytes)
+      .flatMap(l => l.features.flatMap(f =>
+        f.geometry.zipWithIndex.flatMap { case (part, pi) =>
+          part.zipWithIndex.map { case ((x, y), vi) => (f.id, pi, vi, x, y) }
+        }))
+      .toDF("id", "ring", "pos", "x", "y")
+  }
+
   // ------------------------------------------------- routing (G6/G7/G8-10)
   /** G6 — many-to-many route matrix via the custom Catalyst operator
     * (RouteMatrixRelation → RouteMatrixExec). DuckDB oracle: hop-bounded
@@ -2144,6 +2185,7 @@ object SparkEntry {
     "qf5_vector_geom" -> (qf5VectorGeom _),
     "qf6_orc_roundtrip" -> (qf6OrcRoundtrip _),
     "qf7_compact" -> (qf7Compact _),
+    "qf8_polygon_holes" -> (qf8PolygonHoles _),
     "qy1_zorder" -> (qy1Zorder _),
     "qy2_bucket_join" -> (qy2BucketJoin _),
     "qj4_ci_join" -> (qj4CiJoin _),
@@ -2413,6 +2455,27 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '2-HIGH'
         |GROUP BY 1""".stripMargin,
+    // Donut tiles: exterior verbatim (positively wound already), hole
+    // cyclically reversed by winding normalization — pure key arithmetic.
+    "qf8_polygon_holes" ->
+      """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  256 + (n_nationkey * 163) % 3000 AS ex,
+        |  256 + (n_nationkey * 311) % 3000 AS ey,
+        |  200 + (n_nationkey % 5) * 16 AS w
+        |FROM nation)
+        |SELECT id, CAST(ring AS INTEGER) AS ring, CAST(pos AS INTEGER) AS pos,
+        |  CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y FROM (
+        |  SELECT id, 0 AS ring, pos,
+        |    CASE pos WHEN 0 THEN ex WHEN 1 THEN ex + w WHEN 2 THEN ex + w ELSE ex END AS x,
+        |    CASE pos WHEN 0 THEN ey WHEN 1 THEN ey WHEN 2 THEN ey + w ELSE ey + w END AS y
+        |  FROM k CROSS JOIN generate_series(0, 3) g(pos)
+        |  UNION ALL
+        |  SELECT id, 1 AS ring, pos,
+        |    CASE pos WHEN 0 THEN ex + 48 WHEN 1 THEN ex + 48
+        |             WHEN 2 THEN ex + w - 48 ELSE ex + w - 48 END AS x,
+        |    CASE pos WHEN 0 THEN ey + 48 WHEN 1 THEN ey + w - 48
+        |             WHEN 2 THEN ey + w - 48 ELSE ey + 48 END AS y
+        |  FROM k CROSS JOIN generate_series(0, 3) g(pos))""".stripMargin,
     // qz7: identical cells through the segment-fanned multi-band path.
     "qz7_raster_bands_parallel" ->
       """SELECT i + 0.5 AS x, 16 - (j + 0.5) AS y, CAST(b AS INTEGER) AS band,
