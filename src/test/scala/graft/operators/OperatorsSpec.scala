@@ -194,6 +194,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jac == Set(1L, 3L)) // 4 is a near-dup of 1 at 0.5 threshold
   }
 
+  test("AQE skew join: the hot partition splits (skew=true) and the result stays exact") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a real SMJ
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // enough partitions that the MEDIAN partition is a light one — with
+      // the suite default of 2, the median IS the hot partition and the
+      // factor test can never fire
+      "spark.sql.shuffle.partitions" -> "16")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key owns 200k of 220k rows — the shuffle partition holding
+      // key 0 is ~60× the median, far past factor 2 and the byte threshold
+      // the payload column must survive pruning into the shuffle and not
+      // compress away, or the hot partition's bytes undercut the threshold
+      val left = spark.range(220000).select(
+        when($"id" < 200000, 0L).otherwise($"id" % 2000 + 1).as("k"),
+        ($"id" * 2654435761L % 1000003).as("v"))
+      val right = spark.range(2001).select($"id".as("k"), ($"id" * 3).as("w"))
+      val j = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum($"v" + $"w").as("sw"))
+      val row = j.collect().head
+      assert(row.getLong(0) == 220000L, "every left row matches exactly one right key")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not split the skewed partition:\n" + p.take(1200))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("incremental dedup: novel-and-first batch rows survive, corpus never re-deduped") {
     import spark.implicits._
     val corpus = Seq(
