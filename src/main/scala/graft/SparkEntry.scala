@@ -1678,7 +1678,10 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey")),
       "graft_qy2_orders", "o_orderkey", 8, wh)
     operators.Layout.writeBucketed(
+      // a deterministic slice keeps the gate's write volume proportional
+      // while still routing rows across all 8 buckets
       t(spark, dir, "lineitem")
+        .filter(col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount")),
       "graft_qy2_lineitem", "l_orderkey", 8, wh)
     spark.table("graft_qy2_lineitem")
@@ -1702,6 +1705,7 @@ object SparkEntry {
     val in = java.nio.file.Files.createTempDirectory("graft-qf7-in").toString
     val out = java.nio.file.Files.createTempDirectory("graft-qf7-out").toString
     t(spark, dir, "lineitem")
+      .filter(col("l_linenumber") === 1) // deterministic slice; 48 shards still exercise the merge
       .select(col("l_orderkey"), col("l_linestatus"), col("l_extendedprice"), col("l_quantity"))
       .repartition(48)
       .write.mode("overwrite").parquet(in)
@@ -2424,7 +2428,7 @@ object SparkEntry {
       """SELECT l_linestatus, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS sum_price,
         |  round(avg(l_quantity), 6) AS avg_qty
-        |FROM lineitem GROUP BY 1""".stripMargin,
+        |FROM lineitem WHERE l_linenumber = 1 GROUP BY 1""".stripMargin,
     // Z-order: the oracle replays the magic-number bit spreading with
     // DuckDB's &, |, << and lateral column aliases — the exact interleave
     // arithmetic of Layout.spread16/zorder2, term for term.
@@ -2453,7 +2457,7 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderpriority = '2-HIGH'
+        |WHERE o_orderpriority = '2-HIGH' AND l_quantity < 10
         |GROUP BY 1""".stripMargin,
     // Donut tiles: exterior verbatim (positively wound already), hole
     // cyclically reversed by winding normalization — pure key arithmetic.
