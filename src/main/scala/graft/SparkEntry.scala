@@ -1884,6 +1884,31 @@ object SparkEntry {
       .toDF("id", "geom_type", "part", "pos", "x", "y", "kind")
   }
 
+  /** Layout tier — Z-ordered BOX QUERY end to end: lineitem keys project
+    * to a 8-bit (x, y) plane, cluster to Z-ordered parquet
+    * ([[operators.Layout.clusterByZorderKeep]]), and a 2-D box predicate
+    * runs as [[operators.Layout.zRangesForBox]] interval pushdown + the
+    * exact residual filter (LayoutSpec asserts the intervals reach the
+    * scan's PushedFilters). The oracle is the plain box filter — any
+    * interval-decomposition bug (a lost quad cell, an off-by-one range
+    * bound) loses or duplicates rows and breaks count/sum.
+    */
+  private def qy3ZBoxQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qy3").toString
+    val base = t(spark, dir, "lineitem").select(
+      col("l_partkey").bitwiseAND(lit(255)).as("x"),
+      col("l_suppkey").bitwiseAND(lit(255)).as("y"),
+      col("l_extendedprice"))
+    operators.Layout
+      .clusterByZorderKeep(base, Seq(col("x"), col("y")), numFiles = 8)
+      .write.mode("overwrite").parquet(tmp)
+    operators.Layout
+      .boxQuery(spark.read.parquet(tmp), col("x"), col("y"), col("z"), 32, 79, 100, 131)
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
   /** S13 polygons-with-holes — [[sources.VectorTile.writePolygonTiles]]
     * under the oracle gate: per nation, a donut (exterior square + hole)
     * whose TARGET pixels are integers; lon/lat come from the inverse web-
@@ -2192,6 +2217,7 @@ object SparkEntry {
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
     "qy1_zorder" -> (qy1Zorder _),
     "qy2_bucket_join" -> (qy2BucketJoin _),
+    "qy3_zbox" -> (qy3ZBoxQuery _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -2450,6 +2476,13 @@ object SparkEntry {
         |      (y3 | (y3 << 1)) & 1431655765 AS y4
         |    FROM lineitem))
         |GROUP BY 1""".stripMargin,
+    // Z-box query: the oracle is the plain 2-D box filter — the engine
+    // side must reach the same rows through its z-interval pushdown.
+    "qy3_zbox" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM (SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y, l_extendedprice
+        |      FROM lineitem)
+        |WHERE x BETWEEN 32 AND 79 AND y BETWEEN 100 AND 131""".stripMargin,
     // Bucketed join: the oracle replays the plain join over the parquet
     // sources — wrong bucket routing silently drops matches on the Spark
     // side and breaks n/revenue.

@@ -86,6 +86,91 @@ object Layout {
       .drop("__graft_z")
   }
 
+  /** Variant of [[clusterByZorder]] that KEEPS the Z value as `zCol` in
+    * the output — store it alongside the data and box queries can push
+    * [[zRangesForBox]] intervals down to parquet row-group min/max stats.
+    */
+  def clusterByZorderKeep(
+      df: DataFrame,
+      keys: Seq[Column],
+      numFiles: Int,
+      zCol: String = "z"): DataFrame = {
+    require(keys.size == 2, s"zorder box queries support 2 keys, got ${keys.size}")
+    df.withColumn(zCol, zorder2(keys(0), keys(1)))
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+  }
+
+  /** Decompose the 2-D box `[xmin..xmax] × [ymin..ymax]` (inclusive,
+    * 16-bit coords) into the EXACT set of Z-value intervals it covers —
+    * the query-side half of Z-ordering (the classic quadtree walk behind
+    * Tropf–Herzog BIGMIN/LITMAX, 1981): a quad cell fully inside the box
+    * emits its whole contiguous Z interval; a cell partially overlapping
+    * splits into its four children; disjoint cells drop. Adjacent
+    * intervals merge, so the result is the minimal sorted interval set
+    * with NO false positives — `z ∈ ranges ⟺ (x, y) ∈ box`. Interval
+    * count is O(perimeter) worst-case; `maxRanges` coarsens beyond that
+    * (cells emit their full interval once the budget is hit — still a
+    * superset, callers keep the exact residual filter).
+    */
+  def zRangesForBox(
+      xmin: Int, xmax: Int, ymin: Int, ymax: Int,
+      maxRanges: Int = 1 << 12): Seq[(Long, Long)] = {
+    require(xmin >= 0 && ymin >= 0 && xmax < 65536 && ymax < 65536 && xmin <= xmax && ymin <= ymax,
+      s"box out of 16-bit range: [$xmin..$xmax]x[$ymin..$ymax]")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // cell = (x0, y0, size); z interval of a cell is [zbase, zbase + size²)
+    def interleave(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    def walk(x0: Int, y0: Int, size: Int): Unit = {
+      if (x0 > xmax || y0 > ymax || x0 + size - 1 < xmin || y0 + size - 1 < ymin) ()
+      else if ((x0 >= xmin && x0 + size - 1 <= xmax && y0 >= ymin && y0 + size - 1 <= ymax) ||
+        (size > 1 && out.size >= maxRanges)) {
+        val zb = interleave(x0.toLong, y0.toLong)
+        val ze = zb + size.toLong * size - 1
+        if (out.nonEmpty && out.last._2 + 1 == zb) out(out.size - 1) = (out.last._1, ze)
+        else out += ((zb, ze))
+      } else if (size == 1) {
+        val zb = interleave(x0.toLong, y0.toLong)
+        if (out.nonEmpty && out.last._2 + 1 == zb) out(out.size - 1) = (out.last._1, zb)
+        else out += ((zb, zb))
+      } else {
+        val h = size / 2
+        // children in Z order: (0,0), (1,0), (0,1), (1,1) — x in even bits,
+        // so the x step comes first; keeps emitted intervals sorted
+        walk(x0, y0, h); walk(x0 + h, y0, h); walk(x0, y0 + h, h); walk(x0 + h, y0 + h, h)
+      }
+    }
+    walk(0, 0, 65536)
+    out.toSeq
+  }
+
+  /** Box query over a Z-clustered table: OR of `z BETWEEN` interval
+    * predicates (pushed to parquet row-group/file min-max stats — the
+    * scan skips every Z-disjoint unit) plus the exact per-column residual
+    * filter. With exact ranges the residual is redundant but free; with a
+    * coarsened superset (`maxRanges`) it restores exactness.
+    */
+  def boxQuery(
+      df: DataFrame,
+      xCol: Column, yCol: Column, zCol: Column,
+      xmin: Int, xmax: Int, ymin: Int, ymax: Int): DataFrame = {
+    val ranges = zRangesForBox(xmin, xmax, ymin, ymax, maxRanges = 64)
+    val zPred = ranges
+      .map { case (lo, hi) => zCol.between(lit(lo), lit(hi)) }
+      .reduce(_ || _)
+    df.filter(zPred)
+      .filter(xCol.between(lit(xmin), lit(xmax)) && yCol.between(lit(ymin), lit(ymax)))
+  }
+
   /** Compact the parquet directory `inDir` into ceil(totalBytes /
     * targetBytes) files at `outDir`. Uses `coalesce` — a NARROW
     * dependency, so no shuffle: each output task just reads several input

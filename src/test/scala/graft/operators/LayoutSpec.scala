@@ -108,6 +108,51 @@ class LayoutSpec extends AnyFunSuite {
     assert(hits(cs) <= parts / 4, s"z-layout should prune ≥75% of partitions, hit ${hits(cs)}/$parts")
   }
 
+  test("zRangesForBox: exact cover — z in ranges iff (x,y) in box; coarsening stays a superset") {
+    def inRanges(rs: Seq[(Long, Long)], z: Long) = rs.exists { case (lo, hi) => z >= lo && z <= hi }
+    val rnd = new scala.util.Random(19)
+    (1 to 20).foreach { _ =>
+      val x0 = rnd.nextInt(200); val x1 = x0 + rnd.nextInt(60)
+      val y0 = rnd.nextInt(200); val y1 = y0 + rnd.nextInt(60)
+      val rs = Layout.zRangesForBox(x0, x1, y0, y1)
+      // sorted, disjoint, merged
+      rs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + 1 < b._1, s"unmerged/unsorted: $a $b")
+        case _ =>
+      }
+      // exhaustive over a window containing the box
+      for (x <- math.max(0, x0 - 2) to x1 + 2; y <- math.max(0, y0 - 2) to y1 + 2) {
+        val z = mortonRef(x.toLong, y.toLong, 16)
+        val inBox = x >= x0 && x <= x1 && y >= y0 && y <= y1
+        assert(inRanges(rs, z) == inBox, s"($x,$y) z=$z box=[$x0..$x1]x[$y0..$y1]")
+      }
+      // a coarsened decomposition covers at least everything the exact one does
+      val coarse = Layout.zRangesForBox(x0, x1, y0, y1, maxRanges = 4)
+      assert(coarse.size <= rs.size || rs.size <= 4)
+      for (x <- x0 to x1; y <- y0 to y1)
+        assert(inRanges(coarse, mortonRef(x.toLong, y.toLong, 16)), "coarse ranges lost a box point")
+    }
+    // degenerate single cell
+    assert(Layout.zRangesForBox(5, 5, 7, 7) == Seq((mortonRef(5, 7, 16), mortonRef(5, 7, 16))))
+  }
+
+  test("boxQuery over a z-clustered table: pushed z intervals, exact result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zbox").toString
+    val rnd = new scala.util.Random(23)
+    val pts = rnd.shuffle(for { x <- 0 until 128; y <- 0 until 128 } yield (x, y))
+    Layout.clusterByZorderKeep(pts.toDF("x", "y"), Seq($"x", $"y"), numFiles = 16)
+      .write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val got = Layout.boxQuery(table, $"x", $"y", $"z", 32, 47, 96, 111)
+    val rows = got.select("x", "y").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val want = (for { x <- 32 to 47; y <- 96 to 111 } yield (x, y)).toSet
+    assert(rows == want, s"missing ${want.diff(rows).size}, extra ${rows.diff(want).size}")
+    // the z BETWEEN predicates reach the parquet scan as pushed filters
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(z,"),
+      "z intervals did not push to the scan:\n" + plan.take(800))
+  }
+
   test("compact coalesces a small-files directory without a shuffle") {
     val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
     val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
