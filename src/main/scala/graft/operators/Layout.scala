@@ -134,14 +134,12 @@ object Layout {
       if (x0 > xmax || y0 > ymax || x0 + size - 1 < xmin || y0 + size - 1 < ymin) ()
       else if ((x0 >= xmin && x0 + size - 1 <= xmax && y0 >= ymin && y0 + size - 1 <= ymax) ||
         (size > 1 && out.size >= maxRanges)) {
+        // a size-1 cell that is not disjoint is necessarily fully inside,
+        // so this branch also terminates the recursion
         val zb = interleave(x0.toLong, y0.toLong)
         val ze = zb + size.toLong * size - 1
         if (out.nonEmpty && out.last._2 + 1 == zb) out(out.size - 1) = (out.last._1, ze)
         else out += ((zb, ze))
-      } else if (size == 1) {
-        val zb = interleave(x0.toLong, y0.toLong)
-        if (out.nonEmpty && out.last._2 + 1 == zb) out(out.size - 1) = (out.last._1, zb)
-        else out += ((zb, zb))
       } else {
         val h = size / 2
         // children in Z order: (0,0), (1,0), (0,1), (1,1) — x in even bits,
@@ -186,10 +184,16 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new org.apache.hadoop.fs.Path(inDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(p).iterator
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen)
-      .sum
+    // recursive: a partitioned layout (date=*/part-*.parquet) keeps its
+    // data files below nested directories — a top-level-only listing
+    // would size it at 0 bytes and collapse the dataset to ONE file
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) total += s.getLen
+    }
+    require(total > 0, s"no .parquet data files under $inDir")
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
     n

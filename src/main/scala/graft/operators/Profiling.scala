@@ -87,8 +87,10 @@ object Profiling {
       .crossJoin(broadcast(totals))
       .withColumn("share", round(col("n") / col("__total"), 6))
       .withColumn(
+        // multiply in DOUBLE (as the oracle does): n × nkeys as longs
+        // overflows at planetary key counts, exactly where this runs
         "salt_factor",
-        ceil(col("n") * col("__nkeys") / col("__total")).cast("long"))
+        ceil(col("n") * lit(1.0) * col("__nkeys") / col("__total")).cast("long"))
       .select(col("key"), col("n"), col("share"), col("salt_factor"))
       .orderBy(col("n").desc, col("key"))
       .limit(topN)

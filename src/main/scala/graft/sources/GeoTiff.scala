@@ -714,7 +714,7 @@ object GeoTiff {
     require(pixels.forall(p => p >= 0 && p <= 255), "JPEG samples must be 0..255")
     val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
     val nStrips = (height + rps - 1) / rps
-    val tables = Jpeg.tablesStream
+    val tables = Jpeg.tablesStream()
     val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
       val r0 = s * rps
       val rows = math.min(rps, height - r0)

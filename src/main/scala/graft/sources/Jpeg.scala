@@ -317,11 +317,14 @@ object Jpeg {
 
   /** Abbreviated table-specification stream (SOI, DQT, DHT×2, EOI) — the
     * TIFF JPEGTables tag payload shared by all abbreviated strip streams.
+    * `quant` MUST match the table the paired `encodeGray(includeTables =
+    * false, quant = …)` scans were quantized with, or decode silently
+    * dequantizes with the wrong divisors.
     */
-  def tablesStream: Array[Byte] = {
+  def tablesStream(quant: Array[Int] = QuantTable): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8)
-    writeSeg(out, 0xdb, dqtPayload())
+    writeSeg(out, 0xdb, dqtPayload(quant))
     writeSeg(out, 0xc4, dhtPayload(0x00, DcSpec))
     writeSeg(out, 0xc4, dhtPayload(0x10, AcSpec))
     out.write(0xff); out.write(0xd9)

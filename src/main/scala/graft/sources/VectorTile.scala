@@ -326,16 +326,19 @@ object VectorTile {
     * under 2^27, so even pathological many-vertex rings cannot overflow.
     */
   def signedArea2(ring: Seq[(Int, Int)]): Long = {
+    // single iterator walk (rings arrive as Lists from the clip fold;
+    // indexed access would be quadratic), closing edge handled last
+    if (ring.isEmpty) return 0L
     var s = 0L
-    var i = 0
-    val m = ring.size
-    while (i < m) {
-      val (x1, y1) = ring(i)
-      val (x2, y2) = ring((i + 1) % m)
-      s += x1.toLong * y2 - x2.toLong * y1
-      i += 1
+    val head = ring.head
+    var prev = head
+    val it = ring.iterator.drop(1)
+    while (it.hasNext) {
+      val p = it.next()
+      s += prev._1.toLong * p._2 - p._1.toLong * prev._2
+      prev = p
     }
-    s
+    s + (prev._1.toLong * head._2 - head._1.toLong * prev._2)
   }
 
   /** Normalize a ring's winding to the MVT role contract: `exterior`
@@ -349,6 +352,50 @@ object VectorTile {
     val a = signedArea2(ring)
     if (a == 0L || (a > 0L) == exterior) ring
     else ring.head +: ring.tail.reverse
+  }
+
+  /** Shift a clipped part to tile-relative integer coords and drop
+    * consecutive duplicates created by the rounding (shared by every
+    * geometry tiler — keep the three sinks byte-identical).
+    */
+  private def roundAndDedupe(
+      part: Seq[(Double, Double)], tx: Long, ty: Long, extent: Int): List[(Int, Int)] =
+    part
+      .map(p => ((p._1 - tx * extent).round.toInt, (p._2 - ty * extent).round.toInt))
+      .foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+        if (acc.nonEmpty && acc.head == p) acc else p :: acc
+      }
+      .reverse
+
+  /** Terminal stage of every tile sink: encode per tile key, write
+    * `{z}/{x}/{y}.mvt` executor-side (no driver collect).
+    */
+  private def writeTileFiles(
+      keyed: org.apache.spark.sql.Dataset[(Long, Long, Seq[Seq[(Int, Int)]], Map[String, String])],
+      geomType: Int,
+      n: Long,
+      zoom: Int,
+      dir: String,
+      layerName: String,
+      extent: Int): Unit = {
+    import keyed.sparkSession.implicits._
+    keyed
+      .groupByKey(_._1)
+      .mapGroups { (tileKey, it) =>
+        val feats = it.map { case (_, id, parts, attrs) =>
+          Feature(id, geomType, parts, attrs)
+        }.toSeq.sortBy(_.id)
+        (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
+      }
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        it.foreach { case (tileKey, bytes) =>
+          val tx = tileKey / n
+          val ty = tileKey % n
+          val p = java.nio.file.Paths.get(dir, zoom.toString, tx.toString, s"$ty.mvt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, bytes)
+        }
+      }
   }
 
   /** Sutherland–Hodgman ring clip to a rect (public classic algorithm).
@@ -421,25 +468,9 @@ object VectorTile {
       val py = (gy - ty * extent).round.toInt
       // null attr values (null source columns cast to string) have no MVT
       // representation — absent key, not an executor NPE in encodeTile
-      (tx * n + ty, id, px, py, attrs.filter(_._2 != null))
+      (tx * n + ty, id, Seq(Seq((px, py))): Seq[Seq[(Int, Int)]], attrs.filter(_._2 != null))
     }
-    keyed
-      .groupByKey(_._1)
-      .mapGroups { (tileKey, it) =>
-        val feats = it.map { case (_, id, px, py, attrs) =>
-          Feature(id, 1, Seq(Seq((px, py))), attrs)
-        }.toSeq.sortBy(_.id)
-        (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
-      }
-      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
-        it.foreach { case (tileKey, bytes) =>
-          val tx = tileKey / n
-          val ty = tileKey % n
-          val p = java.nio.file.Paths.get(dir, zoom.toString, tx.toString, s"$ty.mvt")
-          java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p, bytes)
-        }
-      }
+    writeTileFiles(keyed, geomType = 1, n, zoom, dir, layerName, extent)
   }
 
   /** DISTRIBUTED line/polygon tile sink — the tippecanoe shape for
@@ -499,11 +530,7 @@ object VectorTile {
               if (geomType == 3) Seq(clipRing(pix, x0, y0, x1, y1))
               else clipPolyline(pix, x0, y0, x1, y1)
             clipped
-              .map(_.map(p =>
-                ((p._1 - tx * extent).round.toInt, (p._2 - ty * extent).round.toInt)))
-              .map(part => part.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
-                if (acc.nonEmpty && acc.head == p) acc else p :: acc
-              }.reverse)
+              .map(part => roundAndDedupe(part, tx, ty, extent): Seq[(Int, Int)])
               .filter(part => part.size >= (if (geomType == 3) 3 else 2))
               // MVT §4.3.4.4: every standalone ring here is an exterior
               // ring and must wind positive (screen-CW); tippecanoe-style
@@ -516,23 +543,7 @@ object VectorTile {
         } yield (tx * n + ty, id, parts, cleanAttrs)
         }
       }
-    keyed
-      .groupByKey(_._1)
-      .mapGroups { (tileKey, it) =>
-        val feats = it.map { case (_, id, parts, attrs) =>
-          Feature(id, geomType, parts, attrs)
-        }.toSeq.sortBy(_.id)
-        (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
-      }
-      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
-        it.foreach { case (tileKey, bytes) =>
-          val tx = tileKey / n
-          val ty = tileKey % n
-          val p = java.nio.file.Paths.get(dir, zoom.toString, tx.toString, s"$ty.mvt")
-          java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p, bytes)
-        }
-      }
+    writeTileFiles(keyed, geomType, n, zoom, dir, layerName, extent)
   }
 
   /** DISTRIBUTED polygon-with-HOLES tile sink: `ringsCol` is one polygon
@@ -583,39 +594,18 @@ object VectorTile {
             y0 = ty * extent.toDouble - buffer
             x1 = (tx + 1) * extent.toDouble + buffer
             y1 = (ty + 1) * extent.toDouble + buffer
-            clippedRings = pix.map { ring =>
-              clipRing(ring, x0, y0, x1, y1)
-                .map(p => ((p._1 - tx * extent).round.toInt, (p._2 - ty * extent).round.toInt))
-                .foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
-                  if (acc.nonEmpty && acc.head == p) acc else p :: acc
-                }.reverse
-            }
+            clippedRings = pix.map(ring =>
+              roundAndDedupe(clipRing(ring, x0, y0, x1, y1), tx, ty, extent))
             // the exterior must survive the clip for the feature to
             // exist in this tile; holes that clip away just drop
             if clippedRings.head.size >= 3
-            parts = VectorTile.normalizeWinding(clippedRings.head) +:
+            parts = (VectorTile.normalizeWinding(clippedRings.head) +:
               clippedRings.tail
                 .filter(_.size >= 3)
-                .map(r => VectorTile.normalizeWinding(r, exterior = false))
+                .map(r => VectorTile.normalizeWinding(r, exterior = false))): Seq[Seq[(Int, Int)]]
           } yield (tx * n + ty, id, parts, cleanAttrs)
         }
       }
-    keyed
-      .groupByKey(_._1)
-      .mapGroups { (tileKey, it) =>
-        val feats = it.map { case (_, id, parts, attrs) =>
-          Feature(id, 3, parts, attrs)
-        }.toSeq.sortBy(_.id)
-        (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
-      }
-      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
-        it.foreach { case (tileKey, bytes) =>
-          val tx = tileKey / n
-          val ty = tileKey % n
-          val p = java.nio.file.Paths.get(dir, zoom.toString, tx.toString, s"$ty.mvt")
-          java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p, bytes)
-        }
-      }
+    writeTileFiles(keyed, geomType = 3, n, zoom, dir, layerName, extent)
   }
 }

@@ -191,6 +191,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("Coalesce") && !plan.contains("Exchange"), plan.take(400))
   }
 
+  test("compact sizes PARTITIONED layouts correctly (nested data files, not 0 bytes)") {
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-part").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-part-out").toString
+    spark.range(20000).select($"id", ($"id" % 4).as("p"), ($"id" % 97).as("k"))
+      .repartition(8).write.mode("overwrite").partitionBy("p").parquet(in)
+    // data files live under p=*/ subdirectories; a top-level listing sees 0
+    val n = Layout.compact(spark, in, out, targetBytes = Long.MaxValue)
+    assert(n == 1, s"everything fits one target file, planned $n")
+    val a = spark.read.parquet(in).groupBy("p").count()
+    val b = spark.read.parquet(out).groupBy("p").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // an empty directory fails loudly instead of planning a 1-file rewrite
+    val empty = java.nio.file.Files.createTempDirectory("graft-compact-empty").toString
+    val ex = intercept[IllegalArgumentException](
+      Layout.compact(spark, empty, out, targetBytes = 1024))
+    assert(ex.getMessage.contains("no .parquet"))
+  }
+
   test("bucketed tables join with no Exchange on either side") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val facts = spark.range(20000).select($"id".as("k"), ($"id" * 7 % 1000).as("v"))

@@ -85,7 +85,7 @@ class JpegSpec extends AnyFunSuite {
     val abbreviated = Jpeg.encodeGray(px, w, h, includeTables = false)
     // without tables the stream must refuse to decode
     intercept[IllegalArgumentException](Jpeg.decodeGray(abbreviated))
-    val pre = Jpeg.parseTables(Jpeg.tablesStream)
+    val pre = Jpeg.parseTables(Jpeg.tablesStream())
     val (_, _, out) = Jpeg.decodeGray(abbreviated, pre)
     assert(out.map(_ & 0xff).toSeq == px.toSeq)
   }
