@@ -768,6 +768,23 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Incremental NEAR-dup dedup — the MinHash twin of qd12: the batch
+    * (doc_id ≡ 0 mod 3) drops any doc whose band bucket the corpus ever
+    * occupied, then near-dedups within itself. The oracle replays the
+    * full signature pipeline (shared CTE prefix) restricted to each
+    * subset — corpus side reduced to DISTINCT (band, key) buckets, the
+    * same set the engine semi-joins against.
+    */
+  private def qd13IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.Dedup
+      .incrementalMinHashDedup(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"))
+  }
+
   /** Skew report — the pre-salting diagnosis: heaviest join keys with
     * their table share and the salt factor that levels each to the mean
     * key load. One keyed aggregation + a broadcast 1-row totals side;
@@ -2267,6 +2284,7 @@ object SparkEntry {
     "q26_bloom_semi" -> (q26BloomSemi _),
     "qp2_profile" -> (qp2Profile _),
     "qd12_incremental_dedup" -> (qd12IncrementalDedup _),
+    "qd13_incremental_neardup" -> (qd13IncrementalNearDup _),
     "qp3_skew" -> (qp3Skew _)
   )
 
@@ -3703,6 +3721,31 @@ object SparkEntry {
           |), keep AS (
           |  SELECT b.doc_id, min(m.bucketmin) AS keepid
           |  FROM buckets b JOIN bmin m ON m.band = b.band AND m.bkey = b.bkey
+          |  GROUP BY b.doc_id
+          |)
+          |SELECT doc_id FROM keep WHERE doc_id = keepid""".stripMargin),
+    // Incremental near-dup: corpus reduced to its DISTINCT band buckets,
+    // batch docs drop on any bucket hit, survivors dedup within the batch
+    // — band-key construction identical to qd2's.
+    "qd13_incremental_neardup" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, buckets AS (
+          |  SELECT doc_id, k // 4 AS band, string_agg(v::VARCHAR, ',' ORDER BY k) AS bkey
+          |  FROM sig GROUP BY doc_id, k // 4
+          |), corpusb AS (
+          |  SELECT DISTINCT band, bkey FROM buckets WHERE doc_id % 3 <> 0
+          |), batchb AS (
+          |  SELECT * FROM buckets WHERE doc_id % 3 = 0
+          |), hit AS (
+          |  SELECT DISTINCT b.doc_id FROM batchb b
+          |  JOIN corpusb c ON c.band = b.band AND c.bkey = b.bkey
+          |), nb AS (
+          |  SELECT * FROM batchb WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+          |), bmin AS (
+          |  SELECT band, bkey, min(doc_id) AS bucketmin FROM nb GROUP BY band, bkey
+          |), keep AS (
+          |  SELECT b.doc_id, min(m.bucketmin) AS keepid
+          |  FROM nb b JOIN bmin m ON m.band = b.band AND m.bkey = b.bkey
           |  GROUP BY b.doc_id
           |)
           |SELECT doc_id FROM keep WHERE doc_id = keepid""".stripMargin),

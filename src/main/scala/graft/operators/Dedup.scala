@@ -139,6 +139,42 @@ object Dedup {
     exactDedup(novel, idCol, textCol)
   }
 
+  /** INCREMENTAL near-dup dedup — MinHash-LSH against a standing corpus:
+    * a batch doc drops if ANY of its band buckets was ever occupied by a
+    * corpus doc (the same recall contract as [[minHashDedup]] banding),
+    * then the survivors near-dedup WITHIN the batch. The corpus
+    * contributes only its DISTINCT 8-byte band hashes to the semi join —
+    * at steady state that set (not the corpus) is what you persist and
+    * grow, so a 1 TB crawl dedups against a 100 TB corpus with a shuffle
+    * bounded by bands × |corpus-distinct-buckets| + the batch. Ordering
+    * contract: within-batch dedup runs AFTER corpus hits are removed (a
+    * batch doc never survives because its bucket-min neighbour was a
+    * corpus dup).
+    */
+  def incrementalMinHashDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    def sigs(df: DataFrame) = df.select(
+      col(idCol),
+      graft.functions.expressions.TextHashExpressions
+        .minHashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
+    val rpb = numHashes / bands
+    // band index is mixed into the hash, so bandhash equality ⇒ same band
+    val corpusBuckets = banded(sigs(corpus), idCol, bands, rpb)
+      .select("__bandhash").distinct()
+    val hit = banded(sigs(batch), idCol, bands, rpb)
+      .join(corpusBuckets, Seq("__bandhash"), "left_semi")
+      .select(col(idCol)).distinct()
+    minHashDedup(
+      batch.join(hit, Seq(idCol), "left_anti"),
+      idCol, textCol, shingleSize, numHashes, bands)
+  }
+
   /** Band the signature: one row per (id, band) with the band's hash. */
   private def banded(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
     sigs

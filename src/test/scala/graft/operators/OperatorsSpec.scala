@@ -254,6 +254,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cold == Set(20L, 21L, 23L))
   }
 
+  test("incremental near-dup: corpus bucket hits drop, batch near-dups collapse to min id") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (10L, base),
+      (11L, "completely different corpus content about catalyst planners")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, base + " tonight"), // near-dup of corpus 10 → dropped
+      (21L, "utterly novel zebra quantum paragraph nothing shares these words at all " * 2),
+      (22L, "utterly novel zebra quantum paragraph nothing shares these words at all " * 2 + "extra"),
+      (23L, "another standalone snippet on bit interleaving and morton codes")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalMinHashDedup(corpus, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(20L), "corpus near-dup must drop")
+    assert(kept.contains(21L) && !kept.contains(22L), "within-batch near-dups keep the min id")
+    assert(kept.contains(23L))
+    // empty corpus degenerates to plain minHashDedup of the batch
+    val cold = Dedup.incrementalMinHashDedup(corpus.limit(0), batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Dedup.minHashDedup(batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cold == plain)
+  }
+
   test("skewReport: counts, shares and salt factors on a hand-built skewed key set") {
     import spark.implicits._
     // key a ×6, b ×2, c ×1 → total 9, 3 keys, mean 3
