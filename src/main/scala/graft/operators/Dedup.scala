@@ -158,22 +158,67 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    incrementalMinHashDedupPrepared(
+      minHashBandBuckets(corpus, idCol, textCol, shingleSize, numHashes, bands),
+      batch, idCol, textCol, shingleSize, numHashes, bands)
+
+  /** The corpus-side artifact of [[incrementalMinHashDedup]]: the
+    * DISTINCT 8-byte band-hash set. PERSIST this (and union each batch's
+    * surviving buckets into it) — then steady-state ingest never touches
+    * corpus text again.
+    */
+  def minHashBandBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    banded(minHashSigs(docs, idCol, textCol, shingleSize, numHashes), idCol, bands, numHashes / bands)
+      .select("__bandhash").distinct()
+
+  /** Steady-state form: dedup `batch` against a PERSISTED bucket set
+    * (one `__bandhash` column, from [[minHashBandBuckets]]). The batch's
+    * signatures are computed ONCE and reused for both the corpus-hit
+    * semi join and the within-batch dedup.
+    */
+  def incrementalMinHashDedupPrepared(
+      corpusBuckets: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    def sigs(df: DataFrame) = df.select(
+    // band index is mixed into the hash, so bandhash equality ⇒ same band
+    val batchBands = banded(
+      minHashSigs(batch, idCol, textCol, shingleSize, numHashes), idCol, bands, numHashes / bands)
+    val hit = batchBands
+      .join(corpusBuckets, Seq("__bandhash"), "left_semi")
+      .select(col(idCol)).distinct()
+    val novelBands = batchBands.join(hit, Seq(idCol), "left_anti")
+    batch.join(keepFromBands(novelBands, idCol), Seq(idCol), "left_semi")
+  }
+
+  private def minHashSigs(
+      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int, numHashes: Int): DataFrame =
+    docs.select(
       col(idCol),
       graft.functions.expressions.TextHashExpressions
         .minHashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
-    val rpb = numHashes / bands
-    // band index is mixed into the hash, so bandhash equality ⇒ same band
-    val corpusBuckets = banded(sigs(corpus), idCol, bands, rpb)
-      .select("__bandhash").distinct()
-    val hit = banded(sigs(batch), idCol, bands, rpb)
-      .join(corpusBuckets, Seq("__bandhash"), "left_semi")
-      .select(col(idCol)).distinct()
-    minHashDedup(
-      batch.join(hit, Seq(idCol), "left_anti"),
-      idCol, textCol, shingleSize, numHashes, bands)
-  }
+
+  /** Bucket-min survivor selection over a banded frame (shared by the
+    * one-shot and incremental MinHash paths).
+    */
+  private def keepFromBands(b: DataFrame, idCol: String): DataFrame =
+    b.groupBy("__bandhash")
+      .agg(min(col(idCol)).as("__bucketmin"))
+      .join(b, Seq("__bandhash"))
+      .groupBy(col(idCol))
+      .agg(min(col("__bucketmin")).as("__keepid"))
+      .filter(col(idCol) === col("__keepid"))
+      .select(col(idCol))
 
   /** Band the signature: one row per (id, band) with the band's hash. */
   private def banded(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
@@ -194,20 +239,9 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val sigs = docs.select(
-      col(idCol),
-      graft.functions.expressions.TextHashExpressions
-        .minHashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
-    val b = banded(sigs, idCol, bands, numHashes / bands)
-    val keep = b
-      .groupBy("__bandhash")
-      .agg(min(col(idCol)).as("__bucketmin"))
-      .join(b, Seq("__bandhash"))
-      .groupBy(col(idCol))
-      .agg(min(col("__bucketmin")).as("__keepid"))
-      .filter(col(idCol) === col("__keepid"))
-      .select(col(idCol))
-    docs.join(keep, Seq(idCol), "left_semi")
+    val b = banded(
+      minHashSigs(docs, idCol, textCol, shingleSize, numHashes), idCol, bands, numHashes / bands)
+    docs.join(keepFromBands(b, idCol), Seq(idCol), "left_semi")
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -174,11 +174,14 @@ object Layout {
     * dependency, so no shuffle: each output task just reads several input
     * shards back-to-back. Path-scheme-generic (the Hadoop FS API resolves
     * `s3a://` the same as `file://`), which is where the small-files
-    * problem actually lives. Returns the PLANNED file count; the writer
+    * problem actually lives. Returns the PLANNED task count; the writer
     * emits `min(planned, scan partitions)` files — coalesce never raises
     * parallelism, so if the scan already packs the shards into fewer
     * splits (`spark.sql.files.maxPartitionBytes`) the output is simply
-    * more compact than asked, never less.
+    * more compact than asked, never less. Hive-partitioned inputs keep
+    * their `k=v` directory scheme (each of the n tasks writes one file
+    * per partition value it holds — pruning survives; for per-partition
+    * file counts, compact each partition directory individually).
     */
   def compact(spark: SparkSession, inDir: String, outDir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -189,13 +192,22 @@ object Layout {
     // would size it at 0 bytes and collapse the dataset to ONE file
     val it = fs.listFiles(p, true)
     var total = 0L
+    var sample: org.apache.hadoop.fs.Path = null
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile && s.getPath.getName.endsWith(".parquet")) total += s.getLen
+      if (s.getPath.getName.endsWith(".parquet")) { total += s.getLen; sample = s.getPath }
     }
     require(total > 0, s"no .parquet data files under $inDir")
+    // hive-style `k=v` path segments between inDir and the data file are
+    // partition columns — they MUST survive the rewrite, or every
+    // downstream reader loses partition pruning
+    val rel = sample.toString.stripPrefix(fs.makeQualified(p).toString).split('/')
+    val partCols = rel.filter(seg => seg.contains('=') && !seg.startsWith("."))
+      .map(_.takeWhile(_ != '='))
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
+    val df = spark.read.parquet(inDir).coalesce(n)
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols.toIndexedSeq: _*) else w).parquet(outDir)
     n
   }
 

@@ -367,8 +367,10 @@ object VectorTile {
       }
       .reverse
 
-  /** Terminal stage of every tile sink: encode per tile key, write
-    * `{z}/{x}/{y}.mvt` executor-side (no driver collect).
+  /** Terminal stage of the geometry tile sinks: encode per tile key,
+    * then write via [[writeEncodedTiles]]. (The points sink keeps its
+    * flatter (px, py) shuffle row and builds features in its own
+    * mapGroups — sharing only the write stage.)
     */
   private def writeTileFiles(
       keyed: org.apache.spark.sql.Dataset[(Long, Long, Seq[Seq[(Int, Int)]], Map[String, String])],
@@ -379,24 +381,35 @@ object VectorTile {
       layerName: String,
       extent: Int): Unit = {
     import keyed.sparkSession.implicits._
-    keyed
-      .groupByKey(_._1)
-      .mapGroups { (tileKey, it) =>
-        val feats = it.map { case (_, id, parts, attrs) =>
-          Feature(id, geomType, parts, attrs)
-        }.toSeq.sortBy(_.id)
-        (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
-      }
-      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
-        it.foreach { case (tileKey, bytes) =>
-          val tx = tileKey / n
-          val ty = tileKey % n
-          val p = java.nio.file.Paths.get(dir, zoom.toString, tx.toString, s"$ty.mvt")
-          java.nio.file.Files.createDirectories(p.getParent)
-          java.nio.file.Files.write(p, bytes)
-        }
-      }
+    writeEncodedTiles(
+      keyed
+        .groupByKey(_._1)
+        .mapGroups { (tileKey, it) =>
+          val feats = it.map { case (_, id, parts, attrs) =>
+            Feature(id, geomType, parts, attrs)
+          }.toSeq.sortBy(_.id)
+          (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
+        },
+      n, zoom, dir)
   }
+
+  /** Executor-side `{z}/{x}/{y}.mvt` write of encoded tiles (no driver
+    * collect) — the one path scheme shared by every sink.
+    */
+  private def writeEncodedTiles(
+      tiles: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      n: Long,
+      zoom: Int,
+      dir: String): Unit =
+    tiles.foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+      it.foreach { case (tileKey, bytes) =>
+        val tx = tileKey / n
+        val ty = tileKey % n
+        val p = java.nio.file.Paths.get(dir, zoom.toString, tx.toString, s"$ty.mvt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, bytes)
+      }
+    }
 
   /** Sutherland–Hodgman ring clip to a rect (public classic algorithm).
     * Returns the clipped ring (possibly empty); consecutive duplicates
@@ -467,10 +480,21 @@ object VectorTile {
       val px = (gx - tx * extent).round.toInt
       val py = (gy - ty * extent).round.toInt
       // null attr values (null source columns cast to string) have no MVT
-      // representation — absent key, not an executor NPE in encodeTile
-      (tx * n + ty, id, Seq(Seq((px, py))): Seq[Seq[(Int, Int)]], attrs.filter(_._2 != null))
+      // representation — absent key, not an executor NPE in encodeTile.
+      // The shuffle row stays (px, py) ints — no nested-array overhead on
+      // the point hot path; feature wrapping happens after the exchange
+      (tx * n + ty, id, px, py, attrs.filter(_._2 != null))
     }
-    writeTileFiles(keyed, geomType = 1, n, zoom, dir, layerName, extent)
+    writeEncodedTiles(
+      keyed
+        .groupByKey(_._1)
+        .mapGroups { (tileKey, it) =>
+          val feats = it.map { case (_, id, px, py, attrs) =>
+            Feature(id, 1, Seq(Seq((px, py))), attrs)
+          }.toSeq.sortBy(_.id)
+          (tileKey, encodeTile(Seq(Layer(layerName, extent, feats))))
+        },
+      n, zoom, dir)
   }
 
   /** DISTRIBUTED line/polygon tile sink — the tippecanoe shape for

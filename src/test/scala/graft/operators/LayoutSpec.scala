@@ -198,10 +198,18 @@ class LayoutSpec extends AnyFunSuite {
       .repartition(8).write.mode("overwrite").partitionBy("p").parquet(in)
     // data files live under p=*/ subdirectories; a top-level listing sees 0
     val n = Layout.compact(spark, in, out, targetBytes = Long.MaxValue)
-    assert(n == 1, s"everything fits one target file, planned $n")
+    assert(n == 1, s"everything fits one coalesce task, planned $n")
     val a = spark.read.parquet(in).groupBy("p").count()
     val b = spark.read.parquet(out).groupBy("p").count()
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // the partition scheme SURVIVES the rewrite (pruning stays possible)
+    val outDirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(outDirs.toSeq == Seq("p=0", "p=1", "p=2", "p=3"),
+      s"partition directories lost: ${outDirs.mkString(",")}")
+    val pruned = spark.read.parquet(out).filter($"p" === 2)
+    assert(pruned.count() == 5000)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(p"),
+      "partition filter did not reach the scan")
     // an empty directory fails loudly instead of planning a 1-file rewrite
     val empty = java.nio.file.Files.createTempDirectory("graft-compact-empty").toString
     val ex = intercept[IllegalArgumentException](
