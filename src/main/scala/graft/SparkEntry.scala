@@ -2482,12 +2482,12 @@ object SparkEntry {
         |FROM (
         |  SELECT l_returnflag, (x4 | (y4 << 1)) AS z FROM (
         |    SELECT l_returnflag,
-        |      l_partkey & 65535 AS x0,
+        |      CAST(l_partkey AS BIGINT) & 65535 AS x0,
         |      (x0 | (x0 << 8)) & 16711935 AS x1,
         |      (x1 | (x1 << 4)) & 252645135 AS x2,
         |      (x2 | (x2 << 2)) & 858993459 AS x3,
         |      (x3 | (x3 << 1)) & 1431655765 AS x4,
-        |      l_suppkey & 65535 AS y0,
+        |      CAST(l_suppkey AS BIGINT) & 65535 AS y0,
         |      (y0 | (y0 << 8)) & 16711935 AS y1,
         |      (y1 | (y1 << 4)) & 252645135 AS y2,
         |      (y2 | (y2 << 2)) & 858993459 AS y3,

@@ -100,8 +100,10 @@ object GeoTiff {
   def parseHeader(bytes: Array[Byte]): Header =
     parseHeaderRanged { (off, len) =>
       // a corrupt (Big)TIFF 64-bit offset would truncate through toInt
-      // into an opaque AIOOBE — name the problem instead
-      require(off >= 0 && off + len <= bytes.length,
+      // into an opaque AIOOBE — name the problem instead. Compare without
+      // addition: `off + len` wraps negative for a LONG8 offset near
+      // Long.MaxValue and would slip past an additive check.
+      require(len >= 0 && off >= 0 && off <= bytes.length.toLong - len,
         s"TIFF value range [$off, +$len) outside the ${bytes.length}-byte buffer (corrupt offsets)")
       java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
     }

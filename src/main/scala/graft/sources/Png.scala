@@ -40,8 +40,9 @@ object Png {
       val len = u32(pos)
       val ctype = new String(bytes, pos + 4, 4, "ASCII")
       // a crafted negative/oversized length would leave pos stationary or
-      // moving backwards and spin forever
-      require(len >= 0 && pos + 8 + len + 4 <= bytes.length,
+      // moving backwards and spin forever; widen to Long so a length near
+      // Int.MaxValue can't wrap the sum past the check
+      require(len >= 0 && pos.toLong + 8 + len + 4 <= bytes.length,
         s"corrupt PNG: chunk '$ctype' declares length $len at offset $pos")
       val dataOff = pos + 8
       ctype match {

@@ -539,12 +539,18 @@ object VectorTile {
         if (safe.size < 2) Iterator.empty
         else {
         val pix = safe.map(c => mercator(c(0), c(1), zoom, extent))
-        val txs = pix.map(p => math.floor(p._1 / extent).toLong)
-        val tys = pix.map(p => math.floor(p._2 / extent).toLong)
+        // candidate tiles from the BUFFERED extent: a feature within
+        // `buffer` px of a neighbor tile must land in that tile's margin
+        // even when its vertex bbox never enters the tile proper
+        val xs = pix.map(_._1); val ys = pix.map(_._2)
+        val txMin = math.floor((xs.min - buffer) / extent).toLong
+        val txMax = math.floor((xs.max + buffer) / extent).toLong
+        val tyMin = math.floor((ys.min - buffer) / extent).toLong
+        val tyMax = math.floor((ys.max + buffer) / extent).toLong
         val cleanAttrs = attrs.filter(_._2 != null)
         for {
-          tx <- math.max(0, txs.min) to math.min(n - 1, txs.max)
-          ty <- math.max(0, tys.min) to math.min(n - 1, tys.max)
+          tx <- math.max(0, txMin) to math.min(n - 1, txMax)
+          ty <- math.max(0, tyMin) to math.min(n - 1, tyMax)
           x0 = tx * extent.toDouble - buffer
           y0 = ty * extent.toDouble - buffer
           x1 = (tx + 1) * extent.toDouble + buffer
@@ -607,13 +613,17 @@ object VectorTile {
         if (safe.isEmpty || safe.head.size < 3) Iterator.empty // no usable exterior
         else {
           val pix = safe.map(_.map(c => mercator(c(0), c(1), zoom, extent)))
-          // tile span from the exterior: holes are contained by contract
-          val txs = pix.head.map(p => math.floor(p._1 / extent).toLong)
-          val tys = pix.head.map(p => math.floor(p._2 / extent).toLong)
+          // tile span from the exterior (holes are contained by contract),
+          // widened by `buffer` so neighbor tiles get their margin fragment
+          val xs = pix.head.map(_._1); val ys = pix.head.map(_._2)
+          val txMin = math.floor((xs.min - buffer) / extent).toLong
+          val txMax = math.floor((xs.max + buffer) / extent).toLong
+          val tyMin = math.floor((ys.min - buffer) / extent).toLong
+          val tyMax = math.floor((ys.max + buffer) / extent).toLong
           val cleanAttrs = attrs.filter(_._2 != null)
           for {
-            tx <- math.max(0, txs.min) to math.min(n - 1, txs.max)
-            ty <- math.max(0, tys.min) to math.min(n - 1, tys.max)
+            tx <- math.max(0, txMin) to math.min(n - 1, txMax)
+            ty <- math.max(0, tyMin) to math.min(n - 1, tyMax)
             x0 = tx * extent.toDouble - buffer
             y0 = ty * extent.toDouble - buffer
             x1 = (tx + 1) * extent.toDouble + buffer

@@ -225,7 +225,11 @@ object Wav {
   def encodeG711(codes: Array[Byte], sampleRate: Int, aLaw: Boolean): Array[Byte] = {
     val out = ByteBuffer.allocate(44 + codes.length + (codes.length & 1))
       .order(ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("ASCII")).putInt(36 + codes.length).put("WAVE".getBytes("ASCII"))
+    // RIFF size counts the data chunk's odd-length pad byte (RIFF chunks
+    // are word-aligned; the pad belongs to the enclosing chunk's extent)
+    out.put("RIFF".getBytes("ASCII"))
+      .putInt(36 + codes.length + (codes.length & 1))
+      .put("WAVE".getBytes("ASCII"))
     out.put("fmt ".getBytes("ASCII")).putInt(16)
     out.putShort(if (aLaw) 6 else 7)
     out.putShort(1) // mono

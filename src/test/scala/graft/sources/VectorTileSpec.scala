@@ -197,6 +197,32 @@ class VectorTileSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir3, "0", "0", "0.mvt")))
   }
 
+  test("buffer > 0: a feature near (but not crossing) a tile edge lands in the neighbor's margin") {
+    import spark.implicits._
+    // at z1 the lon-0 meridian is the tile-0/tile-1 boundary (world px
+    // 4096). A horizontal line ending at lon -1 (px ≈ 4073) stops ~23 px
+    // short of tile 1 — its vertex bbox never enters tile 1, but with
+    // buffer=64 tile 1's clip rect starts at local x = -64, so the last
+    // ~41 px of the line must appear in tile 1's buffer margin.
+    val line = Seq((9L, Seq(Seq(-40.0, 40.0), Seq(-1.0, 40.0)), "edge"))
+      .toDF("id", "coords", "name")
+    val dirB = java.nio.file.Files.createTempDirectory("mvt-buf").toString
+    VectorTile.writeGeomTiles(line, "id", geomType = 2, "coords", Seq("name"),
+      zoom = 1, dir = dirB, buffer = 64)
+    val neighbor = java.nio.file.Paths.get(dirB, "1", "1", "0.mvt")
+    assert(java.nio.file.Files.exists(neighbor),
+      "buffered write must emit the margin fragment into the adjacent tile")
+    val frag = VectorTile.decodeTile(java.nio.file.Files.readAllBytes(neighbor))
+      .head.features.head.geometry.head
+    assert(frag.size >= 2 && frag.forall { case (x, _) => x >= -64 && x < 0 },
+      s"margin fragment must sit wholly in tile 1's buffer zone, got $frag")
+    // same feature, buffer = 0: the neighbor tile must NOT exist
+    val dir0 = java.nio.file.Files.createTempDirectory("mvt-buf0").toString
+    VectorTile.writeGeomTiles(line, "id", geomType = 2, "coords", Seq("name"),
+      zoom = 1, dir = dir0, buffer = 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir0, "1", "1", "0.mvt")))
+  }
+
   test("signedArea2 sign convention matches MVT §4.3.4.4 (y-down, exterior positive)") {
     // screen-clockwise unit square (y down): (0,0)→(1,0)→(1,1)→(0,1)
     val cw = Seq((0, 0), (1, 0), (1, 1), (0, 1))
