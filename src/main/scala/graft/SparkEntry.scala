@@ -1244,6 +1244,39 @@ object SparkEntry {
         round(col("rms"), 6).as("rms"))
   }
 
+  /** Multimodal FLAC **LPC + stereo** tier — the real-world FLAC shape:
+    * per-document stereo PCM encodes executor-side with quantized-LPC
+    * subframes and all three stereo decorrelation modes (the payload
+    * rotates mid/side → left/side → right/side across its 4 frames),
+    * then decodes back through [[sources.Flac.decodeStereo16]].
+    * Per-channel mean |amplitude| + RMS replay with zero FP slack
+    * because the codec is lossless.
+    */
+  private def qm13FlacStereoLpc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = multimodal.Multimodal.flacStereoMediaFromDocuments(spark, t(spark, dir, "documents"))
+    media
+      .map { m =>
+        val (rate, l, r) = graft.sources.Flac.decodeStereo16(m.bytes)
+        var sl = 0L; var ql = 0L; var sr = 0L; var qr = 0L
+        var i = 0
+        while (i < l.length) {
+          sl += math.abs(l(i).toLong); ql += l(i).toLong * l(i)
+          sr += math.abs(r(i).toLong); qr += r(i).toLong * r(i)
+          i += 1
+        }
+        val n = l.length.toDouble
+        (m.media_id, rate, l.length.toLong,
+          sl / n, math.sqrt(ql / n), sr / n, math.sqrt(qr / n))
+      }
+      .toDF("media_id", "sample_rate", "n_samples",
+        "mean_amp_l", "rms_l", "mean_amp_r", "rms_r")
+      .withColumn("mean_amp_l", round(col("mean_amp_l"), 6))
+      .withColumn("rms_l", round(col("rms_l"), 6))
+      .withColumn("mean_amp_r", round(col("mean_amp_r"), 6))
+      .withColumn("rms_r", round(col("rms_r"), 6))
+  }
+
   /** Multimodal VIDEO tier — REAL AVI/MJPEG decode: 4 block-constant
     * 32×32 JPEG frames per document ride an AVI container built
     * executor-side ([[sources.Avi]]); decode walks the movi chunks and
@@ -2248,6 +2281,7 @@ object SparkEntry {
     "qm10_mjpeg_frames" -> (qm10MjpegFrames _),
     "qm11_g711_audio" -> (qm11G711Audio _),
     "qm12_flac_audio" -> (qm12FlacAudio _),
+    "qm13_flac_stereo_lpc" -> (qm13FlacStereoLpc _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -3175,6 +3209,22 @@ object SparkEntry {
         |  CAST(1024 AS BIGINT) AS n_samples,
         |  round(CAST(sum(abs(v)) AS DOUBLE) / 1024.0, 6) AS mean_amp,
         |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 1024.0), 6) AS rms
+        |FROM s GROUP BY doc_id""".stripMargin,
+    // Stereo-LPC FLAC replay: lossless codec ⇒ decoded channels ARE the
+    // two formula streams; per-channel integer-exact stats in SQL.
+    "qm13_flac_stereo_lpc" ->
+      """WITH s AS (
+        |  SELECT d.doc_id,
+        |    ((t.i * 2731 + d.doc_id * 29) % 65536) - 32768 AS vl,
+        |    ((t.i * 1663 + d.doc_id * 101) % 65536) - 32768 AS vr
+        |  FROM documents d CROSS JOIN generate_series(0, 1023) t(i))
+        |SELECT doc_id AS media_id,
+        |  CAST(44100 AS INTEGER) AS sample_rate,
+        |  CAST(1024 AS BIGINT) AS n_samples,
+        |  round(CAST(sum(abs(vl)) AS DOUBLE) / 1024.0, 6) AS mean_amp_l,
+        |  round(sqrt(CAST(sum(vl * vl) AS DOUBLE) / 1024.0), 6) AS rms_l,
+        |  round(CAST(sum(abs(vr)) AS DOUBLE) / 1024.0, 6) AS mean_amp_r,
+        |  round(sqrt(CAST(sum(vr * vr) AS DOUBLE) / 1024.0), 6) AS rms_r
         |FROM s GROUP BY doc_id""".stripMargin,
     // G.711 replay: the ITU-T expansion is pure integer shift/segment
     // arithmetic, so SQL computes the exact 16-bit sample per code byte.

@@ -474,6 +474,29 @@ object Multimodal {
     }
   }
 
+  /** Stereo-LPC FLAC fixture: 1024 deterministic PCM16 samples PER
+    * CHANNEL per document, encoded executor-side with quantized-LPC
+    * subframes and per-frame rotation through all three stereo
+    * decorrelation modes (blockSize=256 ⇒ 4 frames ⇒ mid/side,
+    * left/side and right/side all occur in every payload). This is the
+    * real-world FLAC shape — actual encoders emit LPC+stereo almost
+    * exclusively — and losslessness means the decoded channels ARE the
+    * formula values, so per-channel stats replay exactly in SQL.
+    */
+  def flacStereoMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val l = Array.tabulate(1024)(i => (((i * 2731 + id * 29) % 65536) - 32768).toShort)
+          val r = Array.tabulate(1024)(i => (((i * 1663 + id * 101) % 65536) - 32768).toShort)
+          Media(id, MediaMeta("audio", 0, 0, 44100),
+            graft.sources.Flac.encodeStereo16(l, r, 44100, blockSize = 256))
+        }
+      }
+  }
+
   /** BMP media fixture: uncompressed palette BMP — the lossless contract
     * a third time, through the raw-row/bottom-up/stride-padding path.
     */
