@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *    `nCentroids` seeded pseudo-centroids (deterministic hyperplane-LSH
   *    cells); the query probes only its own cell ± nProbe neighbors,
   *    cutting the scan by the cell fan-out. Recall < 1.0 by construction;
-  *    pair with bruteForceTopK when exactness matters.
+  *    pair with bruteForceTopK when exactness matters. MEASURED operating
+  *    point (RecallSpec, seed-pinned clustered corpus): recall@10 ≥ 0.9
+  *    at bits=6/nProbe=2 scoring ~22/64 cells; nProbe=bits probes the
+  *    full ball and is exactly brute force. Recall is monotone in nProbe.
   */
 object Similarity {
 
