@@ -33,6 +33,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local scale runs (sf1+) read single big files; a smaller split
+      // size stands in for the many-file layout a real table has
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // steady-state warmup: JIT + codegen + parquet footer caches, so the

@@ -1470,7 +1470,12 @@ object SparkEntry {
   }
 
   /** J8 — nearest-neighbour argmin join: nearest supplier per customer by
-    * haversine, deterministic tie-break (round to 1 mm, then key).
+    * haversine, deterministic tie-break (round to 1 mm, then key). Runs
+    * through the GRID form ([[operators.Spatial.nearestJoinGridKm]]):
+    * the broadcast-cross-join twin is O(cust·supp) — 15M pairs at sf0.1
+    * but 1.5B at sf1 (the round-8 scale proof caught it at 100× super-
+    * linear) — while the grid probes only nearby cells per round and is
+    * bit-identical by the distance-lower-bound argument (spec-pinned).
     */
   private def qsp2Nearest(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer").select(
@@ -1481,13 +1486,8 @@ object SparkEntry {
       col("s_suppkey"),
       ((col("s_suppkey") * 3 % 180) - 90).cast("double").as("slon"),
       ((col("s_suppkey") * 5 % 160) - 80).cast("double").as("slat"))
-    val pairs = cust
-      .join(broadcast(supp))
-      .withColumn(
-        "dist_km",
-        round(GeoFunctions.haversineColKm(col("clon"), col("clat"), col("slon"), col("slat")), 6))
     operators.Spatial
-      .nearestJoinAggPacked(pairs, "c_custkey", col("dist_km"), col("s_suppkey"))
+      .nearestJoinGridKm(cust, "c_custkey", "clon", "clat", supp, "s_suppkey", "slon", "slat")
       .select(col("c_custkey"), col("__tie").as("s_suppkey"), col("dist").as("dist_km"))
   }
 

@@ -151,6 +151,140 @@ object Spatial {
         (expr("__packed div 1048576") / 1e6).as("dist"))
   }
 
+  /** J8 **scale** form — grid-bucketed exact nearest neighbour, the shape
+    * that survives 100 TB. The broadcast-cross-join + packed-min pipeline
+    * is O(|left|·|right|): fine at 15M pairs, catastrophic at 1.5B (the
+    * sf1 scale proof caught qsp2 going 100× super-linear). Here both
+    * sides bucket into `cellDeg`° grid cells and each round k joins left
+    * rows only against right rows within Chebyshev distance k cells —
+    * candidates are O(|left|·density·k²), not O(|left|·|right|).
+    *
+    * EXACTNESS (not approximate): a round-k winner at distance d is
+    * accepted only if d clears the haversine lower bound any right point
+    * OUTSIDE the (2k+1)² block must exceed: separation ≥ k·cellDeg
+    * degrees in lat (≥ 111 km/°) or lon (≥ 70·cos(|lat|+(k+1)·cellDeg)
+    * km/° — per-row, so equatorial points resolve at k=1 while polar
+    * points iterate). Unresolved rows re-probe with doubled k; once k
+    * covers the data bbox the tail (typically a handful of rows) falls
+    * back to the exhaustive argmin. Same rounding (1e-6 km) and
+    * (dist, tie-key) ordering as [[nearestJoinAggPacked]], so results are
+    * bit-identical to the cross-join form — spec-asserted.
+    *
+    * `cellDeg` ≤ 0 (the default) auto-sizes cells to ~4 right rows each
+    * from the right side's bbox and count, so sparse data probes few big
+    * cells and dense data probes small ones — round count stays O(1)
+    * across scale factors. No antimeridian wrap: lon cells don't wrap at
+    * ±180° (candidates near the seam resolve via the exhaustive tail
+    * round).
+    */
+  def nearestJoinGridKm(
+      left: DataFrame,
+      leftKey: String,
+      leftLon: String,
+      leftLat: String,
+      right: DataFrame,
+      rightKey: String,
+      rightLon: String,
+      rightLat: String,
+      cellDeg: Double = 0.0): DataFrame = {
+    val lRaw = left.select(
+      col(leftKey).as("__lkey"),
+      col(leftLon).cast("double").as("__llon"),
+      col(leftLat).cast("double").as("__llat"))
+    val rRaw = right.select(
+      col(rightKey).as("__rkey"),
+      col(rightLon).cast("double").as("__rlon"),
+      col(rightLat).cast("double").as("__rlat"))
+    val empty = lRaw.select(
+      col("__lkey").as(leftKey),
+      lit(null).cast("long").as("__tie"),
+      lit(null).cast("double").as("dist")).limit(0)
+    // one tiny agg: both bboxes + right count → auto cell size + cover-k
+    val b = lRaw
+      .agg(min("__llon").as("a"), max("__llon").as("b"), min("__llat").as("c"), max("__llat").as("d"))
+      .crossJoin(rRaw.agg(
+        min("__rlon").as("e"), max("__rlon").as("f"),
+        min("__rlat").as("g2"), max("__rlat").as("h"), count(lit(1)).as("n")))
+      .first()
+    if (b.getLong(8) == 0L || b.isNullAt(0)) return empty // empty side
+    // auto cell: aim ~4 right rows per cell so the 3×3 first probe sees
+    // ~36 candidates regardless of density (sparse data → big cells → few
+    // rounds; dense data → small cells → small candidate sets)
+    val g = if (cellDeg > 0) cellDeg
+    else {
+      val area = math.max(1.0, (b.getDouble(5) - b.getDouble(4)) * (b.getDouble(7) - b.getDouble(6)))
+      math.min(45.0, math.max(0.5, math.sqrt(4.0 * area / b.getLong(8))))
+    }
+    val l0 = lRaw
+      .withColumn("__lcx", floor(col("__llon") / g).cast("long"))
+      .withColumn("__lcy", floor(col("__llat") / g).cast("long"))
+    val r0 = rRaw
+      .withColumn("__rcx", floor(col("__rlon") / g).cast("long"))
+      .withColumn("__rcy", floor(col("__rlat") / g).cast("long"))
+    r0.persist()
+    def cell(v: Double): Long = math.floor(v / g).toLong
+    val kCover = math.max(
+      math.max(cell(b.getDouble(1)) - cell(b.getDouble(4)), cell(b.getDouble(5)) - cell(b.getDouble(0))),
+      math.max(cell(b.getDouble(3)) - cell(b.getDouble(6)), cell(b.getDouble(7)) - cell(b.getDouble(2)))).max(1L)
+    val dist = round(
+      graft.functions.GeoFunctions.haversineColKm(col("__llon"), col("__llat"), col("__rlon"), col("__rlat")), 6)
+    val rightCount = b.getLong(8)
+    // once |unresolved|·|right| fits this budget, the exhaustive argmin is
+    // ONE balanced linear-work job — cheaper than more ring rounds. This is
+    // also what rescues the polar tail: a high-latitude row's longitude
+    // lower bound decays with cos(lat) and may never clear, but the tail
+    // it belongs to is tiny, so it lands in the exhaustive pass instead of
+    // iterating. Small inputs (≤ budget outright) skip the grid entirely.
+    val exhaustiveBudget = 100000000L
+    val resolved = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var unresolved = l0
+    var unresolvedCount = lRaw.count()
+    var k = 1L
+    var done = false
+    while (!done) {
+      if (k >= kCover || unresolvedCount * rightCount <= exhaustiveBudget) {
+        // exhaustive tail: the stragglers (typically high-latitude or
+        // isolated rows) argmin against the full right side
+        resolved += nearestJoinAggPacked(
+          unresolved.crossJoin(r0).withColumn("__d", dist), "__lkey", col("__d"), col("__rkey"))
+        done = true
+      } else {
+        val offs = for { dx <- -k to k; dy <- -k to k } yield (dx, dy)
+        val probe = unresolved.withColumn(
+          "__off", explode(array(offs.map { case (dx, dy) => struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
+        val cands = probe
+          .join(r0,
+            probe("__lcx") + col("__off.dx") === r0("__rcx") &&
+              probe("__lcy") + col("__off.dy") === r0("__rcy"))
+          .withColumn("__d", dist)
+        val winners = nearestJoinAggPacked(
+          cands.select(col("__lkey"), col("__llat"), col("__d"), col("__rkey")),
+          "__lkey", col("__d"), col("__rkey"))
+          // per-row resolution bound: anything outside the block is ≥ k·g
+          // degrees away in lat OR lon; 1e-3 km margin absorbs the 1e-6
+          // rounding so a boundary tie can never flip the argmin
+          .join(unresolved.select(col("__lkey"), col("__llat")), "__lkey")
+          .withColumn("__lb",
+            least(
+              lit(111.0 * k * g),
+              lit(70.0 * k * g) * cos(radians(least(lit(90.0), abs(col("__llat")) + lit((k + 1) * g))))) - lit(1e-3))
+          // aggregated, |left|-bounded — persist so the round's candidate
+          // join runs ONCE (the isEmpty probe and the final union would
+          // otherwise both recompute it)
+          .persist()
+        resolved += winners.filter(col("dist") <= col("__lb")).select(col("__lkey"), col("__tie"), col("dist"))
+        val settled = winners.filter(col("dist") <= col("__lb")).select(col("__lkey"))
+        unresolved = unresolved.join(settled, Seq("__lkey"), "left_anti").persist()
+        unresolvedCount = unresolved.count()
+        if (unresolvedCount == 0) done = true else k *= 2
+      }
+    }
+    val out = resolved.reduce(_ unionByName _).withColumnRenamed("__lkey", leftKey)
+    // materialization happens lazily downstream; persisted helpers are
+    // small (cell-tagged right side + shrinking unresolved fronts)
+    out
+  }
+
   /** A4 + J9 + F11/F12 — weighted overlay (reference
     * `indicator-from-areas.js:68-134`, the §3.2 representative query):
     * for each (way, area) candidate pair from the bbox join, split the way

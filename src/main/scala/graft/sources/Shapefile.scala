@@ -62,8 +62,14 @@ object Shapefile {
 
   /** Parse dBase III .dbf attribute records (returns one Map per record,
     * in record order — aligned 1:1 with .shp record order per the spec).
+    *
+    * `wanted` is COLUMN PRUNING at parse time: real shapefiles carry
+    * dozens of attribute columns, and decoding them all just to `.select`
+    * two downstream wastes the scan. With a projection, non-requested
+    * fields are never materialized — the parser advances `pos` past their
+    * fixed-width bytes without constructing a String.
     */
-  def parseDbf(bytes: Array[Byte]): Seq[Map[String, String]] = {
+  def parseDbf(bytes: Array[Byte], wanted: Option[Set[String]] = None): Seq[Map[String, String]] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = buf.getInt(4)
     val headerSize = buf.getShort(8) & 0xffff
@@ -78,14 +84,20 @@ object Shapefile {
       fields += ((name, ftype, flen))
       off += 32
     }
+    // per-field decode decision computed ONCE, not once per record
+    val keep: Array[Boolean] = fields.map(f => wanted.forall(_.contains(f._1))).toArray
     (0 until numRecords).map { r =>
       val base = headerSize + r * recordSize
       var pos = base + 1 // skip deletion flag
-      fields.map { case (name, _, flen) =>
-        val raw = new String(bytes, pos, flen, "ASCII").trim
+      val rec = Map.newBuilder[String, String]
+      var i = 0
+      while (i < fields.length) {
+        val flen = fields(i)._3
+        if (keep(i)) rec += fields(i)._1 -> new String(bytes, pos, flen, "ASCII").trim
         pos += flen
-        name -> raw
-      }.toMap
+        i += 1
+      }
+      rec.result()
     }
   }
 
@@ -103,9 +115,12 @@ object Shapefile {
     * projection THROWS — a loud ingest failure beats silently treating
     * metres as degrees.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, attrColumns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     import graft.functions.Crs
+    // attribute projection pushed INTO the .dbf parse (the reader-level
+    // analog of parquet column pruning): empty = all columns
+    val wanted = if (attrColumns.isEmpty) None else Some(attrColumns.toSet)
     val files = spark.read.format("binaryFile").load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
@@ -114,7 +129,7 @@ object Shapefile {
       .flatMap { case (_, fs) =>
         val byExt = fs.map { case (p, b) => (p.split('.').last.toLowerCase, b) }.toMap
         val geoms = byExt.get("shp").map(parseShp).getOrElse(Seq.empty)
-        val attrs = byExt.get("dbf").map(parseDbf).getOrElse(Seq.empty)
+        val attrs = byExt.get("dbf").map(parseDbf(_, wanted)).getOrElse(Seq.empty)
         val crs = byExt.get("prj")
           .map(b => Crs.parsePrj(new String(b, "ASCII")))
           .getOrElse(Crs.Geographic)

@@ -125,6 +125,40 @@ class SpatialSpec extends AnyFunSuite {
     assert(math.abs(out.head.getAs[Double]("value") - 4.0) < 1e-4)
   }
 
+  test("J8 grid nearest ≡ cross-join nearest, bit-identical (equator, poles, isolated, ties)") {
+    import spark.implicits._
+    import graft.functions.GeoFunctions
+    val rnd = new scala.util.Random(99)
+    // clustered mid-lat points + polar band (slow-resolving lon bound) +
+    // one isolated left far from every right (exhaustive-tail path)
+    val lefts = (
+      (0 until 120).map(i => (i.toLong, rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 30 - 15)) ++
+        (120 until 140).map(i => (i.toLong, rnd.nextDouble() * 360 - 180, 78 + rnd.nextDouble() * 5)) :+
+        ((140L, 179.0, -79.0))
+      ).toDF("lid", "llon", "llat")
+    val rights = (
+      (0 until 60).map(i => (i.toLong, rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 30 - 15)) ++
+        (60 until 70).map(i => (i.toLong, rnd.nextDouble() * 360 - 180, 76 + rnd.nextDouble() * 6)) :+
+        ((70L, -170.0, -75.0)) // the isolated left's true nearest sits across the seam
+      ).toDF("rid", "rlon", "rlat")
+    val pairs = lefts.join(broadcast(rights))
+      .withColumn("d", round(GeoFunctions.haversineColKm(col("llon"), col("llat"), col("rlon"), col("rlat")), 6))
+    val cross = Spatial.nearestJoinAggPacked(pairs, "lid", col("d"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val grid = Spatial.nearestJoinGridKm(lefts, "lid", "llon", "llat", rights, "rid", "rlon", "rlat", cellDeg = 8.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(grid.length == cross.length)
+    assert(grid.toSeq == cross.toSeq, "grid form must be bit-identical to the exhaustive argmin")
+    // exact tie: two rights equidistant from a left — smaller rid must win in both forms
+    val tl = Seq((0L, 0.0, 0.0)).toDF("lid", "llon", "llat")
+    val tr = Seq((5L, 1.0, 0.0), (3L, -1.0, 0.0)).toDF("rid", "rlon", "rlat")
+    val tg = Spatial.nearestJoinGridKm(tl, "lid", "llon", "llat", tr, "rid", "rlon", "rlat", cellDeg = 2.0).collect()
+    assert(tg.head.getLong(1) == 3L, "tie must break to the smaller key")
+    // empty right side → empty result, not a crash
+    assert(Spatial.nearestJoinGridKm(tl, "lid", "llon", "llat",
+      tr.filter(col("rid") < 0), "rid", "rlon", "rlat").isEmpty)
+  }
+
   test("SQL surface: registered functions work from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     graft.functions.GraftFunctions.registerTables(spark, "/root/testdata/sf0.001")

@@ -94,6 +94,28 @@ class ShapefileSpec extends AnyFunSuite {
     assert(r1.getAs[Map[String, String]]("attrs")("NAME") == "N1")
   }
 
+  test("S1: dbf column pruning decodes ONLY the projected fields, values unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("shp-prune")
+    writeShp(dir.resolve("roads.shp"))
+    writeDbf(dir.resolve("roads.dbf"))
+    // reader-level projection: only NAME survives the parse
+    val pruned = Shapefile.read(spark, dir.toString + "/*", attrColumns = Seq("NAME"))
+      .orderBy("record_no").collect()
+    assert(pruned.length == 2)
+    // decoded-field count == projection size — RUC bytes were skipped, not parsed
+    assert(pruned(0).getAs[Map[String, String]]("attrs") == Map("NAME" -> "R850"))
+    assert(pruned(1).getAs[Map[String, String]]("attrs") == Map("NAME" -> "N1"))
+    // parse-level twin, straight through parseDbf on the raw sidecar bytes
+    val raw = java.nio.file.Files.readAllBytes(dir.resolve("roads.dbf"))
+    val all = Shapefile.parseDbf(raw)
+    val proj = Shapefile.parseDbf(raw, Some(Set("RUC")))
+    assert(all.head.keySet == Set("NAME", "RUC"))
+    assert(proj.head.keySet == Set("RUC"), "projection must drop non-requested fields")
+    assert(proj.head("RUC") == all.head("RUC"), "projected values must be unchanged")
+    // a projection naming no real field yields empty maps, not a crash
+    assert(Shapefile.parseDbf(raw, Some(Set("NOPE"))).head.isEmpty)
+  }
+
   test("S1: writePoints emits the dBase III EOF marker (0x1A) at the dbf tail") {
     val dir = java.nio.file.Files.createTempDirectory("shpw")
     val shp = dir.resolve("pts.shp").toString

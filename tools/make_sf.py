@@ -50,7 +50,10 @@ def replicate(name, transform):
     t = t.replace_schema_metadata(None)
     parts = [transform(t, r) for r in range(R)]
     out = pa.concat_tables(parts)
-    pq.write_table(out, f"{dst}/{name}.parquet")
+    # modest row groups (~256k rows): a 100 TB table is thousands of files,
+    # a local scale test is one — finer row groups let Spark's byte-range
+    # splits actually parallelize the scan when maxPartitionBytes < file size
+    pq.write_table(out, f"{dst}/{name}.parquet", row_group_size=262144)
     print(f"{name}: {t.num_rows} -> {out.num_rows}")
 
 
