@@ -330,6 +330,78 @@ object SparkEntry {
         col("user_id"),
         col("n_events"))
 
+  /** §2.10 through the ORACLE — a REAL Structured Streaming run inside
+    * the gate: the events parquet is staged into a file-source directory,
+    * `readStream` → watermark → `session_window` (30-min gap) →
+    * **append mode** → `writeStream` into a memory sink. Two far-future
+    * sentinel events (user −1) are dropped into the source dir in two
+    * separate post-drain phases so the watermark passes every real
+    * session and append mode flushes them all — each real session is
+    * emitted exactly once, making the output equal to the BATCH
+    * `session_window` result (qe3's oracle, same SQL replay). Lineage of
+    * this gate's rows therefore includes an actual streaming query, not
+    * a batch twin.
+    */
+  private def qe6StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft-qe6-src")
+    // stage the real events file(s); all present before the stream starts,
+    // so batch 1 sees every real row with the watermark still at -inf
+    val src = Paths.get(dir, "events.parquet")
+    if (Files.isDirectory(src)) {
+      Files.list(src).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.copy(p, stage.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else Files.copy(src, stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(stage.toString).schema
+    val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val maxUs = events(spark, dir).agg(max(unix_micros(col("ts")))).first().getLong(0)
+    def sentinel(n: Int): Unit = {
+      import spark.implicits._
+      val us = maxUs + 86400L * 1000000L * (100 + n)
+      val df = Seq((-1L * n, if (tsIsLong) us * 1000 else us, -1L, "s", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val one = if (tsIsLong) df else df.withColumn("ts", timestamp_micros(col("ts")))
+      val tmp = Files.createTempDirectory("graft-qe6-sent")
+      one.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, stage.resolve(s"zz_sentinel_$n.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+    val ev = if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
+    val name = s"qe6_mem_${System.nanoTime()}"
+    // NO sentinel filter inside the streaming plan: Catalyst pushes a
+    // user_id predicate below the EventTimeWatermark node, and filtered
+    // sentinel rows then never advance the watermark (caught live: the 7
+    // final sessions of the gate data stayed open forever). Sentinels
+    // flow through the full plan and their session rows are excluded from
+    // the memory-sink TABLE afterwards.
+    val q = ev
+      .withWatermark("ts", "1 second")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("user_id"),
+        col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: all real events buffered in state
+      sentinel(1)
+      q.processAllAvailable() // watermark jumps past every real session
+      sentinel(2)
+      q.processAllAvailable() // append flush: closed sessions emit
+    } finally q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** As-of join — for each click, the user's latest purchase at-or-before
     * it (µs-integer event times; right side pre-deduped per instant).
     * Cross-validated against DuckDB's native ASOF JOIN.
@@ -2245,6 +2317,7 @@ object SparkEntry {
     "qe1_sessionize" -> (qe1Sessionize _),
     "qe2_asof" -> (qe2AsofJoin _),
     "qe3_session_window" -> (qe3SessionWindow _),
+    "qe6_stream_sessions" -> (qe6StreamSessions _),
     "qr1_range_join" -> (qr1RangeJoin _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
@@ -2850,6 +2923,25 @@ object SparkEntry {
         | AND l_extendedprice <= CAST(n_nationkey * 2000 + 1500 + (n_nationkey % 3) * 300 AS DOUBLE)
         |GROUP BY n_nationkey""".stripMargin,
     "qe3_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+        |                 THEN 1 ELSE 0 END AS ns
+        |  FROM (SELECT *, lag(tus) OVER (
+        |          PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |        FROM e)),
+        |s AS (
+        |  SELECT *, sum(ns) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
+        |  user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // streaming twin of qe3: the session set a real watermarked
+    // append-mode streaming query emits must equal the batch sessions
+    "qe6_stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |f AS (
