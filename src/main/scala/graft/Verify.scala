@@ -31,7 +31,10 @@ object Verify {
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+          System.err.println(df.coalesce(1).queryExecution.executedPlan.toString.take(8000))
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       } catch { case e: Throwable =>

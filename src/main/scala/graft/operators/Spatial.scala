@@ -187,10 +187,16 @@ object Spatial {
       rightLon: String,
       rightLat: String,
       cellDeg: Double = 0.0): DataFrame = {
-    val lRaw = left.select(
+    val lRaw0 = left.select(
       col(leftKey).as("__lkey"),
       col(leftLon).cast("double").as("__llon"),
       col(leftLat).cast("double").as("__llat"))
+    // a small-file left side arrives as ONE scan partition, and every
+    // downstream op here is narrow (broadcast ring joins, broadcast anti
+    // joins, the broadcast cross tail) — without this, the whole argmin
+    // runs single-task while 31 cores idle (measured live at sf1)
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val lRaw = if (lRaw0.rdd.getNumPartitions < par) lRaw0.repartition(par) else lRaw0
     val rRaw = right.select(
       col(rightKey).as("__rkey"),
       col(rightLon).cast("double").as("__rlon"),
@@ -226,8 +232,12 @@ object Spatial {
     val kCover = math.max(
       math.max(cell(b.getDouble(1)) - cell(b.getDouble(4)), cell(b.getDouble(5)) - cell(b.getDouble(0))),
       math.max(cell(b.getDouble(3)) - cell(b.getDouble(6)), cell(b.getDouble(7)) - cell(b.getDouble(2)))).max(1L)
-    val dist = round(
-      graft.functions.GeoFunctions.haversineColKm(col("__llon"), col("__llat"), col("__rlon"), col("__rlat")), 6)
+    // RAW distance — the packed argmin rounds once at pack time
+    // (round(d·1e6) ≡ round(round(d,6)·1e6) for HALF_UP at 1e-6), and the
+    // unpacked dist output is n/1e6 either way; skipping the intermediate
+    // round halves the per-pair BigDecimal cost in the exhaustive tail
+    val dist =
+      graft.functions.GeoFunctions.haversineColKm(col("__llon"), col("__llat"), col("__rlon"), col("__rlat"))
     val rightCount = b.getLong(8)
     // once |unresolved|·|right| fits this budget, the exhaustive argmin is
     // ONE balanced linear-work job — cheaper than more ring rounds. This is
@@ -236,24 +246,43 @@ object Spatial {
     // it belongs to is tiny, so it lands in the exhaustive pass instead of
     // iterating. Small inputs (≤ budget outright) skip the grid entirely.
     val exhaustiveBudget = 100000000L
+    // ring rounds stop at k=8 (17² probe cells): beyond that the lon
+    // lower bound has decayed (cos(|lat|+(k+1)g)) so extra rings resolve
+    // almost nothing, and the exploded probe grows quadratically in k —
+    // AQE also badly under-estimates explode output and can try to
+    // broadcast it (driver OOM, caught at sf1). The unresolved tail is by
+    // then a small fraction; its exhaustive pass is bounded streaming work.
+    val kMaxRing = 8L
+    // broadcast-size right side → pin the build side explicitly so the
+    // planner can never broadcast the exploded probe
+    val rSmall = rightCount < 1000000L
+    def rightSide: DataFrame = if (rSmall) broadcast(r0) else r0
     val resolved = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var unresolved = l0
     var unresolvedCount = lRaw.count()
     var k = 1L
     var done = false
     while (!done) {
-      if (k >= kCover || unresolvedCount * rightCount <= exhaustiveBudget) {
+      if (k >= kCover || unresolvedCount * rightCount <= exhaustiveBudget
+        || (rSmall && k > kMaxRing)) {
         // exhaustive tail: the stragglers (typically high-latitude or
-        // isolated rows) argmin against the full right side
-        resolved += nearestJoinAggPacked(
-          unresolved.crossJoin(r0).withColumn("__d", dist), "__lkey", col("__d"), col("__rkey"))
+        // isolated rows) argmin against the full right side. Persist +
+        // materialize HERE, in a job with the plan's natural parallelism:
+        // left lazy, a downstream `.coalesce(1).write` would swallow this
+        // whole branch into one task (coalesce collapses the final stage
+        // back to the last exchange — measured 380 s single-task at sf1).
+        val tail = nearestJoinAggPacked(
+          unresolved.crossJoin(rightSide).withColumn("__d", dist), "__lkey", col("__d"), col("__rkey"))
+          .persist()
+        tail.count()
+        resolved += tail
         done = true
       } else {
         val offs = for { dx <- -k to k; dy <- -k to k } yield (dx, dy)
         val probe = unresolved.withColumn(
           "__off", explode(array(offs.map { case (dx, dy) => struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)))
         val cands = probe
-          .join(r0,
+          .join(rightSide,
             probe("__lcx") + col("__off.dx") === r0("__rcx") &&
               probe("__lcy") + col("__off.dy") === r0("__rcy"))
           .withColumn("__d", dist)
@@ -276,6 +305,8 @@ object Spatial {
         val settled = winners.filter(col("dist") <= col("__lb")).select(col("__lkey"))
         unresolved = unresolved.join(settled, Seq("__lkey"), "left_anti").persist()
         unresolvedCount = unresolved.count()
+        if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+          System.err.println(s"[nearestGrid] k=$k g=$g kCover=$kCover unresolved=$unresolvedCount parts=${unresolved.rdd.getNumPartitions} t=${System.nanoTime() / 1000000000L % 100000}")
         if (unresolvedCount == 0) done = true else k *= 2
       }
     }
