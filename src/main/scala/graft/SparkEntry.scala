@@ -3167,7 +3167,7 @@ object SparkEntry {
         |       ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents""".stripMargin,
-    // decodeStub reimplemented in SQL: per-byte stats over the UTF-8 payload
+    // byteStats reimplemented in SQL: per-byte stats over the UTF-8 payload
     // (documents are ASCII, so unicode(char)==byte); entropy term keeps the
     // exact -p*ln(p)/ln(2) op shape; 16 chunk means use the same integer-
     // division boundaries and the same double->float32 truncation
@@ -3194,7 +3194,7 @@ object SparkEntry {
         |    CAST(sum(bv.v) / count(*) / 255.0 AS FLOAT) AS f
         |  FROM chunkdef cd JOIN bv ON bv.doc_id = cd.doc_id
         |    AND bv.idx >= (cd.i * cd.n) // 16
-        |    -- greatest mirrors decodeStub's end = max(start+1, ...): a doc
+        |    -- greatest mirrors byteStats's end = max(start+1, ...): a doc
         |    -- shorter than 16 bytes re-reads one byte per empty chunk
         |    -- instead of dropping the chunk
         |    AND bv.idx < greatest((cd.i * cd.n) // 16 + 1, ((cd.i + 1) * cd.n) // 16)

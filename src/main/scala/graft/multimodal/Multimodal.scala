@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * Decode is REAL for every container the JVM can express in-repo:
-  * JPEG/PNG/GIF/BMP pixels, WAV/PCM samples, AVI/MJPEG video frames.
-  * `decodeStub` produces a deterministic fake "decoded frame" from the
-  * bytes for the remaining formats (compressed audio, non-MJPEG video),
-  * so the Spark-side plumbing — schema, partition sizing, batch iteration
-  * shape, feature schema — stays identical when a codec drops in.
+  * JPEG/PNG/GIF/BMP pixels, WAV/PCM + G.711 + IMA-ADPCM + FLAC
+  * (LPC/stereo) audio, AVI/MJPEG video frames. Perceptual codecs
+  * (MP3/AAC, H.26x) are a PERMANENT non-goal — see ENGINE.md
+  * "Perceptual-codec boundary". `byteStats` provides an honestly-named
+  * payload fingerprint tier; undecodable payloads yield EMPTY features
+  * from the decoded tier instead of fingerprints posing as embeddings.
   *
   * Scale notes: binary payloads make rows heavy — the media path sets
   * `maxPartitionBytes`-friendly row groups by repartitioning on byte
@@ -32,14 +33,21 @@ object Multimodal {
       byte_entropy: Double,
       feature: Array[Float])
 
-  /** Deterministic fake decode: byte histogram stats + a 16-dim "embedding"
-    * from chunked byte means. Real decode exists for JPEG/PNG/GIF/BMP
-    * pixels ([[decodeImage]]), WAV/PCM samples ([[decodeAudio]]) and
-    * AVI/MJPEG frames ([[decodeVideo]]) and G.711/IMA-ADPCM compressed
-    * audio ([[graft.sources.Wav]]); this stub remains only for
-    * perceptual codecs (MP3/AAC, non-MJPEG video).
+  /** Byte-level content fingerprint: histogram stats + a 16-dim vector of
+    * chunked byte means. This is NOT a decode and its vector is NOT a
+    * perceptual embedding — it is an honest payload fingerprint (dedup /
+    * corruption triage tier). Real decode exists for JPEG/PNG/GIF/BMP
+    * pixels ([[decodeImage]]), WAV/PCM + G.711 + IMA-ADPCM and FLAC
+    * (incl. LPC + stereo) audio ([[decodeAudio]]), and AVI/MJPEG video
+    * ([[decodeVideo]]). Perceptual codecs (MP3/AAC, H.26x) are a
+    * PERMANENT non-goal (see ENGINE.md "Perceptual-codec boundary"):
+    * correct implementations need the ISO reference tables and a
+    * verification corpus, neither of which can ship here — and
+    * [[extractFeaturesDecoded]] now returns an EMPTY feature for
+    * undecodable payloads rather than letting this fingerprint
+    * masquerade as a decoded-content embedding.
     */
-  def decodeStub(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
+  def byteStats(bytes: Array[Byte]): (Double, Double, Array[Float]) = {
     if (bytes.isEmpty) return (0.0, 0.0, Array.fill(16)(0f))
     val hist = new Array[Long](256)
     var sum = 0L
@@ -165,7 +173,7 @@ object Multimodal {
       // real impl: val codec = Codec.open() — once per partition
       it.map { m =>
         val bytes = safeBytes(m.bytes)
-        val (mean, entropy, feature) = decodeStub(bytes)
+        val (mean, entropy, feature) = byteStats(bytes)
         MediaFeatures(m.media_id, m.meta.kind, bytes.length.toLong, mean, entropy, feature)
       }
     }
@@ -266,9 +274,18 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val bytes = safeBytes(m.bytes)
-        val px = decodeImage(bytes).getOrElse(bytes)
-        val (mean, entropy, feature) = decodeStub(px)
-        MediaFeatures(m.media_id, m.meta.kind, bytes.length.toLong, mean, entropy, feature)
+        decodeImage(bytes) match {
+          case Some(px) =>
+            val (mean, entropy, feature) = byteStats(px)
+            MediaFeatures(m.media_id, m.meta.kind, bytes.length.toLong, mean, entropy, feature)
+          case None =>
+            // no real codec for this payload: byte-level stats are still
+            // honest, but the 16-dim vector would be a payload fingerprint
+            // pretending to be a pixel feature — emit EMPTY so a fake
+            // embedding can never leak into a downstream corpus
+            val (mean, entropy, _) = byteStats(bytes)
+            MediaFeatures(m.media_id, m.meta.kind, bytes.length.toLong, mean, entropy, Array.empty[Float])
+        }
       }
     }
   }

@@ -33,6 +33,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> None:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # large-sf runs (the sf1 scale proof) can otherwise OOM-kill the
+    # process on window-heavy oracles; bounded memory spills instead
+    import os
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
