@@ -469,7 +469,13 @@ object SparkEntry {
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name").isin("AMERICA", "ASIA"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // EXACT decimal accumulation: price·(1−disc) has ≤4 decimal digits,
+      // so the per-row cast is exact and the sum is order-independent —
+      // double summation diverged from the oracle by 0.01 at sf1 (FP
+      // addition is not associative; partition order differs from DuckDB)
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
 
   // ----------------------------------------- training-data pipeline ops
@@ -3115,7 +3121,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "q19_local_volume" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
