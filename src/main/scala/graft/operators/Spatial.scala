@@ -186,7 +186,8 @@ object Spatial {
       rightKey: String,
       rightLon: String,
       rightLat: String,
-      cellDeg: Double = 0.0): DataFrame = {
+      cellDeg: Double = 0.0,
+      exhaustiveBudget: Long = 100000000L): DataFrame = {
     val lRaw0 = left.select(
       col(leftKey).as("__lkey"),
       col(leftLon).cast("double").as("__llon"),
@@ -245,7 +246,8 @@ object Spatial {
     // lower bound decays with cos(lat) and may never clear, but the tail
     // it belongs to is tiny, so it lands in the exhaustive pass instead of
     // iterating. Small inputs (≤ budget outright) skip the grid entirely.
-    val exhaustiveBudget = 100000000L
+    // (parameter; spec-sized inputs pass a tiny budget to force the ring
+    // rounds that production sizes hit)
     // ring rounds stop at k=8 (17² probe cells): beyond that the lon
     // lower bound has decayed (cos(|lat|+(k+1)g)) so extra rings resolve
     // almost nothing, and the exploded probe grows quadratically in k —

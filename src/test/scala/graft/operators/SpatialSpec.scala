@@ -149,6 +149,18 @@ class SpatialSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(grid.length == cross.length)
     assert(grid.toSeq == cross.toSeq, "grid form must be bit-identical to the exhaustive argmin")
+    // budget 0 forces the RING rounds + kCover tail — the path production
+    // sizes take (the default budget lets spec-sized inputs skip straight
+    // to the exhaustive argmin, which would leave rings spec-uncovered)
+    val ringed = Spatial.nearestJoinGridKm(lefts, "lid", "llon", "llat", rights, "rid", "rlon", "rlat",
+      cellDeg = 8.0, exhaustiveBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(ringed.toSeq == cross.toSeq, "ring-round path must also be bit-identical")
+    // auto cell sizing through the ring path too
+    val autoRinged = Spatial.nearestJoinGridKm(lefts, "lid", "llon", "llat", rights, "rid", "rlon", "rlat",
+      exhaustiveBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(autoRinged.toSeq == cross.toSeq, "auto-cell ring path must be bit-identical")
     // exact tie: two rights equidistant from a left — smaller rid must win in both forms
     val tl = Seq((0L, 0.0, 0.0)).toDF("lid", "llon", "llat")
     val tr = Seq((5L, 1.0, 0.0), (3L, -1.0, 0.0)).toDF("rid", "rlon", "rlat")
