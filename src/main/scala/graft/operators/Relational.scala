@@ -131,13 +131,133 @@ object Relational {
     * the row_number tie order among equal values cannot change the
     * threshold — deterministic without a tie-break key.
     *
-    * Scale shape: one window shuffle on the group key (inherent to any
-    * per-group order statistic), then a broadcast-friendly |groups|-row
-    * threshold join. Skewed groups: the sort is per-group, bounded by the
-    * largest group — for pathological single-group skew fall back to
-    * `percentileFilter`'s range-partitioned selection per group.
+    * Scale shape (rebuilt round 8): the former window form sorted every
+    * group in ONE task per key — with 3 keys at sf1 that is three 2M-row
+    * single-task sorts (the 7× super-linear scaler the sf1 sweep flagged),
+    * and at 100 TB three 33 TB sorts, i.e. impossible. This form finds
+    * each group's rank-k value by BUCKET COUNTING, the grouped twin of
+    * [[kthSmallest]]'s range-partitioned selection: a hash-agg pass
+    * counts each key's rows below a bisection midpoint (exact `<`
+    * predicates on driver-computed doubles — no floor-bucket FP
+    * ambiguity), the driver halves each key's value band toward the
+    * band holding its rank, and one small exact pass sorts only the
+    * final sub-cutoff bands. Every narrowing pass is a combiner-friendly
+    * hash aggregation; groups already under the cutoff go straight to
+    * the (cheap, bounded) sort. Output is bit-identical to the window
+    * form (spec-pinned): the value at a rank is a property of the
+    * group's value MULTISET, so tie order is irrelevant.
     */
   def groupedPercentileFilter(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      percentile: Double,
+      exactCutoff: Long = 262144): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val vals = df
+      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyType = vals.schema("__k").dataType
+      // band per key: v in [lo, hi] (hi exclusive when __hx) contains the
+      // rank-k value at ascending offset __off; __n = rows in band
+      val bandSchema = StructType(Seq(
+        StructField("__k", keyType),
+        StructField("__lo", DoubleType),
+        StructField("__hi", DoubleType),
+        StructField("__hx", BooleanType),
+        StructField("__off", LongType),
+        StructField("__n", LongType)))
+      var pending: Seq[Row] = vals
+        .groupBy(col("__k"))
+        .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          Row(r.get(0), r.getDouble(2), r.getDouble(3), false,
+            math.round(percentile / 100.0 * (n - 1)), n)
+        }
+        .toSeq
+      val resolved = scala.collection.mutable.ArrayBuffer[(Any, Double)]()
+      def bandMember: Column =
+        col("__v") >= col("__lo") &&
+          (when(col("__hx"), col("__v") < col("__hi")).otherwise(col("__v") <= col("__hi")))
+      var guard = 0
+      while (pending.nonEmpty && guard < 80) {
+        guard += 1
+        // a collapsed band names its value outright: [lo, lo], or the
+        // half-open singleton [lo, nextUp(lo)) bisection can produce
+        val (deg, live0) = pending.partition { r =>
+          val (lo, hi, hx) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+          !(lo < hi) || (hx && hi == Math.nextUp(lo))
+        }
+        deg.foreach(r => resolved += ((r.get(0), r.getDouble(1))))
+        // sub-cutoff bands: ONE bounded sort pass resolves them exactly
+        val (small, live) = live0.partition(_.getLong(5) <= exactCutoff)
+        if (small.nonEmpty) {
+          val exactDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(small, 1), bandSchema)
+          val wSort = Window.partitionBy(col("__k")).orderBy(col("__v"))
+          val rows = vals
+            .join(broadcast(exactDf), Seq("__k"))
+            .filter(bandMember)
+            .withColumn("__rn", row_number().over(wSort) - 1)
+            .filter(col("__rn") === col("__off"))
+            .select(col("__k"), col("__v"))
+            .collect()
+          rows.foreach(r => resolved += ((r.get(0), r.getDouble(1))))
+        }
+        if (live.nonEmpty) {
+          // bisect: count band rows strictly below the midpoint — the
+          // `<` predicate on a driver double is exact, so the two halves
+          // partition the band with no boundary ambiguity
+          val mids: Map[Any, Double] = live.map { r =>
+            val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+            val m0 = lo / 2 + hi / 2
+            r.get(0) -> (if (m0 > lo) m0 else Math.nextUp(lo))
+          }.toMap
+          val midSchema = StructType(bandSchema.fields :+ StructField("__mid", DoubleType))
+          val bandsDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              live.map(r => Row.fromSeq(r.toSeq :+ mids(r.get(0)))), 1), midSchema)
+          val counts: Map[Any, Long] = vals
+            .join(broadcast(bandsDf), Seq("__k"))
+            .filter(bandMember)
+            .groupBy(col("__k"))
+            .agg(sum(when(col("__v") < col("__mid"), 1L).otherwise(0L)).as("below"))
+            .collect()
+            .map(r => r.get(0) -> r.getLong(1))
+            .toMap
+          pending = live.map { r =>
+            val (k, lo, hi, hx, off, n) =
+              (r.get(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3), r.getLong(4), r.getLong(5))
+            val below = counts.getOrElse(k, 0L)
+            val mid = mids(k)
+            if (off < below) Row(k, lo, mid, true, off, below) // [lo, mid)
+            else Row(k, mid, hi, hx, off - below, n - below) // [mid, hi]
+          }
+        } else pending = Nil
+      }
+      require(pending.isEmpty, s"grouped percentile failed to converge in $guard rounds")
+      val thrSchema = StructType(Seq(
+        StructField("__k", keyType), StructField("__thr", DoubleType)))
+      val thr = spark.createDataFrame(
+        spark.sparkContext.parallelize(resolved.toSeq.map { case (k, v) => Row(k, v) }, 1), thrSchema)
+        .withColumnRenamed("__k", keyCol)
+      df.join(broadcast(thr), Seq(keyCol))
+        .filter(col(valueCol) >= col("__thr"))
+        .drop("__thr")
+    } finally vals.unpersist(blocking = false)
+  }
+
+  /** The former window form of [[groupedPercentileFilter]] — kept as the
+    * equivalence twin for specs (one window sort per group: fine for
+    * small groups, single-task-per-key at scale).
+    */
+  def groupedPercentileFilterWindow(
       df: DataFrame,
       keyCol: String,
       valueCol: String,

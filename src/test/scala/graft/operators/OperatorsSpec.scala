@@ -522,6 +522,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("grouped percentile: bisection path ≡ window twin (ties, skew, tiny groups)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows =
+      // heavy-tie group (few distinct values → deep bisection on adjacent doubles)
+      (0 until 500).map(i => ("ties", (i % 3) * 10.0)) ++
+        // skewed group + a singleton + a two-value group
+        (0 until 800).map(_ => ("skew", math.pow(rnd.nextDouble(), 8) * 1e6)) :+
+        (("one", 42.0)) :+ (("two", 1.0)) :+ (("two", 2.0))
+    val df = rows.toDF("g", "v")
+    val win = Relational.groupedPercentileFilterWindow(df, "g", "v", 80.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    // exactCutoff=1 forces the bisection loop for every group ≥ 2 rows
+    val bis = Relational.groupedPercentileFilter(df, "g", "v", 80.0, exactCutoff = 1L)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(bis == win, "bisection narrowing must reproduce the window thresholds exactly")
+    // default cutoff (straight exact pass) too
+    val dflt = Relational.groupedPercentileFilter(df, "g", "v", 80.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(dflt == win)
+  }
+
   test("decontaminate: flags eval docs sharing an n-gram, counts distinct hits") {
     import spark.implicits._
     val train = Seq(
