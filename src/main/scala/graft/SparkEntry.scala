@@ -373,6 +373,12 @@ object SparkEntry {
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     val ev = if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
     val name = s"qe6_mem_${System.nanoTime()}"
+    // a streaming query pins shuffle.partitions at start; 8 state-store
+    // partitions instead of 32 cuts the per-batch checkpoint-file fan-out
+    // (3 batches × partitions HDFS-state files) that dominates this
+    // gate's wall time on local data volumes — restored after the run
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     // NO sentinel filter inside the streaming plan: Catalyst pushes a
     // user_id predicate below the EventTimeWatermark node, and filtered
     // sentinel rows then never advance the watermark (caught live: the 7
@@ -398,7 +404,10 @@ object SparkEntry {
       q.processAllAvailable() // watermark jumps past every real session
       sentinel(2)
       q.processAllAvailable() // append flush: closed sessions emit
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(name).filter(col("user_id") >= 0)
   }
 
