@@ -176,6 +176,20 @@ object Spatial {
     * across scale factors. No antimeridian wrap: lon cells don't wrap at
     * ±180° (candidates near the seam resolve via the exhaustive tail
     * round).
+    *
+    * SMALL-RIGHT FAST PATH: when the right side fits `kdThreshold` rows
+    * (default 2^20 — the same order as a comfortable broadcast), the ring
+    * rounds are skipped entirely for a broadcast [[SphereKd]]: the right
+    * side collects to the driver (the sanctioned bounded-side pattern, cf.
+    * the CSR road graph), builds a balanced 3D KD-tree over unit-sphere
+    * vectors, and each left row probes it in O(log n) inside one narrow
+    * map — zero shuffles, zero iteration, left-side-linear at any scale.
+    * This exists because the ring rounds' per-row longitude lower bound
+    * decays as cos(|lat|+(k+1)g): a polar-heavy left side strands rows in
+    * the rings and dumps them on the exhaustive cross-join tail (measured
+    * 41k stranded rows × 100k right = 4·10⁹ haversines, 360 s at sf1;
+    * the KD path runs the same query in seconds, bit-identical). The ring
+    * machinery remains the path for a right side too big to broadcast.
     */
   def nearestJoinGridKm(
       left: DataFrame,
@@ -187,7 +201,8 @@ object Spatial {
       rightLon: String,
       rightLat: String,
       cellDeg: Double = 0.0,
-      exhaustiveBudget: Long = 100000000L): DataFrame = {
+      exhaustiveBudget: Long = 100000000L,
+      kdThreshold: Long = 1048576L): DataFrame = {
     val lRaw0 = left.select(
       col(leftKey).as("__lkey"),
       col(leftLon).cast("double").as("__llon"),
@@ -214,6 +229,31 @@ object Spatial {
         min("__rlat").as("g2"), max("__rlat").as("h"), count(lit(1)).as("n")))
       .first()
     if (b.getLong(8) == 0L || b.isNullAt(0)) return empty // empty side
+    if (b.getLong(8) <= kdThreshold) {
+      // broadcast KD-tree path: exact, shuffle-free, left-linear
+      val pts = rRaw
+        .select(col("__rkey").cast("long"), col("__rlon"), col("__rlat"))
+        .collect()
+      val lonA = new Array[Double](pts.length)
+      val latA = new Array[Double](pts.length)
+      val keyA = new Array[Long](pts.length)
+      var i = 0
+      while (i < pts.length) {
+        keyA(i) = pts(i).getLong(0); lonA(i) = pts(i).getDouble(1); latA(i) = pts(i).getDouble(2)
+        i += 1
+      }
+      val bcKd = left.sparkSession.sparkContext.broadcast(SphereKd.build(lonA, latA, keyA))
+      val nn = udf { (lonv: Double, latv: Double) =>
+        if (lonv.isNaN || latv.isNaN) None
+        else {
+          val (nMicro, tie) = bcKd.value.nearestPacked(lonv, latv)
+          Some((tie, nMicro.toDouble / 1e6))
+        }
+      }
+      return lRaw
+        .withColumn("__nn", nn(col("__llon"), col("__llat")))
+        .select(col("__lkey").as(leftKey), col("__nn._1").as("__tie"), col("__nn._2").as("dist"))
+    }
     // auto cell: aim ~4 right rows per cell so the 3×3 first probe sees
     // ~36 candidates regardless of density (sparse data → big cells → few
     // rounds; dense data → small cells → small candidate sets)
