@@ -52,6 +52,9 @@ object Bench {
       case None => SparkEntry.queries
     }
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(5))
+    val baseRuns = math.min(
+      runs,
+      math.max(1, sys.env.get("SPARK_GRAFT_BASE_RUNS").flatMap(_.toIntOption).getOrElse(3)))
     // per-query: isolate, run `runs` times, keep every successful timing
     val results: Seq[(String, Seq[Double])] = selected.toSeq.map { case (name, fn) =>
       // fresh executor state: drop caches a previous query may have left
@@ -63,13 +66,24 @@ object Bench {
       // timings over SUCCESSFUL runs only — a thrown run's (fast) failure
       // duration must not masquerade as a timing. All runs failed → empty,
       // reported as -1 sentinel instead of a silent near-zero.
-      val times = (1 to runs).flatMap { _ =>
+      def time(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
+      // ADAPTIVE RUN COUNT (round 9, per the r8 ask): sub-0.5 s queries
+      // stop at `baseRuns` — their absolute noise band is too small to
+      // ever need adjudication, and the isolation overhead (cache clear +
+      // GC) around 2 extra runs × ~110 fast queries dominated the driver's
+      // 420 s wall last round. Queries at or above the threshold keep the
+      // full median-of-`runs` precision where adjudication actually happens.
+      val base = (1 to baseRuns).flatMap(_ => time())
+      val times =
+        if (runs > baseRuns && median(base) >= 0.5)
+          base ++ (1 to (runs - baseRuns)).flatMap(_ => time())
+        else base
       name -> times
     }
     val medians = results.map { case (k, ts) => k -> median(ts) }
@@ -90,8 +104,8 @@ object Bench {
         f"""  {"query": "$k", "sec_median": $med%.4f, "sec_mad": $mad%.4f, "sec_min": ${if (ts.isEmpty) -1.0 else ts.min}%.4f, "runs": $raw}"""
       }
       .mkString(
-        s"""{"sf": "$sfDir", "runs_per_query": $runs, "stat": "median", "total_sec": ${f"$total%.2f"},
- "note": "per-query isolated (caches cleared, GC between queries), median-of-$runs; readings within ~3x sec_mad of sec_median are VM noise, not regressions",
+        s"""{"sf": "$sfDir", "runs_per_query": "$baseRuns-$runs adaptive (>=0.5s median gets $runs)", "stat": "median", "total_sec": ${f"$total%.2f"},
+ "note": "per-query isolated (caches cleared, GC between queries); readings within ~3x sec_mad of sec_median are VM noise, not regressions",
  "queries": [
 """,
         ",\n",

@@ -215,19 +215,15 @@ object SparkEntry {
         .as("dist_km"))
   }
 
-  /** Events loader tolerant of TIMESTAMP(NANOS) parquet: with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as Long
-    * nanos — integer-divide to µs (never via double: 1.7e18 ns overflows a
-    * 53-bit mantissa) and rebuild the timestamp.
+  /** Events loader tolerant of every timestamp encoding the harness data
+    * has shipped as — Long nanos (`nanosAsLong`), TIMESTAMP_NTZ (pyarrow
+    * µs default), and TIMESTAMP_LTZ — via [[Tables.normalizeTs]]. The r8
+    * testdata regeneration flipped ns→µs-NTZ overnight and killed every
+    * `unix_micros`/`withWatermark` consumer; the engine is now invariant
+    * (EncodingSpec pins all three).
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.normalizeTs(t(spark, dir, "events"))
 
   /** §2.10 — event-time tumbling window aggregation (batch form of the
     * Structured-Streaming plan; same `window()` expression). Window start
@@ -355,14 +351,20 @@ object SparkEntry {
       }
     } else Files.copy(src, stage.resolve("events.parquet"))
     val schema = spark.read.parquet(stage.toString).schema
-    val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsType = schema("ts").dataType
+    val tsIsLong = tsType == org.apache.spark.sql.types.LongType
     val maxUs = events(spark, dir).agg(max(unix_micros(col("ts")))).first().getLong(0)
     def sentinel(n: Int): Unit = {
       import spark.implicits._
       val us = maxUs + 86400L * 1000000L * (100 + n)
       val df = Seq((-1L * n, if (tsIsLong) us * 1000 else us, -1L, "s", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      val one = if (tsIsLong) df else df.withColumn("ts", timestamp_micros(col("ts")))
+      // the sentinel file must carry the staged schema's EXACT physical ts
+      // type (Long ns / NTZ µs / LTZ µs) — a file-source stream rejects
+      // schema drift; LTZ→NTZ cast is exact under the UTC session TZ
+      val one =
+        if (tsIsLong) df
+        else df.withColumn("ts", timestamp_micros(col("ts")).cast(tsType))
       val tmp = Files.createTempDirectory("graft-qe6-sent")
       one.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       Files.list(tmp).forEach { p =>
@@ -371,7 +373,7 @@ object SparkEntry {
       }
     }
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
-    val ev = if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else stream
+    val ev = Tables.normalizeTs(stream)
     val name = s"qe6_mem_${System.nanoTime()}"
     // a streaming query pins shuffle.partitions at start; 8 state-store
     // partitions instead of 32 cuts the per-batch checkpoint-file fan-out

@@ -14,6 +14,33 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Normalize an event-time column to TIMESTAMP (LTZ) across every
+    * physical parquet encoding the harness data has shipped as:
+    *
+    *  - `TIMESTAMP(NANOS)` read as Long nanos under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` → integer-divide to µs
+    *    (never via double: 1.7e18 ns overflows a 53-bit mantissa) and
+    *    rebuild the timestamp;
+    *  - `timestamp[us], isAdjustedToUTC=false` (pyarrow's default) read as
+    *    TIMESTAMP_NTZ → cast to LTZ; under the UTC session timezone every
+    *    engine session pins, the wall clock IS the instant, so this matches
+    *    DuckDB's naive-timestamp epoch exactly;
+    *  - `timestamp[us/ms], isAdjustedToUTC=true` → already LTZ, pass through.
+    *
+    * Works on batch and streaming DataFrames alike (pure column ops).
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

@@ -152,7 +152,8 @@ object Relational {
       keyCol: String,
       valueCol: String,
       percentile: Double,
-      exactCutoff: Long = 262144): DataFrame = {
+      exactCutoff: Long = 262144,
+      maxBisectGroups: Int = 10000): DataFrame = {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
     import org.apache.spark.sql.Row
     val spark = df.sparkSession
@@ -171,10 +172,26 @@ object Relational {
         StructField("__hx", BooleanType),
         StructField("__off", LongType),
         StructField("__n", LongType)))
-      var pending: Seq[Row] = vals
+      // STRATEGY GUARD (round 9): bisection holds one band row per key on
+      // the driver and serializes a driver-orchestrated loop — the right
+      // trade for FEW, HUGE groups (it exists because per-key window sorts
+      // are single-task 2M-row sorts there). With MANY groups each group is
+      // necessarily small, per-key window sorts parallelize across keys,
+      // and the driver band table is the scale hazard instead — so cap the
+      // driver collect at `maxBisectGroups + 1` rows and fall back to the
+      // hash-partitioned window form past it. Output is bit-identical
+      // either way (the rank value is a property of the group's multiset;
+      // spec-pinned in both regimes).
+      val bandsHead = vals
         .groupBy(col("__k"))
         .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+        .limit(maxBisectGroups + 1)
         .collect()
+      if (bandsHead.length > maxBisectGroups) {
+        vals.unpersist(blocking = false)
+        return groupedPercentileFilterWindow(df, keyCol, valueCol, percentile)
+      }
+      var pending: Seq[Row] = bandsHead
         .map { r =>
           val n = r.getLong(1)
           Row(r.get(0), r.getDouble(2), r.getDouble(3), false,

@@ -356,10 +356,7 @@ object EventStreams {
     */
   def runWindowedStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val withTs =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
+    val withTs = graft.Tables.normalizeTs(stream)
     // Complete mode: append would withhold windows newer than the final
     // watermark, so a bounded replay would lose the tail windows
     val q = windowedCounts(withTs, watermark = true).writeStream

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Timestamp-encoding invariance matrix (round-9 hardening).
+  *
+  * The harness testdata has shipped `events.ts` in two different physical
+  * parquet encodings across regenerations — `TIMESTAMP(NANOS)` (read as
+  * Long nanos under `nanosAsLong`) through round 7, then
+  * `timestamp[us], isAdjustedToUTC=false` (TIMESTAMP_NTZ, the pyarrow
+  * default) in round 8 — and the switch silently killed every
+  * `unix_micros`/`withWatermark` consumer (qe2/qe4/qe6). This spec writes
+  * the SAME events in all three encodings a real producer can emit and
+  * asserts every event-time query shape — tumbling window, as-of join,
+  * interval join, sessionization, and the real watermarked streaming gate —
+  * returns identical rows on each. The engine must be invariant to the
+  * producer's timestamp encoding, provably.
+  */
+class EncodingSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "encoding-spec")
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Stage the sf0.001 events under `transform` into a fresh dir shaped
+    * like an sf dir (only `events.parquet` — the queries under test read
+    * nothing else).
+    */
+  private def stage(transform: DataFrame => DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    val ev = Tables.normalizeTs(Tables.events(spark, sf))
+    transform(ev).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private lazy val encodings: Seq[(String, String)] = Seq(
+    // TIMESTAMP(NANOS) arrives as LongType under nanosAsLong=true; a plain
+    // int64 column round-trips to the same read shape
+    "long-nanos" -> stage(_.withColumn("ts", expr("unix_micros(ts) * 1000"))),
+    // pyarrow's default: timestamp[us], isAdjustedToUTC=false
+    "ntz-micros" -> stage(_.withColumn("ts", col("ts").cast(TimestampNTZType))),
+    // isAdjustedToUTC=true (Spark's own default timestamp write)
+    "ltz-micros" -> stage(identity))
+
+  private def rows(name: String, dir: String): Set[String] =
+    SparkEntry
+      .queries(name)(spark, dir)
+      .collect()
+      .map(_.mkString("|"))
+      .toSet
+
+  for (q <- Seq(
+      "q17_time_window", // tumbling event-time window (unix_timestamp)
+      "q20_sliding_window", // sliding windows (epoch arithmetic)
+      "qe1_sessionize", // window-function sessionization
+      "qe2_asof", // as-of join (unix_micros)
+      "qe3_session_window", // native session_window
+      "qe4_interval_join" // range-condition interval join (unix_micros)
+    )) {
+    test(s"$q is invariant across ts encodings (long-nanos / ntz-micros / ltz-micros)") {
+      val canonical = rows(q, sf)
+      assert(canonical.nonEmpty)
+      for ((enc, dir) <- encodings)
+        assert(rows(q, dir) == canonical, s"$q drifted under $enc encoding")
+    }
+  }
+
+  test("qe6_stream_sessions (real watermarked stream) is invariant across ts encodings") {
+    val canonical = rows("qe6_stream_sessions", sf)
+    assert(canonical.nonEmpty)
+    // the streaming gate stages its own source dir + sentinel files, which
+    // must replicate the staged schema's exact physical ts type — exercise
+    // all three
+    for ((enc, dir) <- encodings)
+      assert(rows("qe6_stream_sessions", dir) == canonical, s"qe6 drifted under $enc encoding")
+  }
+}

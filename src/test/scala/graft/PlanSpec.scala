@@ -68,8 +68,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
-  test("qsp2: packed argmin aggregates with hash aggregation, not sort aggregation") {
+  test("qsp2: small right side takes the broadcast KD path — no join, no aggregation, no right exchange") {
     val p = plan("qsp2_nearest")
+    // sf supplier count is far below kdThreshold: the right side collects
+    // into a broadcast KD-tree and each left row probes it in one narrow
+    // project — the plan must contain NO join node and NO aggregate (the
+    // grid path's argmin machinery), and the only exchange allowed is the
+    // left side's round-robin repartition for parallelism
+    assert(!p.contains("Join"), "KD fast path regressed to a join plan:\n" + p.take(1200))
+    assert(!p.contains("Aggregate"), "KD fast path regressed to grid argmin:\n" + p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"), "unexpected shuffle in KD path:\n" + p.take(1200))
+  }
+
+  test("qsp2 grid path (kdThreshold=0): packed argmin aggregates with hash aggregation, not sort aggregation") {
+    import org.apache.spark.sql.functions._
+    val cust = Tables.customer(spark, sf).select(
+      col("c_custkey"),
+      ((col("c_custkey") % 180) - 90 + 0.25).as("clon"),
+      ((col("c_custkey") % 160) - 80 + 0.25).as("clat"))
+    val supp = Tables.supplier(spark, sf).select(
+      col("s_suppkey"),
+      ((col("s_suppkey") * 3 % 180) - 90).cast("double").as("slon"),
+      ((col("s_suppkey") * 5 % 160) - 80).cast("double").as("slat"))
+    val p = operators.Spatial
+      .nearestJoinGridKm(
+        cust, "c_custkey", "clon", "clat", supp, "s_suppkey", "slon", "slat",
+        kdThreshold = 0L)
+      .queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate"), p.take(800))
     assert(!p.contains("SortAggregate"), "argmin fell off hash aggregation")
   }

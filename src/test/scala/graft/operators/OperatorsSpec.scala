@@ -544,6 +544,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dflt == win)
   }
 
+  test("grouped percentile: many-groups guard switches to the window path, bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // 60 groups of mixed sizes — far above a maxBisectGroups of 8, so the
+    // guard must reroute to the window form instead of collecting 60 band
+    // rows and looping on the driver
+    val rows = for {
+      g <- 0 until 60
+      i <- 0 until (1 + rnd.nextInt(20))
+    } yield (s"g$g", rnd.nextDouble() * 100)
+    val df = rows.toDF("g", "v")
+    val win = Relational.groupedPercentileFilterWindow(df, "g", "v", 80.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val guarded = Relational.groupedPercentileFilter(df, "g", "v", 80.0, maxBisectGroups = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(guarded == win)
+    // below the cap the bisection path still runs and agrees
+    val bis = Relational.groupedPercentileFilter(df, "g", "v", 80.0, maxBisectGroups = 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(bis == win)
+  }
+
   test("decontaminate: flags eval docs sharing an n-gram, counts distinct hits") {
     import spark.implicits._
     val train = Seq(

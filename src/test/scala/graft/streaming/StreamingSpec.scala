@@ -8,14 +8,7 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = GraftSession.local(4, "streaming-spec")
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def events = {
-    val raw = Tables.events(spark, sfDir)
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  private def events = Tables.normalizeTs(Tables.events(spark, sfDir))
 
   test("stateful sessionization matches the batch window-function form") {
     import spark.implicits._
@@ -282,7 +275,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("b.parquet"))
     val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
-    val withTs = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val withTs = Tables.normalizeTs(stream)
     val q = EventStreams
       .dedupStream(withTs, "event_id")
       .writeStream.outputMode("append").format("memory").queryName("dedup_events").start()
@@ -322,8 +315,8 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("events-ssj")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("e.parquet"))
-    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
     val q = EventStreams.clickToPurchaseJoin(stream)
       .writeStream.outputMode("append").format("memory").queryName("ssj").start()
     q.processAllAvailable(); q.stop()
