@@ -413,6 +413,54 @@ object SparkEntry {
     spark.table(name).filter(col("user_id") >= 0)
   }
 
+  /** §2.10 through the ORACLE, part 2 — a REAL stream-stream interval
+    * join inside the gate ([[streaming.EventStreams.clickToPurchaseJoin]]):
+    * the events parquet is staged into a file-source dir and read as TWO
+    * watermarked streams (clicks / purchases) joined on user within a
+    * 10-minute window after the click. Inner stream-stream joins emit
+    * matches EAGERLY (the watermark only bounds join state, it doesn't
+    * gate emission), so a bounded replay needs no sentinels — one
+    * `processAllAvailable` drain yields every matched pair. Lineage of
+    * this gate's rows therefore includes an actual stream-stream join,
+    * the shape qe4 only exercises in batch form.
+    */
+  private def qe7StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft-qe7-src")
+    val src = Paths.get(dir, "events.parquet")
+    if (Files.isDirectory(src)) {
+      Files.list(src).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.copy(p, stage.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else Files.copy(src, stage.resolve("events.parquet"))
+    val schema = spark.read.parquet(stage.toString).schema
+    // stream-stream joins keep FOUR state stores per partition (both
+    // sides × key/index maps), so per-partition checkpoint fan-out costs
+    // 4× qe6's; 2 partitions suffice for the gate volumes (the state is
+    // per-user rows within a 10-min horizon). Restored after the run.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val name = s"qe7_mem_${System.nanoTime()}"
+    val ev = Tables.normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
+    val q = streaming.EventStreams
+      .clickToPurchaseJoin(ev, windowSec = 600)
+      .select(
+        col("click_id"), col("user_id"), col("purchase_id"),
+        round(col("value"), 2).as("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    spark.table(name)
+  }
+
   /** As-of join — for each click, the user's latest purchase at-or-before
     * it (µs-integer event times; right side pre-deduped per instant).
     * Cross-validated against DuckDB's native ASOF JOIN.
@@ -2335,6 +2383,7 @@ object SparkEntry {
     "qe2_asof" -> (qe2AsofJoin _),
     "qe3_session_window" -> (qe3SessionWindow _),
     "qe6_stream_sessions" -> (qe6StreamSessions _),
+    "qe7_stream_join" -> (qe7StreamJoin _),
     "qr1_range_join" -> (qr1RangeJoin _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
@@ -2975,6 +3024,20 @@ object SparkEntry {
         |SELECT CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // streaming twin of qe4's join shape: the matched pairs a real
+    // watermarked stream-stream interval join emits must equal the batch
+    // interval join over the same events
+    "qe7_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS pus, value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, p.purchase_id, round(p.value, 2) AS value
+        |FROM c JOIN p USING (user_id)
+        |WHERE p.pus >= c.cus AND p.pus <= c.cus + 600 * 1000000""".stripMargin,
     "qe2_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus
