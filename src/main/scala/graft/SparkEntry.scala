@@ -338,11 +338,14 @@ object SparkEntry {
     * this gate's rows therefore includes an actual streaming query, not
     * a batch twin.
     */
-  private def qe6StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage the events parquet (file or directory) into a fresh temp dir —
+    * file-source streams need a directory, and the qe6 gate also appends
+    * sentinel files to it. All real files are present before the stream
+    * starts, so batch 1 sees every row with the watermark still at -inf.
+    */
+  private def stageEvents(dir: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Files.createTempDirectory("graft-qe6-src")
-    // stage the real events file(s); all present before the stream starts,
-    // so batch 1 sees every real row with the watermark still at -inf
+    val stage = Files.createTempDirectory("graft-events-src")
     val src = Paths.get(dir, "events.parquet")
     if (Files.isDirectory(src)) {
       Files.list(src).forEach { p =>
@@ -350,6 +353,12 @@ object SparkEntry {
           Files.copy(p, stage.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
       }
     } else Files.copy(src, stage.resolve("events.parquet"))
+    stage
+  }
+
+  private def qe6StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = stageEvents(dir)
     val schema = spark.read.parquet(stage.toString).schema
     val tsType = schema("ts").dataType
     val tsIsLong = tsType == org.apache.spark.sql.types.LongType
@@ -425,15 +434,7 @@ object SparkEntry {
     * the shape qe4 only exercises in batch form.
     */
   private def qe7StreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Files.createTempDirectory("graft-qe7-src")
-    val src = Paths.get(dir, "events.parquet")
-    if (Files.isDirectory(src)) {
-      Files.list(src).forEach { p =>
-        if (p.toString.endsWith(".parquet"))
-          Files.copy(p, stage.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
-      }
-    } else Files.copy(src, stage.resolve("events.parquet"))
+    val stage = stageEvents(dir)
     val schema = spark.read.parquet(stage.toString).schema
     // stream-stream joins keep FOUR state stores per partition (both
     // sides × key/index maps), so per-partition checkpoint fan-out costs
@@ -459,6 +460,28 @@ object SparkEntry {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     spark.table(name)
+  }
+
+  /** §2.10 through the ORACLE, part 3 — the REAL watermarked streaming
+    * tumbling-window aggregation ([[streaming.EventStreams.runWindowedStream]],
+    * Complete mode so a bounded replay keeps the tail windows) against
+    * q17's batch oracle. With qe6 (session windows, append) and qe7
+    * (stream-stream join) this gives every core Structured-Streaming
+    * shape a CORRECTNESS row whose lineage includes an actual
+    * `writeStream` run, not just a batch twin.
+    */
+  private def qe8StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(dir)
+    val schema = spark.read.parquet(stage.toString).schema
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t =
+      try streaming.EventStreams.runWindowedStream(
+        spark, stage.toString, schema, s"qe8_mem_${System.nanoTime()}")
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    t.select(
+      unix_timestamp(col("window_start")).as("window_start"),
+      col("event_type"), col("n"), col("value_sum"))
   }
 
   /** As-of join — for each click, the user's latest purchase at-or-before
@@ -2384,6 +2407,7 @@ object SparkEntry {
     "qe3_session_window" -> (qe3SessionWindow _),
     "qe6_stream_sessions" -> (qe6StreamSessions _),
     "qe7_stream_join" -> (qe7StreamJoin _),
+    "qe8_stream_window" -> (qe8StreamWindow _),
     "qr1_range_join" -> (qr1RangeJoin _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
@@ -2899,6 +2923,12 @@ object SparkEntry {
         |    AS dist_km
         |FROM supplier""".stripMargin,
     "q17_time_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // streaming twin of q17: the windows a real watermarked Complete-mode
+    // streaming query emits must equal the batch aggregation
+    "qe8_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -354,7 +354,11 @@ object EventStreams {
     * directory (memory sink) — used by the streaming spec; returns the
     * final in-memory table.
     */
-  def runWindowedStream(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+  def runWindowedStream(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      queryName: String = "windowed_events"): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(dir)
     val withTs = graft.Tables.normalizeTs(stream)
     // Complete mode: append would withhold windows newer than the final
@@ -362,10 +366,10 @@ object EventStreams {
     val q = windowedCounts(withTs, watermark = true).writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")
-      .queryName("windowed_events")
+      .queryName(queryName)
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table("windowed_events")
+    spark.table(queryName)
   }
 }

@@ -66,13 +66,19 @@ class EncodingSpec extends AnyFunSuite {
     }
   }
 
-  test("qe6_stream_sessions (real watermarked stream) is invariant across ts encodings") {
-    val canonical = rows("qe6_stream_sessions", sf)
-    assert(canonical.nonEmpty)
-    // the streaming gate stages its own source dir + sentinel files, which
-    // must replicate the staged schema's exact physical ts type — exercise
-    // all three
-    for ((enc, dir) <- encodings)
-      assert(rows("qe6_stream_sessions", dir) == canonical, s"qe6 drifted under $enc encoding")
+  for (q <- Seq(
+      "qe6_stream_sessions", // session windows, append + sentinel files
+      "qe7_stream_join", // stream-stream interval join
+      "qe8_stream_window" // tumbling windows, Complete mode
+    )) {
+    test(s"$q (real streaming query) is invariant across ts encodings") {
+      val canonical = rows(q, sf)
+      assert(canonical.nonEmpty)
+      // the streaming gates stage their own source dirs (qe6 also writes
+      // sentinel files that must replicate the staged schema's exact
+      // physical ts type) — exercise all three encodings end-to-end
+      for ((enc, dir) <- encodings)
+        assert(rows(q, dir) == canonical, s"$q drifted under $enc encoding")
+    }
   }
 }
