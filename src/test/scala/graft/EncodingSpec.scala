@@ -81,4 +81,36 @@ class EncodingSpec extends AnyFunSuite {
         assert(rows(q, dir) == canonical, s"$q drifted under $enc encoding")
     }
   }
+
+  // ------------------------------------------------- embedding encodings
+
+  /** Same hazard, other table: a regeneration could flip `embedding` from
+    * `list<float>` to `list<double>`. Scoring runs in double either way
+    * (float→double widening is exact, the codegen vector expressions
+    * accept both element types), so every similarity/dedup result must be
+    * bit-identical across the two encodings.
+    */
+  private lazy val embDouble: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc-emb").toString
+    Tables
+      .embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  for (q <- Seq(
+      "qs1_cosine_topk", // brute-force cosine top-k (codegen expression)
+      "qs2_label_centroids", // posexplode + per-dim avg
+      "qs3_dot_topk", // maximum-inner-product top-k
+      "qs4_ivf", // IVF cell-pruned ANN
+      "qs5_knn_join", // bounded-aggregator kNN join
+      "qd5_embed_dedup" // embedding-cosine near-dup
+    )) {
+    test(s"$q is invariant to the embedding element type (float32 vs float64)") {
+      val canonical = rows(q, sf)
+      assert(canonical.nonEmpty)
+      assert(rows(q, embDouble) == canonical, s"$q drifted under float64 embeddings")
+    }
+  }
 }
