@@ -1086,6 +1086,14 @@ object SparkEntry {
             count(lit(1)).cast("double"),
           6).as("dup_rate"))
 
+  /** Gopher repetition filters ([[operators.TextAnalysis.repetitionStats]]):
+    * dup-word fraction, most-frequent-bigram char coverage, duplicated
+    * 5-gram char coverage — the repetition-removal signals of an LLM
+    * data-quality pipeline, fully SQL-replayable.
+    */
+  private def qt19Repetition(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id", "text")
+
   /** Sequence-length histogram (32-token buckets) — the distribution
     * that drives packing/batching config (qt10's inputs). One tokenize
     * pass, one hash-agg shuffle bounded by distinct buckets.
@@ -2477,6 +2485,7 @@ object SparkEntry {
     "qt17_url_canon" -> (qt17UrlCanon _),
     "qd10_dup_report" -> (qd10DupReport _),
     "qt18_len_hist" -> (qt18LenHist _),
+    "qt19_repetition" -> (qt19Repetition _),
     "q25_cube" -> (q25Cube _),
     "q26_bloom_semi" -> (q26BloomSemi _),
     "qp2_profile" -> (qp2Profile _),
@@ -4740,6 +4749,45 @@ object SparkEntry {
         |  round(1.0 - count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate
         |FROM documents GROUP BY source""".stripMargin,
+    // same normalization (lower+trim, single-space), same n-gram
+    // synthesis, same tie rule (max count, then max coverage), same
+    // overlap-counting dup-5-gram approximation
+    "qt19_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+        |    CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |sized AS (
+        |  SELECT doc_id, toks, n_chars, len(toks) AS n_words,
+        |    len(list_distinct(toks)) AS n_distinct
+        |  FROM base),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM sized, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |  WHERE len(toks) >= 2),
+        |bgc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |mc AS (SELECT doc_id, max(cnt) AS topc FROM bgc GROUP BY 1),
+        |top2 AS (
+        |  SELECT bgc.doc_id, max(cnt * length(g)) AS cov2
+        |  FROM bgc JOIN mc ON bgc.doc_id = mc.doc_id AND bgc.cnt = mc.topc
+        |  GROUP BY 1),
+        |g5 AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |    toks[i+3] || ' ' || toks[i+4] AS g
+        |  FROM sized, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+        |  WHERE len(toks) >= 5),
+        |g5c AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        |d5 AS (
+        |  SELECT doc_id, coalesce(sum(cnt * length(g)) FILTER (WHERE cnt > 1), 0) AS dupcov
+        |  FROM g5c GROUP BY 1)
+        |SELECT s.doc_id, s.n_words,
+        |  round(CAST(s.n_words - s.n_distinct AS DOUBLE) / s.n_words, 6) AS dup_word_frac,
+        |  round(coalesce(t.cov2, 0) / s.n_chars, 6) AS top_bigram_char_frac,
+        |  round(coalesce(d.dupcov, 0) / s.n_chars, 6) AS dup_5gram_char_frac
+        |FROM sized s
+        |LEFT JOIN top2 t ON s.doc_id = t.doc_id
+        |LEFT JOIN d5 d ON s.doc_id = d.doc_id""".stripMargin,
     "qt18_len_hist" ->
       """WITH n AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0

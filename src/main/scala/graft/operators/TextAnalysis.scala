@@ -328,4 +328,75 @@ object TextAnalysis {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    * repetition-removal rules every LLM data pipeline applies; the
+    * reference has no text tier at all — SURVEY §"training-data
+    * pipeline operators"). Per document:
+    *
+    *  - `dup_word_frac` — fraction of word occurrences that are repeats
+    *    of an earlier word: `(n_words − n_distinct) / n_words`;
+    *  - `top_bigram_char_frac` — characters covered by the MOST FREQUENT
+    *    word 2-gram (`count × chars(gram)`, ties broken toward the larger
+    *    coverage) over the normalized text's length;
+    *  - `dup_5gram_char_frac` — characters covered by all word 5-grams
+    *    occurring more than once, over the text length. Overlapping
+    *    occurrences are each counted (the cheap SQL-replayable
+    *    approximation NeMo-Curator-style reimplementations use), so the
+    *    ratio can exceed 1 on degenerate loops — callers threshold it,
+    *    they don't sum it.
+    *
+    * Scale shape: one tokenize, n-gram expansion via slice+arrays_zip
+    * (generators, never driver-side), counts as ONE hash shuffle on
+    * (doc, gram) with map-side combine, then a per-doc re-agg. The
+    * top-gram pick rides `max(struct(cnt, cov))` — struct ordering gives
+    * "max count, then max coverage" in a single hash aggregation, no
+    * window, no self-join. Docs with fewer words than the gram width
+    * contribute 0 for that metric.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val base = docs.select(
+      col(idCol),
+      split(norm, " ").as("toks"),
+      length(norm).cast("double").as("n_chars"))
+    val sized = base.select(
+      col(idCol),
+      col("toks"),
+      col("n_chars"),
+      size(col("toks")).cast("long").as("n_words"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+
+    def gramCounts(n: Int): DataFrame = {
+      val cols = (0 until n).map(i =>
+        expr(s"slice(toks, ${i + 1}, size(toks) - ${n - 1})").as(s"w$i"))
+      sized
+        .filter(col("n_words") >= n)
+        .select(col(idCol), explode(arrays_zip(cols: _*)).as("p"))
+        .select(col(idCol), array_join(array((0 until n).map(i => col(s"p.w$i")): _*), " ").as("g"))
+        .groupBy(col(idCol), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+
+    // most-frequent bigram's char coverage: struct max = (cnt, cov) lex order
+    val top2 = gramCounts(2)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cnt"), (col("cnt") * length(col("g"))).as("cov"))).as("m"))
+      .select(col(idCol), col("m.cov").cast("double").as("cov2"))
+    // duplicated 5-grams' total char coverage
+    val dup5 = gramCounts(5)
+      .groupBy(col(idCol))
+      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("g"))).otherwise(0L))
+        .cast("double").as("dupcov"))
+    sized
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words"),
+        round((col("n_words") - col("n_distinct")).cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(coalesce(col("cov2"), lit(0.0)) / col("n_chars"), 6).as("top_bigram_char_frac"),
+        round(coalesce(col("dupcov"), lit(0.0)) / col("n_chars"), 6).as("dup_5gram_char_frac"))
+  }
 }

@@ -216,4 +216,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got(1L) - d1) < 2e-6 && math.abs(got(2L) - d2) < 2e-6)
     assert(got(1L) > got(2L)) // two hits incl. a rare term outrank one+one
   }
+
+  test("repetitionStats: hand-computed Gopher repetition metrics") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b a b a b": 6 words, 2 distinct -> dup_word_frac = 4/6.
+      // n_chars = 11. Bigrams: "a b"x3, "b a"x2 -> top = 3*3=9 -> 9/11.
+      // 5-grams: "a b a b a", "b a b a b" each once -> dup = 0.
+      (1L, "a b a b a b"),
+      // all-distinct doc: dup metrics 0; top bigram has count 1, tie
+      // broken toward max coverage -> "three four" (10 chars) / 27
+      (2L, "one two three four five six"),
+      // "x y x y x y x y": bigram "x y"x4 (tie vs "y x"x3 broken by count),
+      // n_chars=15, top = 4*3=12 -> 0.8; 5-grams: "x y x y x"x2,
+      // "y x y x y"x2 -> dup = (2+2)*9 = 36 -> 36/15 = 2.4 (overlap
+      // counting exceeds 1 by design — threshold semantics, not a sum)
+      (3L, "x y x y x y x y"),
+      // fewer words than the gram width: 5-gram metric 0, bigram "p q"
+      (4L, "p q"),
+      // single word: no bigrams at all -> both coverage metrics 0
+      (5L, "lonely")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .repetitionStats(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((6L, 0.666667, 0.818182, 0.0)))
+    assert(got(2L) == ((6L, 0.0, 0.37037, 0.0)))
+    assert(got(3L) == ((8L, 0.75, 0.8, 2.4)))
+    assert(got(4L) == ((2L, 0.0, 1.0, 0.0)))
+    assert(got(5L) == ((1L, 0.0, 0.0, 0.0)))
+  }
 }
