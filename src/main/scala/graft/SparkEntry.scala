@@ -484,6 +484,47 @@ object SparkEntry {
       col("event_type"), col("n"), col("value_sum"))
   }
 
+  /** §2.10 through the ORACLE, part 4 — REAL streaming dedup
+    * ([[streaming.EventStreams.dedupStream]], `dropDuplicatesWithinWatermark`
+    * so state expires with the watermark instead of growing unboundedly):
+    * the staged source dir holds every events file TWICE, so each event id
+    * arrives twice and the emitted stream must equal the events table
+    * exactly once per id. Completes the real-writeStream lineage set:
+    * sessions (qe6), stream-stream join (qe7), windowed agg (qe8),
+    * dedup (qe9).
+    */
+  private def qe9StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = stageEvents(dir)
+    // duplicate every staged file under a shifted name: 2× arrival of
+    // every event id, the exactly-once contract under test
+    Files.list(stage).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.copy(p, stage.resolve(s"dup_${p.getFileName}"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = spark.read.parquet(stage.toString).schema
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"qe9_mem_${System.nanoTime()}"
+    val ev = Tables.normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
+    val q = streaming.EventStreams
+      .dedupStream(ev, "event_id")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    spark.table(name)
+  }
+
   /** As-of join — for each click, the user's latest purchase at-or-before
     * it (µs-integer event times; right side pre-deduped per instant).
     * Cross-validated against DuckDB's native ASOF JOIN.
@@ -2416,6 +2457,7 @@ object SparkEntry {
     "qe6_stream_sessions" -> (qe6StreamSessions _),
     "qe7_stream_join" -> (qe7StreamJoin _),
     "qe8_stream_window" -> (qe8StreamWindow _),
+    "qe9_stream_dedup" -> (qe9StreamDedup _),
     "qr1_range_join" -> (qr1RangeJoin _),
     "qv1_ead" -> (qv1Ead _),
     "qp1_pipeline" -> (qp1Pipeline _),
@@ -2935,6 +2977,11 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // streaming dedup over a 2x-duplicated source must emit the events
+    // table exactly once per id
+    "qe9_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events""".stripMargin,
     // streaming twin of q17: the windows a real watermarked Complete-mode
     // streaming query emits must equal the batch aggregation
     "qe8_stream_window" ->

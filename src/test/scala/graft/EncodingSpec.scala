@@ -69,7 +69,8 @@ class EncodingSpec extends AnyFunSuite {
   for (q <- Seq(
       "qe6_stream_sessions", // session windows, append + sentinel files
       "qe7_stream_join", // stream-stream interval join
-      "qe8_stream_window" // tumbling windows, Complete mode
+      "qe8_stream_window", // tumbling windows, Complete mode
+      "qe9_stream_dedup" // exactly-once ids over a doubled source
     )) {
     test(s"$q (real streaming query) is invariant across ts encodings") {
       val canonical = rows(q, sf)
@@ -111,6 +112,44 @@ class EncodingSpec extends AnyFunSuite {
       val canonical = rows(q, sf)
       assert(canonical.nonEmpty)
       assert(rows(q, embDouble) == canonical, s"$q drifted under float64 embeddings")
+    }
+  }
+
+  // ----------------------------------------------------- date encodings
+
+  /** Third regeneration hazard: `l_shipdate`/`o_orderdate` currently ship
+    * as µs-NTZ timestamps (midnight-aligned), but a producer could emit
+    * DATE32 or ISO strings. Filters compare against timestamp literals
+    * and q27 goes through `cast("timestamp").cast("long")` — Spark's
+    * coercion chain must land on the same instants under the UTC session
+    * TZ for all three encodings.
+    */
+  private def stageDates(cast: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc-date").toString
+    Tables.lineitem(spark, sf)
+      .withColumn("l_shipdate", col("l_shipdate").cast(cast))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Tables.orders(spark, sf)
+      .withColumn("o_orderdate", col("o_orderdate").cast(cast))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  private lazy val dateEncodings: Seq[(String, String)] = Seq(
+    "date32" -> stageDates("date"),
+    "iso-string" -> stageDates("string"),
+    "ltz-timestamp" -> stageDates("timestamp"))
+
+  for (q <- Seq(
+      "q1_agg", // shipdate range filter (lineitem only)
+      "q24_moving_avg", // shipdate window ordering (lineitem only)
+      "q27_range_frame" // orderdate epoch arithmetic in a RANGE frame (orders only)
+    )) {
+    test(s"$q is invariant across date encodings (ntz-timestamp / date32 / iso-string / ltz)") {
+      val canonical = rows(q, sf)
+      assert(canonical.nonEmpty)
+      for ((enc, dir) <- dateEncodings)
+        assert(rows(q, dir) == canonical, s"$q drifted under $enc dates")
     }
   }
 }
