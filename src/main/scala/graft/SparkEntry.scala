@@ -1135,6 +1135,16 @@ object SparkEntry {
   private def qt19Repetition(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Gopher document-quality rules ([[operators.TextAnalysis.qualityRules]]):
+    * the keep/drop gate (word count, mean word length, symbol ratio,
+    * alpha-word fraction, stopword floor) with every metric exposed for
+    * auditability. Word-count band tightened to the synthetic docs' range
+    * so `keep` is non-degenerate on the gate data.
+    */
+  private def qt20QualityRules(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.qualityRules(
+      t(spark, dir, "documents"), "doc_id", "text", minWords = 50, maxWords = 100000)
+
   /** Sequence-length histogram (32-token buckets) — the distribution
     * that drives packing/batching config (qt10's inputs). One tokenize
     * pass, one hash-agg shuffle bounded by distinct buckets.
@@ -2528,6 +2538,7 @@ object SparkEntry {
     "qd10_dup_report" -> (qd10DupReport _),
     "qt18_len_hist" -> (qt18LenHist _),
     "qt19_repetition" -> (qt19Repetition _),
+    "qt20_quality_rules" -> (qt20QualityRules _),
     "q25_cube" -> (q25Cube _),
     "q26_bloom_semi" -> (q26BloomSemi _),
     "qp2_profile" -> (qp2Profile _),
@@ -4796,6 +4807,39 @@ object SparkEntry {
         |  round(1.0 - count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate
         |FROM documents GROUP BY source""".stripMargin,
+    // same normalization, same lambda predicates (alpha regex, stop set),
+    // same '#'/'...' symbol counting (replace-diff; '...' greedy
+    // left-to-right in both engines), same thresholds
+    "qt20_quality_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    list_sum(list_transform(toks, x -> length(x))) AS char_sum,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id, n_words,
+        |    round(CAST(char_sum AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |    round(CAST((length(t) - length(replace(t, '#', ''))) +
+        |      (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3
+        |      AS DOUBLE) / n_words, 6) AS symbol_ratio,
+        |    round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_frac,
+        |    n_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+        |  n_stopwords,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        |   AND n_stopwords >= 2) AS keep
+        |FROM f""".stripMargin,
     // same normalization (lower+trim, single-space), same n-gram
     // synthesis, same tie rule (max count, then max coverage), same
     // overlap-counting dup-5-gram approximation

@@ -399,4 +399,58 @@ object TextAnalysis {
         round(coalesce(col("cov2"), lit(0.0)) / col("n_chars"), 6).as("top_bigram_char_frac"),
         round(coalesce(col("dupcov"), lit(0.0)) / col("n_chars"), 6).as("dup_5gram_char_frac"))
   }
+
+  /** Gopher document-level quality rules (Rae et al. 2021 §A1.1 — the
+    * keep/drop gate applied before training): per doc,
+    *
+    *  - word count within `[minWords, maxWords]`;
+    *  - mean word length within [3, 10];
+    *  - symbol-to-word ratio (`#` or `...` occurrences / words) ≤ 0.1;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 stopwords (of: the, be, to, of, and, that, have, with).
+    *
+    * Emits every metric plus the conjunctive `keep` flag, so callers can
+    * audit which rule fired. Pure builtin higher-order functions inside
+    * whole-stage codegen — one scan, no shuffle at all (the whole
+    * operator is a projection; at 100 TB it runs at scan speed).
+    */
+  def qualityRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 50,
+      maxWords: Long = 100000): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs
+      .select(col(idCol), norm.as("__t"), split(norm, " ").as("toks"))
+      .select(
+        col(idCol),
+        col("__t"),
+        col("toks"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+          .as("char_sum"),
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long").as("n_alpha"),
+        expr(s"size(filter(toks, t -> t IN (${stops.map("'" + _ + "'").mkString(",")})))")
+          .cast("long").as("n_stopwords"))
+      .select(
+        col(idCol),
+        col("n_words"),
+        round(col("char_sum").cast("double") / col("n_words"), 6).as("mean_word_len"),
+        round(
+          ((length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))) +
+            (length(col("__t")) - length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / 3)
+            .cast("double") / col("n_words"),
+          6).as("symbol_ratio"),
+        round(col("n_alpha").cast("double") / col("n_words"), 6).as("alpha_word_frac"),
+        col("n_stopwords"))
+      .withColumn(
+        "keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stopwords") >= 2)
+  }
 }

@@ -99,6 +99,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), "argmin fell off hash aggregation")
   }
 
+  test("qt20: quality rules are a pure projection — zero exchanges, scan-speed at any scale") {
+    val p = plan("qt20_quality_rules")
+    assert(!p.contains("Exchange"), "quality rules grew a shuffle:\n" + p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // codegen'd operators carry the "*(n)" stage marker in the plan string
     val p = finalPlan("q1_agg")

@@ -247,4 +247,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0.0, 1.0, 0.0)))
     assert(got(5L) == ((1L, 0.0, 0.0, 0.0)))
   }
+
+  test("qualityRules: hand-computed Gopher keep/drop metrics") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, chars 3+3+2+3+4+3=18 -> mean 3.0; all alpha; stopword
+      // OCCURRENCES the,to,the,and -> 4; no symbols -> KEEP (minWords=5)
+      (1L, "The cat to the mice and"),
+      // symbol-heavy: '#'x2 + '...'x1 over 4 words -> ratio 0.75 > 0.1 -> drop
+      (2L, "x# y# z... with the okay"),
+      // numeric words: alpha frac 2/6 < 0.8 -> drop (stopwords ok)
+      (3L, "1 2 3 4 the with"),
+      // too few words (< minWords=5) -> drop
+      (4L, "the and of"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .qualityRules(docs, "doc_id", "text", minWords = 5, maxWords = 100)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(got(1L) == ((6L, 3.0, 0.0, 1.0, 4L, true)))
+    val d2 = got(2L)
+    assert(d2._1 == 6L && d2._3 == 0.5 && !d2._6) // (2 + 3/3) / 6 symbols
+    val d3 = got(3L)
+    assert(d3._4 == BigDecimal(2.0 / 6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble && !d3._6)
+    assert(got(4L)._1 == 3L && !got(4L)._6)
+  }
 }
