@@ -725,6 +725,18 @@ object SparkEntry {
     Similarity.bruteForceTopKDot(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
   }
 
+  /** Product-quantization ADC top-k ([[operators.Similarity.pqTopK]]):
+    * the memory-bound ANN scale path — 64 floats compress to 8 one-byte
+    * codes (32×), query-time work is table-lookup sums over codes, no
+    * float vector read. Deterministic seed codebook (16 lowest-id
+    * vectors' subvectors) so DuckDB re-derives codebook, encoding, and
+    * ADC ranking exactly.
+    */
+  private def qs7PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.sin(i * 0.3 + 2.0)) // deterministic probe
+    Similarity.pqTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
+  }
+
   /** Corpus-level TF-IDF: top-3 terms per document (TextAnalysis operator;
     * scores rounded before ranking for a deterministic k-cut).
     */
@@ -2528,6 +2540,7 @@ object SparkEntry {
     "qe5_json_props" -> (qe5JsonProps _),
     "qs4_ivf" -> (qs4IvfTopK _),
     "qs5_knn_join" -> (qs5KnnJoin _),
+    "qs7_pq_adc" -> (qs7PqAdc _),
     "qs6_kmeans" -> (qs6Kmeans _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "qt13_bpe_train" -> (qt13BpeTrain _),
@@ -3773,6 +3786,42 @@ object SparkEntry {
          |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
          |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
          |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
+    },
+    // codebook = subvectors of the 16 lowest-id vectors; per-subspace L2^2
+    // rounded to 6 before the argmin (ties -> lowest code); ADC = sum of
+    // per-subspace query tables, rounded to 6 — all three rules replayed
+    "qs7_pq_adc" -> {
+      val qv = Array.tabulate(64)(i => math.sin(i * 0.3 + 2.0)) // same probe as qs7
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH seeds AS (
+         |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |cb AS (
+         |  SELECT s.s, seeds.c,
+         |    list_transform(generate_series(1, 8),
+         |      j -> CAST(embedding[s.s * 8 + j] AS DOUBLE)) AS cent
+         |  FROM seeds CROSS JOIN generate_series(0, 7) AS s(s)),
+         |dists AS (
+         |  SELECT e.vec_id, cb.s, cb.c,
+         |    round(list_sum(list_transform(generate_series(1, 8), j ->
+         |      pow(CAST(e.embedding[cb.s * 8 + j] AS DOUBLE) - cb.cent[j], 2))), 6) AS d2
+         |  FROM embeddings e CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1),
+         |qd AS (
+         |  SELECT cb.s, cb.c,
+         |    round(list_sum(list_transform(generate_series(1, 8), j ->
+         |      pow(qv[cb.s * 8 + j] - cb.cent[j], 2))), 6) AS qdist
+         |  FROM cb CROSS JOIN (SELECT $qv::DOUBLE[] AS qv)),
+         |adc0 AS (
+         |  SELECT e.vec_id, round(sum(q.qdist), 6) AS adc
+         |  FROM enc e JOIN qd q ON e.s = q.s AND e.c = q.c
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, adc FROM adc0 ORDER BY adc, vec_id LIMIT 100""".stripMargin
     },
     "qs3_dot_topk" -> {
       val qv = Array.tabulate(64)(i => math.cos(i * 0.5 + 1.0)) // same probe as qs3

@@ -289,6 +289,156 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Deterministic PQ codebook (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the vector space splits into `m`
+    * subspaces and each subspace gets `k` centroids. Centroids here are
+    * the subvectors of the `k` LOWEST-ID corpus vectors — a deterministic
+    * seed codebook, the same replayability trade [[ivfTopK]] makes with
+    * hyperplane pseudo-centroids (an SQL oracle can re-derive it exactly;
+    * swap in [[kmeans]]-refined sub-codebooks when recall matters more
+    * than oracle-exactness). Collected driver-side: k rows by contract,
+    * the sanctioned bounded-side pattern. Returns `[subspace][code][dsub]`.
+    */
+  def pqCodebook(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    val seeds = embs
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"corpus smaller than codebook k=$k")
+    val dsub = seeds(0).length / m
+    Array.tabulate(m, k)((s, c) => seeds(c).slice(s * dsub, (s + 1) * dsub))
+  }
+
+  /** PQ-encode the corpus: each vector becomes `m` small codes (one byte
+    * each at k ≤ 256) — the 100 TB ANN memory story: a 64-float vector
+    * (256 B) compresses to m = 8 bytes, so the scan side of a query reads
+    * 32× less. Per (vector, subspace) the code is the argmin-L2² centroid,
+    * distances rounded to 6 dp before the argmin so FP summation order can
+    * never flip a near-tie (ties then break toward the lowest code — both
+    * rules replayed exactly by the SQL oracle).
+    */
+  def pqEncode(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val bc = embs.sparkSession.sparkContext.broadcast(codebook)
+    val enc = udf { (v: Seq[Double]) =>
+      val cb = bc.value
+      val m = cb.length
+      val dsub = cb(0)(0).length
+      Array.tabulate(m) { s =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(s).length) {
+          var d = 0.0
+          var j = 0
+          while (j < dsub) {
+            val diff = v(s * dsub + j) - cb(s)(c)(j)
+            d += diff * diff
+            j += 1
+          }
+          val dr = math.floor(d * 1e6 + 0.5) / 1e6
+          if (dr < bestD) { bestD = dr; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    embs.select(
+      col(idCol),
+      enc(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) approximate top-k over PQ codes: the query
+    * is NOT quantized — per subspace a 256-entry table of exact
+    * query-to-centroid L2² distances is computed once on the driver
+    * (k·m doubles, broadcast with the codebook), and a candidate's
+    * distance is the sum of m table lookups. The corpus-side work is a
+    * lookup-sum over m bytes per vector — no float vector is ever read
+    * at query time — followed by TakeOrdered for the k-cut. Per-subspace
+    * table entries and the final sum are rounded to 6 dp (the qs1
+    * contract) so the ranking is FP-stable and SQL-replayable; ties break
+    * on ascending id.
+    */
+  def pqTopK(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      topK: Int,
+      m: Int = 8,
+      k: Int = 16): DataFrame = {
+    val codebook = pqCodebook(embs, idCol, vecCol, m, k)
+    val dsub = query.length / m
+    val table = Array.tabulate(m, k) { (s, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < dsub) {
+        val diff = query(s * dsub + j) - codebook(s)(c)(j)
+        d += diff * diff
+        j += 1
+      }
+      math.floor(d * 1e6 + 0.5) / 1e6
+    }
+    val bc = embs.sparkSession.sparkContext.broadcast(table)
+    val adc = udf { (codes: Seq[Int]) =>
+      val t = bc.value
+      var acc = 0.0
+      var s = 0
+      while (s < codes.length) { acc += t(s)(codes(s)); s += 1 }
+      math.floor(acc * 1e6 + 0.5) / 1e6
+    }
+    pqEncode(embs, idCol, vecCol, codebook)
+      .select(col(idCol), adc(col("codes")).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(topK)
+  }
+
+  /** PQ in its production role — candidate generation + exact re-rank:
+    * ADC shortlists `shortlist` ids (the cheap code-scan pass), then ONLY
+    * those rows are re-scored with exact L2² (via the |v|² − 2v·q + |q|²
+    * expansion on the codegen DotProduct expression) and cut to `topK`.
+    * The expensive float read touches `shortlist` rows instead of the
+    * corpus — the re-rank side is a broadcast semi join on the shortlist
+    * ids. With `shortlist` = corpus size this is exactly brute force
+    * (spec-pinned, along with recall monotonicity in `shortlist`).
+    */
+  def pqTopKRerank(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      topK: Int,
+      shortlist: Int = 100,
+      m: Int = 8,
+      k: Int = 16): DataFrame = {
+    val ids = pqTopK(embs, idCol, vecCol, query, shortlist, m, k).select(col(idCol))
+    val q = array(query.map(lit): _*)
+    val qq = query.map(x => x * x).sum
+    embs
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .withColumn(
+        "d2",
+        round(
+          VectorFunctions.dot(col(vecCol), col(vecCol))
+            - lit(2.0) * VectorFunctions.dot(col(vecCol), q) + lit(qq),
+          6))
+      .select(col(idCol), col("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(topK)
+  }
 }
 
 /** Bounded top-k by (score desc, id asc) as a typed Aggregator. The buffer

@@ -85,4 +85,72 @@ class RecallSpec extends AnyFunSuite {
       q => Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q, 10, nClusters = 16, nProbe = 4, iters = 4))
     assert(r >= 0.9, s"kmeans-IVF recall@10 at 4/16 probes is $r < 0.9")
   }
+
+  // -------------------------------------------------- product quantization
+
+  /** PQ corpus: same vectors, ids INTERLEAVED across clusters (id = i·16
+    * + c) so the lowest-16-id seed codebook sees one vector per cluster —
+    * the diverse-prefix shape a shuffled production corpus has. With
+    * cluster-ordered ids the seed codebook would be 16 near-copies of
+    * cluster 0 (a degenerate quantizer by construction, not an engine
+    * property); production swaps in kmeans sub-codebooks anyway.
+    */
+  private lazy val pqCorpus: Seq[(Long, Seq[Float])] = corpus.map { case (id, v) =>
+    val c = id / perCluster
+    val i = id % perCluster
+    (i * nClusters + c, v)
+  }
+
+  private lazy val embsPq = {
+    import spark.implicits._
+    pqCorpus.toDF("vec_id", "embedding").cache()
+  }
+
+  /** Exact L2 top-k computed locally (independent of the engine path). */
+  private def exactL2(q: Array[Double], k: Int): Set[Long] =
+    pqCorpus
+      .map { case (id, v) =>
+        val d = v.zipWithIndex.map { case (x, i) => val diff = x - q(i); diff * diff }.sum
+        (d, id)
+      }
+      .sortBy(identity)
+      .take(k)
+      .map(_._2)
+      .toSet
+
+  test("PQ/ADC: full-shortlist rerank IS exact L2 top-k; recall monotone in shortlist") {
+    val perQuery = queries.map { q =>
+      val exact = exactL2(q, 10)
+      def recallAt(shortlist: Int): Double = {
+        val got = ids(Similarity.pqTopKRerank(
+          embsPq, "vec_id", "embedding", q, 10, shortlist = shortlist, m = 4, k = 16))
+        exact.intersect(got).size.toDouble / exact.size
+      }
+      (recallAt(2000), recallAt(200), recallAt(50))
+    }
+    // shortlist = corpus size degenerates to brute force exactly
+    assert(perQuery.forall(_._1 == 1.0), s"full-shortlist rerank must be exact: $perQuery")
+    // a larger ADC shortlist can only add candidates to the exact re-rank
+    val mean200 = perQuery.map(_._2).sum / perQuery.size
+    val mean50 = perQuery.map(_._3).sum / perQuery.size
+    assert(mean200 >= mean50, s"recall must be monotone in shortlist: 200=$mean200 50=$mean50")
+    // operating floor on the clustered corpus (measured ~1.0 at 200)
+    assert(mean200 >= 0.8, s"PQ rerank recall@10 at shortlist=200 is $mean200 < 0.8")
+  }
+
+  test("PQ codes: m codes per vector, every code within [0, k)") {
+    val cb = Similarity.pqCodebook(embsPq, "vec_id", "embedding", m = 4, k = 16)
+    assert(cb.length == 4 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(embsPq, "vec_id", "embedding", cb)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.length == 2000)
+    assert(codes.forall { case (_, cs) => cs.length == 4 && cs.forall(c => c >= 0 && c < 16) })
+    // deterministic: a second encode pass is bit-identical
+    val again = Similarity.pqEncode(embsPq, "vec_id", "embedding", cb)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+      .toMap
+    assert(codes.forall { case (id, cs) => again(id) == cs })
+  }
 }
