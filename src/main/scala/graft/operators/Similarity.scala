@@ -381,6 +381,24 @@ object Similarity {
       m: Int = 8,
       k: Int = 16): DataFrame = {
     val codebook = pqCodebook(embs, idCol, vecCol, m, k)
+    pqTopKFromCodes(pqEncode(embs, idCol, vecCol, codebook), idCol, codebook, query, topK)
+  }
+
+  /** ADC top-k over a STORED codes table — the amortized production
+    * shape: [[pqEncode]] runs once at ingest and the codes parquet (m
+    * bytes + id per vector) is what every query scans; no float vector
+    * is read at query time at all. [[pqTopK]] is this plus an inline
+    * encode (what the oracle gate exercises); at 100 TB the inline form
+    * is only for one-off queries — persist the codes.
+    */
+  def pqTopKFromCodes(
+      codes: DataFrame,
+      idCol: String,
+      codebook: Array[Array[Array[Double]]],
+      query: Array[Double],
+      topK: Int): DataFrame = {
+    val m = codebook.length
+    val k = codebook(0).length
     val dsub = query.length / m
     val table = Array.tabulate(m, k) { (s, c) =>
       var d = 0.0
@@ -392,15 +410,15 @@ object Similarity {
       }
       math.floor(d * 1e6 + 0.5) / 1e6
     }
-    val bc = embs.sparkSession.sparkContext.broadcast(table)
-    val adc = udf { (codes: Seq[Int]) =>
+    val bc = codes.sparkSession.sparkContext.broadcast(table)
+    val adc = udf { (cs: Seq[Int]) =>
       val t = bc.value
       var acc = 0.0
       var s = 0
-      while (s < codes.length) { acc += t(s)(codes(s)); s += 1 }
+      while (s < cs.length) { acc += t(s)(cs(s)); s += 1 }
       math.floor(acc * 1e6 + 0.5) / 1e6
     }
-    pqEncode(embs, idCol, vecCol, codebook)
+    codes
       .select(col(idCol), adc(col("codes")).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(topK)

@@ -153,4 +153,19 @@ class RecallSpec extends AnyFunSuite {
       .toMap
     assert(codes.forall { case (id, cs) => again(id) == cs })
   }
+
+  test("PQ: ADC over a STORED codes table equals the inline-encode path") {
+    val q = queries.head
+    val cb = Similarity.pqCodebook(embsPq, "vec_id", "embedding", m = 4, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pq-codes").toString + "/codes"
+    // ingest-time encode, persisted: queries scan m bytes + id per vector
+    Similarity.pqEncode(embsPq, "vec_id", "embedding", cb).write.parquet(dir)
+    val stored = Similarity
+      .pqTopKFromCodes(spark.read.parquet(dir), "vec_id", cb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity
+      .pqTopK(embsPq, "vec_id", "embedding", q, 10, m = 4, k = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == inline)
+  }
 }
