@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data curation — the beyond-reference composition the
+  * training-data tier exists for (ENGINE.md §Training-data pipeline
+  * operators), as ONE runnable program:
+  *
+  *   documents ──► Gopher quality rules (qt20) ──► repetition filters
+  *   (qt19 thresholds) ──► exact dedup ──► MinHash near-dup ──► curated
+  *   corpus (parquet) — and, for the survivors' embeddings, a PQ code
+  *   table (the qs7 ANN index: m bytes per vector at rest).
+  *
+  * Every arrow is a lazy DataFrame the next stage consumes — no stage
+  * materializes driver-side, so the same program is the 100 TB program:
+  * the filters are zero-shuffle projections, each dedup is one bounded
+  * shuffle, and the PQ encode is a projection against a broadcast
+  * codebook. Counts are computed once at the end for the report.
+  *
+  * Usage: `sbt "runMain graft.CurationPipeline <sfDir> <outDir>"` —
+  * defaults to sf0.001 → /tmp.
+  */
+object CurationPipeline {
+
+  /** Returns the per-stage surviving-row counts (for reporting/specs). */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    val docs = Tables.documents(spark, sfDir)
+
+    // stage 1: Gopher quality rules — keep flag only (zero-shuffle scan)
+    val quality = TextAnalysis
+      .qualityRules(docs, "doc_id", "text", minWords = 20, maxWords = 100000)
+      .filter(col("keep"))
+      .select(col("doc_id"))
+
+    // stage 2: repetition thresholds (Gopher repetition removal); the
+    // synthetic corpus is word-repetitive by construction, so the gate
+    // thresholds sit above its typical band — tune per real corpus
+    val lowRepetition = TextAnalysis
+      .repetitionStats(docs, "doc_id", "text")
+      .filter(col("top_bigram_char_frac") <= 0.12 && col("dup_5gram_char_frac") <= 2.0)
+      .select(col("doc_id"))
+
+    val filtered = docs
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(lowRepetition, Seq("doc_id"), "left_semi")
+
+    // stage 3: exact dedup (one fingerprint shuffle), then MinHash-LSH
+    // near-dup (band-bucket equi-join) over the exact survivors
+    val curated = Dedup.minHashDedup(
+      Dedup.exactDedup(filtered, "doc_id", "text"), "doc_id", "text")
+
+    curated.write.mode("overwrite").parquet(s"$outDir/corpus")
+
+    // stage 4: ANN index for the curated corpus — PQ-encode the
+    // survivors' embeddings (vec_id aligns with doc_id in the harness
+    // tables); codes parquet is what similarity queries scan
+    val embs = Tables
+      .embeddings(spark, sfDir)
+      .join(curated.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val codebook = Similarity.pqCodebook(embs, "vec_id", "embedding", m = 8, k = 16)
+    Similarity
+      .pqEncode(embs, "vec_id", "embedding", codebook)
+      .write.mode("overwrite").parquet(s"$outDir/pq_codes")
+
+    Map(
+      "input" -> docs.count(),
+      "after_quality" -> quality.count(),
+      "after_repetition" -> filtered.count(),
+      "curated" -> spark.read.parquet(s"$outDir/corpus").count(),
+      "pq_codes" -> spark.read.parquet(s"$outDir/pq_codes").count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-curation")
+    val (sfDir, outDir) = args match {
+      case Array(s, o) => (s, o)
+      case _ => ("/root/testdata/sf0.001",
+        java.nio.file.Files.createTempDirectory("curation-out").toString)
+    }
+    val counts = run(spark, sfDir, outDir)
+    println(
+      s"[curation] input=${counts("input")} quality=${counts("after_quality")} " +
+        s"repetition=${counts("after_repetition")} curated=${counts("curated")} " +
+        s"pq_codes=${counts("pq_codes")} -> $outDir")
+    spark.stop()
+  }
+}

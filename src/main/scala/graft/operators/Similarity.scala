@@ -319,6 +319,32 @@ object Similarity {
     Array.tabulate(m, k)((s, c) => seeds(c).slice(s * dsub, (s + 1) * dsub))
   }
 
+  /** Lloyd-refined PQ codebook — the PRODUCTION codebook: per subspace,
+    * [[kmeans]] over the corpus's subvectors (deterministic init = the k
+    * lowest-id subvectors, so the whole artifact is reproducible).
+    * Higher recall than the seed codebook at the same code budget
+    * (RecallSpec measures both); the trade is SQL-replayability, which
+    * is why the oracle gate (qs7) keeps the seed form. m driver-looped
+    * Lloyd runs = m·iters small jobs — ingest-time cost, amortized over
+    * every query against the stored codes.
+    */
+  def pqCodebookKmeans(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 4): Array[Array[Array[Double]]] = {
+    val dim = embs.select(size(col(vecCol))).first().getInt(0)
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = embs.select(
+        col(idCol),
+        expr(s"slice($vecCol, ${s * dsub + 1}, $dsub)").as("__sub"))
+      kmeans(sub, idCol, "__sub", k, iters)._1
+    }
+  }
+
   /** PQ-encode the corpus: each vector becomes `m` small codes (one byte
     * each at k ≤ 256) — the 100 TB ANN memory story: a 64-float vector
     * (256 B) compresses to m = 8 bytes, so the scan side of a query reads
@@ -441,8 +467,11 @@ object Similarity {
       topK: Int,
       shortlist: Int = 100,
       m: Int = 8,
-      k: Int = 16): DataFrame = {
-    val ids = pqTopK(embs, idCol, vecCol, query, shortlist, m, k).select(col(idCol))
+      k: Int = 16,
+      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebook(embs, idCol, vecCol, m, k))
+    val ids = pqTopKFromCodes(pqEncode(embs, idCol, vecCol, cb), idCol, cb, query, shortlist)
+      .select(col(idCol))
     val q = array(query.map(lit): _*)
     val qq = query.map(x => x * x).sum
     embs

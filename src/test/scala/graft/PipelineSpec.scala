@@ -31,4 +31,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(eaul.count() == 181)
     assert(eaul.filter(col("way_id") === "baseline").count() == 1)
   }
+
+  test("curation pipeline egresses a deduped corpus and its PQ index, stages monotone") {
+    val outDir = java.nio.file.Files.createTempDirectory("curation-out").toString
+    val counts = CurationPipeline.run(spark, "/root/testdata/sf0.001", outDir)
+    // every stage can only shrink the corpus, and none may empty it
+    assert(counts("input") >= counts("after_quality"))
+    assert(counts("after_quality") >= counts("after_repetition"))
+    assert(counts("after_repetition") >= counts("curated"))
+    assert(counts("curated") > 0)
+    // each real stage must actually bite on the gate data (non-vacuous)
+    assert(counts("after_quality") < counts("input"))
+    assert(counts("curated") < counts("after_repetition"))
+    // the ANN index covers exactly the curated survivors (ids align)
+    assert(counts("pq_codes") == counts("curated"))
+    // egressed artifacts: corpus keeps full doc rows; codes are m=8 ints
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    assert(corpus.columns.toSet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    val codes = spark.read.parquet(s"$outDir/pq_codes")
+    assert(codes.select("codes").collect().forall(_.getSeq[Int](0).length == 8))
+    // no near-dup pair survives: re-running near-dup dedup is a fixpoint
+    val again = operators.Dedup.minHashDedup(corpus, "doc_id", "text").count()
+    assert(again == counts("curated"))
+  }
 }

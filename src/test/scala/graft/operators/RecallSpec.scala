@@ -154,6 +154,26 @@ class RecallSpec extends AnyFunSuite {
     assert(codes.forall { case (id, cs) => again(id) == cs })
   }
 
+  test("PQ: Lloyd-refined codebook reaches the recall floor of the seed codebook") {
+    val kmCb = Similarity.pqCodebookKmeans(embsPq, "vec_id", "embedding", m = 4, k = 16, iters = 3)
+    assert(kmCb.length == 4 && kmCb.forall(_.length == 16) && kmCb.forall(_.forall(_.length == 4)))
+    def meanRecallAt(cb: Option[Array[Array[Array[Double]]]]): Double = {
+      val rs = queries.map { q =>
+        val exact = exactL2(q, 10)
+        val got = ids(Similarity.pqTopKRerank(
+          embsPq, "vec_id", "embedding", q, 10, shortlist = 100, m = 4, k = 16, codebook = cb))
+        exact.intersect(got).size.toDouble / exact.size
+      }
+      rs.sum / rs.length
+    }
+    val refined = meanRecallAt(Some(kmCb))
+    val seed = meanRecallAt(None)
+    // the refined codebook is the production path: it must not fall below
+    // the seed codebook's operating floor (typically it exceeds it)
+    assert(refined >= 0.8, s"kmeans-PQ rerank recall@10 at shortlist=100 is $refined < 0.8")
+    assert(refined >= seed - 0.1, s"refined=$refined seed=$seed — refinement regressed recall")
+  }
+
   test("PQ: ADC over a STORED codes table equals the inline-encode path") {
     val q = queries.head
     val cb = Similarity.pqCodebook(embsPq, "vec_id", "embedding", m = 4, k = 16)
