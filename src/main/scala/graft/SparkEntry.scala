@@ -356,6 +356,19 @@ object SparkEntry {
     stage
   }
 
+  /** Delete a staged source dir once its streaming query has drained —
+    * the memory-sink table is already materialized, so the files are
+    * dead weight; without this, every bench run (5× per query) leaks a
+    * full events copy into /tmp.
+    */
+  private def dropStage(stage: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    try {
+      Files.list(stage).forEach(p => Files.deleteIfExists(p))
+      Files.deleteIfExists(stage)
+    } catch { case _: java.io.IOException => () } // best-effort cleanup
+  }
+
   private def qe6StreamSessions(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
     val stage = stageEvents(dir)
@@ -418,6 +431,7 @@ object SparkEntry {
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      dropStage(stage)
     }
     spark.table(name).filter(col("user_id") >= 0)
   }
@@ -458,6 +472,7 @@ object SparkEntry {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      dropStage(stage)
     }
     spark.table(name)
   }
@@ -478,7 +493,10 @@ object SparkEntry {
     val t =
       try streaming.EventStreams.runWindowedStream(
         spark, stage.toString, schema, s"qe8_mem_${System.nanoTime()}")
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        dropStage(stage)
+      }
     t.select(
       unix_timestamp(col("window_start")).as("window_start"),
       col("event_type"), col("n"), col("value_sum"))
@@ -521,6 +539,7 @@ object SparkEntry {
     finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      dropStage(stage)
     }
     spark.table(name)
   }
