@@ -99,6 +99,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), "argmin fell off hash aggregation")
   }
 
+  test("qs7: PQ ADC k-cut is TakeOrdered, not a global sort") {
+    val p = plan("qs7_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Sort ["), "global sort materialized for the ADC top-k")
+  }
+
   test("qt20: quality rules are a pure projection — zero exchanges, scan-speed at any scale") {
     val p = plan("qt20_quality_rules")
     assert(!p.contains("Exchange"), "quality rules grew a shuffle:\n" + p.take(1200))
