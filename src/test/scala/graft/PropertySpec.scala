@@ -299,4 +299,75 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // random word-stream documents (the harness text shape): small vocab so
+  // repetition is common, occasional symbols/numerics so rules bite
+  private val wordGen = Gen.frequency(
+    6 -> Gen.oneOf("the", "and", "to", "scan", "table", "agg", "row", "key", "fast"),
+    2 -> Gen.oneOf("value", "window", "batch", "merge", "sort", "join"),
+    1 -> Gen.oneOf("x#", "42", "a...b", "zzz"))
+  private val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+
+  test("repetitionStats equals a naive local implementation on random word streams") {
+    import spark.implicits._
+    forAll(Gen.listOfN(8, docGen), n = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = operators.TextAnalysis
+        .repetitionStats(docs, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
+        val toks = norm.split(" ").toSeq
+        val n = toks.size
+        def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        val dupWord = r6((n - toks.distinct.size).toDouble / n)
+        def grams(g: Int): Seq[String] =
+          if (n < g) Nil else (0 to n - g).map(j => toks.slice(j, j + g).mkString(" "))
+        val bi = grams(2).groupBy(identity).view.mapValues(_.size).toMap
+        val top2 =
+          if (bi.isEmpty) 0.0
+          else {
+            val mc = bi.values.max
+            bi.collect { case (g, c) if c == mc => c.toLong * g.length }.max.toDouble
+          }
+        val d5 = grams(5).groupBy(identity).view.mapValues(_.size)
+          .collect { case (g, c) if c > 1 => c.toLong * g.length }.sum.toDouble
+        val expected = (n.toLong, dupWord, r6(top2 / norm.length), r6(d5 / norm.length))
+        assert(got(i.toLong) == expected, s"doc $i: '$t'")
+      }
+    }
+  }
+
+  test("qualityRules equals a naive local implementation on random word streams") {
+    import spark.implicits._
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    forAll(Gen.listOfN(8, docGen), n = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = operators.TextAnalysis
+        .qualityRules(docs, "doc_id", "text", minWords = 3, maxWords = 50)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5), r.getBoolean(6))))
+        .toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
+        val toks = norm.split(" ").toSeq
+        val n = toks.size
+        def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        val meanLen = r6(toks.map(_.length).sum.toDouble / n)
+        val hashes = norm.count(_ == '#')
+        val ellipses = "\\.\\.\\.".r.findAllIn(norm).size
+        val symRatio = r6((hashes + ellipses).toDouble / n)
+        val alphaFrac = r6(toks.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n)
+        val nStop = toks.count(stops).toLong
+        val keep = n >= 3 && n <= 50 && meanLen >= 3.0 && meanLen <= 10.0 &&
+          symRatio <= 0.1 && alphaFrac >= 0.8 && nStop >= 2
+        assert(
+          got(i.toLong) == ((n.toLong, meanLen, symRatio, alphaFrac, nStop, keep)),
+          s"doc $i: '$t' got=${got(i.toLong)}")
+      }
+    }
+  }
 }
