@@ -59,7 +59,9 @@ object CurationPipeline {
     val embs = Tables
       .embeddings(spark, sfDir)
       .join(curated.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val codebook = Similarity.pqCodebook(embs, "vec_id", "embedding", m = 8, k = 16)
+    // production codebook: per-subspace Lloyd refinement (ingest-time
+    // cost, amortized over every query against the stored codes)
+    val codebook = Similarity.pqCodebookKmeans(embs, "vec_id", "embedding", m = 8, k = 16)
     Similarity
       .pqEncode(embs, "vec_id", "embedding", codebook)
       .write.mode("overwrite").parquet(s"$outDir/pq_codes")
