@@ -651,6 +651,21 @@ object SparkEntry {
       .embeddingNearDup(t(spark, dir, "embeddings"), "vec_id", "embedding", dim = 64, threshold = 0.98)
       .select(col("vec_id"))
 
+  /** SemDeDup (Abbas et al. 2023) survivors over the embeddings table:
+    * seed-cell cluster assignment (argmin-L2² vs the 8 lowest-id vectors,
+    * 6-dp-rounded distances, lowest-index ties — the qs7 codebook
+    * contract with m = 1) and within-cluster cosine ≥ 0.4 drops the
+    * higher id. Pairs exist only inside a cluster, so the oracle and the
+    * engine both do Σ|cluster|² work, never n². The 0.4 threshold is the
+    * paper's regime — SemDeDup prunes SEMANTIC redundancy at moderate
+    * cosine, not byte-near-duplicates (this corpus's max within-cluster
+    * cosine is 0.49; at 0.95 the prune would be vacuous).
+    */
+  private def qd14SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .semDedup(t(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, threshold = 0.4)
+      .select(col("vec_id"), col("cluster"))
+
   /** Token count + char stats per doc — oracle-checkable text analysis. */
   private def qt1TokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -2477,6 +2492,7 @@ object SparkEntry {
     "qd3_simhash_dedup" -> (qd3SimHashDedup _),
     "qd4_ngram_jaccard" -> (qd4NgramJaccard _),
     "qd5_embed_dedup" -> (qd5EmbedDedup _),
+    "qd14_semdedup" -> (qd14SemDedup _),
     "qt1_token_count" -> (qt1TokenCount _),
     "qt2_langid" -> (qt2LangId _),
     "qt3_quality" -> (qt3Quality _),
@@ -4289,6 +4305,42 @@ object SparkEntry {
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT a_id FROM dups)""".stripMargin
     },
+    // SemDeDup replay: seed-cell assignment is the qs7 codebook contract
+    // with m = 1 (round-6dp L2² argmin, lowest-index ties); the prune is
+    // qd5's exact double-cast cosine, but candidate pairs come from
+    // cluster equality instead of LSH signature equality
+    "qd14_semdedup" ->
+      """WITH seeds AS (
+        |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |dists AS (
+        |  SELECT e.vec_id, s.cidx,
+        |    round(list_sum(list_transform(generate_series(1, 64), j ->
+        |      pow(CAST(e.embedding[j] AS DOUBLE) - CAST(s.embedding[j] AS DOUBLE), 2))), 6) AS d2
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assign AS (
+        |  SELECT vec_id, cidx AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx) AS rn
+        |    FROM dists)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id > b.vec_id),
+        |cosim AS (
+        |  SELECT c.a_id,
+        |    sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)) AS dt,
+        |    sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(ea.embedding[t.i] AS DOUBLE)) AS na,
+        |    sum(CAST(eb.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)) AS nb
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.a_id
+        |  JOIN embeddings eb ON eb.vec_id = c.b_id
+        |  CROSS JOIN generate_series(1, 64) t(i)
+        |  GROUP BY c.a_id, c.b_id),
+        |dups AS (
+        |  SELECT DISTINCT a_id FROM cosim
+        |  WHERE (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) >= 0.4)
+        |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster FROM assign a
+        |WHERE a.vec_id NOT IN (SELECT a_id FROM dups)""".stripMargin,
     // the reference's golden 10-segment network: edge list as VALUES with
     // the identical ruc·lenM/1000.0 cost expression (literal simplification
     // like 0.8·1000/1000 → 0.8 would NOT be ulp-identical), BF as in qg1

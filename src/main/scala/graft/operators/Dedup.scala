@@ -586,6 +586,76 @@ object Dedup {
           .as("removed_chars"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embedding space, then compare pairs ONLY within a
+    * cluster — semantically-redundant docs land in the same cluster, so
+    * the O(n²) pair problem shrinks to Σ|cluster|², and each cluster's
+    * pair set is an independent task (k scales with n to bound cluster
+    * size; `Dedup.simHashDedup`-style triangle salting is the fallback
+    * for a runaway cluster). Within a cluster, any doc whose cosine
+    * similarity to a LOWER-id doc is ≥ `threshold` is dropped (min-id
+    * survivor — the deterministic stand-in for the paper's
+    * keep-farthest-from-centroid rule, same dedup set).
+    *
+    * This form is the SQL-replayable one (gate qd14): cluster assignment
+    * is argmin-L2² against the k lowest-id seed vectors via
+    * [[Similarity.pqEncode]] with a single m=1 subspace — distances
+    * rounded to 6 dp before the argmin, ties to the lowest cluster
+    * index, exactly the qs7 codebook contract. [[semDedupKmeans]] is the
+    * production variant (Lloyd-refined centroids, tighter clusters).
+    *
+    * Returns the surviving rows as (idCol, cluster).
+    */
+  def semDedup(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    val codebook = Similarity.pqCodebook(embs, idCol, vecCol, 1, k)
+    val assigned = Similarity
+      .pqEncode(embs, idCol, vecCol, codebook)
+      .select(col(idCol), col("codes").getItem(0).as("cluster"))
+    semDedupPrune(embs, assigned, idCol, vecCol, threshold)
+  }
+
+  /** Production SemDeDup: clusters from Lloyd-refined k-means
+    * ([[Similarity.kmeans]], deterministic lowest-id init) instead of the
+    * seed assignment — tighter clusters catch near-dup pairs that straddle
+    * seed-cell boundaries. Same prune contract as [[semDedup]].
+    */
+  def semDedupKmeans(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 4,
+      threshold: Double = 0.95): DataFrame = {
+    val (_, assigned) = Similarity.kmeans(embs, idCol, vecCol, k, iters)
+    semDedupPrune(embs, assigned, idCol, vecCol, threshold)
+  }
+
+  /** Shared SemDeDup prune: within-cluster (a > b) pairs with exact cosine
+    * ≥ threshold drop the higher id. The pair join shuffles only
+    * (id, vec, cluster) on the cluster key; the dup set carries ids only.
+    */
+  private def semDedupPrune(
+      embs: DataFrame,
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val withCluster = embs.select(col(idCol), col(vecCol)).join(assigned, Seq(idCol))
+    val a = withCluster.select(col(idCol).as("a_id"), col(vecCol).as("a_v"), col("cluster"))
+    val b = withCluster.select(col(idCol).as("b_id"), col(vecCol).as("b_v"), col("cluster"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("a_id") > col("b_id"))
+      .filter(VectorFunctions.cosine(col("a_v"), col("b_v")) >= threshold)
+      .select(col("a_id").as(idCol)).distinct()
+    withCluster.join(dups, Seq(idCol), "left_anti").select(col(idCol), col("cluster"))
+  }
+
   /** Embedding-cosine near-dup: hyperplane-LSH candidates verified by
     * exact cosine ≥ threshold; higher id of each verified pair dropped.
     */

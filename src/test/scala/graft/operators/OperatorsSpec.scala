@@ -429,6 +429,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L)) // 2 is a near-dup of 1; lower id wins
   }
 
+  test("semDedup equals a naive local implementation (clusters + min-id survivor)") {
+    import spark.implicits._
+    // seeded mixture: 40 vectors around 4 centers, plus planted near-dups
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.tabulate(4, 8)((c, j) => math.sin(c * 5 + j) * 10.0)
+    val base = (0 until 40).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(j => (centers(c)(j) + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    // near-dups of vectors 0..4 with higher ids (tiny perturbation)
+    val dups = (0 until 5).map { i =>
+      (100L + i, base(i)._2.map(v => v + 1e-4f))
+    }
+    val data = base ++ dups
+    val embs = data.toDF("vec_id", "embedding")
+    val k = 4
+    val threshold = 0.99
+
+    // naive local twin: same seed-cell assignment (round-6dp L2² argmin vs
+    // the k lowest-id vectors, lowest index wins ties), same min-id prune
+    val byId = data.sortBy(_._1)
+    val seeds = byId.take(k).map(_._2.map(_.toDouble).toArray)
+    def cluster(v: Seq[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- 0 until k) {
+        var d = 0.0
+        for (j <- 0 until 8) { val diff = v(j) - seeds(c)(j); d += diff * diff }
+        val dr = math.floor(d * 1e6 + 0.5) / 1e6
+        if (dr < bestD) { bestD = dr; best = c }
+      }
+      best
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- 0 until 8) {
+        dt += a(j).toDouble * b(j); na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j)
+      }
+      if (na == 0 || nb == 0) 0.0 else dt / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assignLocal = data.map { case (id, v) => id -> cluster(v) }.toMap
+    val expected = data.filter { case (id, v) =>
+      !data.exists { case (oid, ov) =>
+        oid < id && assignLocal(oid) == assignLocal(id) && cos(v, ov) >= threshold
+      }
+    }.map(_._1).toSet
+
+    val got = Dedup.semDedup(embs, "vec_id", "embedding", k = k, threshold = threshold)
+    val gotIds = got.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expected)
+    // planted dups must actually be pruned (non-vacuous)
+    assert((100L until 105L).forall(id => !gotIds.contains(id)))
+    // survivors carry their cluster assignment
+    val gotClusters = got.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotClusters.forall { case (id, c) => assignLocal(id) == c })
+  }
+
+  test("semDedupKmeans prunes planted near-dups and keeps cluster consistency") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val centers = Array.tabulate(3, 8)((c, j) => math.cos(c * 7 + j) * 8.0)
+    val base = (0 until 30).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(8)(j => (centers(c)(j) + rnd.nextGaussian() * 0.2).toFloat).toSeq)
+    }
+    val dups = (0 until 3).map(i => (200L + i, base(i)._2.map(v => v + 1e-4f)))
+    val embs = (base ++ dups).toDF("vec_id", "embedding")
+    // 0.9999999: planted 1e-4-perturbation dups sit at cosine ~1-1e-10,
+    // while distinct same-cluster originals stay below ~0.99999
+    val out = Dedup.semDedupKmeans(embs, "vec_id", "embedding", k = 3, iters = 3,
+      threshold = 0.9999999)
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    // a near-identical copy always lands in its original's cluster
+    // (identical argmin up to 1e-4 perturbation on well-separated centers)
+    assert((200L until 203L).forall(id => !kept.contains(id)))
+    assert((0L until 30L).forall(kept.contains)) // originals all survive
+  }
+
   test("IVF scale path: cluster-partitioned write gives scan-time partition pruning") {
     val embs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val (_, assigned) = Similarity.kmeans(embs, "vec_id", "embedding", k = 4, iters = 2)
