@@ -1127,6 +1127,37 @@ object SparkEntry {
        |SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster FROM a5""".stripMargin
   }
 
+  /** Shared qt13/qt21 oracle prefix: the BPE training replay — `w`
+    * (distinct-word freqs), `s0` (char-wrapped words), and per round i the
+    * `t_i` (split tokens) / `p_i` (pair counts) / `b_i` (argmax merge) /
+    * `s_i` (merge applied via the wrapped-token replace, which equals the
+    * greedy left-to-right [[operators.TextAnalysis.mergePair]] because
+    * each token is individually delimited). `s$n` is the fully-encoded
+    * distinct-word dictionary.
+    */
+  private def bpeTrainCteSql(numMerges: Int): String = {
+    val iterations = (1 to numMerges).map { i =>
+      s"""t$i AS (SELECT freq, string_split(st[2:len(st)-1], '><') AS t, st FROM s${i - 1}),
+         |p$i AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT pr[1] AS l, pr[2] AS r, freq FROM (
+         |      SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr, freq
+         |      FROM t$i WHERE len(t) > 1))
+         |  GROUP BY l, r),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT freq, replace(st, '<' || b.l || '><' || b.r || '>', '<' || b.l || b.r || '>') AS st
+         |  FROM t$i, b$i AS b)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT freq, regexp_replace(word, '(.)', '<\\1>', 'g') AS st FROM w),
+       |$iterations""".stripMargin
+  }
+
   /** Real WordPiece inference (greedy longest-prefix-match over the fixed
     * `TextFunctions.wordpieceVocab`) — upgrades the qt6 regex stand-in to
     * the actual subword algorithm; per-doc piece count.
@@ -1143,6 +1174,20 @@ object SparkEntry {
     */
   private def qt13BpeTrain(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.bpeTrain(t(spark, dir, "documents"), "text", 10)
+
+  /** BPE ENCODE with the merges learned on the same corpus — the full
+    * train→tokenize round trip ([[operators.TextAnalysis.bpeEncode]]):
+    * per-doc BPE token counts under the 10 qt13 merges, applied in rank
+    * order with the greedy left-to-right rule. The oracle replays
+    * training (qt13's unrolled CTE) AND encoding — its `s10` stage IS the
+    * encoded dictionary, because training already applies each merge to
+    * every distinct word.
+    */
+  private def qt21BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = operators.TextAnalysis.bpeTrain(docs, "text", 10)
+    operators.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+  }
 
   /** EXACT heavy hitters via the two-pass Misra–Gries sketch-then-recount
     * ([[operators.TextAnalysis.heavyHitters]]): all terms with corpus
@@ -2579,6 +2624,7 @@ object SparkEntry {
     "qs6_kmeans" -> (qs6Kmeans _),
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "qt13_bpe_train" -> (qt13BpeTrain _),
+    "qt21_bpe_encode" -> (qt21BpeEncode _),
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
     "qt15_bm25" -> (qt15Bm25 _),
     "qt16_stratified" -> (qt16Stratified _),
@@ -4828,32 +4874,33 @@ object SparkEntry {
     // get_stats); the winner is (count desc, l, r). 10 unrolled
     // iterations, chained CTEs.
     "qt13_bpe_train" -> {
-      val iterations = (1 to 10).map { i =>
-        s"""t$i AS (SELECT freq, string_split(st[2:len(st)-1], '><') AS t, st FROM s${i - 1}),
-           |p$i AS (
-           |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT pr[1] AS l, pr[2] AS r, freq FROM (
-           |      SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr, freq
-           |      FROM t$i WHERE len(t) > 1))
-           |  GROUP BY l, r),
-           |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-           |s$i AS (
-           |  SELECT freq, replace(st, '<' || b.l || '><' || b.r || '>', '<' || b.l || b.r || '>') AS st
-           |  FROM t$i, b$i AS b)""".stripMargin
-      }.mkString(",\n")
       val union = (1 to 10)
         .map(i => s"  SELECT CAST($i AS BIGINT) AS merge_rank, l, r, l || r AS merged, cnt FROM b$i")
         .mkString(" UNION ALL\n")
-      s"""WITH w AS (
-         |  SELECT word, count(*) AS freq FROM (
-         |    SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'), '\\s+')) AS word
-         |    FROM documents)
-         |  WHERE word <> '' GROUP BY word),
-         |s0 AS (SELECT freq, regexp_replace(word, '(.)', '<\\1>', 'g') AS st FROM w),
-         |$iterations
+      s"""WITH ${bpeTrainCteSql(10)}
          |SELECT * FROM (
          |$union) ORDER BY merge_rank""".stripMargin
     },
+    // train replay (shared CTE) + encode: s10 is already the per-distinct-
+    // word token string after all 10 merges — encoding is reading it back
+    // and weighting by per-doc word counts
+    "qt21_bpe_encode" ->
+      s"""WITH ${bpeTrainCteSql(10)},
+         |t11 AS (SELECT string_split(st[2:len(st)-1], '><') AS t, st FROM s10),
+         |wordtok AS (
+         |  SELECT replace(replace(st, '<', ''), '>', '') AS word, len(t) AS ntok FROM t11),
+         |docwords AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'), '\\s+')) AS word
+         |  FROM documents),
+         |dwc AS (
+         |  SELECT doc_id, word, count(*) AS cnt FROM docwords WHERE word <> ''
+         |  GROUP BY doc_id, word),
+         |perdoc AS (
+         |  SELECT dwc.doc_id, sum(dwc.cnt * wt.ntok) AS n
+         |  FROM dwc JOIN wordtok wt USING (word) GROUP BY dwc.doc_id)
+         |SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS n_bpe_tokens
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
     "qt11_wordpiece" -> {
       val vocabValues = functions.TextFunctions.wordpieceVocab.map(v => s"('$v')").mkString(",")
       s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vocabValues)),

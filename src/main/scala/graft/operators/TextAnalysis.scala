@@ -140,6 +140,52 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "l", "r", "merged", "cnt")
   }
 
+  /** BPE ENCODE — the inference half of [[bpeTrain]]: tokenize each doc
+    * with a learned merge table, returning per-doc BPE token counts (the
+    * number every packing/batching decision consumes). Same normalization
+    * and [[mergePair]] greedy left-to-right semantics as training; merges
+    * apply strictly in rank order, the standard BPE inference rule.
+    *
+    * `merges` is a [[bpeTrain]]-shaped frame (`merge_rank`, `l`, `r`) —
+    * collected driver-side (numMerges rows by contract, the sanctioned
+    * bounded side) and compiled into one per-word kernel.
+    *
+    * Scale shape: docs reduce to (doc, word) counts in one hash shuffle
+    * (bounded by distinct pairs, not corpus positions); the merge loop
+    * runs once per DISTINCT word (vocabulary-sized, the dictionary
+    * trick); the token-count dictionary joins back per-doc — a
+    * broadcastable vocab at any corpus size. Docs with no words emit 0.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String, merges: DataFrame): DataFrame = {
+    val mseq = merges
+      .orderBy(col("merge_rank"))
+      .select(col("l"), col("r"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nTokUdf = udf { (w: String) =>
+      var toks = w.map(_.toString).toArray
+      mseq.foreach { case (a, b) => toks = mergePair(toks, a, b) }
+      toks.length
+    }
+    val words = docs
+      .select(
+        col(idCol),
+        explode(split(regexp_replace(lower(trim(col(textCol))), "[^a-z0-9 ]", " "), "\\s+"))
+          .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val dict = words.select(col("word")).distinct()
+      .withColumn("ntok", nTokUdf(col("word")))
+    val perDoc = words
+      .join(broadcast(dict), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("ntok")).as("n"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Per-partition Misra–Gries summary: the classic k-counter streaming
     * sketch. Guarantee: any item whose count in this partition exceeds
     * (partition size)/(k+1) is present in the returned summary.

@@ -126,6 +126,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.mergePair(Array("b", "a", "a"), "a", "a").toSeq === Seq("b", "aa"))
   }
 
+  test("bpeEncode matches a naive per-doc tokenizer under the trained merges") {
+    import spark.implicits._
+    val texts = Seq(
+      "low low low lower lowest",
+      "aaaa aaaa baaa", // self-merge runs: greedy non-overlapping application
+      "The QUICK, quick brown-fox; fox!",
+      "   ", // whitespace-only doc -> 0 tokens
+      "ab ab ba ba")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", 8)
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // independent encoder: list-walk greedy scan per merge in rank order
+    val mseq = merges.collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    def applyMerge(toks: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = toks
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tl if x == a && y == b => out += a + b; rest = tl
+        case x :: tl => out += x; rest = tl
+        case Nil => ()
+      }
+      out.toList
+    }
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val words = t.trim.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split("\\s+").filter(_.nonEmpty)
+      val n = words.map { w =>
+        mseq.foldLeft(w.map(_.toString).toList) { case (ts, (a, b)) => applyMerge(ts, a, b) }.length
+      }.sum
+      (i.toLong, n.toLong)
+    }.toMap
+    assert(got == want)
+    assert(got(3L) == 0L) // empty doc present with 0, not missing
+    assert(want.values.sum > 0)
+  }
+
   test("misraGries summary keeps every item with count > n/(k+1), any order") {
     // adversarial order: the heavy item first, then 15 distinct one-offs
     // that trigger repeated decrement-all rounds against its counter
