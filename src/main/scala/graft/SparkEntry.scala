@@ -2054,6 +2054,49 @@ object SparkEntry {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** Recursive best-effort temp cleanup (nested staging layouts). */
+  private def rmTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    try
+      Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach { p => Files.deleteIfExists(p); () }
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Layout tier — FILE-LEVEL BLOOM SKIPPING INDEX end-to-end
+    * ([[operators.Layout.writeBloomIndexed]]/[[operators.Layout.bloomLookup]]):
+    * a lineitem slice is written hash-partitioned by `l_orderkey` with a
+    * per-file bloom sidecar (Spark's native `BloomFilterAggregate`), and
+    * the gate's rows come back through a point lookup that reads the
+    * sidecar, keeps bloom-candidate files only, and applies the residual
+    * equality filter. The oracle replays the plain full-scan filter —
+    * identical output is exactly the bloom's no-false-negatives contract.
+    * The skipping itself (1 candidate file of 16 for this key) is
+    * asserted in LayoutSpec. Result rows are materialized (a handful by
+    * construction) so the staging dir can be reclaimed before return —
+    * bench reruns must not accumulate lineitem copies in /tmp.
+    */
+  private def qy4BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qy4")
+    try {
+      operators.Layout.writeBloomIndexed(
+        t(spark, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity"), col("l_extendedprice")),
+        "l_orderkey", wh.toString, numFiles = 16, expectedPerFile = 500000L)
+      val out = operators.Layout
+        .bloomLookup(spark, wh.toString, "l_orderkey", lit(1L))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   /** Layout tier — small-file compaction round trip: a 48-shard parquet
     * directory is compacted ([[operators.Layout.compact]] — `coalesce`,
     * a narrow dependency, so NO shuffle; LayoutSpec asserts the plan and
@@ -2583,6 +2626,7 @@ object SparkEntry {
     "qy1_zorder" -> (qy1Zorder _),
     "qy2_bucket_join" -> (qy2BucketJoin _),
     "qy3_zbox" -> (qy3ZBoxQuery _),
+    "qy4_bloom_lookup" -> (qy4BloomLookup _),
     "qj4_ci_join" -> (qj4CiJoin _),
     "qj5_collect_join" -> (qj5CollectJoin _),
     "qm1_media_meta" -> (qm1MediaMeta _),
@@ -2854,6 +2898,12 @@ object SparkEntry {
         |FROM (SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y, l_extendedprice
         |      FROM lineitem)
         |WHERE x BETWEEN 32 AND 79 AND y BETWEEN 100 AND 131""".stripMargin,
+    // Bloom-skipping lookup: the oracle is the plain full-scan filter —
+    // identical rows is the bloom's no-false-negatives contract (false
+    // positives are erased by the residual filter inside the scan)
+    "qy4_bloom_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
     // Bucketed join: the oracle replays the plain join over the parquet
     // sources — wrong bucket routing silently drops matches on the Spark
     // side and breaks n/revenue.

@@ -211,6 +211,97 @@ object Layout {
     n
   }
 
+  /** FILE-LEVEL BLOOM SKIPPING INDEX — point-lookup pruning for high-
+    * cardinality keys where min/max stats are useless (uuid-ish keys are
+    * uniform per file, so every file's [min,max] straddles every probe).
+    * Writes `df` hash-partitioned by `keyCol` into `numFiles` data files
+    * (each key's rows land in exactly ONE file), then builds one bloom
+    * filter PER FILE over `xxhash64(keyCol)` and stores the sidecar at
+    * `dir/_bloom_index` (file → serialized bloom). The aggregation uses
+    * Spark's native `BloomFilterAggregate` (the expression behind runtime
+    * row-group filtering): map-side partials are bloom merges, so the
+    * index pass shuffles `numFiles` blooms, never rows.
+    *
+    * [[bloomLookup]] then answers a point query by reading the KB-sized
+    * sidecar, keeping candidate files via `BloomFilterMightContain`, and
+    * scanning only those — at 100 TB / 10⁵ files a lookup touches
+    * 1 + fpp·(files−1) files instead of all of them, without any sort
+    * order on the key. Exactness: the bloom admits false POSITIVES only,
+    * and the residual `keyCol = value` filter inside the scan removes
+    * them — output ≡ a full-scan filter (LayoutSpec + the qy4 oracle).
+    */
+  def writeBloomIndexed(
+      df: DataFrame,
+      keyCol: String,
+      dir: String,
+      numFiles: Int,
+      expectedPerFile: Long = 1000000L,
+      fpp: Double = 0.01): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = df.sparkSession
+    df.repartition(numFiles, col(keyCol))
+      .write.mode("overwrite").parquet(s"$dir/data")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .create(expectedPerFile, fpp).bitSize()
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(keyCol))),
+        Literal(expectedPerFile),
+        Literal(numBits)).toAggregateExpression())
+    spark.read.parquet(s"$dir/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(agg.as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_bloom_index")
+  }
+
+  /** Point lookup through the [[writeBloomIndexed]] sidecar: returns the
+    * rows with `keyCol = value`, scanning only bloom-candidate files.
+    * The index read + candidate collect is bounded by the file count
+    * (KBs); the data scan is the candidate files only.
+    */
+  /** Per-row `might_contain` over the sidecar: Spark's native
+    * `BloomFilterMightContain` only accepts a CONSTANT bloom (it exists
+    * for runtime filters), so candidate selection deserializes each
+    * file's bloom once — one row per file by construction, so the work
+    * is proportional to the file count, never the data.
+    */
+  private val mightContainUdf = udf { (bloom: Array[Byte], h: Long) =>
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloom))
+      .mightContainLong(h)
+  }
+
+  def bloomLookup(
+      spark: SparkSession,
+      dir: String,
+      keyCol: String,
+      value: Column): DataFrame = {
+    val idx = spark.read.parquet(s"$dir/_bloom_index")
+    val candidates = idx
+      .filter(mightContainUdf(col("bloom"), xxhash64(value)))
+      .select("file")
+      .collect().map(_.getString(0))
+    val schema = spark.read.parquet(s"$dir/data").schema
+    if (candidates.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(col(keyCol) === value)
+    else
+      spark.read.schema(schema).parquet(candidates.toIndexedSeq: _*)
+        .filter(col(keyCol) === value)
+  }
+
+  /** Candidate-file count for a probe value — the pruning metric
+    * (LayoutSpec asserts candidates ≪ total files for a present key and
+    * documents the fpp contract for absent keys).
+    */
+  def bloomCandidateFiles(spark: SparkSession, dir: String, value: Column): Long =
+    spark.read.parquet(s"$dir/_bloom_index")
+      .filter(mightContainUdf(col("bloom"), xxhash64(value)))
+      .count()
+
   /** Write `df` as a hash-bucketed, per-bucket-sorted table: rows land in
     * bucket `hash(bucketKey) % numBuckets`, sorted by the key inside each
     * bucket file. Two tables bucketed on their join keys with the same

@@ -217,6 +217,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no .parquet"))
   }
 
+  test("bloom index: point lookup scans candidate files only, result == full-scan filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // high-cardinality key with NO ordering: min/max file stats are
+    // useless (every file spans ~the full key range), only the bloom prunes
+    val df = spark.range(50000)
+      .select(($"id" * 2654435761L % 100003).as("k"), $"id".as("payload"))
+    Layout.writeBloomIndexed(df, "k", dir, numFiles = 16, expectedPerFile = 10000L, fpp = 0.01)
+
+    val probe = df.limit(1).collect().head.getLong(0)
+    // hash-partitioned by k ⇒ the true rows live in exactly ONE file; at
+    // fpp=0.01 the expected false-positive candidates are ~0.15 files —
+    // allow a generous margin but require a real pruning win
+    val cand = Layout.bloomCandidateFiles(spark, dir, lit(probe))
+    assert(cand >= 1 && cand <= 4, s"candidates=$cand of 16")
+
+    val got = Layout.bloomLookup(spark, dir, "k", lit(probe))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    val want = df.filter($"k" === probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+
+    // absent key: overwhelmingly zero candidates at this fpp; lookup is
+    // exact-empty regardless (residual filter erases any false positive)
+    val absent = Layout.bloomLookup(spark, dir, "k", lit(100004L)).count()
+    assert(absent == 0)
+  }
+
   test("bucketed tables join with no Exchange on either side") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val facts = spark.range(20000).select($"id".as("k"), ($"id" * 7 % 1000).as("v"))
