@@ -2156,6 +2156,44 @@ object SparkEntry {
         col("attrs")("VAL").cast("double").as("val"))
   }
 
+  /** S1 through the DATASOURCE V2 path ([[sources.v2.ShapefileDataSource]]):
+    * `spark.read.format("graft-shapefile")` over a TWO-file directory —
+    * sidecar grouping happens at PLANNING time (one InputPartition per
+    * basename, no binaryFile shuffle), .dbf attributes surface as typed
+    * top-level columns, and the un-selected EXTRA column is pruned by
+    * Catalyst down into the dBase parse (PlanSpec pins the ReadSchema).
+    * Same parse kernels as qf1, so the oracle is the same fixture
+    * arithmetic, unioned across both files.
+    */
+  private def qf9ShapefileV2(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qf9")
+    val prj =
+      """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+    val lens = Seq(("NAME", 8), ("VAL", 6), ("EXTRA", 6))
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%6.2f", Double.box(d))
+    sources.Shapefile.writePoints(
+      tmp.resolve("a.shp").toString,
+      Seq.tabulate(40)(i => (i * 1.5 + 0.25, (i % 7) * 2.0 - 3.5)),
+      Seq.tabulate(40)(i =>
+        Map("NAME" -> s"F$i", "VAL" -> fmt((i % 20) * 0.25), "EXTRA" -> s"X$i")),
+      lens)
+    java.nio.file.Files.writeString(tmp.resolve("a.prj"), prj)
+    sources.Shapefile.writePoints(
+      tmp.resolve("b.shp").toString,
+      Seq.tabulate(20)(i => (i * 0.5 + 0.125, (i % 5) * 1.0 - 2.0)),
+      Seq.tabulate(20)(i =>
+        Map("NAME" -> s"G$i", "VAL" -> fmt((i % 10) * 0.5), "EXTRA" -> s"Y$i")),
+      lens)
+    java.nio.file.Files.writeString(tmp.resolve("b.prj"), prj)
+    spark.read.format("graft-shapefile").load(tmp.toString)
+      .select(
+        col("record_no"),
+        expr("parts[0][0][0]").as("x"),
+        expr("parts[0][0][1]").as("y"),
+        col("NAME").as("name"),
+        col("VAL").cast("double").as("val"))
+  }
+
   /** S2+S3 round-trip — GeoJSON FeatureCollection sink then scan: a
     * synthetic point layer serializes through [[sources.GeoJson.write]]
     * (single-file FeatureCollection egress), re-ingests via
@@ -2623,6 +2661,7 @@ object SparkEntry {
     "qf6_orc_roundtrip" -> (qf6OrcRoundtrip _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
+    "qf9_shapefile_v2" -> (qf9ShapefileV2 _),
     "qy1_zorder" -> (qy1Zorder _),
     "qy2_bucket_join" -> (qy2BucketJoin _),
     "qy3_zbox" -> (qy3ZBoxQuery _),
@@ -2996,6 +3035,21 @@ object SparkEntry {
         |  'F' || CAST(i AS VARCHAR) AS name,
         |  (i % 20) * 0.25 AS val
         |FROM generate_series(0, 39) t(i)""".stripMargin,
+    // V2 source: same fixture arithmetic as qf1, across both files
+    "qf9_shapefile_v2" ->
+      """SELECT CAST(i + 1 AS INTEGER) AS record_no,
+        |  0.25 + 1.5 * i AS x,
+        |  (i % 7) * 2.0 - 3.5 AS y,
+        |  'F' || CAST(i AS VARCHAR) AS name,
+        |  (i % 20) * 0.25 AS val
+        |FROM generate_series(0, 39) t(i)
+        |UNION ALL
+        |SELECT CAST(i + 1 AS INTEGER),
+        |  0.125 + 0.5 * i,
+        |  (i % 5) * 1.0 - 2.0,
+        |  'G' || CAST(i AS VARCHAR),
+        |  (i % 10) * 0.5
+        |FROM generate_series(0, 19) t(i)""".stripMargin,
     "qf2_geojson" ->
       """SELECT 'Point' AS geom_type,
         |  'g' || CAST(i AS VARCHAR) AS name,

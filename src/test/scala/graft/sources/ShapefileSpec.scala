@@ -183,6 +183,68 @@ class ShapefileSpec extends AnyFunSuite {
     }
   }
 
+  test("S1 V2: format(graft-shapefile) equals the RDD reader, attrs as typed columns") {
+    val dir = java.nio.file.Files.createTempDirectory("shp-v2")
+    writeShp(dir.resolve("roads.shp"))
+    writeDbf(dir.resolve("roads.dbf"))
+    val v2 = spark.read.format("graft-shapefile").load(dir.toString)
+      .orderBy("record_no").collect()
+    val v1 = Shapefile.read(spark, dir.toString + "/*").orderBy("record_no").collect()
+    assert(v2.length == v1.length)
+    v2.zip(v1).foreach { case (a, b) =>
+      assert(a.getAs[Int]("record_no") == b.getAs[Int]("record_no"))
+      assert(a.getAs[String]("geom_type") == b.getAs[String]("geom_type"))
+      assert(
+        a.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("parts")
+          == b.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("parts"))
+      // V2 surfaces each dbf field as a top-level typed column
+      val attrs = b.getAs[Map[String, String]]("attrs")
+      assert(a.getAs[String]("NAME") == attrs("NAME"))
+      assert(a.getAs[String]("RUC") == attrs("RUC"))
+    }
+  }
+
+  test("S1 V2: Catalyst prunes un-selected dbf columns into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("shp-v2-prune")
+    writeShp(dir.resolve("roads.shp"))
+    writeDbf(dir.resolve("roads.dbf"))
+    val q = spark.read.format("graft-shapefile").load(dir.toString).select("NAME")
+    val plan = q.queryExecution.executedPlan.toString
+    // the scan's output schema carries only the projected column — RUC is
+    // never parsed (SupportsPushDownRequiredColumns drove parseDbf's
+    // `wanted` set), and the geometry columns are gone too
+    assert(plan.contains("NAME") && !plan.contains("RUC") && !plan.contains("parts"),
+      plan.take(600))
+    assert(q.collect().map(_.getString(0)).sorted.toSeq == Seq("N1", "R850"))
+    // count(*)-only plans read just the record count (no geometry parse)
+    assert(spark.read.format("graft-shapefile").load(dir.toString).count() == 2)
+  }
+
+  test("S1 V2: .prj reprojection applies on the V2 path too") {
+    import graft.functions.Crs
+    val lonLat = Seq((32.57, -25.97), (33.0, -15.0))
+    val p36s = Crs.utmZone(36, south = true)
+    val projected = lonLat.map { case (lon, lat) => Crs.tmForward(lon, lat, p36s) }
+    val dir = java.nio.file.Files.createTempDirectory("shp-v2-utm")
+    writeShpPoints(dir.resolve("roads.shp"), projected)
+    java.nio.file.Files.writeString(
+      dir.resolve("roads.prj"),
+      """PROJCS["WGS 84 / UTM zone 36S",GEOGCS["WGS 84",DATUM["WGS_1984",""" +
+        """SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],""" +
+        """UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",33],""" +
+        """PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],""" +
+        """PARAMETER["false_northing",10000000],UNIT["metre",1]]""")
+    val rows = spark.read.format("graft-shapefile").load(dir.toString).collect()
+    assert(rows.length == 1)
+    val got = rows(0)
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("parts")
+      .head.map(p => (p(0), p(1)))
+    lonLat.zip(got).foreach { case ((lon, lat), (glon, glat)) =>
+      assert(math.abs(glon - lon) < 1e-6 && math.abs(glat - lat) < 1e-6)
+    }
+  }
+
   test("F15/S1: unsupported .prj projection fails the read loudly") {
     val dir = java.nio.file.Files.createTempDirectory("shp-badprj")
     writeShpPoints(dir.resolve("roads.shp"), Seq((1.0, 2.0), (3.0, 4.0)))
