@@ -1189,6 +1189,24 @@ object SparkEntry {
     operators.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
   }
 
+  /** Deterministic corpus SHUFFLE + SHARD ([[operators.Layout.shuffleShard]])
+    * — the reproducible pseudorandom permutation + round-robin shard deal
+    * every training run performs before reading batches. The gate's order
+    * key is a multiplicative hash `(doc_id·2654435761) mod 1000000007`
+    * (62-bit-safe under ANSI, trivially replayable); production defaults
+    * to xxhash64. Positions come from range-partition + zipWithIndex, not
+    * a one-task global window — the oracle's `row_number()` proves the
+    * distributed assignment matches the sequential definition exactly.
+    */
+  private def qt22ShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    operators.Layout
+      .shuffleShard(
+        t(spark, dir, "documents").select(col("doc_id")),
+        "doc_id",
+        numShards = 8,
+        orderKey = Some((col("doc_id") * lit(2654435761L)) % lit(1000000007L)))
+      .select(col("doc_id"), col("shuffle_pos"), col("shard"), col("pos_in_shard"))
+
   /** EXACT heavy hitters via the two-pass Misra–Gries sketch-then-recount
     * ([[operators.TextAnalysis.heavyHitters]]): all terms with corpus
     * frequency ≥ support·N, exact counts. Output is identical to the
@@ -2708,6 +2726,7 @@ object SparkEntry {
     "qt11_wordpiece" -> (qt11Wordpiece _),
     "qt13_bpe_train" -> (qt13BpeTrain _),
     "qt21_bpe_encode" -> (qt21BpeEncode _),
+    "qt22_shuffle_shard" -> (qt22ShuffleShard _),
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
     "qt15_bm25" -> (qt15Bm25 _),
     "qt16_stratified" -> (qt16Stratified _),
@@ -5028,6 +5047,17 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(s.n_pieces, 0)::BIGINT AS n_pieces
          |FROM documents d LEFT JOIN perdoc s USING (doc_id)""".stripMargin
     },
+    // the distributed zipWithIndex permutation must equal the sequential
+    // row_number() definition bit-for-bit
+    "qt22_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS sk FROM documents),
+        |p AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) - 1 AS pos FROM h)
+        |SELECT doc_id, pos AS shuffle_pos,
+        |  CAST(pos % 8 AS INTEGER) AS shard,
+        |  pos // 8 AS pos_in_shard
+        |FROM p""".stripMargin,
     // the sketch is exact-output by the Misra–Gries guarantee, so the
     // oracle is the naive one-pass GROUP BY ... HAVING
     "qt14_heavy_hitters" ->

@@ -302,6 +302,50 @@ object Layout {
       .filter(mightContainUdf(col("bloom"), xxhash64(value)))
       .count()
 
+  /** DETERMINISTIC CORPUS SHUFFLE + SHARDING — the terminal step of a
+    * training-data pipeline: give every row a reproducible pseudorandom
+    * global position (order by `orderKey`, tie-broken by `idCol`) and
+    * deal rows round-robin into `numShards` shards (`shard = pos %
+    * numShards`, `pos_in_shard = pos / numShards` — each shard is a
+    * strided sample of the shuffled order, so shards are equal ±1 with
+    * no second pass over the data).
+    *
+    * NOT a global sort: `repartitionByRange` on the key + in-partition
+    * sort + `zipWithIndex` assigns the identical positions fully
+    * distributed (range partitions are globally ordered, offsets
+    * accumulate in partition order — the same pattern as RoadGraph's
+    * dense node ids). A `row_number()` over an unpartitioned window
+    * would serialize the corpus through ONE task.
+    *
+    * `orderKey` defaults to `xxhash64(idCol)` (production); pass any
+    * deterministic expression — the qt22 gate uses a multiplicative hash
+    * so DuckDB can replay the permutation exactly. Positions depend only
+    * on (orderKey, idCol) values, never on input partitioning — the
+    * reproducibility contract a training run needs to resume sharding.
+    */
+  def shuffleShard(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      orderKey: Option[Column] = None): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val spark = df.sparkSession
+    val key = orderKey.getOrElse(xxhash64(col(idCol)))
+    val keyed = df
+      .withColumn("__sk", key)
+      .repartitionByRange(col("__sk"), col(idCol))
+      .sortWithinPartitions(col("__sk"), col(idCol))
+    val withPos = spark.createDataFrame(
+      keyed.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      keyed.schema.add("shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    withPos
+      .withColumn("shard", (col("shuffle_pos") % numShards).cast("int"))
+      .withColumn("pos_in_shard", expr(s"shuffle_pos div $numShards"))
+      .drop("__sk")
+  }
+
   /** Write `df` as a hash-bucketed, per-bucket-sorted table: rows land in
     * bucket `hash(bucketKey) % numBuckets`, sorted by the key inside each
     * bucket file. Two tables bucketed on their join keys with the same

@@ -244,6 +244,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(absent == 0)
   }
 
+  test("shuffleShard: permutation, balanced shards, invariant to input partitioning") {
+    val df = spark.range(1000).select($"id".as("doc_id"))
+    val out = Layout.shuffleShard(df, "doc_id", numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+
+    // positions are exactly 0..n-1 (a permutation, no gaps/dups)
+    assert(out.map(_._2).sorted.toSeq == (0L until 1000L))
+    // the deal is round-robin off the position
+    assert(out.forall { case (_, pos, shard, pis) => shard == pos % 8 && pis == pos / 8 })
+    // shards are equal ±1 with no counting pass
+    val sizes = out.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1)
+    // the order is shuffled, not identity (hash order ≠ id order)
+    assert(out.sortBy(_._2).map(_._1).take(20).toSeq != (0L until 20L))
+
+    // determinism: a radically different input partitioning yields the
+    // IDENTICAL permutation — the resume/reproducibility contract
+    val repartitioned = Layout.shuffleShard(df.repartition(13), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(repartitioned.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("bucketed tables join with no Exchange on either side") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val facts = spark.range(20000).select($"id".as("k"), ($"id" * 7 % 1000).as("v"))
