@@ -666,6 +666,24 @@ object SparkEntry {
       .semDedup(t(spark, dir, "embeddings"), "vec_id", "embedding", k = 8, threshold = 0.4)
       .select(col("vec_id"), col("cluster"))
 
+  /** Incremental SemDeDup ([[Dedup.incrementalSemDedup]]): the corpus is
+    * the non-multiple-of-5 embeddings, the batch is the multiple-of-5
+    * rows with ids shifted +1000000 — so real cross-split semantic pairs
+    * exist at the qd14 threshold. Seed centroids come from the CORPUS's
+    * 8 lowest ids (cluster stability under corpus growth); drops happen
+    * both against the corpus and within the batch, and the oracle
+    * replays the split, the assignment, and both prune paths.
+    */
+  private def qd15IncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val embs = t(spark, dir, "embeddings")
+    val corpus = embs.filter(col("vec_id") % 5 =!= 0)
+    val batch = embs.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup
+      .incrementalSemDedup(corpus, batch, "vec_id", "embedding", k = 8, threshold = 0.4)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Token count + char stats per doc — oracle-checkable text analysis. */
   private def qt1TokenCount(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -2637,6 +2655,7 @@ object SparkEntry {
     "qd4_ngram_jaccard" -> (qd4NgramJaccard _),
     "qd5_embed_dedup" -> (qd5EmbedDedup _),
     "qd14_semdedup" -> (qd14SemDedup _),
+    "qd15_incr_semdedup" -> (qd15IncrementalSemDedup _),
     "qt1_token_count" -> (qt1TokenCount _),
     "qt2_langid" -> (qt2LangId _),
     "qt3_quality" -> (qt3Quality _),
@@ -4510,6 +4529,50 @@ object SparkEntry {
         |  WHERE (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) >= 0.4)
         |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster FROM assign a
         |WHERE a.vec_id NOT IN (SELECT a_id FROM dups)""".stripMargin,
+    // incremental SemDeDup: corpus/batch split + corpus-seeded assignment
+    // + both prune paths (vs corpus, within batch) replayed
+    "qd15_incr_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+        |batch AS (
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0),
+        |seeds AS (
+        |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+        |  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+        |call AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+        |dists AS (
+        |  SELECT e.vec_id, s.cidx,
+        |    round(list_sum(list_transform(generate_series(1, 64), j ->
+        |      pow(CAST(e.embedding[j] AS DOUBLE) - CAST(s.embedding[j] AS DOUBLE), 2))), 6) AS d2
+        |  FROM call e CROSS JOIN seeds s),
+        |assign AS (
+        |  SELECT vec_id, cidx AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx) AS rn
+        |    FROM dists)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT b.vec_id AS a_id, o.vec_id AS b_id
+        |  FROM assign b JOIN assign o ON b.cluster = o.cluster
+        |  JOIN batch bb ON bb.vec_id = b.vec_id
+        |  WHERE (o.vec_id < 1000000 OR (o.vec_id >= 1000000 AND o.vec_id < b.vec_id))
+        |    AND o.vec_id <> b.vec_id),
+        |cosim AS (
+        |  SELECT c.a_id,
+        |    sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)) AS dt,
+        |    sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(ea.embedding[t.i] AS DOUBLE)) AS na,
+        |    sum(CAST(eb.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)) AS nb
+        |  FROM cand c
+        |  JOIN call ea ON ea.vec_id = c.a_id
+        |  JOIN call eb ON eb.vec_id = c.b_id
+        |  CROSS JOIN generate_series(1, 64) t(i)
+        |  GROUP BY c.a_id, c.b_id),
+        |dups AS (
+        |  SELECT DISTINCT a_id FROM cosim
+        |  WHERE (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) >= 0.4)
+        |SELECT b.vec_id, CAST(a.cluster AS INTEGER) AS cluster
+        |FROM batch b JOIN assign a ON a.vec_id = b.vec_id
+        |WHERE b.vec_id NOT IN (SELECT a_id FROM dups)""".stripMargin,
     // the reference's golden 10-segment network: edge list as VALUES with
     // the identical ruc·lenM/1000.0 cost expression (literal simplification
     // like 0.8·1000/1000 → 0.8 would NOT be ulp-identical), BF as in qg1

@@ -636,6 +636,52 @@ object Dedup {
     semDedupPrune(embs, assigned, idCol, vecCol, threshold)
   }
 
+  /** INCREMENTAL SemDeDup — the semantic member of the incremental-dedup
+    * family ([[incrementalExactDedup]] exact, [[incrementalMinHashDedup]]
+    * near-dup): dedupe an incoming batch against a standing corpus
+    * WITHOUT re-deduping the corpus. The corpus reduces to its
+    * (id, vec, cluster) assignment — a persistable artifact built once
+    * (cluster = the [[semDedup]] seed-cell assignment from the k
+    * lowest-id CORPUS vectors, so growing the corpus never moves
+    * existing clusters); each batch is assigned against the SAME
+    * centroids, then a batch row drops if its cosine ≥ `threshold`
+    * against ANY same-cluster corpus vector, or against a lower-id
+    * same-cluster batch row (first-in-batch wins — the [[semDedup]]
+    * min-id rule). Join work is Σ|cluster∩batch|·|cluster∩corpus|, never
+    * |batch|·|corpus|.
+    *
+    * Returns surviving batch rows as (idCol, cluster).
+    */
+  def incrementalSemDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    val codebook = Similarity.pqCodebook(corpus, idCol, vecCol, 1, k)
+    def assigned(df: DataFrame): DataFrame =
+      df.select(col(idCol), col(vecCol))
+        .join(
+          Similarity.pqEncode(df, idCol, vecCol, codebook)
+            .select(col(idCol), col("codes").getItem(0).as("cluster")),
+          Seq(idCol))
+    val c = assigned(corpus)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_v"), col("cluster"))
+    val b = assigned(batch)
+    val bPairs = b.select(col(idCol).as("b_id"), col(vecCol).as("b_v"), col("cluster"))
+    val dupVsCorpus = bPairs.join(c, Seq("cluster"))
+      .filter(VectorFunctions.cosine(col("b_v"), col("c_v")) >= threshold)
+      .select(col("b_id").as(idCol))
+    val b2 = b.select(col(idCol).as("b2_id"), col(vecCol).as("b2_v"), col("cluster"))
+    val dupInBatch = bPairs.join(b2, Seq("cluster"))
+      .filter(col("b_id") > col("b2_id"))
+      .filter(VectorFunctions.cosine(col("b_v"), col("b2_v")) >= threshold)
+      .select(col("b_id").as(idCol))
+    b.join(dupVsCorpus.union(dupInBatch).distinct(), Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+  }
+
   /** Shared SemDeDup prune: within-cluster (a > b) pairs with exact cosine
     * ≥ threshold drop the higher id. The pair join shuffles only
     * (id, vec, cluster) on the cluster key; the dup set carries ids only.

@@ -485,6 +485,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotClusters.forall { case (id, c) => assignLocal(id) == c })
   }
 
+  test("incrementalSemDedup: drops vs corpus AND within batch, keeps novel rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val centers = Array.tabulate(4, 8)((c, j) => math.sin(c * 3 + j) * 9.0)
+    def around(c: Int, seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(8)(j => (centers(c)(j) + r.nextGaussian() * 0.25).toFloat).toSeq
+    }
+    val corpus = (0 until 24).map(i => (i.toLong, around(i % 4, i))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      // near-dup of corpus vector 5 -> dropped vs corpus
+      (100L, around(1, 5).map(_ + 1e-4f)),
+      // novel (fresh draw) -> survives
+      (101L, around(2, 999)),
+      // near-dup of batch 101 -> dropped within batch (101 wins, lower id)
+      (102L, around(2, 999).map(_ + 1e-4f)),
+      // novel in another cluster -> survives
+      (103L, around(0, 888))
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup
+      .incrementalSemDedup(corpus, batch, "vec_id", "embedding", k = 4, threshold = 0.9999999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 103L))
+
+    // cluster stability under corpus growth: appending HIGHER-id corpus
+    // rows leaves the seed centroids — and thus every assignment — intact
+    val grown = corpus.union(
+      (50 until 58).map(i => (i.toLong, around(i % 4, i + 1000))).toDF("vec_id", "embedding"))
+    val keptGrown = Dedup
+      .incrementalSemDedup(grown, batch, "vec_id", "embedding", k = 4, threshold = 0.9999999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptGrown == Set(101L, 103L))
+  }
+
   test("semDedupKmeans prunes planted near-dups and keeps cluster consistency") {
     import spark.implicits._
     val rnd = new scala.util.Random(11L)
