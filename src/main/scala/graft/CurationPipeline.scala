@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * operators), as ONE runnable program:
   *
   *   documents ──► Gopher quality rules (qt20) ──► repetition filters
-  *   (qt19 thresholds) ──► exact dedup ──► MinHash near-dup ──► curated
-  *   corpus (parquet) — and, for the survivors' embeddings, a PQ code
-  *   table (the qs7 ANN index: m bytes per vector at rest).
+  *   (qt19 thresholds) ──► exact dedup ──► MinHash near-dup ──► SemDeDup
+  *   (qd14: embedding clusters + within-cluster cosine prune; docs with
+  *   no embedding pass through) ──► deterministic shuffle + shard
+  *   (qt22) ──► curated corpus (parquet, partitioned by shard) — and,
+  *   for the survivors' embeddings, a PQ code table (the qs7 ANN index:
+  *   m bytes per vector at rest).
   *
   * Every arrow is a lazy DataFrame the next stage consumes — no stage
   * materializes driver-side, so the same program is the 100 TB program:
@@ -51,14 +54,31 @@ object CurationPipeline {
     val curated = Dedup.minHashDedup(
       Dedup.exactDedup(filtered, "doc_id", "text"), "doc_id", "text")
 
-    curated.write.mode("overwrite").parquet(s"$outDir/corpus")
-
-    // stage 4: ANN index for the curated corpus — PQ-encode the
-    // survivors' embeddings (vec_id aligns with doc_id in the harness
-    // tables); codes parquet is what similarity queries scan
-    val embs = Tables
+    // stage 4: SemDeDup — semantic redundancy the byte-level dedups can't
+    // see (production k-means variant; within-cluster pairs only). Docs
+    // without an embedding pass through: only a SURVIVING embedding's
+    // absence from semKept drops its doc
+    val curatedEmbs = Tables
       .embeddings(spark, sfDir)
       .join(curated.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val semKept = Dedup
+      .semDedupKmeans(curatedEmbs, "vec_id", "embedding", k = 8, iters = 3, threshold = 0.4)
+    val semDropped = curatedEmbs.select(col("vec_id").as("doc_id"))
+      .join(semKept.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val semantic = curated.join(semDropped, Seq("doc_id"), "left_anti")
+
+    // stage 5: deterministic shuffle + shard — the terminal layout every
+    // training run reads; partitioned by shard so a trainer's shard
+    // filter is directory pruning
+    Layout
+      .shuffleShard(semantic, "doc_id", numShards = 4)
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/corpus")
+
+    // stage 6: ANN index for the curated corpus — PQ-encode the
+    // survivors' embeddings (vec_id aligns with doc_id in the harness
+    // tables); codes parquet is what similarity queries scan
+    val embs = curatedEmbs
+      .join(semantic.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     // production codebook: per-subspace Lloyd refinement (ingest-time
     // cost, amortized over every query against the stored codes)
     val codebook = Similarity.pqCodebookKmeans(embs, "vec_id", "embedding", m = 8, k = 16)
@@ -66,11 +86,14 @@ object CurationPipeline {
       .pqEncode(embs, "vec_id", "embedding", codebook)
       .write.mode("overwrite").parquet(s"$outDir/pq_codes")
 
+    val written = spark.read.parquet(s"$outDir/corpus")
     Map(
       "input" -> docs.count(),
       "after_quality" -> quality.count(),
       "after_repetition" -> filtered.count(),
-      "curated" -> spark.read.parquet(s"$outDir/corpus").count(),
+      "curated" -> curated.count(),
+      "after_semantic" -> written.count(),
+      "shards" -> written.select(col("shard")).distinct().count(),
       "pq_codes" -> spark.read.parquet(s"$outDir/pq_codes").count())
   }
 
@@ -86,6 +109,7 @@ object CurationPipeline {
     println(
       s"[curation] input=${counts("input")} quality=${counts("after_quality")} " +
         s"repetition=${counts("after_repetition")} curated=${counts("curated")} " +
+        s"semantic=${counts("after_semantic")} shards=${counts("shards")} " +
         s"pq_codes=${counts("pq_codes")} -> $outDir")
     spark.stop()
   }

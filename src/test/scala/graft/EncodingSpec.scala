@@ -106,7 +106,10 @@ class EncodingSpec extends AnyFunSuite {
       "qs3_dot_topk", // maximum-inner-product top-k
       "qs4_ivf", // IVF cell-pruned ANN
       "qs5_knn_join", // bounded-aggregator kNN join
-      "qd5_embed_dedup" // embedding-cosine near-dup
+      "qd5_embed_dedup", // embedding-cosine near-dup
+      "qs7_pq_adc", // product-quantization codebook/encode/ADC
+      "qd14_semdedup", // SemDeDup seed-cell clusters + cosine prune
+      "qd15_incr_semdedup" // incremental SemDeDup (corpus/batch split)
     )) {
     test(s"$q is invariant to the embedding element type (float32 vs float64)") {
       val canonical = rows(q, sf)

@@ -111,6 +111,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("qd14: SemDeDup pairs come from a cluster equi-join, never a cartesian product") {
+    val p = plan("qd14_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "SemDeDup fell back to all-pairs:\n" + p.take(1200))
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // codegen'd operators carry the "*(n)" stage marker in the plan string
     val p = finalPlan("q1_agg")
