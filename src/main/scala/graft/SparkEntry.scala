@@ -477,6 +477,41 @@ object SparkEntry {
     spark.table(name)
   }
 
+  /** §2.10 through the ORACLE, part 5 — the STREAM-STATIC enrich join
+    * ([[streaming.EventStreams.enrichStream]]): the events file-stream
+    * joins the static customer dimension (broadcast per micro-batch) and
+    * appends the enriched rows. Stateless append — no watermark, no
+    * state store — so the bounded replay is one drain; the oracle is the
+    * plain batch join. With qe6/qe7/qe8/qe9 this completes real
+    * `writeStream` lineage for every core Structured-Streaming shape:
+    * windowed agg, sessions, stream-stream join, dedup, stream-static
+    * join.
+    */
+  private def qe10StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(dir)
+    val schema = spark.read.parquet(stage.toString).schema
+    val name = s"qe10_mem_${System.nanoTime()}"
+    val ev = Tables.normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
+    val dim = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val q = streaming.EventStreams
+      .enrichStream(ev, dim, "user_id", "c_custkey")
+      .select(
+        col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"),
+        round(col("value"), 2).as("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      dropStage(stage)
+    }
+    spark.table(name)
+  }
+
   /** §2.10 through the ORACLE, part 3 — the REAL watermarked streaming
     * tumbling-window aggregation ([[streaming.EventStreams.runWindowedStream]],
     * Complete mode so a bounded replay keeps the tail windows) against
@@ -2746,6 +2781,7 @@ object SparkEntry {
     "qt13_bpe_train" -> (qt13BpeTrain _),
     "qt21_bpe_encode" -> (qt21BpeEncode _),
     "qt22_shuffle_shard" -> (qt22ShuffleShard _),
+    "qe10_stream_enrich" -> (qe10StreamEnrich _),
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
     "qt15_bm25" -> (qt15Bm25 _),
     "qt16_stratified" -> (qt16Stratified _),
@@ -3229,6 +3265,11 @@ object SparkEntry {
     "qe9_stream_dedup" ->
       """SELECT event_id, user_id, event_type, round(value, 2) AS value
         |FROM events""".stripMargin,
+    // stream-static enrich: stateless append ≡ the plain batch join
+    "qe10_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |  round(e.value, 2) AS value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // streaming twin of q17: the windows a real watermarked Complete-mode
     // streaming query emits must equal the batch aggregation
     "qe8_stream_window" ->

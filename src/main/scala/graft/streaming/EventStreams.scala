@@ -207,6 +207,21 @@ object EventStreams {
       .select(col("click_id"), col("user_id"), col("purchase_id"), col("value"))
   }
 
+  /** STREAM-STATIC enrich join — the dimension-enrichment shape every
+    * event pipeline runs: each micro-batch of the stream joins the static
+    * dimension (explicitly broadcast — the static side is re-read per
+    * batch, so at scale it must be the SMALL side). Stateless, so append
+    * mode emits every matched row immediately; no watermark is needed
+    * (nothing is buffered). The static side may be updated between
+    * restarts — Structured Streaming re-plans it per run.
+    */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   // ---------------------------------------------- streaming near-dup LSH
 
   case class StreamDoc(doc_id: Long, text: String)

@@ -28,6 +28,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == batch)
   }
 
+  test("stream-static enrich equals the batch join, joining fresh per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val dim = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("id", "user")
+    val q = EventStreams
+      .enrichStream(stream, dim, "user", "k")
+      .select(col("id"), col("user"), col("seg"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_spec").start()
+    try {
+      mem.addData((10L, 1L), (11L, 2L), (12L, 9L)) // 9 has no dim row -> dropped
+      q.processAllAvailable()
+      val afterB1 = spark.table("enrich_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(afterB1 == Set((10L, 1L, "A"), (11L, 2L, "B")))
+      // second micro-batch joins the dim AGAIN (per-batch broadcast)
+      mem.addData((13L, 3L), (14L, 1L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("enrich_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(afterB2 == afterB1 ++ Set((13L, 3L, "C"), (14L, 1L, "A")))
+    } finally q.stop()
+  }
+
   test("buffered sessionization is exact under cross-batch event-time disorder") {
     import spark.implicits._
     import java.sql.Timestamp
