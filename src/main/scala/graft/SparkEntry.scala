@@ -1002,6 +1002,25 @@ object SparkEntry {
       "text")
   }
 
+  /** PERPLEXITY FILTERING (CCNet, Wenzek et al. 2020): score held-out
+    * docs with the trained bigram LM (qt12's exact kernel) and keep
+    * everything at or above the exact nearest-rank 30th percentile —
+    * i.e. drop the worst-perplexity 30%. The threshold comes from
+    * [[operators.Relational.percentileFilter]]'s range-partitioned exact
+    * selection (no global sort), so the whole quality gate is two
+    * verified kernels composed. LM scores are average log-probs (higher
+    * = more fluent), so `>= threshold` keeps the fluent tail.
+    */
+  private def qt23PplFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scores = operators.TextAnalysis.bigramLmScore(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id",
+      "text")
+    operators.Relational.percentileFilter(scores, "lm_score", 30.0)
+  }
+
   /** Event interval join — the batch twin of a watermarked stream-stream
     * join (same plan semantics Structured Streaming gives
     * `clicks.join(purchases, expr("... BETWEEN ..."))`): each click pairs
@@ -1259,6 +1278,33 @@ object SparkEntry {
         numShards = 8,
         orderKey = Some((col("doc_id") * lit(2654435761L)) % lit(1000000007L)))
       .select(col("doc_id"), col("shuffle_pos"), col("shard"), col("pos_in_shard"))
+
+  /** HTML → text extraction ([[functions.TextFunctions.htmlExtract]], the
+    * crawl pipeline's WET step) over a deterministic page built around
+    * each doc's entity-escaped text. The fixture plants the classic
+    * boilerplate traps: CSS and JS bodies that a naive tag-strip would
+    * leak into the corpus (the script even contains a `"</p>"` string),
+    * a comment, and entity round-trips. The oracle replays the identical
+    * regexp/replace chain under DuckDB's RE2.
+    */
+  private def qt24HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val esc = replace(
+      replace(
+        replace(col("text"), lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;"))
+    val html = concat(
+      lit(
+        "<html><head><title>Page</title><style type=\"text/css\">p { color: red; }</style>" +
+          "<script>if (1 < 2) { var x = \"</p>\"; }</script></head><body><h1>Heading</h1><p>"),
+      esc,
+      lit("</p><!-- hidden comment --></body></html>"))
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        functions.TextFunctions.htmlExtract(html).as("cleaned"))
+      .withColumn("n_chars", length(col("cleaned")).cast("long"))
+  }
 
   /** EXACT heavy hitters via the two-pass Misra–Gries sketch-then-recount
     * ([[operators.TextAnalysis.heavyHitters]]): all terms with corpus
@@ -2767,6 +2813,8 @@ object SparkEntry {
     "qd8_decontaminate" -> (qd8Decontaminate _),
     "qd11_substring_dedup" -> (qd11SubstringDedup _),
     "qt12_lm_score" -> (qt12LmScore _),
+    "qt23_ppl_filter" -> (qt23PplFilter _),
+    "qt24_html_extract" -> (qt24HtmlExtract _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_group_percentile" -> (q28GroupPercentile _),
     "qd9_minhash_estimate" -> (qd9MinhashEstimate _),
@@ -2797,6 +2845,38 @@ object SparkEntry {
     "qd13_incremental_neardup" -> (qd13IncrementalNearDup _),
     "qp3_skew" -> (qp3Skew _)
   )
+
+  /** Shared qt12/qt23 oracle CTEs: bigram-LM training on even docs,
+    * add-1-smoothed average log-prob scoring of odd docs → `scored`
+    * (doc_id, lm_score rounded 6dp, n_bigrams).
+    */
+  private lazy val lmScoreOracleCtes: String =
+    """tr AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |ev AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |tb AS (
+      |  SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c12
+      |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM tr)
+      |  GROUP BY 1, 2),
+      |tu AS (SELECT w1, sum(c12) AS c1 FROM tb GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w)::DOUBLE AS vv
+      |      FROM (SELECT unnest(tk) AS w FROM tr)),
+      |eb AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM ev)),
+      |scored AS MATERIALIZED (
+      |  SELECT e.doc_id,
+      |    round(avg(ln((coalesce(tb.c12, 0) + 1.0) / (coalesce(tu.c1, 0) + v.vv))), 6)
+      |      AS lm_score,
+      |    count(*) AS n_bigrams
+      |  FROM eb e
+      |  LEFT JOIN tb USING (w1, w2)
+      |  LEFT JOIN tu USING (w1)
+      |  CROSS JOIN v
+      |  GROUP BY e.doc_id)""".stripMargin
 
   /** Shared oracle CTE prefix for the MinHash family (qd2/qd4/qd6):
     * 3-word shingles → engine FNV-1a hash emulated in HUGEINT wrap
@@ -4951,31 +5031,19 @@ object SparkEntry {
     // distinct unigrams over ALL positions — both conventions mirrored in
     // the engine; avg-of-logs rounded 6 dp (order divergence ~1e-15 rel)
     "qt12_lm_score" ->
-      """WITH tr AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |ev AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-        |  FROM documents WHERE doc_id % 2 = 1),
-        |tb AS (
-        |  SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c12
-        |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM tr)
-        |  GROUP BY 1, 2),
-        |tu AS (SELECT w1, sum(c12) AS c1 FROM tb GROUP BY w1),
-        |v AS (SELECT count(DISTINCT w)::DOUBLE AS vv
-        |      FROM (SELECT unnest(tk) AS w FROM tr)),
-        |eb AS (
-        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM ev))
-        |SELECT e.doc_id,
-        |  round(avg(ln((coalesce(tb.c12, 0) + 1.0) / (coalesce(tu.c1, 0) + v.vv))), 6)
-        |    AS lm_score,
-        |  count(*) AS n_bigrams
-        |FROM eb e
-        |LEFT JOIN tb USING (w1, w2)
-        |LEFT JOIN tu USING (w1)
-        |CROSS JOIN v
-        |GROUP BY e.doc_id""".stripMargin,
+      s"""WITH $lmScoreOracleCtes
+         |SELECT doc_id, lm_score, n_bigrams FROM scored""".stripMargin,
+    // qt12's scoring CTE + the q8 nearest-rank threshold replay: the
+    // survivors are exactly the docs at/above the 30th-percentile score
+    "qt23_ppl_filter" ->
+      s"""WITH $lmScoreOracleCtes,
+         |ranked AS (
+         |  SELECT lm_score AS v, row_number() OVER (ORDER BY lm_score) - 1 AS r
+         |  FROM scored),
+         |n AS (SELECT count(*) AS c FROM scored),
+         |thr AS (SELECT v FROM ranked, n WHERE r = round(0.3 * (c - 1)))
+         |SELECT doc_id, lm_score, n_bigrams FROM scored
+         |WHERE lm_score >= (SELECT v FROM thr)""".stripMargin,
     // integer sums are exact and avg divides the same exact operands in
     // both engines, so 4-dp rounding is deterministic
     "qe5_json_props" ->
@@ -5162,6 +5230,29 @@ object SparkEntry {
         |  CAST(pos % 8 AS INTEGER) AS shard,
         |  pos // 8 AS pos_in_shard
         |FROM p""".stripMargin,
+    // identical construction + extraction chain replayed under RE2 (the
+    // qt17 contract); chr(39) sidesteps quote escaping for &#39;
+    "qt24_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Page</title><style type="text/css">p { color: red; }</style>' ||
+        |    '<script>if (1 < 2) { var x = "</p>"; }</script></head><body><h1>Heading</h1><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |    '</p><!-- hidden comment --></body></html>' AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h),
+        |c2 AS (SELECT doc_id,
+        |  regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM c1),
+        |c3 AS (SELECT doc_id,
+        |  regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM c3),
+        |c5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(s,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&nbsp;', ' '), '&amp;', '&') AS s FROM c4),
+        |clean AS (SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS cleaned FROM c5)
+        |SELECT doc_id, cleaned, length(cleaned)::BIGINT AS n_chars FROM clean""".stripMargin,
     // the sketch is exact-output by the Misra–Gries guarantee, so the
     // oracle is the naive one-pass GROUP BY ... HAVING
     "qt14_heavy_hitters" ->

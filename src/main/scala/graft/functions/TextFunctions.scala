@@ -250,4 +250,32 @@ object TextFunctions {
     regexp_replace(
       regexp_extract(lower(u), "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1),
       "^www\\.", "")
+
+  /** HTML → text extraction (the crawl pipeline's WET step): remove
+    * `<script>`/`<style>` elements WITH their content (a naive tag strip
+    * would leak JS/CSS into the corpus — the classic boilerplate bug),
+    * strip comments and remaining tags, decode the five XML entities +
+    * `&nbsp;`/`&#39;` (amp LAST, the standard order, so `&amp;lt;`
+    * round-trips to the literal `&lt;`), collapse whitespace. Pure
+    * codegen'd regexp/replace chain — no UDF, no HTML parser dependency;
+    * patterns use inline `(?is)` so the identical chain runs under both
+    * Java regex and DuckDB's RE2 (the qt24 oracle). For full-fidelity
+    * DOM handling a real parser wins; for corpus curation this is the
+    * scan-speed form.
+    */
+  def htmlExtract(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&nbsp;" -> " ",
+      "&amp;" -> "&" // last: &amp;lt; must yield literal "&lt;", not "<"
+    ).foldLeft(noTags) { case (col0, (ent, ch)) => replace(col0, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -111,6 +111,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("qt24: HTML extraction is a pure projection — zero exchanges, scan-speed at any scale") {
+    val p = plan("qt24_html_extract")
+    assert(!p.contains("Exchange"), "html extraction grew a shuffle:\n" + p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("qd14: SemDeDup pairs come from a cluster equi-join, never a cartesian product") {
     val p = plan("qd14_semdedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -128,4 +128,26 @@ class TextFunctionsSpec extends AnyFunSuite {
       .toDF("u").select(TextFunctions.urlHost(col("u"))).collect().map(_.getString(0))
     assert(hosts.toSeq == Seq("site.com", "x.y.z"))
   }
+
+  test("htmlExtract: script/style bodies removed, entities decode, whitespace collapses") {
+    import spark.implicits._
+    val cases = Seq(
+      // the boilerplate trap: naive tag-strip leaks "p{color:red}" / JS
+      ("<html><style>p{color:red}</style><script>var a=1;</script><p>Hi</p></html>", "Hi"),
+      // script body containing a closing-tag-looking STRING still dies
+      ("""<script>if (1 < 2) { var x = "</p>"; }</script><b>kept</b>""", "kept"),
+      // multiline script (dotall) + comment
+      ("<script>\nline1\nline2\n</script><!-- note\nmore -->text", "text"),
+      // entity decode, amp-last: &amp;lt; is the LITERAL string &lt;
+      ("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; &amp; &amp;lt; end",
+        "a <tag> \"q\" 's' & &lt; end"),
+      // attributes with > inside quotes are NOT handled (documented scan-
+      // speed form), but plain attributes strip fine; whitespace collapses
+      ("<p  class=\"x\">  a \t b \n c  </p>", "a b c"),
+      // no html at all passes through trimmed
+      ("  plain   text  ", "plain text"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextFunctions.htmlExtract(col("h"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"got [$g] want [$want]") }
+  }
 }
