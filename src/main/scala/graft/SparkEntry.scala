@@ -1306,6 +1306,32 @@ object SparkEntry {
       .withColumn("n_chars", length(col("cleaned")).cast("long"))
   }
 
+  /** PARAGRAPH-LEVEL corpus dedup (CCNet/C4 crawl curation —
+    * [[operators.Dedup.paragraphDedup]] + [[operators.Dedup.reassembleParagraphs]]):
+    * every document is wrapped in the same boilerplate header/footer (the
+    * newsletter-plea/copyright lines a crawl repeats on every page), then
+    * each distinct trimmed paragraph survives only at its first
+    * (doc_id, position) occurrence and documents reassemble from their
+    * survivors. So: the header/footer live on only in the lowest doc_id,
+    * exact-duplicate documents lose their body everywhere but the first
+    * copy and vanish entirely (the CCNet empty-doc drop), and unique
+    * prose is untouched. The oracle replays split/rank/reassemble with
+    * DuckDB's zipped unnest + ordered string_agg. Hot boilerplate keys
+    * are erased by map-side combine before the exchange (see operator
+    * Scaladoc); dropped-doc accounting is the row-count delta.
+    */
+  private def qt25ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val wrapped = t(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        lit("subscribe to our newsletter\n"),
+        col("text"),
+        lit("\ncopyright all rights reserved")).as("wtext"))
+    val survivors = operators.Dedup.paragraphDedup(wrapped, "doc_id", "wtext")
+    operators.Dedup.reassembleParagraphs(survivors, "doc_id")
+      .select(col("doc_id"), col("clean_text"), col("kept"))
+  }
+
   /** EXACT heavy hitters via the two-pass Misra–Gries sketch-then-recount
     * ([[operators.TextAnalysis.heavyHitters]]): all terms with corpus
     * frequency ≥ support·N, exact counts. Output is identical to the
@@ -2214,6 +2240,39 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** Layout tier — FILE-LEVEL MIN/MAX ZONE-MAP INDEX end-to-end
+    * ([[operators.Layout.writeMinMaxIndexed]]/[[operators.Layout.rangeLookup]]):
+    * orders are written range-partitioned + sorted by `o_orderkey` with a
+    * per-file (lo, hi, rows) sidecar, and the gate's rows come back
+    * through a range lookup that reads the KB sidecar, keeps only files
+    * whose zone overlaps [1000, 1400], and applies the residual BETWEEN
+    * inside the scan. The oracle replays the plain full-scan BETWEEN —
+    * identical output is the zone map's no-false-negatives contract
+    * (partial-overlap files are cleaned by the residual filter). The
+    * skipping itself (1–2 candidate files of 16) is asserted in
+    * LayoutSpec. Rows are materialized so the staging dir can be
+    * reclaimed before return.
+    */
+  private def qy5MinMaxPrune(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qy5")
+    try {
+      operators.Layout.writeMinMaxIndexed(
+        t(spark, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority")),
+        "o_orderkey", wh.toString, numFiles = 16)
+      val out = operators.Layout
+        .rangeLookup(spark, wh.toString, "o_orderkey", lit(1000L), lit(1400L))
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   /** Layout tier — small-file compaction round trip: a 48-shard parquet
     * directory is compacted ([[operators.Layout.compact]] — `coalesce`,
     * a narrow dependency, so NO shuffle; LayoutSpec asserts the plan and
@@ -2815,6 +2874,8 @@ object SparkEntry {
     "qt12_lm_score" -> (qt12LmScore _),
     "qt23_ppl_filter" -> (qt23PplFilter _),
     "qt24_html_extract" -> (qt24HtmlExtract _),
+    "qt25_paragraph_dedup" -> (qt25ParagraphDedup _),
+    "qy5_minmax_prune" -> (qy5MinMaxPrune _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_group_percentile" -> (q28GroupPercentile _),
     "qd9_minhash_estimate" -> (qd9MinhashEstimate _),
@@ -3097,6 +3158,35 @@ object SparkEntry {
     "qy4_bloom_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+    // Zone-map range lookup: the oracle is the plain full-scan BETWEEN —
+    // identical rows is the min/max sidecar's no-false-negatives
+    // contract (partial-overlap files are cleaned by the residual filter)
+    "qy5_minmax_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400""".stripMargin,
+    // Paragraph dedup: zipped unnest gives (idx, para) per document,
+    // row_number over the trimmed paragraph in (doc_id, idx) order picks
+    // the first occurrence, ordered string_agg reassembles — documents
+    // whose every paragraph was dropped produce no group (empty-doc drop)
+    "qt25_paragraph_dedup" ->
+      """WITH wrapped AS (
+        |  SELECT doc_id,
+        |    'subscribe to our newsletter' || chr(10) || text || chr(10) ||
+        |      'copyright all rights reserved' AS wtext
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(wtext, chr(10))) + 1)) - 1 AS idx,
+        |    unnest(string_split(wtext, chr(10))) AS para
+        |  FROM wrapped),
+        |ranked AS (
+        |  SELECT doc_id, idx, para,
+        |    row_number() OVER (PARTITION BY trim(para) ORDER BY doc_id, idx) AS rn
+        |  FROM paras WHERE length(trim(para)) > 0)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS clean_text,
+        |  count(*) AS kept
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id""".stripMargin,
     // Bucketed join: the oracle replays the plain join over the parquet
     // sources — wrong bucket routing silently drops matches on the Spark
     // side and breaks n/revenue.

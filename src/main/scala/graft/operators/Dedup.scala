@@ -702,6 +702,57 @@ object Dedup {
     withCluster.join(dups, Seq(idCol), "left_anti").select(col(idCol), col("cluster"))
   }
 
+  /** PARAGRAPH-LEVEL exact dedup (the CCNet/C4 crawl-curation step —
+    * ref `moz-datapipeline`'s per-record cleanup has no analog; this is
+    * the training-pipeline tier): split every document on `sep`, keep
+    * each distinct (trimmed, non-empty) paragraph only at its FIRST
+    * occurrence in (id, position) order, and drop the rest everywhere —
+    * the step that erases boilerplate headers/footers repeated across a
+    * crawl while leaving each document's unique prose intact.
+    *
+    * Returns one row per SURVIVING paragraph: (id, idx, para).
+    *
+    * Scale shape: `posexplode` is narrow; the single shuffle is the
+    * `groupBy(trim(para))` with a `min(struct(id, idx, para))` partial
+    * aggregate — boilerplate keys are exactly the HOT keys (one per
+    * document), and map-side combine reduces each partition's copies to
+    * one candidate before the exchange, so the hot reducer receives
+    * O(partitions) rows, not O(documents). No join-back: the winning
+    * (id, idx, para) rides inside the min-struct.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("idx", "para")))
+      .withColumn("__norm", trim(col("para")))
+      .filter(length(col("__norm")) > 0)
+    paras
+      .groupBy(col("__norm"))
+      .agg(min(struct(col(idCol), col("idx"), col("para"))).as("__w"))
+      .select(col("__w")(idCol).as(idCol), col("__w")("idx").as("idx"), col("__w")("para").as("para"))
+  }
+
+  /** Reassemble [[paragraphDedup]] survivors into cleaned documents:
+    * surviving paragraphs rejoin in original order with `sep`; documents
+    * whose every paragraph was dropped disappear (the CCNet empty-doc
+    * drop). One shuffle on the id; `kept` is the surviving paragraph
+    * count for curation accounting.
+    */
+  def reassembleParagraphs(
+      survivors: DataFrame,
+      idCol: String,
+      sep: String = "\n"): DataFrame =
+    survivors
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))), e => e("para")),
+          sep).as("clean_text"),
+        count(lit(1)).as("kept"))
+
   /** Embedding-cosine near-dup: hyperplane-LSH candidates verified by
     * exact cosine ≥ threshold; higher id of each verified pair dropped.
     */

@@ -346,6 +346,77 @@ object Layout {
       .drop("__sk")
   }
 
+  /** FILE-LEVEL MIN/MAX ZONE-MAP INDEX — the range-query complement of
+    * [[writeBloomIndexed]] (which serves point lookups on unordered
+    * keys). Data is range-partitioned and sorted by `keyCol`, so each
+    * output file covers a tight, nearly disjoint key interval; one
+    * aggregation pass (`groupBy input_file_name`) records each file's
+    * (lo, hi, rows) into a KB-sized `_minmax_index` sidecar.
+    *
+    * Parquet footers already carry row-group min/max — but at 100 TB /
+    * 10⁵ files, footer-based skipping still opens every file. The
+    * sidecar is ONE small read on the driver; non-overlapping files are
+    * never listed in the scan at all, so a narrow range query plans
+    * O(matching files) tasks instead of O(all files) footer probes.
+    * This is the Iceberg/Delta manifest-stats shape on vanilla Spark.
+    *
+    * Exactness: pruning only drops files whose [lo, hi] cannot contain
+    * the queried range; the residual BETWEEN filter inside the scan
+    * handles partial overlap — output ≡ a full-scan filter (the qy5
+    * oracle + LayoutSpec).
+    */
+  def writeMinMaxIndexed(
+      df: DataFrame,
+      keyCol: String,
+      dir: String,
+      numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    df.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(s"$dir/data")
+    spark.read.parquet(s"$dir/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"), count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_minmax_index")
+  }
+
+  /** Range query through the [[writeMinMaxIndexed]] sidecar: returns the
+    * rows with `keyCol` in [lo, hi], scanning only files whose zone
+    * interval overlaps the range. The index read is bounded by the file
+    * count (KBs, driver-side); the data scan touches overlapping files
+    * only.
+    */
+  def rangeLookup(
+      spark: SparkSession,
+      dir: String,
+      keyCol: String,
+      lo: Column,
+      hi: Column): DataFrame = {
+    val idx = spark.read.parquet(s"$dir/_minmax_index")
+    val candidates = idx
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .select("file")
+      .collect().map(_.getString(0))
+    val schema = spark.read.parquet(s"$dir/data").schema
+    if (candidates.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(col(keyCol).between(lo, hi))
+    else
+      spark.read.schema(schema).parquet(candidates.toIndexedSeq: _*)
+        .filter(col(keyCol).between(lo, hi))
+  }
+
+  /** Overlapping-file count for a probe range — the pruning metric
+    * (LayoutSpec asserts candidates ≪ total files for a narrow range and
+    * 0 for a range outside the key domain).
+    */
+  def minMaxCandidateFiles(
+      spark: SparkSession, dir: String, lo: Column, hi: Column): Long =
+    spark.read.parquet(s"$dir/_minmax_index")
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .count()
+
   /** Write `df` as a hash-bucketed, per-bucket-sorted table: rows land in
     * bucket `hash(bucketKey) % numBuckets`, sorted by the key inside each
     * bucket file. Two tables bucketed on their join keys with the same

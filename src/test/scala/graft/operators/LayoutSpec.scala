@@ -244,6 +244,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(absent == 0)
   }
 
+  test("minmax index: range lookup scans overlapping files only, result == full-scan filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-minmax").toString
+    val df = spark.range(50000).select($"id".as("k"), ($"id" * 7).as("payload"))
+    Layout.writeMinMaxIndexed(df, "k", dir, numFiles = 16)
+
+    // range-partitioned ⇒ zones are nearly disjoint (~3125 keys/file); a
+    // 1000-wide probe range overlaps at most 2 zones
+    val cand = Layout.minMaxCandidateFiles(spark, dir, lit(20000L), lit(20999L))
+    assert(cand >= 1 && cand <= 2, s"candidates=$cand of 16")
+
+    val got = Layout.rangeLookup(spark, dir, "k", lit(20000L), lit(20999L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = df.filter($"k".between(20000L, 20999L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.length == 1000 && got.toSeq == want.toSeq)
+
+    // a range outside the key domain overlaps NO zone: zero candidates
+    // and an exact-empty result without touching any data file
+    assert(Layout.minMaxCandidateFiles(spark, dir, lit(60000L), lit(70000L)) == 0)
+    assert(Layout.rangeLookup(spark, dir, "k", lit(60000L), lit(70000L)).count() == 0)
+  }
+
   test("shuffleShard: permutation, balanced shards, invariant to input partitioning") {
     val df = spark.range(1000).select($"id".as("doc_id"))
     val out = Layout.shuffleShard(df, "doc_id", numShards = 8)

@@ -417,6 +417,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L)._1.startsWith("alpha") && out(1L)._1.endsWith("omega"))
   }
 
+  test("paragraph dedup: first occurrence survives, boilerplate collapses, empty docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A\nB\nA"),          // in-doc repeat: second A dropped
+      (2L, "B\nC"),             // B already seen in doc 1
+      (3L, "  a  \n   "),       // blank para dropped; "  a  " is new (trim-normalized key ≠ "A")
+      (4L, "B")                 // everything duplicated ⇒ doc vanishes
+    ).toDF("doc_id", "text")
+    val surv = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // survivors carry the ORIGINAL paragraph text of the first occurrence
+    assert(surv == Set((1L, 0, "A"), (1L, 1, "B"), (2L, 1, "C"), (3L, 0, "  a  ")))
+
+    val out = Dedup.reassembleParagraphs(Dedup.paragraphDedup(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ("A\nB", 2L),
+      2L -> ("C", 1L),
+      3L -> ("  a  ", 1L))) // doc 4 lost every paragraph → absent
+
+    // trim normalization: a later doc repeating "A" with padding is a dup
+    val docs2 = Seq((1L, "A"), (2L, "  A  ")).toDF("doc_id", "text")
+    val out2 = Dedup.paragraphDedup(docs2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out2 == Set((1L, "A")))
+  }
+
   test("embedding near-dup drops planted near-identical vectors") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => math.sin(i).toFloat)
