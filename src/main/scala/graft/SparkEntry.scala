@@ -2128,6 +2128,41 @@ object SparkEntry {
     * source directly, so any value corruption in the ORC path (type
     * mapping, nulls, decimal/double round trip) breaks the hash.
     */
+  /** S8-family — AVRO CONTAINER ROUND TRIP through the from-scratch
+    * connector ([[sources.Avro.writeAvro]]/[[sources.Avro.readAvro]] —
+    * `spark-avro` is NOT on this classpath; only Avro core is): a
+    * lineitem slice exercising every supported shape (long, int, string,
+    * double, NTZ timestamp, array<double>, boolean) is written as one
+    * container file per partition and scanned back file-parallel, then
+    * aggregated. The oracle replays the aggregate over the parquet
+    * source, so any encode/decode corruption — union-null mishandling,
+    * timestamp unit drift, array element loss — breaks count/sum/hash.
+    * Output is materialized (3 rows) so the staging dir is reclaimed.
+    */
+  private def qf10AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qf10")
+    try {
+      val src = t(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_shipdate"),
+        array(col("l_discount"), col("l_tax")).as("rates"),
+        (col("l_quantity") < 25).as("small"))
+      sources.Avro.writeAvro(src.repartition(8), tmp.toString)
+      val out = sources.Avro.readAvro(spark, tmp.toString)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(element_at(col("rates"), 1) + element_at(col("rates"), 2)), 4)
+            .as("sum_rates"),
+          sum(when(col("small"), 1L).otherwise(0L)).as("n_small"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(tmp)
+  }
+
   private def qf6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qf6")
     t(spark, dir, "lineitem")
@@ -2836,6 +2871,7 @@ object SparkEntry {
     "qf4_vector_tile" -> (qf4VectorTile _),
     "qf5_vector_geom" -> (qf5VectorGeom _),
     "qf6_orc_roundtrip" -> (qf6OrcRoundtrip _),
+    "qf10_avro_roundtrip" -> (qf10AvroRoundtrip _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
     "qf9_shapefile_v2" -> (qf9ShapefileV2 _),
@@ -3116,6 +3152,17 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // Avro round trip: the oracle reads the parquet source directly — any
+    // encode/decode corruption in the Avro write→read path (union nulls,
+    // timestamp units, array elements, booleans) breaks the hash.
+    "qf10_avro_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_discount + l_tax), 4) AS sum_rates,
+        |  CAST(sum(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small,
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
         |FROM lineitem GROUP BY 1""".stripMargin,
     // Compaction round trip: the oracle reads the source table — a row
     // lost or duplicated by the coalesce-rewrite breaks count/sum/avg.
