@@ -1332,6 +1332,37 @@ object SparkEntry {
       .select(col("doc_id"), col("clean_text"), col("kept"))
   }
 
+  /** Order-0 word-entropy quality signals
+    * ([[operators.TextAnalysis.entropyStats]]): Shannon entropy of each
+    * doc's word distribution + normalized entropy — the cheap
+    * SQL-replayable stand-in for compression-ratio filtering (low
+    * entropy = repetitive/boilerplate docs). A pure zero-exchange
+    * projection (histogram via nested higher-order lambdas); the oracle
+    * replays the identical transform/filter/log2 chain with DuckDB list
+    * lambdas.
+    */
+  private def qt26Entropy(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.entropyStats(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** Data-mixture sampling ([[operators.TextAnalysis.mixtureSample]]):
+    * each source admits docs in deterministic pseudorandom order until
+    * its token budget fills (pre-sum < budget ⇒ ≤ 1 doc overshoot). The
+    * gate derives per-source budgets from the source name (so the oracle
+    * can rebuild the dimension) and uses the qt22 multiplicative-hash
+    * order key for exact SQL replay; production uses xxhash64. Budgets
+    * broadcast; running sums are per-source windows (the qt10 shape).
+    */
+  private def qt27Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val budgets = docs.select(col("source")).distinct()
+      .withColumn(
+        "budget",
+        lit(400L) + (regexp_extract(col("source"), "\\d+", 0).cast("long") % 5L) * 150L)
+    operators.TextAnalysis.mixtureSample(
+      docs, "doc_id", "source", "text", budgets,
+      orderKey = Some((col("doc_id") * lit(2654435761L)) % lit(1000000007L)))
+  }
+
   /** EXACT heavy hitters via the two-pass Misra–Gries sketch-then-recount
     * ([[operators.TextAnalysis.heavyHitters]]): all terms with corpus
     * frequency ≥ support·N, exact counts. Output is identical to the
@@ -2911,6 +2942,8 @@ object SparkEntry {
     "qt23_ppl_filter" -> (qt23PplFilter _),
     "qt24_html_extract" -> (qt24HtmlExtract _),
     "qt25_paragraph_dedup" -> (qt25ParagraphDedup _),
+    "qt26_entropy" -> (qt26Entropy _),
+    "qt27_mixture" -> (qt27Mixture _),
     "qy5_minmax_prune" -> (qy5MinMaxPrune _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_group_percentile" -> (q28GroupPercentile _),
@@ -3215,6 +3248,55 @@ object SparkEntry {
     // row_number over the trimmed paragraph in (doc_id, idx) order picks
     // the first occurrence, ordered string_agg reassembles — documents
     // whose every paragraph was dropped produce no group (empty-doc drop)
+    // Word entropy: DuckDB replays the identical nested-lambda histogram
+    // (list_transform over distinct, list_filter count, log2) — fold
+    // order may differ but terms are ~1e-15 apart from 6-dp boundaries
+    "qt26_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS n,
+        |    list_distinct(toks) AS dist
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(len(dist) AS BIGINT) AS n_distinct,
+        |    round(list_sum(list_transform(dist,
+        |      c -> -(len(list_filter(toks, t -> t = c)) / n) *
+        |             log2(len(list_filter(toks, t -> t = c)) / n))), 6)
+        |      AS entropy
+        |  FROM d)
+        |SELECT doc_id, n_words, n_distinct, entropy,
+        |  round(CASE WHEN n_distinct > 1
+        |    THEN entropy / log2(CAST(n_distinct AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS norm_entropy
+        |FROM e""".stripMargin,
+    // Mixture sampling: per-source token-budget admission in
+    // multiplicative-hash order — the oracle rebuilds the budget
+    // dimension from the source name and replays the pre-sum admission
+    "qt27_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE length(regexp_split_to_array(trim(text), '\s+'))
+        |     END)::BIGINT AS n_tokens,
+        |    (doc_id * 2654435761) % 1000000007 AS ok
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    400 + (CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 5) * 150
+        |      AS budget
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |c AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+        |    CAST(sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY ok,
+        |      doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d JOIN b USING (source))
+        |SELECT source, doc_id, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < budget""".stripMargin,
     "qt25_paragraph_dedup" ->
       """WITH wrapped AS (
         |  SELECT doc_id,

@@ -499,4 +499,83 @@ object TextAnalysis {
           col("alpha_word_frac") >= 0.8 &&
           col("n_stopwords") >= 2)
   }
+
+  /** Order-0 word-ENTROPY quality signals: Shannon entropy of a doc's
+    * word distribution plus its normalized form (entropy / log₂ distinct
+    * — 1.0 = every word unique, → 0 = one word repeated). Low entropy
+    * flags gibberish/boilerplate/keyword-stuffing the Gopher rule set
+    * misses; entropy is the cheap stand-in for a compression-ratio
+    * filter, and unlike zlib it is exactly SQL-replayable.
+    *
+    * Plan shape: a PURE PROJECTION — histogram via
+    * `transform(distinct, c → count in tokens)` (O(distinct·len) per
+    * doc, bounded by doc size), entropy via an in-order `aggregate`
+    * fold. Zero exchanges; scan-speed at any corpus scale.
+    * `norm_entropy` divides the ROUNDED entropy (then rounds again) so
+    * the oracle replays bit-for-bit.
+    */
+  def entropyStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("double"))
+      .withColumn("__dist", array_distinct(col("__toks")))
+      .withColumn(
+        "__cnts",
+        transform(col("__dist"), c => size(filter(col("__toks"), t => t === c)).cast("double")))
+      .withColumn(
+        "entropy",
+        round(
+          aggregate(
+            col("__cnts"),
+            lit(0.0),
+            (acc, c) => acc - (c / col("__n")) * log2(c / col("__n"))),
+          6))
+      .select(
+        col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        size(col("__dist")).cast("long").as("n_distinct"),
+        col("entropy"),
+        round(
+          when(
+            size(col("__dist")) > 1,
+            col("entropy") / log2(size(col("__dist")).cast("double")))
+            .otherwise(lit(0.0)),
+          6).as("norm_entropy"))
+  }
+
+  /** DATA-MIXTURE SAMPLING — the composition step of a training run:
+    * each source contributes documents up to its TOKEN budget (the
+    * mixture weights of e.g. The Pile / Gopher data recipes, expressed
+    * in tokens, the unit budgets are actually set in). Docs are taken in
+    * deterministic pseudorandom order (`orderKey`, default
+    * `xxhash64(id)`, id tie-break) so the sample is reproducible and
+    * unbiased by ingest order; a doc is admitted while its
+    * PRE-sum is under budget, so each source overshoots by at most one
+    * document and a nonzero budget always admits at least one doc.
+    *
+    * Budgets arrive as a (source, budget) dimension — broadcast-joined,
+    * never shuffled. The running sum is a per-source window
+    * (`partitionBy source`): sources are the natural shards of a corpus,
+    * so the sort is distributed across them (the qt10 packing shape).
+    * Output: admitted docs with their token count and running total.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      textCol: String,
+      budgets: DataFrame,
+      orderKey: Option[Column] = None): DataFrame = {
+    val key = orderKey.getOrElse(xxhash64(col(idCol)))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__ok"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__ok", key)
+      .join(broadcast(budgets), Seq(sourceCol))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col(sourceCol), col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
 }

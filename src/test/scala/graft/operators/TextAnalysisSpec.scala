@@ -311,4 +311,75 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d3._4 == BigDecimal(2.0 / 6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble && !d3._6)
     assert(got(4L)._1 == 3L && !got(4L)._6)
   }
+
+  test("entropyStats equals a naive local implementation; boundary docs") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def naive(text: String): (Long, Long, Double, Double) = {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val dist = toks.distinct
+      val n = toks.length.toDouble
+      val h = r6(dist.map { c =>
+        val p = toks.count(_ == c) / n
+        -p * (math.log(p) / math.log(2.0))
+      }.sum)
+      val norm = if (dist.length > 1) r6(h / (math.log(dist.length) / math.log(2.0))) else 0.0
+      (toks.length.toLong, dist.length.toLong, h, norm)
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "bb", "ccc", "dd", "e", "ff")
+    val docs = (1L to 30L).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length)))
+      (i, words.mkString(" "))
+    } :+ (31L, "same same same") :+ (32L, "one") // H=0 edge cases
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.entropyStats(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val (n, d, h, norm) = naive(text)
+      val g = got(id)
+      assert(g._1 == n && g._2 == d, s"doc $id counts")
+      assert(math.abs(g._3 - h) < 2e-6 && math.abs(g._4 - norm) < 2e-6, s"doc $id entropy $g vs ($h, $norm)")
+    }
+    assert(got(31L)._3 == 0.0 && got(31L)._4 == 0.0) // one distinct word
+    assert(got(32L)._3 == 0.0 && got(32L)._4 == 0.0) // single word
+  }
+
+  test("mixtureSample: pre-sum admission per source, ≤1 overshoot, partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 120L).map { i =>
+      val src = s"s${i % 3}"
+      (i, src, Seq.fill(3 + rnd.nextInt(15))("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budgets = Seq(("s0", 40L), ("s1", 1L), ("s2", 10000L)).toDF("source", "budget")
+    val out = TextAnalysis.mixtureSample(docs, "doc_id", "source", "text", budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val bySrc = out.groupBy(_._1)
+    // every admitted doc's PRE-sum is under budget; running totals are consistent
+    val budgetMap = Map("s0" -> 40L, "s1" -> 1L, "s2" -> 10000L)
+    bySrc.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._4)
+      var cum = 0L
+      sorted.foreach { case (_, _, nt, ct) =>
+        assert(cum < budgetMap(src), s"$src admitted past budget")
+        cum += nt
+        assert(ct == cum, s"$src running total mismatch")
+      }
+      // at most one overshoot: dropping the last admitted doc fits the budget
+      assert(cum - sorted.last._3 < budgetMap(src))
+    }
+    // a tiny budget still admits exactly its first doc; a huge one admits all
+    assert(bySrc("s1").length == 1)
+    assert(bySrc("s2").length == 40)
+
+    // deterministic: same rows regardless of input partitioning
+    val out2 = TextAnalysis.mixtureSample(docs.repartition(13), "doc_id", "source", "text", budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._2).toSeq == out2.sortBy(_._2).toSeq)
+  }
 }
