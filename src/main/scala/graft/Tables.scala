@@ -12,7 +12,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNumerics(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** DECIMAL → DOUBLE insurance (the numeric sibling of [[normalizeTs]]):
+    * today's harness parquet stores TPC-H numerics as float64, but a
+    * TPC-H-canonical producer would emit DECIMAL(p,2) — and every
+    * aggregate gate would then return DecimalType sums (a different
+    * result dtype, failing the driver's schema compare) without any
+    * logic being wrong. Casting at the single load entry point keeps the
+    * whole engine operating in double regardless of the producer's
+    * numeric encoding; EncodingSpec pins q1's invariance under a
+    * DECIMAL(12,2) regeneration.
+    */
+  def normalizeNumerics(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val decs = df.schema.fields.filter(_.dataType.isInstanceOf[DecimalType])
+    decs.foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(DoubleType)))
+  }
 
   /** Normalize an event-time column to TIMESTAMP (LTZ) across every
     * physical parquet encoding the harness data has shipped as:

@@ -118,6 +118,31 @@ class EncodingSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------- numeric encodings
+
+  /** Fourth regeneration hazard: lineitem numerics ship as float64 today,
+    * but TPC-H-canonical producers emit DECIMAL(p,2). Without the
+    * `Tables.normalizeNumerics` cast at load, every aggregate over them
+    * would silently change its result DTYPE (decimal sums), failing the
+    * driver's schema compare engine-wide.
+    */
+  test("q1_agg is invariant under a DECIMAL(12,2) lineitem regeneration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc-dec").toString
+    val li = Tables.lineitem(spark, sf)
+    li.schema.fields.filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+      .foldLeft(li)((d, f) => d.withColumn(f.name, col(f.name).cast("decimal(12,2)")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // the staged file really is decimal, and the load entry point erases it
+    // (string equality alone can be vacuous: "1.23" prints alike from both)
+    assert(spark.read.parquet(s"$dir/lineitem.parquet").schema.fields
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+    assert(!Tables.lineitem(spark, dir).schema.fields
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+    val canonical = rows("q1_agg", sf)
+    assert(canonical.nonEmpty)
+    assert(rows("q1_agg", dir) == canonical, "q1_agg drifted under DECIMAL numerics")
+  }
+
   // ----------------------------------------------------- date encodings
 
   /** Third regeneration hazard: `l_shipdate`/`o_orderdate` currently ship
