@@ -579,6 +579,43 @@ object SparkEntry {
     spark.table(name)
   }
 
+  /** §2.10 through the ORACLE, part 6 — EXACTLY-ONCE FILE SINK
+    * ([[streaming.EventStreams.idempotentParquetSink]]): the events
+    * file-stream drains through a real `writeStream.foreachBatch` that
+    * lands each micro-batch under `batch_id=<id>` in Overwrite mode —
+    * at-least-once redelivery + idempotent per-batch write = exactly-once
+    * table contents (the standard recipe for non-transactional sinks).
+    * `maxFilesPerTrigger=1` forces one batch per staged file so the sink
+    * really partitions by batch; the union of batch dirs must equal the
+    * events table exactly once per row (the oracle). The redelivery
+    * overwrite contract itself is pinned in StreamingSpec.
+    */
+  private def qe11BatchSink(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-qe11-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qe11-ckpt")
+    val schema = spark.read.parquet(stage.toString).schema
+    val ev = Tables.normalizeTs(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString))
+    val q = streaming.EventStreams.idempotentParquetSink(
+      ev.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value")),
+      out.toString, ckpt.toString)
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      dropStage(stage)
+    }
+    val res = spark.read.parquet(out.toString).drop("batch_id")
+    val rows = res.collect()
+    rmTree(out)
+    rmTree(ckpt)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4), res.schema)
+  }
+
   /** As-of join — for each click, the user's latest purchase at-or-before
     * it (µs-integer event times; right side pre-deduped per instant).
     * Cross-validated against DuckDB's native ASOF JOIN.
@@ -2960,6 +2997,7 @@ object SparkEntry {
     "qt21_bpe_encode" -> (qt21BpeEncode _),
     "qt22_shuffle_shard" -> (qt22ShuffleShard _),
     "qe10_stream_enrich" -> (qe10StreamEnrich _),
+    "qe11_batch_sink" -> (qe11BatchSink _),
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
     "qt15_bm25" -> (qt15Bm25 _),
     "qt16_stratified" -> (qt16Stratified _),
@@ -3562,6 +3600,11 @@ object SparkEntry {
     // streaming dedup over a 2x-duplicated source must emit the events
     // table exactly once per id
     "qe9_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events""".stripMargin,
+    // exactly-once foreachBatch sink: the union of batch_id dirs must be
+    // the events table exactly once per row
+    "qe11_batch_sink" ->
       """SELECT event_id, user_id, event_type, round(value, 2) AS value
         |FROM events""".stripMargin,
     // stream-static enrich: stateless append ≡ the plain batch join

@@ -222,6 +222,33 @@ object EventStreams {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey))
 
+  /** EXACTLY-ONCE parquet sink via IDEMPOTENT `foreachBatch`: each
+    * micro-batch lands whole under `outDir/batch_id=<id>` in Overwrite
+    * mode. Structured Streaming replays a batch after recovery
+    * (at-least-once delivery with the SAME deterministic batchId), so a
+    * re-delivered batch REPLACES its own previous output instead of
+    * appending a duplicate — at-least-once delivery + idempotent write =
+    * exactly-once table contents, the standard recipe for sinks without
+    * transactional commit. Readers get partition discovery on `batch_id`
+    * for free (and a trainer resuming from batch N is a directory-pruned
+    * filter, never a scan). [[writeIdempotentBatch]] is the per-batch
+    * kernel, exposed so the redelivery contract is directly testable.
+    */
+  def writeIdempotentBatch(batch: Dataset[org.apache.spark.sql.Row], batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  def idempotentParquetSink(
+      stream: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeIdempotentBatch(batch, batchId, outDir)
+      }
+      .start()
+
   // ---------------------------------------------- streaming near-dup LSH
 
   case class StreamDoc(doc_id: Long, text: String)
