@@ -1400,6 +1400,19 @@ object SparkEntry {
       orderKey = Some((col("doc_id") * lit(2654435761L)) % lit(1000000007L)))
   }
 
+  /** Token-window chunking with overlap
+    * ([[operators.TextAnalysis.chunkDocs]]) — the RAG/embedding
+    * ingestion step: 48-token windows, 12 shared between consecutive
+    * chunks (stride 36). Pure zero-exchange projection
+    * (explode(sequence) + slice — PlanSpec-pinned); the oracle replays
+    * chunk count, starts, and window contents with `generate_series` +
+    * `list_slice`. Sizes chosen so sf0.01 docs (≈ tens of tokens)
+    * genuinely multi-chunk.
+    */
+  private def qt28Chunk(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.chunkDocs(
+      t(spark, dir, "documents"), "doc_id", "text", chunkTokens = 48, overlap = 12)
+
   /** EXACT heavy hitters via the two-pass Misra–Gries sketch-then-recount
     * ([[operators.TextAnalysis.heavyHitters]]): all terms with corpus
     * frequency ≥ support·N, exact counts. Output is identical to the
@@ -2376,6 +2389,55 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** Layout tier — HILBERT-CURVE INDEX ([[operators.Layout.hilbert2]],
+    * the codegen'd [[functions.expressions.Hilbert2]] loop): per-row
+    * Hilbert distance of (l_partkey, l_suppkey) masked to 16 bits,
+    * aggregated per returnflag — the qy1 shape on the locality-preserving
+    * curve. The oracle replays the identical xy2d iteration (bit test,
+    * d += s²·((3·rx)⊕ry), conditional flip+swap) as a DuckDB RECURSIVE
+    * CTE, one recursion step per bit level, so any drift in the rotation
+    * arithmetic breaks sum/min/max exactly.
+    */
+  private def qy6Hilbert(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag"),
+        operators.Layout.hilbert2(col("l_partkey"), col("l_suppkey"), order = 16).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("h")).as("h_sum"),
+        min(col("h")).as("h_min"),
+        max(col("h")).as("h_max"))
+
+  /** Layout tier — Hilbert box query end-to-end: lineitem is clustered
+    * by the Hilbert index of its 8-bit (x, y) keys
+    * ([[operators.Layout.clusterByHilbertKeep]]), and the box filter
+    * reaches the rows through [[operators.Layout.hilbertBoxQuery]] —
+    * quadtree-decomposed `h BETWEEN` intervals (pushed to parquet
+    * min/max stats on the h-sorted files) plus the exact residual. The
+    * oracle is the plain 2-D box filter: identical output is the
+    * interval decomposition's exactness contract. File-level pruning
+    * (and Hilbert-vs-Z candidate-file comparison) is LayoutSpec's job.
+    */
+  private def qy7HilbertBox(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qy7").toString
+    val base = t(spark, dir, "lineitem").select(
+      col("l_partkey").bitwiseAND(lit(255)).as("x"),
+      col("l_suppkey").bitwiseAND(lit(255)).as("y"),
+      col("l_extendedprice"))
+    operators.Layout
+      .clusterByHilbertKeep(base, Seq(col("x"), col("y")), numFiles = 8, order = 8)
+      .write.mode("overwrite").parquet(tmp)
+    operators.Layout
+      .hilbertBoxQuery(
+        spark.read.parquet(tmp), col("x"), col("y"), col("h"),
+        32, 79, 100, 131, order = 8)
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
   /** Layout tier — small-file compaction round trip: a 48-shard parquet
     * directory is compacted ([[operators.Layout.compact]] — `coalesce`,
     * a narrow dependency, so NO shuffle; LayoutSpec asserts the plan and
@@ -2981,7 +3043,10 @@ object SparkEntry {
     "qt25_paragraph_dedup" -> (qt25ParagraphDedup _),
     "qt26_entropy" -> (qt26Entropy _),
     "qt27_mixture" -> (qt27Mixture _),
+    "qt28_chunk" -> (qt28Chunk _),
     "qy5_minmax_prune" -> (qy5MinMaxPrune _),
+    "qy6_hilbert" -> (qy6Hilbert _),
+    "qy7_hilbert_box" -> (qy7HilbertBox _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_group_percentile" -> (q28GroupPercentile _),
     "qd9_minhash_estimate" -> (qd9MinhashEstimate _),
@@ -3282,6 +3347,42 @@ object SparkEntry {
     "qy5_minmax_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400""".stripMargin,
+    // Hilbert index: the oracle replays the iterative xy2d loop (bit
+    // test, d += s²·((3·rx) xor ry), conditional flip-then-swap rotate)
+    // as a recursive CTE — one recursion step per bit level, s halving
+    // 32768→0; rows with s=0 carry the finished distance
+    "qy6_hilbert" ->
+      """WITH RECURSIVE hil AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_partkey AS BIGINT) & 65535 AS x,
+        |    CAST(l_suppkey AS BIGINT) & 65535 AS y,
+        |    CAST(0 AS BIGINT) AS d,
+        |    CAST(32768 AS BIGINT) AS s
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag,
+        |    CASE WHEN (y & s) = 0
+        |         THEN CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END
+        |         ELSE x END,
+        |    CASE WHEN (y & s) = 0
+        |         THEN CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END
+        |         ELSE y END,
+        |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN CAST(3 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+        |                    CASE WHEN (y & s) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        |    s // 2
+        |  FROM hil WHERE s > 0)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(d) AS BIGINT) AS h_sum, min(d) AS h_min, max(d) AS h_max
+        |FROM hil WHERE s = 0
+        |GROUP BY 1""".stripMargin,
+    // Hilbert box query: the oracle is the plain 2-D box filter — the
+    // engine must reach the same rows through its h-interval pushdown
+    // (the quadtree decomposition's exactness contract)
+    "qy7_hilbert_box" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM (SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y, l_extendedprice
+        |      FROM lineitem)
+        |WHERE x BETWEEN 32 AND 79 AND y BETWEEN 100 AND 131""".stripMargin,
     // Paragraph dedup: zipped unnest gives (idx, para) per document,
     // row_number over the trimmed paragraph in (doc_id, idx) order picks
     // the first occurrence, ordered string_agg reassembles — documents
@@ -3335,6 +3436,34 @@ object SparkEntry {
         |  FROM d JOIN b USING (source))
         |SELECT source, doc_id, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens - n_tokens < budget""".stripMargin,
+    // Token-window chunking: the oracle replays the chunk-count
+    // arithmetic (1 + ceil((n-48)/36) integer form), the start offsets,
+    // and the window contents via generate_series + list_slice (1-based
+    // inclusive, end-clamping — matching Spark's slice exactly)
+    "qt28_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+        |  WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 48 THEN 1 ELSE 1 + (n - 48 + 35) // 36 END AS nc
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, chunk_id,
+        |  chunk_id * 36 AS start_tok,
+        |  least(chunk_id * 36 + 48, n) - chunk_id * 36 AS n_tok,
+        |  array_to_string(
+        |    list_slice(toks, chunk_id * 36 + 1, chunk_id * 36 + 48), ' ')
+        |    AS chunk_text
+        |FROM ch""".stripMargin,
     "qt25_paragraph_dedup" ->
       """WITH wrapped AS (
         |  SELECT doc_id,

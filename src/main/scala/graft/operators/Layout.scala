@@ -417,6 +417,115 @@ object Layout {
       .filter(col("hi") >= lo && col("lo") <= hi)
       .count()
 
+  /** HILBERT-CURVE CLUSTERING — the locality-preserving upgrade of
+    * [[clusterByZorder]]. The Hilbert index visits the 2-D grid so that
+    * consecutive codes are always 4-neighbour cells (Z-order jumps across
+    * half the domain at every power-of-two boundary), so range-clustering
+    * by the Hilbert value yields files whose key-space footprint is a
+    * compact blob instead of a Z-shaped straggle — fewer files overlap
+    * any given query box, i.e. better min/max pruning at the same file
+    * count (LayoutSpec pins the discriminating property exhaustively:
+    * every consecutive Hilbert code pair is 4-adjacent; Z jumps at every
+    * power-of-two boundary — plus the same ≥75% partition-pruning win
+    * the Z layout is held to).
+    * Computed by the codegen'd [[graft.functions.expressions.Hilbert2]]
+    * expression — an O(order) loop at constant code size (a builtin-
+    * column unroll would be O(2^order) tree nodes; that blowup is why
+    * this sat in BACKLOG until the Expression tier picked it up).
+    */
+  def hilbert2(x: Column, y: Column, order: Int = 16): Column =
+    graft.functions.expressions.HilbertExpressions.hilbert2(x, y, order)
+
+  /** Cluster `df` by the Hilbert index of `(keys(0), keys(1))` into
+    * `numFiles` range partitions, Hilbert-sorted within each — same
+    * exchange shape as [[clusterByZorder]] (one range exchange, AQE/skew
+    * friendly), different space-filling curve.
+    */
+  def clusterByHilbert(df: DataFrame, keys: Seq[Column], numFiles: Int, order: Int = 16): DataFrame = {
+    require(keys.size == 2, s"hilbert clustering takes exactly 2 keys, got ${keys.size}")
+    df.withColumn("__graft_h", hilbert2(keys(0), keys(1), order))
+      .repartitionByRange(numFiles, col("__graft_h"))
+      .sortWithinPartitions("__graft_h")
+      .drop("__graft_h")
+  }
+
+  /** Variant keeping the Hilbert value as `hCol` — store it with the data
+    * and box queries push [[hilbertRangesForBox]] intervals to parquet
+    * min/max stats, the Hilbert analog of [[clusterByZorderKeep]].
+    */
+  def clusterByHilbertKeep(
+      df: DataFrame,
+      keys: Seq[Column],
+      numFiles: Int,
+      order: Int = 16,
+      hCol: String = "h"): DataFrame =
+    df.withColumn(hCol, hilbert2(keys(0), keys(1), order))
+      .repartitionByRange(numFiles, col(hCol))
+      .sortWithinPartitions(hCol)
+
+  /** Decompose the inclusive box `[xmin..xmax] × [ymin..ymax]` into the
+    * EXACT sorted set of Hilbert-index intervals covering it — the query
+    * side of Hilbert clustering. Same quadtree walk as [[zRangesForBox]]:
+    * a quad cell fully inside the box emits its d-interval whole, a
+    * partial overlap splits into children, disjoint drops. The key fact
+    * making this work for Hilbert exactly as for Z: an axis-aligned
+    * power-of-two cell is a quadtree node, and every quadtree node's
+    * points are CONTIGUOUS in Hilbert d (the curve fills each quadrant
+    * entirely before leaving it), with `d_base = xy2d(corner) & ~(s²−1)`.
+    * Unlike Z the children are NOT visited in d order here (the curve's
+    * child order varies with rotation state), so intervals are sorted
+    * and adjacent-merged after the walk. `maxRanges` coarsens to a
+    * superset past the budget; callers keep the exact residual filter.
+    */
+  def hilbertRangesForBox(
+      xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+      order: Int = 16,
+      maxRanges: Int = 1 << 12): Seq[(Long, Long)] = {
+    val n = 1L << order
+    require(xmin >= 0 && ymin >= 0 && xmax < n && ymax < n && xmin <= xmax && ymin <= ymax,
+      s"box out of $order-bit range: [$xmin..$xmax]x[$ymin..$ymax]")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def walk(x0: Long, y0: Long, size: Long): Unit = {
+      if (x0 > xmax || y0 > ymax || x0 + size - 1 < xmin || y0 + size - 1 < ymin) ()
+      else if ((x0 >= xmin && x0 + size - 1 <= xmax && y0 >= ymin && y0 + size - 1 <= ymax) ||
+        (size > 1 && out.size >= maxRanges)) {
+        val d = graft.functions.expressions.HilbertExpressions.xy2d(order, x0, y0)
+        val cell = size * size
+        val base = d - (d % cell)
+        out += ((base, base + cell - 1))
+      } else {
+        val h = size / 2
+        walk(x0, y0, h); walk(x0 + h, y0, h); walk(x0, y0 + h, h); walk(x0 + h, y0 + h, h)
+      }
+    }
+    walk(0, 0, n)
+    val sorted = out.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      if (merged.nonEmpty && merged.last._2 + 1 >= lo)
+        merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, hi))
+      else merged += ((lo, hi))
+    }
+    merged.toSeq
+  }
+
+  /** Box query over a Hilbert-clustered table: OR of `h BETWEEN`
+    * intervals (pushed to file/row-group min-max stats) + the exact
+    * per-column residual — the [[boxQuery]] twin on the Hilbert curve.
+    */
+  def hilbertBoxQuery(
+      df: DataFrame,
+      xCol: Column, yCol: Column, hCol: Column,
+      xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+      order: Int = 16): DataFrame = {
+    val ranges = hilbertRangesForBox(xmin, xmax, ymin, ymax, order, maxRanges = 64)
+    val hPred = ranges
+      .map { case (lo, hi) => hCol.between(lit(lo), lit(hi)) }
+      .reduce(_ || _)
+    df.filter(hPred)
+      .filter(xCol.between(lit(xmin), lit(xmax)) && yCol.between(lit(ymin), lit(ymax)))
+  }
+
   /** Write `df` as a hash-bucketed, per-bucket-sorted table: rows land in
     * bucket `hash(bucketKey) % numBuckets`, sorted by the key inside each
     * bucket file. Two tables bucketed on their join keys with the same

@@ -578,4 +578,60 @@ object TextAnalysis {
       .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
       .select(col(sourceCol), col(idCol), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** TOKEN-WINDOW CHUNKING WITH OVERLAP — the RAG/embedding ingestion
+    * step: split every document into windows of `chunkTokens` whitespace
+    * tokens, consecutive windows sharing `overlap` tokens (stride =
+    * chunkTokens − overlap), so no sentence straddling a boundary is
+    * lost to both sides. Chunk i covers tokens
+    * `[i·stride, min(i·stride + chunkTokens, n))`; a doc with
+    * `n ≤ chunkTokens` yields one chunk, an empty/blank doc yields none
+    * (nothing to embed), and the last chunk is the only short one.
+    *
+    * Scale shape: a pure projection — tokenize, compute the chunk count
+    * arithmetically (never a loop), `explode(sequence(...))` one row per
+    * chunk, `slice` the token window back out. Zero exchanges at ANY
+    * corpus size (PlanSpec-pinned); the explode multiplies rows by
+    * ~n/stride, the factor the downstream embedding job needs anyway.
+    * Every step is builtin column algebra, replayed by the qt28 oracle
+    * via DuckDB `generate_series` + `list_slice`.
+    *
+    * Output: (id, chunk_id, start_tok, n_tok, chunk_text).
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .select(
+        col(idCol),
+        when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      // nc = 1                                  for n ≤ C
+      //      1 + ceil((n − C) / stride)         otherwise  (integer form)
+      .withColumn("__nc",
+        when(col("__n") <= chunkTokens, lit(1L))
+          .otherwise(expr(s"1L + (__n - $chunkTokens + ${stride - 1}) div $stride")))
+      .select(
+        col(idCol),
+        col("__toks"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        col("start_tok"),
+        size(col("__chunk")).cast("long").as("n_tok"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
 }

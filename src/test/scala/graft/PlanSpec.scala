@@ -117,6 +117,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("qt28: token-window chunking is a pure generator projection — zero exchanges") {
+    val p = plan("qt28_chunk")
+    assert(!p.contains("Exchange"), "chunking grew a shuffle:\n" + p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Generate explode"), "chunk fan-out should be a Generate:\n" + p.take(800))
+  }
+
+  test("qy6: hilbert index stays inside whole-stage codegen (no CodegenFallback)") {
+    // codegen'd operators carry the "*(n)" stage marker once AQE finalizes
+    val p = finalPlan("qy6_hilbert")
+    assert(p.contains("*("), p.take(800))
+    assert(p.contains("hilbert2("), p.take(800))
+    // partial+final hash agg on the grouping key is the whole exchange story
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
   test("qd14: SemDeDup pairs come from a cluster equi-join, never a cartesian product") {
     val p = plan("qd14_semdedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

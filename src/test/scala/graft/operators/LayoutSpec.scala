@@ -314,4 +314,120 @@ class LayoutSpec extends AnyFunSuite {
       assert(rows.head.getLong(1) == 5000L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ------------------------------------------------------------- Hilbert tier
+
+  import graft.functions.expressions.HilbertExpressions.{xy2d, d2xy}
+
+  test("hilbert2 column matches the driver xy2d loop; d2xy round-trips; masking") {
+    val rnd = new scala.util.Random(31)
+    val pts = Seq.tabulate(512)(i =>
+      if (i < 8) (Seq(0L, 1L, 65535L, 32768L)(i % 4), Seq(0L, 65535L, 1L, 32767L)(i % 4))
+      else (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.hilbert2($"x", $"y", order = 16).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == xy2d(16, r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+    // masking contract: only the low `order` bits participate
+    val masked = Seq((0x12345L, 0x10001L)).toDF("x", "y")
+      .select(Layout.hilbert2($"x", $"y", order = 16)).as[Long].head()
+    assert(masked == xy2d(16, 0x2345L, 0x0001L))
+    // inverse round-trip at order 8, exhaustively
+    (0L until 65536L).foreach { d =>
+      val (x, y) = d2xy(8, d)
+      assert(xy2d(8, x, y) == d, s"d=$d")
+    }
+  }
+
+  test("hilbert adjacency: consecutive codes are 4-neighbour cells (Z provably is not)") {
+    // THE locality property that motivates Hilbert over Morton: every
+    // step of the curve moves one grid cell. Exhaustive at order 8.
+    (0L until 65535L).foreach { d =>
+      val (x0, y0) = d2xy(8, d)
+      val (x1, y1) = d2xy(8, d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1, s"jump at d=$d")
+    }
+    // the Z curve violates it at every power-of-two boundary
+    val (zx0, zy0) = (1L, 1L)   // z=3
+    val (zx1, zy1) = (2L, 0L)   // z=4
+    assert(mortonRef(zx0, zy0, 8) + 1 == mortonRef(zx1, zy1, 8) &&
+      math.abs(zx1 - zx0) + math.abs(zy1 - zy0) == 2)
+  }
+
+  test("hilbertRangesForBox: exact cover — h in ranges iff (x,y) in box; coarse superset") {
+    def inRanges(rs: Seq[(Long, Long)], h: Long) = rs.exists { case (lo, hi) => h >= lo && h <= hi }
+    val rnd = new scala.util.Random(37)
+    (1 to 20).foreach { _ =>
+      val x0 = rnd.nextInt(200).toLong; val x1 = x0 + rnd.nextInt(60)
+      val y0 = rnd.nextInt(200).toLong; val y1 = y0 + rnd.nextInt(60)
+      val rs = Layout.hilbertRangesForBox(x0, x1, y0, y1)
+      rs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + 1 < b._1, s"unmerged/unsorted: $a $b")
+        case _ =>
+      }
+      for (x <- math.max(0L, x0 - 2) to x1 + 2; y <- math.max(0L, y0 - 2) to y1 + 2) {
+        val h = xy2d(16, x, y)
+        val inBox = x >= x0 && x <= x1 && y >= y0 && y <= y1
+        assert(inRanges(rs, h) == inBox, s"($x,$y) h=$h box=[$x0..$x1]x[$y0..$y1]")
+      }
+      val coarse = Layout.hilbertRangesForBox(x0, x1, y0, y1, maxRanges = 4)
+      for (x <- x0 to x1; y <- y0 to y1)
+        assert(inRanges(coarse, xy2d(16, x, y)), "coarse ranges lost a box point")
+    }
+    // degenerate single cell
+    val d55 = xy2d(16, 5, 7)
+    assert(Layout.hilbertRangesForBox(5, 5, 7, 7) == Seq((d55, d55)))
+  }
+
+  test("hilbertBoxQuery over a clustered table: pushed h intervals, exact result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hbox").toString
+    val rnd = new scala.util.Random(41)
+    val pts = rnd.shuffle(for { x <- 0 until 128; y <- 0 until 128 } yield (x, y))
+    Layout.clusterByHilbertKeep(pts.toDF("x", "y"), Seq($"x", $"y"), numFiles = 16, order = 8)
+      .write.mode("overwrite").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val got = Layout.hilbertBoxQuery(table, $"x", $"y", $"h", 32, 47, 96, 111, order = 8)
+    val rows = got.select("x", "y").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val want = (for { x <- 32 to 47; y <- 96 to 111 } yield (x, y)).toSet
+    assert(rows == want, s"missing ${want.diff(rows).size}, extra ${rows.diff(want).size}")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(h,"),
+      "h intervals did not push to the scan:\n" + plan.take(800))
+  }
+
+  test("clusterByHilbert: disjoint per-partition h ranges and a pruning win") {
+    val rnd = new scala.util.Random(43)
+    val pts = rnd.shuffle(for { x <- 0 until 64; y <- 0 until 64 } yield (x, y))
+    val df = pts.toDF("x", "y")
+    val parts = 16
+    val clustered = Layout.clusterByHilbert(df, Seq($"x", $"y"), parts, order = 6)
+
+    def stats(d: org.apache.spark.sql.DataFrame) = d
+      .select($"x", $"y", Layout.hilbert2($"x", $"y", order = 6).as("h"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("h").as("hlo"), max("h").as("hhi"),
+        min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi"))
+      .collect()
+
+    val cs = stats(clustered)
+    val sorted = cs.sortBy(_.getAs[Long]("hlo"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hhi") < b.getAs[Long]("hlo"),
+          s"overlapping h ranges: $a vs $b")
+      case _ =>
+    }
+    def hits(rows: Array[org.apache.spark.sql.Row]): Int = rows.count { r =>
+      !(r.getAs[Int]("xhi") < 8 || r.getAs[Int]("xlo") > 15 ||
+        r.getAs[Int]("yhi") < 40 || r.getAs[Int]("ylo") > 47)
+    }
+    val roundRobin = stats(df.repartition(parts))
+    assert(hits(roundRobin) == parts, "round-robin baseline should intersect everywhere")
+    assert(hits(cs) <= parts / 4, s"hilbert layout should prune ≥75% of partitions, hit ${hits(cs)}/$parts")
+  }
 }

@@ -382,4 +382,58 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.sortBy(_._2).toSeq == out2.sortBy(_._2).toSeq)
   }
+
+  test("chunkDocs: window arithmetic, overlap contract, reconstruction, edges") {
+    import spark.implicits._
+    val c = 8; val o = 3; val stride = c - o // 5
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, ""),                 // blank -> no chunks
+      (1L, "   "),              // whitespace-only -> no chunks
+      (2L, "a"),                // 1 token -> 1 chunk
+      (3L, words(8)),           // n == C -> exactly 1 chunk
+      (4L, words(9)),           // n == C+1 -> 2 chunks, 2nd is the overlap + 1
+      (5L, words(23)),          // 1 + ceil(15/5) = 4 chunks, last is full
+      (6L, words(24))           // 1 + ceil(16/5) = 5 chunks, last has 4 toks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", c, o)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(0L) && !byDoc.contains(1L))
+    assert(byDoc(2L).map(t => (t._3, t._4, t._5)).toSeq == Seq((0L, 1L, "a")))
+    assert(byDoc(3L).length == 1 && byDoc(3L).head._4 == 8L)
+    assert(byDoc(4L).map(t => (t._2, t._3, t._4)).toSeq == Seq((0L, 0L, 8L), (1L, 5L, 4L)))
+    assert(byDoc(5L).length == 4 && byDoc(5L).last._4 == 8L)
+    assert(byDoc(6L).length == 5 && byDoc(6L).last._4 == 4L)
+
+    byDoc.foreach { case (id, chunks) =>
+      val toks = docs.filter($"doc_id" === id).as[(Long, String)].head()._2
+        .trim.split("\\s+").toSeq
+      // every chunk is the exact token window
+      chunks.foreach { case (_, ci, st, nt, text) =>
+        assert(st == ci * stride)
+        val want = toks.slice(st.toInt, math.min(st.toInt + c, toks.size))
+        assert(text.split(" ").toSeq == want, s"doc $id chunk $ci")
+        assert(nt == want.size.toLong)
+      }
+      // overlap contract: consecutive full chunks share exactly `o` tokens
+      chunks.sliding(2).foreach {
+        case Array(a, b) if a._4 == c =>
+          assert(a._5.split(" ").takeRight(o).toSeq == b._5.split(" ").take(o).toSeq)
+        case _ =>
+      }
+      // reconstruction: dropping each chunk's first `o` overlap tokens
+      // (except chunk 0) and concatenating rebuilds the doc exactly
+      val rebuilt = chunks.sortBy(_._2).flatMap { case (_, ci, _, _, text) =>
+        val ts = text.split(" ").toSeq
+        if (ci == 0L) ts else ts.drop(o)
+      }.toSeq
+      // ... when the last chunk extends past the previous one (it always
+      // does: starts advance by stride > 0 and the last start is < n)
+      assert(rebuilt == toks, s"doc $id reconstruction")
+    }
+  }
 }
