@@ -2244,6 +2244,40 @@ object SparkEntry {
     } finally rmTree(tmp)
   }
 
+  /** Transaction-log table format end-to-end ([[operators.TxLog]]):
+    * orders build a versioned table — v0 creates the orderkey%3=0 slice,
+    * v1 appends the %3=1 slice, v2 rewrites away rows under a totalprice
+    * floor (per-file dirty check; clean files carry by reference) — and
+    * the gate reads ALL THREE versions back through time-travel
+    * snapshots, emitting (version, n, sum_price). The oracle replays
+    * each version's logical contents as plain predicates over the
+    * source table, so a lost add, an unapplied remove, or a stale live
+    * set at any version breaks that version's row. Commit atomicity /
+    * concurrency / vacuum / partial-rewrite file identity are
+    * TxLogSpec's job.
+    */
+  private def qf11Txlog(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qf11")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      operators.TxLog.create(spark, root, orders.filter(col("o_orderkey") % 3 === 0))
+      operators.TxLog.append(spark, root, orders.filter(col("o_orderkey") % 3 === 1))
+      operators.TxLog.rewrite(spark, root, col("o_totalprice") >= 150000.0)
+      val out = (0L to 2L).map { v =>
+        operators.TxLog.snapshot(spark, root, Some(v))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(v).as("version"), col("n"), col("sum_price"))
+      }.reduce(_ unionByName _)
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   private def qf6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qf6")
     t(spark, dir, "lineitem")
@@ -3002,6 +3036,7 @@ object SparkEntry {
     "qf5_vector_geom" -> (qf5VectorGeom _),
     "qf6_orc_roundtrip" -> (qf6OrcRoundtrip _),
     "qf10_avro_roundtrip" -> (qf10AvroRoundtrip _),
+    "qf11_txlog" -> (qf11Txlog _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
     "qf9_shapefile_v2" -> (qf9ShapefileV2 _),
@@ -3300,6 +3335,20 @@ object SparkEntry {
         |    AS n_small,
         |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // Tx-log time travel: each version's logical contents as plain
+    // predicates — v0 the created slice, v1 after append, v2 after the
+    // rewrite retraction. A stale live set at any version breaks its row.
+    "qf11_txlog" ->
+      """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |  AND o_totalprice >= 150000""".stripMargin,
     // Compaction round trip: the oracle reads the source table — a row
     // lost or duplicated by the coalesce-rewrite breaks count/sum/avg.
     "qf7_compact" ->

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** TRANSACTION-LOG TABLE FORMAT — versioned, atomically-committed
+  * parquet tables with time travel, the minimal Delta-Lake/Iceberg shape
+  * an incremental curation pipeline needs (the qd12/qd13/qd15
+  * incremental-dedup operators maintain a standing corpus ARTIFACT; this
+  * is the storage contract that makes updating that artifact safe while
+  * trainers read it).
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/c<version>-<uuid>/part-*.parquet   (immutable once committed)
+  *     _log/<20-digit version>.json            (one commit per version)
+  * }}}
+  *
+  * A commit file holds `{version, schemaJson, add: [...], remove: [...]}`
+  * with paths RELATIVE to the table root. The live file set at version v
+  * is the log replay `adds − removes` over commits 0..v — so a reader
+  * never lists `data/` (at 100 TB / 10⁵ files, listing is the scan
+  * planner's bottleneck and eventually-consistent stores lie); the log
+  * IS the file inventory, Iceberg's core argument.
+  *
+  * Commit protocol: data files land fully under a fresh uuid directory
+  * FIRST (invisible — nothing references them), then the commit file is
+  * created with Hadoop `create(overwrite = false)`, which throws if the
+  * version already exists — the loser of a concurrent race fails loudly
+  * and retries against the new head (optimistic concurrency). Readers
+  * resolve a version entirely from immutable files, so a reader never
+  * sees a half-commit: either the JSON exists (all its data files do
+  * too) or the version doesn't exist. On HDFS `create(overwrite=false)`
+  * is an atomic namenode op; on S3 the same contract needs a
+  * conditional PUT (If-None-Match) — the hook is [[commitFile]], one
+  * method to swap. Crashed writers leave only orphan data dirs that no
+  * log entry references; [[vacuum]] reclaims them.
+  *
+  * Reference: no analog (the reference pipeline rewrites flat files in
+  * place between stages); this is the beyond-reference storage tier,
+  * SURVEY §2's scale mandate applied to mutation.
+  */
+object TxLog {
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def logPath(root: Path, version: Long): Path =
+    new Path(root, f"_log/$version%020d.json")
+
+  /** Committed versions, ascending (empty if the table doesn't exist). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (f, root) = fs(spark, dir)
+    val logDir = new Path(root, "_log")
+    if (!f.exists(logDir)) Seq.empty
+    else f.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  private case class Commit(
+      version: Long,
+      schemaJson: String,
+      add: Seq[String],
+      remove: Seq[String])
+
+  private def readCommit(f: FileSystem, root: Path, v: Long): Commit = {
+    val in = f.open(logPath(root, v))
+    try {
+      val node = mapper.readTree(in)
+      def arr(name: String): Seq[String] = {
+        val a = node.get(name)
+        (0 until a.size()).map(a.get(_).asText())
+      }
+      Commit(node.get("version").asLong(), node.get("schemaJson").asText(),
+        arr("add"), arr("remove"))
+    } finally in.close()
+  }
+
+  /** The one method whose atomicity the whole format rests on: create
+    * the version file failing if it exists. Public-contract note: HDFS —
+    * atomic; local FS — create(overwrite=false) checks-then-creates;
+    * S3 — replace with a conditional PUT.
+    */
+  private def commitFile(
+      f: FileSystem, root: Path, c: Commit): Unit = {
+    val bytes = mapper.writeValueAsBytes(
+      Map("version" -> c.version, "schemaJson" -> c.schemaJson,
+        "add" -> c.add, "remove" -> c.remove))
+    val out = f.create(logPath(root, c.version), false /* never overwrite */)
+    try out.write(bytes) finally out.close()
+    ()
+  }
+
+  /** Stage `df` as parquet under a fresh `data/c<v>-<uuid>` dir; return
+    * table-relative paths of the files written. Nothing references them
+    * until the commit file lands.
+    */
+  private def stage(spark: SparkSession, root: Path, df: DataFrame, v: Long): Seq[String] = {
+    val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(new Path(root, sub).toString)
+    val (f, _) = (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    f.listStatus(new Path(root, sub)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"$sub/$n")
+      .sorted
+  }
+
+  /** Create the table at `dir` with `df` as version 0. */
+  def create(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val (f, root) = fs(spark, dir)
+    require(versions(spark, dir).isEmpty, s"table already exists at $dir")
+    val files = stage(spark, root, df, 0L)
+    commitFile(f, root, Commit(0L, df.schema.json, files, Seq.empty))
+    0L
+  }
+
+  /** Append `df` as a new version. Returns the committed version. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    appendAt(spark, dir, df, vs.last + 1)
+  }
+
+  /** The optimistic-concurrency core append targets: stage, then claim
+    * exactly version `v` — if another writer claimed it between the
+    * caller's log read and here, `commitFile` throws and the staged
+    * files remain invisible orphans (vacuum's job). Package-visible so
+    * the race is directly testable.
+    */
+  private[graft] def appendAt(spark: SparkSession, dir: String, df: DataFrame, v: Long): Long = {
+    val (f, root) = fs(spark, dir)
+    val files = stage(spark, root, df, v)
+    commitFile(f, root, Commit(v, df.schema.json, files, Seq.empty))
+    v
+  }
+
+  private def replay(f: FileSystem, root: Path, upTo: Long): (Seq[String], StructType) = {
+    var live = scala.collection.immutable.ListSet.empty[String]
+    var schema: StructType = null
+    (0L to upTo).foreach { v =>
+      val c = readCommit(f, root, v)
+      live = live -- c.remove ++ c.add
+      schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    }
+    (live.toSeq.sorted, schema)
+  }
+
+  /** Snapshot read — the table as of `version` (default: latest). The
+    * scan lists NOTHING: the file set comes from the log replay, handed
+    * to the reader explicitly with the committed schema (so an empty
+    * table still has one).
+    */
+  def snapshot(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val (live, schema) = replay(f, root, v)
+    if (live.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(live.map(p => new Path(root, p).toString): _*)
+  }
+
+  /** Rewrite: keep only rows satisfying `keep`, touching ONLY the files
+    * that actually contain a dropped row (per-file dirty check via one
+    * `input_file_name` aggregation — clean files carry over by
+    * reference, the dominant case when a retraction hits a bounded key
+    * range of a 10⁵-file table). Dirty files' surviving rows are
+    * rewritten into the new commit's add-set; the commit removes the
+    * dirty files. No dirty files → no commit (returns current version).
+    */
+  def rewrite(spark: SparkSession, dir: String, keep: Column): Long = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val (live, schema) = replay(f, root, vs.last)
+    if (live.isEmpty) return vs.last
+    val byName = live.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
+    require(byName.size == live.size, "duplicate data-file names in live set")
+    val cur = spark.read.schema(schema)
+      .parquet(live.map(p => new Path(root, p).toString): _*)
+    val dirtyNames = cur.filter(!keep)
+      .select(input_file_name().as("uri")).distinct()
+      .collect()
+      .map(r => { val u = r.getString(0); u.substring(u.lastIndexOf('/') + 1) })
+      .toSeq.sorted
+    if (dirtyNames.isEmpty) return vs.last
+    val dirtyRel = dirtyNames.map(byName)
+    val v = vs.last + 1
+    val dirtyAbs = dirtyRel.map(p => new Path(root, p).toString)
+    val rewritten = spark.read.schema(schema).parquet(dirtyAbs: _*).filter(keep)
+    val files = stage(spark, root, rewritten, v)
+    commitFile(f, root, Commit(v, schema.json, files, dirtyRel))
+    v
+  }
+
+  /** Delete data files referenced by NO retained version (crashed
+    * writers' orphan stage dirs, and — when `retain` drops old versions
+    * — files only old snapshots referenced). Returns deleted
+    * table-relative paths. Time travel to a dropped version dies after
+    * vacuum, exactly like Delta's.
+    */
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      retain: Option[Seq[Long]] = None): Seq[String] = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val keep = retain.getOrElse(vs)
+    val referenced = keep.flatMap(v => replay(f, root, v)._1).toSet
+    val dataDir = new Path(root, "data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val rootUri = f.makeQualified(root).toString
+    val it = f.listFiles(dataDir, true)
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next().getPath
+      val rel = f.makeQualified(s).toString.stripPrefix(rootUri).stripPrefix("/")
+      if (rel.endsWith(".parquet")) all += rel
+    }
+    val orphans = all.toSeq.filterNot(referenced)
+    orphans.foreach(p => f.delete(new Path(root, p), false))
+    orphans.sorted
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Transaction-log table contracts: time-travel exactness, partial
+  * rewrite reusing clean files BY REFERENCE, optimistic-concurrency
+  * conflict on the version file, orphan invisibility (a crashed writer's
+  * staged data never appears), vacuum reclaiming only unreferenced
+  * files, and the rewrite-to-empty edge.
+  */
+class TxLogSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "txlog-spec")
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-txlog").resolve("tbl").toString
+
+  private def liveNames(dir: String, v: Long): Set[String] =
+    TxLog.snapshot(spark, dir, Some(v))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => { val u = r.getString(0); u.substring(u.lastIndexOf('/') + 1) })
+      .toSet
+
+  test("time travel: each version returns exactly its committed contents") {
+    val dir = tmp()
+    val v0 = TxLog.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val v1 = TxLog.append(spark, dir, Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+    val v2 = TxLog.rewrite(spark, dir, $"id" =!= 2L)
+    assert((v0, v1, v2) == (0L, 1L, 2L))
+    assert(TxLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+
+    def rows(v: Long) = TxLog.snapshot(spark, dir, Some(v))
+      .as[(Long, String)].collect().toSet
+    assert(rows(0L) == Set((1L, "a"), (2L, "b")))
+    assert(rows(1L) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rows(2L) == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // default = latest
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet == rows(2L))
+    // unknown version is a loud error
+    intercept[IllegalArgumentException](TxLog.snapshot(spark, dir, Some(9L)))
+  }
+
+  test("rewrite touches only dirty files; clean files carry over by reference") {
+    val dir = tmp()
+    // 4 range-partitioned files over id 0..99: ids 0..24 land in one file
+    val df = spark.range(100).select($"id", ($"id" % 7).as("v"))
+      .repartitionByRange(4, $"id").sortWithinPartitions($"id")
+    TxLog.create(spark, dir, df)
+    val before = liveNames(dir, 0L)
+    assert(before.size == 4)
+
+    TxLog.rewrite(spark, dir, !($"id" < 25L))
+    val after = liveNames(dir, 1L)
+    // the 3 clean files are the SAME physical files (no rewrite-the-world)
+    assert((before intersect after).size == 3, s"before=$before after=$after")
+    assert(TxLog.snapshot(spark, dir).as[(Long, Long)].collect().map(_._1).sorted
+      === (25L until 100L).toArray)
+    // no dropped rows -> no-op, same version, nothing committed
+    val v = TxLog.rewrite(spark, dir, lit(true))
+    assert(v == 1L && TxLog.versions(spark, dir) == Seq(0L, 1L))
+  }
+
+  test("concurrent commit: the losing writer fails loudly on the version file") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    // a racing writer claims version 1 between our log read and commit
+    // (winner commits via the public API)
+    TxLog.append(spark, dir, Seq((7L, "w")).toDF("id", "s"))
+    // the loser targets the version it read before the winner landed
+    intercept[Exception](
+      TxLog.appendAt(spark, dir, Seq((2L, "b")).toDF("id", "s"), v = 1L))
+    // the winner's commit stands; the loser's staged files are invisible orphans
+    assert(TxLog.versions(spark, dir) == Seq(0L, 1L))
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (7L, "w")))
+    val deleted = TxLog.vacuum(spark, dir)
+    assert(deleted.nonEmpty, "loser's staged files should be orphans for vacuum")
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (7L, "w")))
+  }
+
+  test("orphan data is invisible to snapshots and reclaimed by vacuum") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // a crashed writer left a fully-written but never-committed stage dir
+    Seq((99L, "zzz")).toDF("id", "s")
+      .write.parquet(dir + "/data/c9-deadbeef")
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")), "orphan rows leaked into a snapshot")
+    val deleted = TxLog.vacuum(spark, dir)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("data/c9-deadbeef/")))
+    // live data untouched
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // nothing more to reclaim
+    assert(TxLog.vacuum(spark, dir).isEmpty)
+  }
+
+  test("vacuum with retention drops files only old versions referenced") {
+    val dir = tmp()
+    TxLog.create(spark, dir,
+      spark.range(40).select($"id").repartitionByRange(2, $"id").sortWithinPartitions($"id"))
+    TxLog.rewrite(spark, dir, $"id" >= 20L) // drops the low file, rewrites it
+    val latestFiles = liveNames(dir, 1L)
+    val deleted = TxLog.vacuum(spark, dir, retain = Some(Seq(1L)))
+    assert(deleted.nonEmpty, "the retracted v0 file should be reclaimed")
+    // latest snapshot still reads perfectly
+    assert(TxLog.snapshot(spark, dir).as[Long].collect().sorted === (20L until 40L).toArray)
+    assert(liveNames(dir, 1L) == latestFiles)
+  }
+
+  test("rewrite to empty leaves a readable empty table with its schema") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.rewrite(spark, dir, lit(false))
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(snap.count() == 0L)
+    // history intact: v0 still has the row
+    assert(TxLog.snapshot(spark, dir, Some(0L)).count() == 1L)
+  }
+}
