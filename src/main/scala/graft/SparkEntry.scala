@@ -2278,6 +2278,40 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** Manifest-stats range scan over the tx-log table
+    * ([[operators.TxLog.snapshotRange]]): orders commit in two versions
+    * (even keys, then odd), each range-partitioned so every data file
+    * covers a tight o_orderkey interval whose (min, max) ride IN the
+    * commit JSON — and the range query plans its file set from the log
+    * alone (no directory listing, no parquet footer probes; the Iceberg
+    * manifest shape on the qf11 format). The oracle is the plain
+    * full-table BETWEEN: identical rows is the stats' no-false-negatives
+    * contract (partial-overlap files are cleaned by the residual
+    * filter). The pruning count itself is TxLogSpec's job.
+    */
+  private def qy8TxlogPrune(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qy8")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      operators.TxLog.create(
+        spark, root,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+        statsCol = Some("o_orderkey"))
+      operators.TxLog.append(
+        spark, root,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      val out = operators.TxLog.snapshotRange(spark, root, 2000L, 2600L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   private def qf6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qf6")
     t(spark, dir, "lineitem")
@@ -3081,6 +3115,7 @@ object SparkEntry {
     "qt28_chunk" -> (qt28Chunk _),
     "qy5_minmax_prune" -> (qy5MinMaxPrune _),
     "qy6_hilbert" -> (qy6Hilbert _),
+    "qy8_txlog_prune" -> (qy8TxlogPrune _),
     "qy7_hilbert_box" -> (qy7HilbertBox _),
     "q27_range_frame" -> (q27RangeFrame _),
     "q28_group_percentile" -> (q28GroupPercentile _),
@@ -3396,6 +3431,12 @@ object SparkEntry {
     "qy5_minmax_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 1400""".stripMargin,
+    // Manifest-stats range scan: the oracle is the plain full-scan
+    // BETWEEN over the whole table (even + odd commits = all rows) —
+    // identical rows is the in-commit stats' no-false-negatives contract
+    "qy8_txlog_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey BETWEEN 2000 AND 2600""".stripMargin,
     // Hilbert index: the oracle replays the iterative xy2d loop (bit
     // test, d += s²·((3·rx) xor ry), conditional flip-then-swap rotate)
     // as a recursive CTE — one recursion step per bit level, s halving

@@ -75,7 +75,9 @@ object TxLog {
       version: Long,
       schemaJson: String,
       add: Seq[String],
-      remove: Seq[String])
+      remove: Seq[String],
+      statsCol: Option[String],
+      stats: Map[String, (Long, Long)])
 
   private def readCommit(f: FileSystem, root: Path, v: Long): Commit = {
     val in = f.open(logPath(root, v))
@@ -85,8 +87,20 @@ object TxLog {
         val a = node.get(name)
         (0 until a.size()).map(a.get(_).asText())
       }
+      val statsCol = Option(node.get("statsCol")).filterNot(_.isNull).map(_.asText())
+      val stats = Option(node.get("stats")).filterNot(_.isNull) match {
+        case None => Map.empty[String, (Long, Long)]
+        case Some(s) =>
+          val it = s.fields()
+          val b = Map.newBuilder[String, (Long, Long)]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+          }
+          b.result()
+      }
       Commit(node.get("version").asLong(), node.get("schemaJson").asText(),
-        arr("add"), arr("remove"))
+        arr("add"), arr("remove"), statsCol, stats)
     } finally in.close()
   }
 
@@ -99,35 +113,71 @@ object TxLog {
       f: FileSystem, root: Path, c: Commit): Unit = {
     val bytes = mapper.writeValueAsBytes(
       Map("version" -> c.version, "schemaJson" -> c.schemaJson,
-        "add" -> c.add, "remove" -> c.remove))
+        "add" -> c.add, "remove" -> c.remove,
+        "statsCol" -> c.statsCol.orNull,
+        "stats" -> c.stats.map { case (p, (lo, hi)) => p -> Seq(lo, hi) }))
     val out = f.create(logPath(root, c.version), false /* never overwrite */)
     try out.write(bytes) finally out.close()
     ()
   }
 
   /** Stage `df` as parquet under a fresh `data/c<v>-<uuid>` dir; return
-    * table-relative paths of the files written. Nothing references them
-    * until the commit file lands.
+    * table-relative paths of the files written, plus per-file (min, max)
+    * of `statsCol` when declared — the MANIFEST STATS: collected once at
+    * write time by one `groupBy(input_file_name)` pass over the just-
+    * written files, stored in the commit, so a later range scan plans
+    * its file set from the log alone (zero listing, zero footer probes —
+    * the Iceberg manifest argument; the qy5 sidecar's lifecycle-managed
+    * big sibling). Nothing references the staged files until the commit
+    * file lands.
     */
-  private def stage(spark: SparkSession, root: Path, df: DataFrame, v: Long): Seq[String] = {
+  private def stage(
+      spark: SparkSession,
+      root: Path,
+      df: DataFrame,
+      v: Long,
+      statsCol: Option[String]): (Seq[String], Map[String, (Long, Long)]) = {
     val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("errorifexists").parquet(new Path(root, sub).toString)
-    val (f, _) = (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
-    f.listStatus(new Path(root, sub)).toSeq
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = f.listStatus(new Path(root, sub)).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$sub/$n")
       .sorted
+    val stats = statsCol match {
+      case None => Map.empty[String, (Long, Long)]
+      case Some(c) if files.isEmpty => Map.empty[String, (Long, Long)]
+      case Some(c) =>
+        spark.read.parquet(new Path(root, sub).toString)
+          .groupBy(input_file_name().as("uri"))
+          .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"))
+          .collect()
+          .map { r =>
+            val u = r.getString(0)
+            s"$sub/${u.substring(u.lastIndexOf('/') + 1)}" -> (r.getLong(1), r.getLong(2))
+          }.toMap
+    }
+    (files, stats)
   }
 
-  /** Create the table at `dir` with `df` as version 0. */
-  def create(spark: SparkSession, dir: String, df: DataFrame): Long = {
+  /** Create the table at `dir` with `df` as version 0. `statsCol`
+    * declares a long-valued column whose per-file min/max ride in every
+    * commit (see [[snapshotRange]]); it is a table property — appends
+    * and rewrites inherit it from the log.
+    */
+  def create(
+      spark: SparkSession, dir: String, df: DataFrame,
+      statsCol: Option[String] = None): Long = {
     val (f, root) = fs(spark, dir)
     require(versions(spark, dir).isEmpty, s"table already exists at $dir")
-    val files = stage(spark, root, df, 0L)
-    commitFile(f, root, Commit(0L, df.schema.json, files, Seq.empty))
+    val (files, stats) = stage(spark, root, df, 0L, statsCol)
+    commitFile(f, root, Commit(0L, df.schema.json, files, Seq.empty, statsCol, stats))
     0L
   }
+
+  private def tableStatsCol(f: FileSystem, root: Path, vs: Seq[Long]): Option[String] =
+    vs.reverseIterator.map(readCommit(f, root, _).statsCol).collectFirst { case Some(c) => c }
 
   /** Append `df` as a new version. Returns the committed version. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
@@ -144,20 +194,24 @@ object TxLog {
     */
   private[graft] def appendAt(spark: SparkSession, dir: String, df: DataFrame, v: Long): Long = {
     val (f, root) = fs(spark, dir)
-    val files = stage(spark, root, df, v)
-    commitFile(f, root, Commit(v, df.schema.json, files, Seq.empty))
+    val sc = tableStatsCol(f, root, versions(spark, dir))
+    val (files, stats) = stage(spark, root, df, v, sc)
+    commitFile(f, root, Commit(v, df.schema.json, files, Seq.empty, sc, stats))
     v
   }
 
-  private def replay(f: FileSystem, root: Path, upTo: Long): (Seq[String], StructType) = {
+  private def replay(
+      f: FileSystem, root: Path, upTo: Long): (Seq[String], StructType, Map[String, (Long, Long)]) = {
     var live = scala.collection.immutable.ListSet.empty[String]
+    var stats = Map.empty[String, (Long, Long)]
     var schema: StructType = null
     (0L to upTo).foreach { v =>
       val c = readCommit(f, root, v)
       live = live -- c.remove ++ c.add
+      stats = stats -- c.remove ++ c.stats
       schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     }
-    (live.toSeq.sorted, schema)
+    (live.toSeq.sorted, schema, stats)
   }
 
   /** Snapshot read — the table as of `version` (default: latest). The
@@ -171,11 +225,60 @@ object TxLog {
     require(vs.nonEmpty, s"no table at $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
-    val (live, schema) = replay(f, root, v)
+    val (live, schema, _) = replay(f, root, v)
     if (live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema).parquet(live.map(p => new Path(root, p).toString): _*)
+  }
+
+  /** Range scan planned ENTIRELY from the log: keep only live files
+    * whose committed [lo, hi] stats can contain `[lo, hi]` of the
+    * table's declared stats column, scan those with the exact residual
+    * BETWEEN. Files committed WITHOUT stats are never pruned (safety
+    * under mixed history), and pruning only ever drops provably-disjoint
+    * files, so output ≡ `snapshot(...).filter(between)` — the qy8
+    * oracle's contract. At 10⁵ files this plans O(matching) tasks from
+    * a KB of JSON, no listing, no footer reads.
+    */
+  def snapshotRange(
+      spark: SparkSession,
+      dir: String,
+      lo: Long,
+      hi: Long,
+      version: Option[Long] = None): DataFrame = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val sc = tableStatsCol(f, root, vs.filter(_ <= v)).getOrElse(
+      throw new IllegalArgumentException(s"table at $dir has no statsCol — use snapshot().filter"))
+    val (live, schema, stats) = replay(f, root, v)
+    val keep = live.filter(p => stats.get(p) match {
+      case Some((flo, fhi)) => fhi >= lo && flo <= hi
+      case None => true // stat-less file: cannot prove disjoint, must scan
+    })
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema).parquet(keep.map(p => new Path(root, p).toString): _*)
+    base.filter(col(sc).cast("long").between(lo, hi))
+  }
+
+  /** Planned file count for a range probe — the pruning metric
+    * (TxLogSpec asserts candidates ≪ live files for a narrow range).
+    */
+  def rangeCandidateFiles(spark: SparkSession, dir: String, lo: Long, hi: Long): Long = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val (live, _, stats) = replay(f, root, vs.last)
+    live.count(p => stats.get(p) match {
+      case Some((flo, fhi)) => fhi >= lo && flo <= hi
+      case None => true
+    }).toLong
   }
 
   /** Rewrite: keep only rows satisfying `keep`, touching ONLY the files
@@ -190,7 +293,7 @@ object TxLog {
     val (f, root) = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
-    val (live, schema) = replay(f, root, vs.last)
+    val (live, schema, _) = replay(f, root, vs.last)
     if (live.isEmpty) return vs.last
     val byName = live.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
     require(byName.size == live.size, "duplicate data-file names in live set")
@@ -206,8 +309,9 @@ object TxLog {
     val v = vs.last + 1
     val dirtyAbs = dirtyRel.map(p => new Path(root, p).toString)
     val rewritten = spark.read.schema(schema).parquet(dirtyAbs: _*).filter(keep)
-    val files = stage(spark, root, rewritten, v)
-    commitFile(f, root, Commit(v, schema.json, files, dirtyRel))
+    val sc = tableStatsCol(f, root, vs)
+    val (files, stats) = stage(spark, root, rewritten, v, sc)
+    commitFile(f, root, Commit(v, schema.json, files, dirtyRel, sc, stats))
     v
   }
 

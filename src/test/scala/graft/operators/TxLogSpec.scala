@@ -112,6 +112,45 @@ class TxLogSpec extends AnyFunSuite {
     assert(liveNames(dir, 1L) == latestFiles)
   }
 
+  test("manifest stats: range scan plans few files from the log, result == filter") {
+    val dir = tmp()
+    // two commits, each 8 range-partitioned files over id 0..999
+    val all = spark.range(1000).select($"id", ($"id" % 13).as("v"))
+    TxLog.create(spark, dir,
+      all.filter($"id" % 2 === 0).repartitionByRange(8, $"id").sortWithinPartitions($"id"),
+      statsCol = Some("id"))
+    TxLog.append(spark, dir,
+      all.filter($"id" % 2 === 1).repartitionByRange(8, $"id").sortWithinPartitions($"id"))
+    assert(liveNames(dir, 1L).size == 16)
+
+    // narrow probe: each commit's files cover ~125 ids, so [300, 340]
+    // overlaps at most 2 files per commit
+    val cand = TxLog.rangeCandidateFiles(spark, dir, 300L, 340L)
+    assert(cand <= 4, s"expected <=4 candidate files of 16, planned $cand")
+    val got = TxLog.snapshotRange(spark, dir, 300L, 340L)
+      .as[(Long, Long)].collect().toSet
+    val want = TxLog.snapshot(spark, dir).filter($"id".between(300L, 340L))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want && want.map(_._1) == (300L to 340L).toSet)
+
+    // out-of-domain probe plans zero files and returns nothing
+    assert(TxLog.rangeCandidateFiles(spark, dir, 5000L, 6000L) == 0L)
+    assert(TxLog.snapshotRange(spark, dir, 5000L, 6000L).count() == 0L)
+
+    // stats survive a rewrite (restaged files get fresh stats)
+    TxLog.rewrite(spark, dir, $"id" =!= 320L)
+    val after = TxLog.snapshotRange(spark, dir, 300L, 340L).as[(Long, Long)].collect().toSet
+    assert(after == want.filterNot(_._1 == 320L))
+    // time travel + prune: the pre-rewrite version still sees id 320
+    assert(TxLog.snapshotRange(spark, dir, 300L, 340L, version = Some(1L))
+      .as[(Long, Long)].collect().toSet == want)
+
+    // a table without a declared stats column refuses range planning
+    val dir2 = tmp()
+    TxLog.create(spark, dir2, Seq((1L, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException](TxLog.snapshotRange(spark, dir2, 0L, 10L))
+  }
+
   test("rewrite to empty leaves a readable empty table with its schema") {
     val dir = tmp()
     TxLog.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
