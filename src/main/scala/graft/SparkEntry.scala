@@ -616,6 +616,57 @@ object SparkEntry {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 4), res.schema)
   }
 
+  /** Exactly-once STREAMING INGEST INTO THE TX-LOG TABLE
+    * ([[streaming.EventStreams.txLogSink]] over
+    * [[operators.TxLog.appendStreamBatch]]): the staged events
+    * file-stream drains through a real writeStream whose every
+    * micro-batch commits as version batchId+1 — then the gate REPLAYS
+    * batch 0 with a poison row; the version file is already claimed, so
+    * the redelivery must no-op (if idempotence ever breaks, the poison
+    * row lands in the snapshot and the oracle — the plain events
+    * projection, each row exactly once — catches it). Transactional
+    * upgrade of qe11: readers see whole committed versions, never a
+    * half-written batch dir.
+    */
+  private def qe12StreamTxlog(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(dir)
+    val wh = java.nio.file.Files.createTempDirectory("graft-qe12")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qe12-ckpt")
+    try {
+      val root = wh.resolve("tbl").toString
+      val schema = spark.read.parquet(stage.toString).schema
+      val ev = Tables.normalizeTs(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString))
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+      val outSchema = ev.schema
+      operators.TxLog.create(
+        spark, root,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema))
+      val q = streaming.EventStreams.txLogSink(ev, root, ckpt.toString)
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        dropStage(stage)
+      }
+      // redelivery probe: batch 0 arrives again (poison payload) — the
+      // claimed version makes it a no-op; a duplicate would fail the oracle
+      val poison = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(-999L, -1L, "poison", 0.0)), 1), outSchema)
+      operators.TxLog.appendStreamBatch(spark, root, poison, batchId = 0L)
+      val res = operators.TxLog.snapshot(spark, root)
+      val rows = res.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 4), res.schema)
+    } finally {
+      rmTree(wh)
+      rmTree(ckpt)
+    }
+  }
+
   /** As-of join — for each click, the user's latest purchase at-or-before
     * it (µs-integer event times; right side pre-deduped per instant).
     * Cross-validated against DuckDB's native ASOF JOIN.
@@ -3133,6 +3184,7 @@ object SparkEntry {
     "qt22_shuffle_shard" -> (qt22ShuffleShard _),
     "qe10_stream_enrich" -> (qe10StreamEnrich _),
     "qe11_batch_sink" -> (qe11BatchSink _),
+    "qe12_stream_txlog" -> (qe12StreamTxlog _),
     "qt14_heavy_hitters" -> (qt14HeavyHitters _),
     "qt15_bm25" -> (qt15Bm25 _),
     "qt16_stratified" -> (qt16Stratified _),
@@ -3824,6 +3876,12 @@ object SparkEntry {
     // exactly-once foreachBatch sink: the union of batch_id dirs must be
     // the events table exactly once per row
     "qe11_batch_sink" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events""".stripMargin,
+    // exactly-once tx-log streaming ingest: the table snapshot must be
+    // the events table exactly once per row — a redelivered (poisoned)
+    // batch 0 must not land, or the extra row breaks the compare
+    "qe12_stream_txlog" ->
       """SELECT event_id, user_id, event_type, round(value, 2) AS value
         |FROM events""".stripMargin,
     // stream-static enrich: stateless append ≡ the plain batch join

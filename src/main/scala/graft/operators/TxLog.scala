@@ -315,6 +315,27 @@ object TxLog {
     v
   }
 
+  /** EXACTLY-ONCE streaming ingest: commit micro-batch `batchId` as
+    * version `batchId + 1` over a table created (possibly empty) at v0.
+    * Structured Streaming redelivers a batch after recovery with the
+    * SAME deterministic batchId — and its version file already exists,
+    * so the redelivery is a no-op (returns false, commits nothing): the
+    * at-least-once delivery + at-most-once version claim = exactly-once
+    * table contents, with the claim enforced by the SAME
+    * create(overwrite=false) atomicity every other commit uses (a true
+    * race on the version still throws rather than double-appending).
+    * This is the transactional upgrade of the qe11 overwrite-partition
+    * recipe: readers see whole versions, never a half-written batch
+    * directory. Single-writer-per-table, like any txn-id scheme.
+    */
+  def appendStreamBatch(spark: SparkSession, dir: String, df: DataFrame, batchId: Long): Boolean = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val (f, root) = fs(spark, dir)
+    val v = batchId + 1
+    if (f.exists(logPath(root, v))) false
+    else { appendAt(spark, dir, df, v); true }
+  }
+
   /** Delete data files referenced by NO retained version (crashed
     * writers' orphan stage dirs, and — when `retain` drops old versions
     * — files only old snapshots referenced). Returns deleted

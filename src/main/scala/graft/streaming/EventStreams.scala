@@ -249,6 +249,29 @@ object EventStreams {
       }
       .start()
 
+  /** EXACTLY-ONCE streaming ingest into a [[graft.operators.TxLog]]
+    * table: each micro-batch commits as version `batchId + 1` through
+    * [[graft.operators.TxLog.appendStreamBatch]] — a redelivered batch
+    * finds its version file already claimed and no-ops, so the table
+    * holds every source row exactly once across recoveries, and readers
+    * (snapshot/time-travel/range scans) only ever see whole committed
+    * versions. The target table must exist (create it, empty is fine,
+    * before starting the query); one streaming writer per table.
+    */
+  def txLogSink(
+      stream: DataFrame,
+      tableDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.TxLog.appendStreamBatch(
+          batch.sparkSession, tableDir, batch.toDF(), batchId)
+        ()
+      }
+      .start()
+
   // ---------------------------------------------- streaming near-dup LSH
 
   case class StreamDoc(doc_id: Long, text: String)

@@ -90,6 +90,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(out2).listFiles.count(_.getName.startsWith("batch_id=")) == 2)
   }
 
+  test("tx-log streaming sink: redelivered batch no-ops; stream lands exactly once in whole versions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TxLog
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-txsink").resolve("tbl").toString
+
+    // per-batch kernel: batch b commits as version b+1; redelivery no-ops
+    TxLog.create(spark, dir, Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(TxLog.appendStreamBatch(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L))
+    assert(!TxLog.appendStreamBatch(spark, dir, Seq((666L, "poison")).toDF("id", "v"), 0L),
+      "redelivered batch 0 must not commit")
+    assert(TxLog.appendStreamBatch(spark, dir, Seq((3L, "c")).toDF("id", "v"), 1L))
+    assert(TxLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel still sees the pre-batch-1 table
+    assert(TxLog.snapshot(spark, dir, Some(1L)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+
+    // end-to-end: a real writeStream through the sink, one version per batch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-txsink2").resolve("tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-txsink-ck").toString
+    TxLog.create(spark, dir2, Seq.empty[(Long, String)].toDF("id", "v"))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.txLogSink(mem.toDF().toDF("id", "v"), dir2, ckpt)
+    try {
+      mem.addData((10L, "x"), (11L, "y"))
+      q.processAllAvailable()
+      mem.addData((12L, "z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TxLog.versions(spark, dir2) == Seq(0L, 1L, 2L), "one version per micro-batch")
+    assert(TxLog.snapshot(spark, dir2).as[(Long, String)].collect().toSet ==
+      Set((10L, "x"), (11L, "y"), (12L, "z")))
+  }
+
   test("buffered sessionization is exact under cross-batch event-time disorder") {
     import spark.implicits._
     import java.sql.Timestamp
