@@ -2363,6 +2363,41 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** Tx-log OPTIMIZE end-to-end ([[operators.TxLog.optimize]]): four
+    * fragmented commits (6 files each — the layout a streaming sink
+    * leaves) fold into 4 Hilbert-clustered files as ONE atomic version,
+    * and the gate aggregates THROUGH the optimized snapshot. The oracle
+    * replays the aggregate over the source table: any row lost or
+    * duplicated by the rewrite — the exact hazard compaction introduces
+    * — breaks count/sum/hash. File-count, history, and refreshed-stats
+    * contracts are TxLogSpec's job.
+    */
+  private def qf12TxlogOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qf12")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      operators.TxLog.create(
+        spark, root, orders.filter(col("o_orderkey") % 4 === 0).repartition(6),
+        statsCol = Some("o_orderkey"))
+      (1L to 3L).foreach { r =>
+        operators.TxLog.append(
+          spark, root, orders.filter(col("o_orderkey") % 4 === r).repartition(6))
+      }
+      operators.TxLog.optimize(
+        spark, root, numFiles = 4, clusterBy = Seq("o_orderkey", "o_custkey"))
+      val out = operators.TxLog.snapshot(spark, root)
+        .groupBy((col("o_orderkey") % 7).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   private def qf6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qf6")
     t(spark, dir, "lineitem")
@@ -3122,6 +3157,7 @@ object SparkEntry {
     "qf6_orc_roundtrip" -> (qf6OrcRoundtrip _),
     "qf10_avro_roundtrip" -> (qf10AvroRoundtrip _),
     "qf11_txlog" -> (qf11Txlog _),
+    "qf12_txlog_optimize" -> (qf12TxlogOptimize _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
     "qf9_shapefile_v2" -> (qf9ShapefileV2 _),
@@ -3436,6 +3472,13 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), count(*), round(sum(o_totalprice), 2)
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |  AND o_totalprice >= 150000""".stripMargin,
+    // Tx-log optimize: the oracle aggregates the source table — the
+    // all-slices union — so a row lost/duplicated by the atomic
+    // compaction rewrite breaks count/sum/hash
+    "qf12_txlog_optimize" ->
+      """SELECT o_orderkey % 7 AS bucket, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     // Compaction round trip: the oracle reads the source table — a row
     // lost or duplicated by the coalesce-rewrite breaks count/sum/avg.
     "qf7_compact" ->

@@ -315,6 +315,50 @@ object TxLog {
     v
   }
 
+  /** OPTIMIZE — compact (and optionally re-cluster) the live file set
+    * into `numFiles` files as ONE atomic commit: the new version adds
+    * the compacted files and removes every current live file, so
+    * readers switch from the fragmented layout to the compacted one
+    * atomically (a snapshot never sees half of each), and time travel
+    * to pre-optimize versions keeps working until a retention vacuum.
+    * This is the table-format answer to the qf7 small-files problem —
+    * a streaming sink (qe12) leaves one small file set per batch;
+    * periodic optimize folds them without stopping the writer (the
+    * writer claims version head+1 = the optimizer's target, so one of
+    * the two loses the claim and retries — never corruption).
+    *
+    * `clusterBy`: two key columns → the compacted files are
+    * Hilbert-clustered ([[Layout.clusterByHilbert]]) so multi-dim
+    * min/max pruning holds at rest — Delta's `OPTIMIZE ... ZORDER BY`
+    * shape, on the better curve. Without it, a plain `repartition`
+    * barrel-files the data. The declared stats column's per-file
+    * (min, max) are re-collected for the new files either way.
+    */
+  def optimize(
+      spark: SparkSession,
+      dir: String,
+      numFiles: Int,
+      clusterBy: Seq[String] = Seq.empty): Long = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(clusterBy.isEmpty || clusterBy.size == 2,
+      s"clusterBy takes exactly 2 key columns (Hilbert), got ${clusterBy.size}")
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val (live, schema, _) = replay(f, root, vs.last)
+    if (live.isEmpty) return vs.last
+    val cur = spark.read.schema(schema)
+      .parquet(live.map(p => new Path(root, p).toString): _*)
+    val arranged =
+      if (clusterBy.isEmpty) cur.repartition(numFiles)
+      else Layout.clusterByHilbert(cur, clusterBy.map(c => col(c).cast("long")), numFiles)
+    val v = vs.last + 1
+    val sc = tableStatsCol(f, root, vs)
+    val (files, stats) = stage(spark, root, arranged, v, sc)
+    commitFile(f, root, Commit(v, schema.json, files, live, sc, stats))
+    v
+  }
+
   /** EXACTLY-ONCE streaming ingest: commit micro-batch `batchId` as
     * version `batchId + 1` over a table created (possibly empty) at v0.
     * Structured Streaming redelivers a batch after recovery with the

@@ -151,6 +151,47 @@ class TxLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TxLog.snapshotRange(spark, dir2, 0L, 10L))
   }
 
+  test("optimize: fragmented commits fold into n files atomically; history + stats intact") {
+    val dir = tmp()
+    val all = spark.range(800).select($"id", ($"id" % 17).as("v"))
+    TxLog.create(spark, dir, all.filter($"id" % 4 === 0).repartition(5),
+      statsCol = Some("id"))
+    (1L to 3L).foreach(r => TxLog.append(spark, dir, all.filter($"id" % 4 === r).repartition(5)))
+    assert(liveNames(dir, 3L).size == 20, "fragmented layout expected")
+
+    val v = TxLog.optimize(spark, dir, numFiles = 4, clusterBy = Seq("id", "v"))
+    assert(v == 4L)
+    // contents unchanged, layout folded
+    assert(TxLog.snapshot(spark, dir).as[(Long, Long)].collect().toSet ==
+      all.as[(Long, Long)].collect().toSet)
+    assert(liveNames(dir, 4L).size <= 4)
+    // pre-optimize history still time-travels
+    assert(TxLog.snapshot(spark, dir, Some(3L)).count() == 800L)
+    // stats were re-collected for the compacted files: every live file
+    // is a range candidate over the full domain, none beyond it
+    assert(TxLog.rangeCandidateFiles(spark, dir, 0L, 799L) == liveNames(dir, 4L).size.toLong)
+    assert(TxLog.rangeCandidateFiles(spark, dir, 5000L, 6000L) == 0L)
+    // retention vacuum then reclaims the 20 fragmented files
+    val deleted = TxLog.vacuum(spark, dir, retain = Some(Seq(4L)))
+    assert(deleted.size == 20)
+    assert(TxLog.snapshot(spark, dir).count() == 800L)
+  }
+
+  test("schema evolution: widened append reads back with nulls for old files") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // a later batch carries a new column — the commit's schema wins and
+    // the explicit-schema snapshot read null-fills the old files
+    TxLog.append(spark, dir, Seq((3L, "c", 0.5)).toDF("id", "s", "score"))
+    val snap = TxLog.snapshot(spark, dir)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    val rows = snap.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // time travel to v0 keeps the ORIGINAL schema
+    assert(TxLog.snapshot(spark, dir, Some(0L)).schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
   test("rewrite to empty leaves a readable empty table with its schema") {
     val dir = tmp()
     TxLog.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
