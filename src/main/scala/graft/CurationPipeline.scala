@@ -97,6 +97,62 @@ object CurationPipeline {
       "pq_codes" -> spark.read.parquet(s"$outDir/pq_codes").count())
   }
 
+  /** INCREMENTAL curation into a standing transaction-log corpus — the
+    * steady-state form of [[run]] for a pipeline that ingests crawl
+    * batches forever: per-doc filters (Gopher quality + repetition)
+    * apply to the BATCH alone; dedup runs against the standing corpus
+    * through the incremental operators (exact: corpus reduced to its
+    * distinct 8-byte fingerprints, qd12; near-dup: corpus reduced to its
+    * LSH band buckets, qd13 — corpus text is never re-scanned, never
+    * re-deduped); survivors commit ATOMICALLY as one `TxLog` version.
+    * Trainers keep reading their pinned snapshot mid-append, time travel
+    * reproduces any historical training set, and a crashed run leaves
+    * only invisible orphans (vacuum) — the storage contract the
+    * incremental-dedup artifacts assumed, now actually wired to them.
+    * First call creates the table (batch curated against itself).
+    *
+    * Returns per-stage counts incl. the committed version.
+    */
+  def appendCuratedBatch(
+      spark: SparkSession,
+      tableDir: String,
+      batch: DataFrame): Map[String, Long] = {
+    val quality = TextAnalysis
+      .qualityRules(batch, "doc_id", "text", minWords = 20, maxWords = 100000)
+      .filter(col("keep"))
+      .select(col("doc_id"))
+    val lowRepetition = TextAnalysis
+      .repetitionStats(batch, "doc_id", "text")
+      .filter(col("top_bigram_char_frac") <= 0.12 && col("dup_5gram_char_frac") <= 2.0)
+      .select(col("doc_id"))
+    val filtered = batch
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(lowRepetition, Seq("doc_id"), "left_semi")
+
+    val cols = batch.columns.toIndexedSeq.map(col)
+    val (survivors, version) =
+      if (operators.TxLog.versions(spark, tableDir).isEmpty) {
+        val curated = Dedup
+          .minHashDedup(Dedup.exactDedup(filtered, "doc_id", "text"), "doc_id", "text")
+          .select(cols: _*)
+        (curated, operators.TxLog.create(spark, tableDir, curated))
+      } else {
+        val corpus = operators.TxLog.snapshot(spark, tableDir)
+        val novel = Dedup.incrementalMinHashDedup(
+          corpus,
+          Dedup.incrementalExactDedup(corpus, filtered, "doc_id", "text"),
+          "doc_id", "text")
+          .select(cols: _*)
+        (novel, operators.TxLog.append(spark, tableDir, novel))
+      }
+    Map(
+      "batch" -> batch.count(),
+      "after_filters" -> filtered.count(),
+      "appended" -> survivors.count(),
+      "version" -> version,
+      "corpus" -> operators.TxLog.snapshot(spark, tableDir).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-curation")

@@ -67,4 +67,48 @@ class PipelineSpec extends AnyFunSuite {
     val again = operators.Dedup.minHashDedup(corpus, "doc_id", "text").count()
     assert(again == counts("after_semantic"))
   }
+
+  test("incremental curation: batches append atomically to the tx-log corpus, dups die against it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation-incr").resolve("tbl").toString
+    // quality floor is 20 words + >=2 Gopher stopwords — survivors get a
+    // stopword-bearing preamble plus 20 unique body words
+    def doc(seed: Int, n: Int = 20) =
+      "the corpus and the model of " +
+        (0 until n).map(i => s"w${(i * 31 + seed * 7) % 97}x$i").mkString(" ")
+
+    // batch 1: three good docs, one too short (quality-filtered)
+    val b1 = Seq(
+      (1L, doc(1)), (2L, doc(2)), (3L, doc(3)), (4L, "too short")
+    ).toDF("doc_id", "text")
+    val c1 = CurationPipeline.appendCuratedBatch(spark, dir, b1)
+    assert(c1("version") == 0L && c1("appended") == 3L && c1("corpus") == 3L)
+
+    // batch 2: an exact dup of doc 1, a near-dup of doc 2 (one word
+    // changed — LSH bands collide), one novel doc, one quality reject
+    val d2words = doc(2).split(" ")
+    val nearDup2 = d2words.updated(d2words.length - 1, "CHANGED").mkString(" ")
+    val b2 = Seq(
+      (11L, doc(1)),      // exact dup -> dies on the fingerprint anti-join
+      (12L, nearDup2),    // near dup  -> dies on the corpus band buckets
+      (13L, doc(9)),      // novel     -> survives
+      (14L, "also short") // quality   -> filtered before dedup
+    ).toDF("doc_id", "text")
+    val c2 = CurationPipeline.appendCuratedBatch(spark, dir, b2)
+    assert(c2("after_filters") == 3L, "quality filter should cut the short doc")
+    assert(c2("appended") == 1L, s"only the novel doc should survive, got ${c2("appended")}")
+    assert(c2("version") == 1L && c2("corpus") == 4L)
+
+    // the corpus is the union of both commits, exactly once each
+    val ids = operators.TxLog.snapshot(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 13L))
+    // trainers time-travel to the batch-1 training set
+    assert(operators.TxLog.snapshot(spark, dir, Some(0L))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    // replaying batch 2 appends nothing new (all dups now), corpus stable
+    val c3 = CurationPipeline.appendCuratedBatch(spark, dir, b2)
+    assert(c3("appended") == 0L && c3("corpus") == 4L)
+  }
 }
