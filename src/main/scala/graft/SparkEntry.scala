@@ -691,6 +691,30 @@ object SparkEntry {
         round(col("pvalue"), 2).as("prior_value"))
   }
 
+  /** Skew-salted join under the oracle gate
+    * ([[operators.Relational.saltedJoin]]): a deliberately skewed key
+    * (70% of lineitem lands on key 0 — the null-sentinel hot-key shape
+    * AQE's skew split doesn't always catch) joins the nation dim through
+    * the salt: the hot key's rows spread across `saltFactor` subkeys, the
+    * small right side replicates `saltFactor`×, and the aggregate result
+    * must equal the plain join the oracle replays — salting changes the
+    * PLAN (no single straggler task owns key 0), never the answer.
+    */
+  private def qj13SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val skewKey = when(col("l_orderkey") % 10 < 7, lit(0L))
+      .otherwise(col("l_orderkey") % 25)
+    val facts = t(spark, dir, "lineitem")
+      .select(skewKey.as("k"), col("l_extendedprice"), col("l_quantity"))
+    val dim = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    operators.Relational.saltedJoin(facts, dim, "k", saltFactor = 8)
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"))
+  }
+
   /** Binned range join — lineitem prices against synthetic price bands
     * (shuffle equi-join on bins, not a nested-loop over every pair).
     */
@@ -3191,6 +3215,7 @@ object SparkEntry {
     "qg8_scenario_overrides" -> (qg8ScenarioOverrides _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
+    "qj13_salted_join" -> (qj13SaltedJoin _),
     "qd8_decontaminate" -> (qd8Decontaminate _),
     "qd11_substring_dedup" -> (qd11SubstringDedup _),
     "qt12_lm_score" -> (qt12LmScore _),
@@ -4856,6 +4881,21 @@ object SparkEntry {
         |  (k % 360) * 0.1 AS x,
         |  (k % 170) * 0.1 - 8.5 AS y
         |FROM c""".stripMargin,
+    // Salted join: the oracle is the PLAIN join over the same skewed
+    // key — salting redistributes the hot key across subkeys without
+    // changing a single matched row
+    "qj13_salted_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |              ELSE l_orderkey % 25 END AS k,
+        |    l_extendedprice, l_quantity
+        |  FROM lineitem),
+        |d AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation)
+        |SELECT n_name, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_quantity), 6) AS avg_qty
+        |FROM f JOIN d USING (k)
+        |GROUP BY 1""".stripMargin,
     // Reverse-pair merge: literal self-join replay.
     "qj10_reverse_pairs" ->
       """WITH p AS (
