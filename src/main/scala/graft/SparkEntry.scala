@@ -715,6 +715,28 @@ object SparkEntry {
         round(avg(col("l_quantity")), 6).as("avg_qty"))
   }
 
+  /** Bloom runtime-filter join ([[operators.Relational.bloomFilterJoin]]):
+    * lineitem joins a 1/53-selective orders dimension through a bloom
+    * sketch of the dimension's surviving keys, so ~98% of the fact rows
+    * die BEFORE the join exchange. The oracle is the plain join — a
+    * bloom false negative (impossible by construction) would drop rows,
+    * and a mishandled false positive would add them; either breaks
+    * n/revenue per priority.
+    */
+  private def qj14BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 53 === 0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    operators.Relational.bloomFilterJoin(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      dim, "l_orderkey", expectedKeys = 200000L)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
   /** Binned range join — lineitem prices against synthetic price bands
     * (shuffle equi-join on bins, not a nested-loop over every pair).
     */
@@ -1487,6 +1509,21 @@ object SparkEntry {
   private def qt28Chunk(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.chunkDocs(
       t(spark, dir, "documents"), "doc_id", "text", chunkTokens = 48, overlap = 12)
+
+  /** Deterministic hash-based train/val/test split
+    * ([[operators.TextAnalysis.assignSplits]]): every doc's split is a
+    * pure function of md5(doc_id) — reproducible across runs, engines,
+    * partitionings, corpus growth — and the gate emits the full
+    * (doc_id, split) assignment, which the oracle recomputes
+    * hash-for-hash in DuckDB (`CAST('0x'||substr(md5)) AS BIGINT)`
+    * mirroring Spark's `conv(substring(md5), 16, 10)`). Per-split mass
+    * lands near 80/10/10 by md5 uniformity; EXACT per-row equality is
+    * what the hash compare enforces.
+    */
+  private def qt29Split(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.assignSplits(
+      t(spark, dir, "documents").select(col("doc_id")), "doc_id",
+      Seq(("train", 0.8), ("val", 0.9), ("test", 1.0)))
 
   /** EXACT heavy hitters via the two-pass Misra–Gries sketch-then-recount
     * ([[operators.TextAnalysis.heavyHitters]]): all terms with corpus
@@ -2422,6 +2459,72 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** Tx-log MERGE (upsert) end-to-end ([[operators.TxLog.merge]]): the
+    * orderkey%4=0 slice becomes the standing table (range-partitioned
+    * so matched keys land in a subset of files and clean files carry by
+    * reference), then a source of re-priced %8=0 rows (matched →
+    * update) plus %8=1 rows (unmatched → insert) merges as one atomic
+    * version, and the gate emits the FULL final table. The oracle
+    * replays merge's defining identity — target anti-join source-keys,
+    * union source — so a lost update, a surviving stale row, a dropped
+    * insert, or a row duplicated across the rewrite boundary each break
+    * the hash. Dirty-file bounding / source-key-uniqueness / empty-edge
+    * contracts are TxLogSpec's job.
+    */
+  private def qf13TxlogMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qf13")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      operators.TxLog.create(
+        spark, root,
+        orders.filter(col("o_orderkey") % 4 === 0)
+          .repartitionByRange(6, col("o_orderkey")))
+      val source = orders.filter(col("o_orderkey") % 8 <= 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+      operators.TxLog.merge(spark, root, source, Seq("o_orderkey"))
+      val out = operators.TxLog.snapshot(spark, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
+  /** Row-level change data feed over the tx-log table
+    * ([[operators.TxLog.changes]]): v1 appends the %4=1 slice, v2
+    * rewrites away the custkey%10=3 rows (a per-file dirty rewrite that
+    * physically RE-STAGES every survivor in a dirty file), and the gate
+    * emits the feed for (0, 2]. The oracle states the logical diff
+    * directly — v1's inserts are the appended slice, v2's deletes are
+    * exactly the dropped rows — so a carried survivor leaking into the
+    * feed (the hazard the per-version EXCEPT ALL exists to cancel), a
+    * missed delete, or a wrong version attribution each break the
+    * compare. Upsert-as-delete+insert and optimize-as-empty-feed are
+    * TxLogSpec's job.
+    */
+  private def qf14TxlogCdf(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qf14")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      operators.TxLog.create(
+        spark, root,
+        orders.filter(col("o_orderkey") % 4 === 0)
+          .repartitionByRange(6, col("o_orderkey")))
+      operators.TxLog.append(spark, root, orders.filter(col("o_orderkey") % 4 === 1))
+      operators.TxLog.rewrite(spark, root, !(col("o_custkey") % 10 === 3))
+      val out = operators.TxLog.changes(spark, root, 0L, 2L)
+        .select(col("_commit_version"), col("_change_type"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   private def qf6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qf6")
     t(spark, dir, "lineitem")
@@ -3047,6 +3150,27 @@ object SparkEntry {
     * monotonic-id "last row" is the max nation key — which the oracle
     * replays as max_by.
     */
+  /** Weighted PageRank over the trade network ([[graph.PageRank]]):
+    * nations are nodes, customer-nation → supplier-nation order flow
+    * the weighted edges, 5 damped iterations with dangling-mass
+    * redistribution. The oracle unrolls the EXACT recurrence as five
+    * chained CTEs — transition probabilities are ratios of integer
+    * counts (bit-identical in both engines), so any drift in the
+    * iteration algebra, the dangling term, or the damping constant
+    * shows up against round(rank, 6). The lineage-truncation /
+    * persist-per-iteration scale contract is PageRankSpec's job.
+    */
+  private def qg9PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graph.PageRank.run(edges, "src", "dst", "w", iterations = 5)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
   private def qg8ScenarioOverrides(spark: SparkSession, dir: String): DataFrame = {
     val k = col("s_suppkey")
     val edges = t(spark, dir, "supplier").select(
@@ -3182,6 +3306,8 @@ object SparkEntry {
     "qf10_avro_roundtrip" -> (qf10AvroRoundtrip _),
     "qf11_txlog" -> (qf11Txlog _),
     "qf12_txlog_optimize" -> (qf12TxlogOptimize _),
+    "qf13_txlog_merge" -> (qf13TxlogMerge _),
+    "qf14_txlog_cdf" -> (qf14TxlogCdf _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
     "qf9_shapefile_v2" -> (qf9ShapefileV2 _),
@@ -3213,9 +3339,11 @@ object SparkEntry {
     "qg6_golden_eaul" -> (qg6GoldenEaul _),
     "qg7_graph_build" -> (qg7GraphBuild _),
     "qg8_scenario_overrides" -> (qg8ScenarioOverrides _),
+    "qg9_pagerank" -> (qg9PageRank _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qj13_salted_join" -> (qj13SaltedJoin _),
+    "qj14_bloom_join" -> (qj14BloomJoin _),
     "qd8_decontaminate" -> (qd8Decontaminate _),
     "qd11_substring_dedup" -> (qd11SubstringDedup _),
     "qt12_lm_score" -> (qt12LmScore _),
@@ -3225,6 +3353,7 @@ object SparkEntry {
     "qt26_entropy" -> (qt26Entropy _),
     "qt27_mixture" -> (qt27Mixture _),
     "qt28_chunk" -> (qt28Chunk _),
+    "qt29_split" -> (qt29Split _),
     "qy5_minmax_prune" -> (qy5MinMaxPrune _),
     "qy6_hilbert" -> (qy6Hilbert _),
     "qy8_txlog_prune" -> (qy8TxlogPrune _),
@@ -3504,6 +3633,30 @@ object SparkEntry {
       """SELECT o_orderkey % 7 AS bucket, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    // Tx-log merge: the oracle IS merge's definition — target rows whose
+    // key the source doesn't claim, plus every source row. A stale
+    // survivor, lost update, dropped insert, or rewrite-duplicated row
+    // all break the full-table hash.
+    "qf13_txlog_merge" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 100000 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 8 <= 1)
+        |SELECT * FROM tgt
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |UNION ALL SELECT * FROM src""".stripMargin,
+    // Tx-log CDF: the oracle states the logical diff per version — the
+    // appended slice as v1 inserts, the retracted rows as v2 deletes.
+    // A dirty-file survivor leaking into the feed shows up as extra rows.
+    "qf14_txlog_cdf" ->
+      """SELECT CAST(1 AS BIGINT) AS _commit_version,
+        |  'insert' AS _change_type, o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'delete', o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_custkey % 10 = 3""".stripMargin,
     // Compaction round trip: the oracle reads the source table — a row
     // lost or duplicated by the coalesce-rewrite breaks count/sum/avg.
     "qf7_compact" ->
@@ -3674,6 +3827,20 @@ object SparkEntry {
         |    list_slice(toks, chunk_id * 36 + 1, chunk_id * 36 + 48), ' ')
         |    AS chunk_text
         |FROM ch""".stripMargin,
+    // Deterministic split: the oracle recomputes the md5-fraction
+    // assignment hash-for-hash — '0x'||hex-prefix cast mirrors Spark's
+    // conv(substring(md5(key),1,8),16,10); any drift in the hash, the
+    // fraction, or the cut logic flips a row's split and breaks compare.
+    "qt29_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN frac < 0.8 THEN 'train'
+        |       WHEN frac < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      / 4294967296.0 AS frac
+        |  FROM documents)""".stripMargin,
     "qt25_paragraph_dedup" ->
       """WITH wrapped AS (
         |  SELECT doc_id,
@@ -4896,6 +5063,15 @@ object SparkEntry {
         |  round(avg(l_quantity), 6) AS avg_qty
         |FROM f JOIN d USING (k)
         |GROUP BY 1""".stripMargin,
+    // Bloom runtime-filter join: the oracle is the PLAIN join — the
+    // bloom pre-filter must be output-invisible (false positives die in
+    // the join, false negatives cannot exist).
+    "qj14_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 53 = 0
+        |GROUP BY 1""".stripMargin,
     // Reverse-pair merge: literal self-join replay.
     "qj10_reverse_pairs" ->
       """WITH p AS (
@@ -4909,6 +5085,40 @@ object SparkEntry {
     // Scenario overrides: last-written profile wins per way (max_by over
     // the feed order = nation key), speed 0 ⇒ +∞ (way removed), else
     // weight/speed, non-overridden ways pass through the left join.
+    // PageRank: the oracle unrolls the damped recurrence as 5 chained
+    // CTEs over transition probabilities that are integer-count ratios
+    // (bit-identical across engines); damping constants appear as the
+    // same double expressions (1 - 0.85, 0.85) the engine computes.
+    "qg9_pagerank" -> {
+      def iter(i: Int): String =
+        s""",
+           |r$i AS (
+           |  SELECT nd.node,
+           |    (1 - 0.85) / (SELECT n FROM cnt)
+           |    + 0.85 * coalesce(s.inflow, 0)
+           |    + 0.85 * (SELECT coalesce(sum(r.rank), 0) FROM r${i - 1} r
+           |              WHERE r.node NOT IN (SELECT src FROM trans))
+           |      / (SELECT n FROM cnt) AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT t.dst AS node, sum(r.rank * t.p) AS inflow
+           |    FROM r${i - 1} r JOIN trans t ON r.node = t.src GROUP BY 1) s
+           |    ON nd.node = s.node)""".stripMargin
+      """WITH edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |trans AS (
+        |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes)""".stripMargin +
+        (1 to 5).map(iter).mkString +
+        "\nSELECT node, round(rank, 6) AS rank FROM r5"
+    },
     "qg8_scenario_overrides" ->
       """WITH ov AS (
         |  SELECT 'w' || CAST(n_nationkey % 7 AS VARCHAR) AS way_id,

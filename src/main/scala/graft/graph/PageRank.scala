@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** WEIGHTED PAGERANK over an edge table — the global-centrality
+  * complement of the reference's per-way leave-one-out criticality
+  * (reference `scripts/criticality/criticality.js` ranks ways by
+  * re-routing damage; PageRank ranks nodes by stationary flow share —
+  * the cheap screen a planner runs over the WHOLE network before paying
+  * for leave-one-out on the shortlist).
+  *
+  * Iteration (Page et al. 1999, weighted form):
+  * {{{
+  *   rank₀(v)    = 1 / N
+  *   rankₜ₊₁(v) = (1 − d)/N
+  *               + d · Σ_{u→v} rankₜ(u) · w(u,v) / outw(u)
+  *               + d · Σ_{u dangling} rankₜ(u) / N
+  * }}}
+  * The dangling term redistributes sink mass uniformly so Σrank stays 1
+  * (the standard treatment; without it rank leaks every iteration).
+  *
+  * Spark shape — built for the 100 TB-graph case, not the 25-node gate:
+  *  - edges normalize ONCE to (src, dst, w/outw) and persist: the join
+  *    side that never changes across iterations is never recomputed.
+  *  - one iteration = one join (ranks ⋈ edges on src) + one groupBy(dst)
+  *    partial-aggregated map-side; the rank vector — N rows, the small
+  *    side — is what moves. No adjacency collect, no driver matrix.
+  *  - the dangling mass is a 1-row aggregate per iteration (a broadcast
+  *    scalar, not a join).
+  *  - each new rank vector is `localCheckpoint`ed (eager): the LINEAGE
+  *    is cut every iteration, not just the data cached — `persist`
+  *    alone still nests the logical plan one join deeper per round,
+  *    and by a few dozen iterations plan construction itself blows up
+  *    (measured: 50 persist-only iterations OOM the driver on the plan
+  *    STRING before any data moves). Checkpointed, iteration cost is
+  *    flat forever — the load-bearing idiom for iterative DataFrames.
+  *
+  * Output: (node, rank), Σrank = 1. Fixed iteration count keeps the
+  * result an exact arithmetic function of the input — replayable by the
+  * qg9 oracle as unrolled SQL — rather than a convergence-dependent one.
+  */
+object PageRank {
+
+  /** @param edges (srcCol, dstCol, wCol) rows; parallel edges allowed
+    *              (weights add). Self-loops allowed (standard algebra).
+    * @return (node, rank) for every node appearing as src or dst.
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping >= 0 && damping <= 1, s"damping must be in [0,1], got $damping")
+    val spark = edges.sparkSession
+
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+
+    // out-weight-normalized transition edges, computed once
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    val trans = e.groupBy("src", "dst").agg(sum("w").as("w"))
+      .join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    trans.count()
+
+    // dangling = nodes with no out-edge (their mass redistributes uniformly)
+    val dangling = nodes.join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint(true)
+
+    (1 to iterations).foreach { _ =>
+      val danglingMass = ranks.join(dangling, "node")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contrib = ranks.join(trans, ranks("node") === trans("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("p")).as("inflow"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) * coalesce(col("inflow"), lit(0.0))
+            + lit(damping * danglingMass / n)).as("rank"))
+        .localCheckpoint(true)
+    }
+    val out = ranks.select(col("node"), col("rank"))
+    trans.unpersist(); dangling.unpersist(); nodes.unpersist()
+    out
+  }
+}

@@ -399,6 +399,35 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** BLOOM RUNTIME-FILTER JOIN — the selective-dimension pattern: when
+    * the right side is a heavily-filtered dimension whose surviving
+    * keys are a sliver of the fact table's domain, shuffling the whole
+    * fact table to the join is the 100 TB waste. Build a bloom filter
+    * over the right side's join keys ONCE (a KB–MB sketch, the only
+    * thing the driver holds — `DataFrameStatFunctions.bloomFilter` runs
+    * it as a distributed aggregate), pre-filter the LEFT side with
+    * `might_contain` BEFORE its exchange, then run the real join. False
+    * positives pass the pre-filter and die in the join, so output ≡
+    * plain join (the qj14 oracle's contract); false negatives are
+    * impossible by bloom construction. The sketch rides to executors as
+    * a broadcast-task constant inside the predicate — the DIY form of
+    * Spark's own `spark.sql.optimizer.runtime.bloomFilter` injection,
+    * exposed as an operator so the pre-exchange cut is guaranteed, not
+    * heuristic. Keys are hashed via `xxhash64`, matching the sketch's
+    * `putLong` domain exactly.
+    */
+  def bloomFilterJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      expectedKeys: Long, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloom pre-filter only preserves inner/left_semi semantics, got $joinType")
+    val keyed = right.withColumn("__k", xxhash64(col(key)))
+    val bloom = keyed.stat.bloomFilter("__k", expectedKeys, fpp)
+    val mc = udf((h: Long) => bloom.mightContainLong(h))
+    left.filter(mc(xxhash64(col(key)))).join(keyed.drop("__k"), Seq(key), joinType)
+  }
+
   /** Exact proportional stratified sample: ⌈frac·N_g⌉ rows per stratum,
     * selected by a deterministic keyed pseudo-random order — a
     * residue-ring multiplicative hash ((key mod P)·A mod P, P = 99991,

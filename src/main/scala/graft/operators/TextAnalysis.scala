@@ -634,4 +634,41 @@ object TextAnalysis {
         size(col("__chunk")).cast("long").as("n_tok"),
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
+
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT — the dataset-versioning step
+    * every training run needs: assignment is a PURE FUNCTION of the
+    * row's key (md5 of its decimal string → first 32 bits → a uniform
+    * fraction in [0, 1) cut against the cumulative weights), so the
+    * split is reproducible across runs, engines, partitionings, and
+    * cluster sizes — no RNG state, no `randomSplit` (whose assignment
+    * changes with partitioning), and a re-run over a GROWN corpus keeps
+    * every previously-assigned row in its split (the property that
+    * keeps eval sets honest as data accretes). A zero-exchange
+    * projection: md5 + substring + conv are all codegen builtins, and
+    * the identical expression replays in any SQL engine (the qt29
+    * oracle: DuckDB `CAST('0x' || substring(md5(...)) AS BIGINT)`).
+    *
+    * `cuts` are (label, upperBound) with ascending bounds, the last
+    * bound covering 1.0 — e.g. `Seq(("train", 0.9), ("val", 0.95),
+    * ("test", 1.0))`. Bounds falling exactly on a k/2³² lattice point
+    * would be engine-ambiguous only if a hash hit the exact boundary;
+    * typical ratios (0.8, 0.9, 0.95) are off-lattice, so assignment is
+    * exact everywhere.
+    */
+  def splitColumn(key: Column, cuts: Seq[(String, Double)]): Column = {
+    require(cuts.nonEmpty, "need at least one split")
+    require(cuts.last._2 >= 1.0, s"last bound must cover 1.0, got ${cuts.last._2}")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "bounds must ascend")
+    val frac = conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    cuts.init.foldRight(lit(cuts.last._1)) { case ((label, hi), rest) =>
+      when(frac < hi, label).otherwise(rest)
+    }
+  }
+
+  /** [[splitColumn]] applied to a corpus: adds a `split` column. */
+  def assignSplits(
+      docs: DataFrame, keyCol: String,
+      cuts: Seq[(String, Double)] = Seq(("train", 0.9), ("val", 0.95), ("test", 1.0))): DataFrame =
+    docs.withColumn("split", splitColumn(col(keyCol), cuts))
 }

@@ -840,4 +840,27 @@ class OperatorsSpec extends AnyFunSuite {
       .flatten
     assert(scanned.exists(_ <= ball), s"scanned $scanned partitions, probe ball is $ball")
   }
+
+  test("bloomFilterJoin: output == plain join; pre-filter actually cuts the left side") {
+    import spark.implicits._
+    val left = spark.range(10000).select($"id".as("k"), ($"id" % 97).as("v"))
+    val right = spark.range(10000).filter($"id" % 100 === 0)
+      .select($"id".as("k"), lit("dim").as("tag")) // 100 selective keys
+    val plain = left.join(right, Seq("k")).select($"k", $"v", $"tag")
+      .as[(Long, Long, String)].collect().toSet
+    val bloomed = Relational.bloomFilterJoin(left, right, "k", expectedKeys = 1000L)
+      .select($"k", $"v", $"tag").as[(Long, Long, String)].collect().toSet
+    assert(bloomed == plain && bloomed.size == 100)
+    // the bloom predicate must remove ~99% of left rows BEFORE the join
+    val keyed = right.withColumn("__k", org.apache.spark.sql.functions.xxhash64($"k"))
+    val bloom = keyed.stat.bloomFilter("__k", 1000L, 0.01)
+    val mc = org.apache.spark.sql.functions.udf((h: Long) => bloom.mightContainLong(h))
+    val surviving = left
+      .filter(mc(org.apache.spark.sql.functions.xxhash64($"k"))).count()
+    assert(surviving >= 100 && surviving < 400,
+      s"bloom pre-filter passed $surviving of 10000 rows (want ~100 + fpp)")
+    // semantics guard: outer joins would resurrect bloom-dropped rows
+    intercept[IllegalArgumentException](
+      Relational.bloomFilterJoin(left, right, "k", 1000L, joinType = "left_outer"))
+  }
 }

@@ -436,4 +436,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(rebuilt == toks, s"doc $id reconstruction")
     }
   }
+
+  test("deterministic split: pure function of key, stable under growth and repartitioning") {
+    import spark.implicits._
+    val cuts = Seq(("train", 0.8), ("val", 0.9), ("test", 1.0))
+    val small = spark.range(2000).select($"id".as("doc_id"))
+    val a = TextAnalysis.assignSplits(small, "doc_id", cuts)
+      .as[(Long, String)].collect().toMap
+    // re-run over a GROWN corpus with different partitioning: every
+    // previously-assigned key keeps its split (the anti-randomSplit property)
+    val grown = spark.range(5000).select($"id".as("doc_id")).repartition(7)
+    val b = TextAnalysis.assignSplits(grown, "doc_id", cuts)
+      .as[(Long, String)].collect().toMap
+    a.foreach { case (k, s) => assert(b(k) == s, s"key $k flipped split") }
+    // mass lands near the weights (md5 uniformity; 5000 keys, ±5%)
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 5000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.05 && math.abs(frac("test") - 0.1) < 0.05)
+    // spot-check the hash algebra against a hand computation
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("123".getBytes("UTF-8")).take(4)
+      .foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xffL))
+    val expected = cuts.collectFirst {
+      case (lbl, hi) if h / 4294967296.0 < hi => lbl }.get
+    assert(b(123L) == expected)
+    // validations: bounds must ascend and cover 1.0
+    intercept[IllegalArgumentException](
+      TextAnalysis.assignSplits(small, "doc_id", Seq(("a", 0.5), ("b", 0.4))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.assignSplits(small, "doc_id", Seq(("a", 0.5))))
+  }
 }

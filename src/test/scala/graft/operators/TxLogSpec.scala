@@ -202,4 +202,97 @@ class TxLogSpec extends AnyFunSuite {
     // history intact: v0 still has the row
     assert(TxLog.snapshot(spark, dir, Some(0L)).count() == 1L)
   }
+
+  test("merge: upsert touches only the files that contain a matched key") {
+    val dir = tmp()
+    // 4 range files over id 0..99: ids 10, 11 share the first file
+    TxLog.create(spark, dir,
+      spark.range(100).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    val before = liveNames(dir, 0L)
+    assert(before.size == 4)
+    val src = Seq((10L, 100L), (11L, 101L), (200L, 200L), (201L, 201L))
+      .toDF("id", "v")
+    val v = TxLog.merge(spark, dir, src, Seq("id"))
+    assert(v == 1L)
+    val after = liveNames(dir, 1L)
+    // 3 clean files carry by reference; only the 0..24 file was rewritten
+    assert((before intersect after).size == 3, s"before=$before after=$after")
+    val rows = TxLog.snapshot(spark, dir).as[(Long, Long)].collect().toMap
+    assert(rows.size == 102)
+    assert(rows(10L) == 100L && rows(11L) == 101L) // updated
+    assert(rows(200L) == 200L && rows(201L) == 201L) // inserted
+    assert(rows(12L) == 12L % 7) // untouched neighbour in the dirty file survives
+    assert(rows(50L) == 50L % 7) // clean-file row untouched
+    // time travel: pre-merge version still shows the old values
+    val old = TxLog.snapshot(spark, dir, Some(0L)).as[(Long, Long)].collect().toMap
+    assert(old(10L) == 10L % 7 && !old.contains(200L))
+  }
+
+  test("merge: pure-insert leaves every target file intact (degenerates to append)") {
+    val dir = tmp()
+    TxLog.create(spark, dir,
+      spark.range(50).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    val before = liveNames(dir, 0L)
+    TxLog.merge(spark, dir, Seq((300L, 1L), (301L, 2L)).toDF("id", "v"), Seq("id"))
+    val after = liveNames(dir, 1L)
+    assert((before -- after).isEmpty, "no target file should be rewritten")
+    assert(TxLog.snapshot(spark, dir).count() == 52L)
+  }
+
+  test("merge: validations — duplicate source keys, schema mismatch, empty source") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException](
+      TxLog.merge(spark, dir, Seq((2L, "x"), (2L, "y")).toDF("id", "s"), Seq("id")))
+    intercept[IllegalArgumentException](
+      TxLog.merge(spark, dir, Seq((2L, 3L)).toDF("id", "other"), Seq("id")))
+    // nothing committed by the failed attempts
+    assert(TxLog.versions(spark, dir) == Seq(0L))
+    // empty source is a no-op at the current version
+    val v = TxLog.merge(spark, dir,
+      Seq.empty[(Long, String)].toDF("id", "s"), Seq("id"))
+    assert(v == 0L && TxLog.versions(spark, dir) == Seq(0L))
+  }
+
+  test("merge into an empty table inserts everything") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq.empty[(Long, String)].toDF("id", "s"))
+    val v = TxLog.merge(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Seq("id"))
+    assert(v == 1L)
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("changes: append=inserts, rewrite=net deletes, upsert=delete+insert, optimize=silent") {
+    val dir = tmp()
+    // v0: ids 0..99 in 4 range files
+    TxLog.create(spark, dir,
+      spark.range(100).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    TxLog.append(spark, dir, Seq((100L, 0L)).toDF("id", "v")) // v1
+    TxLog.rewrite(spark, dir, !($"id" < 3L)) // v2: drop 0,1,2 (dirty file re-stages 3..24)
+    TxLog.merge(spark, dir, Seq((10L, 999L), (300L, 1L)).toDF("id", "v"), Seq("id")) // v3
+    TxLog.optimize(spark, dir, numFiles = 2) // v4: pure layout change
+
+    def feed(v: Long) = TxLog.changes(spark, dir, v - 1, v)
+      .select($"_change_type", $"id", $"v").as[(String, Long, Long)].collect().toSet
+    // v1 append: one insert, no deletes
+    assert(feed(1L) == Set(("insert", 100L, 0L)))
+    // v2 rewrite: ONLY the net-dropped rows — carried survivors 3..24 cancel
+    assert(feed(2L) == Set(("delete", 0L, 0L), ("delete", 1L, 1L), ("delete", 2L, 2L)))
+    // v3 upsert: old row out, new row in, plus the pure insert
+    assert(feed(3L) == Set(
+      ("delete", 10L, 10L % 7), ("insert", 10L, 999L), ("insert", 300L, 1L)))
+    // v4 optimize rewrote every file but changed NO logical row
+    assert(feed(4L).isEmpty)
+    // multi-version range unions with correct attribution
+    val all = TxLog.changes(spark, dir, 0L, 4L)
+      .groupBy($"_commit_version").count().as[(Long, Long)].collect().toMap
+    assert(all == Map(1L -> 1L, 2L -> 3L, 3L -> 3L))
+    // validations
+    intercept[IllegalArgumentException](TxLog.changes(spark, dir, 3L, 9L))
+    intercept[IllegalArgumentException](TxLog.changes(spark, dir, 4L, 3L))
+  }
 }
