@@ -477,6 +477,76 @@ object SparkEntry {
     spark.table(name)
   }
 
+  /** §2.10 through the ORACLE, part 6 — the stream-stream LEFT OUTER
+    * interval join ([[streaming.EventStreams.clickToPurchaseJoin]] with
+    * `left_outer`): "which clicks did NOT convert within 10 minutes?"
+    * Unlike qe7's inner form, the null-padded rows can only emit when
+    * the WATERMARK proves no matching purchase can still arrive, so the
+    * bounded replay stages click+purchase sentinel rows past the data
+    * (both sides' watermarks must advance — the global watermark is
+    * their min; sentinels carry real event_types because a pre-watermark
+    * filter would silently drop them, the qe6 lesson) and drains twice.
+    * The oracle is the plain batch LEFT JOIN: a lost null-padded row
+    * (watermark never advanced), a duplicate (state re-emission), or an
+    * eager null (emitted before the window closed) all break the
+    * compare.
+    */
+  private def qe13StreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = stageEvents(dir)
+    val schema = spark.read.parquet(stage.toString).schema
+    val tsType = schema("ts").dataType
+    val tsIsLong = tsType == org.apache.spark.sql.types.LongType
+    val maxUs = events(spark, dir).agg(max(unix_micros(col("ts")))).first().getLong(0)
+    def sentinel(n: Int): Unit = {
+      import spark.implicits._
+      val us = maxUs + 86400L * 1000000L * (100 + n)
+      // one click + one purchase, both on out-of-domain users, so BOTH
+      // sides' watermarks jump past every real event
+      val df = Seq(
+        (-2L * n, if (tsIsLong) us * 1000 else us, -1L, "click", 0.0, "{}"),
+        (-2L * n - 1, if (tsIsLong) (us + 1000000L) * 1000 else us + 1000000L,
+          -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val one =
+        if (tsIsLong) df
+        else df.withColumn("ts", timestamp_micros(col("ts")).cast(tsType))
+      val tmp = Files.createTempDirectory("graft-qe13-sent")
+      one.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, stage.resolve(s"zz_sentinel_${n}_${p.getFileName}"),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val name = s"qe13_mem_${System.nanoTime()}"
+    val ev = Tables.normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
+    val q = streaming.EventStreams
+      .clickToPurchaseJoin(ev, windowSec = 600, joinType = "left_outer")
+      .select(
+        col("click_id"), col("user_id"), col("purchase_id"),
+        round(col("value"), 2).as("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable() // matches emit eagerly; unmatched clicks sit in state
+      sentinel(1)
+      q.processAllAvailable() // watermark jumps past every real click window
+      sentinel(2)
+      q.processAllAvailable() // eviction flush: non-converting clicks emit null-padded
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      dropStage(stage)
+    }
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** §2.10 through the ORACLE, part 5 — the STREAM-STATIC enrich join
     * ([[streaming.EventStreams.enrichStream]]): the events file-stream
     * joins the static customer dimension (broadcast per micro-batch) and
@@ -1509,6 +1579,33 @@ object SparkEntry {
   private def qt28Chunk(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.chunkDocs(
       t(spark, dir, "documents"), "doc_id", "text", chunkTokens = 48, overlap = 12)
+
+  /** Inverted-index build + conjunctive search
+    * ([[operators.TextAnalysis.invertedIndex]]/[[operators.TextAnalysis.searchAll]]):
+    * the gate builds the (term, doc) index and answers a 3-term AND
+    * query through it; the oracle bypasses the index entirely and asks
+    * the documents table directly (list_contains × 3 on the same
+    * tokenization) — so a posting lost in the build, a dup surviving
+    * distinct, or a miscounted intersection each change the doc set.
+    */
+  private def qt30InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idx = operators.TextAnalysis.invertedIndex(
+      t(spark, dir, "documents"), "doc_id", "text")
+    operators.TextAnalysis.searchAll(idx, "doc_id", Seq("join", "hash", "spark"))
+  }
+
+  /** Deterministic stratified sample
+    * ([[operators.TextAnalysis.stratifiedSample]]): exactly 20 docs per
+    * source, chosen by md5-hash order of doc_id — the oracle replays
+    * the identical row_number window (DuckDB md5 returns the same hex,
+    * and hex-string order is engine-independent), so the gate pins both
+    * the per-stratum exact-k contract and the reproducible choice of
+    * WHICH rows.
+    */
+  private def qt31StratSample(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.stratifiedSample(
+      t(spark, dir, "documents").select(col("source"), col("doc_id")),
+      "source", "doc_id", k = 20)
 
   /** Deterministic hash-based train/val/test split
     * ([[operators.TextAnalysis.assignSplits]]): every doc's split is a
@@ -3283,6 +3380,7 @@ object SparkEntry {
     "qe3_session_window" -> (qe3SessionWindow _),
     "qe6_stream_sessions" -> (qe6StreamSessions _),
     "qe7_stream_join" -> (qe7StreamJoin _),
+    "qe13_stream_left_join" -> (qe13StreamLeftJoin _),
     "qe8_stream_window" -> (qe8StreamWindow _),
     "qe9_stream_dedup" -> (qe9StreamDedup _),
     "qr1_range_join" -> (qr1RangeJoin _),
@@ -3354,6 +3452,8 @@ object SparkEntry {
     "qt27_mixture" -> (qt27Mixture _),
     "qt28_chunk" -> (qt28Chunk _),
     "qt29_split" -> (qt29Split _),
+    "qt30_inverted_index" -> (qt30InvertedIndex _),
+    "qt31_strat_sample" -> (qt31StratSample _),
     "qy5_minmax_prune" -> (qy5MinMaxPrune _),
     "qy6_hilbert" -> (qy6Hilbert _),
     "qy8_txlog_prune" -> (qy8TxlogPrune _),
@@ -3841,6 +3941,24 @@ object SparkEntry {
         |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         |      / 4294967296.0 AS frac
         |  FROM documents)""".stripMargin,
+    // Inverted index: the oracle answers the AND query WITHOUT the index
+    // (direct list_contains over the same lowercase/\s+ tokenization) —
+    // build or intersection bugs change the doc set.
+    "qt30_inverted_index" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split_regex(lower(trim(text)), '\s+'), 'join')
+        |  AND list_contains(string_split_regex(lower(trim(text)), '\s+'), 'hash')
+        |  AND list_contains(string_split_regex(lower(trim(text)), '\s+'), 'spark')""".stripMargin,
+    // Stratified sample: identical md5-hex window replay — row_number
+    // over (source, md5(doc_id), doc_id) is deterministic in both engines.
+    "qt31_strat_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
     "qt25_paragraph_dedup" ->
       """WITH wrapped AS (
         |  SELECT doc_id,
@@ -4266,6 +4384,21 @@ object SparkEntry {
         |SELECT c.click_id, c.user_id, p.purchase_id, round(p.value, 2) AS value
         |FROM c JOIN p USING (user_id)
         |WHERE p.pus >= c.cus AND p.pus <= c.cus + 600 * 1000000""".stripMargin,
+    // Stream-stream LEFT OUTER join: the oracle is the batch left join —
+    // the streaming side must emit every match eagerly AND every
+    // non-converting click exactly once after watermark eviction.
+    "qe13_stream_left_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, us AS pus,
+        |        value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, p.purchase_id, round(p.value, 2) AS value
+        |FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 600 * 1000000""".stripMargin,
     "qe2_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus

@@ -671,4 +671,65 @@ object TextAnalysis {
       docs: DataFrame, keyCol: String,
       cuts: Seq[(String, Double)] = Seq(("train", 0.9), ("val", 0.95), ("test", 1.0))): DataFrame =
     docs.withColumn("split", splitColumn(col(keyCol), cuts))
+
+  /** INVERTED INDEX — the corpus-search artifact (term → posting list)
+    * behind "find every document containing X" without a full-text
+    * rescan. The index RELATION is the exploded, deduplicated
+    * (term, doc) pair set, NOT per-term arrays: a stop-word's posting
+    * list at 100 TB is billions of ids, and a single array row would
+    * re-centralize it (one task, 2 GB limit) — exploded pairs stay
+    * partitioned by term, hot terms spread across tasks, and the
+    * relation bucket-writes by term for exchange-free lookups
+    * ([[Layout]]). Tokenization matches the engine's other text ops
+    * (lowercase, `\s+`).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+
+  /** Conjunctive (AND) search over [[invertedIndex]]: docs containing
+    * EVERY query term. One index filter (term pushdown — on a
+    * term-bucketed index this is a bucket-pruned scan, zero exchange)
+    * + one count-aggregate per doc; no per-term join chain, so a k-term
+    * query costs one shuffle of only the candidate postings regardless
+    * of k. Intersection-by-counting is exact because the index is
+    * (term, doc)-distinct.
+    */
+  def searchAll(index: DataFrame, idCol: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val uniq = terms.map(_.toLowerCase).distinct
+    index
+      .filter(col("term").isin(uniq: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === uniq.size)
+      .select(col(idCol))
+  }
+
+  /** DETERMINISTIC STRATIFIED SAMPLE — exactly `k` rows per stratum
+    * (fewer if the stratum is smaller), chosen by md5-hash order of the
+    * key: the eval-set construction step. Like [[splitColumn]], the
+    * selection is a pure function of (stratum, key) — reproducible
+    * across engines and partitionings, and hash order is uniform, so
+    * the k chosen rows are an unbiased sample of the stratum. The
+    * rank ≤ k filter compiles to Spark's WindowGroupLimit: each
+    * partition keeps a k-row heap per stratum instead of fully sorting
+    * it — per-task state is O(strata·k), not O(rows), which is what
+    * makes "20 docs per source" survive a billion-doc source.
+    */
+  def stratifiedSample(
+      docs: DataFrame, strataCol: String, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("__h", md5(col(keyCol).cast("string").cast("binary")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(keyCol))))
+      .filter(col("__rn") <= k)
+      .drop("__h", "__rn")
+  }
 }

@@ -189,8 +189,24 @@ object EventStreams {
     * join state expires; the time-range condition bounds the buffer — the
     * stream-stream join shape Structured Streaming requires for unbounded
     * inputs.
+    *
+    * `joinType` "inner" emits matches EAGERLY (the watermark only bounds
+    * state). "left_outer" is the conversion-funnel question asked
+    * properly — "which clicks did NOT convert?" — and its null-padded
+    * rows can only emit when the watermark proves no matching purchase
+    * can still arrive (click state expires at watermark >
+    * click_ts + windowSec + delay); until then the click sits in state.
+    * A bounded replay therefore needs watermark-advancing rows past the
+    * data (the qe13 gate stages click+purchase sentinels so BOTH sides'
+    * watermarks move — the global watermark is their MIN), after which
+    * the drained table equals the batch left join exactly.
     */
-  def clickToPurchaseJoin(events: DataFrame, windowSec: Long = 3600): DataFrame = {
+  def clickToPurchaseJoin(
+      events: DataFrame,
+      windowSec: Long = 3600,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"stream-stream interval join supports inner/left_outer, got $joinType")
     val clicks = events
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -203,7 +219,8 @@ object EventStreams {
       purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
       .select(col("click_id"), col("user_id"), col("purchase_id"), col("value"))
   }
 

@@ -466,4 +466,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.assignSplits(small, "doc_id", Seq(("a", 0.5))))
   }
+
+  test("inverted index: postings are distinct, search is exact conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta beta ALPHA"), // dup term + case: one posting each
+      (3L, "gamma delta"),
+      (4L, "  alpha   beta  "), // ragged whitespace
+      (5L, "")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+    val postings = idx.as[(Long, String)].collect().toSet
+    assert(postings.count(_._2 == "beta") == 3) // docs 1, 2, 4 — once each
+    assert(!postings.exists(_._1 == 5L)) // empty doc contributes nothing
+    def hits(terms: String*) =
+      TextAnalysis.searchAll(idx, "doc_id", terms).as[Long].collect().toSet
+    assert(hits("alpha", "beta") == Set(1L, 2L, 4L))
+    assert(hits("ALPHA", "alpha", "beta") == Set(1L, 2L, 4L)) // query dedup + case
+    assert(hits("gamma", "delta") == Set(3L))
+    assert(hits("alpha", "delta") == Set.empty)
+    assert(hits("beta") == Set(1L, 2L, 4L))
+    intercept[IllegalArgumentException](TextAnalysis.searchAll(idx, "doc_id", Seq.empty))
+  }
+
+  test("stratified sample: exact k per stratum, deterministic, small strata kept whole") {
+    import spark.implicits._
+    val docs = spark.range(100)
+      .select(($"id" % 3).cast("string").as("src"), $"id".as("key"))
+      .union(Seq(("tiny", 999L), ("tiny", 998L)).toDF("src", "key"))
+    val s1 = TextAnalysis.stratifiedSample(docs, "src", "key", 10)
+      .as[(String, Long)].collect().toSet
+    // exact k per big stratum; the 2-row stratum survives whole
+    val bySrc = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrc == Map("0" -> 10, "1" -> 10, "2" -> 10, "tiny" -> 2))
+    // deterministic under repartitioning
+    val s2 = TextAnalysis.stratifiedSample(docs.repartition(13), "src", "key", 10)
+      .as[(String, Long)].collect().toSet
+    assert(s1 == s2)
+    // the rank<=k filter compiles to a WindowGroupLimit (bounded per-task
+    // state), not a full per-stratum sort feeding a post-filter
+    val plan = TextAnalysis.stratifiedSample(docs, "src", "key", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    intercept[IllegalArgumentException](
+      TextAnalysis.stratifiedSample(docs, "src", "key", 0))
+  }
 }

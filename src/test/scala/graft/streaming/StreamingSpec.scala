@@ -428,6 +428,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: matches emit eagerly, nulls only after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val in = MemoryStream[(Long, Long, Long, String, Double, String)]
+      val ev = in.toDF()
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros($"us")).drop("us")
+      val q = EventStreams.clickToPurchaseJoin(ev, windowSec = 600, joinType = "left_outer")
+        .writeStream.outputMode("append").format("memory").queryName("ssloj").start()
+      def rows() = spark.table("ssloj").filter($"user_id" >= 0).collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+      try {
+        val t0 = 1000000000L * 1000000L // base µs
+        // batch 1: user 1 click converts (+300 s), user 2 click does not
+        in.addData(
+          (10L, t0, 1L, "click", 0.0, "{}"),
+          (11L, t0 + 300L * 1000000L, 1L, "purchase", 5.0, "{}"),
+          (20L, t0, 2L, "click", 0.0, "{}"))
+        q.processAllAvailable()
+        // the match is out eagerly; the non-converting click is NOT out yet
+        assert(rows() == Set((10L, Some(11L))))
+        // batch 2: watermark-advancing rows on BOTH sides (global wm = min)
+        val far = t0 + 10L * 86400L * 1000000L
+        in.addData(
+          (90L, far, -1L, "click", 0.0, "{}"),
+          (91L, far, -2L, "purchase", 0.0, "{}"))
+        q.processAllAvailable()
+        in.addData(
+          (92L, far + 1000000L, -1L, "click", 0.0, "{}"),
+          (93L, far + 1000000L, -2L, "purchase", 0.0, "{}"))
+        q.processAllAvailable() // eviction flush
+        assert(rows() == Set((10L, Some(11L)), (20L, None)),
+          "non-converting click must emit exactly one null-padded row after eviction")
+      } finally q.stop()
+      // a too-late purchase (outside the 600 s window) stays unmatched
+      val batch = EventStreams.clickToPurchaseJoin(
+        Seq((1L, 1000L * 1000000L, 7L, "click", 0.0, "{}"),
+          (2L, 2000L * 1000000L, 7L, "purchase", 9.0, "{}"))
+          .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+          .withColumn("ts", timestamp_micros($"us")).drop("us"),
+        windowSec = 600, joinType = "left_outer").collect()
+      assert(batch.length == 1 && batch(0).isNullAt(2))
+      intercept[IllegalArgumentException](
+        EventStreams.clickToPurchaseJoin(events, 600, joinType = "full_outer"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   test("multimodal: resize halves metadata and payload in lockstep") {
     import spark.implicits._
     val media = graft.multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
