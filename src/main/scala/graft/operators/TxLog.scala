@@ -66,8 +66,19 @@ object TxLog {
     if (!f.exists(logDir)) Seq.empty
     else f.listStatus(logDir).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  /** Checkpointed versions, ascending (see [[checkpoint]]). */
+  private def checkpointVersions(f: FileSystem, root: Path): Seq[Long] = {
+    val logDir = new Path(root, "_log")
+    if (!f.exists(logDir)) Seq.empty
+    else f.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
       .sorted
   }
 
@@ -202,16 +213,92 @@ object TxLog {
 
   private def replay(
       f: FileSystem, root: Path, upTo: Long): (Seq[String], StructType, Map[String, (Long, Long)]) = {
+    // start from the newest checkpoint ≤ upTo: O(commits SINCE it), not
+    // O(all commits) — at 10⁵ commits the log replay is otherwise the
+    // planner bottleneck the log was built to remove
+    val cp = checkpointVersions(f, root).filter(_ <= upTo).lastOption
     var live = scala.collection.immutable.ListSet.empty[String]
     var stats = Map.empty[String, (Long, Long)]
     var schema: StructType = null
-    (0L to upTo).foreach { v =>
+    val from = cp match {
+      case None => 0L
+      case Some(cv) =>
+        val c = readCheckpoint(f, root, cv)
+        live = live ++ c.add
+        stats = c.stats
+        schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+        cv + 1
+    }
+    (from to upTo).foreach { v =>
       val c = readCommit(f, root, v)
       live = live -- c.remove ++ c.add
       stats = stats -- c.remove ++ c.stats
       schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     }
     (live.toSeq.sorted, schema, stats)
+  }
+
+  private def checkpointPath(root: Path, v: Long): Path =
+    new Path(root, f"_log/$v%020d.checkpoint.json")
+
+  private def readCheckpoint(f: FileSystem, root: Path, v: Long): Commit = {
+    val in = f.open(checkpointPath(root, v))
+    try {
+      val node = mapper.readTree(in)
+      val a = node.get("live")
+      val live = (0 until a.size()).map(a.get(_).asText())
+      val statsCol = Option(node.get("statsCol")).filterNot(_.isNull).map(_.asText())
+      val stats = Option(node.get("stats")).filterNot(_.isNull) match {
+        case None => Map.empty[String, (Long, Long)]
+        case Some(s) =>
+          val it = s.fields()
+          val b = Map.newBuilder[String, (Long, Long)]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+          }
+          b.result()
+      }
+      Commit(v, node.get("schemaJson").asText(), live, Seq.empty, statsCol, stats)
+    } finally in.close()
+  }
+
+  /** LOG CHECKPOINT — collapse the replay prefix 0..`version` into one
+    * derived summary file (`_log/<v>.checkpoint.json`: the fully-replayed
+    * live set + schema + manifest stats), so any later snapshot /
+    * range-scan / vacuum replays from the checkpoint forward instead of
+    * from version 0. This is Delta's `_last_checkpoint` argument applied
+    * to the qf11 format: the LOG solved O(files) listing, the checkpoint
+    * solves O(commits) replay — a long-lived table absorbing a commit a
+    * minute crosses 10⁵ commits in ten weeks, at which point cold
+    * planning is 10⁵ small reads without one.
+    *
+    * The checkpoint is pure DERIVED data: it is written to a temp name
+    * and RENAMED into place (atomic on HDFS/local — a crashed writer
+    * leaves only an ignored temp file, never a half-parsable
+    * checkpoint), commits never reference it, readers that ignore it get
+    * identical answers (spec-pinned), re-checkpointing the same version
+    * is idempotent, and deleting one merely slows the next replay.
+    * Call periodically (every ~100 commits) from whatever owns the
+    * write path. Returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, dir: String, version: Option[Long] = None): Long = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val (live, schema, stats) = replay(f, root, v)
+    val sc = tableStatsCol(f, root, vs.filter(_ <= v))
+    val bytes = mapper.writeValueAsBytes(
+      Map("version" -> v, "schemaJson" -> schema.json, "live" -> live,
+        "statsCol" -> sc.orNull,
+        "stats" -> stats.map { case (p, (lo, hi)) => p -> Seq(lo, hi) }))
+    val tmp = new Path(root, s"_log/.cp-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    if (!f.rename(tmp, checkpointPath(root, v))) f.delete(tmp, false)
+    v
   }
 
   /** Snapshot read — the table as of `version` (default: latest). The

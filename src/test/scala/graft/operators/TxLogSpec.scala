@@ -265,6 +265,64 @@ class TxLogSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("log checkpoint: replay starts from it, answers are identical, derived-only") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq((0L, "v0")).toDF("id", "s"))
+    (1L to 9L).foreach(i => TxLog.append(spark, dir, Seq((i, s"v$i")).toDF("id", "s")))
+    TxLog.rewrite(spark, dir, $"id" =!= 3L) // v10
+    def snap(v: Long) = TxLog.snapshot(spark, dir, Some(v))
+      .as[(Long, String)].collect().toSet
+    val expect10 = (0L to 9L).filterNot(_ == 3L).map(i => (i, s"v$i")).toSet
+    val expect5 = (0L to 5L).map(i => (i, s"v$i")).toSet
+    assert(snap(10L) == expect10)
+
+    val cv = TxLog.checkpoint(spark, dir) // checkpoint at latest (10)
+    assert(cv == 10L)
+    // identical answers with the checkpoint in place
+    assert(snap(10L) == expect10)
+    // time travel BELOW the checkpoint replays from 0 and still works
+    assert(snap(5L) == expect5)
+    // commits after the checkpoint apply on top of it
+    TxLog.append(spark, dir, Seq((100L, "new")).toDF("id", "s")) // v11
+    assert(snap(11L) == expect10 + ((100L, "new")))
+    // re-checkpointing the same version is idempotent
+    assert(TxLog.checkpoint(spark, dir, Some(10L)) == 10L)
+    assert(snap(11L) == expect10 + ((100L, "new")))
+
+    // PROOF the replay reads the checkpoint, not the prefix: corrupt an
+    // early commit file — snapshots at/after the checkpoint stay correct
+    val p = new org.apache.hadoop.fs.Path(dir, f"_log/${2L}%020d.json")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true); out.write("garbage".getBytes); out.close()
+    assert(snap(10L) == expect10)
+    assert(snap(11L) == expect10 + ((100L, "new")))
+
+    // deleting the checkpoint only slows replay down (on an uncorrupted table)
+    val dir2 = tmp()
+    TxLog.create(spark, dir2, Seq((1L, "a")).toDF("id", "s"))
+    TxLog.append(spark, dir2, Seq((2L, "b")).toDF("id", "s"))
+    TxLog.checkpoint(spark, dir2)
+    f.delete(new org.apache.hadoop.fs.Path(dir2, f"_log/${1L}%020d.checkpoint.json"), false)
+    assert(TxLog.snapshot(spark, dir2).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("log checkpoint carries manifest stats: range scan still prunes from it") {
+    val dir = tmp()
+    TxLog.create(spark, dir,
+      spark.range(160).select($"id", ($"id" % 5).as("v"))
+        .repartitionByRange(8, $"id").sortWithinPartitions($"id"),
+      statsCol = Some("id"))
+    TxLog.append(spark, dir,
+      spark.range(160, 320).select($"id", ($"id" % 5).as("v"))
+        .repartitionByRange(8, $"id").sortWithinPartitions($"id"))
+    TxLog.checkpoint(spark, dir)
+    // narrow probe plans few files THROUGH the checkpointed stats
+    assert(TxLog.rangeCandidateFiles(spark, dir, 50L, 60L) <= 2L)
+    assert(TxLog.snapshotRange(spark, dir, 50L, 60L).as[(Long, Long)].collect()
+      .map(_._1).sorted === (50L to 60L).toArray)
+  }
+
   test("changes: append=inserts, rewrite=net deletes, upsert=delete+insert, optimize=silent") {
     val dir = tmp()
     // v0: ids 0..99 in 4 range files
