@@ -1016,6 +1016,22 @@ object SparkEntry {
     Similarity.bruteForceTopKDot(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
   }
 
+  // qs8's probe is quantized ONCE here and the same literal codes feed
+  // both the Spark gate and the DuckDB oracle — Scala math.round (half
+  // up) vs SQL round (half away) could otherwise disagree on the query
+  private val qs8Probe = Array.tabulate(64)(i => math.sin(i * 0.7 + 0.5))
+  private lazy val (qs8Qc, qs8Qm) = operators.Similarity.sqQuantizeQuery(qs8Probe)
+
+  /** Int8 scalar-quantized top-k ([[operators.Similarity.sqTopK]]): the
+    * 4×-compression ANN tier — integer dot product over max-abs codes,
+    * de-scaled per row. The oracle replays the corpus quantization
+    * term-for-term (identical round/scale arithmetic) and consumes the
+    * SAME pre-quantized query codes, so ranking must match exactly.
+    */
+  private def qs8SqTopK(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.sqTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", qs8Qc, qs8Qm, 100)
+
   /** Product-quantization ADC top-k ([[operators.Similarity.pqTopK]]):
     * the memory-bound ANN scale path — 64 floats compress to 8 one-byte
     * codes (32×), query-time work is table-lookup sums over codes, no
@@ -3373,6 +3389,7 @@ object SparkEntry {
     "qd7_word_jaccard" -> (qd7WordJaccard _),
     "qd6_cluster_dedup" -> (qd6ClusterDedup _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
+    "qs8_sq_topk" -> (qs8SqTopK _),
     "qs3_dot_topk" -> (qs3DotTopK _),
     "qs2_label_centroids" -> (qs2LabelCentroids _),
     "qe1_sessionize" -> (qe1Sessionize _),
@@ -5037,6 +5054,28 @@ object SparkEntry {
          |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
          |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
          |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
+    },
+    // int8 SQ: corpus quantization replayed term-for-term (same max-abs
+    // scale, same round, same de-scale order); query codes arrive as the
+    // SAME literal integers the gate used
+    "qs8_sq_topk" -> {
+      val qc = qs8Qc.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, m,
+         |    list_transform(embedding,
+         |      x -> CAST(round(127.0 * CAST(x AS DOUBLE) / m) AS BIGINT)) AS codes
+         |  FROM v WHERE m > 0),
+         |s AS (
+         |  SELECT vec_id, m,
+         |    list_sum(list_transform(range(1, 65), i -> codes[i] * qc[i])) AS s
+         |  FROM (SELECT vec_id, m, codes, $qc::BIGINT[] AS qc FROM c))
+         |SELECT vec_id,
+         |  round(((CAST(s AS DOUBLE) * m) * $qs8Qm) / 16129.0, 6) AS approx
+         |FROM s ORDER BY approx DESC, vec_id LIMIT 100""".stripMargin
     },
     // codebook = subvectors of the 16 lowest-id vectors; per-subspace L2^2
     // rounded to 6 before the argmin (ties -> lowest code); ADC = sum of

@@ -52,6 +52,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** SCALAR-QUANTIZED (int8) top-k — the memory tier between full-float
+    * brute force and PQ: each vector stores as 64 one-byte codes + one
+    * float scale (max-abs symmetric quantization, `code_i =
+    * round(127·v_i / max|v|)`), a 4× cut with far better fidelity than
+    * PQ's 32×. Query-time score is an INTEGER dot product over codes,
+    * de-scaled once per row (`S·m·qm / 127²`) — SIMD-friendly byte
+    * arithmetic in a columnar engine, and here a pure builtin
+    * `zip_with`/`aggregate` fold inside codegen with every intermediate
+    * exact (|S| ≤ 64·127², far inside ANSI range). Rounded to 6 dp
+    * before the TakeOrdered k-cut like every ANN gate, and fully
+    * deterministic: the corpus quantization is replayed term-for-term by
+    * the qs8 oracle, while the QUERY's codes are quantized ONCE on the
+    * driver and passed as the same literal array to both engines (Scala
+    * `math.round` rounds half-UP, SQL `round` half-AWAY — pre-quantizing
+    * the query removes the one place that difference could bite).
+    * Zero-vectors (m = 0) are unrankable under any scaled metric and are
+    * filtered, matching the oracle.
+    */
+  def sqTopK(
+      embs: DataFrame, idCol: String, vecCol: String,
+      queryCodes: Array[Long], queryScale: Double, k: Int): DataFrame = {
+    val qc = array(queryCodes.map(lit): _*)
+    embs
+      .withColumn("__m",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .filter(col("__m") > 0)
+      .withColumn("__codes",
+        transform(col(vecCol),
+          x => round(lit(127.0) * x.cast("double") / col("__m")).cast("long")))
+      .withColumn("__s",
+        aggregate(zip_with(col("__codes"), qc, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("approx",
+        round(col("__s") * col("__m") * lit(queryScale) / lit(16129.0), 6))
+      .select(col(idCol), col("approx"))
+      .orderBy(desc("approx"), col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side query quantization for [[sqTopK]]: (codes, maxAbs). */
+  def sqQuantizeQuery(query: Array[Double]): (Array[Long], Double) = {
+    val m = query.map(math.abs).max
+    require(m > 0, "zero query vector")
+    (query.map(x => math.round(127.0 * x / m)), m)
+  }
+
   /** Exact k-NN join: for each row in `queries` (small side), the top-k
     * corpus rows by cosine, tie-broken by ascending corpus id. Queries are
     * broadcast (nested-loop, never shuffled); the corpus is scanned once

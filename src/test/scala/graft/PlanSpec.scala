@@ -202,6 +202,22 @@ class PlanSpec extends AnyFunSuite {
       p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("qj14: the bloom pre-filter sits between the fact scan and the join, below any exchange") {
+    val df = SparkEntry.queries("qj14_bloom_join")(spark, sf)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toIndexedSeq
+    // the bloom-probe filter (the only UDF in this plan) must be the
+    // operator DIRECTLY over the fact scan...
+    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF(xxhash64"))
+    assert(fi >= 0, "bloom probe filter missing:\n" + lines.take(12).mkString("\n"))
+    assert(fi + 1 < lines.size && lines(fi + 1).contains("FileScan"),
+      "bloom filter is not directly over the scan:\n" + lines.slice(fi, fi + 3).mkString("\n"))
+    // ...and the join must sit ABOVE it (tree parents print first), so
+    // the cut happens before the join and any exchange the join needs
+    val ji = lines.indexWhere(_.contains("Join"))
+    assert(ji >= 0 && ji < fi,
+      "join does not sit above the bloom filter:\n" + lines.take(12).mkString("\n"))
+  }
+
   test("qy1: the z-order interleave is pure builtin expressions inside codegen — no UDF") {
     val p = finalPlan("qy1_zorder")
     // codegen'd operators carry the "*(n)" stage marker in the plan string

@@ -188,4 +188,30 @@ class RecallSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(stored == inline)
   }
+
+  // ------------------------------------------------ int8 scalar quantization
+
+  test("SQ int8: recall@10 vs exact dot >= 0.9, scores within the quantization bound") {
+    // SQ approximates the DOT metric; measure against exact float dot
+    val rs = queries.map { q =>
+      val (qc, qm) = Similarity.sqQuantizeQuery(q)
+      val exact = ids(Similarity.bruteForceTopKDot(embs, "vec_id", "embedding", q, 10))
+      val approx = ids(Similarity.sqTopK(embs, "vec_id", "embedding", qc, qm, 10))
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val recall = rs.sum / rs.length
+    assert(recall >= 0.9, s"SQ-int8 recall@10 vs exact dot is $recall < 0.9")
+    // per-row error bound: |approx - exact| <= (|v|1*qm + |q|1*m + 64*m*qm/127) / 254
+    // loose practical check: top score within 2% relative of the exact top
+    val q0 = queries.head
+    val (qc0, qm0) = Similarity.sqQuantizeQuery(q0)
+    val exactTop = Similarity.bruteForceTopKDot(embs, "vec_id", "embedding", q0, 1)
+      .collect()(0).getDouble(1)
+    val sqTop = Similarity.sqTopK(embs, "vec_id", "embedding", qc0, qm0, 1)
+      .collect()(0).getDouble(1)
+    assert(math.abs(sqTop - exactTop) / math.abs(exactTop) < 0.02,
+      s"SQ top score $sqTop drifted > 2% from exact $exactTop")
+    // zero vector rejected loudly on the query side
+    intercept[IllegalArgumentException](Similarity.sqQuantizeQuery(Array.fill(4)(0.0)))
+  }
 }
