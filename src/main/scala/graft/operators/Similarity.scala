@@ -98,6 +98,43 @@ object Similarity {
     (query.map(x => math.round(127.0 * x / m)), m)
   }
 
+  /** Ingest-time encode for the SQ tier: (id, scale, int8 codes) — the
+    * artifact a query actually scans. Codes store as `tinyint` (the
+    * honest 4× claim: 64 bytes + one double vs 256 float bytes);
+    * zero-vectors are dropped, matching [[sqTopK]].
+    */
+  def sqEncode(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs
+      .withColumn("__m",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .filter(col("__m") > 0)
+      .select(
+        col(idCol),
+        col("__m").as("scale"),
+        transform(col(vecCol),
+          x => round(lit(127.0) * x.cast("double") / col("__m")).cast("tinyint"))
+          .as("codes"))
+
+  /** [[sqTopK]] over a STORED codes table ([[sqEncode]] output): the
+    * production path — queries never touch the float vectors. Scores
+    * are identical to the inline form (spec-pinned): the same integer
+    * dot, the same de-scale order, the same 6-dp round and tie-break.
+    */
+  def sqTopKFromCodes(
+      codes: DataFrame, idCol: String,
+      queryCodes: Array[Long], queryScale: Double, k: Int): DataFrame = {
+    val qc = array(queryCodes.map(lit): _*)
+    codes
+      .withColumn("__s",
+        aggregate(zip_with(col("codes"), qc, (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("approx",
+        round(col("__s") * col("scale") * lit(queryScale) / lit(16129.0), 6))
+      .select(col(idCol), col("approx"))
+      .orderBy(desc("approx"), col(idCol))
+      .limit(k)
+  }
+
   /** Exact k-NN join: for each row in `queries` (small side), the top-k
     * corpus rows by cosine, tie-broken by ascending corpus id. Queries are
     * broadcast (nested-loop, never shuffled); the corpus is scanned once

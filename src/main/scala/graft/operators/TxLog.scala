@@ -459,12 +459,21 @@ object TxLog {
     * recipe: readers see whole versions, never a half-written batch
     * directory. Single-writer-per-table, like any txn-id scheme.
     */
-  def appendStreamBatch(spark: SparkSession, dir: String, df: DataFrame, batchId: Long): Boolean = {
+  def appendStreamBatch(
+      spark: SparkSession, dir: String, df: DataFrame, batchId: Long,
+      checkpointEvery: Int = 0): Boolean = {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val (f, root) = fs(spark, dir)
     val v = batchId + 1
     if (f.exists(logPath(root, v))) false
-    else { appendAt(spark, dir, df, v); true }
+    else {
+      appendAt(spark, dir, df, v)
+      // steady-state log hygiene: a perpetual streaming writer is exactly
+      // the producer that crosses 10⁵ commits — fold the replay prefix
+      // periodically so cold planning stays O(checkpointEvery)
+      if (checkpointEvery > 0 && v % checkpointEvery == 0) checkpoint(spark, dir, Some(v))
+      true
+    }
   }
 
   /** Delete data files referenced by NO retained version (crashed

@@ -214,4 +214,21 @@ class RecallSpec extends AnyFunSuite {
     // zero vector rejected loudly on the query side
     intercept[IllegalArgumentException](Similarity.sqQuantizeQuery(Array.fill(4)(0.0)))
   }
+
+  test("SQ: top-k over a STORED int8 codes table equals the inline path") {
+    val q = queries.head
+    val (qc, qm) = Similarity.sqQuantizeQuery(q)
+    val dir = java.nio.file.Files.createTempDirectory("sq-codes").toString + "/codes"
+    val enc = Similarity.sqEncode(embs, "vec_id", "embedding")
+    // the artifact really is int8 + one scale (the 4× claim)
+    assert(enc.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+    enc.write.parquet(dir)
+    val stored = Similarity
+      .sqTopKFromCodes(spark.read.parquet(dir), "vec_id", qc, qm, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.sqTopK(embs, "vec_id", "embedding", qc, qm, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == inline)
+  }
 }

@@ -307,6 +307,25 @@ class TxLogSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("streaming ingest auto-checkpoints every N batches; redelivery still no-ops") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq.empty[(Long, String)].toDF("id", "s"))
+    (0L to 5L).foreach { b =>
+      assert(TxLog.appendStreamBatch(
+        spark, dir, Seq((b, s"b$b")).toDF("id", "s"), b, checkpointEvery = 3))
+    }
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // versions 3 and 6 checkpointed (batch 2 -> v3, batch 5 -> v6)
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, f"_log/${3L}%020d.checkpoint.json")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(dir, f"_log/${6L}%020d.checkpoint.json")))
+    // redelivery after a checkpoint still no-ops and re-checkpoints nothing
+    assert(!TxLog.appendStreamBatch(
+      spark, dir, Seq((99L, "poison")).toDF("id", "s"), 2L, checkpointEvery = 3))
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      (0L to 5L).map(b => (b, s"b$b")).toSet)
+  }
+
   test("log checkpoint carries manifest stats: range scan still prunes from it") {
     val dir = tmp()
     TxLog.create(spark, dir,
