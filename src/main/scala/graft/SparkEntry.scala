@@ -2537,6 +2537,41 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** Log-checkpointed planning under the oracle
+    * ([[operators.TxLog.checkpoint]]): same shape as qy8, but the range
+    * scan plans its file set THROUGH a checkpoint written between the
+    * two commits — replay = checkpoint state + one commit, never the
+    * full prefix. A checkpoint that dropped a live file, resurrected a
+    * removed one, or corrupted the manifest stats changes the planned
+    * file set and breaks the plain-BETWEEN oracle (stats-pruning safety
+    * means extra files are invisible, but a LOST file loses rows). The
+    * corrupt-prefix proof that replay really starts at the checkpoint
+    * is TxLogSpec's job.
+    */
+  private def qy9TxlogCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qy9")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      operators.TxLog.create(
+        spark, root,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+        statsCol = Some("o_orderkey"))
+      operators.TxLog.checkpoint(spark, root) // fold v0 into the checkpoint
+      operators.TxLog.append(
+        spark, root,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(8, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      val out = operators.TxLog.snapshotRange(spark, root, 2000L, 2600L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   /** Tx-log OPTIMIZE end-to-end ([[operators.TxLog.optimize]]): four
     * fragmented commits (6 files each — the layout a streaming sink
     * leaves) fold into 4 Hilbert-clustered files as ONE atomic version,
@@ -3423,6 +3458,7 @@ object SparkEntry {
     "qf12_txlog_optimize" -> (qf12TxlogOptimize _),
     "qf13_txlog_merge" -> (qf13TxlogMerge _),
     "qf14_txlog_cdf" -> (qf14TxlogCdf _),
+    "qy9_txlog_checkpoint" -> (qy9TxlogCheckpoint _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
     "qf9_shapefile_v2" -> (qf9ShapefileV2 _),
@@ -3825,6 +3861,12 @@ object SparkEntry {
     // BETWEEN over the whole table (even + odd commits = all rows) —
     // identical rows is the in-commit stats' no-false-negatives contract
     "qy8_txlog_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey BETWEEN 2000 AND 2600""".stripMargin,
+    // Checkpointed planning: same plain-BETWEEN contract as qy8 — the
+    // range scan must return identical rows when the live set + stats
+    // come from a checkpoint plus one commit instead of the full log
+    "qy9_txlog_checkpoint" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey BETWEEN 2000 AND 2600""".stripMargin,
     // Hilbert index: the oracle replays the iterative xy2d loop (bit

@@ -75,16 +75,29 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     trans.count()
 
-    // dangling = nodes with no out-edge (their mass redistributes uniformly)
+    // dangling = nodes with no out-edge (their mass redistributes
+    // uniformly); counted ONCE — a graph with no sinks (the common case
+    // after edge cleaning) skips the per-iteration mass aggregate
     val dangling = nodes.join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = dangling.limit(1).count() > 0
+
+    // the rank VECTOR is n rows — size its partitioning to n, not to
+    // spark.sql.shuffle.partitions: a 25-node gate graph in 32 shuffled
+    // partitions pays 30+ empty-task launches per iteration, while a
+    // 10⁸-node graph still fans out to the full parallelism
+    val rankParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 100000L + 1L)).toInt
 
     var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+      .repartition(rankParts)
       .localCheckpoint(true)
 
     (1 to iterations).foreach { _ =>
-      val danglingMass = ranks.join(dangling, "node")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val danglingMass =
+        if (!hasDangling) 0.0
+        else ranks.join(dangling, "node")
+          .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
       val contrib = ranks.join(trans, ranks("node") === trans("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("inflow"))
@@ -94,6 +107,7 @@ object PageRank {
           (lit((1.0 - damping) / n)
             + lit(damping) * coalesce(col("inflow"), lit(0.0))
             + lit(damping * danglingMass / n)).as("rank"))
+        .repartition(rankParts)
         .localCheckpoint(true)
     }
     val out = ranks.select(col("node"), col("rank"))
