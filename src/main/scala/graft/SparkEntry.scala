@@ -2673,6 +2673,72 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** Partitioned tx-log table ([[operators.TxLog.snapshotWhere]]): the
+    * table is created partitioned by o_orderstatus — files land under
+    * path-encoded partition dirs while the column stays IN the data —
+    * and a two-status probe plans its file set from the log + paths
+    * alone, with the residual IN filter restoring exactness. The oracle
+    * is the plain full-table IN: identical rows is partition pruning's
+    * no-false-negatives contract (a file wrongly pruned loses rows; a
+    * file wrongly kept is cleaned by the residual). The pruned-count
+    * metric and rewrite-preserves-layout contracts are TxLogSpec's job.
+    */
+  private def qf15TxlogPartition(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qf15")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      operators.TxLog.create(
+        spark, root, orders.filter(col("o_orderkey") % 2 === 0).repartition(4),
+        partitionBy = Seq("o_orderstatus"))
+      operators.TxLog.append(
+        spark, root, orders.filter(col("o_orderkey") % 2 === 1).repartition(4))
+      val out = operators.TxLog.snapshotWhere(
+        spark, root, Map("o_orderstatus" -> Seq("F", "P")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
+  /** Deletion-vector delete ([[operators.TxLog.delete]]): two row-level
+    * deletes commit as (file, position) sidecars — zero data files
+    * rewritten (TxLogSpec pins the physical identity) — and the gate
+    * aggregates THROUGH the masked snapshot. The oracle applies the
+    * same predicates as plain WHERE NOT clauses: a row the mask loses
+    * (wrong position), resurrects (mask not applied), or double-deletes
+    * (overlapping DVs miscounted) breaks count/sum. Fold-on-optimize
+    * and read-through-mask rewrite contracts are TxLogSpec's job.
+    */
+  private def qf16TxlogDelete(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qf16")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      operators.TxLog.create(
+        spark, root,
+        orders.repartitionByRange(6, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      operators.TxLog.delete(
+        spark, root,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+      operators.TxLog.delete(spark, root, col("o_custkey") % 10 === 7)
+      val out = operators.TxLog.snapshot(spark, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   private def qf6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qf6")
     t(spark, dir, "lineitem")
@@ -3458,6 +3524,8 @@ object SparkEntry {
     "qf12_txlog_optimize" -> (qf12TxlogOptimize _),
     "qf13_txlog_merge" -> (qf13TxlogMerge _),
     "qf14_txlog_cdf" -> (qf14TxlogCdf _),
+    "qf15_txlog_partition" -> (qf15TxlogPartition _),
+    "qf16_txlog_delete" -> (qf16TxlogDelete _),
     "qy9_txlog_checkpoint" -> (qy9TxlogCheckpoint _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
@@ -3810,6 +3878,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), 'delete', o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_custkey % 10 = 3""".stripMargin,
+    // Partitioned tx-log probe: the oracle is the plain full-table IN
+    // over both committed slices — identical rows is partition pruning's
+    // no-false-negatives contract.
+    "qf15_txlog_partition" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')""".stripMargin,
+    // Deletion-vector delete: the oracle applies the two delete
+    // predicates as plain WHERE NOT clauses over the source table — a
+    // row lost, resurrected, or double-deleted by the position mask
+    // breaks count/sum.
+    "qf16_txlog_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        |  AND NOT (o_custkey % 10 = 7)
+        |GROUP BY 1""".stripMargin,
     // Compaction round trip: the oracle reads the source table — a row
     // lost or duplicated by the coalesce-rewrite breaks count/sum/avg.
     "qf7_compact" ->

@@ -39,6 +39,16 @@ import org.apache.spark.sql.types.StructType
   * method to swap. Crashed writers leave only orphan data dirs that no
   * log entry references; [[vacuum]] reclaims them.
   *
+  * Two further metadata tiers complete the lakehouse surface:
+  * PARTITIONED TABLES (declared at [[create]], inherited by every
+  * commit) lay files out under path-encoded `__p_<col>=<val>/` dirs
+  * while the columns stay IN the data files, so [[snapshotWhere]]
+  * prunes whole partitions from the log + paths alone; and DELETION
+  * VECTORS ([[delete]]) commit row-level deletes as (file, position)
+  * parquet sidecars with zero data files rewritten — every read path
+  * masks them with one anti-join until [[optimize]] folds and clears
+  * them.
+  *
   * Reference: no analog (the reference pipeline rewrites flat files in
   * place between stages); this is the beyond-reference storage tier,
   * SURVEY §2's scale mandate applied to mutation.
@@ -88,7 +98,10 @@ object TxLog {
       add: Seq[String],
       remove: Seq[String],
       statsCol: Option[String],
-      stats: Map[String, (Long, Long)])
+      stats: Map[String, (Long, Long)],
+      partitionBy: Seq[String] = Seq.empty,
+      dvAdd: Seq[String] = Seq.empty,
+      dvRemove: Seq[String] = Seq.empty)
 
   private def readCommit(f: FileSystem, root: Path, v: Long): Commit = {
     val in = f.open(logPath(root, v))
@@ -110,8 +123,14 @@ object TxLog {
           }
           b.result()
       }
+      def optArr(name: String): Seq[String] =
+        Option(node.get(name)).filterNot(_.isNull) match {
+          case None => Seq.empty[String]
+          case Some(a) => (0 until a.size()).map(a.get(_).asText())
+        }
       Commit(node.get("version").asLong(), node.get("schemaJson").asText(),
-        arr("add"), arr("remove"), statsCol, stats)
+        arr("add"), arr("remove"), statsCol, stats,
+        optArr("partitionBy"), optArr("dvAdd"), optArr("dvRemove"))
     } finally in.close()
   }
 
@@ -126,7 +145,9 @@ object TxLog {
       Map("version" -> c.version, "schemaJson" -> c.schemaJson,
         "add" -> c.add, "remove" -> c.remove,
         "statsCol" -> c.statsCol.orNull,
-        "stats" -> c.stats.map { case (p, (lo, hi)) => p -> Seq(lo, hi) }))
+        "stats" -> c.stats.map { case (p, (lo, hi)) => p -> Seq(lo, hi) },
+        "partitionBy" -> c.partitionBy,
+        "dvAdd" -> c.dvAdd, "dvRemove" -> c.dvRemove))
     val out = f.create(logPath(root, c.version), false /* never overwrite */)
     try out.write(bytes) finally out.close()
     ()
@@ -142,32 +163,69 @@ object TxLog {
     * big sibling). Nothing references the staged files until the commit
     * file lands.
     */
+  /** Table-relative path of a data file from a scan URI: everything from
+    * the `data/c…` stage-dir segment down. Partition VALUES can't forge a
+    * `/data/c` segment — the writer percent-escapes `/` in values — so
+    * the first match is the stage dir. Keyed on the FULL relative path
+    * (never the basename): partitioned staging writes `part-00000-…` in
+    * every partition subdir of one job, so basenames collide by design.
+    */
+  private def relOfUri(u: String): String = {
+    val i = u.indexOf("/data/c")
+    require(i >= 0, s"not a table data file: $u")
+    u.substring(i + 1)
+  }
+
+  /** Dir prefix for a partition-column duplicate — the column rides in
+    * the PATH (`__p_<col>=<val>/`) for log-only pruning while the real
+    * column stays in the data file, so every raw-file reader (CDF,
+    * rewrite survivors, schema'd snapshots) is untouched by partitioning.
+    */
+  private val PartPrefix = "__p_"
+
   private def stage(
       spark: SparkSession,
       root: Path,
       df: DataFrame,
       v: Long,
-      statsCol: Option[String]): (Seq[String], Map[String, (Long, Long)]) = {
+      statsCol: Option[String],
+      partitionBy: Seq[String] = Seq.empty): (Seq[String], Map[String, (Long, Long)]) = {
     val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(new Path(root, sub).toString)
+    val subPath = new Path(root, sub)
+    if (partitionBy.isEmpty) {
+      df.write.mode("errorifexists").parquet(subPath.toString)
+    } else {
+      // duplicate-column trick: partition the LAYOUT on __p_<col> copies
+      // so the original columns remain in the data files (Spark's writer
+      // strips partition columns from file contents)
+      val staged = partitionBy.foldLeft(df)((d, c) =>
+        d.withColumn(PartPrefix + c, col(c).cast("string")))
+      staged.write.mode("errorifexists")
+        .partitionBy(partitionBy.map(PartPrefix + _): _*)
+        .parquet(subPath.toString)
+    }
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = f.listStatus(new Path(root, sub)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(n => s"$sub/$n")
-      .sorted
+    val files = {
+      val it = f.listFiles(subPath, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet")) b += relOfUri(p)
+      }
+      b.result().sorted
+    }
     val stats = statsCol match {
       case None => Map.empty[String, (Long, Long)]
       case Some(c) if files.isEmpty => Map.empty[String, (Long, Long)]
       case Some(c) =>
-        spark.read.parquet(new Path(root, sub).toString)
+        // read the explicit file list (not the dir) so partition-dir
+        // discovery can't inject __p_ columns into the stats scan
+        spark.read.parquet(files.map(p => new Path(root, p).toString): _*)
           .groupBy(input_file_name().as("uri"))
           .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"))
           .collect()
-          .map { r =>
-            val u = r.getString(0)
-            s"$sub/${u.substring(u.lastIndexOf('/') + 1)}" -> (r.getLong(1), r.getLong(2))
-          }.toMap
+          .map(r => relOfUri(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+          .toMap
     }
     (files, stats)
   }
@@ -179,16 +237,27 @@ object TxLog {
     */
   def create(
       spark: SparkSession, dir: String, df: DataFrame,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val (f, root) = fs(spark, dir)
     require(versions(spark, dir).isEmpty, s"table already exists at $dir")
-    val (files, stats) = stage(spark, root, df, 0L, statsCol)
-    commitFile(f, root, Commit(0L, df.schema.json, files, Seq.empty, statsCol, stats))
+    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column $c not in schema ${df.schema.fieldNames.toSeq}"))
+    val (files, stats) = stage(spark, root, df, 0L, statsCol, partitionBy)
+    commitFile(f, root,
+      Commit(0L, df.schema.json, files, Seq.empty, statsCol, stats, partitionBy))
     0L
   }
 
   private def tableStatsCol(f: FileSystem, root: Path, vs: Seq[Long]): Option[String] =
     vs.reverseIterator.map(readCommit(f, root, _).statsCol).collectFirst { case Some(c) => c }
+
+  /** Partition spec is a table property set at create, inherited by every
+    * later commit (like statsCol) — a table can't re-partition mid-log.
+    */
+  private def tablePartitionBy(f: FileSystem, root: Path, vs: Seq[Long]): Seq[String] =
+    vs.reverseIterator.map(readCommit(f, root, _).partitionBy)
+      .collectFirst { case p if p.nonEmpty => p }.getOrElse(Seq.empty)
 
   /** Append `df` as a new version. Returns the committed version. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Long = {
@@ -205,20 +274,33 @@ object TxLog {
     */
   private[graft] def appendAt(spark: SparkSession, dir: String, df: DataFrame, v: Long): Long = {
     val (f, root) = fs(spark, dir)
-    val sc = tableStatsCol(f, root, versions(spark, dir))
-    val (files, stats) = stage(spark, root, df, v, sc)
-    commitFile(f, root, Commit(v, df.schema.json, files, Seq.empty, sc, stats))
+    val vs = versions(spark, dir)
+    val sc = tableStatsCol(f, root, vs)
+    val pb = tablePartitionBy(f, root, vs)
+    val (files, stats) = stage(spark, root, df, v, sc, pb)
+    commitFile(f, root, Commit(v, df.schema.json, files, Seq.empty, sc, stats, pb))
     v
   }
 
-  private def replay(
-      f: FileSystem, root: Path, upTo: Long): (Seq[String], StructType, Map[String, (Long, Long)]) = {
+  /** Fully-replayed table state at one version: live data files, the
+    * committed schema, manifest stats, and the live DELETION-VECTOR
+    * files whose (file, pos) rows mask deleted rows of still-live data
+    * files.
+    */
+  private case class TableState(
+      live: Seq[String],
+      schema: StructType,
+      stats: Map[String, (Long, Long)],
+      dv: Seq[String])
+
+  private def replay(f: FileSystem, root: Path, upTo: Long): TableState = {
     // start from the newest checkpoint ≤ upTo: O(commits SINCE it), not
     // O(all commits) — at 10⁵ commits the log replay is otherwise the
     // planner bottleneck the log was built to remove
     val cp = checkpointVersions(f, root).filter(_ <= upTo).lastOption
     var live = scala.collection.immutable.ListSet.empty[String]
     var stats = Map.empty[String, (Long, Long)]
+    var dv = scala.collection.immutable.ListSet.empty[String]
     var schema: StructType = null
     val from = cp match {
       case None => 0L
@@ -226,6 +308,7 @@ object TxLog {
         val c = readCheckpoint(f, root, cv)
         live = live ++ c.add
         stats = c.stats
+        dv = dv ++ c.dvAdd
         schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
         cv + 1
     }
@@ -233,9 +316,10 @@ object TxLog {
       val c = readCommit(f, root, v)
       live = live -- c.remove ++ c.add
       stats = stats -- c.remove ++ c.stats
+      dv = dv -- c.dvRemove ++ c.dvAdd
       schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     }
-    (live.toSeq.sorted, schema, stats)
+    TableState(live.toSeq.sorted, schema, stats, dv.toSeq.sorted)
   }
 
   private def checkpointPath(root: Path, v: Long): Path =
@@ -259,7 +343,13 @@ object TxLog {
           }
           b.result()
       }
-      Commit(v, node.get("schemaJson").asText(), live, Seq.empty, statsCol, stats)
+      def optArr(name: String): Seq[String] =
+        Option(node.get(name)).filterNot(_.isNull) match {
+          case None => Seq.empty[String]
+          case Some(a2) => (0 until a2.size()).map(a2.get(_).asText())
+        }
+      Commit(v, node.get("schemaJson").asText(), live, Seq.empty, statsCol, stats,
+        optArr("partitionBy"), optArr("dv"))
     } finally in.close()
   }
 
@@ -288,12 +378,14 @@ object TxLog {
     require(vs.nonEmpty, s"no table at $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
-    val (live, schema, stats) = replay(f, root, v)
+    val st = replay(f, root, v)
     val sc = tableStatsCol(f, root, vs.filter(_ <= v))
     val bytes = mapper.writeValueAsBytes(
-      Map("version" -> v, "schemaJson" -> schema.json, "live" -> live,
+      Map("version" -> v, "schemaJson" -> st.schema.json, "live" -> st.live,
         "statsCol" -> sc.orNull,
-        "stats" -> stats.map { case (p, (lo, hi)) => p -> Seq(lo, hi) }))
+        "stats" -> st.stats.map { case (p, (lo, hi)) => p -> Seq(lo, hi) },
+        "partitionBy" -> tablePartitionBy(f, root, vs.filter(_ <= v)),
+        "dv" -> st.dv))
     val tmp = new Path(root, s"_log/.cp-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, false)
     try out.write(bytes) finally out.close()
@@ -301,10 +393,54 @@ object TxLog {
     v
   }
 
+  /** Bind each scanned row's physical identity — its data file's
+    * table-relative path and row position — from the scan's `_metadata`
+    * struct (computed by the parquet reader, codegen-friendly, no UDF).
+    * Must run directly over the scan (projections preserve metadata
+    * columns; joins don't).
+    */
+  private def bindFilePos(df: DataFrame): DataFrame = df
+    .withColumn("__file", expr(
+      "substring(_metadata.file_path, instr(_metadata.file_path, '/data/c') + 1)"))
+    .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Mask rows listed in the live deletion vectors: an anti-join of the
+    * (__file, __pos)-bound scan against the DV rows. DV files are tiny
+    * relative to data (one (path, long) row per deleted row) — AQE
+    * broadcasts them in the common case; a pathological billion-row DV
+    * set degrades to a shuffled anti-join, never a wrong answer.
+    */
+  private def dvMask(
+      spark: SparkSession, root: Path, bound: DataFrame, dv: Seq[String]): DataFrame =
+    if (dv.isEmpty) bound
+    else {
+      val dvDf = spark.read.parquet(dv.map(p => new Path(root, p).toString): _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      bound.join(dvDf,
+        col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+        "left_anti")
+    }
+
+  /** Read `files` under the committed `schema` with deletion vectors
+    * applied — the one read path every snapshot variant shares. With no
+    * live DVs this is the plain multi-file scan (zero masking overhead).
+    */
+  private def readLive(
+      spark: SparkSession, root: Path, files: Seq[String],
+      schema: StructType, dv: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val raw = spark.read.schema(schema).parquet(files.map(p => new Path(root, p).toString): _*)
+      if (dv.isEmpty) raw
+      else dvMask(spark, root, bindFilePos(raw), dv)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    }
+
   /** Snapshot read — the table as of `version` (default: latest). The
     * scan lists NOTHING: the file set comes from the log replay, handed
     * to the reader explicitly with the committed schema (so an empty
-    * table still has one).
+    * table still has one), and deletion-vector rows are masked out.
     */
   def snapshot(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val (f, root) = fs(spark, dir)
@@ -312,11 +448,74 @@ object TxLog {
     require(vs.nonEmpty, s"no table at $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
-    val (live, schema, _) = replay(f, root, v)
-    if (live.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(live.map(p => new Path(root, p).toString): _*)
+    val st = replay(f, root, v)
+    readLive(spark, root, st.live, st.schema, st.dv)
+  }
+
+  /** ROW-LEVEL DELETE WITHOUT REWRITE — commit a DELETION VECTOR: the
+    * (file, position) identity of every row matching `pred`, written as
+    * parquet sidecars and referenced from the commit, while every data
+    * file stays byte-identical. This is Delta/Iceberg v2's
+    * merge-on-read delete: a GDPR-bounded retraction on a 100 TB table
+    * commits KBs of positions instead of rewriting TBs of neighbours —
+    * the read side pays one anti-join until [[optimize]] folds the
+    * masks into a clean rewrite (and clears them). Positions come from
+    * the scan's own `_metadata.row_index`, masked by prior DVs so a
+    * twice-deleted row is recorded once; time travel below the delete
+    * still sees the rows (the DV is versioned state like any other).
+    * No matching rows → no commit. Returns the committed (or current)
+    * version.
+    */
+  def delete(spark: SparkSession, dir: String, pred: Column): Long = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val st = replay(f, root, vs.last)
+    if (st.live.isEmpty) return vs.last
+    val bound = bindFilePos(
+      spark.read.schema(st.schema).parquet(st.live.map(p => new Path(root, p).toString): _*))
+    val newDv = dvMask(spark, root, bound, st.dv)
+      .filter(pred)
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+    if (newDv.isEmpty) return vs.last
+    val v = vs.last + 1
+    val sub = s"data/c$v-${java.util.UUID.randomUUID().toString.take(8)}-dv"
+    newDv.write.mode("errorifexists").parquet(new Path(root, sub).toString)
+    val dvFiles = f.listStatus(new Path(root, sub)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"$sub/$n").sorted
+    val sc = tableStatsCol(f, root, vs)
+    val pb = tablePartitionBy(f, root, vs)
+    commitFile(f, root, Commit(v, st.schema.json, Seq.empty, Seq.empty, sc,
+      Map.empty, pb, dvAdd = dvFiles))
+    v
+  }
+
+  /** Live data files (table-relative) at a version — planning
+    * introspection: what a snapshot scan would read, straight from the
+    * log replay (deletion-vector sidecars not included).
+    */
+  def liveFiles(spark: SparkSession, dir: String, version: Option[Long] = None): Seq[String] = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    replay(f, root, v).live
+  }
+
+  /** Live deletion-vector row count — the masking metric (TxLogSpec
+    * asserts delete commits positions, not rewritten files).
+    */
+  def deletionVectorRows(spark: SparkSession, dir: String, version: Option[Long] = None): Long = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val st = replay(f, root, v)
+    if (st.dv.isEmpty) 0L
+    else spark.read.parquet(st.dv.map(p => new Path(root, p).toString): _*).count()
   }
 
   /** Range scan planned ENTIRELY from the log: keep only live files
@@ -341,17 +540,13 @@ object TxLog {
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
     val sc = tableStatsCol(f, root, vs.filter(_ <= v)).getOrElse(
       throw new IllegalArgumentException(s"table at $dir has no statsCol — use snapshot().filter"))
-    val (live, schema, stats) = replay(f, root, v)
-    val keep = live.filter(p => stats.get(p) match {
+    val st = replay(f, root, v)
+    val keep = st.live.filter(p => st.stats.get(p) match {
       case Some((flo, fhi)) => fhi >= lo && flo <= hi
       case None => true // stat-less file: cannot prove disjoint, must scan
     })
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.schema(schema).parquet(keep.map(p => new Path(root, p).toString): _*)
-    base.filter(col(sc).cast("long").between(lo, hi))
+    readLive(spark, root, keep, st.schema, st.dv)
+      .filter(col(sc).cast("long").between(lo, hi))
   }
 
   /** Planned file count for a range probe — the pruning metric
@@ -361,11 +556,110 @@ object TxLog {
     val (f, root) = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
-    val (live, _, stats) = replay(f, root, vs.last)
-    live.count(p => stats.get(p) match {
+    val st = replay(f, root, vs.last)
+    st.live.count(p => st.stats.get(p) match {
       case Some((flo, fhi)) => fhi >= lo && flo <= hi
       case None => true
     }).toLong
+  }
+
+  /** Null and empty partition values both land in this writer sentinel
+    * dir — indistinguishable, so files under it are never pruned (the
+    * residual filter keeps exactness).
+    */
+  private val DefaultPartDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Undo the writer's %XX path escaping of special chars in partition
+    * values (mirror of Spark's escapePathName; plain chars pass through).
+    */
+  private def unescapePath(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Partition values of a data file, parsed from its table-relative
+    * path (`…/__p_<col>=<val>/…`). Only the path is consulted — the log
+    * stores no per-file partition tuple because the layout IS the
+    * metadata, Hive's one good idea kept.
+    */
+  private def partValuesOf(rel: String): Map[String, String] =
+    rel.split('/').iterator
+      .filter(seg => seg.startsWith(PartPrefix) && seg.contains('='))
+      .map { seg =>
+        val eq = seg.indexOf('=')
+        seg.substring(PartPrefix.length, eq) -> unescapePath(seg.substring(eq + 1))
+      }.toMap
+
+  /** Partition-pruned snapshot: keep only live files whose path-encoded
+    * partition value is in `partFilter`'s allowed set for every filtered
+    * column, then apply the exact residual `IN` filter — so output ≡
+    * `snapshot(...).filter(...)` while the planned file set shrinks to
+    * the matching partitions, decided from the log + paths alone (no
+    * listing, no footers). Safety mirrors stats pruning: a file with no
+    * partition segment for a column, or in the null/empty sentinel dir,
+    * can't be proven disjoint and is scanned. Values compare as strings
+    * (the staging cast); composes with [[snapshotRange]]'s stats at scan
+    * time via Catalyst's parquet min/max pushdown on the residual.
+    */
+  def snapshotWhere(
+      spark: SparkSession,
+      dir: String,
+      partFilter: Map[String, Seq[String]],
+      version: Option[Long] = None): DataFrame = {
+    require(partFilter.nonEmpty, "empty partition filter — use snapshot()")
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val pb = tablePartitionBy(f, root, vs.filter(_ <= v))
+    require(pb.nonEmpty, s"table at $dir is not partitioned — use snapshot().filter")
+    partFilter.keys.foreach(c => require(pb.contains(c),
+      s"$c is not a partition column (table partitionBy: ${pb.mkString(",")})"))
+    val st = replay(f, root, v)
+    val keep = st.live.filter { p =>
+      val vals = partValuesOf(p)
+      partFilter.forall { case (c, allowed) =>
+        vals.get(c) match {
+          case None => true // no partition segment: cannot prove disjoint
+          case Some(DefaultPartDir) => true // null/empty sentinel: unknown
+          case Some(pv) => allowed.contains(pv)
+        }
+      }
+    }
+    val base = readLive(spark, root, keep, st.schema, st.dv)
+    partFilter.foldLeft(base) { case (d, (c, allowed)) =>
+      d.filter(col(c).cast("string").isin(allowed: _*))
+    }
+  }
+
+  /** Planned file count for a partition probe — the pruning metric
+    * (TxLogSpec asserts candidates == the matching partitions' files).
+    */
+  def partitionCandidateFiles(
+      spark: SparkSession, dir: String, partFilter: Map[String, Seq[String]]): Long = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val st = replay(f, root, vs.last)
+    st.live.count { p =>
+      val vals = partValuesOf(p)
+      partFilter.forall { case (c, allowed) =>
+        vals.get(c) match {
+          case None => true
+          case Some(DefaultPartDir) => true
+          case Some(pv) => allowed.contains(pv)
+        }
+      }
+    }.toLong
   }
 
   /** Rewrite: keep only rows satisfying `keep`, touching ONLY the files
@@ -380,25 +674,28 @@ object TxLog {
     val (f, root) = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
-    val (live, schema, _) = replay(f, root, vs.last)
-    if (live.isEmpty) return vs.last
-    val byName = live.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
-    require(byName.size == live.size, "duplicate data-file names in live set")
-    val cur = spark.read.schema(schema)
-      .parquet(live.map(p => new Path(root, p).toString): _*)
-    val dirtyNames = cur.filter(!keep)
-      .select(input_file_name().as("uri")).distinct()
-      .collect()
-      .map(r => { val u = r.getString(0); u.substring(u.lastIndexOf('/') + 1) })
+    val st = replay(f, root, vs.last)
+    if (st.live.isEmpty) return vs.last
+    // dirty detection and survivors both read through the DV mask: a
+    // row already deleted by a DV neither dirties its file nor survives
+    val cur = dvMask(spark, root, bindFilePos(
+      spark.read.schema(st.schema)
+        .parquet(st.live.map(p => new Path(root, p).toString): _*)), st.dv)
+    val dirtyRel = cur.filter(!keep)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0))
       .toSeq.sorted
-    if (dirtyNames.isEmpty) return vs.last
-    val dirtyRel = dirtyNames.map(byName)
+    if (dirtyRel.isEmpty) return vs.last
     val v = vs.last + 1
     val dirtyAbs = dirtyRel.map(p => new Path(root, p).toString)
-    val rewritten = spark.read.schema(schema).parquet(dirtyAbs: _*).filter(keep)
+    val rewritten = dvMask(spark, root, bindFilePos(
+      spark.read.schema(st.schema).parquet(dirtyAbs: _*)), st.dv)
+      .filter(keep)
+      .select(st.schema.fieldNames.toIndexedSeq.map(col): _*)
     val sc = tableStatsCol(f, root, vs)
-    val (files, stats) = stage(spark, root, rewritten, v, sc)
-    commitFile(f, root, Commit(v, schema.json, files, dirtyRel, sc, stats))
+    val pb = tablePartitionBy(f, root, vs)
+    val (files, stats) = stage(spark, root, rewritten, v, sc, pb)
+    commitFile(f, root, Commit(v, st.schema.json, files, dirtyRel, sc, stats, pb))
     v
   }
 
@@ -432,17 +729,21 @@ object TxLog {
     val (f, root) = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
-    val (live, schema, _) = replay(f, root, vs.last)
-    if (live.isEmpty) return vs.last
-    val cur = spark.read.schema(schema)
-      .parquet(live.map(p => new Path(root, p).toString): _*)
+    val st = replay(f, root, vs.last)
+    if (st.live.isEmpty) return vs.last
+    // the compaction rewrite FOLDS deletion vectors: it reads the masked
+    // view, so the new files physically exclude DV'd rows and the DVs
+    // themselves are cleared by this commit (merge-on-read debt paid)
+    val cur = readLive(spark, root, st.live, st.schema, st.dv)
     val arranged =
       if (clusterBy.isEmpty) cur.repartition(numFiles)
       else Layout.clusterByHilbert(cur, clusterBy.map(c => col(c).cast("long")), numFiles)
     val v = vs.last + 1
     val sc = tableStatsCol(f, root, vs)
-    val (files, stats) = stage(spark, root, arranged, v, sc)
-    commitFile(f, root, Commit(v, schema.json, files, live, sc, stats))
+    val pb = tablePartitionBy(f, root, vs)
+    val (files, stats) = stage(spark, root, arranged, v, sc, pb)
+    commitFile(f, root,
+      Commit(v, st.schema.json, files, st.live, sc, stats, pb, dvRemove = st.dv))
     v
   }
 
@@ -490,7 +791,9 @@ object TxLog {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
     val keep = retain.getOrElse(vs)
-    val referenced = keep.flatMap(v => replay(f, root, v)._1).toSet
+    val referenced = keep.flatMap { v =>
+      val st = replay(f, root, v); st.live ++ st.dv
+    }.toSet
     val dataDir = new Path(root, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val rootUri = f.makeQualified(root).toString
@@ -535,7 +838,8 @@ object TxLog {
     val (f, root) = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
-    val (live, schema, _) = replay(f, root, vs.last)
+    val st = replay(f, root, vs.last)
+    val (live, schema) = (st.live, st.schema)
     val tableCols = schema.fieldNames.toSeq
     require(source.schema.fieldNames.toSet == tableCols.toSet,
       s"source fields ${source.schema.fieldNames.toSeq} != table fields $tableCols")
@@ -548,34 +852,35 @@ object TxLog {
     if (src.isEmpty) return vs.last
     val v = vs.last + 1
     val sc = tableStatsCol(f, root, vs)
+    val pb = tablePartitionBy(f, root, vs)
     if (live.isEmpty) { // empty table: merge == insert-all
-      val (files, stats) = stage(spark, root, src, v, sc)
-      commitFile(f, root, Commit(v, schema.json, files, Seq.empty, sc, stats))
+      val (files, stats) = stage(spark, root, src, v, sc, pb)
+      commitFile(f, root, Commit(v, schema.json, files, Seq.empty, sc, stats, pb))
       return v
     }
-    val byName = live.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
-    require(byName.size == live.size, "duplicate data-file names in live set")
-    val cur = spark.read.schema(schema)
-      .parquet(live.map(p => new Path(root, p).toString): _*)
+    // file identity must bind to the scan BEFORE any join (metadata
+    // columns don't survive joins); the DV mask then hides rows already
+    // deleted so they neither dirty their file nor survive the rewrite
+    val cur = dvMask(spark, root, bindFilePos(
+      spark.read.schema(schema)
+        .parquet(live.map(p => new Path(root, p).toString): _*)), st.dv)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
-    // file name must bind to the scan BEFORE the join (input_file_name is
-    // single-source); the semi-join then carries it through
-    val dirtyNames = cur.withColumn("__uri", input_file_name())
+    val dirtyRel = cur
       .join(srcKeys, keyCols, "left_semi")
-      .select(col("__uri").as("uri")).distinct()
-      .collect()
-      .map(r => { val u = r.getString(0); u.substring(u.lastIndexOf('/') + 1) })
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0))
       .toSeq.sorted
-    val dirtyRel = dirtyNames.map(byName)
     val survivors =
       if (dirtyRel.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else
-        spark.read.schema(schema)
-          .parquet(dirtyRel.map(p => new Path(root, p).toString): _*)
+        dvMask(spark, root, bindFilePos(
+          spark.read.schema(schema)
+            .parquet(dirtyRel.map(p => new Path(root, p).toString): _*)), st.dv)
           .join(srcKeys, keyCols, "left_anti")
-    val (files, stats) = stage(spark, root, survivors.unionByName(src), v, sc)
-    commitFile(f, root, Commit(v, schema.json, files, dirtyRel, sc, stats))
+          .select(tableCols.map(col): _*)
+    val (files, stats) = stage(spark, root, survivors.unionByName(src), v, sc, pb)
+    commitFile(f, root, Commit(v, schema.json, files, dirtyRel, sc, stats, pb))
     v
   }
 
@@ -609,26 +914,48 @@ object TxLog {
     val (f, root) = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no table at $dir")
-    require(fromVersion <= toVersion, s"bad range ($fromVersion, $toVersion]")
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad range ($fromVersion, $toVersion]")
     require(vs.contains(toVersion), s"version $toVersion not in ${vs.mkString(",")}")
     val perVersion = ((fromVersion + 1) to toVersion).map { v =>
       val c = readCommit(f, root, v)
       val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[StructType]
-      def readSet(rel: Seq[String]): DataFrame =
-        if (rel.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else
-          spark.read.schema(schema).parquet(rel.map(p => new Path(root, p).toString): _*)
-      val added = readSet(c.add)
-      val removed = readSet(c.remove)
+      // DVs live BEFORE this commit: a row they mask was already
+      // logically deleted, so a rewrite re-staging its file must not
+      // re-report it as a delete here
+      val dvPrev = replay(f, root, v - 1).dv
+      def readSet(rel: Seq[String], dv: Seq[String]): DataFrame =
+        readLive(spark, root, rel, schema, dv)
+      val added = readSet(c.add, Seq.empty) // fresh files: no DV can predate them
+      val removed = readSet(c.remove, dvPrev)
       val inserts = added.exceptAll(removed)
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit("insert"))
-      val deletes = removed.exceptAll(added)
+      val fileDeletes = removed.exceptAll(added)
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit("delete"))
-      inserts.unionByName(deletes)
+      // a deletion-vector commit removes rows IN PLACE: surface exactly
+      // the rows its (file, pos) entries mask, read back from the data
+      // files they reference
+      val dvDeletes =
+        if (c.dvAdd.isEmpty)
+          fileDeletes.limit(0)
+        else {
+          val dvDf = spark.read.parquet(c.dvAdd.map(p => new Path(root, p).toString): _*)
+            .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+          val touched = dvDf.select(col("__dv_file")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          bindFilePos(
+            spark.read.schema(schema).parquet(touched.map(p => new Path(root, p).toString): _*))
+            .join(dvDf,
+              col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+              "left_semi")
+            .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_change_type", lit("delete"))
+        }
+      inserts.unionByName(fileDeletes).unionByName(dvDeletes)
     }
     require(perVersion.nonEmpty, s"empty version range ($fromVersion, $toVersion]")
     perVersion.reduce(_ unionByName _)

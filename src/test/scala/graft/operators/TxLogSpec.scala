@@ -342,6 +342,181 @@ class TxLogSpec extends AnyFunSuite {
       .map(_._1).sorted === (50L to 60L).toArray)
   }
 
+  /** Full table-relative paths from the log (partitioned layouts collide
+    * on basename, and DV-masked snapshots are joins where
+    * input_file_name is ambiguous — the log IS the planner).
+    */
+  private def liveRel(dir: String, v: Long): Set[String] =
+    TxLog.liveFiles(spark, dir, Some(v)).toSet
+
+  test("partitioned table: probe plans only matching partitions, result == filter") {
+    val dir = tmp()
+    val df = spark.range(300)
+      .select($"id", element_at(lit(Array("a", "b", "c")), ($"id" % 3 + 1).cast("int")).as("cat"))
+    TxLog.create(spark, dir, df.filter($"id" < 150).repartition(2),
+      partitionBy = Seq("cat"))
+    TxLog.append(spark, dir, df.filter($"id" >= 150).repartition(2))
+    val live = liveRel(dir, 1L)
+    assert(live.forall(_.contains("/__p_cat=")), s"partition layout missing: $live")
+
+    // a one-value probe plans exactly that partition's files
+    val aFiles = live.count(_.contains("/__p_cat=a/")).toLong
+    assert(aFiles > 0 && aFiles < live.size)
+    assert(TxLog.partitionCandidateFiles(spark, dir, Map("cat" -> Seq("a"))) == aFiles)
+
+    // result identical to the plain filter, at both versions
+    def got(vals: Seq[String], v: Long) =
+      TxLog.snapshotWhere(spark, dir, Map("cat" -> vals), Some(v))
+        .as[(Long, String)].collect().toSet
+    def want(vals: Seq[String], v: Long) =
+      TxLog.snapshot(spark, dir, Some(v)).filter($"cat".isin(vals: _*))
+        .as[(Long, String)].collect().toSet
+    assert(got(Seq("a"), 1L) == want(Seq("a"), 1L) && got(Seq("a"), 1L).nonEmpty)
+    assert(got(Seq("b", "c"), 1L) == want(Seq("b", "c"), 1L))
+    assert(got(Seq("a"), 0L) == want(Seq("a"), 0L))
+    // value absent from the table: zero files planned, empty result, schema kept
+    assert(TxLog.partitionCandidateFiles(spark, dir, Map("cat" -> Seq("zz"))) == 0L)
+    val empty = TxLog.snapshotWhere(spark, dir, Map("cat" -> Seq("zz")))
+    assert(empty.count() == 0L && empty.schema.fieldNames.toSeq == Seq("id", "cat"))
+
+    // filtering a non-partition column is a loud error
+    intercept[IllegalArgumentException](
+      TxLog.snapshotWhere(spark, dir, Map("id" -> Seq("1"))))
+    // and so is partition-probing an unpartitioned table
+    val dir2 = tmp()
+    TxLog.create(spark, dir2, Seq((1L, "a")).toDF("id", "cat"))
+    intercept[IllegalArgumentException](
+      TxLog.snapshotWhere(spark, dir2, Map("cat" -> Seq("a"))))
+  }
+
+  test("partitioned table: rewrite/merge keep the layout; null partitions never pruned") {
+    val dir = tmp()
+    // id 0 carries a NULL partition value -> writer sentinel dir
+    val df = spark.range(40).select($"id",
+      when($"id" === 0L, lit(null)).otherwise(
+        element_at(lit(Array("x", "y")), ($"id" % 2 + 1).cast("int"))).as("cat"))
+    TxLog.create(spark, dir, df.repartition(1), partitionBy = Seq("cat"))
+    assert(liveRel(dir, 0L).exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+
+    // the null-sentinel file is kept for ANY probe (can't prove disjoint)
+    // but the residual filter still drops the null row from the result
+    val gotX = TxLog.snapshotWhere(spark, dir, Map("cat" -> Seq("x")))
+      .as[(Long, String)].collect().toSet
+    assert(gotX == (2L until 40L by 2).map(i => (i, "x")).toSet)
+
+    // rewrite re-stages through the same partition layout
+    TxLog.rewrite(spark, dir, $"id" =!= 2L)
+    assert(liveRel(dir, 1L).filterNot(_.contains("__HIVE_DEFAULT"))
+      .forall(_.contains("/__p_cat=")))
+    assert(TxLog.snapshotWhere(spark, dir, Map("cat" -> Seq("x")))
+      .as[(Long, String)].collect().toSet == gotX - ((2L, "x")))
+
+    // merge keeps it too, and the probe sees the updated rows
+    TxLog.merge(spark, dir, Seq((4L, "x"), (100L, "y")).toDF("id", "cat"), Seq("id"))
+    assert(liveRel(dir, 2L).filterNot(_.contains("__HIVE_DEFAULT"))
+      .forall(_.contains("/__p_cat=")))
+    assert(TxLog.snapshotWhere(spark, dir, Map("cat" -> Seq("y")))
+      .filter($"id" === 100L).count() == 1L)
+
+    // numeric partition column probes by its string form
+    val dir3 = tmp()
+    TxLog.create(spark, dir3,
+      spark.range(20).select($"id", ($"id" % 4).as("bucket")),
+      partitionBy = Seq("bucket"))
+    assert(TxLog.snapshotWhere(spark, dir3, Map("bucket" -> Seq("3")))
+      .as[(Long, Long)].collect().toSet ==
+      (3L until 20L by 4).map(i => (i, 3L)).toSet)
+  }
+
+  test("deletion vectors: delete commits positions, not files; snapshot masks them") {
+    val dir = tmp()
+    TxLog.create(spark, dir,
+      spark.range(100).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    val before = liveRel(dir, 0L)
+    assert(before.size == 4)
+
+    val v1 = TxLog.delete(spark, dir, $"id" >= 10L && $"id" < 20L)
+    assert(v1 == 1L)
+    // ZERO data files rewritten: the live set is physically identical
+    assert(liveRel(dir, 1L) == before)
+    assert(TxLog.deletionVectorRows(spark, dir) == 10L)
+    assert(TxLog.snapshot(spark, dir).as[(Long, Long)].collect().map(_._1).sorted
+      === ((0L until 10L) ++ (20L until 100L)).toArray)
+    // time travel below the delete still sees the rows
+    assert(TxLog.snapshot(spark, dir, Some(0L)).count() == 100L)
+
+    // a second delete ACCUMULATES; rows already masked are not re-recorded
+    TxLog.delete(spark, dir, $"id" < 15L) // 10..14 already masked -> only 0..9 new
+    assert(TxLog.deletionVectorRows(spark, dir) == 20L)
+    assert(TxLog.snapshot(spark, dir).as[(Long, Long)].collect().map(_._1).sorted
+      === (20L until 100L).toArray)
+    // no matching rows -> no commit
+    val v = TxLog.delete(spark, dir, $"id" === 5L)
+    assert(v == 2L && TxLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+
+    // range scan composes with the mask
+    val dir2 = tmp()
+    TxLog.create(spark, dir2,
+      spark.range(200).select($"id", ($"id" % 3).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      statsCol = Some("id"))
+    TxLog.delete(spark, dir2, $"id" === 60L)
+    assert(TxLog.snapshotRange(spark, dir2, 50L, 70L).as[(Long, Long)].collect()
+      .map(_._1).sorted === ((50L to 70L).filterNot(_ == 60L)).toArray)
+  }
+
+  test("deletion vectors: rewrite/merge read through the mask; optimize folds and clears") {
+    val dir = tmp()
+    TxLog.create(spark, dir,
+      spark.range(100).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    TxLog.delete(spark, dir, $"id" === 10L || $"id" === 50L) // v1
+
+    // merge touching the file holding id 10: the deleted row must NOT
+    // resurrect via the survivor rewrite
+    TxLog.merge(spark, dir, Seq((11L, 999L)).toDF("id", "v"), Seq("id")) // v2
+    val rows2 = TxLog.snapshot(spark, dir).as[(Long, Long)].collect().toMap
+    assert(!rows2.contains(10L) && rows2(11L) == 999L && !rows2.contains(50L))
+
+    // rewrite through the mask: dropping v==3 must not resurrect id 50,
+    // and a file whose only "dropped" rows are already DV-masked stays clean
+    TxLog.rewrite(spark, dir, !($"v" === 3L)) // v3
+    val rows3 = TxLog.snapshot(spark, dir).as[(Long, Long)].collect().toMap
+    assert(!rows3.contains(50L) && !rows3.exists(_._2 == 3L))
+
+    // optimize folds the DVs into clean files and CLEARS them
+    val preCount = TxLog.snapshot(spark, dir).count()
+    TxLog.optimize(spark, dir, numFiles = 2) // v4
+    assert(TxLog.deletionVectorRows(spark, dir) == 0L)
+    assert(TxLog.snapshot(spark, dir).count() == preCount)
+    assert(TxLog.snapshot(spark, dir).as[(Long, Long)].collect().toMap == rows3)
+    // retention vacuum reclaims the folded DV sidecars with the old layout
+    val deleted = TxLog.vacuum(spark, dir, retain = Some(Seq(4L)))
+    assert(deleted.exists(_.contains("-dv/")), s"DV sidecars not reclaimed: $deleted")
+    assert(TxLog.snapshot(spark, dir).count() == preCount)
+  }
+
+  test("deletion vectors: CDF reports DV deletes once, never re-reports on rewrite") {
+    val dir = tmp()
+    TxLog.create(spark, dir,
+      spark.range(100).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    TxLog.delete(spark, dir, $"id" < 3L) // v1: DV commit
+    TxLog.rewrite(spark, dir, $"id" =!= 5L) // v2: dirties the 0..24 file
+    TxLog.optimize(spark, dir, numFiles = 2) // v3: folds DVs, no logical change
+
+    def feed(v: Long) = TxLog.changes(spark, dir, v - 1, v)
+      .select($"_change_type", $"id").as[(String, Long)].collect().toSet
+    // the DV commit surfaces exactly its masked rows
+    assert(feed(1L) == Set(("delete", 0L), ("delete", 1L), ("delete", 2L)))
+    // the rewrite re-stages the dirty file's survivors; rows 0..2 were
+    // already logically gone and must not be re-reported
+    assert(feed(2L) == Set(("delete", 5L)))
+    // optimize folds the masks with no logical diff
+    assert(feed(3L).isEmpty)
+  }
+
   test("changes: append=inserts, rewrite=net deletes, upsert=delete+insert, optimize=silent") {
     val dir = tmp()
     // v0: ids 0..99 in 4 range files
