@@ -1016,6 +1016,31 @@ object SparkEntry {
     Similarity.bruteForceTopKDot(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100)
   }
 
+  /** Cosine radius search ([[operators.Similarity.radiusSearch]]): every
+    * vector at least 0.15-similar to the probe — a pure scan + filter
+    * (no k-cut), so the oracle is the same per-term cosine replay as qs1
+    * with a WHERE instead of a LIMIT: a vector wrongly inside or outside
+    * the ball breaks the row set.
+    */
+  private def qs9Radius(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.sin(i * 1.3 + 0.25)) // deterministic probe
+    Similarity.radiusSearch(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 0.15)
+  }
+
+  /** Triangle counting ([[graph.Triangles]]): a deterministic
+    * co-occurrence graph derived from orders (custkey×orderkey residues)
+    * is counted by the degree-ordered compact-forward joins; the oracle
+    * replays the canonical 3-way self-join over a<b<c edges — an
+    * orientation bug double- or under-counting any triangle breaks the
+    * single-row compare, and n_nodes/n_edges pin the canonicalization.
+    */
+  private def qg10Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_custkey") % 80).as("x"), (col("o_orderkey") % 80).as("y"))
+    graph.Triangles.count(edges, "x", "y")
+  }
+
   // qs8's probe is quantized ONCE here and the same literal codes feed
   // both the Spark gate and the DuckDB oracle — Scala math.round (half
   // up) vs SQL round (half away) could otherwise disagree on the query
@@ -3491,6 +3516,7 @@ object SparkEntry {
     "qd6_cluster_dedup" -> (qd6ClusterDedup _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
     "qs8_sq_topk" -> (qs8SqTopK _),
+    "qs9_radius" -> (qs9Radius _),
     "qs3_dot_topk" -> (qs3DotTopK _),
     "qs2_label_centroids" -> (qs2LabelCentroids _),
     "qe1_sessionize" -> (qe1Sessionize _),
@@ -3559,6 +3585,7 @@ object SparkEntry {
     "qg7_graph_build" -> (qg7GraphBuild _),
     "qg8_scenario_overrides" -> (qg8ScenarioOverrides _),
     "qg9_pagerank" -> (qg9PageRank _),
+    "qg10_triangles" -> (qg10Triangles _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qj13_salted_join" -> (qj13SaltedJoin _),
@@ -5182,6 +5209,45 @@ object SparkEntry {
          |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
          |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
     },
+    // Radius search: qs1's per-term cosine replay with the ball's WHERE
+    // instead of a LIMIT — membership at the rounded boundary must agree.
+    "qs9_radius" -> {
+      val qv = Array.tabulate(64)(i => math.sin(i * 1.3 + 0.25)) // same probe as qs9
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * qv[t.i]) AS dot,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * CAST(embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(qv[t.i] * qv[t.i]) AS nb
+         |  FROM (SELECT vec_id, embedding, $qv::DOUBLE[] AS qv FROM embeddings)
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY vec_id)
+         |SELECT vec_id,
+         |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |FROM s
+         |WHERE round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |            ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) >= 0.15""".stripMargin
+    },
+    // Triangle counting: the oracle is the textbook 3-way self-join over
+    // canonical a<b edges, one row per triangle a<b<c — the engine's
+    // degree-ordered orientation must reach the same count exactly.
+    "qg10_triangles" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 80 AS x, o_orderkey % 80 AS y
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |n AS (SELECT count(DISTINCT v) AS n_nodes FROM
+        |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |t AS (SELECT count(*) AS triangles
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT n_nodes, n_edges, triangles FROM n, m, t""".stripMargin,
     // int8 SQ: corpus quantization replayed term-for-term (same max-abs
     // scale, same round, same de-scale order); query codes arrive as the
     // SAME literal integers the gate used

@@ -38,6 +38,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** RANGE (radius) SEARCH — every corpus vector within a cosine
+    * threshold of the query, the other half of the ANN query surface
+    * (top-k answers "the best k"; radius answers "everything this
+    * similar", the semantic-dedup / recall-sweep primitive). Shape
+    * matters at scale: a pure scan + codegen filter — no top-k cut, no
+    * sort, no shuffle, no driver state — so it streams at any corpus
+    * size and the parquet scan prunes to (id, vec) columns. The
+    * threshold compares the ROUNDED similarity (6 dp, like every ANN
+    * gate) so the boundary is engine-stable.
+    */
+  def radiusSearch(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], minSim: Double): DataFrame = {
+    val q = array(query.map(lit): _*)
+    embs
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), q), 6))
+      .filter(col("sim") >= minSim)
+      .select(col(idCol), col("sim"))
+  }
+
   /** Exact top-k by raw dot product (maximum inner-product search — the
     * right metric when embeddings are pre-normalized or magnitude carries
     * signal). Same scan + TakeOrderedAndProject shape as the cosine form;
