@@ -1156,6 +1156,16 @@ object SparkEntry {
           6).as("jaccard"))
   }
 
+  /** Exact prefix-filtered similarity join
+    * ([[operators.Dedup.prefixFilterJoin]]): every doc pair with
+    * word-Jaccard ≥ 0.95, found via the rare-first prefix equi-join —
+    * recall 1.0 BY THEOREM, which is exactly what the oracle checks: it
+    * brute-forces ALL pairs, so one pair the prefix filter wrongly
+    * prunes (or a verification miscount) breaks the row set.
+    */
+  private def qd16PrefixJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterJoin(t(spark, dir, "documents"), "doc_id", "text", 0.95)
+
   /** MinHash estimator audit: per adjacent-id doc pair, the signature
     * agreement fraction (the unbiased Jaccard estimate LSH banding rests
     * on) NEXT TO the exact 3-word-shingle Jaccard — the measured-recall
@@ -3513,6 +3523,7 @@ object SparkEntry {
     "qt9_sample" -> (qt9Sample _),
     "qt10_packing" -> (qt10Packing _),
     "qd7_word_jaccard" -> (qd7WordJaccard _),
+    "qd16_prefix_join" -> (qd16PrefixJoin _),
     "qd6_cluster_dedup" -> (qd6ClusterDedup _),
     "qs1_cosine_topk" -> (qs1CosineTopK _),
     "qs8_sq_topk" -> (qs8SqTopK _),
@@ -4713,6 +4724,22 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
         |        CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE), 6) AS jaccard
         |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // Exact prefix-filtered similarity join: the oracle brute-forces ALL
+    // doc pairs — identical rows is the prefix filter's recall-1.0
+    // theorem, checked pair by pair (the length filter is implied by
+    // J >= tau, so the oracle needs neither).
+    "qd16_prefix_join" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+        |  FROM documents)
+        |SELECT a_id, b_id, round(j, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |    CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))
+        |      AS DOUBLE) AS j
+        |  FROM w a JOIN w b ON b.doc_id > a.doc_id)
+        |WHERE j >= 0.95""".stripMargin,
     "q18_shipping_priority" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

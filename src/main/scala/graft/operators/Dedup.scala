@@ -339,6 +339,71 @@ object Dedup {
     docs.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING (Chaudhuri et
+    * al. 2006 SSJoin / Bayardo et al. 2007 "Scaling up all pairs
+    * similarity search") — the exact, recall-1.0 counterpart to the
+    * MinHash-LSH candidate path: every pair of documents with word-set
+    * Jaccard ≥ `minJaccard`, with NO probabilistic misses.
+    *
+    * The filter that makes an exact similarity join scale without an
+    * all-pairs comparison: order every token set by GLOBAL frequency
+    * (rarest first — one vocab-sized aggregate), then two sets with
+    * J ≥ τ must share a token within each set's first
+    * `n − ⌈τ·n⌉ + 1` tokens (J ≥ τ ⟹ overlap ≥ τ·max(|a|,|b|), and an
+    * overlap of k forces a common element among the first n−k+1 of any
+    * fixed ordering). Candidates therefore come from an EQUI-join on
+    * exploded prefix tokens — and because prefixes hold each document's
+    * rarest tokens, bucket sizes are bounded by rare-token frequencies,
+    * never by stop words. A length filter (min ≥ τ·max, also implied by
+    * J ≥ τ) prunes further before the exact verification joins sets
+    * back BY ID (id-only pairs through the shuffle, arrays fetched
+    * once). Output: (a_id, b_id, jaccard ≥ τ), a_id < b_id.
+    */
+  def prefixFilterJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    // word sets, reused by tokenization and both verification joins
+    val sets = docs.select(
+      col(idCol).as("__id"),
+      array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("__ws"))
+      .persist()
+    val toks = sets.select(col("__id"), explode(col("__ws")).as("__tok"))
+    val freq = toks.groupBy("__tok")
+      .agg(count(lit(1)).as("__freq"))
+    // canonical rare-first order per set; struct sort = (freq, tok) lex
+    val pref = toks.join(freq, "__tok")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__freq"), col("__tok")))).as("__ft"))
+      .select(
+        col("__id"),
+        transform(col("__ft"), s => s("__tok")).as("__ows"))
+      .withColumn("__n", size(col("__ows")))
+      .select(
+        col("__id"), col("__n"),
+        explode(slice(col("__ows"), lit(1),
+          col("__n") - ceil(lit(minJaccard) * col("__n")).cast("int") + 1)).as("__tok"))
+      .persist()
+    val cand = pref.select(col("__id").as("a_id"), col("__n").as("__na"), col("__tok"))
+      .join(pref.select(col("__id").as("b_id"), col("__n").as("__nb"), col("__tok")), Seq("__tok"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(minJaccard) * greatest(col("__na"), col("__nb")).cast("double"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sets.select(col("__id").as("a_id"), col("__ws").as("__wa")), Seq("a_id"))
+      .join(sets.select(col("__id").as("b_id"), col("__ws").as("__wb")), Seq("b_id"))
+      .withColumn("__i", size(array_intersect(col("__wa"), col("__wb"))))
+      .withColumn("__j",
+        col("__i").cast("double") /
+          (size(col("__wa")) + size(col("__wb")) - col("__i")).cast("double"))
+      .filter(col("__j") >= minJaccard)
+      .select(col("a_id"), col("b_id"), round(col("__j"), 6).as("jaccard"))
+  }
+
   /** Connected-components clustering over a candidate-pair edge list:
     * each doc converges to the min id reachable through candidate edges.
     * The distributed path is the alternating large-star/small-star

@@ -863,4 +863,46 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Relational.bloomFilterJoin(left, right, "k", 1000L, joinType = "left_outer"))
   }
+  test("prefix-filtered similarity join: recall 1.0 vs brute force, exact scores") {
+    import spark.implicits._
+    // templated corpus with shuffled word orders, near-dups at several
+    // similarities, exact dups, and unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"), // same set, different order -> J=1
+      (3L, "alpha beta gamma delta zeta"), // 4/6 vs doc 1
+      (4L, "alpha beta gamma delta epsilon zeta"), // 5/6 vs doc 1
+      (5L, "totally unrelated words here now"),
+      (6L, "alpha alpha beta beta gamma gamma delta delta epsilon"), // dup words -> same SET as 1
+      (7L, "one two three"),
+      (8L, "one two three four five six seven eight nine ten"),
+      (9L, "")
+    ).toDF("doc_id", "text")
+    def brute(tau: Double): Set[(Long, Long, Double)] = {
+      val w = docs.select($"doc_id",
+        array_distinct(split(lower(trim($"text")), "\\s+")).as("ws"))
+      w.as("a").join(w.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+          (size(array_intersect($"a.ws", $"b.ws")).cast("double") /
+            (size($"a.ws") + size($"b.ws") -
+              size(array_intersect($"a.ws", $"b.ws"))).cast("double")).as("j"))
+        .filter($"j" >= tau)
+        .select($"a_id", $"b_id", round($"j", 6).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    for (tau <- Seq(0.5, 0.66, 0.8, 1.0)) {
+      val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute(tau), s"tau=$tau")
+    }
+    // hand-checkable: at tau = 0.8 the {1,2,6} clique is mutual J=1 and
+    // doc 4 reaches each at 5/6
+    val at08 = Dedup.prefixFilterJoin(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(at08.contains((1L, 2L, 1.0)) && at08.contains((1L, 6L, 1.0)) &&
+      at08.contains((2L, 6L, 1.0)))
+    assert(at08.contains((1L, 4L, 0.833333)) && at08.contains((2L, 4L, 0.833333)))
+    assert(!at08.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
 }
