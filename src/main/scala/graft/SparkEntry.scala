@@ -1653,6 +1653,18 @@ object SparkEntry {
     * the per-stratum exact-k contract and the reproducible choice of
     * WHICH rows.
     */
+  /** Weighted PPS systematic sample
+    * ([[operators.TextAnalysis.ppsSample]]): exactly 25 picks per
+    * source, each doc's multiplicity proportional to its n_chars — the
+    * all-integer lattice arithmetic replays floor-for-floor in DuckDB
+    * (`div` ↔ `//`), so one off-by-one anywhere in the cumulative
+    * windows or the telescoping floors breaks the row set.
+    */
+  private def qt32PpsSample(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.ppsSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", "n_chars", 25)
+
   private def qt31StratSample(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.stratifiedSample(
       t(spark, dir, "documents").select(col("source"), col("doc_id")),
@@ -3613,6 +3625,7 @@ object SparkEntry {
     "qt29_split" -> (qt29Split _),
     "qt30_inverted_index" -> (qt30InvertedIndex _),
     "qt31_strat_sample" -> (qt31StratSample _),
+    "qt32_pps_sample" -> (qt32PpsSample _),
     "qy5_minmax_prune" -> (qy5MinMaxPrune _),
     "qy6_hilbert" -> (qy6Hilbert _),
     "qy8_txlog_prune" -> (qy8TxlogPrune _),
@@ -4133,6 +4146,20 @@ object SparkEntry {
         |  AND list_contains(string_split_regex(lower(trim(text)), '\s+'), 'spark')""".stripMargin,
     // Stratified sample: identical md5-hex window replay — row_number
     // over (source, md5(doc_id), doc_id) is deterministic in both engines.
+    // PPS systematic sample: identical all-integer lattice replay —
+    // DuckDB's // is Spark's div, cumulative and total window sums
+    // match term for term.
+    "qt32_pps_sample" ->
+      """SELECT doc_id, source, n_chars,
+        |  (c * 25) // W - ((c - n_chars) * 25) // W AS picks
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    -- DuckDB window sum is HUGEINT; BIGINT keeps // in int64
+        |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS W
+        |  FROM documents)
+        |WHERE (c * 25) // W - ((c - n_chars) * 25) // W >= 1""".stripMargin,
     "qt31_strat_sample" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id,

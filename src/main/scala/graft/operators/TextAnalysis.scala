@@ -732,4 +732,46 @@ object TextAnalysis {
       .filter(col("__rn") <= k)
       .drop("__h", "__rn")
   }
+
+  /** WEIGHTED (PPS) SYSTEMATIC SAMPLING — exactly `k` picks per stratum
+    * with each row's pick count proportional to its integer weight
+    * (Madow 1949's systematic probability-proportional-to-size design,
+    * the survey-sampling workhorse): lay `k` equally-spaced lattice
+    * points over the stratum's cumulative-weight axis; a row is picked
+    * once per lattice point inside its weight interval —
+    *
+    *   picks(i) = ⌊c_i·k / W⌋ − ⌊c_{i−1}·k / W⌋
+    *
+    * over the running sum c and stratum total W. For a training mix
+    * this is "sample k documents per source, long documents
+    * proportionally more, short ones never oversampled past
+    * ⌈w·k/W⌉" — and unlike u^(1/w) exponential-race weighting
+    * (Efraimidis–Spirakis), the arithmetic is ALL-INTEGER: the floor
+    * identity telescopes to exactly k per stratum, every engine
+    * computes the identical sample (no pow/ln ulp hazards), and the
+    * whole thing is two per-stratum window sums + one codegen
+    * projection — no shuffle beyond the strata windows, per-task state
+    * O(1). Weights are non-negative integers (a zero-weight row can
+    * never be picked); `c·k` stays inside long range for any real
+    * corpus (2⁶³/k headroom on total stratum weight).
+    * Output: rows with picks ≥ 1, and their multiplicity.
+    */
+  def ppsSample(
+      docs: DataFrame, strataCol: String, keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(strataCol))
+      .orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(strataCol))
+    docs
+      .withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__c", sum(col("__w")).over(byKey))
+      .withColumn("__tot", sum(col("__w")).over(whole))
+      .withColumn("picks",
+        expr(s"(__c * $k) div __tot") - expr(s"((__c - __w) * $k) div __tot"))
+      .filter(col("picks") >= 1)
+      .drop("__w", "__c", "__tot")
+  }
 }

@@ -511,4 +511,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.stratifiedSample(docs, "src", "key", 0))
   }
+  test("PPS systematic sample: exactly k per stratum, proportional, all-integer") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 1L), ("s1", 3L, 899L), // W=1000
+      ("s2", 4L, 10L), ("s2", 5L, 10L), ("s2", 6L, 10L), ("s2", 7L, 10L),
+      ("s3", 8L, 5L), ("s3", 9L, 0L) // zero-weight row can never be picked
+    ).toDF("source", "doc_id", "n_chars")
+    val k = 10
+    val out = TextAnalysis.ppsSample(docs, "source", "doc_id", "n_chars", k)
+      .select($"source", $"doc_id", $"picks").as[(String, Long, Long)].collect()
+
+    // telescoping: the picks in each stratum sum to exactly k
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc == Map("s1" -> 10L, "s2" -> 10L, "s3" -> 10L))
+    // proportionality: picks within 1 of w*k/W for every row
+    val m = out.map(t => (t._2, t._3)).toMap
+    assert(m(3L) == 9L && m(1L) == 1L && !m.contains(2L)) // 899/1000*10 = 8.99
+    assert(Seq(4L, 5L, 6L, 7L).forall(id => m.getOrElse(id, 0L) >= 2L))
+    assert(m(8L) == 10L && !m.contains(9L)) // whole budget on the only weighted row
+    // deterministic under partitioning
+    val again = TextAnalysis.ppsSample(docs.repartition(7), "source", "doc_id", "n_chars", k)
+      .select($"source", $"doc_id", $"picks").as[(String, Long, Long)].collect()
+    assert(again.toSet == out.toSet)
+  }
+
 }
