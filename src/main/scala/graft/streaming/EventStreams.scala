@@ -436,6 +436,52 @@ object EventStreams {
     * directory (memory sink) — used by the streaming spec; returns the
     * final in-memory table.
     */
+  /** One state-store operator's footprint at one micro-batch — the
+    * observability row an operator dashboard ingests.
+    */
+  case class StateOpMetrics(
+      batchId: Long,
+      operator: String,
+      stateRows: Long,
+      rowsUpdated: Long,
+      memoryUsedBytes: Long,
+      watermark: Option[String])
+
+  /** STATE OBSERVABILITY — harvest per-batch state-store metrics from a
+    * running (or drained) streaming query's progress history: state rows
+    * held, rows updated, state memory, and the event-time watermark that
+    * gates eviction. This is the signal that makes a stateful stream
+    * OPERABLE at scale: unbounded state growth (a watermark that never
+    * advances, a join whose unmatched side accumulates) shows up here
+    * batches before it OOMs an executor — the number to alert on, and
+    * the companion to [[observe]]d row counts (state is WHY rows
+    * emit late in watermark joins). Reads the driver-held
+    * `recentProgress` ring (last ~100 batches): O(1) driver memory,
+    * zero executor cost — the metrics are already collected by the
+    * streaming engine; this surfaces them as data.
+    */
+  def stateMetrics(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Seq[StateOpMetrics] =
+    q.recentProgress.toSeq.flatMap { p =>
+      p.stateOperators.toSeq.map { so =>
+        StateOpMetrics(
+          p.batchId, so.operatorName, so.numRowsTotal, so.numRowsUpdated,
+          so.memoryUsedBytes, Option(p.eventTime.get("watermark")))
+      }
+    }
+
+  /** Per-batch OBSERVED metrics for one named [[DataFrame.observe]]
+    * point, keyed by batchId. observe() computes its aggregates inside
+    * the running plan (codegen, map-side — no second pass over the
+    * stream), so per-batch row/sum counters are free at any scale.
+    */
+  def observedMetrics(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): Map[Long, org.apache.spark.sql.Row] =
+    q.recentProgress.toSeq.flatMap { p =>
+      Option(p.observedMetrics.get(name)).map(p.batchId -> _)
+    }.toMap
+
   def runWindowedStream(
       spark: SparkSession,
       dir: String,

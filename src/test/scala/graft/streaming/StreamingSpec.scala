@@ -651,4 +651,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(results(0) != results(1))
     } finally q.stop()
   }
+  test("qe14 observability: state metrics expose join buffering and watermark eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    // (event_id, event_type, user_id, sec, value)
+    val mem = MemoryStream[(Long, String, Long, Long, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "event_type", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+      .drop("sec")
+    val joined = EventStreams.clickToPurchaseJoin(events, windowSec = 3600)
+      .observe("qe14", count(lit(1)).as("rows"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("qe14_obs").start()
+    try {
+      // batch 0: one converting click, one dangling click, one purchase
+      mem.addData((1L, "click", 1L, 100L, 0.0), (2L, "click", 2L, 100L, 0.0),
+        (3L, "purchase", 1L, 200L, 5.0))
+      q.processAllAvailable()
+      // batch 1 + 2: sentinels on BOTH sides push the min-watermark past
+      // click_ts + window + delay, so batch 2 evicts batch 0's state
+      mem.addData((90L, "click", 999L, 11000L, 0.0), (91L, "purchase", 997L, 11000L, 0.0))
+      q.processAllAvailable()
+      mem.addData((92L, "click", 999L, 12000L, 0.0), (93L, "purchase", 998L, 12000L, 0.0))
+      q.processAllAvailable()
+
+      val sm = EventStreams.stateMetrics(q)
+      assert(sm.nonEmpty, "no state metrics harvested")
+      val rowsByBatch = sm.groupBy(_.batchId).view.mapValues(_.map(_.stateRows).sum).toMap
+      val peak = rowsByBatch.values.max
+      val last = rowsByBatch(rowsByBatch.keys.max)
+      // batch 0 buffers the 3 unexpired rows; eviction later shrinks state
+      assert(peak >= 3L, s"peak state rows $peak, history $rowsByBatch")
+      assert(last < peak, s"watermark never evicted: $rowsByBatch")
+      // the watermark surfaced in the metrics advanced past epoch 0
+      assert(sm.exists(_.watermark.exists(_ > "1970-01-01T01:00:00")))
+      // observed per-batch counters: exactly the one converting pair emitted
+      val om = EventStreams.observedMetrics(q, "qe14")
+      assert(om.nonEmpty && om.values.map(_.getLong(0)).sum == 1L,
+        s"observed rows ${om.view.mapValues(_.toString).toMap}")
+    } finally q.stop()
+  }
+
 }
