@@ -2786,6 +2786,39 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** Incremental index maintenance from the change feed
+    * ([[operators.TextAnalysis.applyIndexDelta]] over
+    * [[operators.TxLog.changes]]): the index built at v0 follows an
+    * upsert (v1 merge: re-texted + fresh docs) and a DV delete (v2)
+    * by consuming ONLY the feed — and must equal the full tokenization
+    * of the final table, which is exactly what the oracle states in
+    * plain predicates. A stale posting kept, a new one missed, or a
+    * deleted doc's postings surviving each break the pair set; the
+    * multi-version fold (upsert THEN delete of the same doc must end
+    * deleted) is TextAnalysisSpec's job.
+    */
+  private def qy10IncrIndex(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qy10")
+    try {
+      val root = wh.resolve("tbl").toString
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      operators.TxLog.create(
+        spark, root,
+        docs.filter(col("doc_id") % 3 =!= 2).repartitionByRange(4, col("doc_id")))
+      val index0 = operators.TextAnalysis.invertedIndex(
+        operators.TxLog.snapshot(spark, root, Some(0L)), "doc_id", "text")
+      val source = docs.filter(col("doc_id") % 4 === 1)
+        .withColumn("text", concat(col("text"), lit(" zzupdated")))
+      operators.TxLog.merge(spark, root, source, Seq("doc_id")) // v1
+      operators.TxLog.delete(spark, root, col("doc_id") % 9 === 0) // v2
+      val delta = operators.TxLog.changes(spark, root, 0L, 2L)
+      val out = operators.TextAnalysis.applyIndexDelta(index0, delta, "doc_id", "text")
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   private def qf6OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qf6")
     t(spark, dir, "lineitem")
@@ -3575,6 +3608,7 @@ object SparkEntry {
     "qf14_txlog_cdf" -> (qf14TxlogCdf _),
     "qf15_txlog_partition" -> (qf15TxlogPartition _),
     "qf16_txlog_delete" -> (qf16TxlogDelete _),
+    "qy10_incr_index" -> (qy10IncrIndex _),
     "qy9_txlog_checkpoint" -> (qy9TxlogCheckpoint _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
@@ -3946,6 +3980,26 @@ object SparkEntry {
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
         |  AND NOT (o_custkey % 10 = 7)
         |GROUP BY 1""".stripMargin,
+    // Incremental index via CDF: the oracle tokenizes the FINAL table
+    // stated in plain predicates — base minus upserted keys, plus the
+    // re-texted source, minus the DV-deleted docs. The engine reached
+    // the same pair set by consuming only the change feed.
+    "qy10_incr_index" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+        |src AS (
+        |  SELECT doc_id, text || ' zzupdated' AS text
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |final AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, text FROM base
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM src)
+        |    UNION ALL SELECT doc_id, text FROM src)
+        |  WHERE doc_id % 9 <> 0)
+        |SELECT DISTINCT doc_id, t.term
+        |FROM final,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+        |WHERE len(t.term) > 0""".stripMargin,
     // Compaction round trip: the oracle reads the source table — a row
     // lost or duplicated by the coalesce-rewrite breaks count/sum/avg.
     "qf7_compact" ->

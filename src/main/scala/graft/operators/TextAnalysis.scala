@@ -691,6 +691,40 @@ object TextAnalysis {
       .filter(length(col("term")) > 0)
       .distinct()
 
+  /** INCREMENTAL inverted-index maintenance from a row-level change
+    * feed ([[TxLog.changes]]-shaped: table columns + `_commit_version` +
+    * `_change_type`) — the end-to-end point of the CDF: a derived
+    * artifact follows a mutating 100 TB table by reading KBs of log and
+    * re-tokenizing ONLY the churn, never rebuilding O(corpus).
+    *
+    *   index′ = (index ∖ postings of touched docs) ∪ tokenize(final rows)
+    *
+    * A doc's final state within the feed is its highest-version entry:
+    * inserts there are its current rows (an upsert's delete+insert at
+    * the same version resolves to the insert), a delete-only last
+    * version means the doc is gone — so folding a MULTI-version feed in
+    * one call is exact, not just version-by-version replay. Cost: one
+    * churn-sized window, tokenization of inserted rows only, and a
+    * doc-keyed anti-join against the index — bucket the index by doc id
+    * ([[Layout]] qy2 tier) and that anti-join co-locates shuffle-free;
+    * the posting adds append partition-locally. Exactness vs a full
+    * rebuild of the final snapshot is the qy10 oracle's contract.
+    */
+  def applyIndexDelta(
+      index: DataFrame, changes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol))
+    val finalRows = changes
+      .withColumn("__maxv", max(col("_commit_version")).over(byDoc))
+      .filter(col("_commit_version") === col("__maxv") &&
+        col("_change_type") === "insert")
+      .select(col(idCol), col(textCol))
+    val touched = changes.select(col(idCol)).distinct()
+    index
+      .join(touched, Seq(idCol), "left_anti")
+      .unionByName(invertedIndex(finalRows, idCol, textCol))
+  }
+
   /** Conjunctive (AND) search over [[invertedIndex]]: docs containing
     * EVERY query term. One index filter (term pushdown — on a
     * term-bucketed index this is a bucket-pruned scan, zero exchange)

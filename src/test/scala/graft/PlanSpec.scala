@@ -227,4 +227,14 @@ class PlanSpec extends AnyFunSuite {
     // one partial+final hash agg pair around one exchange, like q1
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
   }
+  test("qd16: prefix-join candidates come from keyed joins only — no cartesian") {
+    val df = SparkEntry.queries("qd16_prefix_join")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // candidate generation is an equi-join on the prefix token and
+    // verification re-joins by id: every join keyed, nothing quadratic
+    assert(!p.toLowerCase.contains("cartesian") && !p.contains("NestedLoop"),
+      "all-pairs shape leaked into the prefix join:\n" + p.take(900))
+    assert("Join Inner".r.findAllIn(p).size >= 3, p.take(900))
+  }
+
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.GraftSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite {
@@ -534,6 +535,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     val again = TextAnalysis.ppsSample(docs.repartition(7), "source", "doc_id", "n_chars", k)
       .select($"source", $"doc_id", $"picks").as[(String, Long, Long)].collect()
     assert(again.toSet == out.toSet)
+  }
+
+  test("incremental index from the change feed == full rebuild, incl. upsert-then-delete") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incridx").resolve("t").toString
+    TxLog.create(spark, dir, Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"), (4L, "eta theta"))
+      .toDF("doc_id", "text").repartition(2))
+    val index0 = TextAnalysis.invertedIndex(
+      TxLog.snapshot(spark, dir, Some(0L)), "doc_id", "text")
+    // v1: upsert — re-text doc 2, insert doc 5; v2: DV-delete docs 2 and 3
+    TxLog.merge(spark, dir,
+      Seq((2L, "gamma NEW words"), (5L, "iota kappa")).toDF("doc_id", "text"), Seq("doc_id"))
+    TxLog.delete(spark, dir, col("doc_id") === 2L || col("doc_id") === 3L)
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSet
+    val rebuilt = pairs(TextAnalysis.invertedIndex(TxLog.snapshot(spark, dir), "doc_id", "text"))
+
+    // one-call fold over the whole (0, 2] feed: doc 2 was upserted THEN
+    // deleted — its final state is deleted, so no posting may survive
+    val folded = pairs(TextAnalysis.applyIndexDelta(
+      index0, TxLog.changes(spark, dir, 0L, 2L), "doc_id", "text"))
+    assert(folded == rebuilt, s"fold diff: ${folded.diff(rebuilt)} / ${rebuilt.diff(folded)}")
+    assert(!folded.exists(_._1 == 2L) && !folded.exists(_._1 == 3L))
+    assert(folded.contains((5L, "iota")) && folded.contains((1L, "alpha")))
+
+    // version-by-version replay converges to the same index
+    val step1 = TextAnalysis.applyIndexDelta(
+      index0, TxLog.changes(spark, dir, 0L, 1L), "doc_id", "text")
+    val step2 = pairs(TextAnalysis.applyIndexDelta(
+      step1, TxLog.changes(spark, dir, 1L, 2L), "doc_id", "text"))
+    assert(step2 == rebuilt)
+    // mid-way the upserted text is live in the index
+    assert(pairs(step1).contains((2L, "new")) && !pairs(step1).contains((2L, "delta")))
   }
 
 }
