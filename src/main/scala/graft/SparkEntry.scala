@@ -1041,6 +1041,38 @@ object SparkEntry {
     graph.Triangles.count(edges, "x", "y")
   }
 
+  /** Per-user EWMA over the event stream
+    * ([[operators.Temporal.ewma]]): the sequential smoothing fold,
+    * ordered by (ts, event_id) — the oracle replays the identical
+    * recurrence step-for-step as a recursive CTE, so the doubles match
+    * bit-for-bit before the 6-dp round (no pow closed form on either
+    * side); a wrong seed, a mis-ordered tie, or one skipped step each
+    * break a user's row.
+    */
+  private def qe15Ewma(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.ewma(
+      events(spark, dir), "user_id", "ts", "event_id", "value", 0.25)
+
+  /** K-core decomposition ([[graph.KCore.decompose]]): a hub-skewed
+    * deterministic graph (variable-modulus custkey hubs × orderkey
+    * fringe) peels at k=15 through a genuine multi-round cascade, and
+    * the surviving core with per-node degrees must equal the oracle's
+    * unrolled peel — 12 SQL iterations, comfortably past the measured
+    * fixpoint (4 rounds at sf0.01), with extra rounds provably no-ops.
+    * A premature stop, an un-cascaded removal, or a degree counted
+    * against dead neighbours each break the row set. Deep-cascade
+    * fixpoint semantics (a 12-node path at k=2 needs 6 rounds) are
+    * KCoreSpec's job.
+    */
+  private def qg11KCore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 4 === 0)
+      .select(
+        (col("o_custkey") % (col("o_orderkey") % 97 + 1)).as("x"),
+        (col("o_orderkey") % 350 + 100).as("y"))
+    graph.KCore.decompose(edges, "x", "y", 15)
+  }
+
   // qs8's probe is quantized ONCE here and the same literal codes feed
   // both the Spark gate and the DuckDB oracle — Scala math.round (half
   // up) vs SQL round (half away) could otherwise disagree on the query
@@ -3643,6 +3675,8 @@ object SparkEntry {
     "qg8_scenario_overrides" -> (qg8ScenarioOverrides _),
     "qg9_pagerank" -> (qg9PageRank _),
     "qg10_triangles" -> (qg10Triangles _),
+    "qg11_kcore" -> (qg11KCore _),
+    "qe15_ewma" -> (qe15Ewma _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qj13_salted_join" -> (qj13SaltedJoin _),
@@ -5356,6 +5390,50 @@ object SparkEntry {
         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
         |SELECT n_nodes, n_edges, triangles FROM n, m, t""".stripMargin,
+    // EWMA: the recursive CTE replays the fold step-for-step — same
+    // seed, same (ts, event_id) order, same acc*0.75 + v*0.25 IEEE ops
+    // — so doubles match bit-for-bit before the 6-dp round.
+    "qe15_ewma" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, value AS acc FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.rn, r.acc * 0.75 + ev.value * 0.25
+        |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+        |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+        |  round(max_by(acc, rn), 6) AS ewma
+        |FROM r GROUP BY user_id""".stripMargin,
+    // K-core: the oracle unrolls the peel 12 iterations (fixpoint at 4
+    // measured; extra rounds are no-ops by definition of a fixpoint),
+    // each round re-counting degrees WITHIN the surviving set only.
+    "qg11_kcore" -> {
+      // MATERIALIZED: each nᵢ is referenced twice — inlined CTEs would
+      // re-expand the whole chain per reference (2¹² scans of orders)
+      val iters = (1 to 12).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT v FROM (
+           |  SELECT ed.v, count(*) AS d FROM ed
+           |  WHERE ed.v IN (SELECT v FROM n${i - 1})
+           |    AND ed.w IN (SELECT v FROM n${i - 1})
+           |  GROUP BY ed.v) WHERE d >= 15)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT o_custkey % (1 + o_orderkey % 97) AS x,
+         |         100 + o_orderkey % 350 AS y
+         |  FROM orders WHERE o_orderkey % 4 = 0),
+         |e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+         |      FROM raw WHERE x <> y),
+         |ed AS MATERIALIZED (SELECT a AS v, b AS w FROM e
+         |      UNION ALL SELECT b, a FROM e),
+         |n0 AS MATERIALIZED (SELECT DISTINCT v FROM ed),
+         |$iters
+         |SELECT ed.v AS node, count(*) AS core_deg FROM ed
+         |WHERE ed.v IN (SELECT v FROM n12) AND ed.w IN (SELECT v FROM n12)
+         |GROUP BY 1""".stripMargin
+    },
     // int8 SQ: corpus quantization replayed term-for-term (same max-abs
     // scale, same round, same de-scale order); query codes arrive as the
     // SAME literal integers the gate used

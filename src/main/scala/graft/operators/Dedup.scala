@@ -386,6 +386,11 @@ object Dedup {
         col("__id"), col("__n"),
         explode(slice(col("__ows"), lit(1),
           col("__n") - ceil(lit(minJaccard) * col("__n")).cast("int") + 1)).as("__tok"))
+      // a globally-unique token exists in exactly one document — it can
+      // never witness a pair, and the rare-first order concentrates
+      // precisely such tokens in prefixes: dropping them removes most of
+      // the candidate-shuffle volume without touching recall
+      .join(freq.filter(col("__freq") > 1).select("__tok"), Seq("__tok"), "left_semi")
       .persist()
     val cand = pref.select(col("__id").as("a_id"), col("__n").as("__na"), col("__tok"))
       .join(pref.select(col("__id").as("b_id"), col("__n").as("__nb"), col("__tok")), Seq("__tok"))

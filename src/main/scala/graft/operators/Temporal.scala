@@ -42,4 +42,36 @@ object Temporal {
     }
     carried.filter(col("__is_left") === 1).drop("__is_left")
   }
+  /** Per-key EXPONENTIALLY-WEIGHTED MOVING AVERAGE over an
+    * event-time-ordered series — the classic smoothing/feature-
+    * engineering fold (`y_i = α·x_i + (1−α)·y_{i−1}`, seeded at the
+    * first value). EWMA is sequential BY DEFINITION, so it computes as
+    * an in-array ordered fold per key (sort_array over (ts, tie, value)
+    * structs, then `aggregate`) rather than the closed-form
+    * `Σ α(1−α)^{n−j}x_j`: pow is not correctly-rounded across libms,
+    * while the fold executes the IDENTICAL IEEE op sequence in any
+    * engine — the qe15 oracle replays it step-for-step as a recursive
+    * CTE and matches bit-for-bit before the 6-dp output round.
+    * Per-key state is the key's own series (the bounded-series
+    * assumption every keyed time-series op carries; at 100 TB, key by
+    * (entity, window) to cap it). Output: (key, n_events, ewma).
+    */
+  def ewma(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val keep = 1.0 - alpha
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol), col(tieCol), col(valCol).cast("double").as("__v")))).as("__s"))
+      .select(
+        col(keyCol),
+        size(col("__s")).cast("long").as("n_events"),
+        round(
+          aggregate(col("__s"), lit(Double.NaN), (acc, x) =>
+            when(isnan(acc), x("__v"))
+              .otherwise(acc * lit(keep) + x("__v") * lit(alpha))),
+          6).as("ewma"))
+  }
+
 }

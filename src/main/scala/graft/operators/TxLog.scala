@@ -293,6 +293,37 @@ object TxLog {
       stats: Map[String, (Long, Long)],
       dv: Seq[String])
 
+  /** Optimistic-concurrency RETRY loop around [[append]] — the pattern
+    * every concurrent writer otherwise hand-rolls: stage + claim the
+    * current head+1; if the claim fails BECAUSE another writer took
+    * that version (the version file now exists), re-read the head and
+    * try again — up to `maxRetries` times. Any other failure (missing
+    * table, IO error) propagates immediately: retrying can't fix those
+    * and must not mask them. Each lost attempt's staged files are
+    * invisible orphans ([[vacuum]]'s job), exactly like a crashed
+    * writer — the loser never mutates visible state. Returns the
+    * committed version.
+    */
+  def appendWithRetry(
+      spark: SparkSession, dir: String, df: DataFrame, maxRetries: Int = 5): Long = {
+    val (f, root) = fs(spark, dir)
+    var attempt = 0
+    while (true) {
+      val vs = versions(spark, dir)
+      require(vs.nonEmpty, s"no table at $dir")
+      val target = vs.last + 1
+      try return appendAt(spark, dir, df, target)
+      catch {
+        case e: Exception if f.exists(logPath(root, target)) && attempt < maxRetries =>
+          attempt += 1 // lost the version race — head moved, re-target
+        case e: Exception if f.exists(logPath(root, target)) =>
+          throw new IllegalStateException(
+            s"lost the commit race $maxRetries times at $dir (contention too high)", e)
+      }
+    }
+    -1L // unreachable
+  }
+
   private def replay(f: FileSystem, root: Path, upTo: Long): TableState = {
     // start from the newest checkpoint ≤ upTo: O(commits SINCE it), not
     // O(all commits) — at 10⁵ commits the log replay is otherwise the

@@ -68,4 +68,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(rings.size == 1 && rings.head.size == 5)
     assert(graft.functions.GeoFunctions.pointInPolygon(2, 2, rings.map(_.map(_.toSeq).toSeq).toSeq))
   }
+  test("ewma: hand-computed fold, tie order, and single-event seed") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1: 10, 20, 30 -> y1=10, y2=10*.75+20*.25=12.5, y3=12.5*.75+30*.25=16.875
+    // user 2: single event seeds and stays
+    // user 3: same-ts tie ordered by event_id: (40 then 0) != (0 then 40)
+    val df = Seq(
+      (1L, ts(1), 1L, 10.0), (1L, ts(2), 2L, 20.0), (1L, ts(3), 3L, 30.0),
+      (2L, ts(5), 4L, 7.5),
+      (3L, ts(9), 6L, 40.0), (3L, ts(9), 5L, 0.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.ewma(df, "user_id", "ts", "event_id", "value", 0.25)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == ((3L, 16.875)))
+    assert(out(2L) == ((1L, 7.5)))
+    // event 5 (value 0) seeds, then event 6: 0*.75 + 40*.25 = 10
+    assert(out(3L) == ((2L, 10.0)))
+  }
+
 }

@@ -82,6 +82,30 @@ class TxLogSpec extends AnyFunSuite {
       Set((1L, "a"), (7L, "w")))
   }
 
+  test("appendWithRetry: re-targets after a lost race; real failures propagate") {
+    val dir = tmp()
+    TxLog.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    // force a genuine lost race: a rival's commit file already claims
+    // version 1 (empty add-set = a valid no-op commit), so the retrier's
+    // FIRST attempt must fail on the claim and re-target version 2
+    val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json
+      .replace("\"", "\\\"")
+    val p = new org.apache.hadoop.fs.Path(dir, f"_log/${1L}%020d.json")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, false)
+    out.write(
+      s"""{"version":1,"schemaJson":"$schemaJson","add":[],"remove":[]}"""
+        .getBytes("UTF-8"))
+    out.close()
+    val v = TxLog.appendWithRetry(spark, dir, Seq((3L, "retry")).toDF("id", "s"))
+    assert(v == 2L, s"expected re-target to version 2, got $v")
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "retry")))
+    // a non-race failure is NOT retried: no table -> immediate require
+    intercept[IllegalArgumentException](
+      TxLog.appendWithRetry(spark, tmp(), Seq((9L, "x")).toDF("id", "s")))
+  }
+
   test("orphan data is invisible to snapshots and reclaimed by vacuum") {
     val dir = tmp()
     TxLog.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
