@@ -547,6 +547,68 @@ object SparkEntry {
     spark.table(name).filter(col("user_id") >= 0)
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join-type
+    * family (qe7 inner, qe13 left): BOTH unmatched sides may only emit
+    * null-padded once the watermark proves no partner can arrive, so
+    * the staged replay needs the same two sentinel rounds as qe13 (one
+    * to advance both watermarks, one to flush evictions). The oracle is
+    * the batch FULL JOIN: a lost null row on EITHER side, a duplicate
+    * from state re-emission, or an eager null each break the compare.
+    */
+  private def qe17StreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = stageEvents(dir)
+    val schema = spark.read.parquet(stage.toString).schema
+    val tsType = schema("ts").dataType
+    val tsIsLong = tsType == org.apache.spark.sql.types.LongType
+    val maxUs = events(spark, dir).agg(max(unix_micros(col("ts")))).first().getLong(0)
+    def sentinel(n: Int): Unit = {
+      import spark.implicits._
+      val us = maxUs + 86400L * 1000000L * (100 + n)
+      val df = Seq(
+        (-2L * n, if (tsIsLong) us * 1000 else us, -1L, "click", 0.0, "{}"),
+        (-2L * n - 1, if (tsIsLong) (us + 1000000L) * 1000 else us + 1000000L,
+          -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val one =
+        if (tsIsLong) df
+        else df.withColumn("ts", timestamp_micros(col("ts")).cast(tsType))
+      val tmp = Files.createTempDirectory("graft-qe17-sent")
+      one.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, stage.resolve(s"zz_sentinel_${n}_${p.getFileName}"),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val name = s"qe17_mem_${System.nanoTime()}"
+    val ev = Tables.normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
+    val q = streaming.EventStreams
+      .clickToPurchaseJoin(ev, windowSec = 600, joinType = "full_outer")
+      .select(
+        col("click_id"), col("user_id"), col("purchase_id"),
+        round(col("value"), 2).as("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      sentinel(1)
+      q.processAllAvailable()
+      sentinel(2)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      dropStage(stage)
+    }
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** §2.10 through the ORACLE, part 5 — the STREAM-STATIC enrich join
     * ([[streaming.EventStreams.enrichStream]]): the events file-stream
     * joins the static customer dimension (broadcast per micro-batch) and
@@ -1052,6 +1114,17 @@ object SparkEntry {
   private def qe15Ewma(spark: SparkSession, dir: String): DataFrame =
     operators.Temporal.ewma(
       events(spark, dir), "user_id", "ts", "event_id", "value", 0.25)
+
+  /** OHLC bars over the event stream
+    * ([[operators.Temporal.resampleOhlc]]): per (user, 30-min bucket),
+    * open/high/low/close/count/volume with explicit (ts, event_id) tie
+    * order — the oracle replays the same integer bucket arithmetic and
+    * row_number picks, so a wrong bar edge, a tie-flipped open/close,
+    * or a lost event each break a bar.
+    */
+  private def qe16Ohlc(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.resampleOhlc(
+      events(spark, dir), "user_id", "ts", "event_id", "value", 1800L)
 
   /** K-core decomposition ([[graph.KCore.decompose]]): a hub-skewed
     * deterministic graph (variable-modulus custkey hubs × orderkey
@@ -3613,6 +3686,7 @@ object SparkEntry {
     "qe6_stream_sessions" -> (qe6StreamSessions _),
     "qe7_stream_join" -> (qe7StreamJoin _),
     "qe13_stream_left_join" -> (qe13StreamLeftJoin _),
+    "qe17_stream_full_join" -> (qe17StreamFullJoin _),
     "qe8_stream_window" -> (qe8StreamWindow _),
     "qe9_stream_dedup" -> (qe9StreamDedup _),
     "qr1_range_join" -> (qr1RangeJoin _),
@@ -3677,6 +3751,7 @@ object SparkEntry {
     "qg10_triangles" -> (qg10Triangles _),
     "qg11_kcore" -> (qg11KCore _),
     "qe15_ewma" -> (qe15Ewma _),
+    "qe16_ohlc" -> (qe16Ohlc _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qj13_salted_join" -> (qj13SaltedJoin _),
@@ -4696,6 +4771,21 @@ object SparkEntry {
         |SELECT c.click_id, c.user_id, p.purchase_id, round(p.value, 2) AS value
         |FROM c LEFT JOIN p ON c.user_id = p.p_user
         |  AND p.pus >= c.cus AND p.pus <= c.cus + 600 * 1000000""".stripMargin,
+    // FULL OUTER stream-stream: the batch FULL JOIN — null-padded rows
+    // on BOTH sides must appear exactly once after watermark eviction.
+    "qe17_stream_full_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, us AS pus,
+        |        value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.click_id, coalesce(c.user_id, p.p_user) AS user_id,
+        |  p.purchase_id, round(p.value, 2) AS value
+        |FROM c FULL JOIN p ON c.user_id = p.p_user
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 600 * 1000000""".stripMargin,
     "qe2_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus
@@ -5407,6 +5497,28 @@ object SparkEntry {
         |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
         |  round(max_by(acc, rn), 6) AS ewma
         |FROM r GROUP BY user_id""".stripMargin,
+    // OHLC bars: identical integer bucket arithmetic (// == div) and
+    // row_number tie order on both sides.
+    "qe16_ohlc" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 1000000) // 1800 AS bucket,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id,
+        |      (epoch_us(ts) // 1000000) // 1800
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id,
+        |      (epoch_us(ts) // 1000000) // 1800
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT user_id, bucket,
+        |  round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+        |  count(*) AS n,
+        |  round(sum(value), 6) AS vol
+        |FROM ev GROUP BY 1, 2""".stripMargin,
     // K-core: the oracle unrolls the peel 12 iterations (fixpoint at 4
     // measured; extra rounds are no-ops by definition of a fixpoint),
     // each round re-counting degrees WITHIN the surviving set only.

@@ -74,4 +74,42 @@ object Temporal {
           6).as("ewma"))
   }
 
+  /** OHLC RESAMPLING — downsample a keyed event series into
+    * fixed-width event-time bars: per (key, bucket), the first (open)
+    * and last (close) values in (ts, tie) order plus high/low/count/sum
+    * — the time-series feature-extraction staple (finance bars, sensor
+    * rollups, activity summaries). Open/close pick by `row_number` over
+    * the in-bucket order rather than min_by/max_by on a struct, so the
+    * tie semantics are explicit and engine-replayable. One window
+    * shuffle on (key, bucket) + one aggregate; buckets are
+    * `floor(epoch/width)` so bar edges are engine-exact integers.
+    */
+  def resampleOhlc(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    // integer division end to end — a double intermediate could land an
+    // epoch a hair under the bar edge and truncate into the wrong bucket
+    val bucket = expr(s"(unix_micros($tsCol) div 1000000) div $bucketSec")
+      .as("bucket")
+    val w = Window.partitionBy(col(keyCol), col("bucket"))
+    val asc = w.orderBy(col(tsCol), col(tieCol))
+    val desc = w.orderBy(col(tsCol).desc, col(tieCol).desc)
+    df
+      .select(col(keyCol), bucket, col(tsCol), col(tieCol),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(
+        max(when(col("__ra") === 1, col("__v"))).as("open"),
+        round(max(col("__v")), 6).as("high"),
+        round(min(col("__v")), 6).as("low"),
+        max(when(col("__rd") === 1, col("__v"))).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(col("__v")), 6).as("vol"))
+      .withColumn("open", round(col("open"), 6))
+      .withColumn("close", round(col("close"), 6))
+  }
+
 }

@@ -205,8 +205,9 @@ object EventStreams {
       events: DataFrame,
       windowSec: Long = 3600,
       joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"stream-stream interval join supports inner/left_outer, got $joinType")
+    require(
+      joinType == "inner" || joinType == "left_outer" || joinType == "full_outer",
+      s"stream-stream interval join supports inner/left_outer/full_outer, got $joinType")
     val clicks = events
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -221,7 +222,11 @@ object EventStreams {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
       joinType)
-      .select(col("click_id"), col("user_id"), col("purchase_id"), col("value"))
+      // full outer: a purchase-only row carries its user on the purchase
+      // side; coalesce is the identity for inner/left rows
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("purchase_id"), col("value"))
   }
 
   /** STREAM-STATIC enrich join — the dimension-enrichment shape every

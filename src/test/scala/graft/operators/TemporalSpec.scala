@@ -88,4 +88,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 10.0)))
   }
 
+  test("ohlc: bar edges, tie-ordered open/close, hand-computed bars") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      // bucket 0 (0..59): open=5 (t=1), close=9 (t=50), high=12 (t=30), low=2
+      (1L, ts(1), 1L, 5.0), (1L, ts(30), 2L, 12.0), (1L, ts(40), 3L, 2.0),
+      (1L, ts(50), 4L, 9.0),
+      // bucket 1: same-second tie — event_id decides open (id 5) and close (id 6)
+      (1L, ts(70), 5L, 100.0), (1L, ts(70), 6L, 200.0),
+      // exact bar edge: t=120 starts bucket 2, never joins bucket 1
+      (1L, ts(120), 7L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.resampleOhlc(df, "user_id", "ts", "event_id", "value", 60L)
+      .as[(Long, Long, Double, Double, Double, Double, Long, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(out(0L) == ((1L, 0L, 5.0, 12.0, 2.0, 9.0, 4L, 28.0)))
+    assert(out(1L) == ((1L, 1L, 100.0, 200.0, 100.0, 200.0, 2L, 300.0)))
+    assert(out(2L) == ((1L, 2L, 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
+  }
+
 }

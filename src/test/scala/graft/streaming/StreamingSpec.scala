@@ -474,8 +474,20 @@ class StreamingSpec extends AnyFunSuite {
           .withColumn("ts", timestamp_micros($"us")).drop("us"),
         windowSec = 600, joinType = "left_outer").collect()
       assert(batch.length == 1 && batch(0).isNullAt(2))
+      // full outer (batch form): the out-of-window purchase surfaces as
+      // its own null-click row carrying its user via the coalesce
+      val full = EventStreams.clickToPurchaseJoin(
+        Seq((1L, 1000L * 1000000L, 7L, "click", 0.0, "{}"),
+          (2L, 2000L * 1000000L, 7L, "purchase", 9.0, "{}"))
+          .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+          .withColumn("ts", timestamp_micros($"us")).drop("us"),
+        windowSec = 600, joinType = "full_outer").collect()
+      assert(full.length == 2)
+      assert(full.exists(r => r.isNullAt(2) && r.getLong(0) == 1L))
+      assert(full.exists(r => r.isNullAt(0) && r.getLong(1) == 7L && r.getLong(2) == 2L))
+      // unsupported types still fail loudly
       intercept[IllegalArgumentException](
-        EventStreams.clickToPurchaseJoin(events, 600, joinType = "full_outer"))
+        EventStreams.clickToPurchaseJoin(events, 600, joinType = "right_outer"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
