@@ -1115,6 +1115,59 @@ object SparkEntry {
     operators.Temporal.ewma(
       events(spark, dir), "user_id", "ts", "event_id", "value", 0.25)
 
+  /** Composed partition + stats pruning
+    * ([[operators.TxLog.snapshotWhereRange]]): the table partitions by
+    * o_orderstatus AND declares o_orderkey stats, so a probe with both
+    * predicates plans its file set by Hive-style partition elimination
+    * then Iceberg-style stats elimination — the oracle is the plain
+    * full-table conjunction, and identical rows is each pruning's
+    * no-false-negatives contract composed. Planned-count assertions are
+    * TxLogSpec's job.
+    */
+  private def qy11TxlogCombined(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qy11")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      operators.TxLog.create(
+        spark, root,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(6, col("o_orderkey")).sortWithinPartitions("o_orderkey"),
+        statsCol = Some("o_orderkey"),
+        partitionBy = Seq("o_orderstatus"))
+      operators.TxLog.append(
+        spark, root,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(6, col("o_orderkey")).sortWithinPartitions("o_orderkey"))
+      val out = operators.TxLog.snapshotWhereRange(
+        spark, root, Map("o_orderstatus" -> Seq("O")), 3000L, 4200L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
+  /** Label-propagation communities ([[graph.LabelProp.run]]): four
+    * disjoint 50-node blocks (orderkey-residue block id keys both
+    * endpoints) run 5 synchronous rounds, and every (node, label) must
+    * match the oracle's round-for-round CTE replay — same most-frequent
+    * rule, same min-label ties, same simultaneous update. One
+    * mis-ordered tie or a round short each moves labels. Fixed-round
+    * determinism (sync LPA may oscillate; the budget IS the contract)
+    * is the operator doc's point; LabelPropSpec pins the mechanics.
+    */
+  private def qg12LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .select(
+        ((col("o_orderkey") % 4) * 50 + col("o_custkey") % 50).as("x"),
+        ((col("o_orderkey") % 4) * 50 + col("o_orderkey") % 47).as("y"))
+    graph.LabelProp.run(edges, "x", "y", 5)
+  }
+
   /** OHLC bars over the event stream
     * ([[operators.Temporal.resampleOhlc]]): per (user, 30-min bucket),
     * open/high/low/close/count/volume with explicit (ts, event_id) tie
@@ -3715,6 +3768,7 @@ object SparkEntry {
     "qf15_txlog_partition" -> (qf15TxlogPartition _),
     "qf16_txlog_delete" -> (qf16TxlogDelete _),
     "qy10_incr_index" -> (qy10IncrIndex _),
+    "qy11_txlog_combined" -> (qy11TxlogCombined _),
     "qy9_txlog_checkpoint" -> (qy9TxlogCheckpoint _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
@@ -3750,6 +3804,7 @@ object SparkEntry {
     "qg9_pagerank" -> (qg9PageRank _),
     "qg10_triangles" -> (qg10Triangles _),
     "qg11_kcore" -> (qg11KCore _),
+    "qg12_label_prop" -> (qg12LabelProp _),
     "qe15_ewma" -> (qe15Ewma _),
     "qe16_ohlc" -> (qe16Ohlc _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
@@ -4089,6 +4144,13 @@ object SparkEntry {
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
         |  AND NOT (o_custkey % 10 = 7)
         |GROUP BY 1""".stripMargin,
+    // Composed pruning: the oracle is the plain conjunction over the
+    // full table — partition + stats elimination must lose nothing.
+    "qy11_txlog_combined" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |  AND o_orderkey BETWEEN 3000 AND 4200""".stripMargin,
     // Incremental index via CDF: the oracle tokenizes the FINAL table
     // stated in plain predicates — base minus upserted keys, plus the
     // re-texted source, minus the DV-deleted docs. The engine reached
@@ -5480,6 +5542,35 @@ object SparkEntry {
         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
         |SELECT n_nodes, n_edges, triangles FROM n, m, t""".stripMargin,
+    // Label propagation: 5 rounds unrolled as MATERIALIZED CTEs (each
+    // referenced once per round but materialization keeps the chain
+    // linear), same most-frequent/min-label/simultaneous-update rule.
+    "qg12_label_prop" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT v, lbl FROM (
+           |    SELECT v, lbl,
+           |      row_number() OVER (PARTITION BY v
+           |        ORDER BY cnt DESC, lbl ASC) AS rn
+           |    FROM (
+           |      SELECT ed.v, l.lbl, count(*) AS cnt
+           |      FROM ed JOIN l${i - 1} l ON ed.w = l.v
+           |      GROUP BY ed.v, l.lbl))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT (o_orderkey % 4) * 50 + o_custkey % 50 AS x,
+         |         (o_orderkey % 4) * 50 + o_orderkey % 47 AS y
+         |  FROM orders),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+         |  FROM raw WHERE x <> y),
+         |ed AS MATERIALIZED (SELECT a AS v, b AS w FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM ed),
+         |$rounds
+         |SELECT v AS node, lbl AS label FROM l5""".stripMargin
+    },
     // EWMA: the recursive CTE replays the fold step-for-step — same
     // seed, same (ts, event_id) order, same acc*0.75 + v*0.25 IEEE ops
     // — so doubles match bit-for-bit before the 6-dp round.

@@ -672,6 +672,59 @@ object TxLog {
     }
   }
 
+  /** COMPOSED pruning — partition dirs AND manifest stats decide the
+    * file set together, from the log + paths alone: a probe like
+    * "status IN (…) AND key BETWEEN lo AND hi" keeps only files whose
+    * path-encoded partition value matches AND whose committed (min,
+    * max) can overlap the range. Each pruning is independently
+    * no-false-negative (unknown partition ⇒ keep; stat-less file ⇒
+    * keep), so their conjunction is too; both residual filters restore
+    * exactness. This is the full modern-planner shape: Hive-style
+    * partition elimination first, Iceberg-style stats elimination
+    * within the surviving partitions.
+    */
+  def snapshotWhereRange(
+      spark: SparkSession,
+      dir: String,
+      partFilter: Map[String, Seq[String]],
+      lo: Long,
+      hi: Long,
+      version: Option[Long] = None): DataFrame = {
+    require(partFilter.nonEmpty, "empty partition filter — use snapshotRange()")
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
+    val pb = tablePartitionBy(f, root, vs.filter(_ <= v))
+    require(pb.nonEmpty, s"table at $dir is not partitioned — use snapshotRange")
+    partFilter.keys.foreach(c => require(pb.contains(c),
+      s"$c is not a partition column (table partitionBy: ${pb.mkString(",")})"))
+    val sc = tableStatsCol(f, root, vs.filter(_ <= v)).getOrElse(
+      throw new IllegalArgumentException(s"table at $dir has no statsCol — use snapshotWhere"))
+    val st = replay(f, root, v)
+    val keep = st.live.filter { p =>
+      val vals = partValuesOf(p)
+      val partOk = partFilter.forall { case (c, allowed) =>
+        vals.get(c) match {
+          case None => true
+          case Some(DefaultPartDir) => true
+          case Some(pv) => allowed.contains(pv)
+        }
+      }
+      val statsOk = st.stats.get(p) match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None => true
+      }
+      partOk && statsOk
+    }
+    val base = readLive(spark, root, keep, st.schema, st.dv)
+      .filter(col(sc).cast("long").between(lo, hi))
+    partFilter.foldLeft(base) { case (d, (c, allowed)) =>
+      d.filter(col(c).cast("string").isin(allowed: _*))
+    }
+  }
+
   /** Planned file count for a partition probe — the pruning metric
     * (TxLogSpec asserts candidates == the matching partitions' files).
     */

@@ -452,6 +452,39 @@ class TxLogSpec extends AnyFunSuite {
       (3L until 20L by 4).map(i => (i, 3L)).toSet)
   }
 
+  test("composed partition + stats pruning: result == plain conjunction, loud refusals") {
+    val dir = tmp()
+    val df = spark.range(600).select($"id",
+      element_at(lit(Array("p", "q", "r")), ($"id" % 3 + 1).cast("int")).as("cat"))
+    TxLog.create(spark, dir,
+      df.repartitionByRange(4, $"id").sortWithinPartitions($"id"),
+      statsCol = Some("id"), partitionBy = Seq("cat"))
+    TxLog.append(spark, dir,
+      spark.range(600, 1200).select($"id",
+        element_at(lit(Array("p", "q", "r")), ($"id" % 3 + 1).cast("int")).as("cat"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+
+    def got(vals: Seq[String], lo: Long, hi: Long) =
+      TxLog.snapshotWhereRange(spark, dir, Map("cat" -> vals), lo, hi)
+        .as[(Long, String)].collect().toSet
+    val want = TxLog.snapshot(spark, dir)
+      .filter($"cat" === "q" && $"id".between(100L, 260L))
+      .as[(Long, String)].collect().toSet
+    assert(got(Seq("q"), 100L, 260L) == want && want.nonEmpty)
+    // each pruning alone returns nothing when its predicate is empty
+    assert(got(Seq("zz"), 100L, 260L).isEmpty)
+    assert(got(Seq("q"), 5000L, 6000L).isEmpty)
+    // refusals: no statsCol / not partitioned
+    val d2 = tmp()
+    TxLog.create(spark, d2, Seq((1L, "a")).toDF("id", "cat"), partitionBy = Seq("cat"))
+    intercept[IllegalArgumentException](
+      TxLog.snapshotWhereRange(spark, d2, Map("cat" -> Seq("a")), 0L, 1L))
+    val d3 = tmp()
+    TxLog.create(spark, d3, Seq((1L, "a")).toDF("id", "cat"), statsCol = Some("id"))
+    intercept[IllegalArgumentException](
+      TxLog.snapshotWhereRange(spark, d3, Map("cat" -> Seq("a")), 0L, 1L))
+  }
+
   test("deletion vectors: delete commits positions, not files; snapshot masks them") {
     val dir = tmp()
     TxLog.create(spark, dir,
