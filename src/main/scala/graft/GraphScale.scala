@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale measurement for the graph-analytics tier (the RoutingScale
+  * pattern applied to Triangles/KCore/LabelProp/PageRank): deterministic
+  * hash-random graphs at |E| = 10⁵ / 10⁶ / 10⁷ (avg degree ~20), wall
+  * times on local[32]. Run: `sbt "runMain graft.GraphScale [maxEdges]"`.
+  * Numbers land in ENGINE.md §2.8 — the point is the SHAPE (near-linear
+  * in |E| for the keyed-join algorithms; triangle wedges grow with
+  * Σ out-deg² but the degree orientation caps out-degree at O(√m)).
+  */
+object GraphScale {
+  def main(args: Array[String]): Unit = {
+    val maxEdges = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = GraftSession.local(32, "graph-scale")
+    import spark.implicits._
+    Seq(100000L, 1000000L, 10000000L).filter(_ <= maxEdges).foreach { m =>
+      val n = m / 10 // avg degree ~20 after doubling
+      val edges = spark.range(m).select(
+        pmod(xxhash64(col("id")), lit(n)).as("x"),
+        pmod(xxhash64(col("id") + 1234567L), lit(n)).as("y"))
+        .localCheckpoint(true)
+      def time(label: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[graphscale] |E|=$m%8d $label%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s  (result=$r)")
+      }
+      time("triangles") {
+        graft.graph.Triangles.count(edges, "x", "y").collect()(0).getLong(2)
+      }
+      time("kcore") {
+        graft.graph.KCore.decompose(edges, "x", "y", 15).count()
+      }
+      time("labelprop3") {
+        graft.graph.LabelProp.run(edges, "x", "y", 3).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -62,13 +62,24 @@ object Triangles {
       .select(col("e.s").as("src"), col("e.d").as("dst"))
       .persist()
 
-    val wedges = dir.as("e1")
-      .join(dir.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("u"), col("e2.dst").as("w"))
-    val tri = wedges
-      .join(dir.as("e3"),
-        col("u") === col("e3.src") && col("w") === col("e3.dst"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+    // EDGE-ITERATOR closing: triangles(x<y<z) = Σ over directed edges
+    // (u→v) of |N⁺(u) ∩ N⁺(v)|. The alternative — materializing wedges
+    // u→v→w and closing with a third join — shuffles Σ in·out ≈ |E|·d
+    // rows (measured 217 s at 10⁷ edges); here the per-node out-lists
+    // (each ≤ O(√m) BY the orientation, so no 2 GB-row hazard) join to
+    // the |E| edge rows and the intersection runs inside codegen —
+    // same asymptotic work, two orders of magnitude less data moved
+    // (10⁷ edges: 217 s → see ENGINE.md).
+    val adj = dir.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .persist()
+    val tri = dir
+      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+      // inner on dst: an edge whose head has no out-neighbours closes
+      // nothing and may drop
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
+      .select(size(array_intersect(col("__nu"), col("__nv"))).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("triangles"))
 
     deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
       .crossJoin(e.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges")))
