@@ -1115,6 +1115,40 @@ object SparkEntry {
     operators.Temporal.ewma(
       events(spark, dir), "user_id", "ts", "event_id", "value", 0.25)
 
+  /** RESTORE to an earlier version ([[operators.TxLog.restore]]): the
+    * table absorbs a DV delete AND a dirty-file rewrite after v1, then
+    * restores to v1 as a new metadata-only commit — and the snapshot
+    * must equal v1's plain predicate exactly: a file lost from the
+    * re-referenced add-set, a DV wrongly carried from the rolled-back
+    * state, or a masked row that fails to resurrect each break the
+    * aggregate. History preservation and CDF-of-restore are
+    * TxLogSpec's job.
+    */
+  private def qf17TxlogRestore(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-qf17")
+    try {
+      val root = wh.resolve("tbl").toString
+      val orders = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      operators.TxLog.create(
+        spark, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+      operators.TxLog.append(spark, root, orders.filter(col("o_orderkey") % 3 === 1)) // v1
+      operators.TxLog.delete(spark, root, col("o_custkey") % 7 === 2) // v2 (DV)
+      operators.TxLog.rewrite(spark, root, col("o_totalprice") >= 80000.0) // v3
+      operators.TxLog.restore(spark, root, 1L) // v4
+      val out = operators.TxLog.snapshot(spark, root)
+        .groupBy((col("o_orderkey") % 5).as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally rmTree(wh)
+  }
+
   /** Composed partition + stats pruning
     * ([[operators.TxLog.snapshotWhereRange]]): the table partitions by
     * o_orderstatus AND declares o_orderkey stats, so a probe with both
@@ -3769,6 +3803,7 @@ object SparkEntry {
     "qf16_txlog_delete" -> (qf16TxlogDelete _),
     "qy10_incr_index" -> (qy10IncrIndex _),
     "qy11_txlog_combined" -> (qy11TxlogCombined _),
+    "qf17_txlog_restore" -> (qf17TxlogRestore _),
     "qy9_txlog_checkpoint" -> (qy9TxlogCheckpoint _),
     "qf7_compact" -> (qf7Compact _),
     "qf8_polygon_holes" -> (qf8PolygonHoles _),
@@ -4143,6 +4178,13 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
         |  AND NOT (o_custkey % 10 = 7)
+        |GROUP BY 1""".stripMargin,
+    // Restore: the oracle is v1's logical contents in plain predicates
+    // — the rolled-back DV delete and rewrite must leave no trace.
+    "qf17_txlog_restore" ->
+      """SELECT o_orderkey % 5 AS bucket, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY 1""".stripMargin,
     // Composed pruning: the oracle is the plain conjunction over the
     // full table — partition + stats elimination must lose nothing.

@@ -861,6 +861,36 @@ object TxLog {
     }
   }
 
+  /** RESTORE — reset the table's live contents to those of an earlier
+    * version, committed as a NEW version (Delta's `RESTORE TABLE`):
+    * add = the old version's live files BY REFERENCE (data files are
+    * immutable, so nothing re-stages and the commit is metadata-only —
+    * O(file count), zero data moved), remove = the current live set;
+    * deletion vectors swap the same way, so a restore below a DV delete
+    * resurrects the masked rows. History is preserved — the bad-deploy
+    * rollback that keeps its own audit trail: the restore itself can be
+    * time-traveled past, and a later vacuum decides what physical
+    * history to keep. Restoring to the current state is a no-op.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val (f, root) = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no table at $dir")
+    require(vs.contains(version), s"version $version not in ${vs.mkString(",")}")
+    val old = replay(f, root, version)
+    val cur = replay(f, root, vs.last)
+    if (old.live == cur.live && old.dv == cur.dv) return vs.last
+    val v = vs.last + 1
+    val sc = tableStatsCol(f, root, vs)
+    val pb = tablePartitionBy(f, root, vs)
+    commitFile(f, root, Commit(
+      v, old.schema.json,
+      add = old.live, remove = cur.live,
+      statsCol = sc, stats = old.stats, partitionBy = pb,
+      dvAdd = old.dv, dvRemove = cur.dv))
+    v
+  }
+
   /** Delete data files referenced by NO retained version (crashed
     * writers' orphan stage dirs, and — when `retain` drops old versions
     * — files only old snapshots referenced). Returns deleted
@@ -1007,11 +1037,15 @@ object TxLog {
         .asInstanceOf[StructType]
       // DVs live BEFORE this commit: a row they mask was already
       // logically deleted, so a rewrite re-staging its file must not
-      // re-report it as a delete here
+      // re-report it as a delete here. The ADD side reads under the DVs
+      // live AT this commit — vacuous for fresh files (no DV predates
+      // them), load-bearing for a RESTORE whose add-set re-references
+      // old files together with their old masks.
       val dvPrev = replay(f, root, v - 1).dv
+      val dvAt = replay(f, root, v).dv
       def readSet(rel: Seq[String], dv: Seq[String]): DataFrame =
         readLive(spark, root, rel, schema, dv)
-      val added = readSet(c.add, Seq.empty) // fresh files: no DV can predate them
+      val added = readSet(c.add, dvAt)
       val removed = readSet(c.remove, dvPrev)
       val inserts = added.exceptAll(removed)
         .withColumn("_commit_version", lit(v))
@@ -1021,16 +1055,22 @@ object TxLog {
         .withColumn("_change_type", lit("delete"))
       // a deletion-vector commit removes rows IN PLACE: surface exactly
       // the rows its (file, pos) entries mask, read back from the data
-      // files they reference
+      // files they reference — but ONLY entries against files that were
+      // already live (an entry whose file is in this commit's own
+      // add-set is restored STATE, not a delete event: the add side
+      // above already reads under it)
       val dvDeletes =
         if (c.dvAdd.isEmpty)
           fileDeletes.limit(0)
         else {
+          val addSet = c.add.toSet
           val dvDf = spark.read.parquet(c.dvAdd.map(p => new Path(root, p).toString): _*)
             .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
           val touched = dvDf.select(col("__dv_file")).distinct()
             .collect().map(_.getString(0)).toSeq.sorted
-          bindFilePos(
+            .filterNot(addSet)
+          if (touched.isEmpty) fileDeletes.limit(0)
+          else bindFilePos(
             spark.read.schema(schema).parquet(touched.map(p => new Path(root, p).toString): _*))
             .join(dvDf,
               col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),

@@ -574,6 +574,47 @@ class TxLogSpec extends AnyFunSuite {
     assert(feed(3L).isEmpty)
   }
 
+  test("restore: rolls back DV delete + rewrite by reference; history and CDF stay honest") {
+    val dir = tmp()
+    TxLog.create(spark, dir,
+      spark.range(40).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    TxLog.delete(spark, dir, $"id" === 5L) // v1 (DV)
+    TxLog.rewrite(spark, dir, $"id" =!= 20L) // v2 (dirty rewrite)
+    val before = TxLog.snapshot(spark, dir, Some(0L)).as[(Long, Long)].collect().toSet
+
+    val rv = TxLog.restore(spark, dir, 0L) // v3: metadata-only rollback
+    assert(rv == 3L)
+    assert(TxLog.snapshot(spark, dir).as[(Long, Long)].collect().toSet == before,
+      "restore must resurrect both the DV-masked row and the rewritten one")
+    assert(TxLog.deletionVectorRows(spark, dir) == 0L)
+    // history intact: the pre-restore states still time-travel
+    assert(TxLog.snapshot(spark, dir, Some(2L)).count() == 38L)
+    // CDF of the restore = exactly the net rollback (5 and 20 return)
+    val feed = TxLog.changes(spark, dir, 2L, 3L)
+      .select($"_change_type", $"id").as[(String, Long)].collect().toSet
+    assert(feed == Set(("insert", 5L), ("insert", 20L)), s"feed: $feed")
+    // restoring to the current state is a no-op
+    assert(TxLog.restore(spark, dir, 3L) == 3L)
+    assert(TxLog.versions(spark, dir) == Seq(0L, 1L, 2L, 3L))
+    // restore BELOW a DV to a DV'd state: roll back only the rewrite
+    val dir2 = tmp()
+    TxLog.create(spark, dir2,
+      spark.range(10).select($"id", ($"id" % 3).as("v")).repartition(2))
+    TxLog.delete(spark, dir2, $"id" === 4L) // v1
+    TxLog.rewrite(spark, dir2, $"id" =!= 7L) // v2
+    TxLog.restore(spark, dir2, 1L) // v3: keep the DV, undo the rewrite
+    assert(TxLog.snapshot(spark, dir2).as[(Long, Long)].collect().map(_._1).sorted
+      === (0L until 10L).filterNot(_ == 4L).toArray)
+    // the re-referenced mask survives the rollback
+    assert(TxLog.deletionVectorRows(spark, dir2) == 1L)
+    // and the restore's CDF reports ONLY row 7's return — the carried
+    // DV row is state, not a delete/insert event
+    val feed2 = TxLog.changes(spark, dir2, 2L, 3L)
+      .select($"_change_type", $"id").as[(String, Long)].collect().toSet
+    assert(feed2 == Set(("insert", 7L)), s"feed2: $feed2")
+  }
+
   test("changes: append=inserts, rewrite=net deletes, upsert=delete+insert, optimize=silent") {
     val dir = tmp()
     // v0: ids 0..99 in 4 range files
