@@ -1233,6 +1233,45 @@ object SparkEntry {
     graph.KCore.decompose(edges, "x", "y", 15)
   }
 
+  /** Filtered vector search: top-k cosine among vectors whose label
+    * passes the predicate — PRE-filtered, so the filter reaches the
+    * scan and the k-cut ranks only eligible vectors (post-filtering a
+    * global top-k can return < k or miss eligible matches entirely;
+    * this shape can't). The oracle is qs1's cosine replay with the
+    * same WHERE.
+    */
+  private def qs10FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.cos(i * 0.9 + 0.1)) // deterministic probe
+    Similarity.bruteForceTopK(
+      t(spark, dir, "embeddings").filter(col("label").isin(1, 3)),
+      "vec_id", "embedding", query, 50)
+  }
+
+  /** Hybrid search via reciprocal-rank fusion
+    * ([[operators.TextAnalysis.rrfFuse]]): BM25's lexical top-30 over
+    * documents fuses with the vector top-30 over embeddings (ids
+    * aligned) by Σ 1/(60+rank), terms in declared list order — the
+    * oracle recomputes BOTH ranked lists (the qt15 and qs1 replay CTEs)
+    * and the identical fusion arithmetic, so a rank off by one in
+    * either list moves a fused score.
+    */
+  private def qt33Rrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = operators.TextAnalysis.bm25Rank(
+      t(spark, dir, "documents"), "doc_id", "text",
+      Seq("spark", "query", "join", "window"), 30)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val vecQuery = Array.tabulate(64)(i => math.sin(i * 0.45 + 1.5))
+    val vec = Similarity.bruteForceTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", vecQuery, 30)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    operators.TextAnalysis.rrfFuse(Seq(bm, vec), "doc_id", 20)
+  }
+
   // qs8's probe is quantized ONCE here and the same literal codes feed
   // both the Spark gate and the DuckDB oracle — Scala math.round (half
   // up) vs SQL round (half away) could otherwise disagree on the query
@@ -3765,6 +3804,8 @@ object SparkEntry {
     "qs1_cosine_topk" -> (qs1CosineTopK _),
     "qs8_sq_topk" -> (qs8SqTopK _),
     "qs9_radius" -> (qs9Radius _),
+    "qs10_filtered_ann" -> (qs10FilteredAnn _),
+    "qt33_rrf" -> (qt33Rrf _),
     "qs3_dot_topk" -> (qs3DotTopK _),
     "qs2_label_centroids" -> (qs2LabelCentroids _),
     "qe1_sessionize" -> (qe1Sessionize _),
@@ -5544,6 +5585,90 @@ object SparkEntry {
          |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
          |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
          |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
+    },
+    // Filtered ANN: qs1's cosine replay restricted to the label
+    // predicate BEFORE ranking — pre-filter semantics, not post-filter.
+    "qs10_filtered_ann" -> {
+      val qv = Array.tabulate(64)(i => math.cos(i * 0.9 + 0.1)) // same probe as qs10
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * qv[t.i]) AS dot,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * CAST(embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(qv[t.i] * qv[t.i]) AS nb
+         |  FROM (SELECT vec_id, embedding, $qv::DOUBLE[] AS qv
+         |        FROM embeddings WHERE label IN (1, 3))
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY vec_id)
+         |SELECT vec_id,
+         |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 50""".stripMargin
+    },
+    // RRF hybrid: recompute BOTH ranked lists — the qt15 BM25 chain at
+    // k=30 and the qs1-style cosine chain at k=30 — then the identical
+    // two-term fusion, BM25 term first (FP addition order is part of
+    // the contract).
+    "qt33_rrf" -> {
+      val qv = Array.tabulate(64)(i => math.sin(i * 0.45 + 1.5)) // same probe as qt33
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH tok AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents)
+         |  WHERE length(term) > 0
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term
+         |), dlen AS (
+         |  SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id
+         |), n AS (SELECT count(*)::DOUBLE AS nn FROM documents),
+         |tot AS (SELECT count(*)::DOUBLE AS tot FROM tok),
+         |qt AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dlen.len,
+         |    CAST(count(*) OVER (PARTITION BY tf.term) AS DOUBLE) AS df
+         |  FROM tf JOIN dlen USING (doc_id)
+         |  WHERE tf.term IN ('spark', 'query', 'join', 'window')
+         |), scored AS (
+         |  SELECT doc_id,
+         |    ln(1 + (n.nn - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+         |      (tf + 1.2 * (1 - 0.75 + 0.75 * len / (tot.tot / n.nn))) AS tscore
+         |  FROM qt CROSS JOIN n CROSS JOIN tot
+         |), summed AS (
+         |  SELECT doc_id,
+         |    CAST(round(CAST(sum(tscore) AS DECIMAL(28,12)), 6) AS DOUBLE) AS score
+         |  FROM scored GROUP BY doc_id
+         |), bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+         |  FROM summed
+         |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 30
+         |), s AS (
+         |  SELECT vec_id,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * qv[t.i]) AS dot,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * CAST(embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(qv[t.i] * qv[t.i]) AS nb
+         |  FROM (SELECT vec_id, embedding, $qv::DOUBLE[] AS qv FROM embeddings)
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY vec_id
+         |), sims AS (
+         |  SELECT vec_id,
+         |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |               ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |  FROM s
+         |), vr AS (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rv
+         |  FROM sims
+         |  QUALIFY row_number() OVER (ORDER BY sim DESC, vec_id) <= 30
+         |), fused AS (
+         |  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + b.rb), 0) +
+         |          coalesce(1.0 / (60 + v.rv), 0), 6) AS rrf
+         |  FROM bmr b FULL JOIN vr v ON b.doc_id = v.doc_id)
+         |SELECT doc_id, rrf FROM fused
+         |QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 20""".stripMargin
     },
     // Radius search: qs1's per-term cosine replay with the ball's WHERE
     // instead of a LIMIT — membership at the rounded boundary must agree.

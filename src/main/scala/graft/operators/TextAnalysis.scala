@@ -808,4 +808,34 @@ object TextAnalysis {
       .filter(col("picks") >= 1)
       .drop("__w", "__c", "__tot")
   }
+  /** RECIPROCAL-RANK FUSION (Cormack et al. 2009) — the standard hybrid-
+    * search combiner: given N ranked candidate lists (lexical BM25,
+    * vector ANN, ...), score every candidate `Σ 1/(c + rankᵢ)` over the
+    * lists it appears in and take the fused top-k. Rank-based, so the
+    * lists' incomparable score scales never need calibration — why RRF
+    * is the default fusion in every hybrid retrieval stack. Exactness
+    * across engines: ranks are integers, each term is one IEEE division,
+    * and the terms add in DECLARED LIST ORDER (FP addition is not
+    * associative; a fixed order is what makes the 6-dp round stable).
+    * Inputs are (id, rank) frames — top-k lists by construction, so the
+    * full-outer chain and the fused sort run on k·N rows, never corpus
+    * scale.
+    */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "need at least one ranked list")
+    require(k > 0 && c >= 0, s"bad k=$k / c=$c")
+    val tagged = ranked.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col("rank").cast("long").as(s"__r$i"))
+    }
+    val joined = tagged.map(d => d).reduce((l, r) => l.join(r, Seq(idCol), "full_outer"))
+    val score = tagged.indices
+      .map(i => coalesce(lit(1.0) / (lit(c.toDouble) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf", round(score, 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("rrf"))
+  }
+
 }
