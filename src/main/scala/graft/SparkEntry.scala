@@ -1103,6 +1103,20 @@ object SparkEntry {
     graph.Triangles.count(edges, "x", "y")
   }
 
+  /** Dataset drift report ([[operators.Profiling.driftReport]]): the
+    * even/odd event-id halves compare per event_type — counts, shares,
+    * and the PSI term from UNROUNDED shares. The oracle replays the
+    * identical ratios and log; a count in the wrong slice or a share
+    * off by one row moves a 6-dp psi.
+    */
+  private def qp4Drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    operators.Profiling.driftReport(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1),
+      "event_type")
+  }
+
   /** Per-user EWMA over the event stream
     * ([[operators.Temporal.ewma]]): the sequential smoothing fold,
     * ordered by (ts, event_id) — the oracle replays the identical
@@ -3883,6 +3897,7 @@ object SparkEntry {
     "qg12_label_prop" -> (qg12LabelProp _),
     "qe15_ewma" -> (qe15Ewma _),
     "qe16_ohlc" -> (qe16Ohlc _),
+    "qp4_drift" -> (qp4Drift _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qj13_salted_join" -> (qj13SaltedJoin _),
@@ -5738,6 +5753,28 @@ object SparkEntry {
          |$rounds
          |SELECT v AS node, lbl AS label FROM l5""".stripMargin
     },
+    // Drift/PSI: identical unrounded ratios and ln on both sides; keys
+    // missing from a slice report null psi (no silent smoothing).
+    "qp4_drift" ->
+      """WITH a AS (
+        |  SELECT event_type, count(*) AS n_a FROM events
+        |  WHERE event_id % 2 = 0 GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, count(*) AS n_b FROM events
+        |  WHERE event_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL JOIN b ON a.event_type = b.event_type),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+        |SELECT event_type, n_a, n_b,
+        |  round(n_a / ta, 6) AS share_a,
+        |  round(n_b / tb, 6) AS share_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN round((n_a / ta - n_b / tb) * ln((n_a / ta) / (n_b / tb)), 6)
+        |  END AS psi
+        |FROM j CROSS JOIN t""".stripMargin,
     // EWMA: the recursive CTE replays the fold step-for-step — same
     // seed, same (ts, event_id) order, same acc*0.75 + v*0.25 IEEE ops
     // — so doubles match bit-for-bit before the 6-dp round.

@@ -95,4 +95,32 @@ object Profiling {
       .orderBy(col("n").desc, col("key"))
       .limit(topN)
   }
+  /** DATASET DRIFT REPORT — categorical distribution shift between two
+    * slices (yesterday vs today, train vs serve): per key, counts,
+    * shares, and the POPULATION STABILITY INDEX term
+    * `(p − q)·ln(p/q)` (the industry drift alarm: Σ psi < 0.1 stable,
+    * > 0.25 investigate). Shares divide UNROUNDED inside the psi term
+    * (rounding first would corrupt the log ratio); a key absent from
+    * either side has no defined PSI term and reports null — smoothing
+    * policies are a caller decision, not silently applied. One keyed
+    * count per slice + a broadcast totals row: two shuffles bounded by
+    * key cardinality, never slice size.
+    */
+  def driftReport(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
+    val j = ca.join(cb, Seq(keyCol), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = j.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val p = col("n_a") / col("__ta")
+    val q = col("n_b") / col("__tb")
+    j.crossJoin(broadcast(tot))
+      .withColumn("share_a", round(p, 6))
+      .withColumn("share_b", round(q, 6))
+      .withColumn("psi",
+        when(col("n_a") > 0 && col("n_b") > 0, round((p - q) * log(p / q), 6)))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        col("share_a"), col("share_b"), col("psi"))
+  }
+
 }

@@ -905,4 +905,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!at08.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("drift report: hand-computed PSI, missing keys report null, identical slices = 0") {
+    import spark.implicits._
+    val a = (Seq.fill(80)("x") ++ Seq.fill(20)("y")).toDF("k")
+    val b = (Seq.fill(60)("x") ++ Seq.fill(30)("y") ++ Seq.fill(10)("z")).toDF("k")
+    val out = Profiling.driftReport(a, b, "k").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // x: p=.8 q=.6 -> .2*ln(4/3); y: p=.2 q=.3 -> -.1*ln(2/3)
+    assert(out("x")._3.get == math.rint((0.8 - 0.6) * math.log(0.8 / 0.6) * 1e6) / 1e6)
+    assert(out("y")._3.get == math.rint((0.2 - 0.3) * math.log(0.2 / 0.3) * 1e6) / 1e6)
+    // z exists only in b: counts kept, psi undefined -> null
+    assert(out("z")._1 == 0L && out("z")._2 == 10L && out("z")._3.isEmpty)
+    // identical slices: psi exactly 0 for every key
+    val same = Profiling.driftReport(a, a, "k").collect()
+    assert(same.forall(_.getDouble(5) == 0.0))
+  }
+
 }

@@ -554,6 +554,20 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, dir).count() == preCount)
   }
 
+  test("deletion vectors: a KB-sized mask applies as a BROADCAST anti-join") {
+    val dir = tmp()
+    TxLog.create(spark, dir,
+      spark.range(5000).select($"id", ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"id").sortWithinPartitions($"id"))
+    TxLog.delete(spark, dir, $"id" % 500 === 3L) // 10 masked rows
+    val snap = TxLog.snapshot(spark, dir)
+    snap.collect() // run so AQE finalizes the join strategy
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "KB-sized DV mask fell back to a shuffled anti-join:\n" + plan.take(1200))
+  }
+
   test("deletion vectors: CDF reports DV deletes once, never re-reports on rewrite") {
     val dir = tmp()
     TxLog.create(spark, dir,
