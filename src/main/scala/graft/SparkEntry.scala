@@ -1199,6 +1199,22 @@ object SparkEntry {
     } finally rmTree(wh)
   }
 
+  /** K-truss decomposition ([[graph.Truss.decompose]]): the
+    * custkey×orderkey residue graph (100 nodes, triangle-rich) peels
+    * at k=6 through a measured 5-round cascade, and the surviving
+    * edges WITH their within-truss supports must equal the oracle's 10
+    * unrolled peels (fixpoint + margin; extra rounds provably no-op) —
+    * a support counted against dropped edges, a premature stop, or a
+    * missed cascade each break the row set. Fixpoint mechanics are
+    * TrussSpec's job.
+    */
+  private def qg13KTruss(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 15 === 0)
+      .select((col("o_custkey") % 100).as("x"), (col("o_orderkey") % 100).as("y"))
+    graph.Truss.decompose(edges, "x", "y", 6)
+  }
+
   /** Label-propagation communities ([[graph.LabelProp.run]]): four
     * disjoint 50-node blocks (orderkey-residue block id keys both
     * endpoints) run 5 synchronous rounds, and every (node, label) must
@@ -3895,6 +3911,7 @@ object SparkEntry {
     "qg10_triangles" -> (qg10Triangles _),
     "qg11_kcore" -> (qg11KCore _),
     "qg12_label_prop" -> (qg12LabelProp _),
+    "qg13_ktruss" -> (qg13KTruss _),
     "qe15_ewma" -> (qe15Ewma _),
     "qe16_ohlc" -> (qe16Ohlc _),
     "qp4_drift" -> (qp4Drift _),
@@ -5724,6 +5741,38 @@ object SparkEntry {
         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
         |SELECT n_nodes, n_edges, triangles FROM n, m, t""".stripMargin,
+    // K-truss: 10 unrolled peels (fixpoint at 5 measured), per round
+    // re-counting each edge's common neighbours WITHIN the surviving
+    // set via the doubled-adjacency wedge join; zero-support edges
+    // vanish from the inner join — equivalently dropped.
+    "qg13_ktruss" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""ed$i AS MATERIALIZED (SELECT a AS v, b AS w FROM e${i - 1}
+           |  UNION ALL SELECT b, a FROM e${i - 1}),
+           |e$i AS MATERIALIZED (
+           |  SELECT a, b FROM (
+           |    SELECT x.a, x.b, count(*) AS sup
+           |    FROM e${i - 1} x
+           |    JOIN ed$i p ON p.v = x.a
+           |    JOIN ed$i q ON q.v = x.b AND q.w = p.w
+           |    GROUP BY x.a, x.b)
+           |  WHERE sup >= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT o_custkey % 100 AS x, o_orderkey % 100 AS y
+         |  FROM orders WHERE o_orderkey % 15 = 0),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+         |  FROM raw WHERE x <> y),
+         |$rounds,
+         |edf AS MATERIALIZED (SELECT a AS v, b AS w FROM e10
+         |  UNION ALL SELECT b, a FROM e10)
+         |SELECT x.a, x.b, count(*) AS support
+         |FROM e10 x
+         |JOIN edf p ON p.v = x.a
+         |JOIN edf q ON q.v = x.b AND q.w = p.w
+         |GROUP BY x.a, x.b""".stripMargin
+    },
     // Label propagation: 5 rounds unrolled as MATERIALIZED CTEs (each
     // referenced once per round but materialization keeps the chain
     // linear), same most-frequent/min-label/simultaneous-update rule.
