@@ -477,6 +477,58 @@ object SparkEntry {
     spark.table(name)
   }
 
+  /** CHAINED STATEFUL STREAMING — watermarked dedup feeding a
+    * stream-stream interval join in ONE query (two stateful operators
+    * in sequence, the capability corner multi-step event pipelines
+    * live on): the staged input is the events table PLUS a re-sent
+    * duplicate slice (event_id % 5 = 0, byte-identical rows in a later
+    * file → a later micro-batch, so the dedup state must catch them
+    * ACROSS batches), and the join runs on the deduped stream. The
+    * oracle is qe7's plain batch join over the ORIGINAL table — it
+    * never sees the duplicates, so any dup the stream lets through
+    * joins into extra rows and breaks the compare.
+    */
+  private def qe18StreamDedupJoin(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = stageEvents(dir)
+    val schema = spark.read.parquet(stage.toString).schema
+    // inject byte-identical duplicates as a LATER file (newer mtime ⇒
+    // later micro-batch under maxFilesPerTrigger=1)
+    val dups = spark.read.parquet(stage.toString).filter(col("event_id") % 5 === 0)
+    val tmp = Files.createTempDirectory("graft-qe18-dup")
+    dups.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    Files.list(tmp).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.move(p, stage.resolve(s"zz_dup_${p.getFileName}"),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val name = s"qe18_mem_${System.nanoTime()}"
+    val ev = Tables.normalizeTs(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = streaming.EventStreams
+      .clickToPurchaseJoin(ev, windowSec = 600)
+      .select(
+        col("click_id"), col("user_id"), col("purchase_id"),
+        round(col("value"), 2).as("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      dropStage(stage)
+    }
+    spark.table(name)
+  }
+
   /** §2.10 through the ORACLE, part 6 — the stream-stream LEFT OUTER
     * interval join ([[streaming.EventStreams.clickToPurchaseJoin]] with
     * `left_outer`): "which clicks did NOT convert within 10 minutes?"
@@ -3845,6 +3897,7 @@ object SparkEntry {
     "qe7_stream_join" -> (qe7StreamJoin _),
     "qe13_stream_left_join" -> (qe13StreamLeftJoin _),
     "qe17_stream_full_join" -> (qe17StreamFullJoin _),
+    "qe18_stream_dedup_join" -> (qe18StreamDedupJoin _),
     "qe8_stream_window" -> (qe8StreamWindow _),
     "qe9_stream_dedup" -> (qe9StreamDedup _),
     "qr1_range_join" -> (qr1RangeJoin _),
@@ -4923,6 +4976,20 @@ object SparkEntry {
     // watermarked stream-stream interval join emits must equal the batch
     // interval join over the same events
     "qe7_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS pus, value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, p.purchase_id, round(p.value, 2) AS value
+        |FROM c JOIN p USING (user_id)
+        |WHERE p.pus >= c.cus AND p.pus <= c.cus + 600 * 1000000""".stripMargin,
+    // Chained dedup→join: the oracle is the plain batch join over the
+    // ORIGINAL events — the injected duplicate slice must vanish in the
+    // stream's dedup state or it joins into extra rows.
+    "qe18_stream_dedup_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
         |  FROM events),
