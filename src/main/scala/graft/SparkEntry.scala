@@ -487,6 +487,17 @@ object SparkEntry {
     * oracle is qe7's plain batch join over the ORIGINAL table — it
     * never sees the duplicates, so any dup the stream lets through
     * joins into extra rows and breaks the compare.
+    *
+    * Exactly ONE watermark is defined, on `ts` before the dedup — Spark
+    * disallows redefining a watermark downstream, so the join runs with
+    * `preWatermarked = true` and inherits this one through the per-side
+    * aliases. The delay (45 days) deliberately exceeds the events
+    * table's full time span: nothing is ever "late", so EVERY re-sent
+    * duplicate is rejected by cross-batch dedup STATE rather than by
+    * late-data drop — the bounded-replay contract that makes the gate
+    * actually exercise the claimed path. (The production shape would use
+    * a small delay; the big one here only pins state for the ~10k-row
+    * staged replay.)
     */
   private def qe18StreamDedupJoin(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
@@ -508,10 +519,10 @@ object SparkEntry {
     val ev = Tables.normalizeTs(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(stage.toString))
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", "45 days")
       .dropDuplicatesWithinWatermark("event_id")
     val q = streaming.EventStreams
-      .clickToPurchaseJoin(ev, windowSec = 600)
+      .clickToPurchaseJoin(ev, windowSec = 600, preWatermarked = true)
       .select(
         col("click_id"), col("user_id"), col("purchase_id"),
         round(col("value"), 2).as("value"))

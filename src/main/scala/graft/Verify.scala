@@ -28,6 +28,7 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    val succeeded = scala.collection.mutable.TreeSet.empty[String]
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -36,10 +37,32 @@ object Verify {
           System.err.println(df.coalesce(1).queryExecution.executedPlan.toString.take(8000))
         df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        succeeded += name
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // Verified-gates manifest (tools/verified_gates.txt, checked in):
+    // RegistrySpec asserts every declared gate is listed, so a gate added
+    // without a successful Verify run fails `sbt test` — the mechanical
+    // form of the "no untested gate ships in a snapshot" process rule.
+    // A filtered (SPARK_GRAFT_ONLY) run MERGES its successes; a full run
+    // REWRITES the file to exactly the gates that dumped, so a renamed or
+    // broken gate drops out. Best-effort: skipped when cwd isn't the repo.
+    try {
+      val manifest = Paths.get("tools", "verified_gates.txt")
+      if (Files.isDirectory(Paths.get("tools"))) {
+        val prior: Set[String] =
+          if (Files.exists(manifest))
+            Files.readString(manifest).split("\n").map(_.trim).filter(_.nonEmpty).toSet
+          else Set.empty
+        val updated =
+          if (only.isDefined) (prior ++ succeeded).toSeq.sorted else succeeded.toSeq
+        Files.writeString(manifest, updated.mkString("", "\n", "\n"))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] manifest write skipped: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

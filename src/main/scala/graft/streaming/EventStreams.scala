@@ -200,22 +200,36 @@ object EventStreams {
     * data (the qe13 gate stages click+purchase sentinels so BOTH sides'
     * watermarks move — the global watermark is their MIN), after which
     * the drained table equals the batch left join exactly.
+    *
+    * `preWatermarked = true` means the caller's `events` already carries
+    * a watermark on `ts` (e.g. it is the output of an upstream stateful
+    * operator such as `dropDuplicatesWithinWatermark`). Spark disallows
+    * REDEFINING a watermark downstream of one, but the existing
+    * watermark's delay metadata propagates through the per-side
+    * select/alias to `click_ts`/`purchase_ts`, so the join's state
+    * eviction is governed by the upstream delay and no new
+    * `withWatermark` call is made (or allowed) here.
     */
   def clickToPurchaseJoin(
       events: DataFrame,
       windowSec: Long = 3600,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      preWatermarked: Boolean = false): DataFrame = {
     require(
       joinType == "inner" || joinType == "left_outer" || joinType == "full_outer",
       s"stream-stream interval join supports inner/left_outer/full_outer, got $joinType")
-    val clicks = events
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = events
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
-      .withWatermark("purchase_ts", "2 hours")
+    def mark(df: DataFrame, tsCol: String): DataFrame =
+      if (preWatermarked) df else df.withWatermark(tsCol, "2 hours")
+    val clicks = mark(
+      events
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+      "click_ts")
+    val purchases = mark(
+      events
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value")),
+      "purchase_ts")
     clicks.join(
       purchases,
       col("user_id") === col("p_user") &&

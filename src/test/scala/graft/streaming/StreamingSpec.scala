@@ -428,6 +428,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("chained dedup -> stream-stream join: cross-batch dups vanish before the join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val in = MemoryStream[(Long, Long, Long, String, Double)]
+      val ev = in.toDF().toDF("event_id", "us", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros($"us")).drop("us")
+        // exactly ONE watermark, owned by the dedup; the join inherits it
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = EventStreams.clickToPurchaseJoin(ev, windowSec = 600, preWatermarked = true)
+        .writeStream.outputMode("append").format("memory").queryName("dedupjoin").start()
+      val h = 3600L * 1000000L
+      // base offset well past epoch: the initial watermark is 0 (epoch),
+      // and a row whose event time equals it is filtered as LATE — rows
+      // at ts=0 silently vanish before any operator sees them
+      val b = 24L * h
+      // batch 1: click u1, purchase u1 within window (joins), click u2
+      in.addData((1L, b, 1L, "click", 0.0), (2L, b + 100L * 1000000L, 1L, "purchase", 9.5),
+        (3L, b, 2L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: byte-identical RE-SENT rows (cross-batch dedup state must
+      // drop them — letting them through would duplicate the (1,2) join
+      // row and fabricate a (3,4) match from the re-sent click), plus one
+      // genuinely new purchase for u2
+      in.addData((1L, b, 1L, "click", 0.0), (2L, b + 100L * 1000000L, 1L, "purchase", 9.5),
+        (4L, b + 200L * 1000000L, 2L, "purchase", 4.0))
+      q.processAllAvailable()
+      // watermark-advancing tail so nothing is stuck in state
+      in.addData((99L, b + 3L * h, 0L, "click", 0.0), (98L, b + 3L * h, 0L, "purchase", 0.0))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("dedupjoin").filter($"user_id" > 0).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toList.sorted
+      assert(rows == List((1L, 2L), (3L, 4L)), s"got $rows")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   test("stream-stream LEFT OUTER join: matches emit eagerly, nulls only after watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
