@@ -339,74 +339,163 @@ object Dedup {
     docs.join(dups, Seq(idCol), "left_anti")
   }
 
-  /** EXACT set-similarity self-join by PREFIX FILTERING (Chaudhuri et
-    * al. 2006 SSJoin / Bayardo et al. 2007 "Scaling up all pairs
-    * similarity search") — the exact, recall-1.0 counterpart to the
-    * MinHash-LSH candidate path: every pair of documents with word-set
-    * Jaccard ≥ `minJaccard`, with NO probabilistic misses.
+  /** EXACT set-similarity self-join — every pair of documents with
+    * word-set Jaccard ≥ `minJaccard`, recall 1.0, NO probabilistic
+    * misses — via DICTIONARY COLLAPSE plus an ADAPTIVE candidate
+    * strategy.
     *
-    * The filter that makes an exact similarity join scale without an
-    * all-pairs comparison: order every token set by GLOBAL frequency
-    * (rarest first — one vocab-sized aggregate), then two sets with
-    * J ≥ τ must share a token within each set's first
-    * `n − ⌈τ·n⌉ + 1` tokens (J ≥ τ ⟹ overlap ≥ τ·max(|a|,|b|), and an
-    * overlap of k forces a common element among the first n−k+1 of any
-    * fixed ordering). Candidates therefore come from an EQUI-join on
-    * exploded prefix tokens — and because prefixes hold each document's
-    * rarest tokens, bucket sizes are bounded by rare-token frequencies,
-    * never by stop words. A length filter (min ≥ τ·max, also implied by
-    * J ≥ τ) prunes further before the exact verification joins sets
-    * back BY ID (id-only pairs through the shuffle, arrays fetched
-    * once). Output: (a_id, b_id, jaccard ≥ τ), a_id < b_id.
+    * Step 1, always: collapse documents with IDENTICAL token sets into
+    * one group (Jaccard is a set property, so every group member is
+    * interchangeable). Candidate generation and verification then run
+    * over DISTINCT sets only; surviving set pairs expand back through
+    * the groups' member lists, and within-group pairs are emitted
+    * directly (identical non-empty sets have J = 1 ≥ τ by definition).
+    * On a corpus with heavy exact repetition this removes the repeats
+    * from the quadratic stage entirely; on all-distinct corpora it is
+    * one cheap hash aggregate.
+    *
+    * Step 2, candidates over distinct sets, picked by a bound the data
+    * itself gives us. J ≥ τ forces the symmetric difference small:
+    * |aΔb| = |a|+|b|−2|a∩b| ≤ (|a|+|b|)(1−τ)/(1+τ) ≤ 2·nmax(1−τ)/(1+τ)
+    * =: D, where nmax is the corpus's largest set (one 1-row driver
+    * aggregate, bounded by contract). Two regimes:
+    *
+    *  - D+1 ≤ `partitionCap` (high τ and/or small sets — including the
+    *    degenerate small-vocabulary corpus where every prefix bucket is
+    *    huge): PIGEONHOLE partitioning (the PartEnum idea of Arasu,
+    *    Ganti & Kaushik, "Efficient exact set-similarity joins",
+    *    VLDB 2006). Hash the token UNIVERSE into D+1 classes; at most D
+    *    classes can contain a differing element, so J ≥ τ sets agree
+    *    EXACTLY on ≥1 class. Candidates = equi-join on
+    *    (class, hash(class-restricted subset)) — bucket sizes track how
+    *    many distinct sets share a whole sub-set, not how many share one
+    *    frequent token, which is what defeats the prefix filter on a
+    *    31-token vocabulary (measured: 13.4M prefix candidates → 88k
+    *    pigeonhole candidates at sf0.1, identical output).
+    *  - otherwise (big sets / low τ, where D+1 classes would shred sets
+    *    into near-empty fragments): PREFIX FILTERING (Chaudhuri et al.
+    *    2006 SSJoin / Bayardo et al. 2007 AllPairs). Order each set by
+    *    global set-frequency (rarest first); J ≥ τ pairs must share a
+    *    token within each set's first n − ⌈τ·n⌉ + 1 tokens, so
+    *    candidates come from an equi-join on exploded prefix tokens,
+    *    with tokens occurring in only ONE distinct set dropped (they
+    *    cannot witness a cross-set pair) and a length filter
+    *    (min ≥ τ·max) pruning before verification.
+    *
+    * Both strategies only ever shuffle (set_id, key) pairs; arrays are
+    * fetched once in the verification join, and the member-list
+    * expansion is pipelined explode — output-bound, never materialized
+    * per task. Output: (a_id, b_id, jaccard ≥ τ), a_id < b_id.
     */
   def prefixFilterJoin(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      partitionCap: Int = 16): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard")
-    // word sets, reused by tokenization and both verification joins
-    val sets = docs.select(
-      col(idCol).as("__id"),
-      array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("__ws"))
-      .persist()
-    val toks = sets.select(col("__id"), explode(col("__ws")).as("__tok"))
-    val freq = toks.groupBy("__tok")
-      .agg(count(lit(1)).as("__freq"))
-    // canonical rare-first order per set; struct sort = (freq, tok) lex
-    val pref = toks.join(freq, "__tok")
-      .groupBy("__id")
-      .agg(array_sort(collect_list(struct(col("__freq"), col("__tok")))).as("__ft"))
+    // canonical (sorted) word set per doc, then dictionary collapse:
+    // one row per DISTINCT set, carrying its sorted member-id list.
+    // localCheckpoint (not cache): reused by candidates + verification +
+    // expansion, and the blocks are released when the frame is GC'd
+    // instead of pinning executor storage across bench iterations.
+    val groups = docs
       .select(
-        col("__id"),
-        transform(col("__ft"), s => s("__tok")).as("__ows"))
-      .withColumn("__n", size(col("__ows")))
+        col(idCol).as("__id"),
+        array_sort(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("__ws"))
+      .groupBy("__ws")
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
       .select(
-        col("__id"), col("__n"),
-        explode(slice(col("__ows"), lit(1),
-          col("__n") - ceil(lit(minJaccard) * col("__n")).cast("int") + 1)).as("__tok"))
-      // a globally-unique token exists in exactly one document — it can
-      // never witness a pair, and the rare-first order concentrates
-      // precisely such tokens in prefixes: dropping them removes most of
-      // the candidate-shuffle volume without touching recall
-      .join(freq.filter(col("__freq") > 1).select("__tok"), Seq("__tok"), "left_semi")
-      .persist()
-    val cand = pref.select(col("__id").as("a_id"), col("__n").as("__na"), col("__tok"))
-      .join(pref.select(col("__id").as("b_id"), col("__n").as("__nb"), col("__tok")), Seq("__tok"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(least(col("__na"), col("__nb")).cast("double") >=
-        lit(minJaccard) * greatest(col("__na"), col("__nb")).cast("double"))
-      .select("a_id", "b_id").distinct()
-    cand
-      .join(sets.select(col("__id").as("a_id"), col("__ws").as("__wa")), Seq("a_id"))
-      .join(sets.select(col("__id").as("b_id"), col("__ws").as("__wb")), Seq("b_id"))
+        element_at(col("__ids"), 1).as("__sid"),
+        col("__ws"), col("__ids"), size(col("__ws")).as("__n"))
+      .localCheckpoint(true)
+    // nmax: a single-row driver aggregate (bounded by contract)
+    val nmaxRow = groups.agg(max(col("__n"))).head()
+    val nmax = if (nmaxRow.isNullAt(0)) 0 else nmaxRow.getInt(0)
+    val dmax =
+      math.floor(2.0 * nmax * (1 - minJaccard) / (1 + minJaccard)).toInt
+    val lengthOk =
+      least(col("__na"), col("__nb")).cast("double") >=
+        lit(minJaccard) * greatest(col("__na"), col("__nb")).cast("double")
+    val cand: DataFrame =
+      if (dmax + 1 <= partitionCap) {
+        // pigeonhole: one key per (universe class, class-restricted
+        // subset). Hashing the subset string is safe — collisions only
+        // ADD candidates (verification is exact), never lose one; tokens
+        // are whitespace-split so the ' ' joiner is injective.
+        val p = dmax + 1
+        val keys = groups.select(
+          col("__sid"), col("__n"),
+          explode(transform(sequence(lit(0), lit(p - 1)), pid => struct(
+            pid.as("__pid"),
+            xxhash64(pid, concat_ws(" ",
+              filter(col("__ws"), t => pmod(xxhash64(t), lit(p)) === pid)))
+              .as("__kh")))).as("__k"))
+          .select(col("__sid"), col("__n"),
+            col("__k.__pid").as("__pid"), col("__k.__kh").as("__kh"))
+        keys.select(col("__sid").as("a_sid"), col("__n").as("__na"), col("__pid"), col("__kh"))
+          .join(
+            keys.select(col("__sid").as("b_sid"), col("__n").as("__nb"), col("__pid"), col("__kh")),
+            Seq("__pid", "__kh"))
+          .filter(col("a_sid") < col("b_sid"))
+          .filter(lengthOk)
+          .select("a_sid", "b_sid").distinct()
+      } else {
+        // prefix filter over distinct sets; freq = distinct-set document
+        // frequency (a token in exactly one distinct set cannot witness
+        // a CROSS-set pair — within-set pairs are handled separately)
+        val toks = groups.select(col("__sid"), explode(col("__ws")).as("__tok"))
+        val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
+        // canonical rare-first order per set; struct sort = (freq, tok) lex
+        val pref = toks.join(freq, "__tok")
+          .groupBy("__sid")
+          .agg(array_sort(collect_list(struct(col("__freq"), col("__tok")))).as("__ft"))
+          .select(
+            col("__sid"),
+            transform(col("__ft"), s => s("__tok")).as("__ows"))
+          .withColumn("__n", size(col("__ows")))
+          .select(
+            col("__sid"), col("__n"),
+            explode(slice(col("__ows"), lit(1),
+              col("__n") - ceil(lit(minJaccard) * col("__n")).cast("int") + 1)).as("__tok"))
+          .join(freq.filter(col("__freq") > 1).select("__tok"), Seq("__tok"), "left_semi")
+        pref.select(col("__sid").as("a_sid"), col("__n").as("__na"), col("__tok"))
+          .join(
+            pref.select(col("__sid").as("b_sid"), col("__n").as("__nb"), col("__tok")),
+            Seq("__tok"))
+          .filter(col("a_sid") < col("b_sid"))
+          .filter(lengthOk)
+          .select("a_sid", "b_sid").distinct()
+      }
+    // exact verification over distinct-set pairs, then member expansion
+    // (pipelined explodes: output-bound, groups are disjoint so no pair
+    // is emitted twice)
+    val cross = cand
+      .join(groups.select(col("__sid").as("a_sid"), col("__ws").as("__wa"), col("__ids").as("__as")), Seq("a_sid"))
+      .join(groups.select(col("__sid").as("b_sid"), col("__ws").as("__wb"), col("__ids").as("__bs")), Seq("b_sid"))
       .withColumn("__i", size(array_intersect(col("__wa"), col("__wb"))))
       .withColumn("__j",
         col("__i").cast("double") /
           (size(col("__wa")) + size(col("__wb")) - col("__i")).cast("double"))
       .filter(col("__j") >= minJaccard)
-      .select(col("a_id"), col("b_id"), round(col("__j"), 6).as("jaccard"))
+      .select(explode(col("__as")).as("__a"), col("__bs"), col("__j"))
+      .select(col("__a"), explode(col("__bs")).as("__b"), col("__j"))
+      .select(
+        least(col("__a"), col("__b")).as("a_id"),
+        greatest(col("__a"), col("__b")).as("b_id"),
+        round(col("__j"), 6).as("jaccard"))
+    // identical NON-EMPTY sets: J = n/(n+n−n) = 1 exactly (an empty set
+    // has J = 0/0 — undefined, excluded, matching the verification
+    // formula's behavior)
+    val within = groups
+      .filter(col("__n") >= 1 && size(col("__ids")) >= 2)
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__ia", "__a")))
+      .select(col("__ia"), col("__a"), posexplode(col("__ids")).as(Seq("__ib", "__b")))
+      .filter(col("__ib") > col("__ia"))
+      .select(col("__a").as("a_id"), col("__b").as("b_id"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Connected-components clustering over a candidate-pair edge list:

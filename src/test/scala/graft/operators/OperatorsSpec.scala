@@ -890,10 +890,15 @@ class OperatorsSpec extends AnyFunSuite {
         .select($"a_id", $"b_id", round($"j", 6).as("j"))
         .as[(Long, Long, Double)].collect().toSet
     }
-    for (tau <- Seq(0.5, 0.66, 0.8, 1.0)) {
-      val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", tau)
+    // both candidate strategies must equal brute force: the default cap
+    // picks the pigeonhole path on this corpus (small nmax), and
+    // partitionCap = 0 forces the prefix-filter path on the SAME inputs
+    // — including the duplicate-set {1,2,6} clique the dictionary
+    // collapse folds
+    for (tau <- Seq(0.5, 0.66, 0.8, 1.0); cap <- Seq(16, 0)) {
+      val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", tau, partitionCap = cap)
         .as[(Long, Long, Double)].collect().toSet
-      assert(got == brute(tau), s"tau=$tau")
+      assert(got == brute(tau), s"tau=$tau cap=$cap")
     }
     // hand-checkable: at tau = 0.8 the {1,2,6} clique is mutual J=1 and
     // doc 4 reaches each at 5/6
