@@ -60,10 +60,16 @@ object KCore {
       alive = next
       n = m
     }
-    ed
+    // materialize the node-sized result, then release the cached edge
+    // frame (a lazy return would pin it in executor storage for the
+    // session; localCheckpoint blocks free on GC)
+    val out = ed
       .join(alive, Seq("v"), "left_semi")
       .join(alive.select(col("v").as("w")), Seq("w"), "left_semi")
       .groupBy("v").agg(fcount(lit(1)).as("core_deg"))
       .select(col("v").as("node"), col("core_deg"))
+      .localCheckpoint(true)
+    ed.unpersist()
+    out
   }
 }

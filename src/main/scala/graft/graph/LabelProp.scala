@@ -54,6 +54,10 @@ object LabelProp {
         .select(col("v"), col("lbl"))
         .localCheckpoint(true)
     }
+    // labels is already checkpointed per round, so the returned select
+    // no longer depends on ed — release it instead of pinning executor
+    // storage for the session
+    ed.unpersist()
     labels.select(col("v").as("node"), col("lbl").as("label"))
   }
 }

@@ -81,8 +81,17 @@ object Triangles {
       .select(size(array_intersect(col("__nu"), col("__nv"))).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("triangles"))
 
-    deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
+    // materialize the 1-row summary, then RELEASE the cached frames: a
+    // lazily-returned plan would pin e/dir/adj in executor storage for
+    // the session (bench runs each gate 3-5x — the blocks accumulate),
+    // while localCheckpoint blocks are freed when the frame is GC'd
+    val out = deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
       .crossJoin(e.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges")))
       .crossJoin(tri)
+      .localCheckpoint(true)
+    e.unpersist()
+    dir.unpersist()
+    adj.unpersist()
+    out
   }
 }

@@ -107,9 +107,17 @@ object Profiling {
     * key cardinality, never slice size.
     */
   def driftReport(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    // null-SAFE key equality (<=>): a plain USING join never matches null
+    // keys, so a null category would split into two half-rows (each
+    // seeing the other slice as 0) instead of one compared row
     val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+      .withColumnRenamed(keyCol, "__ka")
     val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
-    val j = ca.join(cb, Seq(keyCol), "full_outer")
+      .withColumnRenamed(keyCol, "__kb")
+    val j = ca.join(cb, col("__ka") <=> col("__kb"), "full_outer")
+      .select(
+        coalesce(col("__ka"), col("__kb")).as(keyCol),
+        col("n_a"), col("n_b"))
       .na.fill(0L, Seq("n_a", "n_b"))
     val tot = j.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
     val p = col("n_a") / col("__ta")

@@ -67,10 +67,19 @@ object Temporal {
       .select(
         col(keyCol),
         size(col("__s")).cast("long").as("n_events"),
+        // the fold carries (seen, acc) rather than using NaN as the
+        // "unseeded" sentinel: a legitimate NaN INPUT must propagate
+        // (poisoning the series like any float aggregate would), not
+        // silently re-seed the accumulator mid-stream
         round(
-          aggregate(col("__s"), lit(Double.NaN), (acc, x) =>
-            when(isnan(acc), x("__v"))
-              .otherwise(acc * lit(keep) + x("__v") * lit(alpha))),
+          aggregate(col("__s"),
+            struct(lit(false).as("seen"), lit(0.0).as("acc")),
+            (st, x) => struct(
+              lit(true).as("seen"),
+              when(not(st("seen")), x("__v"))
+                .otherwise(st("acc") * lit(keep) + x("__v") * lit(alpha))
+                .as("acc")),
+            st => when(st("seen"), st("acc")).otherwise(lit(Double.NaN))),
           6).as("ewma"))
   }
 

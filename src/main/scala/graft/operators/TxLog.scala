@@ -163,17 +163,26 @@ object TxLog {
     * big sibling). Nothing references the staged files until the commit
     * file lands.
     */
-  /** Table-relative path of a data file from a scan URI: everything from
-    * the `data/c…` stage-dir segment down. Partition VALUES can't forge a
-    * `/data/c` segment — the writer percent-escapes `/` in values — so
-    * the first match is the stage dir. Keyed on the FULL relative path
-    * (never the basename): partitioned staging writes `part-00000-…` in
-    * every partition subdir of one job, so basenames collide by design.
+  /** Table-relative path of a data file from a scan URI: the path below
+    * the TABLE ROOT. Anchored on the root's own path (scheme/authority
+    * stripped, so `file:/x` and `file:///x` forms agree) — never on a
+    * marker substring like `/data/c`, which a table legitimately rooted
+    * under e.g. `/data/cache/tbl` would match too early, recording
+    * wrong relative paths in commits and splitting DV (file,pos) keys.
+    * The first occurrence of the anchor IS the root (every data URI is
+    * under it and a file-scheme authority is empty). Keyed on the FULL
+    * relative path (never the basename): partitioned staging writes
+    * `part-00000-…` in every partition subdir of one job, so basenames
+    * collide by design.
     */
-  private def relOfUri(u: String): String = {
-    val i = u.indexOf("/data/c")
-    require(i >= 0, s"not a table data file: $u")
-    u.substring(i + 1)
+  private def rootAnchor(root: Path): String =
+    root.toUri.getPath.stripSuffix("/") + "/"
+
+  private def relOfUri(root: Path, u: String): String = {
+    val anchor = rootAnchor(root)
+    val i = u.indexOf(anchor)
+    require(i >= 0, s"file $u is not under table root $anchor")
+    u.substring(i + anchor.length)
   }
 
   /** Dir prefix for a partition-column duplicate — the column rides in
@@ -210,7 +219,7 @@ object TxLog {
       val b = Seq.newBuilder[String]
       while (it.hasNext) {
         val p = it.next().getPath.toString
-        if (p.endsWith(".parquet")) b += relOfUri(p)
+        if (p.endsWith(".parquet")) b += relOfUri(root, p)
       }
       b.result().sorted
     }
@@ -224,7 +233,7 @@ object TxLog {
           .groupBy(input_file_name().as("uri"))
           .agg(min(col(c).cast("long")).as("lo"), max(col(c).cast("long")).as("hi"))
           .collect()
-          .map(r => relOfUri(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+          .map(r => relOfUri(root, r.getString(0)) -> (r.getLong(1), r.getLong(2)))
           .toMap
     }
     (files, stats)
@@ -430,10 +439,13 @@ object TxLog {
     * Must run directly over the scan (projections preserve metadata
     * columns; joins don't).
     */
-  private def bindFilePos(df: DataFrame): DataFrame = df
-    .withColumn("__file", expr(
-      "substring(_metadata.file_path, instr(_metadata.file_path, '/data/c') + 1)"))
-    .withColumn("__pos", col("_metadata.row_index"))
+  private def bindFilePos(root: Path, df: DataFrame): DataFrame = {
+    val anchor = rootAnchor(root)
+    val fp = col("_metadata.file_path")
+    df.withColumn("__file",
+        fp.substr(locate(anchor, fp) + anchor.length, lit(Int.MaxValue)))
+      .withColumn("__pos", col("_metadata.row_index"))
+  }
 
   /** Mask rows listed in the live deletion vectors: an anti-join of the
     * (__file, __pos)-bound scan against the DV rows. DV files are tiny
@@ -464,7 +476,7 @@ object TxLog {
     else {
       val raw = spark.read.schema(schema).parquet(files.map(p => new Path(root, p).toString): _*)
       if (dv.isEmpty) raw
-      else dvMask(spark, root, bindFilePos(raw), dv)
+      else dvMask(spark, root, bindFilePos(root, raw), dv)
         .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     }
 
@@ -503,7 +515,7 @@ object TxLog {
     require(vs.nonEmpty, s"no table at $dir")
     val st = replay(f, root, vs.last)
     if (st.live.isEmpty) return vs.last
-    val bound = bindFilePos(
+    val bound = bindFilePos(root,
       spark.read.schema(st.schema).parquet(st.live.map(p => new Path(root, p).toString): _*))
     val newDv = dvMask(spark, root, bound, st.dv)
       .filter(pred)
@@ -762,7 +774,7 @@ object TxLog {
     if (st.live.isEmpty) return vs.last
     // dirty detection and survivors both read through the DV mask: a
     // row already deleted by a DV neither dirties its file nor survives
-    val cur = dvMask(spark, root, bindFilePos(
+    val cur = dvMask(spark, root, bindFilePos(root,
       spark.read.schema(st.schema)
         .parquet(st.live.map(p => new Path(root, p).toString): _*)), st.dv)
     val dirtyRel = cur.filter(!keep)
@@ -772,7 +784,7 @@ object TxLog {
     if (dirtyRel.isEmpty) return vs.last
     val v = vs.last + 1
     val dirtyAbs = dirtyRel.map(p => new Path(root, p).toString)
-    val rewritten = dvMask(spark, root, bindFilePos(
+    val rewritten = dvMask(spark, root, bindFilePos(root,
       spark.read.schema(st.schema).parquet(dirtyAbs: _*)), st.dv)
       .filter(keep)
       .select(st.schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -975,7 +987,7 @@ object TxLog {
     // file identity must bind to the scan BEFORE any join (metadata
     // columns don't survive joins); the DV mask then hides rows already
     // deleted so they neither dirty their file nor survive the rewrite
-    val cur = dvMask(spark, root, bindFilePos(
+    val cur = dvMask(spark, root, bindFilePos(root,
       spark.read.schema(schema)
         .parquet(live.map(p => new Path(root, p).toString): _*)), st.dv)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
@@ -988,7 +1000,7 @@ object TxLog {
       if (dirtyRel.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else
-        dvMask(spark, root, bindFilePos(
+        dvMask(spark, root, bindFilePos(root,
           spark.read.schema(schema)
             .parquet(dirtyRel.map(p => new Path(root, p).toString): _*)), st.dv)
           .join(srcKeys, keyCols, "left_anti")
@@ -1070,7 +1082,7 @@ object TxLog {
             .collect().map(_.getString(0)).toSeq.sorted
             .filterNot(addSet)
           if (touched.isEmpty) fileDeletes.limit(0)
-          else bindFilePos(
+          else bindFilePos(root,
             spark.read.schema(schema).parquet(touched.map(p => new Path(root, p).toString): _*))
             .join(dvDf,
               col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),

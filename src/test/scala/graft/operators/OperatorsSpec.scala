@@ -925,6 +925,16 @@ class OperatorsSpec extends AnyFunSuite {
     // identical slices: psi exactly 0 for every key
     val same = Profiling.driftReport(a, a, "k").collect()
     assert(same.forall(_.getDouble(5) == 0.0))
+    // a NULL category present in both slices is ONE compared row (the
+    // join is null-safe), not two half-rows each seeing the other as 0
+    val an = (Seq.fill(50)(Some("x")) ++ Seq.fill(50)(Option.empty[String])).toDF("k")
+    val bn = (Seq.fill(75)(Some("x")) ++ Seq.fill(25)(Option.empty[String])).toDF("k")
+    val nullRows = Profiling.driftReport(an, bn, "k").collect().filter(_.isNullAt(0))
+    assert(nullRows.length == 1)
+    val nr = nullRows.head
+    assert(nr.getLong(1) == 50L && nr.getLong(2) == 25L)
+    assert(nr.getDouble(5) ==
+      math.rint((0.5 - 0.25) * math.log(0.5 / 0.25) * 1e6) / 1e6)
   }
 
 }

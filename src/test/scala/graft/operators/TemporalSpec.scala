@@ -86,6 +86,15 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 7.5)))
     // event 5 (value 0) seeds, then event 6: 0*.75 + 40*.25 = 10
     assert(out(3L) == ((2L, 10.0)))
+    // a NaN INPUT poisons the series like any float aggregate (the fold
+    // seeds on a (seen, acc) struct, not a NaN sentinel — a mid-stream
+    // NaN must NOT silently re-seed the accumulator on the next element)
+    val withNan = Seq(
+      (4L, ts(1), 1L, 10.0), (4L, ts(2), 2L, Double.NaN), (4L, ts(3), 3L, 50.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val nanOut = Temporal.ewma(withNan, "user_id", "ts", "event_id", "value", 0.25)
+      .as[(Long, Long, Double)].collect().head
+    assert(nanOut._2 == 3L && nanOut._3.isNaN)
   }
 
   test("ohlc: bar edges, tie-ordered open/close, hand-computed bars") {

@@ -43,6 +43,28 @@ class TxLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TxLog.snapshot(spark, dir, Some(9L)))
   }
 
+  test("a table rooted under a path containing /data/c keeps correct file identity") {
+    // regression: file identity was anchored on the FIRST "/data/c"
+    // substring in the URI, so a root like .../data/cache/tbl recorded
+    // paths relative to the WRONG anchor — snapshots then re-resolved
+    // them against the root (FileNotFound) and DV (file,pos) keys split.
+    // Identity is now anchored on the table root itself.
+    val dir = java.nio.file.Files.createTempDirectory("graft-txlog")
+      .resolve("data").resolve("cache").resolve("tbl").toString
+    TxLog.create(spark, dir, (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s"))
+    TxLog.append(spark, dir, Seq((11L, "s11")).toDF("id", "s"))
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      (1L to 11L).map(i => (i, s"s$i")).toSet)
+    // row-level delete exercises bindFilePos (DV keys) under the same root
+    TxLog.delete(spark, dir, $"id" % 2 === 0L)
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      (1L to 11L).filter(_ % 2 == 1).map(i => (i, s"s$i")).toSet)
+    // and the rewrite path folds the mask without resurrecting anything
+    TxLog.rewrite(spark, dir, $"id" =!= 1L)
+    assert(TxLog.snapshot(spark, dir).as[(Long, String)].collect().toSet ==
+      (3L to 11L).filter(_ % 2 == 1).map(i => (i, s"s$i")).toSet)
+  }
+
   test("rewrite touches only dirty files; clean files carry over by reference") {
     val dir = tmp()
     // 4 range-partitioned files over id 0..99: ids 0..24 land in one file
