@@ -409,6 +409,16 @@ object SparkEntry {
     // final sessions of the gate data stayed open forever). Sentinels
     // flow through the full plan and their session rows are excluded from
     // the memory-sink TABLE afterwards.
+    // sentinels are staged BEFORE the query starts: the watermark is 0
+    // throughout the initial batch (no state evicts inside it), advances
+    // past every real session when the batch commits, and the engine's
+    // no-data micro-batch (run exactly because the watermark moved)
+    // flushes the closed sessions — same cross-batch eviction semantics
+    // as the old drain-sentinel-drain loop at a third of the micro-batch
+    // count (the gate's wall cost is batches, not rows; the multi-batch
+    // state path itself is pinned by StreamingSpec on MemoryStreams)
+    sentinel(1)
+    sentinel(2)
     val q = ev
       .withWatermark("ts", "1 second")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -423,11 +433,7 @@ object SparkEntry {
       .queryName(name)
       .start()
     try {
-      q.processAllAvailable() // batch 1: all real events buffered in state
-      sentinel(1)
-      q.processAllAvailable() // watermark jumps past every real session
-      sentinel(2)
-      q.processAllAvailable() // append flush: closed sessions emit
+      q.processAllAvailable() // data batch + watermark-advance flush batch
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -548,7 +554,8 @@ object SparkEntry {
     * bounded replay stages click+purchase sentinel rows past the data
     * (both sides' watermarks must advance — the global watermark is
     * their min; sentinels carry real event_types because a pre-watermark
-    * filter would silently drop them, the qe6 lesson) and drains twice.
+    * filter would silently drop them, the qe6 lesson) and lets the
+    * engine's no-data micro-batch flush the evictions.
     * The oracle is the plain batch LEFT JOIN: a lost null-padded row
     * (watermark never advanced), a duplicate (state re-emission), or an
     * eager null (emitted before the window closed) all break the
@@ -585,6 +592,13 @@ object SparkEntry {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     val name = s"qe13_mem_${System.nanoTime()}"
+    // sentinels staged BEFORE the query: the watermark stays 0 through
+    // the initial batch (matches emit eagerly, nothing evicts), jumps
+    // past every real click window at batch commit, and the engine's
+    // no-data micro-batch flushes the null-padded non-converters — the
+    // same cross-batch eviction at a third of the micro-batch count
+    sentinel(1)
+    sentinel(2)
     val ev = Tables.normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
     val q = streaming.EventStreams
       .clickToPurchaseJoin(ev, windowSec = 600, joinType = "left_outer")
@@ -597,11 +611,7 @@ object SparkEntry {
       .queryName(name)
       .start()
     try {
-      q.processAllAvailable() // matches emit eagerly; unmatched clicks sit in state
-      sentinel(1)
-      q.processAllAvailable() // watermark jumps past every real click window
-      sentinel(2)
-      q.processAllAvailable() // eviction flush: non-converting clicks emit null-padded
+      q.processAllAvailable() // data batch + watermark-advance flush batch
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -613,8 +623,8 @@ object SparkEntry {
   /** Stream-stream FULL OUTER interval join — completes the join-type
     * family (qe7 inner, qe13 left): BOTH unmatched sides may only emit
     * null-padded once the watermark proves no partner can arrive, so
-    * the staged replay needs the same two sentinel rounds as qe13 (one
-    * to advance both watermarks, one to flush evictions). The oracle is
+    * the staged replay needs qe13's sentinel rows (both sides'
+    * watermarks must advance; the no-data batch flushes). The oracle is
     * the batch FULL JOIN: a lost null row on EITHER side, a duplicate
     * from state re-emission, or an eager null each break the compare.
     */
@@ -647,6 +657,9 @@ object SparkEntry {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     val name = s"qe17_mem_${System.nanoTime()}"
+    // sentinels staged upfront + single drain — see qe13's rationale
+    sentinel(1)
+    sentinel(2)
     val ev = Tables.normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
     val q = streaming.EventStreams
       .clickToPurchaseJoin(ev, windowSec = 600, joinType = "full_outer")
@@ -659,11 +672,7 @@ object SparkEntry {
       .queryName(name)
       .start()
     try {
-      q.processAllAvailable()
-      sentinel(1)
-      q.processAllAvailable()
-      sentinel(2)
-      q.processAllAvailable()
+      q.processAllAvailable() // data batch + watermark-advance flush batch
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
