@@ -35,6 +35,17 @@ object GraphScale {
       time("labelprop3") {
         graft.graph.LabelProp.run(edges, "x", "y", 3).count()
       }
+      // k-truss needs FULL neighbourhoods (no degree orientation can cap
+      // a hot node's adjacency like triangle counting) — this run is the
+      // measured form of that operator-doc caveat
+      time("ktruss4") {
+        graft.graph.Truss.decompose(edges, "x", "y", 4).count()
+      }
+      // betweenness cost is pivots × diameter rounds; 16 pivots is the
+      // estimator at a fixed budget, so wall should track |E|, not n·m
+      time("betweenness16") {
+        graft.graph.Betweenness.run(edges, "x", "y", pivots = 16).count()
+      }
     }
     spark.stop()
   }

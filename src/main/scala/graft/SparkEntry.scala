@@ -1189,6 +1189,41 @@ object SparkEntry {
       "event_type")
   }
 
+  /** KMV distinct-count sketch per source
+    * ([[operators.Sketches.kmvDistinct]], k = 16): bounded-state
+    * approximate distinct counting whose md5-derived hashes REPLAY in
+    * the oracle — DuckDB rebuilds the identical k-minimum sketch
+    * (distinct hash ranks ≤ k per source) and the identical
+    * (k−1)/h_(k) estimate, so the gate hash-compares an APPROXIMATE
+    * answer exactly. k = 16 < the 25 distinct texts per source, so the
+    * estimator path (not the exact small-set fallback) is what's
+    * compared.
+    */
+  private def qk1KmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.kmvDistinct(t(spark, dir, "documents"), "source", "text", 16)
+
+  /** Count-min frequency estimates ([[operators.Sketches
+    * .countMinEstimate]], d=4, w=256) for three corpus tokens and one
+    * absent probe: the oracle rebuilds the full d×w count table with the
+    * same md5 bucket hashes and takes the same min — over-counting
+    * collisions and the absent term's empty-bucket zero both replay
+    * exactly (LEFT join semantics on both sides).
+    */
+  private def qk2CountMin(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.countMinEstimate(
+      t(spark, dir, "documents"), "text",
+      Seq("join", "hash", "agg", "zzzmissing"), depth = 4, width = 256)
+
+  /** KMV set algebra across source pairs ([[operators.Sketches
+    * .kmvSetOps]]): union/intersection distinct estimates computed from
+    * the per-source sketches alone (k-min(A∪B) = k-min of the merged
+    * sketches — exact KMV algebra, no second data pass). The oracle
+    * re-derives every pair's merged sketch and the same
+    * inclusion–exclusion arithmetic in the same operation order.
+    */
+  private def qk3KmvSetOps(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.kmvSetOps(t(spark, dir, "documents"), "source", "text", 16)
+
   /** Per-user EWMA over the event stream
     * ([[operators.Temporal.ewma]]): the sequential smoothing fold,
     * ordered by (ts, event_id) — the oracle replays the identical
@@ -3988,6 +4023,9 @@ object SparkEntry {
     "qe15_ewma" -> (qe15Ewma _),
     "qe16_ohlc" -> (qe16Ohlc _),
     "qp4_drift" -> (qp4Drift _),
+    "qk1_kmv_distinct" -> (qk1KmvDistinct _),
+    "qk2_countmin" -> (qk2CountMin _),
+    "qk3_kmv_setops" -> (qk3KmvSetOps _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qj13_salted_join" -> (qj13SaltedJoin _),
@@ -5911,6 +5949,90 @@ object SparkEntry {
         |    THEN round((n_a / ta - n_b / tb) * ln((n_a / ta) / (n_b / tb)), 6)
         |  END AS psi
         |FROM j CROSS JOIN t""".stripMargin,
+    // KMV sketch: the oracle rebuilds the k-minimum distinct-hash set
+    // (md5-prefix hashes, rank <= 16 per source) and the identical
+    // (k-1)/h_(k) estimate — approximate answer, exact replay.
+    "qk1_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_sketch,
+        |    max(CASE WHEN rn = 16 THEN hv END) AS hk
+        |  FROM r WHERE rn <= 16 GROUP BY source)
+        |SELECT source, n_sketch,
+        |  round(CASE WHEN n_sketch < 16 THEN CAST(n_sketch AS DOUBLE)
+        |    ELSE 15.0 / (CAST(hk + 1 AS DOUBLE) / 4294967296.0) END, 6)
+        |    AS est_distinct
+        |FROM s""".stripMargin,
+    // Count-min: full d x w count table with the same md5 bucket hashes,
+    // same min over rows; LEFT join keeps the absent probe's zero.
+    "qk2_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT tok FROM toks WHERE len(tok) > 0),
+        |g AS (
+        |  SELECT r,
+        |    CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8)
+        |      AS BIGINT) % 256 AS bucket,
+        |    count(*) AS cnt
+        |  FROM t2 CROSS JOIN generate_series(0, 3) AS s(r) GROUP BY 1, 2),
+        |p AS (
+        |  SELECT term, r,
+        |    CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || term), 1, 8)
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM (VALUES ('join'), ('hash'), ('agg'), ('zzzmissing')) v(term)
+        |  CROSS JOIN generate_series(0, 3) AS s(r))
+        |SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |FROM p LEFT JOIN g USING (r, bucket) GROUP BY term""".stripMargin,
+    // KMV set algebra: merged pair sketches (rank <= 16 of the union of
+    // the two k-min sets), same estimates, same (a+b)-u operation order.
+    "qk3_kmv_setops" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM h),
+        |sk AS MATERIALIZED (SELECT source, hv, rn FROM r WHERE rn <= 16),
+        |e2 AS MATERIALIZED (
+        |  SELECT source,
+        |    CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 15.0 / (CAST(max(CASE WHEN rn = 16 THEN hv END) + 1
+        |        AS DOUBLE) / 4294967296.0) END AS est
+        |  FROM sk GROUP BY source),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.source AS key_a, b.source AS key_b
+        |  FROM (SELECT DISTINCT source FROM documents) a
+        |  JOIN (SELECT DISTINCT source FROM documents) b
+        |    ON a.source < b.source),
+        |uh AS (
+        |  SELECT key_a, key_b, hv FROM pairs JOIN sk ON sk.source = key_a
+        |  UNION
+        |  SELECT key_a, key_b, hv FROM pairs JOIN sk ON sk.source = key_b),
+        |ur AS (
+        |  SELECT key_a, key_b, hv,
+        |    row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS rn
+        |  FROM uh),
+        |ue AS (
+        |  SELECT key_a, key_b,
+        |    CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 15.0 / (CAST(max(CASE WHEN rn = 16 THEN hv END) + 1
+        |        AS DOUBLE) / 4294967296.0) END AS estu
+        |  FROM ur WHERE rn <= 16 GROUP BY key_a, key_b)
+        |SELECT ue.key_a, ue.key_b, round(estu, 6) AS est_union,
+        |  round((ea.est + eb.est) - estu, 6) AS est_intersect
+        |FROM ue
+        |JOIN e2 ea ON ea.source = ue.key_a
+        |JOIN e2 eb ON eb.source = ue.key_b""".stripMargin,
     // EWMA: the recursive CTE replays the fold step-for-step — same
     // seed, same (ts, event_id) order, same acc*0.75 + v*0.25 IEEE ops
     // — so doubles match bit-for-bit before the 6-dp round.

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DETERMINISTIC SKETCHES — bounded-state approximate aggregates (KMV
+  * distinct counting, count-min frequency) built on REPLAYABLE hashes:
+  * every hash is the first 8 hex digits of an md5 (the qt29 split
+  * trick), so an independent engine reproduces the sketch bit-for-bit
+  * and the approximation error comes from the SKETCH, never from
+  * engine-private RNG. That is what makes an approximate operator
+  * ORACLE-ABLE: the gate hash-compares estimates, not tolerances.
+  *
+  * Why sketches at all: `COUNT(DISTINCT x)` at 100 TB shuffles every
+  * distinct value; a KMV sketch (Bar-Yossef et al. 2002's k-minimum
+  * values / the theta-sketch family) keeps the k SMALLEST distinct hash
+  * values per group — state is k longs no matter how many distinct
+  * values exist, partial-aggregates map-side like any Aggregator, and
+  * the k-th smallest hash estimates the distinct count as
+  * (k−1)/h_(k) with relative error ~1/√k. Count-min (Cormode &
+  * Muthukrishnan 2005) bounds per-key frequency state to d·w counters
+  * with one-sided (over-)estimates. Spark's own approx_count_distinct
+  * is the same idea (HLL++) but its sketch is engine-private — these
+  * are the cross-engine-replayable counterparts.
+  *
+  * Reference: no analog (the reference pipelines count exactly at
+  * single-country scale); beyond-reference scale mandate.
+  */
+object Sketches {
+
+  /** 32-bit replayable hash: first 8 md5 hex digits as a long in
+    * [0, 2³²). Codegen-friendly builtins only (md5 → substring → conv);
+    * the DuckDB replay is `CAST('0x' || substring(md5(x), 1, 8) AS
+    * BIGINT)`.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Normalized hash in (0, 1]: (h+1)/2³² — the +1 dodges the
+    * 2⁻³²-probability zero divisor in the KMV estimate (both engines
+    * apply it, so replay is unaffected).
+    */
+  private def frac(h: Column): Column =
+    (h + lit(1L)).cast("double") / lit(4294967296.0)
+
+  /** KMV DISTINCT-COUNT sketch per group: `(key, n_sketch, est_distinct)`
+    * where n_sketch = min(k, true distinct) and est_distinct is EXACT
+    * when the group holds fewer than k distinct values (the sketch
+    * degrades gracefully to a distinct set) and (k−1)/h_(k) otherwise.
+    * State is ≤ k longs per group at every stage — the Aggregator
+    * partial-aggregates map-side, so the group shuffle carries k values
+    * per (partition, key), never the distinct set.
+    */
+  def kmvDistinct(
+      df: DataFrame, keyCol: String, valueCol: String, k: Int = 32): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val kmv = udaf(new KMinDistinct(k))
+    df.select(col(keyCol), md5Hash32(col(valueCol)).as("__h"))
+      .groupBy(col(keyCol))
+      .agg(kmv(col("__h")).as("__kmv"))
+      .select(
+        col(keyCol),
+        size(col("__kmv")).cast("long").as("n_sketch"),
+        round(
+          when(size(col("__kmv")) < k, size(col("__kmv")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) / frac(element_at(col("__kmv"), k))),
+          6).as("est_distinct"))
+  }
+
+  /** KMV SET OPERATIONS between every pair of groups: union and
+    * intersection distinct-count estimates from the per-group sketches
+    * ALONE (no second pass over the data — the point of sketches: set
+    * algebra on k-long summaries). The union sketch is exact KMV
+    * algebra: k-min(A ∪ B) = k-min(k-min(A) ∪ k-min(B)); intersection
+    * is inclusion–exclusion est(A)+est(B)−est(A∪B) (can dip negative on
+    * tiny overlaps — reported raw, a smoothing policy is the caller's).
+    * Output: (key_a, key_b, est_union, est_intersect), key_a < key_b.
+    */
+  def kmvSetOps(
+      df: DataFrame, keyCol: String, valueCol: String, k: Int = 32): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val kmv = udaf(new KMinDistinct(k))
+    def est(sketch: Column): Column =
+      when(size(sketch) < k, size(sketch).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / frac(element_at(sketch, k)))
+    val sk = df.select(col(keyCol), md5Hash32(col(valueCol)).as("__h"))
+      .groupBy(col(keyCol))
+      .agg(kmv(col("__h")).as("__kmv"))
+    val a = sk.select(col(keyCol).as("key_a"), col("__kmv").as("__ka"))
+    val b = sk.select(col(keyCol).as("key_b"), col("__kmv").as("__kb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__ku",
+        slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .select(
+        col("key_a"), col("key_b"),
+        round(est(col("__ku")), 6).as("est_union"),
+        round((est(col("__ka")) + est(col("__kb"))) - est(col("__ku")), 6)
+          .as("est_intersect"))
+  }
+
+  /** COUNT-MIN frequency estimates for `probes` over the corpus's
+    * whitespace tokens: `(term, est)` with est ≥ true count always
+    * (collisions only ADD) and est = min over `depth` hash rows of the
+    * probed bucket. The sketch itself is the depth×width count table —
+    * ONE aggregate of d·w cells regardless of corpus size; probing is a
+    * broadcast-sized join. An absent bucket estimates 0 (left join, not
+    * inner — a probe missing from every row must not vanish).
+    */
+  def countMinEstimate(
+      df: DataFrame, textCol: String, probes: Seq[String],
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch dims d=$depth w=$width")
+    require(probes.nonEmpty, "probes must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def bucket(term: Column, r: Column): Column =
+      pmod(md5Hash32(concat(r.cast("string"), lit("|"), term)), lit(width.toLong))
+    val cells = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(
+        col("__tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("__r"))
+      .groupBy(col("__r"), bucket(col("__tok"), col("__r")).as("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val probe = probes.toDF("term")
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("__r"))
+      .select(col("term"), col("__r"), bucket(col("term"), col("__r")).as("__bucket"))
+    probe
+      .join(cells, Seq("__r", "__bucket"), "left_outer")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("est"))
+  }
+}
+
+/** Bounded k-minimum-distinct-values buffer: an ascending ≤ k array of
+  * distinct longs. Insert and merge stay O(k) per call (k is a sketch
+  * parameter, 32–256); the buffer never exceeds k elements at ANY
+  * stage, which is the whole scale contract.
+  */
+final class KMinDistinct(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  private def insert(buf: Seq[Long], h: Long): Seq[Long] = {
+    if (buf.length >= k && h >= buf.last) buf // hot path: no alloc
+    else {
+      val i = buf.indexWhere(_ >= h)
+      if (i >= 0 && buf(i) == h) buf // distinct: drop exact repeats
+      else {
+        val grown = if (i < 0) buf :+ h else (buf.take(i) :+ h) ++ buf.drop(i)
+        if (grown.length > k) grown.take(k) else grown
+      }
+    }
+  }
+
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = insert(buf, h)
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Sketch contracts: KMV exactness below k and estimator sanity above
+  * it, the k-min merge algebra (sketch of a union == merged sketches —
+  * what makes set ops computable from summaries alone), count-min's
+  * one-sided error, and bit-identical determinism across runs.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "sketches-spec")
+  import spark.implicits._
+
+  test("kmv: below k the sketch IS the distinct set — exact counts") {
+    val df = (1 to 10).flatMap(i => Seq(("g", s"v$i"), ("g", s"v$i")))
+      .toDF("k", "v")
+    val out = Sketches.kmvDistinct(df, "k", "v", k = 32).collect().head
+    assert(out.getLong(1) == 10L && out.getDouble(2) == 10.0)
+  }
+
+  test("kmv: above k the estimate lands within the ~1/sqrt(k) error band") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"value_$i")).toDF("k", "v")
+    val est = Sketches.kmvDistinct(df, "k", "v", k = 256).collect().head.getDouble(2)
+    // 3 standard errors at k=256 is ~19%
+    assert(math.abs(est - n) / n < 0.19, s"est=$est for n=$n")
+  }
+
+  test("kmv: deterministic — same input, same estimate, any partitioning") {
+    val df = (1 to 1000).map(i => ("g", s"value_$i")).toDF("k", "v")
+    val a = Sketches.kmvDistinct(df.repartition(1), "k", "v", 16).collect().head.getDouble(2)
+    val b = Sketches.kmvDistinct(df.repartition(7), "k", "v", 16).collect().head.getDouble(2)
+    assert(a == b)
+  }
+
+  test("kmv set ops: merged sketches equal the sketch of the union") {
+    // KMV algebra: k-min(A union B) = k-min(k-min(A) union k-min(B)) —
+    // so est_union from kmvSetOps must equal kmvDistinct over the
+    // concatenated slices relabelled to one group
+    val a = (1 to 300).map(i => ("a", s"v$i"))
+    val b = (200 to 500).map(i => ("b", s"v$i"))
+    val df = (a ++ b).toDF("k", "v")
+    val ops = Sketches.kmvSetOps(df, "k", "v", k = 16).collect().head
+    val direct = Sketches.kmvDistinct(
+      df.withColumn("k", lit("u")), "k", "v", k = 16).collect().head.getDouble(2)
+    assert(ops.getDouble(2) == direct)
+    // inclusion-exclusion arithmetic: estA + estB - estU, in that order
+    val estA = Sketches.kmvDistinct(df.filter($"k" === "a"), "k", "v", 16)
+      .collect().head.getDouble(2)
+    val estB = Sketches.kmvDistinct(df.filter($"k" === "b"), "k", "v", 16)
+      .collect().head.getDouble(2)
+    assert(ops.getDouble(3) ==
+      math.rint(((estA + estB) - ops.getDouble(2)) * 1e6) / 1e6)
+  }
+
+  test("count-min: estimates are exact or OVER, never under; absent term is >= 0") {
+    val docs = (Seq.fill(40)("alpha beta") ++ Seq.fill(7)("beta gamma"))
+      .toDF("text")
+    val est = Sketches.countMinEstimate(
+      docs, "text", Seq("alpha", "beta", "gamma", "nope"), depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 40L && est("beta") >= 47L && est("gamma") >= 7L)
+    assert(est("nope") >= 0L)
+    // with w=64 and only 3 distinct tokens, collisions are unlikely in
+    // all 4 rows at once — the min should recover the exact counts
+    assert(est("alpha") == 40L && est("beta") == 47L && est("gamma") == 7L)
+  }
+
+  test("kmv: empty input produces no groups; empty-string values still hash") {
+    assert(Sketches.kmvDistinct(Seq.empty[(String, String)].toDF("k", "v"),
+      "k", "v", 16).isEmpty)
+    val one = Sketches.kmvDistinct(Seq(("g", "")).toDF("k", "v"), "k", "v", 16)
+      .collect().head
+    assert(one.getLong(1) == 1L && one.getDouble(2) == 1.0)
+  }
+}
