@@ -1189,6 +1189,50 @@ object SparkEntry {
       "event_type")
   }
 
+  /** Ordered conversion funnel ([[operators.Temporal.funnel]],
+    * view → click → purchase): per user, the first time each step is
+    * reached STRICTLY AFTER the previous one, nulls once the funnel
+    * stalls, and the completed-stage count. The oracle chains three
+    * conditional-min aggregates (each referencing the previous step's
+    * time), so an out-of-order match, a `>=` vs `>` slip, or a stalled
+    * funnel that keeps matching all break rows.
+    */
+  private def qe19Funnel(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.funnel(
+      events(spark, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  /** Cohort retention ([[operators.Temporal.cohortRetention]]): users
+    * bucketed by first-event week, counted in each week-offset they
+    * reappear — the retention triangle. Integer epoch-week buckets
+    * (identical truncating arithmetic both engines), distinct
+    * (cohort, offset, user) before the count so a twice-active week
+    * never double-counts.
+    */
+  private def qe20Cohort(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.cohortRetention(events(spark, dir), "user_id", "ts")
+
+  /** Edit-distance similarity over adjacent doc pairs: Levenshtein on
+    * the 40-char prefixes (both engines implement the same unit-cost
+    * DP) plus the length-normalized similarity — the fuzzy-matching
+    * primitive under typo-tolerant dedup. Codegen builtin, no UDF.
+    */
+  private def qt34EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("__p"))
+    d.join(
+      d.select((col("doc_id") - 1).as("doc_id"), col("__p").as("__p2")),
+      Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        levenshtein(col("__p"), col("__p2")).as("edit_dist"),
+        round(
+          lit(1.0) -
+            levenshtein(col("__p"), col("__p2")).cast("double") /
+              greatest(length(col("__p")), length(col("__p2"))).cast("double"),
+          6).as("sim"))
+  }
+
   /** KMV distinct-count sketch per source
     * ([[operators.Sketches.kmvDistinct]], k = 16): bounded-state
     * approximate distinct counting whose md5-derived hashes REPLAY in
@@ -4026,6 +4070,9 @@ object SparkEntry {
     "qk1_kmv_distinct" -> (qk1KmvDistinct _),
     "qk2_countmin" -> (qk2CountMin _),
     "qk3_kmv_setops" -> (qk3KmvSetOps _),
+    "qe19_funnel" -> (qe19Funnel _),
+    "qe20_cohort" -> (qe20Cohort _),
+    "qt34_edit_distance" -> (qt34EditDistance _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
     "qj13_salted_join" -> (qj13SaltedJoin _),
@@ -5949,6 +5996,55 @@ object SparkEntry {
         |    THEN round((n_a / ta - n_b / tb) * ln((n_a / ta) / (n_b / tb)), 6)
         |  END AS psi
         |FROM j CROSS JOIN t""".stripMargin,
+    // Funnel: chained conditional mins, each gated strictly-after the
+    // previous step's time; a stalled step's null propagates.
+    "qe19_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS t_view
+        |  FROM e GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t_view,
+        |    min(CASE WHEN event_type = 'click' AND us > t_view THEN us END)
+        |      AS t_click
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t_view, s2.t_click,
+        |    min(CASE WHEN event_type = 'purchase' AND us > t_click THEN us END)
+        |      AS t_purchase
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1, 2, 3)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_view IS NULL THEN 0
+        |            WHEN t_click IS NULL THEN 1
+        |            WHEN t_purchase IS NULL THEN 2
+        |            ELSE 3 END AS INTEGER) AS stage
+        |FROM s3""".stripMargin,
+    // Cohort retention: integer epoch-week buckets, distinct
+    // (cohort, offset, user) before counting.
+    "qe20_cohort" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+        |d AS (
+        |  SELECT DISTINCT w.user_id, cohort, wk - cohort AS off
+        |  FROM w JOIN f ON w.user_id = f.user_id)
+        |SELECT cohort AS cohort_week, off AS week_offset,
+        |  count(*) AS n_active
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    // Levenshtein: both engines run the same unit-cost DP; the
+    // normalized similarity divides in the same operation order.
+    "qt34_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS p FROM documents)
+        |SELECT a.doc_id,
+        |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist,
+        |  round(1.0 - CAST(levenshtein(a.p, b.p) AS DOUBLE) /
+        |    CAST(greatest(len(a.p), len(b.p)) AS DOUBLE), 6) AS sim
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
     // KMV sketch: the oracle rebuilds the k-minimum distinct-hash set
     // (md5-prefix hashes, rank <= 16 per source) and the identical
     // (k-1)/h_(k) estimate — approximate answer, exact replay.

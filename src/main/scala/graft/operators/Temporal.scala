@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,72 @@ object Temporal {
         round(sum(col("__v")), 6).as("vol"))
       .withColumn("open", round(col("open"), 6))
       .withColumn("close", round(col("close"), 6))
+  }
+
+  /** ORDERED FUNNEL — per key, the first time each step of an ordered
+    * step sequence is reached, where step i must occur STRICTLY AFTER
+    * step i−1 (the product-analytics conversion question asked
+    * properly: a purchase BEFORE the click doesn't convert that click).
+    * Output: (key, t_<step>… as epoch-µs longs, null once the funnel
+    * stalls, stage = number of steps completed).
+    *
+    * One shuffle: events group per key into a sorted (ts, type) array
+    * (the bounded-series assumption every keyed time-series op here
+    * carries — key by (entity, window) at 100 TB to cap it), then each
+    * step's timestamp is an array `filter` + `array_min` over the
+    * previous step's column — k steps = k codegen'd array scans, no
+    * k-way self-join and no per-step shuffle.
+    */
+  def funnel(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val base = df
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(
+        unix_micros(col(tsCol)).as("us"), col(typeCol).as("t"))).as("__ev"))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (acc, (s, i)) =>
+      val after: Column =
+        if (i == 0) lit(Long.MinValue) else col(s"t_${steps(i - 1)}")
+      acc.withColumn(s"t_$s",
+        array_min(transform(
+          filter(col("__ev"), e => e("t") === s && e("us") > after),
+          e => e("us"))))
+    }
+    withSteps.select(
+      col(keyCol) +:
+        steps.map(s => col(s"t_$s")) :+
+        steps.map(s => when(col(s"t_$s").isNotNull, 1).otherwise(0))
+          .reduce(_ + _).as("stage"): _*)
+  }
+
+  /** COHORT RETENTION — users bucketed by the week of their FIRST event
+    * (the cohort), counted as active in each later week they appear:
+    * `(cohort_week, week_offset, n_active)` — the retention triangle
+    * every growth dashboard draws. Weeks are integer
+    * `floor(epoch_µs / week_µs)` buckets, so both engines bucket
+    * identically with no timezone/date arithmetic. Two key-bounded
+    * shuffles: first-event per key (one aggregate), then the distinct
+    * (cohort, offset, key) count — never wider than the event key set.
+    */
+  def cohortRetention(
+      df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    // explicit FLOOR, not a bare cast: Spark's double→long cast
+    // truncates but DuckDB's CAST rounds-to-nearest — floor division is
+    // the arithmetic both engines express identically (// in DuckDB)
+    val wk = df.select(
+      col(keyCol),
+      floor(unix_micros(col(tsCol)) / lit(weekUs)).cast("long").as("__wk"))
+    val first = wk.groupBy(col(keyCol)).agg(min(col("__wk")).as("__cohort"))
+    wk.join(first, keyCol)
+      .select(col(keyCol), col("__cohort"),
+        (col("__wk") - col("__cohort")).as("__off"))
+      .distinct()
+      .groupBy(col("__cohort").as("cohort_week"), col("__off").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"))
   }
 
 }

@@ -97,6 +97,52 @@ class TemporalSpec extends AnyFunSuite {
     assert(nanOut._2 == 3L && nanOut._3.isNaN)
   }
 
+  test("funnel: strictly-after chaining, stalls propagate, same-instant never counts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // u1 completes in order
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // u2: purchase BEFORE the click — stage 2, not 3
+      (2L, ts(10), "view"), (2L, ts(30), "click"), (2L, ts(20), "purchase"),
+      // u3: click at the SAME instant as the view — strictly-after fails
+      (3L, ts(10), "view"), (3L, ts(10), "click"),
+      // u4: never views — stage 0 even with later steps present
+      (4L, ts(5), "click"), (4L, ts(6), "purchase"),
+      // u5: the EARLIEST qualifying step wins (view at 10, not 50)
+      (5L, ts(50), "view"), (5L, ts(10), "view"), (5L, ts(20), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Temporal.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0, 5L -> 2))
+    val u1 = Temporal.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .filter($"user_id" === 1L).collect().head
+    assert(u1.getLong(1) == 10000000L && u1.getLong(2) == 20000000L &&
+      u1.getLong(3) == 30000000L)
+  }
+
+  test("cohort retention: first-week cohorts, offsets, no double-count within a week") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val wk = 7L * 86400L
+    def ts(week: Long, sec: Long) = new Timestamp((week * wk + sec) * 1000L)
+    val ev = Seq(
+      // u1 joins week 0, active weeks 0 and 2 (twice in week 2 — counted once)
+      (1L, ts(0, 10)), (1L, ts(2, 10)), (1L, ts(2, 20)),
+      // u2 joins week 0, active week 0 only
+      (2L, ts(0, 50)),
+      // u3 joins week 1, active weeks 1 and 2
+      (3L, ts(1, 10)), (3L, ts(2, 10))
+    ).toDF("user_id", "ts")
+    val out = Temporal.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L, (1L, 1L) -> 1L)
+    assert(out == expected, s"got $out")
+  }
+
   test("ohlc: bar edges, tie-ordered open/close, hand-computed bars") {
     import spark.implicits._
     import java.sql.Timestamp
