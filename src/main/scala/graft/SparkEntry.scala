@@ -1212,6 +1212,29 @@ object SparkEntry {
   private def qe20Cohort(spark: SparkSession, dir: String): DataFrame =
     operators.Temporal.cohortRetention(events(spark, dir), "user_id", "ts")
 
+  /** Markov transition matrix ([[operators.Temporal.transitionMatrix]]):
+    * per-user consecutive event-type pairs in strict (ts, event_id)
+    * order, counted and normalized per from-state — the session-flow
+    * model. The oracle runs the identical `lead` window and the same
+    * BIGINT/BIGINT→double division; a mis-ordered tie or a pair crossing
+    * users changes counts.
+    */
+  private def qe21Transitions(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.transitionMatrix(
+      events(spark, dir), "user_id", "ts", "event_id", "event_type")
+
+  /** Random-projection dimensionality reduction
+    * ([[operators.Similarity.randomProjection]], 64 → 16 dims): the
+    * Achlioptas ±1 sign matrix derives from md5-prefix parity of
+    * (dim, position), and the inner sum is a SEQUENTIAL left fold —
+    * DuckDB replays sign-for-sign with an index lambda and
+    * `list_reduce`, so the projected doubles match bit-for-bit before
+    * the 6-dp round (no group-by sum reorder on either side).
+    */
+  private def qs11RandomProjection(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.randomProjection(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", 16)
+
   /** Edit-distance similarity over adjacent doc pairs: Levenshtein on
     * the 40-char prefixes (both engines implement the same unit-cost
     * DP) plus the length-normalized similarity — the fuzzy-matching
@@ -4072,6 +4095,8 @@ object SparkEntry {
     "qk3_kmv_setops" -> (qk3KmvSetOps _),
     "qe19_funnel" -> (qe19Funnel _),
     "qe20_cohort" -> (qe20Cohort _),
+    "qe21_transitions" -> (qe21Transitions _),
+    "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
     "qj10_reverse_pairs" -> (qj10ReversePairs _),
@@ -6035,6 +6060,33 @@ object SparkEntry {
         |SELECT cohort AS cohort_week, off AS week_offset,
         |  count(*) AS n_active
         |FROM d GROUP BY 1, 2""".stripMargin,
+    // Transition matrix: identical lead window, identical tie order,
+    // identical BIGINT/BIGINT -> double division.
+    "qe21_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, to_state, count(*) AS n FROM p
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n, round(c.n / t.tot, 6) AS p
+        |FROM c JOIN t USING (from_state)""".stripMargin,
+    // Random projection: sign-for-sign md5-parity replay, and the inner
+    // sum is list_reduce — the same sequential left fold Spark's
+    // aggregate() runs, so doubles match bit-for-bit pre-round.
+    "qs11_random_projection" ->
+      """SELECT vec_id, CAST(t.j AS INTEGER) AS dim,
+        |  round(list_reduce(
+        |    list_transform(embedding, (x, i) ->
+        |      CAST(x AS DOUBLE) *
+        |      CASE WHEN CAST('0x' || substring(
+        |          md5(CAST(t.j AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 8)
+        |        AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END),
+        |    (a, b) -> a + b) / 4.0, 6) AS proj
+        |FROM embeddings CROSS JOIN generate_series(1, 16) AS t(j)""".stripMargin,
     // Levenshtein: both engines run the same unit-cost DP; the
     // normalized similarity divides in the same operation order.
     "qt34_edit_distance" ->

@@ -58,6 +58,44 @@ object Similarity {
       .select(col(idCol), col("sim"))
   }
 
+  /** RANDOM-PROJECTION dimensionality reduction (Johnson–Lindenstrauss
+    * with an Achlioptas ±1 sign matrix): out_j = (Σᵢ vᵢ·s_ij)/√d' —
+    * the pre-ANN shrink that cuts a 64-float embedding to d' dims while
+    * preserving pairwise distances within the JL bound. The sign matrix
+    * is DERIVED, not stored: s_ij = ±1 from the parity of an md5-prefix
+    * hash of (j, i), so the projection is a pure zero-exchange codegen
+    * projection (nested transform/aggregate lambdas), reproducible
+    * across engines bit-for-bit — the inner sum is a SEQUENTIAL left
+    * fold and DuckDB replays it term-for-term with list_reduce. Output
+    * long-form `(id, dim 1..d', proj)` (array outputs break the
+    * driver's row compare). √d' is exact in FP when d' is a perfect
+    * square (the qs11 gate uses 16); for other d' the constant must be
+    * matched across engines.
+    */
+  def randomProjection(
+      embs: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    def sign(j: Column, i1: Column): Column =
+      when(
+        pmod(
+          conv(substring(md5(concat(j.cast("string"), lit("|"), i1.cast("string"))), 1, 8), 16, 10)
+            .cast("long"),
+          lit(2L)) === 0L,
+        lit(1.0)).otherwise(lit(-1.0))
+    embs.select(
+      col(idCol),
+      explode(transform(sequence(lit(1), lit(outDims)), j => struct(
+        j.as("j"),
+        (aggregate(
+          transform(col(vecCol), (x, i) => x.cast("double") * sign(j, i + lit(1))),
+          lit(0.0), (a, b) => a + b) / lit(math.sqrt(outDims.toDouble))).as("v"))))
+        .as("__p"))
+      .select(
+        col(idCol),
+        col("__p.j").cast("int").as("dim"),
+        round(col("__p.v"), 6).as("proj"))
+  }
+
   /** Exact top-k by raw dot product (maximum inner-product search — the
     * right metric when embeddings are pre-normalized or magnitude carries
     * signal). Same scan + TakeOrderedAndProject shape as the cosine form;

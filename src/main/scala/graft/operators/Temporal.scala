@@ -159,6 +159,31 @@ object Temporal {
           .reduce(_ + _).as("stage"): _*)
   }
 
+  /** MARKOV TRANSITION MATRIX — per-key consecutive event-type pairs
+    * counted and normalized into transition probabilities:
+    * `(from_state, to_state, n, p)` with p = n / Σ n over from_state —
+    * the session-flow model behind "what do users do after X".
+    * Consecutive = adjacent in strict (ts, tie) order within the key;
+    * one window shuffle for the `lead`, then two state-cardinality-
+    * bounded aggregates (state spaces are small by nature — the shuffle
+    * after the window never exceeds \|states\|²).
+    */
+  def transitionMatrix(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_state")).agg(sum(col("n")).as("__tot"))
+    counts.join(totals, "from_state")
+      .select(
+        col("from_state"), col("to_state"), col("n"),
+        round(col("n") / col("__tot"), 6).as("p"))
+  }
+
   /** COHORT RETENTION — users bucketed by the week of their FIRST event
     * (the cohort), counted as active in each later week they appear:
     * `(cohort_week, week_offset, n_active)` — the retention triangle

@@ -231,4 +231,34 @@ class RecallSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(stored == inline)
   }
+
+  test("random projection: JL distance preservation within the bound, determinism") {
+    import spark.implicits._
+    // project the 16-dim corpus to 8 dims; pairwise squared distances of
+    // a sample must be preserved in EXPECTATION (the ±1/√d' matrix is an
+    // isometry on average) — check the mean ratio, not per-pair (the JL
+    // guarantee at d'=8 is loose per pair)
+    val proj = Similarity.randomProjection(embs, "vec_id", "embedding", 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val orig = corpus.take(40).map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      o = d2(orig(ids(i)), orig(ids(j))) if o > 1e-9
+    } yield d2(proj(ids(i)).toArray, proj(ids(j)).toArray) / o
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.35, s"mean distance ratio $mean")
+    // deterministic: same input, same projection, any partitioning
+    val again = Similarity.randomProjection(
+      embs.repartition(7), "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val first = Similarity.randomProjection(embs, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == first)
+  }
 }

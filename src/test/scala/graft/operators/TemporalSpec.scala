@@ -143,6 +143,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == expected, s"got $out")
   }
 
+  test("transition matrix: adjacency within key only, tie order, probabilities sum to 1") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // u1: a -> b -> a  => (a,b), (b,a)
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "a"),
+      // u2: a -> c       => (a,c); u2's first event is NOT preceded by u1's last
+      (2L, ts(4), 4L, "a"), (2L, ts(5), 5L, "c"),
+      // u3: same-second tie — event_id orders it: a(6) -> b(7)
+      (3L, ts(9), 6L, "a"), (3L, ts(9), 7L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 0.666667)), ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))))
+    // per-from probabilities sum to ~1
+    val sums = out.toSeq.groupBy(_._1._1).map { case (f, xs) => f -> xs.map(_._2._2).sum }
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-5))
+  }
+
   test("ohlc: bar edges, tie-ordered open/close, hand-computed bars") {
     import spark.implicits._
     import java.sql.Timestamp
