@@ -124,6 +124,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "chunk fan-out should be a Generate:\n" + p.take(800))
   }
 
+  test("qs11: random projection is a pure generator projection — zero exchanges") {
+    val p = plan("qs11_random_projection")
+    assert(!p.contains("Exchange"), "projection grew a shuffle:\n" + p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+    // the derived sign matrix must never materialize as a join side
+    assert(p.contains("Generate explode"), "dim fan-out should be a Generate:\n" + p.take(800))
+  }
+
+  test("qe19: funnel is ONE key shuffle — no per-step join cascade") {
+    val p = plan("qe19_funnel")
+    assert(!p.contains("Join"), "funnel grew a self-join:\n" + p.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"funnel should shuffle once, saw $exchanges:\n" + p.take(1200))
+  }
+
+  test("qk1: the KMV sketch aggregate partial-aggregates before the exchange") {
+    val p = plan("qk1_kmv_distinct")
+    // ObjectHashAggregate partial (the Aggregator's map-side combine)
+    // must appear BELOW the exchange — the shuffle carries <= k longs
+    // per (partition, key), never the distinct set
+    val i = p.indexOf("Exchange hashpartitioning")
+    assert(i >= 0, p.take(800))
+    val below = p.substring(i)
+    assert(below.contains("partial_kminbuffer") || below.contains("ObjectHashAggregate"),
+      "no partial aggregate below the exchange:\n" + p.take(1600))
+  }
+
   test("qy6: hilbert index stays inside whole-stage codegen (no CodegenFallback)") {
     // codegen'd operators carry the "*(n)" stage marker once AQE finalizes
     val p = finalPlan("qy6_hilbert")
