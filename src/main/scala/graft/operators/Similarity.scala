@@ -63,33 +63,46 @@ object Similarity {
     * the pre-ANN shrink that cuts a 64-float embedding to d' dims while
     * preserving pairwise distances within the JL bound. The sign matrix
     * is DERIVED, not stored: s_ij = ±1 from the parity of an md5-prefix
-    * hash of (j, i), so the projection is a pure zero-exchange codegen
-    * projection (nested transform/aggregate lambdas), reproducible
-    * across engines bit-for-bit — the inner sum is a SEQUENTIAL left
-    * fold and DuckDB replays it term-for-term with list_reduce. Output
-    * long-form `(id, dim 1..d', proj)` (array outputs break the
-    * driver's row compare). √d' is exact in FP when d' is a perfect
-    * square (the qs11 gate uses 16); for other d' the constant must be
-    * matched across engines.
+    * hash of (j, i), computed once at plan-build time and entering the
+    * plan as literal arrays, so the projection is a pure zero-exchange
+    * codegen multiply-add fold — reproducible across engines
+    * bit-for-bit: the inner sum is a SEQUENTIAL left fold and DuckDB
+    * replays it term-for-term (same md5-parity signs, index lambda +
+    * list_reduce). Output long-form `(id, dim 1..d', proj)` (array
+    * outputs break the driver's row compare). √d' is exact in FP when
+    * d' is a perfect square (the qs11 gate uses 16); for other d' the
+    * constant must be matched across engines. `inDims` must equal the
+    * vector length — a shorter vector null-poisons its rows LOUDLY
+    * (zip_with pads), never silently truncates.
     */
   def randomProjection(
-      embs: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {
+      embs: DataFrame, idCol: String, vecCol: String, outDims: Int,
+      inDims: Int = 64): DataFrame = {
     require(outDims >= 1, s"outDims must be >= 1, got $outDims")
-    def sign(j: Column, i1: Column): Column =
-      when(
-        pmod(
-          conv(substring(md5(concat(j.cast("string"), lit("|"), i1.cast("string"))), 1, 8), 16, 10)
-            .cast("long"),
-          lit(2L)) === 0L,
-        lit(1.0)).otherwise(lit(-1.0))
-    embs.select(
-      col(idCol),
-      explode(transform(sequence(lit(1), lit(outDims)), j => struct(
-        j.as("j"),
+    require(inDims >= 1, s"inDims must be >= 1, got $inDims")
+    // the sign matrix is computed ONCE here with the identical md5-parity
+    // formula the oracle replays, and enters the plan as LITERAL arrays —
+    // the first cut recomputed outDims·inDims md5s PER ROW inside the
+    // lambda (measured 2.5 s at 50k vectors for 51M hash calls); as
+    // literals the row work is a pure multiply-add fold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(j: Int, i: Int): Double = {
+      val h = md.digest(s"$j|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex digits = first 4 bytes as an unsigned 32-bit value
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      if (v % 2 == 0) 1.0 else -1.0
+    }
+    val structs = (1 to outDims).map { j =>
+      val srow = array((1 to inDims).map(i => lit(sgn(j, i))): _*)
+      struct(
+        lit(j).as("j"),
         (aggregate(
-          transform(col(vecCol), (x, i) => x.cast("double") * sign(j, i + lit(1))),
-          lit(0.0), (a, b) => a + b) / lit(math.sqrt(outDims.toDouble))).as("v"))))
-        .as("__p"))
+          zip_with(slice(col(vecCol), 1, inDims), srow,
+            (x, s) => x.cast("double") * s),
+          lit(0.0), (a, b) => a + b) / lit(math.sqrt(outDims.toDouble))).as("v"))
+    }
+    embs.select(col(idCol), explode(array(structs: _*)).as("__p"))
       .select(
         col(idCol),
         col("__p.j").cast("int").as("dim"),

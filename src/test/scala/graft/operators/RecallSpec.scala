@@ -238,7 +238,7 @@ class RecallSpec extends AnyFunSuite {
     // a sample must be preserved in EXPECTATION (the ±1/√d' matrix is an
     // isometry on average) — check the mean ratio, not per-pair (the JL
     // guarantee at d'=8 is loose per pair)
-    val proj = Similarity.randomProjection(embs, "vec_id", "embedding", 8)
+    val proj = Similarity.randomProjection(embs, "vec_id", "embedding", 8, inDims = dim)
       .collect().groupBy(_.getLong(0))
       .map { case (id, rows) =>
         id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
@@ -255,10 +255,15 @@ class RecallSpec extends AnyFunSuite {
     assert(math.abs(mean - 1.0) < 0.35, s"mean distance ratio $mean")
     // deterministic: same input, same projection, any partitioning
     val again = Similarity.randomProjection(
-      embs.repartition(7), "vec_id", "embedding", 8)
+      embs.repartition(7), "vec_id", "embedding", 8, inDims = dim)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    val first = Similarity.randomProjection(embs, "vec_id", "embedding", 8)
+    val first = Similarity.randomProjection(embs, "vec_id", "embedding", 8, inDims = dim)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(again == first)
+    // an inDims larger than the vectors poisons LOUDLY (null), never
+    // silently truncates — the documented contract
+    val poisoned = Similarity.randomProjection(embs, "vec_id", "embedding", 2, inDims = dim + 1)
+      .collect()
+    assert(poisoned.forall(_.isNullAt(2)))
   }
 }
