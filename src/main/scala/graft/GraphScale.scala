@@ -47,6 +47,27 @@ object GraphScale {
         graft.graph.Betweenness.run(edges, "x", "y", pivots = 16).count()
       }
     }
+    // k-truss SKEW probe — the measured form of the operator-doc caveat
+    // ("support needs the FULL neighbourhood; no degree orientation caps
+    // a celebrity node's array"): a hash-random graph (10⁶ edges) plus a
+    // degree-10⁵ hub. The hub's adjacency array rides into every
+    // incident edge's array_intersect, so the hub's edges concentrate in
+    // few tasks — this run puts a number on how much that costs vs the
+    // skew-free graph above.
+    if (maxEdges >= 1000000L) {
+      val m = 1000000L
+      val n = m / 10
+      val base = spark.range(m).select(
+        pmod(xxhash64(col("id")), lit(n)).as("x"),
+        pmod(xxhash64(col("id") + 1234567L), lit(n)).as("y"))
+      val hub = spark.range(100000L).select(
+        lit(n).as("x"), // the celebrity node, adjacent to every id below
+        pmod(xxhash64(col("id") + 7L), lit(n)).as("y"))
+      val skewed = base.unionAll(hub).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val r = graft.graph.Truss.decompose(skewed, "x", "y", 4).count()
+      println(f"[graphscale] |E|=${m + 100000L}%8d ktruss4-skew ${(System.nanoTime() - t0) / 1e9}%7.2f s  (result=$r)")
+    }
     spark.stop()
   }
 }
