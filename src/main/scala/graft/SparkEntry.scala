@@ -1223,6 +1223,20 @@ object SparkEntry {
     operators.Temporal.transitionMatrix(
       events(spark, dir), "user_id", "ts", "event_id", "event_type")
 
+  /** Rolling z-score anomaly scoring
+    * ([[operators.Temporal.rollingZscore]], lookback 8, threshold 2.5):
+    * each event scored against the mean/σ of its 8 PRECEDING events per
+    * user in strict (ts, event_id) order. The oracle replays the same
+    * ROWS frame, the same explicit s2/n − (s1/n)² variance (never the
+    * builtin stddev — engines disagree on the algorithm), and the same
+    * full-window/positive-variance guards; z rounds at 4 dp because
+    * windowed double sums may associate differently across engines.
+    */
+  private def qe22Zscore(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.rollingZscore(
+      events(spark, dir), "user_id", "ts", "event_id", "value",
+      lookback = 8, threshold = 2.5)
+
   /** Random-projection dimensionality reduction
     * ([[operators.Similarity.randomProjection]], 64 → 16 dims): the
     * Achlioptas ±1 sign matrix derives from md5-prefix parity of
@@ -1290,6 +1304,29 @@ object SparkEntry {
     */
   private def qk3KmvSetOps(spark: SparkSession, dir: String): DataFrame =
     operators.Sketches.kmvSetOps(t(spark, dir, "documents"), "source", "text", 16)
+
+  /** HyperLogLog distinct users per event type
+    * ([[operators.Sketches.hllDistinct]], p = 4 → 16 registers): the
+    * harmonic-mean register sketch behind every engine's
+    * `approx_count_distinct`, here md5-replayable — the oracle rebuilds
+    * the identical registers (`length(bin(rem))` is the cross-engine
+    * leading-zero rank; the harmonic sum is FP-exact in ANY order, all
+    * terms powers of two) and the identical α·m²/S estimate, so the
+    * gate hash-compares the approximation exactly. The gate data keeps
+    * every register filled (150 distinct ≫ 2.5·m = 40), pinning the
+    * raw-estimator branch on both engines.
+    */
+  private def qk4HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.hllDistinct(events(spark, dir), "event_type", "user_id", 4)
+
+  /** HLL set algebra across event-type pairs ([[operators.Sketches
+    * .hllSetOps]]): union = elementwise register max (the lossless
+    * associative merge HLL is famous for), intersection =
+    * inclusion–exclusion over estimates in the same (a+b)−u operation
+    * order as the oracle.
+    */
+  private def qk5HllSetOps(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.hllSetOps(events(spark, dir), "event_type", "user_id", 4)
 
   /** Per-user EWMA over the event stream
     * ([[operators.Temporal.ewma]]): the sequential smoothing fold,
@@ -4093,9 +4130,12 @@ object SparkEntry {
     "qk1_kmv_distinct" -> (qk1KmvDistinct _),
     "qk2_countmin" -> (qk2CountMin _),
     "qk3_kmv_setops" -> (qk3KmvSetOps _),
+    "qk4_hll_distinct" -> (qk4HllDistinct _),
+    "qk5_hll_setops" -> (qk5HllSetOps _),
     "qe19_funnel" -> (qe19Funnel _),
     "qe20_cohort" -> (qe20Cohort _),
     "qe21_transitions" -> (qe21Transitions _),
+    "qe22_zscore" -> (qe22Zscore _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
@@ -6074,6 +6114,28 @@ object SparkEntry {
         |t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
         |SELECT c.from_state, c.to_state, c.n, round(c.n / t.tot, 6) AS p
         |FROM c JOIN t USING (from_state)""".stripMargin,
+    // Rolling z-score: identical ROWS frame over null-filtered rows,
+    // identical explicit-variance arithmetic (s2/n - (s1/n)^2, that
+    // operation order), full-window and positive-variance guards on
+    // both sides; the flag compares the UNROUNDED |z|.
+    "qe22_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    count(value) OVER w AS n,
+        |    sum(value) OVER w AS s1,
+        |    sum(value * value) OVER w AS s2
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, round(value, 6) AS value,
+        |  round(CASE WHEN (s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0)) > 0.0
+        |    THEN (value - s1 / 8.0) /
+        |      sqrt(s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0)) END, 4) AS z,
+        |  CASE WHEN (s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0)) > 0.0
+        |      AND abs((value - s1 / 8.0) /
+        |        sqrt(s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0))) > 2.5
+        |    THEN 1 ELSE 0 END AS is_anomaly
+        |FROM e WHERE n = 8""".stripMargin,
     // Random projection: sign-for-sign md5-parity replay, and the inner
     // sum is list_reduce — the same sequential left fold Spark's
     // aggregate() runs, so doubles match bit-for-bit pre-round.
@@ -6181,6 +6243,90 @@ object SparkEntry {
         |FROM ue
         |JOIN e2 ea ON ea.source = ue.key_a
         |JOIN e2 eb ON eb.source = ue.key_b""".stripMargin,
+    // HLL: identical registers (top-4 hash bits bucket via integer
+    // floor-divide, rank via unpadded bin() length — both engine-exact)
+    // and identical harmonic estimate (the register sum is FP-exact in
+    // any order: every term is a power of two, partials fit a mantissa).
+    // 0.673*16.0*16.0 replays lit(alpha*m*m) exactly — scaling a
+    // rounded literal by a power of two commutes with the rounding.
+    "qk4_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, hv // 268435456 AS b,
+        |    max(CASE WHEN hv % 268435456 = 0 THEN 29
+        |      ELSE 29 - length(bin(hv % 268435456)) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers,
+        |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS sp
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, n_registers,
+        |  round(CASE WHEN (0.673 * 16.0 * 16.0 /
+        |        (sp + (16.0 - CAST(n_registers AS DOUBLE)))) <= 40.0
+        |      AND (16 - n_registers) > 0
+        |    THEN 16.0 * ln(16.0 / CAST(16 - n_registers AS DOUBLE))
+        |    ELSE 0.673 * 16.0 * 16.0 /
+        |      (sp + (16.0 - CAST(n_registers AS DOUBLE))) END, 6)
+        |    AS est_distinct
+        |FROM s""".stripMargin,
+    // HLL set algebra: per-pair union registers = elementwise max of
+    // the two sides' register rows; same estimator, same (a+b)-u
+    // inclusion-exclusion order as the Spark side.
+    "qk5_hll_setops" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS MATERIALIZED (
+        |  SELECT event_type, hv // 268435456 AS b,
+        |    max(CASE WHEN hv % 268435456 = 0 THEN 29
+        |      ELSE 29 - length(bin(hv % 268435456)) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |e1 AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS sp
+        |  FROM g GROUP BY 1),
+        |e2 AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CASE WHEN (0.673 * 16.0 * 16.0 /
+        |          (sp + (16.0 - CAST(n AS DOUBLE)))) <= 40.0 AND (16 - n) > 0
+        |      THEN 16.0 * ln(16.0 / CAST(16 - n AS DOUBLE))
+        |      ELSE 0.673 * 16.0 * 16.0 / (sp + (16.0 - CAST(n AS DOUBLE)))
+        |      END AS est
+        |  FROM e1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.event_type AS key_a, b.event_type AS key_b
+        |  FROM (SELECT DISTINCT event_type FROM g) a
+        |  JOIN (SELECT DISTINCT event_type FROM g) b
+        |    ON a.event_type < b.event_type),
+        |uh AS (
+        |  SELECT key_a, key_b, b, m FROM pairs JOIN g ON g.event_type = key_a
+        |  UNION ALL
+        |  SELECT key_a, key_b, b, m FROM pairs JOIN g ON g.event_type = key_b),
+        |ug AS (
+        |  SELECT key_a, key_b, b, max(m) AS m FROM uh GROUP BY 1, 2, 3),
+        |ue AS (
+        |  SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS n,
+        |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS sp
+        |  FROM ug GROUP BY 1, 2),
+        |uest AS (
+        |  SELECT key_a, key_b,
+        |    CASE WHEN (0.673 * 16.0 * 16.0 /
+        |          (sp + (16.0 - CAST(n AS DOUBLE)))) <= 40.0 AND (16 - n) > 0
+        |      THEN 16.0 * ln(16.0 / CAST(16 - n AS DOUBLE))
+        |      ELSE 0.673 * 16.0 * 16.0 / (sp + (16.0 - CAST(n AS DOUBLE)))
+        |      END AS est
+        |  FROM ue)
+        |SELECT u.key_a, u.key_b, round(u.est, 6) AS est_union,
+        |  round((ea.est + eb.est) - u.est, 6) AS est_intersect
+        |FROM uest u
+        |JOIN e2 ea ON ea.event_type = u.key_a
+        |JOIN e2 eb ON eb.event_type = u.key_b""".stripMargin,
     // EWMA: the recursive CTE replays the fold step-for-step — same
     // seed, same (ts, event_id) order, same acc*0.75 + v*0.25 IEEE ops
     // — so doubles match bit-for-bit before the 6-dp round.

@@ -98,6 +98,124 @@ object Sketches {
           .as("est_intersect"))
   }
 
+  /** HYPERLOGLOG register rows per group: `(key, __b, __m)` — bucket
+    * j ∈ [0, 2^p) from the hash's TOP p bits, register value
+    * M[j] = max over the bucket's values of (leading zeros of the
+    * remaining 32−p bits + 1). Registers are rows, not an array: the
+    * whole sketch is two hash aggregates of builtins (groupBy max),
+    * partial-aggregating map-side, with ≤ 2^p rows per (partition, key)
+    * crossing the shuffle — no UDAF needed, and the rows replay in SQL
+    * verbatim. The rank ρ uses `length(bin(rem))` (= ⌊log₂ rem⌋ + 1 for
+    * rem > 0) — identical unpadded-binary semantics in Spark and DuckDB,
+    * dodging the float-log₂-at-power-of-two hazard entirely.
+    */
+  private def hllRegisters(
+      df: DataFrame, keyCol: String, valueCol: String, p: Int): DataFrame = {
+    val sub = 1L << (32 - p)
+    val h = md5Hash32(col(valueCol).cast("string"))
+    df.filter(col(valueCol).isNotNull)
+      .select(
+        col(keyCol),
+        floor(h / lit(sub.toDouble)).cast("long").as("__b"),
+        pmod(h, lit(sub)).as("__rem"))
+      .select(
+        col(keyCol), col("__b"),
+        when(col("__rem") === 0L, lit(32 - p + 1))
+          .otherwise(lit(32 - p + 1) - length(bin(col("__rem")))).as("__r"))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(max(col("__r")).as("__m"))
+  }
+
+  /** Flajolet's α_m bias constant. */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The HLL estimate from grouped register rows: raw harmonic-mean
+    * estimate α·m²/Σ2^(−M[j]) (empty registers contribute 2⁰ = 1), with
+    * the standard small-range correction (linear counting m·ln(m/V)
+    * when raw ≤ 2.5m and some register is empty). The harmonic sum is
+    * FP-EXACT in any order — every term is a power of two ≥ 2^(−33) and
+    * the total < 2^p + 1, so all partial sums fit a double's mantissa —
+    * which is what lets two engines with different aggregation orders
+    * produce bit-identical estimates. 2^(−M[j]) is an integer shift,
+    * not libm pow.
+    */
+  private def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = hllAlpha(m)
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_registers"),
+        sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), __m)").cast("double"))
+          .as("__s"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_registers"),
+        {
+          val s = col("__s") + (lit(m.toDouble) - col("n_registers").cast("double"))
+          val v = lit(m.toLong) - col("n_registers")
+          val raw = lit(alpha * m * m) / s
+          when(raw <= lit(2.5 * m) && v > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+            .otherwise(raw).as("__est")
+        }): _*)
+  }
+
+  /** HYPERLOGLOG DISTINCT-COUNT per group (Flajolet et al. 2007):
+    * `(key, n_registers, est_distinct)`. The 100 TB story is the state
+    * bound: 2^p registers per group — independent of cardinality, fixed
+    * at plan time — against KMV's k values; HLL is what every engine's
+    * `approx_count_distinct` runs (Spark's is HLL++), but THIS sketch
+    * is md5-replayable, so the oracle rebuilds registers and estimate
+    * bit-for-bit and the gate hash-compares an approximate answer
+    * exactly (the [[kmvDistinct]] contract, applied to the harmonic
+    * estimator).
+    */
+  def hllDistinct(
+      df: DataFrame, keyCol: String, valueCol: String, p: Int = 4): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    hllEstimate(hllRegisters(df, keyCol, valueCol, p), Seq(keyCol), p)
+      .select(col(keyCol), col("n_registers"),
+        round(col("__est"), 6).as("est_distinct"))
+  }
+
+  /** HLL SET ALGEBRA across group pairs: union/intersection distinct
+    * estimates from the register rows alone (union sketch = elementwise
+    * register max — the merge HLL is famous for: lossless, associative,
+    * commutative; intersection is inclusion–exclusion over estimates,
+    * reported raw like [[kmvSetOps]]). Output:
+    * `(key_a, key_b, est_union, est_intersect)`, key_a < key_b.
+    */
+  def hllSetOps(
+      df: DataFrame, keyCol: String, valueCol: String, p: Int = 4): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val regs = hllRegisters(df, keyCol, valueCol, p)
+    val single = hllEstimate(regs, Seq(keyCol), p)
+      .select(col(keyCol), col("__est"))
+    val keys = regs.select(col(keyCol)).distinct()
+    val pairs = keys.select(col(keyCol).as("key_a"))
+      .join(keys.select(col(keyCol).as("key_b")), col("key_a") < col("key_b"))
+    // union registers: both sides' rows under the pair key, max per bucket
+    val ur = pairs.join(regs, col(keyCol) === col("key_a"))
+      .select(col("key_a"), col("key_b"), col("__b"), col("__m"))
+      .unionAll(
+        pairs.join(regs, col(keyCol) === col("key_b"))
+          .select(col("key_a"), col("key_b"), col("__b"), col("__m")))
+      .groupBy(col("key_a"), col("key_b"), col("__b"))
+      .agg(max(col("__m")).as("__m"))
+    hllEstimate(ur, Seq("key_a", "key_b"), p)
+      .join(single.select(col(keyCol).as("key_a"), col("__est").as("__ea")), "key_a")
+      .join(single.select(col(keyCol).as("key_b"), col("__est").as("__eb")), "key_b")
+      .select(
+        col("key_a"), col("key_b"),
+        round(col("__est"), 6).as("est_union"),
+        round((col("__ea") + col("__eb")) - col("__est"), 6).as("est_intersect"))
+  }
+
   /** COUNT-MIN frequency estimates for `probes` over the corpus's
     * whitespace tokens: `(term, est)` with est ≥ true count always
     * (collisions only ADD) and est = min over `depth` hash rows of the

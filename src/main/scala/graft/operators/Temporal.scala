@@ -212,4 +212,51 @@ object Temporal {
       .select(col("cohort_week"), col("week_offset"), col("n_active"))
   }
 
+  /** ROLLING Z-SCORE — per-key anomaly scoring of a value series
+    * against its own trailing baseline: for each event (in strict
+    * (ts, tie) order), mean/variance over the PRECEDING `lookback`
+    * rows — the current row never contaminates its own baseline — and
+    * z = (v − μ)/σ. The training-data-quality staple (drift spikes,
+    * sensor faults, metric regressions) in its scalable form: one
+    * window shuffle on the key, sliding-frame sums, no self-join.
+    * Only rows with a FULL lookback window score (the first `lookback`
+    * rows per key have no defensible baseline and are dropped);
+    * zero-variance baselines yield null z and a false flag.
+    *
+    * Replay contract: variance is the explicit s2/n − (s1/n)² in that
+    * exact operation order (NOT the builtin stddev — engines disagree
+    * on the internal algorithm), null-value rows are excluded BEFORE
+    * the window so both engines see identical frames, and z rounds at
+    * 4 dp (windowed double sums may associate differently across
+    * engines; the ulp-level slack needs coarser rounding than the
+    * usual 6 dp). The flag compares the UNROUNDED |z| to the
+    * threshold.
+    */
+  def rollingZscore(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, lookback: Int, threshold: Double): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val n = lit(lookback.toDouble)
+    val scored = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("__n", count(col("__v")).over(w))
+      .withColumn("__s1", sum(col("__v")).over(w))
+      .withColumn("__s2", sum(col("__v") * col("__v")).over(w))
+      .filter(col("__n") === lookback)
+    val mean = col("__s1") / n
+    val varr = col("__s2") / n - mean * mean
+    val z = when(varr > 0.0, (col("__v") - mean) / sqrt(varr))
+    scored.select(
+      col(keyCol), col(tieCol),
+      round(col("__v"), 6).as("value"),
+      round(z, 4).as("z"),
+      when(abs(z) > threshold, lit(1)).otherwise(lit(0)).as("is_anomaly"))
+  }
+
 }

@@ -70,6 +70,59 @@ class SketchesSpec extends AnyFunSuite {
     assert(est("alpha") == 40L && est("beta") == 47L && est("gamma") == 7L)
   }
 
+  test("hll: estimate lands within the ~1.04/sqrt(m) error band; registers bounded") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"value_$i")).toDF("k", "v")
+    val out = Sketches.hllDistinct(df, "k", "v", p = 8).collect().head
+    assert(out.getLong(1) <= 256L) // never more rows than registers
+    val est = out.getDouble(2)
+    // 3 standard errors at m=256 is ~20%
+    assert(math.abs(est - n) / n < 0.20, s"est=$est for n=$n")
+  }
+
+  test("hll: small-range linear-counting branch is exact-ish and engaged") {
+    // 10 distinct into 256 registers: raw estimate falls below 2.5m with
+    // empty registers, so the m*ln(m/V) correction must fire — for V
+    // this close to m it is near-exact
+    val df = (1 to 10).map(i => ("g", s"v$i")).toDF("k", "v")
+    val est = Sketches.hllDistinct(df, "k", "v", p = 8).collect().head.getDouble(2)
+    assert(math.abs(est - 10.0) < 2.0, s"est=$est for n=10")
+  }
+
+  test("hll: deterministic — same input, same estimate, any partitioning") {
+    val df = (1 to 1000).map(i => ("g", s"value_$i")).toDF("k", "v")
+    val a = Sketches.hllDistinct(df.repartition(1), "k", "v", 4).collect().head.getDouble(2)
+    val b = Sketches.hllDistinct(df.repartition(7), "k", "v", 4).collect().head.getDouble(2)
+    assert(a == b)
+  }
+
+  test("hll set ops: union of registers equals the sketch of the union") {
+    // the lossless merge: elementwise register max over A and B rebuilds
+    // exactly the sketch of A ∪ B, so est_union must equal hllDistinct
+    // over the concatenated slices relabelled to one group
+    val a = (1 to 300).map(i => ("a", s"v$i"))
+    val b = (200 to 500).map(i => ("b", s"v$i"))
+    val df = (a ++ b).toDF("k", "v")
+    val ops = Sketches.hllSetOps(df, "k", "v", p = 4).collect().head
+    val direct = Sketches.hllDistinct(
+      df.withColumn("k", lit("u")), "k", "v", p = 4).collect().head.getDouble(2)
+    assert(ops.getDouble(2) == direct)
+    val estA = Sketches.hllDistinct(df.filter($"k" === "a"), "k", "v", 4)
+      .collect().head.getDouble(2)
+    val estB = Sketches.hllDistinct(df.filter($"k" === "b"), "k", "v", 4)
+      .collect().head.getDouble(2)
+    assert(ops.getDouble(3) ==
+      math.rint(((estA + estB) - ops.getDouble(2)) * 1e6) / 1e6)
+  }
+
+  test("hll: empty input produces no groups; nulls are dropped") {
+    assert(Sketches.hllDistinct(Seq.empty[(String, String)].toDF("k", "v"),
+      "k", "v", 4).isEmpty)
+    val df = Seq(("g", "x"), ("g", null)).toDF("k", "v")
+    val one = Sketches.hllDistinct(df, "k", "v", 4).collect().head
+    assert(one.getLong(1) == 1L)
+  }
+
   test("kmv: empty input produces no groups; empty-string values still hash") {
     assert(Sketches.kmvDistinct(Seq.empty[(String, String)].toDF("k", "v"),
       "k", "v", 16).isEmpty)

@@ -186,4 +186,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 2L, 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
   }
 
+  test("rolling z-score: hand-computed baseline, full-window drop, " +
+      "zero-variance null, nulls excluded before the frame") {
+    import spark.implicits._
+    val df = Seq(
+      // key a, lookback 2: rows 1-2 have no full window and drop;
+      // row 3 (v=2) vs (1,3): mean 2, var 1 -> z = 0;
+      // row 4 (v=10) vs (3,2): mean 2.5, var 0.25 -> z = 7.5/0.5 = 15
+      ("a", 1L, 1L, Option(1.0)), ("a", 2L, 2L, Option(3.0)),
+      ("a", 3L, 3L, Option(2.0)), ("a", 4L, 4L, Option(10.0)),
+      // key b: never a full window
+      ("b", 1L, 5L, Option(4.0)), ("b", 2L, 6L, Option(7.0)),
+      // key c: the null row vanishes BEFORE the frame, so the effective
+      // series is 4, 4, 9 — only the last row scores, against a
+      // zero-variance baseline -> null z, flag 0
+      ("c", 1L, 7L, Option(4.0)), ("c", 2L, 8L, None),
+      ("c", 3L, 9L, Option(4.0)), ("c", 4L, 10L, Option(9.0))
+    ).toDF("k", "t", "id", "v")
+    val out = Temporal.rollingZscore(df, "k", "t", "id", "v",
+        lookback = 2, threshold = 1.0)
+      .collect().map(r => r.getLong(1) ->
+        ((if (r.isNullAt(3)) null else r.getDouble(3)), r.getInt(4))).toMap
+    assert(out.keySet == Set(3L, 4L, 10L))
+    assert(out(3L) == ((0.0, 0)))
+    assert(out(4L) == ((15.0, 1)))
+    assert(out(10L) == ((null, 0)))
+  }
+
 }
