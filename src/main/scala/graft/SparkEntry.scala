@@ -1237,6 +1237,31 @@ object SparkEntry {
       events(spark, dir), "user_id", "ts", "event_id", "value",
       lookback = 8, threshold = 2.5)
 
+  /** Time-weighted average ([[operators.Temporal.twap]], 30-min
+    * buckets): Σ v·Δt / Σ Δt with Δt in integer microseconds to the
+    * next observation (bucket-edge close for the last) — the
+    * irregular-sampling integral a plain AVG gets wrong. The oracle
+    * replays the identical lead window, integer-µs Δt arithmetic, and
+    * HUGEINT-capped Δt sum.
+    */
+  private def qe23Twap(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.twap(
+      events(spark, dir), "user_id", "ts", "event_id", "value", 1800L)
+
+  /** Histogram-quantile sketch ([[operators.Sketches
+    * .histogramQuantile]], 64 bins over [0, 110000), q ∈
+    * {0.5, 0.95, 0.99} on lineitem prices per return flag): the
+    * bounded-state approximate quantile next to the exact rank
+    * machinery (q8/q28). Bin width 110000/64 = 1718.75 is FP-exact, and
+    * the interpolation arithmetic is a chain of single IEEE ops over
+    * integer-valued doubles — no order-dependent summation — so both
+    * engines produce bit-identical estimates.
+    */
+  private def qk6HistQuantile(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.histogramQuantile(
+      t(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      lo = 0.0, hi = 110000.0, bins = 64, qs = Seq(0.5, 0.95, 0.99))
+
   /** Random-projection dimensionality reduction
     * ([[operators.Similarity.randomProjection]], 64 → 16 dims): the
     * Achlioptas ±1 sign matrix derives from md5-prefix parity of
@@ -4136,6 +4161,8 @@ object SparkEntry {
     "qe20_cohort" -> (qe20Cohort _),
     "qe21_transitions" -> (qe21Transitions _),
     "qe22_zscore" -> (qe22Zscore _),
+    "qe23_twap" -> (qe23Twap _),
+    "qk6_hist_quantile" -> (qk6HistQuantile _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
@@ -6136,6 +6163,52 @@ object SparkEntry {
         |        sqrt(s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0))) > 2.5
         |    THEN 1 ELSE 0 END AS is_anomaly
         |FROM e WHERE n = 8""".stripMargin,
+    // TWAP: identical lead window, integer-microsecond dt (bucket edges
+    // are exact integer multiples), dt sum CAST out of DuckDB's HUGEINT
+    // before the divide.
+    "qe23_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (
+        |  SELECT user_id, tus // 1800000000 AS bucket, value,
+        |    coalesce(lead(tus) OVER (PARTITION BY user_id,
+        |        tus // 1800000000 ORDER BY tus, event_id),
+        |      (tus // 1800000000 + 1) * 1800000000) - tus AS dt
+        |  FROM e)
+        |SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value * CAST(dt AS DOUBLE)) /
+        |    CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE), 6) AS twap
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    // Histogram quantile: identical equi-width binning (floor of the
+    // same IEEE division; width 1718.75 is FP-exact), identical
+    // cumulative pick and single-IEEE-op interpolation — counts and bin
+    // indices are integer-valued doubles, so there is no summation
+    // order anywhere and the estimates match bit-for-bit.
+    "qk6_hist_quantile" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS val FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        |  SELECT k, least(greatest(
+        |    CAST(floor((val - 0.0) / 1718.75) AS BIGINT), 0), 63) AS bin
+        |  FROM v),
+        |c AS (SELECT k, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT k, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY k ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM c),
+        |e AS (
+        |  SELECT k, q, bin, cnt, cum, n,
+        |    row_number() OVER (PARTITION BY k, q ORDER BY bin) AS rn
+        |  FROM w CROSS JOIN (VALUES (0.5), (0.95), (0.99)) qq(q)
+        |  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+        |SELECT k AS l_returnflag, q,
+        |  round(0.0 + (CAST(bin AS DOUBLE) +
+        |    (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) /
+        |      CAST(cnt AS DOUBLE)) * 1718.75, 6) AS est
+        |FROM e WHERE rn = 1""".stripMargin,
     // Random projection: sign-for-sign md5-parity replay, and the inner
     // sum is list_reduce — the same sequential left fold Spark's
     // aggregate() runs, so doubles match bit-for-bit pre-round.

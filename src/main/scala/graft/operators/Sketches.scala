@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DETERMINISTIC SKETCHES — bounded-state approximate aggregates (KMV
@@ -214,6 +215,61 @@ object Sketches {
         col("key_a"), col("key_b"),
         round(col("__est"), 6).as("est_union"),
         round((col("__ea") + col("__eb")) - col("__est"), 6).as("est_intersect"))
+  }
+
+  /** HISTOGRAM QUANTILE sketch — approximate per-group quantiles from a
+    * fixed equi-width binning of [lo, hi): one data-sized pass builds
+    * per-(group, bin) counts (bounded state: ≤ `bins` rows per group —
+    * the scalable quantile path next to the EXACT rank machinery in
+    * `Relational.percentileFilter`, which must shuffle value ranges),
+    * then the quantile bin is the first whose cumulative count reaches
+    * q·n and the estimate interpolates linearly inside it. Error is
+    * bounded by the bin width — the caller picks the lo/hi/bins trade.
+    * Out-of-range values clamp into the edge bins (they still count;
+    * their positions saturate — the documented contract).
+    *
+    * Every post-binning number is an integer-valued double (counts,
+    * cumulative counts, bin indices), so the interpolation arithmetic
+    * `lo + (bin + (q·n − cum_prev)/cnt)·width` is a chain of single
+    * IEEE ops with NO order-dependent summation anywhere — bit-exact
+    * across engines, unlike a mean or variance.
+    * Output: (key, q, est) for each requested quantile q ∈ (0, 1].
+    */
+  def histogramQuantile(
+      df: DataFrame, keyCol: String, valCol: String,
+      lo: Double, hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val width = (hi - lo) / bins
+    val bin = least(
+      greatest(floor((col(valCol).cast("double") - lit(lo)) / lit(width))
+        .cast("long"), lit(0L)),
+      lit((bins - 1).toLong))
+    val counts = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), bin.as("__bin"))
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val cum = counts
+      .withColumn("__cum", sum(col("__cnt")).over(wRun))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+    val target = col("q") * col("__n").cast("double")
+    val pick = Window.partitionBy(col(keyCol), col("q")).orderBy(col("__bin"))
+    cum
+      .filter(col("__cum").cast("double") >= target)
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(
+        col(keyCol), col("q"),
+        round(
+          lit(lo) + (col("__bin").cast("double") +
+            (target - (col("__cum") - col("__cnt")).cast("double")) /
+              col("__cnt").cast("double")) * lit(width),
+          6).as("est"))
   }
 
   /** COUNT-MIN frequency estimates for `probes` over the corpus's

@@ -212,6 +212,49 @@ object Temporal {
       .select(col("cohort_week"), col("week_offset"), col("n_active"))
   }
 
+  /** TIME-WEIGHTED AVERAGE (TWAP) — per (key, bucket), the mean of a
+    * piecewise-constant value series weighted by how LONG each value
+    * held, not how often it was sampled: Σ vᵢ·Δtᵢ / Σ Δtᵢ, where Δtᵢ
+    * runs from observation i to the next observation in the bucket (the
+    * last observation holds to the bucket edge). The irregular-sampling
+    * integral OHLC and plain AVG both get wrong — a price quoted once
+    * and held an hour outweighs fifty ticks in a millisecond burst.
+    * One window shuffle on (key, bucket) for the `lead`, one aggregate;
+    * Δt is integer MICROSECONDS end to end (bucket edges are exact
+    * integer multiples, so both engines weight identically — the
+    * engine-replay reason to avoid fractional-second arithmetic).
+    * Same-instant ties (Δt = 0 except the (ts, tie)-last) resolve by
+    * the tie column. Output: (key, bucket, n_events, twap); Σ Δt ≥ 1 µs
+    * always (the last observation never sits ON the exclusive edge),
+    * so the division is total.
+    */
+  def twap(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    val us = bucketSec * 1000000L
+    val base = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol),
+        expr(s"unix_micros($tsCol)").as("__tus"),
+        col(tieCol),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("bucket", expr(s"__tus div ${us}L"))
+    val w = Window.partitionBy(col(keyCol), col("bucket"))
+      .orderBy(col("__tus"), col(tieCol))
+    base
+      .withColumn("__dt",
+        coalesce(lead(col("__tus"), 1).over(w),
+          (col("bucket") + 1) * lit(us)) - col("__tus"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(
+          sum(col("__v") * col("__dt").cast("double")) /
+            sum(col("__dt")).cast("double"),
+          6).as("twap"))
+  }
+
   /** ROLLING Z-SCORE — per-key anomaly scoring of a value series
     * against its own trailing baseline: for each event (in strict
     * (ts, tie) order), mean/variance over the PRECEDING `lookback`

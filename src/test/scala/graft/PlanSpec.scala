@@ -151,6 +151,28 @@ class PlanSpec extends AnyFunSuite {
       "no partial aggregate below the exchange:\n" + p.take(1600))
   }
 
+  test("qk4: HLL is two codegen hash aggregates — no Expand, no Object agg, no join") {
+    val p = plan("qk4_hll_distinct")
+    // registers are rows from PLAIN hash aggregates (builtin max/sum —
+    // codegen'd, partial before each exchange); the sketch must never
+    // regress to exact-distinct's Expand or to an Aggregator's
+    // ObjectHashAggregate
+    assert(!p.contains("Expand"), "HLL grew an exact-distinct Expand:\n" + p.take(1200))
+    assert(!p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("Join"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "expected partial+final x2:\n" + p.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"register + estimate = at most 2 shuffles, saw $exchanges:\n" + p.take(1200))
+  }
+
+  test("qe22: rolling z-score is ONE key shuffle + one Window — no self-join") {
+    val p = plan("qe22_zscore")
+    assert(!p.contains("Join"), "z-score grew a join:\n" + p.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one window shuffle, saw $exchanges:\n" + p.take(1200))
+    assert(p.contains("Window"), p.take(800))
+  }
+
   test("qy6: hilbert index stays inside whole-stage codegen (no CodegenFallback)") {
     // codegen'd operators carry the "*(n)" stage marker once AQE finalizes
     val p = finalPlan("qy6_hilbert")

@@ -123,6 +123,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(one.getLong(1) == 1L)
   }
 
+  test("histogram quantile: hand-computed interpolation and edge-bin clamping") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val out = Sketches.histogramQuantile(df, "k", "v", 0.0, 100.0, 10,
+        Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // q=0.5: target 50; bins 0..4 hold 9+10+10+10+10 = 49, bin 5 (cnt
+    // 10, values 50..59) reaches it -> est = (5 + 1/10) * 10 = 51
+    assert(out(0.5) == 51.0)
+    // q=1.0: v=100 clamps into bin 9 (cnt 11) -> est = (9 + 1) * 10
+    assert(out(1.0) == 100.0)
+    // out-of-range values clamp into edge bins and still count
+    val clamped = Sketches.histogramQuantile(
+      Seq(("g", -5.0), ("g", 5.0), ("g", 150.0)).toDF("k", "v"),
+      "k", "v", 0.0, 100.0, 10, Seq(0.5))
+      .collect().head.getDouble(2)
+    // bin 0 holds {-5, 5}: target 1.5 -> est = (0 + 1.5/2) * 10 = 7.5
+    assert(clamped == 7.5)
+  }
+
+  test("histogram quantile: estimate within one bin width of the exact quantile") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 3000).map(_ => ("g", rnd.nextDouble() * 80.0 + 10.0)).toDF("k", "v")
+    val vals = df.collect().map(_.getDouble(1)).sorted
+    val est = Sketches.histogramQuantile(df, "k", "v", 0.0, 100.0, 64, Seq(0.9))
+      .collect().head.getDouble(2)
+    val exact = vals((0.9 * 3000).toInt - 1)
+    assert(math.abs(est - exact) <= 100.0 / 64 + 1e-9, s"est=$est exact=$exact")
+  }
+
   test("kmv: empty input produces no groups; empty-string values still hash") {
     assert(Sketches.kmvDistinct(Seq.empty[(String, String)].toDF("k", "v"),
       "k", "v", 16).isEmpty)

@@ -186,6 +186,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 2L, 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
   }
 
+  test("twap: holding-time weights, bucket-edge close, tie order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      // bucket 0: v=10 holds 30 s (10..40), v=20 holds 20 s (40..60
+      // edge) -> (10*30 + 20*20)/50 = 14; a plain AVG would say 15
+      (1L, ts(10), 1L, 10.0), (1L, ts(40), 2L, 20.0),
+      // bucket 1: same-instant tie — id 5's dt is 0, id 6 holds to the
+      // edge, so the (ts, tie)-LAST value is the whole bar
+      (1L, ts(70), 5L, 100.0), (1L, ts(70), 6L, 50.0),
+      // bucket 2: single observation holds to the edge
+      (1L, ts(130), 7L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.twap(df, "user_id", "ts", "event_id", "value", 60L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((2L, 14.0)))
+    assert(out(1L) == ((2L, 50.0)))
+    assert(out(2L) == ((1L, 7.0)))
+  }
+
   test("rolling z-score: hand-computed baseline, full-window drop, " +
       "zero-variance null, nulls excluded before the frame") {
     import spark.implicits._
