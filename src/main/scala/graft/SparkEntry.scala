@@ -1248,6 +1248,57 @@ object SparkEntry {
     operators.Temporal.twap(
       events(spark, dir), "user_id", "ts", "event_id", "value", 1800L)
 
+  /** Proportion rebalancing ([[operators.TextAnalysis
+    * .proportionRebalance]]): target mixture weights 1–4 by source
+    * index; the scarcest stratum pins the feasible total and every
+    * source downsamples to its exact integer quota in md5-hash order.
+    */
+  private def qt35DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight",
+        (regexp_extract(col("source"), "\\d+", 0).cast("long") % 4L) + 1L)
+    operators.TextAnalysis.proportionRebalance(docs, "source", "doc_id", weights)
+  }
+
+  /** Gap-fill resampling ([[operators.Temporal.gapFill]], 6 h buckets,
+    * gaps ≤ 8 buckets interpolated): per user, bucket-last values on
+    * the regular grid plus linearly interpolated rows for the interior
+    * of short gaps — longer outages stay holes by contract.
+    */
+  private def qe25GapFill(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.gapFill(
+      events(spark, dir), "user_id", "ts", "event_id", "value",
+      bucketSec = 21600L, maxGapBuckets = 8)
+
+  /** STREAMING HLL through the oracle ([[streaming.EventStreams
+    * .runHllStream]]): a real `writeStream` whose state IS the sketch —
+    * per-hour (window, bucket) → max-rank register rows, ≤ 2^p rows per
+    * window no matter how many distinct users arrive (the bounded-state
+    * answer to streaming COUNT(DISTINCT)); the harmonic-mean estimate
+    * finalizes as a batch fold over the drained register table. Because
+    * `max` is the HLL merge, micro-batch increments replay to exactly
+    * the batch registers — which is what lets the DuckDB batch oracle
+    * gate a STREAMING approximate answer hash-exactly.
+    */
+  private def qe24StreamHll(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(dir)
+    val schema = spark.read.parquet(stage.toString).schema
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t =
+      try streaming.EventStreams.runHllStream(
+        spark, stage.toString, schema, p = 4,
+        queryName = s"qe24_mem_${System.nanoTime()}")
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        dropStage(stage)
+      }
+    t.select(
+      unix_timestamp(col("window_start")).as("window_start"),
+      col("n_registers"), col("est_distinct"))
+  }
+
   /** Histogram-quantile sketch ([[operators.Sketches
     * .histogramQuantile]], 64 bins over [0, 110000), q ∈
     * {0.5, 0.95, 0.99} on lineitem prices per return flag): the
@@ -3962,6 +4013,23 @@ object SparkEntry {
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** HITS hubs/authorities ([[graph.Hits]], 4 fixed iterations) on the
+    * qg9 nation trade graph: customer-nations as buyers (hubs),
+    * supplier-nations as sellers (authorities) — the two directed
+    * centrality roles PageRank's single score conflates.
+    */
+  private def qg14Hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graph.Hits.run(edges, "src", "dst", "w", iterations = 4)
+      .select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+  }
+
   private def qg8ScenarioOverrides(spark: SparkSession, dir: String): DataFrame = {
     val k = col("s_suppkey")
     val edges = t(spark, dir, "supplier").select(
@@ -4149,6 +4217,7 @@ object SparkEntry {
     "qg11_kcore" -> (qg11KCore _),
     "qg12_label_prop" -> (qg12LabelProp _),
     "qg13_ktruss" -> (qg13KTruss _),
+    "qg14_hits" -> (qg14Hits _),
     "qe15_ewma" -> (qe15Ewma _),
     "qe16_ohlc" -> (qe16Ohlc _),
     "qp4_drift" -> (qp4Drift _),
@@ -4162,6 +4231,9 @@ object SparkEntry {
     "qe21_transitions" -> (qe21Transitions _),
     "qe22_zscore" -> (qe22Zscore _),
     "qe23_twap" -> (qe23Twap _),
+    "qe24_stream_hll" -> (qe24StreamHll _),
+    "qe25_gapfill" -> (qe25GapFill _),
+    "qt35_domain_mix" -> (qt35DomainMix _),
     "qk6_hist_quantile" -> (qk6HistQuantile _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
@@ -6180,6 +6252,88 @@ object SparkEntry {
         |  round(sum(value * CAST(dt AS DOUBLE)) /
         |    CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE), 6) AS twap
         |FROM d GROUP BY 1, 2""".stripMargin,
+    // Streaming HLL: max is the sketch merge, so the micro-batched
+    // stream's registers equal the batch registers exactly — the same
+    // qk4 replay, keyed by the tumbling hour.
+    "qe24_stream_hll" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wk,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (
+        |  SELECT wk, hv // 268435456 AS b,
+        |    max(CASE WHEN hv % 268435456 = 0 THEN 29
+        |      ELSE 29 - length(bin(hv % 268435456)) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |s AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS n_registers,
+        |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS sp
+        |  FROM g GROUP BY 1)
+        |SELECT wk AS window_start, n_registers,
+        |  round(CASE WHEN (0.673 * 16.0 * 16.0 /
+        |        (sp + (16.0 - CAST(n_registers AS DOUBLE)))) <= 40.0
+        |      AND (16 - n_registers) > 0
+        |    THEN 16.0 * ln(16.0 / CAST(16 - n_registers AS DOUBLE))
+        |    ELSE 0.673 * 16.0 * 16.0 /
+        |      (sp + (16.0 - CAST(n_registers AS DOUBLE))) END, 6)
+        |    AS est_distinct
+        |FROM s""".stripMargin,
+    // Gap-fill: identical integer bucketing and bucket-last pick
+    // (lead-over-(bucket, ts, tie) filter), identical subtract →
+    // integer-ratio divide → multiply → add interpolation — DuckDB's
+    // generate_series is end-inclusive and empty when start > stop, so
+    // the open interval (b, nb) replays Spark's filtered sequence.
+    "qe25_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS tus, event_id AS tie,
+        |    value AS v, epoch_us(ts) // 21600000000 AS b
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |l AS (
+        |  SELECT k, b, v,
+        |    lead(b) OVER (PARTITION BY k ORDER BY b, tus, tie) AS nxb
+        |  FROM e),
+        |o AS (SELECT k, b, v FROM l WHERE nxb IS NULL OR nxb <> b),
+        |w AS (
+        |  SELECT k, b, v, lead(b) OVER (PARTITION BY k ORDER BY b) AS nb,
+        |    lead(v) OVER (PARTITION BY k ORDER BY b) AS nv
+        |  FROM o)
+        |SELECT k AS user_id, b * 21600 AS bucket_start,
+        |  round(v, 6) AS value, 0 AS filled
+        |FROM w
+        |UNION ALL
+        |SELECT k, g * 21600,
+        |  round(v + (nv - v) *
+        |    (CAST(g - b AS DOUBLE) / CAST(nb - b AS DOUBLE)), 6), 1
+        |FROM w, unnest(generate_series(b + 1, nb - 1)) AS t(g)
+        |WHERE nb IS NOT NULL AND nb - b >= 2 AND nb - b <= 8""".stripMargin,
+    // Proportion rebalance: quotas are all-integer (counts, weights,
+    // two floor-divides — // here, div in Spark), so both engines
+    // derive the SAME per-stratum k; the picks replay qt31's
+    // md5-hash-order rank. DuckDB sum(BIGINT) is HUGEINT — cast back.
+    "qt35_domain_mix" ->
+      """WITH wts AS (
+        |  SELECT source,
+        |    (CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 4) + 1 AS w
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM wts),
+        |cnt AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT min((c * wt) // w) AS m
+        |  FROM cnt JOIN wts USING (source) CROSS JOIN tot),
+        |quota AS (
+        |  SELECT source, (m * w) // wt AS k
+        |  FROM wts CROSS JOIN tot CROSS JOIN m),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id
+        |FROM r JOIN quota USING (source) WHERE rn <= k""".stripMargin,
     // Histogram quantile: identical equi-width binning (floor of the
     // same IEEE division; width 1718.75 is FP-exact), identical
     // cumulative pick and single-IEEE-op interpolation — counts and bin
@@ -6672,6 +6826,51 @@ object SparkEntry {
     // CTEs over transition probabilities that are integer-count ratios
     // (bit-identical across engines); damping constants appear as the
     // same double expressions (1 - 0.85, 0.85) the engine computes.
+    // HITS: the same unrolled-fixpoint replay as qg9/qg11 — per
+    // half-step one LEFT JOIN gather + a MAX normalization (max is
+    // comparison-exact cross-engine; the Σ w·score slack is absorbed by
+    // the 6-dp round, the qg9 contract). MATERIALIZED is load-bearing:
+    // each score CTE is referenced twice (gather + its own max).
+    "qg14_hits" -> {
+      def iter(i: Int): String =
+        s""",
+           |a${i}r AS MATERIALIZED (
+           |  SELECT nd.node, coalesce(s.raw, 0) AS raw
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS node, sum(e.w * p.h) AS raw
+           |    FROM h${i - 1} p JOIN edges e ON p.node = e.src GROUP BY 1) s
+           |    ON nd.node = s.node),
+           |a$i AS MATERIALIZED (
+           |  SELECT node, CASE WHEN (SELECT max(raw) FROM a${i}r) > 0
+           |    THEN raw / (SELECT max(raw) FROM a${i}r) ELSE 0.0 END AS a
+           |  FROM a${i}r),
+           |h${i}r AS MATERIALIZED (
+           |  SELECT nd.node, coalesce(s.raw, 0) AS raw
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.src AS node, sum(e.w * p.a) AS raw
+           |    FROM a$i p JOIN edges e ON p.node = e.dst GROUP BY 1) s
+           |    ON nd.node = s.node),
+           |h$i AS MATERIALIZED (
+           |  SELECT node, CASE WHEN (SELECT max(raw) FROM h${i}r) > 0
+           |    THEN raw / (SELECT max(raw) FROM h${i}r) ELSE 0.0 END AS h
+           |  FROM h${i}r)""".stripMargin
+      """WITH edges AS MATERIALIZED (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |h0 AS (SELECT node, 1.0 AS h FROM nodes)""".stripMargin +
+        (1 to 4).map(iter).mkString +
+        """
+          |SELECT h4.node AS node, round(h4.h, 6) AS hub,
+          |  round(a4.a, 6) AS authority
+          |FROM h4 JOIN a4 ON h4.node = a4.node""".stripMargin
+    },
     "qg9_pagerank" -> {
       def iter(i: Int): String =
         s""",

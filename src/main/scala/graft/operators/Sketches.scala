@@ -110,7 +110,7 @@ object Sketches {
     * rem > 0) — identical unpadded-binary semantics in Spark and DuckDB,
     * dodging the float-log₂-at-power-of-two hazard entirely.
     */
-  private def hllRegisters(
+  private[graft] def hllRegisters(
       df: DataFrame, keyCol: String, valueCol: String, p: Int): DataFrame = {
     val sub = 1L << (32 - p)
     val h = md5Hash32(col(valueCol).cast("string"))
@@ -145,7 +145,7 @@ object Sketches {
     * produce bit-identical estimates. 2^(−M[j]) is an integer shift,
     * not libm pow.
     */
-  private def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+  private[graft] def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
     val m = 1 << p
     val alpha = hllAlpha(m)
     regs

@@ -275,6 +275,90 @@ object Temporal {
     * usual 6 dp). The flag compares the UNROUNDED |z| to the
     * threshold.
     */
+  /** GAP-FILL RESAMPLING — regularize a keyed, irregularly-sampled
+    * series onto a fixed bucket grid and LINEARLY INTERPOLATE the
+    * missing buckets: per key, each bucket's value is its last
+    * observation in (ts, tie) order, and every empty bucket strictly
+    * between two observed ones gets `v + (nv − v)·(g − b)/(nb − b)` —
+    * the resample/align step every downstream window, z-score, or
+    * as-of consumer assumes has already happened. Gaps longer than
+    * `maxGapBuckets` are NOT filled (a 3-week sensor outage is a
+    * series break, not 2000 invented points) — which is also the
+    * bounded-output guard: emitted rows ≤ observed·(maxGap−1)+observed,
+    * never span/width, so a sparse key cannot explode the output at
+    * 100 TB.
+    *
+    * Scale shape: ONE exchange. Both windows partition by the key
+    * alone — bucket-last picking reads `lead(bucket)` over (bucket,
+    * ts, tie) order, and the neighbour lookup reads `lead` over the
+    * bucket-last survivors — so the second Sort+Window reuses the
+    * first's hash partitioning (the filter preserves
+    * outputPartitioning; no second shuffle). The per-gap expansion is
+    * a codegen `sequence`+`filter`+`transform` inside the row — no
+    * join back, no explode-then-shuffle.
+    *
+    * Replay contract: buckets are integer floor-division of
+    * epoch-micros; the interpolation is subtract → integer-ratio
+    * divide → multiply → add, each a single IEEE op on inputs both
+    * engines compute identically, so 6-dp rounding is safe. The
+    * branch-free gap expansion (`sequence(b, fillEnd)` then filter to
+    * the open interval) exists because Spark's `sequence(a, b)`
+    * REVERSES when a > b rather than returning empty — a conditional
+    * end bound plus an interior filter keeps the sequence ascending
+    * and empty gaps genuinely empty.
+    *
+    * Output: (key, bucket_start epoch-seconds, value, filled 0/1).
+    */
+  def gapFill(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, bucketSec: Long, maxGapBuckets: Int): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    require(maxGapBuckets >= 2, s"maxGapBuckets must be >= 2, got $maxGapBuckets")
+    val us = bucketSec * 1000000L
+    val base = df
+      .filter(col(valCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol),
+        expr(s"unix_micros($tsCol)").as("__tus"),
+        col(tieCol),
+        col(valCol).cast("double").as("__v"))
+      .withColumn("bucket", expr(s"__tus div ${us}L"))
+    // bucket-last pick and neighbour lookup share ONE key-partitioned
+    // exchange: both windows partition by the bare key, and the
+    // rows-surviving filter preserves that partitioning
+    val wAll = Window.partitionBy(col(keyCol))
+      .orderBy(col("bucket"), col("__tus"), col(tieCol))
+    val wBuckets = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val lasts = base
+      .withColumn("__nxb", lead(col("bucket"), 1).over(wAll))
+      .filter(col("__nxb").isNull || col("__nxb") =!= col("bucket"))
+      .withColumn("__nb", lead(col("bucket"), 1).over(wBuckets))
+      .withColumn("__nv", lead(col("__v"), 1).over(wBuckets))
+    val fillEnd = when(
+      col("__nb").isNotNull && (col("__nb") - col("bucket")) <= maxGapBuckets,
+      col("__nb")).otherwise(col("bucket"))
+    val fills = transform(
+      filter(sequence(col("bucket"), fillEnd),
+        g => g > col("bucket") && g < fillEnd),
+      g => struct(
+        g.as("b"),
+        round(
+          col("__v") + (col("__nv") - col("__v")) *
+            ((g - col("bucket")).cast("double") /
+              (col("__nb") - col("bucket")).cast("double")),
+          6).as("v"),
+        lit(1).as("f")))
+    lasts
+      .select(col(keyCol),
+        explode(concat(
+          array(struct(col("bucket").as("b"), round(col("__v"), 6).as("v"),
+            lit(0).as("f"))),
+          fills)).as("__g"))
+      .select(col(keyCol),
+        (col("__g.b") * bucketSec).as("bucket_start"),
+        col("__g.v").as("value"),
+        col("__g.f").as("filled"))
+  }
+
   def rollingZscore(
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       valCol: String, lookback: Int, threshold: Double): DataFrame = {

@@ -808,6 +808,62 @@ object TextAnalysis {
       .filter(col("picks") >= 1)
       .drop("__w", "__c", "__tot")
   }
+  /** PROPORTION REBALANCING — solve the data-recipe composition
+    * problem in its proportion form: given TARGET mixture weights per
+    * stratum (DoReMi/Pile-style "the corpus should be 40% web, 30%
+    * code, …"), keep the LARGEST sub-corpus that achieves those
+    * proportions exactly by downsampling only (no stratum is ever
+    * upsampled — repetition is a training decision, not a sampling
+    * one). The feasible total is pinned by the scarcest stratum,
+    *
+    *   M = min_s ⌊count_s · W / w_s⌋,   quota_s = ⌊M · w_s / W⌋,
+    *
+    * (W = Σw) and each stratum keeps its `quota_s` docs of smallest
+    * md5-hash order — the same pure-function-of-(stratum, key)
+    * selection as [[stratifiedSample]], reproducible across engines
+    * and partitionings. ALL-INTEGER arithmetic: counts, weights, and
+    * both floor-divides are exact in any engine, so the quotas — not
+    * just the picks — replay bit-for-bit. Complements
+    * [[mixtureSample]], which takes ABSOLUTE per-source token budgets;
+    * here the budgets are DERIVED from relative targets and the data's
+    * own feasibility.
+    *
+    * Scale shape: weights are a strata-sized dimension (broadcast,
+    * never shuffled); counts are one map-side-combined aggregate; the
+    * feasible minimum is a 1-row aggregate that rides back as a
+    * broadcast cross join (the tf-idf N pattern — one lazy plan, no
+    * driver action). The quota filter is a per-stratum rank: unlike
+    * [[stratifiedSample]]'s literal k (which compiles to a
+    * WindowGroupLimit heap), a data-dependent quota forces the full
+    * per-stratum window sort — the price of exact data-derived counts;
+    * strata are the corpus' natural shards, so the sort distributes
+    * across them. `count_s · W` needs 2⁶³ headroom: keep Σw ≤ ~10⁴ for
+    * trillion-row strata (ANSI mode faults loudly, never wraps).
+    *
+    * Output: the kept docs' (stratum, key) pairs.
+    */
+  def proportionRebalance(
+      docs: DataFrame, strataCol: String, keyCol: String,
+      weights: DataFrame, weightCol: String = "weight"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.select(col(strataCol), col(weightCol).cast("long").as("__w"))
+    val tot = w.agg(sum(col("__w")).as("__wtot"))
+    val counts = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+      .join(broadcast(w), Seq(strataCol)) // unweighted strata drop out
+      .crossJoin(broadcast(tot))
+    val m = counts.agg(min(expr("(__c * __wtot) div __w")).as("__m"))
+    val quota = counts.crossJoin(broadcast(m))
+      .select(col(strataCol), expr("(__m * __w) div __wtot").as("__k"))
+    val rn = row_number().over(
+      Window.partitionBy(col(strataCol))
+        .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol)))
+    docs
+      .join(broadcast(quota), Seq(strataCol))
+      .withColumn("__rn", rn)
+      .filter(col("__rn") <= col("__k"))
+      .select(col(strataCol), col(keyCol))
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack et al. 2009) — the standard hybrid-
     * search combiner: given N ranked candidate lists (lexical BM25,
     * vector ANN, ...), score every candidate `Σ 1/(c + rankᵢ)` over the

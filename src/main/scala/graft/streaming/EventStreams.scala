@@ -501,6 +501,46 @@ object EventStreams {
       Option(p.observedMetrics.get(name)).map(p.batchId -> _)
     }.toMap
 
+  /** STREAMING HLL — per-hour distinct-user estimates where the
+    * streaming STATE is the sketch: the stream aggregates
+    * (window, bucket) → max rank ([[graft.operators.Sketches
+    * .hllRegisters]]), so state per window is ≤ 2^p register rows no
+    * matter how many distinct users arrive — the bounded-state answer
+    * to streaming COUNT(DISTINCT), whose exact form must hold every
+    * seen id. `max` is the sketch merge, so partial aggregation,
+    * micro-batch incrementality, and late-arrival updates all compose
+    * for free. One streaming aggregate only (the estimate needs a
+    * second grouping, which streaming forbids in one query) — the
+    * harmonic-mean finalize runs as a BATCH fold over the memory-sink
+    * register table after the drain. Complete mode for the bounded
+    * replay, as [[runWindowedStream]] (append would withhold the tail
+    * windows past the final watermark).
+    */
+  def runHllStream(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      p: Int = 4,
+      queryName: String = "hll_events"): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val src = graft.Tables.normalizeTs(stream)
+      .select(window(col("ts"), "1 hour").as("__w"), col("user_id"))
+    val regs = graft.operators.Sketches.hllRegisters(src, "__w", "user_id", p)
+    val q = regs.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.Sketches
+      .hllEstimate(spark.table(queryName), Seq("__w"), p)
+      .select(
+        col("__w.start").as("window_start"),
+        col("n_registers"),
+        round(col("__est"), 6).as("est_distinct"))
+  }
+
   def runWindowedStream(
       spark: SparkSession,
       dir: String,

@@ -173,6 +173,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(800))
   }
 
+  test("qe25: gap-fill is ONE key shuffle — both windows and the generate ride it") {
+    val p = plan("qe25_gapfill")
+    assert(!p.contains("Join"), "gap-fill grew a join:\n" + p.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one window shuffle, saw $exchanges:\n" + p.take(1200))
+    assert("Window \\[".r.findAllIn(p).size == 2, p.take(1200))
+    // the second window's (key, bucket) order is a prefix of the first's
+    // sort — it must NOT re-sort
+    assert("Sort \\[".r.findAllIn(p).size == 1, "second window re-sorted:\n" + p.take(1200))
+    assert(p.contains("Generate explode"), p.take(800))
+  }
+
+  test("qt35: quotas ride broadcast joins — no sort-merge join, no cartesian over docs") {
+    val p = plan("qt35_domain_mix")
+    assert(!p.contains("SortMergeJoin"), "quota join fell back to sort-merge:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("qy6: hilbert index stays inside whole-stage codegen (no CodegenFallback)") {
     // codegen'd operators carry the "*(n)" stage marker once AQE finalizes
     val p = finalPlan("qy6_hilbert")

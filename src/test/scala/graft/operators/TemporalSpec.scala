@@ -207,6 +207,44 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 7.0)))
   }
 
+  test("gap-fill: bucket-last pick, linear interpolation, maxGap break, " +
+      "contiguous no-op, null drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      // bucket 0 (key 1): three observations — the (ts, tie)-last wins
+      // (id 2 v=10 beats the same-instant id 1 v=7 and the earlier v=4)
+      (1L, ts(10), 0L, Option(4.0)), (1L, ts(40), 1L, Option(7.0)),
+      (1L, ts(40), 2L, Option(10.0)),
+      // null value vanishes before bucketing
+      (1L, ts(50), 3L, None),
+      // bucket 3: gap of 3 -> buckets 1, 2 interpolate on the line
+      // 10 -> 16 (12.0 and 14.0)
+      (1L, ts(190), 4L, Option(16.0)),
+      // bucket 4: contiguous, nothing to fill
+      (1L, ts(250), 5L, Option(20.0)),
+      // bucket 9: gap of 5 > maxGap 4 -> a break, no invented points
+      (1L, ts(580), 6L, Option(1.0)),
+      // key 2: a single observation emits itself and nothing else
+      (2L, ts(70), 7L, Option(5.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal
+      .gapFill(df, "user_id", "ts", "event_id", "value",
+        bucketSec = 60L, maxGapBuckets = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(out == Map(
+      (1L, 0L) -> ((10.0, 0)),
+      (1L, 60L) -> ((12.0, 1)),
+      (1L, 120L) -> ((14.0, 1)),
+      (1L, 180L) -> ((16.0, 0)),
+      (1L, 240L) -> ((20.0, 0)),
+      (1L, 540L) -> ((1.0, 0)),
+      (2L, 60L) -> ((5.0, 0))))
+  }
+
   test("rolling z-score: hand-computed baseline, full-window drop, " +
       "zero-variance null, nulls excluded before the frame") {
     import spark.implicits._

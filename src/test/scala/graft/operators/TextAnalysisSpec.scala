@@ -512,6 +512,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.stratifiedSample(docs, "src", "key", 0))
   }
+  test("proportion rebalance: scarcest stratum pins the total, exact integer " +
+      "quotas, md5-order picks, unweighted strata drop") {
+    import spark.implicits._
+    // A: 10 docs, B: 4, C: 6, X: 3 (unweighted). Weights A=2, B=1, C=1
+    // (W=4): feasible M = min(10*4/2, 4*4/1, 6*4/1) = 16 — B is binding
+    // and keeps everything; quotas A=8, B=4, C=4.
+    val docs = (
+      (0 until 10).map(i => ("A", i.toLong)) ++
+        (0 until 4).map(i => ("B", 100L + i)) ++
+        (0 until 6).map(i => ("C", 200L + i)) ++
+        (0 until 3).map(i => ("X", 300L + i))
+    ).toDF("src", "key")
+    val weights = Seq(("A", 2L), ("B", 1L), ("C", 1L), ("Z", 5L)).toDF("src", "weight")
+    val kept = TextAnalysis.proportionRebalance(docs, "src", "key", weights)
+      .as[(String, Long)].collect().toSet
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrc == Map("A" -> 8, "B" -> 4, "C" -> 4)) // X dropped, Z absent
+    // picks follow the stratifiedSample md5 order (same selection function)
+    val expectA = TextAnalysis
+      .stratifiedSample(docs.filter($"src" === "A"), "src", "key", 8)
+      .as[(String, Long)].collect().toSet
+    assert(kept.filter(_._1 == "A") == expectA)
+    // deterministic under repartitioning
+    val kept2 = TextAnalysis
+      .proportionRebalance(docs.repartition(7), "src", "key", weights)
+      .as[(String, Long)].collect().toSet
+    assert(kept == kept2)
+    // achieved mixture is exactly W-proportional: 8 : 4 : 4 = 2 : 1 : 1
+    assert(bySrc("A") == 2 * bySrc("B") && bySrc("B") == bySrc("C"))
+  }
+
   test("PPS systematic sample: exactly k per stratum, proportional, all-integer") {
     import spark.implicits._
     val docs = Seq(

@@ -229,6 +229,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming HLL: drained registers equal the batch sketch; duplicate files are free") {
+    val raw = Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("events-hll-stream")
+    // the SAME file staged twice: every user id arrives twice, and the
+    // register max must absorb the repeats — the merge-idempotence that
+    // makes the sketch safe under redelivery
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events_again.parquet"))
+    val streamed = EventStreams
+      .runHllStream(spark, dir.toString, raw.schema, p = 4,
+        queryName = s"hll_spec_${System.nanoTime()}")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = graft.operators.Sketches
+      .hllDistinct(
+        events.select(window(col("ts"), "1 hour").as("__w"), col("user_id")),
+        "__w", "user_id", p = 4)
+      .select(col("__w.start"), col("n_registers"), col("est_distinct"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("streaming near-dup LSH: single batch ≡ batch minHashDedup; cross-batch first-seen-wins") {
     import spark.implicits._
     // real corpus slice: 60 docs incl. planted near-dups
