@@ -1248,6 +1248,23 @@ object SparkEntry {
     operators.Temporal.twap(
       events(spark, dir), "user_id", "ts", "event_id", "value", 1800L)
 
+  /** Holt double-exponential smoothing ([[operators.Temporal.holt]],
+    * α = 0.5, β = 0.25 — dyadic by the operator's cross-engine literal
+    * contract): per-user final level/trend/one-step forecast.
+    */
+  private def qe26Holt(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.holt(
+      events(spark, dir), "user_id", "ts", "event_id", "value",
+      alpha = 0.5, beta = 0.25)
+
+  /** PMI collocations ([[operators.TextAnalysis.pmiCollocations]],
+    * support ≥ 5, top-50): ranked by the exact integer-product ratio so
+    * the k boundary can't flip on a libm ulp.
+    */
+  private def qt36Pmi(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.pmiCollocations(
+      t(spark, dir, "documents"), "text", minCount = 5L, k = 50)
+
   /** Proportion rebalancing ([[operators.TextAnalysis
     * .proportionRebalance]]): target mixture weights 1–4 by source
     * index; the scarcest stratum pins the feasible total and every
@@ -4234,6 +4251,8 @@ object SparkEntry {
     "qe24_stream_hll" -> (qe24StreamHll _),
     "qe25_gapfill" -> (qe25GapFill _),
     "qt35_domain_mix" -> (qt35DomainMix _),
+    "qe26_holt" -> (qe26Holt _),
+    "qt36_pmi" -> (qt36Pmi _),
     "qk6_hist_quantile" -> (qk6HistQuantile _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
@@ -6334,6 +6353,55 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, doc_id
         |FROM r JOIN quota USING (source) WHERE rn <= k""".stripMargin,
+    // Holt smoothing: the recursive CTE replays the coupled (l, b) fold
+    // step-for-step — same seed (l=x0, b=0), same (ts, event_id) order,
+    // same IEEE op trees with DYADIC literals (0.5/0.25/0.75 are the
+    // same double as Scala's 1-alpha/1-beta by the operator's contract)
+    // — so doubles match bit-for-bit before the 6-dp round.
+    "qe26_holt" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.rn,
+        |    ev.value * 0.5 + (r.l + r.b) * 0.5,
+        |    ((ev.value * 0.5 + (r.l + r.b) * 0.5) - r.l) * 0.25
+        |      + r.b * 0.75
+        |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+        |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+        |  round(max_by(l, rn), 6) AS level,
+        |  round(max_by(b, rn), 6) AS trend,
+        |  round(max_by(l, rn) + max_by(b, rn), 6) AS forecast
+        |FROM r GROUP BY user_id""".stripMargin,
+    // PMI: identical tokenization (split \s+ of lower(trim)), identical
+    // integer bigram counts, and the RATIO — one IEEE divide of exact
+    // integer products — as the sort key on both sides, so the top-k
+    // row set can't flip on a libm ln ulp; ln only shapes the output.
+    "qt36_pmi" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+        |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12),
+        |r AS (
+        |  SELECT w1, w2, c12,
+        |    CAST(c12 * n AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) AS ratio
+        |  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+        |  WHERE c12 >= 5)
+        |SELECT w1, w2, c12, round(ln(ratio), 6) AS pmi
+        |FROM r ORDER BY ratio DESC, w1, w2 LIMIT 50""".stripMargin,
     // Histogram quantile: identical equi-width binning (floor of the
     // same IEEE division; width 1718.75 is FP-exact), identical
     // cumulative pick and single-IEEE-op interpolation — counts and bin

@@ -275,6 +275,66 @@ object Temporal {
     * usual 6 dp). The flag compares the UNROUNDED |z| to the
     * threshold.
     */
+  /** HOLT DOUBLE-EXPONENTIAL SMOOTHING — [[ewma]]'s trend-aware big
+    * sibling: per key, the coupled level/trend fold
+    * {{{
+    *   l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+    * }}}
+    * seeded l₀ = x₀, b₀ = 0 — the forecasting/feature primitive for
+    * trending series a single EWMA lags behind. Like qe15, the fold is
+    * sequential BY DEFINITION and computes as an ordered in-array
+    * `aggregate` (sort_array over (ts, tie, v) structs): the identical
+    * IEEE op tree runs in every engine, replayed step-for-step by the
+    * qe26 recursive-CTE oracle. The accumulator carries (seen, l, b) —
+    * never a NaN sentinel (a NaN input must poison, not re-seed).
+    *
+    * CROSS-ENGINE LITERAL CONTRACT: α, β, 1−α, 1−β must all be exactly
+    * representable doubles (dyadic rationals — 0.5, 0.25, 0.125…).
+    * With β = 0.3, Scala's `1 - 0.3` and SQL's literal `0.7` can be
+    * DIFFERENT doubles, skewing every step; the require below makes
+    * that a loud error instead of a 7th-decimal heisen-mismatch.
+    *
+    * Per-key state is the key's own series (the usual bounded-series
+    * contract). Output: (key, n_events, level, trend, forecast = l+b).
+    */
+  def holt(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    def dyadic(x: Double) = (x * 1024.0) == math.rint(x * 1024.0)
+    require(dyadic(alpha) && dyadic(beta),
+      s"alpha/beta must be dyadic (k/1024) so 1-alpha/1-beta are the same " +
+        s"double in every engine, got $alpha/$beta")
+    val ka = 1.0 - alpha
+    val kb = 1.0 - beta
+    df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol), col(tieCol), col(valCol).cast("double").as("__v")))).as("__s"))
+      .select(
+        col(keyCol),
+        size(col("__s")).cast("long").as("n_events"),
+        aggregate(col("__s"),
+          struct(lit(false).as("seen"), lit(0.0).as("l"), lit(0.0).as("b")),
+          (st, x) => {
+            val lNew = x("__v") * lit(alpha) + (st("l") + st("b")) * lit(ka)
+            struct(
+              lit(true).as("seen"),
+              when(not(st("seen")), x("__v")).otherwise(lNew).as("l"),
+              when(not(st("seen")), lit(0.0))
+                .otherwise((lNew - st("l")) * lit(beta) + st("b") * lit(kb))
+                .as("b"))
+          }).as("__f"))
+      .select(
+        col(keyCol), col("n_events"),
+        round(col("__f.l"), 6).as("level"),
+        round(col("__f.b"), 6).as("trend"),
+        round(col("__f.l") + col("__f.b"), 6).as("forecast"))
+  }
+
   /** GAP-FILL RESAMPLING — regularize a keyed, irregularly-sampled
     * series onto a fixed bucket grid and LINEARLY INTERPOLATE the
     * missing buckets: per key, each bucket's value is its last

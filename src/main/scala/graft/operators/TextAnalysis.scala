@@ -808,6 +808,56 @@ object TextAnalysis {
       .filter(col("picks") >= 1)
       .drop("__w", "__c", "__tot")
   }
+  /** PMI COLLOCATION EXTRACTION — the top-k adjacent word pairs that
+    * co-occur far above chance, `pmi = ln(c₁₂·N / (c₁·c₂))` over
+    * corpus bigram counts (c₁/c₂ = the word's count in first/second
+    * position, N = total bigrams) with a minimum-count support filter —
+    * the phrase-mining/tokenizer-seeding staple (Church & Hanks 1990).
+    *
+    * THE TOP-K ORDERING HAZARD: ranking by the ln itself would let a
+    * 1-ulp libm disagreement REORDER near-equal scores at the k
+    * boundary and change the returned row SET. The sort key is instead
+    * the RATIO `(c₁₂·N)/(c₁·c₂)` — ln is monotone, and the ratio is
+    * ONE IEEE division of exact integer products (bit-identical in
+    * every engine while c₁₂·N < 2⁵³; ANSI faults loudly past 2⁶³) —
+    * ties broken on (w1, w2). The ln only touches the OUTPUT, under
+    * the usual 6-dp round.
+    *
+    * Scale shape: one corpus tokenize pass (the codegen
+    * slice+arrays_zip+explode bigram shape shared with
+    * [[bigramLmScore]]); all aggregates map-side combine and every
+    * join is keyed on vocab-bounded tables, with the support filter
+    * applied BEFORE the joins; the k-cut is a TakeOrdered, never a
+    * global sort. Output: (w1, w2, c12, pmi), k rows.
+    */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"k must be positive, got $k")
+    val bg = docs
+      .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("__h", expr("slice(__toks, 1, size(__toks) - 1)"))
+      .withColumn("__t", expr("slice(__toks, 2, size(__toks) - 1)"))
+      .select(explode(arrays_zip(col("__h"), col("__t"))).as("__p"))
+      .select(col("__p.__h").as("w1"), col("__p.__t").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum("c12").as("c2"))
+    val n = c12.agg(sum("c12").as("__n"))
+    c12
+      .filter(col("c12") >= minCount)
+      .join(c1, "w1")
+      .join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("__ratio",
+        (col("c12") * col("__n")).cast("double") /
+          (col("c1") * col("c2")).cast("double"))
+      .orderBy(col("__ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("__ratio")), 6).as("pmi"))
+  }
+
   /** PROPORTION REBALANCING — solve the data-recipe composition
     * problem in its proportion form: given TARGET mixture weights per
     * stratum (DoReMi/Pile-style "the corpus should be 40% web, 30%

@@ -192,6 +192,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("qt36: the PMI k-cut is TakeOrdered, never a global sort") {
+    val p = plan("qt36_pmi")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Sort ["), "global sort materialized for the k-cut:\n" + p.take(1200))
+  }
+
   test("qy6: hilbert index stays inside whole-stage codegen (no CodegenFallback)") {
     // codegen'd operators carry the "*(n)" stage marker once AQE finalizes
     val p = finalPlan("qy6_hilbert")

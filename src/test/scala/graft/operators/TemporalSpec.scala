@@ -207,6 +207,34 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 7.0)))
   }
 
+  test("holt: hand-computed level/trend steps, single-point seed, " +
+      "null exclusion, dyadic literal guard") {
+    import spark.implicits._
+    val df = Seq(
+      // a: x = [2, 4, 8] with alpha = beta = 0.5:
+      //   seed l=2 b=0; then l=3, b=0.5; then l=5.75, b=1.625
+      ("a", 1L, 1L, Option(2.0)), ("a", 2L, 2L, Option(4.0)),
+      ("a", 3L, 3L, Option(8.0)),
+      // b: a single point is its own level, zero trend
+      ("b", 1L, 4L, Option(7.0)),
+      // c: the null vanishes before the fold — effective series [5, 9]
+      ("c", 1L, 5L, Option(5.0)), ("c", 2L, 6L, None),
+      ("c", 3L, 7L, Option(9.0))
+    ).toDF("k", "t", "id", "v")
+    val out = Temporal.holt(df, "k", "t", "id", "v", alpha = 0.5, beta = 0.5)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("a") == ((3L, 5.75, 1.625, 7.375)))
+    assert(out("b") == ((1L, 7.0, 0.0, 7.0)))
+    assert(out("c") == ((2L, 7.0, 1.0, 8.0)))
+    // non-dyadic smoothing constants are a loud error, not a
+    // cross-engine 7th-decimal mismatch
+    intercept[IllegalArgumentException](
+      Temporal.holt(df, "k", "t", "id", "v", alpha = 0.3, beta = 0.5))
+  }
+
   test("gap-fill: bucket-last pick, linear interpolation, maxGap break, " +
       "contiguous no-op, null drop") {
     import spark.implicits._

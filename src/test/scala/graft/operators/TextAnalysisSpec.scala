@@ -512,6 +512,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.stratifiedSample(docs, "src", "key", 0))
   }
+  test("PMI collocations: hand counts, ratio ranking, support filter, " +
+      "deterministic tie-break") {
+    import spark.implicits._
+    // bigrams: (a,b) x4, (a,c) x2, (c,b) x1; N=7, c1(a)=6 c1(c)=1,
+    // c2(b)=5 c2(c)=2 -> ratio(a,c) = 14/12 > ratio(a,b) = 28/30
+    val docs = (Seq.fill(4)("a b") ++ Seq.fill(2)("a c") ++ Seq("c b"))
+      .toDF("text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", "c", 2L), ("a", "b", 4L)))
+    assert(out(0)._4 == math.rint(math.log(14.0 / 12.0) * 1e6) / 1e6)
+    assert(out(1)._4 == math.rint(math.log(28.0 / 30.0) * 1e6) / 1e6)
+    // support filter drops the rarer pair entirely
+    val strict = TextAnalysis.pmiCollocations(docs, "text", minCount = 3L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(strict.toSeq == Seq(("a", "b")))
+    // equal ratios tie-break on (w1, w2) so the k boundary is stable
+    val tie = (Seq.fill(2)("x y") ++ Seq.fill(2)("y x")).toDF("text")
+    val top1 = TextAnalysis.pmiCollocations(tie, "text", minCount = 2L, k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top1.toSeq == Seq(("x", "y")))
+  }
+
   test("proportion rebalance: scarcest stratum pins the total, exact integer " +
       "quotas, md5-order picks, unweighted strata drop") {
     import spark.implicits._
