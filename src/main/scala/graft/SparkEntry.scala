@@ -1248,6 +1248,16 @@ object SparkEntry {
     operators.Temporal.twap(
       events(spark, dir), "user_id", "ts", "event_id", "value", 1800L)
 
+  /** Containment-similarity join ([[operators.Dedup.containmentJoin]],
+    * 3-gram shingles, τ = 0.9): every ordered (a, b) where ≥ 90% of
+    * a's shingles appear in b — quote/excerpt/contamination detection,
+    * the directional question qd16's Jaccard can't ask.
+    */
+  private def qd17Containment(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.containmentJoin(
+      t(spark, dir, "documents"), "doc_id", "text",
+      minContainment = 0.9, shingleSize = 3)
+
   /** Holt double-exponential smoothing ([[operators.Temporal.holt]],
     * α = 0.5, β = 0.25 — dyadic by the operator's cross-engine literal
     * contract): per-user final level/trend/one-step forecast.
@@ -4253,6 +4263,7 @@ object SparkEntry {
     "qt35_domain_mix" -> (qt35DomainMix _),
     "qe26_holt" -> (qe26Holt _),
     "qt36_pmi" -> (qt36Pmi _),
+    "qd17_containment" -> (qd17Containment _),
     "qk6_hist_quantile" -> (qk6HistQuantile _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
@@ -6402,6 +6413,26 @@ object SparkEntry {
         |  WHERE c12 >= 5)
         |SELECT w1, w2, c12, round(ln(ratio), 6) AS pmi
         |FROM r ORDER BY ratio DESC, w1, w2 LIMIT 50""".stripMargin,
+    // Containment: the oracle brute-forces ALL ordered pairs over the
+    // identical 3-gram shingle sets — the strongest check the prefix
+    // theorem allows. Integer threshold (1000c >= 900·na) on both
+    // sides; the C = c/na divide is one IEEE op on exact integers.
+    "qd17_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                   for i in generate_series(1, len(t) - 2)]) AS ts
+        |  FROM toks WHERE len(t) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.ts, b.ts)) AS c, len(a.ts) AS na
+        |  FROM s a, s b WHERE a.doc_id <> b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(CAST(c AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+        |FROM p WHERE c * 1000 >= 900 * na""".stripMargin,
     // Histogram quantile: identical equi-width binning (floor of the
     // same IEEE division; width 1718.75 is FP-exact), identical
     // cumulative pick and single-IEEE-op interpolation — counts and bin

@@ -910,6 +910,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!at08.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("containment join: recall 1.0 vs brute force, directional, quote detection") {
+    import spark.implicits._
+    // doc 2 quotes doc 1's middle; doc 3 = doc 1 reworded tail; doc 4
+    // is doc 1 verbatim (identical shingle set); doc 5 unrelated;
+    // doc 6 too short for a 3-gram; doc 7 contains doc 2 entirely
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "brown fox jumps over the lazy"),
+      (3L, "the quick brown fox jumps over a sleepy cat instead"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight"),
+      (5L, "completely different words appear in this one document"),
+      (6L, "too short"),
+      (7L, "she said brown fox jumps over the lazy and left")
+    ).toDF("doc_id", "text")
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
+      .filter(size($"t") >= 3) // BEFORE the transform: ANSI element_at throws past the end
+      .select($"doc_id",
+        array_distinct(transform(
+          sequence(lit(1), size($"t") - 2),
+          i => concat_ws(" ",
+            element_at($"t", i), element_at($"t", i + 1),
+            element_at($"t", i + 2)))).as("ws"))
+    def brute(tau: Double): Set[(Long, Long, Double)] = {
+      val w = shingles(docs)
+      w.as("a").join(w.as("b"), $"a.doc_id" =!= $"b.doc_id")
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+          size(array_intersect($"a.ws", $"b.ws")).as("c"), size($"a.ws").as("na"))
+        .filter($"c" * 1000 >= lit((tau * 1000).toInt) * $"na")
+        .select($"a_id", $"b_id",
+          round($"c".cast("double") / $"na".cast("double"), 6).as("cont"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    for (tau <- Seq(0.5, 0.75, 0.9, 1.0)) {
+      val got = Dedup.containmentJoin(docs, "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute(tau), s"tau=$tau")
+    }
+    val at09 = Dedup.containmentJoin(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // quotes contain forward, not backward: 2 -> 1 yes, 1 -> 2 no
+    assert(at09.contains((2L, 1L, 1.0)) && !at09.exists(p => p._1 == 1L && p._2 == 2L))
+    // the quote also sits inside doc 7; identical docs contain BOTH ways
+    assert(at09.contains((2L, 7L, 1.0)))
+    assert(at09.contains((1L, 4L, 1.0)) && at09.contains((4L, 1L, 1.0)))
+    // short and unrelated docs never appear
+    assert(!at09.exists(p => p._1 == 6L || p._2 == 6L || p._1 == 5L || p._2 == 5L))
+  }
+
   test("drift report: hand-computed PSI, missing keys report null, identical slices = 0") {
     import spark.implicits._
     val a = (Seq.fill(80)("x") ++ Seq.fill(20)("y")).toDF("k")
