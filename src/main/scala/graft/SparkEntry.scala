@@ -1326,6 +1326,33 @@ object SparkEntry {
       col("n_registers"), col("est_distinct"))
   }
 
+  /** STREAMING COUNT-MIN through the oracle ([[streaming.EventStreams
+    * .runCmsStream]]): the sum-merge sibling of qe24 — per-hour
+    * (window, row, bucket) cell counts as the streaming state
+    * (≤ depth·width rows per window), probe estimates finalized as a
+    * batch min over the drained cells. Addition being the CMS merge is
+    * what makes the micro-batched cells equal the batch cells exactly.
+    */
+  private def qe27StreamCms(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(dir)
+    val schema = spark.read.parquet(stage.toString).schema
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t =
+      try streaming.EventStreams.runCmsStream(
+        spark, stage.toString, schema,
+        probes = Seq("click", "purchase", "zzz_missing"),
+        depth = 4, width = 64,
+        queryName = s"qe27_mem_${System.nanoTime()}")
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        dropStage(stage)
+      }
+    t.select(
+      unix_timestamp(col("window_start")).as("window_start"),
+      col("term"), col("est"))
+  }
+
   /** Histogram-quantile sketch ([[operators.Sketches
     * .histogramQuantile]], 64 bins over [0, 110000), q ∈
     * {0.5, 0.95, 0.99} on lineitem prices per return flag): the
@@ -4264,6 +4291,7 @@ object SparkEntry {
     "qe26_holt" -> (qe26Holt _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
+    "qe27_stream_cms" -> (qe27StreamCms _),
     "qk6_hist_quantile" -> (qk6HistQuantile _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
@@ -6433,6 +6461,31 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |  round(CAST(c AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
         |FROM p WHERE c * 1000 >= 900 * na""".stripMargin,
+    // Streaming count-min: addition is the CMS merge, so the stream's
+    // per-window cells equal the batch cells exactly — qk2's replay
+    // keyed by the tumbling hour, probes estimated per window.
+    "qe27_stream_cms" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wk,
+        |    event_type AS tok
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (
+        |  SELECT wk, r,
+        |    CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8)
+        |      AS BIGINT) % 64 AS bucket,
+        |    count(*) AS cnt
+        |  FROM e CROSS JOIN generate_series(0, 3) AS s(r) GROUP BY 1, 2, 3),
+        |w AS (SELECT DISTINCT wk FROM e),
+        |p AS (
+        |  SELECT term, r,
+        |    CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || term), 1, 8)
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM (VALUES ('click'), ('purchase'), ('zzz_missing')) v(term)
+        |  CROSS JOIN generate_series(0, 3) AS s(r))
+        |SELECT wk AS window_start, term,
+        |  CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |FROM w CROSS JOIN p LEFT JOIN g USING (wk, r, bucket)
+        |GROUP BY 1, 2""".stripMargin,
     // Histogram quantile: identical equi-width binning (floor of the
     // same IEEE division; width 1718.75 is FP-exact), identical
     // cumulative pick and single-IEEE-op interpolation — counts and bin

@@ -280,6 +280,13 @@ object Sketches {
     * broadcast-sized join. An absent bucket estimates 0 (left join, not
     * inner — a probe missing from every row must not vanish).
     */
+  /** The count-min cell hash, shared verbatim by the batch estimate and
+    * the streaming sketch so their cells are interchangeable:
+    * row-salted md5 mod width.
+    */
+  private[graft] def cmsBucket(term: Column, r: Column, width: Int): Column =
+    pmod(md5Hash32(concat(r.cast("string"), lit("|"), term)), lit(width.toLong))
+
   def countMinEstimate(
       df: DataFrame, textCol: String, probes: Seq[String],
       depth: Int = 4, width: Int = 256): DataFrame = {
@@ -287,8 +294,7 @@ object Sketches {
     require(probes.nonEmpty, "probes must be non-empty")
     val spark = df.sparkSession
     import spark.implicits._
-    def bucket(term: Column, r: Column): Column =
-      pmod(md5Hash32(concat(r.cast("string"), lit("|"), term)), lit(width.toLong))
+    def bucket(term: Column, r: Column): Column = cmsBucket(term, r, width)
     val cells = df
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
       .filter(length(col("__tok")) > 0)

@@ -541,6 +541,69 @@ object EventStreams {
         round(col("__est"), 6).as("est_distinct"))
   }
 
+  /** STREAMING COUNT-MIN — the sum-merge counterpart of
+    * [[runHllStream]]'s max-merge: per tumbling hour the stream
+    * aggregates (window, row, bucket) → count, and since ADDITION is
+    * the count-min merge, micro-batch increments replay to exactly the
+    * batch cells — state per window is ≤ depth·width rows however many
+    * distinct tokens arrive (the bounded-state answer to streaming
+    * per-key frequency). The probe estimates (min over the token's
+    * depth cells, absent cells = 0) finalize as a batch join over the
+    * drained cell table — the one-streaming-aggregate rule again.
+    * Cells share [[graft.operators.Sketches.cmsBucket]] verbatim with
+    * the batch qk2 estimate, so the DuckDB batch oracle hash-gates the
+    * streaming sketch.
+    */
+  def runCmsStream(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      probes: Seq[String],
+      tokenCol: String = "event_type",
+      depth: Int = 4,
+      width: Int = 64,
+      queryName: String = "cms_events"): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    require(depth >= 1 && width >= 2, s"bad sketch dims d=$depth w=$width")
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val cells = graft.Tables.normalizeTs(stream)
+      .filter(col(tokenCol).isNotNull)
+      .select(window(col("ts"), "1 hour").as("__w"), col(tokenCol).as("__tok"))
+      .select(col("__w"), col("__tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("__r"))
+      .groupBy(col("__w"), col("__r"),
+        graft.operators.Sketches.cmsBucket(col("__tok"), col("__r"), width)
+          .as("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val q = cells.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the drained view appears on BOTH sides of the finalize join
+    // (distinct windows × probes, left-joined back to the cells);
+    // re-wrapping one side gives it fresh attribute ids — the memory
+    // view otherwise carries identical exprIds into both branches and
+    // analysis fails with conflicting references. The table is
+    // ≤ windows·depth·width rows, so the non-codegen hop is free.
+    val drained = spark.createDataFrame(
+      spark.table(queryName).rdd, spark.table(queryName).schema)
+    val probe = probes.toDF("term")
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("__r"))
+      .select(col("term"), col("__r"),
+        graft.operators.Sketches.cmsBucket(col("term"), col("__r"), width)
+          .as("__bucket"))
+    spark.table(queryName).select(col("__w")).distinct()
+      .crossJoin(broadcast(probe))
+      .join(drained, Seq("__w", "__r", "__bucket"), "left_outer")
+      .groupBy(col("__w"), col("term"))
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("est"))
+      .select(col("__w.start").as("window_start"), col("term"), col("est"))
+  }
+
   def runWindowedStream(
       spark: SparkSession,
       dir: String,

@@ -258,6 +258,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming CMS: deterministic drain; redelivery DOUBLES estimates (sum-merge, unlike HLL's max)") {
+    val raw = Tables.events(spark, sfDir)
+    val once = java.nio.file.Files.createTempDirectory("events-cms-once")
+    val twice = java.nio.file.Files.createTempDirectory("events-cms-twice")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      once.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      twice.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      twice.resolve("events_again.parquet"))
+    def run(dir: java.nio.file.Path, tag: String) = EventStreams
+      .runCmsStream(spark, dir.toString, raw.schema,
+        probes = Seq("click", "purchase", "zzz_missing"),
+        queryName = s"cms_spec_${tag}_${System.nanoTime()}")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val single = run(once, "a")
+    // deterministic: a second drain of the same files reproduces it
+    assert(run(once, "b") == single)
+    // sum is the CMS merge: every cell doubles, so every min doubles —
+    // the at-least-once caveat the HLL sketch (register max) does NOT
+    // have; exactly-once delivery is the qe12 sink's job, not the
+    // sketch's
+    val doubled = run(twice, "c")
+    assert(doubled.keySet == single.keySet)
+    single.foreach { case (k, v) => assert(doubled(k) == 2 * v, s"$k") }
+    // the present probes are genuinely counted somewhere
+    assert(single.exists { case ((_, t), v) => t == "click" && v > 0 })
+    intercept[IllegalArgumentException](
+      EventStreams.runCmsStream(spark, once.toString, raw.schema, probes = Seq.empty))
+  }
+
   test("streaming near-dup LSH: single batch ≡ batch minHashDedup; cross-batch first-seen-wins") {
     import spark.implicits._
     // real corpus slice: 60 docs incl. planted near-dups
