@@ -6978,34 +6978,28 @@ object SparkEntry {
     // CTEs over transition probabilities that are integer-count ratios
     // (bit-identical across engines); damping constants appear as the
     // same double expressions (1 - 0.85, 0.85) the engine computes.
-    // HITS: the same unrolled-fixpoint replay as qg9/qg11 — per
-    // half-step one LEFT JOIN gather + a MAX normalization (max is
-    // comparison-exact cross-engine; the Σ w·score slack is absorbed by
-    // the 6-dp round, the qg9 contract). MATERIALIZED is load-bearing:
-    // each score CTE is referenced twice (gather + its own max).
+    // HITS: the same unrolled-fixpoint replay as qg9/qg11 — each
+    // half-step one LEFT JOIN gather scaled by the CONSTANT ΣW (exact
+    // cross-engine: integer-count weights sum order-free in doubles),
+    // ONE max-normalization at the end (max is comparison-exact; the
+    // Σ w·score slack is absorbed by the 6-dp round, the qg9
+    // contract). MATERIALIZED is load-bearing: each score CTE feeds
+    // the next gather AND the final select.
     "qg14_hits" -> {
       def iter(i: Int): String =
         s""",
-           |a${i}r AS MATERIALIZED (
-           |  SELECT nd.node, coalesce(s.raw, 0) AS raw
+           |a$i AS MATERIALIZED (
+           |  SELECT nd.node, coalesce(s.v, 0) AS a
            |  FROM nodes nd LEFT JOIN (
-           |    SELECT e.dst AS node, sum(e.w * p.h) AS raw
+           |    SELECT e.dst AS node, sum(e.w * p.h) / (SELECT sw FROM sw) AS v
            |    FROM h${i - 1} p JOIN edges e ON p.node = e.src GROUP BY 1) s
            |    ON nd.node = s.node),
-           |a$i AS MATERIALIZED (
-           |  SELECT node, CASE WHEN (SELECT max(raw) FROM a${i}r) > 0
-           |    THEN raw / (SELECT max(raw) FROM a${i}r) ELSE 0.0 END AS a
-           |  FROM a${i}r),
-           |h${i}r AS MATERIALIZED (
-           |  SELECT nd.node, coalesce(s.raw, 0) AS raw
-           |  FROM nodes nd LEFT JOIN (
-           |    SELECT e.src AS node, sum(e.w * p.a) AS raw
-           |    FROM a$i p JOIN edges e ON p.node = e.dst GROUP BY 1) s
-           |    ON nd.node = s.node),
            |h$i AS MATERIALIZED (
-           |  SELECT node, CASE WHEN (SELECT max(raw) FROM h${i}r) > 0
-           |    THEN raw / (SELECT max(raw) FROM h${i}r) ELSE 0.0 END AS h
-           |  FROM h${i}r)""".stripMargin
+           |  SELECT nd.node, coalesce(s.v, 0) AS h
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.src AS node, sum(e.w * p.a) / (SELECT sw FROM sw) AS v
+           |    FROM a$i p JOIN edges e ON p.node = e.dst GROUP BY 1) s
+           |    ON nd.node = s.node)""".stripMargin
       """WITH edges AS MATERIALIZED (
         |  SELECT c_nationkey AS src, s_nationkey AS dst,
         |    CAST(count(*) AS DOUBLE) AS w
@@ -7016,12 +7010,16 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |nodes AS MATERIALIZED (
         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        |h0 AS (SELECT node, 1.0 AS h FROM nodes)""".stripMargin +
+        |sw AS MATERIALIZED (SELECT sum(w) AS sw FROM edges),
+        |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)""".stripMargin +
         (1 to 4).map(iter).mkString +
-        """
-          |SELECT h4.node AS node, round(h4.h, 6) AS hub,
-          |  round(a4.a, 6) AS authority
-          |FROM h4 JOIN a4 ON h4.node = a4.node""".stripMargin
+        """,
+          |m AS (SELECT max(h) AS mh, max(a) AS ma
+          |      FROM h4 JOIN a4 ON h4.node = a4.node)
+          |SELECT h4.node AS node,
+          |  round(CASE WHEN mh > 0 THEN h / mh ELSE 0.0 END, 6) AS hub,
+          |  round(CASE WHEN ma > 0 THEN a / ma ELSE 0.0 END, 6) AS authority
+          |FROM h4 JOIN a4 ON h4.node = a4.node CROSS JOIN m""".stripMargin
     },
     "qg9_pagerank" -> {
       def iter(i: Int): String =

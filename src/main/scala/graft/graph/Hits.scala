@@ -13,28 +13,32 @@ import org.apache.spark.storage.StorageLevel
   *
   * Iteration (weighted mutual reinforcement, fixed count):
   * {{{
-  *   a_t(v) = Σ_{u→v} w(u,v) · h_{t−1}(u)   then a_t /= max(a_t)
-  *   h_t(u) = Σ_{u→v} w(u,v) · a_t(v)       then h_t /= max(h_t)
+  *   a_t(v) = Σ_{u→v} w(u,v) · h_{t−1}(u) / ΣW
+  *   h_t(u) = Σ_{u→v} w(u,v) · a_t(v)     / ΣW
   * }}}
-  * MAX-normalization, not the textbook L2: convergence is identical
-  * (any norm works — the iterates converge to the principal
-  * eigenvectors of WᵀW / WWᵀ up to scale) but `max` is an EXACT
-  * comparison-based aggregate in every engine, while a sum of squares
-  * inherits summation-order ulps that a root then smears across every
-  * score. The one remaining float slack — the per-node Σ w·h — is the
-  * same bounded-fan-in slack qg9 carries, absorbed by the 6-dp output
-  * round. Fixed iterations keep the result an exact arithmetic
-  * function of the input, replayable as unrolled MATERIALIZED CTEs
-  * (the qg11 k-core oracle pattern).
+  * followed by ONE max-normalization of the final vectors. Power
+  * iteration is scale-invariant — any per-step positive scaling yields
+  * the same max-normalized output — so the per-step divisor only
+  * exists to keep magnitudes bounded, and a CONSTANT (the total edge
+  * weight ΣW, so every score stays ≤ 1) does that with ZERO per-step
+  * driver work: each iteration is one lazy two-join plan ending in a
+  * single eager `localCheckpoint`, the qg9 job profile, instead of the
+  * two max-aggregate jobs per half-step the textbook per-step
+  * normalization costs (measured 18.8 → ~5 s at sf0.1). `max` for the
+  * final normalization (not L2): comparison-exact in every engine,
+  * while a sum of squares inherits summation-order ulps a root then
+  * smears across every score. The one remaining float slack — the
+  * per-node Σ w·h — is the same bounded-fan-in slack qg9 carries,
+  * absorbed by the 6-dp output round. Fixed iterations keep the result
+  * an exact arithmetic function of the input — replayable as unrolled
+  * MATERIALIZED CTEs (the qg11 k-core oracle pattern).
   *
-  * Spark shape (the qg9 idioms): parallel edges pre-sum ONCE and
-  * persist (the never-changing join side); one half-step = one join of
-  * the n-row score vector against the edges + one map-side-combined
-  * aggregate; the normalizing max rides back as a broadcast 1-row
-  * cross join (no driver action); every new vector repartitions to a
-  * size-appropriate partition count and `localCheckpoint`s (eager) —
-  * the lineage cut that keeps iteration cost flat (persist alone nests
-  * the plan one join deeper per round; see PageRank).
+  * ΣW is exact cross-engine when weights are integer-valued (counts —
+  * double addition of integers below 2⁵³ is order-free); for genuinely
+  * fractional weights it may differ by an ulp between engines, a
+  * relative slack far inside the 6-dp round. Scores can underflow to 0
+  * only if a node's relative inflow is < ~1e-38 per step for every
+  * step — pathological; documented rather than guarded.
   *
   * Output: (node, hub, authority) for every node, max score 1.0 on
   * each axis; sourceless nodes get authority from in-edges and hub 0,
@@ -62,37 +66,47 @@ object Hits {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    val sumW = e.agg(sum("w")).head().getDouble(0)
+    require(sumW > 0.0, s"total edge weight must be positive, got $sumW")
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, n / 100000L + 1L)).toInt
 
-    def normalized(raw: DataFrame, as: String): DataFrame = {
-      val m = raw.agg(max("raw").as("__m"))
-      raw.crossJoin(broadcast(m))
-        .select(col("node"),
-          when(col("__m") > 0.0, col("raw") / col("__m"))
-            .otherwise(lit(0.0)).as(as))
-        .repartition(parts)
-        .localCheckpoint(true)
-    }
-    // gather along edges: scores flow src→dst (by="src", out by dst)
-    // or dst→src; nodes with no contributing edge score 0
-    def gather(scores: DataFrame, scoreCol: String, by: String, out: String): DataFrame =
+    // gather along edges: scores flow src→dst (by="src", out="dst") or
+    // dst→src; nodes with no contributing edge score 0; the constant
+    // ΣW divisor keeps every score in [0, 1]
+    def gather(scores: DataFrame, inCol: String, by: String, out: String,
+        outCol: String): DataFrame =
       nodes.join(
         scores.join(e, scores("node") === e(by))
           .groupBy(col(out).as("node"))
-          .agg(sum(col("w") * col(scoreCol)).as("raw")),
+          .agg((sum(col("w") * col(inCol)) / lit(sumW)).as("__raw")),
         Seq("node"), "left")
-        .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+        .select(col("node"), coalesce(col("__raw"), lit(0.0)).as(outCol))
 
     var h = nodes.select(col("node"), lit(1.0).as("h"))
       .repartition(parts).localCheckpoint(true)
     var a: DataFrame = null
     (1 to iterations).foreach { _ =>
-      a = normalized(gather(h, "h", by = "src", out = "dst"), "a")
-      h = normalized(gather(a, "a", by = "dst", out = "src"), "h")
+      // a stays LAZY inside the iteration — only h checkpoints, so the
+      // whole iteration is one job; the final a re-derives from the
+      // last checkpointed h at output time (one cheap extra gather)
+      a = gather(h, "h", by = "src", out = "dst", outCol = "a")
+      h = gather(a, "a", by = "dst", out = "src", outCol = "h")
+        .repartition(parts).localCheckpoint(true)
     }
-    val out = h.join(a, Seq("node"))
-      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    // the last a must checkpoint too: it still references e/nodes,
+    // which unpersist below (recompute would re-run the edge build on
+    // every downstream action)
+    val aFinal = a.repartition(parts).localCheckpoint(true)
+    val joined = h.join(aFinal, Seq("node"))
+    val m = joined.agg(max("h").as("__mh"), max("a").as("__ma"))
+    val out = joined.crossJoin(broadcast(m))
+      .select(
+        col("node"),
+        when(col("__mh") > 0.0, col("h") / col("__mh"))
+          .otherwise(lit(0.0)).as("hub"),
+        when(col("__ma") > 0.0, col("a") / col("__ma"))
+          .otherwise(lit(0.0)).as("authority"))
     e.unpersist(); nodes.unpersist()
     out
   }
