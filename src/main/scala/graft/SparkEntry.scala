@@ -1248,6 +1248,14 @@ object SparkEntry {
     operators.Temporal.twap(
       events(spark, dir), "user_id", "ts", "event_id", "value", 1800L)
 
+  /** LTTB downsampling ([[operators.Temporal.lttb]], k = 20): per user
+    * the 20 visually-faithful points (endpoints + per-bucket largest
+    * triangle); users with ≤ 20 observations pass through whole.
+    */
+  private def qe28Lttb(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.lttb(
+      events(spark, dir), "user_id", "ts", "event_id", "value", k = 20)
+
   /** Containment-similarity join ([[operators.Dedup.containmentJoin]],
     * 3-gram shingles, τ = 0.9): every ordered (a, b) where ≥ 90% of
     * a's shingles appear in b — quote/excerpt/contamination detection,
@@ -4292,6 +4300,7 @@ object SparkEntry {
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
+    "qe28_lttb" -> (qe28Lttb _),
     "qk6_hist_quantile" -> (qk6HistQuantile _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
@@ -6461,6 +6470,64 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |  round(CAST(c AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
         |FROM p WHERE c * 1000 >= 900 * na""".stripMargin,
+    // LTTB: the sequential bucket walk replays as a recursive CTE with
+    // GROUP BY in the recursive term (the qg1 shape) — per step the
+    // argmax is max(struct(area, −rn, …)), the exact total order of
+    // Spark's first-wins strict-> fold. All sums are INTEGER (y is
+    // quantized millionths), centroids and the cross product are
+    // correctly-rounded IEEE ops on bit-identical operands, and the
+    // bucket map is engine-exact floor division.
+    "qe28_lttb" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS x,
+        |    CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |small AS (SELECT k, x, y FROM pts WHERE n <= 20),
+        |big AS (SELECT * FROM pts WHERE n > 20),
+        |mid AS (
+        |  SELECT k, rn, x, y, ((rn - 2) * 18) // (n - 2) + 1 AS b
+        |  FROM big WHERE rn >= 2 AND rn <= n - 1),
+        |nexts AS (
+        |  SELECT k, b - 1 AS i,
+        |    CAST(sum(x) AS DOUBLE) / count(*) AS nx,
+        |    CAST(sum(y) AS DOUBLE) / count(*) AS ny
+        |  FROM mid GROUP BY k, b HAVING b >= 2),
+        |lastpt AS (
+        |  SELECT k, CAST(x AS DOUBLE) AS nx, CAST(y AS DOUBLE) AS ny
+        |  FROM big WHERE rn = n),
+        |anchors AS (
+        |  SELECT k, i, nx, ny FROM nexts
+        |  UNION ALL SELECT k, 18, nx, ny FROM lastpt),
+        |r AS (
+        |  SELECT k, 0 AS i, x AS px, y AS py FROM big WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.k, r.i + 1,
+        |    (max(struct_pack(a := abs(
+        |        (CAST(r.px AS DOUBLE) - an.nx)
+        |          * (CAST(m.y AS DOUBLE) - CAST(r.py AS DOUBLE))
+        |        - (CAST(r.px AS DOUBLE) - CAST(m.x AS DOUBLE))
+        |          * (an.ny - CAST(r.py AS DOUBLE))),
+        |      nr := -m.rn, sx := m.x, sy := m.y))).sx,
+        |    (max(struct_pack(a := abs(
+        |        (CAST(r.px AS DOUBLE) - an.nx)
+        |          * (CAST(m.y AS DOUBLE) - CAST(r.py AS DOUBLE))
+        |        - (CAST(r.px AS DOUBLE) - CAST(m.x AS DOUBLE))
+        |          * (an.ny - CAST(r.py AS DOUBLE))),
+        |      nr := -m.rn, sx := m.x, sy := m.y))).sy
+        |  FROM r
+        |  JOIN mid m ON m.k = r.k AND m.b = r.i + 1
+        |  JOIN anchors an ON an.k = r.k AND an.i = r.i + 1
+        |  WHERE r.i < 18
+        |  GROUP BY m.k, r.i + 1),
+        |sel AS (
+        |  SELECT k, px AS x, py AS y FROM r
+        |  UNION ALL SELECT k, x, y FROM big WHERE rn = n
+        |  UNION ALL SELECT k, x, y FROM small)
+        |SELECT k AS user_id, x, CAST(y AS DOUBLE) / 1000000.0 AS y
+        |FROM sel""".stripMargin,
     // Streaming count-min: addition is the CMS merge, so the stream's
     // per-window cells equal the batch cells exactly — qk2's replay
     // keyed by the tumbling hour, probes estimated per window.

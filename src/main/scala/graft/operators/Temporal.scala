@@ -255,6 +255,139 @@ object Temporal {
           6).as("twap"))
   }
 
+  /** LTTB DOWNSAMPLING (Steinarsson 2013, "Largest Triangle Three
+    * Buckets") — reduce each key's series to `k` visually-faithful
+    * points: keep the first and last, split the middle into k−2
+    * equal-index buckets, and from each bucket keep the point forming
+    * the LARGEST TRIANGLE with the previously-selected point and the
+    * next bucket's centroid — the dashboarding/telemetry downsample
+    * that preserves spikes a plain bucket-average flattens. The
+    * previous-selected dependency makes LTTB sequential BY DEFINITION,
+    * so the bucket walk runs as an ordered in-array fold per key (the
+    * qe15/qe26 idiom), replayed step-for-step by a recursive-CTE
+    * oracle with GROUP BY in the recursive term (the qg1 Bellman-Ford
+    * shape: each step's argmax is an aggregate over that bucket's
+    * candidates).
+    *
+    * CROSS-ENGINE EXACTNESS BY INTEGERIZATION: y quantizes to
+    * integer millionths up front (x is already integer µs), so every
+    * SUM in the algorithm — the next-bucket centroid — is order-free
+    * (integer addition), and every remaining float op (centroid
+    * divide, the triangle cross product) is a correctly-rounded IEEE
+    * op on bit-identical operands. Ties in triangle area break
+    * first-point-wins (fold: strict `>`; SQL: max by (area, −rn)) —
+    * equivalent total orders, so even exact ties pick the same point.
+    * The 6-dp quantization is part of the contract (a visual
+    * downsample is insensitive to sub-millionth wiggle); NaN values
+    * are unsupported (ANSI cast faults loudly).
+    *
+    * Per-key state is the key's own series (the bounded-series
+    * contract); the bucket scan is O(n·k) expression work per key —
+    * the plot-sized k this exists for keeps that trivial. Series with
+    * n ≤ k pass through whole. Output: (key, x epoch-µs, y) — the
+    * selected points.
+    */
+  def lttb(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, k: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (first + last + one bucket), got $k")
+    val m = k - 2
+    val pts = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol),
+        struct(
+          expr(s"unix_micros($tsCol)").as("x"),
+          col(tieCol).as("t"),
+          expr(s"CAST(round(CAST($valCol AS DOUBLE) * 1000000) AS BIGINT)")
+            .as("y")).as("__p"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+      .withColumn("__n", size(col("__ps")))
+    val small = pts
+      .filter(col("__n") <= k)
+      .select(col(keyCol), explode(col("__ps")).as("__s"))
+      .select(col(keyCol), col("__s.x").as("x"), col("__s.y").as("__yq"))
+    val big = pts.filter(col("__n") > k)
+    // middle points with their 1-based rank and bucket id
+    // b(rn) = (rn−2)·m div (n−2) + 1 — the floor map both engines share
+    // (rn−2)·m div (n−2) + 1 via double divide + truncate: operands are
+    // row counts (≪ 2⁵³), so the quotient is exact and the truncation
+    // IS the floor both engines compute. EVERY expression below must be
+    // TOTAL even on small-path groups: CollapseProject merges these
+    // projections into the shared Aggregate BELOW the __n > k filter,
+    // so an n ≤ k group still EVALUATES them (ANSI divide-by-zero was
+    // the symptom) — hence the greatest(·, 1) and the empty-bucket
+    // guard; guarded garbage rows are discarded by the filter anyway
+    val mid = transform(col("__ps"),
+      (p, idx) => struct(
+        (idx + 1).as("rn"), p("x").as("x"), p("y").as("y"),
+        ((((idx - 1) * m).cast("double") /
+          greatest(col("__n") - 2, lit(1)).cast("double")).cast("long") + 1)
+          .as("b")))
+    // LET-BINDING VIA SINGLE-ELEMENT transform: the precomputed arrays
+    // (mid, then per-bucket candidates/anchors) bind as LAMBDA
+    // VARIABLES, which the optimizer cannot inline — as withColumns,
+    // CollapseProject inlined them into the 18-step fold and each step
+    // re-evaluated every bucket scan (measured 412 s at sf0.01; ~2 s
+    // with the bindings). Each binding evaluates exactly once per row.
+    val midBound = filter(mid, e => e("rn") >= 2 && e("rn") <= col("__n") - 1)
+    val selExpr = element_at(transform(array(midBound), md => {
+      // per bucket i: its candidates and the NEXT anchor (bucket i+1's
+      // integer-sum centroid, or the last point for the final bucket)
+      val cands = transform(sequence(lit(1), lit(m)),
+        i => filter(md, e => e("b") === i))
+      val nexts = transform(sequence(lit(1), lit(m)), i => {
+        val nb = filter(md, e => e("b") === i + 1)
+        val last = element_at(col("__ps"), col("__n"))
+        when(i < m && size(nb) > 0,
+          struct(
+            (aggregate(nb, lit(0L), (s, e) => s + e("x")).cast("double") /
+              size(nb).cast("double")).as("nx"),
+            (aggregate(nb, lit(0L), (s, e) => s + e("y")).cast("double") /
+              size(nb).cast("double")).as("ny")))
+          .otherwise(struct(
+            last("x").cast("double").as("nx"),
+            last("y").cast("double").as("ny")))
+      })
+      element_at(transform(array(struct(cands.as("c"), nexts.as("a"))), ctx =>
+        aggregate(sequence(lit(1), lit(m)),
+          struct(
+            element_at(col("__ps"), 1)("x").as("px"),
+            element_at(col("__ps"), 1)("y").as("py"),
+            array(struct(
+              element_at(col("__ps"), 1)("x").as("x"),
+              element_at(col("__ps"), 1)("y").as("y"))).as("sel")),
+          (acc, i) => {
+            val nxt = element_at(ctx("a"), i)
+            val pxd = acc("px").cast("double")
+            val pyd = acc("py").cast("double")
+            val best = aggregate(element_at(ctx("c"), i),
+              struct(lit(-1.0).as("area"), lit(0L).as("x"), lit(0L).as("y")),
+              (b, p) => {
+                val area = abs(
+                  (pxd - nxt("nx")) * (p("y").cast("double") - pyd) -
+                    (pxd - p("x").cast("double")) * (nxt("ny") - pyd))
+                when(area > b("area"),
+                  struct(area.as("area"), p("x").as("x"), p("y").as("y")))
+                  .otherwise(b)
+              })
+            struct(
+              best("x").as("px"), best("y").as("py"),
+              concat(acc("sel"),
+                array(struct(best("x").as("x"), best("y").as("y")))).as("sel"))
+          },
+          acc => concat(acc("sel"), array(struct(
+            element_at(col("__ps"), col("__n"))("x").as("x"),
+            element_at(col("__ps"), col("__n"))("y").as("y")))))), 1)
+    }), 1)
+    val folded = big
+      .select(col(keyCol), explode(selExpr).as("__s"))
+      .select(col(keyCol), col("__s.x").as("x"), col("__s.y").as("__yq"))
+    small.unionByName(folded)
+      .select(col(keyCol), col("x"),
+        (col("__yq").cast("double") / 1000000.0).as("y"))
+  }
+
   /** ROLLING Z-SCORE — per-key anomaly scoring of a value series
     * against its own trailing baseline: for each event (in strict
     * (ts, tie) order), mean/variance over the PRECEDING `lookback`

@@ -273,6 +273,68 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 60L) -> ((5.0, 0))))
   }
 
+  test("lttb: matches an independent reference implementation; endpoints kept; " +
+      "n <= k passes through") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // independent reference: textbook LTTB over the same quantized ints
+    def refLttb(pts: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] = {
+      val n = pts.length
+      if (n <= k) pts
+      else {
+        val mBk = k - 2
+        val sel = scala.collection.mutable.ArrayBuffer(pts.head)
+        var prev = pts.head
+        val mid = pts.slice(1, n - 1) // rn 2..n-1
+        def bucket(i: Int): Seq[(Long, Long)] =
+          mid.zipWithIndex.filter { case (_, j) =>
+            ((j.toLong * mBk).toDouble / (n - 2)).toLong + 1 == i
+          }.map(_._1)
+        for (i <- 1 to mBk) {
+          val next: (Double, Double) =
+            if (i < mBk) {
+              val nb = bucket(i + 1)
+              (nb.map(_._1).sum.toDouble / nb.size, nb.map(_._2).sum.toDouble / nb.size)
+            } else (pts.last._1.toDouble, pts.last._2.toDouble)
+          var best = (-1.0, (0L, 0L))
+          for (p <- bucket(i)) {
+            val area = math.abs(
+              (prev._1.toDouble - next._1) * (p._2.toDouble - prev._2.toDouble) -
+                (prev._1.toDouble - p._1.toDouble) * (next._2 - prev._2.toDouble))
+            if (area > best._1) best = (area, p)
+          }
+          sel += best._2
+          prev = best._2
+        }
+        sel += pts.last
+        sel.toSeq
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val series = (1 to 87).map(i =>
+      (i.toLong * 60L + rnd.nextInt(20), math.rint(rnd.nextDouble() * 1e8).toLong))
+      .sortBy(_._1)
+    val df = series.zipWithIndex.map { case ((sec, yq), i) =>
+      (1L, new Timestamp(sec * 1000L), i.toLong, yq.toDouble / 1e6)
+    }.toDF("k", "ts", "id", "v")
+    val got = Temporal.lttb(df, "k", "ts", "id", "v", k = 12)
+      .collect().map(r => (r.getLong(1), math.rint(r.getDouble(2) * 1e6).toLong))
+      .sortBy(_._1).toSeq
+    val expect = refLttb(series.map { case (sec, yq) => (sec * 1000000L, yq) }, 12)
+      .sortBy(_._1)
+    assert(got.length == 12 && got == expect)
+    // endpoints always survive
+    assert(got.head == expect.head && got.last == expect.last)
+    // n <= k: identity
+    val tiny = (1 to 5).map(i => (2L, new Timestamp(i * 1000L), i.toLong, i * 1.5))
+      .toDF("k", "ts", "id", "v")
+    val passthrough = Temporal.lttb(tiny, "k", "ts", "id", "v", k = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(passthrough == (1 to 5).map(i => (i * 1000000L, i * 1.5)))
+    intercept[IllegalArgumentException](
+      Temporal.lttb(tiny, "k", "ts", "id", "v", k = 2))
+  }
+
   test("rolling z-score: hand-computed baseline, full-window drop, " +
       "zero-variance null, nulls excluded before the frame") {
     import spark.implicits._
