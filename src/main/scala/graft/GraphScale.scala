@@ -35,11 +35,18 @@ object GraphScale {
       time("labelprop3") {
         graft.graph.LabelProp.run(edges, "x", "y", 3).count()
       }
-      // k-truss needs FULL neighbourhoods (no degree orientation can cap
-      // a hot node's adjacency like triangle counting) — this run is the
-      // measured form of that operator-doc caveat
+      // k-truss support via degree-ordered triangle ENUMERATION (the
+      // round-14 rework) — the skew probe below pins the win vs the old
+      // full-neighbourhood intersection form
       time("ktruss4") {
         graft.graph.Truss.decompose(edges, "x", "y", 4).count()
+      }
+      // HITS at the fixed 4-iteration budget: per iteration one lazy
+      // two-join plan + one localCheckpoint (constant-ΣW scaling), so
+      // wall should track |E| like the other keyed-join fixpoints
+      time("hits4") {
+        graft.graph.Hits.run(
+          edges.withColumn("w", lit(1.0)), "x", "y", "w", 4).count()
       }
       // betweenness cost is pivots × diameter rounds; 16 pivots is the
       // estimator at a fixed budget, so wall should track |E|, not n·m

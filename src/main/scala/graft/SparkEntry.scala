@@ -1802,6 +1802,36 @@ object SparkEntry {
         round(Dedup.jaccard(col("a_sh"), col("b_sh")), 6).as("exact_j"))
   }
 
+  /** SKETCHED CONTAINMENT (qd17's estimate tier): C(a→b) derived from
+    * the MinHash Jaccard estimate plus the EXACT set sizes —
+    * i = J·(na+nb)/(1+J), C = i/na — so containment screening runs at
+    * signature cost (16 longs/doc) with no shingle join; the gate pairs
+    * the estimate with the exact containment, the qd9 calibration
+    * shape. Sizes are cheap (a count per doc, not a cross-doc join);
+    * the one divide chain is ordered identically in both engines.
+    */
+  private def qd18ContainEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val sigs = docs.select(
+      col("doc_id"),
+      graft.functions.expressions.TextHashExpressions
+        .minHashSignature(col("text"), 3, 16).as("sig"),
+      Dedup.shingleSetUdf(3)(col("text")).as("sh"))
+      .localCheckpoint(true)
+    val a = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"), col("sh").as("a_sh"))
+    val b = sigs.select((col("doc_id") - 1).as("a_id"), col("sig").as("b_sig"), col("sh").as("b_sh"))
+    val jest =
+      expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)") / 16.0
+    a.join(b, Seq("a_id"))
+      .filter(size(col("a_sh")) >= 1 && size(col("b_sh")) >= 1)
+      .select(
+        col("a_id").as("doc_id"),
+        round((jest * (size(col("a_sh")) + size(col("b_sh")))) /
+          ((lit(1.0) + jest) * size(col("a_sh"))), 6).as("cont_est"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(col("a_sh")).cast("double"), 6).as("exact_c"))
+  }
+
   /** Grouped nearest-rank percentile (W1 per group): top-20%-by-price
     * lineitems WITHIN each returnflag, summarized per group. */
   private def q28GroupPercentile(spark: SparkSession, dir: String): DataFrame =
@@ -4301,6 +4331,7 @@ object SparkEntry {
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
     "qe28_lttb" -> (qe28Lttb _),
+    "qd18_contain_est" -> (qd18ContainEstimate _),
     "qk6_hist_quantile" -> (qk6HistQuantile _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
@@ -7814,6 +7845,35 @@ object SparkEntry {
           |SELECT e.a_id AS doc_id, round(e.e, 6) AS mh_est,
           |  round(coalesce(i.ni, 0)::DOUBLE /
           |        (na.n + nb.n - coalesce(i.ni, 0)), 6) AS exact_j
+          |FROM est e
+          |JOIN shc na ON na.doc_id = e.a_id
+          |JOIN shc nb ON nb.doc_id = e.a_id + 1
+          |LEFT JOIN inter i ON i.a_id = e.a_id""".stripMargin),
+    // Sketched containment: same signature replay as qd9; the estimate
+    // formula is one ordered divide chain over the identical J estimate
+    // and integer sizes, so it matches bit-for-bit before the round.
+    "qd18_contain_est" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, pair AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |), est AS (
+          |  SELECT p.a_id, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 16.0 AS e
+          |  FROM pair p
+          |  JOIN sig sa ON sa.doc_id = p.a_id
+          |  JOIN sig sb ON sb.doc_id = p.b_id AND sb.k = sa.k
+          |  GROUP BY p.a_id
+          |), shc AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          |), inter AS (
+          |  SELECT p.a_id, count(*) AS ni
+          |  FROM pair p
+          |  JOIN sh sa ON sa.doc_id = p.a_id
+          |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+          |  GROUP BY p.a_id
+          |)
+          |SELECT e.a_id AS doc_id,
+          |  round((e.e * (na.n + nb.n)) / ((1 + e.e) * na.n), 6) AS cont_est,
+          |  round(coalesce(i.ni, 0)::DOUBLE / na.n, 6) AS exact_c
           |FROM est e
           |JOIN shc na ON na.doc_id = e.a_id
           |JOIN shc nb ON nb.doc_id = e.a_id + 1
