@@ -192,6 +192,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("qe26: holt is ONE key shuffle — an aggregate, no join, no window") {
+    val p = plan("qe26_holt")
+    assert(!p.contains("Join"), "holt grew a join:\n" + p.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one aggregate shuffle, saw $exchanges:\n" + p.take(1200))
+  }
+
+  test("qd17: containment candidates come from keyed joins only — no cartesian") {
+    val p = plan("qd17_containment")
+    assert(!p.contains("CartesianProduct"),
+      "containment fell back to all-pairs:\n" + p.take(1200))
+  }
+
+  test("qe28: lttb is aggregate + generate — no join, no window") {
+    val p = plan("qe28_lttb")
+    assert(!p.contains("Join"), "lttb grew a join:\n" + p.take(1200))
+    assert(!p.contains("Window"), "lttb grew a window:\n" + p.take(1200))
+    // two branches (passthrough ∪ fold) over the same one-exchange agg
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected the shared agg's shuffle(s), saw $exchanges:\n" + p.take(1200))
+  }
+
   test("qt36: the PMI k-cut is TakeOrdered, never a global sort") {
     val p = plan("qt36_pmi")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))

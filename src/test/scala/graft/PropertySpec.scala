@@ -31,6 +31,51 @@ class PropertySpec extends AnyFunSuite {
 
   private val values = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
 
+  test("gap-fill matches a direct scala reference on random keyed series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Spark round(x, 6) is BigDecimal HALF_UP — the reference must
+    // round the same way, not via half-even math.rint
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val series = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 3L),        // key
+      Gen.chooseNum(0L, 5000L),     // seconds
+      Gen.chooseNum(-1e4, 1e4)))    // value
+    val bucketSec = 60L
+    val maxGap = 5
+    forAll(series, n = 15) { raw =>
+      val rows = raw.zipWithIndex.map { case ((k, sec, v), i) =>
+        (k, new Timestamp(sec * 1000L), i.toLong, v)
+      }
+      val got = operators.Temporal
+        .gapFill(rows.toDF("k", "ts", "id", "v"), "k", "ts", "id", "v",
+          bucketSec, maxGap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        // bucket-last in (ts, id) order
+        val byBucket = rs
+          .map(t => (t._2.getTime * 1000L / (bucketSec * 1000000L), t._2.getTime, t._3, t._4))
+          .groupBy(_._1).toSeq
+          .map { case (b, g) => (b, g.maxBy(e => (e._2, e._3))._4) }
+          .sortBy(_._1)
+        val observed = byBucket.map { case (b, v) => (k, b * bucketSec, r6(v), 0) }
+        val fills = byBucket.zip(byBucket.drop(1)).flatMap {
+          case ((b, v), (nb, nv)) if nb - b >= 2 && nb - b <= maxGap =>
+            (b + 1 until nb).map { g =>
+              (k, g * bucketSec,
+                r6(v + (nv - v) * ((g - b).toDouble / (nb - b).toDouble)), 1)
+            }
+          case _ => Seq.empty
+        }
+        observed ++ fills
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
   test("percentile threshold equals the reference nearest-rank definition") {
     import spark.implicits._
     forAll2(values, Gen.chooseNum(0.0, 100.0), n = 10) { (vs: List[Double], p: Double) =>
