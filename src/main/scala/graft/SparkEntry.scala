@@ -2571,6 +2571,21 @@ object SparkEntry {
     mediaStatsSelect(multimodal.Multimodal.extractFeaturesDecoded(media))
   }
 
+  /** Perceptual image dedup ([[multimodal.Multimodal.aHash]], 32×32
+    * PNG → 8×8 aHash): doc_id % 100 folds the corpus onto 100 distinct
+    * images, so every hash group collects the ~N/100 re-encoded copies
+    * — the grouping aHash exists for, with the whole decode → box-mean
+    * → threshold pipeline integer-exact and replayed cell-for-cell.
+    */
+  private def qm14PerceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    val folded = t(spark, dir, "documents")
+      .select((col("doc_id") % 100L).as("doc_id"))
+    val media = multimodal.Multimodal.pngMediaFromDocuments(spark, folded)
+    multimodal.Multimodal.aHash(media, factor = 4)
+      .groupBy(col("hash_bits"))
+      .agg(count(lit(1)).as("n_images"))
+  }
+
   /** Multimodal audio tier — REAL WAV/PCM decode ([[sources.Wav]]): one
     * 1024-sample PCM16 clip per document, encoded executor-side and
     * decoded back to actual samples; mean |amplitude| and RMS are
@@ -4294,6 +4309,7 @@ object SparkEntry {
     "qm11_g711_audio" -> (qm11G711Audio _),
     "qm12_flac_audio" -> (qm12FlacAudio _),
     "qm13_flac_stereo_lpc" -> (qm13FlacStereoLpc _),
+    "qm14_perceptual_hash" -> (qm14PerceptualHash _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -7878,6 +7894,30 @@ object SparkEntry {
           |JOIN shc na ON na.doc_id = e.a_id
           |JOIN shc nb ON nb.doc_id = e.a_id + 1
           |LEFT JOIN inter i ON i.a_id = e.a_id""".stripMargin),
+    // Perceptual hash: the oracle recomputes the whole pipeline from
+    // the pixel formula — 4×4 block sums // 16, thumbnail mean // 64,
+    // strict-> threshold bits in (ry, rx) order — all integer, so the
+    // REAL decode→resize→hash path must land cell-for-cell on it.
+    "qm14_perceptual_hash" ->
+      """WITH cnt AS (
+        |  SELECT doc_id % 100 AS gid, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |px AS (
+        |  SELECT gid, i, (i * 7919 + gid) % 256 AS p
+        |  FROM cnt, unnest(generate_series(0, 1023)) t(i)),
+        |r2 AS (
+        |  SELECT gid, (i // 32) // 4 AS ry, (i % 32) // 4 AS rx,
+        |    CAST(sum(p) AS BIGINT) // 16 AS rp
+        |  FROM px GROUP BY 1, 2, 3),
+        |mn AS (SELECT gid, CAST(sum(rp) AS BIGINT) // 64 AS mean
+        |       FROM r2 GROUP BY 1),
+        |bits AS (
+        |  SELECT r2.gid,
+        |    string_agg(CASE WHEN rp > mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY ry, rx) AS hash_bits
+        |  FROM r2 JOIN mn USING (gid) GROUP BY r2.gid)
+        |SELECT hash_bits, CAST(sum(c) AS BIGINT) AS n_images
+        |FROM bits JOIN cnt USING (gid) GROUP BY 1""".stripMargin,
     // grouped W1: the value at rank round(0.8·(n−1)) is a multiset
     // property — row_number tie order can't change it. 0.8·(n−1) has
     // fractional part in {0,.2,.4,.6,.8}, never .5, so rounding-mode

@@ -368,6 +368,35 @@ object Multimodal {
     * (or with dims not divisible by the factor) fall back to the stub
     * byte-subsampling so the pipeline shape never branches.
     */
+  /** Integer floor box means — the shared resize/hash kernel:
+    * deterministic, SQL-replayable, no float rounding anywhere.
+    */
+  private def boxMeans(px: Array[Byte], w: Int, h: Int, factor: Int): Array[Int] = {
+    val nw = w / factor
+    val nh = h / factor
+    val out = new Array[Int](nw * nh)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        var s = 0
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            s += px((y * factor + dy) * w + x * factor + dx) & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * nw + x) = s / (factor * factor)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def resizeDecoded(media: Dataset[Media], factor: Int): Dataset[Media] = {
     import media.sparkSession.implicits._
     require(factor >= 1)
@@ -378,30 +407,10 @@ object Multimodal {
           case (Some((_, w, h)), Some(px)) if w % factor == 0 && h % factor == 0 =>
             val nw = w / factor
             val nh = h / factor
-            val out = new Array[Int](nw * nh)
-            var y = 0
-            while (y < nh) {
-              var x = 0
-              while (x < nw) {
-                var s = 0
-                var dy = 0
-                while (dy < factor) {
-                  var dx = 0
-                  while (dx < factor) {
-                    s += px((y * factor + dy) * w + x * factor + dx) & 0xff
-                    dx += 1
-                  }
-                  dy += 1
-                }
-                out(y * nw + x) = s / (factor * factor)
-                x += 1
-              }
-              y += 1
-            }
             Media(
               m.media_id,
               m.meta.copy(width = nw, height = nh),
-              graft.sources.Png.encodeGray(out, nw, nh))
+              graft.sources.Png.encodeGray(boxMeans(px, w, h, factor), nw, nh))
           case _ =>
             val step = factor * factor
             val sub = new Array[Byte]((bytes.length + step - 1) / step)
@@ -411,6 +420,52 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** AVERAGE-HASH (aHash) PERCEPTUAL IMAGE FINGERPRINT — the
+    * image-dedup primitive: decode (REAL in-repo codecs), box-average
+    * down to a `factor`-reduced thumbnail (the shared integer-floor
+    * kernel), threshold each cell against the thumbnail's floor-mean,
+    * and emit the bit pattern. Identical images hash identically under
+    * any lossless re-encode, and a uniform brightness shift that
+    * doesn't clip leaves every bit unchanged (the mean shifts with the
+    * pixels) — the invariance that makes aHash a near-dup GROUPING key
+    * rather than a byte checksum (qd1's exact tier can't see a
+    * re-encoded copy; this can). Everything is integer (block sums,
+    * floor means, strict > threshold), so the hash is the same in any
+    * engine and the qm14 oracle recomputes it cell-for-cell in SQL.
+    *
+    * The hash emits as a '0'/'1' STRING: a 64-cell hash doesn't fit a
+    * signed 64-bit long when the top bit is set, and the driver's
+    * pandas compare handles strings better than it handles overflow.
+    * Undecodable payloads and dims not divisible by the factor emit
+    * NO row — a fingerprint that silently fell back to byte stats
+    * would poison a dedup pass (the honesty rule of the
+    * perceptual-codec boundary).
+    */
+  def aHash(media: Dataset[Media], factor: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(factor >= 1)
+    media.flatMap { m =>
+      val bytes = safeBytes(m.bytes)
+      (imageDims(bytes), decodeImage(bytes)) match {
+        case (Some((_, w, h)), Some(px))
+            if w % factor == 0 && h % factor == 0 && w >= factor && h >= factor =>
+          val means = boxMeans(px, w, h, factor)
+          var sum = 0L
+          var i = 0
+          while (i < means.length) { sum += means(i); i += 1 }
+          val mean = sum / means.length
+          val bits = new StringBuilder(means.length)
+          i = 0
+          while (i < means.length) {
+            bits.append(if (means(i) > mean) '1' else '0')
+            i += 1
+          }
+          Some((m.media_id, bits.toString))
+        case _ => None
+      }
+    }.toDF("media_id", "hash_bits")
   }
 
   /** REAL video decode tier: AVI/MJPEG payloads split into per-frame JPEG

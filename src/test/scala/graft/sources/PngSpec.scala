@@ -141,6 +141,32 @@ class PngSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("corrupt PNG"))
   }
 
+  test("aHash: brightness-shift invariant, constant image all-zero, " +
+      "undecodable emits no row") {
+    val spark = graft.GraftSession.local(2, "ahash-spec")
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def img(id: Long, px: Array[Int]) = Multimodal.Media(
+      id, Multimodal.MediaMeta("image", 8, 8, 0), Png.encodeGray(px, 8, 8))
+    val base = Array.tabulate(64)(i => (i * 3) % 200)
+    val media = Seq(
+      img(1L, base),
+      img(2L, base), // identical content, separate encode
+      img(3L, base.map(_ + 10)), // uniform brightness shift, no clipping
+      img(4L, Array.fill(64)(77)), // constant -> nothing exceeds the mean
+      Multimodal.Media(5L, Multimodal.MediaMeta("audio", 0, 0, 0),
+        Array[Byte](1, 2, 3)) // undecodable
+    ).toDS()
+    val out = Multimodal.aHash(media, factor = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // no silent fallback row for 5
+    assert(out(1L).length == 16 && out(1L).count(c => c == '0' || c == '1') == 16)
+    assert(out(1L) == out(2L)) // re-encode of same pixels: same hash
+    // the mean shifts with the pixels, so every comparison is unchanged
+    assert(out(1L) == out(3L))
+    assert(out(4L) == "0" * 16) // p > mean is strict: constant image = zeros
+  }
+
   test("resizeDecoded: 2x2 box average over real pixels, lossless re-encode") {
     val spark = graft.GraftSession.local(2, "resize-spec")
     import spark.implicits._
