@@ -4120,6 +4120,23 @@ object SparkEntry {
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Personalized PageRank ([[graph.PageRank]] with
+    * `personalizedTo = 0`): random-walk-with-restart relevance FROM
+    * nation 0 over the qg9 trade graph — the recommendation /
+    * seed-expansion complement of qg9's global rank.
+    */
+  private def qg15Ppr(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graph.PageRank.run(edges, "src", "dst", "w", iterations = 5,
+        personalizedTo = Some(0L))
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
   /** HITS hubs/authorities ([[graph.Hits]], 4 fixed iterations) on the
     * qg9 nation trade graph: customer-nations as buyers (hubs),
     * supplier-nations as sellers (authorities) — the two directed
@@ -4326,6 +4343,7 @@ object SparkEntry {
     "qg12_label_prop" -> (qg12LabelProp _),
     "qg13_ktruss" -> (qg13KTruss _),
     "qg14_hits" -> (qg14Hits _),
+    "qg15_ppr" -> (qg15Ppr _),
     "qe15_ewma" -> (qe15Ewma _),
     "qe16_ohlc" -> (qe16Ohlc _),
     "qp4_drift" -> (qp4Drift _),
@@ -7134,6 +7152,41 @@ object SparkEntry {
           |  round(CASE WHEN mh > 0 THEN h / mh ELSE 0.0 END, 6) AS hub,
           |  round(CASE WHEN ma > 0 THEN a / ma ELSE 0.0 END, 6) AS authority
           |FROM h4 JOIN a4 ON h4.node = a4.node CROSS JOIN m""".stripMargin
+    },
+    // Personalized PageRank: qg9's unrolled replay with the restart
+    // (and dangling redistribution, and r0) concentrated on node 0 —
+    // term order matches the Spark expression exactly.
+    "qg15_ppr" -> {
+      def iter(i: Int): String =
+        s""",
+           |r$i AS (
+           |  SELECT nd.node,
+           |    CASE WHEN nd.node = 0 THEN 0.15 ELSE 0.0 END
+           |    + 0.85 * coalesce(s.inflow, 0)
+           |    + CASE WHEN nd.node = 0 THEN 0.85 * (
+           |        SELECT coalesce(sum(r.rank), 0) FROM r${i - 1} r
+           |        WHERE r.node NOT IN (SELECT src FROM trans))
+           |      ELSE 0.0 END AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT t.dst AS node, sum(r.rank * t.p) AS inflow
+           |    FROM r${i - 1} r JOIN trans t ON r.node = t.src GROUP BY 1) s
+           |    ON nd.node = s.node)""".stripMargin
+      """WITH edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |trans AS (
+        |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges),
+        |r0 AS (
+        |  SELECT node, CASE WHEN node = 0 THEN 1.0 ELSE 0.0 END AS rank
+        |  FROM nodes)""".stripMargin +
+        (1 to 5).map(iter).mkString +
+        "\nSELECT node, round(rank, 6) AS rank FROM r5"
     },
     "qg9_pagerank" -> {
       def iter(i: Int): String =

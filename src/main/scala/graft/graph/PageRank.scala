@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -45,6 +45,16 @@ object PageRank {
 
   /** @param edges (srcCol, dstCol, wCol) rows; parallel edges allowed
     *              (weights add). Self-loops allowed (standard algebra).
+    * @param personalizedTo when set, PERSONALIZED PageRank: the restart
+    *              distribution (and the dangling redistribution, and
+    *              the initial vector) concentrates entirely on this
+    *              node instead of spreading uniformly — the
+    *              random-walk-with-restart relevance score "how
+    *              reachable is v FROM here", the recommendation /
+    *              seed-expansion primitive. Same iteration, same plan
+    *              shape; the uniform path keeps its exact original
+    *              arithmetic ((1−d)/n as ONE literal — not
+    *              (1−d)·(1/n), which is a different double).
     * @return (node, rank) for every node appearing as src or dst.
     */
   def run(
@@ -53,7 +63,8 @@ object PageRank {
       dstCol: String,
       wCol: String,
       iterations: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      personalizedTo: Option[Long] = None): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1], got $damping")
     val spark = edges.sparkSession
@@ -89,7 +100,11 @@ object PageRank {
     val rankParts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, n / 100000L + 1L)).toInt
 
-    var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+    val init: Column = personalizedTo match {
+      case Some(s) => when(col("node") === s, lit(1.0)).otherwise(lit(0.0))
+      case None => lit(1.0) / n
+    }
+    var ranks = nodes.select(col("node"), init.as("rank"))
       .repartition(rankParts)
       .localCheckpoint(true)
 
@@ -101,12 +116,19 @@ object PageRank {
       val contrib = ranks.join(trans, ranks("node") === trans("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("inflow"))
+      val rankExpr: Column = personalizedTo match {
+        case Some(s) =>
+          when(col("node") === s, lit(1.0 - damping)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0)) +
+            when(col("node") === s, lit(damping * danglingMass))
+              .otherwise(lit(0.0))
+        case None =>
+          lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0)) +
+            lit(damping * danglingMass / n)
+      }
       ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(
-          col("node"),
-          (lit((1.0 - damping) / n)
-            + lit(damping) * coalesce(col("inflow"), lit(0.0))
-            + lit(damping * danglingMass / n)).as("rank"))
+        .select(col("node"), rankExpr.as("rank"))
         .repartition(rankParts)
         .localCheckpoint(true)
     }

@@ -71,6 +71,32 @@ class PageRankSpec extends AnyFunSuite {
     assert(skew(2L) > skew(3L))
   }
 
+  test("personalized: hand-computed 2-step walk from the source, mass conserved") {
+    import spark.implicits._
+    // cycle 1 -> 2 -> 3 -> 1, restart at 1:
+    // r0 = (1, 0, 0); r1 = (0.15, 0.85, 0);
+    // r2 = (0.15, 0.85·0.15, 0.85·0.85)
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+    val got = PageRank
+      .run(e.toDF("src", "dst", "w"), "src", "dst", "w", 2,
+        personalizedTo = Some(1L))
+      .as[(Long, Double)].collect().toMap
+    // 1 − 0.85 is 0.15000000000000002, not 0.15 — replay the exact
+    // expression (the gate's 6-dp round is what absorbs this vs the
+    // oracle's literal)
+    val restart = 1.0 - 0.85
+    assert(got(1L) == restart && got(2L) == 0.85 * restart && got(3L) == 0.85 * 0.85)
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    // a personalized dangling sink returns its mass to the SOURCE,
+    // not uniformly: 1 -> 2 (2 dangling) keeps Σrank = 1
+    val sink = PageRank
+      .run(Seq((1L, 2L, 1.0)).toDF("src", "dst", "w"), "src", "dst", "w", 10,
+        personalizedTo = Some(1L))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(sink.values.sum - 1.0) < 1e-9)
+    assert(sink(1L) > sink(2L)) // restart + returned mass concentrate at 1
+  }
+
   test("damping 1.0 removes teleport; damping 0.0 is uniform regardless of edges") {
     val e = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0))
     val d0 = ranks(e, 3, d = 0.0)
