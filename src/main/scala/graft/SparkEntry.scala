@@ -1275,6 +1275,34 @@ object SparkEntry {
       events(spark, dir), "user_id", "ts", "event_id", "value",
       alpha = 0.5, beta = 0.25)
 
+  /** Holt-Winters additive smoothing ([[operators.Temporal
+    * .holtWinters]], α = 0.5, β = 0.25, γ = 0.25, period 4 — all dyadic
+    * per the cross-engine literal contract): per-user final
+    * level/trend/next-slot seasonal/forecast.
+    */
+  private def qe29HoltWinters(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.holtWinters(
+      events(spark, dir), "user_id", "ts", "event_id", "value",
+      alpha = 0.5, beta = 0.25, gamma = 0.25, period = 4)
+
+  /** CUSUM change detection ([[operators.Temporal.cusum]], target 250,
+    * slack 16, threshold 256 — micro-integer parameters, all-integer
+    * fold): per-user alarm counts and peak statistic.
+    */
+  private def qe30Cusum(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.cusum(
+      events(spark, dir), "user_id", "ts", "event_id", "value",
+      targetMicro = 250000000L, slackMicro = 16000000L,
+      thresholdMicro = 256000000L)
+
+  /** Interval coverage ([[operators.Temporal.intervalCoverage]]):
+    * events as [ts, ts + value seconds) spans; per-user union length
+    * and disjoint-segment count via the one-window sweep-line.
+    */
+  private def qr2IntervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.intervalCoverage(
+      events(spark, dir), "user_id", "ts", "event_id", "value")
+
   /** PMI collocations ([[operators.TextAnalysis.pmiCollocations]],
     * support ≥ 5, top-50): ranked by the exact integer-product ratio so
     * the k boundary can't flip on a libm ulp.
@@ -4361,6 +4389,9 @@ object SparkEntry {
     "qe25_gapfill" -> (qe25GapFill _),
     "qt35_domain_mix" -> (qt35DomainMix _),
     "qe26_holt" -> (qe26Holt _),
+    "qe29_holt_winters" -> (qe29HoltWinters _),
+    "qe30_cusum" -> (qe30Cusum _),
+    "qr2_interval_coverage" -> (qr2IntervalCoverage _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -6491,6 +6522,93 @@ object SparkEntry {
         |  round(max_by(b, rn), 6) AS trend,
         |  round(max_by(l, rn) + max_by(b, rn), 6) AS forecast
         |FROM r GROUP BY user_id""".stripMargin,
+    // Holt-Winters: the qe26 replay extended with the seasonal RING as
+    // a LIST column in the recursive term — slot ((rn-1) % 4) + 1 is
+    // read (s_{i-m}) and rewritten (s_i) each step, every literal
+    // dyadic, so doubles match bit-for-bit before the 6-dp round.
+    "qe29_holt_winters" -> {
+      val sOld = "r.ring[((ev.rn - 1) % 4) + 1]"
+      val lNew = s"((ev.value - $sOld) * 0.5 + (r.l + r.b) * 0.5)"
+      val sNew = s"((ev.value - $lNew) * 0.25 + $sOld * 0.75)"
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b,
+         |    [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         |     CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)] AS ring
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT ev.user_id, ev.rn,
+         |    $lNew,
+         |    ($lNew - r.l) * 0.25 + r.b * 0.75,
+         |    [CASE WHEN k = ((ev.rn - 1) % 4) + 1 THEN $sNew
+         |          ELSE r.ring[k] END
+         |     for k in generate_series(1, 4)]
+         |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+         |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+         |  round(max_by(l, rn), 6) AS level,
+         |  round(max_by(b, rn), 6) AS trend,
+         |  round(max_by(ring, rn)[(max(rn) % 4) + 1], 6) AS seasonal_next,
+         |  round(max_by(l, rn) + max_by(b, rn)
+         |    + max_by(ring, rn)[(max(rn) % 4) + 1], 6) AS forecast
+         |FROM r GROUP BY user_id""".stripMargin
+    },
+    // CUSUM: ALL-INTEGER fold (micro-quantized x, integer target+slack
+    // and threshold), so the recursive replay is exact Long arithmetic
+    // — no FP anywhere until the final max_stat divide.
+    "qe30_cusum" -> {
+      val tA = "greatest(CAST(0 AS BIGINT), q - 266000000)"
+      val tR = "greatest(CAST(0 AS BIGINT), r.t + (ev.q - 266000000))"
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, CAST(floor(value * 1000000.0) AS BIGINT) AS q,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT user_id, rn, $tA AS t, $tA AS mx,
+         |    CASE WHEN $tA > 256000000 THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS n,
+         |    CASE WHEN $tA > 256000000 THEN CAST(1 AS BIGINT) END AS first
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT ev.user_id, ev.rn, $tR,
+         |    greatest(r.mx, $tR),
+         |    r.n + CASE WHEN $tR > 256000000 THEN 1 ELSE 0 END,
+         |    coalesce(r.first,
+         |      CASE WHEN $tR > 256000000 THEN CAST(ev.rn AS BIGINT) END)
+         |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+         |SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+         |  CAST(max_by(n, rn) AS BIGINT) AS n_alarms,
+         |  round(CAST(max_by(mx, rn) AS DOUBLE) / 1000000.0, 6) AS max_stat,
+         |  CAST(max_by(first, rn) AS BIGINT) AS first_alarm_rn
+         |FROM r GROUP BY user_id""".stripMargin
+    },
+    // Interval coverage: the sweep-line union replays as one window max
+    // over micro-integer bounds — every clamp and sum exact BIGINT.
+    "qr2_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS en
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |w AS (
+        |  SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM iv)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_segments,
+        |  CAST(sum(greatest(CAST(0 AS BIGINT),
+        |    en - greatest(st, coalesce(pm, st)))) AS BIGINT) AS covered_us,
+        |  round(CAST(sum(greatest(CAST(0 AS BIGINT),
+        |    en - greatest(st, coalesce(pm, st)))) AS DOUBLE) / 1000000.0, 6)
+        |    AS covered_sec
+        |FROM w GROUP BY user_id""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

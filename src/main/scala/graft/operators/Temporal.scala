@@ -579,4 +579,193 @@ object Temporal {
       when(abs(z) > threshold, lit(1)).otherwise(lit(0)).as("is_anomaly"))
   }
 
+  /** HOLT-WINTERS ADDITIVE SMOOTHING — [[holt]]'s seasonal sibling:
+    * per key, the coupled level/trend/seasonal fold
+    * {{{
+    *   l_i = (x_i − s_{i−m})·α + (l_{i−1} + b_{i−1})·(1−α)
+    *   b_i = (l_i − l_{i−1})·β + b_{i−1}·(1−β)
+    *   s_i = (x_i − l_i)·γ + s_{i−m}·(1−γ)
+    * }}}
+    * with period m POSITIONAL (the i-th element's season slot is
+    * `(i−1) mod m` in arrival order — calendar-bucket periods are a
+    * composition with [[gapFill]], which regularizes first). Seeding is
+    * zero-seasonal: l₁ = x₁, b₁ = 0, and the seasonal ring starts all
+    * zeros, so the first m updates blend against 0 — deterministic and
+    * replayable, no first-season averaging heuristic.
+    *
+    * The fold carries (seen, i, l, b, ring[m]) and runs as an ordered
+    * in-array `aggregate` (the qe15/qe26 shape): sequential BY
+    * DEFINITION, identical IEEE op tree in every engine, replayed
+    * step-for-step by the qe29 recursive-CTE oracle (the ring rides as
+    * a LIST column in the recursive term). Same DYADIC literal
+    * contract as [[holt]]: α, β, γ and their complements must be
+    * exactly representable (k/1024), or Scala's `1−γ` and SQL's
+    * literal differ in the last ulp and every step after the first
+    * seasonal wrap skews.
+    *
+    * Output: (key, n_events, level, trend, seasonal_next, forecast =
+    * l + b + s_{next slot}). Per-key state is the key's own series
+    * (the usual bounded-series contract; key by (entity, window) at
+    * 100 TB).
+    */
+  def holtWinters(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0, 1], got $gamma")
+    def dyadic(x: Double) = (x * 1024.0) == math.rint(x * 1024.0)
+    require(dyadic(alpha) && dyadic(beta) && dyadic(gamma),
+      s"alpha/beta/gamma must be dyadic (k/1024), got $alpha/$beta/$gamma")
+    val ka = 1.0 - alpha
+    val kb = 1.0 - beta
+    val kg = 1.0 - gamma
+    val m = lit(period)
+    df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol), col(tieCol), col(valCol).cast("double").as("__v")))).as("__s"))
+      .select(
+        col(keyCol),
+        size(col("__s")).cast("long").as("n_events"),
+        aggregate(col("__s"),
+          struct(
+            lit(false).as("seen"), lit(0).as("i"),
+            lit(0.0).as("l"), lit(0.0).as("b"),
+            array_repeat(lit(0.0), period).as("ring")),
+          (st, x) => {
+            // current element's 0-based index is st.i; season slot j
+            val j = pmod(st("i"), m)
+            val sOld = element_at(st("ring"), j + 1)
+            val lNew = (x("__v") - sOld) * lit(alpha) + (st("l") + st("b")) * lit(ka)
+            val lRes = when(not(st("seen")), x("__v")).otherwise(lNew)
+            val bRes = when(not(st("seen")), lit(0.0))
+              .otherwise((lNew - st("l")) * lit(beta) + st("b") * lit(kb))
+            // first element: (x − l₁)·γ + 0·(1−γ) = 0 exactly, but keep
+            // the override explicit so the seed never depends on FP
+            val sRes = when(not(st("seen")), lit(0.0))
+              .otherwise((x("__v") - lNew) * lit(gamma) + sOld * lit(kg))
+            struct(
+              lit(true).as("seen"), (st("i") + 1).as("i"),
+              lRes.as("l"), bRes.as("b"),
+              transform(st("ring"), (v, k) =>
+                when(k === j, sRes).otherwise(v)).as("ring"))
+          }).as("__f"))
+      .select(
+        col(keyCol), col("n_events"),
+        round(col("__f.l"), 6).as("level"),
+        round(col("__f.b"), 6).as("trend"),
+        round(element_at(col("__f.ring"), pmod(col("__f.i"), m) + 1), 6)
+          .as("seasonal_next"),
+        round(col("__f.l") + col("__f.b")
+          + element_at(col("__f.ring"), pmod(col("__f.i"), m) + 1), 6)
+          .as("forecast"))
+  }
+
+  /** CUSUM CHANGE DETECTION — per key, the one-sided upper cumulative
+    * sum against a FIXED target (Page 1954): `T_i = max(0, T_{i−1} +
+    * (x_i − μ₀ − k))`, alarm when `T_i > h`. Monitors "has the series
+    * drifted above target μ₀ by more than slack k, cumulatively past
+    * h" — the drift/SLA/regression alarm a plain threshold filter
+    * can't express (it integrates small persistent shifts).
+    *
+    * ALL-INTEGER contract: x quantizes to micro-units
+    * (`floor(x·10⁶)` — floor, never round/cast, per the cross-engine
+    * cast rule) and μ₀, k, h are micro-integer parameters, so the fold
+    * is exact Long arithmetic — no FP anywhere, any engine replays it
+    * bit-for-bit (the qe30 recursive-CTE oracle). ANSI overflow-safe:
+    * |T| ≤ n·|x|ₘₐₓ ≈ 10¹⁵ for 10⁵-row keys at 10⁹ micro-units.
+    *
+    * Sequential by definition (same argument as [[ewma]]): ordered
+    * in-array fold after one groupBy shuffle. Output per key:
+    * (n_events, n_alarms, max_stat — micro-exact double, first_alarm_rn
+    * — 1-based rank of the first alarm in (ts, tie) order, null if
+    * none).
+    */
+  def cusum(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, targetMicro: Long, slackMicro: Long,
+      thresholdMicro: Long): DataFrame = {
+    require(thresholdMicro > 0, s"threshold must be positive, got $thresholdMicro")
+    val shift = lit(targetMicro + slackMicro)
+    df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol), col(tieCol),
+        floor(col(valCol).cast("double") * lit(1e6)).cast("long").as("__q"))))
+        .as("__s"))
+      .select(
+        col(keyCol),
+        size(col("__s")).cast("long").as("n_events"),
+        aggregate(col("__s"),
+          struct(
+            lit(0L).as("t"), lit(0L).as("mx"), lit(0L).as("n"),
+            lit(0L).as("rn"), lit(null).cast("long").as("first")),
+          (st, x) => {
+            val t = greatest(lit(0L), st("t") + (x("__q") - shift))
+            val alarm = t > lit(thresholdMicro)
+            struct(
+              t.as("t"),
+              greatest(st("mx"), t).as("mx"),
+              (st("n") + when(alarm, 1L).otherwise(0L)).as("n"),
+              (st("rn") + 1L).as("rn"),
+              when(st("first").isNotNull, st("first"))
+                .otherwise(when(alarm, st("rn") + 1L)).as("first"))
+          }).as("__f"))
+      .select(
+        col(keyCol), col("n_events"),
+        col("__f.n").as("n_alarms"),
+        round(col("__f.mx").cast("double") / lit(1e6), 6).as("max_stat"),
+        col("__f.first").as("first_alarm_rn"))
+  }
+
+  /** INTERVAL COVERAGE — per key, the total time covered by the UNION
+    * of [start, start + dur) intervals, plus the count of disjoint
+    * merged segments: the classic sweep-line union turned into one
+    * window pass. Each interval's novel contribution is
+    * `max(0, end − max(start, maxEndBefore))` where `maxEndBefore` is
+    * the running max of `end` over all earlier intervals (start
+    * order); a row opens a NEW segment iff its start exceeds that
+    * running max. Utilization, sensor-uptime, and on-air/SLA coverage
+    * all reduce to this — and the naive alternative (explode to
+    * timestamps or self-join overlaps) is quadratic where this is one
+    * sort.
+    *
+    * ALL-INTEGER: epoch-micros starts, `floor(dur·10⁶)` micro
+    * durations — the window max, the clamps, and the sums are exact
+    * Long arithmetic in every engine. Scale shape: ONE exchange — the
+    * window partitions by key and the terminal groupBy reuses the same
+    * hash partitioning.
+    */
+  def intervalCoverage(
+      df: DataFrame, keyCol: String, startCol: String, tieCol: String,
+      durCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__st"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .filter(col(durCol).isNotNull && col(durCol) > 0)
+      .select(col(keyCol), col(tieCol),
+        unix_micros(col(startCol)).as("__st"),
+        (unix_micros(col(startCol))
+          + floor(col(durCol).cast("double") * lit(1e6)).cast("long")).as("__en"))
+      .withColumn("__pm", max(col("__en")).over(w))
+      .select(col(keyCol),
+        greatest(lit(0L),
+          col("__en") - greatest(col("__st"), coalesce(col("__pm"), col("__st"))))
+          .as("__cov"),
+        when(col("__pm").isNull || col("__st") > col("__pm"), 1L).otherwise(0L)
+          .as("__seg"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("__seg")).as("n_segments"),
+        sum(col("__cov")).as("covered_us"),
+        round(sum(col("__cov")).cast("double") / lit(1e6), 6).as("covered_sec"))
+  }
+
 }

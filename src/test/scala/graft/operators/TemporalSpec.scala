@@ -362,4 +362,96 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(10L) == ((null, 0)))
   }
 
+  test("holt-winters: hand-computed level/trend/ring steps, single-point " +
+      "seed, dyadic literal guard") {
+    import spark.implicits._
+    val df = Seq(
+      // a: x = [2, 4, 8, 6], m = 2, alpha = 0.5, beta = gamma = 0.25:
+      //   seed l=2 b=0 ring=[0,0]
+      //   x=4 slot 1: l=3, b=0.25, ring=[0, 0.25]
+      //   x=8 slot 0: l=5.625, b=0.84375, ring=[0.59375, 0.25]
+      //   x=6 slot 1: l=6.109375, b=0.75390625, ring=[0.59375, 0.16015625]
+      //   next slot = 4 % 2 = 0 -> seasonal_next 0.59375,
+      //   forecast = 6.109375 + 0.75390625 + 0.59375 = 7.45703125
+      ("a", 1L, 1L, Option(2.0)), ("a", 2L, 2L, Option(4.0)),
+      ("a", 3L, 3L, Option(8.0)), ("a", 4L, 4L, Option(6.0)),
+      // b: a single point is its own level; zero trend and seasonal
+      ("b", 1L, 5L, Option(7.0)),
+      // c: the null vanishes before the fold — series [1, 5]
+      ("c", 1L, 6L, Option(1.0)), ("c", 2L, 7L, None),
+      ("c", 3L, 8L, Option(5.0))
+    ).toDF("k", "t", "id", "v")
+    val out = Temporal.holtWinters(df, "k", "t", "id", "v",
+        alpha = 0.5, beta = 0.25, gamma = 0.25, period = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out("a") == ((4L, 6.109375, 0.753906, 0.59375, 7.457031)))
+    assert(out("b") == ((1L, 7.0, 0.0, 0.0, 7.0)))
+    // c: x=5 slot 1: l = 4*0.5 + 1*0.5 = 3, b = 2*0.25 = 0.5,
+    //    s = (5-3)*0.25 = 0.5; next slot = 2 % 2 = 0 -> ring[0] = 0
+    assert(out("c") == ((2L, 3.0, 0.5, 0.0, 3.5)))
+    intercept[IllegalArgumentException](Temporal.holtWinters(
+      df, "k", "t", "id", "v", 0.3, 0.25, 0.25, 2))
+    intercept[IllegalArgumentException](Temporal.holtWinters(
+      df, "k", "t", "id", "v", 0.5, 0.25, 0.25, 1))
+  }
+
+  test("cusum: integer fold, alarm count, first-alarm rank, reset to zero") {
+    import spark.implicits._
+    // target 5.0, slack 1.0 (shift 6.0), threshold 3.0 — micro-integers
+    val df = Seq(
+      // a: x = [10, 5, 8, 2]:
+      //   t1 = max(0, 10-6) = 4 > 3 -> alarm (rn 1)
+      //   t2 = max(0, 4+5-6) = 3     -> NOT > 3, no alarm (boundary)
+      //   t3 = max(0, 3+8-6) = 5 > 3 -> alarm
+      //   t4 = max(0, 5+2-6) = 1
+      ("a", 1L, 1L, Option(10.0)), ("a", 2L, 2L, Option(5.0)),
+      ("a", 3L, 3L, Option(8.0)), ("a", 4L, 4L, Option(2.0)),
+      // b: never drifts — clamp keeps t at 0 throughout
+      ("b", 1L, 5L, Option(1.0)), ("b", 2L, 6L, Option(2.0)),
+      // c: null drops; alarm only fires on the SECOND row (rank 2)
+      ("c", 1L, 7L, Option(8.0)), ("c", 2L, 8L, None),
+      ("c", 3L, 9L, Option(9.0))
+    ).toDF("k", "t", "id", "v")
+    val out = Temporal.cusum(df, "k", "t", "id", "v",
+        targetMicro = 5000000L, slackMicro = 1000000L,
+        thresholdMicro = 3000000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) null else r.getLong(4))))
+      .toMap
+    assert(out("a") == ((4L, 2L, 5.0, 1L)))
+    assert(out("b") == ((2L, 0L, 0.0, null)))
+    // c: effective series [8, 9] — t1 = 2 (no alarm),
+    //    t2 = max(0, 2+9-6) = 5 -> alarm at rank 2
+    assert(out("c") == ((2L, 1L, 5.0, 2L)))
+  }
+
+  test("interval coverage: containment, partial overlap, disjoint " +
+      "segments, zero/negative/null duration drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      // key 1: [0,10) ∪ [5,8) (contained) ∪ [8,12) (extends by 2)
+      //        ∪ [20,25) (new segment) -> covered 17 s over 2 segments
+      (1L, ts(0), 1L, Option(10.0)), (1L, ts(5), 2L, Option(3.0)),
+      (1L, ts(8), 3L, Option(4.0)), (1L, ts(20), 4L, Option(5.0)),
+      // dropped rows: zero, negative, and null durations
+      (1L, ts(30), 5L, Option(0.0)), (1L, ts(31), 6L, Option(-2.0)),
+      (1L, ts(32), 7L, None),
+      // key 2: a single interval with a fractional duration
+      (2L, ts(0), 8L, Option(2.5))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.intervalCoverage(df, "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 17000000L, 17.0)))
+    assert(out(2L) == ((1L, 1L, 2500000L, 2.5)))
+  }
+
 }
