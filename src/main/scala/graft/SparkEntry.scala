@@ -1303,6 +1303,31 @@ object SparkEntry {
     operators.Temporal.intervalCoverage(
       events(spark, dir), "user_id", "ts", "event_id", "value")
 
+  /** Mann-Kendall trend test ([[operators.Temporal.mannKendall]]):
+    * per-user S statistic, tie-corrected variance numerator, and
+    * continuity-corrected z — the all-integer core replayed by the
+    * oracle's ordered pair join.
+    */
+  private def qe31MannKendall(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.mannKendall(
+      events(spark, dir), "user_id", "ts", "event_id", "value")
+
+  /** SCD Type-2 history ([[operators.Temporal.scd2History]]): the
+    * per-user event_type change log as validity intervals — one row
+    * per attribute run, half-open [valid_from, valid_to), null-closed
+    * current row, versions in change order.
+    */
+  private def qj15Scd2(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.scd2History(
+      events(spark, dir), "user_id", "ts", "event_id", "event_type")
+
+  /** Benford first-digit profile ([[operators.Profiling.benford]]):
+    * per event_type leading-digit counts of the micro-quantized value,
+    * chi-square against the literal Benford probabilities, 5% flag.
+    */
+  private def qp5Benford(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.benford(events(spark, dir), "event_type", "value")
+
   /** PMI collocations ([[operators.TextAnalysis.pmiCollocations]],
     * support ≥ 5, top-50): ranked by the exact integer-product ratio so
     * the k boundary can't flip on a libm ulp.
@@ -4392,6 +4417,9 @@ object SparkEntry {
     "qe29_holt_winters" -> (qe29HoltWinters _),
     "qe30_cusum" -> (qe30Cusum _),
     "qr2_interval_coverage" -> (qr2IntervalCoverage _),
+    "qe31_mann_kendall" -> (qe31MannKendall _),
+    "qj15_scd2" -> (qj15Scd2 _),
+    "qp5_benford" -> (qp5Benford _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -6609,6 +6637,102 @@ object SparkEntry {
         |    en - greatest(st, coalesce(pm, st)))) AS DOUBLE) / 1000000.0, 6)
         |    AS covered_sec
         |FROM w GROUP BY user_id""".stripMargin,
+    // Mann-Kendall: S from an rn-ordered pair join over the SAME
+    // micro-quantized values, the tie term from a (user, q) group —
+    // all exact BIGINT; z is the identical divide/sqrt on identical
+    // operands. Sums cast back from DuckDB's HUGEINT.
+    "qe31_mann_kendall" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(value * 1000000.0) AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |      FROM ev GROUP BY user_id),
+        |s AS (
+        |  SELECT a.user_id, CAST(sum(CASE WHEN b.q > a.q THEN 1
+        |    WHEN b.q < a.q THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM ev a JOIN ev b
+        |    ON b.user_id = a.user_id AND b.rn > a.rn
+        |  GROUP BY a.user_id),
+        |t AS (
+        |  SELECT user_id, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |    AS tie
+        |  FROM (SELECT user_id, q, CAST(count(*) AS BIGINT) AS t
+        |        FROM ev GROUP BY user_id, q) GROUP BY user_id),
+        |v AS (
+        |  SELECT n.user_id, n.n AS n_events,
+        |    coalesce(s.s_stat, 0) AS s_stat,
+        |    n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie, 0) AS var_num
+        |  FROM n LEFT JOIN s ON s.user_id = n.user_id
+        |  LEFT JOIN t ON t.user_id = n.user_id),
+        |z AS (
+        |  SELECT user_id, n_events, s_stat, CAST(var_num AS BIGINT)
+        |      AS var_num,
+        |    CASE WHEN var_num > 0 AND s_stat <> 0
+        |      THEN round(CAST(s_stat - sign(s_stat) AS DOUBLE)
+        |        / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6)
+        |      ELSE 0.0 END AS z_score
+        |  FROM v)
+        |SELECT user_id, n_events, s_stat, var_num, z_score,
+        |  CASE WHEN z_score > 1.959964 THEN 'increasing'
+        |       WHEN z_score < -1.959964 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
+    // SCD-2: identical two-window replay — change rows are rn = 1 OR
+    // attribute IS DISTINCT FROM its lag (the null-safe marker-struct
+    // semantics), validity closes with lead over the filtered set.
+    "qj15_scd2" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |c AS (
+        |  SELECT * FROM b
+        |  WHERE rn = 1 OR (event_type IS DISTINCT FROM prev))
+        |SELECT user_id, event_type, tsu AS valid_from_us,
+        |  lead(tsu) OVER w2 AS valid_to_us,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  CASE WHEN lead(tsu) OVER w2 IS NULL THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS is_current
+        |FROM c
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)"""
+        .stripMargin,
+    // Benford: same integer digit extraction (first char of the
+    // micro-quantized Long's decimal string — never a runtime log10),
+    // same literal probabilities, same left-associated 9-term chain.
+    "qp5_benford" -> {
+      val p = Seq(
+        "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+        "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+        "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
+      val cnts = (1 to 9).map(d =>
+        s"CAST(sum(CASE WHEN d = $d THEN 1 ELSE 0 END) AS BIGINT) AS d${d}_cnt")
+        .mkString(",\n    ")
+      val terms = (1 to 9).map { d =>
+        val e = s"(CAST(n_values AS DOUBLE) * ${p(d - 1)})"
+        s"((CAST(d${d}_cnt AS DOUBLE) - $e) * (CAST(d${d}_cnt AS DOUBLE) - $e) / $e)"
+      }.mkString("\n    + ")
+      val outCols = (1 to 9).map(d => s"d${d}_cnt").mkString(", ")
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST(substr(CAST(CAST(floor(abs(value) * 1000000.0) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS INT) AS d
+         |  FROM events
+         |  WHERE value IS NOT NULL
+         |    AND CAST(floor(abs(value) * 1000000.0) AS BIGINT) > 0),
+         |c AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_values,
+         |    $cnts
+         |  FROM b GROUP BY event_type),
+         |x AS (
+         |  SELECT *, round($terms, 6) AS chi_square FROM c)
+         |SELECT event_type, n_values, $outCols, chi_square,
+         |  CASE WHEN chi_square <= 15.507313 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS benford_ok
+         |FROM x""".stripMargin
+    },
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

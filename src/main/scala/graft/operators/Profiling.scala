@@ -131,4 +131,57 @@ object Profiling {
         col("share_a"), col("share_b"), col("psi"))
   }
 
+  /** Benford's-law probabilities P(d) = log10(1 + 1/d), d = 1..9, as
+    * the exact shortest-repr DOUBLE LITERALS — both engines parse the
+    * same decimal string to the same double, so n·p and the chi-square
+    * terms are identical IEEE ops everywhere. Computing log10 at
+    * runtime would hand the constant to libm, which is NOT
+    * correctly-rounded across platforms.
+    */
+  private val BenfordP = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** BENFORD FIRST-DIGIT PROFILE — per key, the leading-significant-
+    * digit distribution of a positive measure against Benford's law,
+    * with the Pearson chi-square statistic (8 df) and a 5%-level flag.
+    * The fraud/data-quality screen: naturally-generated multiplicative
+    * data follows log10(1+1/d); fabricated or clipped columns don't.
+    *
+    * Digit extraction is INTEGER-EXACT: the value floor-quantizes to
+    * micro-units and the first digit is the first character of the
+    * Long's decimal string — no runtime log10 (whose floor misbuckets
+    * at powers of ten on a libm ulp). The chi-square is a FIXED
+    * left-associated 9-term chain over (count, n, literal p_d), so
+    * every operand and operation order matches the oracle's replay
+    * exactly. Zero and null values are excluded (they have no leading
+    * significant digit); negatives contribute |x|.
+    *
+    * Shape: one key-cardinality-bounded hash aggregate (9 conditional
+    * sums ride the same map-side partial), nothing driver-side.
+    */
+  def benford(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val q = floor(abs(col(valCol).cast("double")) * lit(1e6)).cast("long")
+    val base = df
+      .filter(col(valCol).isNotNull && q > 0L)
+      .select(col(keyCol),
+        substring(q.cast("string"), 1, 1).cast("int").as("__d"))
+    val cnts = (1 to 9).map(d =>
+      sum(when(col("__d") === d, 1L).otherwise(0L)).as(s"d${d}_cnt"))
+    val counted = base
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_values"), cnts: _*)
+    val n = col("n_values").cast("double")
+    val chi2 = (1 to 9).map { d =>
+      val e = n * lit(BenfordP(d - 1))
+      val diff = col(s"d${d}_cnt").cast("double") - e
+      diff * diff / e
+    }.reduce(_ + _)
+    counted
+      .withColumn("chi_square", round(chi2, 6))
+      .withColumn("benford_ok",
+        when(col("chi_square") <= lit(15.507313), 1L).otherwise(0L))
+  }
+
 }

@@ -768,4 +768,125 @@ object Temporal {
         round(sum(col("__cov")).cast("double") / lit(1e6), 6).as("covered_sec"))
   }
 
+  /** MANN-KENDALL TREND TEST — per key, the rank-based monotone-trend
+    * statistic (Mann 1945, Kendall 1975): `S = Σ_{i<j} sign(x_j − x_i)`
+    * over the (ts, tie)-ordered series, with the tie-corrected variance
+    * `Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18` and the
+    * continuity-corrected z. Robust trend detection — no distribution
+    * assumption, immune to outliers a least-squares slope chases.
+    *
+    * ALL-INTEGER CORE: x floor-quantizes to micro-units, so every sign
+    * comparison, S, and the variance NUMERATOR are exact Long
+    * arithmetic any engine replays identically (the qe31 oracle builds
+    * S from a rn-ordered pair join); z is then two IEEE ops
+    * (divide, sqrt) on identical operands — bit-identical before the
+    * 6-dp round. ANSI-safe to n ≈ 10⁶ per key (n³ < 2⁶³).
+    *
+    * Shape: ONE groupBy shuffle; the Θ(n²/key) pair comparisons run as
+    * an in-array scan (slice + filter per element) inside the bounded-
+    * series contract every fold in this tier shares — no pair
+    * materialization, no self-join. The tie term folds over a
+    * value-sorted copy counting runs. The whole computation binds the
+    * time-ordered value array ONCE as a lambda variable (the qe28
+    * let-binding idiom — CollapseProject cannot inline lambda vars, so
+    * the array materializes once per key, not once per use).
+    *
+    * Output: (key, n_events, s_stat, var_num — the integer 18·Var(S),
+    * z_score, trend ∈ increasing/decreasing/no_trend at |z| > 1.959964).
+    */
+  def mannKendall(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String): DataFrame = {
+    val zCrit = 1.959964
+    df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol), col(tieCol),
+        floor(col(valCol).cast("double") * lit(1e6)).cast("long").as("__q"))))
+        .as("__s"))
+      .select(
+        col(keyCol),
+        element_at(transform(array(transform(col("__s"), x => x("__q"))), vs => {
+          val n = size(vs).cast("long")
+          // S: for each element, count strictly-smaller minus
+          // strictly-larger among the elements BEFORE it (slice of the
+          // first j — the 0-based lambda index — entries)
+          val s = aggregate(
+            transform(vs, (x, j) =>
+              size(filter(slice(vs, lit(1), j), y => y < x)).cast("long")
+                - size(filter(slice(vs, lit(1), j), y => y > x)).cast("long")),
+            lit(0L), (a, d) => a + d)
+          // tie term Σ t(t−1)(2t+5): run-length fold over the
+          // value-sorted copy; contribution(0) = 0 makes the seed total
+          val tie = aggregate(sort_array(vs),
+            struct(
+              lit(null).cast("long").as("prev"), lit(0L).as("run"),
+              lit(0L).as("acc")),
+            (st, x) => {
+              val cont = x === st("prev")
+              struct(
+                x.as("prev"),
+                when(cont, st("run") + 1L).otherwise(lit(1L)).as("run"),
+                (st("acc") + when(cont, lit(0L)).otherwise(
+                  st("run") * (st("run") - 1L) * (lit(2L) * st("run") + 5L)))
+                  .as("acc"))
+            },
+            st => st("acc")
+              + st("run") * (st("run") - 1L) * (lit(2L) * st("run") + 5L))
+          struct(n.as("n"), s.as("s"),
+            (n * (n - 1L) * (lit(2L) * n + 5L) - tie).as("vn"))
+        }), 1).as("__mk"))
+      .select(
+        col(keyCol),
+        col("__mk.n").as("n_events"),
+        col("__mk.s").as("s_stat"),
+        col("__mk.vn").as("var_num"),
+        when(col("__mk.vn") > 0L && col("__mk.s") =!= 0L,
+          round((col("__mk.s") - signum(col("__mk.s")).cast("long"))
+            .cast("double")
+            / sqrt(col("__mk.vn").cast("double") / lit(18.0)), 6))
+          .otherwise(lit(0.0)).as("z_score"))
+      .withColumn("trend",
+        when(col("z_score") > zCrit, lit("increasing"))
+          .when(col("z_score") < -zCrit, lit("decreasing"))
+          .otherwise(lit("no_trend")))
+  }
+
+  /** SCD TYPE-2 HISTORY BUILD — turn a per-key change log into the
+    * classic slowly-changing-dimension validity table: one row per
+    * ATTRIBUTE RUN, `[valid_from, valid_to)` half-open, `valid_to`
+    * null on the current row. The warehouse primitive behind
+    * point-in-time joins (compose with [[asofJoin]] to enrich facts
+    * against the version valid at event time).
+    *
+    * Change detection is null-safe AND first-row-exact: the lag rides
+    * a non-null marker struct, so "no previous row" (always a change)
+    * is distinguished from "previous attribute was null" (a change
+    * only if the current attribute differs under null-safe equality).
+    *
+    * Shape: one key exchange total — the change filter preserves the
+    * first window's partitioning AND sort, so the second window
+    * (valid_to lead + version row_number) reuses both; timestamps
+    * emit as epoch micros (exact integers in every engine).
+    */
+  def scd2History(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col(tieCol))
+    df
+      .select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__ts"), col(attrCol).as("__a"))
+      .withColumn("__prev",
+        lag(struct(lit(1).as("m"), col("__a").as("a")), 1).over(w))
+      .filter(col("__prev").isNull || !(col("__a") <=> col("__prev.a")))
+      .select(
+        col(keyCol), col("__a").as(attrCol),
+        col("__ts").as("valid_from_us"),
+        lead(col("__ts"), 1).over(w).as("valid_to_us"),
+        row_number().over(w).cast("long").as("version"))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+  }
+
 }

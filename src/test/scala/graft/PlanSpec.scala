@@ -333,4 +333,26 @@ class PlanSpec extends AnyFunSuite {
     assert("Join Inner".r.findAllIn(p).size >= 3, p.take(900))
   }
 
+  test("qe31: mann-kendall is ONE key shuffle — the pair scan is in-array, no self-join") {
+    val p = plan("qe31_mann_kendall")
+    assert(!p.contains("Join"), "mann-kendall grew a join:\n" + p.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one aggregate shuffle, saw $exchanges:\n" + p.take(1200))
+  }
+
+  test("qj15: scd2 is ONE key exchange — the second window reuses the first's partitioning and sort") {
+    val p = plan("qj15_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one window shuffle, saw $exchanges:\n" + p.take(1200))
+    val sorts = "Sort ".r.findAllIn(p).size
+    assert(sorts == 1, s"the post-filter window re-sorted ($sorts sorts):\n" + p.take(1200))
+  }
+
+  test("qp5: benford is one partial+final hash aggregate — 9 digit counts ride one pass") {
+    val p = plan("qp5_benford")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(900))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(900))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(900))
+  }
+
 }

@@ -986,4 +986,41 @@ class OperatorsSpec extends AnyFunSuite {
       math.rint((0.5 - 0.25) * math.log(0.5 / 0.25) * 1e6) / 1e6)
   }
 
+  test("benford: integer digit extraction (fractions, abs, zero/null " +
+      "drop), hand-computed chi-square, literal probabilities") {
+    import spark.implicits._
+    val df = Seq(
+      // digits: 1.0 -> 1, 19.0 -> 1, 2.0 -> 2, 0.5 -> 5 (500000),
+      // -3.0 -> 3 (abs); 0.0 and null drop (no leading digit)
+      ("k", Option(1.0)), ("k", Option(19.0)), ("k", Option(2.0)),
+      ("k", Option(0.5)), ("k", Option(-3.0)), ("k", Option(0.0)),
+      ("k", None)
+    ).toDF("g", "v")
+    val r = Profiling.benford(df, "g", "v").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 5L) // n_values
+    val counts = (2 to 10).map(row.getLong) // d1..d9
+    assert(counts == Seq(2L, 1L, 1L, 0L, 1L, 0L, 0L, 0L, 0L))
+    // chi-square over the exact literal p_d, left-associated
+    val p = Seq(0.3010299956639812, 0.17609125905568124,
+      0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+      0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+      0.04575749056067514)
+    var chi = 0.0
+    for (d <- 0 until 9) {
+      val e = 5.0 * p(d)
+      val diff = counts(d).toDouble - e
+      chi = chi + diff * diff / e
+    }
+    assert(row.getDouble(11) == math.rint(chi * 1e6) / 1e6)
+    assert(row.getDouble(11) == 2.919952)
+    assert(row.getLong(12) == 1L) // 2.92 <= 15.507313
+    // a digit-1-only column is maximally non-Benford at modest n:
+    // chi2 = n * ((1-p1)^2/p1 + sum_{d>=2} p_d) > 15.507 for n = 8
+    val skew = (1 to 8).map(i => ("s", Option(1.0 + i * 0.01))).toDF("g", "v")
+    val sr = Profiling.benford(skew, "g", "v").collect().head
+    assert(sr.getLong(12) == 0L)
+  }
+
 }

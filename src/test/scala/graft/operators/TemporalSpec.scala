@@ -454,4 +454,60 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 1L, 2500000L, 2.5)))
   }
 
+  test("mann-kendall: hand-computed S/ties, monotone significance both " +
+      "directions, all-tied zero variance") {
+    import spark.implicits._
+    val rows =
+      // a: [1, 3, 2, 3] -> S = 3; tie (two 3s) = 18;
+      //    var_num = 4*3*13 - 18 = 138; z = 2/sqrt(138/18) = 0.722315
+      Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 3.0), ("a", 3L, 3L, 2.0),
+        ("a", 4L, 4L, 3.0)) ++
+      // b: strictly increasing 1..10 -> S = 45, var_num = 2250,
+      //    z = 44/sqrt(125) = 3.93548 -> increasing
+      (1 to 10).map(i => ("b", i.toLong, 10L + i, i.toDouble)) ++
+      // c: strictly decreasing -> S = -45, z = -3.93548 -> decreasing
+      (1 to 10).map(i => ("c", i.toLong, 30L + i, (11 - i).toDouble)) ++
+      // d: all tied -> S = 0, var_num = 0 -> z = 0, no_trend
+      Seq(("d", 1L, 50L, 5.0), ("d", 2L, 51L, 5.0), ("d", 3L, 52L, 5.0))
+    val out = rows.toDF("k", "t", "id", "v")
+    val got = Temporal.mannKendall(out, "k", "t", "id", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    assert(got("a") == ((4L, 3L, 138L, 0.722315, "no_trend")))
+    assert(got("b") == ((10L, 45L, 2250L, 3.93548, "increasing")))
+    assert(got("c") == ((10L, -45L, 2250L, -3.93548, "decreasing")))
+    assert(got("d") == ((3L, 0L, 0L, 0.0, "no_trend")))
+  }
+
+  test("scd2: run compression, half-open validity chain, null-safe " +
+      "attribute changes, current flag") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      // key 1: A A B B A -> three runs (A, B, A)
+      (1L, ts(10), 1L, Option("A")), (1L, ts(20), 2L, Option("A")),
+      (1L, ts(30), 3L, Option("B")), (1L, ts(40), 4L, Option("B")),
+      (1L, ts(50), 5L, Option("A")),
+      // key 2: null null C -> the null RUN is one version (null-safe
+      // equality), C opens the second
+      (2L, ts(10), 6L, None), (2L, ts(20), 7L, None),
+      (2L, ts(30), 8L, Option("C"))
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.scd2History(df, "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        ((if (r.isNullAt(1)) null else r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(got((1L, 1L)) == (("A", 10000000L, 30000000L, 0L)))
+    assert(got((1L, 2L)) == (("B", 30000000L, 50000000L, 0L)))
+    assert(got((1L, 3L)) == (("A", 50000000L, null, 1L)))
+    assert(got((2L, 1L)) == ((null, 10000000L, 30000000L, 0L)))
+    assert(got((2L, 2L)) == (("C", 30000000L, null, 1L)))
+    assert(got.size == 5)
+  }
+
 }
