@@ -1328,6 +1328,41 @@ object SparkEntry {
   private def qp5Benford(spark: SparkSession, dir: String): DataFrame =
     operators.Profiling.benford(events(spark, dir), "event_type", "value")
 
+  /** Binned interval-overlap join ([[operators.Relational
+    * .intervalOverlapJoin]], 1 h bins): even-event intervals ×
+    * odd-event intervals per user ([ts, ts + value MINUTES)), counted
+    * once per overlapping pair; per-user pair count, total and max
+    * overlap. The oracle is the UNBINNED quadratic pair join — a
+    * double-counted bin, missed boundary pair, or closed-interval slip
+    * all break it.
+    */
+  private def qr3OverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("st"),
+        (expr("unix_micros(ts)")
+          + floor(col("value").cast("double") * lit(6e7)).cast("long"))
+          .as("en"))
+    val out = operators.Relational.intervalOverlapJoin(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1),
+      "user_id", "event_id", "st", "en", binUs = 3600000000L)
+    out.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("overlap_us")).as("overlap_us_sum"),
+        max(col("overlap_us")).as("max_overlap_us"))
+  }
+
+  /** Two-proportion A/B test ([[operators.Profiling.abTest]], arm =
+    * even user_id): per event_type success counts, rates, pooled z,
+    * and the 5% significance flag.
+    */
+  private def qp6AbTest(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.abTest(
+      events(spark, dir), col("user_id") % 2 === 0, "event_type")
+
   /** PMI collocations ([[operators.TextAnalysis.pmiCollocations]],
     * support ≥ 5, top-50): ranked by the exact integer-product ratio so
     * the k boundary can't flip on a libm ulp.
@@ -4420,6 +4455,8 @@ object SparkEntry {
     "qe31_mann_kendall" -> (qe31MannKendall _),
     "qj15_scd2" -> (qj15Scd2 _),
     "qp5_benford" -> (qp5Benford _),
+    "qr3_overlap_join" -> (qr3OverlapJoin _),
+    "qp6_abtest" -> (qp6AbTest _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -6733,6 +6770,64 @@ object SparkEntry {
          |       ELSE CAST(0 AS BIGINT) END AS benford_ok
          |FROM x""".stripMargin
     },
+    // Overlap join: the oracle is the UNBINNED quadratic pair join over
+    // identical half-open micro-integer spans — the binned plan must
+    // reproduce its pair SET exactly (once each).
+    "qr3_overlap_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS en
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |pairs AS (
+        |  SELECT l.user_id,
+        |    least(l.en, r.en) - greatest(l.st, r.st) AS overlap_us
+        |  FROM iv l JOIN iv r
+        |    ON r.user_id = l.user_id
+        |   AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+        |   AND l.st < r.en AND r.st < l.en)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(overlap_us) AS BIGINT) AS overlap_us_sum,
+        |  CAST(max(overlap_us) AS BIGINT) AS max_overlap_us
+        |FROM pairs GROUP BY user_id""".stripMargin,
+    // A/B test: exact integer counts from one grouped pass + the same
+    // left-associated pooled-variance tree; degenerate pools -> z = 0.
+    "qp6_abtest" ->
+      """WITH t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_b
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS x_b
+        |  FROM events GROUP BY event_type),
+        |z AS (
+        |  SELECT event_type, n_a, x_a, n_b, x_b,
+        |    round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |    round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |    CASE WHEN sqrt(
+        |        (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
+        |      THEN round(
+        |        (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / sqrt(
+        |        (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |      ELSE 0.0 END AS z_score
+        |  FROM p CROSS JOIN t)
+        |SELECT event_type, n_a, x_a, n_b, x_b, rate_a, rate_b, z_score,
+        |  CASE WHEN abs(z_score) > 1.959964 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS significant
+        |FROM z""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling for training-data QA (the §"training-data pipeline"
@@ -182,6 +182,47 @@ object Profiling {
       .withColumn("chi_square", round(chi2, 6))
       .withColumn("benford_ok",
         when(col("chi_square") <= lit(15.507313), 1L).otherwise(0L))
+  }
+
+  /** TWO-PROPORTION A/B TEST — per outcome value, the pooled z-test for
+    * a rate difference between two arms: trials = each arm's TOTAL
+    * event count, successes = its count of this outcome, `z = (p̂ₐ −
+    * p̂ᵦ) / sqrt(p̂(1−p̂)(1/nₐ + 1/nᵦ))` with p̂ pooled. The experiment
+    * readout every product analytics stack ships.
+    *
+    * Cross-engine exact the Benford way: the four counts are exact
+    * integers from ONE grouped pass, and everything after is a FIXED
+    * left-associated IEEE op tree on identically-valued operands —
+    * integer sums first, one divide per rate, pooled variance in
+    * written order. Degenerate pools (p̂ ∈ {0, 1} ⇒ zero variance)
+    * report z = 0 / not-significant rather than NaN.
+    *
+    * Shape: one outcome-cardinality-bounded aggregate plus a broadcast
+    * single-row totals join (the driftReport pattern) — never
+    * data-sized.
+    */
+  def abTest(df: DataFrame, arm: Column, outcomeCol: String): DataFrame = {
+    val isA = when(arm, 1L).otherwise(0L)
+    val isB = when(arm, 0L).otherwise(1L)
+    val tot = df.agg(sum(isA).as("n_a"), sum(isB).as("n_b"))
+    val per = df.groupBy(col(outcomeCol))
+      .agg(sum(isA).as("x_a"), sum(isB).as("x_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("x_a").cast("double") / na
+    val pb = col("x_b").cast("double") / nb
+    val pool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col(outcomeCol), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(pa, 6).as("rate_a"),
+        round(pb, 6).as("rate_b"),
+        when(se > 0.0, round((pa - pb) / se, 6)).otherwise(lit(0.0))
+          .as("z_score"))
+      .withColumn("significant",
+        when(abs(col("z_score")) > lit(1.959964), 1L).otherwise(0L))
   }
 
 }

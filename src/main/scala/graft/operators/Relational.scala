@@ -386,6 +386,40 @@ object Relational {
       .drop("__bin")
   }
 
+  /** BINNED INTERVAL-OVERLAP JOIN — interval × interval sibling of
+    * [[rangeJoin]]: all (left, right) pairs on the same key whose
+    * half-open `[st, en)` spans intersect, with the overlap length.
+    * Spark plans the raw `l.st < r.en AND r.st < l.en` predicate as a
+    * nested loop; binning makes it a plain shuffle equi-join on
+    * (key, bin) + residual predicate. Both sides explode over the bins
+    * they cover (≤ span/binUs + 1 each), and each overlapping pair is
+    * kept EXACTLY ONCE — in the bin containing the overlap's start
+    * (`greatest(l.st, r.st)`), which by construction lies in both
+    * sides' bin ranges. Bin ids use integer `div` (no double rounding
+    * at epoch-micro magnitudes); empty intervals are dropped before
+    * the explode (Spark's `sequence(a, b)` REVERSES when a > b — the
+    * gapFill lesson). Pick `binUs` near the median span; skew → AQE.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame, keyCol: String, idCol: String,
+      stCol: String, enCol: String, binUs: Long): DataFrame = {
+    require(binUs > 0, s"binUs must be positive, got $binUs")
+    def binned(df: DataFrame, side: String) = df
+      .filter(col(enCol) > col(stCol))
+      .select(col(keyCol), col(idCol).as(s"${side}_id"),
+        col(stCol).as(s"${side}_st"), col(enCol).as(s"${side}_en"))
+      .withColumn("__bin", explode(sequence(
+        expr(s"${side}_st div $binUs"),
+        expr(s"(${side}_en - 1) div $binUs"))))
+    binned(left, "l")
+      .join(binned(right, "r"), Seq(keyCol, "__bin"))
+      .filter(col("l_st") < col("r_en") && col("r_st") < col("l_en"))
+      .filter(expr(s"greatest(l_st, r_st) div $binUs") === col("__bin"))
+      .select(col(keyCol), col("l_id"), col("r_id"),
+        (least(col("l_en"), col("r_en"))
+          - greatest(col("l_st"), col("r_st"))).as("overlap_us"))
+  }
+
   /** Skew-salted join: when a handful of hot keys dominate a shuffle join
     * (the 100 TB failure mode AQE's skew handling doesn't always catch,
     * e.g. a null-like sentinel key), salt the skewed LEFT side into

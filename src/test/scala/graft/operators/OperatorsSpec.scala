@@ -1023,4 +1023,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sr.getLong(12) == 0L)
   }
 
+  test("ab test: hand-computed pooled z both signs, significance flag, " +
+      "degenerate pool reports zero") {
+    import spark.implicits._
+    // arm A (even id): outcomes [x, x, y]; arm B: [x, y, y]
+    val df = Seq((0L, "x"), (2L, "x"), (4L, "y"),
+      (1L, "x"), (3L, "y"), (5L, "y")).toDF("id", "o")
+    val out = Profiling.abTest(df, col("id") % 2 === 0, "o").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getLong(8)))).toMap
+    // x: pa=2/3 pb=1/3 pool=.5 -> z = (1/3)/sqrt(.25*(2/3)) = 0.816497
+    assert(out("x") == ((3L, 2L, 3L, 1L, 0.666667, 0.333333, 0.816497, 0L)))
+    assert(out("y") == ((3L, 1L, 3L, 2L, 0.333333, 0.666667, -0.816497, 0L)))
+    // 90/100 vs 50/100 -> z = 0.4/sqrt(0.21*0.02) = 6.172134, significant
+    val big = ((1 to 90).map(i => (i * 2L, "w")) ++
+      (1 to 10).map(i => (200L + i * 2L, "l")) ++
+      (1 to 50).map(i => (i * 2L + 1L, "w")) ++
+      (1 to 50).map(i => (400L + i * 2L + 1L, "l"))).toDF("id", "o")
+    val bw = Profiling.abTest(big, col("id") % 2 === 0, "o").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(7), r.getLong(8)))).toMap
+    assert(bw("w") == ((6.172134, 1L)))
+    // every row the same outcome: pool = 1, zero variance -> z 0, flag 0
+    val degen = Seq((0L, "only"), (1L, "only")).toDF("id", "o")
+    val dr = Profiling.abTest(degen, col("id") % 2 === 0, "o").collect().head
+    assert(dr.getDouble(7) == 0.0 && dr.getLong(8) == 0L)
+  }
+
 }

@@ -510,4 +510,51 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("interval overlap join: half-open touch excluded, containment, " +
+      "cross-bin pair counted once, matches brute force on random data") {
+    import spark.implicits._
+    import graft.operators.Relational
+    def iv(rows: Seq[(Long, Long, Long, Long)]) =
+      rows.toDF("k", "id", "st", "en")
+    // bin size 100 so spans cross bins: L [0,100) vs R [50,150) -> 50;
+    // R [100,200) touches L at 100 -> excluded (half-open);
+    // R [10,20) contained -> 10; the [0,1000) x [950,1050) pair spans
+    // 10 bins and must come out ONCE (overlap 50)
+    val l = iv(Seq((1L, 2L, 0L, 100L), (1L, 4L, 0L, 1000L),
+      (2L, 6L, 5L, 5L))) // empty interval drops
+    val r = iv(Seq((1L, 1L, 50L, 150L), (1L, 3L, 100L, 200L),
+      (1L, 5L, 10L, 20L), (1L, 7L, 950L, 1050L), (2L, 9L, 0L, 10L)))
+    val got = Relational
+      .intervalOverlapJoin(l, r, "k", "id", "st", "en", binUs = 100L)
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)) -> row.getLong(3))
+      .toMap
+    assert(got == Map(
+      (1L, 2L, 1L) -> 50L, (1L, 2L, 5L) -> 10L,
+      (1L, 4L, 1L) -> 100L, (1L, 4L, 3L) -> 100L, (1L, 4L, 5L) -> 10L,
+      (1L, 4L, 7L) -> 50L))
+    // brute-force equality on random intervals with a tiny bin (7) so
+    // nearly every pair crosses bins — the dedup rule carries the load
+    val rnd = new scala.util.Random(13)
+    def randIv(n: Int, idBase: Long) = (1 to n).map { i =>
+      val st = rnd.nextInt(500).toLong
+      ((rnd.nextInt(3) + 1).toLong, idBase + i, st, st + 1 + rnd.nextInt(60))
+    }
+    val la = randIv(80, 1000); val ra = randIv(80, 2000)
+    val fast = Relational
+      .intervalOverlapJoin(iv(la), iv(ra), "k", "id", "st", "en", binUs = 7L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    val brute = (for {
+      (lk, lid, lst, len) <- la; (rk, rid, rst, ren) <- ra
+      if lk == rk && lst < ren && rst < len
+    } yield (lk, lid, rid, math.min(len, ren) - math.max(lst, rst))).toSet
+    assert(fast == brute && brute.nonEmpty)
+    // plans as an equi-join (bin key), never a nested loop
+    val p = Relational
+      .intervalOverlapJoin(iv(la), iv(ra), "k", "id", "st", "en", binUs = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"), p.take(600))
+  }
+
 }
