@@ -1363,6 +1363,23 @@ object SparkEntry {
     operators.Profiling.abTest(
       events(spark, dir), col("user_id") % 2 === 0, "event_type")
 
+  /** Autocorrelation function ([[operators.Temporal.acf]], lags 1-3):
+    * per-user sample ACF over the centi-quantized value series — the
+    * power-sum decomposition makes the float tree order-free.
+    */
+  private def qe32Acf(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.acf(
+      events(spark, dir), "user_id", "ts", "event_id", "value", maxLag = 3)
+
+  /** Count-correlation matrix ([[operators.Profiling.countCorrelation]],
+    * daily buckets): pairwise Pearson r of per-day event counts between
+    * event types, zero-densified over the day x type grid.
+    */
+  private def qp7CorrMatrix(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.countCorrelation(
+      events(spark, dir), expr("unix_micros(ts) div 86400000000"),
+      "event_type")
+
   /** PMI collocations ([[operators.TextAnalysis.pmiCollocations]],
     * support ≥ 5, top-50): ranked by the exact integer-product ratio so
     * the k boundary can't flip on a libm ulp.
@@ -4457,6 +4474,8 @@ object SparkEntry {
     "qp5_benford" -> (qp5Benford _),
     "qr3_overlap_join" -> (qr3OverlapJoin _),
     "qp6_abtest" -> (qp6AbTest _),
+    "qe32_acf" -> (qe32Acf _),
+    "qp7_corr_matrix" -> (qp7CorrMatrix _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -6828,6 +6847,88 @@ object SparkEntry {
         |  CASE WHEN abs(z_score) > 1.959964 THEN CAST(1 AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS significant
         |FROM z""".stripMargin,
+    // ACF: the same exact integer power sums (lag products from an
+    // rn-offset self-join) feeding the same fixed IEEE tree — no
+    // order-dependent float summation on either side.
+    "qe32_acf" -> {
+      val lagCte = (1 to 3).map(k =>
+        s"""lag$k AS (
+           |  SELECT a.user_id, CAST(sum(a.q * b.q) AS BIGINT) AS sxy$k,
+           |    CAST(sum(a.q) AS BIGINT) AS sh$k,
+           |    CAST(sum(b.q) AS BIGINT) AS st$k
+           |  FROM ev a JOIN ev b
+           |    ON b.user_id = a.user_id AND b.rn = a.rn + $k
+           |  GROUP BY a.user_id)""".stripMargin).mkString(",\n")
+      val acfExpr = (1 to 3).map(k =>
+        s"""  CASE WHEN n > $k AND
+           |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           |      / CAST(n AS DOUBLE)) > 0.0
+           |  THEN round(
+           |    (CAST(sxy$k AS DOUBLE)
+           |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+           |        * CAST(sh$k + st$k AS DOUBLE)
+           |      + CAST(n - $k AS DOUBLE)
+           |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+           |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           |      / CAST(n AS DOUBLE)), 6)
+           |  END AS acf$k""".stripMargin).mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS q,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |base AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q) AS BIGINT) AS sx, CAST(sum(q * q) AS BIGINT) AS sxx
+         |  FROM ev GROUP BY user_id),
+         |$lagCte
+         |SELECT base.user_id, n AS n_events,
+         |$acfExpr
+         |FROM base
+         |LEFT JOIN lag1 ON lag1.user_id = base.user_id
+         |LEFT JOIN lag2 ON lag2.user_id = base.user_id
+         |LEFT JOIN lag3 ON lag3.user_id = base.user_id""".stripMargin
+    },
+    // Correlation matrix: zero-densified day x type grid, exact integer
+    // power sums, identical fixed IEEE tree.
+    "qp7_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS u, event_type AS cat,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |units AS (SELECT DISTINCT u FROM c),
+        |cats AS (SELECT DISTINCT cat FROM c),
+        |filled AS (
+        |  SELECT units.u, cats.cat, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+        |  FROM units CROSS JOIN cats
+        |  LEFT JOIN c ON c.u = units.u AND c.cat = cats.cat),
+        |p AS (
+        |  SELECT a.cat AS type_a, b.cat AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(a.n) AS BIGINT) AS sa, CAST(sum(b.n) AS BIGINT) AS sb,
+        |    CAST(sum(a.n * b.n) AS BIGINT) AS sab,
+        |    CAST(sum(a.n * a.n) AS BIGINT) AS saa,
+        |    CAST(sum(b.n * b.n) AS BIGINT) AS sbb
+        |  FROM filled a JOIN filled b ON b.u = a.u AND a.cat < b.cat
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_units,
+        |  CASE WHEN
+        |      (CAST(n_units AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0.0
+        |    AND
+        |      (CAST(n_units AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0.0
+        |  THEN round(
+        |    (CAST(n_units AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / sqrt(
+        |      (CAST(n_units AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |      * (CAST(n_units AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |  END AS pearson_r
+        |FROM p""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

@@ -853,6 +853,73 @@ object Temporal {
           .otherwise(lit("no_trend")))
   }
 
+  /** AUTOCORRELATION FUNCTION — per key, the sample ACF at lags
+    * 1..maxLag over the (ts, tie)-ordered series:
+    * `ρ_k = Σᵢ(xᵢ−x̄)(xᵢ₊ₖ−x̄) / Σᵢ(xᵢ−x̄)²` — the fundamental
+    * time-series diagnostic (seasonality shows as spikes at the
+    * period, white noise dies immediately).
+    *
+    * Cross-engine exact by POWER-SUM DECOMPOSITION: the data-dependent
+    * parts reduce to exact integer sums over centi-quantized values —
+    * Σq, Σq², and per lag Σqᵢqᵢ₊ₖ plus the head/tail slice sums — and
+    * the mean-centred form expands to a FIXED IEEE tree over them
+    * (numerator = Σqᵢqᵢ₊ₖ − x̄(head+tail) + (n−k)x̄²), so there is no
+    * order-dependent float summation anywhere. Centi units keep
+    * Σq² < 2⁵³ (exact as double) and < 2⁶³ (no ANSI overflow) to ~10⁹
+    * rows/key. Lags with n ≤ k or a constant series (zero variance)
+    * report null.
+    *
+    * Shape: ONE key shuffle; the lag products are in-array `zip_with`
+    * slices over the let-bound series (the qe28 idiom).
+    */
+  def acf(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10, s"maxLag must be in [1,10], got $maxLag")
+    val withSums = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol), col(tieCol),
+        floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+          .as("__q")))).as("__s"))
+      .select(
+        col(keyCol),
+        element_at(transform(array(transform(col("__s"), x => x("__q"))), q => {
+          val n = size(q)
+          val len = (k: Int) => greatest(lit(0), n - k)
+          val lagSums = (1 to maxLag).map { k =>
+            struct(
+              aggregate(
+                zip_with(slice(q, lit(1), len(k)), slice(q, lit(k + 1), len(k)),
+                  (a, b) => a * b),
+                lit(0L), (acc, x) => acc + x).as("sxy"),
+              aggregate(slice(q, lit(1), len(k)), lit(0L),
+                (acc, x) => acc + x).as("sh"),
+              aggregate(slice(q, lit(k + 1), len(k)), lit(0L),
+                (acc, x) => acc + x).as("st")).as(s"l$k")
+          }
+          struct(
+            (n.cast("long").as("n") +:
+              aggregate(q, lit(0L), (acc, x) => acc + x).as("sx") +:
+              aggregate(q, lit(0L), (acc, x) => acc + x * x).as("sxx") +:
+              lagSums): _*)
+        }), 1).as("__a"))
+    val n = col("__a.n")
+    val xbar = col("__a.sx").cast("double") / n.cast("double")
+    val denom = col("__a.sxx").cast("double") -
+      col("__a.sx").cast("double") * col("__a.sx").cast("double") /
+        n.cast("double")
+    val acfCols = (1 to maxLag).map { k =>
+      val l = col(s"__a.l$k")
+      val num = l("sxy").cast("double") -
+        xbar * (l("sh") + l("st")).cast("double") +
+        (n - k).cast("double") * xbar * xbar
+      when(n > k && denom > 0.0, round(num / denom, 6)).as(s"acf$k")
+    }
+    withSums.select((col(keyCol) +: n.as("n_events") +: acfCols): _*)
+  }
+
   /** SCD TYPE-2 HISTORY BUILD — turn a per-key change log into the
     * classic slowly-changing-dimension validity table: one row per
     * ATTRIBUTE RUN, `[valid_from, valid_to)` half-open, `valid_to`

@@ -1050,4 +1050,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dr.getDouble(7) == 0.0 && dr.getLong(8) == 0L)
   }
 
+  test("count correlation: perfect +/-1, zero-densified absent cells, " +
+      "constant category reports null") {
+    import spark.implicits._
+    // per-unit counts — x:[1,2,3] y:[2,4,6] z:[3,2,1] w:[2,0,0] c:[5,5,5]
+    def rep(u: Long, c: String, n: Int) = Seq.fill(n)((u, c))
+    val df = (rep(1, "x", 1) ++ rep(1, "y", 2) ++ rep(1, "z", 3) ++
+      rep(1, "w", 2) ++ rep(1, "c", 5) ++
+      rep(2, "x", 2) ++ rep(2, "y", 4) ++ rep(2, "z", 2) ++ rep(2, "c", 5) ++
+      rep(3, "x", 3) ++ rep(3, "y", 6) ++ rep(3, "z", 1) ++ rep(3, "c", 5))
+      .toDF("u", "cat")
+    val out = Profiling.countCorrelation(df, col("u"), "cat").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(out.size == 10) // all 5-choose-2 pairs, even all-null ones
+    assert(out(("x", "y")) == ((3L, 1.0)))
+    assert(out(("x", "z")) == ((3L, -1.0)))
+    // w is ABSENT on units 2/3 — densification supplies the zeros:
+    // w=[2,0,0] vs x=[1,2,3] -> r = -6/sqrt(48) = -0.866025
+    assert(out(("w", "x")) == ((3L, -0.866025)))
+    // constant category: zero variance -> null r
+    assert(out(("c", "x")) == ((3L, null)))
+  }
+
 }

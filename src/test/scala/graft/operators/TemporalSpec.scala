@@ -557,4 +557,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.toLowerCase.contains("cartesian"), p.take(600))
   }
 
+  test("acf: textbook values for 1..4, short-series and zero-variance " +
+      "nulls, null exclusion") {
+    import spark.implicits._
+    val df = (
+      // a: [1,2,3,4] -> acf = (0.25, -0.3, -0.45), the textbook case
+      Seq(("a", 1L, 1L, Option(1.0)), ("a", 2L, 2L, Option(2.0)),
+        ("a", 3L, 3L, Option(3.0)), ("a", 4L, 4L, Option(4.0))) ++
+      // b: [1,2] -> acf1 = -0.5 (num -2500 / denom 5000), lags 2-3 null
+      Seq(("b", 1L, 5L, Option(1.0)), ("b", 2L, 6L, Option(2.0))) ++
+      // c: constant -> zero variance -> every lag null
+      Seq(("c", 1L, 7L, Option(3.0)), ("c", 2L, 8L, Option(3.0)),
+        ("c", 3L, 9L, Option(3.0))) ++
+      // d: null drops -> effective [5, 7] -> acf1 = -0.5
+      Seq(("d", 1L, 10L, Option(5.0)), ("d", 2L, 11L, None),
+        ("d", 3L, 12L, Option(7.0)))
+    ).toDF("k", "t", "id", "v")
+    def cell(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.getDouble(i)
+    val out = Temporal.acf(df, "k", "t", "id", "v", maxLag = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), cell(r, 2), cell(r, 3), cell(r, 4)))).toMap
+    assert(out("a") == ((4L, 0.25, -0.3, -0.45)))
+    assert(out("b") == ((2L, -0.5, null, null)))
+    assert(out("c") == ((3L, null, null, null)))
+    assert(out("d") == ((2L, -0.5, null, null)))
+  }
+
 }
