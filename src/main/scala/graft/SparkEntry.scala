@@ -1380,6 +1380,34 @@ object SparkEntry {
       events(spark, dir), expr("unix_micros(ts) div 86400000000"),
       "event_type")
 
+  /** Seasonal decomposition ([[operators.Temporal.seasonalDecompose]],
+    * period 4): per-user positional seasonal indices from the exact-
+    * integer 2x4 centered-MA construction.
+    */
+  private def qe33Decompose(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.seasonalDecompose(
+      events(spark, dir), "user_id", "ts", "event_id", "value")
+
+  /** Point-in-time join composition ([[operators.Temporal.scd2History]]
+    * → same-instant version dedup → [[operators.Temporal.asofJoin]]):
+    * every event enriched with the event_type VERSION valid at its
+    * time, counted per (user, version) — the warehouse pattern the two
+    * operators exist for, proven end to end against DuckDB's native
+    * ASOF JOIN over the replayed dimension.
+    */
+  private def qj16PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val dim = operators.Temporal
+      .scd2History(ev, "user_id", "ts", "event_id", "event_type")
+      .groupBy(col("user_id"), col("valid_from_us").as("tus"))
+      .agg(max(col("version")).as("version"))
+    val facts = ev.select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("tus"))
+    operators.Temporal.asofJoin(facts, dim, "user_id", "tus", Seq("version"))
+      .groupBy(col("user_id"), col("version"))
+      .agg(count(lit(1)).as("n_facts"))
+  }
+
   /** PMI collocations ([[operators.TextAnalysis.pmiCollocations]],
     * support ≥ 5, top-50): ranked by the exact integer-product ratio so
     * the k boundary can't flip on a libm ulp.
@@ -4476,6 +4504,8 @@ object SparkEntry {
     "qp6_abtest" -> (qp6AbTest _),
     "qe32_acf" -> (qe32Acf _),
     "qp7_corr_matrix" -> (qp7CorrMatrix _),
+    "qe33_decompose" -> (qe33Decompose _),
+    "qj16_pit_join" -> (qj16PitJoin _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -6929,6 +6959,51 @@ object SparkEntry {
         |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
         |  END AS pearson_r
         |FROM p""".stripMargin,
+    // Seasonal decomposition: identical lag/lead 2x4-MA numerators over
+    // centi-quantized values — exact BIGINT until the one final divide.
+    "qe33_decompose" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, rn, n, q,
+        |    lag(q, 2) OVER w + lag(q, 1) OVER w * 2 + q * 2
+        |      + lead(q, 1) OVER w * 2 + lead(q, 2) OVER w AS ma8
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+        |SELECT user_id, CAST((rn - 1) % 4 AS INT) AS slot,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(CAST(sum(q * 8 - ma8) AS DOUBLE)
+        |    / (800.0 * CAST(count(*) AS DOUBLE)), 6) AS seasonal
+        |FROM m WHERE rn >= 3 AND rn <= n - 2
+        |GROUP BY user_id, slot""".stripMargin,
+    // Point-in-time join: the scd2 replay deduped per instant, then
+    // DuckDB's native ASOF JOIN binds each fact to its valid version.
+    "qj16_pit_join" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+        |    row_number() OVER w AS rn, lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |c AS (
+        |  SELECT * FROM b
+        |  WHERE rn = 1 OR (event_type IS DISTINCT FROM prev)),
+        |v AS (
+        |  SELECT user_id, tsu,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) AS BIGINT) AS version
+        |  FROM c),
+        |dim AS (
+        |  SELECT user_id, tsu, max(version) AS version
+        |  FROM v GROUP BY user_id, tsu),
+        |f AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
+        |SELECT f.user_id, d.version AS version,
+        |  CAST(count(*) AS BIGINT) AS n_facts
+        |FROM f ASOF JOIN dim d
+        |  ON f.user_id = d.user_id AND f.tsu >= d.tsu
+        |GROUP BY f.user_id, d.version""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

@@ -920,6 +920,52 @@ object Temporal {
     withSums.select((col(keyCol) +: n.as("n_events") +: acfCols): _*)
   }
 
+  /** CLASSICAL SEASONAL DECOMPOSITION (additive, period 4) — per key,
+    * the seasonal indices of the (ts, tie)-ordered series by the
+    * textbook moving-average method: centered 2×4 MA as trend,
+    * detrend, average the detrended values by POSITIONAL slot
+    * ((i−1) mod 4). The decomposition behind every seasonality plot.
+    *
+    * EXACT-INTEGER CONSTRUCTION: the 2×4 MA has dyadic weights
+    * (1,2,2,2,1)/8, so 8·trendᵢ = qᵢ₋₂ + 2qᵢ₋₁ + 2qᵢ + 2qᵢ₊₁ + qᵢ₊₂
+    * is an exact Long over the centi-quantized series, the detrended
+    * NUMERATOR Dᵢ = 8qᵢ − 8·trendᵢ is exact, and the per-slot sum of
+    * exact integers is order-free — the ONLY float op is the final
+    * ΣD/(8·count) divide (then a 6-dp round). A naive avg(x − ma)
+    * would be an unordered double sum no other engine replays.
+    *
+    * Rows need both margins (3 ≤ i ≤ n−2); series shorter than 5
+    * contribute nothing. Output: (key, slot 0..3, n_terms, seasonal).
+    * Shape: one key window (explicit lag/lead — a single frame pass) +
+    * one (key, slot)-bounded aggregate.
+    */
+  def seasonalDecompose(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val q = floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+    val base = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol), q.as("__q"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__ma8",
+        lag(col("__q"), 2).over(w) + lag(col("__q"), 1).over(w) * 2L
+          + col("__q") * 2L + lead(col("__q"), 1).over(w) * 2L
+          + lead(col("__q"), 2).over(w))
+    base
+      .filter(col("__rn") >= 3 && col("__rn") <= col("__n") - 2)
+      .select(col(keyCol),
+        pmod(col("__rn") - 1, lit(4)).cast("int").as("slot"),
+        (col("__q") * 8L - col("__ma8")).as("__d8"))
+      .groupBy(col(keyCol), col("slot"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        // 800 = 8 (dyadic MA denominator) x 100 (centi -> value units)
+        round(sum(col("__d8")).cast("double")
+          / (lit(800.0) * count(lit(1)).cast("double")), 6).as("seasonal"))
+  }
+
   /** SCD TYPE-2 HISTORY BUILD — turn a per-key change log into the
     * classic slowly-changing-dimension validity table: one row per
     * ATTRIBUTE RUN, `[valid_from, valid_to)` half-open, `valid_to`

@@ -585,4 +585,48 @@ class TemporalSpec extends AnyFunSuite {
     assert(out("d") == ((2L, -0.5, null, null)))
   }
 
+  test("seasonal decompose: pure period-4 series recovers its indices, " +
+      "margins excluded, short series emits nothing") {
+    import spark.implicits._
+    // a: 10,20,30,40 repeated 3x — the 2x4 MA is the constant mean 25,
+    // so detrended = x - 25 and slots recover (-15, -5, 5, 15) exactly;
+    // only i = 3..10 have both margins (2 terms per slot)
+    val a = (0 until 12).map(i =>
+      ("a", (i + 1).toLong, (i + 1).toLong, Option((Seq(10, 20, 30, 40)(i % 4)).toDouble)))
+    // b: shorter than 5 points -> nothing survives the margins
+    val b = (0 until 4).map(i => ("b", (i + 1).toLong, (20 + i).toLong, Option(5.0)))
+    val df = (a ++ b).toDF("k", "t", "id", "v")
+    val got = Temporal.seasonalDecompose(df, "k", "t", "id", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("a", 0) -> ((2L, -15.0)), ("a", 1) -> ((2L, -5.0)),
+      ("a", 2) -> ((2L, 5.0)), ("a", 3) -> ((2L, 15.0))))
+  }
+
+  test("pit composition: scd2 versions bind each fact via as-of join") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // user 1: A B A -> versions 1/2/3, one fact each
+      (1L, ts(10), 1L, "A"), (1L, ts(20), 2L, "B"), (1L, ts(30), 3L, "A"),
+      // user 2: A A B -> version 1 covers two facts, version 2 one
+      (2L, ts(10), 4L, "A"), (2L, ts(20), 5L, "A"), (2L, ts(30), 6L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val dim = Temporal.scd2History(ev, "user_id", "ts", "event_id", "event_type")
+      .groupBy(col("user_id"), col("valid_from_us").as("tus"))
+      .agg(max(col("version")).as("version"))
+    val facts = ev.select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("tus"))
+    val got = Temporal.asofJoin(facts, dim, "user_id", "tus", Seq("version"))
+      .groupBy(col("user_id"), col("version"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (2L, 1L) -> 2L, (2L, 2L) -> 1L))
+  }
+
 }
