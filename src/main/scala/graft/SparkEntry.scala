@@ -1380,6 +1380,20 @@ object SparkEntry {
       events(spark, dir), expr("unix_micros(ts) div 86400000000"),
       "event_type")
 
+  /** GNN-style message passing ([[graph.MessagePassing]], 2 rounds)
+    * over the qg9 trade graph: all-integer weighted neighbourhood
+    * aggregation — 2-hop upstream structural signatures per nation.
+    */
+  private def qg16MsgPass(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graph.MessagePassing.run(edges, "src", "dst", "w", rounds = 2)
+  }
+
   /** Seasonal decomposition ([[operators.Temporal.seasonalDecompose]],
     * period 4): per-user positional seasonal indices from the exact-
     * integer 2x4 centered-MA construction.
@@ -4506,6 +4520,7 @@ object SparkEntry {
     "qp7_corr_matrix" -> (qp7CorrMatrix _),
     "qe33_decompose" -> (qe33Decompose _),
     "qj16_pit_join" -> (qj16PitJoin _),
+    "qg16_msg_pass" -> (qg16MsgPass _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7004,6 +7019,41 @@ object SparkEntry {
         |FROM f ASOF JOIN dim d
         |  ON f.user_id = d.user_id AND f.tsu >= d.tsu
         |GROUP BY f.user_id, d.version""".stripMargin,
+    // Message passing: the identical integer rounds as chained CTEs —
+    // edges MATERIALIZED (referenced every round; DuckDB inlines plain
+    // CTEs and re-expands the join chain each reference).
+    "qg16_msg_pass" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM edges
+        |  UNION SELECT dst FROM edges),
+        |h0 AS MATERIALIZED (
+        |  SELECT n.node, CAST(coalesce(o.s, 0) AS BIGINT) AS feature
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT src AS node, CAST(sum(w) AS BIGINT) AS s
+        |    FROM edges GROUP BY 1) o ON o.node = n.node),
+        |h1 AS MATERIALIZED (
+        |  SELECT h.node,
+        |    CAST(h.feature + coalesce(m.s, 0) AS BIGINT) AS feature
+        |  FROM h0 h LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(e.w * h.feature) AS BIGINT) AS s
+        |    FROM edges e JOIN h0 h ON h.node = e.src GROUP BY 1) m
+        |    ON m.node = h.node),
+        |h2 AS (
+        |  SELECT h.node,
+        |    CAST(h.feature + coalesce(m.s, 0) AS BIGINT) AS feature
+        |  FROM h1 h LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(e.w * h.feature) AS BIGINT) AS s
+        |    FROM edges e JOIN h1 h ON h.node = e.src GROUP BY 1) m
+        |    ON m.node = h.node)
+        |SELECT CAST(node AS BIGINT) AS node, feature FROM h2""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k
