@@ -1380,6 +1380,19 @@ object SparkEntry {
       events(spark, dir), expr("unix_micros(ts) div 86400000000"),
       "event_type")
 
+  /** MMR diversity re-ranking ([[operators.Similarity.mmrRerank]],
+    * pool 30 → k 10, λ = 0.5): redundancy-aware top-k — each greedy
+    * pick maximizes relevance minus similarity to what's already
+    * chosen, replayed step-for-step by the oracle's recursive CTE
+    * (argmax as max(struct), picked set as a LIST column).
+    */
+  private def qs12Mmr(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.sin(i * 0.7 + 0.3))
+    operators.Similarity.mmrRerank(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", query,
+      poolK = 30, k = 10, lambda = 0.5)
+  }
+
   /** GNN-style message passing ([[graph.MessagePassing]], 2 rounds)
     * over the qg9 trade graph: all-integer weighted neighbourhood
     * aggregation — 2-hop upstream structural signatures per nation.
@@ -4521,6 +4534,7 @@ object SparkEntry {
     "qe33_decompose" -> (qe33Decompose _),
     "qj16_pit_join" -> (qj16PitJoin _),
     "qg16_msg_pass" -> (qg16MsgPass _),
+    "qs12_mmr" -> (qs12Mmr _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7054,6 +7068,63 @@ object SparkEntry {
         |    FROM edges e JOIN h1 h ON h.node = e.src GROUP BY 1) m
         |    ON m.node = h.node)
         |SELECT CAST(node AS BIGINT) AS node, feature FROM h2""".stripMargin,
+    // MMR: pool + pairwise sims are the qs1 rounded-cosine replay; the
+    // greedy replays as a recursive CTE carrying the picked set as a
+    // LIST, argmax per step as max over a (score, -id) struct — the
+    // objective is one subtract on identical 6-dp operands.
+    "qs12_mmr" -> {
+      val qv = Array.tabulate(64)(i => math.sin(i * 0.7 + 0.3)) // same probe as qs12
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH RECURSIVE cand AS MATERIALIZED (
+         |  SELECT vec_id, emb,
+         |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |               ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS rel
+         |  FROM (
+         |    SELECT vec_id, embedding AS emb,
+         |      sum(CAST(embedding[t.i] AS DOUBLE) * qv[t.i]) AS dot,
+         |      sum(CAST(embedding[t.i] AS DOUBLE)
+         |        * CAST(embedding[t.i] AS DOUBLE)) AS na,
+         |      sum(qv[t.i] * qv[t.i]) AS nb
+         |    FROM (SELECT vec_id, embedding, $qv::DOUBLE[] AS qv
+         |          FROM embeddings)
+         |    CROSS JOIN generate_series(1, 64) AS t(i)
+         |    GROUP BY vec_id, embedding)
+         |  ORDER BY rel DESC, vec_id LIMIT 30),
+         |ps AS MATERIALIZED (
+         |  SELECT ai, bi,
+         |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |               ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS s
+         |  FROM (
+         |    SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |      sum(CAST(a.emb[t.i] AS DOUBLE) * CAST(b.emb[t.i] AS DOUBLE))
+         |        AS dot,
+         |      sum(CAST(a.emb[t.i] AS DOUBLE) * CAST(a.emb[t.i] AS DOUBLE))
+         |        AS na,
+         |      sum(CAST(b.emb[t.i] AS DOUBLE) * CAST(b.emb[t.i] AS DOUBLE))
+         |        AS nb
+         |    FROM cand a JOIN cand b ON b.vec_id <> a.vec_id
+         |    CROSS JOIN generate_series(1, 64) AS t(i)
+         |    GROUP BY 1, 2)),
+         |r AS (
+         |  (SELECT 1 AS mmr_rank, vec_id, round(0.5 * rel - 0.5 * 0.0, 6)
+         |      AS mmr_score, [vec_id] AS picked
+         |   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+         |  UNION ALL
+         |  SELECT t.mmr_rank + 1, (t.mx).id, round((t.mx).s, 6),
+         |    list_append(t.picked, (t.mx).id)
+         |  FROM (
+         |    SELECT r.mmr_rank AS mmr_rank, r.picked AS picked,
+         |      max({'s': 0.5 * c.rel - 0.5 * coalesce((
+         |             SELECT max(ps.s) FROM ps
+         |             WHERE ps.ai = c.vec_id
+         |               AND list_contains(r.picked, ps.bi)), 0.0),
+         |           'tb': -c.vec_id, 'id': c.vec_id}) AS mx
+         |    FROM r JOIN cand c ON NOT list_contains(r.picked, c.vec_id)
+         |    WHERE r.mmr_rank < 10
+         |    GROUP BY r.mmr_rank, r.picked) t)
+         |SELECT mmr_rank, vec_id, mmr_score FROM r""".stripMargin
+    },
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

@@ -640,6 +640,77 @@ object Similarity {
       .orderBy(col("d2"), col(idCol))
       .limit(topK)
   }
+
+  /** MMR DIVERSITY RE-RANKING (Carbonell & Goldstein 1998) — the
+    * redundancy-aware top-k every retrieval/RAG stack ships: from a
+    * relevance-ranked candidate pool, greedily pick
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)` so each next
+    * result is relevant AND far from what's already chosen (plain
+    * top-k returns k near-duplicates of the best hit).
+    *
+    * Sequential BY DEFINITION (each pick changes the next objective),
+    * so it runs as k let-bound fold steps over ONE packed candidate
+    * row — the qe28 idiom, each step's state bound as a lambda var the
+    * optimizer cannot inline. Cross-engine exact: the pool cut and all
+    * pairwise similarities are 6-dp-ROUNDED cosines (the qs1 replay
+    * chain), λ is dyadic, and the greedy compares the one-subtract
+    * IEEE objective on those identical operands with a smallest-id tie
+    * break — the qe30-style argmax-as-max(struct) replays in SQL.
+    *
+    * Scale shape: the expensive part stays the distributed pool scan
+    * ([[bruteForceTopK]]); the greedy is O(k·poolK) cosines over one
+    * poolK-row packed array — driver-free, shuffle-free, constant-
+    * bounded by contract (poolK ≤ 1000).
+    */
+  def mmrRerank(
+      embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], poolK: Int, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1 && poolK >= k && poolK <= 1000,
+      s"need 1 <= k <= poolK <= 1000, got k=$k poolK=$poolK")
+    def dyadic(x: Double) = (x * 1024.0) == math.rint(x * 1024.0)
+    require(lambda > 0.0 && lambda <= 1.0 && dyadic(lambda),
+      s"lambda must be dyadic in (0,1], got $lambda")
+    val mu = 1.0 - lambda
+    val pool = bruteForceTopK(embs, idCol, vecCol, query, poolK)
+    val packed = pool
+      .join(embs.select(col(idCol), col(vecCol).as("__emb")), Seq(idCol))
+      .agg(sort_array(collect_list(struct(
+        col(idCol).cast("long").as("id"),
+        col("sim").as("rel"),
+        col("__emb").as("emb")))).as("__c"))
+    val init: Column = expr(
+      "CAST(array() AS array<struct<rank:int,id:bigint,score:double," +
+        "emb:array<float>>>)")
+    val fin = (1 to k).foldLeft(init) { (st, step) =>
+      element_at(transform(array(struct(st.as("p"))), ctx => {
+        val p = ctx("p")
+        val remaining = filter(col("__c"),
+          e => !exists(p, q => q("id") === e("id")))
+        val bestOf = array_max(transform(remaining, e => {
+          val ms = coalesce(
+            array_max(transform(p,
+              q => round(VectorFunctions.cosine(e("emb"), q("emb")), 6))),
+            lit(0.0))
+          struct(
+            (lit(lambda) * e("rel") - lit(mu) * ms).as("s"),
+            (-e("id")).as("tb"), e("id").as("id"), e("emb").as("emb"))
+        }))
+        // bind (best, remaining) once — both are referenced repeatedly
+        element_at(transform(array(struct(bestOf.as("b"), remaining.as("r"))),
+          c2 => when(size(c2("r")) > 0,
+            concat(p, array(struct(
+              lit(step).as("rank"), c2("b")("id").as("id"),
+              round(c2("b")("s"), 6).as("score"),
+              c2("b")("emb").as("emb"))))).otherwise(p)), 1)
+      }), 1)
+    }
+    packed
+      .select(explode(fin).as("__m"))
+      .select(col("__m.rank").as("mmr_rank"), col("__m.id").as(idCol),
+        col("__m.score").as("mmr_score"))
+      .orderBy(col("mmr_rank"))
+  }
 }
 
 /** Bounded top-k by (score desc, id asc) as a typed Aggregator. The buffer

@@ -1050,6 +1050,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dr.getDouble(7) == 0.0 && dr.getLong(8) == 0L)
   }
 
+  test("mmr: diversity beats redundancy at low lambda, relevance tie " +
+      "breaks to smallest id, dyadic guard") {
+    import spark.implicits._
+    // probe [1,0]: a,b point along it (rel 1), c diagonal (rel
+    // 0.707107), d orthogonal (rel 0). Plain top-3 = {a,b,c}; at
+    // lambda 0.25 MMR picks a (tie -> smallest id), then d (orthogonal
+    // beats the near-duplicate b), then c.
+    val embs = Seq(
+      (1L, Array(2f, 0f)), (2L, Array(4f, 0f)),
+      (3L, Array(1f, 1f)), (4L, Array(0f, 3f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(embs, "vec_id", "embedding",
+        Array(1.0, 0.0), poolK = 4, k = 3, lambda = 0.25)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // step-3 score: 0.25*0.707107 - 0.75*0.707107 lands one ulp above
+    // -0.3535535 in IEEE, so 6-dp HALF_UP gives -0.353553
+    assert(out.toSeq == Seq(
+      (1, 1L, 0.25),
+      (2, 4L, 0.0),
+      (3, 3L, -0.353553)))
+    // pool smaller than k is rejected; non-dyadic lambda is rejected
+    intercept[IllegalArgumentException](Similarity.mmrRerank(
+      embs, "vec_id", "embedding", Array(1.0, 0.0), 2, 3, 0.5))
+    intercept[IllegalArgumentException](Similarity.mmrRerank(
+      embs, "vec_id", "embedding", Array(1.0, 0.0), 4, 3, 0.3))
+    // at lambda = 1 MMR IS plain top-k (scores = rel, same order)
+    val pure = Similarity.mmrRerank(embs, "vec_id", "embedding",
+        Array(1.0, 0.0), poolK = 4, k = 3, lambda = 1.0)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+  }
+
   test("count correlation: perfect +/-1, zero-densified absent cells, " +
       "constant category reports null") {
     import spark.implicits._
