@@ -1380,6 +1380,15 @@ object SparkEntry {
       events(spark, dir), expr("unix_micros(ts) div 86400000000"),
       "event_type")
 
+  /** Kaplan-Meier survival curve ([[operators.Temporal.kaplanMeier]],
+    * death = first purchase): time-to-convert in days with
+    * right-censoring at last observation — the day table's suffix-sum
+    * risks and ordered prefix product replayed by a recursive CTE.
+    */
+  private def qe34KaplanMeier(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.kaplanMeier(
+      events(spark, dir), "user_id", "ts", col("event_type") === "purchase")
+
   /** MMR diversity re-ranking ([[operators.Similarity.mmrRerank]],
     * pool 30 → k 10, λ = 0.5): redundancy-aware top-k — each greedy
     * pick maximizes relevance minus similarity to what's already
@@ -4535,6 +4544,7 @@ object SparkEntry {
     "qj16_pit_join" -> (qj16PitJoin _),
     "qg16_msg_pass" -> (qg16MsgPass _),
     "qs12_mmr" -> (qs12Mmr _),
+    "qe34_kaplan_meier" -> (qe34KaplanMeier _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7125,6 +7135,42 @@ object SparkEntry {
          |    GROUP BY r.mmr_rank, r.picked) t)
          |SELECT mmr_rank, vec_id, mmr_score FROM r""".stripMargin
     },
+    // Kaplan-Meier: integer day table + desc-window suffix-sum risks;
+    // the survival prefix product replays as a recursive CTE (anchor
+    // 1.0*f1 = f1 is IEEE-exact, every literal CAST to DOUBLE).
+    "qe34_kaplan_meier" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(ts) END) AS td,
+        |    max(epoch_us(ts)) AS tmax
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT (coalesce(td, tmax) - t0) // 86400000000 AS dur,
+        |    CASE WHEN td IS NOT NULL THEN 1 ELSE 0 END AS evt
+        |  FROM s),
+        |g AS (
+        |  SELECT dur, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(evt) AS BIGINT) AS dd
+        |  FROM d GROUP BY dur),
+        |w AS (
+        |  SELECT dur, n, dd,
+        |    CAST(sum(n) OVER (ORDER BY dur DESC) AS BIGINT) AS risk,
+        |    row_number() OVER (ORDER BY dur) AS rn
+        |  FROM g),
+        |r AS (
+        |  SELECT rn, dur, n, dd, risk,
+        |    CAST(1.0 AS DOUBLE)
+        |      - CAST(dd AS DOUBLE) / CAST(risk AS DOUBLE) AS surv
+        |  FROM w WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w.rn, w.dur, w.n, w.dd, w.risk,
+        |    r.surv * (CAST(1.0 AS DOUBLE)
+        |      - CAST(w.dd AS DOUBLE) / CAST(w.risk AS DOUBLE))
+        |  FROM r JOIN w ON w.rn = r.rn + 1)
+        |SELECT dur AS dur_days, risk AS n_risk, dd AS n_death,
+        |  CAST(n - dd AS BIGINT) AS n_censor, round(surv, 6) AS survival
+        |FROM r""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

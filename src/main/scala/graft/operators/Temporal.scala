@@ -920,6 +920,71 @@ object Temporal {
     withSums.select((col(keyCol) +: n.as("n_events") +: acfCols): _*)
   }
 
+  /** KAPLAN-MEIER SURVIVAL CURVE — the nonparametric time-to-event
+    * estimator (Kaplan & Meier 1958) behind every churn, conversion,
+    * and reliability analysis: subjects enter at their first
+    * observation, "die" at their first event matching `death`, and are
+    * right-CENSORED at their last observation otherwise — censoring is
+    * the whole point (dropping unconverted users biases the curve; KM
+    * keeps them at risk exactly as long as they were observed). At
+    * each day `d`: n_risk = #{duration ≥ d}, and
+    * `S(d) = Π_{d' ≤ d} (1 − deaths(d')/n_risk(d'))`.
+    *
+    * Cross-engine exact: durations and the day table are ALL-INTEGER
+    * (floor-div days, suffix-sum risks), and the survival product is an
+    * ORDERED fold over per-day factors `1 − deaths/risk` — each factor
+    * one IEEE divide on exact integers, the prefix product replayed
+    * step-for-step by the qe34 recursive CTE (day-0 factor seeds as
+    * 1.0·f₁ = f₁ exactly).
+    *
+    * Shape: one subject aggregate (the only data-sized pass), then the
+    * day table — bounded by the observation span in days, NOT by
+    * subjects — packs into one row for the fold and explodes back.
+    */
+  def kaplanMeier(
+      df: DataFrame, subjectCol: String, tsCol: String,
+      death: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val subj = df
+      .groupBy(col(subjectCol))
+      .agg(
+        min(unix_micros(col(tsCol))).as("__t0"),
+        min(when(death, unix_micros(col(tsCol)))).as("__td"),
+        max(unix_micros(col(tsCol))).as("__tmax"))
+      .select(
+        expr(s"(coalesce(__td, __tmax) - __t0) div $dayUs").as("__dur"),
+        col("__td").isNotNull.cast("long").as("__evt"))
+    val days = subj
+      .groupBy(col("__dur"))
+      .agg(count(lit(1)).as("__n"), sum(col("__evt")).as("__d"))
+      .agg(sort_array(collect_list(struct(
+        col("__dur"), col("__n"), col("__d")))).as("__t"))
+    days
+      .select(explode(transform(col("__t"), (row, i) => {
+        val total = aggregate(col("__t"), lit(0L), (a, e) => a + e("__n"))
+        val before = aggregate(slice(col("__t"), lit(1), i),
+          lit(0L), (a, e) => a + e("__n"))
+        val risk = total - before
+        // ordered prefix product of factors 1 - d_j/r_j for j <= i
+        val surv = aggregate(
+          transform(slice(col("__t"), lit(1), i + 1), (e, j) => {
+            val rj = aggregate(col("__t"), lit(0L), (a, x) => a + x("__n")) -
+              aggregate(slice(col("__t"), lit(1), j), lit(0L),
+                (a, x) => a + x("__n"))
+            lit(1.0) - e("__d").cast("double") / rj.cast("double")
+          }),
+          lit(1.0), (a, f) => a * f)
+        struct(
+          row("__dur").as("dur_days"),
+          risk.as("n_risk"),
+          row("__d").as("n_death"),
+          (row("__n") - row("__d")).as("n_censor"),
+          round(surv, 6).as("survival"))
+      })).as("__r"))
+      .select(col("__r.dur_days"), col("__r.n_risk"), col("__r.n_death"),
+        col("__r.n_censor"), col("__r.survival"))
+  }
+
   /** CLASSICAL SEASONAL DECOMPOSITION (additive, period 4) — per key,
     * the seasonal indices of the (ts, tie)-ordered series by the
     * textbook moving-average method: centered 2×4 MA as trend,

@@ -605,6 +605,38 @@ class TemporalSpec extends AnyFunSuite {
       ("a", 2) -> ((2L, 5.0)), ("a", 3) -> ((2L, 15.0))))
   }
 
+  test("kaplan-meier: textbook curve with censoring, death-before-last " +
+      "observation, day-0 death") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Long) = new Timestamp(day * 86400L * 1000L)
+    val ev = Seq(
+      // s1: only a purchase at day 0 -> dur 0, death
+      (1L, ts(0), "purchase"),
+      // s2: death at day 1
+      (2L, ts(0), "view"), (2L, ts(1), "purchase"),
+      // s3: censored at day 1
+      (3L, ts(0), "view"), (3L, ts(1), "view"),
+      // s4: death at day 2 — the trailing view at day 5 must NOT
+      // extend the duration (td beats tmax)
+      (4L, ts(0), "view"), (4L, ts(2), "purchase"), (4L, ts(5), "view"),
+      // s5: censored at day 3
+      (5L, ts(0), "view"), (5L, ts(3), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.kaplanMeier(ev, "user_id", "ts",
+        col("event_type") === "purchase")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    // d=0: 1/5 die -> 0.8; d=1: 1 dies 1 censors of 4 -> 0.6;
+    // d=2: 1 of 2 -> 0.3; d=3: censor only -> 0.3 carries
+    assert(got == Map(
+      0L -> ((5L, 1L, 0L, 0.8)),
+      1L -> ((4L, 1L, 1L, 0.6)),
+      2L -> ((2L, 1L, 0L, 0.3)),
+      3L -> ((1L, 0L, 1L, 0.3))))
+  }
+
   test("pit composition: scd2 versions bind each fact via as-of join") {
     import spark.implicits._
     import java.sql.Timestamp
