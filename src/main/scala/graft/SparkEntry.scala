@@ -1380,6 +1380,16 @@ object SparkEntry {
       events(spark, dir), expr("unix_micros(ts) div 86400000000"),
       "event_type")
 
+  /** Calibration profile + ECE ([[operators.Profiling.calibration]],
+    * 10 bins): value/500 as the confidence score, purchase as the
+    * label — per-bin reliability curve plus the ordered-fold expected
+    * calibration error.
+    */
+  private def qp8Calibration(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.calibration(
+      events(spark, dir).filter(col("value").isNotNull),
+      col("value") / lit(500.0), col("event_type") === "purchase", bins = 10)
+
   /** Kaplan-Meier survival curve ([[operators.Temporal.kaplanMeier]],
     * death = first purchase): time-to-convert in days with
     * right-censoring at last observation — the day table's suffix-sum
@@ -1388,6 +1398,15 @@ object SparkEntry {
   private def qe34KaplanMeier(spark: SparkSession, dir: String): DataFrame =
     operators.Temporal.kaplanMeier(
       events(spark, dir), "user_id", "ts", col("event_type") === "purchase")
+
+  /** Log-rank test ([[operators.Temporal.logRank]], arms = user_id
+    * parity, death = first purchase): does one arm convert FASTER —
+    * the survival A/B readout qp6's rate test can't see.
+    */
+  private def qe35LogRank(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.logRank(
+      events(spark, dir), "user_id", "ts",
+      col("event_type") === "purchase", col("user_id") % 2 === 0)
 
   /** MMR diversity re-ranking ([[operators.Similarity.mmrRerank]],
     * pool 30 → k 10, λ = 0.5): redundancy-aware top-k — each greedy
@@ -4545,6 +4564,8 @@ object SparkEntry {
     "qg16_msg_pass" -> (qg16MsgPass _),
     "qs12_mmr" -> (qs12Mmr _),
     "qe34_kaplan_meier" -> (qe34KaplanMeier _),
+    "qp8_calibration" -> (qp8Calibration _),
+    "qe35_logrank" -> (qe35LogRank _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7171,6 +7192,92 @@ object SparkEntry {
         |SELECT dur AS dur_days, risk AS n_risk, dd AS n_death,
         |  CAST(n - dd AS BIGINT) AS n_censor, round(surv, 6) AS survival
         |FROM r""".stripMargin,
+    // Calibration/ECE: micro-quantized per-bin sums, single divides,
+    // and the ECE as an ORDERED list fold (list(term ORDER BY bin) +
+    // list_reduce) replaying Spark's bin-sorted aggregate exactly.
+    "qp8_calibration" ->
+      """WITH b AS (
+        |  SELECT greatest(CAST(0 AS BIGINT),
+        |      least(CAST(floor(value / 500.0 * 10) AS BIGINT),
+        |            CAST(9 AS BIGINT))) AS bin,
+        |    CAST(floor(value / 500.0 * 1000000.0) AS BIGINT) AS cq,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cq) AS BIGINT) AS sq, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM b GROUP BY bin),
+        |nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+        |terms AS (
+        |  SELECT g.bin,
+        |    CAST(g.n AS DOUBLE) / CAST(nt.n_total AS DOUBLE)
+        |      * abs(CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |        - CAST(g.sq AS DOUBLE) / (1000000.0 * CAST(g.n AS DOUBLE)))
+        |      AS term
+        |  FROM g CROSS JOIN nt),
+        |t AS (
+        |  SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(term ORDER BY bin)), (a, x) -> a + x), 6) AS ece
+        |  FROM terms)
+        |SELECT g.bin, g.n AS n_values,
+        |  round(CAST(g.sq AS DOUBLE) / (1000000.0 * CAST(g.n AS DOUBLE)), 6)
+        |    AS avg_conf,
+        |  round(CAST(g.sy AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS accuracy,
+        |  nt.n_total, t.ece
+        |FROM g CROSS JOIN nt CROSS JOIN t""".stripMargin,
+    // Log-rank: zero-state anchor at rn 0, then the identical ordered
+    // accumulation of integer at-risk counts and IEEE E/V terms.
+    "qe35_logrank" -> {
+      val rt = "(t.n1 - r.p1 + t.n0 - r.p0)"
+      val dt = "(g.d1 + g.d0)"
+      s"""WITH RECURSIVE s AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS t0,
+         |    min(CASE WHEN event_type = 'purchase'
+         |             THEN epoch_us(ts) END) AS td,
+         |    max(epoch_us(ts)) AS tmax,
+         |    max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS grp
+         |  FROM events GROUP BY user_id),
+         |d AS (
+         |  SELECT (coalesce(td, tmax) - t0) // 86400000000 AS dur,
+         |    CASE WHEN td IS NOT NULL THEN 1 ELSE 0 END AS evt, grp
+         |  FROM s),
+         |gd AS (
+         |  SELECT dur, CAST(sum(grp) AS BIGINT) AS n1c,
+         |    CAST(sum(1 - grp) AS BIGINT) AS n0c,
+         |    CAST(sum(grp * evt) AS BIGINT) AS d1,
+         |    CAST(sum((1 - grp) * evt) AS BIGINT) AS d0,
+         |    row_number() OVER (ORDER BY dur) AS rn
+         |  FROM d GROUP BY dur),
+         |tot AS (
+         |  SELECT CAST(sum(n1c) AS BIGINT) AS n1,
+         |    CAST(sum(n0c) AS BIGINT) AS n0 FROM gd),
+         |r AS (
+         |  SELECT 0 AS rn, CAST(0 AS BIGINT) AS p1, CAST(0 AS BIGINT) AS p0,
+         |    CAST(0 AS BIGINT) AS o, CAST(0.0 AS DOUBLE) AS e,
+         |    CAST(0.0 AS DOUBLE) AS v
+         |  UNION ALL
+         |  SELECT g.rn, r.p1 + g.n1c, r.p0 + g.n0c, r.o + g.d1,
+         |    r.e + CASE WHEN $dt > 0
+         |      THEN CAST($dt AS DOUBLE) * CAST(t.n1 - r.p1 AS DOUBLE)
+         |        / CAST($rt AS DOUBLE) ELSE 0.0 END,
+         |    r.v + CASE WHEN $dt > 0 AND $rt > 1
+         |      THEN CAST($dt AS DOUBLE)
+         |        * (CAST(t.n1 - r.p1 AS DOUBLE) / CAST($rt AS DOUBLE))
+         |        * (CAST(t.n0 - r.p0 AS DOUBLE) / CAST($rt AS DOUBLE))
+         |        * (CAST($rt - $dt AS DOUBLE) / CAST($rt - 1 AS DOUBLE))
+         |      ELSE 0.0 END
+         |  FROM r JOIN gd g ON g.rn = r.rn + 1 CROSS JOIN tot t),
+         |fin AS (SELECT * FROM r ORDER BY rn DESC LIMIT 1)
+         |SELECT o AS o1, round(e, 6) AS e1, round(v, 6) AS v1,
+         |  CASE WHEN v > 0.0 THEN round((CAST(o AS DOUBLE) - e)
+         |    * (CAST(o AS DOUBLE) - e) / v, 6) ELSE 0.0 END AS chi_square,
+         |  CASE WHEN v > 0.0 THEN round((CAST(o AS DOUBLE) - e)
+         |    / sqrt(v), 6) ELSE 0.0 END AS z_score,
+         |  CASE WHEN abs(CASE WHEN v > 0.0 THEN round((CAST(o AS DOUBLE) - e)
+         |      / sqrt(v), 6) ELSE 0.0 END) > 1.959964
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS significant
+         |FROM fin""".stripMargin
+    },
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

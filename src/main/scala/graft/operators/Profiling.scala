@@ -225,6 +225,58 @@ object Profiling {
         when(abs(col("z_score")) > lit(1.959964), 1L).otherwise(0L))
   }
 
+  /** CALIBRATION PROFILE + EXPECTED CALIBRATION ERROR — the standard
+    * ML-eval readout: bucket predictions by confidence, compare each
+    * bucket's mean confidence to its empirical accuracy, and weight the
+    * gaps into ECE = Σ_b (n_b/N)·|acc_b − conf_b|. A model (or a
+    * heuristic score) is calibrated iff the curve hugs the diagonal.
+    *
+    * Cross-engine exact: confidences micro-quantize so per-bin sums are
+    * exact Longs, accuracy/mean-confidence are single divides, and the
+    * ECE is an ORDERED fold over the bin-sorted terms (bins ≤ `bins`
+    * rows — the weighted sum replays as a list fold, never an unordered
+    * double aggregate). Bin ids floor-clamp into [0, bins) so conf = 1.0
+    * lands in the top bin.
+    *
+    * Shape: one bins-bounded hash aggregate, then a broadcast one-row
+    * totals join — the driftReport pattern.
+    */
+  def calibration(
+      df: DataFrame, conf: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2,100], got $bins")
+    val bin = greatest(lit(0L),
+      least(floor(conf * bins).cast("long"), lit(bins - 1).cast("long")))
+    val per = df
+      .filter(conf.isNotNull)
+      .select(bin.as("bin"),
+        floor(conf * lit(1e6)).cast("long").as("__cq"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("__cq")).as("__sq"), sum(col("__y")).as("__sy"))
+    val tot = per
+      .agg(sort_array(collect_list(struct(
+        col("bin"), col("n_values").as("n"),
+        col("__sq").as("sq"), col("__sy").as("sy")))).as("__t"))
+      .select(
+        aggregate(col("__t"), lit(0L), (a, x) => a + x("n")).as("__nt"),
+        col("__t"))
+      .select(col("__nt").as("n_total"),
+        round(aggregate(col("__t"), lit(0.0), (a, x) =>
+          a + x("n").cast("double") / col("__nt").cast("double")
+            * abs(x("sy").cast("double") / x("n").cast("double")
+              - x("sq").cast("double") / (lit(1e6) * x("n").cast("double")))),
+          6).as("ece"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_values"),
+        round(col("__sq").cast("double")
+          / (lit(1e6) * col("n_values").cast("double")), 6).as("avg_conf"),
+        round(col("__sy").cast("double")
+          / col("n_values").cast("double"), 6).as("accuracy"),
+        col("n_total"), col("ece"))
+  }
+
   /** COUNT-CORRELATION MATRIX — pairwise Pearson correlation of
     * per-unit activity counts between categories (do clicks move with
     * purchases day over day?): the metric-relationship readout behind

@@ -985,6 +985,92 @@ object Temporal {
         col("__r.n_censor"), col("__r.survival"))
   }
 
+  /** LOG-RANK TEST (Mantel 1966) — [[kaplanMeier]]'s two-sample
+    * comparison: do two arms have the same time-to-event distribution?
+    * At each day, the observed arm-1 deaths are compared with the
+    * hypergeometric expectation given the pooled deaths and the arms'
+    * at-risk counts; `z = (O − E)/√V` with
+    * `E = Σ dₜ·r₁/rₜ`, `V = Σ dₜ·(r₁/rₜ)(r₀/rₜ)(rₜ−dₜ)/(rₜ−1)`.
+    * The survival A/B readout (does the variant convert FASTER, not
+    * just more — qp6 can't see timing).
+    *
+    * Cross-engine exact: the day table and at-risk suffix counts are
+    * all-integer, O is an exact Long, and E/V accumulate in ASCENDING
+    * DAY ORDER as an ordered fold of fixed IEEE terms (zero-death days
+    * contribute exact 0.0; rₜ = 1 days skip the undefined variance
+    * term) — the qe35 recursive CTE replays state-for-state.
+    *
+    * Shape: one subject aggregate, then a span-bounded day table packed
+    * into one row. Output: one row (o1, e1, v1, chi_square, z_score,
+    * significant).
+    */
+  def logRank(
+      df: DataFrame, subjectCol: String, tsCol: String,
+      death: Column, arm: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val subj = df
+      .groupBy(col(subjectCol))
+      .agg(
+        min(unix_micros(col(tsCol))).as("__t0"),
+        min(when(death, unix_micros(col(tsCol)))).as("__td"),
+        max(unix_micros(col(tsCol))).as("__tmax"),
+        max(when(arm, 1L).otherwise(0L)).as("__g"))
+      .select(
+        expr(s"(coalesce(__td, __tmax) - __t0) div $dayUs").as("__dur"),
+        col("__td").isNotNull.cast("long").as("__evt"), col("__g"))
+    val packed = subj
+      .groupBy(col("__dur"))
+      .agg(
+        sum(col("__g")).as("n1c"),
+        sum(lit(1L) - col("__g")).as("n0c"),
+        sum(col("__g") * col("__evt")).as("d1"),
+        sum((lit(1L) - col("__g")) * col("__evt")).as("d0"))
+      .agg(sort_array(collect_list(struct(
+        col("__dur"), col("n1c"), col("n0c"), col("d1"), col("d0"))))
+        .as("__t"))
+    packed
+      .select(explode(transform(array(col("__t")), t => {
+        val n1 = aggregate(t, lit(0L), (a, x) => a + x("n1c"))
+        val n0 = aggregate(t, lit(0L), (a, x) => a + x("n0c"))
+        aggregate(t,
+          struct(lit(0L).as("p1"), lit(0L).as("p0"), lit(0L).as("o"),
+            lit(0.0).as("e"), lit(0.0).as("v")),
+          (st, x) => {
+            val r1 = n1 - st("p1")
+            val r0 = n0 - st("p0")
+            val rt = r1 + r0
+            val dt = x("d1") + x("d0")
+            val eterm = when(dt > 0L,
+              dt.cast("double") * r1.cast("double") / rt.cast("double"))
+              .otherwise(lit(0.0))
+            val vterm = when(dt > 0L && rt > 1L,
+              dt.cast("double") * (r1.cast("double") / rt.cast("double"))
+                * (r0.cast("double") / rt.cast("double"))
+                * ((rt - dt).cast("double") / (rt - 1L).cast("double")))
+              .otherwise(lit(0.0))
+            struct(
+              (st("p1") + x("n1c")).as("p1"), (st("p0") + x("n0c")).as("p0"),
+              (st("o") + x("d1")).as("o"),
+              (st("e") + eterm).as("e"), (st("v") + vterm).as("v"))
+          },
+          st => {
+            val diff = st("o").cast("double") - st("e")
+            val z = when(st("v") > 0.0, round(diff / sqrt(st("v")), 6))
+              .otherwise(lit(0.0))
+            struct(
+              st("o").as("o1"), round(st("e"), 6).as("e1"),
+              round(st("v"), 6).as("v1"),
+              when(st("v") > 0.0, round(diff * diff / st("v"), 6))
+                .otherwise(lit(0.0)).as("chi_square"),
+              z.as("z_score"),
+              when(abs(z) > lit(1.959964), 1L).otherwise(0L)
+                .as("significant"))
+          })
+      })).as("__r"))
+      .select(col("__r.o1"), col("__r.e1"), col("__r.v1"),
+        col("__r.chi_square"), col("__r.z_score"), col("__r.significant"))
+  }
+
   /** CLASSICAL SEASONAL DECOMPOSITION (additive, period 4) — per key,
     * the seasonal indices of the (ts, tie)-ordered series by the
     * textbook moving-average method: centered 2×4 MA as trend,

@@ -1082,6 +1082,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pure == Seq(1L, 2L, 3L))
   }
 
+  test("calibration: hand-computed bins and ECE, conf=1.0 clamps into " +
+      "the top bin, null conf drops") {
+    import spark.implicits._
+    val df = Seq(
+      // bin 0: conf .2 (hit), .4 (miss) -> avg_conf .3, acc .5
+      (Option(0.2), true), (Option(0.4), false),
+      // bin 1: .5 (hit), 1.0 (hit, clamped), .8 (miss)
+      (Option(0.5), true), (Option(1.0), true), (Option(0.8), false),
+      (None, true)
+    ).toDF("c", "y")
+    val out = Profiling.calibration(df, col("c"), col("y"), bins = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    // ECE = (2/5)*|.5-.3| + (3/5)*|2/3 - 2.3/3| = 0.14
+    assert(out(0L) == ((2L, 0.3, 0.5, 5L, 0.14)))
+    assert(out(1L) == ((3L, 0.766667, 0.666667, 5L, 0.14)))
+    intercept[IllegalArgumentException](
+      Profiling.calibration(df, col("c"), col("y"), bins = 1))
+  }
+
   test("count correlation: perfect +/-1, zero-densified absent cells, " +
       "constant category reports null") {
     import spark.implicits._

@@ -637,6 +637,37 @@ class TemporalSpec extends AnyFunSuite {
       3L -> ((1L, 0L, 1L, 0.3))))
   }
 
+  test("log-rank: hand-computed O/E/V over mixed death/censor days, " +
+      "identical arms give z = 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Long) = new Timestamp(day * 86400L * 1000L)
+    // arm 1 (even ids): deaths at d0 and d2; arm 0: death d1, censor d2
+    val ev = Seq(
+      (2L, ts(0), "purchase"),
+      (4L, ts(0), "view"), (4L, ts(2), "purchase"),
+      (1L, ts(0), "view"), (1L, ts(1), "purchase"),
+      (3L, ts(0), "view"), (3L, ts(2), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Temporal.logRank(ev, "user_id", "ts",
+        col("event_type") === "purchase", col("user_id") % 2 === 0)
+      .collect().head
+    // O=2; E = .5 + 1/3 + .5; V = .25 + 2/9 + .25
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 1.333333 && r.getDouble(2) == 0.722222)
+    assert(r.getDouble(3) == 0.615385 && r.getDouble(4) == 0.784465)
+    assert(r.getLong(5) == 0L)
+    // both arms identical series -> O = E exactly, z = 0
+    val sym = Seq(
+      (2L, ts(0), "view"), (2L, ts(1), "purchase"),
+      (1L, ts(0), "view"), (1L, ts(1), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val rs = Temporal.logRank(sym, "user_id", "ts",
+        col("event_type") === "purchase", col("user_id") % 2 === 0)
+      .collect().head
+    assert(rs.getDouble(4) == 0.0 && rs.getLong(5) == 0L)
+  }
+
   test("pit composition: scd2 versions bind each fact via as-of join") {
     import spark.implicits._
     import java.sql.Timestamp
