@@ -1399,6 +1399,25 @@ object SparkEntry {
     operators.Temporal.kaplanMeier(
       events(spark, dir), "user_id", "ts", col("event_type") === "purchase")
 
+  /** NDCG@10 ([[operators.Similarity.ndcgAtK]]): graded ranking
+    * quality of the cosine top-10 against integer labels, literal
+    * logarithmic discounts, both DCG folds in rank order.
+    */
+  private def qs13Ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.sin(i * 0.33 + 0.7))
+    operators.Similarity.ndcgAtK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", "label",
+      query, k = 10)
+  }
+
+  /** Changepoint localization ([[operators.Temporal.changepoint]]):
+    * per-user binary-segmentation first split — all-integer deviation
+    * argmax with smallest-k ties, plus the two segment means.
+    */
+  private def qe36Changepoint(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.changepoint(
+      events(spark, dir), "user_id", "ts", "event_id", "value")
+
   /** Log-rank test ([[operators.Temporal.logRank]], arms = user_id
     * parity, death = first purchase): does one arm convert FASTER —
     * the survival A/B readout qp6's rate test can't see.
@@ -4566,6 +4585,8 @@ object SparkEntry {
     "qe34_kaplan_meier" -> (qe34KaplanMeier _),
     "qp8_calibration" -> (qp8Calibration _),
     "qe35_logrank" -> (qe35LogRank _),
+    "qe36_changepoint" -> (qe36Changepoint _),
+    "qs13_ndcg" -> (qs13Ndcg _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7277,6 +7298,83 @@ object SparkEntry {
          |      / sqrt(v), 6) ELSE 0.0 END) > 1.959964
          |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS significant
          |FROM fin""".stripMargin
+    },
+    // Changepoint: identical integer deviations from window prefix
+    // sums; the argmax picks by (dev DESC, k ASC) — exact Long compare.
+    "qe36_changepoint" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, rn, q,
+        |    CAST(sum(q) OVER (PARTITION BY user_id ORDER BY rn)
+        |      AS BIGINT) AS p,
+        |    CAST(sum(q) OVER (PARTITION BY user_id) AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM ev),
+        |d AS (
+        |  SELECT user_id, n, t, CAST(rn AS BIGINT) AS k, p,
+        |    abs(n * p - CAST(rn AS BIGINT) * t) AS dev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(n * p - CAST(rn AS BIGINT) * t) DESC, rn) AS pick
+        |  FROM w WHERE rn < n AND n >= 2)
+        |SELECT user_id, n AS n_events, k AS split_rn,
+        |  CAST(dev AS BIGINT) AS deviation,
+        |  round(CAST(p AS DOUBLE) / (100.0 * CAST(k AS DOUBLE)), 6)
+        |    AS mean_before,
+        |  round(CAST(t - p AS DOUBLE) / (100.0 * CAST(n - k AS DOUBLE)), 6)
+        |    AS mean_after
+        |FROM d WHERE pick = 1""".stripMargin,
+    // NDCG: the qs1 rounded-cosine top-10 joined to integer labels,
+    // LITERAL discount weights indexed by rank, both folds via
+    // list(term ORDER BY rank) + list_reduce.
+    "qs13_ndcg" -> {
+      val qv = Array.tabulate(64)(i => math.sin(i * 0.33 + 0.7)) // same probe as qs13
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      val wt = Seq(1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+        0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+        0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+        .map(_.toString).mkString("[", ", ", "]")
+      s"""WITH ranked AS (
+         |  SELECT vec_id, sim,
+         |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM (
+         |    SELECT vec_id,
+         |      round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |                 ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |    FROM (
+         |      SELECT vec_id,
+         |        sum(CAST(embedding[t.i] AS DOUBLE) * qv[t.i]) AS dot,
+         |        sum(CAST(embedding[t.i] AS DOUBLE)
+         |          * CAST(embedding[t.i] AS DOUBLE)) AS na,
+         |        sum(qv[t.i] * qv[t.i]) AS nb
+         |      FROM (SELECT vec_id, embedding, $qv::DOUBLE[] AS qv
+         |            FROM embeddings)
+         |      CROSS JOIN generate_series(1, 64) AS t(i)
+         |      GROUP BY vec_id))
+         |  ORDER BY sim DESC, vec_id LIMIT 10),
+         |dcg AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(CAST(e.label AS DOUBLE) * ($wt::DOUBLE[])[r.rnk]
+         |      ORDER BY r.rnk)), (a, x) -> a + x) AS d
+         |  FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id),
+         |ideal AS (
+         |  SELECT label, row_number() OVER (ORDER BY label DESC, vec_id)
+         |    AS rnk
+         |  FROM embeddings ORDER BY label DESC, vec_id LIMIT 10),
+         |idcg AS (
+         |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(CAST(label AS DOUBLE) * ($wt::DOUBLE[])[rnk]
+         |      ORDER BY rnk)), (a, x) -> a + x) AS d
+         |  FROM ideal)
+         |SELECT round(dcg.d, 6) AS dcg, round(idcg.d, 6) AS idcg,
+         |  CASE WHEN idcg.d > 0.0 THEN round(dcg.d / idcg.d, 6)
+         |       ELSE 0.0 END AS ndcg,
+         |  CAST(10 AS INT) AS k
+         |FROM dcg CROSS JOIN idcg""".stripMargin
     },
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact

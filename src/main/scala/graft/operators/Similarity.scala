@@ -641,6 +641,65 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Discount weights 1/log₂(i+1) for NDCG ranks 1..10 as exact
+    * shortest-repr DOUBLE LITERALS — computing log₂ at runtime hands
+    * the constant to libm (not correctly-rounded across engines);
+    * parsing the same decimal string yields the same double everywhere.
+    */
+  private val NdcgWeights = Seq(
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+    0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+    0.31546487678572877, 0.3010299956639812, 0.2890648263178879)
+
+  /** NDCG@k — the graded ranking-quality metric (Järvelin & Kekäläinen
+    * 2002): how close the similarity ranking's relevance ordering is to
+    * ideal, `NDCG = Σ relᵢ·wᵢ / Σ rel*ᵢ·wᵢ` with logarithmic discounts
+    * and the ideal being the corpus's best-possible top-k. The standard
+    * retrieval-eval readout next to recall (RecallSpec) and calibration
+    * (qp8).
+    *
+    * Cross-engine exact: the ranking cut is the qs1 rounded-cosine
+    * contract, relevance labels are integers, discounts are LITERAL
+    * doubles, and both DCG sums fold in RANK ORDER (never an unordered
+    * double aggregate). One corpus scan per ranking (the top-k cuts are
+    * TakeOrdered), k-row folds after.
+    */
+  def ndcgAtK(
+      embs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      query: Array[Double], k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgWeights.length,
+      s"k must be in [1, ${NdcgWeights.length}], got $k")
+    val w = array(NdcgWeights.take(k).map(lit): _*)
+    def foldRanked(packed: Column): Column =
+      aggregate(
+        transform(packed, (x, i) =>
+          x("rel").cast("double") * element_at(w, i + 1)),
+        lit(0.0), (a, x) => a + x)
+    val dcg = bruteForceTopK(embs, idCol, vecCol, query, k)
+      .join(embs.select(col(idCol), col(labelCol).cast("long").as("__rel")),
+        Seq(idCol))
+      .agg(sort_array(collect_list(struct(
+        (-col("sim")).as("ns"), col(idCol).cast("long").as("id"),
+        col("__rel").as("rel")))).as("__r"))
+      .select(foldRanked(col("__r")).as("__dcg"))
+    val idcg = embs
+      .select(col(labelCol).cast("long").as("__rel"),
+        col(idCol).cast("long").as("__id"))
+      .orderBy(desc("__rel"), col("__id"))
+      .limit(k)
+      .agg(sort_array(collect_list(struct(
+        (-col("__rel")).as("nr"), col("__id").as("id"),
+        col("__rel").as("rel")))).as("__r"))
+      .select(foldRanked(col("__r")).as("__idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        when(col("__idcg") > 0.0, round(col("__dcg") / col("__idcg"), 6))
+          .otherwise(lit(0.0)).as("ndcg"),
+        lit(k).as("k"))
+  }
+
   /** MMR DIVERSITY RE-RANKING (Carbonell & Goldstein 1998) — the
     * redundancy-aware top-k every retrieval/RAG stack ships: from a
     * relevance-ranked candidate pool, greedily pick

@@ -985,6 +985,64 @@ object Temporal {
         col("__r.n_censor"), col("__r.survival"))
   }
 
+  /** CHANGEPOINT LOCALIZATION (binary-segmentation first split) — the
+    * WHERE to [[cusum]]'s WHETHER: per key, the split position k that
+    * maximizes the scaled mean-shift deviation
+    * `D_k = |n·P_k − k·T|` (P_k = prefix sum, T = total) — equivalent
+    * to argmax |k·(n−k)·(mean_left − mean_right)|, the first cut of
+    * binary segmentation and the core of the Pettitt-style test.
+    *
+    * ALL-INTEGER argmax: centi-quantized values make P_k, T, and every
+    * D_k exact Longs, so the argmax (tie → smallest k) is replayed
+    * bit-free by any engine; the two segment means are single divides
+    * after the cut. ANSI-safe to n·P < 2⁶³ (≈ 10⁹ rows/key at centi
+    * scale). Keys with n < 2 have no interior split and are omitted.
+    *
+    * Shape: ONE key shuffle, prefix sums as in-array slice folds (the
+    * qe31 bounded-series contract).
+    */
+  def changepoint(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String): DataFrame = {
+    df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol), col(tieCol),
+        floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+          .as("__q")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+      .select(
+        col(keyCol),
+        element_at(transform(array(transform(col("__s"), x => x("__q"))), q => {
+          val n = size(q).cast("long")
+          val t = aggregate(q, lit(0L), (a, x) => a + x)
+          // best = max over k in [1, n) of (D_k, -k, k, P_k)
+          val best = array_max(filter(
+            transform(q, (_, i) => {
+              val k = (i + 1).cast("long")
+              val p = aggregate(slice(q, lit(1), i + 1), lit(0L),
+                (a, x) => a + x)
+              struct(abs(n * p - k * t).as("d"), (-k).as("tb"),
+                k.as("k"), p.as("p"))
+            }),
+            e => e("k") < n))
+          struct(n.as("n"), t.as("t"), best("d").as("d"),
+            best("k").as("k"), best("p").as("p"))
+        }), 1).as("__cp"))
+      .select(
+        col(keyCol),
+        col("__cp.n").as("n_events"),
+        col("__cp.k").as("split_rn"),
+        col("__cp.d").as("deviation"),
+        round(col("__cp.p").cast("double")
+          / (lit(100.0) * col("__cp.k").cast("double")), 6)
+          .as("mean_before"),
+        round((col("__cp.t") - col("__cp.p")).cast("double")
+          / (lit(100.0) * (col("__cp.n") - col("__cp.k")).cast("double")), 6)
+          .as("mean_after"))
+  }
+
   /** LOG-RANK TEST (Mantel 1966) — [[kaplanMeier]]'s two-sample
     * comparison: do two arms have the same time-to-event distribution?
     * At each day, the observed arm-1 deaths are compared with the

@@ -1103,6 +1103,24 @@ class OperatorsSpec extends AnyFunSuite {
       Profiling.calibration(df, col("c"), col("y"), bins = 1))
   }
 
+  test("ndcg: hand-computed graded gains, ideal from the whole corpus, " +
+      "k guard") {
+    import spark.implicits._
+    // probe [1,0]: ranking = id1 (rel 0), id2 (rel 3); the corpus
+    // ideal top-2 is (5, 3) — id3's rel 5 is OUT of the ranking but IN
+    // the ideal, which is what normalizes a bad ranking down
+    val embs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 1f), 3), (3L, Array(0f, 1f), 5)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.ndcgAtK(embs, "vec_id", "embedding", "label",
+      Array(1.0, 0.0), k = 2).collect().head
+    assert(r.getDouble(0) == 1.892789) // 0*1 + 3*w2
+    assert(r.getDouble(1) == 6.892789) // 5*1 + 3*w2
+    assert(r.getDouble(2) == 0.274604)
+    intercept[IllegalArgumentException](Similarity.ndcgAtK(
+      embs, "vec_id", "embedding", "label", Array(1.0, 0.0), k = 11))
+  }
+
   test("count correlation: perfect +/-1, zero-densified absent cells, " +
       "constant category reports null") {
     import spark.implicits._

@@ -668,6 +668,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(rs.getDouble(4) == 0.0 && rs.getLong(5) == 0L)
   }
 
+  test("changepoint: level-shift localized exactly, deviation tie " +
+      "breaks to smallest k, single-point keys omitted") {
+    import spark.implicits._
+    val df = Seq(
+      // a: [1,1,1,5,5] -> deviations 800/1600/2400/1200 -> k=3,
+      //    means 1.0 | 5.0
+      ("a", 1L, 1L, Option(1.0)), ("a", 2L, 2L, Option(1.0)),
+      ("a", 3L, 3L, Option(1.0)), ("a", 4L, 4L, Option(5.0)),
+      ("a", 5L, 5L, Option(5.0)),
+      // b: [1,2,1] -> dev 100 at k=1 and k=2 -> tie picks k=1
+      ("b", 1L, 6L, Option(1.0)), ("b", 2L, 7L, Option(2.0)),
+      ("b", 3L, 8L, Option(1.0)),
+      // c: a single point has no interior split -> omitted
+      ("c", 1L, 9L, Option(4.0))
+    ).toDF("k", "t", "id", "v")
+    val got = Temporal.changepoint(df, "k", "t", "id", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      "a" -> ((5L, 3L, 2400L, 1.0, 5.0)),
+      "b" -> ((3L, 1L, 100L, 1.0, 1.5))))
+  }
+
   test("pit composition: scd2 versions bind each fact via as-of join") {
     import spark.implicits._
     import java.sql.Timestamp
