@@ -1399,6 +1399,23 @@ object SparkEntry {
     operators.Temporal.kaplanMeier(
       events(spark, dir), "user_id", "ts", col("event_type") === "purchase")
 
+  /** Chi-square independence + Cramér's V ([[operators.Profiling
+    * .chiSquareIndependence]]): is event mix independent of the
+    * user-parity arm? Zero-densified 5x2 contingency grid, ordered
+    * cell fold.
+    */
+  private def qp9ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.chiSquareIndependence(
+      events(spark, dir), col("event_type"),
+      (col("user_id") % 2).cast("long"))
+
+  /** Good-Turing unseen-mass estimate ([[operators.TextAnalysis
+    * .goodTuring]]): corpus lexical-coverage readout — hapax share,
+    * doubleton-adjusted count, p0 = N1/N.
+    */
+  private def qt37GoodTuring(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.goodTuring(t(spark, dir, "documents"), "text")
+
   /** NDCG@10 ([[operators.Similarity.ndcgAtK]]): graded ranking
     * quality of the cosine top-10 against integer labels, literal
     * logarithmic discounts, both DCG folds in rank order.
@@ -4587,6 +4604,8 @@ object SparkEntry {
     "qe35_logrank" -> (qe35LogRank _),
     "qe36_changepoint" -> (qe36Changepoint _),
     "qs13_ndcg" -> (qs13Ndcg _),
+    "qp9_chi_square" -> (qp9ChiSquare _),
+    "qt37_good_turing" -> (qt37GoodTuring _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7376,6 +7395,72 @@ object SparkEntry {
          |  CAST(10 AS INT) AS k
          |FROM dcg CROSS JOIN idcg""".stripMargin
     },
+    // Chi-square independence: zero-densified grid, integer margins,
+    // ordered cell fold, same fixed tree for chi2 and Cramér's V.
+    "qp9_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type AS a, CAST(user_id % 2 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT aa.a, bb.b, coalesce(c.o, CAST(0 AS BIGINT)) AS o
+        |  FROM (SELECT DISTINCT a FROM cells) aa
+        |  CROSS JOIN (SELECT DISTINCT b FROM cells) bb
+        |  LEFT JOIN cells c ON c.a = aa.a AND c.b = bb.b),
+        |m AS (
+        |  SELECT g.a, g.b, g.o, ra.ra, cb.cb
+        |  FROM grid g
+        |  JOIN (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM grid GROUP BY a)
+        |    ra ON ra.a = g.a
+        |  JOIN (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM grid GROUP BY b)
+        |    cb ON cb.b = g.b),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS c
+        |  FROM grid),
+        |chi AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((CAST(m.o AS DOUBLE)
+        |        - CAST(m.ra * m.cb AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * (CAST(m.o AS DOUBLE)
+        |        - CAST(m.ra * m.cb AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      / (CAST(m.ra * m.cb AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      ORDER BY m.a, m.b)), (x, y) -> x + y) AS chi
+        |  FROM m CROSS JOIN tot t)
+        |SELECT t.n AS n_total, t.r AS n_rows, t.c AS n_cols,
+        |  CAST((t.r - 1) * (t.c - 1) AS BIGINT) AS dof,
+        |  round(chi.chi, 6) AS chi_square,
+        |  CASE WHEN least(t.r - 1, t.c - 1) >= 1 AND t.n > 0
+        |    THEN round(sqrt(chi.chi / (CAST(t.n AS DOUBLE)
+        |      * CAST(least(t.r - 1, t.c - 1) AS DOUBLE))), 6)
+        |    ELSE 0.0 END AS cramers_v
+        |FROM tot t CROSS JOIN chi""".stripMargin,
+    // Good-Turing: the qt36 tokenization contract, all-integer
+    // frequency-of-frequencies, two final divides.
+    "qt37_good_turing" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM w WHERE w <> '' GROUP BY w),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1_hapax,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2_doubleton
+        |  FROM c)
+        |SELECT vocab, n_tokens, n1_hapax, n2_doubleton,
+        |  round(CAST(n1_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS unseen_mass,
+        |  CASE WHEN n1_hapax > 0
+        |    THEN round(2.0 * CAST(n2_doubleton AS DOUBLE)
+        |      / CAST(n1_hapax AS DOUBLE), 6)
+        |    ELSE 0.0 END AS adj_count_1
+        |FROM s""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

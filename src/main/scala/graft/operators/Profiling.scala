@@ -277,6 +277,57 @@ object Profiling {
         col("n_total"), col("ece"))
   }
 
+  /** CHI-SQUARE INDEPENDENCE TEST + CRAMÉR'S V — are two categorical
+    * columns associated? The contingency-table sibling of [[benford]]'s
+    * goodness-of-fit: observed cell counts vs the independence
+    * expectation `e = row·col/N`, `χ² = Σ (o−e)²/e`, effect size
+    * `V = √(χ²/(N·min(r−1, c−1)))`. The segmentation/feature-screen
+    * readout (is event mix independent of the arm?).
+    *
+    * The grid is ZERO-DENSIFIED (a missing cell is o = 0 with e > 0 —
+    * skipping it understates χ²), margins and N are exact integer
+    * sums, and the χ² accumulates as an ORDERED fold over the
+    * (a, b)-sorted cells. Cell count is \|a\|·\|b\|-bounded — category
+    * cardinalities, never data size.
+    */
+  def chiSquareIndependence(
+      df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .groupBy(aCol.as("__a"), bCol.as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val grid = cells.select(col("__a")).distinct()
+      .crossJoin(broadcast(cells.select(col("__b")).distinct()))
+      .join(cells, Seq("__a", "__b"), "left")
+      .select(col("__a"), col("__b"), coalesce(col("__o"), lit(0L)).as("__o"))
+    val withMargins = grid
+      .join(grid.groupBy("__a").agg(sum("__o").as("__ra")), Seq("__a"))
+      .join(grid.groupBy("__b").agg(sum("__o").as("__cb")), Seq("__b"))
+    withMargins
+      .agg(sort_array(collect_list(struct(
+        col("__a"), col("__b"), col("__o"), col("__ra"), col("__cb"))))
+        .as("__t"))
+      .select(explode(transform(array(col("__t")), t => {
+        val n = aggregate(t, lit(0L), (a, x) => a + x("__o"))
+        val r = size(array_distinct(transform(t, x => x("__a")))).cast("long")
+        val c = size(array_distinct(transform(t, x => x("__b")))).cast("long")
+        val chi = aggregate(t, lit(0.0), (a, x) => {
+          val e = (x("__ra") * x("__cb")).cast("double") / n.cast("double")
+          a + (x("__o").cast("double") - e) * (x("__o").cast("double") - e) / e
+        })
+        val mindim = least(r - 1L, c - 1L)
+        struct(
+          n.as("n"), r.as("r"), c.as("c"),
+          ((r - 1L) * (c - 1L)).as("dof"),
+          round(chi, 6).as("chi"),
+          when(mindim >= 1L && n > 0L,
+            round(sqrt(chi / (n.cast("double") * mindim.cast("double"))), 6))
+            .otherwise(lit(0.0)).as("v"))
+      })).as("__x"))
+      .select(col("__x.n").as("n_total"), col("__x.r").as("n_rows"),
+        col("__x.c").as("n_cols"), col("__x.dof").as("dof"),
+        col("__x.chi").as("chi_square"), col("__x.v").as("cramers_v"))
+  }
+
   /** COUNT-CORRELATION MATRIX — pairwise Pearson correlation of
     * per-unit activity counts between categories (do clicks move with
     * purchases day over day?): the metric-relationship readout behind

@@ -944,4 +944,37 @@ object TextAnalysis {
       .select(col(idCol), col("rrf"))
   }
 
+  /** GOOD-TURING UNSEEN-MASS ESTIMATE (Good 1953) — how much
+    * probability mass belongs to words the corpus has NEVER seen:
+    * `p₀ = N₁/N` (hapax count over token count), with the adjusted
+    * count for once-seen words `c₁* = 2·N₂/N₁`. The corpus-coverage
+    * readout for sampling/dedup decisions — a corpus whose hapax share
+    * is still high is nowhere near lexically saturated, so MORE data
+    * (not more epochs) is the lever.
+    *
+    * All-integer (vocabulary/hapax/doubleton counts over the standard
+    * whitespace tokenization shared with qt36) + two final divides.
+    * One token-keyed count then one frequency-of-frequencies aggregate
+    * — vocabulary-bounded after the first shuffle.
+    */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n1_hapax"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("n2_doubleton"))
+      .select(
+        col("vocab"), col("n_tokens"), col("n1_hapax"), col("n2_doubleton"),
+        round(col("n1_hapax").cast("double")
+          / col("n_tokens").cast("double"), 6).as("unseen_mass"),
+        when(col("n1_hapax") > 0L,
+          round(lit(2.0) * col("n2_doubleton").cast("double")
+            / col("n1_hapax").cast("double"), 6))
+          .otherwise(lit(0.0)).as("adj_count_1"))
+
 }

@@ -1121,6 +1121,33 @@ class OperatorsSpec extends AnyFunSuite {
       embs, "vec_id", "embedding", "label", Array(1.0, 0.0), k = 11))
   }
 
+  test("chi-square independence: hand 2x2 with a zero-densified cell, " +
+      "Cramér's V") {
+    import spark.implicits._
+    // counts: (x,0)=10 (x,1)=20 (y,0)=30; (y,1) ABSENT -> must enter
+    // as o=0 with e=10 (skipping it would understate chi2 by 10)
+    val df = (Seq.fill(10)(("x", 0L)) ++ Seq.fill(20)(("x", 1L)) ++
+      Seq.fill(30)(("y", 0L))).toDF("a", "b")
+    val r = Profiling.chiSquareIndependence(df, col("a"), col("b"))
+      .collect().head
+    // e = 20/10/20/10 -> chi = 5 + 10 + 5 + 10 = 30; V = sqrt(30/60)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((60L, 2L, 2L, 1L)))
+    assert(r.getDouble(4) == 30.0)
+    assert(r.getDouble(5) == 0.707107)
+  }
+
+  test("good-turing: hand frequency-of-frequencies, empty tokens drop") {
+    import spark.implicits._
+    // tokens: a:2 b:2 c:3 d:1 -> vocab 4, N 8, N1 1, N2 2
+    val docs = Seq("a b  b c c c", " a d ", "").toDF("text")
+    val r = TextAnalysis.goodTuring(docs, "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 8L, 1L, 2L)))
+    assert(r.getDouble(4) == 0.125) // unseen mass N1/N
+    assert(r.getDouble(5) == 4.0) // c1* = 2*N2/N1
+  }
+
   test("count correlation: perfect +/-1, zero-densified absent cells, " +
       "constant category reports null") {
     import spark.implicits._
