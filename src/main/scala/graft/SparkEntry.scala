@@ -1416,6 +1416,14 @@ object SparkEntry {
   private def qt37GoodTuring(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.goodTuring(t(spark, dir, "documents"), "text")
 
+  /** Two-sample KS test ([[operators.Profiling.ksTest]]): per
+    * event_type, the exact ECDF supremum distance between the
+    * user-parity arms' value distributions — the unbinned drift test.
+    */
+  private def qp10KsTest(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.ksTest(
+      events(spark, dir), "event_type", "value", col("user_id") % 2 === 0)
+
   /** NDCG@10 ([[operators.Similarity.ndcgAtK]]): graded ranking
     * quality of the cosine top-10 against integer labels, literal
     * logarithmic discounts, both DCG folds in rank order.
@@ -4606,6 +4614,7 @@ object SparkEntry {
     "qs13_ndcg" -> (qs13Ndcg _),
     "qp9_chi_square" -> (qp9ChiSquare _),
     "qt37_good_turing" -> (qt37GoodTuring _),
+    "qp10_ks_test" -> (qp10KsTest _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7461,6 +7470,40 @@ object SparkEntry {
         |      / CAST(n1_hapax AS DOUBLE), 6)
         |    ELSE 0.0 END AS adj_count_1
         |FROM s""".stripMargin,
+    // KS: identical RANGE-frame cumulative counts (the default frame
+    // with ORDER BY — includes all value peers, so tie order is moot),
+    // integer supremum, two IEEE ops.
+    "qp10_ks_test" ->
+      """WITH b AS (
+        |  SELECT event_type AS k,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS q,
+        |    CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT k,
+        |    CAST(sum(a) OVER (PARTITION BY k ORDER BY q) AS BIGINT) AS ca,
+        |    CAST(sum(1 - a) OVER (PARTITION BY k ORDER BY q) AS BIGINT)
+        |      AS cb,
+        |    CAST(sum(a) OVER (PARTITION BY k) AS BIGINT) AS na,
+        |    CAST(sum(1 - a) OVER (PARTITION BY k) AS BIGINT) AS nb
+        |  FROM b),
+        |g AS (
+        |  SELECT k AS event_type, max(na) AS n_a, max(nb) AS n_b,
+        |    max(abs(ca * nb - cb * na)) AS dn
+        |  FROM w GROUP BY k),
+        |z AS (
+        |  SELECT event_type, n_a, n_b,
+        |    round(CAST(dn AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6)
+        |      AS d_stat,
+        |    round(CAST(dn AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+        |      * sqrt(CAST(n_a * n_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_stat
+        |  FROM g WHERE n_a > 0 AND n_b > 0)
+        |SELECT event_type, n_a, n_b, d_stat, ks_stat,
+        |  CASE WHEN ks_stat > 1.358 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS significant
+        |FROM z""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling for training-data QA (the §"training-data pipeline"
@@ -326,6 +327,57 @@ object Profiling {
       .select(col("__x.n").as("n_total"), col("__x.r").as("n_rows"),
         col("__x.c").as("n_cols"), col("__x.dof").as("dof"),
         col("__x.chi").as("chi_square"), col("__x.v").as("cramers_v"))
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV TEST — per key, the exact supremum
+    * distance between two arms' empirical CDFs: `D = sup_v |F_a(v) −
+    * F_b(v)|`, the UNBINNED distribution-shift test ([[driftReport]]'s
+    * PSI needs bins; KS sees any shift, anywhere in the distribution).
+    * Statistic `√(nₐnᵦ/(nₐ+nᵦ))·D` against the 1.358 (α = 0.05)
+    * critical coefficient.
+    *
+    * ALL-INTEGER supremum: values micro-quantize and the per-row CDF
+    * gap is `|cₐ·nᵦ − cᵦ·nₐ|` over cumulative counts from a RANGE-frame
+    * window (the frame includes ALL peers of the current value, so
+    * every row of a tie group carries the value-boundary counts —
+    * intra-tie order cannot matter), and the max of exact Longs is
+    * order-free. D and the statistic are then two IEEE ops on exact
+    * operands.
+    *
+    * Shape: ONE key-partitioned window + one key-bounded aggregate —
+    * no pairwise work, no global sort.
+    */
+  def ksTest(
+      df: DataFrame, keyCol: String, valCol: String,
+      arm: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__q"))
+    val wp = Window.partitionBy(col("__k"))
+    val base = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        floor(col(valCol).cast("double") * lit(1e6)).cast("long").as("__q"),
+        when(arm, 1L).otherwise(0L).as("__a"))
+      .withColumn("__ca", sum(col("__a")).over(w))
+      .withColumn("__cb", sum(lit(1L) - col("__a")).over(w))
+      .withColumn("__na", sum(col("__a")).over(wp))
+      .withColumn("__nb", sum(lit(1L) - col("__a")).over(wp))
+    base
+      .groupBy(col("__k").as(keyCol))
+      .agg(
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+          .as("__dn"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .select(
+        col(keyCol), col("n_a"), col("n_b"),
+        round(col("__dn").cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("d_stat"),
+        round(col("__dn").cast("double")
+          / (col("n_a") * col("n_b")).cast("double")
+          * sqrt((col("n_a") * col("n_b")).cast("double")
+            / (col("n_a") + col("n_b")).cast("double")), 6).as("ks_stat"))
+      .withColumn("significant",
+        when(col("ks_stat") > lit(1.358), 1L).otherwise(0L))
   }
 
   /** COUNT-CORRELATION MATRIX — pairwise Pearson correlation of

@@ -1148,6 +1148,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 4.0) // c1* = 2*N2/N1
   }
 
+  test("ks test: hand ECDF supremum, tie group carries boundary counts, " +
+      "identical arms give zero") {
+    import spark.implicits._
+    // A = [1,2,3], B = [3,4,5]: sup gap 2/3 at v in [2,3)
+    val df = Seq(("k", 1.0, 0L), ("k", 2.0, 2L), ("k", 3.0, 4L),
+      ("k", 3.0, 1L), ("k", 4.0, 3L), ("k", 5.0, 5L)).toDF("g", "v", "id")
+    val r = Profiling.ksTest(df, "g", "v", col("id") % 2 === 0)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 3L)))
+    assert(r.getDouble(3) == 0.666667)
+    assert(r.getDouble(4) == 0.816497 && r.getLong(5) == 0L)
+    // ties across arms: A = [1,1], B = [1,2] -> F_a(1)=1, F_b(1)=.5,
+    // D = .5 — every row of the q=1 tie group must see the full
+    // boundary counts (RANGE frame), else intra-tie order would leak
+    val t2 = Seq(("k", 1.0, 0L), ("k", 1.0, 2L), ("k", 1.0, 1L),
+      ("k", 2.0, 3L)).toDF("g", "v", "id")
+    val r2 = Profiling.ksTest(t2, "g", "v", col("id") % 2 === 0)
+      .collect().head
+    assert(r2.getDouble(3) == 0.5)
+    // identical arms: D = 0, not significant
+    val same = Seq(("k", 1.0, 0L), ("k", 2.0, 2L), ("k", 1.0, 1L),
+      ("k", 2.0, 3L)).toDF("g", "v", "id")
+    val r3 = Profiling.ksTest(same, "g", "v", col("id") % 2 === 0)
+      .collect().head
+    assert(r3.getDouble(3) == 0.0 && r3.getLong(5) == 0L)
+  }
+
   test("count correlation: perfect +/-1, zero-densified absent cells, " +
       "constant category reports null") {
     import spark.implicits._
