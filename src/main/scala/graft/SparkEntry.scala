@@ -1424,6 +1424,15 @@ object SparkEntry {
     operators.Profiling.ksTest(
       events(spark, dir), "event_type", "value", col("user_id") % 2 === 0)
 
+  /** Mann-Whitney U ([[operators.Profiling.mannWhitney]]): per
+    * event_type, the rank-sum location test between the user-parity
+    * arms — doubled midranks keep everything integer to the last
+    * divide.
+    */
+  private def qe37MannWhitney(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.mannWhitney(
+      events(spark, dir), "event_type", "value", col("user_id") % 2 === 0)
+
   /** NDCG@10 ([[operators.Similarity.ndcgAtK]]): graded ranking
     * quality of the cosine top-10 against integer labels, literal
     * logarithmic discounts, both DCG folds in rank order.
@@ -4615,6 +4624,7 @@ object SparkEntry {
     "qp9_chi_square" -> (qp9ChiSquare _),
     "qt37_good_turing" -> (qt37GoodTuring _),
     "qp10_ks_test" -> (qp10KsTest _),
+    "qe37_mann_whitney" -> (qe37MannWhitney _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7504,6 +7514,53 @@ object SparkEntry {
         |  CASE WHEN ks_stat > 1.358 THEN CAST(1 AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS significant
         |FROM z""".stripMargin,
+    // Mann-Whitney: identical doubled midranks (2*rank_lo + tie - 1),
+    // exact 2U, tie-corrected variance from integer t^3 - t sums, one
+    // fixed IEEE tree.
+    "qe37_mann_whitney" ->
+      """WITH b AS (
+        |  SELECT event_type AS k,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS q,
+        |    CASE WHEN user_id % 2 = 0 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |rk AS (
+        |  SELECT k, a,
+        |    2 * CAST(rank() OVER (PARTITION BY k ORDER BY q) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY k, q) AS BIGINT) - 1
+        |      AS r2
+        |  FROM b),
+        |tc AS (
+        |  SELECT k, CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+        |  FROM (SELECT k, q, CAST(count(*) AS BIGINT) AS t
+        |        FROM b GROUP BY k, q) GROUP BY k),
+        |g AS (
+        |  SELECT rk.k, CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN a = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2a
+        |  FROM rk GROUP BY rk.k),
+        |z AS (
+        |  SELECT g.k AS event_type, n_a, n_b,
+        |    r2a - n_a * (n_a + 1) AS u2,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |        - CAST(tc.tcorr AS DOUBLE)
+        |          / (CAST(n_a + n_b AS DOUBLE)
+        |            * CAST(n_a + n_b - 1 AS DOUBLE))) AS sig2
+        |  FROM g JOIN tc ON tc.k = g.k
+        |  WHERE n_a > 0 AND n_b > 0 AND n_a + n_b > 1),
+        |f AS (
+        |  SELECT event_type, n_a, n_b,
+        |    round(CAST(u2 AS DOUBLE) / 2.0, 6) AS u_stat,
+        |    CASE WHEN sig2 > 0.0
+        |      THEN round(CAST(u2 - n_a * n_b AS DOUBLE)
+        |        / (2.0 * sqrt(sig2)), 6)
+        |      ELSE 0.0 END AS z_score
+        |  FROM z)
+        |SELECT event_type, n_a, n_b, u_stat, z_score,
+        |  CASE WHEN abs(z_score) > 1.959964 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS significant
+        |FROM f""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

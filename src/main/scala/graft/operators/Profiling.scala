@@ -380,6 +380,72 @@ object Profiling {
         when(col("ks_stat") > lit(1.358), 1L).otherwise(0L))
   }
 
+  /** MANN-WHITNEY U / WILCOXON RANK-SUM TEST — per key, the rank-based
+    * two-sample location test: does one arm's distribution sit higher?
+    * Robust where the t-test's normality assumption fails, and the
+    * standard companion to [[ksTest]] (KS asks "different at all?",
+    * Mann-Whitney asks "shifted which way?").
+    *
+    * ALL-INTEGER ranks: ties take MIDRANKS, which are half-integers —
+    * so the implementation carries DOUBLED midranks
+    * `2·rank = 2·rank_lo + tie_count − 1` (exact Longs from one
+    * RANGE/row window pass), giving `2U = Σ₁2r − n₁(n₁+1)` exactly.
+    * The tie-corrected normal approximation
+    * `σ² = (n₁n₀/12)·((N+1) − Σ(t³−t)/(N(N−1)))` is a fixed IEEE tree
+    * over exact integer sums (Σ(t³−t) from the per-value tie counts),
+    * and `z = (2U − n₁n₀)/(2σ)` (no continuity correction — documented,
+    * matching the oracle exactly).
+    *
+    * Shape: one key window pass for ranks + two key-bounded aggregates.
+    */
+  def mannWhitney(
+      df: DataFrame, keyCol: String, valCol: String,
+      arm: Column): DataFrame = {
+    val base = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        floor(col(valCol).cast("double") * lit(1e6)).cast("long").as("__q"),
+        when(arm, 1L).otherwise(0L).as("__a"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__q"))
+    val wt = Window.partitionBy(col("__k"), col("__q"))
+    val ranked = base
+      .withColumn("__rlo", rank().over(w).cast("long"))
+      .withColumn("__t", count(lit(1)).over(wt))
+      .withColumn("__r2", lit(2L) * col("__rlo") + col("__t") - 1L)
+    val ties = base
+      .groupBy(col("__k"), col("__q"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tcorr"))
+    val agg = ranked
+      .groupBy(col("__k"))
+      .agg(
+        sum(col("__a")).as("n_a"),
+        sum(lit(1L) - col("__a")).as("n_b"),
+        sum(when(col("__a") === 1L, col("__r2")).otherwise(0L)).as("__r2a"))
+      .join(ties, Seq("__k"))
+    val na = col("n_a")
+    val nb = col("n_b")
+    val n = na + nb
+    val u2 = col("__r2a") - na * (na + 1L)
+    val sig2 = na.cast("double") * nb.cast("double") / lit(12.0) *
+      ((n + 1L).cast("double") -
+        col("__tcorr").cast("double") /
+          (n.cast("double") * (n - 1L).cast("double")))
+    agg
+      .filter(na > 0L && nb > 0L && n > 1L)
+      .select(
+        col("__k").as(keyCol), na, nb,
+        round(u2.cast("double") / lit(2.0), 6).as("u_stat"),
+        when(sig2 > 0.0,
+          round((u2 - na * nb).cast("double")
+            / (lit(2.0) * sqrt(sig2)), 6))
+          .otherwise(lit(0.0)).as("z_score"))
+      .withColumn("significant",
+        when(abs(col("z_score")) > lit(1.959964), 1L).otherwise(0L))
+  }
+
   /** COUNT-CORRELATION MATRIX — pairwise Pearson correlation of
     * per-unit activity counts between categories (do clicks move with
     * purchases day over day?): the metric-relationship readout behind

@@ -1175,6 +1175,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.getDouble(3) == 0.0 && r3.getLong(5) == 0L)
   }
 
+  test("mann-whitney: hand U and z, midranks exact on cross-arm ties, " +
+      "all-tied arms degenerate to zero") {
+    import spark.implicits._
+    // A = [1,3], B = [2,4]: R1 = 4, U = 1, z = -1/sqrt(5/3) = -0.774597
+    val df = Seq(("k", 1.0, 0L), ("k", 3.0, 2L), ("k", 2.0, 1L),
+      ("k", 4.0, 3L)).toDF("g", "v", "id")
+    val r = Profiling.mannWhitney(df, "g", "v", col("id") % 2 === 0)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((2L, 2L)))
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == -0.774597)
+    // cross-arm tie at 2: midrank 2.5 -> U = 0.5; tie-corrected
+    // variance (t^3 - t = 6) gives sigma^2 = 1.5 -> z = -1.224745
+    val t2 = Seq(("k", 1.0, 0L), ("k", 2.0, 2L), ("k", 2.0, 1L),
+      ("k", 3.0, 3L)).toDF("g", "v", "id")
+    val r2 = Profiling.mannWhitney(t2, "g", "v", col("id") % 2 === 0)
+      .collect().head
+    assert(r2.getDouble(3) == 0.5 && r2.getDouble(4) == -1.224745)
+    // every value identical: zero variance -> z 0, flag 0
+    val same = Seq(("k", 5.0, 0L), ("k", 5.0, 2L), ("k", 5.0, 1L),
+      ("k", 5.0, 3L)).toDF("g", "v", "id")
+    val r3 = Profiling.mannWhitney(same, "g", "v", col("id") % 2 === 0)
+      .collect().head
+    assert(r3.getDouble(4) == 0.0 && r3.getLong(5) == 0L)
+  }
+
   test("count correlation: perfect +/-1, zero-densified absent cells, " +
       "constant category reports null") {
     import spark.implicits._
