@@ -1433,6 +1433,42 @@ object SparkEntry {
     operators.Profiling.mannWhitney(
       events(spark, dir), "event_type", "value", col("user_id") % 2 === 0)
 
+  /** One-way ANOVA ([[operators.Profiling.oneWayAnova]]): does mean
+    * event value differ across the 5 event types — the parametric
+    * k-group test beside the 2-arm qe37/qp10 family; exact integer
+    * power sums, fixed sorted-group IEEE fold.
+    */
+  private def qp11Anova(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.oneWayAnova(events(spark, dir), "event_type", "value")
+
+  /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
+    * robust trend magnitude — median pairwise slope in value/hour,
+    * the estimator paired with qe31's Mann-Kendall test.
+    */
+  private def qe38TheilSen(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.theilSen(
+      events(spark, dir), "user_id", "ts", "event_id", "value")
+
+  /** Association pair mining ([[operators.TextAnalysis.assocPairs]],
+    * minSupport 50, k 20): top token pairs by document co-occurrence
+    * with support and lift — Apriori level 2, frequent-item prune
+    * before the in-basket pair scan.
+    */
+  private def qt38AssocPairs(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.assocPairs(
+      t(spark, dir, "documents"), "text", minSupport = 50L, k = 20)
+
+  /** Linear multi-touch attribution ([[operators.Temporal
+    * .linearAttribution]], click → purchase, 7-day lookback): per
+    * purchase, the credit split across the user's preceding clicks,
+    * with first/last-touch argmin/argmax.
+    */
+  private def qj17Attribution(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.linearAttribution(
+      events(spark, dir), "user_id", "ts", "event_id", "event_type",
+      touchType = "click", convType = "purchase",
+      windowUs = 7L * 86400L * 1000000L)
+
   /** NDCG@10 ([[operators.Similarity.ndcgAtK]]): graded ranking
     * quality of the cosine top-10 against integer labels, literal
     * logarithmic discounts, both DCG folds in rank order.
@@ -4625,6 +4661,10 @@ object SparkEntry {
     "qt37_good_turing" -> (qt37GoodTuring _),
     "qp10_ks_test" -> (qp10KsTest _),
     "qe37_mann_whitney" -> (qe37MannWhitney _),
+    "qp11_anova" -> (qp11Anova _),
+    "qe38_theil_sen" -> (qe38TheilSen _),
+    "qt38_assoc_pairs" -> (qt38AssocPairs _),
+    "qj17_attribution" -> (qj17Attribution _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7561,6 +7601,160 @@ object SparkEntry {
         |  CASE WHEN abs(z_score) > 1.959964 THEN CAST(1 AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS significant
         |FROM f""".stripMargin,
+    // ANOVA: identical integer (n, Σq, Σq²) per group, SSB folded in
+    // sorted-group order (list_reduce replays Spark's sorted-array
+    // aggregate term for term), fixed IEEE tree on top.
+    "qp11_anova" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |grp AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(sum(q * q) AS BIGINT) AS qq
+        |  FROM b GROUP BY g),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS s,
+        |    CAST(sum(qq) AS BIGINT) AS qq,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE) ORDER BY g)),
+        |      (x, y) -> x + y) AS sb_raw
+        |  FROM grp),
+        |z AS (
+        |  SELECT n, k,
+        |    sb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS sst
+        |  FROM tot)
+        |SELECT n AS n_total, k AS n_groups,
+        |  k - 1 AS df_between, n - k AS df_within,
+        |  round(ssb / 10000.0, 4) AS ss_between,
+        |  round((sst - ssb) / 10000.0, 4) AS ss_within,
+        |  CASE WHEN sst - ssb > 0.0 AND k > 1 AND n > k
+        |    THEN round((ssb / CAST(k - 1 AS DOUBLE))
+        |      / ((sst - ssb) / CAST(n - k AS DOUBLE)), 6) END AS f_stat,
+        |  CASE WHEN sst > 0.0 THEN round(ssb / sst, 6) END AS eta_sq
+        |FROM z""".stripMargin,
+    // Theil-Sen: the median is a SELECTION over identically-computed
+    // doubles (one divide of exact integers per pair), so a pair
+    // self-join + row_number replay lands on the same values; the
+    // Spark side's in-array i<j scan generates exactly the a.t < b.t
+    // pair set (equal-t pairs excluded on both sides).
+    "qe38_theil_sen" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY k
+        |  HAVING count(*) >= 2),
+        |p AS (
+        |  SELECT x.k,
+        |    CAST((y.q - x.q) * 36000000 AS DOUBLE)
+        |      / CAST(y.t - x.t AS DOUBLE) AS s
+        |  FROM b x JOIN b y ON x.k = y.k AND x.t < y.t),
+        |pr AS (
+        |  SELECT k, s,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY s) AS BIGINT)
+        |      AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS m
+        |  FROM p),
+        |sl AS (
+        |  SELECT k, max(m) AS m,
+        |    CASE WHEN max(m) % 2 = 1 THEN
+        |      sum(CASE WHEN rn = (m + 1) / 2 THEN s ELSE 0.0 END)
+        |    ELSE
+        |      (sum(CASE WHEN rn = m / 2 THEN s ELSE 0.0 END)
+        |        + sum(CASE WHEN rn = m / 2 + 1 THEN s ELSE 0.0 END)) / 2.0
+        |    END AS slope
+        |  FROM pr GROUP BY k),
+        |vr AS (
+        |  SELECT k, q,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY q) AS BIGINT)
+        |      AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM b),
+        |vm AS (
+        |  SELECT k,
+        |    CASE WHEN max(n) % 2 = 1 THEN
+        |      CAST(sum(CASE WHEN rn = (n + 1) / 2 THEN q ELSE 0 END)
+        |        AS DOUBLE)
+        |    ELSE
+        |      CAST(sum(CASE WHEN rn = n / 2 THEN q ELSE 0 END)
+        |        + sum(CASE WHEN rn = n / 2 + 1 THEN q ELSE 0 END)
+        |        AS DOUBLE) / 2.0
+        |    END AS vmed
+        |  FROM vr GROUP BY k)
+        |SELECT n.k AS user_id, n.n AS n_events,
+        |  coalesce(sl.m, CAST(0 AS BIGINT)) AS n_pairs,
+        |  round(sl.slope, 6) AS slope_per_hour,
+        |  round(vm.vmed / 100.0, 6) AS value_median
+        |FROM n
+        |LEFT JOIN sl ON sl.k = n.k
+        |JOIN vm ON vm.k = n.k""".stripMargin,
+    // Association pairs: identical distinct-token baskets, all-integer
+    // counts and the Apriori prune (pair >= s implies both items >= s,
+    // so pruning items first changes nothing), top-k on integer keys.
+    "qt38_assoc_pairs" ->
+      """WITH baskets AS (
+        |  SELECT row_number() OVER () AS bid,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> w <> '')) AS items
+        |  FROM documents),
+        |nb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM baskets
+        |  WHERE len(items) > 0),
+        |it AS (
+        |  SELECT bid, unnest(items) AS w FROM baskets),
+        |freq AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cw
+        |  FROM it GROUP BY w HAVING count(*) >= 50),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM it a
+        |  JOIN it b ON a.bid = b.bid AND a.w < b.w
+        |  JOIN freq fa ON fa.w = a.w
+        |  JOIN freq fb ON fb.w = b.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 50)
+        |SELECT w1, w2, c AS pair_count, fa.cw AS count_a, fb.cw AS count_b,
+        |  nb.n AS n_baskets,
+        |  round(CAST(c AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS support,
+        |  round(CAST(c AS DOUBLE) * CAST(nb.n AS DOUBLE)
+        |    / (CAST(fa.cw AS DOUBLE) * CAST(fb.cw AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN freq fa ON fa.w = pairs.w1
+        |JOIN freq fb ON fb.w = pairs.w2
+        |CROSS JOIN nb
+        |ORDER BY pair_count DESC, w1, w2
+        |LIMIT 20""".stripMargin,
+    // Attribution: all-integer join predicate and argmin/argmax
+    // first/last selection; credit is one IEEE divide.
+    "qj17_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS tt, event_id AS tid
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ct, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.u AS user_id, c.cid AS conversion_id,
+        |  CAST(count(t.tid) AS BIGINT) AS n_touches,
+        |  min(CASE WHEN t.tid IS NOT NULL THEN struct_pack(tt := t.tt,
+        |    tid := t.tid) END).tid AS first_touch_id,
+        |  max(CASE WHEN t.tid IS NOT NULL THEN struct_pack(tt := t.tt,
+        |    tid := t.tid) END).tid AS last_touch_id,
+        |  CASE WHEN count(t.tid) > 0
+        |    THEN round(1.0 / CAST(count(t.tid) AS DOUBLE), 6)
+        |  END AS credit_per_touch
+        |FROM c
+        |LEFT JOIN t ON t.u = c.u AND t.tt < c.ct
+        |  AND t.tt >= c.ct - 604800000000
+        |GROUP BY c.u, c.ct, c.cid""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

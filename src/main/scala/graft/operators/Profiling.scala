@@ -464,6 +464,73 @@ object Profiling {
     * Shape: unit×category-bounded frames end to end — never
     * event-sized after the first aggregate.
     */
+  /** ONE-WAY ANOVA — does the mean of `valCol` differ across the
+    * k groups of `groupCol`? The parametric k-group location test the
+    * 2-arm family ([[abTest]], [[mannWhitney]], [[ksTest]]) can't
+    * express: F = (SSB/(k−1)) / (SSW/(N−k)) with effect size
+    * η² = SSB/SST.
+    *
+    * Cross-engine exact by the power-sum recipe: values
+    * centi-quantize, each group reduces to exact integer (n, Σq, Σq²)
+    * — Σq² stays under 2⁶³ (and 2⁵³, double-exact) to ~10⁹ rows/group
+    * at this value range — and the sums of squares are a FIXED IEEE
+    * tree over the groups in sorted-key order (`SSB = Σ_g S_g²/n_g −
+    * S²/N` folded k-wise, like [[chiSquareIndependence]]'s cell fold),
+    * so no order-dependent float summation exists anywhere. A
+    * zero-variance corpus (SSW = 0) reports a null F rather than ∞.
+    *
+    * Shape: one group-cardinality-bounded hash aggregate (map-side
+    * partials carry three longs per group) + one k-row fold — never
+    * event-sized after the first aggregate, no window, no sort of the
+    * data itself.
+    */
+  def oneWayAnova(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val groups = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(floor(col(valCol).cast("double") * lit(100.0)).cast("long"))
+          .as("__s"),
+        sum(floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+          * floor(col(valCol).cast("double") * lit(100.0)).cast("long"))
+          .as("__qq"))
+    groups
+      .agg(sort_array(collect_list(struct(col("__g"), col("__n"), col("__s"),
+        col("__qq")))).as("__t"))
+      .select(explode(transform(array(col("__t")), t => {
+        val k = size(t).cast("long")
+        val n = aggregate(t, lit(0L), (a, x) => a + x("__n"))
+        val s = aggregate(t, lit(0L), (a, x) => a + x("__s"))
+        val qq = aggregate(t, lit(0L), (a, x) => a + x("__qq"))
+        // fixed k-term fold in sorted group order: Σ_g S_g²/n_g
+        val sbRaw = aggregate(t, lit(0.0), (a, x) =>
+          a + x("__s").cast("double") * x("__s").cast("double")
+            / x("__n").cast("double"))
+        val grand = s.cast("double") * s.cast("double") / n.cast("double")
+        val ssb = sbRaw - grand
+        val sst = qq.cast("double") - grand
+        val ssw = sst - ssb
+        struct(n.as("n"), k.as("k"), ssb.as("ssb"), ssw.as("ssw"),
+          sst.as("sst"))
+      })).as("__x"))
+      .select(
+        col("__x.n").as("n_total"), col("__x.k").as("n_groups"),
+        (col("__x.k") - 1L).as("df_between"),
+        (col("__x.n") - col("__x.k")).as("df_within"),
+        // centi units square to 1e4× — rescale the SS readouts back to
+        // value² units so the numbers mean something
+        round(col("__x.ssb") / lit(1e4), 4).as("ss_between"),
+        round(col("__x.ssw") / lit(1e4), 4).as("ss_within"),
+        when(col("__x.ssw") > 0.0 && col("__x.k") > 1L
+          && col("__x.n") > col("__x.k"),
+          round((col("__x.ssb") / (col("__x.k") - 1L).cast("double"))
+            / (col("__x.ssw") / (col("__x.n") - col("__x.k")).cast("double")),
+            6)).as("f_stat"),
+        when(col("__x.sst") > 0.0,
+          round(col("__x.ssb") / col("__x.sst"), 6)).as("eta_sq"))
+  }
+
   def countCorrelation(df: DataFrame, unit: Column, catCol: String): DataFrame = {
     val counts = df
       .groupBy(unit.as("__u"), col(catCol).as("__c"))

@@ -1211,4 +1211,126 @@ object Temporal {
         when(col("valid_to_us").isNull, 1L).otherwise(0L))
   }
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — for every conversion event, the
+    * touch events of the same key that landed STRICTLY BEFORE it and
+    * within the lookback window, with equal credit split across them
+    * (the marketing-attribution primitive; first/last-touch ride along
+    * as argmin/argmax). A conversion with no qualifying touch reports
+    * zero touches and null credit — unattributed, not dropped.
+    *
+    * Cross-engine exact: the join predicate and the first/last
+    * selection are all-integer (µs timestamps, id tie-break via
+    * min/max over (ts, id) structs), and credit = 1/n is ONE IEEE
+    * divide. Strictly-before matters — a same-instant touch cannot
+    * have caused the conversion (the [[funnel]] rule).
+    *
+    * Shape: one key-partitioned equi-join with the window as a
+    * residual range predicate, then one conversion-keyed aggregate.
+    * Per-key activity bounds the fan-out; corpora with pathological
+    * single-key skew should pre-bin by time (the qr3 binned-interval
+    * pattern) — not needed at the profiled key cardinalities.
+    */
+  def linearAttribution(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, touchType: String, convType: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val touches = df
+      .filter(col(typeCol) === touchType)
+      .select(col(keyCol).as("__u"), unix_micros(col(tsCol)).as("__tt"),
+        col(idCol).as("__tid"))
+    val convs = df
+      .filter(col(typeCol) === convType)
+      .select(col(keyCol).as("__u"), unix_micros(col(tsCol)).as("__ct"),
+        col(idCol).as("__cid"))
+    convs
+      .join(touches,
+        convs("__u") === touches("__u")
+          && col("__tt") < col("__ct")
+          && col("__tt") >= col("__ct") - lit(windowUs),
+        "left")
+      .groupBy(convs("__u").as("__k"), col("__ct"), col("__cid"))
+      .agg(
+        count(col("__tid")).as("n_touches"),
+        min(when(col("__tid").isNotNull,
+          struct(col("__tt"), col("__tid")))).as("__f"),
+        max(when(col("__tid").isNotNull,
+          struct(col("__tt"), col("__tid")))).as("__l"))
+      .select(
+        col("__k").as(keyCol),
+        col("__cid").as("conversion_id"),
+        col("n_touches"),
+        col("__f.__tid").as("first_touch_id"),
+        col("__l.__tid").as("last_touch_id"),
+        when(col("n_touches") > 0L,
+          round(lit(1.0) / col("n_touches").cast("double"), 6))
+          .as("credit_per_touch"))
+  }
+
+  /** THEIL-SEN ROBUST SLOPE — per key, the median of all pairwise
+    * slopes of (ts, value): the trend MAGNITUDE estimator next to
+    * [[mannKendall]]'s trend TEST (same pairwise structure; Sen 1968
+    * pairs them for a reason). Breakdown point ~29% — a handful of
+    * outlier events can't move it, unlike OLS.
+    *
+    * Cross-engine exact because the median is a SELECTION, not a sum:
+    * every pairwise slope is one IEEE divide of exact integers
+    * (centi-quantized Δvalue × 36 000 000, an exact Long, over Δt in
+    * integer µs — slope lands in value/hour), both engines sort the
+    * identical doubles, and an even count averages two of them with
+    * one add + one divide. Equal-timestamp pairs are excluded (no
+    * slope exists); a key whose events all share one timestamp
+    * reports a null slope. The value median rides the same recipe on
+    * the raw centi values.
+    *
+    * Shape: ONE key shuffle; the O(n²) pair scan is in-array per key
+    * (the qe31/qe36 bounded-series contract — per-key event counts,
+    * not corpus size, bound the quadratic term).
+    */
+  def theilSen(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String): DataFrame = {
+    df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(tsCol)).as("__t"), col(tieCol).as("__i"),
+        floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+          .as("__q")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+      .select(
+        col(keyCol),
+        element_at(transform(array(col("__s")), s => {
+          val n = size(s).cast("long")
+          // pairwise slopes, earlier-element × current, equal-t skipped
+          val slopes = sort_array(flatten(transform(s, (x, i) =>
+            transform(
+              filter(slice(s, lit(1), i), y => y("__t") =!= x("__t")),
+              y => ((x("__q") - y("__q")) * lit(36000000L)).cast("double")
+                / (x("__t") - y("__t")).cast("double")))))
+          val m = size(slopes).cast("long")
+          val slope = when(m > 0L,
+            when(m % 2L === 1L,
+              element_at(slopes, ((m + 1L) / 2L).cast("int")))
+              .otherwise(
+                (element_at(slopes, (m / 2L).cast("int"))
+                  + element_at(slopes, (m / 2L + 1L).cast("int")))
+                  / lit(2.0)))
+          val qs = sort_array(transform(s, x => x("__q")))
+          val vmed = when(n % 2L === 1L,
+            element_at(qs, ((n + 1L) / 2L).cast("int")).cast("double"))
+            .otherwise(
+              (element_at(qs, (n / 2L).cast("int"))
+                + element_at(qs, (n / 2L + 1L).cast("int"))).cast("double")
+                / lit(2.0))
+          struct(n.as("n"), m.as("m"), slope.as("slope"), vmed.as("vmed"))
+        }), 1).as("__ts2"))
+      .select(
+        col(keyCol),
+        col("__ts2.n").as("n_events"),
+        col("__ts2.m").as("n_pairs"),
+        round(col("__ts2.slope"), 6).as("slope_per_hour"),
+        round(col("__ts2.vmed") / lit(100.0), 6).as("value_median"))
+  }
+
 }

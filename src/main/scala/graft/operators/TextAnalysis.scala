@@ -977,4 +977,75 @@ object TextAnalysis {
             / col("n1_hapax").cast("double"), 6))
           .otherwise(lit(0.0)).as("adj_count_1"))
 
+  /** ASSOCIATION PAIR MINING (market-basket level 2) — the top-k
+    * frequent token PAIRS with support and lift: which terms co-occur
+    * in the same document more than their marginals predict? The
+    * Apriori workhorse behind "customers who X also Y", here over the
+    * standard whitespace tokenization's per-doc DISTINCT token sets
+    * (a basket is a set — multiplicity is [[pmiCollocations]]'
+    * adjacency signal, not co-presence).
+    *
+    * Scale story is the APRIORI PRUNE: a pair can only reach
+    * `minSupport` if both items do, so items are counted first (one
+    * token-keyed aggregate) and only frequent items enter pair
+    * generation — on a heavy-tailed vocabulary that drops almost
+    * every exploded row before the quadratic step. Pairs generate
+    * IN-ARRAY per basket (i<j over the sorted frequent-item set, the
+    * qe31 bounded-basket contract) so the only pair-sized shuffle is
+    * the final count, map-side combined. All counts are exact
+    * integers; lift = (c_ab·N)/(c_a·c_b) is one IEEE divide of exact
+    * integer products and the top-k ranks on (count desc, pair asc) —
+    * integers, so the row set can't flip on a float ulp.
+    */
+  def assocPairs(
+      docs: DataFrame, textCol: String, minSupport: Long, k: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(k > 0, s"k must be positive, got $k")
+    val baskets = docs
+      .select(array_sort(array_distinct(
+        filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")))
+        .as("__items"))
+      .filter(size(col("__items")) > 0)
+    val itemFreq = baskets
+      .select(explode(col("__items")).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__cw"))
+    val frequent = itemFreq.filter(col("__cw") >= minSupport)
+    val n = baskets.agg(count(lit(1)).as("__n"))
+    // keep only frequent items inside each basket (broadcast set via
+    // semi-join on the exploded form, then regroup — stays distributed
+    // for vocabularies too large to collect)
+    val kept = baskets
+      .withColumn("__bid", monotonically_increasing_id())
+      .select(col("__bid"), explode(col("__items")).as("__w"))
+      .join(broadcast(frequent.select(col("__w"))), Seq("__w"), "left_semi")
+      .groupBy(col("__bid"))
+      .agg(sort_array(collect_list(col("__w"))).as("__items"))
+      .filter(size(col("__items")) >= 2)
+    val pairs = kept
+      .select(explode(flatten(transform(col("__items"), (x, i) =>
+        transform(slice(col("__items"), lit(1), i),
+          y => struct(y.as("w1"), x.as("w2")))))).as("__p"))
+      .groupBy(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minSupport)
+    pairs
+      .join(frequent.select(col("__w").as("w1"), col("__cw").as("count_a")),
+        Seq("w1"))
+      .join(frequent.select(col("__w").as("w2"), col("__cw").as("count_b")),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .orderBy(col("pair_count").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        col("count_a"), col("count_b"), col("__n").as("n_baskets"),
+        round(col("pair_count").cast("double") / col("__n").cast("double"), 6)
+          .as("support"),
+        // multiply in double (each factor exact below 2^53) — integer
+        // products would ANSI-overflow at corpus scale
+        round(col("pair_count").cast("double") * col("__n").cast("double")
+          / (col("count_a").cast("double") * col("count_b").cast("double")),
+          6).as("lift"))
+  }
+
 }

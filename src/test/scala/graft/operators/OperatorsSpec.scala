@@ -1223,4 +1223,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(("c", "x")) == ((3L, null)))
   }
 
+  test("one-way anova: textbook F, zero within-variance null F with " +
+      "eta 1, single group undefined") {
+    import spark.implicits._
+    // groups [1,2,3] [4,5,6] [7,8,9]: SSB 54, SSW 6 -> F 27, eta .9
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0),
+      ("b", 6.0), ("c", 7.0), ("c", 8.0), ("c", 9.0)).toDF("g", "v")
+    val r = Profiling.oneWayAnova(df, "g", "v").collect().head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 6L)
+    assert(r.getDouble(4) == 54.0 && r.getDouble(5) == 6.0)
+    assert(r.getDouble(6) == 27.0 && r.getDouble(7) == 0.9)
+    // within-variance zero: F undefined (null), effect size 1
+    val sep = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r2 = Profiling.oneWayAnova(sep, "g", "v").collect().head
+    assert(r2.isNullAt(6) && r2.getDouble(7) == 1.0)
+    // one group: no between-variance to test
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r3 = Profiling.oneWayAnova(one, "g", "v").collect().head
+    assert(r3.getLong(2) == 0L && r3.isNullAt(6))
+  }
+
 }

@@ -716,4 +716,73 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 1L) -> 2L, (2L, 2L) -> 1L))
   }
 
+  test("theil-sen: hand-computed medians, even-count averaging, " +
+      "equal-ts pairs excluded, all-same-ts key reports null slope") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def hr(h: Long) = new Timestamp(h * 3600L * 1000L)
+    // key a at hours 0,1,2,3 / values 0,1,4,5:
+    //   6 slopes [1, 1, 1.666667, 2, 2, 3] -> median (5/3 + 2)/2
+    //   value median (1+4)/2 = 2.5
+    // key b: 3 points, odd slope count -> middle slope
+    //   (0h,1),(1h,3),(2h,4): slopes [1, 1.5, 2] -> 1.5; vmed 3
+    val df = Seq(
+      ("a", hr(0), 1L, 0.0), ("a", hr(1), 2L, 1.0),
+      ("a", hr(2), 3L, 4.0), ("a", hr(3), 4L, 5.0),
+      ("b", hr(0), 5L, 1.0), ("b", hr(1), 6L, 3.0), ("b", hr(2), 7L, 4.0)
+    ).toDF("k", "ts", "id", "v")
+    val got = Temporal.theilSen(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((4L, 6L, round6((5.0 / 3.0 + 2.0) / 2.0), 2.5)))
+    assert(got("b") == ((3L, 3L, 1.5, 3.0)))
+    // equal-ts pair contributes no slope; the remaining pairs still do
+    val tied = Seq(
+      ("c", hr(0), 1L, 0.0), ("c", hr(0), 2L, 10.0), ("c", hr(1), 3L, 2.0))
+      .toDF("k", "ts", "id", "v")
+    val gc = Temporal.theilSen(tied, "k", "ts", "id", "v").collect().head
+    // pairs: (0h,0)->(1h,2) slope 2; (0h,10)->(1h,2) slope -8; median -3
+    assert(gc.getLong(2) == 2L && gc.getDouble(3) == -3.0)
+    // all events at one instant: no slope exists
+    val flat = Seq(("d", hr(5), 1L, 1.0), ("d", hr(5), 2L, 2.0))
+      .toDF("k", "ts", "id", "v")
+    val gd = Temporal.theilSen(flat, "k", "ts", "id", "v").collect().head
+    assert(gd.getLong(2) == 0L && gd.isNullAt(3))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("linear attribution: equal split, strictly-before, window cut, " +
+      "unattributed conversion, same-ts tie to smaller id") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def hr(h: Long) = new Timestamp(h * 3600L * 1000L)
+    val df = Seq(
+      // user 1: clicks at h1/h2, purchase at h3 -> 2 touches, 0.5 each
+      (1L, hr(1), 1L, "click"), (1L, hr(2), 2L, "click"),
+      (1L, hr(3), 3L, "purchase"),
+      // same-instant click must NOT attribute (strictly before)
+      (1L, hr(3), 4L, "click"),
+      // user 2: purchase with no clicks at all
+      (2L, hr(5), 5L, "purchase"),
+      // user 3: click outside the 2h window, purchase unattributed
+      (3L, hr(1), 6L, "click"), (3L, hr(10), 7L, "purchase"),
+      // user 4: two clicks at the SAME ts -> first/last tie on id
+      (4L, hr(1), 8L, "click"), (4L, hr(1), 9L, "click"),
+      (4L, hr(2), 10L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.linearAttribution(
+      df, "user_id", "ts", "event_id", "event_type",
+      "click", "purchase", windowUs = 2L * 3600L * 1000000L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5)))).toMap
+    assert(got(3L) == ((2L, 1L, 2L, 0.5)))
+    assert(got(5L) == ((0L, -1L, -1L, -1.0)))
+    assert(got(7L) == ((0L, -1L, -1L, -1.0)))
+    assert(got(10L) == ((2L, 8L, 9L, 0.5)))
+  }
+
 }

@@ -627,4 +627,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(pairs(step1).contains((2L, "new")) && !pairs(step1).contains((2L, "delta")))
   }
 
+  test("assoc pairs: set semantics, apriori prune, lift, empty docs " +
+      "excluded from N, top-k on (count, pair) order") {
+    import spark.implicits._
+    // baskets {a,b,c} {a,b} {a,c} {b,c,d} {a,b,c}; d is infrequent at
+    // minSupport 2; the double 'd d' collapses (basket = SET)
+    val docs = Seq("a b c", "a b", "a c", "b c d d", "a b c", "", "   ")
+      .toDF("text")
+    val all = TextAnalysis.assocPairs(docs, "text", minSupport = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    // N = 5 (two whitespace-only docs excluded); a,b,c all appear 4x
+    assert(all.size == 3 && !all.keySet.exists(p => p._1 == "d" || p._2 == "d"))
+    assert(all(("a", "b")) == ((3L, 4L, 4L, 5L, 0.6, 0.9375)))
+    assert(all(("a", "c")) == ((3L, 4L, 4L, 5L, 0.6, 0.9375)))
+    assert(all(("b", "c")) == ((3L, 4L, 4L, 5L, 0.6, 0.9375)))
+    // k truncates deterministically: count ties break on (w1, w2)
+    val top2 = TextAnalysis.assocPairs(docs, "text", minSupport = 2L, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top2.toSeq == Seq(("a", "b"), ("a", "c")))
+    // raising support past the pair counts empties the result
+    assert(TextAnalysis.assocPairs(docs, "text", minSupport = 4L, k = 10)
+      .count() == 0L)
+  }
+
 }
