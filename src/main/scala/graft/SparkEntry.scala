@@ -1469,6 +1469,14 @@ object SparkEntry {
       touchType = "click", convType = "purchase",
       windowUs = 7L * 86400L * 1000000L)
 
+  /** Mutual k-NN pairs ([[operators.Similarity.mutualKnn]], k = 5):
+    * reciprocal-neighbour pairs over the embeddings table — the
+    * kNN-graph edge set, self-knnJoin composed with its transpose.
+    */
+  private def qs14MutualKnn(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.mutualKnn(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", k = 5)
+
   /** NDCG@10 ([[operators.Similarity.ndcgAtK]]): graded ranking
     * quality of the cosine top-10 against integer labels, literal
     * logarithmic discounts, both DCG folds in rank order.
@@ -4665,6 +4673,7 @@ object SparkEntry {
     "qe38_theil_sen" -> (qe38TheilSen _),
     "qt38_assoc_pairs" -> (qt38AssocPairs _),
     "qj17_attribution" -> (qj17Attribution _),
+    "qs14_mutual_knn" -> (qs14MutualKnn _),
     "qt36_pmi" -> (qt36Pmi _),
     "qd17_containment" -> (qd17Containment _),
     "qe27_stream_cms" -> (qe27StreamCms _),
@@ -7755,6 +7764,40 @@ object SparkEntry {
         |LEFT JOIN t ON t.u = c.u AND t.tt < c.ct
         |  AND t.tt >= c.ct - 604800000000
         |GROUP BY c.u, c.ct, c.cid""".stripMargin,
+    // Mutual kNN: the qs5 cosine replay per direction (symmetric
+    // bit-for-bit — multiplies commute, fold order is element order),
+    // row_number k-cut with the same (sim desc, id) tie-break, then
+    // the directed edge list joined with its transpose.
+    "qs14_mutual_knn" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |    sum(CAST(a.embedding[t.i] AS DOUBLE)
+        |      * CAST(b.embedding[t.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(a.embedding[t.i] AS DOUBLE)
+        |      * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
+        |    sum(CAST(b.embedding[t.i] AS DOUBLE)
+        |      * CAST(b.embedding[t.i] AS DOUBLE)) AS nb
+        |  FROM embeddings a
+        |  CROSS JOIN embeddings b
+        |  CROSS JOIN generate_series(1, 64) AS t(i)
+        |  WHERE a.vec_id <> b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |r AS (
+        |  SELECT qa, qb,
+        |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+        |               ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+        |  FROM s),
+        |rk AS (
+        |  SELECT qa, qb, sim,
+        |    CAST(row_number() OVER (PARTITION BY qa
+        |      ORDER BY sim DESC, qb) AS BIGINT) AS rank
+        |  FROM r),
+        |knn AS (SELECT * FROM rk WHERE rank <= 5)
+        |SELECT f.qa AS id_a, f.qb AS id_b, f.sim,
+        |  f.rank AS rank_ab, g.rank AS rank_ba
+        |FROM knn f
+        |JOIN knn g ON g.qa = f.qb AND g.qb = f.qa
+        |WHERE f.qa < f.qb""".stripMargin,
     // PMI: identical tokenization (split \s+ of lower(trim)), identical
     // integer bigram counts, and the RATIO — one IEEE divide of exact
     // integer products — as the sort key on both sides, so the top-k

@@ -234,6 +234,49 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** MUTUAL k-NN PAIRS — the pairs (a, b) where each is in the
+    * other's exact top-k by cosine: the reciprocal-neighbour
+    * criterion behind density-aware dedup clustering and kNN-graph
+    * construction (a one-way neighbour of a hub is usually noise; a
+    * MUTUAL pair is structure). Self-matches are excluded before the
+    * k-cut — k means k OTHER vectors.
+    *
+    * Built as self-[[knnJoin]] (bounded per-partition top-k buffers,
+    * exchange O(n · partitions · k), never the n² candidate set) then
+    * an equi-join of the directed edge list with its transpose on
+    * (a = b', b = a'), emitting each pair once (a < b). Cosine is
+    * symmetric BIT-FOR-BIT (per-element multiply commutes, the fold
+    * order is the element order both ways), so the two directions
+    * carry the same rounded similarity and the join can't split a
+    * pair on a ulp.
+    *
+    * The broadcast of the full id+vector set bounds this at ~10⁶
+    * vectors; beyond that the LSH/IVF tiers (qs4/qd5) supply the
+    * candidate generation and this verifies the survivors.
+    */
+  def mutualKnn(embs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k))
+    val queries = embs.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val knn = embs.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("__qid"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col(vecCol), col("__qv")), 6))
+      .groupBy(col("__qid"))
+      .agg(topk(col("sim"), col(idCol).cast("long")).as("__topk"))
+      .select(col("__qid"), posexplode(col("__topk")))
+      .select(col("__qid"), col("col._2").as("__nid"),
+        col("col._1").as("sim"), (col("pos") + 1).cast("long").as("__rank"))
+    val fwd = knn.select(col("__qid").as("id_a"), col("__nid").as("id_b"),
+      col("sim"), col("__rank").as("rank_ab"))
+    val rev = knn.select(col("__qid").as("__rb"), col("__nid").as("__ra"),
+      col("__rank").as("rank_ba"))
+    fwd
+      .join(rev, col("id_a") === col("__ra") && col("id_b") === col("__rb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim"),
+        col("rank_ab"), col("rank_ba"))
+  }
+
   /** Reference twin of [[knnJoin]] kept for the equivalence spec: the
     * naive window-over-crossJoin plan. Correct, but exchanges the FULL
     * candidate set — do not use beyond test scale.

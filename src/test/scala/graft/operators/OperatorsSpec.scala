@@ -786,6 +786,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mutualKnn: reciprocal pairs only, no self-match, symmetric sim, " +
+      "hub's one-way neighbour excluded") {
+    import spark.implicits._
+    // two tight clusters {1,2} and {3,4}; 5 points between them — its
+    // nearest is in a cluster, but no cluster point reciprocates at k=1
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.2f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.2f, 2.0f)),
+      (5L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val k1 = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1 == Set((1L, 2L), (3L, 4L)))
+    // at k = 4 (all others) every pair is mutual: C(5,2) = 10 rows,
+    // and sim/ranks are consistent with the directed lists
+    val k4 = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 4)
+      .collect()
+    assert(k4.length == 10)
+    k4.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 4L)
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= 4L)
+    }
+  }
+
   test("stratifiedSample: exact ceil(frac·N_g) per stratum, deterministic, a subset") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val byLang = docs.groupBy("lang").count().collect()
