@@ -1469,13 +1469,18 @@ object SparkEntry {
       touchType = "click", convType = "purchase",
       windowUs = 7L * 86400L * 1000000L)
 
-  /** Mutual k-NN pairs ([[operators.Similarity.mutualKnn]], k = 5):
-    * reciprocal-neighbour pairs over the embeddings table — the
-    * kNN-graph edge set, self-knnJoin composed with its transpose.
+  /** Mutual k-NN pairs ([[operators.Similarity.mutualKnn]], k = 5,
+    * 32 seed cells × 2 probes): reciprocal-neighbour pairs over the
+    * embeddings table — the kNN-graph edge set. Candidates come from
+    * the multi-probe seed-cell join (the qd14 assignment contract),
+    * never an all-pairs scan; the oracle replays the probe
+    * assignment, the cell-join candidate set, and both directed
+    * k-cuts.
     */
   private def qs14MutualKnn(spark: SparkSession, dir: String): DataFrame =
     operators.Similarity.mutualKnn(
-      t(spark, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      t(spark, dir, "embeddings"), "vec_id", "embedding", k = 5,
+      nCells = 32, nProbe = 2)
 
   /** NDCG@10 ([[operators.Similarity.ndcgAtK]]): graded ranking
     * quality of the cosine top-10 against integer labels, literal
@@ -2193,11 +2198,15 @@ object SparkEntry {
     */
   private def qt23PplFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // checkpoint the scored frame: percentileFilter reads its input
+    // TWICE (threshold selection pass + the filter), and without the
+    // cut each pass re-runs the whole LM-training join (measured 2×
+    // the gate wall). Scores are doc-count rows — cheap to pin.
     val scores = operators.TextAnalysis.bigramLmScore(
       docs.filter(col("doc_id") % 2 === 0),
       docs.filter(col("doc_id") % 2 === 1),
       "doc_id",
-      "text")
+      "text").localCheckpoint(true)
     operators.Relational.percentileFilter(scores, "lm_score", 30.0)
   }
 
@@ -7625,21 +7634,22 @@ object SparkEntry {
         |  FROM b GROUP BY g),
         |tot AS (
         |  SELECT CAST(count(*) AS BIGINT) AS k,
-        |    CAST(sum(n) AS BIGINT) AS n,
-        |    CAST(sum(s) AS BIGINT) AS s,
-        |    CAST(sum(qq) AS BIGINT) AS qq,
+        |    CAST(sum(n) AS BIGINT) AS n_tot,
+        |    CAST(sum(s) AS BIGINT) AS s_tot,
+        |    CAST(sum(qq) AS BIGINT) AS qq_tot,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |        / CAST(n AS DOUBLE) ORDER BY g)),
         |      (x, y) -> x + y) AS sb_raw
         |  FROM grp),
         |z AS (
-        |  SELECT n, k,
-        |    sb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |      / CAST(n AS DOUBLE) AS ssb,
-        |    CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |      / CAST(n AS DOUBLE) AS sst
-        |  FROM tot)
+        |  SELECT n_tot AS n, k,
+        |    sb_raw - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+        |      / CAST(n_tot AS DOUBLE) AS ssb,
+        |    CAST(qq_tot AS DOUBLE) - CAST(s_tot AS DOUBLE)
+        |      * CAST(s_tot AS DOUBLE)
+        |      / CAST(n_tot AS DOUBLE) AS sst
+        |  FROM tot WHERE k > 0)
         |SELECT n AS n_total, k AS n_groups,
         |  k - 1 AS df_between, n - k AS df_within,
         |  round(ssb / 10000.0, 4) AS ss_between,
@@ -7764,24 +7774,44 @@ object SparkEntry {
         |LEFT JOIN t ON t.u = c.u AND t.tt < c.ct
         |  AND t.tt >= c.ct - 604800000000
         |GROUP BY c.u, c.ct, c.cid""".stripMargin,
-    // Mutual kNN: the qs5 cosine replay per direction (symmetric
-    // bit-for-bit — multiplies commute, fold order is element order),
-    // row_number k-cut with the same (sim desc, id) tie-break, then
-    // the directed edge list joined with its transpose.
+    // Mutual kNN, cell-bucketed: the qd14 seed-cell assignment made
+    // multi-probe (round-6dp L2² to the 32 lowest-id seeds, the 2
+    // nearest cells per vector, (d2, cidx) ties), DISTINCT shared-cell
+    // candidate pairs, then the qs5 cosine replay per direction
+    // (symmetric bit-for-bit — multiplies commute, fold order is
+    // element order), row_number k-cut with the same (sim desc, id)
+    // tie-break, and the directed edge list joined with its transpose.
     "qs14_mutual_knn" ->
-      """WITH s AS (
-        |  SELECT a.vec_id AS qa, b.vec_id AS qb,
+      """WITH seeds AS (
+        |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 32)),
+        |dists AS (
+        |  SELECT e.vec_id, s.cidx,
+        |    round(list_sum(list_transform(generate_series(1, 64), j ->
+        |      pow(CAST(e.embedding[j] AS DOUBLE) - CAST(s.embedding[j] AS DOUBLE), 2))), 6) AS d2
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |probes AS (
+        |  SELECT vec_id, cidx AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cidx) AS rn
+        |    FROM dists)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+        |  FROM probes a JOIN probes b ON a.cell = b.cell
+        |  WHERE a.vec_id <> b.vec_id),
+        |s AS (
+        |  SELECT c.qa, c.qb,
         |    sum(CAST(a.embedding[t.i] AS DOUBLE)
         |      * CAST(b.embedding[t.i] AS DOUBLE)) AS dot,
         |    sum(CAST(a.embedding[t.i] AS DOUBLE)
         |      * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
         |    sum(CAST(b.embedding[t.i] AS DOUBLE)
         |      * CAST(b.embedding[t.i] AS DOUBLE)) AS nb
-        |  FROM embeddings a
-        |  CROSS JOIN embeddings b
+        |  FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.qa
+        |  JOIN embeddings b ON b.vec_id = c.qb
         |  CROSS JOIN generate_series(1, 64) AS t(i)
-        |  WHERE a.vec_id <> b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id),
+        |  GROUP BY c.qa, c.qb),
         |r AS (
         |  SELECT qa, qb,
         |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0

@@ -446,24 +446,6 @@ object Profiling {
         when(abs(col("z_score")) > lit(1.959964), 1L).otherwise(0L))
   }
 
-  /** COUNT-CORRELATION MATRIX — pairwise Pearson correlation of
-    * per-unit activity counts between categories (do clicks move with
-    * purchases day over day?): the metric-relationship readout behind
-    * every "correlated signals" dashboard.
-    *
-    * The load-bearing subtlety is DENSIFICATION: a (unit, category)
-    * cell with no events is a ZERO observation, not a missing row —
-    * skipping it biases every moment, so the counts left-join onto the
-    * full unit × category grid first (categories broadcast; units come
-    * from the data). Correlation itself is the Benford/abTest recipe:
-    * exact integer power sums (n, Σa, Σb, Σab, Σa², Σb² — counts, so
-    * overflow-free far past 100 TB) from one grouped pass, then the
-    * fixed IEEE tree `r = (nΣab − ΣaΣb)/√(va·vb)`; zero-variance
-    * sides report null.
-    *
-    * Shape: unit×category-bounded frames end to end — never
-    * event-sized after the first aggregate.
-    */
   /** ONE-WAY ANOVA — does the mean of `valCol` differ across the
     * k groups of `groupCol`? The parametric k-group location test the
     * 2-arm family ([[abTest]], [[mannWhitney]], [[ksTest]]) can't
@@ -498,6 +480,9 @@ object Profiling {
     groups
       .agg(sort_array(collect_list(struct(col("__g"), col("__n"), col("__s"),
         col("__qq")))).as("__t"))
+      // empty/all-null input → NO row (the oracle's `WHERE k > 0` twin):
+      // without this the fold emits one row of 0/0 NaN sums-of-squares
+      .filter(size(col("__t")) > 0)
       .select(explode(transform(array(col("__t")), t => {
         val k = size(t).cast("long")
         val n = aggregate(t, lit(0L), (a, x) => a + x("__n"))
@@ -531,6 +516,24 @@ object Profiling {
           round(col("__x.ssb") / col("__x.sst"), 6)).as("eta_sq"))
   }
 
+  /** COUNT-CORRELATION MATRIX — pairwise Pearson correlation of
+    * per-unit activity counts between categories (do clicks move with
+    * purchases day over day?): the metric-relationship readout behind
+    * every "correlated signals" dashboard.
+    *
+    * The load-bearing subtlety is DENSIFICATION: a (unit, category)
+    * cell with no events is a ZERO observation, not a missing row —
+    * skipping it biases every moment, so the counts left-join onto the
+    * full unit × category grid first (categories broadcast; units come
+    * from the data). Correlation itself is the Benford/abTest recipe:
+    * exact integer power sums (n, Σa, Σb, Σab, Σa², Σb² — counts, so
+    * overflow-free far past 100 TB) from one grouped pass, then the
+    * fixed IEEE tree `r = (nΣab − ΣaΣb)/√(va·vb)`; zero-variance
+    * sides report null.
+    *
+    * Shape: unit×category-bounded frames end to end — never
+    * event-sized after the first aggregate.
+    */
   def countCorrelation(df: DataFrame, unit: Column, catCol: String): DataFrame = {
     val counts = df
       .groupBy(unit.as("__u"), col(catCol).as("__c"))

@@ -220,9 +220,28 @@ object Similarity {
     * FP-stable (same contract as [[bruteForceTopK]]). `idCol` must be an
     * integral (long-castable) column.
     */
-  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, qIdCol: String, qVecCol: String, k: Int): DataFrame =
+    knnDirected(corpus, queries, idCol, vecCol, qIdCol, qVecCol, k, excludeSelf = false)
+
+  /** The shared directed-kNN kernel behind [[knnJoin]] and
+    * [[mutualKnnBrute]]: broadcast-queries nested loop, bounded
+    * per-partition top-k buffers, optional self-match exclusion
+    * BEFORE the k-cut (k means k OTHER vectors when the queries are
+    * the corpus itself).
+    */
+  private def knnDirected(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val topk = udaf(new TopKByScore(k))
-    corpus.crossJoin(broadcast(queries))
+    val joined = corpus.crossJoin(broadcast(queries))
+    val cands = if (excludeSelf) joined.filter(col(idCol) =!= col(qIdCol)) else joined
+    cands
       .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), col(qVecCol)), 6))
       .groupBy(col(qIdCol))
       .agg(topk(col("sim"), col(idCol).cast("long")).as("__topk"))
@@ -234,47 +253,144 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
-  /** MUTUAL k-NN PAIRS — the pairs (a, b) where each is in the
-    * other's exact top-k by cosine: the reciprocal-neighbour
-    * criterion behind density-aware dedup clustering and kNN-graph
-    * construction (a one-way neighbour of a hub is usually noise; a
-    * MUTUAL pair is structure). Self-matches are excluded before the
-    * k-cut — k means k OTHER vectors.
+  /** MUTUAL k-NN PAIRS, cell-bucketed — the pairs (a, b) where each is
+    * in the other's top-k by cosine AMONG ITS CELL-CANDIDATES: the
+    * reciprocal-neighbour criterion behind density-aware dedup
+    * clustering and kNN-graph construction (a one-way neighbour of a
+    * hub is usually noise; a MUTUAL pair is structure). Self-matches
+    * are excluded before the k-cut — k means k OTHER vectors.
     *
-    * Built as self-[[knnJoin]] (bounded per-partition top-k buffers,
-    * exchange O(n · partitions · k), never the n² candidate set) then
-    * an equi-join of the directed edge list with its transpose on
-    * (a = b', b = a'), emitting each pair once (a < b). Cosine is
-    * symmetric BIT-FOR-BIT (per-element multiply commutes, the fold
-    * order is the element order both ways), so the two directions
-    * carry the same rounded similarity and the join can't split a
-    * pair on a ulp.
+    * Candidate generation is the qd14 seed-cell recipe made
+    * MULTI-PROBE: cells are the `nCells` lowest-id vectors (the
+    * [[pqCodebook]] m = 1 contract — argmin of 6-dp-rounded L2²,
+    * lowest index on ties), and each vector probes its `nProbe`
+    * nearest cells, so a pair is a candidate iff the two probe sets
+    * intersect. Shared-cell is symmetric, so the candidate graph is
+    * undirected and a mutual pair can never be split by one direction
+    * missing the other's candidate set. Exact cosine scores the
+    * candidates; the k-cut runs in bounded per-partition buffers
+    * ([[TopKDistinctByScore]] — a pair sharing BOTH probed cells
+    * enters the join twice and must occupy one rank slot, not two);
+    * the directed edge list equi-joins its transpose and each pair
+    * emits once (a < b). Cosine is symmetric bit-for-bit (per-element
+    * multiply commutes, the fold order is the element order both
+    * ways), so the two directions carry the same rounded similarity.
     *
-    * The broadcast of the full id+vector set bounds this at ~10⁶
-    * vectors; beyond that the LSH/IVF tiers (qs4/qd5) supply the
-    * candidate generation and this verifies the survivors.
+    * RECALL CONTRACT: ranks are exact within the candidate graph; a
+    * true global neighbour whose probe set is disjoint from the
+    * query's is NOT a candidate (multi-probe makes that rare — both
+    * sides must miss all of each other's cells). `nCells` should grow
+    * with the corpus (cell occupancy ~ nProbe·n/nCells bounds the
+    * per-cell quadratic term at (nProbe·n/nCells)²·nCells — pick
+    * nCells ≈ n / desired_cell_size); with nCells = 1 the candidate
+    * graph is complete and the output is exactly [[mutualKnnBrute]]
+    * (RecallSpec pins both that equivalence and a constructed miss).
+    *
+    * Scale shape: NO full-corpus broadcast and NO cartesian anywhere
+    * (PlanSpec-pinned) — seeds are an nCells-row driver collect (the
+    * sanctioned bounded-side pattern), the cell join shuffles
+    * n·nProbe rows on the cell key, and the exchange after scoring
+    * carries ≤ k rows per (query, partition).
     */
-  def mutualKnn(embs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val topk = udaf(new TopKByScore(k))
-    val queries = embs.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
-    val knn = embs.crossJoin(broadcast(queries))
-      .filter(col(idCol) =!= col("__qid"))
-      .withColumn("sim",
-        round(VectorFunctions.cosine(col(vecCol), col("__qv")), 6))
+  def mutualKnn(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 64,
+      nProbe: Int = 2): DataFrame =
+    mutualizeDirected(mutualKnnEdges(embs, idCol, vecCol, k, nCells, nProbe))
+
+  /** The directed candidate-kNN edge list behind [[mutualKnn]], BEFORE
+    * the transpose checkpoint — exposed (package-private) so PlanSpec
+    * can assert the candidate plan's shape (the eager checkpoint in
+    * [[mutualizeDirected]] hides this subtree from the gate's executed
+    * plan).
+    */
+  private[graft] def mutualKnnEdges(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells], got $nProbe")
+    val seeds: Array[Array[Double]] = embs
+      .orderBy(col(idCol))
+      .limit(nCells)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val p = math.min(nProbe, seeds.length)
+    val bc = embs.sparkSession.sparkContext.broadcast(seeds)
+    // top-p cells by (6-dp-rounded L2², index) — the pqEncode argmin
+    // contract extended to a p-deep selection, same rounding, same ties
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val cb = bc.value
+      val ds = Array.tabulate(cb.length) { c =>
+        var d = 0.0
+        var j = 0
+        val cent = cb(c)
+        val n = math.min(cent.length, v.length)
+        while (j < n) { val diff = v(j) - cent(j); d += diff * diff; j += 1 }
+        (math.floor(d * 1e6 + 0.5) / 1e6, c)
+      }
+      ds.sortBy(identity).take(p).map(_._2)
+    }
+    val cells = embs
+      .select(col(idCol), col(vecCol))
+      .withColumn("__cell", explode(probeUdf(col(vecCol).cast("array<double>"))))
+    val a = cells.select(col(idCol).as("__qid"), col(vecCol).as("__qv"), col("__cell"))
+    val b = cells.select(col(idCol).as("__nid"), col(vecCol).as("__nv"), col("__cell"))
+    val topk = udaf(new TopKDistinctByScore(k))
+    val knn = a.join(b, Seq("__cell"))
+      .filter(col("__qid") =!= col("__nid"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("__qv"), col("__nv")), 6))
       .groupBy(col("__qid"))
-      .agg(topk(col("sim"), col(idCol).cast("long")).as("__topk"))
+      .agg(topk(col("sim"), col("__nid").cast("long")).as("__topk"))
       .select(col("__qid"), posexplode(col("__topk")))
       .select(col("__qid"), col("col._2").as("__nid"),
         col("col._1").as("sim"), (col("pos") + 1).cast("long").as("__rank"))
-    val fwd = knn.select(col("__qid").as("id_a"), col("__nid").as("id_b"),
+    knn
+  }
+
+  /** Transpose-join a directed (__qid, __nid, sim, __rank) edge list
+    * into mutual pairs (a < b). The edge list `localCheckpoint`s FIRST:
+    * fwd and rev are two reads of the same frame, and without the cut
+    * Catalyst plans the whole candidate-generation + scoring pipeline
+    * TWICE (no exchange reuse across the differing projections —
+    * measured 2× the cosine work). Edges are n·k rows — node-scale,
+    * not candidate-scale — so the materialization is the cheap side;
+    * blocks free when the frame is GC'd.
+    */
+  private def mutualizeDirected(knn: DataFrame): DataFrame = {
+    val edges = knn.localCheckpoint(true)
+    val fwd = edges.select(col("__qid").as("id_a"), col("__nid").as("id_b"),
       col("sim"), col("__rank").as("rank_ab"))
-    val rev = knn.select(col("__qid").as("__rb"), col("__nid").as("__ra"),
+    val rev = edges.select(col("__qid").as("__rb"), col("__nid").as("__ra"),
       col("__rank").as("rank_ba"))
     fwd
       .join(rev, col("id_a") === col("__ra") && col("id_b") === col("__rb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sim"),
         col("rank_ab"), col("rank_ba"))
+  }
+
+  /** Reference twin of [[mutualKnn]] kept for the equivalence spec:
+    * self-[[knnDirected]] over the FULL corpus (n² cosines behind a
+    * full-corpus broadcast — exact global ranks, but do not use beyond
+    * ~10⁶ vectors) joined with its transpose. [[mutualKnn]] with
+    * nCells = 1 reproduces this exactly.
+    */
+  private[graft] def mutualKnnBrute(embs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val queries = embs.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val knn = knnDirected(embs, queries, idCol, vecCol, "__qid", "__qv", k,
+      excludeSelf = true)
+      .select(col("__qid"), col(idCol).as("__nid"), col("sim"),
+        col("rank").as("__rank"))
+    mutualizeDirected(knn)
   }
 
   /** Reference twin of [[knnJoin]] kept for the equivalence spec: the
@@ -836,6 +952,50 @@ final class TopKByScore(k: Int)
 
   private def insert(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
     if (buf.length >= k && !better(in, buf.last)) buf // hot path: no alloc
+    else {
+      val i = buf.indexWhere(e => better(in, e))
+      val grown = if (i < 0) buf :+ in else (buf.take(i) :+ in) ++ buf.drop(i)
+      if (grown.length > k) grown.take(k) else grown
+    }
+  }
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = insert(buf, in)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = b.foldLeft(a)(insert)
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+/** [[TopKByScore]] with EXACT-DUPLICATE suppression: an incoming
+  * (score, id) already present in the buffer is a no-op instead of
+  * occupying a second rank slot. Exists for candidate generators that
+  * can emit the same pair more than once (multi-probe cell joins in
+  * [[Similarity.mutualKnn]] — a pair sharing both probed cells arrives
+  * twice with the SAME rounded score, because the score is a pure
+  * function of the pair). Only exact duplicates are suppressed; two
+  * distinct ids with equal scores still take two slots, tie-broken by
+  * ascending id as in the base aggregator.
+  *
+  * Correctness under partial aggregation: duplicates split across
+  * partitions each enter their partial buffer once; `merge` re-checks
+  * membership, so the merged buffer holds one copy. A duplicate whose
+  * twin was evicted re-evaluates to the same rejection the twin got.
+  */
+final class TopKDistinctByScore(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  private def insert(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.length >= k && !better(in, buf.last)) buf
+    else if (buf.contains(in)) buf
     else {
       val i = buf.indexWhere(e => better(in, e))
       val grown = if (i < 0) buf :+ in else (buf.take(i) :+ in) ++ buf.drop(i)

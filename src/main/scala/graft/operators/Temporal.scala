@@ -1285,11 +1285,20 @@ object Temporal {
     *
     * Shape: ONE key shuffle; the O(n²) pair scan is in-array per key
     * (the qe31/qe36 bounded-series contract — per-key event counts,
-    * not corpus size, bound the quadratic term).
+    * not corpus size, bound the quadratic term). Unlike its siblings
+    * the pair scan here MATERIALIZES all C(n,2) slopes for the median
+    * sort, so the bounded-series contract is ENFORCED, not just
+    * documented: a key with more than `maxEvents` events (default
+    * 4096 → ≤ ~8.4M doubles ≈ 67 MB, fine; 10⁵ events would be
+    * ~5·10⁹ doubles — an executor OOM) is emitted with its n_events
+    * and NULL statistics instead of attempting the quadratic
+    * materialization. The drop is visible in the output, not silent;
+    * the oracle-replay contract assumes every key is under the cap.
     */
   def theilSen(
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
-      valCol: String): DataFrame = {
+      valCol: String, maxEvents: Int = 4096): DataFrame = {
+    require(maxEvents >= 2, s"maxEvents must be >= 2, got $maxEvents")
     df
       .filter(col(valCol).isNotNull)
       .groupBy(col(keyCol))
@@ -1300,7 +1309,9 @@ object Temporal {
       .filter(size(col("__s")) >= 2)
       .select(
         col(keyCol),
-        element_at(transform(array(col("__s")), s => {
+        size(col("__s")).cast("long").as("__ne"),
+        when(size(col("__s")) <= maxEvents,
+          element_at(transform(array(col("__s")), s => {
           val n = size(s).cast("long")
           // pairwise slopes, earlier-element × current, equal-t skipped
           val slopes = sort_array(flatten(transform(s, (x, i) =>
@@ -1324,10 +1335,10 @@ object Temporal {
                 + element_at(qs, (n / 2L + 1L).cast("int"))).cast("double")
                 / lit(2.0))
           struct(n.as("n"), m.as("m"), slope.as("slope"), vmed.as("vmed"))
-        }), 1).as("__ts2"))
+        }), 1)).as("__ts2"))
       .select(
         col(keyCol),
-        col("__ts2.n").as("n_events"),
+        col("__ne").as("n_events"),
         col("__ts2.m").as("n_pairs"),
         round(col("__ts2.slope"), 6).as("slope_per_hour"),
         round(col("__ts2.vmed") / lit(100.0), 6).as("value_median"))

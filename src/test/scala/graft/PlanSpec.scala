@@ -235,6 +235,25 @@ class PlanSpec extends AnyFunSuite {
       "SemDeDup fell back to all-pairs:\n" + p.take(1200))
   }
 
+  test("qs14: mutual-kNN candidates come from the cell equi-join — " +
+      "no cartesian, no nested-loop full-corpus broadcast") {
+    val p = plan("qs14_mutual_knn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "mutual kNN fell back to the all-pairs scan:\n" + p.take(1200))
+    // the directed-edge subplan (hidden from the gate plan by the
+    // transpose checkpoint): candidate generation is a keyed join and
+    // the k-cut is the bounded ObjectHashAggregate buffer, not a window
+    // over the full candidate set
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e = operators.Similarity
+      .mutualKnnEdges(embs, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!e.contains("CartesianProduct") && !e.contains("BroadcastNestedLoopJoin"),
+      "candidate generation fell back to all-pairs:\n" + e.take(1200))
+    assert(e.contains("ObjectHashAggregate"), e.take(1200))
+    assert(!e.contains("Window"), "k-cut grew a window:\n" + e.take(1200))
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // codegen'd operators carry the "*(n)" stage marker in the plan string
     val p = finalPlan("q1_agg")

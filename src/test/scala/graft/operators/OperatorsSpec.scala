@@ -790,18 +790,21 @@ class OperatorsSpec extends AnyFunSuite {
       "hub's one-way neighbour excluded") {
     import spark.implicits._
     // two tight clusters {1,2} and {3,4}; 5 points between them — its
-    // nearest is in a cluster, but no cluster point reciprocates at k=1
+    // nearest is in a cluster, but no cluster point reciprocates at k=1.
+    // nCells = 1: the candidate graph is complete, semantics = global
     val embs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.2f)),
       (3L, Array(0.0f, 1.0f)), (4L, Array(0.2f, 2.0f)),
       (5L, Array(1.0f, 1.0f))
     ).toDF("vec_id", "embedding")
-    val k1 = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 1)
+    val k1 = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 1,
+        nCells = 1, nProbe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(k1 == Set((1L, 2L), (3L, 4L)))
     // at k = 4 (all others) every pair is mutual: C(5,2) = 10 rows,
     // and sim/ranks are consistent with the directed lists
-    val k4 = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 4)
+    val k4 = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 4,
+        nCells = 1, nProbe = 1)
       .collect()
     assert(k4.length == 10)
     k4.foreach { r =>
@@ -809,6 +812,48 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 1L && r.getLong(3) <= 4L)
       assert(r.getLong(4) >= 1L && r.getLong(4) <= 4L)
     }
+  }
+
+  test("mutualKnn: nCells = 1 reproduces the brute twin exactly; " +
+      "multi-probe bucketing matches it on the gate corpus") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+    val brute = Similarity.mutualKnnBrute(embs, "vec_id", "embedding", k = 3)
+      .collect().map(key).toSet
+    val one = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 3,
+      nCells = 1, nProbe = 1).collect().map(key).toSet
+    assert(one == brute, "nCells = 1 must be the brute form bit-for-bit")
+    // bucketed pairs are a SUBSET of candidate-restricted truth: every
+    // emitted pair must be a genuinely reciprocal pair at some rank in
+    // the brute directed lists is NOT guaranteed (candidate sets shrink
+    // ranks), but symmetry and the (a < b) contract always hold
+    val bucketed = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 3,
+      nCells = 8, nProbe = 2).collect()
+    bucketed.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("mutualKnn recall contract: a mutual pair straddling unprobed " +
+      "cells is MISSED at nProbe = 1 — the documented approximation") {
+    import spark.implicits._
+    // seeds (3 lowest ids) define the cells; id4/id5 are colinear
+    // (exact mutual 1-NN by cosine) but sit next to DIFFERENT seeds,
+    // so with one probe each they never share a cell
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(100.0f, 0.0f)),
+      (3L, Array(50.0f, 50.0f)),
+      (4L, Array(2.0f, 0.2f)),
+      (5L, Array(98.0f, 9.8f))
+    ).toDF("vec_id", "embedding")
+    val brute = Similarity.mutualKnnBrute(embs, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == Set((1L, 2L), (4L, 5L)))
+    val bucketed = Similarity.mutualKnn(embs, "vec_id", "embedding", k = 1,
+      nCells = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (4, 5) straddles cells → missed; within-cell reciprocals replace it
+    assert(bucketed == Set((1L, 4L), (2L, 5L)))
   }
 
   test("stratifiedSample: exact ceil(frac·N_g) per stratum, deterministic, a subset") {
