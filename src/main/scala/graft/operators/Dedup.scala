@@ -544,44 +544,92 @@ object Dedup {
       s"minContainment must be a multiple of 0.001 (integer-threshold " +
         s"replay), got $minContainment")
     val k = shingleSize
+    // one-pass codegen shingle kernel (SortedShingleSetExpr) — the
+    // interpreted transform/concat_ws/array_distinct/array_sort chain
+    // was the collapse stage's floor (9.8 → 3.4 s at sf1); < k tokens
+    // → empty set → dropped, exactly as the old size(toks) ≥ k filter
     val groups = docs
       .select(col(idCol).as("__id"),
-        split(lower(trim(col(textCol))), "\\s+").as("__toks"))
-      .filter(size(col("__toks")) >= k)
-      .select(col("__id"),
-        array_sort(array_distinct(transform(
-          sequence(lit(1), size(col("__toks")) - (k - 1)),
-          i => concat_ws(" ",
-            (0 until k).map(o => element_at(col("__toks"), i + o)): _*))))
-          .as("__ws"))
+        graft.functions.expressions.TextHashExpressions
+          .sortedShingleSet(col(textCol), k).as("__ws"))
+      .filter(size(col("__ws")) >= 1)
       .groupBy("__ws")
       .agg(sort_array(collect_list(col("__id"))).as("__ids"))
       .select(
         element_at(col("__ids"), 1).as("__sid"),
         col("__ws"), col("__ids"), size(col("__ws")).as("__n"))
       .localCheckpoint(true)
-    val toks = groups.select(col("__sid"), explode(col("__ws")).as("__tok"))
+    // shingles travel as 64-bit xxhash64 keys from here on: the freq
+    // aggregate, the rare-first ordering, and the candidate equi-join
+    // never need the string back (verification reads the ORIGINAL
+    // string sets via array_intersect), and a hash collision can only
+    // MERGE two tokens' postings — candidates are ADDED, never lost,
+    // and freq-1 pruning only under-prunes. Long keys shrink the
+    // posting shuffle ~4× and make the join sorts primitive compares.
+    val toks = groups.select(col("__sid"),
+      explode(transform(col("__ws"), t => xxhash64(t))).as("__tok"))
+    // distinct-set document frequency per shingle — single consumer
+    // (the ordering join below), so no checkpoint barrier
     val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
-    // rare-first canonical order, prefix = the shingles B is NOT
-    // allowed to miss entirely; freq-1 shingles can't witness a
-    // cross-set pair
-    val pref = toks.join(freq, "__tok")
+    // GLOBAL rare-first canonical order per set ((freq, tokHash) lex —
+    // the same total order on both sides, which is what licenses the
+    // positional filter below; recall needs only a CONSISTENT order,
+    // so ordering by hashed identity is sound). The freq-1 pruning
+    // (a shingle in exactly one distinct set can't witness a
+    // cross-set pair) happens INSIDE this aggregate — freq is already
+    // joined here, and posting-side semi-joins would re-shuffle the
+    // full posting lists just to apply it. Pruned entries keep their
+    // ORIGINAL rare-first position (the positional bound is about the
+    // full set, not the pruned list). Checkpointed: the A-prefix
+    // explode and the B-posting explode both read it.
+    val ordered = toks.join(freq, "__tok")
       .groupBy("__sid")
       .agg(array_sort(collect_list(struct(col("__freq"), col("__tok")))).as("__ft"))
-      .select(col("__sid"),
-        transform(col("__ft"), s => s("__tok")).as("__ows"))
-      .withColumn("__n", size(col("__ows")))
+      .select(col("__sid"), size(col("__ft")).as("__n"),
+        filter(
+          transform(col("__ft"), (s, i) =>
+            struct(s("__tok").as("__tok"), i.as("__i"), s("__freq").as("__f"))),
+          e => e("__f") > 1).as("__fows"))
       .select(col("__sid"), col("__n"),
-        // ⌈m·n/1000⌉ as (m·n + 999) div 1000 — Column./ is DOUBLE
-        // division in Spark, so the floor-divide is spelled via expr
-        explode(slice(col("__ows"), lit(1),
-          col("__n") - expr(s"CAST((($m * __n) + 999) div 1000 AS INT)") + 1))
-          .as("__tok"))
-      .join(freq.filter(col("__freq") > 1).select("__tok"), Seq("__tok"), "left_semi")
+        transform(col("__fows"), e =>
+          struct(e("__tok").as("__tok"), e("__i").as("__i"))).as("__fows"))
+      .localCheckpoint(true)
+    // A posts its prefix — entries whose ORIGINAL position i is inside
+    // the first n − ⌈m·n/1000⌉ + 1 slots (⌈m·n/1000⌉ spelled as the
+    // integer (m·n + 999) div 1000 — Column./ is DOUBLE division)
+    val pref = ordered
+      .select(col("__sid"), col("__n"), explode(col("__fows")).as("__e"))
+      .select(col("__sid"), col("__n"),
+        col("__e.__i").as("__i"), col("__e.__tok").as("__tok"))
+      .filter(col("__i") <
+        col("__n") - expr(s"CAST((($m * __n) + 999) div 1000 AS INT)") + 1)
+    // B posts its FULL surviving set (containment bounds nothing about
+    // B) with its rare-first position j
+    val bPost = ordered
+      .select(col("__sid").as("b_sid"), col("__n").as("__nb"),
+        explode(col("__fows")).as("__e"))
+      .select(col("b_sid"), col("__nb"),
+        col("__e.__i").as("__j"), col("__e.__tok").as("__tok"))
+    // POSITIONAL FILTER (the ppjoin bound carried to containment): let
+    // the witness sit at rare-first position i in A and j in B. Every
+    // OTHER shared shingle is after i in A and after j in B (both
+    // sides sort by the same global order), so
+    //   |A∩B| ≤ 1 + min(na−i−1, nb−j−1).
+    // Candidates whose bound can't reach ⌈τ·na⌉ die INSIDE the join's
+    // output iterator (an integer compare), before the distinct
+    // exchange and the array_intersect verify ever see them. Recall 1:
+    // a true pair's FIRST shared shingle (which the prefix theorem
+    // places inside A's prefix) has all c−1 remaining shared shingles
+    // after it on both sides, so that witness always passes. Measured
+    // at sf1 (31-token degenerate vocab): 1.33M candidates → 33k, the
+    // verify stage collapses with it (21 s → ~6 s isolated).
     val cand = pref
-      .select(col("__sid").as("a_sid"), col("__tok"))
-      .join(toks.select(col("__sid").as("b_sid"), col("__tok")), Seq("__tok"))
+      .select(col("__sid").as("a_sid"), col("__n").as("__na"),
+        col("__i"), col("__tok"))
+      .join(bPost, Seq("__tok"))
       .filter(col("a_sid") =!= col("b_sid"))
+      .filter(lit(1) + least(col("__na") - col("__i") - 1, col("__nb") - col("__j") - 1) >=
+        expr(s"CAST((($m * __na) + 999) div 1000 AS INT)"))
       .select("a_sid", "b_sid").distinct()
     val cross = cand
       .join(groups.select(col("__sid").as("a_sid"), col("__ws").as("__wa"),
