@@ -1451,6 +1451,37 @@ object SparkEntry {
   private def qp11Anova(spark: SparkSession, dir: String): DataFrame =
     operators.Profiling.oneWayAnova(events(spark, dir), "event_type", "value")
 
+  /** Mutual information ([[operators.Profiling.mutualInformation]],
+    * lang × source over documents): feature-relevance MI + entropies +
+    * √(H·H)-normalized NMI, every entropic sum an ordered fold over
+    * exact integer counts.
+    */
+  private def qp12MutualInfo(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.mutualInformation(
+      t(spark, dir, "documents"), col("lang"), col("source"))
+
+  /** Hampel robust-outlier screen ([[operators.Temporal
+    * .robustOutliers]]): per-user median/MAD (exact integer
+    * selections at 2× scale) and the `2·dev > 3·dm2` outlier count.
+    */
+  private def qe39RobustZ(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.robustOutliers(events(spark, dir), "user_id", "value")
+
+  /** Per-user OLS trend ([[operators.Temporal.olsTrend]]): slope /
+    * intercept / R² from exact integer power sums over (hours since
+    * 2020, centi-value).
+    */
+  private def qe40Ols(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.olsTrend(events(spark, dir), "user_id", "ts", "value")
+
+  /** Per-user Spearman rank correlation ([[operators.Temporal
+    * .spearman]]): monotone-trend strength from integer time ranks ×
+    * doubled average value ranks.
+    */
+  private def qe41Spearman(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.spearman(
+      events(spark, dir), "user_id", "ts", "event_id", "value")
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -4689,7 +4720,11 @@ object SparkEntry {
     "qp10_ks_test" -> (qp10KsTest _),
     "qe37_mann_whitney" -> (qe37MannWhitney _),
     "qp11_anova" -> (qp11Anova _),
+    "qp12_mutual_info" -> (qp12MutualInfo _),
     "qe38_theil_sen" -> (qe38TheilSen _),
+    "qe39_robust_z" -> (qe39RobustZ _),
+    "qe40_ols" -> (qe40Ols _),
+    "qe41_spearman" -> (qe41Spearman _),
     "qt38_assoc_pairs" -> (qt38AssocPairs _),
     "qj17_attribution" -> (qj17Attribution _),
     "qs14_mutual_knn" -> (qs14MutualKnn _),
@@ -7669,6 +7704,139 @@ object SparkEntry {
         |      / ((sst - ssb) / CAST(n - k AS DOUBLE)), 6) END AS f_stat,
         |  CASE WHEN sst > 0.0 THEN round(ssb / sst, 6) END AS eta_sq
         |FROM z""".stripMargin,
+    // Mutual information: exact integer cell/margin counts; each log
+    // argument is ONE divide of exact integer products (the qt36 ratio
+    // rule); MI and both entropies fold in sorted-cell/sorted-margin
+    // order (list_reduce = Spark's ordered aggregate, term for term);
+    // nmi divides the UNROUNDED sums.
+    "qp12_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * ln(CAST(o * n AS DOUBLE) / CAST(ra * cb AS DOUBLE))
+        |      ORDER BY a, b)), (x, y) -> x + y) AS mi
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+        |ha AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ka,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(-(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))) ORDER BY a)),
+        |      (x, y) -> x + y) AS ha
+        |  FROM ra CROSS JOIN nn),
+        |hb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS kb,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))) ORDER BY b)),
+        |      (x, y) -> x + y) AS hb
+        |  FROM cb CROSS JOIN nn)
+        |SELECT n AS n_total, ka AS n_a, kb AS n_b,
+        |  round(mi, 6) AS mi, round(ha, 6) AS h_a, round(hb, 6) AS h_b,
+        |  CASE WHEN ha > 0.0 AND hb > 0.0
+        |    THEN round(mi / sqrt(ha * hb), 6) END AS nmi
+        |FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN nn""".stripMargin,
+    // Hampel screen: both medians are SELECTIONS over identical Longs
+    // carried at 2x scale; the outlier test is all-integer
+    // (2*dev > 3*dm2) — no float before display rounding on either side
+    "qe39_robust_z" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (
+        |  SELECT k, list_sort(list(q)) AS qs, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY k),
+        |m AS (
+        |  SELECT k, n, qs,
+        |    CASE WHEN n % 2 = 1 THEN 2 * qs[CAST((n + 1) // 2 AS INT)]
+        |         ELSE qs[CAST(n // 2 AS INT)] + qs[CAST(n // 2 + 1 AS INT)]
+        |    END AS m2
+        |  FROM l),
+        |d AS (
+        |  SELECT k, n, m2,
+        |    list_sort(list_transform(qs, x -> abs(2 * x - m2))) AS ds
+        |  FROM m),
+        |dm AS (
+        |  SELECT k, n, m2, ds,
+        |    CASE WHEN n % 2 = 1 THEN 2 * ds[CAST((n + 1) // 2 AS INT)]
+        |         ELSE ds[CAST(n // 2 AS INT)] + ds[CAST(n // 2 + 1 AS INT)]
+        |    END AS dm2
+        |  FROM d)
+        |SELECT k AS user_id, n AS n_events,
+        |  round(CAST(m2 AS DOUBLE) / 200.0, 6) AS value_median,
+        |  round(CAST(dm2 AS DOUBLE) / 400.0, 6) AS mad,
+        |  CAST(len(list_filter(ds, x -> 2 * x > 3 * dm2)) AS BIGINT)
+        |    AS n_outliers
+        |FROM dm""".stripMargin,
+    // OLS: identical integer power sums over (hours since 2020,
+    // centi-value); slope/intercept/R² are the same fixed IEEE tree on
+    // exact-cast doubles
+    "qe40_ols" ->
+      """WITH b AS (
+        |  SELECT user_id AS k,
+        |    (epoch_us(ts) // 3600000000) - 438288 AS t,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(sum(t * q) AS BIGINT) AS stq,
+        |    CAST(sum(t * t) AS BIGINT) AS stt,
+        |    CAST(sum(q * q) AS BIGINT) AS sqq
+        |  FROM b GROUP BY k HAVING count(*) >= 2),
+        |f AS (
+        |  SELECT k, n, st, sq,
+        |    n * stq - st * sq AS num,
+        |    n * stt - st * st AS dent,
+        |    n * sqq - sq * sq AS denq
+        |  FROM a)
+        |SELECT k AS user_id, n AS n_events,
+        |  CASE WHEN dent > 0 THEN
+        |    round(CAST(num AS DOUBLE) / CAST(dent AS DOUBLE) / 100.0, 6)
+        |  END AS slope_per_hour,
+        |  CASE WHEN dent > 0 THEN
+        |    round((CAST(sq AS DOUBLE)
+        |      - CAST(num AS DOUBLE) / CAST(dent AS DOUBLE) * CAST(st AS DOUBLE))
+        |      / CAST(n AS DOUBLE) / 100.0, 6)
+        |  END AS intercept,
+        |  CASE WHEN dent > 0 AND denq > 0 THEN
+        |    round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / (CAST(dent AS DOUBLE) * CAST(denq AS DOUBLE)), 6)
+        |  END AS r_squared
+        |FROM f""".stripMargin,
+    // Spearman: integer time ranks (row_number over (t, tie)) ×
+    // doubled average value ranks (2*rank + peers - 1), then the exact
+    // power-sum Pearson tree
+    "qe41_spearman" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY t, tie) AS BIGINT) AS x,
+        |    2 * CAST(rank() OVER (PARTITION BY k ORDER BY q) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY k, q) AS BIGINT) - 1 AS y
+        |  FROM b),
+        |a AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM r GROUP BY k HAVING count(*) >= 2)
+        |SELECT k AS user_id, n AS n_events,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM a""".stripMargin,
     // Theil-Sen: the median is a SELECTION over identically-computed
     // doubles (one divide of exact integers per pair), so a pair
     // self-join + row_number replay lands on the same values; the

@@ -329,6 +329,66 @@ object Profiling {
         col("__x.chi").as("chi_square"), col("__x.v").as("cramers_v"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-relevance readout next to [[chiSquareIndependence]]'s
+    * significance test: `I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))`,
+    * plus the √(H(X)·H(Y))-normalized NMI so corpora of different
+    * entropy compare on one scale. Zero cells contribute exactly 0 to
+    * MI by definition, so (unlike χ²) NO grid densification is needed
+    * — the cell frame stays observed-cells-sized.
+    *
+    * Cross-engine exact: cell and margin counts are exact integers;
+    * every log argument is ONE IEEE divide of exact integer products
+    * (`o·N / (ra·cb)` — the qt36 ratio rule), and all three entropic
+    * sums fold in sorted-cell / sorted-margin order (the qp11 fixed
+    * fold), so no order-dependent float summation exists.
+    *
+    * Shape: one (x, y)-grouped count, two margin re-aggregations, one
+    * category-bounded fold — never data-sized after the first
+    * aggregate.
+    */
+  def mutualInformation(
+      df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df
+      .groupBy(aCol.as("__a"), bCol.as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val withMargins = cells
+      .join(cells.groupBy("__a").agg(sum("__o").as("__ra")), Seq("__a"))
+      .join(cells.groupBy("__b").agg(sum("__o").as("__cb")), Seq("__b"))
+    withMargins
+      .agg(sort_array(collect_list(struct(
+        col("__a"), col("__b"), col("__o"), col("__ra"), col("__cb"))))
+        .as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(explode(transform(array(col("__t")), t => {
+        val n = aggregate(t, lit(0L), (a, x) => a + x("__o"))
+        val nd = n.cast("double")
+        val mi = aggregate(t, lit(0.0), (a, x) =>
+          a + x("__o").cast("double") / nd *
+            log((x("__o") * n).cast("double") / (x("__ra") * x("__cb")).cast("double")))
+        // margins once each, in first-occurrence (= sorted) order
+        val ma = array_distinct(transform(t, x => struct(x("__a").as("k"), x("__ra").as("m"))))
+        val mb = array_distinct(transform(t, x => struct(x("__b").as("k"), x("__cb").as("m"))))
+        def entropy(m: Column) = aggregate(m, lit(0.0), (a, x) =>
+          a - x("m").cast("double") / nd * log(x("m").cast("double") / nd))
+        val ha = entropy(ma)
+        val hb = entropy(sort_array(mb))
+        struct(
+          n.as("n"),
+          size(ma).cast("long").as("ka"),
+          size(mb).cast("long").as("kb"),
+          round(mi, 6).as("mi"),
+          round(ha, 6).as("ha"),
+          round(hb, 6).as("hb"),
+          when(ha > 0.0 && hb > 0.0, round(mi / sqrt(ha * hb), 6)).as("nmi"))
+      })).as("__x"))
+      .select(
+        col("__x.n").as("n_total"), col("__x.ka").as("n_a"),
+        col("__x.kb").as("n_b"), col("__x.mi").as("mi"),
+        col("__x.ha").as("h_a"), col("__x.hb").as("h_b"),
+        col("__x.nmi").as("nmi"))
+  }
+
   /** TWO-SAMPLE KOLMOGOROV-SMIRNOV TEST — per key, the exact supremum
     * distance between two arms' empirical CDFs: `D = sup_v |F_a(v) −
     * F_b(v)|`, the UNBINNED distribution-shift test ([[driftReport]]'s

@@ -1344,4 +1344,156 @@ object Temporal {
         round(col("__ts2.vmed") / lit(100.0), 6).as("value_median"))
   }
 
+  /** ROBUST OUTLIER SCREEN (Hampel identifier) — per key, the median /
+    * MAD location-and-spread readout plus the count of observations
+    * with `|x − median| > 3·MAD`: the outlier detector that survives
+    * the outliers it hunts (mean/stddev z-scores get dragged by the
+    * very points they should flag; median and MAD have 50% breakdown).
+    *
+    * ALL-INTEGER: values centi-quantize; both medians are SELECTIONS
+    * over Longs carried at 2× scale (an even-count median is the sum
+    * of the two middle elements — still a Long), the deviations
+    * `|2q − m2|` are Longs, and the Hampel test `|x−med| > 3·MAD`
+    * becomes `2·dev > 3·dm2` — no float appears before the final
+    * display rounding, so the oracle replay is exact by construction.
+    *
+    * Shape: ONE key exchange; the per-key sort is in-array under the
+    * bounded-series contract (qe31/qe36/qe38 family).
+    */
+  def robustOutliers(
+      df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        floor(col(valCol).cast("double") * lit(100.0)).cast("long"))).as("__q"))
+      .select(
+        col(keyCol),
+        size(col("__q")).cast("long").as("n_events"),
+        element_at(transform(array(col("__q")), q => {
+          val n = size(q).cast("long")
+          def med2(a: Column, m: Column) = when(m % 2L === 1L,
+            element_at(a, ((m + 1L) / 2L).cast("int")) * 2L)
+            .otherwise(element_at(a, (m / 2L).cast("int"))
+              + element_at(a, (m / 2L + 1L).cast("int")))
+          val m2 = med2(q, n)
+          val devs = sort_array(transform(q, x => abs(x * 2L - m2)))
+          val dm2 = med2(devs, n)
+          val outs = size(filter(devs, d => d * 2L > dm2 * 3L)).cast("long")
+          struct(m2.as("m2"), dm2.as("dm2"), outs.as("outs"))
+        }), 1).as("__s"))
+      .select(
+        col(keyCol), col("n_events"),
+        round(col("__s.m2").cast("double") / lit(200.0), 6).as("value_median"),
+        round(col("__s.dm2").cast("double") / lit(400.0), 6).as("mad"),
+        col("__s.outs").as("n_outliers"))
+  }
+
+  /** PER-KEY OLS TREND — slope, intercept and R² of value against
+    * event time, the parametric companion to [[theilSen]]'s robust
+    * slope (same readout, opposite breakdown/efficiency trade) and the
+    * MAGNITUDE estimator next to [[mannKendall]]'s test.
+    *
+    * Cross-engine exact by the power-sum recipe: t = whole hours since
+    * 2020-01-01 (integer floor-division of epoch-micros — hour
+    * granularity is the series' native resolution and keeps Σt² far
+    * from 2⁶³), q = centi-quantized value; the six power sums
+    * (n, Σt, Σq, Σtq, Σt², Σq²) are exact Longs from one hash
+    * aggregate, and slope/intercept/R² are a FIXED IEEE tree on their
+    * exact-cast doubles: slope = (nΣtq − ΣtΣq)/(nΣt² − Σt²),
+    * R² = slopeNum² / (denT · denQ). Degenerate keys report null
+    * (one timestamp → no slope; zero value variance → no R²).
+    *
+    * Shape: one key-bounded hash aggregate with map-side partials —
+    * never event-sized after the first combine, no window, no sort.
+    */
+  def olsTrend(
+      df: DataFrame, keyCol: String, tsCol: String, valCol: String): DataFrame = {
+    // integer floor-division (Column./ is DOUBLE division in Spark)
+    val t = expr(s"unix_micros($tsCol) div 3600000000L") - lit(438288L) // hours since 2020-01-01T00Z
+    val q = floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+    val agg = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol), t.as("__t"), q.as("__q"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__t")).as("__st"),
+        sum(col("__q")).as("__sq"),
+        sum(col("__t") * col("__q")).as("__stq"),
+        sum(col("__t") * col("__t")).as("__stt"),
+        sum(col("__q") * col("__q")).as("__sqq"))
+      .filter(col("__n") >= 2L)
+    val num = col("__n") * col("__stq") - col("__st") * col("__sq")
+    val denT = col("__n") * col("__stt") - col("__st") * col("__st")
+    val denQ = col("__n") * col("__sqq") - col("__sq") * col("__sq")
+    val slope = num.cast("double") / denT.cast("double")
+    agg.select(
+      col(keyCol),
+      col("__n").as("n_events"),
+      when(denT > 0L,
+        round(slope / lit(100.0), 6)).as("slope_per_hour"),
+      when(denT > 0L,
+        round((col("__sq").cast("double") - slope * col("__st").cast("double"))
+          / col("__n").cast("double") / lit(100.0), 6)).as("intercept"),
+      when(denT > 0L && denQ > 0L,
+        round(num.cast("double") * num.cast("double")
+          / (denT.cast("double") * denQ.cast("double")), 6)).as("r_squared"))
+  }
+
+  /** SPEARMAN RANK CORRELATION — per key, the rank correlation between
+    * event ORDER and value: the monotone-trend strength measure that is
+    * invariant to any monotone rescaling of the values (where
+    * [[olsTrend]]'s R² measures LINEAR fit). Ties in value take
+    * AVERAGE ranks (the textbook convention).
+    *
+    * ALL-INTEGER ranks: the time rank is `row_number` over (ts, tie)
+    * and the value's doubled average rank is `2·rank() + count(peers)
+    * − 1` (min-rank plus half the tie run, carried at 2× so it stays a
+    * Long); Pearson over the two integer rank columns uses the exact
+    * power-sum recipe with one final fixed IEEE tree. Scale factors
+    * between the rank columns cancel in ρ.
+    *
+    * Shape: both windows and the aggregate partition by the bare key,
+    * so the plan is ONE key exchange (the qe25 window-reuse shape) +
+    * one value-partition window sharing the same hash partitioning.
+    */
+  def spearman(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String): DataFrame = {
+    val q = floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+    val base = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__tus"),
+        col(tieCol).as("__tie"), q.as("__q"))
+    val wTime = Window.partitionBy(col(keyCol)).orderBy(col("__tus"), col("__tie"))
+    val wVal = Window.partitionBy(col(keyCol)).orderBy(col("__q"))
+    val wPeers = Window.partitionBy(col(keyCol), col("__q"))
+    val ranked = base
+      .withColumn("__x", row_number().over(wTime).cast("long"))
+      .withColumn("__y",
+        lit(2L) * rank().over(wVal).cast("long")
+          + count(lit(1)).over(wPeers).cast("long") - 1L)
+    val agg = ranked
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .filter(col("__n") >= 2L)
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val denX = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val denY = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    agg.select(
+      col(keyCol),
+      col("__n").as("n_events"),
+      when(denX > 0L && denY > 0L,
+        round(num.cast("double")
+          / (sqrt(denX.cast("double")) * sqrt(denY.cast("double"))), 6))
+        .as("rho"))
+  }
+
 }

@@ -1313,6 +1313,26 @@ class OperatorsSpec extends AnyFunSuite {
     val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
     val r3 = Profiling.oneWayAnova(one, "g", "v").collect().head
     assert(r3.getLong(2) == 0L && r3.isNullAt(6))
+    // empty input: no row (the oracle's WHERE k > 0 twin)
+    assert(Profiling.oneWayAnova(one.filter(lit(false)), "g", "v").count() == 0L)
+  }
+
+  test("mutualInformation: 0 for independence, ln 2 with NMI 1 for a " +
+      "deterministic 2x2, margins and entropies exact") {
+    import spark.implicits._
+    // perfectly independent 2x2 (all cells equal): every log term is ln 1
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val r1 = Profiling.mutualInformation(ind, col("a"), col("b")).collect().head
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 2L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(6) == 0.0)
+    // deterministic mapping a -> b: MI = H = ln 2, NMI = 1
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q")).toDF("a", "b")
+    val r2 = Profiling.mutualInformation(dep, col("a"), col("b")).collect().head
+    assert(r2.getDouble(3) == 0.693147 && r2.getDouble(4) == 0.693147)
+    assert(r2.getDouble(6) == 1.0)
+    // empty input: no row
+    assert(Profiling.mutualInformation(
+      ind.filter(lit(false)), col("a"), col("b")).count() == 0L)
   }
 
 }

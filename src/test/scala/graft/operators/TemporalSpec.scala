@@ -785,4 +785,69 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(10L) == ((2L, 8L, 9L, 0.5)))
   }
 
+  test("robustOutliers: exact median/MAD selections, Hampel count, " +
+      "outlier can't drag the screen") {
+    import spark.implicits._
+    // odd count with one wild point: median/MAD stay at the bulk
+    val df = Seq(
+      (1L, 1.0), (1L, 1.0), (1L, 1.0), (1L, 1.0), (1L, 100.0),
+      // even count, no outliers: median = mean of middles, MAD likewise
+      (2L, 1.0), (2L, 2.0), (2L, 3.0), (2L, 4.0)
+    ).toDF("k", "v")
+    val got = Temporal.robustOutliers(df, "k", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // k=1: median 1.0, deviations {0,0,0,0,198} at 2x -> MAD 0; the
+    // wild point is the single Hampel hit (2*198 > 3*0)
+    assert(got(1L) == ((5L, 1.0, 0.0, 1L)))
+    // k=2: q = {100,200,300,400}; median 2.5; devs(2x) {300,100,100,300}
+    // sorted -> dm2 = 100+300 = 400 -> MAD 1.0; no 2*dev > 3*400
+    assert(got(2L) == ((4L, 2.5, 1.0, 0L)))
+  }
+
+  test("olsTrend: perfect line recovers slope/intercept/R2 exactly; " +
+      "degenerate keys report null") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp((1577836800L + h * 3600L) * 1000L)
+    val df = Seq(
+      // value = t - 99 at hours 100, 101, 102 since 2020
+      (1L, ts(100L), 1.0), (1L, ts(101L), 2.0), (1L, ts(102L), 3.0),
+      // all events in one hour: no slope
+      (2L, ts(5L), 1.0), (2L, ts(5L), 9.0),
+      // zero value variance: slope 0, R2 null
+      (3L, ts(1L), 4.0), (3L, ts(2L), 4.0)
+    ).toDF("k", "ts", "v")
+    val got = Temporal.olsTrend(df, "k", "ts", "v").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(2) == 1.0) // slope per hour
+    assert(got(1L).getDouble(3) == -99.0) // value at 2020-01-01
+    assert(got(1L).getDouble(4) == 1.0) // R2
+    assert(got(2L).isNullAt(2) && got(2L).isNullAt(3) && got(2L).isNullAt(4))
+    assert(got(3L).getDouble(2) == 0.0 && got(3L).isNullAt(4))
+  }
+
+  test("spearman: monotone = ±1 regardless of spacing, ties take " +
+      "average ranks, constant series reports null") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      // strictly increasing values on an irregular grid
+      (1L, ts(10L), 1L, 1.0), (1L, ts(500L), 2L, 1.5), (1L, ts(501L), 3L, 9.0),
+      // strictly decreasing
+      (2L, ts(1L), 4L, 9.0), (2L, ts(2L), 5L, 5.0), (2L, ts(3L), 6L, 1.0),
+      // constant
+      (3L, ts(1L), 7L, 2.0), (3L, ts(2L), 8L, 2.0),
+      // tie in the middle: rho strictly between 0 and 1
+      (4L, ts(1L), 9L, 1.0), (4L, ts(2L), 10L, 2.0),
+      (4L, ts(3L), 11L, 2.0), (4L, ts(4L), 12L, 3.0)
+    ).toDF("k", "ts", "tie", "v")
+    val got = Temporal.spearman(df, "k", "ts", "tie", "v").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(2) == 1.0)
+    assert(got(2L).getDouble(2) == -1.0)
+    assert(got(3L).isNullAt(2))
+    val tied = got(4L).getDouble(2)
+    assert(tied > 0.9 && tied < 1.0, s"tied rho = $tied")
+  }
+
 }
