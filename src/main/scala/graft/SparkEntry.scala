@@ -1482,6 +1482,54 @@ object SparkEntry {
     operators.Temporal.spearman(
       events(spark, dir), "user_id", "ts", "event_id", "value")
 
+  /** Gini concentration per event_type ([[operators.Profiling.gini]]):
+    * value-mass inequality from the exact integer rank-weighted sum.
+    */
+  private def qp13Gini(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.gini(events(spark, dir), "event_type", "value")
+
+  /** RFM segmentation ([[operators.Temporal.rfmSegments]], 5 bands):
+    * recency/frequency/monetary quantile scores from range-partitioned
+    * exact threshold selections — no global ntile sort.
+    */
+  private def qe42Rfm(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.rfmSegments(events(spark, dir), "user_id", "ts", "value")
+
+  /** IVF·PQ composed ANN ([[operators.Similarity.ivfPqTopK]]): coarse
+    * seed-cell probe (2 of 8 cells) → fine 8×16 seed-codebook ADC over
+    * the survivors — the two-level FAISS shape, both levels replayed
+    * by the oracle.
+    */
+  private def qs15IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.sin(i * 0.3 + 2.0)) // the qs7 probe
+    operators.Similarity.ivfPqTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", query,
+      topK = 50, nCells = 8, nProbe = 2, m = 8, k = 16)
+  }
+
+  /** Focal raster mean ([[operators.Spatial.focalMean]], 3×3 window)
+    * over a deterministic synthetic GeoTIFF — written and re-read
+    * through the native codec (the qz2 roundtrip), grid coords
+    * recovered from the half-pixel-centered world coords, edge pixels
+    * averaging over their real neighbors only.
+    */
+  private def qz8Focal(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64; val h = 48
+    val vals = Array.tabulate(w * h) { i =>
+      val c = i % w; val r = i / w
+      (((c * 7 + r * 13) % 40) / 10.0).toFloat
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qz8")
+    sources.GeoTiff.write(
+      tmp.resolve("raster.tif").toString, w, h, vals, 1.0, 1.0, 0.0, h.toDouble)
+    val cells = sources.GeoTiff.read(spark, tmp.toString, globFilter = Some("*.tif"))
+      .select(
+        floor(col("x")).cast("long").as("cx"),
+        floor(col("y")).cast("long").as("cy"),
+        col("value"))
+    operators.Spatial.focalMean(cells, radius = 1, quant = 10.0)
+  }
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -4721,10 +4769,14 @@ object SparkEntry {
     "qe37_mann_whitney" -> (qe37MannWhitney _),
     "qp11_anova" -> (qp11Anova _),
     "qp12_mutual_info" -> (qp12MutualInfo _),
+    "qp13_gini" -> (qp13Gini _),
     "qe38_theil_sen" -> (qe38TheilSen _),
     "qe39_robust_z" -> (qe39RobustZ _),
     "qe40_ols" -> (qe40Ols _),
     "qe41_spearman" -> (qe41Spearman _),
+    "qe42_rfm" -> (qe42Rfm _),
+    "qs15_ivfpq" -> (qs15IvfPq _),
+    "qz8_focal" -> (qz8Focal _),
     "qt38_assoc_pairs" -> (qt38AssocPairs _),
     "qj17_attribution" -> (qj17Attribution _),
     "qs14_mutual_knn" -> (qs14MutualKnn _),
@@ -7741,6 +7793,156 @@ object SparkEntry {
         |  CASE WHEN ha > 0.0 AND hb > 0.0
         |    THEN round(mi / sqrt(ha * hb), 6) END AS nmi
         |FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN nn""".stripMargin,
+    // Gini: exact integer rank-weighted sum (2*Sum(i*q) - (n+1)*Sum(q));
+    // intra-tie row_number order can't change it (equal values swap
+    // coefficients), so no tie-break key is needed; one IEEE divide
+    "qp13_gini" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL AND value >= 0.0),
+        |r AS (
+        |  SELECT k, q,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY q) AS BIGINT) AS i
+        |  FROM b),
+        |a AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(sum(i * q) AS BIGINT) AS siq
+        |  FROM r GROUP BY k)
+        |SELECT k AS event_type, n AS n_events,
+        |  round(CAST(sq AS DOUBLE) / 100.0, 2) AS total_value,
+        |  CASE WHEN sq > 0 THEN
+        |    round(CAST(2 * siq - (n + 1) * sq AS DOUBLE)
+        |      / CAST(n * sq AS DOUBLE), 6) END AS gini
+        |FROM a""".stripMargin,
+    // RFM: integer metrics (floor-div days, counts, cents), thresholds
+    // = values at ascending ranks ceil(i*N/5) (list-indexed selection),
+    // score = 1 + #{thresholds strictly below}; recency inverts
+    "qe42_rfm" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(floor(coalesce(value, 0.0) * 100.0) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id),
+        |mm AS (SELECT max(last_us) AS mx FROM m),
+        |met AS (
+        |  SELECT user_id, (mx - last_us) // 86400000000 AS rec,
+        |    n_events, cents
+        |  FROM m CROSS JOIN mm),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM met),
+        |th AS (
+        |  SELECT
+        |    list(CAST(rec AS DOUBLE) ORDER BY rec) AS trs,
+        |    list(CAST(n_events AS DOUBLE) ORDER BY n_events) AS tfs,
+        |    list(CAST(cents AS DOUBLE) ORDER BY cents) AS tms
+        |  FROM met),
+        |sc AS (
+        |  SELECT user_id, rec, n_events, cents,
+        |    1 + CAST(CAST(rec AS DOUBLE) > trs[CAST((1 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(rec AS DOUBLE) > trs[CAST((2 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(rec AS DOUBLE) > trs[CAST((3 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(rec AS DOUBLE) > trs[CAST((4 * nu + 4) // 5 AS INT)] AS INT) AS ra,
+        |    1 + CAST(CAST(n_events AS DOUBLE) > tfs[CAST((1 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(n_events AS DOUBLE) > tfs[CAST((2 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(n_events AS DOUBLE) > tfs[CAST((3 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(n_events AS DOUBLE) > tfs[CAST((4 * nu + 4) // 5 AS INT)] AS INT) AS fa,
+        |    1 + CAST(CAST(cents AS DOUBLE) > tms[CAST((1 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(cents AS DOUBLE) > tms[CAST((2 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(cents AS DOUBLE) > tms[CAST((3 * nu + 4) // 5 AS INT)] AS INT)
+        |      + CAST(CAST(cents AS DOUBLE) > tms[CAST((4 * nu + 4) // 5 AS INT)] AS INT) AS ma
+        |  FROM met CROSS JOIN th CROSS JOIN nn)
+        |SELECT user_id, rec AS recency_days, n_events,
+        |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS monetary,
+        |  CAST(6 - ra AS BIGINT) AS r_score,
+        |  CAST(fa AS BIGINT) AS f_score,
+        |  CAST(ma AS BIGINT) AS m_score,
+        |  CAST((6 - ra) * 100 + fa * 10 + ma AS BIGINT) AS segment
+        |FROM sc""".stripMargin,
+    // IVF·PQ: the qd14 coarse assignment (8 seed cells, round-6dp L2²
+    // argmin) + the query's own 2-probe cell pick by the same rule,
+    // then the qs7 fine ADC (16-seed 8-subspace codebook) over the
+    // probed subset only
+    "qs15_ivfpq" -> {
+      val qv = Array.tabulate(64)(i => math.sin(i * 0.3 + 2.0))
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH cseeds AS (
+         |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cc
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |cd AS (
+         |  SELECT e.vec_id, s.cc,
+         |    round(list_sum(list_transform(generate_series(1, 64), j ->
+         |      pow(CAST(e.embedding[j] AS DOUBLE) - CAST(s.embedding[j] AS DOUBLE), 2))), 6) AS d2
+         |  FROM embeddings e CROSS JOIN cseeds s),
+         |assign AS (
+         |  SELECT vec_id, cc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+         |    FROM cd)
+         |  WHERE rn = 1),
+         |qp AS (
+         |  SELECT cc FROM (
+         |    SELECT cc,
+         |      row_number() OVER (ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, 64), j ->
+         |          pow(qv[j] - CAST(s.embedding[j] AS DOUBLE), 2))), 6), cc) AS rn
+         |    FROM cseeds s CROSS JOIN (SELECT $qv::DOUBLE[] AS qv))
+         |  WHERE rn <= 2),
+         |sub AS (
+         |  SELECT vec_id FROM assign WHERE cc IN (SELECT cc FROM qp)),
+         |seeds AS (
+         |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |cb AS (
+         |  SELECT s.s, seeds.c,
+         |    list_transform(generate_series(1, 8),
+         |      j -> CAST(embedding[s.s * 8 + j] AS DOUBLE)) AS cent
+         |  FROM seeds CROSS JOIN generate_series(0, 7) AS s(s)),
+         |dists AS (
+         |  SELECT e.vec_id, cb.s, cb.c,
+         |    round(list_sum(list_transform(generate_series(1, 8), j ->
+         |      pow(CAST(e.embedding[cb.s * 8 + j] AS DOUBLE) - cb.cent[j], 2))), 6) AS d2
+         |  FROM embeddings e
+         |  JOIN sub USING (vec_id)
+         |  CROSS JOIN cb),
+         |enc AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1),
+         |qd AS (
+         |  SELECT cb.s, cb.c,
+         |    round(list_sum(list_transform(generate_series(1, 8), j ->
+         |      pow(qv[cb.s * 8 + j] - cb.cent[j], 2))), 6) AS qdist
+         |  FROM cb CROSS JOIN (SELECT $qv::DOUBLE[] AS qv)),
+         |adc0 AS (
+         |  SELECT e.vec_id, round(sum(q.qdist), 6) AS adc
+         |  FROM enc e JOIN qd q ON e.s = q.s AND e.c = q.c
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, adc FROM adc0 ORDER BY adc, vec_id LIMIT 50""".stripMargin
+    },
+    // Focal mean: the raster regenerates from its formula (the qz2
+    // contract), grid coords replay the half-pixel-centered floor,
+    // neighbors via a banded self-join, integer deci-sums, one divide
+    "qz8_focal" ->
+      """WITH g AS (
+        |  SELECT c.c AS cx, (48 - 1 - r.r) AS cy,
+        |    (c.c * 7 + r.r * 13) % 40 AS q
+        |  FROM generate_series(0, 63) AS c(c)
+        |  CROSS JOIN generate_series(0, 47) AS r(r)),
+        |f AS (
+        |  SELECT a.cx, a.cy,
+        |    CAST(count(*) AS BIGINT) AS n_nbrs,
+        |    CAST(sum(b.q) AS BIGINT) AS s
+        |  FROM g a JOIN g b
+        |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+        |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        |  GROUP BY a.cx, a.cy)
+        |SELECT cx, cy, n_nbrs,
+        |  round(CAST(s AS DOUBLE) / (CAST(n_nbrs AS DOUBLE) * 10.0), 6)
+        |    AS focal_mean
+        |FROM f""".stripMargin,
     // Hampel screen: both medians are SELECTIONS over identical Longs
     // carried at 2x scale; the outlier test is all-integer
     // (2*dev > 3*dm2) — no float before display rounding on either side

@@ -111,6 +111,63 @@ object Relational {
     } finally vals.unpersist(blocking = false)
   }
 
+  /** [[kthSmallestByRank]] for SEVERAL ranks in one pass: one range
+    * shuffle + one count pass + one select job over only the partitions
+    * that hold a requested rank — quantile ladders (RFM's 4 thresholds
+    * per metric) pay a single shuffle instead of one per rank. Ranks
+    * are 0-based ascending indices, same contract as the single form.
+    */
+  def kthSmallestManyByRank(
+      df: DataFrame,
+      valueCol: String,
+      ranksOf: Long => Seq[Long],
+      numRanges: Int = 32): Seq[Double] = {
+    val vals = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .repartitionByRange(numRanges, col("v"))
+      .rdd
+      .map(_.getDouble(0))
+    vals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts: Array[(Int, Long)] = vals
+        .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+        .collect()
+        .sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val ks = ranksOf(n)
+      ks.foreach(k => require(0 <= k && k < n,
+        s"rank $k out of bounds for n=$n" +
+          (if (n == 0) " (empty input — no non-null, non-NaN values)" else "")))
+      // rank → (range partition, offset within it)
+      val located = ks.map { k =>
+        var remaining = k
+        var target = -1
+        for ((idx, c) <- counts if target < 0) {
+          if (remaining < c) target = idx else remaining -= c
+        }
+        require(target >= 0, s"rank $k out of bounds (n=$n)")
+        require(remaining <= Int.MaxValue,
+          s"range partition holds > 2^31 values ($remaining); raise numRanges")
+        (k, target, remaining.toInt)
+      }
+      val byPart: Map[Int, Seq[Int]] =
+        located.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      val parts = byPart.keys.toSeq.sorted
+      val picked: Array[Map[Int, Double]] = vals.sparkContext.runJob(
+        vals,
+        (ctx: org.apache.spark.TaskContext, it: Iterator[Double]) => {
+          val offsets = byPart(ctx.partitionId())
+          val arr = it.toArray
+          java.util.Arrays.sort(arr)
+          offsets.map(o => o -> arr(o)).toMap
+        },
+        parts)
+      val byPartPicked: Map[Int, Map[Int, Double]] = parts.zip(picked).toMap
+      located.map { case (_, p, o) => byPartPicked(p)(o) }
+    } finally vals.unpersist(blocking = false)
+  }
+
   /** W1 filter form: keep rows whose `valueCol >= percentile threshold`.
     * Two jobs total: the nearest-rank `round(p/100·(n−1))` needs n, which
     * rides along in [[kthSmallestByRank]]'s per-range count pass instead

@@ -763,6 +763,54 @@ object Similarity {
       .limit(topK)
   }
 
+  /** IVF·PQ — the FAISS-standard two-level composition: a COARSE
+    * seed-cell quantizer prunes the corpus to the query's `nProbe`
+    * nearest cells (partition pruning when the codes table is written
+    * partitioned by cell), then ADC over the FINE per-subspace codes
+    * ranks only the survivors. The memory story multiplies: the scan
+    * reads nProbe/nCells of the corpus AND m bytes per vector instead
+    * of the float row — at 100 TB that is the difference between a
+    * full-table scan and a few directory reads.
+    *
+    * Replay contract: the coarse quantizer is the qd14 seed-cell
+    * assignment (argmin of 6-dp-rounded L2², lowest index ties; the
+    * query's probe set uses the SAME rule driver-side), and the fine
+    * stage is [[pqTopKFromCodes]] with the qs7 full-corpus seed
+    * codebook — both rules an SQL oracle re-derives exactly.
+    */
+  def ivfPqTopK(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      topK: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 8,
+      k: Int = 16): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells], got $nProbe")
+    val coarse = pqCodebook(embs, idCol, vecCol, 1, nCells)
+    val probes = coarse(0).zipWithIndex
+      .map { case (cent, i) =>
+        var d = 0.0
+        var j = 0
+        val n = math.min(cent.length, query.length)
+        while (j < n) { val diff = query(j) - cent(j); d += diff * diff; j += 1 }
+        (math.floor(d * 1e6 + 0.5) / 1e6, i)
+      }
+      .sortBy(identity)
+      .take(nProbe)
+      .map(_._2)
+    val probedIds = pqEncode(embs, idCol, vecCol, coarse)
+      .select(col(idCol), col("codes").getItem(0).as("__cell"))
+      .filter(col("__cell").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol))
+    val subset = embs.join(probedIds, Seq(idCol), "left_semi")
+    val fine = pqCodebook(embs, idCol, vecCol, m, k)
+    pqTopKFromCodes(pqEncode(subset, idCol, vecCol, fine), idCol, fine, query, topK)
+  }
+
   /** PQ in its production role — candidate generation + exact re-rank:
     * ADC shortlists `shortlist` ids (the cheap code-scan pass), then ONLY
     * those rows are re-scored with exact L2² (via the |v|² − 2v·q + |q|²

@@ -93,6 +93,49 @@ object Spatial {
     * raster decode itself is upstream, its cell table is the input here):
     * point-in-polygon join (bbox-prefiltered) → groupBy polygon.
     */
+  /** FOCAL (neighborhood) RASTER STATISTIC — per pixel, the mean over
+    * its (2r+1)² window: the kernel-op class zonal statistics can't
+    * express (zonal reduces BY polygon; focal convolves the grid —
+    * smoothing, slope, hillshade all start here). Edge pixels average
+    * over their real neighbors only (no padding invented).
+    *
+    * Distributed shape — NO per-pixel gather loop: every pixel
+    * SCATTERS its value to the (2r+1)² windows it belongs to (a narrow
+    * in-row explode), one hash aggregate sums per window center with
+    * map-side combine, and an inner join back to the pixel table drops
+    * phantom centers outside the raster. Two keyed exchanges total,
+    * both on grid keys — tiles partition cleanly at any raster size.
+    *
+    * Exactness: values quantize by `quant` (round-half-up to the
+    * nearest 1/quant — rasters carry fixed-precision physical values),
+    * sums are exact Longs, and the mean is ONE IEEE divide.
+    * Input: (cx, cy, value) integer grid coords; output
+    * (cx, cy, n_nbrs, focal_mean).
+    */
+  def focalMean(
+      cells: DataFrame, radius: Int = 1, quant: Double = 10.0): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val q = floor(col("value").cast("double") * lit(quant) + lit(0.5)).cast("long")
+    val offs = (-radius to radius).flatMap(dx =>
+      (-radius to radius).map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy"))))
+    val contrib = cells
+      .select(col("cx").cast("long").as("cx"), col("cy").cast("long").as("cy"), q.as("__q"))
+      .select(col("cx"), col("cy"), col("__q"), explode(array(offs: _*)).as("__o"))
+      .select(
+        (col("cx") + col("__o.dx")).as("__tx"),
+        (col("cy") + col("__o.dy")).as("__ty"),
+        col("__q"))
+      .groupBy(col("__tx"), col("__ty"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("n_nbrs"))
+    cells
+      .select(col("cx").cast("long").as("cx"), col("cy").cast("long").as("cy"))
+      .join(contrib, col("cx") === col("__tx") && col("cy") === col("__ty"))
+      .select(
+        col("cx"), col("cy"), col("n_nbrs"),
+        round(col("__s").cast("double") / (col("n_nbrs").cast("double") * lit(quant)), 6)
+          .as("focal_mean"))
+  }
+
   def zonalStats(cells: DataFrame, polys: DataFrame, gridCell: Double = 2.0): DataFrame = {
     // total cell count as an in-plan broadcast 1-row aggregate (the
     // `Relational.scaleScore` pattern) — NOT a driver-side count(): the

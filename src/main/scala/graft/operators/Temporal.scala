@@ -1441,6 +1441,73 @@ object Temporal {
           / (denT.cast("double") * denQ.cast("double")), 6)).as("r_squared"))
   }
 
+  /** RFM SEGMENTATION — per user, Recency (days since last event,
+    * against the corpus max), Frequency (event count) and Monetary
+    * (summed value), each scored into `buckets` quantile bands, plus
+    * the combined segment code: the classical behavioral-cohort cut
+    * ("511 = new big spender, 155 = churned whale").
+    *
+    * Scale-safe bucketing — NO global ntile window (a bare ntile sorts
+    * every user in ONE task): the buckets−1 thresholds per metric come
+    * from [[Relational.kthSmallest]]'s range-partitioned EXACT
+    * selection at ranks ⌈i·N/buckets⌉, and a user's score is
+    * `1 + #{thresholds strictly below the value}` — a codegen when-sum
+    * against driver literals. Ties share a band by construction (equal
+    * metric ⇒ equal score), which is what makes the scoring
+    * deterministic AND SQL-replayable (ntile splits ties by arrival
+    * order). Recency scores INVERT (`buckets+1 − band`) so higher is
+    * better on all three axes, the textbook convention.
+    *
+    * All three metrics are exact integers (days via integer floor-div,
+    * counts, centi-cents), so the threshold comparisons are exact on
+    * both engines.
+    */
+  def rfmSegments(
+      df: DataFrame, userCol: String, tsCol: String, valCol: String,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val perUser = df
+      .groupBy(col(userCol))
+      .agg(
+        max(unix_micros(col(tsCol))).as("__last"),
+        count(lit(1)).as("n_events"),
+        sum(floor(coalesce(col(valCol), lit(0.0)).cast("double") * lit(100.0))
+          .cast("long")).as("__cents"))
+    val maxUs = perUser.agg(max(col("__last"))).head().getLong(0)
+    val metrics = perUser.select(
+      col(userCol),
+      // integer floor-division (Column./ is DOUBLE division in Spark)
+      expr(s"(${maxUs}L - __last) div 86400000000L").as("recency_days"),
+      col("n_events"),
+      col("__cents"))
+      .localCheckpoint(true) // read by 3·(buckets−1) threshold selections + the scoring pass
+    // threshold i = the ⌈i·N/buckets⌉-th smallest (1-based), i.e. the
+    // 0-based rank ⌈i·N/buckets⌉ − 1; all buckets−1 ranks resolve in
+    // ONE ranged pass per metric (kthSmallestManyByRank)
+    def thresholds(c: String): Seq[Double] =
+      Relational.kthSmallestManyByRank(metrics, c,
+        n => (1 until buckets).map(i => (i.toLong * n + buckets - 1) / buckets - 1))
+    def score(c: Column, ts: Seq[Double], invert: Boolean): Column = {
+      val asc = ts.foldLeft(lit(1)) { (acc, t) =>
+        acc + when(c.cast("double") > lit(t), 1).otherwise(0)
+      }
+      (if (invert) lit(buckets + 1) - asc else asc).cast("long")
+    }
+    val tr = thresholds("recency_days")
+    val tf = thresholds("n_events")
+    val tm = thresholds("__cents")
+    metrics.select(
+      col(userCol),
+      col("recency_days"),
+      col("n_events"),
+      round(col("__cents").cast("double") / lit(100.0), 2).as("monetary"),
+      score(col("recency_days"), tr, invert = true).as("r_score"),
+      score(col("n_events"), tf, invert = false).as("f_score"),
+      score(col("__cents"), tm, invert = false).as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+
   /** SPEARMAN RANK CORRELATION — per key, the rank correlation between
     * event ORDER and value: the monotone-trend strength measure that is
     * invariant to any monotone rescaling of the values (where

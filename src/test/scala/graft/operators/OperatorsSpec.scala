@@ -1317,6 +1317,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Profiling.oneWayAnova(one.filter(lit(false)), "g", "v").count() == 0L)
   }
 
+  test("gini: 0 for uniform mass, (n-1)/n for one-holder, tie-order " +
+      "invariant") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 2.0), ("u", 2.0), ("u", 2.0), ("u", 2.0),
+      ("x", 0.0), ("x", 0.0), ("x", 0.0), ("x", 10.0)
+    ).toDF("k", "v")
+    val got = Profiling.gini(df, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got("u") == ((4L, 8.0, 0.0)))
+    assert(got("x") == ((4L, 10.0, 0.75)))
+    // all-zero mass: undefined -> null gini
+    val z = Seq(("z", 0.0), ("z", 0.0)).toDF("k", "v")
+    assert(Profiling.gini(z, "k", "v").collect().head.isNullAt(3))
+  }
+
+  test("ivfPqTopK: nProbe = nCells reproduces full-corpus pqTopK; " +
+      "a 2-probe search returns a k-cut from the probed cells only") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Array.tabulate(64)(i => math.sin(i * 0.3 + 2.0))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getDouble(1))
+    val full = Similarity.pqTopK(embs, "vec_id", "embedding", q, 20)
+      .collect().map(key).toSeq
+    val all = Similarity.ivfPqTopK(embs, "vec_id", "embedding", q, 20,
+      nCells = 8, nProbe = 8).collect().map(key).toSeq
+    assert(all == full, "full probe must equal the un-pruned ADC scan")
+    val pruned = Similarity.ivfPqTopK(embs, "vec_id", "embedding", q, 20,
+      nCells = 8, nProbe = 2).collect().map(key).toSeq
+    assert(pruned.length == 20)
+    // pruned results are a subset of the corpus ADC ordering restricted
+    // to the probed cells: every returned adc must also appear when no
+    // pruning happens at the same or worse rank
+    val fullMap = Similarity.pqTopK(embs, "vec_id", "embedding", q, 500)
+      .collect().map(key).toMap
+    pruned.foreach { case (id, adc) => assert(fullMap.get(id).contains(adc)) }
+  }
+
+  test("focalMean: exact neighborhood means, edges use real neighbors " +
+      "only") {
+    import spark.implicits._
+    val row = Seq((0L, 0L, 1.0f), (1L, 0L, 2.0f), (2L, 0L, 3.0f))
+      .toDF("cx", "cy", "value")
+    val got = Spatial.focalMean(row).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((2L, 1.5)))
+    assert(got(1L) == ((3L, 2.0)))
+    assert(got(2L) == ((2L, 2.5)))
+    val sq = Seq((0L, 0L, 1.0f), (1L, 0L, 2.0f), (0L, 1L, 3.0f), (1L, 1L, 4.0f))
+      .toDF("cx", "cy", "value")
+    val g2 = Spatial.focalMean(sq).collect()
+    assert(g2.length == 4)
+    g2.foreach(r => assert(r.getLong(2) == 4L && r.getDouble(3) == 2.5))
+  }
+
   test("mutualInformation: 0 for independence, ln 2 with NMI 1 for a " +
       "deterministic 2x2, margins and entropies exact") {
     import spark.implicits._

@@ -826,6 +826,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(3L).getDouble(2) == 0.0 && got(3L).isNullAt(4))
   }
 
+  test("rfmSegments: exact quantile thresholds, ties share a band, " +
+      "recency inverts so 5 = most recent") {
+    import spark.implicits._
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    // 5 users, one event each on days 1..5 with values 10,20,30,40,50:
+    // every metric is a clean 5-way spread -> scores are a permutation
+    val df = (1L to 5L).flatMap { u =>
+      // user u has u events (frequency spread), last on day u
+      (1L to u).map(i => (u, ts(u), u * 10.0))
+    }.toDF("u", "ts", "v")
+    val got = Temporal.rfmSegments(df, "u", "ts", "v", buckets = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // user 5: most recent (r=5), most events (f=5), most value (m=5)
+    assert(got(5L) == ((0L, 5L, 5L, 5L)))
+    // user 1: 4 days stale, single event, least total value
+    assert(got(1L) == ((4L, 1L, 1L, 1L)))
+    // monotone scores across the board
+    (1L to 5L).foreach(u => assert(got(u) ==
+      ((5L - u, 6L - (5L - u + 1L), u, u))))
+  }
+
   test("spearman: monotone = ±1 regardless of spacing, ties take " +
       "average ranks, constant series reports null") {
     import spark.implicits._
