@@ -1507,6 +1507,55 @@ object SparkEntry {
       topK = 50, nCells = 8, nProbe = 2, m = 8, k = 16)
   }
 
+  /** Stupid-backoff LM scoring ([[operators.TextAnalysis
+    * .backoffLmScore]], qt12's even/odd split): seen bigrams score
+    * c12/c1 raw, unseen back off to 0.4 · add-one unigram — the
+    * web-scale count-only scoring rule.
+    */
+  private def qt39BackoffLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.TextAnalysis.backoffLmScore(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+  }
+
+  /** Per-node clustering coefficient ([[graph.Triangles.perNode]],
+    * the qg10 edge list): degree-ordered triangle corners exploded,
+    * coef = 2t/(d(d−1)), degree-<2 nodes null.
+    */
+  private def qg17ClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select((col("o_custkey") % 80).as("x"), (col("o_orderkey") % 80).as("y"))
+    graph.Triangles.perNode(edges, "x", "y")
+  }
+
+  /** Bollinger bands ([[operators.Temporal.bollinger]], window 5,
+    * k = 1): rolling mean ± σ envelope from exact window power sums,
+    * full windows only, quantized-value breakout flags. k = 1 because
+    * the max |z| of the CURRENT row inside its own 5-window is
+    * (n−1)/√n ≈ 1.79 — a k = 2 band is unbreakable by construction and
+    * the flag would gate nothing.
+    */
+  private def qe43Bollinger(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.bollinger(
+      events(spark, dir), "user_id", "ts", "event_id", "value",
+      window = 5, k = 1.0)
+
+  /** Audio decimation ([[multimodal.Multimodal.resampleAudio]], 2:1):
+    * real WAV decode → floor-mean pair averaging → checksum/RMS
+    * evidence; the oracle replays the PCM formula and the floor pairs.
+    */
+  private def qm15AudioResample(spark: SparkSession, dir: String): DataFrame =
+    multimodal.Multimodal
+      .resampleAudio(
+        multimodal.Multimodal.wavMediaFromDocuments(spark, t(spark, dir, "documents")),
+        factor = 2)
+      .select(
+        col("media_id"), col("sample_rate"), col("n_samples"),
+        col("checksum"), round(col("rms"), 6).as("rms"))
+
   /** Focal raster mean ([[operators.Spatial.focalMean]], 3×3 window)
     * over a deterministic synthetic GeoTIFF — written and re-read
     * through the native codec (the qz2 roundtrip), grid coords
@@ -4775,8 +4824,12 @@ object SparkEntry {
     "qe40_ols" -> (qe40Ols _),
     "qe41_spearman" -> (qe41Spearman _),
     "qe42_rfm" -> (qe42Rfm _),
+    "qe43_bollinger" -> (qe43Bollinger _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
+    "qt39_backoff_lm" -> (qt39BackoffLm _),
+    "qg17_clustering_coef" -> (qg17ClusteringCoef _),
+    "qm15_audio_resample" -> (qm15AudioResample _),
     "qt38_assoc_pairs" -> (qt38AssocPairs _),
     "qj17_attribution" -> (qj17Attribution _),
     "qs14_mutual_knn" -> (qs14MutualKnn _),
@@ -7793,6 +7846,123 @@ object SparkEntry {
         |  CASE WHEN ha > 0.0 AND hb > 0.0
         |    THEN round(mi / sqrt(ha * hb), 6) END AS nmi
         |FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN nn""".stripMargin,
+    // Stupid backoff: qt12's tokenization; seen bigrams score the raw
+    // integer ratio c12/c1, unseen back off to 0.4 * add-one unigram —
+    // each score one or two IEEE ops on exact counts, avg(ln) readout
+    "qt39_backoff_lm" ->
+      """WITH tr AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ev AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |tb AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM tr)
+        |  GROUP BY 1, 2),
+        |tu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM tb GROUP BY w1),
+        |ug AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(tk) AS w2 FROM tr) GROUP BY w2),
+        |tot AS (
+        |  SELECT CAST(sum(cu) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS vv
+        |  FROM ug),
+        |eb AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM ev)),
+        |sc AS (
+        |  SELECT e.doc_id,
+        |    CASE WHEN tb.c12 IS NOT NULL AND tu.c1 > 0
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS seen,
+        |    CASE WHEN tb.c12 IS NOT NULL AND tu.c1 > 0
+        |      THEN CAST(tb.c12 AS DOUBLE) / CAST(tu.c1 AS DOUBLE)
+        |      ELSE 0.4 * CAST(coalesce(ug.cu, 0) + 1 AS DOUBLE)
+        |        / CAST(tt + vv AS DOUBLE) END AS s
+        |  FROM eb e
+        |  LEFT JOIN tb USING (w1, w2)
+        |  LEFT JOIN tu USING (w1)
+        |  LEFT JOIN ug USING (w2)
+        |  CROSS JOIN tot)
+        |SELECT doc_id, round(avg(ln(s)), 6) AS backoff_score,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(seen) AS BIGINT) AS n_seen
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    // Per-node clustering coefficient: canonical edge replay, triangles
+    // enumerated as ordered triples (a<b<c by the join structure), each
+    // crediting its three corners; coef = 2t/(d(d-1)), deg<2 null
+    "qg17_clustering_coef" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 80 AS x, o_orderkey % 80 AS y
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tpn AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+        |    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        |    UNION ALL SELECT z AS v FROM tri) GROUP BY v)
+        |SELECT d.v AS node, d.deg,
+        |  CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    round(CAST(2 * coalesce(t.t, 0) AS DOUBLE)
+        |      / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) END AS clustering_coef
+        |FROM deg d LEFT JOIN tpn t ON t.v = d.v""".stripMargin,
+    // Bollinger: identical ROWS-frame window power sums (exact Longs),
+    // the same fixed mean/sd/band IEEE tree, full windows only, and the
+    // breakout compares the same quantized doubles
+    "qe43_bollinger" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT k, tie, q,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(q) OVER win AS BIGINT) AS sq,
+        |    CAST(sum(q * q) OVER win AS BIGINT) AS sqq
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY k ORDER BY t, tie
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT * FROM w WHERE n = 5),
+        |c AS (
+        |  SELECT k, tie, q,
+        |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m,
+        |    sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0 AS sd
+        |  FROM f)
+        |SELECT k AS user_id, tie AS event_id,
+        |  round(m, 6) AS band_mean, round(sd, 6) AS band_sd,
+        |  round(m + 1.0 * sd, 6) AS band_upper,
+        |  round(m - 1.0 * sd, 6) AS band_lower,
+        |  CASE WHEN CAST(q AS DOUBLE) / 100.0 > m + 1.0 * sd THEN CAST(1 AS BIGINT)
+        |       WHEN CAST(q AS DOUBLE) / 100.0 < m - 1.0 * sd THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS breakout
+        |FROM c""".stripMargin,
+    // Audio decimation: the qm6 PCM formula, floor-mean pairs. NOTE:
+    // DuckDB's // TRUNCATES toward zero on negatives (measured:
+    // -62805 // 2 = -31402), so Math.floorDiv's floor is spelled via
+    // an explicit floor() on an exact small double
+    "qm15_audio_resample" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, t.j AS j,
+        |    CAST(floor(CAST(
+        |      (((2 * t.j) * 2731 + d.doc_id * 17) % 65536) - 32768
+        |    + (((2 * t.j + 1) * 2731 + d.doc_id * 17) % 65536) - 32768
+        |    AS DOUBLE) / 2.0) AS BIGINT) AS v
+        |  FROM documents d CROSS JOIN generate_series(0, 511) t(j))
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(512 AS BIGINT) AS n_samples,
+        |  CAST(sum(v * (j + 1)) AS BIGINT) AS checksum,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / 512.0), 6) AS rms
+        |FROM s GROUP BY doc_id""".stripMargin,
     // Gini: exact integer rank-weighted sum (2*Sum(i*q) - (n+1)*Sum(q));
     // intra-tie row_number order can't change it (equal values swap
     // coefficients), so no tie-break key is needed; one IEEE divide

@@ -94,4 +94,68 @@ object Triangles {
     adj.unpersist()
     out
   }
+
+  /** PER-NODE triangle counts + LOCAL CLUSTERING COEFFICIENT
+    * `c(v) = 2·t(v) / (d(v)·(d(v)−1))` — the node-level companion to
+    * [[count]]'s global readout: how clique-like each vertex's
+    * neighborhood is (the community-structure screen next to k-core's
+    * density peel). Nodes with degree < 2 report a null coefficient
+    * (no wedge exists to close).
+    *
+    * Same skew-proof orientation as [[count]]; the only difference is
+    * the closing intersection EXPLODES its members (each triangle
+    * x<y<z emits once and credits its three corners) instead of
+    * summing sizes — output is Θ(triangles), the quantity itself.
+    */
+  def perNode(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+      .persist()
+    val dir = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("d")))
+          .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .persist()
+    val adj = dir.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .persist()
+    val corners = dir
+      .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("__nu"), col("__nv"))).as("__w"))
+    val triPerNode = corners.select(col("src").as("v"))
+      .unionAll(corners.select(col("dst").as("v")))
+      .unionAll(corners.select(col("__w").as("v")))
+      .groupBy("v").agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+    val out = deg
+      .join(triPerNode, Seq("v"), "left")
+      .select(
+        col("v").as("node"),
+        col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2L,
+          round((lit(2L) * coalesce(col("triangles"), lit(0L))).cast("double")
+            / (col("deg") * (col("deg") - 1L)).cast("double"), 6))
+          .as("clustering_coef"))
+      .localCheckpoint(true)
+    e.unpersist()
+    deg.unpersist()
+    dir.unpersist()
+    adj.unpersist()
+    out
+  }
 }

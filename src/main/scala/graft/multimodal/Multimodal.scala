@@ -361,6 +361,47 @@ object Multimodal {
     }
   }
 
+  /** AUDIO RESAMPLE (integer decimation): decode real WAV/FLAC bytes,
+    * box-average each `factor`-sample block with FLOOR division
+    * (`Math.floorDiv` — the same rounding DuckDB's `//` applies to
+    * negative PCM values, so the resampled signal replays exactly),
+    * and emit scalar evidence: the new rate/count, a position-weighted
+    * checksum that pins EVERY output sample, and the resampled RMS.
+    * Trailing partial blocks drop (a half-window average is a
+    * different filter, not this one). Undecodable payloads emit a
+    * zero-sample row (the byteStats honesty rule).
+    *
+    * Per-row codec work, no shuffle at all — the 100 TB shape is
+    * embarrassingly parallel decode.
+    */
+  def resampleAudio(media: Dataset[Media], factor: Int): DataFrame = {
+    require(factor >= 2, s"factor must be >= 2, got $factor")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeAudio(m.bytes) match {
+          case Some((rate, _, samples)) =>
+            val nOut = samples.length / factor
+            var checksum = 0L
+            var sumSq = 0L
+            var j = 0
+            while (j < nOut) {
+              var s = 0L
+              var i = 0
+              while (i < factor) { s += samples(j * factor + i); i += 1 }
+              val v = Math.floorDiv(s, factor.toLong)
+              checksum += v * (j + 1)
+              sumSq += v * v
+              j += 1
+            }
+            (m.media_id, rate / factor, nOut.toLong, checksum,
+              if (nOut == 0) 0.0 else math.sqrt(sumSq.toDouble / nOut))
+          case None => (m.media_id, 0, 0L, 0L, 0.0)
+        }
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "checksum", "rms")
+  }
+
   /** REAL resize tier: decodable image payloads decode to pixels,
     * box-average `factor`×`factor` blocks (integer floor mean —
     * deterministic, SQL-replayable), and re-encode LOSSLESSLY as PNG;

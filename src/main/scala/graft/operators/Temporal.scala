@@ -1441,6 +1441,51 @@ object Temporal {
           / (denT.cast("double") * denQ.cast("double")), 6)).as("r_squared"))
   }
 
+  /** BOLLINGER BANDS — per key, the rolling mean ± k·σ envelope over
+    * the trailing `window` observations, plus the breakout flag: the
+    * volatility-normalized band monitor ([[rollingZScore]]'s windowed
+    * sibling that reports the ENVELOPE, not just the score). Only full
+    * windows emit — a 3-row warm-up band is noise, not a signal.
+    *
+    * Exactness: centi-quantized Longs; the window sums (Σq, Σq²) are
+    * exact, variance numerator `n·Σq² − (Σq)²` is an exact Long, and
+    * mean/σ/bands are a fixed IEEE tree (σ = √varNum / n / 100). The
+    * breakout compares the QUANTIZED value against the band — both
+    * engines compare identical doubles.
+    *
+    * Shape: ONE key exchange (a single rows-frame window).
+    */
+  def bollinger(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, window: Int = 5, k: Double = 2.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val q = floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tie"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val base = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol).as("__tie"), q.as("__q"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sq", sum(col("__q")).over(w))
+      .withColumn("__sqq", sum(col("__q") * col("__q")).over(w))
+      .filter(col("__n") === window.toLong)
+    val nD = col("__n").cast("double")
+    val mean = col("__sq").cast("double") / nD / lit(100.0)
+    val varNum = col("__n") * col("__sqq") - col("__sq") * col("__sq")
+    val sd = sqrt(varNum.cast("double")) / nD / lit(100.0)
+    base.select(
+      col(keyCol),
+      col("__tie").as(tieCol),
+      round(mean, 6).as("band_mean"),
+      round(sd, 6).as("band_sd"),
+      round(mean + lit(k) * sd, 6).as("band_upper"),
+      round(mean - lit(k) * sd, 6).as("band_lower"),
+      when(col("__q").cast("double") / lit(100.0) > mean + lit(k) * sd, 1L)
+        .when(col("__q").cast("double") / lit(100.0) < mean - lit(k) * sd, -1L)
+        .otherwise(0L).as("breakout"))
+  }
+
   /** RFM SEGMENTATION — per user, Recency (days since last event,
     * against the corpus max), Frequency (event count) and Monetary
     * (summed value), each scored into `buckets` quantile bands, plus

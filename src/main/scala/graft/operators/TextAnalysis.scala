@@ -57,6 +57,57 @@ object TextAnalysis {
       .agg(round(avg(col("__lp")), 6).as("lm_score"), count(lit(1)).as("n_bigrams"))
   }
 
+  /** STUPID-BACKOFF BIGRAM LM SCORING (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the web-scale scoring
+    * rule: a seen bigram scores its raw relative frequency c12/c1; an
+    * unseen one BACKS OFF to α · unigram (α = 0.4, the paper's
+    * constant), with add-one smoothing on the unigram so an
+    * out-of-vocabulary word scores finitely instead of −∞. No
+    * discounting pass, no normalization — exactly why it scales: the
+    * score needs only count lookups, so at 100 TB it is three
+    * broadcast-joinable count tables, not an EM loop.
+    *
+    * Replay contract: every score is one or two IEEE ops on exact
+    * integer counts (c12/c1, or α·(cu+1)/(T+V)); the per-doc readout
+    * is avg(ln score) (the qt12 aggregation contract) plus the seen
+    * fraction.
+    */
+  def backoffLmScore(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = df
+      .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("__h", expr("slice(__toks, 1, size(__toks) - 1)"))
+      .withColumn("__t", expr("slice(__toks, 2, size(__toks) - 1)"))
+      .select(col(idCol), explode(arrays_zip(col("__h"), col("__t"))).as("__p"))
+      .select(col(idCol), col("__p.__h").as("w1"), col("__p.__t").as("w2"))
+    val tb = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tu = tb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val unig = train
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("cu"))
+    val tot = unig.agg(
+      sum(col("cu")).as("__t"),
+      count(lit(1)).as("__v"))
+    bigrams(eval)
+      .join(tb, Seq("w1", "w2"), "left")
+      .join(tu, Seq("w1"), "left")
+      .join(unig, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__seen",
+        when(col("c12").isNotNull && col("c1") > 0L, 1L).otherwise(0L))
+      .withColumn("__s",
+        when(col("__seen") === 1L,
+          col("c12").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(alpha) * (coalesce(col("cu"), lit(0L)) + 1L).cast("double")
+            / (col("__t") + col("__v")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(col("__s"))), 6).as("backoff_score"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("__seen")).as("n_seen"))
+  }
+
   /** Left-to-right non-overlapping merge of the adjacent pair (a, b):
     * the canonical BPE merge step (overlapping occurrences resolve
     * greedily leftward: "aaa" + merge(a,a) → ["aa", "a"]).

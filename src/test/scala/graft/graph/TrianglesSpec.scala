@@ -46,6 +46,26 @@ class TrianglesSpec extends AnyFunSuite {
     assert(count(messy) == (3L, 3L, 1L))
   }
 
+  test("perNode: coefficients exact on K3 + pendant, corner credit sums " +
+      "to 3x the global count") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("x", "y")
+    val got = Triangles.perNode(edges, "x", "y").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.333333)))
+    assert(got(4L)._1 == 1L && got(4L)._2 == 0L && got(4L)._3.isNaN)
+    // credit conservation vs the global counter on a denser graph
+    val dense = (for {
+      a <- 1L to 8L; b <- (a + 1) to 8L if (a + b) % 3 != 0
+    } yield (a, b)).toDF("x", "y")
+    val global = Triangles.count(dense, "x", "y").collect()(0).getLong(2)
+    val perN = Triangles.perNode(dense, "x", "y")
+      .agg(org.apache.spark.sql.functions.sum("triangles")).collect()(0).getLong(0)
+    assert(perN == 3L * global)
+  }
+
   test("every join is keyed: no cartesian or nested-loop in the plan") {
     val df = Triangles.count(
       Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("x", "y"), "x", "y")

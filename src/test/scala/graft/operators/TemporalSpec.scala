@@ -826,6 +826,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(3L).getDouble(2) == 0.0 && got(3L).isNullAt(4))
   }
 
+  test("bollinger: exact window power sums, full windows only, spike " +
+      "breaks the +1-sigma band (a 5-window's max |z| is 1.79, so " +
+      "k = 2 would be unbreakable by construction)") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // constant warm-up then a spike at t=6
+    val df = (1L to 5L).map(i => (1L, ts(i), i, 2.0)) :+ ((1L, ts(6L), 6L, 9.0))
+    val got = Temporal.bollinger(df.toDF("k", "ts", "tie", "v"),
+      "k", "ts", "tie", "v", window = 5, k = 1.0)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(6)))).toMap
+    // only rows 5 and 6 have full windows
+    assert(got.keySet == Set(5L, 6L))
+    assert(got(5L) == ((2.0, 0.0, 0L)))
+    // window at t=6: q = {200,200,200,200,900} -> mean 3.4,
+    // varNum = 5*970000 - 1700^2 = 1960000, sd = 1400/500 = 2.8,
+    // upper = 6.2 < 9.0 -> breakout +1
+    assert(got(6L) == ((3.4, 2.8, 1L)))
+  }
+
   test("rfmSegments: exact quantile thresholds, ties share a band, " +
       "recency inverts so 5 = most recent") {
     import spark.implicits._

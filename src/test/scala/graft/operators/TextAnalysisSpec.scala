@@ -652,4 +652,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("backoffLmScore: seen bigrams score raw c12/c1, unseen back off " +
+      "to 0.4 x add-one unigram, OOV stays finite") {
+    import spark.implicits._
+    // train: "a b" twice, "a c" once -> c1(a)=3, c12(a,b)=2, c12(a,c)=1
+    // unigrams: a:3 b:2 c:1 -> T=6, V=3
+    val train = Seq((0L, "a b"), (2L, "a b"), (4L, "a c")).toDF("doc_id", "text")
+    // eval doc 1: "a b" (seen: 2/3); doc 3: "b z" (unseen, z OOV:
+    // 0.4 * (0+1)/9); doc 5: "c a" (unseen w1=c has c1=0: 0.4*(3+1)/9)
+    val eval = Seq((1L, "a b"), (3L, "b z"), (5L, "c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.backoffLmScore(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((r6(math.log(2.0 / 3.0)), 1L, 1L)))
+    assert(got(3L) == ((r6(math.log(0.4 * 1.0 / 9.0)), 1L, 0L)))
+    assert(got(5L) == ((r6(math.log(0.4 * 4.0 / 9.0)), 1L, 0L)))
+  }
+
 }

@@ -110,4 +110,27 @@ class WavSpec extends AnyFunSuite {
     assert(graft.multimodal.Multimodal.decodeAudio("not audio".getBytes).isEmpty)
     assert(graft.multimodal.Multimodal.decodeAudio(enc).map(_._3.toSeq).contains(Seq[Short](1, 2, 3)))
   }
+
+  test("resampleAudio: floor-mean pairs (negative-safe), trailing " +
+      "partial block drops, checksum pins every sample") {
+    val spark = graft.GraftSession.local(2, "wav-resample-spec")
+    import spark.implicits._
+    // 5 samples, factor 2: pairs (0,2)->1, (-3,-3)->-3; the 5th drops.
+    // floor((-3 + -3)/2) = -3; floor((0+2)/2) = 1; floor((1,-2)) = -1
+    val samples = Array[Short](0, 2, -3, -3, 7)
+    val media = Seq(
+      graft.multimodal.Multimodal.Media(1L, graft.multimodal.Multimodal.MediaMeta("audio", 0, 0, 16000),
+        Wav.encodeMono16(samples, 16000)),
+      // odd negative pair: floor(-1/2) must be -1, not 0 (truncation)
+      graft.multimodal.Multimodal.Media(2L, graft.multimodal.Multimodal.MediaMeta("audio", 0, 0, 16000),
+        Wav.encodeMono16(Array[Short](1, -2), 16000))
+    ).toDS()
+    val got = graft.multimodal.Multimodal.resampleAudio(media, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // media 1: out = [1, -3]; checksum 1*1 + (-3)*2 = -5; rms sqrt(10/2)
+    assert(got(1L) == ((8000, 2L, -5L, math.sqrt(5.0))))
+    // media 2: out = [-1]; checksum -1; rms 1
+    assert(got(2L) == ((8000, 1L, -1L, 1.0)))
+  }
 }
