@@ -1579,6 +1579,64 @@ object SparkEntry {
     operators.Spatial.focalMean(cells, radius = 1, quant = 10.0)
   }
 
+  /** Rolling lag-1 autocorrelation ([[operators.Temporal
+    * .rollingAutocorr]], window 8): per-user trending-vs-whipsawing
+    * regime signal — Pearson over the trailing 8 (prev, current)
+    * centi-quantized pairs, full windows only.
+    */
+  private def qe44Autocorr(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.rollingAutocorr(
+      events(spark, dir), "user_id", "ts", "event_id", "value", window = 8)
+
+  /** Jensen–Shannon divergence ([[operators.Profiling.jsDivergence]])
+    * between the even- and odd-doc token distributions — the
+    * zero-bin-safe corpus drift readout (PSI's log-ratio is infinite on
+    * any token one side lacks; JSD's mixture midpoint absorbs it).
+    */
+  private def qp14Jsd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    def toks(f: DataFrame): DataFrame =
+      f.select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    operators.Profiling.jsDivergence(
+      toks(docs.filter(col("doc_id") % 2 === 0)),
+      toks(docs.filter(col("doc_id") % 2 === 1)),
+      "token")
+  }
+
+  /** Zipf rank–frequency fit ([[operators.TextAnalysis.zipfFit]]):
+    * OLS of ln(freq) on ln(rank) over the descending word-frequency
+    * table — the corpus-health fingerprint (natural text ≈ −1 slope).
+    */
+  private def qt41Zipf(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.zipfFit(t(spark, dir, "documents"), "text")
+
+  /** Winsorization ([[operators.Relational.winsorize]], p10/p90 per
+    * event_type on centi-quantized values): row-preserving outlier
+    * clamping through the grouped-percentile bisection kernel, read
+    * out as per-type clip counts and raw-vs-winsorized means.
+    */
+  private def qe45Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(
+        col("event_type"),
+        floor(col("value").cast("double") * lit(100.0)).cast("long").as("q"))
+    operators.Relational.winsorize(base, "event_type", "q", 10.0, 90.0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__clip") === -1L, 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("__clip") === 1L, 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("q")).as("__sraw"),
+        sum(col("__w").cast("long")).as("__swin"))
+      .select(
+        col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        round(col("__sraw").cast("double") / col("n").cast("double") / lit(100.0), 6)
+          .as("mean_raw"),
+        round(col("__swin").cast("double") / col("n").cast("double") / lit(100.0), 6)
+          .as("mean_winsorized"))
+  }
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -4825,6 +4883,10 @@ object SparkEntry {
     "qe41_spearman" -> (qe41Spearman _),
     "qe42_rfm" -> (qe42Rfm _),
     "qe43_bollinger" -> (qe43Bollinger _),
+    "qe44_autocorr" -> (qe44Autocorr _),
+    "qe45_winsorize" -> (qe45Winsorize _),
+    "qp14_jsd" -> (qp14Jsd _),
+    "qt41_zipf" -> (qt41Zipf _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
@@ -8113,6 +8175,157 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE) / (CAST(n_nbrs AS DOUBLE) * 10.0), 6)
         |    AS focal_mean
         |FROM f""".stripMargin,
+    // Rolling lag-1 autocorrelation: identical lag pairs (the lag runs
+    // over the key's FULL ordered series, then non-null pairs window),
+    // exact Long power sums, variances multiply as DOUBLES (their Long
+    // product overflows at centi scale), one sqrt + divide
+    "qe44_autocorr" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT k, t, tie, y,
+        |    lag(y, 1) OVER (PARTITION BY k ORDER BY t, tie) AS x
+        |  FROM b),
+        |pp AS (SELECT * FROM p WHERE x IS NOT NULL),
+        |w AS (
+        |  SELECT k, tie,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(x) OVER win AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER win AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER win AS BIGINT) AS syy
+        |  FROM pp
+        |  WINDOW win AS (PARTITION BY k ORDER BY t, tie
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT k, tie,
+        |    n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx,
+        |    n * syy - sy * sy AS deny
+        |  FROM w WHERE n = 8)
+        |SELECT k AS user_id, tie AS event_id,
+        |  CASE WHEN denx > 0 AND deny > 0 THEN
+        |    round(CAST(num AS DOUBLE)
+        |      / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+        |  END AS autocorr_l1
+        |FROM f""".stripMargin,
+    // JSD: exact Long category counts both sides, the per-category
+    // 0.5*p*ln(p/m) terms fold in category order (list_reduce mirrors
+    // the engine's sorted-array fold), zero-count sides contribute 0
+    "qp14_jsd" ->
+      """WITH ta AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS c
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS c
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT c, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY c),
+        |cb AS (SELECT c, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY c),
+        |j AS (
+        |  SELECT coalesce(ca.c, cb.c) AS c,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.c = cb.c),
+        |tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM j),
+        |s AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(
+        |      (CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+        |        * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+        |          / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |            + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+        |        ELSE 0.0 END)
+        |      + (CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |        * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |          / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |            + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+        |        ELSE 0.0 END)
+        |      ORDER BY c)), (x, y) -> x + y) AS jsd
+        |  FROM j CROSS JOIN tot)
+        |SELECT na AS n_a, nb AS n_b, k AS n_cats,
+        |  round(jsd, 6) AS jsd, round(jsd / ln(2), 6) AS jsd_norm
+        |FROM s CROSS JOIN tot""".stripMargin,
+    // Zipf fit: total (count desc, word) rank order, ln terms fold as
+    // ordered list_reduce sums (the engine folds the same sorted
+    // array), the OLS readout is the qe40 closed form on those sums
+    "qt41_zipf" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w),
+        |r AS (
+        |  SELECT w, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+        |  FROM c),
+        |t AS (
+        |  SELECT r, ln(CAST(r AS DOUBLE)) AS lx, ln(CAST(c AS DOUBLE)) AS ly, c
+        |  FROM r),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS nk,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(lx ORDER BY r)), (x, y) -> x + y) AS sx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ly ORDER BY r)), (x, y) -> x + y) AS sy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(lx * ly ORDER BY r)), (x, y) -> x + y) AS sxy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(lx * lx ORDER BY r)), (x, y) -> x + y) AS sxx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ly * ly ORDER BY r)), (x, y) -> x + y) AS syy
+        |  FROM t),
+        |f AS (
+        |  SELECT n, nk,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+        |    sx, sy
+        |  FROM s)
+        |SELECT n AS n_types, nk AS n_tokens,
+        |  CASE WHEN denx > 0.0 THEN round(num / denx, 6) END AS slope,
+        |  CASE WHEN denx > 0.0 THEN
+        |    round((sy - num / denx * sx) / CAST(n AS DOUBLE), 6) END AS intercept,
+        |  CASE WHEN denx > 0.0 AND deny > 0.0 THEN
+        |    round(num * num / (denx * deny), 6) END AS r_squared
+        |FROM f""".stripMargin,
+    // Winsorize: nearest-rank thresholds are group-multiset properties
+    // (round(p/100*(n-1)) on the ascending sort of exact centi-Longs),
+    // clamp and sums stay integer, one divide per mean
+    "qe45_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, q,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY q) AS BIGINT) - 1 AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM b),
+        |lo AS (
+        |  SELECT k, CAST(q AS DOUBLE) AS lo FROM r
+        |  WHERE rn = round(0.10 * (n - 1))),
+        |hi AS (
+        |  SELECT k, CAST(q AS DOUBLE) AS hi FROM r
+        |  WHERE rn = round(0.90 * (n - 1))),
+        |c AS (
+        |  SELECT b.k, b.q,
+        |    CASE WHEN CAST(b.q AS DOUBLE) < lo.lo THEN CAST(lo.lo AS BIGINT)
+        |         WHEN CAST(b.q AS DOUBLE) > hi.hi THEN CAST(hi.hi AS BIGINT)
+        |         ELSE b.q END AS w,
+        |    CASE WHEN CAST(b.q AS DOUBLE) < lo.lo THEN -1
+        |         WHEN CAST(b.q AS DOUBLE) > hi.hi THEN 1 ELSE 0 END AS clip
+        |  FROM b JOIN lo ON lo.k = b.k JOIN hi ON hi.k = b.k)
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN clip = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN clip = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  round(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 6)
+        |    AS mean_raw,
+        |  round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 6)
+        |    AS mean_winsorized
+        |FROM c GROUP BY k""".stripMargin,
     // Hampel screen: both medians are SELECTIONS over identical Longs
     // carried at 2x scale; the outlier test is all-integer
     // (2*dev > 3*dm2) — no float before display rounding on either side

@@ -666,4 +666,60 @@ object Profiling {
         .as("pearson_r"))
   }
 
+  /** JENSEN–SHANNON DIVERGENCE between two categorical distributions —
+    * the symmetric, bounded (≤ ln 2) drift measure for TOKEN/label
+    * distributions, where PSI ([[driftReport]]) breaks on zero bins
+    * (its log-ratio is infinite for any category one side lacks; JSD's
+    * mixture midpoint absorbs them). The standard corpus-shift readout
+    * between two text corpora: feed each side's exploded tokens.
+    *
+    * Exactness: per-category counts are exact Longs; the categorical
+    * table collects into ONE sorted array (the dictionary trick —
+    * category-bounded, like [[mutualInformation]]) and every double
+    * fold runs in the same category order both engines, so the sums
+    * are bit-reproducible. Zero-count sides contribute exactly their
+    * guarded 0.5·p·ln(p/m) term (p > 0 always when its count > 0; m > 0
+    * whenever either side is present).
+    *
+    * Output (one row): n_a, n_b (token totals), n_cats, jsd (nats),
+    * jsd_norm (= jsd / ln 2 ∈ [0, 1]).
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val ca = a.groupBy(col(catCol).as("__c")).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(catCol).as("__c")).agg(count(lit(1)).as("__cb"))
+    val joined = ca
+      .join(cb, Seq("__c"), "full_outer")
+      .select(
+        col("__c"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    joined
+      .agg(sort_array(collect_list(struct(col("__c"), col("__ca"), col("__cb"))))
+        .as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(explode(transform(array(col("__t")), t => {
+        val na = aggregate(t, lit(0L), (acc, x) => acc + x("__ca"))
+        val nb = aggregate(t, lit(0L), (acc, x) => acc + x("__cb"))
+        val naD = na.cast("double")
+        val nbD = nb.cast("double")
+        val jsd = aggregate(t, lit(0.0), (acc, x) => {
+          val p = x("__ca").cast("double") / naD
+          val q = x("__cb").cast("double") / nbD
+          val m = (p + q) / lit(2.0)
+          acc +
+            when(x("__ca") > 0L, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+            when(x("__cb") > 0L, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+        })
+        struct(
+          na.as("na"), nb.as("nb"),
+          size(t).cast("long").as("k"),
+          round(jsd, 6).as("jsd"),
+          round(jsd / lit(math.log(2.0)), 6).as("jn"))
+      })).as("__x"))
+      .select(
+        col("__x.na").as("n_a"), col("__x.nb").as("n_b"),
+        col("__x.k").as("n_cats"), col("__x.jsd").as("jsd"),
+        col("__x.jn").as("jsd_norm"))
+  }
+
 }

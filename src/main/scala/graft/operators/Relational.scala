@@ -211,6 +211,29 @@ object Relational {
       percentile: Double,
       exactCutoff: Long = 262144,
       maxBisectGroups: Int = 10000): DataFrame = {
+    val thr = groupedPercentileThresholds(
+      df, keyCol, valueCol, percentile, exactCutoff, maxBisectGroups)
+    df.join(broadcast(thr), Seq(keyCol))
+      .filter(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /** The threshold kernel behind [[groupedPercentileFilter]] — returns
+    * one row per key: (keyCol, __thr), where __thr is the group's
+    * nearest-rank percentile value (round(p/100·(n−1)) on the ascending
+    * sort, NaN/null ignored). Exposed so multi-threshold consumers
+    * ([[winsorize]] needs BOTH tails) reuse the bisection machinery
+    * without filtering twice. Same strategy guard as the filter: few
+    * huge groups bisect; past `maxBisectGroups` keys the per-key window
+    * form runs instead (many groups ⇒ small groups ⇒ parallel sorts).
+    */
+  def groupedPercentileThresholds(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      percentile: Double,
+      exactCutoff: Long = 262144,
+      maxBisectGroups: Int = 10000): DataFrame = {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
     import org.apache.spark.sql.Row
     val spark = df.sparkSession
@@ -246,7 +269,7 @@ object Relational {
         .collect()
       if (bandsHead.length > maxBisectGroups) {
         vals.unpersist(blocking = false)
-        return groupedPercentileFilterWindow(df, keyCol, valueCol, percentile)
+        return groupedPercentileThresholdsWindow(df, keyCol, valueCol, percentile)
       }
       var pending: Seq[Row] = bandsHead
         .map { r =>
@@ -318,12 +341,9 @@ object Relational {
       require(pending.isEmpty, s"grouped percentile failed to converge in $guard rounds")
       val thrSchema = StructType(Seq(
         StructField("__k", keyType), StructField("__thr", DoubleType)))
-      val thr = spark.createDataFrame(
+      spark.createDataFrame(
         spark.sparkContext.parallelize(resolved.toSeq.map { case (k, v) => Row(k, v) }, 1), thrSchema)
         .withColumnRenamed("__k", keyCol)
-      df.join(broadcast(thr), Seq(keyCol))
-        .filter(col(valueCol) >= col("__thr"))
-        .drop("__thr")
     } finally vals.unpersist(blocking = false)
   }
 
@@ -336,17 +356,65 @@ object Relational {
       keyCol: String,
       valueCol: String,
       percentile: Double): DataFrame = {
+    val thr = groupedPercentileThresholdsWindow(df, keyCol, valueCol, percentile)
+    df.join(broadcast(thr), Seq(keyCol))
+      .filter(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Window-form threshold kernel (one per-key sort; the many-small-
+    * groups regime of the strategy guard). Returns (keyCol, __thr). */
+  def groupedPercentileThresholdsWindow(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      percentile: Double): DataFrame = {
     val wSort = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
     val wAll = Window.partitionBy(col(keyCol))
-    val thr = df
+    df
       .filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
       .withColumn("__rn", row_number().over(wSort) - 1)
       .withColumn("__n", count(lit(1)).over(wAll))
       .filter(col("__rn") === round(lit(percentile / 100.0) * (col("__n") - 1)))
-      .select(col(keyCol), col(valueCol).as("__thr"))
-    df.join(broadcast(thr), Seq(keyCol))
-      .filter(col(valueCol) >= col("__thr"))
-      .drop("__thr")
+      .select(col(keyCol), col(valueCol).cast("double").as("__thr"))
+  }
+
+  /** WINSORIZATION — per key, clamp `valueCol` into its group's
+    * [pLo, pHi] nearest-rank percentile band: the outlier treatment
+    * that PRESERVES row count (unlike a percentile filter, which drops)
+    * — the standard pre-aggregation step for heavy-tailed metrics.
+    * Thresholds are group-multiset properties (same nearest-rank
+    * contract as [[groupedPercentileFilter]], both tails through the
+    * scale-guarded bisection kernel), so the result is deterministic.
+    * Adds `__w` (the clamped value, as double — thresholds are actual
+    * data values, so quantized-integer inputs stay integral) and
+    * `__clip` (−1 clipped low / 0 kept / +1 clipped high).
+    *
+    * Cost: two threshold passes over the grouped multiset + one
+    * broadcast join — no per-row shuffle of the data itself.
+    */
+  def winsorize(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      pLo: Double,
+      pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 100 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 100, got ($pLo, $pHi)")
+    val lo = groupedPercentileThresholds(df, keyCol, valueCol, pLo)
+      .withColumnRenamed("__thr", "__lo")
+    val hi = groupedPercentileThresholds(df, keyCol, valueCol, pHi)
+      .withColumnRenamed("__thr", "__hi")
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(lo), Seq(keyCol))
+      .join(broadcast(hi), Seq(keyCol))
+      .withColumn("__w",
+        when(v < col("__lo"), col("__lo"))
+          .when(v > col("__hi"), col("__hi"))
+          .otherwise(v))
+      .withColumn("__clip",
+        when(v < col("__lo"), -1L).when(v > col("__hi"), 1L).otherwise(0L))
+      .drop("__lo", "__hi")
   }
 
   /** P3 — conditional overwrite (reference `preparation.sh:142-146`, the

@@ -1608,4 +1608,54 @@ object Temporal {
         .as("rho"))
   }
 
+  /** ROLLING LAG-1 AUTOCORRELATION — per key, the Pearson correlation
+    * between consecutive observations (x = previous value, y = current)
+    * over the trailing `window` lag-pairs: the regime detector behind
+    * momentum/mean-reversion monitoring ("is this series trending or
+    * whipsawing RIGHT NOW?"). Only full windows emit.
+    *
+    * Exactness: centi-quantized Longs; the lag pairs carry (qₜ₋₁, qₜ)
+    * and the window's six power sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact Longs, so the correlation is a fixed IEEE tree — the two
+    * variance terms multiply as DOUBLES (their Long product overflows
+    * at centi scale). Constant windows (either variance 0) emit NULL.
+    *
+    * Shape: ONE key exchange — the lag window and the rolling-sum
+    * window share (partition, order), so Catalyst plans a single
+    * exchange + sort.
+    */
+  def rollingAutocorr(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, window: Int = 8): DataFrame = {
+    require(window >= 3, s"window must be >= 3, got $window")
+    val q = floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+    val wLag = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__tie"))
+    val wRoll = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tie"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val pairs = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol).as("__tie"), q.as("__y"))
+      .withColumn("__x", lag(col("__y"), 1).over(wLag))
+      .filter(col("__x").isNotNull)
+    val sums = pairs
+      .withColumn("__n", count(lit(1)).over(wRoll))
+      .withColumn("__sx", sum(col("__x")).over(wRoll))
+      .withColumn("__sy", sum(col("__y")).over(wRoll))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(wRoll))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(wRoll))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(wRoll))
+      .filter(col("__n") === window.toLong)
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val denX = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val denY = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    sums.select(
+      col(keyCol),
+      col("__tie").as(tieCol),
+      when(denX > 0L && denY > 0L,
+        round(num.cast("double")
+          / sqrt(denX.cast("double") * denY.cast("double")), 6))
+        .as("autocorr_l1"))
+  }
+
 }

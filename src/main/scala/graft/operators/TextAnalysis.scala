@@ -1099,4 +1099,60 @@ object TextAnalysis {
           6).as("lift"))
   }
 
+  /** ZIPF RANK–FREQUENCY FIT — the corpus-health diagnostic: word
+    * frequencies ranked descending should fall on ln(freq) ≈ a +
+    * s·ln(rank) with s ≈ −1 for natural language; a flat slope flags
+    * template/boilerplate corpora, a cliff flags truncated vocab. The
+    * one-row readout (n_types, n_tokens, slope, intercept, r_squared)
+    * is the standard pre-training corpus fingerprint.
+    *
+    * Determinism: counts are exact Longs; the rank order is total
+    * ((count desc, word asc) — negated count in the sort struct) and
+    * every double sum folds over ONE sorted array (the dictionary
+    * trick, vocab-bounded like [[pmiCollocations]]' frequent set), so
+    * the OLS sums are bit-reproducible and the oracle replays them as
+    * ordered `list_reduce` folds.
+    */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .agg(sort_array(collect_list(struct((-col("__c")).as("__nc"), col("__w"))))
+        .as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(explode(transform(array(col("__t")), t => {
+        val n = size(t).cast("long")
+        val nD = n.cast("double")
+        val nTokens = aggregate(t, lit(0L), (acc, x) => acc - x("__nc"))
+        // x = ln(rank), y = ln(count): indexed transform, fold in order
+        val terms = zip_with(
+          t, sequence(lit(1L), greatest(n, lit(1L))),
+          (s, r) => struct(
+            log(r.cast("double")).as("lx"),
+            log((-s("__nc")).cast("double")).as("ly")))
+        def fsum(f: (Column, Column) => Column): Column =
+          aggregate(terms, lit(0.0), (acc, x) => acc + f(x("lx"), x("ly")))
+        val sx = fsum((x, _) => x)
+        val sy = fsum((_, y) => y)
+        val sxy = fsum((x, y) => x * y)
+        val sxx = fsum((x, _) => x * x)
+        val syy = fsum((_, y) => y * y)
+        val num = nD * sxy - sx * sy
+        val denX = nD * sxx - sx * sx
+        val denY = nD * syy - sy * sy
+        struct(
+          n.as("nt"), nTokens.as("nk"),
+          when(denX > 0.0, round(num / denX, 6)).as("sl"),
+          when(denX > 0.0, round((sy - num / denX * sx) / nD, 6)).as("ic"),
+          when(denX > 0.0 && denY > 0.0, round(num * num / (denX * denY), 6))
+            .as("r2"))
+      })).as("__x"))
+      .select(
+        col("__x.nt").as("n_types"), col("__x.nk").as("n_tokens"),
+        col("__x.sl").as("slope"), col("__x.ic").as("intercept"),
+        col("__x.r2").as("r_squared"))
+  }
+
 }

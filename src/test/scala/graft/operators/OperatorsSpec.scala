@@ -1390,4 +1390,48 @@ class OperatorsSpec extends AnyFunSuite {
       ind.filter(lit(false)), col("a"), col("b")).count() == 0L)
   }
 
+  test("jsDivergence: identical distributions -> 0, disjoint -> ln 2 " +
+      "(norm 1), zero-count categories absorbed, empty input -> no row") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y").toDF("c")
+    // same distribution at a different total: JSD = 0
+    val a2 = Seq("x", "x", "x", "x", "y", "y").toDF("c")
+    val r0 = Profiling.jsDivergence(a, a2, "c").collect().head
+    assert(r0.getLong(0) == 3L && r0.getLong(1) == 6L && r0.getLong(2) == 2L)
+    assert(r0.getDouble(3) == 0.0 && r0.getDouble(4) == 0.0)
+    // disjoint supports: JSD = ln 2 exactly, normalized 1
+    val b = Seq("z", "w").toDF("c")
+    val r1 = Profiling.jsDivergence(a, b, "c").collect().head
+    assert(r1.getLong(2) == 4L)
+    assert(r1.getDouble(3) == 0.693147 && r1.getDouble(4) == 1.0)
+    // symmetric: swapping sides gives the same divergence
+    val r2 = Profiling.jsDivergence(b, a, "c").collect().head
+    assert(r2.getDouble(3) == r1.getDouble(3))
+    // empty either side: no row (guarded by the size filter)
+    assert(Profiling.jsDivergence(
+      a.filter(lit(false)), a.filter(lit(false)), "c").count() == 0L)
+  }
+
+  test("winsorize: clamps both tails to nearest-rank thresholds, keeps " +
+      "row count, bisection == window-threshold form") {
+    import spark.implicits._
+    val df = ((1L to 9L).map(v => ("a", v * 10L)) ++
+      Seq(("a", 1000L), ("b", 5L), ("b", 6L), ("b", 7L))).toDF("k", "v")
+    val out = Relational.winsorize(df, "k", "v", 10.0, 90.0)
+    assert(out.count() == df.count())
+    val aRows = out.filter(col("k") === "a")
+      .select(col("v"), col("__w"), col("__clip")).collect()
+    // group a: n=10, lo rank round(.1*9)=1 -> 20, hi rank round(.9*9)=8 -> 90
+    val byV = aRows.map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(byV(10L) == ((20.0, -1L))) // below lo -> clamped up
+    assert(byV(1000L) == ((90.0, 1L))) // above hi -> clamped down
+    assert(byV(50L) == ((50.0, 0L)))
+    // window-threshold twin agrees on both tails
+    val loB = Relational.groupedPercentileThresholds(df, "k", "v", 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val loW = Relational.groupedPercentileThresholdsWindow(df, "k", "v", 10.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(loB == loW)
+  }
+
 }

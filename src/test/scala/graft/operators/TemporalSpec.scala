@@ -892,4 +892,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(tied > 0.9 && tied < 1.0, s"tied rho = $tied")
   }
 
+  test("rollingAutocorr: alternating series -> -1, linear ramp -> +1, " +
+      "constant window -> null, partial windows suppressed") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // key 1: strict alternation 1,9,1,9,... lag pairs anti-correlate
+    val alt = (1L to 6L).map(i => (1L, ts(i), i, if (i % 2 == 0) 9.0 else 1.0))
+    // key 2: linear ramp -> consecutive pairs perfectly correlate
+    val ramp = (1L to 6L).map(i => (2L, ts(i), 10L + i, i.toDouble))
+    // key 3: constant -> zero variance -> null
+    val const = (1L to 6L).map(i => (3L, ts(i), 20L + i, 4.0))
+    val df = (alt ++ ramp ++ const).toDF("k", "ts", "tie", "v")
+    val got = Temporal.rollingAutocorr(df, "k", "ts", "tie", "v", window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    // 6 rows -> 5 lag pairs -> full windows of 4 pairs end at ties 5, 6
+    assert(got.keySet.count(_._1 == 1L) == 2)
+    assert(got((1L, 5L)) == -1.0 && got((1L, 6L)) == -1.0)
+    assert(got((2L, 15L)) == 1.0 && got((2L, 16L)) == 1.0)
+    assert(got((3L, 25L)) == null && got((3L, 26L)) == null)
+  }
+
 }

@@ -670,4 +670,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) == ((r6(math.log(0.4 * 4.0 / 9.0)), 1L, 0L)))
   }
 
+  test("zipfFit: exact power law -> slope -1 with r2 = 1, counts and " +
+      "types exact, single-type corpus reports null slope") {
+    import spark.implicits._
+    // counts 6,3,2 at ranks 1,2,3: c = 6/r exactly -> ln-ln slope -1.
+    // Built from repeated words so tokenization produces the counts.
+    val docs = Seq((0L, ("a " * 6).trim), (1L, ("b " * 3).trim),
+      (2L, "c c")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs, "text").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 11L)
+    assert(r.getDouble(2) == -1.0)
+    assert(r.getDouble(4) == 1.0)
+    // one type: denX = 0 -> slope/intercept/r2 all null
+    val one = Seq((0L, "w w w")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.zipfFit(one, "text").collect().head
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 3L && r1.isNullAt(2))
+  }
+
 }
