@@ -1637,6 +1637,42 @@ object SparkEntry {
           .as("mean_winsorized"))
   }
 
+  /** Single-source BFS hop distance ([[graph.Bfs.hops]]) from node 0
+    * over the orders-derived mod-500 graph: frontier-expansion layers,
+    * unreachable nodes absent. Oracle replays the monotone min-fold
+    * (the qd6 label-prop recursion carrying the FULL distance table
+    * per iteration — frontier-style recursion multiplies paths).
+    */
+  private def qg18Bfs(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(
+        (col("o_custkey") % 500).as("x"),
+        (col("o_orderkey") % 500).as("y"))
+    graph.Bfs.hops(edges, "x", "y", source = 0L)
+  }
+
+  /** Edit-distance self-join ([[operators.Dedup.editDistanceJoin]],
+    * k = 1) over customer names: deletion-neighborhood candidates +
+    * exact levenshtein verify. The shared "Customer#0000" prefix is
+    * the corpus shape that defeats q-gram prefix filtering (measured:
+    * 10⁷–10⁸ candidates at every q); deletion variants pin all but k
+    * characters, so buckets stay true-neighbor-sized.
+    */
+  private def qd19EditJoin(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.editDistanceJoin(
+      t(spark, dir, "customer"), "c_custkey", "c_name", k = 1)
+
+  /** Keep-best near-dup canonicalization ([[operators.Dedup
+    * .keepBestNearDups]]): qd2's MinHash-LSH pairs, qd6's connected
+    * components, then each multi-member cluster keeps its LONGEST
+    * document (ties to the lowest id) — the "most complete variant"
+    * selection policy, per-cluster argmax as max(struct), no window.
+    */
+  private def qd20KeepBest(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.keepBestNearDups(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -4887,6 +4923,9 @@ object SparkEntry {
     "qe45_winsorize" -> (qe45Winsorize _),
     "qp14_jsd" -> (qp14Jsd _),
     "qt41_zipf" -> (qt41Zipf _),
+    "qg18_bfs" -> (qg18Bfs _),
+    "qd19_edit_join" -> (qd19EditJoin _),
+    "qd20_keep_best" -> (qd20KeepBest _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
@@ -8326,6 +8365,41 @@ object SparkEntry {
         |  round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 6)
         |    AS mean_winsorized
         |FROM c GROUP BY k""".stripMargin,
+    // BFS hops: the qd6 monotone min-fold recursion — the FULL distance
+    // table rides every iteration (frontier-style recursion multiplies
+    // paths), min over all iterations = the converged layer distance
+    "qg18_bfs" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+        |lab(it, node, d) AS (
+        |  SELECT 0, CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT it + 1, node, min(d) FROM (
+        |    SELECT l.it, l.node, l.d FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, s.w AS node, l.d + 1 FROM lab l JOIN sym s ON s.v = l.node
+        |  ) t(it, node, d)
+        |  WHERE it < 15
+        |  GROUP BY it, node)
+        |SELECT node, min(d) AS dist FROM lab GROUP BY node""".stripMargin,
+    // Edit-distance join: the oracle brute-forces every length-compatible
+    // pair with the SAME exact levenshtein the engine verifies with —
+    // any prefix-filter recall hole loses a pair and breaks the compare
+    "qd19_edit_join" ->
+      """WITH s AS (
+        |  SELECT c_custkey AS id, c_name AS nm FROM customer
+        |  WHERE c_name IS NOT NULL)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM s a JOIN s b
+        |  ON a.id < b.id AND abs(length(a.nm) - length(b.nm)) <= 1
+        |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
     // Hampel screen: both medians are SELECTIONS over identical Longs
     // carried at 2x scale; the outlier test is all-integer
     // (2*dev > 3*dm2) — no float before display rounding on either side
@@ -9539,6 +9613,41 @@ object SparkEntry {
           |SELECT d.doc_id FROM documents d
           |LEFT JOIN final ON final.id = d.doc_id
           |WHERE final.id IS NULL OR final.lb = d.doc_id""".stripMargin),
+    // Keep-best canonicalization: qd6's bucket pairs + label-prop CC,
+    // then each cluster's survivor = (length(text) DESC, doc_id) top-1
+    "qd20_keep_best" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, buckets AS (
+          |  SELECT doc_id, k // 4 AS band, string_agg(v::VARCHAR, ',' ORDER BY k) AS bkey
+          |  FROM sig GROUP BY doc_id, k // 4
+          |), pairs AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id > b.doc_id
+          |), nodes AS (SELECT DISTINCT id FROM (SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)
+          |), sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+          |), lab(it, id, lb) AS (
+          |  SELECT 0, id, id FROM nodes
+          |  UNION ALL
+          |  SELECT it + 1, id, min(lb) FROM (
+          |    SELECT l.it, l.id, l.lb FROM lab l
+          |    UNION ALL
+          |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+          |  ) t(it, id, lb)
+          |  WHERE it < 20
+          |  GROUP BY it, id
+          |), final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id
+          |), mem AS (
+          |  SELECT f.lb AS cluster, d.doc_id, length(d.text) AS ln
+          |  FROM final f JOIN documents d ON d.doc_id = f.id
+          |), rk AS (
+          |  SELECT cluster, doc_id, ln,
+          |    row_number() OVER (PARTITION BY cluster ORDER BY ln DESC, doc_id) AS rn
+          |  FROM mem)
+          |SELECT cluster,
+          |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+          |  CAST(max(CASE WHEN rn = 1 THEN ln END) AS BIGINT) AS survivor_len,
+          |  CAST(count(*) AS BIGINT) AS n_members
+          |FROM rk GROUP BY cluster""".stripMargin),
     // SimHash dedup: per-token multiplicity votes over the 64 bits of the
     // FNV hash, sign votes pack back into an unsigned HUGEINT signature,
     // 16-bit block LSH, hamming <= 3 verify via bit_count(xor) on the

@@ -1412,6 +1412,64 @@ class OperatorsSpec extends AnyFunSuite {
       a.filter(lit(false)), a.filter(lit(false)), "c").count() == 0L)
   }
 
+  test("editDistanceJoin == brute force on a typo corpus (substitution, " +
+      "insert, delete, short strings, shared long prefix)") {
+    import spark.implicits._
+    val base = Seq(
+      // shared-prefix family (the rare-first stress): one-sub neighbors
+      "Customer#000000001", "Customer#000000002", "Customer#000000011",
+      "Customer#000000100", "Customer#999999999",
+      // insert/delete neighbors
+      "spark", "sparks", "spak", "spork",
+      // short strings (below the gram floor): pairwise distance 1
+      "a", "b", "ab", "xy",
+      // no neighbors at all
+      "completely-different")
+    val df = base.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    def pairSet(out: org.apache.spark.sql.DataFrame) = out
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    val got = pairSet(Dedup.editDistanceJoin(df, "id", "s", k = 1))
+    val a = df.select(col("id").as("ia"), col("s").as("sa"))
+    val b = df.select(col("id").as("ib"), col("s").as("sb"))
+    val brute = pairSet(a.crossJoin(b)
+      .filter(col("ia") < col("ib") && levenshtein(col("sa"), col("sb")) <= 1)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist")))
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got.nonEmpty) // the corpus genuinely has close pairs
+    // k = 2 widens: still equal to brute at the wider radius
+    val got2 = pairSet(Dedup.editDistanceJoin(df, "id", "s", k = 2))
+    val brute2 = pairSet(a.crossJoin(b)
+      .filter(col("ia") < col("ib") && levenshtein(col("sa"), col("sb")) <= 2)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist")))
+    assert(got2 == brute2)
+    assert(got2.size > got.size)
+  }
+
+  test("keepBestNearDups: longest member survives, ties to lowest id, " +
+      "singletons excluded") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = t1 + " iota" // near-dup of t1, longer
+    val t3 = t1 // exact dup of t1 (same length as t1 < t2)
+    val docs = Seq(
+      (10L, t1), (11L, t2), (12L, t3),
+      (20L, "utterly unrelated content nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.keepBestNearDups(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 1) // the unrelated doc forms no cluster
+    val (cluster, survivor, len, n) = out.head
+    assert(cluster == 10L && survivor == 11L && n == 3L)
+    assert(len == t2.length.toLong)
+    // tie case: equal lengths -> lowest id survives
+    val tie = Seq((5L, t1), (3L, t1)).toDF("doc_id", "text")
+    val t = Dedup.keepBestNearDups(tie, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(t._2 == 3L)
+  }
+
   test("winsorize: clamps both tails to nearest-rank thresholds, keeps " +
       "row count, bisection == window-threshold form") {
     import spark.implicits._
