@@ -1673,6 +1673,25 @@ object SparkEntry {
     operators.Dedup.keepBestNearDups(
       t(spark, dir, "documents"), "doc_id", "text")
 
+  /** TextRank keywords ([[operators.TextAnalysis.textRank]], window 2,
+    * damping 0.85, 4 iterations): PageRank over the word co-occurrence
+    * graph — the unsupervised keyword extractor. Oracle unrolls the
+    * iterations as MATERIALIZED score CTEs (the qg14 pattern).
+    */
+  private def qt40TextRank(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.textRank(
+      t(spark, dir, "documents"), "text",
+      window = 2, damping = 0.85, iterations = 4)
+
+  /** Naive-forecast backtest ([[operators.Temporal.naiveBacktest]],
+    * 80/20 split): per-user sMAPE of the no-change forecast over the
+    * test tail — the forecastability baseline readout.
+    */
+  private def qe46Smape(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.naiveBacktest(
+      events(spark, dir), "user_id", "ts", "event_id", "value",
+      trainFrac = 0.8)
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -4926,6 +4945,8 @@ object SparkEntry {
     "qg18_bfs" -> (qg18Bfs _),
     "qd19_edit_join" -> (qd19EditJoin _),
     "qd20_keep_best" -> (qd20KeepBest _),
+    "qt40_textrank" -> (qt40TextRank _),
+    "qe46_smape" -> (qe46Smape _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
@@ -8388,6 +8409,74 @@ object SparkEntry {
         |  WHERE it < 15
         |  GROUP BY it, node)
         |SELECT node, min(d) AS dist FROM lab GROUP BY node""".stripMargin,
+    // TextRank: unrolled MATERIALIZED score CTEs (the qg14 pattern);
+    // integer pair counts/strengths, (1.0 - 0.85) written as the same
+    // IEEE subtraction the engine folds, per-node neighbor sums carry
+    // the qg9 bounded-fan-in slack under the 6-dp round
+    "qt40_textrank" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS p, tk[i] AS w
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        |        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |              FROM documents))),
+        |pe AS (
+        |  SELECT least(a.w, b.w) AS u, greatest(a.w, b.w) AS v
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+        |    AND b.p > a.p AND b.p - a.p <= 2 AND a.w <> b.w),
+        |e AS MATERIALIZED (
+        |  SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM pe GROUP BY u, v),
+        |sym AS MATERIALIZED (
+        |  SELECT u, v, c FROM e UNION ALL SELECT v, u, c FROM e),
+        |st AS MATERIALIZED (
+        |  SELECT u, CAST(sum(c) AS BIGINT) AS st FROM sym GROUP BY u),
+        |s0 AS MATERIALIZED (SELECT u AS w, 1.0 AS s FROM st),
+        |s1 AS MATERIALIZED (
+        |  SELECT sym.v AS w,
+        |    (1.0 - 0.85) + 0.85 * sum(CAST(sym.c AS DOUBLE) / CAST(st.st AS DOUBLE) * s0.s) AS s
+        |  FROM sym JOIN st ON st.u = sym.u JOIN s0 ON s0.w = sym.u GROUP BY sym.v),
+        |s2 AS MATERIALIZED (
+        |  SELECT sym.v AS w,
+        |    (1.0 - 0.85) + 0.85 * sum(CAST(sym.c AS DOUBLE) / CAST(st.st AS DOUBLE) * s1.s) AS s
+        |  FROM sym JOIN st ON st.u = sym.u JOIN s1 ON s1.w = sym.u GROUP BY sym.v),
+        |s3 AS MATERIALIZED (
+        |  SELECT sym.v AS w,
+        |    (1.0 - 0.85) + 0.85 * sum(CAST(sym.c AS DOUBLE) / CAST(st.st AS DOUBLE) * s2.s) AS s
+        |  FROM sym JOIN st ON st.u = sym.u JOIN s2 ON s2.w = sym.u GROUP BY sym.v),
+        |s4 AS MATERIALIZED (
+        |  SELECT sym.v AS w,
+        |    (1.0 - 0.85) + 0.85 * sum(CAST(sym.c AS DOUBLE) / CAST(st.st AS DOUBLE) * s3.s) AS s
+        |  FROM sym JOIN st ON st.u = sym.u JOIN s3 ON s3.w = sym.u GROUP BY sym.v)
+        |SELECT s4.w AS word, round(s4.s, 6) AS textrank, st.st AS strength
+        |FROM s4 JOIN st ON st.u = s4.w""".stripMargin,
+    // Naive backtest: identical split index floor(0.8*n) on the same
+    // (t, tie) order, exact-integer sMAPE terms (2|f-a| and |f|+|a|
+    // are Longs, one divide), term sum folds in rn order
+    "qe46_smape" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, q,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY t, tie) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM b),
+        |c AS (
+        |  SELECT k, q, rn, CAST(floor(0.8 * n) AS BIGINT) AS cut
+        |  FROM r WHERE floor(0.8 * n) >= 1),
+        |f AS (SELECT k, q AS fv FROM c WHERE rn = cut),
+        |tst AS (
+        |  SELECT c.k, c.rn, c.cut,
+        |    CASE WHEN abs(f.fv) + abs(c.q) = 0 THEN 0.0
+        |      ELSE CAST(2 * abs(f.fv - c.q) AS DOUBLE)
+        |        / CAST(abs(f.fv) + abs(c.q) AS DOUBLE) END AS tm
+        |  FROM c JOIN f ON f.k = c.k WHERE c.rn > c.cut)
+        |SELECT k AS user_id, max(cut) AS n_train,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(tm ORDER BY rn)), (x, y) -> x + y)
+        |    / CAST(count(*) AS DOUBLE), 6) AS smape
+        |FROM tst GROUP BY k""".stripMargin,
     // Edit-distance join: the oracle brute-forces every length-compatible
     // pair with the SAME exact levenshtein the engine verifies with —
     // any prefix-filter recall hole loses a pair and breaks the compare

@@ -1608,6 +1608,62 @@ object Temporal {
         .as("rho"))
   }
 
+  /** NAIVE FORECAST BACKTEST (sMAPE) — per key, split the event-time-
+    * ordered series at `trainFrac`, forecast every test point with the
+    * LAST TRAIN VALUE (the naive no-change forecast — the baseline
+    * every real forecaster must beat; its backtest error is the
+    * standard "is this series forecastable at all" readout), and score
+    * with symmetric MAPE: mean over test rows of 2|f−a| / (|f|+|a|).
+    *
+    * Exactness: centi-quantized Longs; the split index is
+    * floor(trainFrac·n) on the (ts, tie) order (keys with an empty
+    * train side are dropped); each test term is exact-integer
+    * 2|f−a| and |f|+|a| with ONE divide, and the term sum folds over
+    * the rn-sorted array (deterministic order — the qp12 dictionary
+    * trick applied per key under the bounded-series contract). A
+    * zero-denominator term (both values 0) contributes 0 by the sMAPE
+    * convention.
+    *
+    * Output: (key, n_train, n_test, smape) — smape ∈ [0, 2].
+    */
+  def naiveBacktest(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, trainFrac: Double = 0.8): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0,
+      s"trainFrac must be in (0, 1), got $trainFrac")
+    val q = floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__tie"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val base = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol).as("__tie"), q.as("__q"))
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__cut", floor(lit(trainFrac) * col("__n")).cast("long"))
+      .filter(col("__cut") >= 1L)
+    val fRow = base.filter(col("__rn") === col("__cut"))
+      .select(col(keyCol), col("__q").as("__f"))
+    val m = abs(col("__f") - col("__q"))
+    val d = abs(col("__f")) + abs(col("__q"))
+    val term = when(d === 0L, lit(0.0))
+      .otherwise((lit(2L) * m).cast("double") / d.cast("double"))
+    base.filter(col("__rn") > col("__cut"))
+      .join(fRow, Seq(keyCol))
+      .select(col(keyCol), col("__rn"), col("__cut"), term.as("__t"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("__cut")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        sort_array(collect_list(struct(col("__rn"), col("__t")))).as("__terms"))
+      .select(
+        col(keyCol),
+        col("n_train"),
+        col("n_test"),
+        round(
+          aggregate(col("__terms"), lit(0.0), (acc, x) => acc + x("__t"))
+            / col("n_test").cast("double"), 6).as("smape"))
+  }
+
   /** ROLLING LAG-1 AUTOCORRELATION — per key, the Pearson correlation
     * between consecutive observations (x = previous value, y = current)
     * over the trailing `window` lag-pairs: the regime detector behind

@@ -1099,6 +1099,77 @@ object TextAnalysis {
           6).as("lift"))
   }
 
+  /** TEXTRANK KEYWORD SCORES (Mihalcea & Tarau 2004) — PageRank over
+    * the word co-occurrence graph: words that co-occur within a
+    * ±`window` token distance link, edge weight = corpus-wide pair
+    * count, and the damped score fixpoint ranks KEYWORDS (a word is
+    * important if important words appear near it — the unsupervised
+    * keyword extractor that needs no training data).
+    *
+    * Fixed `iterations` (like qg9/qg14): the result is an exact
+    * arithmetic function of the input, replayable as unrolled
+    * MATERIALIZED CTEs. Per-node neighbor sums carry the same
+    * bounded-fan-in double slack qg9/qg14 carry — absorbed by the
+    * 6-dp output round. Co-occurrence counts and strengths are exact
+    * Longs.
+    *
+    * Scale shape: the pair builder is a per-doc positional self-join
+    * (doc-key-bounded, window-bounded fan-out); each iteration is one
+    * edge⋈score join + a node-keyed sum, score table localCheckpoints
+    * (the qg9 lineage cut). Vocab-sized state, corpus-sized only in
+    * the first aggregation.
+    */
+  def textRank(
+      docs: DataFrame,
+      textCol: String,
+      window: Int = 2,
+      damping: Double = 0.85,
+      iterations: Int = 4): DataFrame = {
+    require(window >= 1 && iterations >= 1)
+    // per-doc positions need a doc identity; any per-row-unique id works
+    // (pairs only ever join WITHIN one row) — no caller id required
+    val tok2 = docs
+      .select(monotonically_increasing_id().as("__doc"), col(textCol))
+      .select(col("__doc"), posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .select(col("__doc"), col("pos").as("__p"), col("col").as("__w"))
+    val a = tok2.select(col("__doc"), col("__p").as("__pa"), col("__w").as("__wa"))
+    val b = tok2.select(col("__doc"), col("__p").as("__pb"), col("__w").as("__wb"))
+    val edges = a.join(b, Seq("__doc"))
+      .filter(col("__pb") > col("__pa") &&
+        col("__pb") - col("__pa") <= window &&
+        col("__wa") =!= col("__wb"))
+      .select(
+        least(col("__wa"), col("__wb")).as("__u"),
+        greatest(col("__wa"), col("__wb")).as("__v"))
+      .groupBy(col("__u"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val sym = edges.select(col("__u"), col("__v"), col("__c"))
+      .unionAll(edges.select(col("__v").as("__u"), col("__u").as("__v"), col("__c")))
+    val strength = sym.groupBy(col("__u")).agg(sum(col("__c")).as("__st"))
+    // directed contribution edges u -> v with u's strength attached
+    val contrib = sym.join(strength, Seq("__u")).localCheckpoint(true)
+    var score = strength.select(col("__u").as("__w"), lit(1.0).as("__s"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      score = contrib
+        .join(score.select(col("__w").as("__u"), col("__s")), Seq("__u"))
+        .groupBy(col("__v"))
+        .agg(sum(col("__c").cast("double") / col("__st").cast("double") * col("__s"))
+          .as("__in"))
+        .select(
+          col("__v").as("__w"),
+          (lit(1.0 - damping) + lit(damping) * col("__in")).as("__s"))
+        .localCheckpoint(true)
+    }
+    score
+      .join(strength.select(col("__u").as("__w"), col("__st")), Seq("__w"))
+      .select(
+        col("__w").as("word"),
+        round(col("__s"), 6).as("textrank"),
+        col("__st").as("strength"))
+  }
+
   /** ZIPF RANK–FREQUENCY FIT — the corpus-health diagnostic: word
     * frequencies ranked descending should fall on ln(freq) ≈ a +
     * s·ln(rank) with s ≈ −1 for natural language; a flat slope flags

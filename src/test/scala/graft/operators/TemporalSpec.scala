@@ -892,6 +892,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(tied > 0.9 && tied < 1.0, s"tied rho = $tied")
   }
 
+  test("naiveBacktest: hand sMAPE on a ramp, n=1 keys dropped, " +
+      "zero-zero terms contribute 0") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = (
+      // key 1: values 1..5 -> cut 4, forecast 4.00, one test row (5.00)
+      (1L to 5L).map(i => (1L, ts(i), i, i.toDouble)) ++
+      // key 2: single row -> cut 0 -> dropped
+      Seq((2L, ts(1L), 10L, 7.0)) ++
+      // key 3: zeros -> zero-denominator terms contribute 0
+      Seq((3L, ts(1L), 20L, 0.0), (3L, ts(2L), 21L, 0.0))
+    ).toDF("k", "ts", "tie", "v")
+    val got = Temporal.naiveBacktest(df, "k", "ts", "tie", "v", 0.8)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!got.contains(2L))
+    // 2*|400-500| / (400+500) = 200/900
+    assert(got(1L) == ((4L, 1L, math.rint(200.0 / 900.0 * 1e6) / 1e6)))
+    assert(got(3L) == ((1L, 1L, 0.0)))
+  }
+
   test("rollingAutocorr: alternating series -> -1, linear ramp -> +1, " +
       "constant window -> null, partial windows suppressed") {
     import spark.implicits._

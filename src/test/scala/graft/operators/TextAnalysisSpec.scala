@@ -670,6 +670,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) == ((r6(math.log(0.4 * 4.0 / 9.0)), 1L, 0L)))
   }
 
+  test("textRank: two-word fixpoint stays 1.0, hub outranks fringe, " +
+      "fringe words tie, deterministic across runs") {
+    import spark.implicits._
+    // x<->y only: contribution ratio is 1, so score 1.0 is the fixpoint
+    val duo = Seq((0L, "x y"), (1L, "x y")).toDF("doc_id", "text")
+    val d = TextAnalysis.textRank(duo, "text").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(d("x") == ((1.0, 2L)) && d("y") == ((1.0, 2L)))
+    // star: a co-occurs with b, c, d -> a aggregates three full votes
+    val star = Seq((0L, "a b"), (1L, "a c"), (2L, "a d")).toDF("doc_id", "text")
+    val s = TextAnalysis.textRank(star, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("a") > s("b"))
+    assert(s("b") == s("c") && s("c") == s("d"))
+    val s2 = TextAnalysis.textRank(star, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s == s2)
+  }
+
   test("zipfFit: exact power law -> slope -1 with r2 = 1, counts and " +
       "types exact, single-type corpus reports null slope") {
     import spark.implicits._
