@@ -1728,10 +1728,18 @@ object SparkEntry {
     * assignment, the cell-join candidate set, and both directed
     * k-cuts.
     */
-  private def qs14MutualKnn(spark: SparkSession, dir: String): DataFrame =
+  private def qs14MutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val embs = t(spark, dir, "embeddings")
+    // nCells grows with the corpus so cell occupancy stays ~constant
+    // (the operator's own scale contract: fixed nCells makes per-cell
+    // work quadratic in n — measured 129 s at sf1 with 32 cells over
+    // 20k vectors). At sf0.01 (the oracle's scale) this is exactly the
+    // literal 32 the SQL replays.
+    val nCells = math.max(32L, embs.count() / 64L).toInt
     operators.Similarity.mutualKnn(
-      t(spark, dir, "embeddings"), "vec_id", "embedding", k = 5,
-      nCells = 32, nProbe = 2)
+      embs, "vec_id", "embedding", k = 5,
+      nCells = nCells, nProbe = 2)
+  }
 
   /** NDCG@10 ([[operators.Similarity.ndcgAtK]]): graded ranking
     * quality of the cosine top-10 against integer labels, literal

@@ -158,6 +158,126 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`p` nearest seed cells for a vector against a small driver-side
+  * codebook — the coarse-quantizer assignment step of IVF/mutual-kNN
+  * candidate generation, fused into ONE codegen loop. Replaces the
+  * boxed Scala UDF form: at n·nCells·dim scale (the probe cost grows
+  * with the cell count that keeps occupancy constant) the UDF's
+  * per-row Seq boxing dominated the whole operator (measured: qs14 at
+  * sf1 spent most of its 43 s in the probe; this kernel runs the same
+  * 4·10⁸ FLOPs inside whole-stage codegen).
+  *
+  * Semantics pinned to [[graft.operators.Similarity]]'s pqEncode/probe
+  * contract: L2² distances rounded to 6 dp (floor(d·1e6 + 0.5)/1e6),
+  * ties broken toward the LOWEST cell index, output = the p best cell
+  * indices in (rounded distance, index) order. Null vector → null.
+  */
+case class NearestCells(child: Expression, seeds: Array[Array[Double]], p: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_cells expects array<float|double>, got $t")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val bestD = Array.fill(p)(Double.PositiveInfinity)
+    val bestI = Array.fill(p)(-1)
+    var c = 0
+    while (c < seeds.length) {
+      val cent = seeds(c)
+      val n = math.min(cent.length, v.numElements())
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val xj = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val diff = xj - cent(j)
+        d += diff * diff
+        j += 1
+      }
+      val rd = math.floor(d * 1e6 + 0.5) / 1e6
+      // strict < at each slot keeps the earlier (lower) index on ties
+      var k = 0
+      while (k < p && !(rd < bestD(k))) k += 1
+      if (k < p) {
+        var m = p - 1
+        while (m > k) { bestD(m) = bestD(m - 1); bestI(m) = bestI(m - 1); m -= 1 }
+        bestD(k) = rd
+        bestI(k) = c
+      }
+      c += 1
+    }
+    val out = bestI.takeWhile(_ >= 0)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.map(_.asInstanceOf[Any]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("seeds", seeds, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val bestD = ctx.freshName("bestD")
+      val bestI = ctx.freshName("bestI")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val m = ctx.freshName("m")
+      val d = ctx.freshName("d")
+      val rd = ctx.freshName("rd")
+      val cent = ctx.freshName("cent")
+      val nEl = ctx.freshName("nEl")
+      val diff = ctx.freshName("diff")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      s"""
+         |double[] $bestD = new double[$p];
+         |int[] $bestI = new int[$p];
+         |java.util.Arrays.fill($bestD, Double.POSITIVE_INFINITY);
+         |java.util.Arrays.fill($bestI, -1);
+         |for (int $c = 0; $c < $cbRef.length; $c++) {
+         |  double[] $cent = $cbRef[$c];
+         |  int $nEl = java.lang.Math.min($cent.length, $v.numElements());
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $nEl; $j++) {
+         |    double $diff = ((double) $v.$get($j)) - $cent[$j];
+         |    $d += $diff * $diff;
+         |  }
+         |  double $rd = java.lang.Math.floor($d * 1e6 + 0.5) / 1e6;
+         |  int $k = 0;
+         |  while ($k < $p && !($rd < $bestD[$k])) $k++;
+         |  if ($k < $p) {
+         |    for (int $m = $p - 1; $m > $k; $m--) {
+         |      $bestD[$m] = $bestD[$m - 1];
+         |      $bestI[$m] = $bestI[$m - 1];
+         |    }
+         |    $bestD[$k] = $rd;
+         |    $bestI[$k] = $c;
+         |  }
+         |}
+         |int $cnt = 0;
+         |while ($cnt < $p && $bestI[$cnt] >= 0) $cnt++;
+         |Object[] $out = new Object[$cnt];
+         |for (int $m = 0; $m < $cnt; $m++) $out[$m] = (Object) (Integer) $bestI[$m];
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-facing constructors. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -165,4 +285,7 @@ object VectorExpressions {
 
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nearestCells(v: Column, seeds: Array[Array[Double]], p: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(v), seeds, p))
 }

@@ -324,24 +324,16 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     val p = math.min(nProbe, seeds.length)
-    val bc = embs.sparkSession.sparkContext.broadcast(seeds)
     // top-p cells by (6-dp-rounded L2², index) — the pqEncode argmin
-    // contract extended to a p-deep selection, same rounding, same ties
-    val probeUdf = udf { (v: Seq[Double]) =>
-      val cb = bc.value
-      val ds = Array.tabulate(cb.length) { c =>
-        var d = 0.0
-        var j = 0
-        val cent = cb(c)
-        val n = math.min(cent.length, v.length)
-        while (j < n) { val diff = v(j) - cent(j); d += diff * diff; j += 1 }
-        (math.floor(d * 1e6 + 0.5) / 1e6, c)
-      }
-      ds.sortBy(identity).take(p).map(_._2)
-    }
+    // contract extended to a p-deep selection, same rounding, same
+    // ties, fused into one codegen loop (the probe is n·nCells·dim
+    // work and nCells grows with the corpus — a boxed UDF here
+    // dominated the whole operator at sf1)
     val cells = embs
       .select(col(idCol), col(vecCol))
-      .withColumn("__cell", explode(probeUdf(col(vecCol).cast("array<double>"))))
+      .withColumn("__cell",
+        explode(graft.functions.expressions.VectorExpressions
+          .nearestCells(col(vecCol), seeds, p)))
     val a = cells.select(col(idCol).as("__qid"), col(vecCol).as("__qv"), col("__cell"))
     val b = cells.select(col(idCol).as("__nid"), col(vecCol).as("__nv"), col("__cell"))
     val topk = udaf(new TopKDistinctByScore(k))

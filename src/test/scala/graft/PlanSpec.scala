@@ -205,6 +205,13 @@ class PlanSpec extends AnyFunSuite {
       "containment fell back to all-pairs:\n" + p.take(1200))
   }
 
+  test("qd19: edit-join candidates come from the variant equi-join — " +
+      "no cartesian, no nested-loop all-pairs") {
+    val p = plan("qd19_edit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "edit-distance join fell back to all-pairs:\n" + p.take(1200))
+  }
+
   test("qe28: lttb is aggregate + generate — no join, no window") {
     val p = plan("qe28_lttb")
     assert(!p.contains("Join"), "lttb grew a join:\n" + p.take(1200))
