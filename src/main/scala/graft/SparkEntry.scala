@@ -1692,6 +1692,66 @@ object SparkEntry {
       events(spark, dir), "user_id", "ts", "event_id", "value",
       trainFrac = 0.8)
 
+  /** Otsu binarization threshold ([[multimodal.Multimodal
+    * .otsuThreshold]]) over REAL PNG decode of the skewed fixture
+    * (pixel = (i² + 31·id) mod 256 — per-image non-uniform histograms,
+    * so the split varies). The oracle regenerates pixels from the
+    * formula and replays the integer histogram + the fixed IEEE
+    * between-class-variance tree + the lowest-t argmax.
+    */
+  private def qm16Otsu(spark: SparkSession, dir: String): DataFrame = {
+    val folded = t(spark, dir, "documents")
+      .select((col("doc_id") % 100L).as("doc_id")).distinct()
+    multimodal.Multimodal.otsuThreshold(
+        multimodal.Multimodal.pngMediaSkewed(spark, folded))
+      .select(
+        col("media_id"), col("otsu_t"), col("n_below"),
+        // normalized by n² (1024² fixture pixels): raw between-class
+        // variance is ~4e9 where 6-dp rounding exceeds double
+        // precision and the engines' round() pick different
+        // neighboring doubles; at O(10³) both agree
+        round(col("var_between") / lit(1048576.0), 6).as("var_norm"))
+  }
+
+  /** Connected-component size histogram ([[operators.Dedup
+    * .connectedComponents]] over the qg18 edge set): how fragmented is
+    * the graph — (component_size, n_components). The single-pass
+    * star-contraction label table, aggregated twice.
+    */
+  private def qg19Components(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 53 === 0)
+      .select(
+        (col("o_custkey") % 500).as("x"),
+        (col("o_orderkey") % 500).as("y"))
+    val pairs = edges
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    operators.Dedup.connectedComponents(pairs, "a", "b")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+  }
+
+  /** Data-quality rule report ([[operators.Profiling.qualityReport]]):
+    * five expectations over orders — including a broadcast referential
+    * check against customer — audited in ONE scan.
+    */
+  private def qp16Quality(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), lit(1L).as("__cust_hit"))
+    val orders = t(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+    operators.Profiling.qualityReport(orders, Seq(
+      "totalprice_positive" -> (col("o_totalprice") > 0),
+      "totalprice_under_100k" -> (col("o_totalprice") < 100000.0),
+      "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+      "priority_format" -> col("o_orderpriority").rlike("^[1-5]-"),
+      "customer_exists" -> col("__cust_hit").isNotNull))
+  }
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -4955,6 +5015,9 @@ object SparkEntry {
     "qd20_keep_best" -> (qd20KeepBest _),
     "qt40_textrank" -> (qt40TextRank _),
     "qe46_smape" -> (qe46Smape _),
+    "qm16_otsu" -> (qm16Otsu _),
+    "qg19_components" -> (qg19Components _),
+    "qp16_quality" -> (qp16Quality _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
@@ -8485,6 +8548,99 @@ object SparkEntry {
         |    list(tm ORDER BY rn)), (x, y) -> x + y)
         |    / CAST(count(*) AS DOUBLE), 6) AS smape
         |FROM tst GROUP BY k""".stripMargin,
+    // Otsu: pixels regenerate from the fixture formula, exact integer
+    // histogram/cumulatives, the SAME fixed IEEE variance tree per
+    // threshold, argmax ties to the lowest t (ORDER BY v DESC, t)
+    "qm16_otsu" ->
+      """WITH ids AS (SELECT DISTINCT doc_id % 100 AS id FROM documents),
+        |px AS (
+        |  SELECT id, ((i * i + 31 * id) % 256) AS v
+        |  FROM ids, generate_series(0, 1023) AS g(i)),
+        |h AS (SELECT id, v, CAST(count(*) AS BIGINT) AS c FROM px GROUP BY id, v),
+        |tot AS (
+        |  SELECT id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(v * c) AS BIGINT) AS sall
+        |  FROM h GROUP BY id),
+        |th AS (SELECT id, t FROM ids, generate_series(0, 254) AS g(t)),
+        |cum AS (
+        |  SELECT th.id, th.t,
+        |    CAST(coalesce(sum(h.c), 0) AS BIGINT) AS w0,
+        |    CAST(coalesce(sum(h.v * h.c), 0) AS BIGINT) AS s0
+        |  FROM th LEFT JOIN h ON h.id = th.id AND h.v <= th.t
+        |  GROUP BY th.id, th.t),
+        |sc AS (
+        |  SELECT c.id, c.t, c.w0, c.s0,
+        |    tot.n - c.w0 AS w1, tot.sall - c.s0 AS s1
+        |  FROM cum c JOIN tot ON tot.id = c.id
+        |  WHERE c.w0 > 0 AND tot.n - c.w0 > 0),
+        |v AS (
+        |  SELECT id, t, w0,
+        |    (CAST(s0 AS DOUBLE) * CAST(w1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(w0 AS DOUBLE))
+        |    * (CAST(s0 AS DOUBLE) * CAST(w1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(w0 AS DOUBLE))
+        |    / (CAST(w0 AS DOUBLE) * CAST(w1 AS DOUBLE)) AS bv
+        |  FROM sc),
+        |best AS (
+        |  SELECT id, t, w0, bv,
+        |    row_number() OVER (PARTITION BY id ORDER BY bv DESC, t) AS rn
+        |  FROM v)
+        |SELECT id AS media_id, CAST(t AS BIGINT) AS otsu_t,
+        |  w0 AS n_below, round(bv / 1048576.0, 6) AS var_norm
+        |FROM best WHERE rn = 1""".stripMargin,
+    // Component sizes: the qg18 edge set through the qd6 label-prop
+    // min-fold, sizes aggregated twice (per-label, then per-size)
+    "qg19_components" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
+        |  FROM orders WHERE o_orderkey % 53 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |nodes AS (
+        |  SELECT DISTINCT id FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+        |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |lab(it, id, lb) AS (
+        |  SELECT 0, id, id FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, id, min(lb) FROM (
+        |    SELECT l.it, l.id, l.lb FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+        |  ) t(it, id, lb)
+        |  WHERE it < 20
+        |  GROUP BY it, id),
+        |final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id),
+        |sz AS (SELECT lb, CAST(count(*) AS BIGINT) AS sz FROM final GROUP BY lb)
+        |SELECT sz AS component_size, CAST(count(*) AS BIGINT) AS n_components
+        |FROM sz GROUP BY sz""".stripMargin
+        // the %53 graph has ~26-node components: label-prop needs
+        // diameter rounds, so this oracle (alone) runs 40 iterations
+        .replace("WHERE it < 20", "WHERE it < 40"),
+    // Quality rules: one aggregate row, unpivoted; CASE WHEN counts
+    // nulls as FAIL exactly like the engine's when/otherwise
+    "qp16_quality" ->
+      """WITH j AS (
+        |  SELECT o.*, c.c_custkey AS ck
+        |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN o_totalprice < 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        |    CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        |    CAST(sum(CASE WHEN ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r5
+        |  FROM j),
+        |u AS (
+        |  SELECT 'totalprice_positive' AS rule, n, r1 AS np FROM a
+        |  UNION ALL SELECT 'totalprice_under_100k', n, r2 FROM a
+        |  UNION ALL SELECT 'status_domain', n, r3 FROM a
+        |  UNION ALL SELECT 'priority_format', n, r4 FROM a
+        |  UNION ALL SELECT 'customer_exists', n, r5 FROM a)
+        |SELECT rule, n AS n_rows, np AS n_pass,
+        |  CASE WHEN n > 0 THEN
+        |    round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS pass_rate
+        |FROM u""".stripMargin,
     // Edit-distance join: the oracle brute-forces every length-compatible
     // pair with the SAME exact levenshtein the engine verifies with —
     // any prefix-filter recall hole loses a pair and breaks the compare

@@ -509,6 +509,85 @@ object Multimodal {
     }.toDF("media_id", "hash_bits")
   }
 
+  /** OTSU BINARIZATION THRESHOLD over decoded grayscale pixels — the
+    * classic foreground/background split point (argmax of between-class
+    * variance over the 256-bin histogram): the document-scan /
+    * figure-detection preprocessing readout. Runs entirely next to the
+    * decode (per-image integer histogram + a 255-step scan — no
+    * per-pixel shuffle).
+    *
+    * Exactness: the histogram, class weights w₀/w₁ and class sums
+    * s₀/s₁ are exact integers; the between-class score
+    * (s₀·w₁ − s₁·w₀)² / (w₀·w₁) is a FIXED IEEE tree on exact-double
+    * operands (products ≤ 2⁶² stay exact through the subtraction; the
+    * square rounds identically in any engine), and the argmax breaks
+    * ties toward the LOWEST threshold. Undecodable payloads emit no
+    * row (the qm14 honesty rule).
+    *
+    * Output: (media_id, otsu_t, n_below, var_between) — n_below =
+    * pixels ≤ t.
+    */
+  def otsuThreshold(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      decodeImage(safeBytes(m.bytes)) match {
+        case Some(px) if px.nonEmpty =>
+          val hist = new Array[Long](256)
+          var i = 0
+          while (i < px.length) { hist(px(i) & 0xff) += 1L; i += 1 }
+          val n = px.length.toLong
+          var sAll = 0L
+          i = 0
+          while (i < 256) { sAll += i.toLong * hist(i); i += 1 }
+          var w0 = 0L
+          var s0 = 0L
+          var bestT = -1
+          var bestV = -1.0
+          var t = 0
+          while (t < 255) {
+            w0 += hist(t)
+            s0 += t.toLong * hist(t)
+            val w1 = n - w0
+            if (w0 > 0L && w1 > 0L) {
+              val num = s0.toDouble * w1.toDouble - (sAll - s0).toDouble * w0.toDouble
+              val v = num * num / (w0.toDouble * w1.toDouble)
+              if (v > bestV) { bestV = v; bestT = t }
+            }
+            t += 1
+          }
+          if (bestT < 0) None // constant image: no valid split
+          else {
+            var below = 0L
+            i = 0
+            while (i <= bestT) { below += hist(i); i += 1 }
+            // bestV is emitted RAW — callers display-round with the
+            // engine round() (half-up, the oracle-compatible rule)
+            Some((m.media_id, bestT.toLong, below, bestV))
+          }
+        case _ => None
+      }
+    }.toDF("media_id", "otsu_t", "n_below", "var_between")
+  }
+
+  /** PNG fixture with a SKEWED, id-dependent histogram (pixel =
+    * (i² + 31·id) mod 256 — quadratic residues are non-uniform, so the
+    * Otsu split is non-degenerate and differs per image; the uniform
+    * [[pngMediaFromDocuments]] ramp gives every image the same
+    * threshold). Same real encode path.
+    */
+  def pngMediaSkewed(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 32; val h = 32
+          val px = Array.tabulate(w * h)(i => ((i.toLong * i + 31L * id) % 256L).toInt)
+          Media(id, MediaMeta("image", w, h, 0), graft.sources.Png.encodeGray(px, w, h))
+        }
+      }
+  }
+
   /** REAL video decode tier: AVI/MJPEG payloads split into per-frame JPEG
     * streams by the [[graft.sources.Avi]] container walk, each frame
     * decoded to gray pixels by the in-repo baseline JPEG codec. Returns

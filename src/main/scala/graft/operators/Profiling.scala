@@ -666,6 +666,42 @@ object Profiling {
         .as("pearson_r"))
   }
 
+  /** DATA-QUALITY RULE REPORT — the expectations audit (the dbt-test /
+    * Great-Expectations shape): each rule is a boolean Column evaluated
+    * over every row, and the report is one row per rule with pass
+    * counts and rate. ALL rules evaluate in ONE scan (a single wide
+    * aggregate with map-side partials — adding a rule adds a counter,
+    * not a pass); the per-rule rows unpivot from that single result
+    * row. Null rule results count as FAIL (SQL three-valued logic
+    * would silently drop them from a naive filter count).
+    *
+    * Referential rules: pre-join the indicator column (e.g. a
+    * broadcast left-join flag) and pass it as the rule Column — the
+    * report stays one scan over the joined frame.
+    */
+  def qualityReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.map { case (nm, c) =>
+        // sum over an EMPTY frame is null — the report contract is 0
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"__r_$nm")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (nm, _) =>
+        struct(
+          lit(nm).as("rule"),
+          col("__n").as("n_rows"),
+          col(s"__r_$nm").as("n_pass"))
+      }: _*)).as("__x"))
+      .select(
+        col("__x.rule").as("rule"),
+        col("__x.n_rows").as("n_rows"),
+        col("__x.n_pass").as("n_pass"),
+        when(col("__x.n_rows") > 0L,
+          round(col("__x.n_pass").cast("double")
+            / col("__x.n_rows").cast("double"), 6)).as("pass_rate"))
+  }
+
   /** JENSEN–SHANNON DIVERGENCE between two categorical distributions —
     * the symmetric, bounded (≤ ln 2) drift measure for TOKEN/label
     * distributions, where PSI ([[driftReport]]) breaks on zero bins

@@ -1470,6 +1470,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t._2 == 3L)
   }
 
+  test("otsuThreshold: bimodal image splits at the lowest maximizing t, " +
+      "constant and undecodable images emit no row") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Media, MediaMeta}
+    val bimodal = Array.fill(8)(10) ++ Array.fill(8)(200)
+    val media = Seq(
+      Media(1L, MediaMeta("image", 4, 4, 0), graft.sources.Png.encodeGray(bimodal, 4, 4)),
+      Media(2L, MediaMeta("image", 4, 4, 0), graft.sources.Png.encodeGray(Array.fill(16)(7), 4, 4)),
+      Media(3L, MediaMeta("image", 0, 0, 0), Array[Byte](1, 2, 3))).toDS()
+    val got = Multimodal.otsuThreshold(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L)) // constant + corrupt emit nothing
+    // every t in [10, 199] separates perfectly; lowest wins
+    val (t, below, v) = got(1L)
+    assert(t == 10L && below == 8L)
+    // hand: n=16, s0=80, sall=1680 -> num = 80*8 - 1600*8; v = num^2/64
+    assert(v == ((80.0 * 8 - 1600.0 * 8) * (80.0 * 8 - 1600.0 * 8)) / 64.0)
+  }
+
+  test("qualityReport: null rule results count as FAIL, one row per " +
+      "rule, empty input reports null rate") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (2L, null), (null, "ok")).toDF("v", "s")
+    val got = Profiling.qualityReport(df, Seq(
+      "v_positive" -> (col("v") > 0), // null v -> null cond -> FAIL
+      "s_present" -> col("s").isNotNull))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("v_positive") == ((3L, 2L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+    assert(got("s_present") == ((3L, 2L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+    val empty = Profiling.qualityReport(df.filter(lit(false)),
+      Seq("any" -> lit(true))).collect().head
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L && empty.isNullAt(3))
+  }
+
   test("winsorize: clamps both tails to nearest-rank thresholds, keeps " +
       "row count, bisection == window-threshold form") {
     import spark.implicits._
