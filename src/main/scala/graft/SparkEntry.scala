@@ -1752,6 +1752,37 @@ object SparkEntry {
       "customer_exists" -> col("__cust_hit").isNotNull))
   }
 
+  /** Local peak detection ([[operators.Temporal.peakDetect]],
+    * minDelta 2.0): per-user strict local maxima with the rise over
+    * the higher neighbor — pure integer comparisons on centi-quantized
+    * values, boundaries and plateaus excluded.
+    */
+  private def qe48Peaks(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.peakDetect(
+      events(spark, dir), "user_id", "ts", "event_id", "value",
+      minDelta = 2.0)
+
+  /** Robust summary ([[operators.Relational.robustSummary]]) per
+    * event_type on centi-quantized values: nearest-rank p25/median/
+    * p75/IQR/MAD through the bisection threshold kernel — every
+    * number an actual data value (or an exact difference).
+    */
+  private def qe47RobustSummary(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(
+        col("event_type"),
+        floor(col("value").cast("double") * lit(100.0)).cast("long").as("q"))
+    operators.Relational.robustSummary(base, "event_type", "q")
+      .select(
+        col("event_type"), col("n"),
+        round(col("p25") / lit(100.0), 6).as("p25"),
+        round(col("median") / lit(100.0), 6).as("median"),
+        round(col("p75") / lit(100.0), 6).as("p75"),
+        round(col("iqr") / lit(100.0), 6).as("iqr"),
+        round(col("mad") / lit(100.0), 6).as("mad"))
+  }
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -5018,6 +5049,8 @@ object SparkEntry {
     "qm16_otsu" -> (qm16Otsu _),
     "qg19_components" -> (qg19Components _),
     "qp16_quality" -> (qp16Quality _),
+    "qe47_robust_summary" -> (qe47RobustSummary _),
+    "qe48_peaks" -> (qe48Peaks _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
@@ -8548,6 +8581,57 @@ object SparkEntry {
         |    list(tm ORDER BY rn)), (x, y) -> x + y)
         |    / CAST(count(*) AS DOUBLE), 6) AS smape
         |FROM tst GROUP BY k""".stripMargin,
+    // Peaks: identical lag/lead on the (t, tie) order, pure integer
+    // comparisons and delta, display rescale only
+    "qe48_peaks" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (
+        |  SELECT k, tie, q,
+        |    lag(q, 1) OVER w AS pv, lead(q, 1) OVER w AS nx
+        |  FROM b WINDOW w AS (PARTITION BY k ORDER BY t, tie))
+        |SELECT k AS user_id, tie AS event_id,
+        |  round(CAST(q AS DOUBLE) / 100.0, 6) AS value,
+        |  round(CAST(q - greatest(pv, nx) AS DOUBLE) / 100.0, 6) AS delta
+        |FROM n
+        |WHERE pv IS NOT NULL AND nx IS NOT NULL
+        |  AND q > pv AND q > nx AND q - greatest(pv, nx) >= 200""".stripMargin,
+    // Robust summary: every quantile a nearest-rank SELECTION
+    // (round(p/100*(n-1)) on the ascending sort of exact centi-Longs);
+    // MAD re-ranks the exact |x - median| integers
+    "qe47_robust_summary" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, CAST(floor(value * 100.0) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, q,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY q) AS BIGINT) - 1 AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM b),
+        |p25 AS (SELECT k, CAST(q AS DOUBLE) AS p25 FROM r WHERE rn = round(0.25 * (n - 1))),
+        |p50 AS (SELECT k, CAST(q AS DOUBLE) AS med FROM r WHERE rn = round(0.50 * (n - 1))),
+        |p75 AS (SELECT k, CAST(q AS DOUBLE) AS p75 FROM r WHERE rn = round(0.75 * (n - 1))),
+        |ad AS (
+        |  SELECT b.k, abs(CAST(b.q AS DOUBLE) - p50.med) AS av
+        |  FROM b JOIN p50 ON p50.k = b.k),
+        |ar AS (
+        |  SELECT k, av,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY av) AS BIGINT) - 1 AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM ad),
+        |mad AS (SELECT k, av AS mad FROM ar WHERE rn = round(0.50 * (n - 1))),
+        |cnt AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY k)
+        |SELECT cnt.k AS event_type, cnt.n,
+        |  round(p25.p25 / 100.0, 6) AS p25,
+        |  round(p50.med / 100.0, 6) AS median,
+        |  round(p75.p75 / 100.0, 6) AS p75,
+        |  round((p75.p75 - p25.p25) / 100.0, 6) AS iqr,
+        |  round(mad.mad / 100.0, 6) AS mad
+        |FROM cnt
+        |JOIN p25 ON p25.k = cnt.k JOIN p50 ON p50.k = cnt.k
+        |JOIN p75 ON p75.k = cnt.k JOIN mad ON mad.k = cnt.k""".stripMargin,
     // Otsu: pixels regenerate from the fixture formula, exact integer
     // histogram/cumulatives, the SAME fixed IEEE variance tree per
     // threshold, argmax ties to the lowest t (ORDER BY v DESC, t)

@@ -417,6 +417,48 @@ object Relational {
       .drop("__lo", "__hi")
   }
 
+  /** ROBUST SUMMARY — per key, the outlier-insensitive five-number
+    * core: n, p25, median, p75, IQR, and MAD (median absolute
+    * deviation) — the profiling readout that stays meaningful on
+    * heavy-tailed value columns where mean/stddev are noise. All
+    * quantiles are nearest-rank SELECTIONS through the scale-guarded
+    * bisection kernel ([[groupedPercentileThresholds]]), so every
+    * reported number is an actual data value (or an exact integer
+    * difference of two) — no interpolation, no FP accumulation.
+    *
+    * Cost: four threshold passes (p25/p50/p75 + the MAD median over
+    * |x − median|) + one count aggregate, all broadcast-joined.
+    */
+  def robustSummary(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val p25 = groupedPercentileThresholds(df, keyCol, valueCol, 25.0)
+      .withColumnRenamed("__thr", "__p25")
+    val p50 = groupedPercentileThresholds(df, keyCol, valueCol, 50.0)
+      .withColumnRenamed("__thr", "__med")
+    val p75 = groupedPercentileThresholds(df, keyCol, valueCol, 75.0)
+      .withColumnRenamed("__thr", "__p75")
+    val withMed = df
+      .join(broadcast(p50), Seq(keyCol))
+      .withColumn("__absdev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = groupedPercentileThresholds(withMed, keyCol, "__absdev", 50.0)
+      .withColumnRenamed("__thr", "__mad")
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(p25), Seq(keyCol))
+      .join(broadcast(p50), Seq(keyCol))
+      .join(broadcast(p75), Seq(keyCol))
+      .join(broadcast(mad), Seq(keyCol))
+      .select(
+        col(keyCol), col("n"),
+        col("__p25").as("p25"), col("__med").as("median"),
+        col("__p75").as("p75"),
+        (col("__p75") - col("__p25")).as("iqr"),
+        col("__mad").as("mad"))
+  }
+
   /** P3 — conditional overwrite (reference `preparation.sh:142-146`, the
     * ogr2ogr `UPDATE … SET x='b' WHERE x='a'`). Pure projection — no shuffle.
     */

@@ -1608,6 +1608,41 @@ object Temporal {
         .as("rho"))
   }
 
+  /** LOCAL PEAK DETECTION — per key, rows STRICTLY greater than both
+    * event-time neighbors, kept when the rise over the higher neighbor
+    * reaches `minDelta` (in value units): the spike screen behind
+    * alert/anomaly triage. Plateaus are not peaks (strict > both
+    * sides), series boundaries are excluded (no one-sided peaks — a
+    * first/last row has no evidence of a summit).
+    *
+    * Exactness: centi-quantized Longs; the neighbor comparison and the
+    * delta are pure integer arithmetic — the only double is the
+    * display rescale. ONE key exchange (lag and lead share the window
+    * spec).
+    *
+    * Output: (key, tie, value, delta) — delta = value − max(neighbors).
+    */
+  def peakDetect(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valCol: String, minDelta: Double = 0.0): DataFrame = {
+    val q = floor(col(valCol).cast("double") * lit(100.0)).cast("long")
+    val minQ = math.round(minDelta * 100.0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__tie"))
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol).as("__tie"), q.as("__q"))
+      .withColumn("__prev", lag(col("__q"), 1).over(w))
+      .withColumn("__next", lead(col("__q"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__next").isNotNull)
+      .filter(col("__q") > col("__prev") && col("__q") > col("__next"))
+      .withColumn("__delta", col("__q") - greatest(col("__prev"), col("__next")))
+      .filter(col("__delta") >= minQ)
+      .select(
+        col(keyCol),
+        col("__tie").as(tieCol),
+        round(col("__q").cast("double") / lit(100.0), 6).as("value"),
+        round(col("__delta").cast("double") / lit(100.0), 6).as("delta"))
+  }
+
   /** NAIVE FORECAST BACKTEST (sMAPE) — per key, split the event-time-
     * ordered series at `trainFrac`, forecast every test point with the
     * LAST TRAIN VALUE (the naive no-change forecast — the baseline

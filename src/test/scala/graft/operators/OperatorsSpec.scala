@@ -1507,6 +1507,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L && empty.isNullAt(3))
   }
 
+  test("robustSummary: nearest-rank selections by hand — median, " +
+      "quartiles, IQR and MAD are actual data values") {
+    import spark.implicits._
+    // k=a: 1..9 -> p25 rank round(.25*8)=2 -> 3; med 5; p75 rank 6 -> 7
+    // MAD: |x-5| = 0,1,1,2,2,3,3,4,4 sorted -> rank 4 -> 2
+    val df = (1L to 9L).map(v => ("a", v)).toDF("k", "v")
+    val r = Relational.robustSummary(df, "k", "v").collect().head
+    assert(r.getLong(1) == 9L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 5.0 && r.getDouble(4) == 7.0)
+    assert(r.getDouble(5) == 4.0) // IQR
+    assert(r.getDouble(6) == 2.0) // MAD
+  }
+
   test("winsorize: clamps both tails to nearest-rank thresholds, keeps " +
       "row count, bisection == window-threshold form") {
     import spark.implicits._

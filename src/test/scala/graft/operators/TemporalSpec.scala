@@ -892,6 +892,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(tied > 0.9 && tied < 1.0, s"tied rho = $tied")
   }
 
+  test("peakDetect: strict local maxima only — plateaus and boundaries " +
+      "excluded, delta gates the rise") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    //          t:   1    2    3    4    5    6    7    8
+    val vals = Seq(5.0, 9.0, 5.0, 7.0, 7.0, 5.0, 9.5, 9.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, ts(i + 1L), i + 1L, v)
+    }.toDF("k", "ts", "tie", "v")
+    // no threshold: peaks at t=2 (9 > 5,5: delta 4) and t=7 (9.5 > 5,9:
+    // delta 0.5); the 7,7 plateau is NOT a peak; t=8 boundary excluded
+    val all = Temporal.peakDetect(df, "k", "ts", "tie", "v", 0.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(all == Map(2L -> 4.0, 7L -> 0.5))
+    // minDelta 2.0 keeps only the big spike
+    val gated = Temporal.peakDetect(df, "k", "ts", "tie", "v", 2.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(gated == Seq(2L))
+  }
+
   test("naiveBacktest: hand sMAPE on a ramp, n=1 keys dropped, " +
       "zero-zero terms contribute 0") {
     import spark.implicits._
