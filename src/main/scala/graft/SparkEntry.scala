@@ -1783,6 +1783,41 @@ object SparkEntry {
         round(col("mad") / lit(100.0), 6).as("mad"))
   }
 
+  /** Inter-arrival burstiness ([[operators.Temporal.burstiness]]):
+    * per-user gap-distribution summary — mean gap, CV, and the
+    * Goh–Barabási B — on exact second-floored integer gaps.
+    */
+  private def qe50Burstiness(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.burstiness(
+      events(spark, dir), "user_id", "ts", "event_id")
+
+  /** Degree distribution histogram over the qg18 graph: canonical
+    * undirected degrees, then (degree, n_nodes) — the first look at
+    * any graph's shape (hub detection, power-law eyeballing).
+    */
+  private def qg20DegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(
+        (col("o_custkey") % 500).as("x"),
+        (col("o_orderkey") % 500).as("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("__deg"))
+      .groupBy(col("__deg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Lexical diversity ([[operators.TextAnalysis.lexicalDiversity]]):
+    * per-doc TTR + Herdan's C — vocabulary-richness QA, zero shuffle.
+    */
+  private def qt43LexDiversity(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.lexicalDiversity(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -5051,6 +5086,9 @@ object SparkEntry {
     "qp16_quality" -> (qp16Quality _),
     "qe47_robust_summary" -> (qe47RobustSummary _),
     "qe48_peaks" -> (qe48Peaks _),
+    "qe50_burstiness" -> (qe50Burstiness _),
+    "qg20_degree_hist" -> (qg20DegreeHist _),
+    "qt43_lex_diversity" -> (qt43LexDiversity _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
@@ -8581,6 +8619,61 @@ object SparkEntry {
         |    list(tm ORDER BY rn)), (x, y) -> x + y)
         |    / CAST(count(*) AS DOUBLE), 6) AS smape
         |FROM tst GROUP BY k""".stripMargin,
+    // Burstiness: second-floored integer gaps (µs div 1e6), exact Long
+    // power sums, one fixed IEEE tree for mean/sd/CV/B
+    "qe50_burstiness" ->
+      """WITH b AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, event_id AS tie
+        |  FROM events),
+        |g AS (
+        |  SELECT k,
+        |    (t - lag(t, 1) OVER (PARTITION BY k ORDER BY t, tie)) // 1000000 AS gp
+        |  FROM b),
+        |gg AS (SELECT k, CAST(gp AS BIGINT) AS gp FROM g WHERE gp IS NOT NULL),
+        |a AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(gp) AS BIGINT) AS sg, CAST(sum(gp * gp) AS BIGINT) AS sgg
+        |  FROM gg GROUP BY k HAVING count(*) >= 2),
+        |f AS (
+        |  SELECT k, n,
+        |    CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(n AS DOUBLE) AS sd
+        |  FROM a)
+        |SELECT k AS user_id, n AS n_gaps,
+        |  round(m, 6) AS mean_gap_s,
+        |  CASE WHEN m > 0.0 THEN round(sd / m, 6) END AS cv,
+        |  CASE WHEN sd + m > 0.0 THEN round((sd - m) / (sd + m), 6) END AS burstiness
+        |FROM f""".stripMargin,
+    // Degree histogram: canonical distinct undirected edges, degree =
+    // rows in the symmetric list, all-integer
+    "qg20_degree_hist" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |d AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)
+        |SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY deg""".stripMargin,
+    // Lexical diversity: integer token/type counts per doc, one fixed
+    // IEEE tree for TTR and Herdan's C (null at <= 1 token)
+    "qt43_lex_diversity" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_types
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |        FROM documents))
+        |SELECT doc_id, n_tokens, n_types,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS ttr,
+        |  CASE WHEN n_tokens > 1 THEN
+        |    round(ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 6)
+        |  END AS herdan_c
+        |FROM b""".stripMargin,
     // Peaks: identical lag/lead on the (t, tie) order, pure integer
     // comparisons and delta, display rescale only
     "qe48_peaks" ->

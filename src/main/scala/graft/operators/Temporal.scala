@@ -1608,6 +1608,49 @@ object Temporal {
         .as("rho"))
   }
 
+  /** INTER-ARRIVAL BURSTINESS — per key, the gap-distribution summary
+    * behind traffic-shape triage: mean gap, coefficient of variation,
+    * and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1)
+    * (−1 = periodic, 0 = Poisson, → 1 = bursty). The event-stream
+    * twin of [[rfmSegments]]' recency axis.
+    *
+    * Exactness: gaps floor to whole SECONDS (integer µs div 10⁶ —
+    * second-scale gaps keep the power sums inside Long: Σg² overflows
+    * at µs scale), the variance numerator n·Σg² − (Σg)² is an exact
+    * Long, and mean/σ/CV/B are one fixed IEEE tree. Keys need ≥ 2
+    * gaps (a single gap has no dispersion).
+    *
+    * Shape: ONE key exchange (lag window + the key aggregate reuse
+    * the partitioning).
+    */
+  def burstiness(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__tie"))
+    val gaps = df
+      .select(col(keyCol), col(tsCol), col(tieCol).as("__tie"))
+      .withColumn("__t", expr(s"unix_micros($tsCol)"))
+      .withColumn("__pt", lag(col("__t"), 1).over(w))
+      .filter(col("__pt").isNotNull)
+      .select(col(keyCol), expr("(__t - __pt) div 1000000L").as("__g"))
+    val agg = gaps
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__g")).as("__sg"),
+        sum(col("__g") * col("__g")).as("__sgg"))
+      .filter(col("__n") >= 2L)
+    val nD = col("__n").cast("double")
+    val mean = col("__sg").cast("double") / nD
+    val varNum = col("__n") * col("__sgg") - col("__sg") * col("__sg")
+    val sd = sqrt(varNum.cast("double")) / nD
+    agg.select(
+      col(keyCol),
+      col("__n").as("n_gaps"),
+      round(mean, 6).as("mean_gap_s"),
+      when(mean > 0.0, round(sd / mean, 6)).as("cv"),
+      when(sd + mean > 0.0, round((sd - mean) / (sd + mean), 6)).as("burstiness"))
+  }
+
   /** LOCAL PEAK DETECTION — per key, rows STRICTLY greater than both
     * event-time neighbors, kept when the rise over the higher neighbor
     * reaches `minDelta` (in value units): the spike screen behind

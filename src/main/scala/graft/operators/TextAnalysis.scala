@@ -1099,6 +1099,36 @@ object TextAnalysis {
           6).as("lift"))
   }
 
+  /** LEXICAL DIVERSITY — per document: token count, type count,
+    * type–token ratio, and Herdan's C (ln types / ln tokens — the
+    * length-robust variant; TTR collapses on long texts). The
+    * vocabulary-richness QA screen: template/boilerplate docs score
+    * near 0 diversity, natural text ~0.9 Herdan.
+    *
+    * Exactness: both counts are exact integers per doc (the per-doc
+    * distinct fits the row — no shuffle at all beyond the source
+    * scan: counts come from array ops on the token array); ratios and
+    * logs are one fixed IEEE tree. Single-token/empty docs report
+    * NULL Herdan (ln 1 = 0 denominator).
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    docs
+      .select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
+      .select(
+        col(idCol), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0L,
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("ttr"),
+        when(col("n_tokens") > 1L,
+          round(log(col("n_types").cast("double"))
+            / log(col("n_tokens").cast("double")), 6))
+          .as("herdan_c"))
+  }
+
   /** TEXTRANK KEYWORD SCORES (Mihalcea & Tarau 2004) — PageRank over
     * the word co-occurrence graph: words that co-occur within a
     * ±`window` token distance link, edge weight = corpus-wide pair

@@ -892,6 +892,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(tied > 0.9 && tied < 1.0, s"tied rho = $tied")
   }
 
+  test("burstiness: periodic series -> B = -1 with CV 0, bursty " +
+      "two-level gaps match hand values, single-gap keys dropped") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val periodic = (0L to 4L).map(i => (1L, ts(10L * i), i))
+    // key 2: gaps 1, 1, 10 s -> mean 4, var (9+9+36... ) hand below
+    val bursty = Seq((2L, ts(0L), 10L), (2L, ts(1L), 11L),
+      (2L, ts(2L), 12L), (2L, ts(12L), 13L))
+    val single = Seq((3L, ts(0L), 20L), (3L, ts(5L), 21L)) // one gap only
+    val df = (periodic ++ bursty ++ single).toDF("k", "ts", "tie")
+    val got = Temporal.burstiness(df, "k", "ts", "tie")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(!got.contains(3L))
+    assert(got(1L) == ((4L, 10.0, 0.0, -1.0)))
+    // gaps 1,1,10: n=3, sg=12, sgg=102 -> m=4, sd=sqrt(3*102-144)/3
+    val m = 4.0
+    val sd = math.sqrt((3.0 * 102 - 144.0)) / 3.0
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(2L)._2 == 4.0)
+    assert(got(2L)._3 == r6(sd / m) && got(2L)._4 == r6((sd - m) / (sd + m)))
+  }
+
   test("peakDetect: strict local maxima only — plateaus and boundaries " +
       "excluded, delta gates the rise") {
     import spark.implicits._

@@ -670,6 +670,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) == ((r6(math.log(0.4 * 4.0 / 9.0)), 1L, 0L)))
   }
 
+  test("lexicalDiversity: exact type/token counts, TTR and Herdan by " +
+      "hand, single-token doc reports null Herdan") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b c"), // 5 tokens, 3 types
+      (1L, "x"), // 1 token: TTR 1, Herdan null (ln 1 denominator)
+      (2L, "w w w w")).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(0L) == ((5L, 3L, r6(math.log(3.0) / math.log(5.0)))))
+    assert(got(1L) == ((1L, 1L, null)))
+    assert(got(2L) == ((4L, 1L, 0.0))) // ln 1 / ln 4 = 0
+  }
+
   test("textRank: two-word fixpoint stays 1.0, hub outranks fringe, " +
       "fringe words tie, deterministic across runs") {
     import spark.implicits._
