@@ -212,6 +212,24 @@ class PlanSpec extends AnyFunSuite {
       "edit-distance join fell back to all-pairs:\n" + p.take(1200))
   }
 
+  test("qt43: lexical diversity is a pure projection — zero exchanges, " +
+      "no join, no window") {
+    val p = plan("qt43_lex_diversity")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-doc projection grew a shuffle:\n" + p.take(1200))
+  }
+
+  test("qe44/qe48/qe50: lag-window composites plan ONE key exchange " +
+      "each (lag and the second pass share the partitioning)") {
+    for (n <- Seq("qe44_autocorr", "qe48_peaks", "qe50_burstiness")) {
+      val p = plan(n)
+      assert(!p.contains("Join"), s"$n grew a join:\n" + p.take(1200))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$n expected one key exchange, saw $exchanges:\n" + p.take(1200))
+    }
+  }
+
   test("qe28: lttb is aggregate + generate — no join, no window") {
     val p = plan("qe28_lttb")
     assert(!p.contains("Join"), "lttb grew a join:\n" + p.take(1200))
