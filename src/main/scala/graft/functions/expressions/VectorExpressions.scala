@@ -193,6 +193,7 @@ case class NearestCells(child: Expression, seeds: Array[Array[Double]], p: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val f = isFloat // hoisted: the dataType pattern match must not run per element
     val bestD = Array.fill(p)(Double.PositiveInfinity)
     val bestI = Array.fill(p)(-1)
     var c = 0
@@ -202,7 +203,7 @@ case class NearestCells(child: Expression, seeds: Array[Array[Double]], p: Int)
       var d = 0.0
       var j = 0
       while (j < n) {
-        val xj = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        val xj = if (f) v.getFloat(j).toDouble else v.getDouble(j)
         val diff = xj - cent(j)
         d += diff * diff
         j += 1

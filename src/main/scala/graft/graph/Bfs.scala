@@ -77,7 +77,11 @@ object Bfs {
           throw new IllegalStateException(
             s"BFS frontier still growing after maxDepth=$maxDepth rounds; " +
               "raise maxDepth")
-        visited = visited.unionAll(next).localCheckpoint(true)
+        // plain union of already-checkpointed layer leaves: the plan
+        // grows one leaf per round (bounded by maxDepth), while
+        // re-checkpointing `visited` here would re-materialize every
+        // earlier layer each round — O(D·V) writes for a D-round BFS
+        visited = visited.unionAll(next)
         frontier = next
       }
     }

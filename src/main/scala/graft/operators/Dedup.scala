@@ -220,6 +220,18 @@ object Dedup {
       .filter(col(idCol) === col("__keepid"))
       .select(col(idCol))
 
+  /** LSH collision pairs from a banded frame — the one candidate-pair
+    * contract (join on __bandhash, higher id first, distinct), shared
+    * so banding/canonicalization changes can't silently diverge
+    * between consumers. Returns (__a, __b) with __a > __b.
+    */
+  private def bandCandidatePairs(b: DataFrame, idCol: String): DataFrame =
+    b.select(col(idCol).as("__a"), col("__bandhash"))
+      .join(b.select(col(idCol).as("__b"), col("__bandhash")), Seq("__bandhash"))
+      .filter(col("__a") > col("__b"))
+      .select("__a", "__b")
+      .distinct()
+
   /** Band the signature: one row per (id, band) with the band's hash. */
   private def banded(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
     sigs
@@ -324,11 +336,8 @@ object Dedup {
         .minHashSignature(col(textCol), shingleSize, numHashes).as("__sig"),
       shingleSetUdf(shingleSize)(col(textCol)).as("__sh"))
     val b = banded(sigs, idCol, bands, numHashes / bands)
-    val candidates = b.select(col(idCol).as("a_id"), col("__bandhash"))
-      .join(b.select(col(idCol).as("b_id"), col("__bandhash")), Seq("__bandhash"))
-      .filter(col("a_id") > col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
+    val candidates = bandCandidatePairs(b, idCol)
+      .select(col("__a").as("a_id"), col("__b").as("b_id"))
     val shingles = sigs.select(col(idCol), col("__sh"))
     val dups = candidates
       .join(shingles.select(col(idCol).as("a_id"), col("__sh").as("a_sh")), Seq("a_id"))
@@ -1183,12 +1192,7 @@ object Dedup {
     val b = banded(
       minHashSigs(docs, idCol, textCol, shingleSize, numHashes),
       idCol, bands, numHashes / bands)
-    val pairs = b.as("ba")
-      .join(b.as("bb"),
-        col("ba.__bandhash") === col("bb.__bandhash") &&
-          col(s"ba.$idCol") > col(s"bb.$idCol"))
-      .select(col(s"ba.$idCol").as("__a"), col(s"bb.$idCol").as("__b"))
-      .distinct()
+    val pairs = bandCandidatePairs(b, idCol)
     val comp = connectedComponents(pairs, "__a", "__b")
     comp
       .join(

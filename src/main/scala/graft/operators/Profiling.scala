@@ -681,17 +681,19 @@ object Profiling {
     */
   def qualityReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    // internal columns are INDEX-named — rule names are arbitrary user
+    // strings (dots/backticks would break col() resolution)
     val aggs = count(lit(1)).as("__n") +:
-      rules.map { case (nm, c) =>
+      rules.zipWithIndex.map { case ((_, c), i) =>
         // sum over an EMPTY frame is null — the report contract is 0
-        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"__r_$nm")
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"__r_$i")
       }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(rules.map { case (nm, _) =>
+      .select(explode(array(rules.zipWithIndex.map { case ((nm, _), i) =>
         struct(
           lit(nm).as("rule"),
           col("__n").as("n_rows"),
-          col(s"__r_$nm").as("n_pass"))
+          col(s"__r_$i").as("n_pass"))
       }: _*)).as("__x"))
       .select(
         col("__x.rule").as("rule"),
@@ -742,9 +744,13 @@ object Profiling {
           val p = x("__ca").cast("double") / naD
           val q = x("__cb").cast("double") / nbD
           val m = (p + q) / lit(2.0)
+          // grouped acc + (termA + termB): the oracle folds one list
+          // element per category, so the engine must add the two side
+          // terms together FIRST — (acc+A)+B vs acc+(A+B) differ in
+          // the last ulp and can flip a 6-dp rounding boundary
           acc +
-            when(x("__ca") > 0L, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
-            when(x("__cb") > 0L, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+            (when(x("__ca") > 0L, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+              when(x("__cb") > 0L, lit(0.5) * q * log(q / m)).otherwise(lit(0.0)))
         })
         struct(
           na.as("na"), nb.as("nb"),

@@ -390,6 +390,12 @@ object Relational {
     * data values, so quantized-integer inputs stay integral) and
     * `__clip` (−1 clipped low / 0 kept / +1 clipped high).
     *
+    * Row preservation is LITERAL: null/NaN values pass through
+    * unclamped (`__w` = the value, `__clip` = 0 — the thresholds were
+    * computed EXCLUDING them, so clamping a NaN to p90 would fabricate
+    * a data point), and keys with no computable threshold (all values
+    * null/NaN) keep their rows via the LEFT join.
+    *
     * Cost: two threshold passes over the grouped multiset + one
     * broadcast join — no per-row shuffle of the data itself.
     */
@@ -406,14 +412,18 @@ object Relational {
     val hi = groupedPercentileThresholds(df, keyCol, valueCol, pHi)
       .withColumnRenamed("__thr", "__hi")
     val v = col(valueCol).cast("double")
-    df.join(broadcast(lo), Seq(keyCol))
-      .join(broadcast(hi), Seq(keyCol))
+    val clampable = v.isNotNull && !isnan(v) &&
+      col("__lo").isNotNull && col("__hi").isNotNull
+    df.join(broadcast(lo), Seq(keyCol), "left")
+      .join(broadcast(hi), Seq(keyCol), "left")
       .withColumn("__w",
-        when(v < col("__lo"), col("__lo"))
-          .when(v > col("__hi"), col("__hi"))
+        when(clampable && v < col("__lo"), col("__lo"))
+          .when(clampable && v > col("__hi"), col("__hi"))
           .otherwise(v))
       .withColumn("__clip",
-        when(v < col("__lo"), -1L).when(v > col("__hi"), 1L).otherwise(0L))
+        when(clampable && v < col("__lo"), -1L)
+          .when(clampable && v > col("__hi"), 1L)
+          .otherwise(0L))
       .drop("__lo", "__hi")
   }
 

@@ -1162,12 +1162,17 @@ object TextAnalysis {
       .select(monotonically_increasing_id().as("__doc"), col(textCol))
       .select(col("__doc"), posexplode(split(lower(trim(col(textCol))), "\\s+")))
       .select(col("__doc"), col("pos").as("__p"), col("col").as("__w"))
-    val a = tok2.select(col("__doc"), col("__p").as("__pa"), col("__w").as("__wa"))
+    // offset-explode equi-join: each token probes positions p+1..p+w,
+    // so the join is keyed (doc, position) and the fan-out is O(L·w)
+    // per doc — a doc-only join key would materialize the O(L²) cross
+    // product and post-filter it
+    val a = tok2
+      .withColumn("__off", explode(array((1 to window).map(lit): _*)))
+      .select(col("__doc"), (col("__p") + col("__off")).as("__pb"),
+        col("__w").as("__wa"))
     val b = tok2.select(col("__doc"), col("__p").as("__pb"), col("__w").as("__wb"))
-    val edges = a.join(b, Seq("__doc"))
-      .filter(col("__pb") > col("__pa") &&
-        col("__pb") - col("__pa") <= window &&
-        col("__wa") =!= col("__wb"))
+    val edges = a.join(b, Seq("__doc", "__pb"))
+      .filter(col("__wa") =!= col("__wb"))
       .select(
         least(col("__wa"), col("__wb")).as("__u"),
         greatest(col("__wa"), col("__wb")).as("__v"))
