@@ -53,6 +53,13 @@ object GraphScale {
       time("betweenness16") {
         graft.graph.Betweenness.run(edges, "x", "y", pivots = 16).count()
       }
+      // HyperBall: diameter rounds of (edges × register-rows) joins,
+      // state Θ(n·2^p) — the probe pins that harmonic centrality costs
+      // ~diameter × |E|-join, never the n² pair table the exact tier
+      // walks (hash-random diameter ~log n, so rounds stay single-digit)
+      time("hyperball_p6") {
+        graft.graph.Centrality.harmonicHyperBall(edges, "x", "y", p = 6).count()
+      }
     }
     // k-truss SKEW probe — the measured form of the operator-doc caveat
     // ("support needs the FULL neighbourhood; no degree orientation caps

@@ -1652,6 +1652,57 @@ object SparkEntry {
     graph.Bfs.hops(edges, "x", "y", source = 0L)
   }
 
+  /** Exact betweenness centrality ([[graph.Betweenness.run]], pivots
+    * = 0 ⇒ every vertex a source — exact Brandes): shortest-path
+    * brokerage over a %150 projection of orders. The oracle avoids
+    * replaying Brandes' backward accumulation: it computes layered
+    * per-source path counts σ (one recursive DP over the converged
+    * qg18-style distance table) and applies the pair-sum identity
+    * BC(v) = ½·Σ_{s,t} σ_sv·σ_vt/σ_st·[d(s,v)+d(v,t)=d(s,t)] — a pure
+    * triple join, exact by Brandes (2001) Thm 6 / Lemma 3. Both sides
+    * round to 6 dp; validated bit-identical against an independent
+    * hand-rolled Brandes at this scale.
+    */
+  private def qg21Betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+    // 2×diameter eager frame rounds over ≤ 150² state rows: at 32
+    // shuffle partitions the wall is TASK COUNT, not data (measured
+    // 6.5 → 4.5 s at 8) — the qe6 small-state override, restored after
+    // the eager rounds (Betweenness checkpoints its output, so the
+    // caller's count() does no shuffling at the restored setting)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Betweenness.run(edges, "x", "y", pivots = 0)
+      .select(col("node"), round(col("betweenness"), 6).as("betweenness"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Exact closeness + harmonic centrality ([[graph.Centrality
+    * .distanceCentralities]]) on qg21's %150 projection: per-vertex
+    * reachable count, exact Long distance sum, closeness =
+    * n_reached/sum_dist (one IEEE divide of exact integers), harmonic
+    * = Σ count_d/d folded in ascending-distance order — ≤ diameter
+    * terms per vertex, replayed by the oracle as the same sorted
+    * list_reduce fold (the qp14 ordered-fold contract).
+    */
+  private def qg22Centrality(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+    // small-state override (the qg21 rationale: diameter eager BFS
+    // rounds over ≤ 150² rows are task-count-bound at 32 partitions)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Centrality.distanceCentralities(edges, "x", "y")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Edit-distance self-join ([[operators.Dedup.editDistanceJoin]],
     * k = 1) over customer names: deletion-neighborhood candidates +
     * exact levenshtein verify. The shared "Customer#0000" prefix is
@@ -1852,15 +1903,16 @@ object SparkEntry {
     * the multi-probe seed-cell join (the qd14 assignment contract),
     * never an all-pairs scan; the oracle replays the probe
     * assignment, the cell-join candidate set, and both directed
-    * k-cuts.
+    * k-cuts — INCLUDING the nCells formula (its seed LIMIT is the
+    * same greatest(32, n/64) scalar subquery), so the compare holds
+    * at any scale, not just where n/64 <= 32.
     */
   private def qs14MutualKnn(spark: SparkSession, dir: String): DataFrame = {
     val embs = t(spark, dir, "embeddings")
     // nCells grows with the corpus so cell occupancy stays ~constant
     // (the operator's own scale contract: fixed nCells makes per-cell
     // work quadratic in n — measured 129 s at sf1 with 32 cells over
-    // 20k vectors). At sf0.01 (the oracle's scale) this is exactly the
-    // literal 32 the SQL replays.
+    // 20k vectors). Mirrored verbatim in the oracle's seed LIMIT.
     val nCells = math.max(32L, embs.count() / 64L).toInt
     operators.Similarity.mutualKnn(
       embs, "vec_id", "embedding", k = 5,
@@ -5077,6 +5129,8 @@ object SparkEntry {
     "qp14_jsd" -> (qp14Jsd _),
     "qt41_zipf" -> (qt41Zipf _),
     "qg18_bfs" -> (qg18Bfs _),
+    "qg21_betweenness" -> (qg21Betweenness _),
+    "qg22_centrality" -> (qg22Centrality _),
     "qd19_edit_join" -> (qd19EditJoin _),
     "qd20_keep_best" -> (qd20KeepBest _),
     "qt40_textrank" -> (qt40TextRank _),
@@ -8530,7 +8584,11 @@ object SparkEntry {
         |FROM c GROUP BY k""".stripMargin,
     // BFS hops: the qd6 monotone min-fold recursion — the FULL distance
     // table rides every iteration (frontier-style recursion multiplies
-    // paths), min over all iterations = the converged layer distance
+    // paths), min over all iterations = the converged layer distance.
+    // 40 iterations (the qg19 bound) >> any plausible eccentricity of
+    // the %500 projection (the engine runs to frontier exhaustion, so
+    // a too-small oracle bound silently truncates distant nodes); the
+    // GROUP BY collapse keeps extra iterations O(V) each.
     "qg18_bfs" ->
       """WITH RECURSIVE raw AS (
         |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
@@ -8548,9 +8606,107 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT l.it, s.w AS node, l.d + 1 FROM lab l JOIN sym s ON s.v = l.node
         |  ) t(it, node, d)
-        |  WHERE it < 15
+        |  WHERE it < 40
         |  GROUP BY it, node)
         |SELECT node, min(d) AS dist FROM lab GROUP BY node""".stripMargin,
+    // Betweenness: no backward-pass replay — layered σ DP over the
+    // converged multi-source distance table (the qg18 min-fold, keyed
+    // by pivot), then the Brandes pair-sum identity as one triple
+    // join: BC(v) = ½·Σ σ_sv·σ_vt/σ_st over pairs with
+    // d(s,v)+d(v,t)=d(s,t). s≠t is implied (it would need
+    // d(s,v)+d(v,s) = 0 with both legs > 0). σ sums are exact BIGINTs;
+    // the ratio terms are IEEE divides on exact integers; 40-iteration
+    // bound = 8× the measured max eccentricity (5) of this projection.
+    // Validated bit-identical (at 6 dp) against an independent
+    // hand-rolled Brandes implementation on the same edge set.
+    "qg21_betweenness" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |lab(it, p, node, d) AS (
+        |  SELECT 0, v, v, 0 FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, p, node, min(d) FROM (
+        |    SELECT l.it, l.p, l.node, l.d FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, l.p, s.w AS node, l.d + 1
+        |    FROM lab l JOIN sym s ON s.v = l.node
+        |  ) t(it, p, node, d)
+        |  WHERE it < 40
+        |  GROUP BY it, p, node),
+        |dist AS MATERIALIZED (
+        |  SELECT p, node AS v, min(d) AS d FROM lab GROUP BY p, node),
+        |sig(d, p, v, sigma) AS (
+        |  SELECT 0, v, v, CAST(1 AS BIGINT) FROM nodes
+        |  UNION ALL
+        |  SELECT s.d + 1, s.p, sym.w, CAST(sum(s.sigma) AS BIGINT)
+        |  FROM sig s
+        |  JOIN sym ON sym.v = s.v
+        |  JOIN dist ON dist.p = s.p AND dist.v = sym.w AND dist.d = s.d + 1
+        |  GROUP BY s.d + 1, s.p, sym.w),
+        |bc AS (
+        |  SELECT sv.v AS node,
+        |    sum(CAST(sv.sigma AS DOUBLE) * CAST(vt.sigma AS DOUBLE)
+        |        / CAST(st.sigma AS DOUBLE)) / 2.0 AS b
+        |  FROM sig sv
+        |  JOIN sig vt ON vt.p = sv.v AND vt.d > 0
+        |  JOIN sig st ON st.p = sv.p AND st.v = vt.v AND st.d = sv.d + vt.d
+        |  WHERE sv.d > 0
+        |  GROUP BY sv.v)
+        |SELECT n.v AS node, round(coalesce(bc.b, 0.0), 6) AS betweenness
+        |FROM nodes n LEFT JOIN bc ON bc.node = n.v""".stripMargin,
+    // Closeness + harmonic: qg21's multi-source distance table, then
+    // per-vertex (distance, count) rows — n_reached/sum_dist exact
+    // BIGINTs, closeness one IEEE divide, harmonic a list_reduce left
+    // fold over the ASCENDING-distance struct list (list_sort on
+    // struct = Spark's sort_array lexicographic order; 0.0 + x is
+    // exact, so DuckDB's first-element-init fold equals Spark's
+    // 0.0-init fold term for term)
+    "qg22_centrality" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |lab(it, p, node, d) AS (
+        |  SELECT 0, v, v, 0 FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, p, node, min(d) FROM (
+        |    SELECT l.it, l.p, l.node, l.d FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, l.p, s.w AS node, l.d + 1
+        |    FROM lab l JOIN sym s ON s.v = l.node
+        |  ) t(it, p, node, d)
+        |  WHERE it < 40
+        |  GROUP BY it, p, node),
+        |dist AS MATERIALIZED (
+        |  SELECT p, node AS v, min(d) AS d FROM lab GROUP BY p, node),
+        |cnts AS (
+        |  SELECT v, d, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dist WHERE d > 0 GROUP BY v, d),
+        |per AS (
+        |  SELECT v,
+        |    CAST(sum(cnt) AS BIGINT) AS n_reached,
+        |    CAST(sum(cnt * d) AS BIGINT) AS sum_dist,
+        |    list_sort(list(struct_pack(dist := d, cnt := cnt))) AS t
+        |  FROM cnts GROUP BY v)
+        |SELECT v AS node, n_reached, sum_dist,
+        |  round(CAST(n_reached AS DOUBLE) / CAST(sum_dist AS DOUBLE), 6)
+        |    AS closeness,
+        |  round(list_reduce(
+        |    list_transform(t, x -> CAST(x.cnt AS DOUBLE) / CAST(x.dist AS DOUBLE)),
+        |    (acc, e) -> acc + e), 6) AS harmonic
+        |FROM per""".stripMargin,
     // TextRank: unrolled MATERIALIZED score CTEs (the qg14 pattern);
     // integer pair counts/strengths, (1.0 - 0.85) written as the same
     // IEEE subtraction the engine folds, per-node neighbor sums carry
@@ -9051,7 +9207,8 @@ object SparkEntry {
     "qs14_mutual_knn" ->
       """WITH seeds AS (
         |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
-        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 32)),
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        |        LIMIT (SELECT greatest(32, count(*) // 64) FROM embeddings))),
         |dists AS (
         |  SELECT e.vec_id, s.cidx,
         |    round(list_sum(list_transform(generate_series(1, 64), j ->

@@ -170,7 +170,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * Semantics pinned to [[graft.operators.Similarity]]'s pqEncode/probe
   * contract: L2² distances rounded to 6 dp (floor(d·1e6 + 0.5)/1e6),
   * ties broken toward the LOWEST cell index, output = the p best cell
-  * indices in (rounded distance, index) order. Null vector → null.
+  * indices in (rounded distance, index) order. Null vector → null; a
+  * null ELEMENT throws (the embedding contract is dense — parquet
+  * arrays arrive as containsNull = true, so the type check can't reject
+  * them statically, and silently reading a null slot as 0.0 would
+  * corrupt the L2 distance, unlike the old Seq[Double] UDF path which
+  * errored on deserialization).
   */
 case class NearestCells(child: Expression, seeds: Array[Array[Double]], p: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -194,6 +199,15 @@ case class NearestCells(child: Expression, seeds: Array[Array[Double]], p: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val f = isFloat // hoisted: the dataType pattern match must not run per element
+    // null-element pre-scan: ONE pass per vector, not per (vector, seed)
+    var g = 0
+    val nv = v.numElements()
+    while (g < nv) {
+      if (v.isNullAt(g))
+        throw new IllegalArgumentException(
+          s"nearest_cells: null element at index $g in input vector")
+      g += 1
+    }
     val bestD = Array.fill(p)(Double.PositiveInfinity)
     val bestI = Array.fill(p)(-1)
     var c = 0
@@ -241,7 +255,14 @@ case class NearestCells(child: Expression, seeds: Array[Array[Double]], p: Int)
       val diff = ctx.freshName("diff")
       val cnt = ctx.freshName("cnt")
       val out = ctx.freshName("out")
+      val g = ctx.freshName("g")
       s"""
+         |for (int $g = 0; $g < $v.numElements(); $g++) {
+         |  if ($v.isNullAt($g)) {
+         |    throw new IllegalArgumentException(
+         |      "nearest_cells: null element at index " + $g + " in input vector");
+         |  }
+         |}
          |double[] $bestD = new double[$p];
          |int[] $bestI = new int[$p];
          |java.util.Arrays.fill($bestD, Double.POSITIVE_INFINITY);

@@ -1,0 +1,208 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** DISTANCE-BASED CENTRALITIES — closeness and harmonic: how NEAR a
+  * vertex sits to everything else, the complement of [[Betweenness]]'s
+  * brokerage view. Harmonic (Marchiori & Latora 2000; Boldi & Vigna
+  * 2014 argue it is the right form on disconnected graphs) is
+  * `H(v) = Σ_{u≠v} 1/d(u,v)` with unreachable pairs contributing 0;
+  * closeness here is `n_reached(v) / Σ_u d(u,v)` (reachable-only, the
+  * multi-component-safe convention — documented, not Bavelas'
+  * (n−1)/Σd which is undefined off a connected graph).
+  *
+  * Two tiers, one semantics:
+  *  - [[distanceCentralities]] — EXACT, all-pairs BFS. O(n) BFS state
+  *    per source; right for gate-scale graphs and as the oracle anchor.
+  *  - [[harmonicHyperBall]] — the HyperBall estimator (Boldi & Vigna,
+  *    "In-core computation of geometric centralities with HyperBall",
+  *    2013): each vertex carries an HLL sketch of its distance-t ball;
+  *    one register-merge round per distance layer, so the cost is
+  *    O(diameter) joins over (node, bucket, rho) rows — n·2^p state,
+  *    INDEPENDENT of n² pair count. This is the only known shape that
+  *    survives harmonic centrality at 100 TB graph scale.
+  *
+  * Reference: no analog (the reference's graph tier is routing only);
+  * beyond-reference graph-analytics mandate, sibling of
+  * [[Betweenness]]/[[Bfs]].
+  */
+object Centrality {
+
+  /** Canonicalized symmetric edge list (v, w), self-loops and dup
+    * orientations dropped — the [[Betweenness]] normalization. */
+  private def symmetrize(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    e.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+  }
+
+  /** EXACT closeness + harmonic per vertex:
+    * `(node, n_reached, sum_dist, closeness, harmonic)`. Undirected,
+    * unweighted; isolated vertices don't appear (no edges → no rows).
+    * `n_reached` excludes the vertex itself; `sum_dist` is an exact
+    * Long; `closeness = n_reached / sum_dist` and
+    * `harmonic = Σ_d count_d / d` are 6-dp-rounded. The harmonic fold
+    * runs over the per-vertex (distance, count) list in ASCENDING
+    * distance order — ≤ diameter terms, so an oracle replaying the
+    * same sorted fold reproduces it bit-exactly (the qp14 ordered-fold
+    * contract; no order-dependent Σ over n elements).
+    *
+    * Multi-source BFS: state is ONE DataFrame keyed by (source, node)
+    * — every source advances together, one frontier×edges join + one
+    * aggregate per round, rounds bounded by the diameter, each round
+    * `localCheckpoint`ed (the qg9 lineage lesson).
+    */
+  def distanceCentralities(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val ed = symmetrize(edges, aCol, bCol).persist()
+    val nodes = ed.select(col("v")).distinct()
+    if (nodes.isEmpty) {
+      ed.unpersist()
+      return spark.range(0).select(
+        col("id").as("node"), lit(0L).as("n_reached"),
+        lit(0L).as("sum_dist"), lit(0.0).as("closeness"),
+        lit(0.0).as("harmonic"))
+    }
+    var bfs = nodes
+      .select(col("v").as("p"), col("v"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var d = 0
+    var grewBy = 1L
+    while (grewBy > 0L) {
+      val frontier = bfs.filter(col("dist") === d)
+      val next = frontier
+        .join(ed, Seq("v"))
+        .select(col("p"), col("w").as("v"))
+        .distinct()
+        .join(bfs.select("p", "v"), Seq("p", "v"), "left_anti")
+        .select(col("p"), col("v"), lit(d + 1).as("dist"))
+      val grown = bfs.unionAll(next).localCheckpoint(true)
+      grewBy = grown.count() - bfs.count()
+      bfs = grown
+      d += 1
+    }
+    val counts = bfs
+      .filter(col("dist") > 0)
+      .groupBy(col("v"), col("dist"))
+      .agg(count(lit(1)).as("cnt"))
+    val out = counts
+      .groupBy(col("v"))
+      .agg(
+        sum(col("cnt")).as("n_reached"),
+        sum(col("cnt") * col("dist").cast("long")).as("sum_dist"),
+        sort_array(collect_list(struct(col("dist"), col("cnt")))).as("__t"))
+      .select(
+        col("v").as("node"),
+        col("n_reached"),
+        col("sum_dist"),
+        round(col("n_reached").cast("double")
+          / col("sum_dist").cast("double"), 6).as("closeness"),
+        round(aggregate(col("__t"), lit(0.0), (acc, x) =>
+          acc + x("cnt").cast("double") / x("dist").cast("double")), 6)
+          .as("harmonic"))
+    ed.unpersist()
+    out
+  }
+
+  /** HYPERBALL harmonic-centrality estimate:
+    * `(node, harmonic_est, reached_est)`. Each vertex's distance-t
+    * ball B(v,t) is an HLL sketch in the [[Sketches.hllRegisters]]
+    * SPARSE row form — (node, bucket, rho), ≤ 2^p rows per vertex —
+    * and one round advances EVERY ball: re-key each neighbor's
+    * register rows across the edge, union with own, keep max rho per
+    * (node, bucket). That is one equi-join + one aggregate per
+    * distance layer; registers only grow, so convergence is the first
+    * round with no register change, ≤ diameter rounds (capped at
+    * `maxIter`). Harmonic accumulates Σ_t (|B(t)|−|B(t−1)|)/t from the
+    * per-round HLL estimates (md5-replayable, like [[Sketches
+    * .hllDistinct]]); negative per-round deltas (estimator jitter on
+    * an unchanged ball) clamp to 0 — a ball cannot shrink.
+    *
+    * Scale: state and per-round shuffle are Θ(n·2^p) rows keyed by
+    * node — never Θ(n²) pairs; p trades ±1.04/√2^p relative error for
+    * 2^p rows per vertex. Exactness of the ESTIMATOR's replay (not of
+    * the estimate) is the HLL power-of-two-sum argument in
+    * [[Sketches.hllEstimate]].
+    */
+  def harmonicHyperBall(
+      edges: DataFrame, aCol: String, bCol: String,
+      p: Int = 6, maxIter: Int = 64): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    val spark = edges.sparkSession
+    val ed = symmetrize(edges, aCol, bCol).persist()
+    val nodes = ed.select(col("v")).distinct()
+    if (nodes.isEmpty) {
+      ed.unpersist()
+      return spark.range(0).select(
+        col("id").as("node"), lit(0.0).as("harmonic_est"),
+        lit(0.0).as("reached_est"))
+    }
+    def estimate(regs: DataFrame): DataFrame =
+      Sketches.hllEstimate(regs, Seq("__k"), p)
+        .select(col("__k"), col("__est"))
+    // B(v, 0) = {v}
+    var regs = Sketches
+      .hllRegisters(
+        nodes.select(col("v").as("__k"), col("v").as("__val")),
+        "__k", "__val", p)
+      .localCheckpoint(true)
+    var prevEst = estimate(regs).localCheckpoint(true)
+    // accumulator: (node, h)
+    var acc = nodes.select(col("v").as("__k"), lit(0.0).as("__h"))
+      .localCheckpoint(true)
+    var t = 1
+    var changed = true
+    // register mass: rows only appear and rhos only grow, so the
+    // (count, Σrho) pair strictly increases until the fixpoint
+    def mass(r: DataFrame): (Long, Long) = {
+      val row = r.agg(count(lit(1)), coalesce(sum(col("__m")), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var prevMass = mass(regs)
+    while (changed && t <= maxIter) {
+      val merged = regs
+        .unionAll(
+          ed.join(regs.withColumnRenamed("__k", "w"), Seq("w"))
+            .select(col("v").as("__k"), col("__b"), col("__m")))
+        .groupBy(col("__k"), col("__b"))
+        .agg(max(col("__m")).as("__m"))
+        .localCheckpoint(true)
+      val curMass = mass(merged)
+      changed = curMass != prevMass
+      if (changed) {
+        val est = estimate(merged).localCheckpoint(true)
+        acc = acc
+          .join(prevEst.select(col("__k"), col("__est").as("__e0")), Seq("__k"), "left_outer")
+          .join(est.select(col("__k"), col("__est").as("__e1")), Seq("__k"), "left_outer")
+          .select(
+            col("__k"),
+            (col("__h") + greatest(
+              coalesce(col("__e1"), lit(0.0)) - coalesce(col("__e0"), lit(0.0)),
+              lit(0.0)) / lit(t.toDouble)).as("__h"))
+          .localCheckpoint(true)
+        prevEst = est
+        regs = merged
+        prevMass = curMass
+        t += 1
+      }
+    }
+    val out = acc
+      .join(prevEst, Seq("__k"))
+      .select(
+        col("__k").as("node"),
+        col("__h").as("harmonic_est"),
+        // |B(∞)| counts v itself — subtract its own unit
+        (col("__est") - lit(1.0)).as("reached_est"))
+    ed.unpersist()
+    out
+  }
+}

@@ -1128,6 +1128,17 @@ object Dedup {
     * variants per row grow ~len^k; for documents, dedup on shingles,
     * not characters). Variant generation is per-row array work
     * (interpreted HOFs — linear, no shuffle wider than (id, hash)).
+    *
+    * DICTIONARY COLLAPSE first (the qd16 lesson applied to FastSS):
+    * edit distance is a string property, so members of an exact-dup
+    * group are interchangeable — variant generation, the bucket join,
+    * and the levenshtein verify run over DISTINCT strings only. A dup
+    * group of size m would otherwise push m× its variants through the
+    * bucket join and re-verify all ~m²/2 identical pairs; collapsed,
+    * intra-group pairs are emitted directly at dist 0 and cross-group
+    * pairs inherit their reps' verified distance through a pipelined
+    * member-list explode (output-bound, like qd16's expansion). On an
+    * all-distinct corpus the collapse is one cheap hash aggregate.
     */
   def editDistanceJoin(
       df: DataFrame,
@@ -1135,10 +1146,19 @@ object Dedup {
       strCol: String,
       k: Int = 1): DataFrame = {
     require(k >= 1 && k <= 2, s"k must be 1 or 2, got $k (see scaladoc)")
-    val s = df
+    // one row per DISTINCT string: representative id (the minimum — the
+    // sorted member list's head) + the sorted member-id list.
+    // localCheckpoint: reused by the candidate join, the verify join
+    // (both sides), and both expansions; blocks free when GC'd.
+    val groups = df
       .filter(col(strCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
-    val strs = s.withColumn("__len", length(col("__s")))
+      .groupBy("__s")
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .select(element_at(col("__ids"), 1).as("__rid"), col("__s"), col("__ids"))
+      .localCheckpoint(true)
+    val strs = groups.select(col("__rid").as("__id"), col("__s"),
+      length(col("__s")).as("__len"))
     def delOne(v: Column): Column = {
       val n = length(v)
       when(n >= 1,
@@ -1160,14 +1180,35 @@ object Dedup {
       .filter(abs(col("ka.__len") - col("kb.__len")) <= k)
       .select(col("ka.__id").as("__ia"), col("kb.__id").as("__ib"))
       .distinct()
-    cands
-      .join(strs.select(col("__id").as("__ia"), col("__s").as("__sa")), Seq("__ia"))
-      .join(strs.select(col("__id").as("__ib"), col("__s").as("__sb")), Seq("__ib"))
+    // verify over distinct-string reps, carrying both member lists
+    val verified = cands
+      .join(groups.select(col("__rid").as("__ia"), col("__s").as("__sa"),
+        col("__ids").as("__idsa")), Seq("__ia"))
+      .join(groups.select(col("__rid").as("__ib"), col("__s").as("__sb"),
+        col("__ids").as("__idsb")), Seq("__ib"))
       .withColumn("__d", levenshtein(col("__sa"), col("__sb")))
       .filter(col("__d") <= k)
+    // cross-group expansion: every member pair inherits its reps'
+    // distance (groups are disjoint, so member ids interleave —
+    // reorder with least/greatest)
+    val cross = verified
+      .select(explode(col("__idsa")).as("__ma"), col("__idsb"), col("__d"))
+      .select(col("__ma"), explode(col("__idsb")).as("__mb"), col("__d"))
       .select(
-        col("__ia").as("id_a"), col("__ib").as("id_b"),
+        least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
         col("__d").cast("long").as("dist"))
+    // intra-group pairs: identical strings, dist 0 — member list is
+    // sorted, so pos_a < pos_b already gives id_a < id_b
+    val intra = groups
+      .filter(size(col("__ids")) >= 2)
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__pa", "__ma")))
+      .select(col("__ma"), col("__pa"),
+        posexplode(col("__ids")).as(Seq("__pb", "__mb")))
+      .filter(col("__pb") > col("__pa"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        lit(0L).as("dist"))
+    cross.unionAll(intra)
   }
 
   /** KEEP-BEST NEAR-DUP CANONICALIZATION — the selection stage after

@@ -720,7 +720,11 @@ object Profiling {
     * whenever either side is present).
     *
     * Output (one row): n_a, n_b (token totals), n_cats, jsd (nats),
-    * jsd_norm (= jsd / ln 2 ∈ [0, 1]).
+    * jsd_norm (= jsd / ln 2 ∈ [0, 1]). If EITHER side is empty
+    * (n_a = 0 or n_b = 0) the divergence is undefined as a ratio of
+    * distributions (the mathematical limit is ln 2, but p = c/0 is a
+    * null divide in Spark and NaN in DuckDB — neither is the limit), so
+    * the operator emits NO row rather than an engine-dependent value.
     */
   def jsDivergence(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
     val ca = a.groupBy(col(catCol).as("__c")).agg(count(lit(1)).as("__ca"))
@@ -740,7 +744,7 @@ object Profiling {
         val nb = aggregate(t, lit(0L), (acc, x) => acc + x("__cb"))
         val naD = na.cast("double")
         val nbD = nb.cast("double")
-        val jsd = aggregate(t, lit(0.0), (acc, x) => {
+        val jsdFold = aggregate(t, lit(0.0), (acc, x) => {
           val p = x("__ca").cast("double") / naD
           val q = x("__cb").cast("double") / nbD
           val m = (p + q) / lit(2.0)
@@ -752,12 +756,20 @@ object Profiling {
             (when(x("__ca") > 0L, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
               when(x("__cb") > 0L, lit(0.5) * q * log(q / m)).otherwise(lit(0.0)))
         })
+        // one-side-empty: the p = c/0 divide is an ANSI error (and a
+        // NaN in DuckDB) — the `when` short-circuits so the fold never
+        // evaluates; the row is dropped by the filter below
+        val jsd = when(na > 0L && nb > 0L, jsdFold)
         struct(
           na.as("na"), nb.as("nb"),
           size(t).cast("long").as("k"),
           round(jsd, 6).as("jsd"),
           round(jsd / lit(math.log(2.0)), 6).as("jn"))
       })).as("__x"))
+      // one-side-empty guard: with na = 0 the p = c/0 divide nulls the
+      // whole fold (the size(__t) > 0 filter above only covers
+      // both-empty) — drop the row per the documented contract
+      .filter(col("__x.na") > 0L && col("__x.nb") > 0L)
       .select(
         col("__x.na").as("n_a"), col("__x.nb").as("n_b"),
         col("__x.k").as("n_cats"), col("__x.jsd").as("jsd"),

@@ -48,6 +48,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("nearestCells: null vector -> null row; null ELEMENT throws in " +
+      "both eval paths (silent 0.0 would corrupt the L2 distance)") {
+    import spark.implicits._
+    val seeds = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    // null vector: expression is null-safe, row carries null
+    val nv = Seq(Tuple1(Option.empty[Array[Double]])).toDF("v")
+      .select(VectorExpressions.nearestCells(col("v"), seeds, 1)).collect()
+    assert(nv.forall(_.isNullAt(0)))
+    // null element: loud failure, not a silent 0.0 contribution
+    val bad = Seq(Tuple1(Array(Option(1.0), Option.empty[Double]))).toDF("v")
+    def assertThrows(df: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception] { df.collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null element")))
+    }
+    // codegen path
+    assertThrows(bad.select(VectorExpressions.nearestCells(col("v"), seeds, 1)))
+    // interpreted path (wholestage off forces nullSafeEval)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assertThrows(bad.select(VectorExpressions.nearestCells(col("v"), seeds, 1)))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // well-formed vectors still assign to the nearest seed
+    val ok = Seq(Tuple1(Array(9.5, 9.5))).toDF("v")
+      .select(VectorExpressions.nearestCells(col("v"), seeds, 1)).as[Seq[Int]]
+      .collect().head
+    assert(ok == Seq(1))
+  }
+
   test("type check rejects non-array inputs") {
     import spark.implicits._
     val df = Seq((1, "x")).toDF("id", "s")

@@ -1,0 +1,64 @@
+package graft.graph
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CentralitySpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "centrality-spec")
+
+  test("distanceCentralities: hand-computed path + disconnected pair, " +
+      "canonicalization, empty input") {
+    import spark.implicits._
+    // path 0-1-2 plus a separate edge 10-11 (disconnected component),
+    // with a dup orientation and a self-loop to pin canonicalization
+    val edges = Seq((0L, 1L), (1L, 2L), (1L, 0L), (3L, 3L), (10L, 11L))
+      .toDF("a", "b")
+    val out = Centrality.distanceCentralities(edges, "a", "b")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // node 1: reaches 0 and 2 at distance 1
+    assert(out(1L) == ((1L, 2L, 2L, 1.0, 2.0)))
+    // node 0: reaches 1 (d=1) and 2 (d=2): closeness 2/3, harmonic 1.5
+    assert(out(0L) == ((0L, 2L, 3L, 0.666667, 1.5)))
+    assert(out(2L) == out(0L).copy(_1 = 2L))
+    // disconnected pair: sees only each other — the harmonic form
+    // never touches the other component
+    assert(out(10L) == ((10L, 1L, 1L, 1.0, 1.0)))
+    assert(out(11L) == ((11L, 1L, 1L, 1.0, 1.0)))
+    // self-loop-only node 3 is isolated: no row
+    assert(!out.contains(3L))
+    assert(Centrality.distanceCentralities(
+      edges.filter(lit(false)), "a", "b").count() == 0L)
+  }
+
+  test("harmonicHyperBall tracks exact harmonic on the gate graph " +
+      "(p = 8: median relative error < 0.2) and replays deterministically") {
+    import spark.implicits._
+    val edges = graft.Tables.orders(spark, "/root/testdata/sf0.01")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+    val exact = Centrality.distanceCentralities(edges, "x", "y")
+      .select(col("node"), col("harmonic"), col("n_reached"))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val est = Centrality.harmonicHyperBall(edges, "x", "y", p = 8)
+      .as[(Long, Double, Double)].collect()
+    assert(est.length == exact.size) // same vertex set
+    val relErrs = est.map { case (n, h, _) =>
+      math.abs(h - exact(n)._2) / exact(n)._2
+    }.sorted
+    val medianErr = relErrs(relErrs.length / 2)
+    assert(medianErr < 0.2, s"median relative error $medianErr")
+    // reached_est: the ball estimate minus self tracks exact n_reached
+    est.foreach { case (n, _, r) =>
+      val ex = exact(n)._3.toDouble
+      assert(math.abs(r - ex) / ex < 0.3, s"node $n reached_est $r vs $ex")
+    }
+    // md5-replayable: a second run is bit-identical
+    val est2 = Centrality.harmonicHyperBall(edges, "x", "y", p = 8)
+      .as[(Long, Double, Double)].collect()
+    assert(est.sortBy(_._1).toSeq == est2.sortBy(_._1).toSeq)
+  }
+}

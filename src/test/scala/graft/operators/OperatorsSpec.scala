@@ -1410,10 +1410,14 @@ class OperatorsSpec extends AnyFunSuite {
     // empty either side: no row (guarded by the size filter)
     assert(Profiling.jsDivergence(
       a.filter(lit(false)), a.filter(lit(false)), "c").count() == 0L)
+    // ONE-side-empty: also no row (p = c/0 is a null divide, not the
+    // ln 2 limit — the documented contract drops the row explicitly)
+    assert(Profiling.jsDivergence(a, a.filter(lit(false)), "c").count() == 0L)
+    assert(Profiling.jsDivergence(a.filter(lit(false)), a, "c").count() == 0L)
   }
 
   test("editDistanceJoin == brute force on a typo corpus (substitution, " +
-      "insert, delete, short strings, shared long prefix)") {
+      "insert, delete, short strings, shared long prefix, exact dups)") {
     import spark.implicits._
     val base = Seq(
       // shared-prefix family (the rare-first stress): one-sub neighbors
@@ -1424,7 +1428,12 @@ class OperatorsSpec extends AnyFunSuite {
       // short strings (below the gram floor): pairwise distance 1
       "a", "b", "ab", "xy",
       // no neighbors at all
-      "completely-different")
+      "completely-different",
+      // exact-dup groups (the dictionary collapse): a 3-member group
+      // whose string also has cross-group dist-1 neighbors, and a
+      // duplicated short string — pins dist-0 intra pairs AND that
+      // cross pairs expand through BOTH member lists
+      "spark", "spark", "a")
     val df = base.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
     def pairSet(out: org.apache.spark.sql.DataFrame) = out
       .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
