@@ -1898,6 +1898,30 @@ object SparkEntry {
     operators.TextAnalysis.lexicalDiversity(
       t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Sequence packing ([[operators.TextAnalysis.packSequences]],
+    * seqLen = 512): every doc's global token offset and training-chunk
+    * span under the concat-and-chunk layout — all exact integer math
+    * (the oracle replays the prefix sum as one ordered window; the
+    * engine computes it distributed, bucket totals + per-bucket
+    * windows, same Longs either way).
+    */
+  private def qt44Packing(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.packSequences(
+      t(spark, dir, "documents"), "doc_id", "text", seqLen = 512)
+
+  /** Weighted sampling without replacement ([[operators.TextAnalysis
+    * .weightedSampleNoReplace]], A-ES, k = 50): a
+    * length-proportional doc sample — weight = whitespace token count,
+    * u from the md5-replayable hash, competition key ln(u)/w rounded
+    * to 6 dp BEFORE the sort (id tie-break) so a libm ulp can't flip
+    * the sampled row set.
+    */
+  private def qt45WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.weightedSampleNoReplace(
+      t(spark, dir, "documents").withColumn("n_tokens",
+        functions.TextFunctions.tokenCount(col("text")).cast("long")),
+      "doc_id", "n_tokens", k = 50)
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -5172,6 +5196,8 @@ object SparkEntry {
     "qe50_burstiness" -> (qe50Burstiness _),
     "qg20_degree_hist" -> (qg20DegreeHist _),
     "qt43_lex_diversity" -> (qt43LexDiversity _),
+    "qt44_packing" -> (qt44Packing _),
+    "qt45_weighted_sample" -> (qt45WeightedSample _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
@@ -8843,6 +8869,49 @@ object SparkEntry {
         |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)
         |SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY deg""".stripMargin,
+    // Sequence packing: pure integer pipeline — token counts, a
+    // windowed prefix sum ordered by the unique doc_id, floor division
+    // (// here, div in Spark — both truncate-toward-zero on the
+    // non-negative offsets). The engine computes the same prefix sum
+    // distributed (range-bucket totals + per-bucket windows); sums of
+    // Longs are order-free, so the replay is exact.
+    "qt44_packing" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM n WHERE n > 0)
+        |SELECT doc_id, n AS n_tokens, off AS start_offset,
+        |  off // 512 AS first_chunk,
+        |  (off + n - 1) // 512 AS last_chunk,
+        |  ((off + n - 1) // 512) - (off // 512) + 1 AS n_chunks
+        |FROM p""".stripMargin,
+    // A-ES weighted sample: md5-replayable u, key = ln(u)/w rounded to
+    // 6 dp before the (key DESC, id) sort — the qt36 libm-ulp lesson;
+    // rank is the same window both sides, LIMIT after the window
+    "qt45_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS weight
+        |  FROM documents),
+        |h AS (
+        |  SELECT id, weight,
+        |    round(ln((CAST('0x' || substring(md5(CAST(id AS VARCHAR) || '|42'), 1, 8)
+        |        AS BIGINT) + 1) / 4294967296.0)
+        |      / CAST(weight AS DOUBLE), 6) AS key
+        |  FROM w WHERE weight > 0)
+        |SELECT id, weight, key,
+        |  CAST(row_number() OVER (ORDER BY key DESC, id) AS BIGINT) AS rank
+        |FROM h ORDER BY key DESC, id LIMIT 50""".stripMargin,
     // Lexical diversity: integer token/type counts per doc, one fixed
     // IEEE tree for TTR and Herdan's C (null at <= 1 token)
     "qt43_lex_diversity" ->

@@ -1261,4 +1261,110 @@ object TextAnalysis {
         col("__x.r2").as("r_squared"))
   }
 
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): every row draws u ∈ (0, 1] from the replayable
+    * md5 hash of (id, seed) and competes with key = ln(u)/w; the k
+    * LARGEST keys are exactly a probability-proportional-to-weight
+    * without-replacement sample. Fully deterministic — hash-seeded like
+    * [[stratifiedSample]], so runs, retries, and engines agree.
+    * Rows with weight ≤ 0 or null never sample.
+    *
+    * Ordering: the sort key is the 6-dp-ROUNDED key with an id
+    * tie-break (the qt36 lesson, adapted: ln is libm — two engines can
+    * disagree by an ulp, so the raw double must not decide the row SET;
+    * after the round a flip needs the ulp to land exactly on a rounding
+    * boundary of a hash-continuous value). Output `(id, weight, key,
+    * rank)`, rank 1 = first sampled.
+    *
+    * Scale: one narrow projection + a global top-k
+    * (`TakeOrderedAndProject` — no full sort, k rows to the driver's
+    * heap per partition), the same shape as the ANN top-k scans.
+    */
+  def weightedSampleNoReplace(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Sketches.md5Hash32(
+      concat(col(idCol).cast("string"), lit("|" + seed))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val keyed = docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(
+        col(idCol).as("id"),
+        col(weightCol).as("weight"),
+        round(log(u) / col(weightCol).cast("double"), 6).as("key"))
+      .orderBy(col("key").desc, col("id"))
+      .limit(k)
+    keyed.select(
+      col("id"), col("weight"), col("key"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("key").desc, col("id"))).cast("long").as("rank"))
+  }
+
+  /** SEQUENCE PACKING — the concat-and-chunk layout every LLM training
+    * loader runs (GPT-style: documents concatenated in a deterministic
+    * order, the token stream cut into fixed `seqLen` windows): maps each
+    * document to its GLOBAL token offset and the training-sequence ids
+    * it lands in. Output per doc (empty docs span no chunk and are
+    * dropped): `(doc_id, n_tokens, start_offset, first_chunk,
+    * last_chunk, n_chunks)` — all exact Longs (whitespace
+    * [[graft.functions.TextFunctions.tokenCount]]; `n_chunks` > 1 means
+    * the doc straddles a boundary, the packing-loss diagnostic).
+    *
+    * The global offset is a DISTRIBUTED prefix sum — the scale-honest
+    * form, not a single-partition window: range-partition by id, ONE
+    * tiny per-partition total pass (≤ `numRanges` rows to the driver,
+    * the W1/kthSmallest idiom), prefix those on the driver, broadcast
+    * back, and compute within-partition running sums as a window
+    * PARTITIONED by the range bucket (parallel; ordered by the unique
+    * id, so the sum is deterministic). No global sort, no n-row
+    * collect; at 100 TB the only wide ops are the range exchange and
+    * the per-bucket window sort.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+      numRanges: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val spark = docs.sparkSession
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(
+        col(idCol).cast("long").as("__id"),
+        graft.functions.TextFunctions.tokenCount(col(textCol))
+          .cast("long").as("__n"))
+      .filter(col("__n") > 0L)
+      .repartitionByRange(numRanges, col("__id"))
+      .withColumn("__part", spark_partition_id())
+      // two passes hit the ranged frame (bucket totals + the final
+      // window); the checkpoint also pins partition ids
+      .localCheckpoint(true)
+    val totals = toks.groupBy(col("__part")).agg(sum(col("__n")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefixes = totals
+      .scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p + 1, acc + t) }
+      .init // (bucket, tokens before it); init drops the final total
+      .zip(totals).map { case ((_, pre), (p, _)) => (p, pre) }
+    import spark.implicits._
+    val pre = prefixes.toSeq.toDF("__part", "__pre")
+    val w = Window.partitionBy(col("__part")).orderBy(col("__id"))
+    toks
+      .join(broadcast(pre), Seq("__part"))
+      .withColumn("__off",
+        col("__pre") + sum(col("__n")).over(w) - col("__n"))
+      .select(
+        col("__id").as("doc_id"),
+        col("__n").as("n_tokens"),
+        col("__off").as("start_offset"),
+        expr(s"__off div $seqLen").as("first_chunk"),
+        expr(s"(__off + __n - 1) div $seqLen").as("last_chunk"),
+        (expr(s"(__off + __n - 1) div $seqLen")
+          - expr(s"__off div $seqLen") + 1L).as("n_chunks"))
+  }
+
 }

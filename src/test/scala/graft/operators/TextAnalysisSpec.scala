@@ -723,4 +723,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1.getLong(0) == 1L && r1.getLong(1) == 3L && r1.isNullAt(2))
   }
 
+  test("packSequences: exact offsets/chunk spans, empty docs dropped, " +
+      "straddling doc spans two chunks, partitioning-independent") {
+    import spark.implicits._
+    // token counts by id order: 1->3, 2->4, 3->0 (dropped), 4->5, 5->2
+    val docs = Seq(
+      (1L, "a b c"), (2L, "w x y z"), (3L, "   "),
+      (4L, "p q r s t"), (5L, "m n")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packSequences(df, "doc_id", "text", seqLen = 4)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = run(docs)
+    // offsets: 0, 3, 7, 12; seqLen 4 chunks:
+    //  doc1 [0,2] -> chunk 0; doc2 [3,6] -> 0..1 (straddles);
+    //  doc4 [7,11] -> 1..2; doc5 [12,13] -> 3
+    assert(got == Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 4L, 3L, 0L, 1L, 2L),
+      (4L, 5L, 7L, 1L, 2L, 2L),
+      (5L, 2L, 12L, 3L, 3L, 1L)))
+    // the distributed prefix sum must not depend on input partitioning
+    assert(run(docs.repartition(7)) == got)
+    assert(run(docs.coalesce(1)) == got)
+  }
+
+  test("weightedSampleNoReplace: deterministic, weight<=0/null excluded, " +
+      "k >= n returns all, key matches the hand formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 1L), (3L, 100L), (4L, 0L), (5L, -3L)).toDF("id", "w")
+    val all = TextAnalysis.weightedSampleNoReplace(docs, "id", "w", k = 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    // only the three positive-weight rows sample; ranks are 1..3
+    assert(all.map(_._1).toSet == Set(1L, 2L, 3L) && all.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    // key replays the documented formula: u from md5Hash32(id|seed)
+    def handKey(id: Long, w: Long): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md5.substring(0, 8), 16)
+      BigDecimal(math.log((h + 1).toDouble / 4294967296.0) / w.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    all.foreach { case (id, w, key, _) => assert(key == handKey(id, w), s"id $id") }
+    // k = 1 picks the max-key row, and a rerun is identical
+    val one = TextAnalysis.weightedSampleNoReplace(docs, "id", "w", k = 1)
+      .as[(Long, Long, Double, Long)].collect().head
+    assert(one._1 == all.head._1)
+    assert(TextAnalysis.weightedSampleNoReplace(docs, "id", "w", k = 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4).toSeq == all.toSeq)
+  }
+
 }
