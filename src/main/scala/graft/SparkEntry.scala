@@ -1922,6 +1922,16 @@ object SparkEntry {
         functions.TextFunctions.tokenCount(col("text")).cast("long")),
       "doc_id", "n_tokens", k = 50)
 
+  /** Gopher repetition signals ([[operators.TextAnalysis
+    * .repetitionSignals]]): per-doc top-2/3-gram dominance and
+    * duplicated-5-gram token coverage — all-integer counts, fractions
+    * one IEEE divide each; the oracle replays the same gram explodes,
+    * counts, and the coverage DISTINCT union.
+    */
+  private def qt46Repetition(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.repetitionSignals(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
     * the estimator paired with qe31's Mann-Kendall test.
@@ -5198,6 +5208,7 @@ object SparkEntry {
     "qt43_lex_diversity" -> (qt43LexDiversity _),
     "qt44_packing" -> (qt44Packing _),
     "qt45_weighted_sample" -> (qt45WeightedSample _),
+    "qt46_repetition" -> (qt46Repetition _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
@@ -8912,6 +8923,57 @@ object SparkEntry {
         |SELECT id, weight, key,
         |  CAST(row_number() OVER (ORDER BY key DESC, id) AS BIGINT) AS rank
         |FROM h ORDER BY key DESC, id LIMIT 50""".stripMargin,
+    // Gopher repetition: integer gram counts; the 5-gram coverage is a
+    // DISTINCT over covered positions (union semantics — 1-based here,
+    // 0-based in the engine; counts are base-independent); fractions
+    // are one divide of exact integers
+    "qt46_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+        |  FROM tk WHERE len(t) >= 5),
+        |g2 AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM b, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |t2 AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top2 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM b, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |t3 AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top3 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |g5 AS (
+        |  SELECT doc_id, i AS p,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] AS g
+        |  FROM b, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+        |d5 AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
+        |  WHERE c >= 2),
+        |cov AS (
+        |  SELECT g5.doc_id, CAST(count(DISTINCT j) AS BIGINT) AS cov
+        |  FROM g5 JOIN d5 USING (doc_id, g),
+        |    unnest(generate_series(g5.p, g5.p + 4)) AS v(j)
+        |  GROUP BY g5.doc_id)
+        |SELECT b.doc_id, b.n AS n_tokens,
+        |  t2.top2 AS top2_count,
+        |  round(CAST(t2.top2 * 2 AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+        |    AS top2_frac,
+        |  t3.top3 AS top3_count,
+        |  round(CAST(t3.top3 * 3 AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+        |    AS top3_frac,
+        |  CAST(coalesce(cov.cov, 0) AS BIGINT) AS dup5_covered,
+        |  round(CAST(coalesce(cov.cov, 0) AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+        |    AS dup5_frac
+        |FROM b JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)""".stripMargin,
     // Lexical diversity: integer token/type counts per doc, one fixed
     // IEEE tree for TTR and Herdan's C (null at <= 1 token)
     "qt43_lex_diversity" ->

@@ -1261,6 +1261,74 @@ object TextAnalysis {
         col("__x.r2").as("r_squared"))
   }
 
+  /** GOPHER REPETITION SIGNALS (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", App. A1.1 repetition filters) — the per-doc
+    * n-gram repetition readouts that gate boilerplate/spam out of
+    * training corpora, in their exact-integer TOKEN-fraction variant:
+    *
+    *  - `top{2,3}_count`: occurrences of the doc's MOST FREQUENT word
+    *    2-/3-gram; `top{2,3}_frac` = count·n / n_tokens — the fraction
+    *    of the token stream the one dominant phrase accounts for.
+    *  - `dup5_covered` / `dup5_frac`: tokens COVERED by any 5-gram that
+    *    occurs ≥ 2 times (coverage union, not occurrence sum — Gopher's
+    *    "fraction of characters inside duplicate n-grams" semantics,
+    *    counted in tokens so the replay is pure integers).
+    *
+    * Docs with fewer than 5 tokens emit no row (no 5-gram exists; their
+    * repetition is [[graft.functions.TextFunctions.repetitionRatioUdf]]'s
+    * domain). Fractions are one IEEE divide of exact Longs, 6-dp.
+    *
+    * Scale shape: one tokenize pass, gram explodes keyed by (doc, gram)
+    * with map-side combine, coverage union as a distinct over ≤
+    * n_tokens rows per doc — no window over raw tokens, no per-doc
+    * O(L²) in-array scan (long docs would quadratic-blow a HOF form).
+    */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .filter(size(col("__t")) >= 5)
+    def grams(n: Int) = toks.select(
+      col("__id"), size(col("__t")).cast("long").as("__n"),
+      posexplode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as(Seq("__p", "__g")))
+    def topCount(n: Int, out: String) = grams(n)
+      .groupBy(col("__id"), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(max(col("__c")).as(out))
+    val dup5 = {
+      val g = grams(5)
+      val dupGrams = g.groupBy(col("__id"), col("__g"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2L)
+        .select(col("__id"), col("__g"))
+      g.join(dupGrams, Seq("__id", "__g"))
+        .select(col("__id"),
+          explode(sequence(col("__p"), col("__p") + 4)).as("__cov"))
+        .distinct()
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).as("dup5_covered"))
+    }
+    topCount(2, "top2_count")
+      .join(topCount(3, "top3_count"), Seq("__id", "__n"))
+      .join(dup5, Seq("__id"), "left_outer")
+      .select(
+        col("__id").as("doc_id"),
+        col("__n").as("n_tokens"),
+        col("top2_count"),
+        round(col("top2_count") * lit(2L)
+          / col("__n").cast("double"), 6).as("top2_frac"),
+        col("top3_count"),
+        round(col("top3_count") * lit(3L)
+          / col("__n").cast("double"), 6).as("top3_frac"),
+        coalesce(col("dup5_covered"), lit(0L)).as("dup5_covered"),
+        round(coalesce(col("dup5_covered"), lit(0L))
+          / col("__n").cast("double"), 6).as("dup5_frac"))
+  }
+
   /** WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis & Spirakis 2006,
     * algorithm A-ES): every row draws u ∈ (0, 1] from the replayable
     * md5 hash of (id, seed) and competes with key = ln(u)/w; the k

@@ -399,4 +399,27 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(900))
   }
 
+  test("qt44: the packing prefix sum is per-bucket windows + a broadcast " +
+      "prefix join — never a single-partition global window") {
+    val p = plan("qt44_packing")
+    // the scale claim: no Exchange SinglePartition anywhere (a global
+    // ORDER BY window would plan exactly that)
+    assert(!p.contains("Exchange SinglePartition"),
+      "global single-partition window leaked into the packing plan:\n" + p.take(1200))
+    assert(p.contains("Window"), p.take(900))
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny bucket-prefix frame fell back to a shuffle join:\n" + p.take(1200))
+  }
+
+  test("qt45: the weighted sample is TakeOrdered top-k — no full sort " +
+      "of the corpus") {
+    val p = plan("qt45_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    // the only permissible SinglePartition exchange is the k-row rank
+    // window ABOVE the TakeOrdered cut, never below it
+    val cut = p.indexOf("TakeOrderedAndProject")
+    assert(!p.substring(cut).contains("Exchange SinglePartition"),
+      "corpus-side single-partition exchange below the top-k cut:\n" + p.take(1200))
+  }
+
 }

@@ -723,6 +723,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1.getLong(0) == 1L && r1.getLong(1) == 3L && r1.isNullAt(2))
   }
 
+  test("repetitionSignals: hand-computed top-gram counts, 5-gram coverage " +
+      "union (overlapping occurrences count each position once), <5-token " +
+      "docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b"x3 / "a b a"x2 dominate; all 5-grams distinct -> dup5 = 0
+      (1L, "a b a b a b x y z"),
+      // "p q r s t" occurs at positions 0 and 5 -> covers tokens 0..9
+      (2L, "p q r s t p q r s t u"),
+      (3L, "a b c d") // 4 tokens: no 5-gram, dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Long, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 9L, 3L, 0.666667, 2L, 0.666667, 0L, 0.0)))
+    assert(out(2L) == ((2L, 11L, 2L, 0.363636, 2L, 0.545455, 10L, 0.909091)))
+  }
+
   test("packSequences: exact offsets/chunk spans, empty docs dropped, " +
       "straddling doc spans two chunks, partitioning-independent") {
     import spark.implicits._
