@@ -1342,6 +1342,16 @@ object SparkEntry {
     operators.Temporal.intervalCoverage(
       events(spark, dir), "user_id", "ts", "event_id", "value")
 
+  /** Peak interval concurrency ([[operators.Temporal
+    * .peakConcurrency]]): per-user max simultaneously-active intervals
+    * (qr2's interval construction) and the earliest µs instant it is
+    * reached — integer sweep, deterministic after the per-instant
+    * delta collapse.
+    */
+  private def qr4PeakConcurrency(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.peakConcurrency(
+      events(spark, dir), "user_id", "ts", "value")
+
   /** Mann-Kendall trend test ([[operators.Temporal.mannKendall]]):
     * per-user S statistic, tie-corrected variance numerator, and
     * continuity-corrected z — the all-integer core replayed by the
@@ -5158,6 +5168,7 @@ object SparkEntry {
     "qe29_holt_winters" -> (qe29HoltWinters _),
     "qe30_cusum" -> (qe30Cusum _),
     "qr2_interval_coverage" -> (qr2IntervalCoverage _),
+    "qr4_peak_concurrency" -> (qr4PeakConcurrency _),
     "qe31_mann_kendall" -> (qe31MannKendall _),
     "qj15_scd2" -> (qj15Scd2 _),
     "qp5_benford" -> (qp5Benford _),
@@ -7434,6 +7445,41 @@ object SparkEntry {
         |    en - greatest(st, coalesce(pm, st)))) AS DOUBLE) / 1000000.0, 6)
         |    AS covered_sec
         |FROM w GROUP BY user_id""".stripMargin,
+    // Peak concurrency: qr2's interval build, ±1 deltas collapsed per
+    // (user, instant) — ends-before-starts falls out of the collapse —
+    // then one ordered running sum (instants unique per user after the
+    // GROUP BY, so the cumsum is deterministic); peak instant = min t
+    // at the max run, replayed as a join instead of the engine's
+    // max(struct) — same (peak, t) either way
+    "qr4_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS en
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |pts AS (
+        |  SELECT user_id, t, CAST(sum(d) AS BIGINT) AS net,
+        |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS starts
+        |  FROM (
+        |    SELECT user_id, st AS t, 1 AS d FROM iv
+        |    UNION ALL
+        |    SELECT user_id, en, -1 FROM iv)
+        |  GROUP BY user_id, t),
+        |run AS (
+        |  SELECT user_id, t, starts,
+        |    CAST(sum(net) OVER (PARTITION BY user_id ORDER BY t)
+        |      AS BIGINT) AS run
+        |  FROM pts),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(starts) AS BIGINT) AS n_intervals,
+        |    CAST(max(run) AS BIGINT) AS peak
+        |  FROM run GROUP BY user_id)
+        |SELECT agg.user_id, agg.n_intervals,
+        |  agg.peak AS peak_concurrency,
+        |  CAST(min(run.t) AS BIGINT) AS peak_at_us
+        |FROM agg JOIN run
+        |  ON run.user_id = agg.user_id AND run.run = agg.peak
+        |GROUP BY agg.user_id, agg.n_intervals, agg.peak""".stripMargin,
     // Mann-Kendall: S from an rn-ordered pair join over the SAME
     // micro-quantized values, the tie term from a (user, q) group —
     // all exact BIGINT; z is the identical divide/sqrt on identical

@@ -768,6 +768,54 @@ object Temporal {
         round(sum(col("__cov")).cast("double") / lit(1e6), 6).as("covered_sec"))
   }
 
+  /** PEAK INTERVAL CONCURRENCY — per key, the maximum number of
+    * simultaneously-active intervals and WHEN it is first reached: the
+    * sweep-line max that answers "peak concurrent sessions / max
+    * overlapping jobs", the counting sibling of [[intervalCoverage]]'s
+    * union length. Intervals are half-open [start, start+dur) built
+    * exactly like qr2's (µs floor quantization; dur ≤ 0 / null rows
+    * never count), so an interval ending at t does NOT overlap one
+    * starting at t — the ±1 deltas collapse per (key, instant) BEFORE
+    * the running sum, which realizes ends-before-starts ordering with
+    * no tie column at all.
+    *
+    * Exactness: the sweep is integer deltas cumulated in instant order
+    * (unique per key after the collapse — fully deterministic); the
+    * peak instant ties break to the EARLIEST via one
+    * max(struct(run, −t)) aggregate, no second window.
+    *
+    * Output: `(key, n_intervals, peak_concurrency, peak_at_us)`.
+    * Shape: one groupBy (instant collapse) + one per-key window + one
+    * final aggregate — a single key exchange end to end.
+    */
+  def peakConcurrency(
+      df: DataFrame, keyCol: String, startCol: String,
+      durCol: String): DataFrame = {
+    val iv = df
+      .filter(col(durCol).isNotNull && col(durCol) > 0)
+      .select(col(keyCol),
+        unix_micros(col(startCol)).as("__st"),
+        (unix_micros(col(startCol))
+          + floor(col(durCol).cast("double") * lit(1e6)).cast("long")).as("__en"))
+    val pts = iv.select(col(keyCol), col("__st").as("__t"), lit(1L).as("__d"))
+      .unionAll(iv.select(col(keyCol), col("__en").as("__t"), lit(-1L).as("__d")))
+      .groupBy(col(keyCol), col("__t"))
+      .agg(
+        sum(col("__d")).as("__net"),
+        sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("__starts"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+    pts
+      .withColumn("__run", sum(col("__net")).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__starts")).as("n_intervals"),
+        max(struct(col("__run"), (-col("__t")).as("__nt"))).as("__pk"))
+      .select(col(keyCol),
+        col("n_intervals"),
+        col("__pk.__run").as("peak_concurrency"),
+        (-col("__pk.__nt")).as("peak_at_us"))
+  }
+
   /** MANN-KENDALL TREND TEST — per key, the rank-based monotone-trend
     * statistic (Mann 1945, Kendall 1975): `S = Σ_{i<j} sign(x_j − x_i)`
     * over the (ts, tie)-ordered series, with the tie-corrected variance

@@ -454,6 +454,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 1L, 2500000L, 2.5)))
   }
 
+  test("peak concurrency: half-open touch doesn't overlap, earliest peak " +
+      "instant wins, same-instant deltas collapse, bad durations drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      // key 1: [0,10), [5,15), [10,20) — at t=10 the first END cancels
+      //        the third START (half-open touch): run 1,2,2,1 — peak 2
+      //        first at t=5s
+      (1L, ts(0), Option(10.0)), (1L, ts(5), Option(10.0)),
+      (1L, ts(10), Option(10.0)),
+      // dropped: zero/negative/null durations
+      (1L, ts(30), Option(0.0)), (1L, ts(31), Option(-1.0)),
+      (1L, ts(32), None),
+      // key 2: three intervals starting at the SAME instant — the
+      //        per-instant collapse makes run jump straight to 3
+      (2L, ts(0), Option(1.0)), (2L, ts(0), Option(2.0)),
+      (2L, ts(0), Option(3.0)),
+      // key 3: disjoint back-to-back [0,1), [1,2): peak 1 at t=0
+      (3L, ts(0), Option(1.0)), (3L, ts(1), Option(1.0))
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.peakConcurrency(df, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, 5000000L)))
+    assert(out(2L) == ((2L, 3L, 3L, 0L)))
+    assert(out(3L) == ((3L, 2L, 1L, 0L)))
+    // all-dropped key yields no row
+    assert(!out.contains(4L))
+  }
+
   test("mann-kendall: hand-computed S/ties, monotone significance both " +
       "directions, all-tied zero variance") {
     import spark.implicits._
