@@ -539,6 +539,67 @@ object Dedup {
     * have no shingle set and are excluded (containment undefined).
     * Output: (a_id, b_id, containment) with C(a → b) rounded 6 dp.
     */
+  /** [[containmentJoin]] stage 1 (package-private for the phase probe):
+    * codegen shingle kernel + dictionary collapse to distinct sets.
+    * One-pass `SortedShingleSetExpr` — the interpreted
+    * transform/concat_ws/array_distinct/array_sort chain was this
+    * stage's floor (9.8 -> 3.4 s at sf1); < k tokens -> empty set ->
+    * dropped, exactly as the old size(toks) >= k filter.
+    */
+  private[graft] def containmentGroups(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__id"),
+        graft.functions.expressions.TextHashExpressions
+          .sortedShingleSet(col(textCol), k).as("__ws"))
+      .filter(size(col("__ws")) >= 1)
+      .groupBy("__ws")
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .select(
+        element_at(col("__ids"), 1).as("__sid"),
+        col("__ws"), col("__ids"), size(col("__ws")).as("__n"))
+      .localCheckpoint(true)
+
+  /** [[containmentJoin]] stage 2 (package-private for the phase probe):
+    * rare-first canonical ordering. Shingles travel as 64-bit xxhash64
+    * keys from here on: the freq aggregate, the rare-first ordering,
+    * and the candidate equi-join never need the string back
+    * (verification reads the ORIGINAL string sets via array_intersect),
+    * and a hash collision can only MERGE two tokens' postings —
+    * candidates are ADDED, never lost, and freq-1 pruning only
+    * under-prunes. Long keys shrink the posting shuffle ~4x and make
+    * the join sorts primitive compares. The GLOBAL rare-first order is
+    * (freq, tokHash) lex — the same total order on both sides, which
+    * licenses the positional filter; recall needs only a CONSISTENT
+    * order, so ordering by hashed identity is sound. The freq-1
+    * pruning (a shingle in exactly one distinct set can't witness a
+    * cross-set pair) happens INSIDE this aggregate — freq is already
+    * joined here, and posting-side semi-joins would re-shuffle the
+    * full posting lists just to apply it. Pruned entries keep their
+    * ORIGINAL rare-first position (the positional bound is about the
+    * full set, not the pruned list). Checkpointed: the A-prefix
+    * explode and the B-posting explode both read it.
+    */
+  private[graft] def containmentOrdered(groups: DataFrame): DataFrame = {
+    val toks = groups.select(col("__sid"),
+      explode(transform(col("__ws"), t => xxhash64(t))).as("__tok"))
+    // distinct-set document frequency per shingle — single consumer
+    // (the ordering join below), so no checkpoint barrier
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
+    toks.join(freq, "__tok")
+      .groupBy("__sid")
+      .agg(array_sort(collect_list(struct(col("__freq"), col("__tok")))).as("__ft"))
+      .select(col("__sid"), size(col("__ft")).as("__n"),
+        filter(
+          transform(col("__ft"), (s, i) =>
+            struct(s("__tok").as("__tok"), i.as("__i"), s("__freq").as("__f"))),
+          e => e("__f") > 1).as("__fows"))
+      .select(col("__sid"), col("__n"),
+        transform(col("__fows"), e =>
+          struct(e("__tok").as("__tok"), e("__i").as("__i"))).as("__fows"))
+      .localCheckpoint(true)
+  }
+
   def containmentJoin(
       docs: DataFrame,
       idCol: String,
@@ -553,21 +614,7 @@ object Dedup {
       s"minContainment must be a multiple of 0.001 (integer-threshold " +
         s"replay), got $minContainment")
     val k = shingleSize
-    // one-pass codegen shingle kernel (SortedShingleSetExpr) — the
-    // interpreted transform/concat_ws/array_distinct/array_sort chain
-    // was the collapse stage's floor (9.8 → 3.4 s at sf1); < k tokens
-    // → empty set → dropped, exactly as the old size(toks) ≥ k filter
-    val groups = docs
-      .select(col(idCol).as("__id"),
-        graft.functions.expressions.TextHashExpressions
-          .sortedShingleSet(col(textCol), k).as("__ws"))
-      .filter(size(col("__ws")) >= 1)
-      .groupBy("__ws")
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .select(
-        element_at(col("__ids"), 1).as("__sid"),
-        col("__ws"), col("__ids"), size(col("__ws")).as("__n"))
-      .localCheckpoint(true)
+    val groups = containmentGroups(docs, idCol, textCol, k)
     // shingles travel as 64-bit xxhash64 keys from here on: the freq
     // aggregate, the rare-first ordering, and the candidate equi-join
     // never need the string back (verification reads the ORIGINAL
@@ -575,34 +622,7 @@ object Dedup {
     // MERGE two tokens' postings — candidates are ADDED, never lost,
     // and freq-1 pruning only under-prunes. Long keys shrink the
     // posting shuffle ~4× and make the join sorts primitive compares.
-    val toks = groups.select(col("__sid"),
-      explode(transform(col("__ws"), t => xxhash64(t))).as("__tok"))
-    // distinct-set document frequency per shingle — single consumer
-    // (the ordering join below), so no checkpoint barrier
-    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
-    // GLOBAL rare-first canonical order per set ((freq, tokHash) lex —
-    // the same total order on both sides, which is what licenses the
-    // positional filter below; recall needs only a CONSISTENT order,
-    // so ordering by hashed identity is sound). The freq-1 pruning
-    // (a shingle in exactly one distinct set can't witness a
-    // cross-set pair) happens INSIDE this aggregate — freq is already
-    // joined here, and posting-side semi-joins would re-shuffle the
-    // full posting lists just to apply it. Pruned entries keep their
-    // ORIGINAL rare-first position (the positional bound is about the
-    // full set, not the pruned list). Checkpointed: the A-prefix
-    // explode and the B-posting explode both read it.
-    val ordered = toks.join(freq, "__tok")
-      .groupBy("__sid")
-      .agg(array_sort(collect_list(struct(col("__freq"), col("__tok")))).as("__ft"))
-      .select(col("__sid"), size(col("__ft")).as("__n"),
-        filter(
-          transform(col("__ft"), (s, i) =>
-            struct(s("__tok").as("__tok"), i.as("__i"), s("__freq").as("__f"))),
-          e => e("__f") > 1).as("__fows"))
-      .select(col("__sid"), col("__n"),
-        transform(col("__fows"), e =>
-          struct(e("__tok").as("__tok"), e("__i").as("__i"))).as("__fows"))
-      .localCheckpoint(true)
+    val ordered = containmentOrdered(groups)
     // A posts its prefix — entries whose ORIGINAL position i is inside
     // the first n − ⌈m·n/1000⌉ + 1 slots (⌈m·n/1000⌉ spelled as the
     // integer (m·n + 999) div 1000 — Column./ is DOUBLE division)
