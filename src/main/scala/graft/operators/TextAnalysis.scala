@@ -1382,6 +1382,12 @@ object TextAnalysis {
     * [[graft.functions.TextFunctions.tokenCount]]; `n_chunks` > 1 means
     * the doc straddles a boundary, the packing-loss diagnostic).
     *
+    * Relation to the qt10 gate's per-lang packing: qt10 buckets each
+    * LANGUAGE's token stream with a per-lang window (fine while every
+    * language fits one partition's sort); THIS operator is the global
+    * corpus form — chunk ids over ONE stream, plus the per-doc span
+    * columns (first/last chunk, straddle count) qt10 doesn't emit.
+    *
     * The global offset is a DISTRIBUTED prefix sum — the scale-honest
     * form, not a single-partition window: range-partition by id, ONE
     * tiny per-partition total pass (≤ `numRanges` rows to the driver,
