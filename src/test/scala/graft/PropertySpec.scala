@@ -415,4 +415,65 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("peakConcurrency matches a direct sweep reference on random intervals") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val intervals = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 2L),       // key
+      Gen.chooseNum(0L, 50L),      // start sec
+      Gen.chooseNum(-2.0, 10.0)))  // duration sec (<=0 dropped)
+    forAll(intervals, n = 20) { raw =>
+      val df = raw.map { case (k, s, d) => (k, new Timestamp(s * 1000L), d) }
+        .toDF("user_id", "ts", "value")
+      val got = graft.operators.Temporal
+        .peakConcurrency(df, "user_id", "ts", "value")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // reference: per key, walk every boundary instant in µs
+      raw.groupBy(_._1).foreach { case (k, rows) =>
+        val iv = rows.collect { case (_, s, d) if d > 0 =>
+          val st = s * 1000000L
+          (st, st + math.floor(d * 1e6).toLong)
+        }
+        if (iv.isEmpty) assert(!got.contains(k))
+        else {
+          val instants = iv.flatMap(i => Seq(i._1, i._2)).distinct.sorted
+          val conc = instants.map(t =>
+            t -> iv.count(i => i._1 <= t && t < i._2))
+          val peak = conc.map(_._2).max
+          val at = conc.find(_._2 == peak).get._1
+          assert(got(k) == ((k, iv.size.toLong, peak.toLong, at)),
+            s"key $k iv=$iv got=${got(k)}")
+        }
+      }
+    }
+  }
+
+  test("packSequences offsets equal the id-sorted cumulative token sums " +
+      "for any seqLen, invariant under input partitioning") {
+    import spark.implicits._
+    val docs = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 400),
+      Gen.chooseNum(0, 9))) // doc token count (0 dropped)
+    forAll2(docs, Gen.chooseNum(1, 7), n = 15) { (raw, seqLen) =>
+      // unique ids by construction (zipWithIndex)
+      val rows = raw.zipWithIndex.map { case ((_, nTok), i) =>
+        (i.toLong, Seq.fill(nTok)("w").mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text").repartition(5)
+      val got = graft.operators.TextAnalysis
+        .packSequences(df, "doc_id", "text", seqLen)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .sortBy(_._1).toSeq
+      var off = 0L
+      val expect = rows.sortBy(_._1).collect { case (id, t) if t.nonEmpty =>
+        val n = t.split(" ").length.toLong
+        val o = off; off += n
+        val first = o / seqLen
+        val last = (o + n - 1) / seqLen
+        (id, n, o, first, last, last - first + 1)
+      }
+      assert(got == expect, s"seqLen=$seqLen")
+    }
+  }
 }
