@@ -615,13 +615,6 @@ object Dedup {
         s"replay), got $minContainment")
     val k = shingleSize
     val groups = containmentGroups(docs, idCol, textCol, k)
-    // shingles travel as 64-bit xxhash64 keys from here on: the freq
-    // aggregate, the rare-first ordering, and the candidate equi-join
-    // never need the string back (verification reads the ORIGINAL
-    // string sets via array_intersect), and a hash collision can only
-    // MERGE two tokens' postings — candidates are ADDED, never lost,
-    // and freq-1 pruning only under-prunes. Long keys shrink the
-    // posting shuffle ~4× and make the join sorts primitive compares.
     val ordered = containmentOrdered(groups)
     // A posts its prefix — entries whose ORIGINAL position i is inside
     // the first n − ⌈m·n/1000⌉ + 1 slots (⌈m·n/1000⌉ spelled as the
