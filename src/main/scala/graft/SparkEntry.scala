@@ -252,13 +252,30 @@ object SparkEntry {
     */
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  // one shutdown hook reclaims every cache dir (recursive: the dirs
+  // hold the parquet + Spark _SUCCESS markers, so deleteOnExit — which
+  // only removes empty dirs — would leak them)
+  private val sentinelDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    sentinelDirs.forEach { d =>
+      try {
+        val walk = java.nio.file.Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: java.io.IOException => () }
+    }))
   private def cachedSentinel(
       key: String)(build: java.nio.file.Path => Unit): java.nio.file.Path =
     sentinelCache.computeIfAbsent(key, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-sent-cache")
+      sentinelDirs.add(tmp)
       build(tmp)
-      val found = java.nio.file.Files.list(tmp)
-        .filter(_.toString.endsWith(".parquet")).findFirst()
+      val listed = java.nio.file.Files.list(tmp)
+      val found =
+        try listed.filter(_.toString.endsWith(".parquet")).findFirst()
+        finally listed.close()
       require(found.isPresent, s"sentinel build produced no parquet in $tmp")
       found.get()
     })
@@ -1699,8 +1716,12 @@ object SparkEntry {
     * qg18-style distance table) and applies the pair-sum identity
     * BC(v) = ½·Σ_{s,t} σ_sv·σ_vt/σ_st·[d(s,v)+d(v,t)=d(s,t)] — a pure
     * triple join, exact by Brandes (2001) Thm 6 / Lemma 3. Both sides
-    * round to 6 dp; validated bit-identical against an independent
-    * hand-rolled Brandes at this scale.
+    * round to 6 dp; the two accumulation ORDERS differ (engine backward
+    * pass vs oracle pair sum), and their 6-dp equality is EMPIRICAL,
+    * validated bit-identical against an independent hand-rolled Brandes
+    * for THIS exact projection (%29 order filter, %150 keys, sf0.01/
+    * sf0.1) — changing the projection or scale re-opens the rounding-
+    * boundary question and needs that validation re-run.
     */
   private def qg21Betweenness(spark: SparkSession, dir: String): DataFrame = {
     val edges = t(spark, dir, "orders")
@@ -1936,7 +1957,9 @@ object SparkEntry {
     * .repetitionSignals]]): per-doc top-2/3-gram dominance and
     * duplicated-5-gram token coverage — all-integer counts, fractions
     * one IEEE divide each; the oracle replays the same gram explodes,
-    * counts, and the coverage DISTINCT union.
+    * counts, and the coverage DISTINCT union (single-pass on the
+    * engine side — one explode, one shared gram aggregate — is a plan
+    * shape, not a semantics change; values are scan-count-invariant).
     */
   private def qt46Repetition(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.repetitionSignals(

@@ -26,13 +26,14 @@ import org.apache.spark.sql.functions._
   * keeps it executor-resident, and the estimator's error shrinks as
   * O(1/√|S|) (Brandes-Pich), independent of n.
   *
-  * Spec-only operator (no oracle gate): the sampled form is
-  * approximate, and the exact form's SQL replay would need per-source
-  * path COUNTS carried through a recursive CTE — the all-pivots run is
-  * instead pinned against hand-computed exact values, and the
-  * estimator's UNBIASEDNESS is pinned exactly: averaging the
+  * Oracle gate: qg21_betweenness replays the EXACT all-pivots form in
+  * SQL without the backward pass — a layered σ (path-count) DP plus the
+  * pair-sum identity B(v) = ½·Σ_{s≠v≠t} σ_st(v)/σ_st with
+  * σ_st(v) = σ_sv·σ_vt when d(s,t) = d(s,v)+d(v,t) — validated against
+  * an independent Brandes in BetweennessSpec. The sampled form stays
+  * spec-pinned: the estimator's UNBIASEDNESS is exact (averaging the
   * singleton-pivot estimates over all n vertices reproduces exact
-  * betweenness (BetweennessSpec).
+  * betweenness).
   *
   * Reference: no analog (the reference's graph tier is routing only);
   * beyond-reference graph-analytics mandate, closing the BACKLOG's

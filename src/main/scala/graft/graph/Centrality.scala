@@ -122,10 +122,16 @@ object Centrality {
     * (node, bucket). That is one equi-join + one aggregate per
     * distance layer; registers only grow, so convergence is the first
     * round with no register change, ≤ diameter rounds (capped at
-    * `maxIter`). Harmonic accumulates Σ_t (|B(t)|−|B(t−1)|)/t from the
-    * per-round HLL estimates (md5-replayable, like [[Sketches
-    * .hllDistinct]]); negative per-round deltas (estimator jitter on
-    * an unchanged ball) clamp to 0 — a ball cannot shrink.
+    * `maxIter`). Harmonic accumulates Σ_t (M(t)−M(t−1))/t where
+    * M(t) = max_{s≤t} |B(s)|-estimate — a RUNNING MAX of the per-round
+    * HLL estimates (md5-replayable, like [[Sketches.hllDistinct]]), the
+    * monotone form a ball's size must follow. A plain per-delta clamp
+    * (max(est(t)−est(t−1), 0)) would bias harmonic_est UPWARD whenever
+    * the linear-counting/raw estimator switch jitters est down then
+    * back up (the down-round contributes 0, the recovery re-counts the
+    * same mass at a deeper 1/t); the running max credits each estimate
+    * unit once, at the earliest round it was ever observed.
+    * `reached_est` is M at the fixpoint, minus the vertex's own unit.
     *
     * Scale: state and per-round shuffle are Θ(n·2^p) rows keyed by
     * node — never Θ(n²) pairs; p trades ±1.04/√2^p relative error for
@@ -155,9 +161,11 @@ object Centrality {
         nodes.select(col("v").as("__k"), col("v").as("__val")),
         "__k", "__val", p)
       .localCheckpoint(true)
-    var prevEst = estimate(regs).localCheckpoint(true)
-    // accumulator: (node, h)
-    var acc = nodes.select(col("v").as("__k"), lit(0.0).as("__h"))
+    // accumulator: (node, harmonic so far, running-max estimate M(t))
+    var state = nodes.select(col("v").as("__k"), lit(0.0).as("__h"))
+      .join(estimate(regs), Seq("__k"), "left_outer")
+      .select(col("__k"), col("__h"),
+        coalesce(col("__est"), lit(0.0)).as("__m"))
       .localCheckpoint(true)
     var t = 1
     var changed = true
@@ -179,29 +187,28 @@ object Centrality {
       val curMass = mass(merged)
       changed = curMass != prevMass
       if (changed) {
-        val est = estimate(merged).localCheckpoint(true)
-        acc = acc
-          .join(prevEst.select(col("__k"), col("__est").as("__e0")), Seq("__k"), "left_outer")
-          .join(est.select(col("__k"), col("__est").as("__e1")), Seq("__k"), "left_outer")
+        val est = estimate(merged)
+        state = state
+          .join(est.select(col("__k"), col("__est").as("__e1")),
+            Seq("__k"), "left_outer")
           .select(
             col("__k"),
-            (col("__h") + greatest(
-              coalesce(col("__e1"), lit(0.0)) - coalesce(col("__e0"), lit(0.0)),
-              lit(0.0)) / lit(t.toDouble)).as("__h"))
+            (col("__h")
+              + (greatest(coalesce(col("__e1"), lit(0.0)), col("__m"))
+                - col("__m")) / lit(t.toDouble)).as("__h"),
+            greatest(coalesce(col("__e1"), lit(0.0)), col("__m")).as("__m"))
           .localCheckpoint(true)
-        prevEst = est
         regs = merged
         prevMass = curMass
         t += 1
       }
     }
-    val out = acc
-      .join(prevEst, Seq("__k"))
+    val out = state
       .select(
         col("__k").as("node"),
         col("__h").as("harmonic_est"),
-        // |B(∞)| counts v itself — subtract its own unit
-        (col("__est") - lit(1.0)).as("reached_est"))
+        // M(∞) counts v itself — subtract its own unit
+        (col("__m") - lit(1.0)).as("reached_est"))
     ed.unpersist()
     out
   }

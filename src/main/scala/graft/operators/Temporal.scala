@@ -774,10 +774,12 @@ object Temporal {
     * overlapping jobs", the counting sibling of [[intervalCoverage]]'s
     * union length. Intervals are half-open [start, start+dur) built
     * exactly like qr2's (µs floor quantization; dur ≤ 0 / null rows
-    * never count), so an interval ending at t does NOT overlap one
-    * starting at t — the ±1 deltas collapse per (key, instant) BEFORE
-    * the running sum, which realizes ends-before-starts ordering with
-    * no tie column at all.
+    * never count; a SUB-µs duration in (0, 1e-6) floors to st == en —
+    * it still counts toward `n_intervals` but its +1/−1 collapse to a
+    * net-0 instant, so it never contributes concurrency), so an
+    * interval ending at t does NOT overlap one starting at t — the ±1
+    * deltas collapse per (key, instant) BEFORE the running sum, which
+    * realizes ends-before-starts ordering with no tie column at all.
     *
     * Exactness: the sweep is integer deltas cumulated in instant order
     * (unique per key after the collapse — fully deterministic); the

@@ -1278,10 +1278,21 @@ object TextAnalysis {
     * repetition is [[graft.functions.TextFunctions.repetitionRatioUdf]]'s
     * domain). Fractions are one IEEE divide of exact Longs, 6-dp.
     *
-    * Scale shape: one tokenize pass, gram explodes keyed by (doc, gram)
-    * with map-side combine, coverage union as a distinct over ≤
-    * n_tokens rows per doc — no window over raw tokens, no per-doc
-    * O(L²) in-array scan (long docs would quadratic-blow a HOF form).
+    * Scale shape (SINGLE-PASS): ONE tokenize scan, ONE explode carrying
+    * all three gram lengths, ONE (doc, gram) aggregate — the two
+    * readout branches (top-counts, dup5 coverage) consume the SAME
+    * exchange, deduplicated by Catalyst's ReuseExchange (PlanSpec pins
+    * one scan + a ReusedExchange node). Two tricks keep the reuse
+    * intact: (1) the gram length is NOT a grouping column — a gram
+    * string self-tags its length (n−1 spaces), and `__l` rides as a
+    * min() AGGREGATE, so branch filters on it cannot push below the
+    * aggregate and fork the exchange; (2) the occurrence count is
+    * size(collect_list(positions)) rather than a separate count(1), so
+    * BOTH branches depend on the same aggregate expressions and column
+    * pruning cannot specialize one branch's partial aggregate. Coverage
+    * union stays a distinct over ≤ n_tokens rows per doc — no window
+    * over raw tokens, no per-doc O(L²) in-array scan (long docs would
+    * quadratic-blow a HOF form).
     */
   def repetitionSignals(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -1290,30 +1301,33 @@ object TextAnalysis {
       .select(col(idCol).as("__id"),
         split(lower(trim(col(textCol))), "\\s+").as("__t"))
       .filter(size(col("__t")) >= 5)
-    def grams(n: Int) = toks.select(
-      col("__id"), size(col("__t")).cast("long").as("__n"),
-      posexplode(transform(
-        sequence(lit(0), size(col("__t")) - n),
-        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as(Seq("__p", "__g")))
-    def topCount(n: Int, out: String) = grams(n)
-      .groupBy(col("__id"), col("__n"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col("__id"), col("__n"))
-      .agg(max(col("__c")).as(out))
-    val dup5 = {
-      val g = grams(5)
-      val dupGrams = g.groupBy(col("__id"), col("__g"))
-        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2L)
-        .select(col("__id"), col("__g"))
-      g.join(dupGrams, Seq("__id", "__g"))
-        .select(col("__id"),
-          explode(sequence(col("__p"), col("__p") + 4)).as("__cov"))
-        .distinct()
-        .groupBy(col("__id"))
-        .agg(count(lit(1)).as("dup5_covered"))
-    }
-    topCount(2, "top2_count")
-      .join(topCount(3, "top3_count"), Seq("__id", "__n"))
+    def gramArr(n: Int) = transform(
+      sequence(lit(0), size(col("__t")) - n),
+      i => struct(
+        lit(n).as("l"), i.as("p"),
+        concat_ws(" ", slice(col("__t"), i + 1, lit(n))).as("g")))
+    val grams = toks
+      .select(col("__id"), size(col("__t")).cast("long").as("__n"),
+        explode(concat(gramArr(2), gramArr(3), gramArr(5))).as("__x"))
+      .select(col("__id"), col("__n"), col("__x.l").as("__l"),
+        col("__x.p").as("__p"), col("__x.g").as("__g"))
+    val agg = grams.groupBy(col("__id"), col("__n"), col("__g"))
+      .agg(min(col("__l")).as("__l"), collect_list(col("__p")).as("__ps"))
+    val tops = agg.groupBy(col("__id"), col("__n"))
+      .agg(
+        max(when(col("__l") === 2, size(col("__ps")).cast("long")))
+          .as("top2_count"),
+        max(when(col("__l") === 3, size(col("__ps")).cast("long")))
+          .as("top3_count"))
+    val dup5 = agg
+      .filter(col("__l") === 5 && size(col("__ps")) >= 2)
+      .select(col("__id"), explode(col("__ps")).as("__p"))
+      .select(col("__id"),
+        explode(sequence(col("__p"), col("__p") + 4)).as("__cov"))
+      .distinct()
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("dup5_covered"))
+    tops
       .join(dup5, Seq("__id"), "left_outer")
       .select(
         col("__id").as("doc_id"),

@@ -320,6 +320,31 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 4, "shared leaf not reused by all subplans")
   }
 
+  test("qt46: repetition signals tokenize the corpus ONCE — the two readout " +
+    "branches share one gram-aggregate exchange (ReusedExchange)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a corpus that HAS duplicate 5-grams, so the dup5 branch survives
+    // into the final plan (at gate SFs AQE prunes the empty join side,
+    // which would vacuously pass the single-scan check)
+    val docs = Seq(
+      (1L, "a b c d e a b c d e a b c d e extra words here now ok"),
+      (2L, "the quick brown fox jumps over the lazy dog repeatedly fine"),
+      (3L, "x y z w v x y z w v x y z w v")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("qt46-planspec")
+    val pq = tmp.resolve("documents.parquet").toString
+    docs.write.mode("overwrite").parquet(pq)
+    val df = operators.TextAnalysis.repetitionSignals(
+      spark.read.parquet(pq), "doc_id", "text")
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "documents\\.parquet".r.findAllIn(fin).size
+    assert(scans == 1, s"corpus scanned $scans times — single-pass regressed:\n" + fin.take(1200))
+    assert(fin.contains("ReusedExchange"),
+      "gram-aggregate exchange not shared between the readout branches:\n" + fin.take(1200))
+  }
+
   test("qt15: BM25 tokenizes the corpus ONCE and cuts top-k via TakeOrdered") {
     val df = SparkEntry.queries("qt15_bm25")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
