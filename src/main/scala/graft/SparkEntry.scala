@@ -1551,6 +1551,21 @@ object SparkEntry {
   private def qe42Rfm(spark: SparkSession, dir: String): DataFrame =
     operators.Temporal.rfmSegments(events(spark, dir), "user_id", "ts", "value")
 
+  /** Bucketed DBSCAN ([[operators.Similarity.dbscanCosine]], 4-bit
+    * hyperplane buckets, cosine ≥ 0.25, minPts = 2): density clusters
+    * + noise over the embeddings — the LSH-bucketed neighbor graph is
+    * part of the operator contract (qd5 semantics), core-core
+    * components take min-label, borders take their minimum core
+    * neighbor's label (the DBSCAN order-dependence wrinkle pinned
+    * deterministic). At these parameters the gate output carries all
+    * three roles (217 core / 118 border / 165 noise, 30 clusters) —
+    * a non-degenerate exercise of every labeling path.
+    */
+  private def qs16Dbscan(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.dbscanCosine(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+      simThreshold = 0.25, minPts = 2, bits = 4)
+
   /** IVF·PQ composed ANN ([[operators.Similarity.ivfPqTopK]]): coarse
     * seed-cell probe (2 of 8 cells) → fine 8×16 seed-codebook ADC over
     * the survivors — the two-level FAISS shape, both levels replayed
@@ -1763,6 +1778,37 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** HyperBall harmonic-centrality ESTIMATE ([[graph.Centrality
+    * .harmonicHyperBall]], p = 6) on qg22's %150 projection — the
+    * designated 100 TB path for qg22's semantics (Θ(n·2^p) state vs
+    * the exact tier's Θ(n·reached)). The gate hash-compares the
+    * APPROXIMATE answer exactly (the qk4 recipe): registers are
+    * md5-replayable, the harmonic estimate is the per-round running
+    * max M(t) folded as Σ(M(t)−M(t−1))/t in round order, and every
+    * estimator term is a power of two (FP-exact in any order) — the
+    * oracle rebuilds per-round ball register states from exact BFS
+    * distances (ball at round t = registers over {w : d ≤ t}), applies
+    * the identical α₆₄/linear-counting switch, and folds the identical
+    * running-max deltas as an ordered list_reduce. Accuracy vs the
+    * exact tier is CentralitySpec's error-band pin, not the gate's.
+    */
+  private def qg23HyperBall(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+    // small-state override (the qg21 rationale: diameter eager rounds
+    // over ≤ 150·2^p register rows are task-count-bound at 32)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Centrality.harmonicHyperBall(edges, "x", "y", p = 6)
+      .select(col("node"),
+        round(col("harmonic_est"), 6).as("harmonic_est"),
+        round(col("reached_est"), 6).as("reached_est"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Edit-distance self-join ([[operators.Dedup.editDistanceJoin]],
     * k = 1) over customer names: deletion-neighborhood candidates +
     * exact levenshtein verify. The shared "Customer#0000" prefix is
@@ -1964,6 +2010,34 @@ object SparkEntry {
   private def qt46Repetition(spark: SparkSession, dir: String): DataFrame =
     operators.TextAnalysis.repetitionSignals(
       t(spark, dir, "documents"), "doc_id", "text")
+
+  /** Per-key A-ES weighted sampling ([[operators.TextAnalysis
+    * .weightedSamplePerKey]], k = 20 per language): qt45's PPS
+    * sample vectorized over groups — the per-language quota draw.
+    * The k-cut rides the qs5 bounded Aggregator (≤ k rows per (key,
+    * partition) cross the shuffle), never a per-key window sort; the
+    * oracle ranks the same 6-dp keys with a per-key window (exact at
+    * gate scale).
+    */
+  private def qt47SamplePerKey(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.weightedSamplePerKey(
+      t(spark, dir, "documents").withColumn("n_tokens",
+        functions.TextFunctions.tokenCount(col("text")).cast("long")),
+      "lang", "doc_id", "n_tokens", k = 20)
+
+  /** N-gram novelty vs a reference corpus ([[operators.TextAnalysis
+    * .ngramNovelty]], n = 3, reference = even doc_ids, scored = odd):
+    * the qd8 decontamination join inverted into a per-doc freshness
+    * score — distinct trigrams, how many never occur in the
+    * reference, and their ratio (one IEEE divide of exact Longs).
+    */
+  private def qt48Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.TextAnalysis.ngramNovelty(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "text", n = 3)
+  }
 
   /** Theil-Sen slope ([[operators.Temporal.theilSen]]): per-user
     * robust trend magnitude — median pairwise slope in value/hour,
@@ -2197,6 +2271,26 @@ object SparkEntry {
     operators.Sketches.histogramQuantile(
       t(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
       lo = 0.0, hi = 110000.0, bins = 64, qs = Seq(0.5, 0.95, 0.99))
+
+  /** Mergeable level-sampling quantile sketch ([[operators.Sketches
+    * .quantileSketch]], k = 256) on lineitem prices per return flag —
+    * the fixed-size quantile member of the HLL/KMV/CMS family (qk6's
+    * histogram needs a value range a priori; this doesn't). Each row's
+    * retention level is the trailing-zero count of its md5 row-id
+    * hash, so the sketch is a pure function of the row SET (merge- and
+    * partition-order-independent — the property KLL/t-digest give up)
+    * and the oracle replays it bit-for-bit: same tz, same 33-row
+    * suffix-sum level pick, same (v, id)-ordered sample ranks, same
+    * integer ⌈target/2ᴸ⌉ index. `est` values are raw input prices —
+    * no interpolation, nothing to round.
+    */
+  private def qk7QuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.quantileSketch(
+      t(spark, dir, "lineitem").withColumn("__rid",
+        concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))),
+      "l_returnflag", "l_extendedprice", "__rid",
+      k = 256, qs = Seq(0.25, 0.5, 0.75, 0.95))
 
   /** Random-projection dimensionality reduction
     * ([[operators.Similarity.randomProjection]], 64 → 16 dims): the
@@ -5228,6 +5322,7 @@ object SparkEntry {
     "qg18_bfs" -> (qg18Bfs _),
     "qg21_betweenness" -> (qg21Betweenness _),
     "qg22_centrality" -> (qg22Centrality _),
+    "qg23_hyperball" -> (qg23HyperBall _),
     "qd19_edit_join" -> (qd19EditJoin _),
     "qd20_keep_best" -> (qd20KeepBest _),
     "qt40_textrank" -> (qt40TextRank _),
@@ -5243,7 +5338,10 @@ object SparkEntry {
     "qt44_packing" -> (qt44Packing _),
     "qt45_weighted_sample" -> (qt45WeightedSample _),
     "qt46_repetition" -> (qt46Repetition _),
+    "qt47_sample_per_key" -> (qt47SamplePerKey _),
+    "qt48_novelty" -> (qt48Novelty _),
     "qs15_ivfpq" -> (qs15IvfPq _),
+    "qs16_dbscan" -> (qs16Dbscan _),
     "qz8_focal" -> (qz8Focal _),
     "qt39_backoff_lm" -> (qt39BackoffLm _),
     "qg17_clustering_coef" -> (qg17ClusteringCoef _),
@@ -5257,6 +5355,7 @@ object SparkEntry {
     "qe28_lttb" -> (qe28Lttb _),
     "qd18_contain_est" -> (qd18ContainEstimate _),
     "qk6_hist_quantile" -> (qk6HistQuantile _),
+    "qk7_quantile_sketch" -> (qk7QuantileSketch _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
@@ -8842,6 +8941,90 @@ object SparkEntry {
         |    list_transform(t, x -> CAST(x.cnt AS DOUBLE) / CAST(x.dist AS DOUBLE)),
         |    (acc, e) -> acc + e), 6) AS harmonic
         |FROM per""".stripMargin,
+    // HyperBall (p=6, m=64, α=0.709): the register state of vertex v at
+    // round t IS the HLL sketch of the exact-distance ball {w: d(v,w)≤t}
+    // (register union = ball union), so the oracle rebuilds per-round
+    // registers from the qg22 BFS distance table, applies the identical
+    // estimator (qk4's, at m=64: linear counting when raw ≤ 2.5m=160 and
+    // an empty register exists), takes the running max M(t) — the
+    // engine's monotone accumulator — and folds Σ(M(t)−M(t−1))/t in
+    // ascending t as a list_reduce (0.0-init equals first-element-init:
+    // 0.0 + x is exact). Rounds past a vertex's eccentricity leave its
+    // registers — hence M — unchanged, so truncating at ecc(v) replays
+    // the engine's global fixpoint loop term for term. Every harmonic-
+    // sum input is a power of two (FP-exact in any aggregation order);
+    // the delta/divide/add chain is the same IEEE op sequence as the
+    // engine's per-round update.
+    "qg23_hyperball" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |lab(it, p, node, d) AS (
+        |  SELECT 0, v, v, 0 FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, p, node, min(d) FROM (
+        |    SELECT l.it, l.p, l.node, l.d FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, l.p, s.w AS node, l.d + 1
+        |    FROM lab l JOIN sym s ON s.v = l.node
+        |  ) t(it, p, node, d)
+        |  WHERE it < 40
+        |  GROUP BY it, p, node),
+        |dist AS MATERIALIZED (
+        |  SELECT p, node AS v, min(d) AS d FROM lab GROUP BY p, node),
+        |hr AS MATERIALIZED (
+        |  SELECT v, hv // 67108864 AS b,
+        |    CASE WHEN hv % 67108864 = 0 THEN 27
+        |      ELSE 27 - length(bin(hv % 67108864)) END AS r
+        |  FROM (SELECT v,
+        |      CAST('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 8)
+        |        AS BIGINT) AS hv
+        |    FROM nodes)),
+        |ts AS (
+        |  SELECT p, unnest(generate_series(0, ecc)) AS t
+        |  FROM (SELECT p, max(d) AS ecc FROM dist GROUP BY p)),
+        |regs AS (
+        |  SELECT ts.p, ts.t, hr.b, max(hr.r) AS m
+        |  FROM ts
+        |  JOIN dist ON dist.p = ts.p AND dist.d <= ts.t
+        |  JOIN hr ON hr.v = dist.v
+        |  GROUP BY ts.p, ts.t, hr.b),
+        |s AS (
+        |  SELECT p, t, CAST(count(*) AS BIGINT) AS n,
+        |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS sp
+        |  FROM regs GROUP BY p, t),
+        |est AS (
+        |  SELECT p, t,
+        |    CASE WHEN (0.709 * 64.0 * 64.0 /
+        |          (sp + (64.0 - CAST(n AS DOUBLE)))) <= 160.0 AND (64 - n) > 0
+        |      THEN 64.0 * ln(64.0 / CAST(64 - n AS DOUBLE))
+        |      ELSE 0.709 * 64.0 * 64.0 /
+        |        (sp + (64.0 - CAST(n AS DOUBLE))) END AS est
+        |  FROM s),
+        |mx AS (
+        |  SELECT p, t, max(est) OVER (PARTITION BY p ORDER BY t) AS m
+        |  FROM est),
+        |dl AS (
+        |  SELECT p, t, m,
+        |    (m - lag(m) OVER (PARTITION BY p ORDER BY t))
+        |      / CAST(t AS DOUBLE) AS term
+        |  FROM mx),
+        |per AS (
+        |  SELECT p,
+        |    list_sort(list(struct_pack(t := t, term := term))) AS l,
+        |    max(m) AS mfin
+        |  FROM dl WHERE t > 0 GROUP BY p)
+        |SELECT p AS node,
+        |  round(list_reduce(list_transform(l, x -> x.term),
+        |    (acc, e) -> acc + e), 6) AS harmonic_est,
+        |  round(mfin - 1.0, 6) AS reached_est
+        |FROM per""".stripMargin,
     // TextRank: unrolled MATERIALIZED score CTEs (the qg14 pattern);
     // integer pair counts/strengths, (1.0 - 0.85) written as the same
     // IEEE subtraction the engine folds, per-node neighbor sums carry
@@ -8992,6 +9175,52 @@ object SparkEntry {
         |SELECT id, weight, key,
         |  CAST(row_number() OVER (ORDER BY key DESC, id) AS BIGINT) AS rank
         |FROM h ORDER BY key DESC, id LIMIT 50""".stripMargin,
+    // Per-key A-ES: the same md5-seeded 6-dp competition key, ranked
+    // WITHIN each language by the same (key DESC, id) order the
+    // engine's bounded aggregator realizes
+    "qt47_sample_per_key" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id AS id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS weight
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |h AS (
+        |  SELECT lang, id, weight,
+        |    round(ln((CAST('0x' || substring(md5(CAST(id AS VARCHAR) || '|42'), 1, 8)
+        |        AS BIGINT) + 1) / 4294967296.0)
+        |      / CAST(weight AS DOUBLE), 6) AS sample_key
+        |  FROM w WHERE weight > 0),
+        |r AS (
+        |  SELECT lang, id, weight, sample_key,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY sample_key DESC, id) AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT id, lang, weight, sample_key, rank
+        |FROM r WHERE rank <= 20""".stripMargin,
+    // Trigram novelty: identical tokenize + 1-based gram windows, the
+    // reference's distinct-gram set probed via LEFT JOIN null-mark —
+    // counts exact BIGINTs, novelty one IEEE divide
+    "qt48_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |refg AS (
+        |  SELECT DISTINCT concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tk WHERE doc_id % 2 = 0 AND len(t) >= 3)),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tk WHERE doc_id % 2 = 1 AND len(t) >= 3))
+        |SELECT dg.doc_id,
+        |  CAST(count(*) AS BIGINT) AS distinct_grams,
+        |  CAST(sum(CASE WHEN refg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_grams,
+        |  round(CAST(sum(CASE WHEN refg.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM dg LEFT JOIN refg ON refg.g = dg.g
+        |GROUP BY dg.doc_id""".stripMargin,
     // Gopher repetition: integer gram counts; the 5-gram coverage is a
     // DISTINCT over covered positions (union semantics — 1-based here,
     // 0-based in the engine; counts are base-independent); fractions
@@ -9638,6 +9867,52 @@ object SparkEntry {
         |    (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) /
         |      CAST(cnt AS DOUBLE)) * 1718.75, 6) AS est
         |FROM e WHERE rn = 1""".stripMargin,
+    // Level-sampling quantile sketch: tz = trailing zeros of the md5
+    // row-id hash (bin() of the isolated lowest bit — the qk4 unpadded-
+    // binary idiom), level = (largest tz whose >=tz suffix count
+    // exceeds k) + 1 via the same DESC cumulative window, sample ranks
+    // over the same (v, id) order, answer index ((target-1) >> L) + 1
+    // clamped to the sample — every step integer or a raw input value,
+    // so the hash compare is FP-trivial.
+    "qk7_quantile_sketch" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS v,
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) AS id
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |hz AS MATERIALIZED (
+        |  SELECT k, v, id,
+        |    CASE WHEN hv = 0 THEN 32
+        |      ELSE length(bin(hv & (-hv))) - 1 END AS tz
+        |  FROM (SELECT k, v, id,
+        |      CAST('0x' || substring(md5(id), 1, 8) AS BIGINT) AS hv
+        |    FROM base)),
+        |lv AS (
+        |  SELECT k, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(coalesce(max(CASE WHEN suf > 256 THEN tz END) + 1, 0)
+        |      AS BIGINT) AS lvl
+        |  FROM (
+        |    SELECT k, tz, c,
+        |      sum(c) OVER (PARTITION BY k ORDER BY tz DESC) AS suf
+        |    FROM (SELECT k, tz, count(*) AS c FROM hz GROUP BY 1, 2))
+        |  GROUP BY k),
+        |samp AS (
+        |  SELECT hz.k, hz.v, lv.n, lv.lvl,
+        |    row_number() OVER (PARTITION BY hz.k ORDER BY hz.v, hz.id) AS i,
+        |    count(*) OVER (PARTITION BY hz.k) AS ns
+        |  FROM hz JOIN lv ON lv.k = hz.k AND hz.tz >= lv.lvl),
+        |tg AS (
+        |  SELECT k, q, v, n, lvl, i, ns,
+        |    least(((greatest(1, CAST(ceil(CAST(n AS DOUBLE) * q) AS BIGINT))
+        |        - 1) >> CAST(lvl AS INT)) + 1,
+        |      CAST(ns AS BIGINT)) AS istar
+        |  FROM samp
+        |  CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) qq(q))
+        |SELECT k AS l_returnflag, q,
+        |  CAST(max(n) AS BIGINT) AS n, max(lvl) AS level,
+        |  CAST(max(ns) AS BIGINT) AS n_sample,
+        |  min(CASE WHEN i = istar THEN v END) AS est
+        |FROM tg GROUP BY 1, 2""".stripMargin,
     // Random projection: sign-for-sign md5-parity replay, and the inner
     // sum is list_reduce — the same sequential left fold Spark's
     // aggregate() runs, so doubles match bit-for-bit pre-round.
@@ -10570,6 +10845,72 @@ object SparkEntry {
          |  WHERE (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) >= 0.98)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id NOT IN (SELECT a_id FROM dups)""".stripMargin
+    },
+    // Bucketed DBSCAN: qd5's plane-literal signature replay (4 planes
+    // from the same Random(42) stream), the same raw-cosine >= threshold
+    // edge rule, core = degree >= minPts over the directed nbr rows,
+    // min-label components via bounded recursive propagation (250 >> any
+    // 500-node component's eccentricity), border = min core-neighbor
+    // label, everything else noise
+    "qs16_dbscan" -> {
+      val rnd = new scala.util.Random(42L)
+      val planes = Seq.fill(4)(Array.fill(64)(rnd.nextGaussian()))
+      val planeValues = planes.zipWithIndex.flatMap { case (p, b) =>
+        p.zipWithIndex.map { case (c, i) => s"($b,${i + 1},$c)" }
+      }.mkString(",")
+      s"""WITH RECURSIVE planes(b, i, c) AS (
+         |  SELECT * FROM (VALUES $planeValues)),
+         |dots AS (
+         |  SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.i] AS DOUBLE) * p.c) AS d
+         |  FROM embeddings e CROSS JOIN planes p
+         |  GROUP BY e.vec_id, p.b),
+         |sigs AS MATERIALIZED (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0.0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |cand AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |nbr AS MATERIALIZED (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.a_id
+         |  JOIN embeddings eb ON eb.vec_id = c.b_id
+         |  CROSS JOIN generate_series(1, 64) t(i)
+         |  GROUP BY c.a_id, c.b_id
+         |  HAVING (CASE WHEN sqrt(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(ea.embedding[t.i] AS DOUBLE)))
+         |        * sqrt(sum(CAST(eb.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE))) = 0 THEN 0
+         |      ELSE sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE))
+         |        / (sqrt(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(ea.embedding[t.i] AS DOUBLE)))
+         |          * sqrt(sum(CAST(eb.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE))))
+         |      END) >= 0.25),
+         |core AS MATERIALIZED (
+         |  SELECT a_id AS id FROM nbr GROUP BY a_id HAVING count(*) >= 2),
+         |ce AS MATERIALIZED (
+         |  SELECT n.a_id AS u, n.b_id AS v FROM nbr n
+         |  JOIN core x ON x.id = n.a_id JOIN core y ON y.id = n.b_id),
+         |lab(it, node, lbl) AS (
+         |  SELECT 0, id, id FROM core
+         |  UNION ALL
+         |  SELECT it + 1, node, min(lbl) FROM (
+         |    SELECT l.it, l.node, l.lbl FROM lab l
+         |    UNION ALL
+         |    SELECT l.it, c.v AS node, l.lbl FROM lab l JOIN ce c ON c.u = l.node
+         |  ) t(it, node, lbl)
+         |  WHERE it < 250
+         |  GROUP BY it, node),
+         |cl AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM lab GROUP BY node),
+         |bord AS MATERIALIZED (
+         |  SELECT n.a_id AS id, min(cl.lbl) AS lbl
+         |  FROM nbr n JOIN cl ON cl.node = n.b_id
+         |  WHERE n.a_id NOT IN (SELECT id FROM core)
+         |  GROUP BY n.a_id)
+         |SELECT e.vec_id,
+         |  CASE WHEN cl.lbl IS NOT NULL THEN 'core'
+         |    WHEN bord.lbl IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+         |  CAST(coalesce(cl.lbl, bord.lbl, -1) AS BIGINT) AS cluster
+         |FROM embeddings e
+         |LEFT JOIN cl ON cl.node = e.vec_id
+         |LEFT JOIN bord ON bord.id = e.vec_id""".stripMargin
     },
     // SemDeDup replay: seed-cell assignment is the qs7 codebook contract
     // with m = 1 (round-6dp L2² argmin, lowest-index ties); the prune is

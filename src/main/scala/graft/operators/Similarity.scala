@@ -406,6 +406,87 @@ object Similarity {
     *
     * Returns (centroids, assignments(id, cluster)).
     */
+  /** BUCKETED DBSCAN over an embedding column — density-based cluster
+    * labels without a preset cluster count, the standard shape for
+    * "group the near-duplicate neighborhoods, flag the rest as noise"
+    * (qd20 keeps one doc per cluster; THIS names the clusters and the
+    * outliers). Cosine-similarity DBSCAN with the neighbor graph
+    * BUCKETED by the deterministic hyperplane signature (the qd5 LSH):
+    *
+    *  - neighbors(a) = vectors b ≠ a sharing a's `bits`-bit signature
+    *    with cosine(a, b) ≥ `simThreshold` — the LSH bucket IS part of
+    *    the operator's contract (the qd5/qs14 candidate semantics:
+    *    cross-bucket near-pairs are out of scope by design, which is
+    *    what keeps the pair stage Θ(bucket²), never Θ(n²));
+    *  - core ⟺ at least `minPts` neighbors (OTHER vectors — the
+    *    classic count-includes-self convention minus one);
+    *  - clusters = connected components over core–core neighbor edges
+    *    ([[Dedup.connectedComponents]] min-label; a core with no core
+    *    neighbor keeps its own id);
+    *  - border = non-core with ≥ 1 core neighbor, labeled by its
+    *    MINIMUM core neighbor's cluster (deterministic, no "first
+    *    visitor wins" order dependence — the known DBSCAN wrinkle,
+    *    pinned instead of inherited);
+    *  - everything else is noise, cluster −1.
+    *
+    * Output `(vec_id, role ∈ core|border|noise, cluster)`. Scale: one
+    * signature projection (codegen literals), one bucket equi-join,
+    * degree/label joins keyed by id, star-contraction components —
+    * every stage keyed, nothing quadratic in n.
+    */
+  def dbscanCosine(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      simThreshold: Double,
+      minPts: Int,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val sigs = embs
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__sig",
+        VectorFunctions.hyperplaneSignature(col("__v"), dim, bits, seed))
+    // bucket-local similarity edges, BOTH directions (degree counting
+    // reads one direction); eager checkpoint — consumed by three
+    // downstream branches (degrees, core-core edges, border labels)
+    val nbr = sigs.select(col("__sig"), col("__id").as("__a"), col("__v").as("__va"))
+      .join(sigs.select(col("__sig"), col("__id").as("__b"), col("__v").as("__vb")),
+        Seq("__sig"))
+      .filter(col("__a") =!= col("__b"))
+      .filter(VectorFunctions.cosine(col("__va"), col("__vb")) >= simThreshold)
+      .select(col("__a"), col("__b"))
+      .localCheckpoint(true)
+    val core = nbr.groupBy(col("__a")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts)
+      .select(col("__a").as("__cid"))
+    val coreEdges = nbr
+      .join(core.select(col("__cid").as("__a")), Seq("__a"))
+      .join(core.select(col("__cid").as("__b")), Seq("__b"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b"))
+    val cc = Dedup.connectedComponents(coreEdges, "__a", "__b")
+    val coreLabels = core
+      .join(cc, core("__cid") === cc("id"), "left_outer")
+      .select(col("__cid"), coalesce(col("label"), col("__cid")).as("__lbl"))
+    val borderLabels = nbr
+      .join(coreLabels.select(col("__cid").as("__b"), col("__lbl")), Seq("__b"))
+      .join(core.select(col("__cid").as("__a")), Seq("__a"), "left_anti")
+      .groupBy(col("__a"))
+      .agg(min(col("__lbl")).as("__blbl"))
+    embs.select(col(idCol).cast("long").as("vec_id"))
+      .join(coreLabels.select(col("__cid").as("vec_id"),
+        col("__lbl").as("__core_lbl")), Seq("vec_id"), "left_outer")
+      .join(borderLabels.select(col("__a").as("vec_id"), col("__blbl")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("__core_lbl").isNotNull, lit("core"))
+          .when(col("__blbl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__core_lbl"), col("__blbl"), lit(-1L)).as("cluster"))
+  }
+
   def kmeans(
       embs: DataFrame,
       idCol: String,

@@ -272,6 +272,166 @@ object Sketches {
           6).as("est"))
   }
 
+  /** LEVEL-SAMPLING QUANTILE SKETCH internals: the per-key retained
+    * sample rows `(key, __v, __id, __tz, __n, __lvl)`. Each row's level
+    * is the trailing-zero count of its md5 id-hash (geometric, p = ½ —
+    * Wegman/Flajolet adaptive sampling applied to ranks); the sketch
+    * keeps rows with tz ≥ L where L is the SMALLEST level at which the
+    * retained count fits `k`. L is a pure function of the key's row
+    * SET: per-(key, tz) counts (≤ 33 rows per key), one suffix-sum
+    * window over those 33, L = (largest tz whose suffix count exceeds
+    * k) + 1 — so the whole build is one hash aggregate + a 33-row
+    * window + one semi-join-shaped filter, no per-row window, no global
+    * sort. L = 0 (n ≤ k) means the sketch IS the group — answers
+    * degrade to exact, the [[kmvDistinct]] contract.
+    */
+  private def levelSample(
+      df: DataFrame, keyCol: String, valueCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val h = md5Hash32(col(idCol).cast("string"))
+    val base = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).as("__key"), col(valueCol).as("__v"),
+        col(idCol).cast("string").as("__id"),
+        when(h === 0L, lit(32))
+          .otherwise(length(bin(h.bitwiseAND(-h))) - lit(1)).as("__tz"))
+    val lvl = base.groupBy(col("__key"), col("__tz"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__suf", sum(col("__c")).over(
+        Window.partitionBy(col("__key")).orderBy(col("__tz").desc)))
+      .groupBy(col("__key"))
+      .agg(
+        sum(col("__c")).as("__n"),
+        coalesce(max(when(col("__suf") > k, col("__tz"))) + lit(1), lit(0))
+          .cast("long").as("__lvl"))
+    base.join(lvl, Seq("__key")).filter(col("__tz") >= col("__lvl"))
+  }
+
+  /** MERGEABLE QUANTILE SKETCH + nearest-rank answers:
+    * `(key, q, n, level, n_sample, est)` per requested quantile — the
+    * fixed-size quantile member of the HLL/KMV/CMS family. Retained
+    * rows are a Bernoulli(2⁻ᴸ) sample of the key's rows (inclusion is
+    * decided by each row's OWN hash), so the estimated rank of the i-th
+    * smallest sample value is i·2ᴸ and the nearest-rank answer for q is
+    * sample value #⌈target/2ᴸ⌉ (target = max(1, ⌈q·n⌉), clamped to the
+    * sample; n is carried EXACTLY) — closed form, no scan. Rank error
+    * is the sampling bound O(n/√k) — worse than KLL's O(n·log/k) but
+    * ORDER-INDEPENDENT: KLL/t-digest compactions depend on merge order,
+    * so two engines (or two partition schedules) can produce different
+    * sketches from the same set; this sketch is a pure function of the
+    * row set, which is what lets the qk7 oracle hash-compare an
+    * approximate answer exactly ([[hllDistinct]]'s contract) and what
+    * makes merge results schedule-independent at 1000 executors.
+    * Answers are exact input values (no interpolation), so the gate
+    * compare is FP-trivial; `est` is exact whenever level = 0.
+    */
+  def quantileSketch(
+      df: DataFrame, keyCol: String, valueCol: String, idCol: String,
+      k: Int = 256, qs: Seq[Double] = Seq(0.5)): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val sample = levelSample(df, keyCol, valueCol, idCol, k)
+    val ranked = sample
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col("__key")).orderBy(col("__v"), col("__id"))))
+      .withColumn("__ns", count(lit(1)).over(
+        Window.partitionBy(col("__key"))))
+    ranked
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("__target",
+        greatest(lit(1L),
+          ceil(col("__n").cast("double") * col("q")).cast("long")))
+      // i* = ceil(target / 2^L) = ((target - 1) >> L) + 1, exact in
+      // integers (target >= 1); clamped to the sample
+      .withColumn("__istar",
+        least(
+          expr("shiftright(__target - 1L, CAST(__lvl AS INT)) + 1L"),
+          col("__ns").cast("long")))
+      .groupBy(col("__key"), col("q"))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__lvl")).as("level"),
+        max(col("__ns")).cast("long").as("n_sample"),
+        min(when(col("__i").cast("long") === col("__istar"), col("__v")))
+          .as("est"))
+      .select(col("__key").as(keyCol), col("q"), col("n"), col("level"),
+        col("n_sample"), col("est"))
+  }
+
+  /** The sketch as ONE portable row per key — `(key, n, level, sample:
+    * array<struct<tz, v, id>>)`, sample sorted by (v, id), ≤ k entries:
+    * the merge/ship representation ([[mergeQuantileStates]] /
+    * [[quantileFromState]]). Built from the same [[levelSample]] rows
+    * the one-shot [[quantileSketch]] ranks, so both paths answer
+    * identically.
+    */
+  def quantileSketchState(
+      df: DataFrame, keyCol: String, valueCol: String, idCol: String,
+      k: Int = 256): DataFrame =
+    levelSample(df, keyCol, valueCol, idCol, k)
+      .groupBy(col("__key"))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__lvl")).as("level"),
+        sort_array(collect_list(struct(
+          col("__v").as("v"), col("__id").as("id"), col("__tz").as("tz"))))
+          .as("sample"))
+      .select(col("__key").as("key"), col("n"), col("level"), col("sample"))
+
+  /** Merge two sketch states built with the same `k`: n adds exactly,
+    * the pooled sample refilters at L₀ = max(L₁, L₂), and if the pool
+    * still exceeds k the level rises to (k+1-th largest tz) + 1 — the
+    * closed form of "smallest L ≥ L₀ whose suffix count fits k" (the
+    * suffix count at tz₍ₖ₊₁₎+1 is ≤ k, at tz₍ₖ₊₁₎ is ≥ k+1). Like KMV
+    * min-k merging, the result is conservative only in that L below
+    * max(L₁, L₂) is unreachable (those rows are gone); it is still a
+    * deterministic function of the two states — merge order never
+    * changes the result. Keys present on one side pass through.
+    */
+  def mergeQuantileStates(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val pooled = a.unionByName(b)
+      .groupBy(col("key"))
+      .agg(
+        sum(col("n")).as("n"),
+        max(col("level")).as("__l0"),
+        sort_array(flatten(collect_list(col("sample")))).as("__pool"))
+      .withColumn("__p0",
+        filter(col("__pool"), x => x("tz") >= col("__l0")))
+    // tz of the (k+1)-th largest retained row, or -1 if the pool fits
+    val tzk1 = {
+      val tzsDesc = reverse(array_sort(transform(col("__p0"), x => x("tz"))))
+      when(size(col("__p0")) <= k, lit(-1L))
+        .otherwise(element_at(tzsDesc, k + 1).cast("long"))
+    }
+    pooled
+      .withColumn("__lvl", greatest(col("__l0"), tzk1 + lit(1L)))
+      .select(col("key"), col("n"), col("__lvl").as("level"),
+        filter(col("__p0"), x => x("tz") >= col("__lvl")).as("sample"))
+  }
+
+  /** Nearest-rank answers from a sketch state — same closed form as
+    * [[quantileSketch]]: sample index ⌈target/2ᴸ⌉ clamped to the
+    * sample, target = max(1, ⌈q·n⌉). `element_at` over the (v, id)-
+    * sorted sample array replaces the one-shot path's row_number.
+    */
+  def quantileFromState(state: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    state
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("__target",
+        greatest(lit(1L), ceil(col("n").cast("double") * col("q")).cast("long")))
+      .withColumn("__istar",
+        least(
+          expr("shiftright(__target - 1L, CAST(level AS INT)) + 1L"),
+          size(col("sample")).cast("long")))
+      .select(col("key"), col("q"), col("n"), col("level"),
+        size(col("sample")).cast("long").as("n_sample"),
+        element_at(col("sample"), col("__istar").cast("int"))("v").as("est"))
+  }
+
   /** COUNT-MIN frequency estimates for `probes` over the corpus's
     * whitespace tokens: `(term, est)` with est ≥ true count always
     * (collisions only ADD) and est = min over `depth` hash rows of the

@@ -1386,6 +1386,109 @@ object TextAnalysis {
         .orderBy(col("key").desc, col("id"))).cast("long").as("rank"))
   }
 
+  /** PER-KEY WEIGHTED SAMPLING WITHOUT REPLACEMENT —
+    * [[weightedSampleNoReplace]]'s A-ES kernel vectorized over groups
+    * (the per-language / per-source quota draw every corpus mixer
+    * runs): within each key, the k LARGEST 6-dp-rounded competition
+    * keys ln(u)/w (u from the replayable md5 of (id, seed)) are an
+    * exact PPS-without-replacement sample of that key's rows
+    * (Efraimidis & Spirakis 2006), deterministic across runs and
+    * engines. Rows with null/non-positive weight or null id never
+    * sample; ids must be globally unique longs (the weight is re-read
+    * by id after the cut).
+    *
+    * Scale shape: where qt45's global form cuts with TakeOrdered, the
+    * per-key cut rides the qs5 BOUNDED AGGREGATOR ([[TopKByScore]] —
+    * ≤ k entries per (key, partition) cross the shuffle, map-side
+    * partials), NOT a per-key window: a window form would sort every
+    * key's full row set, one task per key — the qp-family superlinear
+    * scaler. The weight rejoin broadcasts the ≤ keys·k winners.
+    *
+    * Output `(id, key, weight, sample_key, rank)`, rank 1 = first
+    * sampled within its key.
+    */
+  def weightedSamplePerKey(
+      docs: DataFrame,
+      keyCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Sketches.md5Hash32(
+      concat(col(idCol).cast("string"), lit("|" + seed))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val keyed = docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0
+        && col(idCol).isNotNull)
+      .select(col(keyCol).as("__g"), col(idCol).cast("long").as("__id"),
+        round(log(u) / col(weightCol).cast("double"), 6).as("__key"))
+    val topk = udaf(new TopKByScore(k))
+    val sel = keyed
+      .groupBy(col("__g"))
+      .agg(topk(col("__key"), col("__id")).as("__topk"))
+      .select(col("__g"), posexplode(col("__topk")))
+      .select(col("__g"), col("col._2").as("id"),
+        col("col._1").as("sample_key"),
+        (col("pos") + 1).cast("long").as("rank"))
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0
+        && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(weightCol).as("weight"))
+      .join(broadcast(sel), Seq("id"))
+      .select(col("id"), col("__g").as(keyCol), col("weight"),
+        col("sample_key"), col("rank"))
+  }
+
+  /** N-GRAM NOVELTY against a REFERENCE corpus — the qd8
+    * decontamination join INVERTED: instead of dropping docs that
+    * overlap a benchmark, score every doc by how much of it is NEW
+    * relative to a reference (dedup-aware corpus growth, freshness
+    * scoring, repeat-crawl triage). Per doc: the DISTINCT word
+    * n-grams, how many of them never occur in the reference, and
+    * `novelty` = novel/distinct (one IEEE divide of exact Longs,
+    * 6 dp). Docs with fewer than n tokens have no n-gram and emit no
+    * row. Tokenization is [[repetitionSignals]]'s (lower, trim,
+    * whitespace split).
+    *
+    * Scale shape: reference grams collapse to a DISTINCT set once;
+    * the probe is one (gram) equi-join of distinct doc grams against
+    * it (left join + null-mark count) — no per-doc set intersection,
+    * no cross join; both sides are gram-keyed shuffles, the qd8
+    * shape.
+    */
+  def ngramNovelty(
+      docs: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, refTextCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame, text: String) = df
+      .select(split(lower(trim(col(text))), "\\s+").as("__t"))
+      .filter(size(col("__t")) >= n)
+    def gramArr = transform(
+      sequence(lit(0), size(col("__t")) - n),
+      i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))
+    val refGrams = grams(ref, refTextCol)
+      .select(explode(gramArr).as("__g")).distinct()
+      .withColumn("__seen", lit(1))
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"), explode(gramArr).as("__g"))
+      .distinct()
+      .join(refGrams, Seq("__g"), "left_outer")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("novel_grams"))
+      .select(col("__id").as("doc_id"),
+        col("distinct_grams"), col("novel_grams"),
+        round(col("novel_grams") / col("distinct_grams").cast("double"), 6)
+          .as("novelty"))
+  }
+
   /** SEQUENCE PACKING — the concat-and-chunk layout every LLM training
     * loader runs (GPT-style: documents concatenated in a deterministic
     * order, the token stream cut into fixed `seqLen` windows): maps each

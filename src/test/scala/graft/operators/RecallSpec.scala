@@ -266,4 +266,49 @@ class RecallSpec extends AnyFunSuite {
       .collect()
     assert(poisoned.forall(_.isNullAt(2)))
   }
+
+  test("dbscan: labels are PURE on the Gaussian mixture (no label mixes two " +
+    "ground clusters), most of the corpus is non-noise, deterministic") {
+    import org.apache.spark.sql.functions._
+    // members of a ground cluster sit at cosine ~0.99 of each other;
+    // cross-cluster cosine is that of random gaussian directions in
+    // dim 16 (well under 0.9 for this seed)
+    val out = Similarity.dbscanCosine(
+      embs, "vec_id", "embedding", dim = dim,
+      simThreshold = 0.9, minPts = 3, bits = 6)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == nClusters * perCluster)
+    val nonNoise = rows.filter(_._3 >= 0)
+    assert(nonNoise.length >= rows.length * 8 / 10,
+      s"only ${nonNoise.length} of ${rows.length} clustered")
+    // purity: a DBSCAN label never spans two ground-truth clusters
+    // (ground cluster of vec v = v / perCluster)
+    nonNoise.groupBy(_._3).foreach { case (lbl, members) =>
+      val grounds = members.map(_._1 / perCluster).toSet
+      assert(grounds.size == 1,
+        s"dbscan label $lbl mixes ground clusters $grounds")
+    }
+    // cores dominate inside recovered clusters; borders only ever attach
+    // to an existing cluster label
+    val roleOf = rows.map(r => r._1 -> r._2).toMap
+    val coreLabels = nonNoise.filter(r => roleOf(r._1) == "core").map(_._3).toSet
+    assert(nonNoise.filter(r => roleOf(r._1) == "border")
+      .forall(r => coreLabels.contains(r._3)))
+    // deterministic under repartitioning
+    val again = Similarity.dbscanCosine(
+      embs.repartition(7), "vec_id", "embedding", dim = dim,
+      simThreshold = 0.9, minPts = 3, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == rows.toSet)
+  }
+
+  test("dbscan: minPts above any bucket degree labels everything noise; " +
+    "noise rows carry cluster -1") {
+    val out = Similarity.dbscanCosine(
+      embs, "vec_id", "embedding", dim = dim,
+      simThreshold = 0.9, minPts = 10000, bits = 6)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.forall(_ == ("noise", -1L)))
+  }
 }

@@ -160,4 +160,100 @@ class SketchesSpec extends AnyFunSuite {
       .collect().head
     assert(one.getLong(1) == 1L && one.getDouble(2) == 1.0)
   }
+
+  // ------------------------------------------------ level-sampling quantiles
+
+  private def qdf(n: Int, key: String = "g") =
+    (1 to n).map(i => (key, i.toDouble, s"id_$i")).toDF("k", "v", "id")
+
+  test("quantile sketch: below k the sketch IS the group — exact nearest-rank " +
+    "answers at level 0") {
+    val out = Sketches.quantileSketch(qdf(100), "k", "v", "id",
+      k = 256, qs = Seq(0.25, 0.5, 0.75, 1.0)).collect()
+      .map(r => r.getDouble(1) -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getLong(2) == 100L && r.getLong(3) == 0L && r.getLong(4) == 100L)
+    }
+    // nearest-rank: value #ceil(q*n) of 1..100
+    assert(out(0.25).getDouble(5) == 25.0)
+    assert(out(0.5).getDouble(5) == 50.0)
+    assert(out(0.75).getDouble(5) == 75.0)
+    assert(out(1.0).getDouble(5) == 100.0)
+  }
+
+  test("quantile sketch: above k the sample is bounded by k, n stays exact, " +
+    "and rank error is within the sampling band") {
+    val n = 20000
+    val k = 256
+    val rows = Sketches.quantileSketch(qdf(n), "k", "v", "id",
+      k = k, qs = Seq(0.1, 0.5, 0.9)).collect()
+    rows.foreach { r =>
+      val q = r.getDouble(1)
+      assert(r.getLong(2) == n.toLong, "n must be exact")
+      assert(r.getLong(3) > 0L, "level must have risen")
+      assert(r.getLong(4) <= k.toLong, s"sample ${r.getLong(4)} exceeds k")
+      // values are 1..n, so exact rank of est == est itself
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val err = math.abs(r.getDouble(5) - target)
+      // 4 standard errors of the Bernoulli(2^-L) rank estimate ~ 4n/sqrt(k)
+      assert(err <= 4.0 * n / math.sqrt(k.toDouble),
+        s"q=$q est=${r.getDouble(5)} target=$target err=$err")
+    }
+  }
+
+  test("quantile sketch: deterministic — any partitioning, same rows out") {
+    val df = qdf(5000)
+    val a = Sketches.quantileSketch(df.repartition(1), "k", "v", "id",
+      k = 64, qs = Seq(0.5)).collect().head
+    val b = Sketches.quantileSketch(df.repartition(13), "k", "v", "id",
+      k = 64, qs = Seq(0.5)).collect().head
+    assert(a == b)
+  }
+
+  test("quantile sketch: state round-trip answers identically to the " +
+    "one-shot path") {
+    val df = qdf(3000) union qdf(50, "h")
+    val oneShot = Sketches.quantileSketch(df, "k", "v", "id",
+      k = 128, qs = Seq(0.3, 0.7)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(5)).toMap
+    val viaState = Sketches.quantileFromState(
+      Sketches.quantileSketchState(df, "k", "v", "id", k = 128),
+      Seq(0.3, 0.7)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(5)).toMap
+    assert(oneShot == viaState)
+  }
+
+  test("quantile sketch merge: n adds exactly, size stays bounded, answers " +
+    "stay within the error band; disjoint keys pass through") {
+    val left = qdf(8000)
+    val right = (8001 to 16000).map(i => ("g", i.toDouble, s"id_$i"))
+      .toDF("k", "v", "id") union qdf(40, "only_right")
+    val k = 128
+    val merged = Sketches.mergeQuantileStates(
+      Sketches.quantileSketchState(left, "k", "v", "id", k),
+      Sketches.quantileSketchState(right, "k", "v", "id", k), k)
+    val g = merged.filter($"key" === "g").collect().head
+    assert(g.getLong(1) == 16000L, "merged n must be the exact sum")
+    assert(g.getSeq[Any](3).size <= k, "merged sample exceeds k")
+    val ans = Sketches.quantileFromState(merged, Seq(0.5))
+      .filter($"key" === "g").collect().head.getDouble(5)
+    assert(math.abs(ans - 8000.0) <= 4.0 * 16000 / math.sqrt(k.toDouble),
+      s"merged median $ans too far from 8000")
+    // the single-sided key survives with its exact small-group answers
+    val or = Sketches.quantileFromState(merged, Seq(0.5))
+      .filter($"key" === "only_right").collect().head
+    assert(or.getLong(2) == 40L && or.getLong(3) == 0L && or.getDouble(5) == 20.0)
+  }
+
+  test("quantile sketch merge: merging is a pure function of the two states " +
+    "— swap order, same result") {
+    val a = Sketches.quantileSketchState(qdf(4000), "k", "v", "id", 64)
+    val b = Sketches.quantileSketchState(
+      (4001 to 6000).map(i => ("g", i.toDouble, s"id_$i")).toDF("k", "v", "id"),
+      "k", "v", "id", 64)
+    val ab = Sketches.mergeQuantileStates(a, b, 64).collect().head
+    val ba = Sketches.mergeQuantileStates(b, a, 64).collect().head
+    assert(ab.getLong(1) == ba.getLong(1) && ab.getLong(2) == ba.getLong(2))
+    assert(ab.getSeq[Any](3) == ba.getSeq[Any](3))
+  }
 }

@@ -792,4 +792,66 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long)].collect().sortBy(_._4).toSeq == all.toSeq)
   }
 
+  test("weightedSamplePerKey: equals the per-key window reference, bounded " +
+    "by k, deterministic under repartitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 500).map(i =>
+      (i.toLong, s"g${i % 4}", 1L + rnd.nextInt(100).toLong))
+      .toDF("id", "grp", "w")
+    val out = TextAnalysis.weightedSamplePerKey(docs, "grp", "id", "w", k = 15)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    // brute reference: identical A-ES keys, per-key window rank
+    val u = (Sketches.md5Hash32(concat(col("id").cast("string"), lit("|42")))
+      + lit(1L)).cast("double") / lit(4294967296.0)
+    val ref = docs
+      .select(col("grp"), col("id"), col("w"),
+        round(log(u) / col("w").cast("double"), 6).as("key"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("key").desc, col("id"))))
+      .filter(col("rank") <= 15)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4).toLong))
+      .toSet
+    assert(out == ref)
+    assert(out.groupBy(_._1).forall(_._2.size == 15))
+    val again = TextAnalysis.weightedSamplePerKey(
+      docs.repartition(11), "grp", "id", "w", k = 15).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(again == out)
+  }
+
+  test("ngramNovelty: hand-computed trigram overlap; short docs emit no row") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c x y z"), // grams: abc bcx cxy xyz -> 3 of 4 novel
+      (2L, "A  B   c D"),  // lowered/trimmed -> both grams seen in ref
+      (3L, "too short")    // < 3 tokens -> no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, ref, "doc_id", "text", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((4L, 3L, 0.75)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+  }
+
+  test("ngramNovelty: duplicate grams within a doc count once (DISTINCT " +
+    "semantics) and an empty reference makes everything novel") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, ref, "doc_id", "text", "text", 2)
+      .collect().head
+    // bigrams of [a b a b a b]: "a b" x3, "b a" x2 -> 2 distinct
+    assert(out.getLong(1) == 2L && out.getLong(2) == 2L && out.getDouble(3) == 1.0)
+  }
+
 }
