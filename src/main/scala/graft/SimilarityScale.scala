@@ -45,6 +45,17 @@ object SimilarityScale {
       if (rows <= 10000L) time("brute") {
         operators.Similarity.mutualKnnBrute(df, "vec_id", "embedding", k = 5).count()
       }
+      // DBSCAN at occupancy-constant bits: 2^bits grows with n so the
+      // bucket pair stage stays Θ(n·occupancy), never Θ(n²/constant) —
+      // the wall should track rows when bits tracks log2(rows)
+      val bits = math.min(30,
+        math.max(8, (math.log(rows / 64.0) / math.log(2.0)).ceil.toInt))
+      time(s"dbscan b=$bits") {
+        operators.Similarity
+          .dbscanCosine(df, "vec_id", "embedding", dim = 64,
+            simThreshold = 0.6, minPts = 2, bits = bits)
+          .count()
+      }
     }
     spark.stop()
   }

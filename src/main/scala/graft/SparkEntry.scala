@@ -1809,6 +1809,56 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Effective diameter via HyperANF ([[graph.Centrality
+    * .effectiveDiameterHyperBall]], α = 0.9, p = 6) on qg22's %150
+    * projection: the neighborhood function N(t) = Σ_v M_v(t) in exact
+    * MICRO-UNIT Longs (each per-node running-max estimate quantizes
+    * to round(M·10⁶) before the global sum — order-free), then the
+    * interpolated smallest t with N(t) ≥ α·N(∞). The oracle rebuilds
+    * the same per-round register estimates as qg23, extends each
+    * node's series constantly past its eccentricity (registers are
+    * fixed there), and replays the pick + interpolation on the same
+    * exact integers.
+    */
+  private def qg24EffDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Centrality.effectiveDiameterHyperBall(
+      edges, "x", "y", alpha = 0.9, p = 6)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Hard-negative mining ([[operators.Similarity.hardNegatives]],
+    * band [0.1, 0.3), k = 10, anchors = the 8 lowest vec_ids — the
+    * qd14 seed pattern): per anchor, the top-k corpus vectors inside
+    * the similarity band — contrastive negatives similar enough to
+    * teach the margin, dissimilar enough to not be latent positives.
+    * 6-dp-rounded scores, id tie-break; bounded-aggregator k-cut.
+    */
+  private def qs17HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val embs = t(spark, dir, "embeddings")
+    val anchors = embs.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    operators.Similarity.hardNegatives(
+      embs, anchors, "vec_id", "embedding", "a_id", "a_vec",
+      lo = 0.1, hi = 0.3, k = 10)
+  }
+
+  /** Source overlap matrix ([[operators.TextAnalysis.sourceOverlap]],
+    * trigrams): pairwise distinct-gram Jaccard between the documents
+    * table's `source` feeds — the corpus-composition diagnostic
+    * (qt48's per-doc novelty lifted to the source×source matrix).
+    * Counts exact Longs, one IEEE divide.
+    */
+  private def qd21SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.sourceOverlap(
+      t(spark, dir, "documents"), "source", "text", n = 3)
+
   /** Edit-distance self-join ([[operators.Dedup.editDistanceJoin]],
     * k = 1) over customer names: deletion-neighborhood candidates +
     * exact levenshtein verify. The shared "Customer#0000" prefix is
@@ -5323,6 +5373,9 @@ object SparkEntry {
     "qg21_betweenness" -> (qg21Betweenness _),
     "qg22_centrality" -> (qg22Centrality _),
     "qg23_hyperball" -> (qg23HyperBall _),
+    "qg24_eff_diameter" -> (qg24EffDiameter _),
+    "qs17_hard_negatives" -> (qs17HardNegatives _),
+    "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd19_edit_join" -> (qd19EditJoin _),
     "qd20_keep_best" -> (qd20KeepBest _),
     "qt40_textrank" -> (qt40TextRank _),
@@ -9025,6 +9078,93 @@ object SparkEntry {
         |    (acc, e) -> acc + e), 6) AS harmonic_est,
         |  round(mfin - 1.0, 6) AS reached_est
         |FROM per""".stripMargin,
+    // HyperANF effective diameter: the same per-round running-max
+    // register estimates as qg23, quantized to micro-units BEFORE the
+    // global sum (exact integer N(t), order-free), each node's series
+    // extended constantly past its eccentricity (registers are fixed
+    // there — the engine's fixpoint loop sees the same constants), then
+    // the same pick + interpolation on exact integers.
+    "qg24_eff_diameter" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |lab(it, p, node, d) AS (
+        |  SELECT 0, v, v, 0 FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, p, node, min(d) FROM (
+        |    SELECT l.it, l.p, l.node, l.d FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, l.p, s.w AS node, l.d + 1
+        |    FROM lab l JOIN sym s ON s.v = l.node
+        |  ) t(it, p, node, d)
+        |  WHERE it < 40
+        |  GROUP BY it, p, node),
+        |dist AS MATERIALIZED (
+        |  SELECT p, node AS v, min(d) AS d FROM lab GROUP BY p, node),
+        |hr AS MATERIALIZED (
+        |  SELECT v, hv // 67108864 AS b,
+        |    CASE WHEN hv % 67108864 = 0 THEN 27
+        |      ELSE 27 - length(bin(hv % 67108864)) END AS r
+        |  FROM (SELECT v,
+        |      CAST('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 8)
+        |        AS BIGINT) AS hv
+        |    FROM nodes)),
+        |ts AS (
+        |  SELECT p, ecc, unnest(generate_series(0, ecc)) AS t
+        |  FROM (SELECT p, max(d) AS ecc FROM dist GROUP BY p)),
+        |regs AS (
+        |  SELECT ts.p, ts.t, hr.b, max(hr.r) AS m
+        |  FROM ts
+        |  JOIN dist ON dist.p = ts.p AND dist.d <= ts.t
+        |  JOIN hr ON hr.v = dist.v
+        |  GROUP BY ts.p, ts.t, hr.b),
+        |s AS (
+        |  SELECT p, t, CAST(count(*) AS BIGINT) AS n,
+        |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS sp
+        |  FROM regs GROUP BY p, t),
+        |est AS (
+        |  SELECT p, t,
+        |    CASE WHEN (0.709 * 64.0 * 64.0 /
+        |          (sp + (64.0 - CAST(n AS DOUBLE)))) <= 160.0 AND (64 - n) > 0
+        |      THEN 64.0 * ln(64.0 / CAST(64 - n AS DOUBLE))
+        |      ELSE 0.709 * 64.0 * 64.0 /
+        |        (sp + (64.0 - CAST(n AS DOUBLE))) END AS est
+        |  FROM s),
+        |mx AS MATERIALIZED (
+        |  SELECT p, t,
+        |    CAST(round(max(est) OVER (PARTITION BY p ORDER BY t)
+        |      * 1000000.0) AS BIGINT) AS m6
+        |  FROM est),
+        |axis AS (
+        |  SELECT unnest(generate_series(0,
+        |    (SELECT max(t) FROM mx))) AS t),
+        |ecc2 AS (SELECT p, max(t) AS ecc FROM mx GROUP BY p),
+        |nf AS MATERIALIZED (
+        |  SELECT a.t, CAST(sum(x.m6) AS BIGINT) AS nft
+        |  FROM axis a
+        |  JOIN ecc2 c ON true
+        |  JOIN mx x ON x.p = c.p AND x.t = least(a.t, c.ecc)
+        |  GROUP BY a.t),
+        |fin AS (SELECT max(nft) AS nfin FROM nf),
+        |cr AS (
+        |  SELECT t, nft, lag(nft) OVER (ORDER BY t) AS prev FROM nf),
+        |pick AS (
+        |  SELECT t, nft, prev FROM cr, fin
+        |  WHERE CAST(nft AS DOUBLE) >= 0.9 * CAST(nfin AS DOUBLE)
+        |  ORDER BY t LIMIT 1)
+        |SELECT CAST(0.9 AS DOUBLE) AS alpha, fin.nfin AS nf_final,
+        |  round(CASE WHEN pick.t = 0 THEN 0.0
+        |    ELSE (pick.t - 1)
+        |      + (0.9 * CAST(fin.nfin AS DOUBLE) - CAST(pick.prev AS DOUBLE))
+        |        / (CAST(pick.nft AS DOUBLE) - CAST(pick.prev AS DOUBLE))
+        |    END, 6) AS eff_diameter
+        |FROM pick, fin""".stripMargin,
     // TextRank: unrolled MATERIALIZED score CTEs (the qg14 pattern);
     // integer pair counts/strengths, (1.0 - 0.85) written as the same
     // IEEE subtraction the engine folds, per-node neighbor sums carry
@@ -9221,6 +9361,29 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
         |FROM dg LEFT JOIN refg ON refg.g = dg.g
         |GROUP BY dg.doc_id""".stripMargin,
+    // Source overlap: identical tokenize + 1-based trigram windows per
+    // SOURCE, distinct gram sets, pair counts from the gram self-join
+    // (a < b), J = common/(a + b - common) — one IEEE divide
+    "qd21_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE source IS NOT NULL),
+        |g AS MATERIALIZED (
+        |  SELECT DISTINCT source, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+        |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tk WHERE len(t) >= 3)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS c
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pr.sa AS source_a, pr.sb AS source_b,
+        |  za.n AS grams_a, zb.n AS grams_b, pr.c AS common_grams,
+        |  round(CAST(pr.c AS DOUBLE)
+        |    / CAST(za.n + zb.n - pr.c AS DOUBLE), 6) AS jaccard
+        |FROM pr
+        |JOIN sz za ON za.source = pr.sa
+        |JOIN sz zb ON zb.source = pr.sb""".stripMargin,
     // Gopher repetition: integer gram counts; the 5-gram coverage is a
     // DISTINCT over covered positions (union semantics — 1-based here,
     // 0-based in the engine; counts are base-independent); fractions
@@ -10912,6 +11075,37 @@ object SparkEntry {
          |LEFT JOIN cl ON cl.node = e.vec_id
          |LEFT JOIN bord ON bord.id = e.vec_id""".stripMargin
     },
+    // Hard negatives: qd5's exact double-cast cosine (list_sum folds),
+    // ROUNDED to 6 dp before the band filter and the (sim DESC, id)
+    // rank — the same order the engine's bounded aggregator realizes;
+    // anchors are the 8 lowest vec_ids (deterministic ORDER BY LIMIT)
+    "qs17_hard_negatives" ->
+      """WITH a AS (
+        |  SELECT vec_id AS a_id, embedding AS a_vec
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sc AS (
+        |  SELECT a.a_id, e.vec_id,
+        |    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(a.a_vec[i] AS DOUBLE) * CAST(a.a_vec[i] AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) = 0
+        |      THEN 0
+        |      ELSE list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(a.a_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |            i -> CAST(a.a_vec[i] AS DOUBLE) * CAST(a.a_vec[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+        |      END, 6) AS sim
+        |  FROM a CROSS JOIN embeddings e
+        |  WHERE e.vec_id <> a.a_id),
+        |f AS (
+        |  SELECT a_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY a_id
+        |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM sc WHERE sim >= 0.1 AND sim < 0.3)
+        |SELECT a_id AS anchor_id, vec_id AS neg_id, sim, rank
+        |FROM f WHERE rank <= 10""".stripMargin,
     // SemDeDup replay: seed-cell assignment is the qs7 codebook contract
     // with m = 1 (round-6dp L2² argmin, lowest-index ties); the prune is
     // qd5's exact double-cast cosine, but candidate pairs come from

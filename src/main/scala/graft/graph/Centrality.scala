@@ -142,19 +142,92 @@ object Centrality {
   def harmonicHyperBall(
       edges: DataFrame, aCol: String, bCol: String,
       p: Int = 6, maxIter: Int = 64): DataFrame = {
-    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
     val spark = edges.sparkSession
+    hyperBallLoop(edges, aCol, bCol, p, maxIter) match {
+      case None =>
+        spark.range(0).select(
+          col("id").as("node"), lit(0.0).as("harmonic_est"),
+          lit(0.0).as("reached_est"))
+      case Some((state, _)) =>
+        state.select(
+          col("__k").as("node"),
+          col("__h").as("harmonic_est"),
+          // M(∞) counts v itself — subtract its own unit
+          (col("__m") - lit(1.0)).as("reached_est"))
+    }
+  }
+
+  /** EFFECTIVE DIAMETER via HyperANF (Boldi, Rosa & Vigna 2011 — the
+    * neighborhood-function use the HyperBall machinery was invented
+    * for): one row `(alpha, nf_final, eff_diameter)` where the
+    * neighborhood function N(t) = Σ_v M_v(t) counts (estimated)
+    * reachable pairs within t hops and the effective diameter is the
+    * interpolated smallest t with N(t) ≥ α·N(∞):
+    * d = (t−1) + (α·N(∞) − N(t−1)) / (N(t) − N(t−1)), 0 when the
+    * initial row already crosses.
+    *
+    * Cross-engine exactness of a GLOBAL SUM of estimates: each
+    * per-node running-max estimate M_v(t) quantizes to MICRO-UNITS
+    * (round(M·10⁶) cast long) before summing, so N(t) is an exact
+    * integer sum — immune to FP summation order across 10⁹ nodes —
+    * and the final pick/interpolation is a handful of IEEE ops on
+    * exact integers that SQL replays verbatim (qg24's oracle rebuilds
+    * per-round registers from BFS distances exactly like qg23's).
+    * Per-round cost on top of the shared loop: one sum over the
+    * checkpointed n-row state. ≤ diameter longs come to the driver.
+    */
+  def effectiveDiameterHyperBall(
+      edges: DataFrame, aCol: String, bCol: String,
+      alpha: Double = 0.9, p: Int = 6, maxIter: Int = 64): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val spark = edges.sparkSession
+    hyperBallLoop(edges, aCol, bCol, p, maxIter) match {
+      case None =>
+        spark.range(0).select(
+          col("id").cast("double").as("alpha"), col("id").as("nf_final"),
+          col("id").cast("double").as("eff_diameter"))
+      case Some((_, nf)) =>
+        val nfin = nf.last
+        val target = alpha * nfin.toDouble
+        val tCross = nf.indexWhere(_.toDouble >= target)
+        val d =
+          if (tCross <= 0) 0.0
+          else {
+            val prev = nf(tCross - 1).toDouble
+            (tCross - 1).toDouble +
+              (target - prev) / (nf(tCross).toDouble - prev)
+          }
+        spark.range(1).select(
+          lit(alpha).as("alpha"), lit(nfin).as("nf_final"),
+          round(lit(d), 6).as("eff_diameter"))
+    }
+  }
+
+  /** The shared HyperBall fixpoint loop: returns the final per-node
+    * state `(__k, __h harmonic, __m running-max estimate)` plus the
+    * per-round neighborhood function N(t) in micro-units
+    * (t = 0 .. fixpoint round), or None for an empty graph. Register
+    * evolution invariant: regs(t)[v] = hllRegisters of the exact ball
+    * {w : d(v,w) ≤ t} (register max-union = ball union), and once a
+    * round changes nothing the state is stable forever — so stopping
+    * at the first unchanged round loses no later contribution.
+    */
+  private def hyperBallLoop(
+      edges: DataFrame, aCol: String, bCol: String,
+      p: Int, maxIter: Int): Option[(DataFrame, Vector[Long])] = {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
     val ed = symmetrize(edges, aCol, bCol).persist()
     val nodes = ed.select(col("v")).distinct()
     if (nodes.isEmpty) {
       ed.unpersist()
-      return spark.range(0).select(
-        col("id").as("node"), lit(0.0).as("harmonic_est"),
-        lit(0.0).as("reached_est"))
+      return None
     }
     def estimate(regs: DataFrame): DataFrame =
       Sketches.hllEstimate(regs, Seq("__k"), p)
         .select(col("__k"), col("__est"))
+    def nfOf(state: DataFrame): Long = state
+      .agg(coalesce(sum(round(col("__m") * lit(1e6)).cast("long")), lit(0L)))
+      .head().getLong(0)
     // B(v, 0) = {v}
     var regs = Sketches
       .hllRegisters(
@@ -167,6 +240,8 @@ object Centrality {
       .select(col("__k"), col("__h"),
         coalesce(col("__est"), lit(0.0)).as("__m"))
       .localCheckpoint(true)
+    val nf = Vector.newBuilder[Long]
+    nf += nfOf(state)
     var t = 1
     var changed = true
     // register mass: rows only appear and rhos only grow, so the
@@ -198,18 +273,13 @@ object Centrality {
                 - col("__m")) / lit(t.toDouble)).as("__h"),
             greatest(coalesce(col("__e1"), lit(0.0)), col("__m")).as("__m"))
           .localCheckpoint(true)
+        nf += nfOf(state)
         regs = merged
         prevMass = curMass
         t += 1
       }
     }
-    val out = state
-      .select(
-        col("__k").as("node"),
-        col("__h").as("harmonic_est"),
-        // M(∞) counts v itself — subtract its own unit
-        (col("__m") - lit(1.0)).as("reached_est"))
     ed.unpersist()
-    out
+    Some((state, nf.result()))
   }
 }

@@ -406,6 +406,50 @@ object Similarity {
     *
     * Returns (centroids, assignments(id, cluster)).
     */
+  /** HARD-NEGATIVE MINING — per anchor, the top-k corpus vectors inside
+    * a SIMILARITY BAND `lo ≤ cosine < hi`: the contrastive-training
+    * staple (negatives similar enough to teach the margin, dissimilar
+    * enough to not be latent positives — the reason the band excludes
+    * the near-dup region, and why a plain kNN is the wrong tool).
+    * Self-pairs are excluded before the band. Scores round to 6 dp
+    * before the cut (the qt36 libm-ulp lesson) and tie-break on
+    * ascending id, so the selected SET replays across engines.
+    *
+    * Scale shape = [[knnJoin]]'s: anchors broadcast, the band filter
+    * and score stay in the one corpus scan, and the k-cut rides the
+    * bounded [[TopKByScore]] Aggregator — ≤ k rows per (anchor,
+    * partition) cross the shuffle. Swap the scan for the IVF cell
+    * probe when the corpus is cell-partitioned (same contract as
+    * qs4's pruned tier).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      anchorIdCol: String,
+      anchorVecCol: String,
+      lo: Double,
+      hi: Double,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val topk = udaf(new TopKByScore(k))
+    val sim = round(VectorFunctions.cosine(col(vecCol), col(anchorVecCol)), 6)
+    corpus.crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col(anchorIdCol))
+      .withColumn("__sim", sim)
+      .filter(col("__sim") >= lo && col("__sim") < hi)
+      .groupBy(col(anchorIdCol))
+      .agg(topk(col("__sim"), col(idCol).cast("long")).as("__topk"))
+      .select(col(anchorIdCol), posexplode(col("__topk")))
+      .select(
+        col(anchorIdCol).as("anchor_id"),
+        col("col._2").as("neg_id"),
+        col("col._1").as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** BUCKETED DBSCAN over an embedding column — density-based cluster
     * labels without a preset cluster count, the standard shape for
     * "group the near-duplicate neighborhoods, flag the rest as noise"
@@ -432,7 +476,11 @@ object Similarity {
     * Output `(vec_id, role ∈ core|border|noise, cluster)`. Scale: one
     * signature projection (codegen literals), one bucket equi-join,
     * degree/label joins keyed by id, star-contraction components —
-    * every stage keyed, nothing quadratic in n.
+    * every stage keyed. The pair stage is Θ(n · occupancy) where
+    * occupancy = n/2^bits, so `bits` MUST grow with log₂(n) to hold
+    * occupancy constant (the qs14 nCells lesson: a fixed bucket count
+    * is a hidden n²). SimilarityScale's dbscan probe runs
+    * bits = ⌈log₂(n/64)⌉ and its wall tracks rows.
     */
   def dbscanCosine(
       embs: DataFrame,

@@ -1278,21 +1278,25 @@ object TextAnalysis {
     * repetition is [[graft.functions.TextFunctions.repetitionRatioUdf]]'s
     * domain). Fractions are one IEEE divide of exact Longs, 6-dp.
     *
-    * Scale shape (SINGLE-PASS): ONE tokenize scan, ONE explode carrying
-    * all three gram lengths, ONE (doc, gram) aggregate — the two
-    * readout branches (top-counts, dup5 coverage) consume the SAME
-    * exchange, deduplicated by Catalyst's ReuseExchange (PlanSpec pins
-    * one scan + a ReusedExchange node). Two tricks keep the reuse
-    * intact: (1) the gram length is NOT a grouping column — a gram
-    * string self-tags its length (n−1 spaces), and `__l` rides as a
-    * min() AGGREGATE, so branch filters on it cannot push below the
-    * aggregate and fork the exchange; (2) the occurrence count is
-    * size(collect_list(positions)) rather than a separate count(1), so
-    * BOTH branches depend on the same aggregate expressions and column
-    * pruning cannot specialize one branch's partial aggregate. Coverage
-    * union stays a distinct over ≤ n_tokens rows per doc — no window
-    * over raw tokens, no per-doc O(L²) in-array scan (long docs would
-    * quadratic-blow a HOF form).
+    * Scale shape — MULTI-SCAN BY MEASUREMENT (r13 adjudication): three
+    * per-length gram explodes, each a small codegen count aggregate,
+    * plus the dup-gram position join. The "one scan" forms the r12
+    * BACKLOG sketched were built and bench-rejected head-to-head at
+    * sf1 (same JVM, warm, median): r12 multi-scan **5.5–7.7 s**;
+    * one combined explode + ONE shared count aggregate feeding both
+    * readouts through a ReusedExchange **12.2–12.9 s** (one 7.7M-entry
+    * hash aggregate loses to three ~2.5M ones — hash-table cache
+    * behavior — and the struct-tagged explode is wider than three
+    * plain string explodes); the same with positions collected into
+    * the aggregate **30.3 s** (every gram group becomes an
+    * ObjectHashAggregate); checkpointing the exploded gram stream to
+    * dedupe scans materializes 3·n_tokens rows — at 100 TB that
+    * write+read costs more than the re-tokenize it saves. The scans
+    * are the CHEAP part; the (doc, gram) aggregates dominate, and they
+    * are smallest when per-length. Coverage union stays a distinct
+    * over ≤ n_tokens rows per doc — positions ride the stream, never
+    * an aggregation buffer; no window over raw tokens, no per-doc
+    * O(L²) in-array scan (long docs would quadratic-blow a HOF form).
     */
   def repetitionSignals(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -1301,33 +1305,30 @@ object TextAnalysis {
       .select(col(idCol).as("__id"),
         split(lower(trim(col(textCol))), "\\s+").as("__t"))
       .filter(size(col("__t")) >= 5)
-    def gramArr(n: Int) = transform(
-      sequence(lit(0), size(col("__t")) - n),
-      i => struct(
-        lit(n).as("l"), i.as("p"),
-        concat_ws(" ", slice(col("__t"), i + 1, lit(n))).as("g")))
-    val grams = toks
-      .select(col("__id"), size(col("__t")).cast("long").as("__n"),
-        explode(concat(gramArr(2), gramArr(3), gramArr(5))).as("__x"))
-      .select(col("__id"), col("__n"), col("__x.l").as("__l"),
-        col("__x.p").as("__p"), col("__x.g").as("__g"))
-    val agg = grams.groupBy(col("__id"), col("__n"), col("__g"))
-      .agg(min(col("__l")).as("__l"), collect_list(col("__p")).as("__ps"))
-    val tops = agg.groupBy(col("__id"), col("__n"))
-      .agg(
-        max(when(col("__l") === 2, size(col("__ps")).cast("long")))
-          .as("top2_count"),
-        max(when(col("__l") === 3, size(col("__ps")).cast("long")))
-          .as("top3_count"))
-    val dup5 = agg
-      .filter(col("__l") === 5 && size(col("__ps")) >= 2)
-      .select(col("__id"), explode(col("__ps")).as("__p"))
-      .select(col("__id"),
-        explode(sequence(col("__p"), col("__p") + 4)).as("__cov"))
-      .distinct()
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("dup5_covered"))
-    tops
+    def grams(n: Int) = toks.select(
+      col("__id"), size(col("__t")).cast("long").as("__n"),
+      posexplode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as(Seq("__p", "__g")))
+    def topCount(n: Int, out: String) = grams(n)
+      .groupBy(col("__id"), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(max(col("__c")).as(out))
+    val dup5 = {
+      val g = grams(5)
+      val dupGrams = g.groupBy(col("__id"), col("__g"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2L)
+        .select(col("__id"), col("__g"))
+      g.join(dupGrams, Seq("__id", "__g"))
+        .select(col("__id"),
+          explode(sequence(col("__p"), col("__p") + 4)).as("__cov"))
+        .distinct()
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).as("dup5_covered"))
+    }
+    topCount(2, "top2_count")
+      .join(topCount(3, "top3_count"), Seq("__id", "__n"))
       .join(dup5, Seq("__id"), "left_outer")
       .select(
         col("__id").as("doc_id"),
@@ -1487,6 +1488,53 @@ object TextAnalysis {
         col("distinct_grams"), col("novel_grams"),
         round(col("novel_grams") / col("distinct_grams").cast("double"), 6)
           .as("novelty"))
+  }
+
+  /** SOURCE OVERLAP MATRIX — pairwise n-gram Jaccard BETWEEN CORPUS
+    * SOURCES (crawl snapshots, dump versions, vendor feeds): the
+    * corpus-composition diagnostic behind "how much of source B is
+    * already in source A" decisions that [[ngramNovelty]] answers
+    * per-document. Per unordered source pair (a < b): each side's
+    * distinct-gram count, the common-gram count, and
+    * J = common / (a + b − common) — all exact Longs plus one IEEE
+    * divide (6 dp). Pairs with zero common grams do not appear (the
+    * join finds no row — emitting the zero matrix would need a
+    * sources² cross product for information the absence already
+    * carries).
+    *
+    * Scale shape: grams collapse to DISTINCT (source, gram) once; the
+    * pair stage joins that set WITH ITSELF ON GRAM, so a gram
+    * contributes ≤ sources²/2 pair rows (sources is small by
+    * definition — this is a matrix over feeds, not documents), and
+    * everything is gram-keyed — no document-level pairing anywhere.
+    */
+  def sourceOverlap(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs
+      .filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("__s"),
+        split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__s"), explode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as("__g"))
+      .distinct()
+    val sizes = grams.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    grams.select(col("__s").as("__sa"), col("__g"))
+      .join(grams.select(col("__s").as("__sb"), col("__g")), Seq("__g"))
+      .filter(col("__sa") < col("__sb"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("common_grams"))
+      .join(sizes.select(col("__s").as("__sa"), col("__n").as("grams_a")), Seq("__sa"))
+      .join(sizes.select(col("__s").as("__sb"), col("__n").as("grams_b")), Seq("__sb"))
+      .select(
+        col("__sa").as("source_a"), col("__sb").as("source_b"),
+        col("grams_a"), col("grams_b"), col("common_grams"),
+        round(col("common_grams")
+          / (col("grams_a") + col("grams_b") - col("common_grams"))
+            .cast("double"), 6).as("jaccard"))
   }
 
   /** SEQUENCE PACKING — the concat-and-chunk layout every LLM training

@@ -61,4 +61,44 @@ class CentralitySpec extends AnyFunSuite {
       .as[(Long, Double, Double)].collect()
     assert(est.sortBy(_._1).toSeq == est2.sortBy(_._1).toSeq)
   }
+
+  test("effectiveDiameterHyperBall: a clique saturates by t=1, a path's " +
+      "estimate tracks the exact neighborhood function, deterministic, " +
+      "empty input") {
+    import spark.implicits._
+    // clique on 8 nodes: N(1) = N(∞), so the interpolated crossing sits
+    // inside (0, 1]
+    val clique = (for {
+      i <- 0L until 8L; j <- (i + 1) until 8L
+    } yield (i, j)).toDF("a", "b")
+    val dc = Centrality.effectiveDiameterHyperBall(clique, "a", "b", p = 8)
+      .as[(Double, Long, Double)].collect().head
+    assert(dc._1 == 0.9)
+    assert(dc._3 > 0.0 && dc._3 <= 1.0, s"clique eff diameter ${dc._3}")
+    // path 0-1-...-19: exact diameter 19; exact N(t)/N(inf) crossing of
+    // 0.9 sits at t where sum over nodes of min-ball sizes crosses —
+    // compute the exact effective diameter and allow the HLL p=8 band
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val n = 20
+    def ballExact(t: Int): Long =
+      (0 until n).map(v => (math.min(v + t, n - 1) - math.max(v - t, 0) + 1).toLong).sum
+    val nfin = ballExact(n - 1).toDouble
+    val target = 0.9 * nfin
+    val tc = (0 until n).find(t => ballExact(t) >= target).get
+    val exact =
+      if (tc == 0) 0.0
+      else (tc - 1) + (target - ballExact(tc - 1)) /
+        (ballExact(tc) - ballExact(tc - 1)).toDouble
+    val dp = Centrality.effectiveDiameterHyperBall(path, "a", "b", p = 8)
+      .as[(Double, Long, Double)].collect().head
+    assert(math.abs(dp._3 - exact) / exact < 0.25,
+      s"path eff diameter est ${dp._3} vs exact $exact")
+    // deterministic under repartitioning
+    val again = Centrality.effectiveDiameterHyperBall(
+      path.repartition(5), "a", "b", p = 8)
+      .as[(Double, Long, Double)].collect().head
+    assert(again == dp)
+    assert(Centrality.effectiveDiameterHyperBall(
+      path.filter(lit(false)), "a", "b").count() == 0L)
+  }
 }

@@ -303,6 +303,39 @@ class RecallSpec extends AnyFunSuite {
     assert(again == rows.toSet)
   }
 
+  test("hardNegatives: equals the brute band + window reference, excludes " +
+    "self and the near-dup band, deterministic") {
+    import org.apache.spark.sql.functions._
+    val anchors = embs.orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val out = Similarity.hardNegatives(
+      embs, anchors, "vec_id", "embedding", "a_id", "a_vec",
+      lo = 0.2, hi = 0.8, k = 7)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // brute reference with the same rounded cosine
+    val ref = embs.crossJoin(org.apache.spark.sql.functions.broadcast(anchors))
+      .filter(col("vec_id") =!= col("a_id"))
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("a_vec")), 6))
+      .filter(col("sim") >= 0.2 && col("sim") < 0.8)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("a_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 7)
+      .select(col("a_id"), col("vec_id"), col("sim"), col("rank").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSet == ref.toSet)
+    // every score inside the band, no self pair
+    assert(rows.forall(r => r._3 >= 0.2 && r._3 < 0.8 && r._1 != r._2))
+    val again = Similarity.hardNegatives(
+      embs.repartition(9), anchors, "vec_id", "embedding", "a_id", "a_vec",
+      lo = 0.2, hi = 0.8, k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(again.toSet == rows.toSet)
+  }
+
   test("dbscan: minPts above any bucket degree labels everything noise; " +
     "noise rows carry cluster -1") {
     val out = Similarity.dbscanCosine(

@@ -843,6 +843,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, 0.0)))
   }
 
+  test("sourceOverlap: hand-computed bigram Jaccard matrix; zero-overlap " +
+    "pairs emit no row; within-source duplicate grams count once") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c"),        // s1 bigrams: {a b, b c}
+      ("s1", "a b a b"),      // adds {b a}; "a b" dups within source
+      ("s2", "b c d"),        // s2: {b c, c d}
+      ("s3", "x y z")         // s3: {x y, y z} — disjoint from s1/s2
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceOverlap(docs, "source", "text", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // only the s1-s2 pair shares grams: common = {b c}, J = 1/(3+2-1)
+    assert(out.keySet == Set(("s1", "s2")))
+    assert(out(("s1", "s2")) == ((3L, 2L, 1L, 0.25)))
+  }
+
   test("ngramNovelty: duplicate grams within a doc count once (DISTINCT " +
     "semantics) and an empty reference makes everything novel") {
     import spark.implicits._
