@@ -1859,6 +1859,28 @@ object SparkEntry {
     operators.TextAnalysis.sourceOverlap(
       t(spark, dir, "documents"), "source", "text", n = 3)
 
+  /** Leakage-safe train/val/test split ([[operators.Dedup
+    * .leakageSafeSplit]], 8/1/1): the split is drawn per NEAR-DUP
+    * CLUSTER (qd2's LSH bands → qd6's min-label components;
+    * singletons = own id), so near-duplicates can never straddle
+    * splits — the eval-contamination guard a per-doc hash split
+    * lacks. Bucket = md5(cluster|seed) mod 10, cumulative-weight
+    * thresholds name the split.
+    */
+  private def qd22LeakageSplit(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.leakageSafeSplit(
+      t(spark, dir, "documents"), "doc_id", "text")
+
+  /** Per-doc unigram KL quality score ([[operators.TextAnalysis
+    * .unigramKl]]): divergence of the doc's token distribution from
+    * the corpus distribution — the frequency-based quality signal.
+    * Ordered lexicographic term fold (the qg22/qp14 contract), exact
+    * Long counts, 6 dp.
+    */
+  private def qt49UnigramKl(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.unigramKl(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Edit-distance self-join ([[operators.Dedup.editDistanceJoin]],
     * k = 1) over customer names: deletion-neighborhood candidates +
     * exact levenshtein verify. The shared "Customer#0000" prefix is
@@ -5376,6 +5398,8 @@ object SparkEntry {
     "qg24_eff_diameter" -> (qg24EffDiameter _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
+    "qd22_leakage_split" -> (qd22LeakageSplit _),
+    "qt49_unigram_kl" -> (qt49UnigramKl _),
     "qd19_edit_join" -> (qd19EditJoin _),
     "qd20_keep_best" -> (qd20KeepBest _),
     "qt40_textrank" -> (qt40TextRank _),
@@ -9384,6 +9408,38 @@ object SparkEntry {
         |FROM pr
         |JOIN sz za ON za.source = pr.sa
         |JOIN sz zb ON zb.source = pr.sb""".stripMargin,
+    // Unigram KL: identical tokenize, exact Long doc/corpus counts, the
+    // per-doc term sum as a LEXICOGRAPHICALLY ordered list_reduce (the
+    // qg22 fold contract — a GROUP BY sum of ln terms would be
+    // order-dependent); 6 dp absorbs libm ln ulps (qt15 precedent)
+    "qt49_unigram_kl" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE doc_id IS NOT NULL)
+        |  WHERE length(w) > 0),
+        |dc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len
+        |  FROM dc GROUP BY 1),
+        |cc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+        |ag AS (
+        |  SELECT dc.doc_id, dl.len, nn.n,
+        |    list_sort(list(struct_pack(w := dc.w, c := dc.c, cw := cc.cw))) AS l
+        |  FROM dc
+        |  JOIN cc ON cc.w = dc.w
+        |  JOIN dl ON dl.doc_id = dc.doc_id
+        |  CROSS JOIN nn
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, len AS n_tokens,
+        |  round(list_reduce(list_transform(l, x ->
+        |    (CAST(x.c AS DOUBLE) / CAST(len AS DOUBLE))
+        |      * ln((CAST(x.c AS DOUBLE) / CAST(len AS DOUBLE))
+        |        / (CAST(x.cw AS DOUBLE) / CAST(n AS DOUBLE)))),
+        |    (acc, e) -> acc + e), 6) AS kl
+        |FROM ag""".stripMargin,
     // Gopher repetition: integer gram counts; the 5-gram coverage is a
     // DISTINCT over covered positions (union semantics — 1-based here,
     // 0-based in the engine; counts are base-independent); fractions
@@ -10868,6 +10924,40 @@ object SparkEntry {
           |SELECT d.doc_id FROM documents d
           |LEFT JOIN final ON final.id = d.doc_id
           |WHERE final.id IS NULL OR final.lb = d.doc_id""".stripMargin),
+    // Leakage-safe split: qd6's bucket pairs + label-prop CC, every doc
+    // labeled (singletons = own id), then the md5 bucket of the cluster
+    // label picks the split by cumulative 8/1/1 thresholds
+    "qd22_leakage_split" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, buckets AS (
+          |  SELECT doc_id, k // 4 AS band, string_agg(v::VARCHAR, ',' ORDER BY k) AS bkey
+          |  FROM sig GROUP BY doc_id, k // 4
+          |), pairs AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id > b.doc_id
+          |), nodes AS (SELECT DISTINCT id FROM (SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)
+          |), sym AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+          |), lab(it, id, lb) AS (
+          |  SELECT 0, id, id FROM nodes
+          |  UNION ALL
+          |  SELECT it + 1, id, min(lb) FROM (
+          |    SELECT l.it, l.id, l.lb FROM lab l
+          |    UNION ALL
+          |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+          |  ) t(it, id, lb)
+          |  WHERE it < 20
+          |  GROUP BY it, id
+          |), final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id
+          |), allc AS (
+          |  SELECT d.doc_id AS id, coalesce(final.lb, d.doc_id) AS cluster
+          |  FROM documents d LEFT JOIN final ON final.id = d.doc_id)
+          |SELECT id, cluster,
+          |  CASE WHEN hb < 8 THEN 'train' WHEN hb < 9 THEN 'val'
+          |    ELSE 'test' END AS split
+          |FROM (SELECT id, cluster,
+          |    CAST('0x' || substring(md5(CAST(cluster AS VARCHAR) || '|42'), 1, 8)
+          |      AS BIGINT) % 10 AS hb
+          |  FROM allc)""".stripMargin),
     // Keep-best canonicalization: qd6's bucket pairs + label-prop CC,
     // then each cluster's survivor = (length(text) DESC, doc_id) top-1
     "qd20_keep_best" ->

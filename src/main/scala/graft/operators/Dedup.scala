@@ -1236,6 +1236,56 @@ object Dedup {
     * paths; the survivor argmax is one max(struct(len, −id)) per
     * cluster — no window, no per-cluster sort.
     */
+  /** LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the split is drawn per
+    * NEAR-DUP CLUSTER, not per document, so two near-duplicates can
+    * never land in different splits (the eval-contamination failure a
+    * plain per-doc hash split ships silently: a test doc whose
+    * near-copy sits in train). Clusters are [[minHashDedup]]'s
+    * LSH-band components ([[connectedComponents]] min-label); every
+    * unclustered doc is its own singleton cluster. The cluster label
+    * then draws a replayable md5 bucket in [0, Σweights) and the
+    * cumulative weight thresholds name the split — deterministic
+    * across runs, partitionings, and engines, and STABLE under corpus
+    * growth for untouched clusters (the label is the min member id).
+    *
+    * Output `(id, cluster, split)`. Scale: the qd2/qd6 machinery
+    * end-to-end (band equi-join candidates, star-contraction
+    * components) plus one hash projection — nothing new shuffles.
+    * Split FRACTIONS are approximate at cluster granularity (a giant
+    * cluster drags its whole mass into one split — that is the
+    * point); the spec pins the tolerance on the gate corpus.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"split weights must be positive, got $weights")
+    val total = weights.map(_._2).sum
+    val b = banded(
+      minHashSigs(docs, idCol, textCol, shingleSize, numHashes),
+      idCol, bands, numHashes / bands)
+    val pairs = bandCandidatePairs(b, idCol)
+    val comp = connectedComponents(pairs, "__a", "__b")
+    val labeled = docs.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+    val bucket = pmod(
+      Sketches.md5Hash32(
+        concat(col("cluster").cast("string"), lit("|" + seed))),
+      lit(total.toLong))
+    val cums = weights.scanLeft(0)(_ + _._2).tail.zip(weights.map(_._1))
+    val split = cums.init.reverse.foldLeft(lit(weights.last._1): Column) {
+      case (acc, (cum, name)) => when(bucket < cum, lit(name)).otherwise(acc)
+    }
+    labeled.select(col("id"), col("cluster"), split.as("split"))
+  }
+
   def keepBestNearDups(
       docs: DataFrame,
       idCol: String,

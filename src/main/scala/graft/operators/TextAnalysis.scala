@@ -1490,6 +1490,58 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** UNIGRAM KL QUALITY SCORE — per doc, the Kullback-Leibler
+    * divergence of its unigram distribution from the CORPUS unigram
+    * distribution: the frequency-based quality signal (CCNet-family)
+    * that flags keyword-stuffed/boilerplate docs (high KL: their token
+    * mix is nothing like the corpus) without training any model —
+    * the distribution-level sibling of [[bigramLmScore]]'s perplexity.
+    * KL = Σ_{w ∈ doc} p_w·ln(p_w/q_w) with p = c_w/len, q = C_w/N —
+    * always ≥ 0 and finite (every doc token exists in the corpus by
+    * construction). Docs with no tokens emit no row.
+    *
+    * Exactness: the term sum is an ORDERED fold over the doc's
+    * distinct terms sorted lexicographically (the qg22/qp14 ordered-
+    * fold contract — a GROUP-BY sum of ln terms would be summation-
+    * order-dependent), each term a fixed chain of IEEE ops on exact
+    * Long counts; 6 dp absorbs libm ln ulps (the qt15 BM25 precedent).
+    *
+    * Scale shape: one tokenize explode, doc-term and corpus-term hash
+    * counts, one term equi-join, the 1-row corpus total broadcast via
+    * cross join; per-doc state bounded by distinct terms per doc (the
+    * fold list) — group count = docs, never gram-cardinality (the
+    * qt46 object-agg lesson: list state is fine when the group count
+    * is small and the lists are short).
+    */
+  def unigramKl(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val dc = toks.groupBy(col("__id"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val dl = dc.groupBy(col("__id")).agg(sum(col("__c")).as("__len"))
+    val cc = toks.groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+    val n = cc.agg(sum(col("__cw")).as("__N"))
+    dc.join(cc, Seq("__w"))
+      .join(dl, Seq("__id"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("__id"), col("__len"), col("__N"))
+      .agg(sort_array(collect_list(struct(
+        col("__w").as("w"), col("__c").as("c"), col("__cw").as("cw"))))
+        .as("__l"))
+      .select(
+        col("__id").as("doc_id"),
+        col("__len").as("n_tokens"),
+        round(aggregate(col("__l"), lit(0.0), (acc, x) =>
+          acc + (x("c").cast("double") / col("__len").cast("double"))
+            * log((x("c").cast("double") / col("__len").cast("double"))
+              / (x("cw").cast("double") / col("__N").cast("double")))), 6)
+          .as("kl"))
+  }
+
   /** SOURCE OVERLAP MATRIX — pairwise n-gram Jaccard BETWEEN CORPUS
     * SOURCES (crawl snapshots, dump versions, vendor feeds): the
     * corpus-composition diagnostic behind "how much of source B is

@@ -320,6 +320,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 4, "shared leaf not reused by all subplans")
   }
 
+  test("qt47/qs17: bounded-aggregator k-cuts plan NO Window over the corpus " +
+    "and no cartesian; qk7/qt49/qd22 stay cartesian-free") {
+    // qt47/qs17: the per-key cut is the TopK Aggregator — a Window node
+    // would mean the per-key-sort regression the operator exists to avoid
+    val pk = plan("qt47_sample_per_key")
+    assert(!pk.contains("CartesianProduct"))
+    assert(!"Window\\b".r.findFirstIn(pk).isDefined,
+      "per-key sample planned a Window sort:\n" + pk.take(600))
+    val hn = plan("qs17_hard_negatives")
+    assert(!hn.contains("CartesianProduct"))
+    assert(!"Window\\b".r.findFirstIn(hn).isDefined,
+      "hard negatives planned a Window sort:\n" + hn.take(600))
+    // anchors ride a broadcast, never a shuffled join of the corpus
+    assert(hn.contains("BroadcastNestedLoopJoin") || hn.contains("BroadcastExchange"),
+      "anchor side not broadcast:\n" + hn.take(600))
+    for (q <- Seq("qk7_quantile_sketch", "qt49_unigram_kl", "qd22_leakage_split"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q planned a cartesian")
+  }
+
   test("qt46: per-length codegen count aggregates (the r13-adjudicated form) " +
     "— no object aggregation, no cartesian, bounded scan count") {
     import spark.implicits._

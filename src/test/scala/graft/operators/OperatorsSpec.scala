@@ -1479,6 +1479,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t._2 == 3L)
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits, every " +
+      "doc assigned exactly once, fractions near weights, deterministic") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // 300 distinct docs + three planted near-dup families
+    val rnd = new scala.util.Random(3)
+    val distinct = (100L until 400L).map(i =>
+      (i, (0 until 10).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")))
+    val fams = Seq(
+      (1L, base), (2L, base + " iota"), (3L, base),
+      (10L, "one two three four five six seven eight nine"),
+      (11L, "one two three four five six seven eight nine ten"))
+    val docs = (distinct ++ fams).toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == distinct.size + fams.size)
+    assert(out.map(_._1).distinct.length == out.length, "a doc assigned twice")
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    // planted families stay together
+    assert(Set(splitOf(1L), splitOf(2L), splitOf(3L)).size == 1)
+    assert(splitOf(10L) == splitOf(11L))
+    // fractions at cluster granularity: train should be near 80%
+    val trainFrac = out.count(_._3 == "train").toDouble / out.length
+    assert(trainFrac > 0.68 && trainFrac < 0.92, s"train fraction $trainFrac")
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic under repartitioning
+    val again = Dedup.leakageSafeSplit(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("otsuThreshold: bimodal image splits at the lowest maximizing t, " +
       "constant and undecodable images emit no row") {
     import spark.implicits._

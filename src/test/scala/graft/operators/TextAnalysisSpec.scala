@@ -843,6 +843,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, 0.0)))
   }
 
+  test("unigramKl: hand-computed divergence in term order; a one-doc corpus " +
+    "scores exactly zero; always nonnegative; empty docs emit no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a b b c"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramKl(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // corpus: a=3 b=3 c=1, N=7 — replicate the exact IEEE chain in
+    // lexicographic term order (a then b then c)
+    def rd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = (2.0 / 3.0) * math.log((2.0 / 3.0) / (3.0 / 7.0)) +
+      (1.0 / 3.0) * math.log((1.0 / 3.0) / (3.0 / 7.0))
+    val d2 = (1.0 / 4.0) * math.log((1.0 / 4.0) / (3.0 / 7.0)) +
+      (2.0 / 4.0) * math.log((2.0 / 4.0) / (3.0 / 7.0)) +
+      (1.0 / 4.0) * math.log((1.0 / 4.0) / (1.0 / 7.0))
+    assert(out(1L) == ((3L, rd6(d1))))
+    assert(out(2L) == ((4L, rd6(d2))))
+    assert(out.values.forall(_._2 >= 0.0))
+    // a doc that IS the corpus: p == q everywhere -> exactly 0
+    val solo = TextAnalysis.unigramKl(
+      Seq((7L, "x y")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(solo.getDouble(2) == 0.0)
+  }
+
   test("sourceOverlap: hand-computed bigram Jaccard matrix; zero-overlap " +
     "pairs emit no row; within-source duplicate grams count once") {
     import spark.implicits._
