@@ -1859,6 +1859,27 @@ object SparkEntry {
     operators.TextAnalysis.sourceOverlap(
       t(spark, dir, "documents"), "source", "text", n = 3)
 
+  /** Eigenvector centrality ([[graph.Centrality
+    * .eigenvectorCentrality]], 8 power-iteration rounds) on qg22's
+    * %150 projection: the dominant-eigenvector importance score —
+    * the centrality family's last missing member. L∞ normalization
+    * (max — order-free) each round; the oracle unrolls the same 8
+    * rounds as MATERIALIZED CTEs (the qg14 recipe) with the per-node
+    * neighbor sums carrying the qg9 bounded-fan-in slack under the
+    * 6-dp round.
+    */
+  private def qg25Eigenvector(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Centrality.eigenvectorCentrality(edges, "x", "y", iters = 8)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Leakage-safe train/val/test split ([[operators.Dedup
     * .leakageSafeSplit]], 8/1/1): the split is drawn per NEAR-DUP
     * CLUSTER (qd2's LSH bands → qd6's min-label components;
@@ -5396,6 +5417,7 @@ object SparkEntry {
     "qg22_centrality" -> (qg22Centrality _),
     "qg23_hyperball" -> (qg23HyperBall _),
     "qg24_eff_diameter" -> (qg24EffDiameter _),
+    "qg25_eigenvector" -> (qg25Eigenvector _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
@@ -11196,6 +11218,64 @@ object SparkEntry {
         |  FROM sc WHERE sim >= 0.1 AND sim < 0.3)
         |SELECT a_id AS anchor_id, vec_id AS neg_id, sim, rank
         |FROM f WHERE rank <= 10""".stripMargin,
+    // Eigenvector centrality: 8 unrolled power-iteration CTEs (the
+    // qg14 recipe), L-inf normalization via a scalar max subquery each
+    // round (order-free), per-node neighbor sums under the qg9
+    // bounded-fan-in 6-dp contract; x0 forced DOUBLE so no DECIMAL
+    // arithmetic leaks into the chain
+    "qg25_eigenvector" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |x0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS x FROM nodes),
+        |s1 AS MATERIALIZED (
+        |  SELECT s.v, sum(p.x) AS s
+        |  FROM sym s JOIN x0 p ON p.v = s.w GROUP BY s.v),
+        |x1 AS MATERIALIZED (
+        |  SELECT v, s / (SELECT max(s) FROM s1) AS x FROM s1),
+        |s2 AS MATERIALIZED (
+        |  SELECT s.v, sum(p.x) AS s
+        |  FROM sym s JOIN x1 p ON p.v = s.w GROUP BY s.v),
+        |x2 AS MATERIALIZED (
+        |  SELECT v, s / (SELECT max(s) FROM s2) AS x FROM s2),
+        |s3 AS MATERIALIZED (
+        |  SELECT s.v, sum(p.x) AS s
+        |  FROM sym s JOIN x2 p ON p.v = s.w GROUP BY s.v),
+        |x3 AS MATERIALIZED (
+        |  SELECT v, s / (SELECT max(s) FROM s3) AS x FROM s3),
+        |s4 AS MATERIALIZED (
+        |  SELECT s.v, sum(p.x) AS s
+        |  FROM sym s JOIN x3 p ON p.v = s.w GROUP BY s.v),
+        |x4 AS MATERIALIZED (
+        |  SELECT v, s / (SELECT max(s) FROM s4) AS x FROM s4),
+        |s5 AS MATERIALIZED (
+        |  SELECT s.v, sum(p.x) AS s
+        |  FROM sym s JOIN x4 p ON p.v = s.w GROUP BY s.v),
+        |x5 AS MATERIALIZED (
+        |  SELECT v, s / (SELECT max(s) FROM s5) AS x FROM s5),
+        |s6 AS MATERIALIZED (
+        |  SELECT s.v, sum(p.x) AS s
+        |  FROM sym s JOIN x5 p ON p.v = s.w GROUP BY s.v),
+        |x6 AS MATERIALIZED (
+        |  SELECT v, s / (SELECT max(s) FROM s6) AS x FROM s6),
+        |s7 AS MATERIALIZED (
+        |  SELECT s.v, sum(p.x) AS s
+        |  FROM sym s JOIN x6 p ON p.v = s.w GROUP BY s.v),
+        |x7 AS MATERIALIZED (
+        |  SELECT v, s / (SELECT max(s) FROM s7) AS x FROM s7),
+        |s8 AS MATERIALIZED (
+        |  SELECT s.v, sum(p.x) AS s
+        |  FROM sym s JOIN x7 p ON p.v = s.w GROUP BY s.v),
+        |x8 AS MATERIALIZED (
+        |  SELECT v, s / (SELECT max(s) FROM s8) AS x FROM s8)
+        |SELECT v AS node, round(x, 6) AS score
+        |FROM x8""".stripMargin,
     // SemDeDup replay: seed-cell assignment is the qs7 codebook contract
     // with m = 1 (round-6dp L2² argmin, lowest-index ties); the prune is
     // qd5's exact double-cast cosine, but candidate pairs come from

@@ -203,6 +203,57 @@ object Centrality {
     }
   }
 
+  /** EIGENVECTOR CENTRALITY — the dominant-eigenvector importance
+    * score (Bonacich 1972): a vertex matters because its NEIGHBORS
+    * matter, recursively — the undamped, teleport-free ancestor of
+    * PageRank and the member of the centrality family
+    * (degree/closeness/harmonic/betweenness) this tier was missing.
+    * Power iteration on the symmetrized adjacency: x ← A·x, then
+    * normalize by the L∞ norm (max — order-free, no sqrt, one IEEE
+    * divide per vertex; the vector's max entry is exactly 1.0 each
+    * round, which also keeps the iteration overflow-proof). `iters`
+    * fixed rounds (convergence is geometric at λ₂/λ₁; the gate pins
+    * 8 — its oracle unrolls the same 8 as MATERIALIZED CTEs, the qg14
+    * recipe). Output `(node, score)`, score ∈ (0, 1], 6 dp.
+    *
+    * Exactness contract: the per-vertex neighbor sum is the one
+    * order-dependent step — bounded fan-in under the 6-dp round, the
+    * accepted qg9/qg14 contract. Isolated vertices don't appear;
+    * components iterate independently (each component's max can be
+    * its own 1.0 — scores compare WITHIN a component, the standard
+    * caveat). On a BIPARTITE component undamped power iteration
+    * oscillates with period 2 (λ_min = −λ_max) instead of converging
+    * — inherent to eigenvector centrality, spec-pinned, not patched
+    * with damping (that operator is [[PageRank]]).
+    *
+    * Scale: per iteration one edge-keyed join + one hash aggregate +
+    * a 1-row max broadcast — the qg9 shape; state localCheckpoints
+    * each round so iters never stack join plans.
+    */
+  def eigenvectorCentrality(
+      edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val ed = symmetrize(edges, aCol, bCol).persist()
+    val nodes = ed.select(col("v")).distinct()
+    var x = nodes.select(col("v"), lit(1.0).as("__x")).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val summed = ed
+        .join(x.select(col("v").as("w"), col("__x")), Seq("w"))
+        .groupBy(col("v"))
+        .agg(sum(col("__x")).as("__s"))
+      val mx = summed.agg(max(col("__s")).as("__m"))
+      x = summed.crossJoin(broadcast(mx))
+        .select(col("v"), (col("__s") / col("__m")).as("__x"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val out = x.select(col("v").as("node"), round(col("__x"), 6).as("score"))
+    ed.unpersist()
+    out
+  }
+
   /** The shared HyperBall fixpoint loop: returns the final per-node
     * state `(__k, __h harmonic, __m running-max estimate)` plus the
     * per-round neighborhood function N(t) in micro-units

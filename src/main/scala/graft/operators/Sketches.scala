@@ -304,7 +304,11 @@ object Sketches {
         sum(col("__c")).as("__n"),
         coalesce(max(when(col("__suf") > k, col("__tz"))) + lit(1), lit(0))
           .cast("long").as("__lvl"))
-    base.join(lvl, Seq("__key")).filter(col("__tz") >= col("__lvl"))
+    // lvl is ONE row per key — broadcast it so the corpus-sized base is
+    // never shuffled for this join (the map-side filter then discards
+    // all but ~k rows per key before anything wide happens)
+    base.join(broadcast(lvl), Seq("__key"))
+      .filter(col("__tz") >= col("__lvl"))
   }
 
   /** MERGEABLE QUANTILE SKETCH + nearest-rank answers:

@@ -101,4 +101,40 @@ class CentralitySpec extends AnyFunSuite {
     assert(Centrality.effectiveDiameterHyperBall(
       path.filter(lit(false)), "a", "b").count() == 0L)
   }
+
+  test("eigenvectorCentrality: satisfies the eigen equation after " +
+      "convergence, respects symmetry and degree order, pins the " +
+      "bipartite period-2 oscillation, deterministic") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 on 1 — non-bipartite, converges
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val x = Centrality.eigenvectorCentrality(edges, "a", "b", iters = 30)
+      .as[(Long, Double)].collect().toMap
+    // symmetric pair equal; hub has the max; pendant is the weakest
+    assert(x(2L) == x(3L))
+    assert(x(1L) == 1.0)
+    assert(x(4L) < x(2L) && x(2L) < 1.0)
+    // independent check — the eigen equation A·x = λ·x with λ = max(A·x)
+    // (||x||∞ = 1): residual shrinks geometrically, tiny by 30 rounds
+    val nbrs = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L))
+    val ax = nbrs.map { case (v, ns) => v -> ns.map(x).sum }
+    val lambda = ax.values.max
+    val residual = ax.map { case (v, s) => math.abs(s - lambda * x(v)) }.max
+    assert(residual < 1e-4, s"eigen residual $residual")
+    // bipartite (star) component oscillates with period 2 — even iters
+    // land on the all-ones state, the DOCUMENTED semantics
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("a", "b")
+    val even = Centrality.eigenvectorCentrality(star, "a", "b", iters = 8)
+      .as[(Long, Double)].collect().toMap
+    assert(even.values.forall(_ == 1.0))
+    val odd = Centrality.eigenvectorCentrality(star, "a", "b", iters = 7)
+      .as[(Long, Double)].collect().toMap
+    assert(odd(10L) == 1.0 && odd(11L) < 1.0)
+    // deterministic under repartitioning
+    val again = Centrality.eigenvectorCentrality(
+      edges.repartition(5), "a", "b", iters = 30)
+      .as[(Long, Double)].collect().toMap
+    assert(again == x)
+  }
 }
