@@ -10111,7 +10111,8 @@ object SparkEntry {
     // Level-sampling quantile sketch: tz = trailing zeros of the md5
     // row-id hash (bin() of the isolated lowest bit — the qk4 unpadded-
     // binary idiom), level = (largest tz whose >=tz suffix count
-    // exceeds k) + 1 via the same DESC cumulative window, sample ranks
+    // exceeds k) + 1 — clamped to the key's max tz, the never-empty
+    // guarantee — via the same DESC cumulative window, sample ranks
     // over the same (v, id) order, answer index ((target-1) >> L) + 1
     // clamped to the sample — every step integer or a raw input value,
     // so the hash compare is FP-trivial.
@@ -10130,8 +10131,9 @@ object SparkEntry {
         |    FROM base)),
         |lv AS (
         |  SELECT k, CAST(sum(c) AS BIGINT) AS n,
-        |    CAST(coalesce(max(CASE WHEN suf > 256 THEN tz END) + 1, 0)
-        |      AS BIGINT) AS lvl
+        |    CAST(least(
+        |      coalesce(max(CASE WHEN suf > 256 THEN tz END) + 1, 0),
+        |      max(tz)) AS BIGINT) AS lvl
         |  FROM (
         |    SELECT k, tz, c,
         |      sum(c) OVER (PARTITION BY k ORDER BY tz DESC) AS suf
@@ -10972,7 +10974,8 @@ object SparkEntry {
           |), final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id
           |), allc AS (
           |  SELECT d.doc_id AS id, coalesce(final.lb, d.doc_id) AS cluster
-          |  FROM documents d LEFT JOIN final ON final.id = d.doc_id)
+          |  FROM documents d LEFT JOIN final ON final.id = d.doc_id
+          |  WHERE d.doc_id IS NOT NULL)
           |SELECT id, cluster,
           |  CASE WHEN hb < 8 THEN 'train' WHEN hb < 9 THEN 'val'
           |    ELSE 'test' END AS split

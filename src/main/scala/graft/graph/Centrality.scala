@@ -143,7 +143,7 @@ object Centrality {
       edges: DataFrame, aCol: String, bCol: String,
       p: Int = 6, maxIter: Int = 64): DataFrame = {
     val spark = edges.sparkSession
-    hyperBallLoop(edges, aCol, bCol, p, maxIter) match {
+    hyperBallLoop(edges, aCol, bCol, p, maxIter, trackNf = false) match {
       case None =>
         spark.range(0).select(
           col("id").as("node"), lit(0.0).as("harmonic_est"),
@@ -181,7 +181,7 @@ object Centrality {
       alpha: Double = 0.9, p: Int = 6, maxIter: Int = 64): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val spark = edges.sparkSession
-    hyperBallLoop(edges, aCol, bCol, p, maxIter) match {
+    hyperBallLoop(edges, aCol, bCol, p, maxIter, trackNf = true) match {
       case None =>
         spark.range(0).select(
           col("id").cast("double").as("alpha"), col("id").as("nf_final"),
@@ -218,10 +218,17 @@ object Centrality {
     *
     * Exactness contract: the per-vertex neighbor sum is the one
     * order-dependent step — bounded fan-in under the 6-dp round, the
-    * accepted qg9/qg14 contract. Isolated vertices don't appear;
-    * components iterate independently (each component's max can be
-    * its own 1.0 — scores compare WITHIN a component, the standard
-    * caveat). On a BIPARTITE component undamped power iteration
+    * accepted qg9/qg14 contract. Isolated vertices don't appear.
+    * DISCONNECTED graphs: the normalization is by the GLOBAL max, so
+    * only the dominant component (the one holding it) converges to a
+    * meaningful [0, 1] profile — every other component's scores decay
+    * geometrically by (λ₁_other/λ₁_dominant)ᵗ toward 0 (and can
+    * flatten to 0.0 under the 6-dp round). Scores are comparable only
+    * within the dominant component; callers needing per-component
+    * profiles should run per component (per-component normalization
+    * would need a component-label join every round — a second
+    * fixpoint's worth of work this operator deliberately omits).
+    * On a BIPARTITE component undamped power iteration
     * oscillates with period 2 (λ_min = −λ_max) instead of converging
     * — inherent to eigenvector centrality, spec-pinned, not patched
     * with damping (that operator is [[PageRank]]).
@@ -262,10 +269,16 @@ object Centrality {
     * {w : d(v,w) ≤ t} (register max-union = ball union), and once a
     * round changes nothing the state is stable forever — so stopping
     * at the first unchanged round loses no later contribution.
+    *
+    * `trackNf = false` (the [[harmonicHyperBall]] path, which never
+    * reads N(t)) skips the per-round global sum over the n-row state —
+    * one action fewer per distance layer; the returned vector is
+    * empty. Only [[effectiveDiameterHyperBall]] pays for N(t).
     */
   private def hyperBallLoop(
       edges: DataFrame, aCol: String, bCol: String,
-      p: Int, maxIter: Int): Option[(DataFrame, Vector[Long])] = {
+      p: Int, maxIter: Int,
+      trackNf: Boolean): Option[(DataFrame, Vector[Long])] = {
     require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
     val ed = symmetrize(edges, aCol, bCol).persist()
     val nodes = ed.select(col("v")).distinct()
@@ -292,7 +305,7 @@ object Centrality {
         coalesce(col("__est"), lit(0.0)).as("__m"))
       .localCheckpoint(true)
     val nf = Vector.newBuilder[Long]
-    nf += nfOf(state)
+    if (trackNf) nf += nfOf(state)
     var t = 1
     var changed = true
     // register mass: rows only appear and rhos only grow, so the
@@ -324,7 +337,7 @@ object Centrality {
                 - col("__m")) / lit(t.toDouble)).as("__h"),
             greatest(coalesce(col("__e1"), lit(0.0)), col("__m")).as("__m"))
           .localCheckpoint(true)
-        nf += nfOf(state)
+        if (trackNf) nf += nfOf(state)
         regs = merged
         prevMass = curMass
         t += 1

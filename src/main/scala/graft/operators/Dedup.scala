@@ -1248,7 +1248,11 @@ object Dedup {
     * across runs, partitionings, and engines, and STABLE under corpus
     * growth for untouched clusters (the label is the min member id).
     *
-    * Output `(id, cluster, split)`. Scale: the qd2/qd6 machinery
+    * Output `(id, cluster, split)`; null-id docs are dropped (the
+    * ngramNovelty/unigramKl contract — unfiltered, a null id would
+    * take cluster = null, bucket = null, and the when-chain's
+    * otherwise() would silently route every such doc into the LAST —
+    * smallest — split). Scale: the qd2/qd6 machinery
     * end-to-end (band equi-join candidates, star-contraction
     * components) plus one hash projection — nothing new shuffles.
     * Split FRACTIONS are approximate at cluster granularity (a giant
@@ -1272,7 +1276,9 @@ object Dedup {
       idCol, bands, numHashes / bands)
     val pairs = bandCandidatePairs(b, idCol)
     val comp = connectedComponents(pairs, "__a", "__b")
-    val labeled = docs.select(col(idCol).as("id"))
+    val labeled = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"))
       .join(comp, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
     val bucket = pmod(

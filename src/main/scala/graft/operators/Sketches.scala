@@ -284,10 +284,25 @@ object Sketches {
     * window + one semi-join-shaped filter, no per-row window, no global
     * sort. L = 0 (n ≤ k) means the sketch IS the group — answers
     * degrade to exact, the [[kmvDistinct]] contract.
+    *
+    * L is CLAMPED to the key's maximum tz present: when more than `k`
+    * rows tie at the maximum level (reachable at tiny `k` over enough
+    * keys — P ≈ 2^−tz per row, billions of keys roll that dice), the
+    * unclamped formula would select L = maxTz + 1 and retain NOTHING,
+    * making downstream answers throw (element_at index 0). Clamped,
+    * the sketch keeps the tied max-level rows (briefly > k — the same
+    * "conservative, never empty" degradation KMV accepts at ties).
+    *
+    * `broadcastLevels`: the level table is one row per key; the
+    * default broadcast keeps the corpus-sized `base` side from ever
+    * key-shuffling for this join. At extreme key cardinality (a
+    * billion-key corpus) one-row-per-key no longer fits the driver —
+    * pass false to fall back to a shuffled equi-join (AQE may still
+    * choose broadcast from the measured size).
     */
   private def levelSample(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, broadcastLevels: Boolean): DataFrame = {
     val h = md5Hash32(col(idCol).cast("string"))
     val base = df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
@@ -302,12 +317,15 @@ object Sketches {
       .groupBy(col("__key"))
       .agg(
         sum(col("__c")).as("__n"),
-        coalesce(max(when(col("__suf") > k, col("__tz"))) + lit(1), lit(0))
+        least(
+          coalesce(max(when(col("__suf") > k, col("__tz"))) + lit(1), lit(0)),
+          max(col("__tz")))
           .cast("long").as("__lvl"))
-    // lvl is ONE row per key — broadcast it so the corpus-sized base is
-    // never shuffled for this join (the map-side filter then discards
-    // all but ~k rows per key before anything wide happens)
-    base.join(broadcast(lvl), Seq("__key"))
+    // lvl is ONE row per key — broadcast it (by default) so the
+    // corpus-sized base is never shuffled for this join (the map-side
+    // filter then discards all but ~k rows per key before anything
+    // wide happens)
+    base.join(if (broadcastLevels) broadcast(lvl) else lvl, Seq("__key"))
       .filter(col("__tz") >= col("__lvl"))
   }
 
@@ -331,11 +349,12 @@ object Sketches {
     */
   def quantileSketch(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String,
-      k: Int = 256, qs: Seq[Double] = Seq(0.5)): DataFrame = {
+      k: Int = 256, qs: Seq[Double] = Seq(0.5),
+      broadcastLevels: Boolean = true): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
-    val sample = levelSample(df, keyCol, valueCol, idCol, k)
+    val sample = levelSample(df, keyCol, valueCol, idCol, k, broadcastLevels)
     val ranked = sample
       .withColumn("__i", row_number().over(
         Window.partitionBy(col("__key")).orderBy(col("__v"), col("__id"))))
@@ -372,8 +391,8 @@ object Sketches {
     */
   def quantileSketchState(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String,
-      k: Int = 256): DataFrame =
-    levelSample(df, keyCol, valueCol, idCol, k)
+      k: Int = 256, broadcastLevels: Boolean = true): DataFrame =
+    levelSample(df, keyCol, valueCol, idCol, k, broadcastLevels)
       .groupBy(col("__key"))
       .agg(
         max(col("__n")).as("n"),
@@ -392,6 +411,9 @@ object Sketches {
     * max(L₁, L₂) is unreachable (those rows are gone); it is still a
     * deterministic function of the two states — merge order never
     * changes the result. Keys present on one side pass through.
+    * The risen level carries [[levelSample]]'s max-tz clamp: when more
+    * than k pooled rows tie at the maximum tz the pool keeps those
+    * tied rows (briefly > k) instead of going empty.
     */
   def mergeQuantileStates(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
@@ -410,7 +432,12 @@ object Sketches {
         .otherwise(element_at(tzsDesc, k + 1).cast("long"))
     }
     pooled
-      .withColumn("__lvl", greatest(col("__l0"), tzk1 + lit(1L)))
+      .withColumn("__lvl",
+        greatest(
+          col("__l0"),
+          least(
+            tzk1 + lit(1L),
+            array_max(transform(col("__p0"), x => x("tz"))).cast("long"))))
       .select(col("key"), col("n"), col("__lvl").as("level"),
         filter(col("__p0"), x => x("tz") >= col("__lvl")).as("sample"))
   }

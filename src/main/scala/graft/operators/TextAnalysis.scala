@@ -1398,12 +1398,26 @@ object TextAnalysis {
     * sample; ids must be globally unique longs (the weight is re-read
     * by id after the cut).
     *
+    * PPS precision bound from the 6-dp round: the competition keys
+    * ln(u)/w must stay DISTINCT at 6 dp for the order to be the exact
+    * PPS order — u ∈ (0,1) puts |ln(u)| in ~[1e-9, 22] with median
+    * ~0.69, so weights up to ~10³ keep typical key spacing above 1e-6.
+    * When weights reach ~10⁵–10⁶ (|key| ≲ 1e-3 collapses onto few
+    * 6-dp values), ties resolve by ascending id and selection among
+    * the heaviest rows becomes id-biased. PPS selection is invariant
+    * under scaling all weights by a constant — rescale (e.g. divide by
+    * the max weight) before sampling rather than raising the rounding
+    * precision, which would reopen the cross-engine libm ulp gap the
+    * 6-dp round exists to close.
+    *
     * Scale shape: where qt45's global form cuts with TakeOrdered, the
     * per-key cut rides the qs5 BOUNDED AGGREGATOR ([[TopKByScore]] —
     * ≤ k entries per (key, partition) cross the shuffle, map-side
     * partials), NOT a per-key window: a window form would sort every
     * key's full row set, one task per key — the qp-family superlinear
-    * scaler. The weight rejoin broadcasts the ≤ keys·k winners.
+    * scaler. The weight rejoin broadcasts the ≤ keys·k winners by
+    * default; at extreme key cardinality (keys·k beyond driver
+    * memory) pass `broadcastWinners = false` for a shuffled equi-join.
     *
     * Output `(id, key, weight, sample_key, rank)`, rank 1 = first
     * sampled within its key.
@@ -1414,7 +1428,8 @@ object TextAnalysis {
       idCol: String,
       weightCol: String,
       k: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      broadcastWinners: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val u = (Sketches.md5Hash32(
       concat(col(idCol).cast("string"), lit("|" + seed))) + lit(1L))
@@ -1436,7 +1451,7 @@ object TextAnalysis {
       .filter(col(weightCol).isNotNull && col(weightCol) > 0
         && col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(weightCol).as("weight"))
-      .join(broadcast(sel), Seq("id"))
+      .join(if (broadcastWinners) broadcast(sel) else sel, Seq("id"))
       .select(col("id"), col("__g").as(keyCol), col("weight"),
         col("sample_key"), col("rank"))
   }

@@ -1510,6 +1510,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out.toSet)
   }
 
+  test("leakageSafeSplit: null-id docs are dropped, not silently routed " +
+      "into the last split") {
+    import spark.implicits._
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "alpha beta gamma delta"),
+      (null, "contaminant text that must not land in test"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text").collect()
+    assert(out.length == 2, "null-id doc must be dropped")
+    assert(out.forall(!_.isNullAt(0)))
+  }
+
   test("otsuThreshold: bimodal image splits at the lowest maximizing t, " +
       "constant and undecodable images emit no row") {
     import spark.implicits._

@@ -245,6 +245,56 @@ class SketchesSpec extends AnyFunSuite {
     assert(or.getLong(2) == 40L && or.getLong(3) == 0L && or.getDouble(5) == 20.0)
   }
 
+  /** Ids whose md5 trailing-zero levels TIE: `count` ids sharing one tz
+    * value, with that value the maximum among them — the adversarial
+    * input for the level clamp (unclamped, L = maxTz + 1 retains
+    * NOTHING when more than k rows tie at the max level).
+    */
+  private def tiedMaxTzIds(count: Int): Seq[String] = {
+    val h = Sketches.md5Hash32(col("id"))
+    val rows = (1 to 2000).map(i => s"id_$i").toDF("id")
+      .select(col("id"),
+        when(h === 0L, lit(32))
+          .otherwise(length(bin(h.bitwiseAND(-h))) - lit(1)).as("tz"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val byTz = rows.groupBy(_._2).filter(_._2.length >= count)
+    assert(byTz.nonEmpty, "no tz class large enough — widen the id range")
+    // the LARGEST qualifying tz, so the tied value is the group maximum
+    byTz.maxBy(_._1)._2.sortBy(_._1).take(count).map(_._1)
+  }
+
+  test("quantile sketch: more than k rows tied at the maximum tz still " +
+    "retain a sample (level clamps to max tz, answers never throw)") {
+    val ids = tiedMaxTzIds(3)
+    val df = ids.zipWithIndex.map { case (id, i) => ("g", (i + 1).toDouble, id) }
+      .toDF("k", "v", "id")
+    val out = Sketches.quantileSketch(df, "k", "v", "id",
+      k = 2, qs = Seq(0.5, 1.0)).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(2) == 3L, "n must stay exact")
+      assert(r.getLong(4) >= 1L, "sample must never be empty")
+      assert(!r.isNullAt(5), "answer must not be null")
+    }
+  }
+
+  test("quantile sketch merge: pooled rows tied at the maximum tz above k " +
+    "keep a non-empty sample") {
+    val ids = tiedMaxTzIds(3)
+    def st(slice: Seq[(String, Int)]) = Sketches.quantileSketchState(
+      slice.map { case (id, i) => ("g", (i + 1).toDouble, id) }
+        .toDF("k", "v", "id"),
+      "k", "v", "id", k = 2)
+    val indexed = ids.zipWithIndex
+    val merged = Sketches.mergeQuantileStates(
+      st(indexed.take(2)), st(indexed.drop(2)), k = 2)
+    val row = merged.collect().head
+    assert(row.getLong(1) == 3L)
+    assert(row.getSeq[Any](3).nonEmpty, "merged sample must never be empty")
+    val ans = Sketches.quantileFromState(merged, Seq(0.5)).collect().head
+    assert(!ans.isNullAt(5))
+  }
+
   test("quantile sketch merge: merging is a pure function of the two states " +
     "— swap order, same result") {
     val a = Sketches.quantileSketchState(qdf(4000), "k", "v", "id", 64)
