@@ -1880,6 +1880,29 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** WEIGHTED eigenvector centrality ([[graph.Centrality
+    * .eigenvectorCentrality]] with `weightCol`, 8 rounds) on the FULL
+    * %150 orders projection with edge weight = pair multiplicity
+    * (x ← A_w·x, [[graph.Centrality]]'s strength adjacency — both
+    * orientations and parallel pairs sum): the weighted form every
+    * real tie-strength graph needs, same L∞ normalization. Counts are
+    * exact Longs, the Σw·x neighbor sum carries the qg14 bounded-
+    * fan-in slack under the 6-dp round; the oracle unrolls the same 8
+    * rounds as MATERIALIZED CTEs over the same summed-weight edges.
+    */
+  private def qg27WeightedEigenvector(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .groupBy(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+      .agg(count(lit(1)).as("w"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Centrality.eigenvectorCentrality(
+      edges, "x", "y", iters = 8, weightCol = Some("w"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Leakage-safe train/val/test split ([[operators.Dedup
     * .leakageSafeSplit]], 8/1/1): the split is drawn per NEAR-DUP
     * CLUSTER (qd2's LSH bands → qd6's min-label components;
@@ -5134,6 +5157,26 @@ object SparkEntry {
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** STRENGTH-weighted PageRank ([[graph.PageRank]]) — qg9's trade
+    * graph with edge weight = Σ l_quantity (total units shipped, the
+    * tie STRENGTH) instead of order count: the weighted path the
+    * flagship road graph (RUC·length ties) actually runs. Quantities
+    * are integer-valued doubles, so the per-edge sums and the outflow
+    * normalizer are exact and the transition ratios replay
+    * bit-identically; the oracle unrolls the same 5 damped rounds with
+    * the dangling term.
+    */
+  private def qg26WeightedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(sum(col("l_quantity")).as("w"))
+    graph.PageRank.run(edges, "src", "dst", "w", iterations = 5)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Personalized PageRank ([[graph.PageRank]] with
     * `personalizedTo = 0`): random-walk-with-restart relevance FROM
     * nation 0 over the qg9 trade graph — the recommendation /
@@ -5418,6 +5461,8 @@ object SparkEntry {
     "qg23_hyperball" -> (qg23HyperBall _),
     "qg24_eff_diameter" -> (qg24EffDiameter _),
     "qg25_eigenvector" -> (qg25Eigenvector _),
+    "qg26_weighted_pagerank" -> (qg26WeightedPagerank _),
+    "qg27_weighted_eigenvector" -> (qg27WeightedEigenvector _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
@@ -10727,6 +10772,40 @@ object SparkEntry {
         (1 to 5).map(iter).mkString +
         "\nSELECT node, round(rank, 6) AS rank FROM r5"
     },
+    // Strength-weighted PageRank: identical unrolled recurrence, edge
+    // weight = sum(l_quantity) — integer-valued doubles, so the per-pair
+    // sums, the per-src outflow normalizer, and the transition ratios
+    // are all exact in both engines
+    "qg26_weighted_pagerank" -> {
+      def iter(i: Int): String =
+        s""",
+           |r$i AS (
+           |  SELECT nd.node,
+           |    (1 - 0.85) / (SELECT n FROM cnt)
+           |    + 0.85 * coalesce(s.inflow, 0)
+           |    + 0.85 * (SELECT coalesce(sum(r.rank), 0) FROM r${i - 1} r
+           |              WHERE r.node NOT IN (SELECT src FROM trans))
+           |      / (SELECT n FROM cnt) AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT t.dst AS node, sum(r.rank * t.p) AS inflow
+           |    FROM r${i - 1} r JOIN trans t ON r.node = t.src GROUP BY 1) s
+           |    ON nd.node = s.node)""".stripMargin
+      """WITH edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |    CAST(sum(l_quantity) AS DOUBLE) AS w
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |trans AS (
+        |  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes)""".stripMargin +
+        (1 to 5).map(iter).mkString +
+        "\nSELECT node, round(rank, 6) AS rank FROM r5"
+    },
     "qg8_scenario_overrides" ->
       """WITH ov AS (
         |  SELECT 'w' || CAST(n_nationkey % 7 AS VARCHAR) AS way_id,
@@ -11279,6 +11358,33 @@ object SparkEntry {
         |  SELECT v, s / (SELECT max(s) FROM s8) AS x FROM s8)
         |SELECT v AS node, round(x, 6) AS score
         |FROM x8""".stripMargin,
+    // Weighted eigenvector: qg25's unrolled power iteration with the
+    // neighbor sum picking up the summed pair-multiplicity weight
+    // (exact BIGINT counts, both orientations added) — Σ w·x under the
+    // same bounded-fan-in 6-dp slack, L∞ normalization unchanged
+    "qg27_weighted_eigenvector" -> {
+      def iter(i: Int): String =
+        s""",
+           |s$i AS MATERIALIZED (
+           |  SELECT s.v, sum(s.wt * p.x) AS s
+           |  FROM sym s JOIN x${i - 1} p ON p.v = s.w GROUP BY s.v),
+           |x$i AS MATERIALIZED (
+           |  SELECT v, s / (SELECT max(s) FROM s$i) AS x FROM s$i)""".stripMargin
+      """WITH dir AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y,
+        |    count(*) AS w
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (
+        |  SELECT least(x, y) AS a, greatest(x, y) AS b,
+        |    CAST(sum(w) AS DOUBLE) AS wt
+        |  FROM dir WHERE x <> y GROUP BY 1, 2),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS w, wt FROM e UNION ALL SELECT b, a, wt FROM e),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |x0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS x FROM nodes)""".stripMargin +
+        (1 to 8).map(iter).mkString +
+        "\nSELECT v AS node, round(x, 6) AS score FROM x8"
+    },
     // SemDeDup replay: seed-cell assignment is the qs7 codebook contract
     // with m = 1 (round-6dp L2² argmin, lowest-index ties); the prune is
     // qd5's exact double-cast cosine, but candidate pairs come from

@@ -31,6 +31,29 @@ import graft.operators.Sketches
   */
 object Centrality {
 
+  /** Canonicalized symmetric WEIGHTED edge list (v, w, __w): self-loops
+    * dropped, duplicate orientations and parallel edges collapse by
+    * SUMMING their weights (the strength-graph convention — an A→B
+    * order and a B→A order both add to the undirected {A,B} tie).
+    * Exactness: the per-pair weight sum is order-dependent for general
+    * doubles; integer-valued weights (counts, quantities — the gate
+    * diet) sum exactly, the qg14 Σw·score contract.
+    */
+  private def symmetrizeWeighted(
+      edges: DataFrame, aCol: String, bCol: String,
+      wCol: String): DataFrame = {
+    val e = edges
+      .select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"),
+        col(wCol).cast("double").as("__w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("__w")).as("__w"))
+    e.select(col("a").as("v"), col("b").as("w"), col("__w"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("w"), col("__w")))
+  }
+
   /** Canonicalized symmetric edge list (v, w), self-loops and dup
     * orientations dropped — the [[Betweenness]] normalization. */
   private def symmetrize(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
@@ -236,29 +259,48 @@ object Centrality {
     * Scale: per iteration one edge-keyed join + one hash aggregate +
     * a 1-row max broadcast — the qg9 shape; state localCheckpoints
     * each round so iters never stack join plans.
+    *
+    * `weightCol` makes it the STRENGTH eigenvector (x ← A_w·x, the
+    * weighted adjacency of [[symmetrizeWeighted]] — parallel edges and
+    * both orientations sum): the flagship road graph's RUC·length ties
+    * and every link/citation corpus are weighted, so the unweighted
+    * form is the special case w ≡ 1, not the norm. Same iteration,
+    * same plan shape — the neighbor sum picks up a per-edge factor
+    * (Σ w·x, the qg14 HITS arithmetic) and nothing else changes.
     */
   def eigenvectorCentrality(
       edges: DataFrame, aCol: String, bCol: String,
-      iters: Int = 8): DataFrame = {
+      iters: Int = 8, weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
-    val ed = symmetrize(edges, aCol, bCol).persist()
+    val ed = (weightCol match {
+      case Some(w) => symmetrizeWeighted(edges, aCol, bCol, w)
+      case None => symmetrize(edges, aCol, bCol).withColumn("__w", lit(1.0))
+    }).persist()
     val nodes = ed.select(col("v")).distinct()
     var x = nodes.select(col("v"), lit(1.0).as("__x")).localCheckpoint(true)
     var i = 0
     while (i < iters) {
-      val summed = ed
-        .join(x.select(col("v").as("w"), col("__x")), Seq("w"))
-        .groupBy(col("v"))
-        .agg(sum(col("__x")).as("__s"))
-      val mx = summed.agg(max(col("__s")).as("__m"))
-      x = summed.crossJoin(broadcast(mx))
-        .select(col("v"), (col("__s") / col("__m")).as("__x"))
-        .localCheckpoint(true)
+      x = eigenStep(ed, x).localCheckpoint(true)
       i += 1
     }
     val out = x.select(col("v").as("node"), round(col("__x"), 6).as("score"))
     ed.unpersist()
     out
+  }
+
+  /** One power-iteration round (x ← A_w·x / ‖A_w·x‖∞), un-checkpointed
+    * so PlanSpec can pin the shape the loop actually executes: one
+    * edge-keyed join + one partial-aggregated neighbor sum + a 1-ROW
+    * broadcast for the norm — no Window, no second corpus shuffle.
+    */
+  private[graft] def eigenStep(ed: DataFrame, x: DataFrame): DataFrame = {
+    val summed = ed
+      .join(x.select(col("v").as("w"), col("__x")), Seq("w"))
+      .groupBy(col("v"))
+      .agg(sum(col("__w") * col("__x")).as("__s"))
+    val mx = summed.agg(max(col("__s")).as("__m"))
+    summed.crossJoin(broadcast(mx))
+      .select(col("v"), (col("__s") / col("__m")).as("__x"))
   }
 
   /** The shared HyperBall fixpoint loop: returns the final per-node

@@ -339,6 +339,30 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan(q).contains("CartesianProduct"), s"$q planned a cartesian")
   }
 
+  test("qg27: the weighted power-iteration step is one keyed join + one " +
+    "partial-aggregated neighbor sum + a 1-row broadcast norm — no Window, " +
+    "no shuffled norm join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the exact frame shapes the loop feeds eigenStep: (v, w, __w) edges
+    // and the (v, __x) vector
+    val ed = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 2.0), (3L, 1L, 2.0))
+      .toDF("v", "w", "__w")
+    val x = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0)).toDF("v", "__x")
+    val p = graph.Centrality.eigenStep(ed, x)
+      .queryExecution.executedPlan.toString
+    assert(!"Window\\b".r.findFirstIn(p).isDefined,
+      "eigen step planned a Window:\n" + p.take(600))
+    // the L∞ norm is a 1-row broadcast (nested-loop of a single-row
+    // side), never a shuffled join of the rank vector
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "norm not broadcast:\n" + p.take(800))
+    // the neighbor sum partial-aggregates before its exchange
+    assert(p.contains("partial_sum") || p.contains("partial sum")
+        || "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      "neighbor sum not map-side partial:\n" + p.take(800))
+  }
+
   test("qt46: per-length codegen count aggregates (the r13-adjudicated form) " +
     "— no object aggregation, no cartesian, bounded scan count") {
     import spark.implicits._

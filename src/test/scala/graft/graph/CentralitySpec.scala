@@ -137,4 +137,44 @@ class CentralitySpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(again == x)
   }
+
+  test("eigenvectorCentrality weighted: w ≡ 1 matches the unweighted " +
+      "path exactly; weights order the leaves; orientations and " +
+      "parallel edges sum; satisfies the weighted eigen equation") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val unw = Centrality.eigenvectorCentrality(edges, "a", "b", iters = 12)
+      .as[(Long, Double)].collect().toMap
+    val ones = Centrality.eigenvectorCentrality(
+      edges.withColumn("w", lit(1.0)), "a", "b", iters = 12,
+      weightCol = Some("w")).as[(Long, Double)].collect().toMap
+    assert(ones == unw, "w ≡ 1 must reproduce the unweighted scores")
+    // weighted triangle (non-bipartite, so it converges; mild weight
+    // spread keeps |λ₂|/λ₁ ≈ 0.7 — a heavy dominant edge would be
+    // near-bipartite and converge too slowly to assert on): unweighted
+    // the three vertices tie — the WEIGHTS alone order them
+    val tri = Seq((1L, 2L, 2.0), (1L, 3L, 1.5), (2L, 3L, 1.0))
+      .toDF("a", "b", "w")
+    val xs = Centrality.eigenvectorCentrality(tri, "a", "b", iters = 40,
+      weightCol = Some("w")).as[(Long, Double)].collect().toMap
+    assert(xs(1L) == 1.0 && xs(1L) > xs(2L) && xs(2L) > xs(3L), xs.toString)
+    // weighted eigen equation A_w·x = λ·x, λ = max since ||x||∞ = 1
+    val wn = Map(
+      1L -> Seq((2L, 2.0), (3L, 1.5)),
+      2L -> Seq((1L, 2.0), (3L, 1.0)),
+      3L -> Seq((1L, 1.5), (2L, 1.0)))
+    val ax = wn.map { case (v, ns) =>
+      v -> ns.map { case (u, w) => w * xs(u) }.sum }
+    val lambda = ax.values.max
+    assert(ax.map { case (v, s) => math.abs(s - lambda * xs(v)) }.max < 1e-4)
+    // both orientations + parallel edges sum into one undirected tie
+    val split = Seq((1L, 2L, 2.0), (2L, 1L, 3.0), (1L, 3L, 5.0))
+      .toDF("a", "b", "w")
+    val merged = Seq((1L, 2L, 5.0), (1L, 3L, 5.0)).toDF("a", "b", "w")
+    val xSplit = Centrality.eigenvectorCentrality(split, "a", "b", iters = 8,
+      weightCol = Some("w")).as[(Long, Double)].collect().toMap
+    val xMerged = Centrality.eigenvectorCentrality(merged, "a", "b", iters = 8,
+      weightCol = Some("w")).as[(Long, Double)].collect().toMap
+    assert(xSplit == xMerged)
+  }
 }
