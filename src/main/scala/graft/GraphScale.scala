@@ -60,6 +60,13 @@ object GraphScale {
       time("hyperball_p6") {
         graft.graph.Centrality.harmonicHyperBall(edges, "x", "y", p = 6).count()
       }
+      // SCC treats the hash-random edges as DIRECTED (x → y): at avg
+      // degree ~20 a giant SCC plus IN/OUT tendrils — trim peels the
+      // tendrils, coloring retires the giant in a few label rounds, so
+      // wall should track rounds × |E|-join like the other fixpoints
+      time("scc") {
+        graft.graph.Scc.run(edges, "x", "y").count()
+      }
     }
     // k-truss SKEW probe — the measured form of the operator-doc caveat
     // ("support needs the FULL neighbourhood; no degree orientation caps

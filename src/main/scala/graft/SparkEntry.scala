@@ -1903,6 +1903,28 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Strongly connected components ([[graph.Scc]], trim + forward
+    * coloring + backward confinement) over a DIRECTED %60 orders
+    * projection — mutual-reachability classes labeled by their minimum
+    * member (qg19's undirected components can't see one-way bridges).
+    * The oracle computes the recursive-CTE transitive closure and
+    * takes min over mutual-reach partners — exact integer labels, no
+    * FP anywhere.
+    */
+  private def qg28Scc(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        (col("o_custkey") % 60).as("s"),
+        (col("o_orderkey") % 60).as("d"))
+    // small-state fixpoint rounds over ≤ 60 label rows — task-count-
+    // bound at 32 shuffle partitions (the qg21/qg23 rationale)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Scc.run(edges, "s", "d")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Leakage-safe train/val/test split ([[operators.Dedup
     * .leakageSafeSplit]], 8/1/1): the split is drawn per NEAR-DUP
     * CLUSTER (qd2's LSH bands → qd6's min-label components;
@@ -5463,6 +5485,7 @@ object SparkEntry {
     "qg25_eigenvector" -> (qg25Eigenvector _),
     "qg26_weighted_pagerank" -> (qg26WeightedPagerank _),
     "qg27_weighted_eigenvector" -> (qg27WeightedEigenvector _),
+    "qg28_scc" -> (qg28Scc _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
@@ -11385,6 +11408,29 @@ object SparkEntry {
         (1 to 8).map(iter).mkString +
         "\nSELECT v AS node, round(x, 6) AS score FROM x8"
     },
+    // SCC: recursive-CTE transitive closure (UNION dedups, so the
+    // recursion is the standard reachability fixpoint), mutual pairs =
+    // closure joined with its transpose, label = min mutual partner
+    // (least with the node's own id) — all-integer replay
+    "qg28_scc" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey % 60 AS s, o_orderkey % 60 AS d
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+        |ne AS (SELECT s, d FROM e WHERE s <> d),
+        |r AS (
+        |  WITH RECURSIVE rr(s, t) AS (
+        |    SELECT s, d FROM ne
+        |    UNION
+        |    SELECT rr.s, ne.d FROM rr JOIN ne ON ne.s = rr.t)
+        |  SELECT * FROM rr),
+        |mutual AS (
+        |  SELECT a.s AS u, a.t AS v FROM r a
+        |  JOIN r b ON b.s = a.t AND b.t = a.s)
+        |SELECT n.v AS node,
+        |  CAST(coalesce(least(n.v, min(m.u)), n.v) AS BIGINT) AS scc
+        |FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+        |GROUP BY n.v""".stripMargin,
     // SemDeDup replay: seed-cell assignment is the qs7 codebook contract
     // with m = 1 (round-6dp L2² argmin, lowest-index ties); the prune is
     // qd5's exact double-cast cosine, but candidate pairs come from
