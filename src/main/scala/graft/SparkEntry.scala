@@ -2163,6 +2163,20 @@ object SparkEntry {
         functions.TextFunctions.tokenCount(col("text")).cast("long")),
       "lang", "doc_id", "n_tokens", k = 20)
 
+  /** Per-key PPS sampling WITH replacement ([[operators.TextAnalysis
+    * .weightedSampleWithReplacement]], k = 8 draws per language):
+    * qt47's complement — k INDEPENDENT single-PPS draws (the md5 salt
+    * carries the draw index), so heavy docs repeat across draws. One
+    * max(struct) hash aggregate over the n·k exploded rows, no window,
+    * no rejoin; the oracle replays the same 6-dp ln(u)/w argmax per
+    * (lang, draw) with a window rank (exact at gate scale).
+    */
+  private def qt50SampleWithReplacement(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.weightedSampleWithReplacement(
+      t(spark, dir, "documents").withColumn("n_tokens",
+        functions.TextFunctions.tokenCount(col("text")).cast("long")),
+      "lang", "doc_id", "n_tokens", k = 8)
+
   /** N-gram novelty vs a reference corpus ([[operators.TextAnalysis
     * .ngramNovelty]], n = 3, reference = even doc_ids, scored = odd):
     * the qd8 decontamination join inverted into a per-doc freshness
@@ -5506,6 +5520,7 @@ object SparkEntry {
     "qt45_weighted_sample" -> (qt45WeightedSample _),
     "qt46_repetition" -> (qt46Repetition _),
     "qt47_sample_per_key" -> (qt47SamplePerKey _),
+    "qt50_sample_with_replacement" -> (qt50SampleWithReplacement _),
     "qt48_novelty" -> (qt48Novelty _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qs16_dbscan" -> (qs16Dbscan _),
@@ -9452,6 +9467,33 @@ object SparkEntry {
         |  FROM h)
         |SELECT id, lang, weight, sample_key, rank
         |FROM r WHERE rank <= 20""".stripMargin,
+    // Per-key PPS WITH replacement: the same md5-seeded 6-dp ln(u)/w
+    // competition key, salted by the draw index, argmax per (lang,
+    // draw) via a window rank (ties to the lowest id — the engine's
+    // max(struct(c, -id)) order)
+    "qt50_sample_with_replacement" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id AS id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS weight
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |h AS (
+        |  SELECT lang, CAST(t.j AS BIGINT) AS draw, id,
+        |    CAST(weight AS DOUBLE) AS weight,
+        |    round(ln((CAST('0x' || substring(md5(CAST(id AS VARCHAR)
+        |          || '|42|' || CAST(t.j AS VARCHAR)), 1, 8)
+        |        AS BIGINT) + 1) / 4294967296.0)
+        |      / CAST(weight AS DOUBLE), 6) AS draw_key
+        |  FROM w CROSS JOIN generate_series(1, 8) t(j)
+        |  WHERE weight > 0),
+        |r AS (
+        |  SELECT lang, draw, id, weight, draw_key,
+        |    row_number() OVER (PARTITION BY lang, draw
+        |      ORDER BY draw_key DESC, id) AS rn
+        |  FROM h)
+        |SELECT lang, draw, id, weight, draw_key
+        |FROM r WHERE rn = 1""".stripMargin,
     // Trigram novelty: identical tokenize + 1-based gram windows, the
     // reference's distinct-gram set probed via LEFT JOIN null-mark —
     // counts exact BIGINTs, novelty one IEEE divide

@@ -1456,6 +1456,62 @@ object TextAnalysis {
         col("sample_key"), col("rank"))
   }
 
+  /** PER-KEY WEIGHTED SAMPLING WITH REPLACEMENT — the other half of
+    * the standard sampling API ([[weightedSamplePerKey]] draws WITHOUT
+    * replacement): `k` INDEPENDENT PPS draws per key, so one heavy row
+    * can (and should) win several draws — the bootstrap / repeated-
+    * epoch-mixture primitive, where without-replacement's "each row at
+    * most once" is exactly wrong. Draw j's winner is the key's argmax
+    * of ln(u_j)/w with u_j from the replayable md5 of (id, seed, j) —
+    * a k = 1 A-ES draw per j, which IS a single PPS selection
+    * (Efraimidis & Spirakis 2006, n = 1 case), each j an independent
+    * replay because the hash salt includes the draw index. 6-dp
+    * competition keys, ties to the lowest id — the qt45/qt47 contract
+    * (and the same weight-scale caveat: rescale huge weights, PPS is
+    * scale-invariant). Rows with null/non-positive weight or null id
+    * never win; ids must be unique longs.
+    *
+    * Output `(key, draw, id, weight, draw_key)`, one row per (key,
+    * draw ∈ 1..k).
+    *
+    * Scale shape: ONE hash aggregate over the n·k exploded rows —
+    * max(struct) per (key, draw), map-side partials, so ≤ keys·k
+    * struct rows cross the shuffle regardless of corpus size. No
+    * window, no per-key sort, no rejoin (the winner struct carries its
+    * own weight out). The k multiplier is the honest cost of k
+    * independent draws; it rides the scan, not the shuffle.
+    */
+  def weightedSampleWithReplacement(
+      docs: DataFrame,
+      keyCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val exploded = docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0
+        && col(idCol).isNotNull)
+      .select(col(keyCol).as("__g"), col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("double").as("__w"),
+        explode(sequence(lit(1), lit(k))).as("draw"))
+    val u = (Sketches.md5Hash32(concat(
+      col("__id").cast("string"), lit("|" + seed + "|"),
+      col("draw").cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    exploded
+      .select(col("__g"), col("draw").cast("long").as("draw"),
+        struct(
+          round(log(u) / col("__w"), 6).as("c"),
+          (-col("__id")).as("nid"),
+          col("__w").as("w")).as("__s"))
+      .groupBy(col("__g"), col("draw"))
+      .agg(max(col("__s")).as("__win"))
+      .select(col("__g").as(keyCol), col("draw"),
+        (-col("__win.nid")).as("id"), col("__win.w").as("weight"),
+        col("__win.c").as("draw_key"))
+  }
+
   /** N-GRAM NOVELTY against a REFERENCE corpus — the qd8
     * decontamination join INVERTED: instead of dropping docs that
     * overlap a benchmark, score every doc by how much of it is NEW

@@ -328,6 +328,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!pk.contains("CartesianProduct"))
     assert(!"Window\\b".r.findFirstIn(pk).isDefined,
       "per-key sample planned a Window sort:\n" + pk.take(600))
+    // qt50: the with-replacement draws are ONE partial-aggregated
+    // max(struct) — no window, no cartesian, no winner rejoin
+    val wr = plan("qt50_sample_with_replacement")
+    assert(!wr.contains("CartesianProduct"))
+    assert(!"Window\\b".r.findFirstIn(wr).isDefined,
+      "with-replacement sample planned a Window sort:\n" + wr.take(600))
+    assert(wr.contains("partial_max"),
+      "draw argmax not map-side partial:\n" + wr.take(800))
     val hn = plan("qs17_hard_negatives")
     assert(!hn.contains("CartesianProduct"))
     assert(!"Window\\b".r.findFirstIn(hn).isDefined,

@@ -827,6 +827,61 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("weightedSampleWithReplacement: equals the per-(key, draw) argmax " +
+    "reference, one row per draw, heavy rows repeat, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"g${i % 3}", 1L + rnd.nextInt(50).toLong))
+      .toDF("id", "grp", "w")
+    val k = 10
+    val out = TextAnalysis.weightedSampleWithReplacement(
+      docs, "grp", "id", "w", k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSet
+    // exactly one winner per (key, draw)
+    assert(out.size == 3 * k)
+    assert(out.map(t => (t._1, t._2)).size == 3 * k)
+    // brute reference: same salted keys, per-(grp, draw) argmax
+    val u = (Sketches.md5Hash32(concat(col("id").cast("string"),
+      lit("|42|"), col("draw").cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val ref = docs
+      .withColumn("draw", explode(sequence(lit(1), lit(k))))
+      .select(col("grp"), col("draw").cast("long").as("draw"), col("id"),
+        col("w").cast("double").as("w"),
+        round(log(u) / col("w").cast("double"), 6).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp"), col("draw"))
+          .orderBy(col("c").desc, col("id"))))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSet
+    assert(out == ref)
+    // WITH replacement: a dominating row wins every draw of its key
+    val skew = Seq((1L, "s", 100000L), (2L, "s", 1L), (3L, "s", 1L))
+      .toDF("id", "grp", "w")
+    val winners = TextAnalysis.weightedSampleWithReplacement(
+      skew, "grp", "id", "w", 12).collect().map(_.getLong(2))
+    assert(winners.length == 12 && winners.count(_ == 1L) >= 10,
+      s"heavy row won only ${winners.count(_ == 1L)}/12 draws")
+    // null / non-positive weights never win; deterministic
+    val bad = Seq((1L, "b", 5L), (2L, "b", 0L)).toDF("id", "grp", "w")
+    assert(TextAnalysis.weightedSampleWithReplacement(bad, "grp", "id", "w", 3)
+      .collect().forall(_.getLong(2) == 1L))
+    val again = TextAnalysis.weightedSampleWithReplacement(
+      docs.repartition(13), "grp", "id", "w", k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSet
+    assert(again == out)
+  }
+
   test("ngramNovelty: hand-computed trigram overlap; short docs emit no row") {
     import spark.implicits._
     val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
