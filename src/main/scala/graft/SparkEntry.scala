@@ -2383,6 +2383,38 @@ object SparkEntry {
       col("n_registers"), col("est_distinct"))
   }
 
+  /** STREAMING QUANTILE SKETCH through the oracle ([[streaming
+    * .EventStreams.runQuantileStream]], k = 8, q ∈ {0.5, 0.95} — k
+    * BELOW the ~14-per-hour median so the level-rise/prune path is
+    * what the gate actually replays, not the exact below-k fallback):
+    * the
+    * per-hour `value` quantile member of the qe24/qe27 streaming-
+    * sketch family — state is [[operators.LevelSampleAgg]]'s (exact
+    * count, retained rows at the COUNT-DRIVEN level), mergeable across
+    * micro-batches because L(n) only rises with n. maxFilesPerTrigger
+    * = 1 makes the staged replay multi-batch when the source has
+    * several files. The DuckDB batch oracle rebuilds the same
+    * count-driven level (integer bit-length form — no float log2),
+    * the same tz ≥ L retained set, and the same nearest-rank index.
+    */
+  private def qe51StreamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(dir)
+    val schema = eventsSchema(spark, stage.toString, dir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t =
+      try streaming.EventStreams.runQuantileStream(
+        spark, stage.toString, schema, k = 8, qs = Seq(0.5, 0.95),
+        queryName = s"qe51_mem_${System.nanoTime()}")
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        dropStage(stage)
+      }
+    t.select(
+      unix_timestamp(col("window_start")).as("window_start"),
+      col("q"), col("n"), col("level"), col("n_sample"), col("est"))
+  }
+
   /** STREAMING COUNT-MIN through the oracle ([[streaming.EventStreams
     * .runCmsStream]]): the sum-merge sibling of qe24 — per-hour
     * (window, row, bucket) cell counts as the streaming state
@@ -5451,6 +5483,7 @@ object SparkEntry {
     "qe22_zscore" -> (qe22Zscore _),
     "qe23_twap" -> (qe23Twap _),
     "qe24_stream_hll" -> (qe24StreamHll _),
+    "qe51_stream_quantile" -> (qe51StreamQuantile _),
     "qe25_gapfill" -> (qe25GapFill _),
     "qt35_domain_mix" -> (qt35DomainMix _),
     "qe26_holt" -> (qe26Holt _),
@@ -7582,6 +7615,45 @@ object SparkEntry {
         |      (sp + (16.0 - CAST(n_registers AS DOUBLE))) END, 6)
         |    AS est_distinct
         |FROM s""".stripMargin,
+    // Streaming quantile sketch: the count-driven level L(n) = smallest
+    // L with n <= 8·2^L replays as the BIT LENGTH of ceil(n/8) - 1
+    // (all-integer — no float-log2-at-power-of-two hazard), retained =
+    // tz >= L, then qk7's nearest-rank index on the (v, id) rank
+    "qe51_stream_quantile" ->
+      """WITH base AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wk,
+        |    CAST(value AS DOUBLE) AS v, CAST(event_id AS VARCHAR) AS id
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |hz AS MATERIALIZED (
+        |  SELECT wk, v, id,
+        |    CASE WHEN hv = 0 THEN 32
+        |      ELSE length(bin(hv & (-hv))) - 1 END AS tz
+        |  FROM (SELECT wk, v, id,
+        |      CAST('0x' || substring(md5(id), 1, 8) AS BIGINT) AS hv
+        |    FROM base)),
+        |lv AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CASE WHEN (count(*) + 7) // 8 <= 1 THEN 0
+        |      ELSE length(bin((count(*) + 7) // 8 - 1)) END
+        |      AS BIGINT) AS lvl
+        |  FROM hz GROUP BY wk),
+        |samp AS (
+        |  SELECT hz.wk, hz.v, lv.n, lv.lvl,
+        |    row_number() OVER (PARTITION BY hz.wk ORDER BY hz.v, hz.id) AS i,
+        |    count(*) OVER (PARTITION BY hz.wk) AS ns
+        |  FROM hz JOIN lv ON lv.wk = hz.wk AND hz.tz >= lv.lvl),
+        |tg AS (
+        |  SELECT wk, q, v, n, lvl, i, ns,
+        |    least(((greatest(1, CAST(ceil(CAST(n AS DOUBLE) * q) AS BIGINT))
+        |        - 1) >> CAST(lvl AS INT)) + 1,
+        |      CAST(ns AS BIGINT)) AS istar
+        |  FROM samp
+        |  CROSS JOIN (VALUES (0.5), (0.95)) qq(q))
+        |SELECT wk AS window_start, q,
+        |  CAST(max(n) AS BIGINT) AS n, max(lvl) AS level,
+        |  CAST(max(ns) AS BIGINT) AS n_sample,
+        |  min(CASE WHEN i = istar THEN v END) AS est
+        |FROM tg GROUP BY 1, 2""".stripMargin,
     // Gap-fill: identical integer bucketing and bucket-last pick
     // (lead-over-(bucket, ts, tie) filter), identical subtract →
     // integer-ratio divide → multiply → add interpolation — DuckDB's

@@ -534,3 +534,72 @@ final class KMinDistinct(k: Int)
   override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
+
+/** COUNT-DRIVEN level sample as a typed Aggregator — the STREAMING
+  * reformulation of [[Sketches.quantileSketch]]'s level sampling (the
+  * batch form's level is a function of the per-(key, tz) histogram,
+  * which a streaming aggregation cannot revisit): here the level is a
+  * pure function of the EXACT running count, L(n) = the smallest L
+  * with n ≤ k·2ᴸ, so the retained set after ANY reduce/merge schedule
+  * is exactly {rows : tz ≥ L(N_total)} — L only rises with n, so a row
+  * pruned (or never admitted) at a partial count stays outside at the
+  * final count. That makes the state MERGEABLE across partitions and
+  * micro-batches like the qe24 HLL registers: merge = add counts, pool
+  * rows, refilter at L(n₁+n₂).
+  *
+  * State per group: the exact count + the retained rows — expected
+  * n·2⁻ᴸ ∈ (k/2, k] rows, a Binomial tail above that (the price of the
+  * count-driven level; the batch sketch's histogram-driven level is
+  * ≤ k + max-tz ties, but is not a monotone per-row merge). A freak
+  * all-rows-pruned sample (P ≈ e^(−k/2) per group) emits no answer
+  * row — both engines agree, the batch replay prunes identically.
+  * Counts are exact, so REDELIVERY IS NOT IDEMPOTENT (the CMS
+  * sum-merge caveat, not the HLL max-merge guarantee) — the qe12
+  * transaction-log sink is the dedup layer when sources can repeat.
+  *
+  * Input (tz, v, id); output (n, level, rows) for the nearest-rank
+  * finalize: sample rank i estimates rank i·2ᴸ, answer index
+  * ⌈target/2ᴸ⌉ — [[Sketches.quantileSketch]]'s closed form verbatim.
+  */
+final class LevelSampleAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Int, Double, String),
+      (Long, Seq[(Int, Double, String)]),
+      (Long, Long, Seq[(Int, Double, String)])] {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  private def levelOf(n: Long): Int = {
+    var l = 0
+    while (n > (k.toLong << l)) l += 1
+    l
+  }
+
+  override def zero: (Long, Seq[(Int, Double, String)]) = (0L, Vector.empty)
+
+  override def reduce(
+      b: (Long, Seq[(Int, Double, String)]),
+      in: (Int, Double, String)): (Long, Seq[(Int, Double, String)]) = {
+    val n2 = b._1 + 1
+    val lvl = levelOf(n2)
+    // prune only on a level step — the common case is a no-op append
+    val kept = if (lvl != levelOf(b._1)) b._2.filter(_._1 >= lvl) else b._2
+    (n2, if (in._1 >= lvl) kept :+ in else kept)
+  }
+
+  override def merge(
+      a: (Long, Seq[(Int, Double, String)]),
+      b: (Long, Seq[(Int, Double, String)])): (Long, Seq[(Int, Double, String)]) = {
+    val n = a._1 + b._1
+    val lvl = levelOf(n)
+    (n, (a._2 ++ b._2).filter(_._1 >= lvl))
+  }
+
+  override def finish(
+      r: (Long, Seq[(Int, Double, String)])): (Long, Long, Seq[(Int, Double, String)]) =
+    (r._1, levelOf(r._1).toLong, r._2)
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Seq[(Int, Double, String)])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[(Long, Long, Seq[(Int, Double, String)])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}

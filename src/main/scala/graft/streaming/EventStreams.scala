@@ -604,6 +604,80 @@ object EventStreams {
       .select(col("__w.start").as("window_start"), col("term"), col("est"))
   }
 
+  /** STREAMING QUANTILE SKETCH — per-hour `value` quantiles where the
+    * streaming STATE is [[graft.operators.LevelSampleAgg]]'s
+    * (exact count, ≤ ~k retained rows): the count-driven level is a
+    * monotone function of n alone, so partial aggregation, micro-batch
+    * increments, and late arrivals all merge to exactly the batch
+    * retained set {rows : tz ≥ L(N)} — the bounded-state answer to
+    * streaming per-key quantiles, whose exact form must SORT every
+    * value seen. One streaming aggregate (the nearest-rank finalize
+    * needs a rank, which streaming forbids) — answers rank the drained
+    * ≤ ~k rows per window as a BATCH fold after the drain, the qe24
+    * recipe. Complete mode for the bounded replay. Exact counts mean
+    * redelivery is NOT idempotent (the CMS caveat, not HLL's).
+    */
+  def runQuantileStream(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      k: Int = 64,
+      qs: Seq[Double] = Seq(0.5, 0.95),
+      queryName: String = "quantile_events"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val src = graft.Tables.normalizeTs(stream)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+      .select(window(col("ts"), "1 hour").as("__w"),
+        col("value").cast("double").as("__v"),
+        col("event_id").cast("string").as("__id"))
+    val h = graft.operators.Sketches.md5Hash32(col("__id"))
+    val withTz = src.select(col("__w"), col("__v"), col("__id"),
+      when(h === 0L, lit(32))
+        .otherwise(length(bin(h.bitwiseAND(-h))) - lit(1))
+        .cast("int").as("__tz"))
+    val sk = udaf(new graft.operators.LevelSampleAgg(k))
+    val q = withTz
+      .groupBy(col("__w"))
+      .agg(sk(col("__tz"), col("__v"), col("__id")).as("__st"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+    val sampled = spark.table(queryName)
+      .select(col("__w"), col("__st._1").as("n"), col("__st._2").as("level"),
+        explode(col("__st._3")).as("__r"))
+      .select(col("__w"), col("n"), col("level"),
+        col("__r._2").as("__v"), col("__r._3").as("__id"))
+      .withColumn("__i", row_number().over(
+        w.partitionBy(col("__w")).orderBy(col("__v"), col("__id"))))
+      .withColumn("__ns", count(lit(1)).over(w.partitionBy(col("__w"))))
+    sampled
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("__target",
+        greatest(lit(1L),
+          ceil(col("n").cast("double") * col("q")).cast("long")))
+      .withColumn("__istar",
+        least(
+          expr("shiftright(__target - 1L, CAST(level AS INT)) + 1L"),
+          col("__ns").cast("long")))
+      .groupBy(col("__w"), col("q"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("level")).as("level"),
+        max(col("__ns")).cast("long").as("n_sample"),
+        min(when(col("__i").cast("long") === col("__istar"), col("__v")))
+          .as("est"))
+      .select(col("__w.start").as("window_start"), col("q"), col("n"),
+        col("level"), col("n_sample"), col("est"))
+  }
+
   def runWindowedStream(
       spark: SparkSession,
       dir: String,

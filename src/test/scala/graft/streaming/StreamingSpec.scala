@@ -258,6 +258,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming quantile sketch: multi-batch drain equals the batch " +
+      "aggregate; state stays bounded; below-k windows answer exactly") {
+    import spark.implicits._
+    val raw = Tables.events(spark, sfDir)
+    // TWO staged files + maxFilesPerTrigger=1 => the merge path (not
+    // just reduce) carries state across micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("events-q-stream")
+    raw.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    // k = 64: every sf0.001 window is below k — the exact path.
+    // k = 2: windows exceed k — the level-rise/prune/merge path.
+    for (k <- Seq(64, 2)) {
+    val streamed = EventStreams
+      .runQuantileStream(spark, dir.toString, raw.schema, k = k,
+        qs = Seq(0.5, 0.95),
+        queryName = s"q_spec_${System.nanoTime()}")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // batch reference: the SAME aggregator run as one batch aggregate
+    val h = graft.operators.Sketches.md5Hash32(col("__id"))
+    val src = events
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+      .select(window(col("ts"), "1 hour").as("__w"),
+        col("value").cast("double").as("__v"),
+        col("event_id").cast("string").as("__id"))
+      .select(col("__w"), col("__v"), col("__id"),
+        when(h === 0L, lit(32))
+          .otherwise(length(bin(h.bitwiseAND(-h))) - lit(1))
+          .cast("int").as("__tz"))
+    val agg = udaf(new graft.operators.LevelSampleAgg(k))
+    val st = src.groupBy(col("__w"))
+      .agg(agg(col("__tz"), col("__v"), col("__id")).as("__st"))
+      .select(col("__w.start").as("ws"), col("__st._1").as("n"),
+        col("__st._2").as("level"),
+        sort_array(col("__st._3")).as("rows"))
+      .collect()
+    // per-window: n exact, the retained set is {tz >= L(n)}, and the
+    // streamed nearest-rank answers replay from it
+    val byW = st.map(r => r.getTimestamp(0) ->
+      ((r.getLong(1), r.getLong(2), r.getSeq[org.apache.spark.sql.Row](3)))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (ws, q, n, lvl, ns, est) =>
+      val (bn, blvl, rows) = byW(ws)
+      assert(n == bn && lvl == blvl && ns == rows.size.toLong,
+        s"stream/batch state mismatch at $ws")
+      val sorted = rows.map(r => (r.getDouble(1), r.getString(2)))
+        .sortBy(identity)
+      val target = math.max(1L, math.ceil(n.toDouble * q).toLong)
+      val istar = math.min(((target - 1) >> lvl.toInt) + 1, ns)
+      assert(est == sorted((istar - 1).toInt)._1, s"answer mismatch at $ws q=$q")
+      // bounded state: Binomial(n, 2^-L) with mean <= k — 4k is 6+
+      // sigma out, the spec-pinned bound
+      assert(ns <= 4L * k, s"state $ns exceeds 4k at $ws")
+      // below-k windows degrade to exact: level 0, the sample IS the set
+      if (n <= k) assert(lvl == 0L && ns == n)
+    }
+    // at sf0.001 most hourly windows hold < 64 events — the exact path
+    // is genuinely exercised
+    assert(streamed.exists(_._3 <= k))
+    // and at k = 2 some window must have RISEN its level (the sketch
+    // path), or the small-k leg proves nothing
+    if (k == 2) assert(streamed.exists(_._4 > 0L),
+      "no window exercised the level-rise path at k=2")
+    }
+  }
+
   test("streaming CMS: deterministic drain; redelivery DOUBLES estimates (sum-merge, unlike HLL's max)") {
     val raw = Tables.events(spark, sfDir)
     val once = java.nio.file.Files.createTempDirectory("events-cms-once")
