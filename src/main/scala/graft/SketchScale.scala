@@ -41,6 +41,19 @@ object SketchScale {
         operators.Sketches.quantileSketch(df, "k", "v", "rid",
           k = 4096, qs = Seq(0.25, 0.5, 0.75, 0.95)).count()
       }
+      // tz-ONCE variant (the r13 VERDICT ask): persist the (key, v,
+      // id, tz) projection so the level aggregate and the sample join
+      // read it instead of each recomputing the md5 from the scan —
+      // trades one full-width materialization (memory/disk pressure)
+      // for one md5 pass
+      time(rows, "sketch_tzonce") {
+        val base = operators.Sketches.tzBase(df, "k", "v", "rid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try operators.Sketches.quantileAnswers(
+          operators.Sketches.levelSampleFrom(base, 4096, broadcastLevels = true),
+          "k", Seq(0.25, 0.5, 0.75, 0.95)).count()
+        finally base.unpersist(blocking = false)
+      }
       time(rows, "exact_median") {
         operators.Relational.kthSmallest(df, "v", (rows + 1L) / 2L)
       }

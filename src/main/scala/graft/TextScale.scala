@@ -1,0 +1,59 @@
+package graft
+
+/** Head-to-head adjudication harness for text-tier plan alternatives
+  * (the qt46 protocol: build the variant, race it at sf1, ship the
+  * winner, document the loser's numbers). Currently races qd21's two
+  * source-overlap forms over a real documents table:
+  *
+  *  - `join`: distinct (source, gram) self-joined ON GRAM (the shipped
+  *    form) — two gram-keyed exchanges of the gram set + the join.
+  *  - `sets`: per gram, collect the ≤-sources set once
+  *    (ObjectHashAggregate) and explode its ordered pairs — one
+  *    exchange, object state bounded by the source count.
+  *
+  * Run: `sbt "runMain graft.TextScale [sfDir] [runs]"` (default
+  * /tmp/sf1, 5 runs). Prints per-run walls + medians; equality of the
+  * two forms' outputs is asserted once per invocation.
+  */
+object TextScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = GraftSession.local(32, "text-scale")
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    def once(label: String)(body: => Long): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.parallelize(1 to 64, 64)
+        .foreach(_ => System.gc())
+      val t0 = System.nanoTime()
+      val r = body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[textscale] $label%-6s $s%7.2f s  (rows=$r)")
+      s
+    }
+    // equality once: the adjudication is about PLAN cost, not semantics
+    val a = operators.TextAnalysis
+      .sourceOverlap(docs, "source", "text", 3).collect().toSet
+    val b = operators.TextAnalysis
+      .sourceOverlapViaSets(docs, "source", "text", 3).collect().toSet
+    require(a == b, s"variant outputs differ: ${a.size} vs ${b.size} rows")
+    println(s"[textscale] outputs identical (${a.size} pairs)")
+
+    val med = Seq("join", "sets").map { form =>
+      val walls = (1 to runs).map { _ =>
+        once(form) {
+          (form match {
+            case "join" => operators.TextAnalysis
+              .sourceOverlap(docs, "source", "text", 3)
+            case _ => operators.TextAnalysis
+              .sourceOverlapViaSets(docs, "source", "text", 3)
+          }).count()
+        }
+      }.sorted
+      form -> walls(walls.size / 2)
+    }
+    med.foreach { case (f, m) => println(f"[textscale] MEDIAN $f%-6s $m%7.2f s") }
+    spark.stop()
+  }
+}

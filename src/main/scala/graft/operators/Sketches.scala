@@ -302,14 +302,26 @@ object Sketches {
     */
   private def levelSample(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String,
-      k: Int, broadcastLevels: Boolean): DataFrame = {
+      k: Int, broadcastLevels: Boolean): DataFrame =
+    levelSampleFrom(tzBase(df, keyCol, valueCol, idCol), k, broadcastLevels)
+
+  /** The (key, v, id, tz) projection both level-sample stages consume.
+    * Lazy — each consumer recomputes it from the scan (two md5 passes);
+    * [[graft.SketchScale]] races the persisted tz-once alternative.
+    */
+  private[graft] def tzBase(
+      df: DataFrame, keyCol: String, valueCol: String, idCol: String): DataFrame = {
     val h = md5Hash32(col(idCol).cast("string"))
-    val base = df
+    df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(col(keyCol).as("__key"), col(valueCol).as("__v"),
         col(idCol).cast("string").as("__id"),
         when(h === 0L, lit(32))
           .otherwise(length(bin(h.bitwiseAND(-h))) - lit(1)).as("__tz"))
+  }
+
+  private[graft] def levelSampleFrom(
+      base: DataFrame, k: Int, broadcastLevels: Boolean): DataFrame = {
     val lvl = base.groupBy(col("__key"), col("__tz"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__suf", sum(col("__c")).over(
@@ -354,7 +366,15 @@ object Sketches {
     require(k >= 2, s"k must be >= 2, got $k")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
-    val sample = levelSample(df, keyCol, valueCol, idCol, k, broadcastLevels)
+    quantileAnswers(
+      levelSample(df, keyCol, valueCol, idCol, k, broadcastLevels),
+      keyCol, qs)
+  }
+
+  /** Nearest-rank answers from level-sample rows — [[quantileSketch]]'s
+    * tail, shared with [[graft.SketchScale]]'s tz-once variant. */
+  private[graft] def quantileAnswers(
+      sample: DataFrame, keyCol: String, qs: Seq[Double]): DataFrame = {
     val ranked = sample
       .withColumn("__i", row_number().over(
         Window.partitionBy(col("__key")).orderBy(col("__v"), col("__id"))))

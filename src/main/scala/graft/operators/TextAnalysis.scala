@@ -1635,7 +1635,19 @@ object TextAnalysis {
       docs: DataFrame, sourceCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = docs
+    val grams = sourceGrams(docs, sourceCol, textCol, n)
+    val common = grams.select(col("__s").as("__sa"), col("__g"))
+      .join(grams.select(col("__s").as("__sb"), col("__g")), Seq("__g"))
+      .filter(col("__sa") < col("__sb"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("common_grams"))
+    overlapFromCommon(grams, common)
+  }
+
+  /** The distinct (source, gram) projection [[sourceOverlap]] pairs. */
+  private def sourceGrams(
+      docs: DataFrame, sourceCol: String, textCol: String, n: Int): DataFrame =
+    docs
       .filter(col(sourceCol).isNotNull)
       .select(col(sourceCol).as("__s"),
         split(lower(trim(col(textCol))), "\\s+").as("__t"))
@@ -1644,12 +1656,12 @@ object TextAnalysis {
         sequence(lit(0), size(col("__t")) - n),
         i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))).as("__g"))
       .distinct()
+
+  /** Shared [[sourceOverlap]] tail: per-source sizes + Jaccard. */
+  private def overlapFromCommon(
+      grams: DataFrame, common: DataFrame): DataFrame = {
     val sizes = grams.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
-    grams.select(col("__s").as("__sa"), col("__g"))
-      .join(grams.select(col("__s").as("__sb"), col("__g")), Seq("__g"))
-      .filter(col("__sa") < col("__sb"))
-      .groupBy(col("__sa"), col("__sb"))
-      .agg(count(lit(1)).as("common_grams"))
+    common
       .join(sizes.select(col("__s").as("__sa"), col("__n").as("grams_a")), Seq("__sa"))
       .join(sizes.select(col("__s").as("__sb"), col("__n").as("grams_b")), Seq("__sb"))
       .select(
@@ -1658,6 +1670,32 @@ object TextAnalysis {
         round(col("common_grams")
           / (col("grams_a") + col("grams_b") - col("common_grams"))
             .cast("double"), 6).as("jaccard"))
+  }
+
+  /** [[sourceOverlap]]'s ADJUDICATION ALTERNATIVE (the r13 VERDICT
+    * ask): per gram, collect the ≤-sources set ONCE (bounded object
+    * state — sources is feed-count-small by the operator's contract)
+    * and explode its ordered pairs, replacing the gram-keyed self-join
+    * re-exchange with one ObjectHashAggregate. Identical output;
+    * raced against the join form in [[graft.TextScale]] at sf1 — the
+    * keep/reject call and numbers live in [[sourceOverlap]]'s scaladoc
+    * and ENGINE.md.
+    */
+  private[graft] def sourceOverlapViaSets(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = sourceGrams(docs, sourceCol, textCol, n)
+    val common = grams
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_set(col("__s"))).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(posexplode(col("__ss")).as(Seq("__ia", "__sa")), col("__ss"))
+      .select(col("__sa"), explode(slice(
+        col("__ss"), col("__ia") + 2, size(col("__ss")))).as("__sb"))
+      .groupBy(col("__sa"), col("__sb"))
+      .agg(count(lit(1)).as("common_grams"))
+    overlapFromCommon(grams, common)
   }
 
   /** SEQUENCE PACKING — the concat-and-chunk layout every LLM training
