@@ -5,11 +5,11 @@ package graft
   * winner, document the loser's numbers). Currently races qd21's two
   * source-overlap forms over a real documents table:
   *
-  *  - `join`: distinct (source, gram) self-joined ON GRAM (the shipped
-  *    form) — two gram-keyed exchanges of the gram set + the join.
-  *  - `sets`: per gram, collect the ≤-sources set once
-  *    (ObjectHashAggregate) and explode its ordered pairs — one
+  *  - `sets` (SHIPPED since r14): per gram, collect the ≤-sources set
+  *    once (ObjectHashAggregate) and explode its ordered pairs — one
   *    exchange, object state bounded by the source count.
+  *  - `join` (the r13 form, adjudication loser): distinct (source,
+  *    gram) self-joined ON GRAM — a second gram-keyed exchange.
   *
   * Run: `sbt "runMain graft.TextScale [sfDir] [runs]"` (default
   * /tmp/sf1, 5 runs). Prints per-run walls + medians; equality of the
@@ -36,7 +36,7 @@ object TextScale {
     val a = operators.TextAnalysis
       .sourceOverlap(docs, "source", "text", 3).collect().toSet
     val b = operators.TextAnalysis
-      .sourceOverlapViaSets(docs, "source", "text", 3).collect().toSet
+      .sourceOverlapViaJoin(docs, "source", "text", 3).collect().toSet
     require(a == b, s"variant outputs differ: ${a.size} vs ${b.size} rows")
     println(s"[textscale] outputs identical (${a.size} pairs)")
 
@@ -45,9 +45,9 @@ object TextScale {
         once(form) {
           (form match {
             case "join" => operators.TextAnalysis
-              .sourceOverlap(docs, "source", "text", 3)
+              .sourceOverlapViaJoin(docs, "source", "text", 3)
             case _ => operators.TextAnalysis
-              .sourceOverlapViaSets(docs, "source", "text", 3)
+              .sourceOverlap(docs, "source", "text", 3)
           }).count()
         }
       }.sorted

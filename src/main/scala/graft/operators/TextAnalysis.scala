@@ -1625,20 +1625,28 @@ object TextAnalysis {
     * sources² cross product for information the absence already
     * carries).
     *
-    * Scale shape: grams collapse to DISTINCT (source, gram) once; the
-    * pair stage joins that set WITH ITSELF ON GRAM, so a gram
-    * contributes ≤ sources²/2 pair rows (sources is small by
-    * definition — this is a matrix over feeds, not documents), and
-    * everything is gram-keyed — no document-level pairing anywhere.
+    * Scale shape (r14-adjudicated): grams collapse to DISTINCT
+    * (source, gram) once; then ONE ObjectHashAggregate collects each
+    * gram's ≤-sources set and explodes its ordered pairs — object list
+    * state is bounded by the SOURCE count (feeds, not documents), the
+    * qt46 lesson's safe case. Raced at sf1 against the gram-keyed
+    * self-join form ([[sourceOverlapViaJoin]]): sets 9.99 s median vs
+    * join 10.73 s over 5 isolated runs each (9.84–10.38 vs
+    * 10.46–12.07 — disjoint ranges), and the sets form carries one
+    * gram-keyed exchange fewer, the structural win at 100 TB.
     */
   def sourceOverlap(
       docs: DataFrame, sourceCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams = sourceGrams(docs, sourceCol, textCol, n)
-    val common = grams.select(col("__s").as("__sa"), col("__g"))
-      .join(grams.select(col("__s").as("__sb"), col("__g")), Seq("__g"))
-      .filter(col("__sa") < col("__sb"))
+    val common = grams
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_set(col("__s"))).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(posexplode(col("__ss")).as(Seq("__ia", "__sa")), col("__ss"))
+      .select(col("__sa"), explode(slice(
+        col("__ss"), col("__ia") + 2, size(col("__ss")))).as("__sb"))
       .groupBy(col("__sa"), col("__sb"))
       .agg(count(lit(1)).as("common_grams"))
     overlapFromCommon(grams, common)
@@ -1672,27 +1680,22 @@ object TextAnalysis {
             .cast("double"), 6).as("jaccard"))
   }
 
-  /** [[sourceOverlap]]'s ADJUDICATION ALTERNATIVE (the r13 VERDICT
-    * ask): per gram, collect the ≤-sources set ONCE (bounded object
-    * state — sources is feed-count-small by the operator's contract)
-    * and explode its ordered pairs, replacing the gram-keyed self-join
-    * re-exchange with one ObjectHashAggregate. Identical output;
-    * raced against the join form in [[graft.TextScale]] at sf1 — the
-    * keep/reject call and numbers live in [[sourceOverlap]]'s scaladoc
-    * and ENGINE.md.
+  /** The gram-keyed SELF-JOIN form of [[sourceOverlap]] — the r13
+    * shipped plan, demoted to adjudication LOSER by the r14 sf1 race
+    * (10.73 s median vs the sets form's 9.99 s, 5 isolated runs each,
+    * disjoint ranges; [[graft.TextScale]] reruns the race). Kept as
+    * the measured record and the fallback should a future corpus make
+    * per-gram source sets large enough to hurt the object aggregate
+    * (sources ≫ 10³ — not a feed matrix any more).
     */
-  private[graft] def sourceOverlapViaSets(
+  private[graft] def sourceOverlapViaJoin(
       docs: DataFrame, sourceCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams = sourceGrams(docs, sourceCol, textCol, n)
-    val common = grams
-      .groupBy(col("__g"))
-      .agg(sort_array(collect_set(col("__s"))).as("__ss"))
-      .filter(size(col("__ss")) >= 2)
-      .select(posexplode(col("__ss")).as(Seq("__ia", "__sa")), col("__ss"))
-      .select(col("__sa"), explode(slice(
-        col("__ss"), col("__ia") + 2, size(col("__ss")))).as("__sb"))
+    val common = grams.select(col("__s").as("__sa"), col("__g"))
+      .join(grams.select(col("__s").as("__sb"), col("__g")), Seq("__g"))
+      .filter(col("__sa") < col("__sb"))
       .groupBy(col("__sa"), col("__sb"))
       .agg(count(lit(1)).as("common_grams"))
     overlapFromCommon(grams, common)
