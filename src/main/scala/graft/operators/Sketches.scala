@@ -302,12 +302,29 @@ object Sketches {
     */
   private def levelSample(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String,
-      k: Int, broadcastLevels: Boolean): DataFrame =
-    levelSampleFrom(tzBase(df, keyCol, valueCol, idCol), k, broadcastLevels)
+      k: Int, broadcastLevels: Boolean, reuseBase: Boolean): DataFrame = {
+    val base0 = tzBase(df, keyCol, valueCol, idCol)
+    // tz-ONCE (r14-adjudicated default): persist the projection so the
+    // level aggregate and the sample join share ONE md5 pass —
+    // SketchScale: 3.15 s vs 4.21 s at 10⁷ rows, 23.3 s vs 29.3 s at
+    // 10⁸ (single group, k = 4096), and that probe REGENERATES its
+    // source in codegen, the cheapest possible rescan, so a real scan
+    // tilts further toward reuse. The persisted projection is freed by
+    // the ContextCleaner once the query's RDDs drop out of scope.
+    // reuseBase = false restores the recompute form for inputs whose
+    // full-width projection exceeds cluster storage headroom (the
+    // 100 TB caveat: MEMORY_AND_DISK spill writes the projection out,
+    // where a columnar rescan might read less).
+    val base =
+      if (reuseBase)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    levelSampleFrom(base, k, broadcastLevels)
+  }
 
   /** The (key, v, id, tz) projection both level-sample stages consume.
-    * Lazy — each consumer recomputes it from the scan (two md5 passes);
-    * [[graft.SketchScale]] races the persisted tz-once alternative.
+    * Lazy — each consumer recomputes it from the scan (two md5 passes)
+    * unless the caller persists it; [[graft.SketchScale]] races both.
     */
   private[graft] def tzBase(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String): DataFrame = {
@@ -362,12 +379,13 @@ object Sketches {
   def quantileSketch(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String,
       k: Int = 256, qs: Seq[Double] = Seq(0.5),
-      broadcastLevels: Boolean = true): DataFrame = {
+      broadcastLevels: Boolean = true,
+      reuseBase: Boolean = true): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
     quantileAnswers(
-      levelSample(df, keyCol, valueCol, idCol, k, broadcastLevels),
+      levelSample(df, keyCol, valueCol, idCol, k, broadcastLevels, reuseBase),
       keyCol, qs)
   }
 
@@ -411,8 +429,9 @@ object Sketches {
     */
   def quantileSketchState(
       df: DataFrame, keyCol: String, valueCol: String, idCol: String,
-      k: Int = 256, broadcastLevels: Boolean = true): DataFrame =
-    levelSample(df, keyCol, valueCol, idCol, k, broadcastLevels)
+      k: Int = 256, broadcastLevels: Boolean = true,
+      reuseBase: Boolean = true): DataFrame =
+    levelSample(df, keyCol, valueCol, idCol, k, broadcastLevels, reuseBase)
       .groupBy(col("__key"))
       .agg(
         max(col("__n")).as("n"),
