@@ -40,20 +40,33 @@ object TextScale {
     require(a == b, s"variant outputs differ: ${a.size} vs ${b.size} rows")
     println(s"[textscale] outputs identical (${a.size} pairs)")
 
-    val med = Seq("join", "sets").map { form =>
-      val walls = (1 to runs).map { _ =>
-        once(form) {
-          (form match {
-            case "join" => operators.TextAnalysis
-              .sourceOverlapViaJoin(docs, "source", "text", 3)
-            case _ => operators.TextAnalysis
-              .sourceOverlap(docs, "source", "text", 3)
-          }).count()
-        }
-      }.sorted
-      form -> walls(walls.size / 2)
+    // INTERLEAVED, ORDER-ALTERNATED design: running one form's 5 runs
+    // before the other's hands the second form a warmer JIT — measured
+    // r19: the second-run form "won" by ~7% in BOTH orders. Alternating
+    // which form leads each round cancels the first-order bias; the
+    // comparison is paired per round.
+    def run(form: String): Double = once(form) {
+      (form match {
+        case "join" => operators.TextAnalysis
+          .sourceOverlapViaJoin(docs, "source", "text", 3)
+        case _ => operators.TextAnalysis
+          .sourceOverlap(docs, "source", "text", 3)
+      }).count()
+    }
+    val walls = (1 to runs).flatMap { i =>
+      val order = if (i % 2 == 1) Seq("join", "sets") else Seq("sets", "join")
+      order.map(f => f -> run(f))
+    }
+    val med = Seq("join", "sets").map { f =>
+      val ws = walls.collect { case (`f`, w) => w }.sorted
+      f -> ws(ws.size / 2)
     }
     med.foreach { case (f, m) => println(f"[textscale] MEDIAN $f%-6s $m%7.2f s") }
+    val diffs = (1 to runs).map { i =>
+      val round = walls.slice((i - 1) * 2, i * 2).toMap
+      round("join") - round("sets")
+    }.sorted
+    println(f"[textscale] PAIRED median(join - sets) = ${diffs(diffs.size / 2)}%+.2f s")
     spark.stop()
   }
 }

@@ -1629,11 +1629,16 @@ object TextAnalysis {
     * (source, gram) once; then ONE ObjectHashAggregate collects each
     * gram's ≤-sources set and explodes its ordered pairs — object list
     * state is bounded by the SOURCE count (feeds, not documents), the
-    * qt46 lesson's safe case. Raced at sf1 against the gram-keyed
-    * self-join form ([[sourceOverlapViaJoin]]): sets 9.99 s median vs
-    * join 10.73 s over 5 isolated runs each (9.84–10.38 vs
-    * 10.46–12.07 — disjoint ranges), and the sets form carries one
-    * gram-keyed exchange fewer, the structural win at 100 TB.
+    * qt46 lesson's safe case. sf1 race vs the gram-keyed self-join
+    * form ([[sourceOverlapViaJoin]]) — run-each-form-in-a-block first
+    * "won" for whichever form ran SECOND (warmer JIT, ~7% both
+    * orders); the honest interleaved order-alternated paired design
+    * (TextScale, 6 rounds) reads join − sets = +1.31 s median with
+    * per-round spread −2.7 to +3.0 s — LOCAL WALLS ARE A TIE inside
+    * the session envelope. The sets form ships on STRUCTURE: it runs
+    * one gram-keyed exchange fewer (the self-join re-exchanges the
+    * distinct gram set twice; the aggregate shuffles it once), and
+    * exchange count is what survives a 100× scale-up.
     */
   def sourceOverlap(
       docs: DataFrame, sourceCol: String, textCol: String,
@@ -1681,12 +1686,13 @@ object TextAnalysis {
   }
 
   /** The gram-keyed SELF-JOIN form of [[sourceOverlap]] — the r13
-    * shipped plan, demoted to adjudication LOSER by the r14 sf1 race
-    * (10.73 s median vs the sets form's 9.99 s, 5 isolated runs each,
-    * disjoint ranges; [[graft.TextScale]] reruns the race). Kept as
-    * the measured record and the fallback should a future corpus make
-    * per-gram source sets large enough to hurt the object aggregate
-    * (sources ≫ 10³ — not a feed matrix any more).
+    * shipped plan, replaced in r14 on exchange-count structure (local
+    * sf1 walls tied inside the session envelope once the race was run
+    * order-fairly; numbers in [[sourceOverlap]]'s scaladoc;
+    * [[graft.TextScale]] reruns the race). Kept as the measured record
+    * and the fallback should a future corpus make per-gram source sets
+    * large enough to hurt the object aggregate (sources ≫ 10³ — not a
+    * feed matrix any more).
     */
   private[graft] def sourceOverlapViaJoin(
       docs: DataFrame, sourceCol: String, textCol: String,
