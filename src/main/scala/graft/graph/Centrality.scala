@@ -267,6 +267,9 @@ object Centrality {
     * form is the special case w ≡ 1, not the norm. Same iteration,
     * same plan shape — the neighbor sum picks up a per-edge factor
     * (Σ w·x, the qg14 HITS arithmetic) and nothing else changes.
+    * Weights are used AS GIVEN (the [[Hits]] contract): null weights
+    * propagate null sums and negative weights void the Perron
+    * convergence story — filter/clamp upstream; positives only.
     */
   def eigenvectorCentrality(
       edges: DataFrame, aCol: String, bCol: String,

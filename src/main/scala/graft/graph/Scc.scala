@@ -69,15 +69,22 @@ object Scc {
             "a pathological SCC chain; raise maxRounds")
     }
 
-    var remaining = edges
+    // null endpoints (the leakageSafeSplit contract): an edge with a
+    // null side is NO EDGE — but its non-null side is still a node
+    // (isolated ⇒ singleton via trim). A null never surfaces as a
+    // (null, null) output row.
+    val typed = edges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .filter(col("s") =!= col("d"))
+    var remaining = typed
+      .filter(col("s").isNotNull && col("d").isNotNull
+        && col("s") =!= col("d"))
       .distinct()
       .localCheckpoint(true)
     // self-loop-only / isolated-in-edge-list nodes still get a row
-    var nodes = edges
-      .select(col(srcCol).cast("long").as("node"))
-      .unionAll(edges.select(col(dstCol).cast("long").as("node")))
+    var nodes = typed
+      .select(col("s").as("node"))
+      .unionAll(typed.select(col("d").as("node")))
+      .filter(col("node").isNotNull)
       .distinct()
       .localCheckpoint(true)
     val assigned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

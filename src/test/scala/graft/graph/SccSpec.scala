@@ -53,6 +53,17 @@ class SccSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("null endpoints drop end-to-end — no (null, null) singleton rows") {
+    val got = Scc.run(
+      Seq[(java.lang.Long, java.lang.Long)](
+        (1L, 2L), (2L, 1L), (null, 3L), (3L, null))
+        .toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    // node 3 keeps its row (its null-sided edges vanish, leaving it
+    // isolated-in-edge-list => singleton via trim)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("matches a brute-force transitive-closure oracle on a hash-random " +
       "graph; deterministic under repartitioning; empty graph is empty") {
     val n = 24
