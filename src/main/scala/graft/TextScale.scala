@@ -49,24 +49,29 @@ object TextScale {
       (form match {
         case "join" => operators.TextAnalysis
           .sourceOverlapViaJoin(docs, "source", "text", 3)
+        case "nocache" => operators.TextAnalysis
+          .sourceOverlap(docs, "source", "text", 3, reuseGrams = false)
         case _ => operators.TextAnalysis
           .sourceOverlap(docs, "source", "text", 3)
       }).count()
     }
+    // second race (r19): grams persisted vs recomputed, same paired design
+    val forms = if (args.contains("cache")) Seq("nocache", "sets")
+      else Seq("join", "sets")
     val walls = (1 to runs).flatMap { i =>
-      val order = if (i % 2 == 1) Seq("join", "sets") else Seq("sets", "join")
+      val order = if (i % 2 == 1) forms else forms.reverse
       order.map(f => f -> run(f))
     }
-    val med = Seq("join", "sets").map { f =>
+    val med = forms.map { f =>
       val ws = walls.collect { case (`f`, w) => w }.sorted
       f -> ws(ws.size / 2)
     }
     med.foreach { case (f, m) => println(f"[textscale] MEDIAN $f%-6s $m%7.2f s") }
     val diffs = (1 to runs).map { i =>
       val round = walls.slice((i - 1) * 2, i * 2).toMap
-      round("join") - round("sets")
+      round(forms.head) - round(forms.last)
     }.sorted
-    println(f"[textscale] PAIRED median(join - sets) = ${diffs(diffs.size / 2)}%+.2f s")
+    println(f"[textscale] PAIRED median(${forms.head} - ${forms.last}) = ${diffs(diffs.size / 2)}%+.2f s")
     spark.stop()
   }
 }

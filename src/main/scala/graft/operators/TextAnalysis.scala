@@ -1474,12 +1474,16 @@ object TextAnalysis {
     * Output `(key, draw, id, weight, draw_key)`, one row per (key,
     * draw ∈ 1..k).
     *
-    * Scale shape: ONE hash aggregate over the n·k exploded rows —
-    * max(struct) per (key, draw), map-side partials, so ≤ keys·k
-    * struct rows cross the shuffle regardless of corpus size. No
-    * window, no per-key sort, no rejoin (the winner struct carries its
-    * own weight out). The k multiplier is the honest cost of k
-    * independent draws; it rides the scan, not the shuffle.
+    * Scale shape: ONE partial-aggregated max(struct) per (key, draw) —
+    * ≤ keys·k struct rows cross the shuffle regardless of corpus size,
+    * no window, no rejoin (the winner struct carries its own weight
+    * out). Honest plan note: struct max is not hash-aggregable in
+    * Spark (complex-typed agg buffers fall back to SortAggregate), so
+    * the map side SORTS its n·k slice by (key, draw) before the
+    * partial — linear-ish with a log factor, spillable, and the
+    * shuffle stays bounded; PlanSpec pins the partial_max + no-Window
+    * shape. The k multiplier is the honest cost of k independent
+    * draws; it rides the scan, not the shuffle.
     */
   def weightedSampleWithReplacement(
       docs: DataFrame,
@@ -1639,12 +1643,27 @@ object TextAnalysis {
     * one gram-keyed exchange fewer (the self-join re-exchanges the
     * distinct gram set twice; the aggregate shuffles it once), and
     * exchange count is what survives a 100× scale-up.
+    *
+    * Grams-ONCE (second r14 adjudication): the distinct (source, gram)
+    * set feeds the pair aggregate AND two size-join branches, so
+    * unpersisted the scan + tokenize + explode + distinct chain runs
+    * THREE times (Explain audit). Persisting it won the same
+    * interleaved paired race at sf1: recomputed − persisted =
+    * +1.30 s paired median (12.70 vs 10.97 s medians, persisted wins
+    * 4/5 pairs), so `reuseGrams = true` is the default; pass false for
+    * inputs whose distinct-gram set exceeds storage headroom (the
+    * persist is MEMORY_AND_DISK and freed by the ContextCleaner, but
+    * at 100 TB the recompute may beat the disk spill).
     */
   def sourceOverlap(
       docs: DataFrame, sourceCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, reuseGrams: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = sourceGrams(docs, sourceCol, textCol, n)
+    val grams0 = sourceGrams(docs, sourceCol, textCol, n)
+    val grams =
+      if (reuseGrams)
+        grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else grams0
     val common = grams
       .groupBy(col("__g"))
       .agg(sort_array(collect_set(col("__s"))).as("__ss"))
