@@ -32,13 +32,24 @@ object TextScale {
       println(f"[textscale] $label%-6s $s%7.2f s  (rows=$r)")
       s
     }
+    val assocMode = args.contains("assoc")
     // equality once: the adjudication is about PLAN cost, not semantics
-    val a = operators.TextAnalysis
-      .sourceOverlap(docs, "source", "text", 3).collect().toSet
-    val b = operators.TextAnalysis
-      .sourceOverlapViaJoin(docs, "source", "text", 3).collect().toSet
-    require(a == b, s"variant outputs differ: ${a.size} vs ${b.size} rows")
-    println(s"[textscale] outputs identical (${a.size} pairs)")
+    if (assocMode) {
+      val a = operators.TextAnalysis
+        .assocPairs(docs, "text", 50L, 20).collect().toSet
+      val b = operators.TextAnalysis
+        .assocPairs(docs, "text", 50L, 20,
+          localFrequentMax = 0, reuseBaskets = false).collect().toSet
+      require(a == b, s"variant outputs differ: ${a.size} vs ${b.size} rows")
+      println(s"[textscale] outputs identical (${a.size} pairs)")
+    } else {
+      val a = operators.TextAnalysis
+        .sourceOverlap(docs, "source", "text", 3).collect().toSet
+      val b = operators.TextAnalysis
+        .sourceOverlapViaJoin(docs, "source", "text", 3).collect().toSet
+      require(a == b, s"variant outputs differ: ${a.size} vs ${b.size} rows")
+      println(s"[textscale] outputs identical (${a.size} pairs)")
+    }
 
     // INTERLEAVED, ORDER-ALTERNATED design: running one form's 5 runs
     // before the other's hands the second form a warmer JIT — measured
@@ -51,12 +62,24 @@ object TextScale {
           .sourceOverlapViaJoin(docs, "source", "text", 3)
         case "nocache" => operators.TextAnalysis
           .sourceOverlap(docs, "source", "text", 3, reuseGrams = false)
+        case "regroup" => operators.TextAnalysis
+          .assocPairs(docs, "text", 50L, 20,
+            localFrequentMax = 0, reuseBaskets = false)
+        case "inarr" => operators.TextAnalysis
+          .assocPairs(docs, "text", 50L, 20)
+        case "inarrnc" => operators.TextAnalysis
+          .assocPairs(docs, "text", 50L, 20, reuseBaskets = false)
         case _ => operators.TextAnalysis
           .sourceOverlap(docs, "source", "text", 3)
       }).count()
     }
-    // second race (r19): grams persisted vs recomputed, same paired design
-    val forms = if (args.contains("cache")) Seq("nocache", "sets")
+    // second race (r19): grams persisted vs recomputed, same paired design;
+    // third race (r19): assocPairs explode+regroup prune vs in-array
+    // retain_in prune + persisted baskets
+    val forms =
+      if (assocMode && args.contains("nocache")) Seq("regroup", "inarrnc")
+      else if (assocMode) Seq("regroup", "inarr")
+      else if (args.contains("cache")) Seq("nocache", "sets")
       else Seq("join", "sets")
     val walls = (1 to runs).flatMap { i =>
       val order = if (i % 2 == 1) forms else forms.reverse

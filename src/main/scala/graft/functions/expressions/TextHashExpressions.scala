@@ -88,6 +88,32 @@ object TextHashKernel {
       set.toArray(Array.empty[AnyRef]))
   }
 
+  /** Order-preserving set-membership filter over a string array: keep
+    * the elements present in `keep` (a hash set built ONCE per
+    * expression instance, not per row — the reason this exists instead
+    * of `array_intersect(col, lit(bigArray))`, whose right-side set
+    * rebuilds every evaluation). Elements are CLONED out of the
+    * incoming (possibly unsafe-backed) array so the result survives
+    * row-buffer reuse.
+    */
+  def retainIn(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      keep: java.util.HashSet[UTF8String]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (arr == null) return null
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (keep.contains(s)) out.add(s.clone())
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(Array.empty[AnyRef]))
+  }
+
   /** 64-bit FNV-1a over UTF-16 code units + one xor-fold finalizer.
     * See `operators.Dedup.hash64` scaladoc for the full replay contract
     * (this is the same function; Dedup delegates here).
@@ -280,6 +306,48 @@ case class SortedShingleSetExpr(child: Expression, n: Int) extends UnaryExpressi
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** `retain_in(arr, keepSet)` — keep the array elements that belong to a
+  * driver-known string set, preserving order. The set rides the expression
+  * as a reference object (one `java.util.HashSet[UTF8String]`, built lazily
+  * per instance, shared by every row the task evaluates), so membership is
+  * O(1)/element with zero per-row set construction — the in-array Apriori
+  * prune for [[graft.operators.TextAnalysis.assocPairs]], where the
+  * frequent-item vocabulary is contract-bounded (≤ total incidences /
+  * minSupport) but far too large to unroll into a literal `isin`.
+  */
+case class ArrayRetainInExpr(child: Expression, keep: Array[String]) extends UnaryExpression {
+
+  @transient private lazy val keepSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](keep.length * 2)
+    keep.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "retain_in"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"retain_in expects array<string>, got $t")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TextHashKernel.retainIn(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], keepSet)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("retainInSet", keepSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextHashKernel.retainIn($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object TextHashExpressions {
   /** Column-facing constructors. */
   def minHashSignature(text: Column, shingleSize: Int, numHashes: Int, seed: Long = 42L): Column =
@@ -290,4 +358,7 @@ object TextHashExpressions {
 
   def sortedShingleSet(text: Column, n: Int): Column =
     ColumnBridge.column(SortedShingleSetExpr(ColumnBridge.expression(text), n))
+
+  def retainIn(arr: Column, keep: Array[String]): Column =
+    ColumnBridge.column(ArrayRetainInExpr(ColumnBridge.expression(arr), keep))
 }

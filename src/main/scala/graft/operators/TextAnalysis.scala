@@ -1047,32 +1047,90 @@ object TextAnalysis {
     * integers; lift = (c_ab·N)/(c_a·c_b) is one IEEE divide of exact
     * integer products and the top-k ranks on (count desc, pair asc) —
     * integers, so the row set can't flip on a float ulp.
+    *
+    * The prune itself (r14-adjudicated, three sf1 races): Apriori is
+    * inherently two-pass and the frequent vocabulary is
+    * contract-bounded (≤ total incidences / minSupport), so the
+    * default path collects it and filters each basket in-array with
+    * the codegen `retain_in` set-membership expression — the corpus
+    * reaches the pair aggregate with no explode, no semi-join, and no
+    * collect_list regroup (the previous shape, kept as the
+    * beyond-`localFrequentMax` fallback, paid a corpus-wide basket-id
+    * exchange plus an ObjectHashAggregate). Two accidents of that old
+    * shape had to be replicated deliberately before the new one won:
+    * baskets feed three consumers, so they persist
+    * (`reuseBaskets`, the qd21 grams-once lesson), and the bid
+    * exchange was accidentally parallelizing the quadratic pair stage
+    * on low-row-group inputs — naive in-array LOST the first sf1 race
+    * by 2.9–5.1 s paired median until the adaptive parallelism floor
+    * below restored the spread, after which it WINS 12.38 → 5.06 s
+    * median (+7.32 s paired, 5/5 pairs, interleaved order-alternated
+    * protocol).
     */
   def assocPairs(
-      docs: DataFrame, textCol: String, minSupport: Long, k: Int): DataFrame = {
+      docs: DataFrame, textCol: String, minSupport: Long, k: Int,
+      localFrequentMax: Int = 1 << 22, reuseBaskets: Boolean = true): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(k > 0, s"k must be positive, got $k")
-    val baskets = docs
+    val baskets0 = docs
       .select(array_sort(array_distinct(
         filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")))
         .as("__items"))
       .filter(size(col("__items")) > 0)
+    // baskets-ONCE (the qd21 grams-once pattern): the tokenize + distinct
+    // + sort chain feeds THREE consumers (item counts, basket count, pair
+    // generation); persisted it runs once. Opt out for corpora past
+    // storage headroom.
+    val baskets =
+      if (reuseBaskets)
+        baskets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else baskets0
     val itemFreq = baskets
       .select(explode(col("__items")).as("__w"))
       .groupBy(col("__w"))
       .agg(count(lit(1)).as("__cw"))
     val frequent = itemFreq.filter(col("__cw") >= minSupport)
     val n = baskets.agg(count(lit(1)).as("__n"))
-    // keep only frequent items inside each basket (broadcast set via
-    // semi-join on the exploded form, then regroup — stays distributed
-    // for vocabularies too large to collect)
-    val kept = baskets
-      .withColumn("__bid", monotonically_increasing_id())
-      .select(col("__bid"), explode(col("__items")).as("__w"))
-      .join(broadcast(frequent.select(col("__w"))), Seq("__w"), "left_semi")
-      .groupBy(col("__bid"))
-      .agg(sort_array(collect_list(col("__w"))).as("__items"))
-      .filter(size(col("__items")) >= 2)
+    // Apriori prune INSIDE each basket. Default path: the frequent
+    // vocabulary is contract-bounded (≤ total token incidences /
+    // minSupport) and Apriori is inherently two-pass, so collect it and
+    // filter IN-ARRAY with a codegen set-membership expression
+    // (`retain_in`) — the corpus then reaches the pair aggregate with
+    // ZERO prior exchanges (scan → filter → pair explode → map-side
+    // combine; only distinct pairs cross the wire). The previous
+    // explode → broadcast-semi-join → collect_list regroup shape
+    // (kept below as the beyond-`localFrequentMax` fallback) paid a
+    // corpus-wide basket-id exchange plus an ObjectHashAggregate for
+    // the same prune.
+    val freqHead = frequent
+      .select(col("__w")).orderBy(col("__w"))
+      .limit(localFrequentMax + 1).collect()
+    val kept =
+      if (freqHead.length <= localFrequentMax) {
+        val freqArr = freqHead.map(_.getString(0))
+        val pruned = baskets
+          .select(graft.functions.expressions.TextHashExpressions
+            .retainIn(col("__items"), freqArr).as("__items"))
+          .filter(size(col("__items")) >= 2)
+        // PARALLELISM FLOOR: per-basket pair generation is quadratic,
+        // and a low-row-group input fuses it into the scan's task count
+        // (sf1 documents.parquet is ONE row group → one task carries
+        // the whole quadratic stage; first measured as a 5 s sf1 LOSS
+        // to the regroup form, whose basket-id exchange was
+        // accidentally providing the spread). If the pruned frame plans
+        // fewer partitions than spark.sql.shuffle.partitions, exchange
+        // the compact frequent-only arrays once; at real scale the scan
+        // side already exceeds it and no exchange is added.
+        val target = docs.sparkSession.sessionState.conf.numShufflePartitions
+        if (pruned.rdd.getNumPartitions < target) pruned.repartition(target)
+        else pruned
+      } else baskets
+        .withColumn("__bid", monotonically_increasing_id())
+        .select(col("__bid"), explode(col("__items")).as("__w"))
+        .join(broadcast(frequent.select(col("__w"))), Seq("__w"), "left_semi")
+        .groupBy(col("__bid"))
+        .agg(sort_array(collect_list(col("__w"))).as("__items"))
+        .filter(size(col("__items")) >= 2)
     val pairs = kept
       .select(explode(flatten(transform(col("__items"), (x, i) =>
         transform(slice(col("__items"), lit(1), i),

@@ -165,6 +165,21 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"register + estimate = at most 2 shuffles, saw $exchanges:\n" + p.take(1200))
   }
 
+  test("qt38: the Apriori prune is the in-array retain_in expression — " +
+    "no ObjectHashAggregate regroup, no basket-id exchange") {
+    val p = plan("qt38_assoc_pairs")
+    assert(p.contains("retain_in"), "in-array prune path not taken:\n" + p.take(1200))
+    // the old shape exploded every basket, semi-joined the frequent set
+    // and regrouped with collect_list — an ObjectHashAggregate plus a
+    // corpus-wide monotonically_increasing_id exchange this path removes
+    assert(!p.contains("ObjectHashAggregate"),
+      "regroup ObjectHashAggregate came back:\n" + p.take(1200))
+    assert(!p.contains("monotonically_increasing_id"),
+      "basket-id regroup came back:\n" + p.take(1200))
+    // pair counting stays map-side combined: only distinct pairs shuffle
+    assert(p.contains("partial_count"), "pair count not partial:\n" + p.take(1200))
+  }
+
   test("qe22: rolling z-score is ONE key shuffle + one Window — no self-join") {
     val p = plan("qe22_zscore")
     assert(!p.contains("Join"), "z-score grew a join:\n" + p.take(1200))

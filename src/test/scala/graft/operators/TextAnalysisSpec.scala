@@ -652,6 +652,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("assoc pairs: in-array retain_in prune path is row-identical to the " +
+      "distributed explode+regroup fallback, with and without basket reuse") {
+    import spark.implicits._
+    val docs = Seq("a b c x", "a b y", "a c", "b c d d", "a b c z", "x y z",
+      "", "q").toDF("text")
+    def rows(localMax: Int, reuse: Boolean) =
+      TextAnalysis.assocPairs(docs, "text", minSupport = 2L, k = 10,
+        localFrequentMax = localMax, reuseBaskets = reuse)
+        .collect().map(_.toSeq).toSet
+    val inArray = rows(1 << 20, reuse = true)
+    assert(inArray == rows(0, reuse = false), "fallback path diverged")
+    assert(inArray == rows(1 << 20, reuse = false), "persist changed rows")
+    assert(inArray.nonEmpty)
+    // a basket whose every item is infrequent ("q") must vanish in both
+    assert(!inArray.exists(r => r.contains("q")))
+  }
+
   test("backoffLmScore: seen bigrams score raw c12/c1, unseen back off " +
       "to 0.4 x add-one unigram, OOV stays finite") {
     import spark.implicits._
