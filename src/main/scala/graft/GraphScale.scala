@@ -67,6 +67,15 @@ object GraphScale {
       time("scc") {
         graft.graph.Scc.run(edges, "x", "y").count()
       }
+      // DAG layering: bucket-increasing orientation (20 buckets) bounds
+      // the critical depth at 19 regardless of |E|, so rounds stay
+      // constant while each round's edge join scales linearly — the
+      // layered shape real dependency/citation corpora have
+      time("dag_layer") {
+        val b = lit(math.max(n / 20L, 1L))
+        val dag = edges.filter(floor(col("x") / b) < floor(col("y") / b))
+        graft.graph.Dag.longestPathLayer(dag, "x", "y").count()
+      }
     }
     // k-truss SKEW probe — the measured form of the operator-doc caveat
     // ("support needs the FULL neighbourhood; no degree orientation caps

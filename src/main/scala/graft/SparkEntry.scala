@@ -1925,6 +1925,38 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Topological layering ([[graph.Dag.longestPathLayer]]): per node,
+    * the longest directed path ending at it, over a BUCKET-LAYERED
+    * orders projection (edge kept only when floor(s/50) <
+    * floor(d/50)) — acyclic by construction with critical depth ≤ 9
+    * at ANY scale factor (density fills layers sideways, never
+    * lengthwise), so the fixpoint round count is scale-stable.
+    */
+  private def qg29DagLayer(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(
+        (col("o_custkey") % 500).as("s"),
+        (col("o_orderkey") % 500).as("d"))
+      .filter(floor(col("s") / 50) < floor(col("d") / 50))
+    // small-state fixpoint rounds over ≤ 500 layer rows (the qg28
+    // rationale)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Dag.longestPathLayer(edges, "s", "d")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** ANN recall@10 evaluation ([[operators.Similarity.annRecall]],
+    * 16 queries, 8-bit hyperplane cells, hamming-1 probe ball): per
+    * query, |approximate top-10 ∩ exact top-10| / 10 — the
+    * index-quality read that decides bits/nProbe tuning.
+    */
+  private def qs18AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.annRecall(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, k = 10, bits = 8, nProbe = 1, numQueries = 16)
+
   /** Leakage-safe train/val/test split ([[operators.Dedup
     * .leakageSafeSplit]], 8/1/1): the split is drawn per NEAR-DUP
     * CLUSTER (qd2's LSH bands → qd6's min-label components;
@@ -5533,6 +5565,8 @@ object SparkEntry {
     "qg26_weighted_pagerank" -> (qg26WeightedPagerank _),
     "qg27_weighted_eigenvector" -> (qg27WeightedEigenvector _),
     "qg28_scc" -> (qg28Scc _),
+    "qg29_dag_layer" -> (qg29DagLayer _),
+    "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
@@ -11545,6 +11579,31 @@ object SparkEntry {
         |  CAST(coalesce(least(n.v, min(m.u)), n.v) AS BIGINT) AS scc
         |FROM nodes n LEFT JOIN mutual m ON m.v = n.v
         |GROUP BY n.v""".stripMargin,
+    // DAG layering replay: the qg18 hop-bounded DP with max instead of
+    // min — every node seeds at 0, each step relaxes one edge hop, the
+    // GROUP BY max keeps the frontier table one-row-per-(it, node).
+    // Bound 20 > 2x the structural depth cap (the bucket filter makes
+    // paths strictly bucket-increasing: <= 9 hops at any density).
+    "qg29_dag_layer" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |e AS (
+        |  SELECT DISTINCT x AS a, y AS b FROM raw
+        |  WHERE x // 50 < y // 50),
+        |nodes AS MATERIALIZED (SELECT a AS v FROM e UNION SELECT b FROM e),
+        |lab(it, node, d) AS (
+        |  SELECT 0, v, 0 FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, node, max(d) FROM (
+        |    SELECT l.it, l.node, l.d FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, e.b AS node, l.d + 1 FROM lab l JOIN e ON e.a = l.node
+        |  ) t(it, node, d)
+        |  WHERE it < 20
+        |  GROUP BY it, node)
+        |SELECT node, CAST(max(d) AS BIGINT) AS layer
+        |FROM lab GROUP BY node""".stripMargin,
     // SemDeDup replay: seed-cell assignment is the qs7 codebook contract
     // with m = 1 (round-6dp L2² argmin, lowest-index ties); the prune is
     // qd5's exact double-cast cosine, but candidate pairs come from
@@ -12102,6 +12161,67 @@ object SparkEntry {
     // hyperplaneSignature, then inlined as literals; candidate cells =
     // hamming <= 1 from the query cell, then qs1's exact-cosine oracle
     // shape over the candidates only.
+    // ANN recall replay: the qs4 signature CTE (same seed-42 gaussian
+    // planes as the engine's hyperplaneSignature) + the qs5 brute
+    // cosine replay, intersected. Both top-10 cuts rank on the shared
+    // (rounded sim DESC, vec_id) tie contract; self-matches are
+    // excluded from BOTH sides so recall measures real neighbors.
+    "qs18_ann_recall" -> {
+      val rnd = new scala.util.Random(42L)
+      val planes = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      val planeValues = planes.zipWithIndex.flatMap { case (p, b) =>
+        p.zipWithIndex.map { case (c, i) => s"($b,${i + 1},$c)" }
+      }.mkString(",")
+      s"""WITH planes(b, i, c) AS (SELECT * FROM (VALUES $planeValues)),
+         |dots AS (
+         |  SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.i] AS DOUBLE) * p.c) AS d
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b),
+         |sigs AS MATERIALIZED (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0.0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 16),
+         |s0 AS (
+         |  SELECT q.qid, c.vec_id,
+         |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+         |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS nb
+         |  FROM embeddings c
+         |  CROSS JOIN q
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  WHERE c.vec_id <> q.qid
+         |  GROUP BY q.qid, c.vec_id),
+         |sims AS MATERIALIZED (
+         |  SELECT qid, vec_id,
+         |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |               ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |  FROM s0),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+         |    FROM sims) WHERE r <= 10),
+         |cand AS (
+         |  SELECT q.qid, sv.vec_id FROM q
+         |  JOIN sigs sq ON sq.vec_id = q.qid
+         |  JOIN sigs sv ON bit_count(xor(sv.sig, sq.sig)) <= 1
+         |  WHERE sv.vec_id <> q.qid),
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT c.qid, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.vec_id) AS r
+         |    FROM cand c JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id)
+         |  WHERE r <= 10),
+         |hits AS (
+         |  SELECT t.qid, count(a.vec_id) AS n_hit
+         |  FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |  GROUP BY t.qid)
+         |SELECT q.qid AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
+         |FROM q LEFT JOIN hits h ON h.qid = q.qid
+         |ORDER BY query_id""".stripMargin
+    },
     "qs4_ivf" -> {
       val rnd = new scala.util.Random(42L)
       val planes = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))

@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TOPOLOGICAL LAYERING of a DAG — per node, the length of the LONGEST
+  * directed path ending at it (sources = layer 0): the scheduling
+  * primitive behind dependency-graph wave execution ("everything in
+  * layer L can run once layers < L finished"), build-graph critical
+  * depth, citation-generation depth, and curriculum ordering. The
+  * directed complement to [[Bfs]]'s shortest-hop distance: same
+  * fixpoint machinery, max-fold instead of min-fold.
+  *
+  * Algorithm: the longest-path DP `layer(v) = max(0, 1 + max over
+  * incoming u→v of layer(u))` iterated to fixpoint. Layers only GROW
+  * and are bounded by n − 1 on any acyclic input, so the (count, Σ)
+  * mass signature detects convergence (the SCC/HyperBall idiom) and a
+  * layer reaching n PROVES a cycle — the operator throws rather than
+  * returning garbage ranks for a non-DAG input (cycles make "longest
+  * path" undefined; silently dropping back-edges would hide a data
+  * bug). Self-loops are cycles and throw via the same guard.
+  *
+  * Null endpoints (the [[Scc]] contract): an edge with a null side is
+  * NO EDGE, but its non-null side is still a node (isolated ⇒ layer 0).
+  * A null never surfaces as an output row.
+  *
+  * Output `(node, layer)`, one row per distinct endpoint.
+  *
+  * Scale shape: state is Θ(n) rows keyed by node; each round is one
+  * edge-keyed equi-join + one node-keyed max aggregate,
+  * localCheckpointed so plans never stack (the qg9 lineage lesson). No
+  * driver-side graph — the only driver values are the 1-row signature
+  * and node count. Rounds = the longest path length L (inherent to
+  * label propagation; a 100 TB dependency corpus is wide and shallow,
+  * so L stays small while n scales). Throws after `maxRounds` rounds
+  * without convergence.
+  */
+object Dag {
+
+  def longestPathLayer(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 256): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val typed = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    val e = typed
+      .filter(col("s").isNotNull && col("d").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = typed
+      .select(col("s").as("node"))
+      .unionAll(typed.select(col("d").as("node")))
+      .filter(col("node").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+
+    var layer = nodes.select(col("node"), lit(0L).as("layer"))
+      .localCheckpoint(true)
+    // one driver row per round: the convergence signature AND the
+    // cycle guard share a single aggregate pass
+    def sig(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("layer")), lit(0L)),
+        coalesce(max(col("layer")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var prev = sig(layer)
+    var rounds = 0
+    var changing = nNodes > 0
+    while (changing) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"longestPathLayer did not converge within $maxRounds rounds — " +
+            "either a cycle or a longer-than-expected critical path; " +
+            "check acyclicity or raise maxRounds")
+      layer = layer.unionAll(
+          e.join(layer.withColumnRenamed("node", "s"), Seq("s"))
+            .select(col("d").as("node"), (col("layer") + 1L).as("layer")))
+        .groupBy(col("node"))
+        .agg(max(col("layer")).as("layer"))
+        .localCheckpoint(true)
+      val cur = sig(layer)
+      if (cur._3 >= nNodes)
+        throw new IllegalArgumentException(
+          s"input graph has a cycle: a path of length ${cur._3} exists over " +
+            s"$nNodes nodes (acyclic inputs are bounded by n - 1)")
+      changing = cur != prev
+      prev = cur
+    }
+    layer
+  }
+}

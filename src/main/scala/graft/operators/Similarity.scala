@@ -724,6 +724,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN RECALL@K EVALUATION — the index-quality measurement every
+    * approximate-nearest-neighbor deployment needs before trusting its
+    * candidates: for each of the `numQueries` lowest-id corpus vectors,
+    * compute the EXACT cosine top-k (self excluded) and the
+    * hyperplane-cell approximate top-k ([[ivfTopK]]'s candidate rule:
+    * corpus rows within hamming `nProbe` of the query's `bits`-bit
+    * signature, scored by exact cosine), and report
+    * `recall = |approx ∩ exact| / k` per query. Tuning loop: raise
+    * `bits` to shrink cells, raise `nProbe` to widen the probe ball,
+    * re-read recall — this operator IS that read.
+    *
+    * Determinism: both sides rank on (6-dp-rounded sim DESC, id ASC) —
+    * the qs5 tie contract — and the query set is an id order-by, so the
+    * row set is replayable cross-engine. Recall is an IEEE divide of
+    * exact integers, rounded 6 dp.
+    *
+    * Scale shape: queries are a bounded broadcast (`numQueries` rows by
+    * contract); the corpus scans TWICE (once per side), each side
+    * reducing through the bounded [[TopKByScore]] aggregator so the
+    * only exchanges carry ≤ k rows per (query, partition) — no Window
+    * over the corpus, no cartesian beyond the broadcast nested loop,
+    * no full candidate set materialized. The signature column rides
+    * the scan (codegen'd dot products per bit).
+    */
+  def annRecall(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      bits: Int = 8,
+      nProbe: Int = 1,
+      numQueries: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(numQueries >= 1, s"numQueries must be >= 1, got $numQueries")
+    val topk = udaf(new TopKByScore(k))
+    val sigd = embs.withColumn(
+      "__sig", VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits))
+    val queries = sigd
+      .orderBy(col(idCol))
+      .limit(numQueries)
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
+        col("__sig").as("__qsig"))
+    val truth = knnDirected(
+      embs, queries.select(col("__qid"), col("__qv")),
+      idCol, vecCol, "__qid", "__qv", k, excludeSelf = true)
+      .select(col("__qid"), col(idCol))
+    val approx = sigd
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("__qid") &&
+        bit_count(col("__sig").bitwiseXOR(col("__qsig"))) <= nProbe)
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), col("__qv")), 6))
+      .groupBy(col("__qid"))
+      .agg(topk(col("sim"), col(idCol).cast("long")).as("__topk"))
+      .select(col("__qid"), explode(col("__topk")).as("__e"))
+      .select(col("__qid"), col("__e._2").as(idCol))
+    val hits = truth
+      .join(approx, Seq("__qid", idCol), "left_semi")
+      .groupBy(col("__qid"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries
+      .select(col("__qid"))
+      .join(hits, Seq("__qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("__qid").as("query_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / lit(k.toDouble), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------ product quantization
 
   /** Deterministic PQ codebook (Jégou et al. 2011, "Product Quantization

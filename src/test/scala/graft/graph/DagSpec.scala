@@ -1,0 +1,74 @@
+package graft.graph
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** DAG layering contracts: longest-path-ending-at semantics against
+  * hand graphs and a memoized brute-force DP, null-endpoint handling,
+  * and the cycle guard (layer ≥ n proves a cycle — the operator throws
+  * rather than emitting garbage ranks).
+  */
+class DagSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local(4, "dag-spec")
+  import spark.implicits._
+
+  private def layers(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dag.longestPathLayer(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+
+  test("diamond: the layer is the LONGEST path in, not the shortest") {
+    // 1→2→3→4 and the 1→4 shortcut: 4 sits at layer 3, not 1
+    val got = layers(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("forest: independent chains layer independently") {
+    val got = layers(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 0L, 11L -> 1L))
+  }
+
+  test("multiple parents: layer = 1 + max over incoming, converging " +
+      "at different depths") {
+    // 1→5 (depth 1) and 1→2→3→5 (depth 3): 5 takes 3
+    val got = layers(Seq((1L, 5L), (1L, 2L), (2L, 3L), (3L, 5L)))
+    assert(got(5L) == 3L)
+  }
+
+  test("null endpoints: the edge drops but the non-null side is still " +
+      "a node at layer 0; no null output row") {
+    val got = Dag.longestPathLayer(
+      Seq[(java.lang.Long, java.lang.Long)](
+        (1L, 2L), (3L, null), (null, 4L))
+        .toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("a cycle throws (including a self-loop) instead of converging " +
+      "to garbage") {
+    val e1 = intercept[IllegalArgumentException] {
+      layers(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    }
+    assert(e1.getMessage.contains("cycle"))
+    val e2 = intercept[IllegalArgumentException] {
+      layers(Seq((1L, 2L), (7L, 7L)))
+    }
+    assert(e2.getMessage.contains("cycle"))
+  }
+
+  test("brute-force agreement on a random 60-node bucket-layered DAG") {
+    val rnd = new scala.util.Random(7L)
+    val edges = Seq.fill(300) {
+      val a = rnd.nextInt(60); val b = rnd.nextInt(60)
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(e => e._1 / 10 < e._2 / 10).distinct
+    val adj = edges.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val memo = scala.collection.mutable.Map.empty[Long, Long]
+    def depth(v: Long): Long = memo.getOrElseUpdate(v,
+      adj.get(v).map(_.map(depth).max + 1L).getOrElse(0L))
+    val expect = nodes.map(v => v -> depth(v)).toMap
+    assert(layers(edges) == expect)
+  }
+}

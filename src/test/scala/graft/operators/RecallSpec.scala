@@ -80,6 +80,52 @@ class RecallSpec extends AnyFunSuite {
     assert(full == 1.0, s"full-ball probe must equal brute force, recall=$full")
   }
 
+  test("annRecall: full-ball probe reports recall 1.0 for every query; " +
+      "narrow probe matches a hand-computed intersection and stays in [0,1]") {
+    import org.apache.spark.sql.functions.col
+    // full hamming ball ⇒ candidates = corpus ⇒ approx ≡ exact top-k
+    val full = Similarity.annRecall(
+      embs, "vec_id", "embedding", dim = dim, k = 10, bits = 6,
+      nProbe = 6, numQueries = 8).collect()
+    assert(full.length == 8)
+    assert(full.forall(r => r.getLong(1) == 10L && r.getDouble(2) == 1.0),
+      s"full-ball recall must be exactly 1: ${full.mkString(",")}")
+    // narrow probe: per-query n_hit equals the brute intersection of the
+    // operator's two sides recomputed independently
+    val narrow = Similarity.annRecall(
+      embs, "vec_id", "embedding", dim = dim, k = 10, bits = 6,
+      nProbe = 0, numQueries = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(narrow.keySet == (0L until 8L).toSet)
+    narrow.foreach { case (qid, (hit, rec)) =>
+      assert(hit >= 0L && hit <= 10L && rec == hit / 10.0)
+    }
+    val qvecs = embs.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    qvecs.foreach { case (qid, qv) =>
+      val exact = ids(Similarity.bruteForceTopK(
+        embs.filter(col("vec_id") =!= qid), "vec_id", "embedding", qv, 10))
+      val cell = Similarity.hyperplaneCellLocal(qv, 6)
+      val inCell = embs.collect().filter { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        r.getLong(0) != qid && Similarity.hyperplaneCellLocal(v, 6) == cell
+      }.map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na * nb == 0) 0.0
+        else math.rint(dot / (na * nb) * 1e6) / 1e6
+      }
+      val approx = inCell.map { case (id, v) => (cos(v, qv), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+      assert(narrow(qid)._1 == exact.intersect(approx).size.toLong,
+        s"query $qid: operator n_hit ${narrow(qid)._1} != hand count")
+    }
+  }
+
   test("k-means IVF: recall@10 >= 0.9 probing 4 of 16 clusters") {
     val r = meanRecall(10,
       q => Similarity.ivfKmeansTopK(embs, "vec_id", "embedding", q, 10, nClusters = 16, nProbe = 4, iters = 4))
