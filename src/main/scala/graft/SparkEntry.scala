@@ -1957,6 +1957,16 @@ object SparkEntry {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, k = 10, bits = 8, nProbe = 1, numQueries = 16)
 
+  /** Weighted (TF) Jaccard report ([[operators.Dedup
+    * .weightedJaccardReport]], 16 hashes / 8 bands): per LSH candidate
+    * pair, the token-multiset Jaccard Σmin(tf)/Σmax(tf) — the
+    * repetition-aware similarity set Jaccard is blind to. Exact
+    * integer Σmin + totals; one IEEE divide.
+    */
+  private def qd23WeightedJaccard(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.weightedJaccardReport(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Leakage-safe train/val/test split ([[operators.Dedup
     * .leakageSafeSplit]], 8/1/1): the split is drawn per NEAR-DUP
     * CLUSTER (qd2's LSH bands → qd6's min-label components;
@@ -5570,6 +5580,7 @@ object SparkEntry {
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
+    "qd23_weighted_jaccard" -> (qd23WeightedJaccard _),
     "qt49_unigram_kl" -> (qt49UnigramKl _),
     "qd19_edit_join" -> (qd19EditJoin _),
     "qd20_keep_best" -> (qd20KeepBest _),
@@ -11174,6 +11185,38 @@ object SparkEntry {
           |        ELSE CAST(coalesce(i.ni, 0) AS DOUBLE) / CAST(na.n + nb.n - coalesce(i.ni, 0) AS DOUBLE) END >= 0.9
           |)
           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT a_id FROM dups)""".stripMargin),
+    // Weighted Jaccard replay: qd4's band-candidate CTEs (raw band-value
+    // buckets — same equality classes as the engine's xxhash64 band keys)
+    // + exact token-multiset min/max arithmetic. Σmax = n_a + n_b − Σmin,
+    // all BIGINTs; one rounded divide.
+    "qd23_weighted_jaccard" ->
+      (s"WITH RECURSIVE $minhashOracleCtes" +
+        """, buckets AS (
+          |  SELECT doc_id, k // 2 AS band, string_agg(v::VARCHAR, ',' ORDER BY k) AS bkey
+          |  FROM sig GROUP BY doc_id, k // 2
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id > b.doc_id
+          |), wtc AS MATERIALIZED (
+          |  SELECT doc_id, w, count(*) AS c FROM (
+          |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          |    FROM documents) t
+          |  WHERE w <> '' GROUP BY doc_id, w
+          |), wtot AS (SELECT doc_id, sum(c) AS n FROM wtc GROUP BY doc_id
+          |), winter AS (
+          |  SELECT c.a_id, c.b_id, sum(least(a.c, b.c)) AS ni
+          |  FROM cand c
+          |  JOIN wtc a ON a.doc_id = c.a_id
+          |  JOIN wtc b ON b.doc_id = c.b_id AND b.w = a.w
+          |  GROUP BY c.a_id, c.b_id)
+          |SELECT c.a_id, c.b_id,
+          |  CAST(coalesce(wi.ni, 0) AS BIGINT) AS n_common,
+          |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+          |  round(coalesce(wi.ni, 0) / CAST(ta.n + tb.n - coalesce(wi.ni, 0) AS DOUBLE), 6) AS jw
+          |FROM cand c
+          |JOIN wtot ta ON ta.doc_id = c.a_id
+          |JOIN wtot tb ON tb.doc_id = c.b_id
+          |LEFT JOIN winter wi ON wi.a_id = c.a_id AND wi.b_id = c.b_id""".stripMargin),
     "qd6_cluster_dedup" ->
       (s"WITH RECURSIVE $minhashOracleCtes" +
         """, buckets AS (

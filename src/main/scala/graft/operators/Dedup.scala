@@ -322,6 +322,67 @@ object Dedup {
   /** N-gram Jaccard near-dup: LSH candidates → pair dedup on ids ONLY →
     * shingle sets joined back by id → exact Jaccard ≥ threshold.
     */
+  /** WEIGHTED (TF) JACCARD REPORT over LSH candidates — per candidate
+    * pair, the token-MULTISET Jaccard
+    * `J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b)`: the
+    * repetition-aware similarity the set Jaccard is blind to (a doc
+    * that repeats one paragraph 50× has near-1 SET Jaccard with the
+    * single-paragraph original but a low weighted score — and vice
+    * versa for boilerplate stuffing). Candidates come from the same
+    * trigram-shingle MinHash bands as [[ngramJaccardDedup]]; the
+    * verify is EXACT integer arithmetic (Σmax = n_a + n_b − Σmin, so
+    * only the intersection Σmin and two per-doc token totals are
+    * needed) with one IEEE divide, 6 dp.
+    *
+    * Output `(a_id, b_id, n_common, n_a, n_b, jw)`, a > b, every
+    * candidate pair reported (thresholding is the caller's cut —
+    * this is the measurement, not the policy). All-blank docs carry
+    * no tokens and drop from the report.
+    *
+    * Scale shape: candidate generation is the banded-LSH tier (never
+    * all-pairs); the verify joins each candidate's token counts on
+    * (doc, token) — Θ(candidate pairs × doc length) intermediate, the
+    * same bound as ngramJaccardDedup's shingle-set verify. Token
+    * counts and totals are two hash aggregates off one scan.
+    */
+  def weightedJaccardReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    val sigs = docs.select(
+      col(idCol),
+      graft.functions.expressions.TextHashExpressions
+        .minHashSignature(col(textCol), 3, numHashes).as("__sig"))
+    val cand = bandCandidatePairs(
+      banded(sigs, idCol, bands, numHashes / bands), idCol)
+      .select(col("__a").as("a_id"), col("__b").as("b_id"))
+    val tc = docs
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__id"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = tc.groupBy(col("__id")).agg(sum(col("__c")).as("__n"))
+    val inter = cand
+      .join(tc.select(col("__id").as("a_id"), col("__w"), col("__c").as("__ca")),
+        Seq("a_id"))
+      .join(tc.select(col("__id").as("b_id"), col("__w"), col("__c").as("__cb")),
+        Seq("b_id", "__w"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("n_common"))
+    cand
+      .join(tot.select(col("__id").as("a_id"), col("__n").as("n_a")), Seq("a_id"))
+      .join(tot.select(col("__id").as("b_id"), col("__n").as("n_b")), Seq("b_id"))
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jw"))
+  }
+
   def ngramJaccardDedup(
       docs: DataFrame,
       idCol: String,

@@ -194,6 +194,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(jac == Set(1L, 3L)) // 4 is a near-dup of 1 at 0.5 threshold
   }
 
+  test("weightedJaccardReport: hand-computed TF min/max ratio on a planted " +
+      "pair; repetition drops the weighted score where set Jaccard is blind") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup: jw = 1
+      (3L, base + " " + base + " " + base) // 3x repetition of 1: SET jaccard 1.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardReport(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // base = 12 tokens, 10 distinct ("the"×2, "again"×2)
+    assert(got((2L, 1L)) == ((12L, 12L, 12L, 1.0)))
+    // 3 vs 1: Σmin = 12 (doc 1's counts are the min everywhere),
+    // Σmax = 36, jw = 12/36 — repetition-aware, NOT the set-Jaccard 1.0
+    assert(got((3L, 1L)) == ((12L, 36L, 12L, 0.333333)))
+    assert(got((3L, 2L)) == ((12L, 36L, 12L, 0.333333)))
+  }
+
   test("AQE skew join: the hot partition splits (skew=true) and the result stays exact") {
     import spark.implicits._
     val confs = Seq(
