@@ -180,6 +180,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "pair count not partial:\n" + p.take(1200))
   }
 
+  test("qg29/qs18/qd23: the round-19 additions stay cartesian- and " +
+    "corpus-Window-free; ANN recall broadcasts its query side") {
+    // qg29: the fixpoint's per-round plan is edge-join + max aggregate;
+    // the composed result must not have grown a cartesian or a Window
+    val dl = plan("qg29_dag_layer")
+    assert(!dl.contains("CartesianProduct"), dl.take(800))
+    assert(!"Window\\b".r.findFirstIn(dl).isDefined, dl.take(800))
+    // qs18: both top-k sides reduce through the bounded aggregator —
+    // queries ride a broadcast, never a shuffled corpus join; no Window
+    val ar = plan("qs18_ann_recall")
+    assert(!ar.contains("CartesianProduct"), ar.take(800))
+    assert(!"Window\\b".r.findFirstIn(ar).isDefined,
+      "ANN recall planned a Window sort:\n" + ar.take(800))
+    assert(ar.contains("BroadcastNestedLoopJoin") || ar.contains("BroadcastExchange"),
+      "query side not broadcast:\n" + ar.take(800))
+    // qd23: candidates come from the banded-LSH equi-join, never all-pairs
+    val wj = plan("qd23_weighted_jaccard")
+    assert(!wj.contains("CartesianProduct"), wj.take(800))
+    assert(!"Window\\b".r.findFirstIn(wj).isDefined, wj.take(800))
+  }
+
   test("qe22: rolling z-score is ONE key shuffle + one Window — no self-join") {
     val p = plan("qe22_zscore")
     assert(!p.contains("Join"), "z-score grew a join:\n" + p.take(1200))

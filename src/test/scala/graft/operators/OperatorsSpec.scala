@@ -215,6 +215,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((3L, 2L)) == ((12L, 36L, 12L, 0.333333)))
   }
 
+  test("weightedJaccardReport: randomized cross-check — every reported pair's " +
+      "score equals the brute TF min/max ratio, and every high-overlap planted " +
+      "pair is reported") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    // base docs + planted near-identical copies (one token appended) so
+    // the LSH tier must catch them
+    val bases = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val copies = bases.take(4).map { case (id, t) => (100L + id, t + " omega") }
+    val docs = (bases ++ copies).toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardReport(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // brute TF multiset jaccard
+    val tf = (bases ++ copies).map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    def jw(a: Long, b: Long): Double = {
+      val (ta, tb) = (tf(a), tf(b))
+      val inter = (ta.keySet ++ tb.keySet).toSeq
+        .map(w => math.min(ta.getOrElse(w, 0L), tb.getOrElse(w, 0L))).sum
+      val union = ta.values.sum + tb.values.sum - inter
+      math.rint(inter.toDouble / union * 1e6) / 1e6
+    }
+    got.foreach { case ((a, b), s) =>
+      assert(math.abs(s - jw(a, b)) < 1e-9, s"pair ($a,$b): $s vs brute ${jw(a, b)}")
+    }
+    // each planted copy pairs with its base at a high weighted score
+    (0 until 4).foreach { i =>
+      val key = (100L + i, i.toLong)
+      assert(got.contains(key) && got(key) >= 0.8 - 1e-9,
+        s"planted near-dup pair $key missing or low: ${got.get(key)}")
+    }
+  }
+
   test("AQE skew join: the hot partition splits (skew=true) and the result stays exact") {
     import spark.implicits._
     val confs = Seq(
