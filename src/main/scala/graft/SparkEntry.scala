@@ -1947,6 +1947,27 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Distributed weighted SSSP ([[graph.Bfs.sssp]], source 0): min-plus
+    * frontier Bellman-Ford over the qg18 projection with exact integer
+    * edge costs w = 1 + (a + b) % 7 — the DataFrame form of the
+    * broadcast-CSR Dijkstra tier, for graphs past any single
+    * executor's CSR.
+    */
+  private def qg30Sssp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(
+        (col("o_custkey") % 500).as("x"),
+        (col("o_orderkey") % 500).as("y"))
+      .select(least(col("x"), col("y")).as("s"), greatest(col("x"), col("y")).as("d"))
+      .filter(col("s") =!= col("d"))
+      .withColumn("w", (lit(1) + (col("s") + col("d")) % 7).cast("double"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Bfs.sssp(edges, "s", "d", "w", source = 0L)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** ANN recall@10 evaluation ([[operators.Similarity.annRecall]],
     * 16 queries, 8-bit hyperplane cells, hamming-1 probe ball): per
     * query, |approximate top-10 ∩ exact top-10| / 10 — the
@@ -5576,6 +5597,7 @@ object SparkEntry {
     "qg27_weighted_eigenvector" -> (qg27WeightedEigenvector _),
     "qg28_scc" -> (qg28Scc _),
     "qg29_dag_layer" -> (qg29DagLayer _),
+    "qg30_sssp" -> (qg30Sssp _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
@@ -11622,6 +11644,33 @@ object SparkEntry {
         |  CAST(coalesce(least(n.v, min(m.u)), n.v) AS BIGINT) AS scc
         |FROM nodes n LEFT JOIN mutual m ON m.v = n.v
         |GROUP BY n.v""".stripMargin,
+    // Weighted SSSP replay: the qg1 recursive Bellman-Ford recipe on the
+    // qg18 projection — full per-node min table carried per iteration,
+    // costs accumulate left-to-right along the winning path exactly as
+    // the engine's relax order does. Bound 40: w ∈ [1,7] and the hop
+    // eccentricity is ~5, so any path past 35 hops costs > any 5-hop
+    // path; integer-valued doubles keep every distance exact.
+    "qg30_sssp" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |we AS (SELECT a, b, CAST(1 + (a + b) % 7 AS DOUBLE) AS w FROM e),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS t, w FROM we UNION ALL SELECT b, a, w FROM we),
+        |r(it, node, cost) AS (
+        |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT it + 1, node, min(cost) FROM (
+        |    SELECT r.it, r.node, r.cost FROM r
+        |    UNION ALL
+        |    SELECT r.it, s.t AS node, r.cost + s.w FROM r JOIN sym s ON s.v = r.node
+        |  ) q(it, node, cost)
+        |  WHERE it < 40
+        |  GROUP BY it, node)
+        |SELECT node, min(cost) AS dist FROM r GROUP BY node""".stripMargin,
     // DAG layering replay: the qg18 hop-bounded DP with max instead of
     // min — every node seeds at 0, each step relaxes one edge hop, the
     // GROUP BY max keeps the frontier table one-row-per-(it, node).

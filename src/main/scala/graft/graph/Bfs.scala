@@ -88,4 +88,101 @@ object Bfs {
     ed.unpersist(blocking = false)
     visited
   }
+
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS as a DataFrame min-plus
+    * fixpoint — the DISTRIBUTED form of what `graph/Routing`'s
+    * broadcast-CSR Dijkstra does on one executor: when the graph
+    * itself is cluster-sized (web graphs, citation networks — far past
+    * any single executor's CSR), distances have to live as a keyed
+    * table and relaxation as joins. Delta-stepping-style frontier
+    * Bellman-Ford: each round relaxes only the edges OUT OF nodes
+    * whose distance improved last round (the classic label-correcting
+    * optimization — settled regions stop generating work), merges
+    * candidates into the distance table with one min aggregate, and
+    * stops when a round improves nothing.
+    *
+    * Exactness: costs accumulate left-to-right along the winning path
+    * (the relax order) and the merge is `min` — the same operation
+    * tree a recursive-CTE Bellman-Ford replays, so distances are
+    * bit-identical cross-engine (the qg1 oracle contract); with
+    * integer-valued weights they are exact integers.
+    *
+    * Semantics: undirected by default (`directed = true` keeps edge
+    * orientation); parallel edges collapse to their min weight;
+    * self-loops drop (they never improve a distance under
+    * non-negative weights); null endpoints/weights drop. Unreachable
+    * nodes emit nothing; the source emits (source, 0.0). Rounds are
+    * bounded by the hop count of the hop-longest optimal path —
+    * throws past `maxRounds` (a negative-cycle input can never
+    * converge; non-negative weights always do).
+    *
+    * Scale shape: state is one (node, dist) row per reached node;
+    * each round is one edge-keyed equi-join (frontier-sized, not
+    * graph-sized), one min aggregate, one min-merge aggregate —
+    * localCheckpointed so plans never stack. The one driver value per
+    * round is the improved-count.
+    */
+  def sssp(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      source: Long,
+      directed: Boolean = false,
+      maxRounds: Int = 128): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val typed = edges
+      .select(
+        col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"),
+        col(wCol).cast("double").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("w").isNotNull)
+      .filter(col("a") =!= col("b"))
+    val e = (if (directed) typed
+             else typed.unionAll(
+               typed.select(col("b").as("a"), col("a").as("b"), col("w"))))
+      .groupBy(col("a"), col("b"))
+      .agg(org.apache.spark.sql.functions.min(col("w")).as("w"))
+      .persist()
+
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("dist", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    var dist = spark
+      .createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(source, 0.0)), 1), schema)
+      .localCheckpoint(true)
+    var frontier = dist
+    var rounds = 0
+    var improving = true
+    while (improving) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"SSSP still improving after maxRounds=$maxRounds rounds — " +
+            "either a negative cycle or a longer-than-expected optimal " +
+            "path; check weights or raise maxRounds")
+      val cand = e
+        .join(frontier.select(col("node").as("a"), col("dist")), Seq("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("node"))
+        .agg(org.apache.spark.sql.functions.min(col("dist")).as("dist"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("__old")), Seq("node"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("node"), col("dist"))
+        .localCheckpoint(true)
+      improving = improved.count() > 0L
+      if (improving) {
+        dist = dist.unionAll(improved)
+          .groupBy(col("node"))
+          .agg(org.apache.spark.sql.functions.min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
 }

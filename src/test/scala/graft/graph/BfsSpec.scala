@@ -42,4 +42,63 @@ class BfsSpec extends AnyFunSuite {
     // and succeeds at the exact depth
     assert(hops(chain, 0L, maxDepth = 6).size == 7)
   }
+
+  private def sssp(
+      edges: Seq[(Long, Long, Double)], src: Long,
+      directed: Boolean = false, maxRounds: Int = 128): Map[Long, Double] =
+    Bfs.sssp(edges.toDF("x", "y", "w"), "x", "y", "w", src,
+      directed = directed, maxRounds = maxRounds)
+      .as[(Long, Double)].collect().toMap
+
+  test("sssp: a cheap 2-hop path beats the direct heavy edge; distances " +
+      "correct past the first improvement (label-correcting, not BFS)") {
+    // 0-2 direct costs 10; 0-1-2 costs 3; 2-3 extends the cheap path
+    val got = sssp(Seq((0L, 2L, 10.0), (0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 1.0)), 0L)
+    assert(got == Map(0L -> 0.0, 1L -> 1.0, 2L -> 3.0, 3L -> 4.0))
+  }
+
+  test("sssp: directed keeps orientation; undirected relaxes both ways; " +
+      "parallel edges collapse to min; unreachable nodes absent") {
+    val e = Seq((1L, 2L, 5.0), (1L, 2L, 3.0), (3L, 1L, 1.0), (8L, 9L, 1.0))
+    val dirGot = sssp(e, 1L, directed = true)
+    // directed: 3→1 is not traversable FROM 1; 8-9 unreachable
+    assert(dirGot == Map(1L -> 0.0, 2L -> 3.0))
+    val undGot = sssp(e, 1L)
+    assert(undGot == Map(1L -> 0.0, 2L -> 3.0, 3L -> 1.0))
+  }
+
+  test("sssp: a negative cycle throws via the maxRounds guard") {
+    val ex = intercept[IllegalStateException] {
+      sssp(Seq((1L, 2L, -1.0), (2L, 1L, -1.0)), 1L,
+        directed = true, maxRounds = 16)
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
+  test("sssp: agrees with a driver-side Dijkstra on a random weighted graph") {
+    val rnd = new scala.util.Random(21L)
+    val edges = Seq.fill(160) {
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, (1 + rnd.nextInt(9)).toDouble)
+    }.filter(e => e._1 != e._2)
+    val got = sssp(edges, 0L)
+    // reference: plain Dijkstra over the same canonicalized graph
+    val adj = scala.collection.mutable.Map.empty[Long, Map[Long, Double]]
+    edges.foreach { case (a, b, w) =>
+      Seq((a, b), (b, a)).foreach { case (u, v) =>
+        val m = adj.getOrElse(u, Map.empty)
+        adj(u) = m + (v -> math.min(w, m.getOrElse(v, Double.MaxValue)))
+      }
+    }
+    val dist = scala.collection.mutable.Map(0L -> 0.0)
+    val done = scala.collection.mutable.Set.empty[Long]
+    while (dist.keySet.diff(done).nonEmpty) {
+      val u = dist.keySet.diff(done).minBy(dist)
+      done += u
+      adj.getOrElse(u, Map.empty).foreach { case (v, w) =>
+        val nd = dist(u) + w
+        if (nd < dist.getOrElse(v, Double.MaxValue)) dist(v) = nd
+      }
+    }
+    assert(got == dist.toMap)
+  }
 }
