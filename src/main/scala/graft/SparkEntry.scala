@@ -1947,6 +1947,25 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Critical path ([[graph.Dag.criticalPath]]): the qg29 bucket-layered
+    * DAG with integer durations w = 1 + (s + d) % 5 — per node, the hop
+    * layer AND the max total duration of any dependency chain into it
+    * (earliest-start scheduling).
+    */
+  private def qg31CriticalPath(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(
+        (col("o_custkey") % 500).as("s"),
+        (col("o_orderkey") % 500).as("d"))
+      .filter(floor(col("s") / 50) < floor(col("d") / 50))
+      .withColumn("w", (lit(1) + (col("s") + col("d")) % 5).cast("double"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Dag.criticalPath(edges, "s", "d", "w")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Distributed weighted SSSP ([[graph.Bfs.sssp]], source 0): min-plus
     * frontier Bellman-Ford over the qg18 projection with exact integer
     * edge costs w = 1 + (a + b) % 7 — the DataFrame form of the
@@ -5598,6 +5617,7 @@ object SparkEntry {
     "qg28_scc" -> (qg28Scc _),
     "qg29_dag_layer" -> (qg29DagLayer _),
     "qg30_sssp" -> (qg30Sssp _),
+    "qg31_critical_path" -> (qg31CriticalPath _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
@@ -11644,6 +11664,31 @@ object SparkEntry {
         |  CAST(coalesce(least(n.v, min(m.u)), n.v) AS BIGINT) AS scc
         |FROM nodes n LEFT JOIN mutual m ON m.v = n.v
         |GROUP BY n.v""".stripMargin,
+    // Critical-path replay: the qg29 DP carrying BOTH folds — hop layer
+    // (max d) and max-plus duration (max c) — per (it, node) group.
+    // Integer-valued doubles keep every cost exact.
+    "qg31_critical_path" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |e AS (
+        |  SELECT DISTINCT x AS a, y AS b FROM raw
+        |  WHERE x // 50 < y // 50),
+        |we AS (SELECT a, b, CAST(1 + (a + b) % 5 AS DOUBLE) AS w FROM e),
+        |nodes AS MATERIALIZED (SELECT a AS v FROM we UNION SELECT b FROM we),
+        |lab(it, node, d, c) AS (
+        |  SELECT 0, v, 0, CAST(0 AS DOUBLE) FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, node, max(d), max(c) FROM (
+        |    SELECT l.it, l.node, l.d, l.c FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, we.b AS node, l.d + 1, l.c + we.w
+        |    FROM lab l JOIN we ON we.a = l.node
+        |  ) t(it, node, d, c)
+        |  WHERE it < 20
+        |  GROUP BY it, node)
+        |SELECT node, CAST(max(d) AS BIGINT) AS layer, max(c) AS cost
+        |FROM lab GROUP BY node""".stripMargin,
     // Weighted SSSP replay: the qg1 recursive Bellman-Ford recipe on the
     // qg18 projection — full per-node min table carried per iteration,
     // costs accumulate left-to-right along the winning path exactly as

@@ -90,4 +90,78 @@ object Dag {
     }
     layer
   }
+
+  /** CRITICAL PATH — [[longestPathLayer]] with edge DURATIONS: per node,
+    * the maximum total duration of any directed path ending at it
+    * (sources = 0), i.e. the earliest-start time under "a task starts
+    * when its slowest dependency chain finishes". The project-schedule /
+    * build-graph primitive; the unweighted layer is the special case
+    * w ≡ 1.
+    *
+    * The fixpoint carries BOTH the max-plus cost and the unweighted hop
+    * layer: the hop layer is what detects cycles EXACTLY (layer ≥ n ⇒
+    * throw, the [[longestPathLayer]] guard — a zero-duration cycle
+    * would let the cost fold converge silently, so cost alone cannot
+    * certify acyclicity). Costs accumulate left-to-right along the
+    * winning path and merge by max, so a recursive-CTE replay is
+    * bit-identical; integer-valued durations give exact integer costs.
+    *
+    * Null endpoints/durations drop as edges, endpoints stay as
+    * cost-0 nodes. Output `(node, layer, cost)`.
+    */
+  def criticalPath(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      maxRounds: Int = 256): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val typed = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"),
+        col(wCol).cast("double").as("w"))
+    val e = typed
+      .filter(col("s").isNotNull && col("d").isNotNull && col("w").isNotNull)
+      .groupBy(col("s"), col("d"))
+      .agg(max(col("w")).as("w")) // parallel tasks: the slowest binds
+      .localCheckpoint(true)
+    val nodes = typed
+      .select(col("s").as("node"))
+      .unionAll(typed.select(col("d").as("node")))
+      .filter(col("node").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
+
+    var state = nodes.select(col("node"), lit(0L).as("layer"), lit(0.0).as("cost"))
+      .localCheckpoint(true)
+    def sig(df: DataFrame): (Long, Long, Long, Double) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("layer")), lit(0L)),
+        coalesce(max(col("layer")), lit(0L)),
+        coalesce(sum(col("cost")), lit(0.0))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    var prev = sig(state)
+    var rounds = 0
+    var changing = nNodes > 0
+    while (changing) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"criticalPath did not converge within $maxRounds rounds — " +
+            "either a cycle or a longer-than-expected critical path; " +
+            "check acyclicity or raise maxRounds")
+      state = state.unionAll(
+          e.join(state.withColumnRenamed("node", "s"), Seq("s"))
+            .select(col("d").as("node"), (col("layer") + 1L).as("layer"),
+              (col("cost") + col("w")).as("cost")))
+        .groupBy(col("node"))
+        .agg(max(col("layer")).as("layer"), max(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      val cur = sig(state)
+      if (cur._3 >= nNodes)
+        throw new IllegalArgumentException(
+          s"input graph has a cycle: a path of length ${cur._3} exists over " +
+            s"$nNodes nodes (acyclic inputs are bounded by n - 1)")
+      changing = cur != prev
+      prev = cur
+    }
+    state
+  }
 }

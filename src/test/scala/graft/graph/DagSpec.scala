@@ -57,6 +57,34 @@ class DagSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("cycle"))
   }
 
+  test("criticalPath: the SLOWER chain binds even when it has fewer hops; " +
+      "parallel tasks keep the max duration; w ≡ 1 reproduces the layer") {
+    import org.apache.spark.sql.functions.lit
+    // 1→4 direct takes 10; 1→2→3→4 takes 3 — cost follows duration (10),
+    // layer follows hops (3)
+    val e = Seq((1L, 4L, 10.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (1L, 2L, 0.5)) // parallel task 1→2: the slower (1.0) binds
+    val got = Dag.criticalPath(e.toDF("s", "d", "w"), "s", "d", "w")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((0L, 0.0)), 2L -> ((1L, 1.0)),
+      3L -> ((2L, 2.0)), 4L -> ((3L, 10.0))))
+    // w ≡ 1: cost degenerates to the unweighted layer
+    val ones = Dag.criticalPath(
+      e.toDF("s", "d", "w").withColumn("w", lit(1.0)), "s", "d", "w")
+      .as[(Long, Long, Double)].collect()
+    assert(ones.forall(r => r._3 == r._2.toDouble))
+  }
+
+  test("criticalPath: a ZERO-duration cycle still throws (the hop layer, " +
+      "not the cost fold, certifies acyclicity)") {
+    val ex = intercept[IllegalArgumentException] {
+      Dag.criticalPath(
+        Seq((1L, 2L, 0.0), (2L, 1L, 0.0)).toDF("s", "d", "w"), "s", "d", "w")
+        .collect()
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
   test("brute-force agreement on a random 60-node bucket-layered DAG") {
     val rnd = new scala.util.Random(7L)
     val edges = Seq.fill(300) {
