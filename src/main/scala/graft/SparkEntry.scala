@@ -3773,6 +3773,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_images"))
   }
 
+  /** Image near-dup clusters ([[multimodal.Multimodal
+    * .imageNearDupClusters]], 8 bands / hamming ≤ 10): the multimodal
+    * dedup pass — aHash fingerprints banded LSH-style, exact hamming
+    * verify, min-label components. Media = 100 synthetic PNGs where
+    * ids ≥ 50 are one-block-retouched copies of id − 50 (a few aHash
+    * bits move, never the whole fingerprint).
+    */
+  private def qm17ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val folded = t(spark, dir, "documents")
+      .select((col("doc_id") % 100L).as("doc_id"))
+      .distinct()
+    val media = multimodal.Multimodal.pngMediaNearDupFromDocuments(spark, folded)
+    multimodal.Multimodal.imageNearDupClusters(
+      media, factor = 4, bands = 8, maxHamming = 10)
+  }
+
   /** Multimodal audio tier — REAL WAV/PCM decode ([[sources.Wav]]): one
     * 1024-sample PCM16 clip per document, encoded executor-side and
     * decoded back to actual samples; mean |amplitude| and RMS are
@@ -5534,6 +5550,7 @@ object SparkEntry {
     "qm12_flac_audio" -> (qm12FlacAudio _),
     "qm13_flac_stereo_lpc" -> (qm13FlacStereoLpc _),
     "qm14_perceptual_hash" -> (qm14PerceptualHash _),
+    "qm17_image_dedup" -> (qm17ImageDedup _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -12147,6 +12164,60 @@ object SparkEntry {
     // the pixel formula — 4×4 block sums // 16, thumbnail mean // 64,
     // strict-> threshold bits in (ry, rx) order — all integer, so the
     // REAL decode→resize→hash path must land cell-for-cell on it.
+    // Image near-dup replay: the qm14 aHash recipe with the planted
+    // retouch (first 16 pixels of ids >= 50 brightened by 40, clipped),
+    // banded into 8 substrings, exact per-character hamming <= 10, then
+    // the qd6 min-label component CTE; unmatched images cluster as
+    // themselves.
+    "qm17_image_dedup" ->
+      """WITH RECURSIVE gids AS (
+        |  SELECT DISTINCT doc_id % 100 AS gid FROM documents),
+        |px AS (
+        |  SELECT gid, i,
+        |    CASE WHEN i < 16
+        |      THEN least((i * (7919 + 16 * (gid % 50)) + 3 * (gid % 50)) % 256
+        |             + CASE WHEN gid >= 50 THEN 40 ELSE 0 END, 255)
+        |      ELSE (i * (7919 + 16 * (gid % 50)) + 3 * (gid % 50)) % 256 END AS p
+        |  FROM gids, unnest(generate_series(0, 1023)) t(i)),
+        |r2 AS (
+        |  SELECT gid, (i // 32) // 4 AS ry, (i % 32) // 4 AS rx,
+        |    CAST(sum(p) AS BIGINT) // 16 AS rp
+        |  FROM px GROUP BY 1, 2, 3),
+        |mn AS (SELECT gid, CAST(sum(rp) AS BIGINT) // 64 AS mean
+        |       FROM r2 GROUP BY 1),
+        |bits AS MATERIALIZED (
+        |  SELECT r2.gid,
+        |    string_agg(CASE WHEN rp > mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY ry, rx) AS hb
+        |  FROM r2 JOIN mn USING (gid) GROUP BY r2.gid),
+        |banded AS (
+        |  SELECT gid, b, substr(hb, b * 8 + 1, 8) AS bk
+        |  FROM bits, unnest(generate_series(0, 7)) s(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.gid > b.gid),
+        |ham AS (
+        |  SELECT c.ga, c.gb,
+        |    list_sum(list_transform(generate_series(1, 64), j ->
+        |      CASE WHEN substr(ha.hb, j, 1) = substr(h2.hb, j, 1) THEN 0 ELSE 1 END)) AS d
+        |  FROM cand c JOIN bits ha ON ha.gid = c.ga JOIN bits h2 ON h2.gid = c.gb),
+        |pairs AS (SELECT ga, gb FROM ham WHERE d <= 10),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT ga AS id FROM pairs UNION ALL SELECT gb FROM pairs)),
+        |sym AS MATERIALIZED (SELECT ga AS u, gb AS v FROM pairs UNION ALL SELECT gb, ga FROM pairs),
+        |lab(it, id, lb) AS (
+        |  SELECT 0, id, id FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, id, min(lb) FROM (
+        |    SELECT l.it, l.id, l.lb FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+        |  ) t(it, id, lb)
+        |  WHERE it < 20
+        |  GROUP BY it, id),
+        |final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id)
+        |SELECT g.gid AS media_id,
+        |  CAST(coalesce(f.lb, g.gid) AS BIGINT) AS cluster
+        |FROM gids g LEFT JOIN final f ON f.id = g.gid""".stripMargin,
     "qm14_perceptual_hash" ->
       """WITH cnt AS (
         |  SELECT doc_id % 100 AS gid, CAST(count(*) AS BIGINT) AS c

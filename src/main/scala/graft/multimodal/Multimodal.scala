@@ -509,6 +509,96 @@ object Multimodal {
     }.toDF("media_id", "hash_bits")
   }
 
+  /** IMAGE NEAR-DUP CLUSTERS — the multimodal training-data dedup pass:
+    * cluster images whose [[aHash]] fingerprints are within `maxHamming`
+    * bits, via the text tier's LSH recipe re-targeted at pixels. A
+    * re-encoded, resized-then-restored, or slightly-retouched copy hashes
+    * within a few bits of its original where byte-level dedup (qd1) sees
+    * nothing.
+    *
+    * Pipeline: aHash per image (integer-exact, SQL-replayable) → band the
+    * bit string into `bands` equal substrings and bucket-join on
+    * (band, substring) — a pair within `maxHamming` collides on at least
+    * one band unless every band is hit, the qd2/qd3 banding bet — → verify
+    * EXACT hamming (per-character compare over the zipped bit strings; a
+    * length mismatch counts as distance, so differently-dimensioned
+    * images never merge) → min-label connected components
+    * ([[graft.operators.Dedup.connectedComponents]]). Images whose hash
+    * matches nothing cluster as themselves.
+    *
+    * Output `(media_id, cluster)`, cluster = the component's minimum
+    * media_id — the same labeling contract as the text dedup tier.
+    * Undecodable images emit no row (the aHash honesty rule).
+    *
+    * Scale shape: banding is a projection + explode; candidates come from
+    * the band equi-join (never all-pairs); the verify joins each
+    * candidate's two hash strings (candidate-bounded); components run on
+    * the collided subgraph only.
+    */
+  def imageNearDupClusters(
+      media: Dataset[Media],
+      factor: Int = 4,
+      bands: Int = 8,
+      maxHamming: Int = 10): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val hashes = aHash(media, factor)
+    val banded = hashes
+      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("__w", (length(col("hash_bits")) / bands).cast("int"))
+      .withColumn("__bkey", concat(col("__band").cast("string"), lit(":"),
+        expr("substring(hash_bits, __band * __w + 1, __w)")))
+      .select(col("media_id"), col("__bkey"))
+    val cand = banded.select(col("media_id").as("__a"), col("__bkey"))
+      .join(banded.select(col("media_id").as("__b"), col("__bkey")), Seq("__bkey"))
+      .filter(col("__a") > col("__b"))
+      .select(col("__a"), col("__b"))
+      .distinct()
+    val ham = aggregate(
+      zip_with(
+        split(col("__ab"), ""), split(col("__bb"), ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, v) => acc + v)
+    val pairs = cand
+      .join(hashes.select(col("media_id").as("__a"), col("hash_bits").as("__ab")), Seq("__a"))
+      .join(hashes.select(col("media_id").as("__b"), col("hash_bits").as("__bb")), Seq("__b"))
+      .filter(ham <= maxHamming)
+      .select(col("__a"), col("__b"))
+    val comps = graft.operators.Dedup.connectedComponents(pairs, "__a", "__b")
+    hashes.select(col("media_id"))
+      .join(comps.select(col("id").as("media_id"), col("label")), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("label"), col("media_id")).as("cluster"))
+  }
+
+  /** The [[pngMediaFromDocuments]] generator with PLANTED NEAR-DUPS for
+    * the image-dedup gate: ids < 50 are bases with per-id PATTERNS
+    * (px = (i·(7919 + 16·id) + 3·id) mod 256 — the multiplier varies,
+    * so two bases differ structurally; qm14's formula only shifts
+    * brightness, which aHash is invariant to BY DESIGN and every image
+    * would collapse into one cluster), ids ≥ 50 re-encode base id − 50
+    * with the first 16 pixels brightened by 40 (clipped at 255) — a
+    * one-block retouch that moves a handful of aHash bits, never the
+    * whole fingerprint.
+    */
+  def pngMediaNearDupFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % 50
+          val bump = if (id >= 50) 40 else 0
+          val w = 32; val h = 32
+          val px = Array.tabulate(w * h) { i =>
+            val p = ((i * (7919 + 16 * base) + 3 * base) % 256).toInt
+            if (i < 16) math.min(p + bump, 255) else p
+          }
+          Media(id, MediaMeta("image", w, h, 0), graft.sources.Png.encodeGray(px, w, h))
+        }
+      }
+  }
+
   /** OTSU BINARIZATION THRESHOLD over decoded grayscale pixels — the
     * classic foreground/background split point (argmax of between-class
     * variance over the 256-bin histogram): the document-scan /

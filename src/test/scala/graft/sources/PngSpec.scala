@@ -167,6 +167,28 @@ class PngSpec extends AnyFunSuite {
     assert(out(4L) == "0" * 16) // p > mean is strict: constant image = zeros
   }
 
+  test("imageNearDupClusters: a retouched copy clusters with its original, " +
+      "distinct patterns stay apart, singletons label as themselves") {
+    val spark = graft.GraftSession.local(2, "imgdedup-spec")
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def img(id: Long, px: Array[Int]) = Multimodal.Media(
+      id, Multimodal.MediaMeta("image", 8, 8, 0), Png.encodeGray(px, 8, 8))
+    val a = Array.tabulate(64)(i => (i * 37) % 200)
+    val aRetouch = a.zipWithIndex.map { case (p, i) => if (i < 4) math.min(p + 60, 255) else p }
+    val b = Array.tabulate(64)(i => ((i % 8) * 31) % 256) // different structure
+    val media = Seq(img(1L, a), img(2L, aRetouch), img(3L, b)).toDS()
+    val got = Multimodal.imageNearDupClusters(media, factor = 2, bands = 4, maxHamming = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L, s"retouch did not cluster: $got")
+    assert(got(3L) == 3L, s"distinct pattern merged: $got")
+    // full-fidelity copy: identical hash, trivially clustered
+    val withCopy = Seq(img(1L, a), img(9L, a)).toDS()
+    val got2 = Multimodal.imageNearDupClusters(withCopy, factor = 2, bands = 4, maxHamming = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 1L, 9L -> 1L))
+  }
+
   test("resizeDecoded: 2x2 box average over real pixels, lossless re-encode") {
     val spark = graft.GraftSession.local(2, "resize-spec")
     import spark.implicits._
