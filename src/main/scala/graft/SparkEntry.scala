@@ -3789,6 +3789,22 @@ object SparkEntry {
       media, factor = 4, bands = 8, maxHamming = 10)
   }
 
+  /** Audio near-dup clusters ([[multimodal.Multimodal
+    * .audioNearDupClusters]], 16 windows / 4 bands / hamming ≤ 3): the
+    * audio dedup pass — energy-envelope fingerprints banded LSH-style,
+    * exact hamming verify, min-label components. Media = 100 synthetic
+    * WAV clips where ids ≥ 50 are one-segment-boosted copies of
+    * id − 50.
+    */
+  private def qm18AudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val folded = t(spark, dir, "documents")
+      .select((col("doc_id") % 100L).as("doc_id"))
+      .distinct()
+    val media = multimodal.Multimodal.wavMediaNearDupFromDocuments(spark, folded)
+    multimodal.Multimodal.audioNearDupClusters(
+      media, windows = 16, bands = 4, maxHamming = 3)
+  }
+
   /** Multimodal audio tier — REAL WAV/PCM decode ([[sources.Wav]]): one
     * 1024-sample PCM16 clip per document, encoded executor-side and
     * decoded back to actual samples; mean |amplitude| and RMS are
@@ -5551,6 +5567,7 @@ object SparkEntry {
     "qm13_flac_stereo_lpc" -> (qm13FlacStereoLpc _),
     "qm14_perceptual_hash" -> (qm14PerceptualHash _),
     "qm17_image_dedup" -> (qm17ImageDedup _),
+    "qm18_audio_dedup" -> (qm18AudioDedup _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -12164,6 +12181,64 @@ object SparkEntry {
     // the pixel formula — 4×4 block sums // 16, thumbnail mean // 64,
     // strict-> threshold bits in (ry, rx) order — all integer, so the
     // REAL decode→resize→hash path must land cell-for-cell on it.
+    // Audio near-dup replay: the synthetic PCM16 formula (first 64
+    // samples of ids >= 50 boosted +8000, clipped), 16-window |v| energy
+    // sums, bit = e*16 > total (strict, division-free), 4 bands of 4
+    // chars, exact hamming <= 3, the qd6 component CTE.
+    "qm18_audio_dedup" ->
+      """WITH RECURSIVE gids AS (
+        |  SELECT DISTINCT doc_id % 100 AS gid FROM documents),
+        |amp AS (
+        |  SELECT gid, i,
+        |    CASE WHEN (((gid % 50) * 2654435761 % 65536)
+        |        // CAST(pow(2, i // 64) AS BIGINT)) % 2 = 1
+        |      THEN 32768 ELSE 256 END AS a
+        |  FROM gids, unnest(generate_series(0, 1023)) t(i)),
+        |smp AS (
+        |  SELECT gid, i,
+        |    CASE WHEN i < 64
+        |      THEN least((i * 2731 + 5 * (gid % 50)) % (2 * a) - a
+        |             + CASE WHEN gid >= 50 THEN 8000 ELSE 0 END, 32767)
+        |      ELSE (i * 2731 + 5 * (gid % 50)) % (2 * a) - a
+        |    END AS v
+        |  FROM amp),
+        |en AS (
+        |  SELECT gid, i // 64 AS w, CAST(sum(abs(v)) AS BIGINT) AS e
+        |  FROM smp GROUP BY 1, 2),
+        |tot AS (SELECT gid, CAST(sum(e) AS BIGINT) AS total FROM en GROUP BY 1),
+        |bits AS MATERIALIZED (
+        |  SELECT en.gid,
+        |    string_agg(CASE WHEN e * 16 > total THEN '1' ELSE '0' END, ''
+        |      ORDER BY w) AS hb
+        |  FROM en JOIN tot USING (gid) GROUP BY en.gid),
+        |banded AS (
+        |  SELECT gid, b, substr(hb, b * 4 + 1, 4) AS bk
+        |  FROM bits, unnest(generate_series(0, 3)) s(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.gid > b.gid),
+        |ham AS (
+        |  SELECT c.ga, c.gb,
+        |    list_sum(list_transform(generate_series(1, 16), j ->
+        |      CASE WHEN substr(ha.hb, j, 1) = substr(h2.hb, j, 1) THEN 0 ELSE 1 END)) AS d
+        |  FROM cand c JOIN bits ha ON ha.gid = c.ga JOIN bits h2 ON h2.gid = c.gb),
+        |pairs AS (SELECT ga, gb FROM ham WHERE d <= 3),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT ga AS id FROM pairs UNION ALL SELECT gb FROM pairs)),
+        |sym AS MATERIALIZED (SELECT ga AS u, gb AS v FROM pairs UNION ALL SELECT gb, ga FROM pairs),
+        |lab(it, id, lb) AS (
+        |  SELECT 0, id, id FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, id, min(lb) FROM (
+        |    SELECT l.it, l.id, l.lb FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+        |  ) t(it, id, lb)
+        |  WHERE it < 20
+        |  GROUP BY it, id),
+        |final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id)
+        |SELECT g.gid AS media_id,
+        |  CAST(coalesce(f.lb, g.gid) AS BIGINT) AS cluster
+        |FROM gids g LEFT JOIN final f ON f.id = g.gid""".stripMargin,
     // Image near-dup replay: the qm14 aHash recipe with the planted
     // retouch (first 16 pixels of ids >= 50 brightened by 40, clipped),
     // banded into 8 substrings, exact per-character hamming <= 10, then

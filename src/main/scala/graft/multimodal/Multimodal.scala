@@ -539,10 +539,36 @@ object Multimodal {
       media: Dataset[Media],
       factor: Int = 4,
       bands: Int = 8,
-      maxHamming: Int = 10): DataFrame = {
+      maxHamming: Int = 10): DataFrame =
+    hashClusters(aHash(media, factor), bands, maxHamming)
+
+  /** AUDIO NEAR-DUP CLUSTERS — [[imageNearDupClusters]] for the audio
+    * tier: cluster clips whose [[audioEnergyHash]] fingerprints are
+    * within `maxHamming` bits. A re-encoded or one-segment-retouched
+    * clip clusters with its original; a uniformly-louder copy hashes
+    * IDENTICALLY (the energy threshold is the clip's own mean — the
+    * brightness-invariance story on the time axis).
+    */
+  def audioNearDupClusters(
+      media: Dataset[Media],
+      windows: Int = 16,
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame =
+    hashClusters(audioEnergyHash(media, windows), bands, maxHamming)
+
+  /** The shared fingerprint-clustering tail behind the image and audio
+    * near-dup passes: band the '0'/'1' hash string into `bands` equal
+    * substrings, bucket-join on (band, substring) — a pair within
+    * `maxHamming` collides on ≥ 1 band unless every band is hit, the
+    * qd2/qd3 banding bet — verify EXACT hamming (per-character compare
+    * over the zipped strings; a length mismatch counts as distance, so
+    * differently-shaped media never merge), then min-label connected
+    * components. Fingerprints matching nothing cluster as themselves.
+    */
+  private def hashClusters(
+      hashes: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val hashes = aHash(media, factor)
     val banded = hashes
       .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
       .withColumn("__w", (length(col("hash_bits")) / bands).cast("int"))
@@ -569,6 +595,46 @@ object Multimodal {
       .join(comps.select(col("id").as("media_id"), col("label")), Seq("media_id"), "left")
       .select(col("media_id"),
         coalesce(col("label"), col("media_id")).as("cluster"))
+  }
+
+  /** ENERGY-ENVELOPE HASH over REAL decoded audio — [[aHash]]'s recipe
+    * on the time axis: split the clip into `windows` equal segments,
+    * sum each segment's |amplitude| (exact Longs — Σ|v| < 2^41 even at
+    * 2^25 samples), and emit bit w = 1 iff segment w's energy exceeds
+    * the per-window mean (strict cross-multiplied compare
+    * `e_w · windows > total` — no division, so the hash replays
+    * cell-for-cell in SQL). Threshold = the clip's OWN mean ⇒ a
+    * uniformly-scaled (volume-changed, non-clipping) copy hashes
+    * identically. Undecodable clips and lengths not divisible by
+    * `windows` emit NO row (the aHash honesty rule).
+    */
+  def audioEnergyHash(media: Dataset[Media], windows: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(windows >= 1, s"windows must be >= 1, got $windows")
+    media.flatMap { m =>
+      decodeAudio(safeBytes(m.bytes)) match {
+        case Some((_, _, samples))
+            if samples.length >= windows && samples.length % windows == 0 =>
+          val win = samples.length / windows
+          val e = new Array[Long](windows)
+          var i = 0
+          while (i < samples.length) {
+            e(i / win) += math.abs(samples(i).toLong)
+            i += 1
+          }
+          var total = 0L
+          var w = 0
+          while (w < windows) { total += e(w); w += 1 }
+          val bits = new StringBuilder(windows)
+          w = 0
+          while (w < windows) {
+            bits.append(if (e(w) * windows > total) '1' else '0')
+            w += 1
+          }
+          Some((m.media_id, bits.toString))
+        case _ => None
+      }
+    }.toDF("media_id", "hash_bits")
   }
 
   /** The [[pngMediaFromDocuments]] generator with PLANTED NEAR-DUPS for
@@ -717,6 +783,41 @@ object Multimodal {
         Media(id, MediaMeta("video", w, h, 0), graft.sources.Avi.encodeMjpeg(frames, w, h))
       }
     }
+  }
+
+  /** The WAV fixture with PLANTED NEAR-DUPS for the audio-dedup gate:
+    * ids < 50 are bases whose ENERGY ENVELOPE carries the id — window w
+    * is LOUD (amplitude 32768) iff bit w of the HASHED id
+    * (id·2654435761 mod 65536, Knuth's multiplicative spread — raw id
+    * bits repeat across windows and one-bit id neighbours land within
+    * the hamming budget and chain into a giant cluster; measured
+    * before this formula) is set, QUIET (amplitude 256) otherwise, so
+    * distinct ids sit ~8 hash bits apart (a flat-envelope formula
+    * would merge everything: the hash thresholds on the clip's own
+    * mean). Ids ≥ 50 re-encode
+    * base id − 50 with the first window boosted by +8000 (clipped) —
+    * a one-segment retouch that moves a couple of hash bits, never
+    * the whole fingerprint.
+    */
+  def wavMediaNearDupFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % 50
+          val boost = if (id >= 50) 8000 else 0
+          val pat = base * 2654435761L % 65536L
+          val samples = Array.tabulate(1024) { i =>
+            val w = i / 64
+            val amp = if (((pat >> w) & 1L) == 1L) 32768 else 256
+            val v = ((i * 2731 + 5 * base) % (2 * amp) - amp).toInt
+            (if (i < 64) math.min(v + boost, 32767) else v).toShort
+          }
+          Media(id, MediaMeta("audio", 0, 0, 16000),
+            graft.sources.Wav.encodeMono16(samples, 16000))
+        }
+      }
   }
 
   /** WAV media fixture: 1024 deterministic PCM16 samples per document,

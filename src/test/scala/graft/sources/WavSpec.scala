@@ -133,4 +133,36 @@ class WavSpec extends AnyFunSuite {
     // media 2: out = [-1]; checksum -1; rms 1
     assert(got(2L) == ((8000, 1L, -1L, 1.0)))
   }
+
+  test("audioNearDupClusters: a one-segment retouch clusters with its " +
+      "original, a different envelope stays apart, and a uniformly " +
+      "louder copy hashes identically (volume invariance)") {
+    val spark = graft.GraftSession.local(2, "wav-dedup-spec")
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def clip(id: Long, loud: Int => Boolean, boost: Int = 0) = Multimodal.Media(
+      id, Multimodal.MediaMeta("audio", 0, 0, 16000),
+      Wav.encodeMono16(Array.tabulate(256) { i =>
+        val amp = if (loud(i / 32)) 8192 else 64
+        val v = (i * 37 % (2 * amp)) - amp
+        (if (i < 32) math.min(v + boost, 32767) else v).toShort
+      }, 16000))
+    val a = (w: Int) => w % 2 == 0 // alternating envelope
+    val b = (w: Int) => w < 4      // front-loaded envelope
+    val media = Seq(clip(1L, a), clip(2L, a, boost = 4000), clip(3L, b)).toDS()
+    val got = Multimodal
+      .audioNearDupClusters(media, windows = 8, bands = 4, maxHamming = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L, s"retouch did not cluster: $got")
+    assert(got(3L) == 3L, s"different envelope merged: $got")
+    // volume invariance: scaling every sample 4x (no clipping) is the
+    // same fingerprint — the threshold is the clip's own mean
+    val hashes = Multimodal.audioEnergyHash(Seq(
+      Multimodal.Media(7L, Multimodal.MediaMeta("audio", 0, 0, 16000),
+        Wav.encodeMono16(Array.tabulate(256)(i => ((i % 64) - 32).toShort), 16000)),
+      Multimodal.Media(8L, Multimodal.MediaMeta("audio", 0, 0, 16000),
+        Wav.encodeMono16(Array.tabulate(256)(i => (4 * ((i % 64) - 32)).toShort), 16000))
+    ).toDS(), windows = 8).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes(7L) == hashes(8L))
+  }
 }
