@@ -3789,6 +3789,23 @@ object SparkEntry {
       media, factor = 4, bands = 8, maxHamming = 10)
   }
 
+  /** Video near-dup clusters ([[multimodal.Multimodal
+    * .videoNearDupClusters]], 8 bands / hamming ≤ 16): per-frame aHash
+    * fingerprints concatenated in frame order, banded LSH-style, exact
+    * hamming verify, min-label components. Media = 100 synthetic
+    * 4-frame MJPEG clips where ids ≥ 50 are one-block-retouched copies
+    * of id − 50 (block-constant frames survive JPEG losslessly, the
+    * qm10 contract, so the oracle replays pixels by formula).
+    */
+  private def qm19VideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val folded = t(spark, dir, "documents")
+      .select((col("doc_id") % 100L).as("doc_id"))
+      .distinct()
+    val media = multimodal.Multimodal.aviMediaNearDupFromDocuments(spark, folded)
+    multimodal.Multimodal.videoNearDupClusters(
+      media, factor = 4, bands = 8, maxHamming = 16)
+  }
+
   /** Audio near-dup clusters ([[multimodal.Multimodal
     * .audioNearDupClusters]], 16 windows / 4 bands / hamming ≤ 3): the
     * audio dedup pass — energy-envelope fingerprints banded LSH-style,
@@ -5568,6 +5585,7 @@ object SparkEntry {
     "qm14_perceptual_hash" -> (qm14PerceptualHash _),
     "qm17_image_dedup" -> (qm17ImageDedup _),
     "qm18_audio_dedup" -> (qm18AudioDedup _),
+    "qm19_video_dedup" -> (qm19VideoDedup _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -12181,6 +12199,64 @@ object SparkEntry {
     // the pixel formula — 4×4 block sums // 16, thumbnail mean // 64,
     // strict-> threshold bits in (ry, rx) order — all integer, so the
     // REAL decode→resize→hash path must land cell-for-cell on it.
+    // Video near-dup replay: block-constant frames survive JPEG
+    // losslessly (the qm10 contract), so each 4x4-pixel aHash cell's
+    // mean IS its 8x8 block's formula value; per-frame bits threshold
+    // on the frame's own floor-mean, frames concatenate in order, then
+    // the shared band/hamming/component chain.
+    "qm19_video_dedup" ->
+      """WITH RECURSIVE gids AS (
+        |  SELECT DISTINCT doc_id % 100 AS gid FROM documents),
+        |cells AS (
+        |  SELECT gid, f.f, cy.cy, cx.cx,
+        |    CASE WHEN gid >= 50 AND f.f = 0 AND cy.cy < 2 AND cx.cx < 2
+        |      THEN least(((cx.cx // 2 + 4 * (cy.cy // 2) + 16 * f.f)
+        |             * (7919 + 16 * (gid % 50)) + 3 * (gid % 50)) % 251 + 100, 250)
+        |      ELSE ((cx.cx // 2 + 4 * (cy.cy // 2) + 16 * f.f)
+        |             * (7919 + 16 * (gid % 50)) + 3 * (gid % 50)) % 251
+        |    END AS v
+        |  FROM gids
+        |  CROSS JOIN generate_series(0, 3) f(f)
+        |  CROSS JOIN generate_series(0, 7) cy(cy)
+        |  CROSS JOIN generate_series(0, 7) cx(cx)),
+        |mn AS (
+        |  SELECT gid, f, CAST(sum(v) AS BIGINT) // 64 AS mean
+        |  FROM cells GROUP BY 1, 2),
+        |fb AS (
+        |  SELECT cells.gid, cells.f,
+        |    string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY cy, cx) AS b
+        |  FROM cells JOIN mn USING (gid, f) GROUP BY 1, 2),
+        |bits AS MATERIALIZED (
+        |  SELECT gid, string_agg(b, '' ORDER BY f) AS hb FROM fb GROUP BY 1),
+        |banded AS (
+        |  SELECT gid, b, substr(hb, b * 32 + 1, 32) AS bk
+        |  FROM bits, unnest(generate_series(0, 7)) s(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.gid > b.gid),
+        |ham AS (
+        |  SELECT c.ga, c.gb,
+        |    list_sum(list_transform(generate_series(1, 256), j ->
+        |      CASE WHEN substr(ha.hb, j, 1) = substr(h2.hb, j, 1) THEN 0 ELSE 1 END)) AS d
+        |  FROM cand c JOIN bits ha ON ha.gid = c.ga JOIN bits h2 ON h2.gid = c.gb),
+        |pairs AS (SELECT ga, gb FROM ham WHERE d <= 16),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT ga AS id FROM pairs UNION ALL SELECT gb FROM pairs)),
+        |sym AS MATERIALIZED (SELECT ga AS u, gb AS v FROM pairs UNION ALL SELECT gb, ga FROM pairs),
+        |lab(it, id, lb) AS (
+        |  SELECT 0, id, id FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, id, min(lb) FROM (
+        |    SELECT l.it, l.id, l.lb FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+        |  ) t(it, id, lb)
+        |  WHERE it < 20
+        |  GROUP BY it, id),
+        |final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id)
+        |SELECT g.gid AS media_id,
+        |  CAST(coalesce(f.lb, g.gid) AS BIGINT) AS cluster
+        |FROM gids g LEFT JOIN final f ON f.id = g.gid""".stripMargin,
     // Audio near-dup replay: the synthetic PCM16 formula (first 64
     // samples of ids >= 50 boosted +8000, clipped), 16-window |v| energy
     // sums, bit = e*16 > total (strict, division-free), 4 bands of 4

@@ -665,6 +665,88 @@ object Multimodal {
       }
   }
 
+  /** VIDEO NEAR-DUP CLUSTERS — the quartet's last member (text qd2,
+    * image qm17, audio qm18): cluster clips whose per-frame [[aHash]]
+    * fingerprints, concatenated in frame order, are within
+    * `maxHamming` bits — a re-encoded or one-block-retouched clip
+    * clusters with its original. Same shared [[hashClusters]] tail.
+    */
+  def videoNearDupClusters(
+      media: Dataset[Media],
+      factor: Int = 4,
+      bands: Int = 8,
+      maxHamming: Int = 16): DataFrame =
+    hashClusters(videoFrameHash(media, factor), bands, maxHamming)
+
+  /** Per-clip video fingerprint: each decoded frame's [[aHash]] bit
+    * string (per-frame mean threshold — per-frame brightness-invariant),
+    * concatenated in frame order. Clips with different frame counts or
+    * dimensions produce different-length strings, which the clustering
+    * verify counts as distance. Undecodable clips emit no row.
+    */
+  def videoFrameHash(media: Dataset[Media], factor: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    media.flatMap { m =>
+      decodeVideo(safeBytes(m.bytes)) match {
+        case Some((w, h, frames))
+            if frames.nonEmpty && w % factor == 0 && h % factor == 0
+              && w >= factor && h >= factor =>
+          val sb = new StringBuilder(frames.length * (w / factor) * (h / factor))
+          frames.foreach { px =>
+            val means = boxMeans(px, w, h, factor)
+            var sum = 0L
+            var i = 0
+            while (i < means.length) { sum += means(i); i += 1 }
+            val mean = sum / means.length
+            i = 0
+            while (i < means.length) {
+              sb.append(if (means(i) > mean) '1' else '0')
+              i += 1
+            }
+          }
+          Some((m.media_id, sb.toString))
+        case _ => None
+      }
+    }.toDF("media_id", "hash_bits")
+  }
+
+  /** The AVI fixture with PLANTED NEAR-DUPS for the video-dedup gate:
+    * ids < 50 are bases whose block values come from a per-id LCG over
+    * the block index (v = (blockIdx · (7919 + 16·id) + 3·id) mod 251 —
+    * pseudo-random per-id bit patterns, pairwise hamming ~32; the
+    * first draft's per-id linear GRADIENTS all thresholded to the same
+    * half-plane split and 76 of 100 clips merged, caught by the
+    * histogram), ids ≥ 50
+    * re-encode base id − 50 with frame 0's top-left 8×8 block
+    * brightened by +100 (clipped at 250) — a one-block retouch whose
+    * flipped bits all land in the first frame's hash.
+    */
+  def aviMediaNearDupFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % 50
+          val w = 32; val h = 32
+          val frames = (0 until 4).map { f =>
+            val px = Array.tabulate(w * h) { i =>
+              val bc = (i % 32) / 8
+              val br = (i / 32) / 8
+              val v = (((bc + 4 * br + 16 * f) * (7919 + 16 * base)
+                + 3 * base) % 251).toInt
+              if (id >= 50 && f == 0 && br == 0 && bc == 0) math.min(v + 100, 250)
+              else v
+            }
+            graft.sources.Jpeg.encodeGray(px, w, h)
+          }
+          Media(id, MediaMeta("video", w, h, 0),
+            graft.sources.Avi.encodeMjpeg(frames, w, h))
+        }
+      }
+  }
+
   /** OTSU BINARIZATION THRESHOLD over decoded grayscale pixels — the
     * classic foreground/background split point (argmax of between-class
     * variance over the 256-bin histogram): the document-scan /

@@ -81,4 +81,38 @@ class AviSpec extends AnyFunSuite {
     val Some((_, _, kept)) = Multimodal.decodeVideo(mixed)
     assert(kept.size == 2)
   }
+
+  test("videoNearDupClusters: a one-block frame-0 retouch clusters with " +
+      "its original, a different block pattern stays apart, and the clip " +
+      "fingerprint concatenates per-frame hashes in order") {
+    val spark = graft.GraftSession.local(2, "avi-dedup-spec")
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val w = 32; val h = 32
+    def pattern(mult: Int, f: Int, bump: Boolean): Array[Int] =
+      Array.tabulate(w * h) { i =>
+        val bc = (i % w) / 8; val br = (i / w) / 8
+        val v = ((bc + 4 * br + 16 * f) * mult) % 251
+        // +200: the retouched block must clear the frame mean (~120
+        // here) or no bit flips and the "retouch changed frame 0" half
+        // of the test is vacuous
+        if (bump && f == 0 && bc == 0 && br == 0) math.min(v + 200, 250) else v
+      }
+    def clip(id: Long, mult: Int, bump: Boolean = false) = Multimodal.Media(
+      id, Multimodal.MediaMeta("video", w, h, 0),
+      Avi.encodeMjpeg((0 until 3).map(f => Jpeg.encodeGray(pattern(mult, f, bump), w, h)), w, h))
+    val media = Seq(clip(1L, 7919), clip(2L, 7919, bump = true), clip(3L, 8111)).toDS()
+    // fingerprint length: 3 frames x 64 cells
+    val hashes = Multimodal.videoFrameHash(media, factor = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes(1L).length == 192)
+    // retouch touches ONLY frame 0's bits
+    assert(hashes(1L).substring(64) == hashes(2L).substring(64))
+    assert(hashes(1L).take(64) != hashes(2L).take(64))
+    val got = Multimodal
+      .videoNearDupClusters(media, factor = 4, bands = 6, maxHamming = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L, s"retouch did not cluster: $got")
+    assert(got(3L) == 3L, s"different pattern merged: $got")
+  }
 }
