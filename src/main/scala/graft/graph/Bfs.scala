@@ -145,6 +145,24 @@ object Bfs {
       .groupBy(col("a"), col("b"))
       .agg(org.apache.spark.sql.functions.min(col("w")).as("w"))
       .persist()
+    // fail fast on negative weights: with directed=false, ONE negative
+    // edge is a 2-cycle of negative total — the fixpoint would burn all
+    // maxRounds of joins before throwing a generic non-convergence
+    // error. One min(w) pass over the (already persisted) edge table
+    // turns that into an immediate, precise rejection. Directed inputs
+    // keep negative edges (label-correcting Bellman-Ford handles them;
+    // only a directed negative CYCLE diverges, still caught by
+    // maxRounds).
+    if (!directed) {
+      val minW = e.agg(org.apache.spark.sql.functions.min(col("w"))).head()
+      if (!minW.isNullAt(0) && minW.getDouble(0) < 0.0) {
+        e.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"sssp with directed=false requires non-negative weights: " +
+            s"min weight ${minW.getDouble(0)} < 0 forms a negative cycle " +
+            "with its reverse edge, so no shortest path exists")
+      }
+    }
 
     val schema = StructType(Seq(
       StructField("node", LongType, nullable = false),

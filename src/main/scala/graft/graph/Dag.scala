@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * Algorithm: the longest-path DP `layer(v) = max(0, 1 + max over
   * incoming u→v of layer(u))` iterated to fixpoint. Layers only GROW
   * and are bounded by n − 1 on any acyclic input, so the (count, Σ)
-  * mass signature detects convergence (the SCC/HyperBall idiom) and a
+  * mass signature detects convergence (the SCC/HyperBall idiom —
+  * EXACT here because layers are integer Longs summed without
+  * rounding: any single-node growth strictly raises Σlayer, so the
+  * signature cannot absorb a change the way [[criticalPath]]'s old
+  * FP cost sum could) and a
   * layer reaching n PROVES a cycle — the operator throws rather than
   * returning garbage ranks for a non-DAG input (cycles make "longest
   * path" undefined; silently dropping back-edges would hide a data
@@ -106,6 +110,15 @@ object Dag {
     * winning path and merge by max, so a recursive-CTE replay is
     * bit-identical; integer-valued durations give exact integer costs.
     *
+    * Convergence is an EXACT per-node changed-row count (the
+    * [[Bfs.sssp]] pattern): each round joins the new state to the old
+    * on node and counts rows whose layer OR cost moved. The first
+    * draft's Σcost signature was a double sum that could absorb a
+    * same-hop-length cost improvement smaller than the sum's ulp
+    * (Σ≈10¹⁶ swallows deltas < 1); a row-wise compare of max-merged
+    * values is immune — an unchanged cost is the bit-identical double
+    * from the same fold, so `=!=` fires exactly on real movement.
+    *
     * Null endpoints/durations drop as edges, endpoints stay as
     * cost-0 nodes. Output `(node, layer, cost)`.
     */
@@ -131,13 +144,6 @@ object Dag {
 
     var state = nodes.select(col("node"), lit(0L).as("layer"), lit(0.0).as("cost"))
       .localCheckpoint(true)
-    def sig(df: DataFrame): (Long, Long, Long, Double) = {
-      val r = df.agg(count(lit(1)), coalesce(sum(col("layer")), lit(0L)),
-        coalesce(max(col("layer")), lit(0L)),
-        coalesce(sum(col("cost")), lit(0.0))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
-    }
-    var prev = sig(state)
     var rounds = 0
     var changing = nNodes > 0
     while (changing) {
@@ -147,20 +153,30 @@ object Dag {
           s"criticalPath did not converge within $maxRounds rounds — " +
             "either a cycle or a longer-than-expected critical path; " +
             "check acyclicity or raise maxRounds")
-      state = state.unionAll(
+      val next = state.unionAll(
           e.join(state.withColumnRenamed("node", "s"), Seq("s"))
             .select(col("d").as("node"), (col("layer") + 1L).as("layer"),
               (col("cost") + col("w")).as("cost")))
         .groupBy(col("node"))
         .agg(max(col("layer")).as("layer"), max(col("cost")).as("cost"))
         .localCheckpoint(true)
-      val cur = sig(state)
-      if (cur._3 >= nNodes)
+      // exact changed-row count + cycle guard in ONE aggregate pass:
+      // the node set is stable (both sides carry every node), so the
+      // inner join is total and a row moved iff layer or cost grew
+      val r = next
+        .join(state.select(col("node"), col("layer").as("__ol"),
+          col("cost").as("__oc")), Seq("node"))
+        .agg(
+          coalesce(sum(when(col("layer") =!= col("__ol")
+            || col("cost") =!= col("__oc"), 1L).otherwise(0L)), lit(0L)),
+          coalesce(max(col("layer")), lit(0L))).head()
+      val (changed, maxLayer) = (r.getLong(0), r.getLong(1))
+      if (maxLayer >= nNodes)
         throw new IllegalArgumentException(
-          s"input graph has a cycle: a path of length ${cur._3} exists over " +
+          s"input graph has a cycle: a path of length $maxLayer exists over " +
             s"$nNodes nodes (acyclic inputs are bounded by n - 1)")
-      changing = cur != prev
-      prev = cur
+      state = next
+      changing = changed > 0L
     }
     state
   }

@@ -556,45 +556,108 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     hashClusters(audioEnergyHash(media, windows), bands, maxHamming)
 
-  /** The shared fingerprint-clustering tail behind the image and audio
-    * near-dup passes: band the '0'/'1' hash string into `bands` equal
-    * substrings, bucket-join on (band, substring) — a pair within
-    * `maxHamming` collides on ≥ 1 band unless every band is hit, the
-    * qd2/qd3 banding bet — verify EXACT hamming (per-character compare
-    * over the zipped strings; a length mismatch counts as distance, so
+  /** The shared fingerprint-clustering tail behind the image, audio and
+    * video near-dup passes: DICTIONARY-COLLAPSE identical fingerprints,
+    * band each DISTINCT '0'/'1' hash string into `bands` substrings,
+    * bucket-join on (band, substring) — a pair within `maxHamming`
+    * collides on ≥ 1 band unless every band is hit, the qd2/qd3 banding
+    * bet — verify EXACT hamming (per-character compare over the zipped
+    * strings; a length mismatch counts as distance, so
     * differently-shaped media never merge), then min-label connected
-    * components. Fingerprints matching nothing cluster as themselves.
+    * components over fingerprint representatives, expanded back through
+    * the fingerprint groups. Fingerprints matching nothing cluster as
+    * themselves.
+    *
+    * Identical-fingerprint collapse (the [[graft.operators.Dedup]]
+    * `prefixFilterJoin` recipe, third time it's paid for itself): exact
+    * re-uploads are the DOMINANT near-dup class in any crawled media
+    * corpus — m byte-identical images collide in EVERY band, and the
+    * uncollapsed join produced Θ(m²·bands) candidate rows, m²/2 verify
+    * rows and m²/2 component edges. Collapsed, candidates/verify/
+    * components see ONE representative per distinct fingerprint
+    * (rep = the group's min media_id), so the quadratic stage is
+    * Θ(distinct²-bounded) regardless of repetition; members rejoin by
+    * fingerprint at the end. The cluster label is unchanged: hamming 0
+    * ≤ maxHamming always, so identical fingerprints were always one
+    * component, and min over group minima = the component's global min
+    * media_id — the same contract.
+    *
+    * Banding covers EVERY bit: bands 0..bands−2 take width
+    * ⌊len/bands⌋, the LAST band absorbs the len mod bands remainder
+    * (the first draft silently excluded trailing bits from all bands).
+    * Fingerprints shorter than `bands` raise an error at execution
+    * time — a zero-width band would give every row the same band keys
+    * and degenerate the candidate join to all-pairs.
     */
-  private def hashClusters(
+  private[graft] def hashClusters(
       hashes: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val banded = hashes
-      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
-      .withColumn("__w", (length(col("hash_bits")) / bands).cast("int"))
-      .withColumn("__bkey", concat(col("__band").cast("string"), lit(":"),
-        expr("substring(hash_bits, __band * __w + 1, __w)")))
-      .select(col("media_id"), col("__bkey"))
-    val cand = banded.select(col("media_id").as("__a"), col("__bkey"))
-      .join(banded.select(col("media_id").as("__b"), col("__bkey")), Seq("__bkey"))
-      .filter(col("__a") > col("__b"))
-      .select(col("__a"), col("__b"))
-      .distinct()
+    val fp = collapseFingerprints(hashes)
+    val cand = fingerprintCandidates(fp, bands)
     val ham = aggregate(
       zip_with(
         split(col("__ab"), ""), split(col("__bb"), ""),
         (x, y) => when(x === y, 0).otherwise(1)),
       lit(0), (acc, v) => acc + v)
+    val reps = fp.select(col("__rep"), col("hash_bits"))
     val pairs = cand
-      .join(hashes.select(col("media_id").as("__a"), col("hash_bits").as("__ab")), Seq("__a"))
-      .join(hashes.select(col("media_id").as("__b"), col("hash_bits").as("__bb")), Seq("__b"))
+      .join(reps.select(col("__rep").as("__a"), col("hash_bits").as("__ab")), Seq("__a"))
+      .join(reps.select(col("__rep").as("__b"), col("hash_bits").as("__bb")), Seq("__b"))
       .filter(ham <= maxHamming)
       .select(col("__a"), col("__b"))
     val comps = graft.operators.Dedup.connectedComponents(pairs, "__a", "__b")
-    hashes.select(col("media_id"))
-      .join(comps.select(col("id").as("media_id"), col("label")), Seq("media_id"), "left")
+    // expand through the fingerprint group: every member inherits its
+    // representative's component label (or the rep itself when the
+    // fingerprint collided with nothing)
+    hashes.select(col("media_id"), col("hash_bits"))
+      .join(fp, Seq("hash_bits"))
+      .join(comps.select(col("id").as("__rep"), col("label")), Seq("__rep"), "left")
       .select(col("media_id"),
-        coalesce(col("label"), col("media_id")).as("cluster"))
+        coalesce(col("label"), col("__rep")).as("cluster"))
+  }
+
+  /** The dictionary-collapse step of [[hashClusters]]: one row per
+    * DISTINCT fingerprint, `(hash_bits, __rep)` with __rep = the
+    * group's minimum media_id. Package-private so the scale probe can
+    * assert the candidate tier is Θ(distinct), not Θ(rows).
+    */
+  private[graft] def collapseFingerprints(hashes: DataFrame): DataFrame =
+    hashes
+      .groupBy(col("hash_bits"))
+      .agg(min(col("media_id")).as("__rep"))
+
+  /** The banded candidate tier of [[hashClusters]] over COLLAPSED
+    * fingerprints (`(hash_bits, __rep)` rows from
+    * [[collapseFingerprints]]): explode `bands` band keys per distinct
+    * fingerprint — bands 0..bands−2 take width ⌊len/bands⌋, the LAST
+    * band absorbs the remainder so every bit is covered — and
+    * equi-join on (band, substring). Returns `(__a, __b)` rep pairs,
+    * __a > __b, distinct. Raises at execution time if any fingerprint
+    * is shorter than `bands` (width 0 ⇒ every row shares every band
+    * key ⇒ all-pairs).
+    */
+  private[graft] def fingerprintCandidates(fp: DataFrame, bands: Int): DataFrame = {
+    val banded = fp
+      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("__w",
+        when(length(col("hash_bits")) >= bands,
+          (length(col("hash_bits")) / bands).cast("int"))
+          .otherwise(raise_error(concat(
+            lit("hashClusters: fingerprint length "),
+            length(col("hash_bits")),
+            lit(s" < bands=$bands — band width would be 0 and every row " +
+              "would share every band key (all-pairs candidates); lower " +
+              "bands or lengthen the fingerprint")))))
+      .withColumn("__bkey", concat(col("__band").cast("string"), lit(":"),
+        expr(s"substring(hash_bits, __band * __w + 1, " +
+          s"if(__band = ${bands - 1}, length(hash_bits) - __band * __w, __w))")))
+      .select(col("__rep"), col("__bkey"))
+    banded.select(col("__rep").as("__a"), col("__bkey"))
+      .join(banded.select(col("__rep").as("__b"), col("__bkey")), Seq("__bkey"))
+      .filter(col("__a") > col("__b"))
+      .select(col("__a"), col("__b"))
+      .distinct()
   }
 
   /** ENERGY-ENVELOPE HASH over REAL decoded audio — [[aHash]]'s recipe

@@ -75,6 +75,21 @@ class BfsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxRounds"))
   }
 
+  test("sssp: one negative edge with directed=false fails FAST with a " +
+      "precise message (its reverse forms a negative cycle) instead of " +
+      "burning maxRounds; directed negative edges without a cycle " +
+      "still relax exactly") {
+    val ex = intercept[IllegalArgumentException] {
+      sssp(Seq((1L, 2L, 1.0), (2L, 3L, -0.5)), 1L,
+        directed = false, maxRounds = 128)
+    }
+    assert(ex.getMessage.contains("non-negative"), ex.getMessage)
+    // directed Bellman-Ford legitimately handles a negative edge on a DAG
+    val got = sssp(Seq((1L, 2L, 5.0), (2L, 3L, -3.0), (1L, 3L, 4.0)), 1L,
+      directed = true)
+    assert(got == Map(1L -> 0.0, 2L -> 5.0, 3L -> 2.0))
+  }
+
   test("sssp: agrees with a driver-side Dijkstra on a random weighted graph") {
     val rnd = new scala.util.Random(21L)
     val edges = Seq.fill(160) {

@@ -85,6 +85,26 @@ class DagSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cycle"))
   }
 
+  test("criticalPath: a same-hop-length higher-cost relax lands exactly " +
+      "even beside a 1e16-cost row (the Σcost-absorption scale the old " +
+      "FP signature could swallow — convergence is now an exact " +
+      "changed-row count, the Bfs.sssp pattern)") {
+    // two 2-hop paths into 4 with different costs: the higher (1→3→4,
+    // cost 3) must win over the lower (1→2→4, cost 2). The isolated
+    // 100→101 edge puts 1e16 into every Σcost a signature would take
+    // (ulp(1e16) = 2, so the +1-class deltas of the small component
+    // vanish from a double sum) — the row-wise compare is immune.
+    val e = Seq(
+      (1L, 2L, 1.0), (2L, 4L, 1.0),
+      (1L, 3L, 2.0), (3L, 4L, 1.0),
+      (100L, 101L, 1.0e16))
+    val got = Dag.criticalPath(e.toDF("s", "d", "w"), "s", "d", "w")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((0L, 0.0)), 2L -> ((1L, 1.0)),
+      3L -> ((1L, 2.0)), 4L -> ((2L, 3.0)),
+      100L -> ((0L, 0.0)), 101L -> ((1L, 1.0e16))))
+  }
+
   test("brute-force agreement on a random 60-node bucket-layered DAG") {
     val rnd = new scala.util.Random(7L)
     val edges = Seq.fill(300) {
