@@ -1987,6 +1987,30 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Weighted closeness + harmonic centrality ([[graph.Centrality
+    * .weightedDistanceCentralities]]) on qg22's %150 projection with
+    * the qg30 integer cost model w = 1 + (a + b) % 7: the qg30
+    * min-plus fixpoint run from every source, normalized by the qg22
+    * tail (ascending-(dist, cnt) ordered folds for sum_dist and
+    * harmonic, one IEEE divide for closeness). Integer-valued costs
+    * keep every distance and fold term exact; the oracle replays the
+    * multi-source recursive-CTE Bellman-Ford bounded by the node
+    * count (any shortest path has ≤ n − 1 hops, so it < 150 is
+    * structural, not data-dependent).
+    */
+  private def qg32WeightedCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+      .withColumn("w", (lit(1) + (col("x") + col("y")) % 7).cast("double"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Centrality.weightedDistanceCentralities(edges, "x", "y", "w")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** ANN recall@10 evaluation ([[operators.Similarity.annRecall]],
     * 16 queries, 8-bit hyperplane cells, hamming-1 probe ball): per
     * query, |approximate top-10 ∩ exact top-10| / 10 — the
@@ -5670,6 +5694,7 @@ object SparkEntry {
     "qg29_dag_layer" -> (qg29DagLayer _),
     "qg30_sssp" -> (qg30Sssp _),
     "qg31_critical_path" -> (qg31CriticalPath _),
+    "qg32_weighted_centrality" -> (qg32WeightedCentrality _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
@@ -11747,6 +11772,60 @@ object SparkEntry {
     // the engine's relax order does. Bound 40: w ∈ [1,7] and the hop
     // eccentricity is ~5, so any path past 35 hops costs > any 5-hop
     // path; integer-valued doubles keep every distance exact.
+    // Weighted closeness/harmonic replay: the qg22 multi-source CTE
+    // with the qg30 cost model — seed every node at cost 0, relax one
+    // edge hop per iteration with min-merge, bound it < 150 = the %150
+    // projection's node-count ceiling (any shortest path has <= n - 1
+    // hops — a structural bound, not a data-dependent guess). The
+    // normalization tail folds (dist, cnt) terms in ascending order
+    // (list_sort + list_reduce), the same operation tree Spark's
+    // sort_array + aggregate builds; integer-valued costs keep every
+    // term exact.
+    "qg32_weighted_centrality" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |we AS (SELECT a, b, CAST(1 + (a + b) % 7 AS DOUBLE) AS w FROM e),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS t, w FROM we UNION ALL SELECT b, a, w FROM we),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |lab(it, p, node, c) AS (
+        |  SELECT 0, v, v, CAST(0 AS DOUBLE) FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, p, node, min(c) FROM (
+        |    SELECT l.it, l.p, l.node, l.c FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, l.p, s.t AS node, l.c + s.w
+        |    FROM lab l JOIN sym s ON s.v = l.node
+        |  ) t(it, p, node, c)
+        |  WHERE it < 150
+        |  GROUP BY it, p, node),
+        |dist AS MATERIALIZED (
+        |  SELECT p, node AS v, min(c) AS d FROM lab GROUP BY p, node),
+        |cnts AS (
+        |  SELECT v, d, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dist WHERE p <> v GROUP BY v, d),
+        |per AS (
+        |  SELECT v,
+        |    CAST(sum(cnt) AS BIGINT) AS n_reached,
+        |    list_sort(list(struct_pack(dist := d, cnt := cnt))) AS t
+        |  FROM cnts GROUP BY v),
+        |sd AS (
+        |  SELECT v, n_reached, t,
+        |    list_reduce(
+        |      list_transform(t, x -> x.dist * CAST(x.cnt AS DOUBLE)),
+        |      (acc, e) -> acc + e) AS sdv
+        |  FROM per)
+        |SELECT v AS node, n_reached,
+        |  round(sdv, 6) AS sum_dist,
+        |  round(CAST(n_reached AS DOUBLE) / sdv, 6) AS closeness,
+        |  round(list_reduce(
+        |    list_transform(t, x -> CAST(x.cnt AS DOUBLE) / x.dist),
+        |    (acc, e) -> acc + e), 6) AS harmonic
+        |FROM sd""".stripMargin,
     "qg30_sssp" ->
       """WITH RECURSIVE raw AS (
         |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y

@@ -136,6 +136,132 @@ object Centrality {
     out
   }
 
+  /** EXACT WEIGHTED closeness + harmonic per vertex:
+    * `(node, n_reached, sum_dist, closeness, harmonic)` with
+    * COST distances — the composition the engine's own road graph
+    * demands (edge costs are RUC·length, G3; hop-count closeness
+    * answers the wrong question on a cost-weighted graph). The
+    * distance fixpoint is [[Bfs.sssp]]'s min-plus frontier
+    * Bellman-Ford run from EVERY source at once (state keyed by
+    * (source, node), the [[distanceCentralities]] multi-source
+    * shape); the normalization tail is [[distanceCentralities]]'s:
+    * group by (node, dist), fold per-node (dist, cnt) terms in
+    * ascending order.
+    *
+    * Exactness: distances are bit-identical to a recursive-CTE
+    * Bellman-Ford (left-to-right accumulation, min merge — the qg30
+    * contract), so grouping BY the double distance is well-defined.
+    * `sum_dist` and `harmonic` fold over the per-node (dist, cnt)
+    * list in ascending (dist, cnt) order — a deterministic operation
+    * tree an oracle replays term-for-term; `closeness =
+    * n_reached / sum_dist` divides the unrounded fold. Fold width =
+    * DISTINCT distance values per node (≤ diameter at unit weights,
+    * ≤ the cost diameter's value count generally — small-integer
+    * costs keep it diameter-class).
+    *
+    * Weights must be STRICTLY positive: a zero-weight edge puts two
+    * distinct vertices at distance 0 and harmonic = Σ 1/d diverges —
+    * rejected up front with one min(w) pass (the [[Bfs.sssp]]
+    * fail-fast); undirected negatives are negative cycles anyway.
+    * Parallel edges collapse to min weight; self-loops, null
+    * endpoints/weights drop; isolated vertices emit no row (no edges
+    * → no rows, the [[distanceCentralities]] contract).
+    *
+    * Scale shape: state is one (source, node, dist) row per REACHED
+    * pair — Θ(n²) on a connected graph, the inherent cost of exact
+    * all-pairs closeness (same as [[distanceCentralities]]);
+    * [[harmonicHyperBall]] stays the designated 100 TB estimator.
+    * Each round: one frontier×edges join (frontier-sized), one min
+    * aggregate, one min-merge — localCheckpointed, driver sees one
+    * improved-count per round. Rounds = hop length of the
+    * hop-longest optimal path; throws past `maxRounds`.
+    */
+  def weightedDistanceCentralities(
+      edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      maxRounds: Int = 128): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val e0 = edges
+      .select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"),
+        col(wCol).cast("double").as("__w"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("__w").isNotNull)
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("__w")).as("__w"))
+    val ed = e0.select(col("a").as("v"), col("b").as("t"), col("__w"))
+      .unionAll(e0.select(col("b").as("v"), col("a").as("t"), col("__w")))
+      .persist()
+    val minW = ed.agg(min(col("__w"))).head()
+    if (!minW.isNullAt(0) && minW.getDouble(0) <= 0.0) {
+      ed.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        "weightedDistanceCentralities requires strictly positive weights: " +
+          s"min weight ${minW.getDouble(0)} ≤ 0 (zero puts distinct vertices " +
+          "at distance 0 — harmonic diverges; negative forms a cycle)")
+    }
+    val nodes = ed.select(col("v")).distinct()
+    if (nodes.isEmpty) {
+      ed.unpersist(blocking = false)
+      return spark.range(0).select(
+        col("id").as("node"), lit(0L).as("n_reached"),
+        lit(0.0).as("sum_dist"), lit(0.0).as("closeness"),
+        lit(0.0).as("harmonic"))
+    }
+    var dist = nodes
+      .select(col("v").as("p"), col("v"), lit(0.0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var rounds = 0
+    var improving = true
+    while (improving) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"weightedDistanceCentralities still improving after " +
+            s"maxRounds=$maxRounds rounds; raise maxRounds")
+      val cand = frontier
+        .join(ed, Seq("v"))
+        .select(col("p"), col("t").as("v"), (col("dist") + col("__w")).as("dist"))
+        .groupBy(col("p"), col("v"))
+        .agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(dist.select(col("p"), col("v"), col("dist").as("__old")),
+          Seq("p", "v"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("p"), col("v"), col("dist"))
+        .localCheckpoint(true)
+      improving = improved.count() > 0L
+      if (improving) {
+        dist = dist.unionAll(improved)
+          .groupBy(col("p"), col("v"))
+          .agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    ed.unpersist(blocking = false)
+    val counts = dist
+      .filter(col("p") =!= col("v"))
+      .groupBy(col("v"), col("dist"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("v"))
+      .agg(
+        sum(col("cnt")).as("n_reached"),
+        sort_array(collect_list(struct(col("dist"), col("cnt")))).as("__t"))
+      .withColumn("__sd", aggregate(col("__t"), lit(0.0), (acc, x) =>
+        acc + x("dist") * x("cnt").cast("double")))
+      .select(
+        col("v").as("node"),
+        col("n_reached"),
+        round(col("__sd"), 6).as("sum_dist"),
+        round(col("n_reached").cast("double") / col("__sd"), 6).as("closeness"),
+        round(aggregate(col("__t"), lit(0.0), (acc, x) =>
+          acc + x("cnt").cast("double") / x("dist")), 6).as("harmonic"))
+  }
+
   /** HYPERBALL harmonic-centrality estimate:
     * `(node, harmonic_est, reached_est)`. Each vertex's distance-t
     * ball B(v,t) is an HLL sketch in the [[Sketches.hllRegisters]]

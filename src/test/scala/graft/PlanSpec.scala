@@ -383,6 +383,36 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan(q).contains("CartesianProduct"), s"$q planned a cartesian")
   }
 
+  test("qg32/qm17: round-15 shapes — weighted centrality composes keyed " +
+    "joins + ordered folds (no Window, no cartesian); the fingerprint " +
+    "candidate tier is a collapse aggregate + band equi-join, never " +
+    "all-pairs") {
+    import spark.implicits._
+    // qg32: the composed normalization tail over the converged distance
+    // table — a Window or cartesian here would mean the qg22-tail
+    // contract regressed
+    val wc = plan("qg32_weighted_centrality")
+    assert(!wc.contains("CartesianProduct"), wc.take(800))
+    assert(!"Window\\b".r.findFirstIn(wc).isDefined,
+      "weighted centrality planned a Window:\n" + wc.take(800))
+    // the near-dup candidate tier: dictionary collapse is a (partial)
+    // hash aggregate on hash_bits; candidates come from the __bkey
+    // equi-join over DISTINCT fingerprints only
+    val fp = graft.multimodal.Multimodal.collapseFingerprints(
+      Seq((1L, "10101010"), (2L, "10101010"), (3L, "01010101"))
+        .toDF("media_id", "hash_bits"))
+    val fpPlan = fp.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(fpPlan).size >= 2,
+      "fingerprint collapse not partial+final:\n" + fpPlan.take(800))
+    val cd = graft.multimodal.Multimodal.fingerprintCandidates(fp, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!cd.contains("CartesianProduct"),
+      "band candidates planned a cartesian:\n" + cd.take(800))
+    assert(cd.contains("SortMergeJoin") || cd.contains("ShuffledHashJoin")
+        || cd.contains("BroadcastHashJoin"),
+      "band candidates not an equi-join:\n" + cd.take(800))
+  }
+
   test("qg27: the weighted power-iteration step is one keyed join + one " +
     "partial-aggregated neighbor sum + a 1-row broadcast norm — no Window, " +
     "no shuffled norm join") {

@@ -32,6 +32,49 @@ class CentralitySpec extends AnyFunSuite {
       edges.filter(lit(false)), "a", "b").count() == 0L)
   }
 
+  test("weightedDistanceCentralities: cost distances (not hops) drive the " +
+      "normalization; w ≡ 1 reproduces the unweighted tier; zero and " +
+      "negative weights are rejected up front") {
+    import spark.implicits._
+    // triangle 0-1-2 with a heavy direct edge: d(0,2) = 3 via 1, not 10
+    // direct — hop closeness would call 0-2 adjacent; cost disagrees
+    val edges = Seq(
+      (0L, 1L, 1.0), (1L, 2L, 2.0), (0L, 2L, 10.0),
+      (2L, 0L, 12.0), // dup orientation, heavier: min binds (10), still loses to 3
+      (5L, 5L, 1.0)) // self-loop drops
+      .toDF("a", "b", "w")
+    val out = Centrality.weightedDistanceCentralities(edges, "a", "b", "w")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // node 0: d(0,1)=1, d(0,2)=3 → sum 4, closeness 0.5, harmonic 1+1/3
+    assert(out(0L) == ((0L, 2L, 4.0, 0.5, 1.333333)))
+    // node 1: d=1 and d=2 → sum 3, closeness 2/3, harmonic 1.5
+    assert(out(1L) == ((1L, 2L, 3.0, 0.666667, 1.5)))
+    // node 2: d(2,1)=2, d(2,0)=3 → sum 5, closeness 0.4, harmonic 1/2+1/3
+    assert(out(2L) == ((2L, 2L, 5.0, 0.4, 0.833333)))
+    assert(!out.contains(5L))
+    // w ≡ 1 degenerates to the unweighted tier on the path 0-1-2
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val unw = Centrality.distanceCentralities(path, "a", "b")
+      .select(col("node"), col("n_reached"), col("sum_dist").cast("double"),
+        col("closeness"), col("harmonic"))
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val wtd = Centrality.weightedDistanceCentralities(
+      path.withColumn("w", lit(1.0)), "a", "b", "w")
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(unw == wtd)
+    val exZero = intercept[IllegalArgumentException] {
+      Centrality.weightedDistanceCentralities(
+        Seq((0L, 1L, 0.0)).toDF("a", "b", "w"), "a", "b", "w")
+    }
+    assert(exZero.getMessage.contains("strictly positive"))
+    val exNeg = intercept[IllegalArgumentException] {
+      Centrality.weightedDistanceCentralities(
+        Seq((0L, 1L, 1.0), (1L, 2L, -2.0)).toDF("a", "b", "w"), "a", "b", "w")
+    }
+    assert(exNeg.getMessage.contains("strictly positive"))
+  }
+
   test("harmonicHyperBall tracks exact harmonic on the gate graph " +
       "(p = 8: median relative error < 0.2) and replays deterministically") {
     import spark.implicits._
