@@ -3830,6 +3830,26 @@ object SparkEntry {
       media, factor = 4, bands = 8, maxHamming = 16)
   }
 
+  /** Trim-invariant video near-dup clusters ([[multimodal.Multimodal
+    * .videoNearDupClustersSampled]], 4 sampled frames / 8 bands /
+    * hamming ≤ 16): the frame-SAMPLED fingerprint hashes exactly 4
+    * evenly-spaced frames (index ⌊j·F/4⌋), so an end-trimmed re-upload
+    * compares at the same 256-bit length as its original — the pair
+    * the qm19 concatenated fingerprint (length F·64) can never merge.
+    * Media = 100 synthetic MJPEG clips where ids ≥ 50 drop the LAST
+    * frame of base id − 50; at F = 5 vs 4 the sample indices coincide
+    * (⌊j·5/4⌋ = j), so each trim hashes the same four frames as its
+    * base and clusters at hamming 0.
+    */
+  private def qm20VideoTrimDedup(spark: SparkSession, dir: String): DataFrame = {
+    val folded = t(spark, dir, "documents")
+      .select((col("doc_id") % 100L).as("doc_id"))
+      .distinct()
+    val media = multimodal.Multimodal.aviMediaTrimNearDupFromDocuments(spark, folded)
+    multimodal.Multimodal.videoNearDupClustersSampled(
+      media, factor = 4, nFrames = 4, bands = 8, maxHamming = 16)
+  }
+
   /** Audio near-dup clusters ([[multimodal.Multimodal
     * .audioNearDupClusters]], 16 windows / 4 bands / hamming ≤ 3): the
     * audio dedup pass — energy-envelope fingerprints banded LSH-style,
@@ -5610,6 +5630,7 @@ object SparkEntry {
     "qm17_image_dedup" -> (qm17ImageDedup _),
     "qm18_audio_dedup" -> (qm18AudioDedup _),
     "qm19_video_dedup" -> (qm19VideoDedup _),
+    "qm20_video_trim_dedup" -> (qm20VideoTrimDedup _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -11743,7 +11764,9 @@ object SparkEntry {
         |GROUP BY n.v""".stripMargin,
     // Critical-path replay: the qg29 DP carrying BOTH folds — hop layer
     // (max d) and max-plus duration (max c) — per (it, node) group.
-    // Integer-valued doubles keep every cost exact.
+    // Integer-valued doubles keep every cost exact. Bound it < 20 is
+    // the qg29 structural cap (bucket-increasing paths <= 9 hops at
+    // any scale factor), not a connectivity guess.
     "qg31_critical_path" ->
       """WITH RECURSIVE raw AS (
         |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
@@ -11844,14 +11867,21 @@ object SparkEntry {
         |    UNION ALL
         |    SELECT r.it, s.t AS node, r.cost + s.w FROM r JOIN sym s ON s.v = r.node
         |  ) q(it, node, cost)
-        |  WHERE it < 40
+        |  WHERE it < 500
         |  GROUP BY it, node)
         |SELECT node, min(cost) AS dist FROM r GROUP BY node""".stripMargin,
+    // ^ bound = the %500 projection's node-count ceiling: any shortest
+    // path has <= n - 1 hops, so it < 500 is structural at EVERY scale
+    // factor (the old it < 40 leaned on data-dependent connectivity — a
+    // sparse SF with hop eccentricity > 40 would have under-relaxed the
+    // oracle and failed the gate spuriously).
     // DAG layering replay: the qg18 hop-bounded DP with max instead of
     // min — every node seeds at 0, each step relaxes one edge hop, the
     // GROUP BY max keeps the frontier table one-row-per-(it, node).
-    // Bound 20 > 2x the structural depth cap (the bucket filter makes
-    // paths strictly bucket-increasing: <= 9 hops at any density).
+    // Bound 20 > 2x the structural depth cap: the bucket filter makes
+    // paths strictly bucket-increasing over 10 buckets, <= 9 hops at
+    // ANY density/scale factor — SF-independent, unlike a
+    // connectivity-derived bound.
     "qg29_dag_layer" ->
       """WITH RECURSIVE raw AS (
         |  SELECT o_custkey % 500 AS x, o_orderkey % 500 AS y
@@ -12283,6 +12313,61 @@ object SparkEntry {
     // mean IS its 8x8 block's formula value; per-frame bits threshold
     // on the frame's own floor-mean, frames concatenate in order, then
     // the shared band/hamming/component chain.
+    // Trim-invariant video near-dup replay: the qm19 block-formula
+    // pixels over the SAMPLED frame indices floor(j*F/4), F = 5 for
+    // bases / 4 for end-trims — the indices coincide (= j), so a trim
+    // and its base rebuild identical 256-bit fingerprints; then the
+    // shared band/hamming/component chain.
+    "qm20_video_trim_dedup" ->
+      """WITH RECURSIVE gids AS (
+        |  SELECT DISTINCT doc_id % 100 AS gid FROM documents),
+        |cells AS (
+        |  SELECT gid, j.j, cy.cy, cx.cx,
+        |    ((cx.cx // 2 + 4 * (cy.cy // 2)
+        |       + 16 * ((j.j * (CASE WHEN gid >= 50 THEN 4 ELSE 5 END)) // 4))
+        |      * (7919 + 16 * (gid % 50)) + 3 * (gid % 50)) % 251 AS v
+        |  FROM gids
+        |  CROSS JOIN generate_series(0, 3) j(j)
+        |  CROSS JOIN generate_series(0, 7) cy(cy)
+        |  CROSS JOIN generate_series(0, 7) cx(cx)),
+        |mn AS (
+        |  SELECT gid, j, CAST(sum(v) AS BIGINT) // 64 AS mean
+        |  FROM cells GROUP BY 1, 2),
+        |fb AS (
+        |  SELECT cells.gid, cells.j,
+        |    string_agg(CASE WHEN v > mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY cy, cx) AS b
+        |  FROM cells JOIN mn USING (gid, j) GROUP BY 1, 2),
+        |bits AS MATERIALIZED (
+        |  SELECT gid, string_agg(b, '' ORDER BY j) AS hb FROM fb GROUP BY 1),
+        |banded AS (
+        |  SELECT gid, b, substr(hb, b * 32 + 1, 32) AS bk
+        |  FROM bits, unnest(generate_series(0, 7)) s(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.gid > b.gid),
+        |ham AS (
+        |  SELECT c.ga, c.gb,
+        |    list_sum(list_transform(generate_series(1, 256), j ->
+        |      CASE WHEN substr(ha.hb, j, 1) = substr(h2.hb, j, 1) THEN 0 ELSE 1 END)) AS d
+        |  FROM cand c JOIN bits ha ON ha.gid = c.ga JOIN bits h2 ON h2.gid = c.gb),
+        |pairs AS (SELECT ga, gb FROM ham WHERE d <= 16),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT ga AS id FROM pairs UNION ALL SELECT gb FROM pairs)),
+        |sym AS MATERIALIZED (SELECT ga AS u, gb AS v FROM pairs UNION ALL SELECT gb, ga FROM pairs),
+        |lab(it, id, lb) AS (
+        |  SELECT 0, id, id FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, id, min(lb) FROM (
+        |    SELECT l.it, l.id, l.lb FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+        |  ) t(it, id, lb)
+        |  WHERE it < 20
+        |  GROUP BY it, id),
+        |final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id)
+        |SELECT g.gid AS media_id,
+        |  CAST(coalesce(f.lb, g.gid) AS BIGINT) AS cluster
+        |FROM gids g LEFT JOIN final f ON f.id = g.gid""".stripMargin,
     "qm19_video_dedup" ->
       """WITH RECURSIVE gids AS (
         |  SELECT DISTINCT doc_id % 100 AS gid FROM documents),

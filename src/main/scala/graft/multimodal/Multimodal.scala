@@ -810,6 +810,102 @@ object Multimodal {
       }
   }
 
+  /** TRIM-INVARIANT VIDEO NEAR-DUP CLUSTERS — [[videoNearDupClusters]]
+    * over the FRAME-SAMPLED fingerprint: the concatenated form hashes
+    * every frame in order, so a clip trimmed by even one frame
+    * produces a different-LENGTH string and can never cluster with its
+    * original (the verify counts a length mismatch as distance — a
+    * documented contract, but a real-world near-dup miss: re-uploads
+    * routinely lose a trailing second). [[videoSampledFrameHash]]
+    * always hashes exactly `nFrames` evenly-spaced frames, so same-
+    * dimension clips compare at a fixed bit length and an end-trimmed
+    * copy samples (nearly) the same frames as its original.
+    */
+  def videoNearDupClustersSampled(
+      media: Dataset[Media],
+      factor: Int = 4,
+      nFrames: Int = 4,
+      bands: Int = 8,
+      maxHamming: Int = 16): DataFrame =
+    hashClusters(videoSampledFrameHash(media, factor, nFrames), bands, maxHamming)
+
+  /** FIXED-COUNT frame-sampled video fingerprint: hash exactly
+    * `nFrames` evenly-spaced frames — frame j of the fingerprint is
+    * decoded frame ⌊j·F/nFrames⌋ (j = 0..nFrames−1, F = frame count) —
+    * each by the per-frame [[aHash]] recipe, concatenated in sample
+    * order. The fingerprint length is nFrames·(w/factor)·(h/factor)
+    * bits regardless of F, so clips differing only by a short trim
+    * still compare bit-for-bit ([[videoFrameHash]]'s concatenated form
+    * cannot: its length is F-dependent). Clips with F < nFrames sample
+    * frames repeatedly (the index formula is total for F ≥ 1) — still
+    * deterministic, still fixed-length. Undecodable clips emit no row.
+    */
+  def videoSampledFrameHash(
+      media: Dataset[Media], factor: Int, nFrames: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    media.flatMap { m =>
+      decodeVideo(safeBytes(m.bytes)) match {
+        case Some((w, h, frames))
+            if frames.nonEmpty && w % factor == 0 && h % factor == 0
+              && w >= factor && h >= factor =>
+          val sb = new StringBuilder(nFrames * (w / factor) * (h / factor))
+          var j = 0
+          while (j < nFrames) {
+            val px = frames((j * frames.length / nFrames).toInt)
+            val means = boxMeans(px, w, h, factor)
+            var sum = 0L
+            var i = 0
+            while (i < means.length) { sum += means(i); i += 1 }
+            val mean = sum / means.length
+            i = 0
+            while (i < means.length) {
+              sb.append(if (means(i) > mean) '1' else '0')
+              i += 1
+            }
+            j += 1
+          }
+          Some((m.media_id, sb.toString))
+        case _ => None
+      }
+    }.toDF("media_id", "hash_bits")
+  }
+
+  /** The AVI fixture with PLANTED TRIMS for the trim-invariant video
+    * dedup gate: ids < 50 are 5-frame bases with the
+    * [[aviMediaNearDupFromDocuments]] per-id LCG block patterns
+    * (pairwise-distant fingerprints), ids ≥ 50 are base id − 50 with
+    * the LAST frame dropped — a pure end-trim. At nFrames = 4 the
+    * sample indices ⌊j·5/4⌋ = ⌊j·4/4⌋ = j for j = 0..3, so a trim and
+    * its base hash the SAME four frames and cluster at hamming 0 —
+    * exactly the pair the concatenated fingerprint (length 5·64 vs
+    * 4·64) can never merge.
+    */
+  def aviMediaTrimNearDupFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % 50
+          val nf = if (id >= 50) 4 else 5
+          val w = 32; val h = 32
+          val frames = (0 until nf).map { f =>
+            val px = Array.tabulate(w * h) { i =>
+              val bc = (i % 32) / 8
+              val br = (i / 32) / 8
+              (((bc + 4 * br + 16 * f) * (7919 + 16 * base)
+                + 3 * base) % 251).toInt
+            }
+            graft.sources.Jpeg.encodeGray(px, w, h)
+          }
+          Media(id, MediaMeta("video", w, h, 0),
+            graft.sources.Avi.encodeMjpeg(frames, w, h))
+        }
+      }
+  }
+
   /** OTSU BINARIZATION THRESHOLD over decoded grayscale pixels — the
     * classic foreground/background split point (argmax of between-class
     * variance over the 256-bin histogram): the document-scan /

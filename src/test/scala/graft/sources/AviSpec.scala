@@ -115,4 +115,47 @@ class AviSpec extends AnyFunSuite {
     assert(got(1L) == 1L && got(2L) == 1L, s"retouch did not cluster: $got")
     assert(got(3L) == 3L, s"different pattern merged: $got")
   }
+
+  test("videoNearDupClustersSampled: an end-trimmed clip clusters with its " +
+      "original at a FIXED fingerprint length (the concatenated form " +
+      "cannot — length mismatch counts as distance), a different pattern " +
+      "stays apart, and short clips sample frames repeatedly") {
+    val spark = graft.GraftSession.local(2, "avi-trim-spec")
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val w = 32; val h = 32
+    def pattern(mult: Int, f: Int): Array[Int] =
+      Array.tabulate(w * h) { i =>
+        val bc = (i % w) / 8; val br = (i / w) / 8
+        ((bc + 4 * br + 16 * f) * mult) % 251
+      }
+    def clip(id: Long, mult: Int, nf: Int) = Multimodal.Media(
+      id, Multimodal.MediaMeta("video", w, h, 0),
+      Avi.encodeMjpeg((0 until nf).map(f => Jpeg.encodeGray(pattern(mult, f), w, h)), w, h))
+    // 1 = 5-frame base, 2 = its 4-frame end-trim, 3 = different pattern
+    val media = Seq(clip(1L, 7919, 5), clip(2L, 7919, 4), clip(3L, 8111, 5)).toDS()
+    val hashes = Multimodal.videoSampledFrameHash(media, factor = 4, nFrames = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fixed length 4 x 64 regardless of frame count; floor(j*5/4) =
+    // floor(j*4/4) = j for j = 0..3, so base and trim hash IDENTICALLY
+    assert(hashes.values.forall(_.length == 256))
+    assert(hashes(1L) == hashes(2L), "trim and base must hash the same frames")
+    // the concatenated form CANNOT merge them (192 vs 256 bits... 320 vs 256)
+    val concat = Multimodal.videoFrameHash(media, factor = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(concat(1L).length == 320 && concat(2L).length == 256)
+    val got = Multimodal
+      .videoNearDupClustersSampled(media, factor = 4, nFrames = 4, bands = 8, maxHamming = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L, s"trim did not cluster: $got")
+    assert(got(3L) == 3L, s"different pattern merged: $got")
+    // a 2-frame clip still fingerprints at 256 bits (frames repeat)
+    val short = Seq(clip(9L, 7919, 2)).toDS()
+    val sh = Multimodal.videoSampledFrameHash(short, factor = 4, nFrames = 4)
+      .collect().head.getString(1)
+    assert(sh.length == 256)
+    // floor(j*2/4) = 0,0,1,1: first two sampled hashes equal, last two equal
+    assert(sh.substring(0, 64) == sh.substring(64, 128))
+    assert(sh.substring(128, 192) == sh.substring(192, 256))
+  }
 }
