@@ -2021,6 +2021,19 @@ object SparkEntry {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, k = 10, bits = 8, nProbe = 1, numQueries = 16)
 
+  /** Multi-probe ANN recall@10 ([[operators.Similarity
+    * .annRecallMultiProbe]], 16 queries, 8-bit cells, 9 margin-ranked
+    * probe cells — the SAME cell budget as qs18's hamming-1 ball):
+    * probe cells are the signature perturbations minimizing summed
+    * squared µ-margins of the flipped bits (integer micro-units, so
+    * the mask ranking is an exact integer sort the oracle replays),
+    * the qs18-adjudicated recall improvement at fixed budget.
+    */
+  private def qs19AnnMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.annRecallMultiProbe(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, k = 10, bits = 8, nCand = 9, numQueries = 16)
+
   /** Weighted (TF) Jaccard report ([[operators.Dedup
     * .weightedJaccardReport]], 16 hashes / 8 bands): per LSH candidate
     * pair, the token-multiset Jaccard Σmin(tf)/Σmax(tf) — the
@@ -5717,6 +5730,7 @@ object SparkEntry {
     "qg31_critical_path" -> (qg31CriticalPath _),
     "qg32_weighted_centrality" -> (qg32WeightedCentrality _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
+    "qs19_ann_multiprobe" -> (qs19AnnMultiprobe _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
@@ -12689,6 +12703,85 @@ object SparkEntry {
     // cosine replay, intersected. Both top-10 cuts rank on the shared
     // (rounded sim DESC, vec_id) tie contract; self-matches are
     // excluded from BOTH sides so recall measures real neighbors.
+    // Multi-probe replay: qs18's plane/sig/truth skeleton; the probe
+    // set swaps the hamming ball for the exact integer mask ranking —
+    // per query-bit µ-margin = floor(|dot|*1e6 + 0.5) (the one
+    // engine-boundary rounding, same risk class as qs18's sign test),
+    // mask score = Σ µ² over set bits (BIGINT, order-free), top 9 by
+    // (score, mask), probe cells = xor(qsig, mask).
+    "qs19_ann_multiprobe" -> {
+      val rnd = new scala.util.Random(42L)
+      val planes = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      val planeValues = planes.zipWithIndex.flatMap { case (p, b) =>
+        p.zipWithIndex.map { case (c, i) => s"($b,${i + 1},$c)" }
+      }.mkString(",")
+      s"""WITH planes(b, i, c) AS (SELECT * FROM (VALUES $planeValues)),
+         |dots AS (
+         |  SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.i] AS DOUBLE) * p.c) AS d
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b),
+         |sigs AS MATERIALIZED (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0.0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 16),
+         |qmu AS (
+         |  SELECT d.vec_id AS qid, d.b,
+         |    CAST(floor(abs(d.d) * 1000000 + 0.5) AS BIGINT) AS mu
+         |  FROM dots d JOIN q ON q.qid = d.vec_id),
+         |mscore AS (
+         |  SELECT q.qid, m.m,
+         |    coalesce(sum(CASE WHEN (m.m >> qmu.b) & 1 = 1
+         |      THEN qmu.mu * qmu.mu ELSE 0 END), 0) AS s
+         |  FROM q
+         |  CROSS JOIN generate_series(0, 255) m(m)
+         |  LEFT JOIN qmu ON qmu.qid = q.qid
+         |  GROUP BY q.qid, m.m),
+         |probes AS MATERIALIZED (
+         |  SELECT qid, m FROM (
+         |    SELECT qid, m, row_number() OVER (PARTITION BY qid ORDER BY s, m) AS r
+         |    FROM mscore) WHERE r <= 9),
+         |s0 AS (
+         |  SELECT q.qid, c.vec_id,
+         |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+         |    sum(CAST(c.embedding[t.i] AS DOUBLE) * CAST(c.embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS nb
+         |  FROM embeddings c
+         |  CROSS JOIN q
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  WHERE c.vec_id <> q.qid
+         |  GROUP BY q.qid, c.vec_id),
+         |sims AS MATERIALIZED (
+         |  SELECT qid, vec_id,
+         |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |               ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |  FROM s0),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+         |    FROM sims) WHERE r <= 10),
+         |cand AS (
+         |  SELECT q.qid, sv.vec_id FROM q
+         |  JOIN sigs sq ON sq.vec_id = q.qid
+         |  JOIN probes p ON p.qid = q.qid
+         |  JOIN sigs sv ON sv.sig = xor(sq.sig, CAST(p.m AS BIGINT))
+         |  WHERE sv.vec_id <> q.qid),
+         |approx AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT c.qid, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.vec_id) AS r
+         |    FROM cand c JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id)
+         |  WHERE r <= 10),
+         |hits AS (
+         |  SELECT t.qid, count(a.vec_id) AS n_hit
+         |  FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |  GROUP BY t.qid)
+         |SELECT q.qid AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
+         |FROM q LEFT JOIN hits h ON h.qid = q.qid
+         |ORDER BY query_id""".stripMargin
+    },
     "qs18_ann_recall" -> {
       val rnd = new scala.util.Random(42L)
       val planes = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))

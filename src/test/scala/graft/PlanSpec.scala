@@ -411,6 +411,15 @@ class PlanSpec extends AnyFunSuite {
     assert(cd.contains("SortMergeJoin") || cd.contains("ShuffledHashJoin")
         || cd.contains("BroadcastHashJoin"),
       "band candidates not an equi-join:\n" + cd.take(800))
+    // qs19: probe cells are a broadcast EQUI-join on the signature
+    // (partition-prunable against a cell-partitioned corpus) — strictly
+    // tighter than qs18's broadcast-nested-loop ball filter; no Window
+    val mpPlan = plan("qs19_ann_multiprobe")
+    assert(!mpPlan.contains("CartesianProduct"), mpPlan.take(800))
+    assert(!"Window\\b".r.findFirstIn(mpPlan).isDefined,
+      "multi-probe recall planned a Window:\n" + mpPlan.take(800))
+    assert(mpPlan.contains("BroadcastHashJoin"),
+      "probe set not a broadcast hash equi-join:\n" + mpPlan.take(800))
   }
 
   test("qg27: the weighted power-iteration step is one keyed join + one " +

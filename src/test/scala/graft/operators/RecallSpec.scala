@@ -74,6 +74,43 @@ class RecallSpec extends AnyFunSuite {
     assert(byProbe(2) < 1.0 + 1e-9)
   }
 
+  test("multi-probe beats the hamming ball at the SAME cell budget " +
+      "(margin-ranked perturbations vs blind radius-1 flips), and the " +
+      "mask ranking is exact integer arithmetic") {
+    import org.apache.spark.sql.functions.col
+    // budget = 11 cells/query at bits=10 (1024 cells — small enough
+    // that the ball leaks): ball = own cell + 10 radius-1 flips;
+    // multi-probe = the 11 lowest Σµ² perturbations (mask 0 first)
+    val ball = Similarity.annRecall(
+      embs, "vec_id", "embedding", dim = dim, k = 10, bits = 10,
+      nProbe = 1, numQueries = 12).collect()
+    val mp = Similarity.annRecallMultiProbe(
+      embs, "vec_id", "embedding", dim = dim, k = 10, bits = 10,
+      nCand = 11, numQueries = 12).collect()
+    val ballMean = ball.map(_.getDouble(2)).sum / ball.length
+    val mpMean = mp.map(_.getDouble(2)).sum / mp.length
+    info(f"cell budget 11/1024: hamming-1 ball mean recall $ballMean%.4f, " +
+      f"multi-probe $mpMean%.4f")
+    assert(mpMean >= ballMean,
+      f"multi-probe must not lose to the ball at equal budget: " +
+        f"$mpMean%.4f < $ballMean%.4f")
+    assert(ballMean < 1.0,
+      s"comparison vacuous: the ball already saturates at $ballMean")
+    // mask ranking: mask 0 always first; low-margin double-flip beats a
+    // high-margin single flip
+    val masks = Similarity.multiProbeMasks(
+      Array(1L, 2L, 1000L, 1000L, 1000L, 1000L), bits = 6, nCand = 4)
+    assert(masks.head == 0L, s"own cell must probe first: $masks")
+    // scores: {}=0, {b0}=1, {b1}=4, {b0,b1}=5 — all beat any 1000²-flip
+    assert(masks == Seq(0L, 1L, 2L, 3L), s"margin ranking wrong: $masks")
+    // full enumeration at nCand = 2^bits probes every cell ⇒ recall 1
+    val everything = Similarity.annRecallMultiProbe(
+      embs, "vec_id", "embedding", dim = dim, k = 10, bits = 6,
+      nCand = 64, numQueries = 4).collect()
+    assert(everything.forall(_.getDouble(2) == 1.0),
+      "probing all cells must reproduce the exact answer")
+  }
+
   test("hyperplane IVF: probing the full hamming ball reproduces the exact answer") {
     val full = meanRecall(10,
       q => Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10, bits = 6, nProbe = 6))
