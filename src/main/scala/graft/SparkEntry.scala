@@ -424,6 +424,19 @@ object SparkEntry {
     } catch { case _: java.io.IOException => () } // best-effort cleanup
   }
 
+  /** Materialize a drained memory-sink table and DROP its temp view —
+    * the catalog twin of [[dropStage]]: the streaming gates register
+    * nanoTime-suffixed memory sinks, and without the drop every bench
+    * run (5× per query) leaked a cached result table into the session
+    * catalog. localCheckpoint first (eager, bounded drained rows) so
+    * the returned frame no longer references the dropped view.
+    */
+  private def drainSink(spark: SparkSession, name: String): DataFrame = {
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   private def qe6StreamSessions(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
     val stage = stageEvents(dir)
@@ -497,7 +510,7 @@ object SparkEntry {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       dropStage(stage)
     }
-    spark.table(name).filter(col("user_id") >= 0)
+    drainSink(spark, name).filter(col("user_id") >= 0)
   }
 
   /** §2.10 through the ORACLE, part 2 — a REAL stream-stream interval
@@ -538,7 +551,7 @@ object SparkEntry {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       dropStage(stage)
     }
-    spark.table(name)
+    drainSink(spark, name)
   }
 
   /** CHAINED STATEFUL STREAMING — watermarked dedup feeding a
@@ -601,7 +614,7 @@ object SparkEntry {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       dropStage(stage)
     }
-    spark.table(name)
+    drainSink(spark, name)
   }
 
   /** §2.10 through the ORACLE, part 6 — the stream-stream LEFT OUTER
@@ -674,7 +687,7 @@ object SparkEntry {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       dropStage(stage)
     }
-    spark.table(name).filter(col("user_id") >= 0)
+    drainSink(spark, name).filter(col("user_id") >= 0)
   }
 
   /** Stream-stream FULL OUTER interval join — completes the join-type
@@ -734,7 +747,7 @@ object SparkEntry {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       dropStage(stage)
     }
-    spark.table(name).filter(col("user_id") >= 0)
+    drainSink(spark, name).filter(col("user_id") >= 0)
   }
 
   /** §2.10 through the ORACLE, part 5 — the STREAM-STATIC enrich join
@@ -769,7 +782,7 @@ object SparkEntry {
       q.stop()
       dropStage(stage)
     }
-    spark.table(name)
+    drainSink(spark, name)
   }
 
   /** §2.10 through the ORACLE, part 3 — the REAL watermarked streaming
@@ -836,7 +849,7 @@ object SparkEntry {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       dropStage(stage)
     }
-    spark.table(name)
+    drainSink(spark, name)
   }
 
   /** §2.10 through the ORACLE, part 6 — EXACTLY-ONCE FILE SINK

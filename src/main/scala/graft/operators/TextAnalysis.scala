@@ -1056,7 +1056,11 @@ object TextAnalysis {
     * reaches the pair aggregate with no explode, no semi-join, and no
     * collect_list regroup (the previous shape, kept as the
     * beyond-`localFrequentMax` fallback, paid a corpus-wide basket-id
-    * exchange plus an ObjectHashAggregate). Two accidents of that old
+    * exchange plus an ObjectHashAggregate). The collect is gated on
+    * BOTH the row cap and `localFrequentMaxBytes` (estimated JVM heap
+    * of the collected strings, read from a 1-row count+Σlength
+    * aggregate): a row cap alone would let millions of LONG tokens
+    * exhaust driver heap before the fallback was chosen. Two accidents of that old
     * shape had to be replicated deliberately before the new one won:
     * baskets feed three consumers, so they persist
     * (`reuseBaskets`, the qd21 grams-once lesson), and the bid
@@ -1069,9 +1073,12 @@ object TextAnalysis {
     */
   def assocPairs(
       docs: DataFrame, textCol: String, minSupport: Long, k: Int,
-      localFrequentMax: Int = 1 << 22, reuseBaskets: Boolean = true): DataFrame = {
+      localFrequentMax: Int = 1 << 22, reuseBaskets: Boolean = true,
+      localFrequentMaxBytes: Long = 256L << 20): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(k > 0, s"k must be positive, got $k")
+    require(localFrequentMaxBytes >= 1L,
+      s"localFrequentMaxBytes must be >= 1, got $localFrequentMaxBytes")
     val baskets0 = docs
       .select(array_sort(array_distinct(
         filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")))
@@ -1102,12 +1109,21 @@ object TextAnalysis {
     // (kept below as the beyond-`localFrequentMax` fallback) paid a
     // corpus-wide basket-id exchange plus an ObjectHashAggregate for
     // the same prune.
-    val freqHead = frequent
-      .select(col("__w")).orderBy(col("__w"))
-      .limit(localFrequentMax + 1).collect()
+    // gate the collect on BOTH a row cap and an estimated-BYTES cap
+    // (one 1-row aggregate): the row cap alone let 4M LONG tokens
+    // exhaust driver heap before the distributed fallback was chosen.
+    // ~48 bytes/String object + 2 bytes/char is the JVM heap estimate;
+    // the old limit(max+1).collect() probe also pulled the whole head
+    // to the driver just to count it — the aggregate costs one row.
+    val freqStats = frequent
+      .agg(count(lit(1)), coalesce(sum(length(col("__w"))), lit(0L))).head()
+    val (nFreq, freqChars) = (freqStats.getLong(0), freqStats.getLong(1))
+    val estHeapBytes = nFreq * 48L + freqChars * 2L
     val kept =
-      if (freqHead.length <= localFrequentMax) {
-        val freqArr = freqHead.map(_.getString(0))
+      if (nFreq <= localFrequentMax && estHeapBytes <= localFrequentMaxBytes) {
+        val freqArr = frequent
+          .select(col("__w")).orderBy(col("__w"))
+          .collect().map(_.getString(0))
         val pruned = baskets
           .select(graft.functions.expressions.TextHashExpressions
             .retainIn(col("__items"), freqArr).as("__items"))

@@ -451,6 +451,22 @@ object EventStreams {
       .filter(col("__anyDup") === 0)
       .select(col("doc_id"))
 
+  /** Materialize a drained memory-sink table and DROP its temp view:
+    * memory sinks register a catalog table under `queryName`, and the
+    * bench sweeps invoke these runners repeatedly with unique
+    * nanoTime-suffixed names — without the drop, every invocation
+    * leaked a cached result table into the session catalog for its
+    * lifetime. `localCheckpoint` first (eager) so the returned frame —
+    * and every lazy plan built over it — no longer references the
+    * view; the drained results are bounded by contract (register /
+    * cell / retained-sample rows), so the checkpoint is small.
+    */
+  private def drainMemorySink(spark: SparkSession, queryName: String): DataFrame = {
+    val out = spark.table(queryName).localCheckpoint(true)
+    spark.catalog.dropTempView(queryName)
+    out
+  }
+
   /** Run the windowed aggregation as a real streaming query over a parquet
     * directory (memory sink) — used by the streaming spec; returns the
     * final in-memory table.
@@ -534,7 +550,7 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
     graft.operators.Sketches
-      .hllEstimate(spark.table(queryName), Seq("__w"), p)
+      .hllEstimate(drainMemorySink(spark, queryName), Seq("__w"), p)
       .select(
         col("__w.start").as("window_start"),
         col("n_registers"),
@@ -583,20 +599,20 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q.stop()
-    // the drained view appears on BOTH sides of the finalize join
+    // the drained table appears on BOTH sides of the finalize join
     // (distinct windows × probes, left-joined back to the cells);
-    // re-wrapping one side gives it fresh attribute ids — the memory
-    // view otherwise carries identical exprIds into both branches and
-    // analysis fails with conflicting references. The table is
-    // ≤ windows·depth·width rows, so the non-codegen hop is free.
-    val drained = spark.createDataFrame(
-      spark.table(queryName).rdd, spark.table(queryName).schema)
+    // re-wrapping one side gives it fresh attribute ids — both
+    // branches otherwise carry identical exprIds and analysis fails
+    // with conflicting references. The table is ≤ windows·depth·width
+    // rows, so the non-codegen hop is free.
+    val cellsTbl = drainMemorySink(spark, queryName)
+    val drained = spark.createDataFrame(cellsTbl.rdd, cellsTbl.schema)
     val probe = probes.toDF("term")
       .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("__r"))
       .select(col("term"), col("__r"),
         graft.operators.Sketches.cmsBucket(col("term"), col("__r"), width)
           .as("__bucket"))
-    spark.table(queryName).select(col("__w")).distinct()
+    cellsTbl.select(col("__w")).distinct()
       .crossJoin(broadcast(probe))
       .join(drained, Seq("__w", "__r", "__bucket"), "left_outer")
       .groupBy(col("__w"), col("term"))
@@ -650,7 +666,7 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
     val w = org.apache.spark.sql.expressions.Window
-    val sampled = spark.table(queryName)
+    val sampled = drainMemorySink(spark, queryName)
       .select(col("__w"), col("__st._1").as("n"), col("__st._2").as("level"),
         explode(col("__st._3")).as("__r"))
       .select(col("__w"), col("n"), col("level"),
@@ -694,6 +710,6 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    drainMemorySink(spark, queryName)
   }
 }

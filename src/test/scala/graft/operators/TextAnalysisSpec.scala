@@ -667,6 +667,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(inArray.nonEmpty)
     // a basket whose every item is infrequent ("q") must vanish in both
     assert(!inArray.exists(r => r.contains("q")))
+    // the BYTE cap alone must also route to the fallback (row cap
+    // permissive, bytes tiny) and stay row-identical
+    val byteCapped = TextAnalysis.assocPairs(docs, "text", minSupport = 2L,
+      k = 10, localFrequentMax = 1 << 20, reuseBaskets = false,
+      localFrequentMaxBytes = 1L)
+      .collect().map(_.toSeq).toSet
+    assert(inArray == byteCapped, "byte-capped fallback diverged")
   }
 
   test("backoffLmScore: seen bigrams score raw c12/c1, unseen back off " +
