@@ -3256,6 +3256,19 @@ object SparkEntry {
     Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding", query, 100, bits = 8, nProbe = 1)
   }
 
+  /** Multi-probe IVF top-k ([[operators.Similarity.multiProbeTopK]],
+    * qs4's query at the SAME 9-cell budget as its hamming-1 ball):
+    * probe cells are margin-ranked signature perturbations landing in
+    * the plan as `isin` literals on the cell column — the
+    * partition-prunable search path the qs19 recall read justifies.
+    */
+  private def qs20IvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val query = Array.tabulate(64)(i => math.sin(i + 1.0))
+    Similarity.multiProbeTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", query,
+      k = 100, bits = 8, nCand = 9)
+  }
+
   /** Exact k-NN JOIN (every query row gets its top-10 corpus neighbours by
     * cosine, ties by ascending id) — the multi-query counterpart of qs1.
     * The plan is the scale-safe one: queries broadcast, the corpus scans
@@ -5744,6 +5757,7 @@ object SparkEntry {
     "qg32_weighted_centrality" -> (qg32WeightedCentrality _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs19_ann_multiprobe" -> (qs19AnnMultiprobe _),
+    "qs20_ivf_multiprobe" -> (qs20IvfMultiprobe _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
@@ -12850,6 +12864,53 @@ object SparkEntry {
          |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
          |FROM q LEFT JOIN hits h ON h.qid = q.qid
          |ORDER BY query_id""".stripMargin
+    },
+    // Multi-probe IVF replay: the qs4 skeleton with the candidate set
+    // swapped from the hamming ball to the margin-ranked probe cells.
+    // The query is a LITERAL, so the probe cells are computed here in
+    // the oracle builder (the qs4 qCell precedent — same planes, same
+    // integer mask ranking as the engine) and land in the SQL as an IN
+    // list; the corpus signatures still replay per-row in SQL.
+    "qs20_ivf_multiprobe" -> {
+      val rnd = new scala.util.Random(42L)
+      val planes = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      val query = Array.tabulate(64)(i => math.sin(i + 1.0))
+      var qCell = 0L
+      val micro = new Array[Long](8)
+      planes.zipWithIndex.foreach { case (p, b) =>
+        var d = 0.0
+        var i = 0
+        while (i < 64) { d += query(i) * p(i); i += 1 }
+        if (d >= 0.0) qCell |= 1L << b
+        micro(b) = math.floor(math.abs(d) * 1e6 + 0.5).toLong
+      }
+      val cells = operators.Similarity.multiProbeMasks(micro, 8, 9)
+        .map(m => qCell ^ m).mkString(", ")
+      val planeValues = planes.zipWithIndex.flatMap { case (p, b) =>
+        p.zipWithIndex.map { case (c, i) => s"($b,${i + 1},$c)" }
+      }.mkString(",")
+      val qv = query.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH planes(b, i, c) AS (SELECT * FROM (VALUES $planeValues)),
+         |dots AS (
+         |  SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.i] AS DOUBLE) * p.c) AS d
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b),
+         |sigs AS (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0.0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |cand AS (SELECT vec_id FROM sigs WHERE sig IN ($cells)),
+         |s AS (
+         |  SELECT q.vec_id,
+         |    sum(CAST(q.embedding[t.i] AS DOUBLE) * q.qv[t.i]) AS dot,
+         |    sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(q.qv[t.i] * q.qv[t.i]) AS nb
+         |  FROM (SELECT e.vec_id, e.embedding, $qv::DOUBLE[] AS qv
+         |        FROM embeddings e JOIN cand USING (vec_id)) q
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY q.vec_id)
+         |SELECT vec_id,
+         |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
     },
     "qs4_ivf" -> {
       val rnd = new scala.util.Random(42L)

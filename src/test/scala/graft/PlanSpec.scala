@@ -420,6 +420,13 @@ class PlanSpec extends AnyFunSuite {
       "multi-probe recall planned a Window:\n" + mpPlan.take(800))
     assert(mpPlan.contains("BroadcastHashJoin"),
       "probe set not a broadcast hash equi-join:\n" + mpPlan.take(800))
+    // qs20: the search path is literal-IN cells + TakeOrdered — no
+    // join at all, no Window, no full sort of the corpus
+    val sp = plan("qs20_ivf_multiprobe")
+    assert(sp.contains("TakeOrderedAndProject"),
+      "multi-probe top-k lost its TakeOrdered cut:\n" + sp.take(800))
+    assert(!sp.contains("Join"), "search path grew a join:\n" + sp.take(800))
+    assert(!"Window\\b".r.findFirstIn(sp).isDefined, sp.take(800))
   }
 
   test("qg27: the weighted power-iteration step is one keyed join + one " +

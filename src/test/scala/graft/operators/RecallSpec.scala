@@ -111,6 +111,30 @@ class RecallSpec extends AnyFunSuite {
       "probing all cells must reproduce the exact answer")
   }
 
+  test("multiProbeTopK: all-cells probe IS brute force; the fixed-budget " +
+      "search recalls at least as much of the exact top-10 as the " +
+      "equal-budget hamming ball") {
+    val q = queries.head
+    val exact = ids(Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10))
+    val all = ids(Similarity.multiProbeTopK(
+      embs, "vec_id", "embedding", q, 10, bits = 6, nCand = 64))
+    assert(all == exact, "probing every cell must equal brute force")
+    // equal budget: 11 cells at bits=10
+    val mpRs = queries.map { qv =>
+      val ex = ids(Similarity.bruteForceTopK(embs, "vec_id", "embedding", qv, 10))
+      val ball = ids(Similarity.ivfTopK(
+        embs, "vec_id", "embedding", qv, 10, bits = 10, nProbe = 1))
+      val mp = ids(Similarity.multiProbeTopK(
+        embs, "vec_id", "embedding", qv, 10, bits = 10, nCand = 11))
+      (ex.intersect(mp).size, ex.intersect(ball).size)
+    }
+    val (mpHits, ballHits) = (mpRs.map(_._1).sum, mpRs.map(_._2).sum)
+    info(s"search-path hits over ${queries.length} queries: " +
+      s"ball $ballHits, multi-probe $mpHits")
+    assert(mpHits >= ballHits,
+      s"search path must not lose to the ball at equal budget: $mpHits < $ballHits")
+  }
+
   test("hyperplane IVF: probing the full hamming ball reproduces the exact answer") {
     val full = meanRecall(10,
       q => Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10, bits = 6, nProbe = 6))
