@@ -2024,6 +2024,27 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Weighted eccentricity ([[graph.Centrality.weightedEccentricity]])
+    * on the qg32 projection/cost model: per node the COST distance to
+    * its farthest reachable vertex (max over the shared all-pairs
+    * min-plus kernel — no summation, so 6-dp rounding is convention,
+    * not protection); max/min over the column read the graph's cost
+    * diameter and radius. Oracle = the qg32 multi-source Bellman-Ford
+    * CTE re-aggregated with max, same n-derived iteration bound.
+    */
+  private def qg33WeightedEcc(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+      .withColumn("w", (lit(1) + (col("x") + col("y")) % 7).cast("double"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Centrality.weightedEccentricity(edges, "x", "y", "w")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** ANN recall@10 evaluation ([[operators.Similarity.annRecall]],
     * 16 queries, 8-bit hyperplane cells, hamming-1 probe ball): per
     * query, |approximate top-10 ∩ exact top-10| / 10 — the
@@ -5755,6 +5776,7 @@ object SparkEntry {
     "qg30_sssp" -> (qg30Sssp _),
     "qg31_critical_path" -> (qg31CriticalPath _),
     "qg32_weighted_centrality" -> (qg32WeightedCentrality _),
+    "qg33_weighted_ecc" -> (qg33WeightedEcc _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs19_ann_multiprobe" -> (qs19AnnMultiprobe _),
     "qs20_ivf_multiprobe" -> (qs20IvfMultiprobe _),
@@ -11845,6 +11867,37 @@ object SparkEntry {
     // (list_sort + list_reduce), the same operation tree Spark's
     // sort_array + aggregate builds; integer-valued costs keep every
     // term exact.
+    // Weighted eccentricity replay: the qg32 CTE with the tail swapped
+    // to count + max per target node — ecc is a MAX of bit-exact
+    // distances, no summation anywhere.
+    "qg33_weighted_ecc" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |we AS (SELECT a, b, CAST(1 + (a + b) % 7 AS DOUBLE) AS w FROM e),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS t, w FROM we UNION ALL SELECT b, a, w FROM we),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |lab(it, p, node, c) AS (
+        |  SELECT 0, v, v, CAST(0 AS DOUBLE) FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, p, node, min(c) FROM (
+        |    SELECT l.it, l.p, l.node, l.c FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, l.p, s.t AS node, l.c + s.w
+        |    FROM lab l JOIN sym s ON s.v = l.node
+        |  ) t(it, p, node, c)
+        |  WHERE it < 150
+        |  GROUP BY it, p, node),
+        |dist AS (
+        |  SELECT p, node AS v, min(c) AS d FROM lab GROUP BY p, node)
+        |SELECT v AS node,
+        |  CAST(count(*) AS BIGINT) AS n_reached,
+        |  round(max(d), 6) AS ecc
+        |FROM dist WHERE p <> v GROUP BY v""".stripMargin,
     "qg32_weighted_centrality" ->
       """WITH RECURSIVE raw AS (
         |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y

@@ -179,6 +179,62 @@ object Centrality {
   def weightedDistanceCentralities(
       edges: DataFrame, aCol: String, bCol: String, wCol: String,
       maxRounds: Int = 128): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = weightedAllPairsDistances(
+      edges, aCol, bCol, wCol, maxRounds,
+      caller = "weightedDistanceCentralities")
+    if (dist.isEmpty) {
+      return spark.range(0).select(
+        col("id").as("node"), lit(0L).as("n_reached"),
+        lit(0.0).as("sum_dist"), lit(0.0).as("closeness"),
+        lit(0.0).as("harmonic"))
+    }
+    val counts = dist
+      .filter(col("p") =!= col("v"))
+      .groupBy(col("v"), col("dist"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("v"))
+      .agg(
+        sum(col("cnt")).as("n_reached"),
+        sort_array(collect_list(struct(col("dist"), col("cnt")))).as("__t"))
+      .withColumn("__sd", aggregate(col("__t"), lit(0.0), (acc, x) =>
+        acc + x("dist") * x("cnt").cast("double")))
+      .select(
+        col("v").as("node"),
+        col("n_reached"),
+        round(col("__sd"), 6).as("sum_dist"),
+        round(col("n_reached").cast("double") / col("__sd"), 6).as("closeness"),
+        round(aggregate(col("__t"), lit(0.0), (acc, x) =>
+          acc + x("cnt").cast("double") / x("dist")), 6).as("harmonic"))
+  }
+
+  /** WEIGHTED ALL-PAIRS SHORTEST DISTANCES — the multi-source
+    * [[Bfs.sssp]] min-plus fixpoint run from EVERY vertex at once:
+    * output `(p, v, dist)`, one row per REACHED (source, node) pair,
+    * dist 0.0 on the diagonal. The shared distance kernel behind
+    * [[weightedDistanceCentralities]] and [[weightedEccentricity]];
+    * distances are bit-identical to a recursive-CTE Bellman-Ford (the
+    * qg30 contract). Strictly positive weights enforced up front;
+    * undirected; parallel edges collapse to min weight; self-loops and
+    * null endpoints/weights drop. Returns an EMPTY frame on an
+    * edgeless input.
+    *
+    * Scale: state is Θ(reached pairs) — n² on a connected graph, the
+    * inherent exact-all-pairs cost; [[harmonicHyperBall]] is the
+    * designated 100 TB estimator. Per round: one frontier×edges join,
+    * one min aggregate, one min-merge, all localCheckpointed; the
+    * driver sees one improved-count per round.
+    */
+  def weightedAllPairsDistances(
+      edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      maxRounds: Int = 128): DataFrame =
+    weightedAllPairsDistances(edges, aCol, bCol, wCol, maxRounds,
+      caller = "weightedAllPairsDistances")
+
+  private def weightedAllPairsDistances(
+      edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      maxRounds: Int, caller: String): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges.sparkSession
     val e0 = edges
@@ -197,7 +253,7 @@ object Centrality {
     if (!minW.isNullAt(0) && minW.getDouble(0) <= 0.0) {
       ed.unpersist(blocking = false)
       throw new IllegalArgumentException(
-        "weightedDistanceCentralities requires strictly positive weights: " +
+        s"$caller requires strictly positive weights: " +
           s"min weight ${minW.getDouble(0)} ≤ 0 (zero puts distinct vertices " +
           "at distance 0 — harmonic diverges; negative forms a cycle)")
     }
@@ -205,9 +261,7 @@ object Centrality {
     if (nodes.isEmpty) {
       ed.unpersist(blocking = false)
       return spark.range(0).select(
-        col("id").as("node"), lit(0L).as("n_reached"),
-        lit(0.0).as("sum_dist"), lit(0.0).as("closeness"),
-        lit(0.0).as("harmonic"))
+        col("id").as("p"), col("id").as("v"), lit(0.0).as("dist"))
     }
     var dist = nodes
       .select(col("v").as("p"), col("v"), lit(0.0).as("dist"))
@@ -219,7 +273,7 @@ object Centrality {
       rounds += 1
       if (rounds > maxRounds)
         throw new IllegalStateException(
-          s"weightedDistanceCentralities still improving after " +
+          s"$caller still improving after " +
             s"maxRounds=$maxRounds rounds; raise maxRounds")
       val cand = frontier
         .join(ed, Seq("v"))
@@ -242,25 +296,34 @@ object Centrality {
       }
     }
     ed.unpersist(blocking = false)
-    val counts = dist
-      .filter(col("p") =!= col("v"))
-      .groupBy(col("v"), col("dist"))
-      .agg(count(lit(1)).as("cnt"))
-    counts
-      .groupBy(col("v"))
-      .agg(
-        sum(col("cnt")).as("n_reached"),
-        sort_array(collect_list(struct(col("dist"), col("cnt")))).as("__t"))
-      .withColumn("__sd", aggregate(col("__t"), lit(0.0), (acc, x) =>
-        acc + x("dist") * x("cnt").cast("double")))
-      .select(
-        col("v").as("node"),
-        col("n_reached"),
-        round(col("__sd"), 6).as("sum_dist"),
-        round(col("n_reached").cast("double") / col("__sd"), 6).as("closeness"),
-        round(aggregate(col("__t"), lit(0.0), (acc, x) =>
-          acc + x("cnt").cast("double") / x("dist")), 6).as("harmonic"))
+    dist
   }
+
+  /** WEIGHTED ECCENTRICITY per vertex — `(node, n_reached, ecc)` with
+    * ecc = the COST distance to the farthest reachable vertex: the
+    * per-node worst-case latency/transport-cost readout, and max/min
+    * over the column give the graph's cost DIAMETER and RADIUS (the
+    * questions "how far apart can two connected places be" and "which
+    * node is the best depot"). [[Bfs]] hop eccentricity answers the
+    * wrong question on a cost-weighted graph for the same reason
+    * qg22's closeness does (the qg32 rationale).
+    *
+    * One max/count aggregate over [[weightedAllPairsDistances]];
+    * exactness and scale shape are the kernel's. `ecc` is a MAX of
+    * bit-exact distances (no summation), so it is order-free and
+    * 6-dp-rounded only for the gate convention; isolated vertices emit
+    * no row.
+    */
+  def weightedEccentricity(
+      edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      maxRounds: Int = 128): DataFrame =
+    weightedAllPairsDistances(edges, aCol, bCol, wCol, maxRounds,
+      caller = "weightedEccentricity")
+      .filter(col("p") =!= col("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("__ecc"))
+      .select(col("v").as("node"), col("n_reached"),
+        round(col("__ecc"), 6).as("ecc"))
 
   /** HYPERBALL harmonic-centrality estimate:
     * `(node, harmonic_est, reached_est)`. Each vertex's distance-t

@@ -75,6 +75,32 @@ class CentralitySpec extends AnyFunSuite {
     assert(exNeg.getMessage.contains("strictly positive"))
   }
 
+  test("weightedEccentricity: ecc is the max COST distance (diameter/" +
+      "radius read off the column); disconnected components stay " +
+      "separate; w ≡ 1 matches hop eccentricity") {
+    import spark.implicits._
+    // path 0-1-2 with costs 1, 2 plus shortcut 0-2 cost 10 (loses to 3)
+    val edges = Seq(
+      (0L, 1L, 1.0), (1L, 2L, 2.0), (0L, 2L, 10.0),
+      (10L, 11L, 7.0))
+      .toDF("a", "b", "w")
+    val out = Centrality.weightedEccentricity(edges, "a", "b", "w")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((2L, 3.0))) // farthest: 2 at cost 3 (not 10)
+    assert(out(1L) == ((2L, 2.0)))
+    assert(out(2L) == ((2L, 3.0)))
+    assert(out(10L) == ((1L, 7.0)) && out(11L) == ((1L, 7.0)))
+    // diameter (max ecc) = 7 via the isolated pair, radius = 2 at node 1
+    val eccs = out.values.map(_._2)
+    assert(eccs.max == 7.0 && eccs.min == 2.0)
+    // w ≡ 1 on a 4-path: ecc = hop eccentricity 3,2,2,3
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+      .withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+    val hops = Centrality.weightedEccentricity(path, "a", "b", "w")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(hops == Map(0L -> 3.0, 1L -> 2.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
   test("harmonicHyperBall tracks exact harmonic on the gate graph " +
       "(p = 8: median relative error < 0.2) and replays deterministically") {
     import spark.implicits._
