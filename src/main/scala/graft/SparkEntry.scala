@@ -3926,6 +3926,26 @@ object SparkEntry {
       media, windows = 16, bands = 4, maxHamming = 3)
   }
 
+  /** Trim-tolerant audio near-dup clusters ([[multimodal.Multimodal
+    * .audioNearDupClustersSampled]], 16 sampled windows / 4 bands /
+    * hamming ≤ 3): the strict energy hash requires n divisible by
+    * `windows`, so a trimmed re-upload emitted NO row and was
+    * invisible to dedup; the sampled form assigns sample i to window
+    * ⌊i·16/n⌋ and compares window means by cross-multiplication —
+    * any length ≥ 16 hashes at 16 bits, exact integers throughout.
+    * Media = 100 synthetic WAVs where ids ≥ 50 keep the first 1000 of
+    * base id − 50's 1024 samples (a 24-sample end-trim, unhashable by
+    * the strict form since 1000 % 16 ≠ 0).
+    */
+  private def qm21AudioTrimDedup(spark: SparkSession, dir: String): DataFrame = {
+    val folded = t(spark, dir, "documents")
+      .select((col("doc_id") % 100L).as("doc_id"))
+      .distinct()
+    val media = multimodal.Multimodal.wavMediaTrimNearDupFromDocuments(spark, folded)
+    multimodal.Multimodal.audioNearDupClustersSampled(
+      media, windows = 16, bands = 4, maxHamming = 3)
+  }
+
   /** Multimodal audio tier — REAL WAV/PCM decode ([[sources.Wav]]): one
     * 1024-sample PCM16 clip per document, encoded executor-side and
     * decoded back to actual samples; mean |amplitude| and RMS are
@@ -5691,6 +5711,7 @@ object SparkEntry {
     "qm18_audio_dedup" -> (qm18AudioDedup _),
     "qm19_video_dedup" -> (qm19VideoDedup _),
     "qm20_video_trim_dedup" -> (qm20VideoTrimDedup _),
+    "qm21_audio_trim_dedup" -> (qm21AudioTrimDedup _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -12407,6 +12428,66 @@ object SparkEntry {
     // mean IS its 8x8 block's formula value; per-frame bits threshold
     // on the frame's own floor-mean, frames concatenate in order, then
     // the shared band/hamming/component chain.
+    // Trim-tolerant audio replay: per gid the block-pattern PCM16
+    // formula at n = 1024 (bases) / 1000 (end-trims), sample i in
+    // window (i*16)//n, exact |v| energy sums, bit = e*n > total*cnt
+    // (the cross-multiplied MEAN compare — window sizes are unequal
+    // off-divisible lengths), then the qm18 band/hamming/component
+    // chain.
+    "qm21_audio_trim_dedup" ->
+      """WITH RECURSIVE gids AS (
+        |  SELECT DISTINCT doc_id % 100 AS gid FROM documents),
+        |par AS (
+        |  SELECT gid,
+        |    CASE WHEN gid >= 50 THEN 1000 ELSE 1024 END AS n,
+        |    (gid % 50) * 2654435761 % 65536 AS pat
+        |  FROM gids),
+        |smp AS (
+        |  SELECT p.gid, p.n, i.i,
+        |    abs((i.i * 2731) % (2 * CASE WHEN (pat >> (i.i // 64)) & 1 = 1
+        |          THEN 32768 ELSE 256 END)
+        |        - CASE WHEN (pat >> (i.i // 64)) & 1 = 1
+        |          THEN 32768 ELSE 256 END) AS av,
+        |    (i.i * 16) // p.n AS w
+        |  FROM par p JOIN generate_series(0, 1023) i(i) ON i.i < p.n),
+        |en AS (
+        |  SELECT gid, w, CAST(sum(av) AS BIGINT) AS e,
+        |    CAST(count(*) AS BIGINT) AS cw, max(n) AS n
+        |  FROM smp GROUP BY gid, w),
+        |tot AS (SELECT gid, CAST(sum(e) AS BIGINT) AS total FROM en GROUP BY gid),
+        |bits AS MATERIALIZED (
+        |  SELECT en.gid,
+        |    string_agg(CASE WHEN e * n > total * cw THEN '1' ELSE '0' END, ''
+        |      ORDER BY w) AS hb
+        |  FROM en JOIN tot USING (gid) GROUP BY en.gid),
+        |banded AS (
+        |  SELECT gid, b, substr(hb, b * 4 + 1, 4) AS bk
+        |  FROM bits, unnest(generate_series(0, 3)) s(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.bk = b.bk AND a.gid > b.gid),
+        |ham AS (
+        |  SELECT c.ga, c.gb,
+        |    list_sum(list_transform(generate_series(1, 16), j ->
+        |      CASE WHEN substr(ha.hb, j, 1) = substr(h2.hb, j, 1) THEN 0 ELSE 1 END)) AS d
+        |  FROM cand c JOIN bits ha ON ha.gid = c.ga JOIN bits h2 ON h2.gid = c.gb),
+        |pairs AS (SELECT ga, gb FROM ham WHERE d <= 3),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT ga AS id FROM pairs UNION ALL SELECT gb FROM pairs)),
+        |sym AS MATERIALIZED (SELECT ga AS u, gb AS v FROM pairs UNION ALL SELECT gb, ga FROM pairs),
+        |lab(it, id, lb) AS (
+        |  SELECT 0, id, id FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, id, min(lb) FROM (
+        |    SELECT l.it, l.id, l.lb FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+        |  ) t(it, id, lb)
+        |  WHERE it < 20
+        |  GROUP BY it, id),
+        |final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id)
+        |SELECT g.gid AS media_id,
+        |  CAST(coalesce(f.lb, g.gid) AS BIGINT) AS cluster
+        |FROM gids g LEFT JOIN final f ON f.id = g.gid""".stripMargin,
     // Trim-invariant video near-dup replay: the qm19 block-formula
     // pixels over the SAMPLED frame indices floor(j*F/4), F = 5 for
     // bases / 4 for end-trims — the indices coincide (= j), so a trim

@@ -700,6 +700,96 @@ object Multimodal {
     }.toDF("media_id", "hash_bits")
   }
 
+  /** TRIM-TOLERANT AUDIO NEAR-DUP CLUSTERS — [[audioNearDupClusters]]
+    * over the SAMPLED-boundary energy hash: [[audioEnergyHash]]
+    * requires the sample count divisible by `windows` (off-length
+    * clips emit NO row — the honesty rule made a trimmed re-upload
+    * invisible to the dedup pass entirely). [[audioSampledEnergyHash]]
+    * hashes ANY clip with ≥ `windows` samples at a fixed `windows`-bit
+    * length, and a short end-trim only drifts the window boundaries,
+    * moving at most a few bits — within `maxHamming`, so trims cluster
+    * with their originals (the qm20 story on the time axis).
+    */
+  def audioNearDupClustersSampled(
+      media: Dataset[Media],
+      windows: Int = 16,
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame =
+    hashClusters(audioSampledEnergyHash(media, windows), bands, maxHamming)
+
+  /** SAMPLED-BOUNDARY energy hash — [[audioEnergyHash]] for ANY length
+    * ≥ `windows`: sample i belongs to window ⌊i·windows/n⌋ (total,
+    * monotone, near-equal window sizes for every n), energies are
+    * exact Long Σ|v| per window, and bit w compares window w's MEAN
+    * energy to the clip mean by cross-multiplication —
+    * `e_w · n > total · n_w` (strict, division-free, exact integers;
+    * |products| < 2⁶³ for n up to ~2²⁴ samples) — so a uniformly
+    * louder copy still hashes identically and the whole pipeline
+    * replays cell-for-cell in SQL. Clips shorter than `windows`
+    * samples emit no row.
+    */
+  def audioSampledEnergyHash(media: Dataset[Media], windows: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(windows >= 1, s"windows must be >= 1, got $windows")
+    media.flatMap { m =>
+      decodeAudio(safeBytes(m.bytes)) match {
+        case Some((_, _, samples)) if samples.length >= windows =>
+          val n = samples.length
+          val e = new Array[Long](windows)
+          val cnt = new Array[Long](windows)
+          var i = 0
+          while (i < n) {
+            val w = (i.toLong * windows / n).toInt
+            e(w) += math.abs(samples(i).toLong)
+            cnt(w) += 1L
+            i += 1
+          }
+          var total = 0L
+          var w = 0
+          while (w < windows) { total += e(w); w += 1 }
+          val bits = new StringBuilder(windows)
+          w = 0
+          while (w < windows) {
+            bits.append(if (e(w) * n > total * cnt(w)) '1' else '0')
+            w += 1
+          }
+          Some((m.media_id, bits.toString))
+        case _ => None
+      }
+    }.toDF("media_id", "hash_bits")
+  }
+
+  /** The WAV fixture with PLANTED END-TRIMS for the trim-tolerant
+    * audio dedup gate: ids < 50 are 1024-sample bases with the
+    * [[wavMediaNearDupFromDocuments]] per-id block pattern (16 blocks
+    * of 64 samples, each high- or low-amplitude by the id's pattern
+    * bits — at n = 1024 / windows = 16 the sampled windows ARE the
+    * blocks, so a base's hash is its pattern), ids ≥ 50 keep only the
+    * first 1000 samples of base id − 50 — a 24-sample end-trim the
+    * divisibility-strict [[audioEnergyHash]] cannot hash at all
+    * (1000 % 16 ≠ 0). The trim's window boundaries drift ≤ 24 samples
+    * into neighboring blocks, flipping at most a couple of bits.
+    */
+  def wavMediaTrimNearDupFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % 50
+          val n = if (id >= 50) 1000 else 1024
+          val pat = base * 2654435761L % 65536L
+          val samples = Array.tabulate(n) { i =>
+            val w = i / 64
+            val amp = if (((pat >> w) & 1L) == 1L) 32768 else 256
+            ((i * 2731 + 5 * base) % (2 * amp) - amp).toShort
+          }
+          Media(id, MediaMeta("audio", 0, 0, 16000),
+            graft.sources.Wav.encodeMono16(samples, 16000))
+        }
+      }
+  }
+
   /** The [[pngMediaFromDocuments]] generator with PLANTED NEAR-DUPS for
     * the image-dedup gate: ids < 50 are bases with per-id PATTERNS
     * (px = (i·(7919 + 16·id) + 3·id) mod 256 — the multiplier varies,

@@ -165,4 +165,53 @@ class WavSpec extends AnyFunSuite {
     ).toDS(), windows = 8).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(hashes(7L) == hashes(8L))
   }
+
+  test("audioSampledEnergyHash: fixed windows-bit length at ANY length >= " +
+      "windows (the strict form emits nothing off-length); divisible " +
+      "lengths reproduce the strict hash; an end-trim clusters with its " +
+      "original; volume invariance survives unequal windows") {
+    val spark = graft.GraftSession.local(2, "wav-trim-spec")
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def clipN(id: Long, n: Int, pat: Long) = Multimodal.Media(
+      id, Multimodal.MediaMeta("audio", 0, 0, 16000),
+      Wav.encodeMono16(Array.tabulate(n) { i =>
+        val amp = if (((pat >> (i / 64)) & 1L) == 1L) 32768 else 256
+        ((i * 2731) % (2 * amp) - amp).toShort
+      }, 16000))
+    // divisible length: sampled windows == strict windows, same bits
+    val even = Seq(clipN(1L, 1024, 0xA5C3L)).toDS()
+    val strict = Multimodal.audioEnergyHash(even, windows = 16)
+      .collect().head.getString(1)
+    val sampled = Multimodal.audioSampledEnergyHash(even, windows = 16)
+      .collect().head.getString(1)
+    assert(sampled == strict, s"divisible case diverged: $sampled vs $strict")
+    // off-length: strict emits NOTHING, sampled still hashes 16 bits
+    val trimmed = Seq(clipN(2L, 1000, 0xA5C3L)).toDS()
+    assert(Multimodal.audioEnergyHash(trimmed, windows = 16).count() == 0L)
+    val th = Multimodal.audioSampledEnergyHash(trimmed, windows = 16)
+      .collect().head.getString(1)
+    assert(th.length == 16)
+    val ham = strict.zip(th).count { case (x, y) => x != y }
+    info(s"24-sample end-trim hamming: $ham (base $strict, trim $th)")
+    assert(ham <= 3, s"end-trim drifted $ham bits — fixture unhealthy")
+    // end-to-end: trim clusters with base, a different pattern apart
+    val media = Seq(clipN(1L, 1024, 0xA5C3L), clipN(2L, 1000, 0xA5C3L),
+      clipN(3L, 1024, 0x3C5AL)).toDS()
+    val got = Multimodal
+      .audioNearDupClustersSampled(media, windows = 16, bands = 4, maxHamming = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L, s"trim did not cluster: $got")
+    assert(got(3L) == 3L, s"different pattern merged: $got")
+    // volume invariance with UNEQUAL windows (n = 1000): 4x louder,
+    // non-clipping → identical bits (cross-multiplied mean compare)
+    def quiet(id: Long, scale: Int) = Multimodal.Media(
+      id, Multimodal.MediaMeta("audio", 0, 0, 16000),
+      Wav.encodeMono16(Array.tabulate(1000)(i =>
+        (scale * ((i % 64) - 32)).toShort), 16000))
+    val vh = Multimodal.audioSampledEnergyHash(
+      Seq(quiet(7L, 1), quiet(8L, 4)).toDS(), windows = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vh(7L) == vh(8L))
+  }
 }
