@@ -76,6 +76,28 @@ object GraphScale {
         val dag = edges.filter(floor(col("x") / b) < floor(col("y") / b))
         graft.graph.Dag.longestPathLayer(dag, "x", "y").count()
       }
+      // weighted SSSP (qg30): one source over the full graph — rounds =
+      // hop length of the hop-longest optimal path (~log n hash-random),
+      // each round a frontier-sized join; wall should track |E| × rounds
+      time("wsssp") {
+        graft.graph.Bfs.sssp(
+          edges.withColumn("w", (pmod(col("x") + col("y"), lit(7)) + 1).cast("double")),
+          "x", "y", "w", source = 0L).count()
+      }
+      // weighted all-pairs distance kernel (qg32/qg33): exact all-pairs
+      // is Θ(Σ component²) BY CONSTRUCTION, so the probe bounds the
+      // component size — edges confined to 100-node buckets give
+      // n/100 components and ~n·100 reachable pairs; wall should track
+      // pairs × rounds, NOT n². The unconfined form is the HyperBall
+      // estimator's job (the qg22/qg23 split).
+      time("wallpairs_b100") {
+        val b = lit(100L)
+        val bucketed = edges
+          .filter(floor(col("x") / b) === floor(col("y") / b))
+          .withColumn("w", (pmod(col("x") + col("y"), lit(7)) + 1).cast("double"))
+        graft.graph.Centrality
+          .weightedAllPairsDistances(bucketed, "x", "y", "w").count()
+      }
     }
     // k-truss SKEW probe — the measured form of the operator-doc caveat
     // ("support needs the FULL neighbourhood; no degree orientation caps
