@@ -1769,6 +1769,30 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Weighted betweenness ([[graph.Betweenness.runWeighted]], exact —
+    * every vertex a pivot) on the qg32 projection/cost model:
+    * cost-shortest-path brokerage via three keyed fixpoints (min-plus
+    * distances, σ path counts over the bit-exact shortest-path DAG,
+    * backward δ). Integer costs keep distances, DAG membership and σ
+    * exact; the oracle replays the Brandes pair-sum identity
+    * B(v) = ½·Σ σ_sv·σ_vt/σ_st over cost-additive triples, with σ from
+    * a hop-layered DAG recursion — no backward pass in SQL, the qg21
+    * cross-derivation check.
+    */
+  private def qg34WeightedBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(
+        (col("o_custkey") % 150).as("x"),
+        (col("o_orderkey") % 150).as("y"))
+      .withColumn("w", (lit(1) + (col("x") + col("y")) % 7).cast("double"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Betweenness.runWeighted(edges, "x", "y", "w", pivots = 0)
+      .select(col("node"), round(col("betweenness"), 6).as("betweenness"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Exact closeness + harmonic centrality ([[graph.Centrality
     * .distanceCentralities]]) on qg21's %150 projection: per-vertex
     * reachable count, exact Long distance sum, closeness =
@@ -5798,6 +5822,7 @@ object SparkEntry {
     "qg31_critical_path" -> (qg31CriticalPath _),
     "qg32_weighted_centrality" -> (qg32WeightedCentrality _),
     "qg33_weighted_ecc" -> (qg33WeightedEcc _),
+    "qg34_weighted_betweenness" -> (qg34WeightedBetweenness _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs19_ann_multiprobe" -> (qs19AnnMultiprobe _),
     "qs20_ivf_multiprobe" -> (qs20IvfMultiprobe _),
@@ -11888,6 +11913,65 @@ object SparkEntry {
     // (list_sort + list_reduce), the same operation tree Spark's
     // sort_array + aggregate builds; integer-valued costs keep every
     // term exact.
+    // Weighted betweenness replay: qg32's weighted multi-source dist
+    // CTE; σ by a hop-layered recursion over the shortest-path DAG
+    // (edge u→w counts iff d(p,u) + w(u,w) = d(p,w) — exact double
+    // equality under integer costs; a cost-shortest path's prefix is
+    // cost-shortest, so paths of h hops extend paths of h−1); total
+    // σ = Σ over h; then the Brandes pair-sum identity
+    // B(v) = ½ Σ_{s,t} σ_sv·σ_vt/σ_st over cost-additive triples —
+    // derivation-independent of the engine's backward-δ pass (the
+    // qg21 cross-check). Hop bound 150 = node-count ceiling.
+    "qg34_weighted_betweenness" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
+        |  FROM orders WHERE o_orderkey % 29 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |we AS (SELECT a, b, CAST(1 + (a + b) % 7 AS DOUBLE) AS w FROM e),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS v, b AS t, w FROM we UNION ALL SELECT b, a, w FROM we),
+        |nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+        |lab(it, p, node, c) AS (
+        |  SELECT 0, v, v, CAST(0 AS DOUBLE) FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, p, node, min(c) FROM (
+        |    SELECT l.it, l.p, l.node, l.c FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, l.p, s.t AS node, l.c + s.w
+        |    FROM lab l JOIN sym s ON s.v = l.node
+        |  ) t(it, p, node, c)
+        |  WHERE it < 150
+        |  GROUP BY it, p, node),
+        |dist AS MATERIALIZED (
+        |  SELECT p, node AS v, min(c) AS d FROM lab GROUP BY p, node),
+        |sig(h, p, v, sigma) AS (
+        |  SELECT 0, v, v, CAST(1 AS BIGINT) FROM nodes
+        |  UNION ALL
+        |  SELECT s.h + 1, s.p, sym.t, CAST(sum(s.sigma) AS BIGINT)
+        |  FROM sig s
+        |  JOIN sym ON sym.v = s.v
+        |  JOIN dist du ON du.p = s.p AND du.v = s.v
+        |  JOIN dist dv ON dv.p = s.p AND dv.v = sym.t
+        |    AND dv.d = du.d + sym.w
+        |  WHERE s.h < 150
+        |  GROUP BY s.h + 1, s.p, sym.t),
+        |tot AS MATERIALIZED (
+        |  SELECT s.p, s.v, CAST(sum(s.sigma) AS BIGINT) AS sg, max(d.d) AS d
+        |  FROM sig s JOIN dist d ON d.p = s.p AND d.v = s.v
+        |  GROUP BY s.p, s.v),
+        |bc AS (
+        |  SELECT sv.v AS node,
+        |    sum(CAST(sv.sg AS DOUBLE) * CAST(vt.sg AS DOUBLE)
+        |        / CAST(st.sg AS DOUBLE)) / 2.0 AS b
+        |  FROM tot sv
+        |  JOIN tot vt ON vt.p = sv.v AND vt.d > 0
+        |  JOIN tot st ON st.p = sv.p AND st.v = vt.v AND st.d = sv.d + vt.d
+        |  WHERE sv.d > 0
+        |  GROUP BY sv.v)
+        |SELECT n.v AS node, round(coalesce(bc.b, 0.0), 6) AS betweenness
+        |FROM nodes n LEFT JOIN bc ON bc.node = n.v""".stripMargin,
     // Weighted eccentricity replay: the qg32 CTE with the tail swapped
     // to count + max per target node — ecc is a MAX of bit-exact
     // distances, no summation anywhere.

@@ -163,4 +163,192 @@ object Betweenness {
     ed.unpersist()
     out
   }
+
+  /** WEIGHTED betweenness (Brandes 2001 over COST shortest paths, the
+    * pivot estimator as [[run]]): brokerage under the cost metric the
+    * engine's road graph actually carries — on a weighted graph the
+    * hop-count form routes "shortest paths" that no traveler takes
+    * (the qg32 rationale, applied to the brokerage question).
+    *
+    * Three keyed-join fixpoints, each localCheckpointed per round with
+    * exact changed-row convergence:
+    *
+    *  1. DISTANCES from the pivot set — the [[Bfs.sssp]] min-plus
+    *     frontier fold keyed by (pivot, node).
+    *  2. PATH COUNTS σ over the shortest-path DAG: DAG edge u→v iff
+    *     `d(u) + w(u,v) = d(v)` (bit-exact for INTEGER-VALUED weights —
+    *     all sums stay exact doubles; fractional weights can split a
+    *     true tie across ulps, so σ is contract-exact for integer
+    *     costs, documented). σ iterates `σ(v) = Σ_{u→v} σ(u)` from
+    *     σ(pivot) = 1 — round t holds paths of ≤ t hops, monotone
+    *     exact Longs, stable at DAG depth.
+    *  3. DEPENDENCIES δ backward: per-DAG-edge ratio r = σ_v/σ_w is
+    *     computed ONCE, then `δ(v) = Σ_{v→w} r·(1 + δ(w))` iterates
+    *     from 0 — each value recomputes bit-identically once its
+    *     successors settle, so FP changed-row compare is exact.
+    *
+    * Weights must be strictly positive (a zero-weight cycle has
+    * infinitely many equal-cost paths — σ diverges). Output and
+    * estimator contract as [[run]]: undirected, unnormalized,
+    * endpoints excluded, unordered pairs once, n/k pivot scale.
+    */
+  def runWeighted(
+      edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      pivots: Int = 0, seed: Long = 42L, maxRounds: Int = 128): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val e0 = edges
+      .select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"),
+        col(wCol).cast("double").as("__w"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("__w").isNotNull)
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("__w")).as("__w"))
+    val ed = e0.select(col("a").as("v"), col("b").as("t"), col("__w"))
+      .unionAll(e0.select(col("b").as("v"), col("a").as("t"), col("__w")))
+      .persist()
+    val minW = ed.agg(min(col("__w"))).head()
+    if (!minW.isNullAt(0) && minW.getDouble(0) <= 0.0) {
+      ed.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        "runWeighted requires strictly positive weights: min weight " +
+          s"${minW.getDouble(0)} ≤ 0 (a zero-weight tie gives infinitely " +
+          "many equal-cost paths — σ diverges; negative forms a cycle)")
+    }
+    val nodes = ed.select(col("v")).distinct()
+    val n = nodes.count()
+    if (n == 0L) {
+      ed.unpersist(blocking = false)
+      return spark.range(0).select(col("id").as("node"),
+        lit(0.0).as("betweenness"))
+    }
+    val pivotSet =
+      (if (pivots <= 0) nodes
+       else nodes.orderBy(xxhash64(col("v"), lit(seed)), col("v")).limit(pivots))
+        .select(col("v").as("p"))
+    val k = pivotSet.count()
+
+    // 1. cost distances from every pivot (min-plus frontier fold)
+    var dist = pivotSet
+      .select(col("p"), col("p").as("v"), lit(0.0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var rounds = 0
+    var improving = true
+    while (improving) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"runWeighted distances still improving after maxRounds=$maxRounds")
+      val cand = frontier
+        .join(ed, Seq("v"))
+        .select(col("p"), col("t").as("v"), (col("dist") + col("__w")).as("dist"))
+        .groupBy(col("p"), col("v"))
+        .agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(dist.select(col("p"), col("v"), col("dist").as("__old")),
+          Seq("p", "v"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("p"), col("v"), col("dist"))
+        .localCheckpoint(true)
+      improving = improved.count() > 0L
+      if (improving) {
+        dist = dist.unionAll(improved)
+          .groupBy(col("p"), col("v"))
+          .agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+    }
+
+    // shortest-path DAG edges per pivot: u→v iff d(u) + w = d(v)
+    val dagE = dist.select(col("p"), col("v").as("__u"), col("dist").as("__du"))
+      .join(ed.select(col("v").as("__u"), col("t").as("__v"), col("__w")), Seq("__u"))
+      .join(dist.select(col("p"), col("v").as("__v"), col("dist").as("__dv")),
+        Seq("p", "__v"))
+      .filter(col("__du") + col("__w") === col("__dv"))
+      .select(col("p"), col("__u"), col("__v"))
+      .persist()
+
+    // 2. σ fixpoint over the DAG (exact Longs, monotone in hop rounds)
+    val seedSig = pivotSet.select(col("p"), col("p").as("v"), lit(1L).as("sigma"))
+    var sig = seedSig.localCheckpoint(true)
+    rounds = 0
+    var changing = true
+    while (changing) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"runWeighted σ still changing after maxRounds=$maxRounds")
+      val next = seedSig.unionAll(
+          dagE.join(sig.select(col("p"), col("v").as("__u"), col("sigma")),
+            Seq("p", "__u"))
+            .groupBy(col("p"), col("__v"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .select(col("p"), col("__v").as("v"), col("sigma")))
+        .groupBy(col("p"), col("v"))
+        .agg(max(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(sig.select(col("p"), col("v"), col("sigma").as("__os")),
+          Seq("p", "v"), "left")
+        .filter(col("__os").isNull || col("sigma") =!= col("__os"))
+        .count()
+      sig = next
+      changing = changed > 0L
+    }
+    // σ(v) at round t counts shortest paths of ≤ t hops: the union's
+    // max-merge keeps the newest (largest) count per node; every
+    // pivot-seeded DAG is acyclic under positive weights, so the fold
+    // is exact and stable at DAG depth
+
+    // 3. per-edge ratio once, then δ backward fixpoint
+    val dagR = dagE
+      .join(sig.select(col("p"), col("v").as("__u"), col("sigma").as("__su")), Seq("p", "__u"))
+      .join(sig.select(col("p"), col("v").as("__v"), col("sigma").as("__sv")), Seq("p", "__v"))
+      .select(col("p"), col("__u"), col("__v"),
+        (col("__su").cast("double") / col("__sv").cast("double")).as("__r"))
+      .persist()
+    dagE.unpersist(blocking = false)
+    var delta = dist.select(col("p"), col("v"), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    rounds = 0
+    changing = true
+    while (changing) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"runWeighted δ still changing after maxRounds=$maxRounds")
+      val next = dist.select(col("p"), col("v"))
+        .join(
+          dagR.join(delta.select(col("p"), col("v").as("__v"),
+              col("delta").as("__dw")), Seq("p", "__v"))
+            .groupBy(col("p"), col("__u"))
+            .agg(sum(col("__r") * (lit(1.0) + col("__dw"))).as("__acc"))
+            .select(col("p"), col("__u").as("v"), col("__acc")),
+          Seq("p", "v"), "left")
+        .select(col("p"), col("v"), coalesce(col("__acc"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(delta.select(col("p"), col("v"), col("delta").as("__od")),
+          Seq("p", "v"))
+        .filter(col("delta") =!= col("__od"))
+        .count()
+      delta = next
+      changing = changed > 0L
+    }
+    dagR.unpersist(blocking = false)
+
+    val scale = n.toDouble / k.toDouble / 2.0
+    val out = delta
+      .filter(col("v") =!= col("p"))
+      .groupBy(col("v"))
+      .agg((coalesce(sum(col("delta")), lit(0.0)) * lit(scale)).as("betweenness"))
+      .select(col("v").as("node"), col("betweenness"))
+      .localCheckpoint(true)
+    ed.unpersist(blocking = false)
+    out
+  }
 }

@@ -95,4 +95,46 @@ class BetweennessSpec extends AnyFunSuite {
     assert(bc(Seq.empty).isEmpty)
     assert(bc(Seq((5L, 5L))).isEmpty) // only a self-loop: no real edges
   }
+
+  private def wbc(
+      edges: Seq[(Long, Long, Double)], pivots: Int = 0): Map[Long, Double] =
+    Betweenness.runWeighted(edges.toDF("x", "y", "w"), "x", "y", "w", pivots)
+      .as[(Long, Double)].collect().toMap
+
+  test("runWeighted: cost routing changes brokerage where hop routing " +
+      "is blind — the asymmetric square; w ≡ 1 reproduces the " +
+      "unweighted run; zero weights rejected") {
+    // square 1-2-4-3-1: cheap side 1-2-4 (1+1), dear side 1-3-4 (2+2).
+    // Hop betweenness sees two equal diagonals (0.5 everywhere);
+    // cost betweenness routes (1,4) through 2 alone (B=1), leaves 3 a
+    // pure endpoint (B=0), and splits (2,3)'s tie across 1 and 4.
+    val square = Seq((1L, 2L, 1.0), (2L, 4L, 1.0), (1L, 3L, 2.0), (3L, 4L, 2.0))
+    val w = wbc(square)
+    assert(approxEq(w, Map(1L -> 0.5, 2L -> 1.0, 3L -> 0.0, 4L -> 0.5)), w.toString)
+    val unw = bc(square.map(e => (e._1, e._2)))
+    assert(approxEq(unw, Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5)))
+    // w ≡ 1 ≡ unweighted, on a graph with real structure (P4 + a star)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (0L, 1L), (0L, 3L), (0L, 5L))
+    assert(approxEq(wbc(g.map(e => (e._1, e._2, 1.0))), bc(g)))
+    // fractional sigma: C6's diametric split survives the weighted path
+    val c6 = (0L until 6L).map(i => (i, (i + 1) % 6, 1.0))
+    assert(approxEq(wbc(c6), bc(c6.map(e => (e._1, e._2)))))
+    val ex = intercept[IllegalArgumentException] {
+      wbc(Seq((1L, 2L, 1.0), (2L, 3L, 0.0)))
+    }
+    assert(ex.getMessage.contains("strictly positive"))
+  }
+
+  test("runWeighted: parallel edges keep the MIN weight, duplicates/" +
+      "orientations canonicalize, and the pivot estimator replays " +
+      "deterministically") {
+    // the 5.0 parallel edge on 1-2 must lose to the 1.0 one: same
+    // answers as the square test's exact run
+    val g = Seq((1L, 2L, 1.0), (2L, 1L, 5.0), (2L, 4L, 1.0),
+      (1L, 3L, 2.0), (4L, 3L, 2.0), (3L, 3L, 9.0))
+    val w = wbc(g)
+    assert(approxEq(w, Map(1L -> 0.5, 2L -> 1.0, 3L -> 0.0, 4L -> 0.5)), w.toString)
+    val a = wbc(g, pivots = 2)
+    assert(a == wbc(g, pivots = 2), "same pivots/seed must replay bit-identically")
+  }
 }
