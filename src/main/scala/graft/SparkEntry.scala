@@ -2092,6 +2092,21 @@ object SparkEntry {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, k = 10, bits = 8, nCand = 9, numQueries = 16)
 
+  /** Multi-probe kNN JOIN ([[operators.Similarity.multiProbeKnnJoin]],
+    * 16 lowest-id query rows, 8-bit cells, 9 margin-ranked probes):
+    * the batch search path — per query the approximate cosine top-10
+    * from the probed cells, self included (the qs5 knnJoin contract),
+    * bounded TopK aggregator, probe cells a broadcast equi-join.
+    */
+  private def qs21MpKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val embs = t(spark, dir, "embeddings")
+    val queries = embs.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    operators.Similarity.multiProbeKnnJoin(
+      embs, queries, "vec_id", "embedding", "qid", "qv",
+      dim = 64, k = 10, bits = 8, nCand = 9)
+  }
+
   /** Weighted (TF) Jaccard report ([[operators.Dedup
     * .weightedJaccardReport]], 16 hashes / 8 bands): per LSH candidate
     * pair, the token-multiset Jaccard Σmin(tf)/Σmax(tf) — the
@@ -5826,6 +5841,7 @@ object SparkEntry {
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs19_ann_multiprobe" -> (qs19AnnMultiprobe _),
     "qs20_ivf_multiprobe" -> (qs20IvfMultiprobe _),
+    "qs21_mp_knn_join" -> (qs21MpKnnJoin _),
     "qs17_hard_negatives" -> (qs17HardNegatives _),
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
@@ -13026,6 +13042,66 @@ object SparkEntry {
          |  round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall
          |FROM q LEFT JOIN hits h ON h.qid = q.qid
          |ORDER BY query_id""".stripMargin
+    },
+    // Multi-probe kNN-join replay: qs19's plane/sig/margin/probe CTEs,
+    // tail swapped to the per-query top-10 rows themselves (self
+    // included — the qs5 knnJoin contract), ranked by (6-dp sim DESC,
+    // vec_id ASC).
+    "qs21_mp_knn_join" -> {
+      val rnd = new scala.util.Random(42L)
+      val planes = Seq.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      val planeValues = planes.zipWithIndex.flatMap { case (p, b) =>
+        p.zipWithIndex.map { case (c, i) => s"($b,${i + 1},$c)" }
+      }.mkString(",")
+      s"""WITH planes(b, i, c) AS (SELECT * FROM (VALUES $planeValues)),
+         |dots AS (
+         |  SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.i] AS DOUBLE) * p.c) AS d
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b),
+         |sigs AS MATERIALIZED (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0.0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 16),
+         |qmu AS (
+         |  SELECT d.vec_id AS qid, d.b,
+         |    CAST(floor(abs(d.d) * 1000000 + 0.5) AS BIGINT) AS mu
+         |  FROM dots d JOIN q ON q.qid = d.vec_id),
+         |mscore AS (
+         |  SELECT q.qid, m.m,
+         |    coalesce(sum(CASE WHEN (m.m >> qmu.b) & 1 = 1
+         |      THEN qmu.mu * qmu.mu ELSE 0 END), 0) AS s
+         |  FROM q
+         |  CROSS JOIN generate_series(0, 255) m(m)
+         |  LEFT JOIN qmu ON qmu.qid = q.qid
+         |  GROUP BY q.qid, m.m),
+         |probes AS MATERIALIZED (
+         |  SELECT qid, m FROM (
+         |    SELECT qid, m, row_number() OVER (PARTITION BY qid ORDER BY s, m) AS r
+         |    FROM mscore) WHERE r <= 9),
+         |cand AS (
+         |  SELECT q.qid, sv.vec_id FROM q
+         |  JOIN sigs sq ON sq.vec_id = q.qid
+         |  JOIN probes p ON p.qid = q.qid
+         |  JOIN sigs sv ON sv.sig = xor(sq.sig, CAST(p.m AS BIGINT))),
+         |s0 AS (
+         |  SELECT c.qid, c.vec_id,
+         |    sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS dot,
+         |    sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)) AS nb
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN q ON q.qid = c.qid
+         |  CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY c.qid, c.vec_id),
+         |sims AS (
+         |  SELECT qid, vec_id,
+         |    round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
+         |               ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
+         |  FROM s0)
+         |SELECT qid AS query_id, vec_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+         |  FROM sims) WHERE r <= 10""".stripMargin
     },
     "qs18_ann_recall" -> {
       val rnd = new scala.util.Random(42L)

@@ -959,6 +959,73 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** MULTI-PROBE kNN JOIN — the BATCH search path completing the
+    * multi-probe trio ([[annRecallMultiProbe]] evaluates,
+    * [[multiProbeTopK]] serves one query, this serves a query TABLE):
+    * per query row, the approximate cosine top-k from the
+    * margin-ranked probe cells, at the same fixed `nCand`-cell budget.
+    * Queries are COLLECTED driver-side to compute margins and probe
+    * masks (the [[annRecallMultiProbe]] bounded-queries contract —
+    * queries are the small side of every kNN join in this tier); the
+    * probe set broadcasts and candidates come from the `__sig` EQUI
+    * join, so a cell-partitioned corpus partition-prunes per batch.
+    * Output `(query_id, <idCol>, sim)` — ≤ k rows per query, ranked by
+    * the (6-dp sim DESC, id ASC) tie contract inside the bounded
+    * [[TopKByScore]] aggregator; no Window over the corpus.
+    */
+  def multiProbeKnnJoin(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      dim: Int,
+      k: Int,
+      bits: Int = 8,
+      nCand: Int = 9,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(bits >= 1 && bits <= 16,
+      s"bits must be in [1, 16] (probe enumeration is 2^bits per query), got $bits")
+    require(nCand >= 1 && nCand <= (1 << bits),
+      s"nCand must be in [1, 2^bits], got $nCand")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val topk = udaf(new TopKByScore(k))
+    val sigd = corpus.withColumn(
+      "__sig", VectorFunctions.hyperplaneSignature(col(vecCol), dim, bits, seed))
+    val qrows = queries
+      .select(col(qIdCol).cast("long").as("__qid"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val probeRows = qrows.flatMap { case (qid, qv) =>
+      var qCell = 0L
+      val micro = new Array[Long](bits)
+      planes.zipWithIndex.foreach { case (p, b) =>
+        var dot = 0.0; var j = 0
+        while (j < dim) { dot += qv(j) * p(j); j += 1 }
+        if (dot >= 0.0) qCell |= 1L << b
+        micro(b) = math.floor(math.abs(dot) * 1e6 + 0.5).toLong
+      }
+      multiProbeMasks(micro, bits, nCand).map(m => (qid, qCell ^ m))
+    }
+    val probes = probeRows.toSeq.toDF("__qid", "__cell")
+    val qv = queries.select(col(qIdCol).cast("long").as("__qid"),
+      col(qVecCol).as("__qv"))
+    sigd
+      .join(broadcast(probes), sigd("__sig") === probes("__cell"))
+      .join(broadcast(qv), Seq("__qid"))
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), col("__qv")), 6))
+      .groupBy(col("__qid"))
+      .agg(topk(col("sim"), col(idCol).cast("long")).as("__topk"))
+      .select(col("__qid").as("query_id"), explode(col("__topk")).as("__e"))
+      .select(col("query_id"), col("__e._2").as(idCol), col("__e._1").as("sim"))
+  }
+
   /** The `nCand` lowest-(Σ flipped µ-margin², mask) probe masks over
     * all 2^bits signature perturbations — exact integer arithmetic
     * throughout, so the ranking replays verbatim in SQL. Package-

@@ -133,6 +133,19 @@ class RecallSpec extends AnyFunSuite {
       s"ball $ballHits, multi-probe $mpHits")
     assert(mpHits >= ballHits,
       s"search path must not lose to the ball at equal budget: $mpHits < $ballHits")
+    // batch form: all-cells probe reproduces the exact knnJoin rows
+    import org.apache.spark.sql.functions.col
+    val qdf = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exactJoin = Similarity.knnJoin(
+      embs, qdf, "vec_id", "embedding", "qid", "qv", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpJoin = Similarity.multiProbeKnnJoin(
+      embs, qdf, "vec_id", "embedding", "qid", "qv",
+      dim = dim, k = 10, bits = 6, nCand = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mpJoin == exactJoin,
+      "all-cells multiProbeKnnJoin must reproduce knnJoin exactly")
   }
 
   test("hyperplane IVF: probing the full hamming ball reproduces the exact answer") {
