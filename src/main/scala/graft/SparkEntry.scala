@@ -3965,6 +3965,32 @@ object SparkEntry {
       media, windows = 16, bands = 4, maxHamming = 3)
   }
 
+  /** Incremental media near-dup dedup ([[multimodal.Multimodal
+    * .incrementalNearDupMedia]], 8 bands / hamming ≤ 10): the
+    * multimodal twin of qd8's incremental ingest — standing corpus =
+    * the DISTINCT aHash fingerprints of bases 0-24, batch = the 50
+    * retouched copies (ids 50-99). Retouches of corpus bases drop on
+    * the cross band-screen; retouches of ABSENT bases (25-49) pass it
+    * unless their pattern happens to sit within the hamming threshold
+    * of some corpus base (the fixture's structured multipliers put a
+    * handful of base pairs within 10 bits — near-dups by the
+    * operator's own definition), then near-dedup WITHIN the batch
+    * down to min-label representatives: 14 survivors at this fixture,
+    * every one ≥ 75, with their fingerprints — the rows whose
+    * hash_bits a real ingest would union into the standing set.
+    */
+  private def qm22IncrImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val folded = t(spark, dir, "documents")
+      .select((col("doc_id") % 100L).as("doc_id"))
+      .distinct()
+    val media = multimodal.Multimodal.pngMediaNearDupFromDocuments(spark, folded)
+    val hashes = multimodal.Multimodal.aHash(media, factor = 4)
+    multimodal.Multimodal.incrementalNearDupMedia(
+      hashes.filter(col("media_id") < 25),
+      hashes.filter(col("media_id") >= 50),
+      bands = 8, maxHamming = 10)
+  }
+
   /** Trim-tolerant audio near-dup clusters ([[multimodal.Multimodal
     * .audioNearDupClustersSampled]], 16 sampled windows / 4 bands /
     * hamming ≤ 3): the strict energy hash requires n divisible by
@@ -5751,6 +5777,7 @@ object SparkEntry {
     "qm19_video_dedup" -> (qm19VideoDedup _),
     "qm20_video_trim_dedup" -> (qm20VideoTrimDedup _),
     "qm21_audio_trim_dedup" -> (qm21AudioTrimDedup _),
+    "qm22_incr_image_dedup" -> (qm22IncrImageDedup _),
     "qsp1_overlay" -> (qsp1Overlay _),
     "qsp2_nearest" -> (qsp2Nearest _),
     "qg1_route_matrix" -> (qg1RouteMatrix _),
@@ -12759,6 +12786,78 @@ object SparkEntry {
     // banded into 8 substrings, exact per-character hamming <= 10, then
     // the qd6 min-label component CTE; unmatched images cluster as
     // themselves.
+    // Incremental media dedup replay: qm17's pixel/aHash CTEs, then
+    // the two-stage screen — batch fingerprints banded against the
+    // corpus's DISTINCT fingerprints (8 bands of 8 over 64 bits),
+    // exact hamming <= 10 drops; survivors cluster within the batch
+    // (the qm17 chain) and only min-label representatives remain.
+    "qm22_incr_image_dedup" ->
+      """WITH RECURSIVE gids AS (
+        |  SELECT DISTINCT doc_id % 100 AS gid FROM documents),
+        |px AS (
+        |  SELECT gid, i,
+        |    CASE WHEN i < 16
+        |      THEN least((i * (7919 + 16 * (gid % 50)) + 3 * (gid % 50)) % 256
+        |             + CASE WHEN gid >= 50 THEN 40 ELSE 0 END, 255)
+        |      ELSE (i * (7919 + 16 * (gid % 50)) + 3 * (gid % 50)) % 256 END AS p
+        |  FROM gids, unnest(generate_series(0, 1023)) t(i)),
+        |r2 AS (
+        |  SELECT gid, (i // 32) // 4 AS ry, (i % 32) // 4 AS rx,
+        |    CAST(sum(p) AS BIGINT) // 16 AS rp
+        |  FROM px GROUP BY 1, 2, 3),
+        |mn AS (SELECT gid, CAST(sum(rp) AS BIGINT) // 64 AS mean
+        |       FROM r2 GROUP BY 1),
+        |bits AS MATERIALIZED (
+        |  SELECT r2.gid,
+        |    string_agg(CASE WHEN rp > mean THEN '1' ELSE '0' END, ''
+        |      ORDER BY ry, rx) AS hb
+        |  FROM r2 JOIN mn USING (gid) GROUP BY r2.gid),
+        |corp AS (SELECT DISTINCT hb FROM bits WHERE gid < 25),
+        |bat AS MATERIALIZED (SELECT gid, hb FROM bits WHERE gid >= 50),
+        |batfp AS (SELECT DISTINCT hb FROM bat),
+        |bband AS (
+        |  SELECT hb, b, substr(hb, b * 8 + 1, 8) AS bk
+        |  FROM batfp, unnest(generate_series(0, 7)) s(b)),
+        |cband AS (
+        |  SELECT hb, b, substr(hb, b * 8 + 1, 8) AS bk
+        |  FROM corp, unnest(generate_series(0, 7)) s(b)),
+        |crossfp AS (
+        |  SELECT DISTINCT bb.hb AS bh, cb.hb AS ch
+        |  FROM bband bb JOIN cband cb ON cb.b = bb.b AND cb.bk = bb.bk),
+        |dupf AS (
+        |  SELECT DISTINCT bh FROM crossfp
+        |  WHERE list_sum(list_transform(generate_series(1, 64), j ->
+        |    CASE WHEN substr(bh, j, 1) = substr(ch, j, 1) THEN 0 ELSE 1 END)) <= 10),
+        |surv AS MATERIALIZED (
+        |  SELECT gid, hb FROM bat WHERE hb NOT IN (SELECT bh FROM dupf)),
+        |sband AS (
+        |  SELECT gid, b, substr(hb, b * 8 + 1, 8) AS bk
+        |  FROM surv, unnest(generate_series(0, 7)) s(b)),
+        |scand AS (
+        |  SELECT DISTINCT a.gid AS ga, b.gid AS gb
+        |  FROM sband a JOIN sband b ON a.b = b.b AND a.bk = b.bk AND a.gid > b.gid),
+        |sham AS (
+        |  SELECT c.ga, c.gb,
+        |    list_sum(list_transform(generate_series(1, 64), j ->
+        |      CASE WHEN substr(ha.hb, j, 1) = substr(h2.hb, j, 1) THEN 0 ELSE 1 END)) AS d
+        |  FROM scand c JOIN surv ha ON ha.gid = c.ga JOIN surv h2 ON h2.gid = c.gb),
+        |pairs AS (SELECT ga, gb FROM sham WHERE d <= 10),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT ga AS id FROM pairs UNION ALL SELECT gb FROM pairs)),
+        |sym AS MATERIALIZED (SELECT ga AS u, gb AS v FROM pairs UNION ALL SELECT gb, ga FROM pairs),
+        |lab(it, id, lb) AS (
+        |  SELECT 0, id, id FROM nodes
+        |  UNION ALL
+        |  SELECT it + 1, id, min(lb) FROM (
+        |    SELECT l.it, l.id, l.lb FROM lab l
+        |    UNION ALL
+        |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+        |  ) t(it, id, lb)
+        |  WHERE it < 20
+        |  GROUP BY it, id),
+        |final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id)
+        |SELECT s.gid AS media_id, s.hb AS hash_bits
+        |FROM surv s LEFT JOIN final f ON f.id = s.gid
+        |WHERE coalesce(f.lb, s.gid) = s.gid""".stripMargin,
     "qm17_image_dedup" ->
       """WITH RECURSIVE gids AS (
         |  SELECT DISTINCT doc_id % 100 AS gid FROM documents),

@@ -617,6 +617,85 @@ object Multimodal {
         coalesce(col("label"), col("__rep")).as("cluster"))
   }
 
+  /** INCREMENTAL media near-dup dedup — the multimodal twin of
+    * [[graft.operators.Dedup.incrementalMinHashDedup]]: a batch medium
+    * drops if its fingerprint is within `maxHamming` of ANY standing-
+    * corpus fingerprint; the survivors near-dedup WITHIN the batch
+    * (one representative per cluster — the medium whose id IS the
+    * min-label). Output `(media_id, hash_bits)` — the surviving rows,
+    * WITH their fingerprints, because the fingerprint column is the
+    * corpus-side artifact: persist the DISTINCT `hash_bits` set and
+    * union each batch's surviving fingerprints into it, and
+    * steady-state ingest never re-decodes corpus media (the
+    * `minHashBandBuckets` trade, pixels instead of shingles).
+    *
+    * Ordering contract (the text twin's): within-batch dedup runs
+    * AFTER corpus hits are removed — a batch medium never survives
+    * because its cluster representative was a corpus dup. Both sides
+    * dictionary-collapse first, so exact re-uploads (in the batch OR
+    * against the corpus) cost Θ(distinct), and the cross screen is a
+    * band equi-join over DISTINCT fingerprints only.
+    */
+  def incrementalNearDupMedia(
+      corpusHashes: DataFrame,
+      batchHashes: DataFrame,
+      bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    // corpus artifact: DISTINCT fingerprints; rep = the string itself
+    // (corpus media ids are not needed — membership is the question)
+    val cfp = corpusHashes.select(col("hash_bits")).distinct()
+    val bfp = collapseFingerprints(batchHashes)
+    val bKeys = bandKeys(bfp.select(col("hash_bits")), bands)
+      .select(col("hash_bits").as("__bh"), col("__bkey"))
+    val cKeys = bandKeys(cfp, bands)
+      .select(col("hash_bits").as("__ch"), col("__bkey"))
+    // (both sides banded over DISTINCT fingerprints only)
+    val ham = aggregate(
+      zip_with(
+        split(col("__bh"), ""), split(col("__ch"), ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, v) => acc + v)
+    val dupFp = bKeys.join(cKeys, Seq("__bkey"))
+      .select(col("__bh"), col("__ch"))
+      .distinct()
+      .filter(ham <= maxHamming)
+      .select(col("__bh").as("hash_bits"))
+      .distinct()
+    val survivors = batchHashes
+      .join(dupFp, Seq("hash_bits"), "left_anti")
+    val clusters = hashClusters(survivors, bands, maxHamming)
+    survivors
+      .join(clusters.filter(col("media_id") === col("cluster"))
+        .select(col("media_id")), Seq("media_id"), "left_semi")
+      .select(col("media_id"), col("hash_bits"))
+  }
+
+  /** Band keys for a fingerprint frame carrying `hash_bits`: bands
+    * 0..bands−2 at width ⌊len/bands⌋, the LAST band absorbs the
+    * remainder (every bit covered), width 0 raises. Input columns pass
+    * through with `__bkey` appended — the shared primitive behind the
+    * self-join candidate tier and [[incrementalNearDupMedia]]'s cross
+    * screen.
+    */
+  private[graft] def bandKeys(fp: DataFrame, bands: Int): DataFrame =
+    fp
+      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("__w",
+        when(length(col("hash_bits")) >= bands,
+          (length(col("hash_bits")) / bands).cast("int"))
+          .otherwise(raise_error(concat(
+            lit("hashClusters: fingerprint length "),
+            length(col("hash_bits")),
+            lit(s" < bands=$bands — band width would be 0 and every row " +
+              "would share every band key (all-pairs candidates); lower " +
+              "bands or lengthen the fingerprint")))))
+      .withColumn("__bkey", concat(col("__band").cast("string"), lit(":"),
+        expr(s"substring(hash_bits, __band * __w + 1, " +
+          s"if(__band = ${bands - 1}, length(hash_bits) - __band * __w, __w))")))
+      .drop("__band", "__w")
+
   /** The dictionary-collapse step of [[hashClusters]]: one row per
     * DISTINCT fingerprint, `(hash_bits, __rep)` with __rep = the
     * group's minimum media_id. Package-private so the scale probe can
@@ -638,21 +717,7 @@ object Multimodal {
     * key ⇒ all-pairs).
     */
   private[graft] def fingerprintCandidates(fp: DataFrame, bands: Int): DataFrame = {
-    val banded = fp
-      .withColumn("__band", explode(array((0 until bands).map(lit): _*)))
-      .withColumn("__w",
-        when(length(col("hash_bits")) >= bands,
-          (length(col("hash_bits")) / bands).cast("int"))
-          .otherwise(raise_error(concat(
-            lit("hashClusters: fingerprint length "),
-            length(col("hash_bits")),
-            lit(s" < bands=$bands — band width would be 0 and every row " +
-              "would share every band key (all-pairs candidates); lower " +
-              "bands or lengthen the fingerprint")))))
-      .withColumn("__bkey", concat(col("__band").cast("string"), lit(":"),
-        expr(s"substring(hash_bits, __band * __w + 1, " +
-          s"if(__band = ${bands - 1}, length(hash_bits) - __band * __w, __w))")))
-      .select(col("__rep"), col("__bkey"))
+    val banded = bandKeys(fp, bands).select(col("__rep"), col("__bkey"))
     banded.select(col("__rep").as("__a"), col("__bkey"))
       .join(banded.select(col("__rep").as("__b"), col("__bkey")), Seq("__bkey"))
       .filter(col("__a") > col("__b"))

@@ -46,6 +46,35 @@ class MultimodalScaleSpec extends AnyFunSuite {
     assert(clusters(m + 1) == m + 1 && clusters(m + 2) == m + 2)
   }
 
+  test("incrementalNearDupMedia: corpus hits drop (exact AND near), " +
+      "novel fingerprints survive and near-dedup within the batch to " +
+      "min-label representatives") {
+    import spark.implicits._
+    val a = "1111000011110000"
+    val b = "1111000011110001" // hamming 1 of a → corpus near-dup
+    val c = "0000111100001111" // novel
+    val d = "1010101010101010" // novel, far from c
+    val corpus = Seq((0L, a)).toDF("media_id", "hash_bits")
+    val batch = Seq(
+      (10L, a), // exact corpus dup
+      (11L, b), // near corpus dup
+      (12L, c), (13L, c), // novel pair: collapse + keep min
+      (14L, d)) // novel singleton
+      .toDF("media_id", "hash_bits")
+    val got = graft.multimodal.Multimodal
+      .incrementalNearDupMedia(corpus, batch, bands = 4, maxHamming = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(12L -> c, 14L -> d), s"got $got")
+    // empty corpus: pure within-batch dedup
+    val noCorpus = graft.multimodal.Multimodal
+      .incrementalNearDupMedia(
+        corpus.filter(org.apache.spark.sql.functions.lit(false)),
+        batch, bands = 4, maxHamming = 2)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(noCorpus == Set(10L, 12L, 14L),
+      s"empty-corpus dedup wrong: $noCorpus") // 11 merges into 10's cluster
+  }
+
   test("a fingerprint shorter than bands raises instead of degenerating " +
       "to all-pairs, and trailing bits are covered by the last band") {
     import spark.implicits._
