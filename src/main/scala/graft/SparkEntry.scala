@@ -2239,6 +2239,20 @@ object SparkEntry {
       "customer_exists" -> col("__cust_hit").isNotNull))
   }
 
+  /** Embedding-space drift ([[operators.Profiling.embeddingDrift]],
+    * top 16 dims): per-dimension mean shift between the even- and
+    * odd-id halves of the embedding corpus — micro-quantized exact
+    * integer sums (order-free), one IEEE divide per mean, ranked by
+    * (6-dp drift DESC, dim ASC).
+    */
+  private def qp17EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val embs = t(spark, dir, "embeddings")
+    operators.Profiling.embeddingDrift(
+      embs.filter(col("vec_id") % 2 === 0),
+      embs.filter(col("vec_id") % 2 === 1),
+      "embedding", topK = 16)
+  }
+
   /** Local peak detection ([[operators.Temporal.peakDetect]],
     * minDelta 2.0): per-user strict local maxima with the rise over
     * the higher neighbor — pure integer comparisons on centi-quantized
@@ -5881,6 +5895,7 @@ object SparkEntry {
     "qm16_otsu" -> (qm16Otsu _),
     "qg19_components" -> (qg19Components _),
     "qp16_quality" -> (qp16Quality _),
+    "qp17_embedding_drift" -> (qp17EmbeddingDrift _),
     "qe47_robust_summary" -> (qe47RobustSummary _),
     "qe48_peaks" -> (qe48Peaks _),
     "qe50_burstiness" -> (qe50Burstiness _),
@@ -13258,6 +13273,26 @@ object SparkEntry {
          |FROM q LEFT JOIN hits h ON h.qid = q.qid
          |ORDER BY query_id""".stripMargin
     },
+    // Embedding-drift replay: micro-quantized per-(side, dim) integer
+    // sums (order-free), one divide per mean, drift of 6-dp-rounded
+    // means, (drift DESC, dim) top-16.
+    "qp17_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT vec_id % 2 AS side, t.i - 1 AS dim,
+        |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS mv
+        |  FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)),
+        |ag AS (
+        |  SELECT side, dim, CAST(sum(mv) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.dim,
+        |    round(CAST(a.s AS DOUBLE) / (CAST(a.n AS DOUBLE) * 1000000.0), 6) AS mean_a,
+        |    round(CAST(b.s AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1000000.0), 6) AS mean_b
+        |  FROM ag a JOIN ag b ON b.dim = a.dim AND a.side = 0 AND b.side = 1)
+        |SELECT CAST(dim AS INT) AS dim, mean_a, mean_b,
+        |  round(abs(mean_a - mean_b), 6) AS drift
+        |FROM j ORDER BY drift DESC, dim LIMIT 16""".stripMargin,
     // Multi-probe IVF replay: the qs4 skeleton with the candidate set
     // swapped from the hamming ball to the margin-ranked probe cells.
     // The query is a LITERAL, so the probe cells are computed here in

@@ -132,6 +132,53 @@ object Profiling {
         col("share_a"), col("share_b"), col("psi"))
   }
 
+  /** EMBEDDING-SPACE DRIFT — [[driftReport]] for vector columns: per
+    * DIMENSION, the mean shift between two embedding corpora (model
+    * re-embeds, crawl-snapshot shifts, pre/post-filter skew — the
+    * readouts the categorical PSI can't see). The top-`topK`
+    * dimensions by |Δmean| with both means — the triage list before a
+    * re-embed or retrain.
+    *
+    * Exactness: components micro-quantize (⌊v·10⁶ + ½⌋, exact Longs)
+    * so per-dimension SUMS are order-free exact integers; each mean is
+    * then ONE IEEE divide and drift |mean_a − mean_b| one subtract —
+    * no unordered float summation anywhere, the qp5/qp7 recipe.
+    * Ranking is (drift DESC, dim ASC) on 6-dp-rounded values.
+    *
+    * Shape: posexplode inflates rows ×dim but map-side partial
+    * aggregation means only `dim` rows per partition cross the wire
+    * (the shuffle is dim-bounded, the CPU is the scan it rides);
+    * one dim-keyed aggregate per side, a dim-bounded join, a top-K
+    * cut. Σ|micro| must stay under 2⁶³: fine to ~10¹² rows at
+    * |v| ≤ 10³ — past that, pre-aggregate per shard.
+    */
+  def embeddingDrift(
+      a: DataFrame, b: DataFrame, vecCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def dimSums(df: DataFrame): DataFrame = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "__v")))
+      .groupBy(col("dim"))
+      .agg(
+        sum(floor(col("__v") * lit(1e6) + lit(0.5)).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+    val da = dimSums(a).select(col("dim"), col("__s").as("__sa"), col("__n").as("__na"))
+    val db = dimSums(b).select(col("dim"), col("__s").as("__sb"), col("__n").as("__nb"))
+    da.join(db, Seq("dim"), "full_outer")
+      .na.fill(0L, Seq("__sa", "__na", "__sb", "__nb"))
+      .withColumn("mean_a",
+        when(col("__na") > 0L,
+          round(col("__sa").cast("double") / (col("__na").cast("double") * lit(1e6)), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("mean_b",
+        when(col("__nb") > 0L,
+          round(col("__sb").cast("double") / (col("__nb").cast("double") * lit(1e6)), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("drift", round(abs(col("mean_a") - col("mean_b")), 6))
+      .select(col("dim"), col("mean_a"), col("mean_b"), col("drift"))
+      .orderBy(desc("drift"), col("dim"))
+      .limit(topK)
+  }
+
   /** Benford's-law probabilities P(d) = log10(1 + 1/d), d = 1..9, as
     * the exact shortest-repr DOUBLE LITERALS — both engines parse the
     * same decimal string to the same double, so n·p and the chi-square

@@ -1115,6 +1115,27 @@ class OperatorsSpec extends AnyFunSuite {
       math.rint((0.5 - 0.25) * math.log(0.5 / 0.25) * 1e6) / 1e6)
   }
 
+  test("embeddingDrift: per-dimension mean shift from exact micro sums, " +
+      "ranked (drift desc, dim asc), topK cut, negative half-up rounding") {
+    import spark.implicits._
+    val a = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 2.0f)).toDF("embedding")
+    val b = Seq(Seq(1.0f, 5.0f)).toDF("embedding")
+    val out = Profiling.embeddingDrift(a, b, "embedding", topK = 2).collect()
+    // dim1 drifts 3.0 (2 → 5), dim0 drifts 1.0 (2 → 1)
+    assert(out.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))).toSeq ==
+      Seq((1, 2.0, 5.0, 3.0), (0, 2.0, 1.0, 1.0)))
+    // topK cuts: asking for 1 keeps only the biggest mover
+    assert(Profiling.embeddingDrift(a, b, "embedding", topK = 1)
+      .collect().head.getInt(0) == 1)
+    // negative components micro-quantize half-up toward +inf on both
+    // sides of the subtraction (floor(v·1e6 + 0.5))
+    val n1 = Seq(Seq(-1.5f)).toDF("embedding")
+    val n2 = Seq(Seq(-2.5f)).toDF("embedding")
+    val nd = Profiling.embeddingDrift(n1, n2, "embedding", topK = 1).collect().head
+    assert(nd.getDouble(1) == -1.5 && nd.getDouble(2) == -2.5 && nd.getDouble(3) == 1.0)
+  }
+
   test("benford: integer digit extraction (fractions, abs, zero/null " +
       "drop), hand-computed chi-square, literal probabilities") {
     import spark.implicits._
