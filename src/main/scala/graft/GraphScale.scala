@@ -84,6 +84,39 @@ object GraphScale {
           edges.withColumn("w", (pmod(col("x") + col("y"), lit(7)) + 1).cast("double")),
           "x", "y", "w", source = 0L).count()
       }
+      // link prediction (qg35): wedge volume is Θ(Σ deg(w)²) BY
+      // CONTRACT (every shared neighbor witnesses its pair) — the
+      // maxDegree cap bounds the hub term, so wall tracks the capped
+      // wedge count; 10⁷ skipped (4×10⁸ wedges is the documented
+      // all-pairs regime, not a probe)
+      if (m <= 1000000L) {
+        time("linkpred_d64") {
+          graft.graph.Structure
+            .linkPrediction(edges, "x", "y", minCommon = 2, maxDegree = 64L)
+            .count()
+        }
+      }
+      // assortativity + modularity: one canonicalize + degree aggregate
+      // each, integer moments — wall should track |E| like any keyed agg
+      time("assortativity") {
+        graft.graph.Structure.assortativity(edges, "x", "y").count()
+      }
+      time("modularity32") {
+        val labels = spark.range(n)
+          .select(col("id").as("v"), (col("id") % 32).as("c"))
+        graft.graph.Structure.modularity(edges, "x", "y", labels, "v", "c")
+          .count()
+      }
+      // weighted betweenness (qg34): pivot-bounded like betweenness16 —
+      // cost is pivots × 3 keyed-join fixpoints (distances, σ, δ), each
+      // |E|-join rounds deep; 8 pivots fixes the budget so wall should
+      // track |E| × rounds, never n·m (integer 1..7 weights keep the
+      // tie-detection contract exact)
+      time("wbetween8") {
+        graft.graph.Betweenness.runWeighted(
+          edges.withColumn("w", (pmod(col("x") + col("y"), lit(7)) + 1).cast("double")),
+          "x", "y", "w", pivots = 8).count()
+      }
       // weighted all-pairs distance kernel (qg32/qg33): exact all-pairs
       // is Θ(Σ component²) BY CONSTRUCTION, so the probe bounds the
       // component size — edges confined to 100-node buckets give
