@@ -1379,4 +1379,70 @@ object Dedup {
         col("__best.__len").cast("long").as("survivor_len"),
         col("n_members"))
   }
+
+  /** WINNOWING near-dup pairs — the inverted-index use of
+    * [[TextAnalysis.winnowingFingerprints]]: every unordered doc pair
+    * sharing ≥ `minShared` selected fingerprints, with both fingerprint
+    * set sizes and the fingerprint Jaccard. Winnowing's local guarantee
+    * makes this DETECTION-COMPLETE for overlaps of ≥ w+k−1 words
+    * (every such run shares a fingerprint) while touching only the
+    * ~2/(w+1) retained hashes — between qd4's full-shingle Jaccard and
+    * qd2's probabilistic MinHash bands, with MOSS's determinism.
+    *
+    * Plan shape: fingerprints (shuffle-free HOFs), one size aggregate,
+    * one equi-join on fingerprint (the inverted index), one pair
+    * aggregate. Candidate volume is Θ(Σ df(f)²) over fingerprint doc
+    * frequencies — boilerplate that winnows identically in thousands
+    * of docs makes hot buckets, so `maxDocsPerFingerprint` (> 0) drops
+    * stop-fingerprints first, the same frequency cap every inverted
+    * index ships; a fingerprint in that many docs identifies
+    * boilerplate, not provenance.
+    */
+  def winnowingNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      window: Int = 8,
+      minShared: Int = 3,
+      maxDocsPerFingerprint: Int = 0): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // EAGER materialization, not a lazy persist: the fingerprint frame
+    // feeds three concurrent scans (sizes + both join sides) in one
+    // job, and racing tasks would each recompute the uncached winnowing
+    // partitions before the cache lands — checkpointed blocks are
+    // computed exactly once
+    val fpAll = TextAnalysis
+      .winnowingFingerprints(docs, idCol, textCol, k, window)
+      .localCheckpoint(true)
+    val fp =
+      if (maxDocsPerFingerprint <= 0) fpAll
+      else fpAll.join(
+        fpAll.groupBy(col("fingerprint"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocsPerFingerprint)
+          .select(col("fingerprint")),
+        Seq("fingerprint"), "left_semi")
+    val sz = fpAll.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"))
+    val out = fp.select(col("doc_id").as("doc_a"), col("fingerprint"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fingerprint")),
+        Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sz.select(col("doc_id").as("doc_a"), col("__n").as("n_a")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("__n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        round(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      .localCheckpoint(true)
+    // fpAll's checkpoint blocks free when the frame is GC'd (the
+    // drainMemorySink rationale) — out no longer references them
+    out
+  }
 }

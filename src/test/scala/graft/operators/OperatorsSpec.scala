@@ -1674,4 +1674,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(loB == loW)
   }
 
+  test("winnowingNearDup: planted overlap detected, disjoint docs silent, " +
+    "stop-fingerprint cap prunes boilerplate pairs") {
+    import spark.implicits._
+    val run = (1 to 30).map(i => s"s$i").mkString(" ") // 30 shared words
+    def noise(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, noise("a") + " " + run),
+      (2L, run + " " + noise("b")),
+      (3L, noise("c")), // disjoint
+      (4L, noise("d"))).toDF("doc_id", "text")
+    val got = Dedup.winnowingNearDup(docs, "doc_id", "text", minShared = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the 30-word overlap guarantees shared fingerprints for (1,2) and
+    // nothing else
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) >= 1L)
+    // jaccard in (0, 1] and sizes positive
+    val row = Dedup.winnowingNearDup(docs, "doc_id", "text", minShared = 1)
+      .collect().head
+    assert(row.getLong(3) > 0 && row.getLong(4) > 0)
+    assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0)
+    // boilerplate cap: the shared run winnows into every doc carrying
+    // it; capping fingerprint doc-frequency at 1 removes those buckets
+    assert(Dedup.winnowingNearDup(docs, "doc_id", "text",
+      minShared = 1, maxDocsPerFingerprint = 1).count() == 0)
+  }
+
 }

@@ -978,4 +978,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.getLong(1) == 2L && out.getLong(2) == 2L && out.getDouble(3) == 1.0)
   }
 
+  test("winnowing: shared-run guarantee, short-doc collapse, distinct set") {
+    import spark.implicits._
+    val run = (1 to 20).map(i => s"w$i").mkString(" ") // 20-word shared run
+    val docs = Seq(
+      (1L, "alpha beta " + run),
+      (2L, run + " gamma delta epsilon"),
+      (3L, "tiny doc"), // < k tokens: one whole-doc gram, one fingerprint
+      (4L, "one two three four five") // 2 grams < window: single global min
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: a shared run of >= w+k-1 = 11 words forces >= 1 shared
+    // fingerprint between the two documents containing it
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert(byDoc(3L).size == 1)
+    assert(byDoc(4L).size == 1)
+    // explode emits each selected hash once per doc (array_distinct)
+    assert(fp.length == fp.distinct.length)
+    // selection is a subset of the doc's own k-gram hashes: disjoint
+    // texts share nothing
+    assert((byDoc(3L) & byDoc(4L)).isEmpty)
+    // retention: far fewer fingerprints than positions on a long doc
+    val long = Seq((9L, (1 to 400).map(i => s"t${i % 57}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val n = TextAnalysis.winnowingFingerprints(long, "doc_id", "text").count()
+    assert(n > 0 && n < 397 / 2) // ~2/(w+1) of 397 positions, margin 4x
+  }
+
 }
