@@ -541,6 +541,70 @@ object Sketches {
       .groupBy(col("term"))
       .agg(min(coalesce(col("__cnt"), lit(0L))).as("est"))
   }
+
+  /** AMS "tug-of-war" SECOND-MOMENT sketch (Alon, Matias & Szegedy
+    * 1996): F₂ = Σ_t f_t² — the SELF-JOIN SIZE of the token column,
+    * the cardinality primitive behind join-size planning and skew
+    * screens — estimated WITHOUT the per-token group-by: k counters
+    * Z_j = Σ occurrences f_t·s_j(t) with md5-salted ±1 signs; each
+    * Z_j² is unbiased for F₂, the mean over k divides the variance.
+    *
+    * Everything is integer until one final divide: signs ±1, Z_j exact
+    * sums, Z_j² exact DECIMAL(38,0) (Z can reach ±n — squaring in
+    * BIGINT would ANSI-throw at ~10⁹⁺ occurrences), Σ Z² exact —
+    * md5-replayable in SQL like qk2's count-min cells (DuckDB sums
+    * into HUGEINT). Output one row: (k, f2_est, f2_exact, rel_err).
+    *
+    * Plan shape: the SKETCH side is one explode (tokens × k) with
+    * map-side partial sums — the shuffle carries k rows per partition
+    * regardless of corpus or vocabulary size; that is the 100 TB path.
+    * `includeExact = true` (the gate/report regime) adds the
+    * ground-truth Σ f² branch, which pays the Θ(vocabulary) group-by
+    * the sketch exists to avoid — flip it off at scale.
+    */
+  def amsF2(
+      df: DataFrame, textCol: String,
+      k: Int = 16, includeExact: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .persist()
+    val z = toks
+      .select(col("__tok"), explode(sequence(lit(0), lit(k - 1))).as("__j"))
+      .select(col("__j"),
+        (lit(1L) - lit(2L) * pmod(
+          md5Hash32(concat(col("__j").cast("string"), lit("|"), col("__tok"))),
+          lit(2L))).as("__s"))
+      .groupBy(col("__j"))
+      .agg(sum(col("__s")).cast("decimal(38,0)").as("__z"))
+    val est = z
+      .agg(sum(col("__z") * col("__z")).as("__zz"))
+      .select(
+        lit(k.toLong).as("k"),
+        (col("__zz").cast("double") / lit(k.toDouble)).as("f2_est"))
+    val out =
+      if (!includeExact)
+        est.select(col("k"), col("f2_est"),
+          lit(null).cast("long").as("f2_exact"),
+          lit(null).cast("double").as("rel_err"))
+      else {
+        val exact = toks
+          .groupBy(col("__tok"))
+          .agg(org.apache.spark.sql.functions.count(lit(1))
+            .cast("decimal(38,0)").as("__c"))
+          .agg(sum(col("__c") * col("__c")).as("__f2"))
+        est.crossJoin(exact)
+          .select(col("k"), col("f2_est"),
+            col("__f2").cast("long").as("f2_exact"),
+            when(col("__f2") > 0,
+              round(abs(col("f2_est") - col("__f2").cast("double"))
+                / col("__f2").cast("double"), 6)).as("rel_err"))
+      }
+    val done = out.localCheckpoint(true)
+    toks.unpersist()
+    done
+  }
 }
 
 /** Bounded k-minimum-distinct-values buffer: an ascending ≤ k array of
@@ -640,5 +704,85 @@ final class LevelSampleAgg(k: Int)
   override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Seq[(Int, Double, String)])] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   override def outputEncoder: org.apache.spark.sql.Encoder[(Long, Long, Seq[(Int, Double, String)])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+/** SPACE-SAVING heavy-hitter summary as a typed Aggregator (Metwally,
+  * Agrawal & El Abbadi 2005; merge = the Misra–Gries counter merge of
+  * Agarwal et al., "Mergeable Summaries", PODS 2012) — the bounded-state
+  * streaming answer to per-window top-k, next to qe24's HLL (distinct),
+  * qe27's count-min (point frequency) and qe51's level sample
+  * (quantiles): state is ≤ m (token, count, err) entries however many
+  * distinct tokens arrive.
+  *
+  * Invariants: `count` is an UPPER bound on the token's true arrivals,
+  * `count − err` a LOWER bound, and any token with true frequency
+  * > n/(m+1) is guaranteed present (the Misra–Gries pigeonhole). When m
+  * is at least the true distinct count no eviction or merge-cut ever
+  * fires, every err is 0 and counts are EXACT group-by counts under any
+  * reduce/merge schedule — the regime the qe52 gate hash-compares;
+  * under eviction the summary keeps its bounds but the exact entry SET
+  * depends on arrival order (like any SpaceSaving), so approximate runs
+  * are spec territory, not oracle territory.
+  *
+  * reduce: tracked token → count+1; room → admit (t, 1, 0); full →
+  * evict the (count, token)-smallest entry, admit (t, minCount+1,
+  * minCount). merge: sum counts and errs pointwise, then the proven
+  * MG cut — sort by lower bound l = count − err, cut at the (m+1)-st
+  * l, keep entries with l − cut > 0, folding the cut into err (upper
+  * bounds are UNCHANGED by the cut: (l − cut) + (err + cut) = count).
+  */
+final class SpaceSavingAgg(m: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String,
+      Seq[(String, Long, Long)],
+      Seq[(String, Long, Long)]] {
+  require(m >= 1, s"m must be >= 1, got $m")
+
+  override def zero: Seq[(String, Long, Long)] = Vector.empty
+
+  override def reduce(
+      buf: Seq[(String, Long, Long)], t: String): Seq[(String, Long, Long)] = {
+    if (t == null) buf
+    else {
+      val i = buf.indexWhere(_._1 == t)
+      if (i >= 0) buf.updated(i, (t, buf(i)._2 + 1, buf(i)._3))
+      else if (buf.length < m) buf :+ ((t, 1L, 0L))
+      else {
+        // deterministic eviction: smallest count, tie -> smallest token
+        val j = buf.indices.minBy(ix => (buf(ix)._2, buf(ix)._1))
+        val minCount = buf(j)._2
+        buf.updated(j, (t, minCount + 1, minCount))
+      }
+    }
+  }
+
+  override def merge(
+      a: Seq[(String, Long, Long)],
+      b: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = {
+    val sum = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    (a.iterator ++ b.iterator).foreach { case (t, c, e) =>
+      val (c0, e0) = sum.getOrElse(t, (0L, 0L))
+      sum(t) = (c0 + c, e0 + e)
+    }
+    if (sum.size <= m) sum.iterator.map { case (t, (c, e)) => (t, c, e) }.toVector
+    else {
+      val byLower = sum.iterator
+        .map { case (t, (c, e)) => (t, c, e, c - e) }
+        .toVector
+        .sortBy { case (t, _, _, l) => (-l, t) }
+      val cut = byLower(m)._4
+      byLower.take(m).collect {
+        case (t, c, e, l) if l - cut > 0 => (t, c, e + cut)
+      }
+    }
+  }
+
+  override def finish(r: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+    r.sortBy { case (t, c, e) => (-c, e, t) }
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

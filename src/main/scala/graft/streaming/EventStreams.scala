@@ -694,6 +694,59 @@ object EventStreams {
         col("level"), col("n_sample"), col("est"))
   }
 
+  /** STREAMING TOP-K — per-hour heavy hitters where the streaming STATE
+    * is [[graft.operators.SpaceSavingAgg]]'s ≤ m (token, count, err)
+    * entries: the bounded-state answer to streaming `GROUP BY token
+    * ORDER BY count DESC LIMIT k`, whose exact form must hold every
+    * distinct token. SpaceSaving's merge is the proven Misra–Gries
+    * counter merge, so partial aggregation, micro-batch increments and
+    * late arrivals compose like the other sketch streams (qe24/qe27/
+    * qe51). With m at least the window's true distinct count the
+    * summary IS the exact count table (every err 0) — the regime the
+    * qe52 oracle hash-compares; smaller m keeps the n/(m+1) guarantee
+    * but makes the entry set order-dependent (spec territory). One
+    * streaming aggregate; the rank-and-cut finalize runs as a batch
+    * window over the drained ≤ m rows per hour. Complete mode for the
+    * bounded replay; exact counts mean redelivery is NOT idempotent
+    * (the CMS caveat).
+    */
+  def runTopKStream(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      m: Int = 64,
+      k: Int = 5,
+      tokenCol: String = "event_type",
+      queryName: String = "topk_events"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val src = graft.Tables.normalizeTs(stream)
+      .filter(col(tokenCol).isNotNull)
+      .select(window(col("ts"), "1 hour").as("__w"),
+        col(tokenCol).cast("string").as("__tok"))
+    val ss = udaf(new graft.operators.SpaceSavingAgg(m))
+    val q = src.groupBy(col("__w"))
+      .agg(ss(col("__tok")).as("__ss"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__w"))
+      .orderBy(col("est").desc, col("term"))
+    drainMemorySink(spark, queryName)
+      .select(col("__w"), explode(col("__ss")).as("__e"))
+      .select(col("__w"), col("__e._1").as("term"),
+        col("__e._2").as("est"), col("__e._3").as("err"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__w.start").as("window_start"), col("rank"),
+        col("term"), col("est"), col("err"))
+  }
+
   def runWindowedStream(
       spark: SparkSession,
       dir: String,

@@ -306,4 +306,83 @@ class SketchesSpec extends AnyFunSuite {
     assert(ab.getLong(1) == ba.getLong(1) && ab.getLong(2) == ba.getLong(2))
     assert(ab.getSeq[Any](3) == ba.getSeq[Any](3))
   }
+
+  test("space-saving: exact when m >= distinct, eviction inherits minCount, " +
+    "bounds hold under pressure") {
+    val agg = new SpaceSavingAgg(3)
+    // exact regime: 3 distinct tokens in capacity 3
+    val exact = "a b a c b a".split(" ").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(exact) == Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+    // eviction: a 4th distinct token evicts the (count, token)-smallest
+    // entry ("c", 1) and inherits its count as error
+    val evicted = agg.reduce(exact, "d")
+    val d = evicted.find(_._1 == "d").get
+    assert(d == (("d", 2L, 1L)))
+    assert(!evicted.exists(_._1 == "c"))
+    // upper/lower bound invariant on a longer adversarial stream:
+    // count >= true >= count - err for every surviving token
+    val stream = ("x " * 10 + "y " * 6 + "z " * 3 + "p q r s t u v w").trim.split(" ")
+    val truth = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val s = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(s.size <= 3)
+    s.foreach { case (t, c, e) =>
+      assert(c >= truth(t), s"$t upper")
+      assert(c - e <= truth(t), s"$t lower")
+    }
+    // pigeonhole: x (freq 10 of 27 > n/(m+1) = 6.75) must be present
+    assert(s.exists(_._1 == "x"))
+  }
+
+  test("space-saving merge: exact-regime merge is a pointwise sum; the MG " +
+    "cut preserves upper bounds and drops at-cut entries") {
+    val agg = new SpaceSavingAgg(3)
+    val a = "a a b".split(" ").foldLeft(agg.zero)(agg.reduce)
+    val b = "a c c".split(" ").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(a, b)) ==
+      Seq(("a", 3L, 0L), ("c", 2L, 0L), ("b", 1L, 0L)))
+    // overflow merge: 4 combined tokens force the cut at the 4th lower
+    // bound; kept uppers unchanged, errs absorb the cut
+    val x = "a a a b b c".split(" ").foldLeft(agg.zero)(agg.reduce)
+    val y = "d d e".split(" ").foldLeft(agg.zero)(agg.reduce)
+    val m = agg.merge(x, y)
+    val truth = Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 2L, "e" -> 1L)
+    assert(m.size <= 3)
+    m.foreach { case (t, c, e) =>
+      assert(c >= truth(t) && c - e <= truth(t), s"$t bounds")
+    }
+    // lower bounds ranked a(3) > b(2) = d(2) > c(1) = e(1): cut = 1
+    // (4th entry), so a/b/d survive with err +1 and c/e vanish
+    assert(m.map(_._1).toSet == Set("a", "b", "d"))
+    assert(m.find(_._1 == "a").get == (("a", 3L, 1L)))
+    // merge of empties and identity
+    assert(agg.merge(agg.zero, agg.zero).isEmpty)
+    assert(agg.finish(agg.merge(a, agg.zero)).map(_._1) == Seq("a", "b"))
+  }
+
+  test("amsF2: exact F2 correct, estimate matches an independent md5 " +
+    "sign replay, sketch-only path skips ground truth") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c b b")).toDF("doc_id", "text")
+    val r = Sketches.amsF2(docs, "text", k = 16).collect()(0)
+    // f = {a: 3, b: 3, c: 1} -> F2 = 9 + 9 + 1 = 19
+    assert(r.getLong(0) == 16L && r.getLong(2) == 19L)
+    // independent replay of the md5 sign convention (first 8 hex chars
+    // -> parity), written without reference to the production column
+    val toks = Seq("a", "a", "b", "a", "c", "b", "b")
+    def sign(j: Int, t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j|$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2L)
+    }
+    val est = (0 until 16).map { j =>
+      val z = toks.map(sign(j, _)).sum; z.toDouble * z
+    }.sum / 16.0
+    assert(r.getDouble(1) == est)
+    assert(r.getDouble(3) == BigDecimal(math.abs(est - 19.0) / 19.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // sketch-only regime: same estimate, no ground-truth branch
+    val s = Sketches.amsF2(docs, "text", k = 16, includeExact = false).collect()(0)
+    assert(s.getDouble(1) == est && s.isNullAt(2) && s.isNullAt(3))
+  }
 }

@@ -258,6 +258,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming top-k: exact-regime drain equals batch counts with the " +
+    "same rank cut; redelivery DOUBLES estimates (sum-merge)") {
+    val raw = Tables.events(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__w")).orderBy(col("est").desc, col("term"))
+    def batchTopk(times: Int) = events
+      .filter(col("event_type").isNotNull)
+      .select(window(col("ts"), "1 hour").as("__w"),
+        col("event_type").as("term"))
+      .groupBy(col("__w"), col("term"))
+      .agg((count(lit(1)) * times).as("est"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("__w.start"), col("rank"), col("term"), col("est"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("events-topk-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    def streamed() = EventStreams
+      .runTopKStream(spark, dir.toString, raw.schema, m = 64, k = 3,
+        queryName = s"topk_spec_${System.nanoTime()}")
+      .collect()
+      .map { r =>
+        assert(r.getLong(4) == 0L) // exact regime: every err 0
+        (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3))
+      }
+      .toSet
+    assert(streamed() == batchTopk(1))
+    // the SAME file staged again: counts are sum-merged state, so a
+    // redelivered source doubles every estimate (the CMS caveat — the
+    // qe12 tx-log sink is the dedup layer when sources can repeat)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events_again.parquet"))
+    assert(streamed() == batchTopk(2))
+  }
+
   test("streaming quantile sketch: multi-batch drain equals the batch " +
       "aggregate; state stays bounded; below-k windows answer exactly") {
     import spark.implicits._
