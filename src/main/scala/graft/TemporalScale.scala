@@ -55,6 +55,23 @@ object TemporalScale {
         operators.Temporal.ewma(df, "k", "ts", "tie", "v", alpha = 0.25)
           .count()
       }
+      // DTW (qe53): Θ(pairs × maxLen²) BY CONTRACT — the probe bounds
+      // the pair set to 64 keys (2016 pairs, 100² DP cells each inside
+      // one task; no shuffle beyond the series build), the blocking-
+      // stage discipline the operator doc demands at corpus scale
+      time("dtw64x100") {
+        operators.Temporal.dtwDistances(
+          df.filter(col("k") < 64L), "k", "ts", "tie", "v", maxLen = 100)
+          .count()
+      }
+      // lagged xcorr (qe54): Θ(K²·span·lags) BY CONTRACT (K is a
+      // CATEGORY count — event types, channels, experiment arms); 32
+      // remapped categories over the full row volume, daily buckets
+      time("xcorr32") {
+        operators.Temporal.laggedCrossCorrelation(
+          df.select(pmod(col("k"), lit(32L)).as("k"), col("ts")),
+          "k", "ts", bucketSeconds = 86400L, maxLag = 3).count()
+      }
     }
     spark.stop()
   }

@@ -1842,4 +1842,167 @@ object Temporal {
         .as("autocorr_l1"))
   }
 
+  /** Pairwise DYNAMIC TIME WARPING distance between per-key series
+    * (Sakoe & Chiba 1978's DP, unbanded): the alignment-tolerant series
+    * similarity that Euclidean/correlation measures get wrong when two
+    * keys trace the same shape at different speeds — the time-series
+    * analogue of qd19's edit-distance join. Per key the first `maxLen`
+    * observations in strict (ts, tie) order form the series; every
+    * unordered key pair (a < b) gets
+    * `dtw = min over monotone alignments of Σ |a_i − b_j|`.
+    *
+    * DETERMINISM: each DP cell is one fixed-order chain of IEEE adds
+    * and exact mins, so the distance is bit-identical across engines
+    * and partitionings given identical inputs — the oracle replays the
+    * identical recurrence as an anti-diagonal recursive CTE and the
+    * 6-dp round is belt-and-braces only.
+    *
+    * Scale shape: series build is one windowed rank + one grouped
+    * collect (arrays bounded by `maxLen` — bounded row width, no 2 GB
+    * hazard); the pair join is Θ(P) rows each carrying two bounded
+    * arrays; each pair's O(maxLen²) DP runs INSIDE one task (local
+    * arrays, no shuffle) — embarrassingly parallel over pairs. All-pairs
+    * P = Θ(K²) is by construction: at corpus scale feed a CANDIDATE
+    * subset (an LSH/feature blocking stage, the qd2 discipline), not
+    * every key — the operator is the verify kernel, not the blocker.
+    */
+  def dtwDistances(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valCol: String,
+      maxLen: Int = 40): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val ser = df
+      .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(collect_list(struct(col("__rn"), col(valCol).cast("double").as("__v")))
+        .as("__rows"))
+      .select(col("__k"),
+        transform(array_sort(col("__rows")), r => r.getField("__v")).as("__vs"))
+    val dtw = udf { (a: Seq[Double], b: Seq[Double]) =>
+      val la = a.length
+      val lb = b.length
+      // two-row DP; borders +inf, dp(0,0) = 0 — cell (1,1) = |a1 − b1|
+      var prev = Array.fill(lb + 1)(Double.PositiveInfinity)
+      prev(0) = 0.0
+      var cur = new Array[Double](lb + 1)
+      var i = 1
+      while (i <= la) {
+        cur(0) = Double.PositiveInfinity
+        var j = 1
+        while (j <= lb) {
+          val c = math.abs(a(i - 1) - b(j - 1))
+          cur(j) = c + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(lb)
+    }
+    ser.as("l")
+      .join(ser.as("r"), col("l.__k") < col("r.__k"))
+      .select(
+        col("l.__k").as("key_a"),
+        col("r.__k").as("key_b"),
+        size(col("l.__vs")).cast("long").as("len_a"),
+        size(col("r.__vs")).cast("long").as("len_b"),
+        round(dtw(col("l.__vs"), col("r.__vs")), 6).as("dtw"))
+  }
+
+  /** LAGGED CROSS-CORRELATION between per-key activity series — the
+    * lead/lag detector ("clicks follow views by an hour") beside qe44's
+    * within-key autocorrelation: bucket counts per (key, bucket) on a
+    * fixed grid, zero-fill the GLOBAL bucket span (absence is a real
+    * observation of 0 — an inner join on present buckets would
+    * correlate only the busy hours), then for every unordered key pair
+    * and lag ∈ [0, maxLag] the Pearson r between x(t) = count_a(t) and
+    * y(t) = count_b(t + lag), over the t where both (zero-filled)
+    * series are defined.
+    *
+    * EXACTNESS: counts are integers, so all five moments accumulate
+    * exactly (Σxy ≤ n·max², DECIMAL(38,0) against ANSI overflow at
+    * hub-scale counts); r is one fixed tree of IEEE ops over exact
+    * moments — bit-identical across engines, 6-dp round as
+    * belt-and-braces. Constant series (zero variance) → null r.
+    *
+    * Plan shape: one count aggregate, a 1-row global span broadcast, a
+    * per-key sequence explode (rows = keys × span — the grid, bounded
+    * by the bucket span, not the event count), one equi-join on the
+    * shifted bucket, one aggregate per (pair, lag). Lags ride a
+    * broadcast explode so the whole family shares one shuffle. Pair
+    * volume is Θ(K²·span·lags) BY CONTRACT — K is a CATEGORY count
+    * (event types, channels, experiment arms: dozens), never an
+    * entity id; correlate entities through a feature/blocking stage
+    * first, the [[dtwDistances]] discipline.
+    */
+  def laggedCrossCorrelation(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      bucketSeconds: Long,
+      maxLag: Int = 3): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    // floor division on integer epoch seconds, never a double cast:
+    // engines disagree on double->int rounding
+    val cnt = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        floor(unix_timestamp(col(tsCol)).cast("long")
+          / lit(bucketSeconds)).cast("long").as("__b"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+    val span = cnt.agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+    val grid = cnt.select(col("__k")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("__k"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+      .join(cnt, Seq("__k", "__b"), "left")
+      .select(col("__k"), col("__b"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+      .persist()
+    val lags = grid.sparkSession.range(maxLag + 1L)
+      .select(col("id").as("lag"))
+    val pairs = grid.select(col("__k").as("__ka"), col("__b"),
+        col("__n").as("__x"))
+      .crossJoin(broadcast(lags))
+      .join(
+        grid.select(col("__k").as("__kb"), col("__b").as("__bb"),
+          col("__n").as("__y")),
+        col("__bb") === col("__b") + col("lag") && col("__ka") < col("__kb"))
+      .select(col("__ka"), col("__kb"), col("lag"),
+        col("__x").cast("decimal(38,0)").as("__x"),
+        col("__y").cast("decimal(38,0)").as("__y"))
+    val out = pairs
+      .groupBy(col("__ka").as("key_a"), col("__kb").as("key_b"), col("lag"))
+      .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n_buckets"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("key_a"), col("key_b"), col("lag"), col("n_buckets"),
+        {
+          val n = col("n_buckets").cast("double")
+          // parens around each difference: an un-parenthesized trailing
+          // "- b" line is its own statement under semicolon inference
+          val num = (col("__sxy").cast("double") * n
+            - col("__sx").cast("double") * col("__sy").cast("double"))
+          val dx = (col("__sxx").cast("double") * n
+            - col("__sx").cast("double") * col("__sx").cast("double"))
+          val dy = (col("__syy").cast("double") * n
+            - col("__sy").cast("double") * col("__sy").cast("double"))
+          when(dx > 0.0 && dy > 0.0, round(num / sqrt(dx * dy), 6)).as("r")
+        })
+      .localCheckpoint(true)
+    grid.unpersist()
+    out
+  }
+
 }

@@ -1007,4 +1007,72 @@ class TemporalSpec extends AnyFunSuite {
     assert(got((3L, 25L)) == null && got((3L, 26L)) == null)
   }
 
+  test("dtwDistances: hand-computed alignments, truncation, tie order") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("user_id", "ts", "event_id", "value")
+    def run(rows: Seq[(Long, Long, Long, Double)], maxLen: Int = 40) =
+      Temporal.dtwDistances(df(rows), "user_id", "ts", "event_id", "value", maxLen)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // identical series align at zero cost
+    val same = Seq((1L, 1L, 1L, 5.0), (1L, 2L, 2L, 7.0),
+      (2L, 1L, 1L, 5.0), (2L, 2L, 2L, 7.0))
+    assert(run(same) == Map((1L, 2L) -> ((2L, 2L, 0.0))))
+    // step functions at different speeds: warping absorbs the shift
+    val warp = Seq(
+      (1L, 1L, 1L, 0.0), (1L, 2L, 2L, 0.0), (1L, 3L, 3L, 10.0),
+      (2L, 1L, 1L, 0.0), (2L, 2L, 2L, 10.0), (2L, 3L, 3L, 10.0))
+    assert(run(warp)((1L, 2L))._3 == 0.0)
+    // ramp vs shifted ramp: best path repeats the endpoints, cost 2
+    val ramp = Seq(
+      (1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 3.0),
+      (2L, 1L, 1L, 2.0), (2L, 2L, 2L, 3.0), (2L, 3L, 3L, 4.0))
+    assert(run(ramp)((1L, 2L))._3 == 2.0)
+    // maxLen truncates to the FIRST observations in (ts, tie) order:
+    // with maxLen = 1 only the first values (1.0 vs 9.0) compare
+    val long = Seq(
+      (1L, 1L, 1L, 1.0), (1L, 2L, 2L, 50.0),
+      (2L, 1L, 1L, 9.0), (2L, 2L, 2L, 50.0))
+    assert(run(long, maxLen = 1) == Map((1L, 2L) -> ((1L, 1L, 8.0))))
+    // equal-ts rows order by the tie column, not arrival order
+    val tied = Seq(
+      (1L, 1L, 2L, 100.0), (1L, 1L, 1L, 0.0),
+      (2L, 1L, 1L, 0.0), (2L, 1L, 2L, 100.0))
+    assert(run(tied)((1L, 2L))._3 == 0.0)
+    // three keys -> three unordered pairs, each key_a < key_b
+    val tri = (1L to 3L).flatMap(k => Seq((k, 1L, 1L, k.toDouble)))
+    val pairs = run(tri)
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 3L)) == ((1L, 1L, 2.0)))
+  }
+
+  test("laggedCrossCorrelation: anti-phase keys hit -1 at lag 0 and +1 at " +
+    "the shift; constant series are null; zero-fill spans the grid") {
+    import spark.implicits._
+    // key A fires in even hours, B in odd hours (A shifted by one), C
+    // fires once EVERY hour (constant after zero-fill)
+    val rows =
+      (0 to 4 by 2).map(h => ("A", h.toLong * 3600L)) ++
+      (1 to 5 by 2).map(h => ("B", h.toLong * 3600L)) ++
+      (0 to 5).map(h => ("C", h.toLong * 3600L))
+    val df = rows.toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val got = Temporal.laggedCrossCorrelation(df, "k", "ts", 3600L, maxLag = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) null else r.getDouble(4))))
+      .toMap
+    // A = [1,0,1,0,1,0], B = [0,1,0,1,0,1] on the shared 6-bucket span
+    assert(got(("A", "B", 0L)) == ((6L, -1.0)))
+    assert(got(("A", "B", 1L)) == ((5L, 1.0)))
+    assert(got(("A", "B", 2L)) == ((4L, -1.0)))
+    // C is constant 1 -> zero variance -> null r against anything
+    assert(got(("A", "C", 0L))._2 == null)
+    assert(got(("B", "C", 1L))._2 == null)
+    // every (pair, lag) emitted: 3 pairs x 3 lags
+    assert(got.size == 9)
+  }
+
 }
