@@ -1793,6 +1793,57 @@ object SparkEntry {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** Common-neighbor link prediction ([[graph.Structure.linkPrediction]],
+    * cn ≥ 2) on a %200 order-residue graph: every NON-adjacent pair
+    * scored by common-neighbor count, Adamic-Adar Σ 1/ln(deg) and
+    * resource-allocation Σ 1/deg through its shared neighbors — the
+    * missing-link primitive next to qg10's closed-wedge count. The
+    * oracle replays the wedge self-join, the NOT EXISTS adjacency
+    * filter and both 6-dp sums — a pair wrongly adjacent, a missed
+    * wedge, or a degree off by one moves a score.
+    */
+  private def qg35LinkPred(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(
+        (col("o_custkey") % 200).as("x"),
+        (col("o_orderkey") % 200).as("y"))
+    graph.Structure.linkPrediction(edges, "x", "y", minCommon = 2)
+  }
+
+  /** Degree assortativity ([[graph.Structure.assortativity]]) on qg10's
+    * %80 projection: Newman's mixing coefficient as one Pearson r over
+    * the symmetrized endpoint-degree pairs. Every moment accumulates as
+    * an exact integer (DECIMAL(38,0) / HUGEINT), so the single final
+    * division chain is bit-identical across engines; mean² is an
+    * explicit multiply (never libm pow) for the same reason.
+    */
+  private def qg36Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        (col("o_custkey") % 80).as("x"),
+        (col("o_orderkey") % 80).as("y"))
+    graph.Structure.assortativity(edges, "x", "y")
+  }
+
+  /** Partition modularity ([[graph.Structure.modularity]]) of the
+    * deterministic v mod 8 labeling over qg10's %80 projection: per
+    * community the intra-edge count, degree mass and Newman-Girvan
+    * q_term = e_c/m − (d_c/2m)² — integer-exact counts, one FP
+    * division chain per row, replayed literally by the oracle.
+    */
+  private def qg37Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        (col("o_custkey") % 80).as("x"),
+        (col("o_orderkey") % 80).as("y"))
+    val labels = spark.range(80)
+      .select(col("id").as("v"), (col("id") % 8).as("c"))
+    graph.Structure.modularity(edges, "x", "y", labels, "v", "c")
+  }
+
   /** Exact closeness + harmonic centrality ([[graph.Centrality
     * .distanceCentralities]]) on qg21's %150 projection: per-vertex
     * reachable count, exact Long distance sum, closeness =
@@ -2117,6 +2168,17 @@ object SparkEntry {
     operators.Dedup.weightedJaccardReport(
       t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Winnowing near-dup pairs ([[operators.Dedup.winnowingNearDup]],
+    * k = 4, w = 8, minShared = 3): qt51's fingerprints self-joined on
+    * the inverted index — MOSS-style deterministic overlap detection
+    * (any shared run ≥ 11 words is guaranteed caught). The oracle
+    * replays the shared CTE pipeline plus the pair count and
+    * fingerprint-Jaccard arithmetic.
+    */
+  private def qd24WinnowNearDup(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.winnowingNearDup(
+      t(spark, dir, "documents"), "doc_id", "text", minShared = 3)
+
   /** Leakage-safe train/val/test split ([[operators.Dedup
     * .leakageSafeSplit]], 8/1/1): the split is drawn per NEAR-DUP
     * CLUSTER (qd2's LSH bands → qd6's min-label components;
@@ -2383,6 +2445,19 @@ object SparkEntry {
         functions.TextFunctions.tokenCount(col("text")).cast("long")),
       "lang", "doc_id", "n_tokens", k = 8)
 
+  /** Winnowing fingerprints ([[operators.TextAnalysis
+    * .winnowingFingerprints]], k = 4, w = 8 — the MOSS defaults' shape):
+    * per document the distinct window-minimum 56-bit md5 k-gram hashes,
+    * ~2/(w+1) of positions with the ≥ w+k−1-word shared-run detection
+    * guarantee. All HOF work doc-local (zero shuffle before the
+    * explode); the oracle replays tokenize → 4-gram → md5 prefix →
+    * window-min → distinct with DuckDB list lambdas — a window off by
+    * one, a gram boundary slip, or a hash-width mismatch changes rows.
+    */
+  private def qt51Winnowing(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.winnowingFingerprints(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** N-gram novelty vs a reference corpus ([[operators.TextAnalysis
     * .ngramNovelty]], n = 3, reference = even doc_ids, scored = odd):
     * the qd8 decontamination join inverted into a per-doc freshness
@@ -2621,6 +2696,61 @@ object SparkEntry {
       col("q"), col("n"), col("level"), col("n_sample"), col("est"))
   }
 
+  /** Lagged cross-correlation ([[operators.Temporal
+    * .laggedCrossCorrelation]], hourly buckets, lags 0–3) between
+    * event-type activity series: zero-filled global-span grids, exact
+    * integer moments per (pair, lag), one IEEE Pearson tree — the
+    * lead/lag detector beside qe44's within-key autocorrelation. The
+    * oracle replays the µs floor-div bucketing, the generate_series
+    * grid, the shifted equi-join and the identical moment arithmetic.
+    */
+  private def qe54Xcorr(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.laggedCrossCorrelation(
+      events(spark, dir).filter(col("event_type").isNotNull),
+      "event_type", "ts", bucketSeconds = 3600L, maxLag = 3)
+
+  /** Pairwise DTW distance ([[operators.Temporal.dtwDistances]],
+    * maxLen = 40) over the %23 user subset: alignment-tolerant series
+    * similarity by the classic DP. Every DP cell is a fixed-order
+    * chain of IEEE adds and exact mins, so the distance is bit-exact
+    * across engines; the oracle replays the recurrence as an
+    * anti-diagonal recursive CTE (carry-all with a GROUP BY min that
+    * merges each new cell's ≤ 3 predecessors) — validated cell-exact
+    * against an independent local DP before landing.
+    */
+  private def qe53Dtw(spark: SparkSession, dir: String): DataFrame =
+    operators.Temporal.dtwDistances(
+      events(spark, dir).filter(col("user_id") % 23 === 0),
+      "user_id", "ts", "event_id", "value", maxLen = 40)
+
+  /** STREAMING TOP-K through the oracle ([[streaming.EventStreams
+    * .runTopKStream]], m = 64, k = 5): per-hour heavy hitters with
+    * [[operators.SpaceSavingAgg]] as the bounded streaming state. The
+    * events table carries ~5 distinct event types, far under m = 64,
+    * so no eviction or merge-cut ever fires and the summary is the
+    * EXACT per-hour count table (every err 0) under any micro-batch
+    * schedule — the oracle replays `GROUP BY` counts with the same
+    * (est DESC, term) rank cut. Eviction/merge-error behavior is
+    * StreamingSpec's deterministic-fixture job, not the gate's.
+    */
+  private def qe52StreamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stageEvents(dir)
+    val schema = eventsSchema(spark, stage.toString, dir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t =
+      try streaming.EventStreams.runTopKStream(
+        spark, stage.toString, schema, m = 64, k = 5,
+        queryName = s"qe52_mem_${System.nanoTime()}")
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        dropStage(stage)
+      }
+    t.select(
+      unix_timestamp(col("window_start")).as("window_start"),
+      col("rank"), col("term"), col("est"), col("err"))
+  }
+
   /** STREAMING COUNT-MIN through the oracle ([[streaming.EventStreams
     * .runCmsStream]]): the sum-merge sibling of qe24 — per-hour
     * (window, row, bucket) cell counts as the streaming state
@@ -2681,6 +2811,17 @@ object SparkEntry {
           col("l_linenumber").cast("string"))),
       "l_returnflag", "l_extendedprice", "__rid",
       k = 256, qs = Seq(0.25, 0.5, 0.75, 0.95))
+
+  /** AMS tug-of-war F₂ / self-join-size sketch ([[operators.Sketches
+    * .amsF2]], k = 16) over document tokens: md5-salted ±1 signs, 16
+    * exact-integer counters, one divide — with the ground-truth Σ f²
+    * and relative error in the same row (the report regime; the
+    * sketch-only path skips the Θ(vocabulary) group-by). Everything
+    * up to the final divide is integer, so the estimate replays
+    * bit-for-bit like qk2's cells.
+    */
+  private def qk8AmsF2(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketches.amsF2(t(spark, dir, "documents"), "text", k = 16)
 
   /** Random-projection dimensionality reduction
     * ([[operators.Similarity.randomProjection]], 64 → 16 dims): the
@@ -5824,6 +5965,8 @@ object SparkEntry {
     "qe23_twap" -> (qe23Twap _),
     "qe24_stream_hll" -> (qe24StreamHll _),
     "qe51_stream_quantile" -> (qe51StreamQuantile _),
+    "qe52_stream_topk" -> (qe52StreamTopk _),
+    "qe53_dtw" -> (qe53Dtw _),
     "qe25_gapfill" -> (qe25GapFill _),
     "qt35_domain_mix" -> (qt35DomainMix _),
     "qe26_holt" -> (qe26Holt _),
@@ -5879,6 +6022,9 @@ object SparkEntry {
     "qg32_weighted_centrality" -> (qg32WeightedCentrality _),
     "qg33_weighted_ecc" -> (qg33WeightedEcc _),
     "qg34_weighted_betweenness" -> (qg34WeightedBetweenness _),
+    "qg35_link_pred" -> (qg35LinkPred _),
+    "qg36_assortativity" -> (qg36Assortativity _),
+    "qg37_modularity" -> (qg37Modularity _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs19_ann_multiprobe" -> (qs19AnnMultiprobe _),
     "qs20_ivf_multiprobe" -> (qs20IvfMultiprobe _),
@@ -5887,6 +6033,7 @@ object SparkEntry {
     "qd21_source_overlap" -> (qd21SourceOverlap _),
     "qd22_leakage_split" -> (qd22LeakageSplit _),
     "qd23_weighted_jaccard" -> (qd23WeightedJaccard _),
+    "qd24_winnow_neardup" -> (qd24WinnowNearDup _),
     "qt49_unigram_kl" -> (qt49UnigramKl _),
     "qd19_edit_join" -> (qd19EditJoin _),
     "qd20_keep_best" -> (qd20KeepBest _),
@@ -5906,6 +6053,7 @@ object SparkEntry {
     "qt46_repetition" -> (qt46Repetition _),
     "qt47_sample_per_key" -> (qt47SamplePerKey _),
     "qt50_sample_with_replacement" -> (qt50SampleWithReplacement _),
+    "qt51_winnowing" -> (qt51Winnowing _),
     "qt48_novelty" -> (qt48Novelty _),
     "qs15_ivfpq" -> (qs15IvfPq _),
     "qs16_dbscan" -> (qs16Dbscan _),
@@ -5923,6 +6071,8 @@ object SparkEntry {
     "qd18_contain_est" -> (qd18ContainEstimate _),
     "qk6_hist_quantile" -> (qk6HistQuantile _),
     "qk7_quantile_sketch" -> (qk7QuantileSketch _),
+    "qk8_ams_f2" -> (qk8AmsF2 _),
+    "qe54_xcorr" -> (qe54Xcorr _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
@@ -6018,6 +6168,26 @@ object SparkEntry {
     * minima. MATERIALIZED so multi-consumer plans don't re-run the hash
     * recursion per reference.
     */
+  // Shared winnowing pipeline (qt51 + qd24): tokenize → 4-gram →
+  // 56-bit md5 prefix hash → 8-window minima → per-doc distinct list.
+  private lazy val winnowingOracleCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |grams AS (
+      |  SELECT doc_id, list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
+      |      i -> array_to_string(tk[i:i+3], ' ')) AS gs
+      |  FROM toks),
+      |hashes AS (
+      |  SELECT doc_id, list_transform(gs,
+      |      g -> CAST('0x' || substr(md5(g), 1, 14) AS BIGINT)) AS hs
+      |  FROM grams),
+      |wins AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      range(1, greatest(len(hs) - 7, 1) + 1),
+      |      i -> list_aggregate(hs[i:i+7], 'min'))) AS fps
+      |  FROM hashes)""".stripMargin
+
   private lazy val minhashOracleCtes: String = {
     val coefValues = Dedup.minHashCoefs(16, 42L).zipWithIndex
       .map { case ((a, b), k) => s"($k,$a,$b)" }
@@ -8006,6 +8176,107 @@ object SparkEntry {
         |  CAST(max(ns) AS BIGINT) AS n_sample,
         |  min(CASE WHEN i = istar THEN v END) AS est
         |FROM tg GROUP BY 1, 2""".stripMargin,
+    // Streaming top-k: with m = 64 >> 5 distinct event types the
+    // SpaceSaving state is the exact per-hour count table (every err
+    // 0), so the replay is plain GROUP BY counts + the identical
+    // (est DESC, term) rank cut.
+    "qe52_stream_topk" ->
+      """WITH c AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wk,
+        |    event_type AS term, count(*) AS est
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT wk, term, est,
+        |    row_number() OVER (PARTITION BY wk
+        |      ORDER BY est DESC, term) AS rank
+        |  FROM c)
+        |SELECT wk AS window_start, CAST(rank AS BIGINT) AS rank, term,
+        |  est, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // DTW replay: anti-diagonal DP as a carry-all recursive CTE — every
+    // round re-emits all cells (it is a GLOBAL round counter) plus the
+    // three successor candidates of cells on diagonals it/it−1 (the
+    // i+di+j+dj = it+1 filter admits only those), GROUP BY min merges a
+    // new cell's predecessors; guard it < 80 = 2·maxLen reaches the
+    // (la, lb) corner of every pair.
+    "qe53_dtw" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn, value
+        |  FROM events
+        |  WHERE user_id % 23 = 0 AND value IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |ser AS (
+        |  SELECT user_id, list(value ORDER BY rn) AS vs
+        |  FROM ev WHERE rn <= 40 GROUP BY user_id),
+        |pr AS MATERIALIZED (
+        |  SELECT a.user_id AS key_a, b.user_id AS key_b, a.vs AS va,
+        |    b.vs AS vb, len(a.vs) AS la, len(b.vs) AS lb
+        |  FROM ser a JOIN ser b ON a.user_id < b.user_id),
+        |dp(it, key_a, key_b, i, j, c) AS (
+        |  SELECT 2, key_a, key_b, 1, 1, abs(va[1] - vb[1]) FROM pr
+        |  UNION ALL
+        |  SELECT t.it + 1, t.key_a, t.key_b, t.i, t.j, min(t.c)
+        |  FROM (
+        |    SELECT d.it, d.key_a, d.key_b, d.i, d.j, d.c FROM dp d
+        |    UNION ALL
+        |    SELECT d.it, d.key_a, d.key_b, d.i + s.di, d.j + s.dj,
+        |      d.c + abs(p.va[d.i + s.di] - p.vb[d.j + s.dj])
+        |    FROM dp d JOIN pr p
+        |      ON p.key_a = d.key_a AND p.key_b = d.key_b
+        |    CROSS JOIN (VALUES (1, 0), (0, 1), (1, 1)) s(di, dj)
+        |    WHERE d.i + s.di + d.j + s.dj = d.it + 1
+        |      AND d.i + s.di <= p.la AND d.j + s.dj <= p.lb
+        |  ) t(it, key_a, key_b, i, j, c)
+        |  WHERE t.it < 80
+        |  GROUP BY t.it + 1, t.key_a, t.key_b, t.i, t.j)
+        |SELECT d.key_a, d.key_b, p.la AS len_a, p.lb AS len_b,
+        |  round(d.c, 6) AS dtw
+        |FROM dp d JOIN pr p
+        |  ON p.key_a = d.key_a AND p.key_b = d.key_b
+        |WHERE d.it = 80 AND d.i = p.la AND d.j = p.lb""".stripMargin,
+    // Lagged cross-correlation: µs floor-div hourly buckets (equal to
+    // the engine's floor over unix seconds — nested-floor identity),
+    // generate_series zero-filled grid, shifted equi-join, HUGEINT
+    // moments, the identical Pearson tree at 6 dp.
+    "qe54_xcorr" ->
+      """WITH c AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 3600000000 AS b,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+        |g AS (
+        |  SELECT kk.k, gs.b, coalesce(c.n, 0) AS n
+        |  FROM (SELECT DISTINCT k FROM c) kk
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS b FROM sp) gs
+        |  LEFT JOIN c ON c.k = kk.k AND c.b = gs.b),
+        |p AS (
+        |  SELECT a.k AS ka, bb.k AS kb, l.lag, a.n AS x, bb.n AS y
+        |  FROM g a
+        |  CROSS JOIN generate_series(0, 3) l(lag)
+        |  JOIN g bb ON bb.k > a.k AND bb.b = a.b + l.lag),
+        |m AS (
+        |  SELECT ka, kb, lag, count(*) AS n_buckets,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        |    sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT ka AS key_a, kb AS key_b, CAST(lag AS BIGINT) AS lag,
+        |  n_buckets,
+        |  CASE WHEN CAST(sxx AS DOUBLE) * n_buckets
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |      AND CAST(syy AS DOUBLE) * n_buckets
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN round((CAST(sxy AS DOUBLE) * n_buckets
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(sxx AS DOUBLE) * n_buckets
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(syy AS DOUBLE) * n_buckets
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM m""".stripMargin,
     // Gap-fill: identical integer bucketing and bucket-last pick
     // (lead-over-(bucket, ts, tie) filter), identical subtract →
     // integer-ratio divide → multiply → add interpolation — DuckDB's
@@ -9918,6 +10189,31 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, draw, id, weight, draw_key
         |FROM r WHERE rn = 1""".stripMargin,
+    // Winnowing replay: DuckDB list slices are INCLUSIVE (tk[i:i+3] is
+    // the 4-gram, hs[i:i+7] the 8-window — mirroring Spark's
+    // slice(_, i, 4)/slice(_, i, 8)); windows = max(nh−w+1, 1), hash =
+    // 56-bit md5 prefix, per-doc list_distinct before the unnest.
+    "qt51_winnowing" ->
+      (s"WITH $winnowingOracleCtes" +
+        "\nSELECT doc_id, unnest(fps) AS fingerprint FROM wins"),
+    // Winnowing near-dup pairs: the qt51 fingerprints self-joined on
+    // the inverted index, pair counts cut at 3 shared, fingerprint
+    // Jaccard from the full per-doc set sizes.
+    "qd24_winnow_neardup" ->
+      (s"WITH $winnowingOracleCtes" +
+        """, fp AS (SELECT doc_id, unnest(fps) AS f FROM wins),
+          |sz AS (SELECT doc_id, len(fps) AS n FROM wins),
+          |cand AS (
+          |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          |  FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2 HAVING count(*) >= 3)
+          |SELECT da AS doc_a, db AS doc_b, shared,
+          |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+          |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6)
+          |    AS jaccard
+          |FROM cand
+          |JOIN sz sa ON sa.doc_id = da
+          |JOIN sz sb ON sb.doc_id = db""".stripMargin),
     // Trigram novelty: identical tokenize + 1-based gram windows, the
     // reference's distinct-gram set probed via LEFT JOIN null-mark —
     // counts exact BIGINTs, novelty one IEEE divide
@@ -10690,6 +10986,32 @@ object SparkEntry {
         |  CAST(max(ns) AS BIGINT) AS n_sample,
         |  min(CASE WHEN i = istar THEN v END) AS est
         |FROM tg GROUP BY 1, 2""".stripMargin,
+    // AMS F2: sign-for-sign md5-parity replay (the qs11 convention),
+    // HUGEINT counter sums mirroring the engine's DECIMAL(38,0), one
+    // final divide each side.
+    "qk8_ams_f2" ->
+      """WITH tk AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |sgn AS (
+        |  SELECT g.j,
+        |    1 - 2 * (CAST('0x' || substring(md5(CAST(g.j AS VARCHAR)
+        |      || '|' || t), 1, 8) AS BIGINT) % 2) AS s
+        |  FROM tk CROSS JOIN generate_series(0, 15) g(j)),
+        |z AS (SELECT j, sum(s) AS z FROM sgn GROUP BY j),
+        |zz AS (SELECT sum(z * z) AS szz FROM z),
+        |ex AS (
+        |  SELECT sum(c * c) AS f2
+        |  FROM (SELECT count(*) AS c FROM tk GROUP BY t))
+        |SELECT CAST(16 AS BIGINT) AS k,
+        |  CAST(szz AS DOUBLE) / 16.0 AS f2_est,
+        |  CAST(f2 AS BIGINT) AS f2_exact,
+        |  CASE WHEN f2 > 0 THEN
+        |    round(abs(CAST(szz AS DOUBLE) / 16.0 - CAST(f2 AS DOUBLE))
+        |      / CAST(f2 AS DOUBLE), 6) END AS rel_err
+        |FROM zz, ex""".stripMargin,
     // Random projection: sign-for-sign md5-parity replay, and the inner
     // sum is list_reduce — the same sequential left fold Spark's
     // aggregate() runs, so doubles match bit-for-bit pre-round.
@@ -12061,6 +12383,83 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_reached,
         |  round(max(d), 6) AS ecc
         |FROM dist WHERE p <> v GROUP BY v""".stripMargin,
+    // Link-prediction replay: the same wedge self-join over the
+    // symmetrized adjacency, NOT EXISTS against the canonical edge list,
+    // and the identical 1/ln(deg) + 1/deg sums at 6 dp.
+    "qg35_link_pred" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 200 AS x, o_orderkey % 200 AS y
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |adj AS (SELECT a AS v, b AS t FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+        |wedge AS (
+        |  SELECT a1.t AS a, a2.t AS b, d.deg
+        |  FROM adj a1 JOIN adj a2 ON a2.v = a1.v AND a1.t < a2.t
+        |  JOIN deg d ON d.v = a1.v),
+        |cand AS (
+        |  SELECT w.a, w.b, w.deg FROM wedge w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b))
+        |SELECT a, b, count(*) AS cn,
+        |  round(sum(1.0 / ln(deg)), 6) AS adamic_adar,
+        |  round(sum(1.0 / deg), 6) AS resource_alloc
+        |FROM cand GROUP BY a, b HAVING count(*) >= 2""".stripMargin,
+    // Assortativity replay: integer moments (DuckDB sums BIGINT into
+    // HUGEINT — exact, mirroring the engine's DECIMAL(38,0)), mean² as
+    // an explicit multiply, nullif for the regular-graph degenerate.
+    "qg36_assortativity" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 80 AS x, o_orderkey % 80 AS y
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |adj AS (SELECT a AS v, b AS t FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+        |dd AS (
+        |  SELECT dv.deg AS dx, dt.deg AS dy
+        |  FROM adj JOIN deg dv ON dv.v = adj.v JOIN deg dt ON dt.v = adj.t),
+        |mom AS (
+        |  SELECT count(*) AS m2, sum(dx) AS sx, sum(dx * dx) AS sx2,
+        |    sum(dx * dy) AS sxy
+        |  FROM dd),
+        |n AS (SELECT count(*) AS n_nodes FROM deg),
+        |m AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges,
+        |  round((CAST(sxy AS DOUBLE) / m2
+        |          - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2))
+        |        / nullif(CAST(sx2 AS DOUBLE) / m2
+        |          - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2), 0),
+        |    6) AS assortativity
+        |FROM mom, n, m""".stripMargin,
+    // Modularity replay: v mod 8 labeling, per-community degree mass +
+    // intra count, q_term's division chain written literally.
+    "qg37_modularity" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 80 AS x, o_orderkey % 80 AS y
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |el AS (SELECT a, b, a % 8 AS ca, b % 8 AS cb FROM e),
+        |m AS (SELECT count(*) AS m FROM el),
+        |degc AS (
+        |  SELECT c, count(DISTINCT v) AS n_nodes, count(*) AS deg_sum FROM (
+        |    SELECT a AS v, ca AS c FROM el UNION ALL SELECT b, cb FROM el)
+        |  GROUP BY c),
+        |intra AS (
+        |  SELECT ca AS c, count(*) AS intra_edges FROM el
+        |  WHERE ca = cb GROUP BY ca)
+        |SELECT d.c AS community, d.n_nodes,
+        |  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  d.deg_sum,
+        |  round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / m.m
+        |        - (CAST(d.deg_sum AS DOUBLE) / (2 * m.m))
+        |          * (CAST(d.deg_sum AS DOUBLE) / (2 * m.m)),
+        |    6) AS q_term
+        |FROM degc d LEFT JOIN intra i ON i.c = d.c CROSS JOIN m""".stripMargin,
     "qg32_weighted_centrality" ->
       """WITH RECURSIVE raw AS (
         |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
