@@ -823,4 +823,84 @@ object Profiling {
         col("__x.jn").as("jsd_norm"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
+    * the industry-standard experiment sharpener next to [[abTest]]'s
+    * raw comparison: each unit's metric Y is adjusted by a pre-exposure
+    * covariate X, `Y' = Y − θ(X − X̄)` with `θ = cov(X,Y)/var(X)` POOLED
+    * across arms (arm-agnostic by construction, so the adjustment
+    * cannot bias the contrast). Per arm the report carries the raw and
+    * adjusted means and variances — the variance drop is the factor
+    * the experiment's sample-size requirement shrinks by (1 − ρ²).
+    *
+    * EXACTNESS (the qp14/qp17 recipe): X and Y half-up-quantize at
+    * `quantScale` into integers, every moment (Σx, Σy, Σxy, Σx², Σy²)
+    * accumulates as DECIMAL(38,0) ↔ HUGEINT — order-free and exact —
+    * and θ, means, variances are fixed trees of IEEE ops over those
+    * exact sums, bit-identical across engines. Means round at 6 dp;
+    * VARIANCES round at 4 dp — their magnitude (metric² ~ 10⁹ for
+    * prices) pushes a 6-dp round past double's 15 significant digits,
+    * where DuckDB's multiply/divide rounding lands one ulp off Spark's
+    * exact-decimal rounding (observed on the qp18 gate). θ is dimensionless under shared quantization, so
+    * the scale cancels out of the adjustment. Degenerate var(X) = 0 →
+    * θ and the adjusted columns are null, raw columns still report.
+    *
+    * One pass for the pooled 1-row moments (broadcast), one grouped
+    * pass per arm — no per-unit second scan, no window.
+    */
+  def cuped(
+      df: DataFrame, armCol: String, metricCol: String, covCol: String,
+      quantScale: Double = 1e6): DataFrame = {
+    require(quantScale > 0.0, s"quantScale must be > 0, got $quantScale")
+    val q = df
+      .filter(col(armCol).isNotNull && col(metricCol).isNotNull
+        && col(covCol).isNotNull)
+      .select(col(armCol).as("arm"),
+        floor(col(metricCol).cast("double") * lit(quantScale) + lit(0.5))
+          .cast("decimal(38,0)").as("__y"),
+        floor(col(covCol).cast("double") * lit(quantScale) + lit(0.5))
+          .cast("decimal(38,0)").as("__x"))
+    val pooled = q.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("__n"),
+      sum(col("__x")).as("__gsx"), sum(col("__y")).as("__gsy"),
+      sum(col("__x") * col("__y")).as("__gsxy"),
+      sum(col("__x") * col("__x")).as("__gsxx"))
+      .select(
+        (col("__gsx").cast("double") / col("__n")).as("__xbar"),
+        {
+          val den = (col("__gsxx").cast("double") * col("__n")
+            - col("__gsx").cast("double") * col("__gsx").cast("double"))
+          val num = (col("__gsxy").cast("double") * col("__n")
+            - col("__gsx").cast("double") * col("__gsy").cast("double"))
+          when(den > 0.0, num / den).as("__theta")
+        })
+    q.groupBy(col("arm"))
+      .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n"),
+        round(col("__theta"), 6).as("theta"),
+        round(col("__sy").cast("double") / col("n") / lit(quantScale), 6)
+          .as("mean_y"),
+        round((col("__sy").cast("double") / col("n")
+          - col("__theta") * (col("__sx").cast("double") / col("n")
+            - col("__xbar"))) / lit(quantScale), 6).as("mean_y_adj"),
+        round((col("__syy").cast("double") / col("n")
+          - (col("__sy").cast("double") / col("n"))
+            * (col("__sy").cast("double") / col("n")))
+          / lit(quantScale * quantScale), 4).as("var_y"),
+        round(((col("__syy").cast("double")
+          - lit(2.0) * col("__theta") * col("__sxy").cast("double")
+          + col("__theta") * col("__theta") * col("__sxx").cast("double"))
+          / col("n")
+          - (col("__sy").cast("double") / col("n")
+            - col("__theta") * col("__sx").cast("double") / col("n"))
+            * (col("__sy").cast("double") / col("n")
+              - col("__theta") * col("__sx").cast("double") / col("n")))
+          / lit(quantScale * quantScale), 4).as("var_y_adj"))
+  }
+
 }

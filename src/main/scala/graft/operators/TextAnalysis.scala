@@ -1948,4 +1948,41 @@ object TextAnalysis {
       .select(col("doc_id"), explode(col("__fp")).as("fingerprint"))
   }
 
+  /** FLESCH READING-EASE readability per document — the interpretable
+    * quality signal next to qt3's rule score and qt23's perplexity
+    * filter: `206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words)` with the classic vowel-group syllable heuristic (each
+    * maximal `[aeiouy]+` run counts one syllable — the standard
+    * dictionary-free approximation). Sentences = maximal `[.!?]+` runs,
+    * clamped to ≥ 1 so fragment documents still score.
+    *
+    * All three counts are integers from `regexp_extract_all` matches
+    * (identical RE2-class semantics both engines — match COUNTS, never
+    * split-array lengths, whose trailing-empty behavior differs), and
+    * the score is one fixed IEEE tree over them, rounded at 4 dp.
+    * Documents with no word characters report null. One projection,
+    * no shuffle — corpus-quality filtering at scan speed.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(
+        col(idCol).as("doc_id"),
+        size(regexp_extract_all(lower(trim(col(textCol))),
+          lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"),
+        greatest(
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+            .cast("long"),
+          lit(1L)).as("n_sentences"),
+        size(regexp_extract_all(lower(col(textCol)),
+          lit("[aeiouy]+"), lit(0))).cast("long").as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0L,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double")), 4)).as("flesch"))
+
 }

@@ -1702,4 +1702,35 @@ class OperatorsSpec extends AnyFunSuite {
       minShared = 1, maxDocsPerFingerprint = 1).count() == 0)
   }
 
+  test("cuped: exact theta on a linear fixture, perfect covariate kills " +
+    "variance, arm imbalance corrects, constant X degenerates") {
+    import spark.implicits._
+    // y = 2x + arm effect, arms balanced on x -> pooled theta exactly 2
+    val lin = Seq(
+      ("A", 2.0, 1.0), ("A", 4.0, 2.0), ("A", 6.0, 3.0),
+      ("B", 3.0, 1.0), ("B", 5.0, 2.0), ("B", 7.0, 3.0))
+      .toDF("arm", "y", "x")
+    val got = Profiling.cuped(lin, "arm", "y", "x").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got("A") == ((3L, 2.0, 4.0, 4.0, 2.6667, 0.0)))
+    assert(got("B") == ((3L, 2.0, 5.0, 5.0, 2.6667, 0.0)))
+    // imbalanced arms, y = x: the adjustment moves both arm means to
+    // the same value (the covariate explains the whole gap)
+    val imb = Seq(
+      ("A", 0.0, 0.0), ("A", 2.0, 2.0),
+      ("B", 2.0, 2.0), ("B", 4.0, 4.0)).toDF("arm", "y", "x")
+    val adj = Profiling.cuped(imb, "arm", "y", "x").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(adj("A") == ((1.0, 1.0, 2.0)))
+    assert(adj("B") == ((1.0, 3.0, 2.0)))
+    // constant covariate: var(X) = 0 -> theta and adjusted columns null
+    val const = Seq(("A", 1.0, 5.0), ("A", 2.0, 5.0)).toDF("arm", "y", "x")
+    val c = Profiling.cuped(const, "arm", "y", "x").collect()(0)
+    assert(c.isNullAt(2) && c.isNullAt(4) && c.isNullAt(6))
+    assert(c.getDouble(3) == 1.5) // raw mean still reports
+  }
+
 }

@@ -1007,4 +1007,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n > 0 && n < 397 / 2) // ~2/(w+1) of 397 positions, margin 4x
   }
 
+  test("readability: hand-counted Flesch, fragment clamp, empty-text null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "no punctuation here"),
+      (3L, "...!!!"),
+      (4L, "rhythm")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    // 6 words, 2 sentence runs, 6 vowel groups:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(got(1L) == ((6L, 2L, 6L, 119.19)))
+    // fragment: sentence count clamps to 1
+    assert(got(2L)._2 == 1L && got(2L)._1 == 3L)
+    // punctuation-only: zero words -> null score, one sentence run
+    assert(got(3L) == ((0L, 1L, 0L, null)))
+    // "rhythm": y is a vowel in the group heuristic -> 1 syllable
+    assert(got(4L) == ((1L, 1L, 1L,
+      BigDecimal(206.835 - 1.015 - 84.6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
 }
