@@ -1844,6 +1844,25 @@ object SparkEntry {
     graph.Structure.modularity(edges, "x", "y", labels, "v", "c")
   }
 
+  /** Deterministic random-walk corpus ([[graph.Walks.randomWalks]],
+    * 2 walks × length 8 per node) on qg10's %80 projection: the
+    * DeepWalk/node2vec input stage with md5(start|walk|step|current)
+    * replacing the RNG — the oracle replays every step of every walk
+    * through a recursive CTE over the same sorted adjacency lists, so
+    * one mis-chosen neighbor anywhere breaks rows.
+    */
+  private def qg38RandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(
+        (col("o_custkey") % 80).as("x"),
+        (col("o_orderkey") % 80).as("y"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try graph.Walks.randomWalks(edges, "x", "y", walksPerNode = 2, length = 8)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** Exact closeness + harmonic centrality ([[graph.Centrality
     * .distanceCentralities]]) on qg21's %150 projection: per-vertex
     * reachable count, exact Long distance sum, closeness =
@@ -2444,6 +2463,28 @@ object SparkEntry {
       t(spark, dir, "documents").withColumn("n_tokens",
         functions.TextFunctions.tokenCount(col("text")).cast("long")),
       "lang", "doc_id", "n_tokens", k = 8)
+
+  /** CUPED variance reduction ([[operators.Profiling.cuped]],
+    * quantScale = 100 — prices and quantities are 2-dp exact): lineitem
+    * prices adjusted by the quantity covariate with the pooled θ, per
+    * return-flag raw/adjusted means and variances. Every moment an
+    * exact integer; the oracle replays the identical quantization,
+    * HUGEINT sums and IEEE trees.
+    */
+  private def qp18Cuped(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.cuped(
+      t(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice", "l_quantity", quantScale = 100.0)
+
+  /** Flesch reading-ease ([[operators.TextAnalysis.readability]]): the
+    * vowel-group syllable heuristic + sentence-run counts — integer
+    * match counts via regexp_extract_all on both engines (never
+    * split-array lengths, whose trailing-empty semantics differ), one
+    * fixed IEEE tree, 4-dp round.
+    */
+  private def qt52Readability(spark: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.readability(
+      t(spark, dir, "documents"), "doc_id", "text")
 
   /** Winnowing fingerprints ([[operators.TextAnalysis
     * .winnowingFingerprints]], k = 4, w = 8 — the MOSS defaults' shape):
@@ -6025,6 +6066,9 @@ object SparkEntry {
     "qg35_link_pred" -> (qg35LinkPred _),
     "qg36_assortativity" -> (qg36Assortativity _),
     "qg37_modularity" -> (qg37Modularity _),
+    "qg38_random_walks" -> (qg38RandomWalks _),
+    "qp18_cuped" -> (qp18Cuped _),
+    "qt52_readability" -> (qt52Readability _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs19_ann_multiprobe" -> (qs19AnnMultiprobe _),
     "qs20_ivf_multiprobe" -> (qs20IvfMultiprobe _),
@@ -10189,6 +10233,76 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, draw, id, weight, draw_key
         |FROM r WHERE rn = 1""".stripMargin,
+    // CUPED replay: identical half-up 1e2 quantization, HUGEINT moments
+    // mirroring DECIMAL(38,0), pooled theta/xbar cross-joined into the
+    // per-arm report, every IEEE tree written in the engine's order.
+    "qp18_cuped" ->
+      """WITH q AS (
+        |  SELECT l_returnflag AS arm,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yq,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS xq
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL),
+        |g AS (
+        |  SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+        |    sum(xq * yq) AS sxy, sum(xq * xq) AS sxx FROM q),
+        |t AS (
+        |  SELECT CAST(sx AS DOUBLE) / n AS xbar,
+        |    CASE WHEN CAST(sxx AS DOUBLE) * n
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |      THEN (CAST(sxy AS DOUBLE) * n
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(sxx AS DOUBLE) * n
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    END AS theta
+        |  FROM g),
+        |a AS (
+        |  SELECT arm, count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+        |    sum(xq * yq) AS sxy, sum(xq * xq) AS sxx, sum(yq * yq) AS syy
+        |  FROM q GROUP BY arm)
+        |SELECT arm, a.n AS n, round(theta, 6) AS theta,
+        |  round(CAST(a.sy AS DOUBLE) / a.n / 100.0, 6) AS mean_y,
+        |  round((CAST(a.sy AS DOUBLE) / a.n
+        |    - theta * (CAST(a.sx AS DOUBLE) / a.n - xbar)) / 100.0, 6)
+        |    AS mean_y_adj,
+        |  round((CAST(a.syy AS DOUBLE) / a.n
+        |    - (CAST(a.sy AS DOUBLE) / a.n) * (CAST(a.sy AS DOUBLE) / a.n))
+        |    / 10000.0, 4) AS var_y,
+        |  round(((CAST(a.syy AS DOUBLE)
+        |      - 2.0 * theta * CAST(a.sxy AS DOUBLE)
+        |      + theta * theta * CAST(a.sxx AS DOUBLE)) / a.n
+        |    - (CAST(a.sy AS DOUBLE) / a.n
+        |        - theta * CAST(a.sx AS DOUBLE) / a.n)
+        |      * (CAST(a.sy AS DOUBLE) / a.n
+        |        - theta * CAST(a.sx AS DOUBLE) / a.n))
+        |    / 10000.0, 4) AS var_y_adj
+        |FROM a CROSS JOIN t""".stripMargin,
+    // Flesch replay: match COUNTS from regexp_extract_all (split-array
+    // trailing-empty semantics differ between engines; match counts
+    // don't), the clamp and the fixed IEEE tree at 4 dp.
+    "qt52_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))
+        |    AS BIGINT) AS n_words,
+        |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+        |    1) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS n_syllables,
+        |  CASE WHEN len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))
+        |      > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(len(regexp_extract_all(lower(trim(text)),
+        |            '[a-z0-9]+')) AS DOUBLE)
+        |        / CAST(greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |            AS BIGINT), 1) AS DOUBLE))
+        |      - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+        |            '[aeiouy]+')) AS DOUBLE)
+        |        / CAST(len(regexp_extract_all(lower(trim(text)),
+        |            '[a-z0-9]+')) AS DOUBLE)), 4)
+        |  END AS flesch
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin,
     // Winnowing replay: DuckDB list slices are INCLUSIVE (tk[i:i+3] is
     // the 4-gram, hs[i:i+7] the 8-window — mirroring Spark's
     // slice(_, i, 4)/slice(_, i, 8)); windows = max(nh−w+1, 1), hash =
@@ -12460,6 +12574,36 @@ object SparkEntry {
         |          * (CAST(d.deg_sum AS DOUBLE) / (2 * m.m)),
         |    6) AS q_term
         |FROM degc d LEFT JOIN intra i ON i.c = d.c CROSS JOIN m""".stripMargin,
+    // Random-walk replay: the same sorted adjacency lists, the same
+    // md5(start|walk|step|current) mod degree neighbor pick, one CTE
+    // step per walk hop.
+    "qg38_random_walks" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey % 80 AS x, o_orderkey % 80 AS y
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |sym AS (SELECT a AS v, b AS t FROM e UNION ALL SELECT b, a FROM e),
+        |adj AS MATERIALIZED (
+        |  SELECT v, list(t ORDER BY t) AS nbrs, count(*) AS deg
+        |  FROM sym GROUP BY v),
+        |wk(start, walk, step, node) AS (
+        |  SELECT v, w.j, 0, v FROM adj CROSS JOIN generate_series(0, 1) w(j)
+        |  UNION ALL
+        |  SELECT wk.start, wk.walk, wk.step + 1,
+        |    a.nbrs[CAST(
+        |      (CAST('0x' || substring(md5(
+        |         CAST(wk.start AS VARCHAR) || '|'
+        |         || CAST(wk.walk AS VARCHAR) || '|'
+        |         || CAST(wk.step + 1 AS VARCHAR) || '|'
+        |         || CAST(wk.node AS VARCHAR)),
+        |       1, 8) AS BIGINT) % a.deg) + 1 AS INT)]
+        |  FROM wk JOIN adj a ON a.v = wk.node
+        |  WHERE wk.step < 7)
+        |SELECT CAST(start AS BIGINT) AS start, CAST(walk AS BIGINT) AS walk,
+        |  CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node
+        |FROM wk""".stripMargin,
     "qg32_weighted_centrality" ->
       """WITH RECURSIVE raw AS (
         |  SELECT o_custkey % 150 AS x, o_orderkey % 150 AS y
