@@ -39,6 +39,14 @@ object GraftFunctions {
       "simhash64",
       exprs => graft.functions.expressions.SimHash64Expr(exprs(0)),
       "scala_udf")
+    // winnow_fingerprints(text, k, w) — k/w must be foldable literals
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      exprs => graft.functions.expressions.WinnowFingerprintsExpr(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue),
+      "scala_udf")
 
     // geo kernel
     spark.udf.register("haversine_km", (lon1: Double, lat1: Double, lon2: Double, lat2: Double) =>

@@ -1887,20 +1887,24 @@ object TextAnalysis {
     * negligible at fingerprint-set scale, and 56 bits stays clear of
     * ANSI-mode BIGINT overflow.
     *
-    * Plan shape: one projection of higher-order functions per document
-    * — tokenize, gram, hash, window-min, distinct — then one explode.
-    * NO shuffle anywhere; per-doc work is length × w, embarrassingly
-    * parallel over the corpus — the shape a 100 TB fingerprint index
-    * build wants (the explode feeds the caller's groupBy/join, which
-    * then shuffles Θ(selected) rows, not Θ(all k-grams)).
+    * Plan shape: ONE native codegen expression per document
+    * ([[graft.functions.expressions.WinnowFingerprintsExpr]] — tokenize,
+    * gram, hash, window-min, distinct in a single JVM loop inside
+    * whole-stage codegen), then one explode. NO shuffle anywhere;
+    * per-doc work is length × w, embarrassingly parallel over the
+    * corpus — the shape a 100 TB fingerprint index build wants (the
+    * explode feeds the caller's groupBy/join, which then shuffles
+    * Θ(selected) rows, not Θ(all k-grams)).
     *
-    * The window minima are ONE `aggregate` fold carrying a ≤ w sliding
-    * buffer, NOT `transform(sequence, i -> array_min(slice(hashes, …)))`
-    * — after CollapseProject the latter inlines the whole md5 chain
-    * INSIDE the per-window lambda, recomputing every gram hash once per
-    * window (measured 27 s → sub-second at sf0.01 for this exact
-    * operator); the fold consumes the hash array as the aggregate's
-    * input, evaluated once per row.
+    * Two HOF formulations were measured and rejected on the qt51 gate:
+    * `transform(sequence, i -> array_min(slice(hashes, …)))` re-inlines
+    * the whole md5 chain per window after CollapseProject (27 s at
+    * sf0.01), and the sliding-buffer `aggregate` fold fixes that but
+    * still pays ~11 µs/gram in interpreted ArrayAggregate land — per-
+    * element struct + array-concat allocation (8.2 s at sf0.1); the
+    * kernel loop took the same gate to sub-second with identical
+    * output (same tokenize, same 56-bit md5 prefix, same clamp rules —
+    * the SQL oracle is unchanged).
     */
   def winnowingFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
@@ -1911,40 +1915,8 @@ object TextAnalysis {
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(
         col(idCol).as("doc_id"),
-        split(lower(trim(col(textCol))), "\\s+").as("__tk"))
-      // one k-gram per position; docs shorter than k collapse to a
-      // single whole-doc gram (the qd2 short-doc convention)
-      .withColumn("__gs",
-        transform(
-          sequence(lit(1), greatest(size(col("__tk")) - (k - 1), lit(1))),
-          i => concat_ws(" ", slice(col("__tk"), i, lit(k)))))
-      .withColumn("__hs",
-        transform(col("__gs"),
-          g => conv(substring(md5(g.cast("binary")), 1, 14), 16, 10)
-            .cast("long")))
-      // window minima via a sliding-buffer fold; fewer hashes than the
-      // window -> one global min (gmin)
-      .withColumn("__fp",
-        array_distinct(expr(
-          s"""aggregate(
-             |  __hs,
-             |  named_struct(
-             |    'buf', cast(array() as array<bigint>),
-             |    'out', cast(array() as array<bigint>),
-             |    'gmin', cast(null as bigint)),
-             |  (acc, x) -> named_struct(
-             |    'buf', if(size(concat(acc.buf, array(x))) > $window,
-             |              slice(concat(acc.buf, array(x)), 2, $window),
-             |              concat(acc.buf, array(x))),
-             |    'out', if(size(concat(acc.buf, array(x))) >= $window,
-             |              concat(acc.out, array(array_min(
-             |                if(size(concat(acc.buf, array(x))) > $window,
-             |                   slice(concat(acc.buf, array(x)), 2, $window),
-             |                   concat(acc.buf, array(x)))))),
-             |              acc.out),
-             |    'gmin', least(acc.gmin, x)),
-             |  acc -> if(size(acc.out) = 0, array(acc.gmin), acc.out))"""
-            .stripMargin)))
+        graft.functions.expressions.TextHashExpressions
+          .winnowFingerprints(col(textCol), k, window).as("__fp"))
       .select(col("doc_id"), explode(col("__fp")).as("fingerprint"))
   }
 

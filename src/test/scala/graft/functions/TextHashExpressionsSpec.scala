@@ -77,6 +77,53 @@ class TextHashExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowFingerprintsExpr matches an independent md5-hex replay and " +
+    "stays inside codegen") {
+    import spark.implicits._
+    // independent replay: hex-string parse (the oracle's formulation)
+    // instead of the kernel's byte assembly
+    def naive(text: String, k: Int, w: Int): Seq[Long] = {
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT) match {
+        case t if t.isEmpty => Array("")
+        case t => t.split("\\s+")
+      }
+      val grams =
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = grams.map { g =>
+        val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(14), 16)
+      }
+      val mins =
+        if (hs.length < w) Seq(hs.min)
+        else hs.sliding(w).map(_.min).toSeq
+      mins.distinct
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "tiny", "a b c d e f g h i j k l", "")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val expr = graft.functions.expressions.WinnowFingerprintsExpr(Literal(t), 4, 8)
+      val got = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      assert(got.toSeq === naive(t, 4, 8), s"text #$i")
+    }
+    // null in -> null out (callers filter; no LSH reason to hash nulls)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(graft.functions.expressions
+      .WinnowFingerprintsExpr(Literal.create(null,
+        org.apache.spark.sql.types.StringType), 4, 8).eval(null) == null)
+    // codegen-stage pin, the minhash pattern
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = docs
+      .select(TextHashExpressions.winnowFingerprints(col("text"), 4, 8).as("fp"))
+      .queryExecution.executedPlan.toString
+    assert(s.linesIterator.exists(l => l.contains("*(") && l.contains("winnow_fingerprints")),
+      s"expected the winnow projection inside a codegen stage in:\n$s")
+  }
+
   test("SQL registry exposes minhash_signature and simhash64") {
     graft.functions.GraftFunctions.register(spark)
     graft.Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("thx_docs")
