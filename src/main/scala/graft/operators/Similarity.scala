@@ -38,6 +38,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** MATRYOSHKA two-stage search (Kusupati et al. 2022's MRL
+    * deployment pattern): rank by the cosine of the FIRST `dPrefix`
+    * dimensions, keep `candidates`, re-score those with the full
+    * vector, return the top `k`. MRL-trained embeddings concentrate
+    * coarse semantics in the prefix, so the cheap stage reads/multiplies
+    * dPrefix/d of the data and the exact stage touches only the
+    * candidate set — at 100 TB, store the prefix as its own parquet
+    * column and stage 1 becomes a column-pruned scan that never
+    * deserializes the full vectors (the readSchema win qs4's cell
+    * pruning gets from partitioning). Both cuts rank on 6-dp-rounded
+    * scores with id tie-breaks — engine-stable boundaries, the qs1
+    * discipline. Recall vs brute force is RecallSpec territory; the
+    * gate hash-compares the approximate answer exactly.
+    */
+  def prefixRerankTopK(
+      embs: DataFrame, idCol: String, vecCol: String, query: Array[Double],
+      dPrefix: Int, candidates: Int, k: Int): DataFrame = {
+    require(dPrefix >= 1 && dPrefix <= query.length,
+      s"dPrefix must be in [1, ${query.length}], got $dPrefix")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qPre = array(query.take(dPrefix).map(lit): _*)
+    val qFull = array(query.map(lit): _*)
+    embs
+      .withColumn("sim_prefix",
+        round(VectorFunctions.cosine(slice(col(vecCol), 1, dPrefix), qPre), 6))
+      .orderBy(desc("sim_prefix"), col(idCol))
+      .limit(candidates)
+      .withColumn("sim", round(VectorFunctions.cosine(col(vecCol), qFull), 6))
+      .select(col(idCol), col("sim_prefix"), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** RANGE (radius) SEARCH — every corpus vector within a cosine
     * threshold of the query, the other half of the ANN query surface
     * (top-k answers "the best k"; radius answers "everything this

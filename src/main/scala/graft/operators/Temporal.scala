@@ -42,6 +42,35 @@ object Temporal {
     }
     carried.filter(col("__is_left") === 1).drop("__is_left")
   }
+
+  /** FORWARD as-of join — for each left row the EARLIEST right row with
+    * `right.time >= left.time` on the same key: the "next event after"
+    * lookup (next purchase after a click, next deploy after a commit,
+    * time-to-event labeling) that [[asofJoin]]'s backward carry cannot
+    * answer. Same one-shuffle union + carry architecture, mirrored:
+    * the left row sorts BEFORE an equal-time right row (side tag 0 vs
+    * 1) and each payload is `first(_, ignoreNulls)` over the
+    * current-row-to-unbounded-FOLLOWING frame, so `>=` semantics hold
+    * and rows with no later right payload report null.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(0))
+    val r = right.withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = payloadCols.foldLeft(u) { (df, p) =>
+      df.withColumn(p, first(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 0).drop("__side")
+  }
   /** Per-key EXPONENTIALLY-WEIGHTED MOVING AVERAGE over an
     * event-time-ordered series — the classic smoothing/feature-
     * engineering fold (`y_i = α·x_i + (1−α)·y_{i−1}`, seeded at the

@@ -1702,6 +1702,32 @@ class OperatorsSpec extends AnyFunSuite {
       minShared = 1, maxDocsPerFingerprint = 1).count() == 0)
   }
 
+  test("prefixRerankTopK: all-candidates equals brute force; a prefix-blind " +
+    "dimension is invisible to stage 1 and recovered by the rerank") {
+    import spark.implicits._
+    // 4-dim vectors, 2-dim prefix: ids 1/2 tie on the prefix, differ in
+    // the tail; id 3 is prefix-orthogonal
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 1.0, 0.0)
+    // wide candidate budget: the two-stage answer IS the exact answer
+    val wide = Similarity
+      .prefixRerankTopK(embs, "vec_id", "embedding", q, 2, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(wide.toSeq == brute.toSeq)
+    // full vector ranks 1 (sim 1.0) above 2 (sim 0.5); the prefix alone
+    // cannot distinguish them (both 1.0) — the rerank must
+    val r = Similarity.prefixRerankTopK(embs, "vec_id", "embedding", q, 2, 2, 2)
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r(0).getDouble(1) == 1.0 && r(1).getDouble(1) == 1.0) // prefix tie
+    assert(r(0).getDouble(2) == 1.0 && r(1).getDouble(2) == 0.5)
+  }
+
   test("cuped: exact theta on a linear fixture, perfect covariate kills " +
     "variance, arm imbalance corrects, constant X degenerates") {
     import spark.implicits._

@@ -1048,6 +1048,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(pairs((1L, 3L)) == ((1L, 1L, 2.0)))
   }
 
+  test("asofJoinForward: earliest at-or-after, equal-ts matches, null past " +
+    "the last right row, keys never cross") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L),
+      (4L, 20L, 100L))
+      .toDF("event_id", "user_id", "tus")
+    val right = Seq((10L, 200L, 5.0), (10L, 205L, 7.0), (10L, 250L, 9.0))
+      .toDF("user_id", "tus", "pvalue")
+    val got = Temporal
+      .asofJoinForward(left, right, "user_id", "tus", Seq("pvalue"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got(1L) == 5.0) // 100 -> earliest at-or-after is 200
+    assert(got(2L) == 7.0) // equal timestamp matches (>= contract)
+    assert(got(3L) == null) // nothing after 300
+    assert(got(4L) == null) // user 20 has no right rows
+  }
+
   test("laggedCrossCorrelation: anti-phase keys hit -1 at lag 0 and +1 at " +
     "the shift; constant series are null; zero-fill spans the grid") {
     import spark.implicits._
