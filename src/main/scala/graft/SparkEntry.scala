@@ -2737,6 +2737,46 @@ object SparkEntry {
       col("q"), col("n"), col("level"), col("n_sample"), col("est"))
   }
 
+  /** FORWARD as-of join ([[operators.Temporal.asofJoinForward]]):
+    * qe2's click→purchase lookup mirrored in time — for each click the
+    * EARLIEST purchase at-or-after it per user (the time-to-event
+    * label). The oracle replays it as a LATERAL min-tus probe (DuckDB
+    * ASOF only binds the backward direction), equal timestamps match
+    * by the `>=` contract on both sides.
+    */
+  private def qe55AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("tus", unix_micros(col("ts")))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("tus"))
+      .agg(
+        max(col("event_id")).as("pid"),
+        max_by(col("value"), col("event_id")).as("pvalue"))
+    operators.Temporal
+      .asofJoinForward(clicks, purchases, "user_id", "tus", Seq("pid", "pvalue"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("pid").as("next_purchase_id"),
+        round(col("pvalue"), 2).as("next_value"))
+  }
+
+  /** Matryoshka prefix-rerank search ([[operators.Similarity
+    * .prefixRerankTopK]], 16-dim prefix → 40 candidates → top 10): the
+    * MRL two-stage pattern with both cuts on 6-dp-rounded scores. The
+    * oracle replays both cosine stages and both rank cuts in one
+    * grouped pass.
+    */
+  private def qs22MrlRerank(spark: SparkSession, dir: String): DataFrame = {
+    val q = Array.tabulate(64)(i => math.sin(i * 0.7 + 0.3))
+    operators.Similarity.prefixRerankTopK(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", q,
+      dPrefix = 16, candidates = 40, k = 10)
+  }
+
   /** Lagged cross-correlation ([[operators.Temporal
     * .laggedCrossCorrelation]], hourly buckets, lags 0–3) between
     * event-type activity series: zero-filled global-span grids, exact
@@ -6117,6 +6157,8 @@ object SparkEntry {
     "qk7_quantile_sketch" -> (qk7QuantileSketch _),
     "qk8_ams_f2" -> (qk8AmsF2 _),
     "qe54_xcorr" -> (qe54Xcorr _),
+    "qe55_asof_forward" -> (qe55AsofForward _),
+    "qs22_mrl_rerank" -> (qs22MrlRerank _),
     "qs11_random_projection" -> (qs11RandomProjection _),
     "qt34_edit_distance" -> (qt34EditDistance _),
     "qb1_bridge_prep" -> (qb1BridgePrep _),
@@ -7214,6 +7256,24 @@ object SparkEntry {
         |  round(p.pvalue, 2) AS prior_value
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tus >= p.tus""".stripMargin,
+    // Forward as-of: DuckDB ASOF binds only the backward direction, so
+    // the replay is a LATERAL earliest-at-or-after probe (purch rows
+    // are unique per (user, tus), so ORDER BY tus is deterministic).
+    "qe55_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    max(event_id) AS pid, max_by(value, event_id) AS pvalue
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, p.pid AS next_purchase_id,
+        |  round(p.pvalue, 2) AS next_value
+        |FROM clicks c LEFT JOIN LATERAL (
+        |  SELECT pp.pid, pp.pvalue FROM purch pp
+        |  WHERE pp.user_id = c.user_id AND pp.tus >= c.tus
+        |  ORDER BY pp.tus LIMIT 1) p ON true""".stripMargin,
     "qv1_ead" ->
       """WITH rp(i, t) AS (VALUES (0,5),(1,10),(2,20),(3,50),(4,75),
         |  (5,100),(6,200),(7,250),(8,500),(9,1000)),
@@ -7855,6 +7915,40 @@ object SparkEntry {
          |  round(CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0
          |             ELSE dot / (sqrt(na) * sqrt(nb)) END, 6) AS sim
          |FROM s ORDER BY sim DESC, vec_id LIMIT 100""".stripMargin
+    },
+    // Matryoshka rerank: qs1's cosine replay computed twice in one
+    // grouped pass (prefix terms via a CASE on the series index, full
+    // terms unconditionally), then both rank cuts.
+    "qs22_mrl_rerank" -> {
+      val qv = Array.tabulate(64)(i => math.sin(i * 0.7 + 0.3))
+        .map(_.toString)
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $qv::DOUBLE[] AS qv FROM embeddings),
+         |s AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN t.i <= 16
+         |      THEN CAST(embedding[t.i] AS DOUBLE) * qv[t.i] END) AS dotp,
+         |    sum(CASE WHEN t.i <= 16
+         |      THEN CAST(embedding[t.i] AS DOUBLE)
+         |        * CAST(embedding[t.i] AS DOUBLE) END) AS nap,
+         |    sum(CASE WHEN t.i <= 16 THEN qv[t.i] * qv[t.i] END) AS nbp,
+         |    sum(CAST(embedding[t.i] AS DOUBLE) * qv[t.i]) AS dotf,
+         |    sum(CAST(embedding[t.i] AS DOUBLE)
+         |      * CAST(embedding[t.i] AS DOUBLE)) AS naf,
+         |    sum(qv[t.i] * qv[t.i]) AS nbf
+         |  FROM b CROSS JOIN generate_series(1, 64) AS t(i)
+         |  GROUP BY vec_id),
+         |p AS (
+         |  SELECT vec_id,
+         |    round(CASE WHEN sqrt(nap) * sqrt(nbp) = 0 THEN 0
+         |      ELSE dotp / (sqrt(nap) * sqrt(nbp)) END, 6) AS sim_prefix,
+         |    round(CASE WHEN sqrt(naf) * sqrt(nbf) = 0 THEN 0
+         |      ELSE dotf / (sqrt(naf) * sqrt(nbf)) END, 6) AS sim
+         |  FROM s),
+         |c AS (SELECT * FROM p ORDER BY sim_prefix DESC, vec_id LIMIT 40)
+         |SELECT vec_id, sim_prefix, sim FROM c
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
     },
     // Filtered ANN: qs1's cosine replay restricted to the label
     // predicate BEFORE ranking — pre-filter semantics, not post-filter.
