@@ -2464,6 +2464,25 @@ object SparkEntry {
         functions.TextFunctions.tokenCount(col("text")).cast("long")),
       "lang", "doc_id", "n_tokens", k = 8)
 
+  /** Incremental winnowing dedup ([[operators.Dedup
+    * .incrementalWinnowDedup]], minShared = 3): the corpus (doc_id ≡ 0
+    * mod 3) contributes only its STANDING fingerprint set; batch docs
+    * (the rest) drop on ≥ 3 corpus-fingerprint hits, survivors
+    * min-label dedupe within the batch. The oracle builds both
+    * fingerprint families from the shared CTE builder and replays the
+    * screen, the pair cut, and the qd6 component keep-min.
+    */
+  private def qd25IncrWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.Dedup
+      .incrementalWinnowDedup(
+        operators.TextAnalysis.winnowingFingerprints(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", minShared = 3)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** CUPED variance reduction ([[operators.Profiling.cuped]],
     * quantScale = 100 — prices and quantities are 2-dp exact): lineitem
     * prices adjusted by the quantity covariate with the pooled θ, per
@@ -6118,6 +6137,7 @@ object SparkEntry {
     "qd22_leakage_split" -> (qd22LeakageSplit _),
     "qd23_weighted_jaccard" -> (qd23WeightedJaccard _),
     "qd24_winnow_neardup" -> (qd24WinnowNearDup _),
+    "qd25_incr_winnow" -> (qd25IncrWinnow _),
     "qt49_unigram_kl" -> (qt49UnigramKl _),
     "qd19_edit_join" -> (qd19EditJoin _),
     "qd20_keep_best" -> (qd20KeepBest _),
@@ -6254,25 +6274,30 @@ object SparkEntry {
     * minima. MATERIALIZED so multi-consumer plans don't re-run the hash
     * recursion per reference.
     */
-  // Shared winnowing pipeline (qt51 + qd24): tokenize → 4-gram →
+  // Shared winnowing pipeline (qt51 + qd24 + qd25): tokenize → 4-gram →
   // 56-bit md5 prefix hash → 8-window minima → per-doc distinct list.
-  private lazy val winnowingOracleCtes: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-      |grams AS (
-      |  SELECT doc_id, list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
-      |      i -> array_to_string(tk[i:i+3], ' ')) AS gs
-      |  FROM toks),
-      |hashes AS (
-      |  SELECT doc_id, list_transform(gs,
-      |      g -> CAST('0x' || substr(md5(g), 1, 14) AS BIGINT)) AS hs
-      |  FROM grams),
-      |wins AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |      range(1, greatest(len(hs) - 7, 1) + 1),
-      |      i -> list_aggregate(hs[i:i+7], 'min'))) AS fps
-      |  FROM hashes)""".stripMargin
+  // `suffix` names the CTE family, `where` restricts the doc subset
+  // (qd25 builds a corpus and a batch family side by side).
+  private def winnowingCtesFor(suffix: String, where: String): String =
+    s"""toks$suffix AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND ($where)),
+       |grams$suffix AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
+       |      i -> array_to_string(tk[i:i+3], ' ')) AS gs
+       |  FROM toks$suffix),
+       |hashes$suffix AS (
+       |  SELECT doc_id, list_transform(gs,
+       |      g -> CAST('0x' || substr(md5(g), 1, 14) AS BIGINT)) AS hs
+       |  FROM grams$suffix),
+       |wins$suffix AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - 7, 1) + 1),
+       |      i -> list_aggregate(hs[i:i+7], 'min'))) AS fps
+       |  FROM hashes$suffix)""".stripMargin
+
+  private lazy val winnowingOracleCtes: String = winnowingCtesFor("", "TRUE")
 
   private lazy val minhashOracleCtes: String = {
     val coefValues = Dedup.minHashCoefs(16, 42L).zipWithIndex
@@ -10327,6 +10352,45 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, draw, id, weight, draw_key
         |FROM r WHERE rn = 1""".stripMargin,
+    // Incremental winnowing: two CTE families (corpus / batch) from the
+    // shared builder, the >= 3 corpus-hit screen, the qd24 pair cut,
+    // the qd6 min-label component keep-min over survivors.
+    "qd25_incr_winnow" ->
+      (s"WITH RECURSIVE ${winnowingCtesFor("c", "doc_id % 3 = 0")},\n" +
+        s"${winnowingCtesFor("b", "doc_id % 3 <> 0")}," +
+        """
+          |cfp AS (SELECT DISTINCT unnest(fps) AS fingerprint FROM winsc),
+          |bfp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM winsb),
+          |hit AS (
+          |  SELECT b.doc_id FROM bfp b JOIN cfp c USING (fingerprint)
+          |  GROUP BY b.doc_id HAVING count(*) >= 3),
+          |novel AS (
+          |  SELECT * FROM bfp
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+          |pairs AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM novel a JOIN novel b ON b.fingerprint = a.fingerprint
+          |    AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2 HAVING count(*) >= 3),
+          |nodes AS (SELECT DISTINCT id FROM
+          |  (SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)),
+          |sym AS MATERIALIZED (
+          |  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+          |lab(it, id, lb) AS (
+          |  SELECT 0, id, id FROM nodes
+          |  UNION ALL
+          |  SELECT it + 1, id, min(lb) FROM (
+          |    SELECT l.it, l.id, l.lb FROM lab l
+          |    UNION ALL
+          |    SELECT l.it, s.v AS id, l.lb FROM lab l JOIN sym s ON s.u = l.id
+          |  ) t(it, id, lb)
+          |  WHERE it < 20
+          |  GROUP BY it, id),
+          |final AS (SELECT id, min(lb) AS lb FROM lab GROUP BY id)
+          |SELECT d.doc_id, d.n_chars FROM documents d
+          |JOIN (SELECT DISTINCT doc_id FROM novel) nv ON nv.doc_id = d.doc_id
+          |LEFT JOIN final ON final.id = d.doc_id
+          |WHERE final.id IS NULL OR final.lb = d.doc_id""".stripMargin),
     // CUPED replay: identical half-up 1e2 quantization, HUGEINT moments
     // mirroring DECIMAL(38,0), pooled theta/xbar cross-joined into the
     // per-arm report, every IEEE tree written in the engine's order.

@@ -1445,4 +1445,62 @@ object Dedup {
     // drainMemorySink rationale) — out no longer references them
     out
   }
+
+  /** Incremental WINNOWING dedup — [[incrementalMinHashDedup]]'s
+    * deterministic twin, and the ingest form of [[winnowingNearDup]]:
+    * the STANDING ARTIFACT is the corpus's distinct fingerprint set
+    * (one `fingerprint` column from [[TextAnalysis
+    * .winnowingFingerprints]] — persist it, union each surviving
+    * batch's fingerprints back in; steady-state ingest never re-reads
+    * corpus text). A batch doc drops when ≥ `minShared` of its
+    * fingerprints already exist in the corpus — by the MOSS guarantee a
+    * shared run of ≥ w+k−1 words FORCES a shared fingerprint, so a
+    * long-overlap dup cannot slip the screen (MinHash's bands can
+    * miss; winnowing's detection is deterministic). Survivors then
+    * near-dedup within the batch by the same ≥ minShared pair rule,
+    * keeping the min-id doc of each connected component. Returns the
+    * surviving batch rows.
+    *
+    * Plan shape: batch fingerprints computed ONCE (eager checkpoint —
+    * the corpus-hit probe and both pair-join sides reuse them), the
+    * corpus screen one semi join keyed on fingerprint, the batch pairs
+    * the qd24 inverted-index join, components the qd6 min-label tail.
+    */
+  def incrementalWinnowDedup(
+      corpusFingerprints: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      window: Int = 8,
+      minShared: Int = 3): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fpB = TextAnalysis
+      .winnowingFingerprints(batch, idCol, textCol, k, window)
+      .localCheckpoint(true)
+    val hit = fpB
+      .join(
+        corpusFingerprints.select(col("fingerprint")).distinct(),
+        Seq("fingerprint"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("doc_id"))
+    val novel = fpB.join(hit, Seq("doc_id"), "left_anti")
+    val pairs = novel.select(col("doc_id").as("__a"), col("fingerprint"))
+      .join(novel.select(col("doc_id").as("__b"), col("fingerprint")),
+        Seq("fingerprint"))
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("__a"), col("__b"))
+    val dropped = connectedComponents(pairs, "__a", "__b")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val keep = novel.select(col("doc_id")).distinct()
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .withColumnRenamed("doc_id", idCol)
+    batch.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -1702,6 +1702,32 @@ class OperatorsSpec extends AnyFunSuite {
       minShared = 1, maxDocsPerFingerprint = 1).count() == 0)
   }
 
+  test("incrementalWinnowDedup: corpus hits drop, within-batch dups keep " +
+    "min id, unique docs survive, empty corpus = pure batch dedup") {
+    import spark.implicits._
+    val r1 = (1 to 30).map(i => s"r$i").mkString(" ")
+    val r2 = (1 to 30).map(i => s"s$i").mkString(" ")
+    def noise(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq((100L, noise("c") + " " + r1)).toDF("doc_id", "text")
+    val corpusFp = TextAnalysis.winnowingFingerprints(corpus, "doc_id", "text")
+    val batch = Seq(
+      (1L, r1 + " " + noise("a")), // contains the corpus run -> drops
+      (2L, noise("b") + " " + r2), // near-dup pair with 3 -> kept (min id)
+      (3L, r2 + " " + noise("d")), // -> dropped (component min is 2)
+      (4L, noise("e"))) // unique -> survives
+      .toDF("doc_id", "text")
+    val kept = Dedup
+      .incrementalWinnowDedup(corpusFp, batch, "doc_id", "text", minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // empty corpus: the screen is inert, only the batch pair collapses
+    val empty = corpusFp.filter(lit(false))
+    val kept2 = Dedup
+      .incrementalWinnowDedup(empty, batch, "doc_id", "text", minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L, 4L))
+  }
+
   test("prefixRerankTopK: all-candidates equals brute force; a prefix-blind " +
     "dimension is invisible to stage 1 and recovered by the rerank") {
     import spark.implicits._
