@@ -2483,6 +2483,17 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** Sample-ratio-mismatch check ([[operators.Profiling.srmCheck]],
+    * designed allocation A/N/R = ¼/½/¼ — close to lineitem's actual
+    * returnflag mix, so the per-arm χ² terms are non-degenerate but
+    * finite): exact counts, one fixed IEEE tree per term, replayed
+    * with a VALUES allocation table.
+    */
+  private def qp19Srm(spark: SparkSession, dir: String): DataFrame =
+    operators.Profiling.srmCheck(
+      t(spark, dir, "lineitem"), "l_returnflag",
+      Seq("A" -> 0.25, "N" -> 0.5, "R" -> 0.25))
+
   /** CUPED variance reduction ([[operators.Profiling.cuped]],
     * quantScale = 100 — prices and quantities are 2-dp exact): lineitem
     * prices adjusted by the quantity covariate with the pooled θ, per
@@ -6127,6 +6138,7 @@ object SparkEntry {
     "qg37_modularity" -> (qg37Modularity _),
     "qg38_random_walks" -> (qg38RandomWalks _),
     "qp18_cuped" -> (qp18Cuped _),
+    "qp19_srm" -> (qp19Srm _),
     "qt52_readability" -> (qt52Readability _),
     "qs18_ann_recall" -> (qs18AnnRecall _),
     "qs19_ann_multiprobe" -> (qs19AnnMultiprobe _),
@@ -10391,6 +10403,27 @@ object SparkEntry {
           |JOIN (SELECT DISTINCT doc_id FROM novel) nv ON nv.doc_id = d.doc_id
           |LEFT JOIN final ON final.id = d.doc_id
           |WHERE final.id IS NULL OR final.lb = d.doc_id""".stripMargin),
+    // SRM replay: VALUES allocation table, exact counts, the identical
+    // (o − n·share)²/(n·share) tree at 6 dp.
+    "qp19_srm" ->
+      """WITH exp(arm, share) AS (
+        |  VALUES ('A', 0.25), ('N', 0.5), ('R', 0.25)),
+        |c AS (
+        |  SELECT l_returnflag AS arm, count(*) AS n_obs
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL
+        |    AND l_returnflag IN (SELECT arm FROM exp)
+        |  GROUP BY 1),
+        |n AS (SELECT coalesce(sum(n_obs), 0) AS n FROM c)
+        |SELECT e.arm, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+        |  round(CAST(n.n AS DOUBLE) * e.share, 6) AS expected_n,
+        |  CASE WHEN n.n > 0 THEN round(
+        |    (CAST(coalesce(c.n_obs, 0) AS DOUBLE)
+        |      - CAST(n.n AS DOUBLE) * e.share)
+        |    * (CAST(coalesce(c.n_obs, 0) AS DOUBLE)
+        |      - CAST(n.n AS DOUBLE) * e.share)
+        |    / (CAST(n.n AS DOUBLE) * e.share), 6) END AS chi2_term
+        |FROM exp e LEFT JOIN c ON c.arm = e.arm CROSS JOIN n""".stripMargin,
     // CUPED replay: identical half-up 1e2 quantization, HUGEINT moments
     // mirroring DECIMAL(38,0), pooled theta/xbar cross-joined into the
     // per-arm report, every IEEE tree written in the engine's order.

@@ -823,6 +823,52 @@ object Profiling {
         col("__x.jn").as("jsd_norm"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH check — the mandatory pre-test before any
+    * A/B readout ([[abTest]]/[[cuped]] results are invalid if the
+    * randomizer itself is broken): chi-square goodness-of-fit of the
+    * observed arm counts against the DESIGNED allocation. Per expected
+    * arm: observed count, expected count n·share, and the χ² term
+    * (o − e)²/e; Σ contrib vs χ²(k−1) is the caller's alarm (SRM
+    * practice: p < 0.001 ⇒ halt the experiment). Arms present in the
+    * data but not in `expected` are ignored (they are a DIFFERENT bug —
+    * [[driftReport]] finds them); expected arms with zero observations
+    * report a full-mass contribution.
+    *
+    * Counts are exact integers; e and the contribution are one fixed
+    * IEEE tree each (6-dp round). One keyed count + a broadcast
+    * expected table — no second scan.
+    */
+  def srmCheck(
+      df: DataFrame, armCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "expected allocation must be non-empty")
+    require(expected.forall(_._2 > 0.0), "every expected share must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = expected.toDF("arm", "share")
+    val counts = df
+      .filter(col(armCol).isNotNull)
+      .select(col(armCol).cast("string").as("arm"))
+      .join(broadcast(exp), Seq("arm"), "left_semi")
+      .groupBy(col("arm"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_obs"))
+    val joined = exp
+      .join(counts, Seq("arm"), "left")
+      .select(col("arm"), col("share"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(
+        counts.agg(coalesce(sum(col("n_obs")), lit(0L)).as("__n"))))
+    joined.select(
+      col("arm"), col("n_obs"),
+      round(col("__n").cast("double") * col("share"), 6).as("expected_n"),
+      // n = 0 (no observations in any expected arm) -> null, not 0/0
+      when(col("__n") > 0L,
+        round(
+          (col("n_obs").cast("double") - col("__n").cast("double") * col("share"))
+            * (col("n_obs").cast("double") - col("__n").cast("double") * col("share"))
+            / (col("__n").cast("double") * col("share")), 6)).as("chi2_term"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
     * the industry-standard experiment sharpener next to [[abTest]]'s
     * raw comparison: each unit's metric Y is adjusted by a pre-exposure

@@ -1702,6 +1702,31 @@ class OperatorsSpec extends AnyFunSuite {
       minShared = 1, maxDocsPerFingerprint = 1).count() == 0)
   }
 
+  test("srmCheck: hand chi-square on a 60/40 split, zero-obs arm carries " +
+    "full mass, unexpected arms ignored") {
+    import spark.implicits._
+    val df = (Seq.fill(60)("t") ++ Seq.fill(40)("c") ++ Seq.fill(7)("x"))
+      .toDF("arm")
+    val got = Profiling.srmCheck(df, "arm", Seq("t" -> 0.5, "c" -> 0.5))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // n = 100 (the 'x' rows are not expected arms): e = 50 each,
+    // contrib = 100/50 = 2.0 each -> chi2 = 4 at 1 dof
+    assert(got("t") == ((60L, 50.0, 2.0)))
+    assert(got("c") == ((40L, 50.0, 2.0)))
+    // an expected arm with no observations carries its full mass
+    val miss = Profiling.srmCheck(
+      Seq.fill(10)("t").toDF("arm"), "arm", Seq("t" -> 0.5, "c" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(miss("t") == 5.0) // (10-5)^2/5
+    assert(miss("c") == 5.0) // (0-5)^2/5
+    // zero observations anywhere -> null terms, not 0/0
+    val none = Profiling.srmCheck(
+      Seq.empty[String].toDF("arm"), "arm", Seq("t" -> 1.0)).collect()
+    assert(none.length == 1 && none(0).isNullAt(3))
+  }
+
   test("incrementalWinnowDedup: corpus hits drop, within-batch dups keep " +
     "min id, unique docs survive, empty corpus = pure batch dedup") {
     import spark.implicits._
