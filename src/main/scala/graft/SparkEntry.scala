@@ -1811,6 +1811,22 @@ object SparkEntry {
     graph.Structure.linkPrediction(edges, "x", "y", minCommon = 2)
   }
 
+  /** Neighborhood-Jaccard structural similarity ([[graph.Structure
+    * .neighborhoodJaccard]], cn ≥ 3) on qg35's %200 projection: the
+    * SNN-graph construction — every pair (adjacent or not) scored by
+    * open-neighborhood overlap with both degrees and the adjacency
+    * flag. The oracle replays the wedge count, both degree joins, the
+    * EXISTS flag and the J division at 6 dp.
+    */
+  private def qg39NeighborhoodJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(
+        (col("o_custkey") % 200).as("x"),
+        (col("o_orderkey") % 200).as("y"))
+    graph.Structure.neighborhoodJaccard(edges, "x", "y", minCommon = 3)
+  }
+
   /** Degree assortativity ([[graph.Structure.assortativity]]) on qg10's
     * %80 projection: Newman's mixing coefficient as one Pearson r over
     * the symmetrized endpoint-degree pairs. Every moment accumulates as
@@ -6137,6 +6153,7 @@ object SparkEntry {
     "qg36_assortativity" -> (qg36Assortativity _),
     "qg37_modularity" -> (qg37Modularity _),
     "qg38_random_walks" -> (qg38RandomWalks _),
+    "qg39_nbr_jaccard" -> (qg39NeighborhoodJaccard _),
     "qp18_cuped" -> (qp18Cuped _),
     "qp19_srm" -> (qp19Srm _),
     "qt52_readability" -> (qt52Readability _),
@@ -12711,6 +12728,32 @@ object SparkEntry {
         |  round(sum(1.0 / ln(deg)), 6) AS adamic_adar,
         |  round(sum(1.0 / deg), 6) AS resource_alloc
         |FROM cand GROUP BY a, b HAVING count(*) >= 2""".stripMargin,
+    // Neighborhood-Jaccard replay: qg35's wedge count WITHOUT the
+    // NOT EXISTS, both degree joins, the EXISTS adjacency flag, one
+    // division at 6 dp.
+    "qg39_nbr_jaccard" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 200 AS x, o_orderkey % 200 AS y
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |e AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |adj AS (SELECT a AS v, b AS t FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+        |wedge AS (
+        |  SELECT a1.t AS a, a2.t AS b
+        |  FROM adj a1 JOIN adj a2 ON a2.v = a1.v AND a1.t < a2.t),
+        |cn AS (
+        |  SELECT a, b, count(*) AS cn FROM wedge
+        |  GROUP BY a, b HAVING count(*) >= 3)
+        |SELECT cn.a, cn.b, cn.cn, da.deg AS deg_a, db.deg AS deg_b,
+        |  EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b)
+        |    AS adjacent,
+        |  round(CAST(cn.cn AS DOUBLE) / (da.deg + db.deg - cn.cn), 6)
+        |    AS jaccard
+        |FROM cn
+        |JOIN deg da ON da.v = cn.a
+        |JOIN deg db ON db.v = cn.b""".stripMargin,
     // Assortativity replay: integer moments (DuckDB sums BIGINT into
     // HUGEINT — exact, mirroring the engine's DECIMAL(38,0)), mean² as
     // an explicit multiply, nullif for the regular-graph degenerate.

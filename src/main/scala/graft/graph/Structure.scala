@@ -80,6 +80,53 @@ object Structure {
     out
   }
 
+  /** NEIGHBORHOOD-JACCARD structural similarity — [[linkPrediction]]'s
+    * sibling WITHOUT the non-adjacency filter: every unordered pair
+    * (a < b) sharing ≥ `minCommon` neighbors, scored
+    * `J = cn / (deg(a) + deg(b) − cn)` with both degrees and an
+    * `adjacent` flag. This is the shared-nearest-neighbor (SNN) graph
+    * construction — the robust similarity layer under density-based
+    * clustering (Jarvis–Patrick 1973, and the SNN input DBSCAN
+    * variants use) and the structural-equivalence screen ("do these
+    * two accounts follow the same crowd") that link prediction's
+    * missing-edge framing cannot ask about existing edges.
+    *
+    * Same wedge enumeration and Θ(Σ deg(w)²) contract as
+    * [[linkPrediction]] (`maxDegree` caps hub wedges); two extra
+    * degree lookups and one broadcast-eligible adjacency left-join for
+    * the flag. Note J counts OPEN neighborhoods — an adjacent pair's
+    * endpoints are not each other's common neighbors, so a pendant
+    * edge scores 0 (and is filtered by minCommon ≥ 1).
+    */
+  def neighborhoodJaccard(
+      edges: DataFrame, aCol: String, bCol: String,
+      minCommon: Int = 2, maxDegree: Long = Long.MaxValue): DataFrame = {
+    val e = canonical(edges, aCol, bCol).persist()
+    val adj = e.select(col("a").as("v"), col("b").as("t"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("t")))
+    val deg = adj.groupBy(col("v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val adjD = adj.join(deg, Seq("v")).filter(col("deg") <= maxDegree)
+    val wedges = adjD.select(col("v"), col("t").as("x"))
+      .join(adjD.select(col("v"), col("t").as("y")), Seq("v"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("a"), col("y").as("b"))
+    val out = wedges
+      .groupBy(col("a"), col("b"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(e.withColumn("adjacent", lit(true)), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        coalesce(col("adjacent"), lit(false)).as("adjacent"),
+        round(col("cn").cast("double")
+          / (col("deg_a") + col("deg_b") - col("cn")), 6).as("jaccard"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Degree ASSORTATIVITY coefficient (Newman 2002): the Pearson
     * correlation of endpoint degrees over the SYMMETRIZED edge list
     * (every undirected edge contributes both orientations, the standard

@@ -65,6 +65,28 @@ class StructureSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("neighborhoodJaccard: scores adjacent AND non-adjacent pairs, " +
+    "open-neighborhood semantics, hand values on the square + diagonal") {
+    // square 1-2-3-4-1 plus diagonal 1-3: degrees 1:3, 2:2, 3:3, 4:2
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("x", "y")
+    val got = Structure.neighborhoodJaccard(g, "x", "y", minCommon = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(5), r.getDouble(6)))).toMap
+    // (1,3): adjacent, shares {2,4}: J = 2/(3+3-2) = 0.5
+    assert(got((1L, 3L)) == ((2L, true, 0.5)))
+    // (2,4): non-adjacent, shares {1,3}: J = 2/(2+2-2) = 1.0 (identical
+    // open neighborhoods - the structural-equivalence readout)
+    assert(got((2L, 4L)) == ((2L, false, 1.0)))
+    // (1,2): adjacent, shares {3}: J = 1/(3+2-1) = 0.25
+    assert(got((1L, 2L)) == ((1L, true, 0.25)))
+    // pendant edges share nothing: a path's end pair never appears
+    val path = Seq((1L, 2L)).toDF("x", "y")
+    assert(Structure.neighborhoodJaccard(path, "x", "y", minCommon = 1)
+      .count() == 0)
+  }
+
   test("assortativity: star is -1, cycle is undefined, barbell-pendant -0.714286") {
     val star = (1L to 4L).map(i => (0L, i)).toDF("x", "y")
     val s = Structure.assortativity(star, "x", "y").collect()(0)
