@@ -9,7 +9,10 @@ package graft
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(4, "explain")
+    val spark = GraftSession.local(
+      sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(4),
+      "explain")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq(
@@ -19,7 +22,7 @@ object Explain {
         "q21_rollup", "qs3_dot_topk")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
     }
     spark.stop()
   }
