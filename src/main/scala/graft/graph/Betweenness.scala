@@ -106,6 +106,7 @@ object Betweenness {
       .localCheckpoint(true)
     var d = 0
     var grewBy = 1L
+    var bfsCount = bfs.count()
     while (grewBy > 0L) {
       val frontier = bfs.filter(col("dist") === d)
       val next = frontier
@@ -116,7 +117,11 @@ object Betweenness {
         .join(bfs.select("p", "v"), Seq("p", "v"), "left_anti")
         .select(col("p"), col("v"), lit(d + 1).as("dist"), col("sigma"))
       val grown = bfs.unionAll(next).localCheckpoint(true)
-      grewBy = grown.count() - bfs.count()
+      // carry the previous round's count instead of re-counting the old
+      // checkpoint — one action per round, not two
+      val grownCount = grown.count()
+      grewBy = grownCount - bfsCount
+      bfsCount = grownCount
       bfs = grown
       d += 1
     }
@@ -171,7 +176,9 @@ object Betweenness {
     * (the qg32 rationale, applied to the brokerage question).
     *
     * Three keyed-join fixpoints, each localCheckpointed per round with
-    * exact changed-row convergence:
+    * exact convergence detection (fused into the round's single
+    * aggregate/plan — one checkpoint + one cached count per round; σ
+    * uses the exact monotone (count, Σσ) integer signature):
     *
     *  1. DISTANCES from the pivot set — the [[Bfs.sssp]] min-plus
     *     frontier fold keyed by (pivot, node).
@@ -230,7 +237,11 @@ object Betweenness {
         .select(col("v").as("p"))
     val k = pivotSet.count()
 
-    // 1. cost distances from every pivot (min-plus frontier fold)
+    // 1. cost distances from every pivot (min-plus frontier fold) —
+    // FUSED round (the Bfs.sssp shape): one tagged min aggregate merges
+    // candidates with the old table AND recovers the old distance, so
+    // "improved" is a column; one exchange + one checkpoint + one cached
+    // count per round, bit-identical values (IEEE min is order-free)
     var dist = pivotSet
       .select(col("p"), col("p").as("v"), lit(0.0).as("dist"))
       .localCheckpoint(true)
@@ -245,22 +256,19 @@ object Betweenness {
       val cand = frontier
         .join(ed, Seq("v"))
         .select(col("p"), col("t").as("v"), (col("dist") + col("__w")).as("dist"))
+      val merged = dist
+        .select(col("p"), col("v"), col("dist"), lit(false).as("__cand"))
+        .unionAll(cand.select(col("p"), col("v"), col("dist"), lit(true).as("__cand")))
         .groupBy(col("p"), col("v"))
-        .agg(min(col("dist")).as("dist"))
-      val improved = cand
-        .join(dist.select(col("p"), col("v"), col("dist").as("__old")),
-          Seq("p", "v"), "left")
-        .filter(col("__old").isNull || col("dist") < col("__old"))
-        .select(col("p"), col("v"), col("dist"))
+        .agg(
+          min(col("dist")).as("dist"),
+          min(when(!col("__cand"), col("dist"))).as("__old"))
+        .select(col("p"), col("v"), col("dist"),
+          (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
         .localCheckpoint(true)
-      improving = improved.count() > 0L
-      if (improving) {
-        dist = dist.unionAll(improved)
-          .groupBy(col("p"), col("v"))
-          .agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
-        frontier = improved
-      }
+      improving = merged.filter(col("__imp")).count() > 0L
+      frontier = merged.filter(col("__imp")).select(col("p"), col("v"), col("dist"))
+      dist = merged.select(col("p"), col("v"), col("dist"))
     }
 
     // shortest-path DAG edges per pivot: u→v iff d(u) + w = d(v)
@@ -272,9 +280,25 @@ object Betweenness {
       .select(col("p"), col("__u"), col("__v"))
       .persist()
 
-    // 2. σ fixpoint over the DAG (exact Longs, monotone in hop rounds)
+    // 2. σ fixpoint over the DAG (exact Longs, monotone in hop rounds).
+    // Convergence by the (count, Σσ) signature instead of a per-round
+    // join against the previous table: σ_t(v) is NONDECREASING in t
+    // (round t counts shortest paths of ≤ t hops) and the reached set
+    // only grows, so equal count AND equal exact-integer sum imply no
+    // row changed — the signature is exact, not heuristic (the
+    // Dag.longestPathLayer argument; DECIMAL(38,0) so huge path counts
+    // can't overflow the sum). One cheap cached aggregate replaces the
+    // n²-row join per round.
     val seedSig = pivotSet.select(col("p"), col("p").as("v"), lit(1L).as("sigma"))
     var sig = seedSig.localCheckpoint(true)
+    def sigSignature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(col("sigma").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var sigPrev = sigSignature(sig)
     rounds = 0
     var changing = true
     while (changing) {
@@ -291,13 +315,10 @@ object Betweenness {
         .groupBy(col("p"), col("v"))
         .agg(max(col("sigma")).as("sigma"))
         .localCheckpoint(true)
-      val changed = next
-        .join(sig.select(col("p"), col("v"), col("sigma").as("__os")),
-          Seq("p", "v"), "left")
-        .filter(col("__os").isNull || col("sigma") =!= col("__os"))
-        .count()
+      val cur = sigSignature(next)
       sig = next
-      changing = changed > 0L
+      changing = cur != sigPrev
+      sigPrev = cur
     }
     // σ(v) at round t counts shortest paths of ≤ t hops: the union's
     // max-merge keeps the newest (largest) count per node; every
@@ -312,6 +333,12 @@ object Betweenness {
         (col("__su").cast("double") / col("__sv").cast("double")).as("__r"))
       .persist()
     dagE.unpersist(blocking = false)
+    // δ backward fixpoint — FUSED change detection: the previous δ table
+    // itself is the left side (its key set IS dist's, invariant across
+    // rounds), so the old value rides the same plan as the new one and
+    // "changed" is a column; one checkpoint + one cached count per
+    // round, was checkpoint + join + count. Arithmetic unchanged —
+    // each δ recomputes bit-identically once its successors settle.
     var delta = dist.select(col("p"), col("v"), lit(0.0).as("delta"))
       .localCheckpoint(true)
     rounds = 0
@@ -321,7 +348,7 @@ object Betweenness {
       if (rounds > maxRounds)
         throw new IllegalStateException(
           s"runWeighted δ still changing after maxRounds=$maxRounds")
-      val next = dist.select(col("p"), col("v"))
+      val next = delta.select(col("p"), col("v"), col("delta").as("__od"))
         .join(
           dagR.join(delta.select(col("p"), col("v").as("__v"),
               col("delta").as("__dw")), Seq("p", "__v"))
@@ -329,14 +356,12 @@ object Betweenness {
             .agg(sum(col("__r") * (lit(1.0) + col("__dw"))).as("__acc"))
             .select(col("p"), col("__u").as("v"), col("__acc")),
           Seq("p", "v"), "left")
-        .select(col("p"), col("v"), coalesce(col("__acc"), lit(0.0)).as("delta"))
+        .select(col("p"), col("v"),
+          coalesce(col("__acc"), lit(0.0)).as("delta"),
+          (coalesce(col("__acc"), lit(0.0)) =!= col("__od")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next
-        .join(delta.select(col("p"), col("v"), col("delta").as("__od")),
-          Seq("p", "v"))
-        .filter(col("delta") =!= col("__od"))
-        .count()
-      delta = next
+      val changed = next.filter(col("__chg")).count()
+      delta = next.select(col("p"), col("v"), col("delta"))
       changing = changed > 0L
     }
     dagR.unpersist(blocking = false)

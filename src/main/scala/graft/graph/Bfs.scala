@@ -181,24 +181,30 @@ object Bfs {
           s"SSSP still improving after maxRounds=$maxRounds rounds — " +
             "either a negative cycle or a longer-than-expected optimal " +
             "path; check weights or raise maxRounds")
+      // FUSED round (one exchange + one checkpoint, was three jobs): the
+      // relax candidates union the old table under a tag and ONE min
+      // aggregate yields the merged distance AND the old distance per
+      // node, so "improved" is a column — min(old, cand) is the same
+      // IEEE min the separate join+union+min computed, bit-identical;
+      // the improved-count reads the checkpointed blocks (no recompute)
       val cand = e
         .join(frontier.select(col("node").as("a"), col("dist")), Seq("a"))
         .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+      val merged = dist
+        .select(col("node"), col("dist"), lit(false).as("__cand"))
+        .unionAll(cand.select(col("node"), col("dist"), lit(true).as("__cand")))
         .groupBy(col("node"))
-        .agg(org.apache.spark.sql.functions.min(col("dist")).as("dist"))
-      val improved = cand
-        .join(dist.select(col("node"), col("dist").as("__old")), Seq("node"), "left")
-        .filter(col("__old").isNull || col("dist") < col("__old"))
-        .select(col("node"), col("dist"))
+        .agg(
+          org.apache.spark.sql.functions.min(col("dist")).as("dist"),
+          org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.when(!col("__cand"), col("dist")))
+            .as("__old"))
+        .select(col("node"), col("dist"),
+          (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
         .localCheckpoint(true)
-      improving = improved.count() > 0L
-      if (improving) {
-        dist = dist.unionAll(improved)
-          .groupBy(col("node"))
-          .agg(org.apache.spark.sql.functions.min(col("dist")).as("dist"))
-          .localCheckpoint(true)
-        frontier = improved
-      }
+      improving = merged.filter(col("__imp")).count() > 0L
+      frontier = merged.filter(col("__imp")).select(col("node"), col("dist"))
+      dist = merged.select(col("node"), col("dist"))
     }
     e.unpersist(blocking = false)
     dist

@@ -275,25 +275,28 @@ object Centrality {
         throw new IllegalStateException(
           s"$caller still improving after " +
             s"maxRounds=$maxRounds rounds; raise maxRounds")
+      // FUSED round (the Bfs.sssp shape): relax candidates union the old
+      // table under a tag, ONE min aggregate merges and recovers the old
+      // distance per pair, "improved" becomes a column — one exchange +
+      // one checkpoint + one cached count per round instead of the
+      // join-checkpoint / count / merge-checkpoint triple; IEEE min is
+      // order-free so the merged values are bit-identical
       val cand = frontier
         .join(ed, Seq("v"))
         .select(col("p"), col("t").as("v"), (col("dist") + col("__w")).as("dist"))
+      val merged = dist
+        .select(col("p"), col("v"), col("dist"), lit(false).as("__cand"))
+        .unionAll(cand.select(col("p"), col("v"), col("dist"), lit(true).as("__cand")))
         .groupBy(col("p"), col("v"))
-        .agg(min(col("dist")).as("dist"))
-      val improved = cand
-        .join(dist.select(col("p"), col("v"), col("dist").as("__old")),
-          Seq("p", "v"), "left")
-        .filter(col("__old").isNull || col("dist") < col("__old"))
-        .select(col("p"), col("v"), col("dist"))
+        .agg(
+          min(col("dist")).as("dist"),
+          min(when(!col("__cand"), col("dist"))).as("__old"))
+        .select(col("p"), col("v"), col("dist"),
+          (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
         .localCheckpoint(true)
-      improving = improved.count() > 0L
-      if (improving) {
-        dist = dist.unionAll(improved)
-          .groupBy(col("p"), col("v"))
-          .agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
-        frontier = improved
-      }
+      improving = merged.filter(col("__imp")).count() > 0L
+      frontier = merged.filter(col("__imp")).select(col("p"), col("v"), col("dist"))
+      dist = merged.select(col("p"), col("v"), col("dist"))
     }
     ed.unpersist(blocking = false)
     dist

@@ -111,8 +111,10 @@ object Dag {
     * bit-identical; integer-valued durations give exact integer costs.
     *
     * Convergence is an EXACT per-node changed-row count (the
-    * [[Bfs.sssp]] pattern): each round joins the new state to the old
-    * on node and counts rows whose layer OR cost moved. The first
+    * [[Bfs.sssp]] pattern): the old state rides the merge union under a
+    * tag, so the same max aggregate that merges also recovers the old
+    * (layer, cost) per node and rows whose layer OR cost moved are
+    * counted off the checkpointed result. The first
     * draft's Σcost signature was a double sum that could absorb a
     * same-hop-length cost improvement smaller than the sum's ulp
     * (Σ≈10¹⁶ swallows deltas < 1); a row-wise compare of max-merged
@@ -153,29 +155,39 @@ object Dag {
           s"criticalPath did not converge within $maxRounds rounds — " +
             "either a cycle or a longer-than-expected critical path; " +
             "check acyclicity or raise maxRounds")
-      val next = state.unionAll(
+      // FUSED round: the old state rides the same union under a tag, so
+      // ONE max aggregate yields the merged (layer, cost) AND the old
+      // values per node — "changed" becomes a column and the exact
+      // changed-row count + cycle guard read the checkpointed blocks
+      // (one checkpoint + one cached aggregate per round; the previous
+      // shape paid an extra shuffle join against the old table). The
+      // node set is stable (every round's union carries every node), so
+      // the old-value max is total and a row moved iff layer or cost
+      // grew — same exact compare of max-merged values as before.
+      val next = state
+        .select(col("node"), col("layer"), col("cost"), lit(false).as("__cand"))
+        .unionAll(
           e.join(state.withColumnRenamed("node", "s"), Seq("s"))
             .select(col("d").as("node"), (col("layer") + 1L).as("layer"),
-              (col("cost") + col("w")).as("cost")))
+              (col("cost") + col("w")).as("cost"), lit(true).as("__cand")))
         .groupBy(col("node"))
-        .agg(max(col("layer")).as("layer"), max(col("cost")).as("cost"))
-        .localCheckpoint(true)
-      // exact changed-row count + cycle guard in ONE aggregate pass:
-      // the node set is stable (both sides carry every node), so the
-      // inner join is total and a row moved iff layer or cost grew
-      val r = next
-        .join(state.select(col("node"), col("layer").as("__ol"),
-          col("cost").as("__oc")), Seq("node"))
         .agg(
-          coalesce(sum(when(col("layer") =!= col("__ol")
-            || col("cost") =!= col("__oc"), 1L).otherwise(0L)), lit(0L)),
-          coalesce(max(col("layer")), lit(0L))).head()
+          max(col("layer")).as("layer"), max(col("cost")).as("cost"),
+          max(when(!col("__cand"), col("layer"))).as("__ol"),
+          max(when(!col("__cand"), col("cost"))).as("__oc"))
+        .select(col("node"), col("layer"), col("cost"),
+          (col("layer") =!= col("__ol") || col("cost") =!= col("__oc"))
+            .as("__chg"))
+        .localCheckpoint(true)
+      val r = next.agg(
+        coalesce(sum(when(col("__chg"), 1L).otherwise(0L)), lit(0L)),
+        coalesce(max(col("layer")), lit(0L))).head()
       val (changed, maxLayer) = (r.getLong(0), r.getLong(1))
       if (maxLayer >= nNodes)
         throw new IllegalArgumentException(
           s"input graph has a cycle: a path of length $maxLayer exists over " +
             s"$nNodes nodes (acyclic inputs are bounded by n - 1)")
-      state = next
+      state = next.select(col("node"), col("layer"), col("cost"))
       changing = changed > 0L
     }
     state

@@ -69,8 +69,16 @@ object PageRank {
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1], got $damping")
     val spark = edges.sparkSession
 
+    // persist the TYPED EDGE INPUT itself, not just its derivatives: the
+    // caller's edge table is often an expensive join/aggregation (qg9's
+    // four-table trade join), and without this cache it re-executes for
+    // every derivative that follows — nodes (1), trans's edge aggregate
+    // and outw (2), dangling's outw (1 more) — four upstream executions
+    // for one logical input (guide §5: cache only what is reused AND
+    // expensive; this is both, and it unpersists before return)
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -133,7 +141,7 @@ object PageRank {
         .localCheckpoint(true)
     }
     val out = ranks.select(col("node"), col("rank"))
-    trans.unpersist(); dangling.unpersist(); nodes.unpersist()
+    trans.unpersist(); dangling.unpersist(); nodes.unpersist(); e.unpersist()
     out
   }
 }
