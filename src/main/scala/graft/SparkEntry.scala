@@ -4266,7 +4266,10 @@ object SparkEntry {
       .select((col("doc_id") % 100L).as("doc_id"))
       .distinct()
     val media = multimodal.Multimodal.pngMediaNearDupFromDocuments(spark, folded)
+    // eager: the corpus and batch sides below are two filters of the SAME
+    // hash frame — lazy, the PNG encode+decode pass runs once per filter
     val hashes = multimodal.Multimodal.aHash(media, factor = 4)
+      .localCheckpoint(true)
     multimodal.Multimodal.incrementalNearDupMedia(
       hashes.filter(col("media_id") < 25),
       hashes.filter(col("media_id") >= 50),

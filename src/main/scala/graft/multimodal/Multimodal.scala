@@ -593,7 +593,15 @@ object Multimodal {
       hashes: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val fp = collapseFingerprints(hashes)
+    // EAGER materialization of the fingerprint rows and their collapse:
+    // `hashes` is usually a DECODE pass (PNG/WAV/AVI per row) and this
+    // tail scans it twice (collapse + member expansion) while `fp` feeds
+    // FOUR consumers (candidates, both verify sides, expansion) — left
+    // lazy, one qm17-class call re-decoded the whole corpus ~5×. Both
+    // frames are fingerprint-sized, so the checkpoints are KB-class.
+    val hs = hashes.select(col("media_id"), col("hash_bits"))
+      .localCheckpoint(true)
+    val fp = collapseFingerprints(hs).localCheckpoint(true)
     val cand = fingerprintCandidates(fp, bands)
     val ham = aggregate(
       zip_with(
@@ -610,7 +618,7 @@ object Multimodal {
     // expand through the fingerprint group: every member inherits its
     // representative's component label (or the rep itself when the
     // fingerprint collided with nothing)
-    hashes.select(col("media_id"), col("hash_bits"))
+    hs
       .join(fp, Seq("hash_bits"))
       .join(comps.select(col("id").as("__rep"), col("label")), Seq("__rep"), "left")
       .select(col("media_id"),
@@ -663,8 +671,12 @@ object Multimodal {
       .filter(ham <= maxHamming)
       .select(col("__bh").as("hash_bits"))
       .distinct()
+    // eager: the survivor set feeds the hashClusters tail AND the final
+    // semi-join — lazy, the batch decode upstream of `batchHashes` would
+    // re-run for each consumer
     val survivors = batchHashes
       .join(dupFp, Seq("hash_bits"), "left_anti")
+      .localCheckpoint(true)
     val clusters = hashClusters(survivors, bands, maxHamming)
     survivors
       .join(clusters.filter(col("media_id") === col("cluster"))

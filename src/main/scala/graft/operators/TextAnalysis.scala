@@ -1236,6 +1236,12 @@ object TextAnalysis {
       .select(monotonically_increasing_id().as("__doc"), col(textCol))
       .select(col("__doc"), posexplode(split(lower(trim(col(textCol))), "\\s+")))
       .select(col("__doc"), col("pos").as("__p"), col("col").as("__w"))
+      // eager: BOTH sides of the co-occurrence self-join read this frame
+      // — lazy, the tokenize pass runs twice AND the per-scan
+      // monotonically_increasing_id assignment is only coincidentally
+      // consistent between the two scans; checkpointed, ids are computed
+      // once and the join keys are consistent by construction
+      .localCheckpoint(true)
     // offset-explode equi-join: each token probes positions p+1..p+w,
     // so the join is keyed (doc, position) and the fan-out is O(L·w)
     // per doc — a doc-only join key would materialize the O(L²) cross
