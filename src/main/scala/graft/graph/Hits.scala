@@ -55,11 +55,15 @@ object Hits {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val spark = edges.sparkSession
 
+    // eager, not a lazy persist: the first action over a lazy cache is
+    // nodes' union-distinct, whose two branches scan e inside ONE job
+    // and race the cache fill — the caller's (possibly 4-table) edge
+    // build would run up to twice before the cache lands
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("double").as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -107,7 +111,9 @@ object Hits {
           .otherwise(lit(0.0)).as("hub"),
         when(col("__ma") > 0.0, col("a") / col("__ma"))
           .otherwise(lit(0.0)).as("authority"))
-    e.unpersist(); nodes.unpersist()
+    // e is a localCheckpoint now — its blocks free when the frame is
+    // GC'd; only the lazily-persisted nodes cache needs an explicit drop
+    nodes.unpersist()
     out
   }
 }

@@ -69,16 +69,18 @@ object PageRank {
     require(damping >= 0 && damping <= 1, s"damping must be in [0,1], got $damping")
     val spark = edges.sparkSession
 
-    // persist the TYPED EDGE INPUT itself, not just its derivatives: the
-    // caller's edge table is often an expensive join/aggregation (qg9's
-    // four-table trade join), and without this cache it re-executes for
-    // every derivative that follows — nodes (1), trans's edge aggregate
-    // and outw (2), dangling's outw (1 more) — four upstream executions
-    // for one logical input (guide §5: cache only what is reused AND
-    // expensive; this is both, and it unpersists before return)
+    // EAGERLY materialize the TYPED EDGE INPUT, not just its
+    // derivatives: the caller's edge table is often an expensive
+    // join/aggregation (qg9's four-table trade join), and lazy it
+    // re-executes for every derivative that follows — nodes (whose
+    // union even scans it twice inside ONE job, racing the cache),
+    // trans's edge aggregate and outw, dangling's outw: four-plus
+    // upstream executions for one logical input. An eager
+    // localCheckpoint computes it exactly once (guide §5; blocks free
+    // on GC like every checkpoint in this tier)
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("double").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -141,7 +143,7 @@ object PageRank {
         .localCheckpoint(true)
     }
     val out = ranks.select(col("node"), col("rank"))
-    trans.unpersist(); dangling.unpersist(); nodes.unpersist(); e.unpersist()
+    trans.unpersist(); dangling.unpersist(); nodes.unpersist()
     out
   }
 }
