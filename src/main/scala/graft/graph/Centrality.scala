@@ -467,10 +467,12 @@ object Centrality {
       edges: DataFrame, aCol: String, bCol: String,
       iters: Int = 8, weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    // eager (the PageRank/Hits rationale): computed once, the 8 eigenStep
+    // rounds and the node derivation all read checkpointed blocks
     val ed = (weightCol match {
       case Some(w) => symmetrizeWeighted(edges, aCol, bCol, w)
       case None => symmetrize(edges, aCol, bCol).withColumn("__w", lit(1.0))
-    }).persist()
+    }).localCheckpoint(true)
     val nodes = ed.select(col("v")).distinct()
     var x = nodes.select(col("v"), lit(1.0).as("__x")).localCheckpoint(true)
     var i = 0
@@ -478,9 +480,7 @@ object Centrality {
       x = eigenStep(ed, x).localCheckpoint(true)
       i += 1
     }
-    val out = x.select(col("v").as("node"), round(col("__x"), 6).as("score"))
-    ed.unpersist()
-    out
+    x.select(col("v").as("node"), round(col("__x"), 6).as("score"))
   }
 
   /** One power-iteration round (x ← A_w·x / ‖A_w·x‖∞), un-checkpointed
