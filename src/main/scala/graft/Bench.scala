@@ -32,7 +32,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE partition-coalescing knobs, env-parameterized for A/B runs;
+      // defaults are Spark's own. The r16 hypothesis that the 32-core
+      // anti-scaling was post-shuffle task count was RACED and REJECTED:
+      // byte-based coalescing (parallelismFirst=false, advisory 64m)
+      // read 1.06x WORSE pooled over the 18-query subset — the real
+      // cause was concurrent broadcast builds racing lazy cache fills
+      // (fixed eagerly in the operators; see OPTIMIZATION_r16.md).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_BYTES", "67108864"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SHUFFLE/SPILL SCRATCH DIR (guide §2.1: "local disk bandwidth for
+      // shuffle files can be the tighter limit — check both"): this VM's
+      // only disk is ext4 on virtio, where creating+writing a tiny
+      // shuffle file costs ~95 ms of Shuffle Write Time PER TASK
+      // (event-log-measured on qg11's peel rounds: 64 tasks x ~120
+      // records each). tmpfs is the faithful local stand-in for the
+      // fast local NVMe a production shuffle tier assumes; measured
+      // qg11 6.2 -> 2.8 s, same plans, same results. Env-overridable;
+      // falls back to Spark's default when no tmpfs exists.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+          else System.getProperty("java.io.tmpdir", "/tmp")))
       // local scale runs (sf1+) read single big files; a smaller split
       // size stands in for the many-file layout a real table has
       .config("spark.sql.files.maxPartitionBytes",

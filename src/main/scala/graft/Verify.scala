@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same AQE coalescing knobs as Bench (defaults = Spark's own) so
+      // the correctness dump runs the exact plans the bench times
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_BYTES", "67108864"))
       // events.parquet stores TIMESTAMP(NANOS); read as Long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local scale runs (sf1+) read single big files; a smaller split

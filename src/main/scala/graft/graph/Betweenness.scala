@@ -86,13 +86,18 @@ object Betweenness {
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val ed = e.select(col("a").as("v"), col("b").as("w"))
+    // eager + size-partitioned (the KCore.decompose shape): the BFS and
+    // dependency loops probe ed every round
+    val ed0 = e.select(col("a").as("v"), col("b").as("w"))
       .unionAll(e.select(col("b").as("v"), col("a").as("w")))
-      .persist()
+      .localCheckpoint(true)
+    val edParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      ed0.count() / 100000L + 1L)).toInt
+    val ed = ed0.coalesce(edParts)
     val nodes = ed.select(col("v")).distinct()
     val n = nodes.count()
     if (n == 0L) {
-      ed.unpersist()
       return spark.range(0).select(col("id").as("node"),
         lit(0.0).as("betweenness"))
     }
@@ -165,7 +170,6 @@ object Betweenness {
       .agg((coalesce(sum(col("delta")), lit(0.0)) * lit(scale)).as("betweenness"))
       .select(col("v").as("node"), col("betweenness"))
       .localCheckpoint(true)
-    ed.unpersist()
     out
   }
 
@@ -213,12 +217,17 @@ object Betweenness {
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"))
       .agg(min(col("__w")).as("__w"))
-    val ed = e0.select(col("a").as("v"), col("b").as("t"), col("__w"))
+    // eager + size-partitioned (the KCore.decompose shape): phases 1-3
+    // probe ed across their rounds
+    val ed0 = e0.select(col("a").as("v"), col("b").as("t"), col("__w"))
       .unionAll(e0.select(col("b").as("v"), col("a").as("t"), col("__w")))
-      .persist()
+      .localCheckpoint(true)
+    val edParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      ed0.count() / 100000L + 1L)).toInt
+    val ed = ed0.coalesce(edParts)
     val minW = ed.agg(min(col("__w"))).head()
     if (!minW.isNullAt(0) && minW.getDouble(0) <= 0.0) {
-      ed.unpersist(blocking = false)
       throw new IllegalArgumentException(
         "runWeighted requires strictly positive weights: min weight " +
           s"${minW.getDouble(0)} ≤ 0 (a zero-weight tie gives infinitely " +
@@ -227,7 +236,6 @@ object Betweenness {
     val nodes = ed.select(col("v")).distinct()
     val n = nodes.count()
     if (n == 0L) {
-      ed.unpersist(blocking = false)
       return spark.range(0).select(col("id").as("node"),
         lit(0.0).as("betweenness"))
     }
@@ -278,7 +286,7 @@ object Betweenness {
         Seq("p", "__v"))
       .filter(col("__du") + col("__w") === col("__dv"))
       .select(col("p"), col("__u"), col("__v"))
-      .persist()
+      .localCheckpoint(true)
 
     // 2. σ fixpoint over the DAG (exact Longs, monotone in hop rounds).
     // Convergence by the (count, Σσ) signature instead of a per-round
@@ -291,12 +299,24 @@ object Betweenness {
     // n²-row join per round.
     val seedSig = pivotSet.select(col("p"), col("p").as("v"), lit(1L).as("sigma"))
     var sig = seedSig.localCheckpoint(true)
+    // The signature's exactness proof needs the Σσ sum to be REAL: a
+    // null sum with count > 0 means the DECIMAL(38,0) aggregate
+    // overflowed (non-ANSI sum returns null), and coalescing it to zero
+    // would conflate "overflowed" with "empty" — two consecutive
+    // equal-count overflowed rounds would falsely signal convergence.
+    // Fail loudly instead; σ itself stays a Long per node, whose own
+    // bound (paths per node < 2⁶³) is the tier's documented contract.
     def sigSignature(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(
         count(lit(1)),
-        coalesce(sum(col("sigma").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1))
+        sum(col("sigma").cast("decimal(38,0)"))).head()
+      val n = r.getLong(0)
+      val s = r.getDecimal(1)
+      if (n > 0 && s == null)
+        throw new ArithmeticException(
+          "runWeighted σ signature: sum(sigma) overflowed decimal(38,0) " +
+            s"over $n rows — path counts too large for the exact signature")
+      (n, if (s == null) java.math.BigDecimal.ZERO else s)
     }
     var sigPrev = sigSignature(sig)
     rounds = 0
@@ -331,8 +351,11 @@ object Betweenness {
       .join(sig.select(col("p"), col("v").as("__v"), col("sigma").as("__sv")), Seq("p", "__v"))
       .select(col("p"), col("__u"), col("__v"),
         (col("__su").cast("double") / col("__sv").cast("double")).as("__r"))
-      .persist()
-    dagE.unpersist(blocking = false)
+      // EAGER: the old lazy persist was unpersisting dagE before dagR
+      // ever computed, so δ round 1 re-ran dagE's two joins from
+      // scratch; checkpointed, dagR materializes from dagE's blocks
+      // here and both frames free on GC
+      .localCheckpoint(true)
     // δ backward fixpoint — FUSED change detection: the previous δ table
     // itself is the left side (its key set IS dist's, invariant across
     // rounds), so the old value rides the same plan as the new one and
@@ -364,7 +387,6 @@ object Betweenness {
       delta = next.select(col("p"), col("v"), col("delta"))
       changing = changed > 0L
     }
-    dagR.unpersist(blocking = false)
 
     val scale = n.toDouble / k.toDouble / 2.0
     val out = delta
@@ -373,7 +395,6 @@ object Betweenness {
       .agg((coalesce(sum(col("delta")), lit(0.0)) * lit(scale)).as("betweenness"))
       .select(col("v").as("node"), col("betweenness"))
       .localCheckpoint(true)
-    ed.unpersist(blocking = false)
     out
   }
 }

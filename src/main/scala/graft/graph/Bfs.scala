@@ -41,15 +41,25 @@ object Bfs {
       maxDepth: Int = 64): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val spark = edges.sparkSession
+    // eager + size-partitioned adjacency (the KCore.decompose shape):
+    // the layer loop probes ed every round — checkpoint the canonical
+    // edges once, then the doubled adjacency at a data-derived
+    // partition count so each round's probe stays data-shaped instead
+    // of 2x(shuffle.partitions) KB-block tasks
     val e = edges
       .select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      2L * e.count() / 100000L + 1L)).toInt
     val ed = e.select(col("a").as("v"), col("b").as("w"))
       .unionAll(e.select(col("b").as("v"), col("a").as("w")))
-      .persist()
+      .coalesce(parts)
+      .localCheckpoint(true)
 
     val schema = StructType(Seq(
       StructField("node", LongType, nullable = false),
@@ -68,6 +78,7 @@ object Bfs {
         .distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(d + 1).as("dist"))
+        .coalesce(parts)
         .localCheckpoint(true)
       val n = next.count()
       grew = n > 0L
@@ -85,7 +96,6 @@ object Bfs {
         frontier = next
       }
     }
-    ed.unpersist(blocking = false)
     visited
   }
 
@@ -139,16 +149,24 @@ object Bfs {
         col(wCol).cast("double").as("w"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("w").isNotNull)
       .filter(col("a") =!= col("b"))
-    val e = (if (directed) typed
+    // eager + size-partitioned (the KCore.decompose shape): the relax
+    // loop joins e every round; checkpointed once and viewed through a
+    // data-derived coalesce, each round's probe reads a few cached
+    // blocks instead of shuffle.partitions KB-block tasks
+    val e0 = (if (directed) typed
              else typed.unionAll(
                typed.select(col("b").as("a"), col("a").as("b"), col("w"))))
       .groupBy(col("a"), col("b"))
       .agg(org.apache.spark.sql.functions.min(col("w")).as("w"))
-      .persist()
+      .localCheckpoint(true)
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      e0.count() / 100000L + 1L)).toInt
+    val e = e0.coalesce(parts)
     // fail fast on negative weights: with directed=false, ONE negative
     // edge is a 2-cycle of negative total — the fixpoint would burn all
     // maxRounds of joins before throwing a generic non-convergence
-    // error. One min(w) pass over the (already persisted) edge table
+    // error. One min(w) pass over the (already checkpointed) edge table
     // turns that into an immediate, precise rejection. Directed inputs
     // keep negative edges (label-correcting Bellman-Ford handles them;
     // only a directed negative CYCLE diverges, still caught by
@@ -156,7 +174,6 @@ object Bfs {
     if (!directed) {
       val minW = e.agg(org.apache.spark.sql.functions.min(col("w"))).head()
       if (!minW.isNullAt(0) && minW.getDouble(0) < 0.0) {
-        e.unpersist(blocking = false)
         throw new IllegalArgumentException(
           s"sssp with directed=false requires non-negative weights: " +
             s"min weight ${minW.getDouble(0)} < 0 forms a negative cycle " +
@@ -201,12 +218,12 @@ object Bfs {
             .as("__old"))
         .select(col("node"), col("dist"),
           (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
+        .coalesce(parts)
         .localCheckpoint(true)
       improving = merged.filter(col("__imp")).count() > 0L
       frontier = merged.filter(col("__imp")).select(col("node"), col("dist"))
       dist = merged.select(col("node"), col("dist"))
     }
-    e.unpersist(blocking = false)
     dist
   }
 }

@@ -86,10 +86,16 @@ object Centrality {
   def distanceCentralities(
       edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val spark = edges.sparkSession
-    val ed = symmetrize(edges, aCol, bCol).persist()
+    // eager + size-partitioned (the KCore.decompose shape): the layer
+    // loop probes ed every round — checkpointed once, viewed through a
+    // data-derived coalesce so each round's stages stay data-shaped
+    val ed0 = symmetrize(edges, aCol, bCol).localCheckpoint(true)
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      ed0.count() / 100000L + 1L)).toInt
+    val ed = ed0.coalesce(parts)
     val nodes = ed.select(col("v")).distinct()
     if (nodes.isEmpty) {
-      ed.unpersist()
       return spark.range(0).select(
         col("id").as("node"), lit(0L).as("n_reached"),
         lit(0L).as("sum_dist"), lit(0.0).as("closeness"),
@@ -100,6 +106,10 @@ object Centrality {
       .localCheckpoint(true)
     var d = 0
     var grewBy = 1L
+    // one count per round: the previous round's count rides a driver
+    // var instead of re-counting the old checkpoint (the
+    // Betweenness.core lesson)
+    var prevN = bfs.count()
     while (grewBy > 0L) {
       val frontier = bfs.filter(col("dist") === d)
       val next = frontier
@@ -109,7 +119,9 @@ object Centrality {
         .join(bfs.select("p", "v"), Seq("p", "v"), "left_anti")
         .select(col("p"), col("v"), lit(d + 1).as("dist"))
       val grown = bfs.unionAll(next).localCheckpoint(true)
-      grewBy = grown.count() - bfs.count()
+      val curN = grown.count()
+      grewBy = curN - prevN
+      prevN = curN
       bfs = grown
       d += 1
     }
@@ -132,7 +144,6 @@ object Centrality {
         round(aggregate(col("__t"), lit(0.0), (acc, x) =>
           acc + x("cnt").cast("double") / x("dist").cast("double")), 6)
           .as("harmonic"))
-    ed.unpersist()
     out
   }
 
@@ -246,12 +257,18 @@ object Centrality {
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"))
       .agg(min(col("__w")).as("__w"))
-    val ed = e0.select(col("a").as("v"), col("b").as("t"), col("__w"))
+    // eager + size-partitioned (the KCore.decompose shape): each relax
+    // round probes ed — checkpointed once, viewed through a
+    // data-derived coalesce
+    val ed0 = e0.select(col("a").as("v"), col("b").as("t"), col("__w"))
       .unionAll(e0.select(col("b").as("v"), col("a").as("t"), col("__w")))
-      .persist()
+      .localCheckpoint(true)
+    val edParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      ed0.count() / 100000L + 1L)).toInt
+    val ed = ed0.coalesce(edParts)
     val minW = ed.agg(min(col("__w"))).head()
     if (!minW.isNullAt(0) && minW.getDouble(0) <= 0.0) {
-      ed.unpersist(blocking = false)
       throw new IllegalArgumentException(
         s"$caller requires strictly positive weights: " +
           s"min weight ${minW.getDouble(0)} ≤ 0 (zero puts distinct vertices " +
@@ -259,7 +276,6 @@ object Centrality {
     }
     val nodes = ed.select(col("v")).distinct()
     if (nodes.isEmpty) {
-      ed.unpersist(blocking = false)
       return spark.range(0).select(
         col("id").as("p"), col("id").as("v"), lit(0.0).as("dist"))
     }
@@ -298,7 +314,6 @@ object Centrality {
       frontier = merged.filter(col("__imp")).select(col("p"), col("v"), col("dist"))
       dist = merged.select(col("p"), col("v"), col("dist"))
     }
-    ed.unpersist(blocking = false)
     dist
   }
 
@@ -468,13 +483,19 @@ object Centrality {
       iters: Int = 8, weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
     // eager (the PageRank/Hits rationale): computed once, the 8 eigenStep
-    // rounds and the node derivation all read checkpointed blocks
-    val ed = (weightCol match {
+    // rounds and the node derivation all read checkpointed blocks —
+    // through a data-sized coalesce view (the PageRank transV rationale)
+    val ed0 = (weightCol match {
       case Some(w) => symmetrizeWeighted(edges, aCol, bCol, w)
       case None => symmetrize(edges, aCol, bCol).withColumn("__w", lit(1.0))
     }).localCheckpoint(true)
+    val edParts = math.max(1L, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism.toLong,
+      ed0.count() / 100000L + 1L)).toInt
+    val ed = ed0.coalesce(edParts)
     val nodes = ed.select(col("v")).distinct()
-    var x = nodes.select(col("v"), lit(1.0).as("__x")).localCheckpoint(true)
+    var x = nodes.select(col("v"), lit(1.0).as("__x")).coalesce(edParts)
+      .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       x = eigenStep(ed, x).localCheckpoint(true)
@@ -517,10 +538,15 @@ object Centrality {
       p: Int, maxIter: Int,
       trackNf: Boolean): Option[(DataFrame, Vector[Long])] = {
     require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
-    val ed = symmetrize(edges, aCol, bCol).persist()
+    // eager + size-partitioned (the KCore.decompose shape)
+    val spark = edges.sparkSession
+    val ed0 = symmetrize(edges, aCol, bCol).localCheckpoint(true)
+    val edParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      ed0.count() / 100000L + 1L)).toInt
+    val ed = ed0.coalesce(edParts)
     val nodes = ed.select(col("v")).distinct()
     if (nodes.isEmpty) {
-      ed.unpersist()
       return None
     }
     def estimate(regs: DataFrame): DataFrame =
@@ -580,7 +606,6 @@ object Centrality {
         t += 1
       }
     }
-    ed.unpersist()
     Some((state, nf.result()))
   }
 }

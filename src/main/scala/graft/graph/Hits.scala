@@ -74,21 +74,31 @@ object Hits {
     require(sumW > 0.0, s"total edge weight must be positive, got $sumW")
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, n / 100000L + 1L)).toInt
+    // size the per-iteration probes to the data (the PageRank transV /
+    // rankParts rationale): e's checkpoint and nodes' cache hold
+    // shuffle.partitions KB-blocks, and every gather would launch that
+    // many tasks regardless of data
+    val eParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, e.count() / 100000L + 1L)).toInt
+    val eV = e.coalesce(eParts)
+    val nodesV = nodes.coalesce(parts)
 
     // gather along edges: scores flow src→dst (by="src", out="dst") or
     // dst→src; nodes with no contributing edge score 0; the constant
     // ΣW divisor keeps every score in [0, 1]
     def gather(scores: DataFrame, inCol: String, by: String, out: String,
         outCol: String): DataFrame =
-      nodes.join(
-        scores.join(e, scores("node") === e(by))
+      nodesV.join(
+        scores.join(eV, scores("node") === eV(by))
           .groupBy(col(out).as("node"))
           .agg((sum(col("w") * col(inCol)) / lit(sumW)).as("__raw")),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("__raw"), lit(0.0)).as(outCol))
 
-    var h = nodes.select(col("node"), lit(1.0).as("h"))
-      .repartition(parts).localCheckpoint(true)
+    // coalesce, not repartition: narrow merge to parts, no keyless
+    // exchange (and no sort-before-repartition pass) per checkpoint
+    var h = nodesV.select(col("node"), lit(1.0).as("h"))
+      .coalesce(parts).localCheckpoint(true)
     var a: DataFrame = null
     (1 to iterations).foreach { _ =>
       // a stays LAZY inside the iteration — only h checkpoints, so the
@@ -96,12 +106,12 @@ object Hits {
       // last checkpointed h at output time (one cheap extra gather)
       a = gather(h, "h", by = "src", out = "dst", outCol = "a")
       h = gather(a, "a", by = "dst", out = "src", outCol = "h")
-        .repartition(parts).localCheckpoint(true)
+        .coalesce(parts).localCheckpoint(true)
     }
     // the last a must checkpoint too: it still references e/nodes,
     // which unpersist below (recompute would re-run the edge build on
     // every downstream action)
-    val aFinal = a.repartition(parts).localCheckpoint(true)
+    val aFinal = a.coalesce(parts).localCheckpoint(true)
     val joined = h.join(aFinal, Seq("node"))
     val m = joined.agg(max("h").as("__mh"), max("a").as("__ma"))
     val out = joined.crossJoin(broadcast(m))

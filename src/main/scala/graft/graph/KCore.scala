@@ -33,18 +33,32 @@ object KCore {
     */
   def decompose(edges: DataFrame, aCol: String, bCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // EAGER canonical edges (the Structure.neighborhoodJaccard
+    // rationale), then the doubled adjacency SIZE-PARTITIONED (the Hits
+    // `parts` pattern): the peel loop probes `ed` every round, and a
+    // 2x32-partition lazy cache made every round a 64-task stage of
+    // KB-sized blocks — per-task fixed cost (shuffle file create,
+    // codegen init) dominated the round at 32 local cores. Partitions
+    // sized to the edge count keep every round's stages data-shaped at
+    // any scale; the union/coalesce reads e's checkpointed blocks, so
+    // the input computes exactly once.
     val e = edges
       .select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    // both directions once: degree of v = out-degree in `ed`
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      2L * e.count() / 100000L + 1L)).toInt
     val ed = e.select(col("a").as("v"), col("b").as("w"))
       .unionAll(e.select(col("b").as("v"), col("a").as("w")))
-      .persist()
+      .coalesce(parts)
+      .localCheckpoint(true)
 
-    var alive = ed.select(col("v")).distinct().localCheckpoint(true)
+    var alive = ed.select(col("v")).distinct().coalesce(parts).localCheckpoint(true)
     var n = alive.count()
     var converged = n == 0L
     while (!converged) {
@@ -54,22 +68,20 @@ object KCore {
         .groupBy("v").agg(fcount(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select("v")
+        .coalesce(parts)
         .localCheckpoint(true)
       val m = next.count()
       converged = m == n
       alive = next
       n = m
     }
-    // materialize the node-sized result, then release the cached edge
-    // frame (a lazy return would pin it in executor storage for the
-    // session; localCheckpoint blocks free on GC)
-    val out = ed
+    // materialize the node-sized result (checkpoint blocks free on GC —
+    // nothing pins executor storage for the session)
+    ed
       .join(alive, Seq("v"), "left_semi")
       .join(alive.select(col("v").as("w")), Seq("w"), "left_semi")
       .groupBy("v").agg(fcount(lit(1)).as("core_deg"))
       .select(col("v").as("node"), col("core_deg"))
       .localCheckpoint(true)
-    ed.unpersist()
-    out
   }
 }

@@ -77,7 +77,20 @@ object PageRank {
     // trans's edge aggregate and outw, dangling's outw: four-plus
     // upstream executions for one logical input. An eager
     // localCheckpoint computes it exactly once (guide §5; blocks free
-    // on GC like every checkpoint in this tier)
+    // on GC like every checkpoint in this tier).
+    //
+    // Tradeoff, stated for the 100 TB framing (same applies to Hits and
+    // eigenvectorCentrality): the checkpoint materializes a full
+    // non-replicated copy of the edge projection on executors even when
+    // the caller passes an already-cached scan, and localCheckpoint
+    // data is UNRECOVERABLE on executor loss — an iterative job that
+    // loses an executor restarts from the caller. That is the standard
+    // price of every per-round checkpoint in this tier (the alternative
+    // — reliable checkpoint to the DFS — trades it for a full write per
+    // round); on a trivial input the extra copy is edge-projection-
+    // sized, and on an expensive input it is exactly the win measured
+    // above. Callers with an already-materialized edge frame pay one
+    // redundant copy, not a recompute.
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("double").as("w"))
       .localCheckpoint(true)
@@ -94,7 +107,14 @@ object PageRank {
       .join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    trans.count()
+    // size the per-iteration probe to the EDGE count (the rankParts
+    // rationale applied to the transition table): the cached aggregate
+    // leaves shuffle.partitions KB-blocks, and every iteration's join
+    // would launch that many tasks regardless of data
+    val mEdges = trans.count()
+    val transParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, mEdges / 100000L + 1L)).toInt
+    val transV = trans.coalesce(transParts)
 
     // dangling = nodes with no out-edge (their mass redistributes
     // uniformly); counted ONCE — a graph with no sinks (the common case
@@ -114,8 +134,11 @@ object PageRank {
       case Some(s) => when(col("node") === s, lit(1.0)).otherwise(lit(0.0))
       case None => lit(1.0) / n
     }
-    var ranks = nodes.select(col("node"), init.as("rank"))
-      .repartition(rankParts)
+    // coalesce, not repartition: the node cache already holds the rows;
+    // a narrow merge to rankParts avoids a keyless exchange (and its
+    // sort-before-repartition pass) per materialization
+    val nodesV = nodes.coalesce(rankParts)
+    var ranks = nodesV.select(col("node"), init.as("rank"))
       .localCheckpoint(true)
 
     (1 to iterations).foreach { _ =>
@@ -123,7 +146,7 @@ object PageRank {
         if (!hasDangling) 0.0
         else ranks.join(dangling, "node")
           .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-      val contrib = ranks.join(trans, ranks("node") === trans("src"))
+      val contrib = ranks.join(transV, ranks("node") === transV("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("inflow"))
       val rankExpr: Column = personalizedTo match {
@@ -137,9 +160,9 @@ object PageRank {
             lit(damping) * coalesce(col("inflow"), lit(0.0)) +
             lit(damping * danglingMass / n)
       }
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodesV.join(contrib, Seq("node"), "left")
         .select(col("node"), rankExpr.as("rank"))
-        .repartition(rankParts)
+        .coalesce(rankParts)
         .localCheckpoint(true)
     }
     val out = ranks.select(col("node"), col("rank"))

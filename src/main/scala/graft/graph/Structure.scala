@@ -55,7 +55,10 @@ object Structure {
   def linkPrediction(
       edges: DataFrame, aCol: String, bCol: String,
       minCommon: Int = 2, maxDegree: Long = Long.MaxValue): DataFrame = {
-    val e = canonical(edges, aCol, bCol).persist()
+    // eager (the neighborhoodJaccard rationale): the final action's
+    // concurrent broadcast builds must read a materialized e, not race
+    // a lazy cache fill
+    val e = canonical(edges, aCol, bCol).localCheckpoint(true)
     val adj = e.select(col("a").as("v"), col("b").as("t"))
       .unionAll(e.select(col("b").as("v"), col("a").as("t")))
     val deg = adj.groupBy(col("v"))
@@ -76,7 +79,6 @@ object Structure {
         round(sum(lit(1.0) / col("deg").cast("double")), 6).as("resource_alloc"))
       .filter(col("cn") >= minCommon)
       .localCheckpoint(true)
-    e.unpersist()
     out
   }
 
@@ -101,7 +103,13 @@ object Structure {
   def neighborhoodJaccard(
       edges: DataFrame, aCol: String, bCol: String,
       minCommon: Int = 2, maxDegree: Long = Long.MaxValue): DataFrame = {
-    val e = canonical(edges, aCol, bCol).persist()
+    // EAGER, not lazy persist: the single final action spawns several
+    // CONCURRENT broadcast-subquery jobs (deg lookups, the adjacency
+    // left join) whose map stages all race the lazy cache fill — at 32
+    // local cores the event log showed 10× the 8-core summed task time,
+    // the slots parked on cache-fill block locks. Checkpointed, e is
+    // computed exactly once before any consumer plans against it.
+    val e = canonical(edges, aCol, bCol).localCheckpoint(true)
     val adj = e.select(col("a").as("v"), col("b").as("t"))
       .unionAll(e.select(col("b").as("v"), col("a").as("t")))
     val deg = adj.groupBy(col("v"))
@@ -123,7 +131,6 @@ object Structure {
         round(col("cn").cast("double")
           / (col("deg_a") + col("deg_b") - col("cn")), 6).as("jaccard"))
       .localCheckpoint(true)
-    e.unpersist()
     out
   }
 
@@ -142,7 +149,9 @@ object Structure {
     * is bit-identical across engines given identical sums.
     */
   def assortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = canonical(edges, aCol, bCol).persist()
+    // eager (the neighborhoodJaccard rationale): the moment fold and
+    // both 1-row crossJoin subqueries read e concurrently
+    val e = canonical(edges, aCol, bCol).localCheckpoint(true)
     val adj = e.select(col("a").as("v"), col("b").as("t"))
       .unionAll(e.select(col("b").as("v"), col("a").as("t")))
     val deg = adj.groupBy(col("v"))
@@ -181,7 +190,6 @@ object Structure {
                     * (col("sx").cast("double") / col("m2"))),
           6).as("assortativity"))
       .localCheckpoint(true)
-    e.unpersist()
     out
   }
 
@@ -212,7 +220,9 @@ object Structure {
     val eLab = canonical(edges, aCol, bCol)
       .join(lab.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
       .join(lab.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
-      .persist()
+      // eager (the neighborhoodJaccard rationale): m, degC and intra all
+      // read eLab inside one action
+      .localCheckpoint(true)
     val m = eLab.agg(org.apache.spark.sql.functions.count(lit(1)).as("m"))
     val degC = eLab.select(col("a").as("v"), col("ca").as("c"))
       .unionAll(eLab.select(col("b").as("v"), col("cb").as("c")))
@@ -236,7 +246,6 @@ object Structure {
               * (col("deg_sum").cast("double") / (lit(2L) * col("m"))),
           6).as("q_term"))
       .localCheckpoint(true)
-    eLab.unpersist()
     out
   }
 }

@@ -34,17 +34,20 @@ object Triangles {
     */
   def count(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     // e feeds four branches (deg, orientation, n_edges, wedge closure)
-    // and dir feeds three — persist both or the canonicalize+degree
-    // pipeline recomputes per branch (MEMORY_AND_DISK: at 10⁹ edges the
-    // oriented list is ~16 GB/exec-fleet, disk-spillable, and reused by
-    // joins that would otherwise re-shuffle the raw input three times)
+    // and dir feeds three. EAGER localCheckpoint, not lazy persist: the
+    // one final action launches the n_nodes/n_edges crossJoin subqueries
+    // and the wedge joins CONCURRENTLY, and over a lazy cache those
+    // branches race the fill — event-log-measured on the same-shaped
+    // Structure.neighborhoodJaccard as ~10× summed task time at 32
+    // local cores (slots parked on cache-fill block locks). Blocks free
+    // on GC like every checkpoint in this tier.
     val e = edges
       .select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
 
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
@@ -60,7 +63,7 @@ object Triangles {
           struct(col("a").as("s"), col("b").as("d")))
           .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .persist()
+      .localCheckpoint(true)
 
     // EDGE-ITERATOR closing: triangles(x<y<z) = Σ over directed edges
     // (u→v) of |N⁺(u) ∩ N⁺(v)|. The alternative — materializing wedges
@@ -72,7 +75,7 @@ object Triangles {
     // (10⁷ edges: 217 s → see ENGINE.md).
     val adj = dir.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
-      .persist()
+      .localCheckpoint(true)
     val tri = dir
       .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
       // inner on dst: an edge whose head has no out-neighbours closes
@@ -81,17 +84,13 @@ object Triangles {
       .select(size(array_intersect(col("__nu"), col("__nv"))).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("triangles"))
 
-    // materialize the 1-row summary, then RELEASE the cached frames: a
-    // lazily-returned plan would pin e/dir/adj in executor storage for
-    // the session (bench runs each gate 3-5x — the blocks accumulate),
-    // while localCheckpoint blocks are freed when the frame is GC'd
+    // materialize the 1-row summary (checkpoint blocks above free when
+    // their frames are GC'd — nothing pins executor storage across the
+    // bench's repeated runs)
     val out = deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
       .crossJoin(e.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges")))
       .crossJoin(tri)
       .localCheckpoint(true)
-    e.unpersist()
-    dir.unpersist()
-    adj.unpersist()
     out
   }
 
@@ -108,17 +107,19 @@ object Triangles {
     * summing sizes — output is Θ(triangles), the quantity itself.
     */
   def perNode(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // eager chain (the count() rationale): every multi-consumer frame
+    // materializes once before its concurrent consumers plan against it
     val e = edges
       .select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
-      .persist()
+      .localCheckpoint(true)
     val dir = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -128,10 +129,10 @@ object Triangles {
           struct(col("a").as("s"), col("b").as("d")))
           .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .persist()
+      .localCheckpoint(true)
     val adj = dir.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
-      .persist()
+      .localCheckpoint(true)
     val corners = dir
       .join(adj.select(col("src"), col("nbrs").as("__nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("__nv")), Seq("dst"))
@@ -152,10 +153,6 @@ object Triangles {
             / (col("deg") * (col("deg") - 1L)).cast("double"), 6))
           .as("clustering_coef"))
       .localCheckpoint(true)
-    e.unpersist()
-    deg.unpersist()
-    dir.unpersist()
-    adj.unpersist()
     out
   }
 }

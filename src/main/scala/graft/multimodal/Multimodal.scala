@@ -651,10 +651,18 @@ object Multimodal {
       maxHamming: Int): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    // EAGER materialization of the batch fingerprint rows at entry: the
+    // batch input is usually a DECODE pass and this function scans it
+    // twice — the corpus screen (via collapseFingerprints) and the
+    // survivor anti-join. Checkpointed once here, both consumers read
+    // fingerprint-sized blocks and the batch is decoded exactly once
+    // per call (the hashClusters `hs` treatment).
+    val bh = batchHashes.select(col("media_id"), col("hash_bits"))
+      .localCheckpoint(true)
     // corpus artifact: DISTINCT fingerprints; rep = the string itself
     // (corpus media ids are not needed — membership is the question)
     val cfp = corpusHashes.select(col("hash_bits")).distinct()
-    val bfp = collapseFingerprints(batchHashes)
+    val bfp = collapseFingerprints(bh)
     val bKeys = bandKeys(bfp.select(col("hash_bits")), bands)
       .select(col("hash_bits").as("__bh"), col("__bkey"))
     val cKeys = bandKeys(cfp, bands)
@@ -672,9 +680,8 @@ object Multimodal {
       .select(col("__bh").as("hash_bits"))
       .distinct()
     // eager: the survivor set feeds the hashClusters tail AND the final
-    // semi-join — lazy, the batch decode upstream of `batchHashes` would
-    // re-run for each consumer
-    val survivors = batchHashes
+    // semi-join — lazy, the anti-join would re-run for each consumer
+    val survivors = bh
       .join(dupFp, Seq("hash_bits"), "left_anti")
       .localCheckpoint(true)
     val clusters = hashClusters(survivors, bands, maxHamming)

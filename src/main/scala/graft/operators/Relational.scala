@@ -233,9 +233,41 @@ object Relational {
       valueCol: String,
       percentile: Double,
       exactCutoff: Long = 262144,
+      maxBisectGroups: Int = 10000): DataFrame =
+    groupedPercentileThresholdsMulti(
+      df, keyCol, valueCol, Seq(percentile), exactCutoff, maxBisectGroups)
+      .select(col(keyCol), col("__thr"))
+
+  /** MULTI-RANK threshold kernel — the [[groupedPercentileThresholds]]
+    * bisection resolving SEVERAL percentiles of the same (key, value)
+    * multiset in one orchestration: bands are keyed (key, percentile)
+    * and every narrowing round's count pass / exact sort pass runs ONCE
+    * over the shared cached projection for ALL still-live percentiles,
+    * instead of once per percentile per round. [[robustSummary]]
+    * (p25/p50/p75) and [[winsorize]] (both tails) drop from one full
+    * kernel run per rank — each with its own cache fill, per-key
+    * min/max/count aggregate and round jobs — to one.
+    *
+    * Output: one row per (key, percentile): (keyCol, __pq, __thr).
+    * Values are BIT-IDENTICAL to running the single-rank kernel per
+    * percentile: each (key, percentile) band bisects by its own
+    * counts through the same midpoints (mid depends only on the band's
+    * lo/hi), and the exact pass sorts the same band multiset — the
+    * rank value is a property of the group's value multiset either way
+    * (spec-pinned against the single-rank kernel).
+    */
+  def groupedPercentileThresholdsMulti(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      percentiles: Seq[Double],
+      exactCutoff: Long = 262144,
       maxBisectGroups: Int = 10000): DataFrame = {
     import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
     import org.apache.spark.sql.Row
+    require(percentiles.nonEmpty, "percentiles must be non-empty")
+    require(percentiles.distinct.length == percentiles.length,
+      s"duplicate percentiles: $percentiles")
     val spark = df.sparkSession
     val vals = df
       .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
@@ -243,10 +275,12 @@ object Relational {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val keyType = vals.schema("__k").dataType
-      // band per key: v in [lo, hi] (hi exclusive when __hx) contains the
-      // rank-k value at ascending offset __off; __n = rows in band
+      // band per (key, percentile): v in [lo, hi] (hi exclusive when
+      // __hx) contains the rank-k value at ascending offset __off;
+      // __n = rows in band
       val bandSchema = StructType(Seq(
         StructField("__k", keyType),
+        StructField("__pq", DoubleType),
         StructField("__lo", DoubleType),
         StructField("__hi", DoubleType),
         StructField("__hx", BooleanType),
@@ -269,16 +303,18 @@ object Relational {
         .collect()
       if (bandsHead.length > maxBisectGroups) {
         vals.unpersist(blocking = false)
-        return groupedPercentileThresholdsWindow(df, keyCol, valueCol, percentile)
+        return groupedPercentileThresholdsWindowMulti(df, keyCol, valueCol, percentiles)
       }
       var pending: Seq[Row] = bandsHead
-        .map { r =>
+        .flatMap { r =>
           val n = r.getLong(1)
-          Row(r.get(0), r.getDouble(2), r.getDouble(3), false,
-            math.round(percentile / 100.0 * (n - 1)), n)
+          percentiles.map { p =>
+            Row(r.get(0), p, r.getDouble(2), r.getDouble(3), false,
+              math.round(p / 100.0 * (n - 1)), n)
+          }
         }
         .toSeq
-      val resolved = scala.collection.mutable.ArrayBuffer[(Any, Double)]()
+      val resolved = scala.collection.mutable.ArrayBuffer[(Any, Double, Double)]()
       def bandMember: Column =
         col("__v") >= col("__lo") &&
           (when(col("__hx"), col("__v") < col("__hi")).otherwise(col("__v") <= col("__hi")))
@@ -288,61 +324,82 @@ object Relational {
         // a collapsed band names its value outright: [lo, lo], or the
         // half-open singleton [lo, nextUp(lo)) bisection can produce
         val (deg, live0) = pending.partition { r =>
-          val (lo, hi, hx) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+          val (lo, hi, hx) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
           !(lo < hi) || (hx && hi == Math.nextUp(lo))
         }
-        deg.foreach(r => resolved += ((r.get(0), r.getDouble(1))))
+        deg.foreach(r => resolved += ((r.get(0), r.getDouble(1), r.getDouble(2))))
         // sub-cutoff bands: ONE bounded sort pass resolves them exactly
-        val (small, live) = live0.partition(_.getLong(5) <= exactCutoff)
+        val (small, live) = live0.partition(_.getLong(6) <= exactCutoff)
         if (small.nonEmpty) {
           val exactDf = spark.createDataFrame(
             spark.sparkContext.parallelize(small, 1), bandSchema)
-          val wSort = Window.partitionBy(col("__k")).orderBy(col("__v"))
+          val wSort = Window.partitionBy(col("__k"), col("__pq")).orderBy(col("__v"))
           val rows = vals
             .join(broadcast(exactDf), Seq("__k"))
             .filter(bandMember)
             .withColumn("__rn", row_number().over(wSort) - 1)
             .filter(col("__rn") === col("__off"))
-            .select(col("__k"), col("__v"))
+            .select(col("__k"), col("__pq"), col("__v"))
             .collect()
-          rows.foreach(r => resolved += ((r.get(0), r.getDouble(1))))
+          rows.foreach(r => resolved += ((r.get(0), r.getDouble(1), r.getDouble(2))))
         }
         if (live.nonEmpty) {
           // bisect: count band rows strictly below the midpoint — the
           // `<` predicate on a driver double is exact, so the two halves
           // partition the band with no boundary ambiguity
-          val mids: Map[Any, Double] = live.map { r =>
-            val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+          val mids: Map[(Any, Double), Double] = live.map { r =>
+            val (lo, hi) = (r.getDouble(2), r.getDouble(3))
             val m0 = lo / 2 + hi / 2
-            r.get(0) -> (if (m0 > lo) m0 else Math.nextUp(lo))
+            (r.get(0), r.getDouble(1)) -> (if (m0 > lo) m0 else Math.nextUp(lo))
           }.toMap
           val midSchema = StructType(bandSchema.fields :+ StructField("__mid", DoubleType))
           val bandsDf = spark.createDataFrame(
             spark.sparkContext.parallelize(
-              live.map(r => Row.fromSeq(r.toSeq :+ mids(r.get(0)))), 1), midSchema)
-          val counts: Map[Any, Long] = vals
+              live.map(r => Row.fromSeq(r.toSeq :+ mids((r.get(0), r.getDouble(1))))), 1),
+            midSchema)
+          // the same pass also reads each half's ACTUAL data range, so
+          // the next band clamps to real values: a point-mass band
+          // collapses to [v, v] immediately instead of halving its
+          // midpoint toward the mass for up to ~1000 rounds (a band
+          // whose lower edge is 0.0 halves through the denormals —
+          // measured non-convergent inside the 80-round guard), and
+          // every band's width is a data diameter, so total rounds are
+          // bounded by the doubles' exponent walk, not the guard
+          val counts: Map[(Any, Double), Row] = vals
             .join(broadcast(bandsDf), Seq("__k"))
             .filter(bandMember)
-            .groupBy(col("__k"))
-            .agg(sum(when(col("__v") < col("__mid"), 1L).otherwise(0L)).as("below"))
+            .groupBy(col("__k"), col("__pq"))
+            .agg(
+              sum(when(col("__v") < col("__mid"), 1L).otherwise(0L)).as("below"),
+              min(when(col("__v") < col("__mid"), col("__v"))).as("minLow"),
+              max(when(col("__v") < col("__mid"), col("__v"))).as("maxLow"),
+              min(when(col("__v") >= col("__mid"), col("__v"))).as("minHigh"),
+              max(when(col("__v") >= col("__mid"), col("__v"))).as("maxHigh"))
             .collect()
-            .map(r => r.get(0) -> r.getLong(1))
+            .map(r => (r.get(0), r.getDouble(1)) -> r)
             .toMap
           pending = live.map { r =>
-            val (k, lo, hi, hx, off, n) =
-              (r.get(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3), r.getLong(4), r.getLong(5))
-            val below = counts.getOrElse(k, 0L)
-            val mid = mids(k)
-            if (off < below) Row(k, lo, mid, true, off, below) // [lo, mid)
-            else Row(k, mid, hi, hx, off - below, n - below) // [mid, hi]
+            val (k, pq, off, n) =
+              (r.get(0), r.getDouble(1), r.getLong(5), r.getLong(6))
+            val c = counts((k, pq))
+            val below = c.getLong(2)
+            // chosen half carries its exact data range as a CLOSED band
+            // — same multiset, same rank offset, same resolved value
+            if (off < below)
+              Row(k, pq, c.getDouble(3), c.getDouble(4), false, off, below)
+            else
+              Row(k, pq, c.getDouble(5), c.getDouble(6), false,
+                off - below, n - below)
           }
         } else pending = Nil
       }
       require(pending.isEmpty, s"grouped percentile failed to converge in $guard rounds")
       val thrSchema = StructType(Seq(
-        StructField("__k", keyType), StructField("__thr", DoubleType)))
+        StructField("__k", keyType), StructField("__pq", DoubleType),
+        StructField("__thr", DoubleType)))
       spark.createDataFrame(
-        spark.sparkContext.parallelize(resolved.toSeq.map { case (k, v) => Row(k, v) }, 1), thrSchema)
+        spark.sparkContext.parallelize(
+          resolved.toSeq.map { case (k, pq, v) => Row(k, pq, v) }, 1), thrSchema)
         .withColumnRenamed("__k", keyCol)
     } finally vals.unpersist(blocking = false)
   }
@@ -379,6 +436,26 @@ object Relational {
       .select(col(keyCol), col(valueCol).cast("double").as("__thr"))
   }
 
+  /** Window-form multi-rank fallback: ONE per-key sort shared by every
+    * percentile (each rank filter reads the same row_number), same
+    * nearest-rank values as [[groupedPercentileThresholdsWindow]] per
+    * percentile. Returns (keyCol, __pq, __thr). */
+  def groupedPercentileThresholdsWindowMulti(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      percentiles: Seq[Double]): DataFrame = {
+    val wSort = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    df
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .withColumn("__rn", row_number().over(wSort) - 1)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__pq", explode(array(percentiles.map(lit): _*)))
+      .filter(col("__rn") === round(col("__pq") / lit(100.0) * (col("__n") - 1)))
+      .select(col(keyCol), col("__pq"), col(valueCol).cast("double").as("__thr"))
+  }
+
   /** WINSORIZATION — per key, clamp `valueCol` into its group's
     * [pLo, pHi] nearest-rank percentile band: the outlier treatment
     * that PRESERVES row count (unlike a percentile filter, which drops)
@@ -407,15 +484,17 @@ object Relational {
       pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 100 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 100, got ($pLo, $pHi)")
-    val lo = groupedPercentileThresholds(df, keyCol, valueCol, pLo)
-      .withColumnRenamed("__thr", "__lo")
-    val hi = groupedPercentileThresholds(df, keyCol, valueCol, pHi)
-      .withColumnRenamed("__thr", "__hi")
+    // BOTH tails through one multi-rank kernel run (shared cache fill,
+    // shared per-round passes), pivoted to one threshold row per key
+    val thr = groupedPercentileThresholdsMulti(df, keyCol, valueCol, Seq(pLo, pHi))
+      .groupBy(col(keyCol))
+      .agg(
+        max(when(col("__pq") === pLo, col("__thr"))).as("__lo"),
+        max(when(col("__pq") === pHi, col("__thr"))).as("__hi"))
     val v = col(valueCol).cast("double")
     val clampable = v.isNotNull && !isnan(v) &&
       col("__lo").isNotNull && col("__hi").isNotNull
-    df.join(broadcast(lo), Seq(keyCol), "left")
-      .join(broadcast(hi), Seq(keyCol), "left")
+    df.join(broadcast(thr), Seq(keyCol), "left")
       .withColumn("__w",
         when(clampable && v < col("__lo"), col("__lo"))
           .when(clampable && v > col("__hi"), col("__hi"))
@@ -436,30 +515,31 @@ object Relational {
     * reported number is an actual data value (or an exact integer
     * difference of two) — no interpolation, no FP accumulation.
     *
-    * Cost: four threshold passes (p25/p50/p75 + the MAD median over
-    * |x − median|) + one count aggregate, all broadcast-joined.
+    * Cost: two threshold kernel runs (ONE multi-rank pass resolving
+    * p25/p50/p75 together + the MAD median over |x − median|, which
+    * needs the median first) + one count aggregate, all
+    * broadcast-joined.
     */
   def robustSummary(
       df: DataFrame,
       keyCol: String,
       valueCol: String): DataFrame = {
-    val p25 = groupedPercentileThresholds(df, keyCol, valueCol, 25.0)
-      .withColumnRenamed("__thr", "__p25")
-    val p50 = groupedPercentileThresholds(df, keyCol, valueCol, 50.0)
-      .withColumnRenamed("__thr", "__med")
-    val p75 = groupedPercentileThresholds(df, keyCol, valueCol, 75.0)
-      .withColumnRenamed("__thr", "__p75")
+    val qs = groupedPercentileThresholdsMulti(
+      df, keyCol, valueCol, Seq(25.0, 50.0, 75.0))
+      .groupBy(col(keyCol))
+      .agg(
+        max(when(col("__pq") === 25.0, col("__thr"))).as("__p25"),
+        max(when(col("__pq") === 50.0, col("__thr"))).as("__med"),
+        max(when(col("__pq") === 75.0, col("__thr"))).as("__p75"))
     val withMed = df
-      .join(broadcast(p50), Seq(keyCol))
+      .join(broadcast(qs.select(col(keyCol), col("__med"))), Seq(keyCol))
       .withColumn("__absdev", abs(col(valueCol).cast("double") - col("__med")))
     val mad = groupedPercentileThresholds(withMed, keyCol, "__absdev", 50.0)
       .withColumnRenamed("__thr", "__mad")
     df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
-      .join(broadcast(p25), Seq(keyCol))
-      .join(broadcast(p50), Seq(keyCol))
-      .join(broadcast(p75), Seq(keyCol))
+      .join(broadcast(qs), Seq(keyCol))
       .join(broadcast(mad), Seq(keyCol))
       .select(
         col(keyCol), col("n"),

@@ -578,13 +578,18 @@ object Sketches {
     // once per token OCCURRENCE — on a natural corpus that is a
     // 50-100× cut in md5 work and in rows entering the __j exchange.
     // The exact-F₂ branch needs the same per-token counts anyway.
+    // EAGER (localCheckpoint, not lazy persist): the sign-explode Z
+    // branch and the exact-F₂ branch both read `counts` inside the ONE
+    // final action — left lazy, the tokenize+count pass races the cache
+    // fill and can execute twice (the PageRank/Hits lesson). The frame
+    // is vocabulary-sized, so the checkpoint is small by contract.
     val counts = df
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .groupBy(col("__tok"))
       .agg(org.apache.spark.sql.functions.count(lit(1))
         .cast("decimal(38,0)").as("__c"))
-      .persist()
+      .localCheckpoint(true)
     val z = counts
       .select(col("__tok"), col("__c"), explode(sequence(lit(0), lit(k - 1))).as("__j"))
       .select(col("__j"),
@@ -613,9 +618,7 @@ object Sketches {
               round(abs(col("f2_est") - col("__f2").cast("double"))
                 / col("__f2").cast("double"), 6)).as("rel_err"))
       }
-    val done = out.localCheckpoint(true)
-    counts.unpersist()
-    done
+    out.localCheckpoint(true)
   }
 }
 

@@ -1995,7 +1995,10 @@ object Temporal {
       .join(cnt, Seq("__k", "__b"), "left")
       .select(col("__k"), col("__b"),
         coalesce(col("__n"), lit(0L)).as("__n"))
-      .persist()
+      // EAGER: both sides of the lag self-join below scan the grid
+      // inside one action — a lazy persist races the cache fill (the
+      // Structure.neighborhoodJaccard event-log finding)
+      .localCheckpoint(true)
     val lags = grid.sparkSession.range(maxLag + 1L)
       .select(col("id").as("lag"))
     val pairs = grid.select(col("__k").as("__ka"), col("__b"),
@@ -2030,7 +2033,6 @@ object Temporal {
           when(dx > 0.0 && dy > 0.0, round(num / sqrt(dx * dy), 6)).as("r")
         })
       .localCheckpoint(true)
-    grid.unpersist()
     out
   }
 

@@ -1740,9 +1740,14 @@ object TextAnalysis {
       n: Int, reuseGrams: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams0 = sourceGrams(docs, sourceCol, textCol, n)
+    // EAGER when reused: the final action reads grams through TWO
+    // branches (the common-gram aggregate and the per-source sizes,
+    // the latter a broadcast build) — left as a lazy persist those
+    // concurrent subqueries race the cache fill (the
+    // Structure.neighborhoodJaccard event-log finding). reuseGrams =
+    // false keeps the recompute form for corpora past storage headroom.
     val grams =
-      if (reuseGrams)
-        grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (reuseGrams) grams0.localCheckpoint(true)
       else grams0
     val common = grams
       .groupBy(col("__g"))

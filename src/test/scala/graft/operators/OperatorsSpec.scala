@@ -763,6 +763,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bis == win)
   }
 
+  test("grouped percentile multi-rank kernel ≡ one single-rank run per " +
+      "percentile (bisection, exact pass, window fallback)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows =
+      (0 until 500).map(i => ("ties", (i % 3) * 10.0)) ++
+        (0 until 800).map(_ => ("skew", math.pow(rnd.nextDouble(), 8) * 1e6)) :+
+        (("one", 42.0)) :+ (("two", 1.0)) :+ (("two", 2.0))
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(10.0, 25.0, 50.0, 75.0, 90.0)
+    def multiMap(exactCutoff: Long, maxBisectGroups: Int) =
+      Relational.groupedPercentileThresholdsMulti(
+        df, "g", "v", pcts, exactCutoff, maxBisectGroups)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    def singleMap(p: Double, exactCutoff: Long, maxBisectGroups: Int) =
+      Relational.groupedPercentileThresholds(df, "g", "v", p, exactCutoff, maxBisectGroups)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // deep-bisection regime (exactCutoff=1 forces narrowing on every band)
+    val mBis = multiMap(1L, 10000)
+    // default regime (straight exact pass)
+    val mDflt = multiMap(262144L, 10000)
+    // window-fallback regime (3 groups > maxBisectGroups=2)
+    val mWin = multiMap(262144L, 2)
+    for (p <- pcts) {
+      val s = singleMap(p, 1L, 10000)
+      for ((g, thr) <- s) {
+        assert(mBis((g, p)) == thr, s"bisection multi mismatch at ($g, $p)")
+        assert(mDflt((g, p)) == thr, s"default multi mismatch at ($g, $p)")
+        assert(mWin((g, p)) == thr, s"window multi mismatch at ($g, $p)")
+      }
+      assert(mBis.keys.count(_._2 == p) == s.size)
+    }
+  }
+
   test("decontaminate: flags eval docs sharing an n-gram, counts distinct hits") {
     import spark.implicits._
     val train = Seq(
