@@ -257,22 +257,32 @@ object Betweenness {
     var rounds = 0
     var improving = true
     while (improving) {
-      rounds += 1
+      rounds += 2 // two relax applications per materialized round
       if (rounds > maxRounds)
         throw new IllegalStateException(
           s"runWeighted distances still improving after maxRounds=$maxRounds")
-      val cand = frontier
-        .join(ed, Seq("v"))
-        .select(col("p"), col("t").as("v"), (col("dist") + col("__w")).as("dist"))
-      val merged = dist
-        .select(col("p"), col("v"), col("dist"), lit(false).as("__cand"))
-        .unionAll(cand.select(col("p"), col("v"), col("dist"), lit(true).as("__cand")))
-        .groupBy(col("p"), col("v"))
-        .agg(
-          min(col("dist")).as("dist"),
-          min(when(!col("__cand"), col("dist"))).as("__old"))
-        .select(col("p"), col("v"), col("dist"),
-          (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
+      // DOUBLE-STEPPED (r16, the Bfs.sssp rationale): two lazy
+      // relax+merge steps per checkpoint+count; __imp flags the SECOND
+      // step, whose empty improvement set is the single-step stop
+      // condition verbatim — values bit-identical (order-free IEEE min)
+      def relaxMerge(d: DataFrame, f: DataFrame): DataFrame = {
+        val cand = f
+          .join(ed, Seq("v"))
+          .select(col("p"), col("t").as("v"), (col("dist") + col("__w")).as("dist"))
+        d
+          .select(col("p"), col("v"), col("dist"), lit(false).as("__cand"))
+          .unionAll(cand.select(col("p"), col("v"), col("dist"), lit(true).as("__cand")))
+          .groupBy(col("p"), col("v"))
+          .agg(
+            min(col("dist")).as("dist"),
+            min(when(!col("__cand"), col("dist"))).as("__old"))
+          .select(col("p"), col("v"), col("dist"),
+            (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
+      }
+      val m1 = relaxMerge(dist, frontier)
+      val merged = relaxMerge(
+          m1.select(col("p"), col("v"), col("dist")),
+          m1.filter(col("__imp")).select(col("p"), col("v"), col("dist")))
         .localCheckpoint(true)
       improving = merged.filter(col("__imp")).count() > 0L
       frontier = merged.filter(col("__imp")).select(col("p"), col("v"), col("dist"))

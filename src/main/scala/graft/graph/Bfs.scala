@@ -192,7 +192,7 @@ object Bfs {
     var rounds = 0
     var improving = true
     while (improving) {
-      rounds += 1
+      rounds += 2 // two relax applications per materialized round
       if (rounds > maxRounds)
         throw new IllegalStateException(
           s"SSSP still improving after maxRounds=$maxRounds rounds — " +
@@ -203,21 +203,40 @@ object Bfs {
       // aggregate yields the merged distance AND the old distance per
       // node, so "improved" is a column — min(old, cand) is the same
       // IEEE min the separate join+union+min computed, bit-identical;
-      // the improved-count reads the checkpointed blocks (no recompute)
-      val cand = e
-        .join(frontier.select(col("node").as("a"), col("dist")), Seq("a"))
-        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-      val merged = dist
-        .select(col("node"), col("dist"), lit(false).as("__cand"))
-        .unionAll(cand.select(col("node"), col("dist"), lit(true).as("__cand")))
-        .groupBy(col("node"))
-        .agg(
-          org.apache.spark.sql.functions.min(col("dist")).as("dist"),
-          org.apache.spark.sql.functions.min(
-            org.apache.spark.sql.functions.when(!col("__cand"), col("dist")))
-            .as("__old"))
-        .select(col("node"), col("dist"),
-          (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
+      // the improved-count reads the checkpointed blocks (no recompute).
+      //
+      // DOUBLE-STEPPED (r16): TWO lazy relax+merge steps ride each
+      // checkpoint — the per-round fixed costs (checkpoint job, count
+      // job, driver planning) amortize over two hops of propagation.
+      // Values are bit-identical: improvements propagate one hop per
+      // relax application either way, so the same candidate multiset
+      // meets the same order-free IEEE min. Convergence stays exact:
+      // __imp flags the SECOND step's improvements, and "step 2
+      // improved nothing" is the single-step stop condition verbatim
+      // (step 2 relaxes exactly step 1's improved set; an empty
+      // improvement there is the fixpoint regardless of step 1). The
+      // step-1 subtree feeds both step-2 branches, but its exchange is
+      // canonically identical in each — ReuseExchange computes it once.
+      def relaxMerge(d: DataFrame, f: DataFrame): DataFrame = {
+        val cand = e
+          .join(f.select(col("node").as("a"), col("dist")), Seq("a"))
+          .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+        d
+          .select(col("node"), col("dist"), lit(false).as("__cand"))
+          .unionAll(cand.select(col("node"), col("dist"), lit(true).as("__cand")))
+          .groupBy(col("node"))
+          .agg(
+            org.apache.spark.sql.functions.min(col("dist")).as("dist"),
+            org.apache.spark.sql.functions.min(
+              org.apache.spark.sql.functions.when(!col("__cand"), col("dist")))
+              .as("__old"))
+          .select(col("node"), col("dist"),
+            (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
+      }
+      val m1 = relaxMerge(dist, frontier)
+      val merged = relaxMerge(
+          m1.select(col("node"), col("dist")),
+          m1.filter(col("__imp")).select(col("node"), col("dist")))
         .coalesce(parts)
         .localCheckpoint(true)
       improving = merged.filter(col("__imp")).count() > 0L

@@ -286,29 +286,37 @@ object Centrality {
     var rounds = 0
     var improving = true
     while (improving) {
-      rounds += 1
+      rounds += 2 // two relax applications per materialized round
       if (rounds > maxRounds)
         throw new IllegalStateException(
           s"$caller still improving after " +
             s"maxRounds=$maxRounds rounds; raise maxRounds")
       // FUSED round (the Bfs.sssp shape): relax candidates union the old
       // table under a tag, ONE min aggregate merges and recovers the old
-      // distance per pair, "improved" becomes a column — one exchange +
-      // one checkpoint + one cached count per round instead of the
-      // join-checkpoint / count / merge-checkpoint triple; IEEE min is
-      // order-free so the merged values are bit-identical
-      val cand = frontier
-        .join(ed, Seq("v"))
-        .select(col("p"), col("t").as("v"), (col("dist") + col("__w")).as("dist"))
-      val merged = dist
-        .select(col("p"), col("v"), col("dist"), lit(false).as("__cand"))
-        .unionAll(cand.select(col("p"), col("v"), col("dist"), lit(true).as("__cand")))
-        .groupBy(col("p"), col("v"))
-        .agg(
-          min(col("dist")).as("dist"),
-          min(when(!col("__cand"), col("dist"))).as("__old"))
-        .select(col("p"), col("v"), col("dist"),
-          (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
+      // distance per pair, "improved" becomes a column; IEEE min is
+      // order-free so the merged values are bit-identical.
+      // DOUBLE-STEPPED (r16, the Bfs.sssp rationale): two lazy
+      // relax+merge steps ride each checkpoint+count — per-round fixed
+      // costs amortize over two hops; __imp flags the SECOND step, whose
+      // empty improvement set is the single-step stop condition verbatim
+      def relaxMerge(d: DataFrame, f: DataFrame): DataFrame = {
+        val cand = f
+          .join(ed, Seq("v"))
+          .select(col("p"), col("t").as("v"), (col("dist") + col("__w")).as("dist"))
+        d
+          .select(col("p"), col("v"), col("dist"), lit(false).as("__cand"))
+          .unionAll(cand.select(col("p"), col("v"), col("dist"), lit(true).as("__cand")))
+          .groupBy(col("p"), col("v"))
+          .agg(
+            min(col("dist")).as("dist"),
+            min(when(!col("__cand"), col("dist"))).as("__old"))
+          .select(col("p"), col("v"), col("dist"),
+            (col("__old").isNull || col("dist") < col("__old")).as("__imp"))
+      }
+      val m1 = relaxMerge(dist, frontier)
+      val merged = relaxMerge(
+          m1.select(col("p"), col("v"), col("dist")),
+          m1.filter(col("__imp")).select(col("p"), col("v"), col("dist")))
         .localCheckpoint(true)
       improving = merged.filter(col("__imp")).count() > 0L
       frontier = merged.filter(col("__imp")).select(col("p"), col("v"), col("dist"))
